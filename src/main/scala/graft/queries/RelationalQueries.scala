@@ -1,0 +1,740 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.api.{GraftQuery, Tables}
+
+/** The delegated relational operator surface (SURVEY §2B): everything the
+  * reference hands to its host engine — filter/project, all join shapes,
+  * aggregation, windows, sort/limit, set ops, grouping sets, subqueries,
+  * scalar function families — expressed Spark-first and oracle-checked
+  * against DuckDB on the shared testdata parquet.
+  *
+  * Determinism contract (applies to every query here):
+  *  - doubles summed only after CAST to DECIMAL(18,2) in BOTH engines
+  *    (exact arithmetic; final cast to DOUBLE is then bit-identical);
+  *  - DuckDB SUM over integers is CAST back to BIGINT (DuckDB widens to
+  *    INT128, Spark stays LongType — SURVEY §7.4);
+  *  - every result carries a total ORDER BY (unique tie-breakers);
+  *  - no AVG / POW / ROUND-on-computed-doubles (engine-dependent libm or
+  *    half-even vs half-up divergence) — ratios are written as
+  *    exact-decimal-sum-cast-to-double divided by counts, identically on
+  *    both sides.
+  */
+object RelationalQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact sum of a 2-decimal money/measure double, surfaced as double. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Queries whose Spark side is the verbatim shared ANSI SQL (subquery
+    * forms are clearer in SQL; both engines parse the same text). */
+  private def sharedSql(name: String, sql: String): GraftQuery =
+    GraftQuery(
+      name,
+      (s, dir) => { Tables.registerViews(s, dir); s.sql(sql) },
+      Some(sql))
+
+  // ---------------------------------------------------------------------
+  // Aggregation
+  // ---------------------------------------------------------------------
+
+  /** TPC-H Q1 shape: hash aggregate with partial/final combine; Spark plans
+    * map-side partial agg automatically (HashAggregateExec). */
+  val q01AggSum = GraftQuery(
+    "q01_agg_sum",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast(TimestampType))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount")))
+            .cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Filter + projection; both pushed into the parquet scan by Catalyst. */
+  val q02FilterProject = GraftQuery(
+    "q02_filter_project",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_quantity" > 45 && $"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_quantity > 45 AND l_returnflag = 'R'
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Exact distinct aggregation (expand + two-phase agg in Spark). */
+  val q03CountDistinct = GraftQuery(
+    "q03_count_distinct",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_orderkey").as("n_orders"),
+          countDistinct($"l_partkey").as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_orderkey) AS n_orders,
+             COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  /** min/max/first-style exact extrema (order-independent on doubles). */
+  val q04MinMax = GraftQuery(
+    "q04_minmax",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          min($"o_totalprice").as("min_price"),
+          max($"o_totalprice").as("max_price"),
+          min($"o_orderdate").as("first_date"),
+          max($"o_orderdate").as("last_date"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus,
+             MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+             MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
+  // ---------------------------------------------------------------------
+  // Joins — every shape (SURVEY §2B "Joins" row)
+  // ---------------------------------------------------------------------
+
+  /** TPC-H Q3 shape: 3-way join, small side broadcast, decimal revenue,
+    * deterministic top-k. */
+  val q05JoinTopk = GraftQuery(
+    "q05_join_topk",
+    (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"o_orderkey", $"o_orderdate")
+        .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount")))
+          .cast(DoubleType).as("revenue"))
+        .orderBy($"revenue".desc, $"o_orderkey")
+        .limit(10)
+    },
+    Some("""
+      SELECT o_orderkey, o_orderdate,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY o_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10"""))
+
+  /** TPC-H Q5 shape: 5-way star join through region→nation→customer. */
+  val q06MultiJoin = GraftQuery(
+    "q06_multi_join",
+    (s, dir) => {
+      import s.implicits._
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount")))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"r_name", $"n_name")
+    },
+    Some("""
+      SELECT r_name, n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_lines
+      FROM lineitem
+      JOIN orders   ON l_orderkey  = o_orderkey
+      JOIN customer ON o_custkey   = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""))
+
+  /** Left-semi join (EXISTS). */
+  val q07SemiJoin = GraftQuery(
+    "q07_semi_join",
+    (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val big = t(s, dir, "lineitem").filter($"l_quantity" >= 49)
+      o.join(big, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+      ORDER BY o_orderkey"""))
+
+  /** Left-anti join (NOT EXISTS). */
+  val q08AntiJoin = GraftQuery(
+    "q08_anti_join",
+    (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter($"o_totalprice" > 450000)
+      c.join(big, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+      ORDER BY c_custkey"""))
+
+  /** Left-outer join + aggregate with NULL-group coalescing. */
+  val q09OuterJoinAgg = GraftQuery(
+    "q09_outer_join_agg",
+    (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(
+          count($"o_orderkey").as("n_orders"),
+          coalesce(sum(dec($"o_totalprice")), lit(0).cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total_spent"))
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name,
+             COUNT(o_orderkey) AS n_orders,
+             CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))),
+                           CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name
+      ORDER BY c_custkey"""))
+
+  /** Full-outer join of two aggregates. */
+  val q10FullOuter = GraftQuery(
+    "q10_full_outer",
+    (s, dir) => {
+      import s.implicits._
+      val cn = t(s, dir, "customer").groupBy($"c_nationkey".as("nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+      val sn = t(s, dir, "supplier").groupBy($"s_nationkey".as("nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      cn.join(sn, Seq("nationkey"), "full_outer")
+        .select($"nationkey", $"n_customers", $"n_suppliers")
+        .orderBy($"nationkey")
+    },
+    Some("""
+      SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+             c.n_customers, s.n_suppliers
+      FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+            FROM customer GROUP BY c_nationkey) c
+      FULL OUTER JOIN
+           (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+            FROM supplier GROUP BY s_nationkey) s
+      USING (nationkey)
+      ORDER BY nationkey"""))
+
+  /** Theta (non-equi) self-join: nation pairs within a region. */
+  val q11ThetaJoin = GraftQuery(
+    "q11_theta_join",
+    (s, dir) => {
+      import s.implicits._
+      val n1 = t(s, dir, "nation").select(
+        $"n_nationkey".as("k1"), $"n_name".as("name1"), $"n_regionkey".as("rk"))
+      val n2 = t(s, dir, "nation").select(
+        $"n_nationkey".as("k2"), $"n_name".as("name2"), $"n_regionkey".as("rk2"))
+      n1.join(n2, $"rk" === $"rk2" && $"k1" < $"k2")
+        .select($"rk".as("regionkey"), $"name1", $"name2")
+        .orderBy($"regionkey", $"name1", $"name2")
+    },
+    Some("""
+      SELECT n1.n_regionkey AS regionkey, n1.n_name AS name1, n2.n_name AS name2
+      FROM nation n1 JOIN nation n2
+        ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+      ORDER BY regionkey, name1, name2"""))
+
+  // ---------------------------------------------------------------------
+  // Window functions
+  // ---------------------------------------------------------------------
+
+  /** Ranking window: top-3 orders per customer (deterministic tie-break). */
+  val q12WindowRank = GraftQuery(
+    "q12_window_rank",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+        .orderBy($"o_custkey", $"rn")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) ranked
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn"""))
+
+  /** Running-total frame (rows between unbounded preceding and current). */
+  val q13WindowRunning = GraftQuery(
+    "q13_window_running",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .withColumn("running_qty", sum(dec($"l_quantity")).over(w).cast(DoubleType))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_shipdate", $"running_qty")
+        .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+    },
+    Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      FROM lineitem
+      ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""))
+
+  /** lag/lead analytics: inter-event gap per user in microseconds. */
+  val q14WindowLag = GraftQuery(
+    "q14_window_lag",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .withColumn("gap_us", unix_micros($"ts") - unix_micros($"prev_ts"))
+        .select($"event_id", $"user_id", $"gap_us")
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - epoch_us(CAST(LAG(ts, 1) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS TIMESTAMP)) AS gap_us
+      FROM events
+      ORDER BY event_id"""))
+
+  /** first/last/nth value over an explicit frame. */
+  val q15WindowFirstLast = GraftQuery(
+    "q15_window_firstlast",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .withColumn("best_price", first($"o_totalprice").over(w))
+        .withColumn("worst_price", last($"o_totalprice").over(w))
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"best_price", $"worst_price")
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             FIRST_VALUE(o_totalprice) OVER w AS best_price,
+             LAST_VALUE(o_totalprice)  OVER w AS worst_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  // ---------------------------------------------------------------------
+  // Sort / limit / distinct / set ops / grouping sets
+  // ---------------------------------------------------------------------
+
+  /** Global top-k: Spark plans TakeOrderedAndProject (true top-k, no full
+    * sort shuffle) — scale-safe at 100 TB. */
+  val q16SortLimit = GraftQuery(
+    "q16_sort_limit",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+        .limit(15)
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      LIMIT 15"""))
+
+  val q17Distinct = GraftQuery(
+    "q17_distinct",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_linestatus")
+        .distinct()
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""
+      SELECT DISTINCT l_returnflag, l_linestatus
+      FROM lineitem
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** UNION (dedup) of key sets from two predicates. */
+  val q18Union = GraftQuery(
+    "q18_union",
+    (s, dir) => {
+      import s.implicits._
+      val a = t(s, dir, "customer").filter($"c_acctbal" > 5000).select($"c_custkey".as("k"))
+      val b = t(s, dir, "orders").filter($"o_totalprice" > 400000).select($"o_custkey".as("k"))
+      a.union(b).distinct().orderBy($"k")
+    },
+    Some("""
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+      UNION
+      SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+      ORDER BY k"""))
+
+  /** INTERSECT then EXCEPT chain. */
+  val q19IntersectExcept = GraftQuery(
+    "q19_intersect_except",
+    (s, dir) => {
+      import s.implicits._
+      val withOrders = t(s, dir, "orders").select($"o_custkey".as("k")).distinct()
+      val rich = t(s, dir, "customer").filter($"c_acctbal" > 0).select($"c_custkey".as("k"))
+      val urgent = t(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_custkey".as("k"))
+      rich.intersect(withOrders).except(urgent).orderBy($"k")
+    },
+    Some("""
+      (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+       INTERSECT
+       SELECT o_custkey FROM orders)
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      ORDER BY k"""))
+
+  /** ROLLUP hierarchy totals (NULLS FIRST to align engines' null order). */
+  val q20Rollup = GraftQuery(
+    "q20_rollup",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
+  /** CUBE over two dimensions. */
+  val q21Cube = GraftQuery(
+    "q21_cube",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  // ---------------------------------------------------------------------
+  // Subqueries (shared verbatim SQL through spark.sql — same text both engines)
+  // ---------------------------------------------------------------------
+
+  val q22InSubquery = sharedSql(
+    "q22_in_subquery",
+    """
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+      ORDER BY c_custkey""")
+
+  val q23ScalarSubquery = sharedSql(
+    "q23_scalar_subquery",
+    """
+      SELECT c_custkey, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                / COUNT(*) FROM customer)
+      ORDER BY c_custkey""")
+
+  val q24CorrelatedExists = sharedSql(
+    "q24_correlated_exists",
+    """
+      SELECT o_orderkey, o_orderdate
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.10)
+      ORDER BY o_orderkey""")
+
+  // ---------------------------------------------------------------------
+  // Scalar function families
+  // ---------------------------------------------------------------------
+
+  val q25StringFuncs = GraftQuery(
+    "q25_string_funcs",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .filter($"p_name".like("%a%"))
+        .select(
+          $"p_partkey",
+          upper($"p_name").as("uname"),
+          lower($"p_brand").as("lbrand"),
+          substring($"p_type", 1, 5).as("type5"),
+          length($"p_name").as("name_len").cast(LongType).as("name_len"),
+          concat($"p_brand", lit("#"), $"p_type").as("brand_type"),
+          regexp_replace($"p_name", " ", "_").as("name_us"),
+          trim($"p_name").as("name_trim"))
+        .orderBy($"p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+             UPPER(p_name) AS uname,
+             LOWER(p_brand) AS lbrand,
+             SUBSTR(p_type, 1, 5) AS type5,
+             CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+             p_brand || '#' || p_type AS brand_type,
+             REPLACE(p_name, ' ', '_') AS name_us,
+             TRIM(p_name) AS name_trim
+      FROM part
+      WHERE p_name LIKE '%a%'
+      ORDER BY p_partkey"""))
+
+  val q26DateFuncs = GraftQuery(
+    "q26_date_funcs",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").cast(LongType).as("y"),
+          month($"o_orderdate").cast(LongType).as("m"),
+          dayofmonth($"o_orderdate").cast(LongType).as("d"),
+          trunc($"o_orderdate".cast(DateType), "month").as("month_start"),
+          datediff(lit("1999-01-01").cast(DateType), $"o_orderdate".cast(DateType))
+            .cast(LongType).as("days_to_1999"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+             YEAR(o_orderdate) AS y,
+             MONTH(o_orderdate) AS m,
+             DAY(o_orderdate) AS d,
+             DATE_TRUNC('month', o_orderdate) AS month_start,  -- DATE in DuckDB
+             CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_1999
+      FROM orders
+      ORDER BY o_orderkey"""))
+
+  /** Math functions chosen for cross-engine bit-exactness (IEEE sqrt, exact
+    * floor/ceil/abs/mod; no pow/log which vary by libm). */
+  val q27MathFuncs = GraftQuery(
+    "q27_math_funcs",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_orderkey" <= 200)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          floor($"l_extendedprice").cast(LongType).as("price_floor"),
+          ceil($"l_extendedprice").cast(LongType).as("price_ceil"),
+          abs($"l_quantity" - 25).as("qty_dev"),
+          sqrt($"l_quantity").as("qty_sqrt"),
+          ($"l_orderkey" % 7).as("key_mod"),
+          greatest($"l_discount", $"l_tax").as("max_rate"),
+          least($"l_discount", $"l_tax").as("min_rate"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+             CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+             ABS(l_quantity - 25) AS qty_dev,
+             SQRT(l_quantity) AS qty_sqrt,
+             l_orderkey % 7 AS key_mod,
+             GREATEST(l_discount, l_tax) AS max_rate,
+             LEAST(l_discount, l_tax) AS min_rate
+      FROM lineitem
+      WHERE l_orderkey <= 200
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  val q28Regex = GraftQuery(
+    "q28_regex",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select(
+          $"event_id",
+          regexp_extract($"props", "[0-9]+", 0).cast(LongType).as("k_value"),
+          $"props".rlike("\\{\"k\": [0-9]+\\}").as("well_formed"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id,
+             CAST(REGEXP_EXTRACT(props, '[0-9]+', 0) AS BIGINT) AS k_value,
+             REGEXP_MATCHES(props, '\{"k": [0-9]+\}') AS well_formed
+      FROM events
+      ORDER BY event_id"""))
+
+  val q29CaseAgg = GraftQuery(
+    "q29_case_agg",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          when($"o_totalprice" < 100000, "small")
+            .when($"o_totalprice" < 300000, "mid")
+            .otherwise("big"))
+        .groupBy($"bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          min($"o_totalprice").as("min_price"),
+          max($"o_totalprice").as("max_price"))
+        .orderBy($"bucket")
+    },
+    Some("""
+      SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                  WHEN o_totalprice < 300000 THEN 'mid'
+                  ELSE 'big' END AS bucket,
+             COUNT(*) AS n,
+             MIN(o_totalprice) AS min_price,
+             MAX(o_totalprice) AS max_price
+      FROM orders
+      GROUP BY 1
+      ORDER BY bucket"""))
+
+  /** Manual pivot via conditional aggregation (engine-portable pivot). */
+  val q30Pivot = GraftQuery(
+    "q30_pivot",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(
+          count(when($"event_type" === "click", 1)).as("n_click"),
+          count(when($"event_type" === "view", 1)).as("n_view"),
+          count(when($"event_type" === "error", 1)).as("n_error"),
+          count(lit(1)).as("n_total"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+             COUNT(CASE WHEN event_type = 'view'  THEN 1 END) AS n_view,
+             COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+             COUNT(*) AS n_total
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  /** Array ops: split + explode + re-aggregate (word histogram). */
+  val q31Explode = GraftQuery(
+    "q31_explode",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"word")
+        .limit(20)
+    },
+    Some("""
+      SELECT w AS word, COUNT(*) AS n
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents) words
+      WHERE w <> ''
+      GROUP BY w
+      ORDER BY n DESC, word
+      LIMIT 20"""))
+
+  /** Tumbling time-bucket aggregate (batch form of the streaming window). */
+  val q32TimeBucket = GraftQuery(
+    "q32_time_bucket",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .orderBy($"hour_start", $"event_type")
+    },
+    Some("""
+      SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_start, event_type"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
+    q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
+    q10FullOuter, q11ThetaJoin,
+    q12WindowRank, q13WindowRunning, q14WindowLag, q15WindowFirstLast,
+    q16SortLimit, q17Distinct, q18Union, q19IntersectExcept, q20Rollup, q21Cube,
+    q22InSubquery, q23ScalarSubquery, q24CorrelatedExists,
+    q25StringFuncs, q26DateFuncs, q27MathFuncs, q28Regex, q29CaseAgg,
+    q30Pivot, q31Explode, q32TimeBucket)
+}
