@@ -1,0 +1,453 @@
+package graft.pcap
+
+import scala.collection.mutable
+
+/** Native packet dissection: Ethernet / IPv4 / IPv6 / TCP / UDP / FIX.
+  *
+  * Re-expresses the observable field semantics the reference obtains from
+  * tshark (`tshark -r f -T fields -e …`, reference
+  * `src/wireduck_extension.cpp:108-129`): dotted field names, tshark's
+  * derived values (relative seq/ack, scaled windows, `tcp.len` payload
+  * length, conversation `tcp.stream` indexes) and the rendered
+  * `_ws.col.info` summary column (SURVEY §7.6.1).
+  *
+  * Dissection is stateful per capture file (conversation tracking), which
+  * maps 1:1 onto a Spark `PartitionReader` scanning one file sequentially —
+  * the same sequential-scan shape as the reference's single tshark pipe,
+  * but one per file in parallel (SURVEY §7.3).
+  */
+object Dissect {
+
+  /** All extracted fields for one packet, keyed by tshark filter_name. */
+  final case class Dissected(
+      values: Map[String, Any],
+      protocols: String,
+      info: String)
+
+  // --- conversation state ------------------------------------------------
+
+  private final case class ConvKey(a: String, ap: Int, b: String, bp: Int)
+
+  private object ConvKey {
+    def canonical(srcIp: String, srcPort: Int, dstIp: String, dstPort: Int): (ConvKey, Boolean) = {
+      // direction-0 is the first-seen orientation; canonicalize by ordering
+      val fwd = (srcIp < dstIp) || (srcIp == dstIp && srcPort <= dstPort)
+      if (fwd) (ConvKey(srcIp, srcPort, dstIp, dstPort), true)
+      else (ConvKey(dstIp, dstPort, srcIp, srcPort), false)
+    }
+  }
+
+  private final class TcpConv(val stream: Long) {
+    // per canonical direction (0 = canonical-forward)
+    val isn = Array(-1L, -1L)
+    val wsShift = Array(-1, -1) // window-scale shift offered in SYN
+    val sawSyn = Array(false, false)
+    var firstTsMicros = -1L
+    def scalingActive: Boolean = wsShift(0) >= 0 && wsShift(1) >= 0
+  }
+
+  private final class UdpConv(val stream: Long)
+
+  /** Per-file mutable tracker; create one per PartitionReader. */
+  final class Tracker {
+    private val tcpConvs = mutable.HashMap.empty[ConvKey, TcpConv]
+    private val udpConvs = mutable.HashMap.empty[ConvKey, UdpConv]
+    private var nextTcpStream = 0L
+    private var nextUdpStream = 0L
+    private[Dissect] var firstPacketMicros = -1L
+    private[Dissect] var prevPacketMicros = -1L
+
+    private[Dissect] def tcpConv(k: ConvKey): TcpConv =
+      tcpConvs.getOrElseUpdate(k, { val c = new TcpConv(nextTcpStream); nextTcpStream += 1; c })
+    private[Dissect] def udpConv(k: ConvKey): UdpConv =
+      udpConvs.getOrElseUpdate(k, { val c = new UdpConv(nextUdpStream); nextUdpStream += 1; c })
+  }
+
+  // --- helpers -----------------------------------------------------------
+
+  private def u8(d: Array[Byte], o: Int): Int = d(o) & 0xff
+  private def u16(d: Array[Byte], o: Int): Int = ((d(o) & 0xff) << 8) | (d(o + 1) & 0xff)
+  private def u32(d: Array[Byte], o: Int): Long =
+    (((d(o) & 0xff).toLong << 24) | ((d(o + 1) & 0xff) << 16) |
+      ((d(o + 2) & 0xff) << 8) | (d(o + 3) & 0xff)) & 0xffffffffL
+
+  private def macStr(d: Array[Byte], o: Int): String =
+    (o until o + 6).map(i => f"${d(i) & 0xff}%02x").mkString(":")
+
+  private def ipv4Str(d: Array[Byte], o: Int): String =
+    s"${u8(d, o)}.${u8(d, o + 1)}.${u8(d, o + 2)}.${u8(d, o + 3)}"
+
+  private def ipv6Str(d: Array[Byte], o: Int): String = {
+    // canonical RFC 5952 compression
+    val groups = (0 until 8).map(i => u16(d, o + i * 2))
+    // find longest zero run (>=2)
+    var bestStart = -1; var bestLen = 0; var i = 0
+    while (i < 8) {
+      if (groups(i) == 0) {
+        var j = i
+        while (j < 8 && groups(j) == 0) j += 1
+        if (j - i > bestLen) { bestLen = j - i; bestStart = i }
+        i = j
+      } else i += 1
+    }
+    if (bestLen < 2) groups.map(g => f"$g%x").mkString(":")
+    else {
+      val pre = groups.take(bestStart).map(g => f"$g%x").mkString(":")
+      val post = groups.drop(bestStart + bestLen).map(g => f"$g%x").mkString(":")
+      s"$pre::$post"
+    }
+  }
+
+  /** Wireshark FIX MsgType (tag 35) names, FIX 4.x standard CamelCase. */
+  private val fixMsgNames: Map[String, String] = Map(
+    "0" -> "Heartbeat", "1" -> "TestRequest", "2" -> "ResendRequest",
+    "3" -> "Reject", "4" -> "SequenceReset", "5" -> "Logout",
+    "6" -> "IndicationofInterest", "7" -> "Advertisement",
+    "8" -> "ExecutionReport", "9" -> "OrderCancelReject",
+    "A" -> "Logon", "B" -> "News", "C" -> "Email",
+    "D" -> "NewOrderSingle", "E" -> "NewOrderList",
+    "F" -> "OrderCancelRequest", "G" -> "OrderCancelReplaceRequest",
+    "H" -> "OrderStatusRequest", "J" -> "AllocationInstruction",
+    "V" -> "MarketDataRequest", "W" -> "MarketDataSnapshotFullRefresh",
+    "X" -> "MarketDataIncrementalRefresh")
+
+  private val SOH: Byte = 0x01
+
+  /** Extract FIX MsgType names for every message starting in this payload. */
+  private def fixMessages(payload: Array[Byte], off: Int, len: Int): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = off
+    val end = off + len
+    while (i < end - 5) {
+      if (payload(i) == '8' && payload(i + 1) == '=' && payload(i + 2) == 'F' &&
+        payload(i + 3) == 'I' && payload(i + 4) == 'X') {
+        // find \x0135=
+        var j = i + 5
+        var msg: String = null
+        while (j < end - 4 && msg == null) {
+          if (payload(j) == SOH && payload(j + 1) == '3' && payload(j + 2) == '5' &&
+            payload(j + 3) == '=') {
+            var k = j + 4
+            while (k < end && payload(k) != SOH) k += 1
+            val t = new String(payload, j + 4, k - (j + 4), "ISO-8859-1")
+            msg = fixMsgNames.getOrElse(t, t)
+          }
+          j += 1
+        }
+        if (msg != null) out += msg
+        i = j + 1
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  private def hexBytes(d: Array[Byte], off: Int, len: Int): String = {
+    val sb = new java.lang.StringBuilder(len * 3)
+    var i = 0
+    while (i < len) {
+      if (i > 0) sb.append(':')
+      sb.append(f"${d(off + i) & 0xff}%02x")
+      i += 1
+    }
+    sb.toString
+  }
+
+  // --- main entry --------------------------------------------------------
+
+  /** Dissect one record; mutates `tracker` conversation state. Never throws
+    * on malformed packets: fields stop populating at the parse horizon
+    * (mirrors the reference's NULL-on-parse-failure semantics, SURVEY §1.2).
+    */
+  def dissect(rec: PcapFormat.Record, linktype: Int, tracker: Tracker): Dissected = {
+    val v = mutable.HashMap.empty[String, Any]
+    val protos = mutable.ArrayBuffer.empty[String]
+    var info = ""
+
+    if (tracker.firstPacketMicros < 0) tracker.firstPacketMicros = rec.tsMicros
+    val timeRelMicros = rec.tsMicros - tracker.firstPacketMicros
+    val timeDeltaMicros =
+      if (tracker.prevPacketMicros < 0) 0L else rec.tsMicros - tracker.prevPacketMicros
+    tracker.prevPacketMicros = rec.tsMicros
+
+    v("frame.number") = rec.number
+    v("frame.len") = rec.origLen.toLong
+    v("frame.cap_len") = rec.inclLen.toLong
+    v("frame.time_epoch") = rec.tsMicros // micros; sink applies compat truncation
+    v("frame.time_relative") = timeRelMicros
+    v("frame.time_delta") = timeDeltaMicros
+
+    val d = rec.data
+    try {
+      linktype match {
+        case 1 => // Ethernet
+          protos += "eth"
+          if (d.length >= 14) {
+            v("eth.dst") = macStr(d, 0)
+            v("eth.src") = macStr(d, 6)
+            val etherType = u16(d, 12)
+            v("eth.type") = etherType.toLong
+            protos += "ethertype"
+            etherType match {
+              case 0x0800 => dissectIpv4(d, 14, v, protos, tracker) match {
+                case s if s != null => info = s
+                case _ =>
+              }
+              case 0x86dd => dissectIpv6(d, 14, v, protos, tracker) match {
+                case s if s != null => info = s
+                case _ =>
+              }
+              case 0x0806 =>
+                protos += "arp"
+                info = "ARP"
+              case other =>
+                info = f"Ethernet II (0x$other%04x)"
+            }
+          }
+        case 101 => // raw IP
+          if (d.length >= 1 && (d(0) >> 4) == 4) {
+            val s = dissectIpv4(d, 0, v, protos, tracker); if (s != null) info = s
+          } else if (d.length >= 1 && ((d(0) >> 4) & 0xf) == 6) {
+            val s = dissectIpv6(d, 0, v, protos, tracker); if (s != null) info = s
+          }
+        case _ =>
+          info = s"Linktype $linktype"
+      }
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => // truncated capture: keep what we have
+    }
+
+    Dissected(v.toMap, protos.mkString(":"), info)
+  }
+
+  /** @return info string or null when the inner layer didn't produce one */
+  private def dissectIpv4(
+      d: Array[Byte], off: Int,
+      v: mutable.HashMap[String, Any],
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker): String = {
+    if (d.length < off + 20) return null
+    protos += "ip"
+    val ihl = (d(off) & 0xf) * 4
+    val totalLen = u16(d, off + 2)
+    val proto = u8(d, off + 9)
+    val src = ipv4Str(d, off + 12)
+    val dst = ipv4Str(d, off + 16)
+    v("ip.version") = ((d(off) >> 4) & 0xf).toLong
+    v("ip.hdr_len") = ihl.toLong
+    v("ip.dsfield") = u8(d, off + 1).toLong
+    v("ip.len") = totalLen.toLong
+    v("ip.id") = u16(d, off + 4).toLong
+    val flagsFrag = u16(d, off + 6)
+    v("ip.flags") = ((flagsFrag >> 13) & 0x7).toLong
+    v("ip.frag_offset") = (flagsFrag & 0x1fff).toLong
+    v("ip.ttl") = u8(d, off + 8).toLong
+    v("ip.proto") = proto.toLong
+    v("ip.checksum") = u16(d, off + 10).toLong
+    v("ip.src") = src
+    v("ip.dst") = dst
+    v("ip.addr") = src
+    val next = off + ihl
+    // payload bounded by IP total length (ethernet padding must not leak in)
+    val ipEnd = math.min(off + totalLen, d.length)
+    proto match {
+      case 6  => dissectTcp(d, next, ipEnd, src, dst, v, protos, tracker)
+      case 17 => dissectUdp(d, next, ipEnd, src, dst, v, protos, tracker)
+      case 1  => protos += "icmp"; "ICMP"
+      case _  => null
+    }
+  }
+
+  private def dissectIpv6(
+      d: Array[Byte], off: Int,
+      v: mutable.HashMap[String, Any],
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker): String = {
+    if (d.length < off + 40) return null
+    protos += "ipv6"
+    val payLen = u16(d, off + 4)
+    val nxt = u8(d, off + 6)
+    val src = ipv6Str(d, off + 8)
+    val dst = ipv6Str(d, off + 24)
+    v("ipv6.version") = 6L
+    v("ipv6.plen") = payLen.toLong
+    v("ipv6.nxt") = nxt.toLong
+    v("ipv6.hlim") = u8(d, off + 7).toLong
+    v("ipv6.src") = src
+    v("ipv6.dst") = dst
+    val next = off + 40
+    val end = math.min(next + payLen, d.length)
+    nxt match {
+      case 6  => dissectTcp(d, next, end, src, dst, v, protos, tracker)
+      case 17 => dissectUdp(d, next, end, src, dst, v, protos, tracker)
+      case _  => null
+    }
+  }
+
+  private def dissectTcp(
+      d: Array[Byte], off: Int, ipEnd: Int,
+      srcIp: String, dstIp: String,
+      v: mutable.HashMap[String, Any],
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker): String = {
+    if (d.length < off + 20) return null
+    protos += "tcp"
+    val sp = u16(d, off)
+    val dp = u16(d, off + 2)
+    val rawSeq = u32(d, off + 4)
+    val rawAck = u32(d, off + 8)
+    val hdrLen = ((d(off + 12) >> 4) & 0xf) * 4
+    val flags = u8(d, off + 13)
+    val rawWin = u16(d, off + 14)
+    val segLen = math.max(0, ipEnd - off - hdrLen)
+
+    val fin = (flags & 0x01) != 0
+    val syn = (flags & 0x02) != 0
+    val rst = (flags & 0x04) != 0
+    val psh = (flags & 0x08) != 0
+    val ack = (flags & 0x10) != 0
+    val urg = (flags & 0x20) != 0
+
+    val (key, isFwd) = ConvKey.canonical(srcIp, sp, dstIp, dp)
+    val conv = tracker.tcpConv(key)
+    val dir = if (isFwd) 0 else 1
+    if (conv.isn(dir) < 0) conv.isn(dir) = rawSeq
+    if (syn) conv.sawSyn(dir) = true
+
+    // parse options (also records window scale into conversation state)
+    var mss = -1L
+    var wsShift = -1
+    var sackPerm = false
+    var tsVal = -1L
+    var tsEcr = -1L
+    val optParts = mutable.ArrayBuffer.empty[String]
+    var o = off + 20
+    val optEnd = off + hdrLen
+    var brk = false
+    while (o < optEnd && o < d.length && !brk) {
+      u8(d, o) match {
+        case 0 => brk = true
+        case 1 => o += 1 // NOP
+        case kind =>
+          if (o + 1 >= d.length) brk = true
+          else {
+            val l = u8(d, o + 1)
+            if (l < 2 || o + l > optEnd) brk = true
+            else {
+              kind match {
+                case 2 if l == 4 => mss = u16(d, o + 2).toLong; optParts += s"MSS=$mss"
+                case 3 if l == 3 => wsShift = u8(d, o + 2); optParts += s"WS=${1 << wsShift}"
+                case 4 => sackPerm = true; optParts += "SACK_PERM"
+                case 8 if l == 10 =>
+                  tsVal = u32(d, o + 2); tsEcr = u32(d, o + 6)
+                  optParts += s"TSval=$tsVal TSecr=$tsEcr"
+                case _ =>
+              }
+              o += l
+            }
+          }
+      }
+    }
+    if (syn && wsShift >= 0) conv.wsShift(dir) = wsShift
+
+    val relSeq = (rawSeq - conv.isn(dir)) & 0xffffffffL
+    val otherIsn = conv.isn(1 - dir)
+    val relAck = if (ack && otherIsn >= 0) (rawAck - otherIsn) & 0xffffffffL else 0L
+    val winScale =
+      if (syn) 1L
+      else if (conv.scalingActive) (1L << conv.wsShift(dir))
+      else 1L
+    val calcWin = rawWin * winScale
+
+    v("tcp.srcport") = sp.toLong
+    v("tcp.dstport") = dp.toLong
+    v("tcp.port") = sp.toLong
+    v("tcp.stream") = conv.stream
+    v("tcp.len") = segLen.toLong
+    v("tcp.seq") = relSeq
+    v("tcp.seq_raw") = rawSeq
+    v("tcp.nxtseq") = relSeq + segLen + (if (syn || fin) 1 else 0)
+    v("tcp.ack") = relAck
+    v("tcp.ack_raw") = rawAck
+    v("tcp.hdr_len") = hdrLen.toLong
+    v("tcp.flags") = flags.toLong
+    v("tcp.flags.fin") = fin
+    v("tcp.flags.syn") = syn
+    v("tcp.flags.reset") = rst
+    v("tcp.flags.push") = psh
+    v("tcp.flags.ack") = ack
+    v("tcp.flags.urg") = urg
+    v("tcp.window_size_value") = rawWin.toLong
+    v("tcp.window_size") = calcWin
+    v("tcp.window_size_scalefactor") =
+      if (syn) -1L else if (conv.scalingActive) winScale else -2L
+    v("tcp.checksum") = u16(d, off + 16).toLong
+    v("tcp.urgent_pointer") = u16(d, off + 18).toLong
+    if (mss >= 0) v("tcp.options.mss_val") = mss
+    if (wsShift >= 0) v("tcp.options.wscale.shift") = wsShift.toLong
+    if (tsVal >= 0) { v("tcp.options.timestamp.tsval") = tsVal; v("tcp.options.timestamp.tsecr") = tsEcr }
+    if (segLen > 0) v("tcp.payload") = hexBytes(d, off + hdrLen, math.min(segLen, d.length - off - hdrLen))
+
+    // FIX layer
+    var fixInfo: String = null
+    if (segLen > 5 && off + hdrLen + 5 <= d.length) {
+      val pstart = off + hdrLen
+      val plen = math.min(segLen, d.length - pstart)
+      if (d(pstart) == '8' && d(pstart + 1) == '=' && d(pstart + 2) == 'F' &&
+        d(pstart + 3) == 'I' && d(pstart + 4) == 'X') {
+        protos += "fix"
+        val msgs = fixMessages(d, pstart, plen)
+        if (msgs.nonEmpty) {
+          fixInfo = msgs.mkString(", ")
+          v("fix.msgtype") = msgs.head
+        }
+      }
+    }
+
+    if (fixInfo != null) fixInfo
+    else {
+      // Wireshark-style TCP info column
+      val flagNames = mutable.ArrayBuffer.empty[String]
+      if (syn) flagNames += "SYN"
+      if (fin) flagNames += "FIN"
+      if (rst) flagNames += "RST"
+      if (psh) flagNames += "PSH"
+      if (ack) flagNames += "ACK"
+      if (urg) flagNames += "URG"
+      val sb = new StringBuilder
+      sb.append(sp).append(" → ").append(dp)
+      sb.append(" [").append(flagNames.mkString(", ")).append("]")
+      sb.append(" Seq=").append(relSeq)
+      if (ack && otherIsn >= 0) sb.append(" Ack=").append(relAck)
+      sb.append(" Win=").append(calcWin)
+      sb.append(" Len=").append(segLen)
+      if (optParts.nonEmpty) sb.append(" ").append(optParts.mkString(" "))
+      sb.toString
+    }
+  }
+
+  private def dissectUdp(
+      d: Array[Byte], off: Int, ipEnd: Int,
+      srcIp: String, dstIp: String,
+      v: mutable.HashMap[String, Any],
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker): String = {
+    if (d.length < off + 8) return null
+    protos += "udp"
+    val sp = u16(d, off)
+    val dp = u16(d, off + 2)
+    val len = u16(d, off + 4)
+    val payLen = math.max(0, len - 8)
+    val (key, _) = ConvKey.canonical(srcIp, sp, dstIp, dp)
+    val conv = tracker.udpConv(key)
+    v("udp.srcport") = sp.toLong
+    v("udp.dstport") = dp.toLong
+    v("udp.port") = sp.toLong
+    v("udp.stream") = conv.stream
+    v("udp.length") = len.toLong
+    v("udp.checksum") = u16(d, off + 6).toLong
+    v("udp.pdu.size") = payLen.toLong
+    if (payLen > 0 && off + 8 < d.length)
+      v("udp.payload") = hexBytes(d, off + 8, math.min(payLen, d.length - off - 8))
+    s"$sp → $dp Len=$payLen"
+  }
+}

@@ -1,0 +1,128 @@
+package graft.pcap
+
+import java.io.{DataInputStream, EOFException, InputStream}
+
+/** Classic libpcap container framing.
+  *
+  * Reference behavior being re-expressed (not copied): wireduck delegates
+  * framing to tshark (`src/wireduck_extension.cpp:108-129`); we parse the
+  * container natively so the scan needs no child process and can run on any
+  * Hadoop-compatible stream. All four magics are supported (LE/BE ×
+  * microsecond/nanosecond), matching libpcap/Wireshark public docs; the
+  * reference inherits the same via tshark (SURVEY §1.1 A1, FIXTURES §4).
+  *
+  * Record framing is self-delimiting (16-byte header carrying `incl_len`),
+  * which is what makes intra-file splits possible at scale (SURVEY §7.3).
+  */
+object PcapFormat {
+
+  final case class Header(
+      littleEndian: Boolean,
+      nanos: Boolean,
+      versionMajor: Int,
+      versionMinor: Int,
+      snaplen: Long,
+      linktype: Int)
+
+  /** One captured packet. `tsMicros` is epoch microseconds (nanos input is
+    * truncated, matching DuckDB/tshark display precision). */
+  final case class Record(
+      number: Long,
+      tsMicros: Long,
+      inclLen: Int,
+      origLen: Int,
+      data: Array[Byte])
+
+  val MagicLeMicro = 0xd4c3b2a1 // file bytes d4 c3 b2 a1 read big-endian
+  val MagicBeMicro = 0xa1b2c3d4
+  val MagicLeNano = 0x4d3cb2a1
+  val MagicBeNano = 0xa1b23c4d
+
+  private def u16(b0: Int, b1: Int, le: Boolean): Int =
+    if (le) (b1 << 8) | b0 else (b0 << 8) | b1
+
+  private def u32(b: Array[Byte], off: Int, le: Boolean): Long = {
+    val (a0, a1, a2, a3) =
+      (b(off) & 0xff, b(off + 1) & 0xff, b(off + 2) & 0xff, b(off + 3) & 0xff)
+    if (le) ((a3.toLong << 24) | (a2 << 16) | (a1 << 8) | a0) & 0xffffffffL
+    else ((a0.toLong << 24) | (a1 << 16) | (a2 << 8) | a3) & 0xffffffffL
+  }
+
+  def readHeader(in: DataInputStream): Header = {
+    val h = new Array[Byte](24)
+    in.readFully(h)
+    val magic = ((h(0) & 0xff) << 24) | ((h(1) & 0xff) << 16) | ((h(2) & 0xff) << 8) | (h(3) & 0xff)
+    val (le, nanos) = magic match {
+      case MagicLeMicro => (true, false)
+      case MagicBeMicro => (false, false)
+      case MagicLeNano  => (true, true)
+      case MagicBeNano  => (false, true)
+      case other =>
+        throw new IllegalArgumentException(f"not a classic pcap file (magic 0x$other%08x)")
+    }
+    Header(
+      littleEndian = le,
+      nanos = nanos,
+      versionMajor = u16(h(4) & 0xff, h(5) & 0xff, le),
+      versionMinor = u16(h(6) & 0xff, h(7) & 0xff, le),
+      snaplen = u32(h, 16, le),
+      linktype = u32(h, 20, le).toInt)
+  }
+
+  /** Streaming record iterator. A truncated trailing record is dropped
+    * silently (FIXTURES §4) — capture files are routinely cut mid-write. */
+  def records(in: InputStream, maxPackets: Long = Long.MaxValue): Iterator[Record] = {
+    val din = new DataInputStream(in)
+    val header = readHeader(din)
+    recordsAfterHeader(din, header, maxPackets, firstNumber = 1L)
+  }
+
+  def recordsAfterHeader(
+      din: DataInputStream,
+      header: Header,
+      maxPackets: Long,
+      firstNumber: Long): Iterator[Record] =
+    new Iterator[Record] {
+      private var nextRec: Record = _
+      private var done = false
+      private var n = firstNumber - 1
+
+      private def advance(): Unit = {
+        if (n - firstNumber + 1 >= maxPackets) { done = true; return }
+        val rh = new Array[Byte](16)
+        var read = 0
+        try {
+          while (read < 16) {
+            val r = din.read(rh, read, 16 - read)
+            if (r < 0) {
+              if (read == 0) { done = true; return }
+              else { done = true; return } // truncated header → drop
+            }
+            read += r
+          }
+        } catch { case _: EOFException => done = true; return }
+        val le = header.littleEndian
+        val sec = u32(rh, 0, le)
+        val frac = u32(rh, 4, le)
+        val incl = u32(rh, 8, le).toInt
+        val orig = u32(rh, 12, le).toInt
+        if (incl < 0 || incl > 256 * 1024 * 1024) { done = true; return }
+        val data = new Array[Byte](incl)
+        try din.readFully(data)
+        catch { case _: EOFException => done = true; return } // truncated body → drop
+        val micros =
+          if (header.nanos) sec * 1000000L + frac / 1000L
+          else sec * 1000000L + frac
+        n += 1
+        nextRec = Record(n, micros, incl, orig, data)
+      }
+
+      advance()
+      override def hasNext: Boolean = !done
+      override def next(): Record = {
+        val r = nextRec
+        advance()
+        r
+      }
+    }
+}

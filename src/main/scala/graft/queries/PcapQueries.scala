@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{GraftQuery, Wireduck}
+
+/** The reference's contributed surface (SURVEY §2A) exercised as driver
+  * queries. No DuckDB oracle exists for these (plain DuckDB cannot read
+  * pcap — that is the whole point of the reference extension), so the
+  * driver records rows-only checks; exact golden values are pinned in
+  * PcapSourceSpec against the reference README's published outputs.
+  */
+object PcapQueries {
+
+  /** The reference's own fixture, vendored as a test resource. */
+  val fixturePath = "/root/repo/src/test/resources/fix.pcap"
+
+  /** A1: default 5-column scan. */
+  val pcapScan = GraftQuery(
+    "pcap_scan_default",
+    (s, _) => Wireduck.readPcap(s, fixturePath, compatStrict = true)
+      .orderBy(col("`frame.number`")))
+
+  /** README flagship aggregate — (429, 259678) / (56, 19702). */
+  val pcapFlagship = GraftQuery(
+    "pcap_flagship_agg",
+    (s, _) => Wireduck.readPcap(s, fixturePath, protocols = Seq("ip", "tcp"))
+      .groupBy(col("`tcp.srcport`"), col("`tcp.dstport`"))
+      .agg(count(lit(1)).as("n_packets"), sum(col("`tcp.len`")).as("sum_tcp_len"))
+      .orderBy(desc("n_packets")))
+
+  /** A4: display-filter at the source + A3 climit. */
+  val pcapFiltered = GraftQuery(
+    "pcap_cfilter_climit",
+    (s, _) => Wireduck.readPcap(s, fixturePath, protocols = Seq("ip", "tcp"),
+      climit = Some(100), cfilter = Some("tcp.len > 0"))
+      .select(col("`frame.number`"), col("`tcp.seq`"), col("`tcp.len`"), col("`_ws.col.info`"))
+      .orderBy(col("`frame.number`")))
+
+  /** A6-A8: glossary dictionary surface. */
+  val pcapGlossary = GraftQuery(
+    "pcap_glossary_fields",
+    (s, _) => {
+      Wireduck.setup(s)
+      s.table("glossary_fields")
+        .groupBy(col("protocol_filter_name"))
+        .agg(count(lit(1)).as("n_fields"))
+        .orderBy(col("protocol_filter_name"))
+    })
+
+  /** Packet analytics: per-TCP-stream session stats via window + agg —
+    * the kind of "full SQL over packets" the reference advertises. */
+  val pcapSessionStats = GraftQuery(
+    "pcap_session_stats",
+    (s, _) => {
+      val df = Wireduck.readPcap(s, fixturePath, protocols = Seq("ip", "tcp"))
+      df.groupBy(col("`tcp.stream`"))
+        .agg(
+          count(lit(1)).as("n_packets"),
+          sum(col("`tcp.len`")).as("bytes"),
+          min(col("`frame.time_epoch`")).as("start_ts"),
+          max(col("`frame.time_epoch`")).as("end_ts"),
+          countDistinct(col("`tcp.srcport`")).as("n_endpoints"))
+        .orderBy(col("`tcp.stream`"))
+    })
+
+  val all: Seq[GraftQuery] =
+    Seq(pcapScan, pcapFlagship, pcapFiltered, pcapGlossary, pcapSessionStats)
+}

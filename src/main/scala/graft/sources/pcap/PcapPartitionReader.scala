@@ -1,0 +1,241 @@
+package graft.sources.pcap
+
+import java.io.DataInputStream
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.pcap.{Dissect, Glossary, PcapFormat}
+
+/** Executor-side scan: stream the pcap file, dissect sequentially with
+  * per-file conversation state, emit only the pruned columns.
+  *
+  * Unlike the reference — which `popen`s tshark during *bind/planning*
+  * (reference `src/wireduck_extension.cpp:126`, flagged in SURVEY §2A
+  * hazards) — all I/O starts here, at execution time, on the executor.
+  */
+final case class PcapReaderFactory(
+    schema: StructType,
+    compatStrict: Boolean,
+    cfilter: Option[String],
+    pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PcapInputPartition]
+    new PcapPartitionReader(p.file, p.maxPackets, schema, compatStrict, cfilter, pushed)
+  }
+}
+
+final class PcapPartitionReader(
+    file: String,
+    maxPackets: Long,
+    schema: StructType,
+    compatStrict: Boolean,
+    cfilter: Option[String],
+    pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val path = new Path(file)
+  private val in = {
+    val fs = path.getFileSystem(new Configuration())
+    new DataInputStream(new java.io.BufferedInputStream(fs.open(path), 1 << 20))
+  }
+  private val header = PcapFormat.readHeader(in)
+  private val records =
+    PcapFormat.recordsAfterHeader(in, header, maxPackets, firstNumber = 1L)
+  private val tracker = new Dissect.Tracker
+  private val displayFilter = cfilter.map(DisplayFilter.parse)
+
+  private val fieldNames = schema.fields.map(_.name)
+  private val fieldTypes = schema.fields.map(_.dataType)
+  private var current: InternalRow = _
+
+  /** tshark type semantics at the cell level (SURVEY §1.2): values are
+    * already typed by the dissector; timestamps here are epoch micros, with
+    * the reference's whole-second truncation in compat=strict mode. */
+  private def cell(name: String, dt: DataType, d: Dissect.Dissected): Any = {
+    val raw: Any = name match {
+      case "frame.protocols" => d.protocols
+      case "_ws.col.info"    => d.info
+      case n                 => d.values.getOrElse(n, null)
+    }
+    if (raw == null) null
+    else dt match {
+      case TimestampType =>
+        val micros = raw.asInstanceOf[Long]
+        if (compatStrict) (micros / 1000000L) * 1000000L else micros
+      case StringType  => UTF8String.fromString(raw.toString)
+      case LongType    => raw.asInstanceOf[Long]
+      case DoubleType  => raw.asInstanceOf[Double]
+      case BooleanType => raw.asInstanceOf[Boolean]
+      case _           => null
+    }
+  }
+
+  override def next(): Boolean = {
+    while (records.hasNext) {
+      val rec = records.next()
+      val d = Dissect.dissect(rec, header.linktype, tracker)
+      val passesDisplay = displayFilter.forall(_.eval(d))
+      val passesPushed = pushed.forall(f => PcapFilterEval.eval(f, d, compatStrict))
+      if (passesDisplay && passesPushed) {
+        val row = new GenericInternalRow(fieldNames.length)
+        var i = 0
+        while (i < fieldNames.length) {
+          row.update(i, cell(fieldNames(i), fieldTypes(i), d))
+          i += 1
+        }
+        current = row
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
+
+/** Catalyst v1 Filter evaluation against a dissected packet — the subset
+  * the scan can evaluate early (rows are also re-checked by Spark above the
+  * scan, so this only needs to be sound, never complete). */
+object PcapFilterEval {
+  def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+        _: LessThan | _: LessThanOrEqual | _: IsNotNull | _: IsNull => true
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r)  => supported(l) && supported(r)
+    case _         => false
+  }
+
+  private def value(attr: String, d: Dissect.Dissected): Any = attr match {
+    case "frame.protocols" => d.protocols
+    case "_ws.col.info"    => d.info
+    case n                 => d.values.getOrElse(n, null)
+  }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Number)    => Some(java.lang.Long.compare(x, y.longValue()))
+    case (x: Double, y: Number)  => Some(java.lang.Double.compare(x, y.doubleValue()))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case (x: String, y)          => Some(x.compareTo(y.toString))
+    case _                       => None
+  }
+
+  def eval(f: Filter, d: Dissect.Dissected, compatStrict: Boolean): Boolean = f match {
+    case EqualTo(a, v) =>
+      val x = value(a, d); x != null && cmp(x, v).contains(0)
+    case GreaterThan(a, v)        => val x = value(a, d); x != null && cmp(x, v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => val x = value(a, d); x != null && cmp(x, v).exists(_ >= 0)
+    case LessThan(a, v)           => val x = value(a, d); x != null && cmp(x, v).exists(_ < 0)
+    case LessThanOrEqual(a, v)    => val x = value(a, d); x != null && cmp(x, v).exists(_ <= 0)
+    case IsNotNull(a)             => value(a, d) != null
+    case IsNull(a)                => value(a, d) == null
+    case And(l, r)                => eval(l, d, compatStrict) && eval(r, d, compatStrict)
+    case Or(l, r)                 => eval(l, d, compatStrict) || eval(r, d, compatStrict)
+    case _                        => true // unknown: keep the row, Spark re-filters
+  }
+}
+
+/** Minimal Wireshark display-filter subset for the `cfilter` option
+  * (reference A4 forwards the string to `tshark -Y`; natively we support
+  * the common shapes: protocol presence, field/literal comparisons, `&&`,
+  * `||`, `!`, parentheses).
+  */
+object DisplayFilter {
+  sealed trait Expr { def eval(d: Dissect.Dissected): Boolean }
+
+  private final case class ProtoPresent(p: String) extends Expr {
+    def eval(d: Dissect.Dissected): Boolean =
+      d.protocols.split(':').contains(p) || d.values.contains(p)
+  }
+  private final case class Cmp(field: String, op: String, lit: String) extends Expr {
+    def eval(d: Dissect.Dissected): Boolean = {
+      val raw: Any = field match {
+        case "frame.protocols" => d.protocols
+        case "_ws.col.info"    => d.info
+        case n                 => d.values.getOrElse(n, null)
+      }
+      if (raw == null) return false
+      val c: Option[Int] = raw match {
+        case x: Long    => lit.toLongOption.map(java.lang.Long.compare(x, _))
+        case x: Double  => lit.toDoubleOption.map(java.lang.Double.compare(x, _))
+        case x: Boolean => Some(java.lang.Boolean.compare(x, lit == "1" || lit == "true"))
+        case x          => Some(x.toString.compareTo(lit.stripPrefix("\"").stripSuffix("\"")))
+      }
+      c.exists { r =>
+        op match {
+          case "==" | "eq" => r == 0
+          case "!=" | "ne" => r != 0
+          case ">" | "gt"  => r > 0
+          case ">=" | "ge" => r >= 0
+          case "<" | "lt"  => r < 0
+          case "<=" | "le" => r <= 0
+        }
+      }
+    }
+  }
+  private final case class Not(e: Expr) extends Expr {
+    def eval(d: Dissect.Dissected): Boolean = !e.eval(d)
+  }
+  private final case class AndE(l: Expr, r: Expr) extends Expr {
+    def eval(d: Dissect.Dissected): Boolean = l.eval(d) && r.eval(d)
+  }
+  private final case class OrE(l: Expr, r: Expr) extends Expr {
+    def eval(d: Dissect.Dissected): Boolean = l.eval(d) || r.eval(d)
+  }
+
+  def parse(s: String): Expr = new Parser(s).parseOr()
+
+  private final class Parser(s: String) {
+    private var i = 0
+    private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    private def peek(tok: String): Boolean = { ws(); s.startsWith(tok, i) }
+    private def take(tok: String): Boolean = { if (peek(tok)) { i += tok.length; true } else false }
+
+    def parseOr(): Expr = {
+      var l = parseAnd()
+      while (take("||") || take(" or ")) l = OrE(l, parseAnd())
+      l
+    }
+    private def parseAnd(): Expr = {
+      var l = parseUnary()
+      while (take("&&") || take(" and ")) l = AndE(l, parseUnary())
+      l
+    }
+    private def parseUnary(): Expr = {
+      ws()
+      if (take("!")) Not(parseUnary())
+      else if (take("(")) { val e = parseOr(); take(")"); e }
+      else parseAtom()
+    }
+    private def parseAtom(): Expr = {
+      ws()
+      val start = i
+      while (i < s.length && (s(i).isLetterOrDigit || s(i) == '.' || s(i) == '_')) i += 1
+      val ident = s.substring(start, i)
+      ws()
+      val op = Seq("==", "!=", ">=", "<=", ">", "<").find(take)
+      op match {
+        case None => ProtoPresent(ident)
+        case Some(o) =>
+          ws()
+          val vs = i
+          if (i < s.length && s(i) == '"') {
+            i += 1
+            while (i < s.length && s(i) != '"') i += 1
+            i += 1
+          } else {
+            while (i < s.length && !s(i).isWhitespace && !"()&|!".contains(s(i))) i += 1
+          }
+          Cmp(ident, o, s.substring(vs, i).trim)
+      }
+    }
+  }
+}

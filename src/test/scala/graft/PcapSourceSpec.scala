@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.Wireduck
+import graft.pcap.Glossary
+
+/** Golden tests replaying the reference README's worked examples over
+  * fix.pcap (SURVEY §5 "de-facto golden outputs", FIXTURES §1). */
+class PcapSourceSpec extends SparkSpec {
+
+  private val fixPcap = getClass.getResource("/fix.pcap").getPath
+
+  test("default scan: 5 columns in reference order, 485 packets") {
+    val df = Wireduck.readPcap(spark, fixPcap)
+    assert(df.columns.toSeq === Seq(
+      "frame.time_epoch", "frame.number", "frame.len", "frame.protocols", "_ws.col.info"))
+    assert(df.schema("frame.time_epoch").dataType === TimestampType)
+    assert(df.schema("frame.number").dataType === LongType)
+    assert(df.schema("frame.len").dataType === LongType)
+    assert(df.schema("frame.protocols").dataType === StringType)
+    assert(df.count() === 485)
+  }
+
+  test("first row matches README golden output") {
+    val r = Wireduck.readPcap(spark, fixPcap, compatStrict = true)
+      .orderBy(col("`frame.number`")).limit(1).collect()(0)
+    assert(r.getAs[Long]("frame.number") === 1L)
+    assert(r.getAs[Long]("frame.len") === 74L)
+    assert(r.getAs[String]("frame.protocols") === "eth:ethertype:ip:tcp")
+    assert(r.getAs[String]("_ws.col.info") ===
+      "53867 → 11001 [SYN] Seq=0 Win=43690 Len=0 MSS=65495 SACK_PERM TSval=734420 TSecr=0 WS=128")
+    // compat=strict truncates to whole seconds like the reference (:217)
+    assert(r.getAs[java.sql.Timestamp]("frame.time_epoch").getTime === 1448733575000L)
+  }
+
+  test("README rows 2-10 info column renders exactly") {
+    val rows = Wireduck.readPcap(spark, fixPcap, climit = Some(10))
+      .orderBy(col("`frame.number`")).collect()
+    val infos = rows.map(_.getAs[String]("_ws.col.info"))
+    assert(infos(1) === "11001 → 53867 [SYN, ACK] Seq=0 Ack=1 Win=65535 Len=0 MSS=65495 SACK_PERM TSval=734420 TSecr=734420 WS=4")
+    assert(infos(2) === "53867 → 11001 [ACK] Seq=1 Ack=1 Win=43776 Len=0 TSval=734420 TSecr=734420")
+    assert(infos(3) === "Logon")
+    assert(infos(4) === "11001 → 53867 [ACK] Seq=1 Ack=101 Win=130968 Len=0 TSval=734420 TSecr=734420")
+    assert(infos(5) === "Logon")
+    assert(infos(6) === "53867 → 11001 [ACK] Seq=101 Ack=101 Win=43776 Len=0 TSval=734420 TSecr=734420")
+    assert(infos(7) === "Heartbeat")
+    assert(infos(8) === "Heartbeat")
+    assert(infos(9) === "53867 → 11001 [ACK] Seq=182 Ack=182 Win=43776 Len=0 TSval=736934 TSecr=736934")
+    assert(rows.map(_.getAs[String]("frame.protocols")).count(_.endsWith(":fix")) === 4)
+  }
+
+  test("climit caps packets read (README climit:=4)") {
+    assert(Wireduck.readPcap(spark, fixPcap, climit = Some(4)).count() === 4)
+  }
+
+  test("protocols:=['udp'] yields the 32-column golden schema") {
+    val df = Wireduck.readPcap(spark, fixPcap, protocols = Seq("udp"))
+    assert(df.columns.length === 32)
+    assert(df.columns.take(4) === Array(
+      "frame.time_epoch", "frame.number", "frame.len", "frame.protocols"))
+    assert(df.columns.last === "_ws.col.info")
+    assert(df.columns.contains("udplite.checksum_coverage.bad"))
+    // README DESCRIBE golden types
+    assert(df.schema("udp.srcport").dataType === LongType)
+    assert(df.schema("udp.time_relative").dataType === TimestampType)
+    assert(df.schema("udp.payload").dataType === StringType)
+    // all-TCP capture → udp fields NULL but frame fields populated
+    val r = df.orderBy(col("`frame.number`")).limit(1).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("udp.srcport")))
+    assert(r.getAs[Long]("frame.len") === 74L)
+  }
+
+  test("flagship aggregate matches README exactly: (429, 259678) / (56, 19702)") {
+    val df = Wireduck.readPcap(spark, fixPcap, protocols = Seq("ip", "tcp"))
+    val rows = df.groupBy(col("`tcp.srcport`"), col("`tcp.dstport`"))
+      .agg(count(lit(1)).as("n"), sum(col("`tcp.len`")).as("sum_len"))
+      .orderBy(desc("n"))
+      .collect()
+    assert(rows.length === 2)
+    assert((rows(0).getAs[Long]("tcp.srcport"), rows(0).getAs[Long]("tcp.dstport"),
+      rows(0).getAs[Long]("n"), rows(0).getAs[Long]("sum_len")) === ((11001L, 53867L, 429L, 259678L)))
+    assert((rows(1).getAs[Long]("tcp.srcport"), rows(1).getAs[Long]("tcp.dstport"),
+      rows(1).getAs[Long]("n"), rows(1).getAs[Long]("sum_len")) === ((56L, 19702L)) ||
+      (rows(1).getAs[Long]("n"), rows(1).getAs[Long]("sum_len")) === ((56L, 19702L)))
+  }
+
+  test("column pruning reaches the scan") {
+    val df = Wireduck.readPcap(spark, fixPcap, protocols = Seq("ip", "tcp"))
+      .select(col("`tcp.srcport`"))
+    val scanLine = df.queryExecution.executedPlan.toString()
+    assert(scanLine.contains("columns=1"), s"expected pruned scan, got:\n$scanLine")
+  }
+
+  test("cfilter display-filter subset filters at the source") {
+    // 429 FIX-payload packets + 1 continuation segment = 430 with payload
+    val df = Wireduck.readPcap(spark, fixPcap, protocols = Seq("ip", "tcp"),
+      cfilter = Some("tcp.len > 0"))
+    assert(df.count() === 430)
+    val conj = Wireduck.readPcap(spark, fixPcap,
+      cfilter = Some("fix && tcp.srcport == 11001"))
+    assert(conj.count() > 0 && conj.count() < 429)
+  }
+
+  test("cfilter: fix presence") {
+    val n = Wireduck.readPcap(spark, fixPcap, cfilter = Some("fix")).count()
+    assert(n === 429)
+  }
+
+  test("glossary tables register and look like the reference DDL") {
+    graft.api.Wireduck.setup(spark)
+    val protos = spark.table("glossary_protocols")
+    assert(protos.columns === Array(
+      "full_name", "short_name", "filter_name", "can_enable", "is_displayed", "is_filterable"))
+    val fields = spark.table("glossary_fields")
+    assert(fields.columns === Array(
+      "field_name", "filter_name", "field_type", "protocol_filter_name",
+      "encoding", "bitmask", "description"))
+    assert(fields.filter("protocol_filter_name = 'udp'").count() === 27)
+    // filter_name UNIQUE invariant (reference :349)
+    assert(fields.count() === fields.select("filter_name").distinct().count())
+    assert(Glossary.init(spark).count() === 2)
+  }
+
+  test("unknown protocol silently yields only the 5 defaults (reference :71-76)") {
+    val df = Wireduck.readPcap(spark, fixPcap, protocols = Seq("nosuchproto"))
+    assert(df.columns.length === 5)
+  }
+
+  test("multi-file glob reads both copies (exceeds reference)") {
+    val dir = java.nio.file.Files.createTempDirectory("pcapglob")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(fixPcap), dir.resolve("a.pcap"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(fixPcap), dir.resolve("b.pcap"))
+    val df = Wireduck.readPcap(spark, dir.toString + "/*.pcap")
+    assert(df.count() === 970)
+    assert(df.rdd.getNumPartitions === 2)
+  }
+}
