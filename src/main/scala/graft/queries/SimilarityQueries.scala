@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.{GraftQuery, Tables}
+import graft.functions.Vectors
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exactness baseline, and an LSH-bucketed
+  * variant as the 100 TB scale path (bucket equi-join instead of cross
+  * join).
+  *
+  * Oracle strategy for float math: the brute-force query is generated as an
+  * UNROLLED left-associative sum over `element_at`/`[i]`, so Spark and
+  * DuckDB evaluate the identical IEEE-double operation sequence →
+  * bit-identical cosines (see RelationalQueries' determinism contract).
+  */
+object SimilarityQueries {
+
+  private val dim = 64
+
+  private def sparkDot(a: String, b: String): String =
+    (1 to dim).map(i =>
+      s"CAST(element_at($a, $i) AS DOUBLE) * CAST(element_at($b, $i) AS DOUBLE)")
+      .mkString(" + ")
+
+  private def duckDot(a: String, b: String): String =
+    (1 to dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+
+  /** Brute-force cosine top-k against the vec_id=0 query vector. */
+  val simAnnBrute = GraftQuery(
+    "sim_ann_brute",
+    (s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql(s"""
+        SELECT e.vec_id, e.label,
+               (${sparkDot("e.embedding", "q.qe")})
+                 / (SQRT(${sparkDot("e.embedding", "e.embedding")})
+                    * SQRT(${sparkDot("q.qe", "q.qe")})) AS cosine
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id
+        LIMIT 10""")
+    },
+    Some(s"""
+      SELECT e.vec_id, e.label,
+             (${duckDot("e.embedding", "q.qe")})
+               / (SQRT(${duckDot("e.embedding", "e.embedding")})
+                  * SQRT(${duckDot("q.qe", "q.qe")})) AS cosine
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+      ORDER BY cosine DESC, e.vec_id
+      LIMIT 10"""))
+
+  /** Scale path: 8-hyperplane LSH bucketing, then exact cosine only within
+    * the query's bucket. No oracle (bucket assignment is engine-side code);
+    * recall vs brute force is asserted in SimilaritySpec. */
+  val simAnnLsh = GraftQuery(
+    "sim_ann_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("bucket", Vectors.lshBucket($"embedding", 8))
+      val q = emb.filter($"vec_id" === 0)
+        .select($"embedding".as("qe"), $"bucket".as("qbucket"))
+      emb.join(broadcast(q), $"bucket" === $"qbucket")
+        .filter($"vec_id" =!= 0)
+        .select($"vec_id", $"label", Vectors.cosine($"embedding", $"qe").as("cosine"))
+        .orderBy($"cosine".desc, $"vec_id")
+        .limit(10)
+    })
+
+  /** Embedding-cosine near-duplicate pairs via shared LSH bucket (the
+    * candidate join is linear in bucket occupancy, not quadratic in rows). */
+  val ddEmbeddingNeardup = GraftQuery(
+    "dd_embedding_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("bucket", Vectors.lshBucket($"embedding", 6))
+        .select($"vec_id", $"embedding", $"bucket")
+      val a = emb.as("a"); val b = emb.as("b")
+      a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          Vectors.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+        .filter($"cosine" >= 0.95)
+        .orderBy($"vec_a", $"vec_b")
+    })
+
+  val all: Seq[GraftQuery] = Seq(simAnnBrute, simAnnLsh, ddEmbeddingNeardup)
+}

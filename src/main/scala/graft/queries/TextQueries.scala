@@ -1,0 +1,363 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.{GraftQuery, Tables}
+
+/** Text-analysis + document-dedup operators for training-data pipelines
+  * (driver-mandated extensions, SURVEY §7.6.5), over the `documents` table.
+  *
+  * Scale notes (100 TB target): every operator here is a pure
+  * per-row projection or a key-partitioned aggregate/join — no driver-side
+  * state, no cross-partition dependencies beyond standard shuffles.
+  * Shingle/minhash joins are banded (LSH) precisely so the candidate-pair
+  * space stays near-linear instead of quadratic.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ---------------------------------------------------------------------
+  // Token counting
+  // ---------------------------------------------------------------------
+
+  val txTokenCount = GraftQuery(
+    "tx_token_count",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .withColumn("tokens", split($"text", " "))
+        .select(
+          $"doc_id",
+          size($"tokens").cast(LongType).as("n_tokens"),
+          size(array_distinct($"tokens")).cast(LongType).as("n_distinct_tokens"),
+          length($"text").cast(LongType).as("n_chars_calc"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars_calc
+      FROM documents
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
+  // Quality scoring
+  // ---------------------------------------------------------------------
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val txQuality = GraftQuery(
+    "tx_quality_score",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .withColumn("tokens", split($"text", " "))
+        .withColumn("n_tokens", size($"tokens").cast(LongType))
+        .withColumn("n_stop",
+          expr(s"size(filter(tokens, w -> w IN ($stopList)))").cast(LongType))
+        .select(
+          $"doc_id",
+          $"n_tokens",
+          $"n_stop",
+          (($"n_chars" - ($"n_tokens" - 1)).cast(DoubleType) / $"n_tokens").as("avg_token_len"),
+          ($"n_stop".cast(DoubleType) / $"n_tokens").as("stop_ratio"),
+          when($"n_tokens" < 20, "too_short")
+            .when($"n_tokens" > 500, "too_long")
+            .when($"n_stop".cast(DoubleType) / $"n_tokens" > 0.4, "boilerplate")
+            .otherwise("ok").as("verdict"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, n_chars,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                    w -> w IN ($stopList))) AS BIGINT) AS n_stop
+        FROM documents)
+      SELECT doc_id, n_tokens, n_stop,
+             CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+             CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+             CASE WHEN n_tokens < 20 THEN 'too_short'
+                  WHEN n_tokens > 500 THEN 'too_long'
+                  WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.4 THEN 'boilerplate'
+                  ELSE 'ok' END AS verdict
+      FROM t
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
+  // Language identification (stopword-hit heuristic)
+  // ---------------------------------------------------------------------
+
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "es", "y", "que"),
+    "fr" -> Seq("le", "les", "est", "et", "dans"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo"))
+
+  val txLangId = GraftQuery(
+    "tx_langid",
+    (s, dir) => {
+      import s.implicits._
+      var df = docs(s, dir).withColumn("tokens", split($"text", " "))
+      for ((lang, words) <- langStops) {
+        val lst = words.map(w => s"'$w'").mkString(", ")
+        df = df.withColumn(s"score_$lang",
+          expr(s"size(filter(tokens, w -> w IN ($lst)))").cast(LongType))
+      }
+      val scores = langStops.map { case (l, _) => col(s"score_$l") }
+      val best = greatest(scores: _*)
+      var pred: Column = lit("und")
+      // reverse CASE order so earlier langs win ties, mirroring the SQL
+      for ((lang, _) <- langStops.reverse)
+        pred = when(col(s"score_$lang") === best && best > 0, lang).otherwise(pred)
+      df.select(($"doc_id" +: $"lang".as("labeled_lang") +: pred.as("predicted_lang") +:
+        langStops.map { case (l, _) => col(s"score_$l") }): _*)
+        .orderBy($"doc_id")
+    },
+    Some {
+      val scoreCols = langStops.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(LEN(LIST_FILTER(tokens, w -> w IN ($lst))) AS BIGINT) AS score_$lang"
+      }.mkString(",\n               ")
+      val best = "GREATEST(" + langStops.map("score_" + _._1).mkString(", ") + ")"
+      val cases = langStops.map { case (lang, _) =>
+        s"WHEN score_$lang = $best AND $best > 0 THEN '$lang'"
+      }.mkString("\n                  ")
+      s"""
+      WITH t AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS tokens FROM documents),
+      sc AS (SELECT doc_id, lang,
+               $scoreCols
+             FROM t)
+      SELECT doc_id, lang AS labeled_lang,
+             CASE $cases
+                  ELSE 'und' END AS predicted_lang,
+             ${langStops.map("score_" + _._1).mkString(", ")}
+      FROM sc
+      ORDER BY doc_id"""
+    })
+
+  // ---------------------------------------------------------------------
+  // Fingerprinting + exact dedup
+  // ---------------------------------------------------------------------
+
+  /** Order-insensitive content fingerprint (sorted-token md5). */
+  val txFingerprint = GraftQuery(
+    "tx_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id",
+          md5(concat_ws(" ", sort_array(split(lower($"text"), " ")))).as("fingerprint"),
+          md5($"text").as("exact_hash"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             MD5(ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(LOWER(text), ' ')), ' ')) AS fingerprint,
+             MD5(text) AS exact_hash
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** Exact dedup: hash-groupBy, keep lowest doc_id per content hash.
+    * At 100 TB this is one hash-partitioned shuffle on a 32-char key. */
+  val ddExact = GraftQuery(
+    "dd_exact_dedup",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .groupBy(md5($"text").as("content_hash"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select($"keep_id", $"n_copies")
+        .orderBy($"keep_id")
+    },
+    Some("""
+      SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY MD5(text)
+      ORDER BY keep_id"""))
+
+  // ---------------------------------------------------------------------
+  // N-gram Jaccard near-dup (5-token shingles, shared-shingle candidates)
+  // ---------------------------------------------------------------------
+
+  val ddNgramJaccard = GraftQuery(
+    "dd_ngram_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      val sh = docs(s, dir)
+        .withColumn("tokens", split($"text", " "))
+        .filter(size($"tokens") >= 5)
+        .select($"doc_id", explode(
+          expr("transform(sequence(1, size(tokens) - 4), i -> concat_ws(' ', slice(tokens, i, 5)))"))
+          .as("shingle"))
+        .distinct()
+      val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val pairs = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn("jaccard",
+          $"shared".cast(DoubleType) / ($"na" + $"nb" - $"shared").cast(DoubleType))
+        .filter($"jaccard" >= 0.2)
+        .select($"doc_a", $"doc_b", $"shared", $"na", $"nb", $"jaccard")
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, ARRAY_TO_STRING(tokens[i:i+4], ' ') AS shingle
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens FROM documents),
+             UNNEST(RANGE(1, LEN(tokens) - 3)) AS t(i)
+        WHERE LEN(tokens) >= 5),
+      cnt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, shared, ca.n_shingles AS na, cb.n_shingles AS nb,
+             CAST(shared AS DOUBLE) / CAST(ca.n_shingles + cb.n_shingles - shared AS DOUBLE) AS jaccard
+      FROM pairs
+      JOIN cnt ca ON ca.doc_id = doc_a
+      JOIN cnt cb ON cb.doc_id = doc_b
+      WHERE CAST(shared AS DOUBLE) / CAST(ca.n_shingles + cb.n_shingles - shared AS DOUBLE) >= 0.2
+      ORDER BY doc_a, doc_b"""))
+
+  // ---------------------------------------------------------------------
+  // MinHash signatures + LSH banding
+  // ---------------------------------------------------------------------
+
+  private val nHashes = 8
+
+  /** 8-permutation MinHash via seeded md5; min over hex strings is a
+    * legitimate uniform min-permutation and is engine-portable. */
+  val ddMinhashSig = GraftQuery(
+    "dd_minhash_sig",
+    (s, dir) => {
+      import s.implicits._
+      val sh = docs(s, dir)
+        .withColumn("tokens", split($"text", " "))
+        .filter(size($"tokens") >= 3)
+        .select($"doc_id", explode(
+          expr("transform(sequence(1, size(tokens) - 2), i -> concat_ws(' ', slice(tokens, i, 3)))"))
+          .as("shingle"))
+        .distinct()
+      val aggs = (0 until nHashes).map(h =>
+        min(md5(concat(lit(s"$h|"), col("shingle")))).as(s"mh$h"))
+      sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*).orderBy($"doc_id")
+    },
+    Some {
+      val aggs = (0 until nHashes)
+        .map(h => s"MIN(MD5('$h|' || shingle)) AS mh$h").mkString(",\n             ")
+      s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, ARRAY_TO_STRING(tokens[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens FROM documents),
+             UNNEST(RANGE(1, LEN(tokens) - 1)) AS t(i)
+        WHERE LEN(tokens) >= 3)
+      SELECT doc_id,
+             $aggs
+      FROM sh
+      GROUP BY doc_id
+      ORDER BY doc_id"""
+    })
+
+  /** LSH banding: 4 bands × 2 rows; docs sharing any band become candidate
+    * pairs. The band bucket-join is what keeps near-dup detection
+    * near-linear at scale (vs the quadratic all-pairs join). */
+  val ddMinhashLshPairs = GraftQuery(
+    "dd_minhash_lsh_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val sig = ddMinhashSig.fn(s, dir)
+      val bands = (0 until nHashes by 2).map { h =>
+        sig.select($"doc_id", lit(h / 2).as("band"),
+          concat(col(s"mh$h"), col(s"mh${h + 1}")).as("bucket"))
+      }.reduce(_ union _)
+      val a = bands.as("a"); val b = bands.as("b")
+      a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some {
+      val aggs = (0 until nHashes)
+        .map(h => s"MIN(MD5('$h|' || shingle)) AS mh$h").mkString(", ")
+      val bandSelects = (0 until nHashes by 2).map { h =>
+        s"SELECT doc_id, ${h / 2} AS band, mh$h || mh${h + 1} AS bucket FROM sig"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, ARRAY_TO_STRING(tokens[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens FROM documents),
+             UNNEST(RANGE(1, LEN(tokens) - 1)) AS t(i)
+        WHERE LEN(tokens) >= 3),
+      sig AS (SELECT doc_id, $aggs FROM sh GROUP BY doc_id),
+      bands AS (
+        $bandSelects)
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      ORDER BY doc_a, doc_b"""
+    })
+
+  // ---------------------------------------------------------------------
+  // SimHash (16-bit, exact-integer, engine-portable)
+  // ---------------------------------------------------------------------
+
+  /** Hex→int without engine-specific conversions: nibble =
+    * instr('0123456789abcdef', chr) - 1, identical in Spark and DuckDB. */
+  private def nibbleSql(c: String) = s"(INSTR('0123456789abcdef', $c) - 1)"
+
+  private def h16Sql(md5col: String) =
+    s"(${nibbleSql(s"SUBSTR($md5col, 1, 1)")} * 4096 + ${nibbleSql(s"SUBSTR($md5col, 2, 1)")} * 256 + " +
+      s"${nibbleSql(s"SUBSTR($md5col, 3, 1)")} * 16 + ${nibbleSql(s"SUBSTR($md5col, 4, 1)")})"
+
+  val ddSimhash = GraftQuery(
+    "dd_simhash",
+    (s, dir) => {
+      import s.implicits._
+      val tok = docs(s, dir)
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter($"w" =!= "")
+        .withColumn("h16", expr(h16Sql("md5(w)")))
+      val bitSums = (0 until 16).map(b =>
+        sum(expr(s"CASE WHEN (h16 div ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
+      val g = tok.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val sim = (0 until 16).map(b =>
+        expr(s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")).reduce(_ + _)
+      g.select($"doc_id", sim.cast(LongType).as("simhash16")).orderBy($"doc_id")
+    },
+    Some {
+      val h16 = h16Sql("MD5(w)")
+      val bitSums = (0 until 16)
+        .map(b => s"SUM(CASE WHEN (h16 // ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n               ")
+      val sim = (0 until 16).map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"""
+      WITH tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+      h AS (SELECT doc_id, $h16 AS h16 FROM tok WHERE w <> ''),
+      g AS (SELECT doc_id,
+               $bitSums
+            FROM h GROUP BY doc_id)
+      SELECT doc_id, CAST($sim AS BIGINT) AS simhash16
+      FROM g
+      ORDER BY doc_id"""
+    })
+
+  val all: Seq[GraftQuery] = Seq(
+    txTokenCount, txQuality, txLangId, txFingerprint,
+    ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash)
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+import graft.multimodal.Media
+import graft.queries.{MultimodalQueries, SimilarityQueries, TextQueries}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine helper: hand-checked values") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),   // identical → 1
+      (2L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)),   // orthogonal → 0
+      (3L, Array(1.0f, 1.0f), Array(-1.0f, -1.0f))) // opposite → -1
+      .toDF("id", "a", "b")
+      .select($"id", Vectors.cosine($"a", $"b").as("c"))
+      .orderBy($"id").collect()
+    assert(math.abs(df(0).getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(df(1).getDouble(1)) < 1e-12)
+    assert(math.abs(df(2).getDouble(1) + 1.0) < 1e-12)
+  }
+
+  test("brute-force ANN returns 10 ordered neighbors") {
+    val rows = SimilarityQueries.simAnnBrute.fn(spark, sfDir).collect()
+    assert(rows.length === 10)
+    val cosines = rows.map(_.getAs[Double]("cosine"))
+    assert(cosines.sameElements(cosines.sortBy(-_)))
+    assert(cosines.forall(c => c >= -1.0001 && c <= 1.0001))
+  }
+
+  test("LSH bucket is deterministic and bounded") {
+    import spark.implicits._
+    val emb = graft.api.Tables.load(spark, sfDir, "embeddings")
+      .withColumn("bucket", Vectors.lshBucket($"embedding", 8))
+    val b1 = emb.select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val b2 = emb.select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(b1 === b2)
+    assert(b1.values.forall(b => b >= 0 && b < 256))
+    // buckets actually partition the space (not everything in one bucket)
+    assert(b1.values.toSet.size > 4)
+  }
+
+  test("LSH ANN finds the query's bucket-mates including near-identical vectors") {
+    import spark.implicits._
+    // plant: vector 0 and a tiny perturbation must share a bucket
+    val base = graft.api.Tables.load(spark, sfDir, "embeddings")
+      .filter($"vec_id" === 0).select($"embedding").collect()(0)
+      .getSeq[Float](0).toArray
+    val perturbed = base.map(x => x + 1e-6f)
+    val planted = Seq((9999L, perturbed, 0)).toDF("vec_id", "embedding", "label")
+    val two = planted.union(
+      graft.api.Tables.load(spark, sfDir, "embeddings").filter($"vec_id" === 0)
+        .select($"vec_id", $"embedding", $"label"))
+    val buckets = two.withColumn("b", Vectors.lshBucket($"embedding", 8))
+      .select("b").collect().map(_.getInt(0))
+    assert(buckets(0) === buckets(1))
+  }
+
+  test("media pipeline: decode stub is deterministic, metadata plausible") {
+    val meta = MultimodalQueries.mmMediaMeta.fn(spark, sfDir).collect()
+    assert(meta.nonEmpty)
+    meta.foreach { r =>
+      assert(Set("image", "audio", "video").contains(r.getAs[String]("media_type")))
+      assert(r.getAs[Long]("width") >= 1 && r.getAs[Long]("width") <= 512)
+      assert(r.getAs[Long]("n_bytes") > 0)
+    }
+    val (w, h, d) = Media.decodeStub("hello".getBytes("UTF-8"))
+    assert((w, h, d) === Media.decodeStub("hello".getBytes("UTF-8")))
+  }
+
+  test("exact dedup groups duplicate texts") {
+    import spark.implicits._
+    // plant duplicates in a local frame and run the same plan shape
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "unique text here"))
+      .toDF("doc_id", "text")
+    val out = docs.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n"))).toSet
+    assert(out === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH surfaces a planted near-duplicate pair") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again and again"
+    val docs = Seq(
+      (1L, text),
+      (2L, text + " tail"), // near-dup: shares almost all 3-shingles
+      (3L, "completely different words that share nothing at all with others one two three"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("documents_planted")
+    // run the same shingle→minhash→band pipeline inline
+    val sh = docs.withColumn("tokens", split($"text", " "))
+      .select($"doc_id", explode(
+        expr("transform(sequence(1, size(tokens) - 2), i -> concat_ws(' ', slice(tokens, i, 3)))"))
+        .as("shingle")).distinct()
+    val aggs = (0 until 8).map(h => min(md5(concat(lit(s"$h|"), col("shingle")))).as(s"mh$h"))
+    val sig = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    val bands = (0 until 8 by 2).map { h =>
+      sig.select($"doc_id", lit(h / 2).as("band"), concat(col(s"mh$h"), col(s"mh${h + 1}")).as("bucket"))
+    }.reduce(_ union _)
+    val pairs = bands.as("a").join(bands.as("b"),
+      col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("text quality + langid + simhash run and agree on row counts") {
+    val n = graft.api.Tables.load(spark, sfDir, "documents").count()
+    assert(TextQueries.txQuality.fn(spark, sfDir).count() === n)
+    assert(TextQueries.txLangId.fn(spark, sfDir).count() === n)
+    assert(TextQueries.ddSimhash.fn(spark, sfDir).count() === n)
+  }
+}
