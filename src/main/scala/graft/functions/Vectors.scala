@@ -24,20 +24,24 @@ object Vectors {
     dot(a, b) / (norm(a) * norm(b))
 
   /** Deterministic pseudo-random ±1 hyperplane component for plane `j`,
-    * dimension `i` — derived from md5 so every executor agrees without any
-    * broadcast state. */
-  private def planeSign(j: Int, i: Column): Column =
-    when(conv(substring(md5(concat(lit(s"$j:"), i.cast("string"))), 1, 1), 16, 10)
-      .cast("int") % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+    * dimension `i` — md5-derived at PLAN time and embedded as an array
+    * literal, so executors do one multiply per element instead of one md5
+    * per element per row. */
+  private def planeSigns(j: Int, dim: Int): Array[Double] = {
+    val mdAlg = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).toArray.map { i =>
+      val hex = mdAlg.digest(s"$j:$i".getBytes("UTF-8"))
+      if (((hex(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+    }
+  }
 
   /** Random-hyperplane (SimHash-for-vectors) LSH bucket id: one bit per
     * hyperplane = sign of the projection. nPlanes ≤ 16 keeps bucket ids in
     * an int. Buckets co-locate similar vectors so candidate generation is a
     * bucket-equi-join (shuffle on bucket id) instead of a cross join. */
-  def lshBucket(emb: Column, nPlanes: Int): Column = {
+  def lshBucket(emb: Column, nPlanes: Int, dim: Int = 64): Column = {
     val bits = (0 until nPlanes).map { j =>
-      val proj = arraySum(zip_with(emb,
-        transform(sequence(lit(0), size(emb) - 1), i => planeSign(j, i)),
+      val proj = arraySum(zip_with(emb, typedLit(planeSigns(j, dim)),
         (x, s) => x.cast("double") * s))
       when(proj > 0, lit(1 << j)).otherwise(lit(0))
     }
