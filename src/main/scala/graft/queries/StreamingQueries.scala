@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.api.{GraftQuery, Tables}
+import graft.streaming.EventPipeline
+
+/** Streaming operators exercised through their batch twins (same code
+  * path — the transforms are input-agnostic; StreamingSpec drives them
+  * through MemoryStream/file streams with watermarks + state). */
+object StreamingQueries {
+
+  /** Stateful gap-sessionization (flatMapGroupsWithState). Batch mode
+    * emits every CLOSED session (each user's final, still-open session
+    * stays in state) — the oracle reproduces exactly that with SQL
+    * gaps-and-islands minus each user's last island. */
+  val stSessionize = GraftQuery(
+    "st_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      val events = Tables.load(s, dir, "events").as[EventPipeline.Event]
+      EventPipeline.sessionize(s, events, gapMinutes = 30)
+        .toDF()
+        .orderBy("user_id", "session_start")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      l AS (
+        SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM e),
+      f AS (
+        SELECT *, CASE WHEN prev IS NULL
+                         OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                       THEN 1 ELSE 0 END AS is_start
+        FROM l),
+      g AS (
+        SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+        FROM f),
+      s AS (
+        SELECT user_id, sess,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+        FROM g GROUP BY 1, 2),
+      mx AS (SELECT user_id, MAX(sess) AS last_sess FROM s GROUP BY 1)
+      SELECT s.user_id AS user_id, session_start, session_end, n_events, total_value
+      FROM s JOIN mx ON s.user_id = mx.user_id
+      WHERE sess <> last_sess
+      ORDER BY s.user_id, session_start"""))
+
+  val all: Seq[GraftQuery] = Seq(stSessionize)
+}
