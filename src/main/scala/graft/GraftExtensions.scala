@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, NamedArgumentExpression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.pcap.PcapDataSource
+
+/** Session extensions giving the reference's literal SQL surface
+  * (`SELECT * FROM read_pcap('f.pcap', …)`, reference registration
+  * `src/wireduck_extension.cpp:464-470`) on Spark, via a Catalyst
+  * table-function injection (SURVEY §4.3's optional quality-of-life item).
+  *
+  * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * or `builder.withExtensions(new GraftExtensions)`.
+  *
+  * Supported argument shapes (positional and named):
+  * {{{
+  *   SELECT * FROM read_pcap('/caps/fix.pcap')
+  *   SELECT * FROM read_pcap('/caps/fix.pcap', 'ip,tcp', 100, 'tcp.len > 0')
+  *   SELECT * FROM read_pcap('/caps/x*.pcap', protocols => 'ip,tcp', climit => 100)
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectTableFunction((
+      FunctionIdentifier("read_pcap"),
+      new ExpressionInfo(classOf[PcapDataSource].getName, "read_pcap"),
+      (args: Seq[Expression]) => ReadPcapTableFunction.plan(args)))
+  }
+}
+
+object ReadPcapTableFunction {
+  private def valueOf(e: Expression): String = e match {
+    case Literal(null, _) => null
+    case l: Literal       => l.value.toString
+    case other if other.foldable =>
+      val v = other.eval(null); if (v == null) null else v.toString
+    case other =>
+      throw new IllegalArgumentException(
+        s"read_pcap arguments must be literals, got: ${other.sql}")
+  }
+
+  /** Bind-time plan construction — the Spark analogue of the reference's
+    * `ReadPcapBind` (`:80-131`), minus its spawn-at-bind hazard: only the
+    * schema is resolved here; I/O starts in the partition readers. */
+  def plan(args: Seq[Expression]): LogicalPlan = {
+    var positional = Vector.empty[String]
+    var named = Map.empty[String, String]
+    args.foreach {
+      case NamedArgumentExpression(k, v) => named += (k.toLowerCase -> valueOf(v))
+      case e                             => positional :+= valueOf(e)
+    }
+    val opts = new java.util.HashMap[String, String]()
+    val path = named.getOrElse("path",
+      positional.headOption.getOrElse(
+        throw new IllegalArgumentException("read_pcap requires a path argument")))
+    opts.put("path", path)
+    if (positional.size > 1) opts.put("protocols", positional(1))
+    if (positional.size > 2) opts.put("climit", positional(2))
+    if (positional.size > 3) opts.put("cfilter", positional(3))
+    Seq("protocols", "climit", "cfilter", "compat", "backend")
+      .foreach(k => named.get(k).foreach(opts.put(k, _)))
+
+    val cis = new CaseInsensitiveStringMap(opts)
+    val provider = new PcapDataSource
+    val table = provider.getTable(provider.inferSchema(cis), Array.empty, opts)
+    DataSourceV2Relation.create(table, None, None, cis)
+  }
+}

@@ -77,18 +77,22 @@ object PcapFormat {
     recordsAfterHeader(din, header, maxPackets, firstNumber = 1L)
   }
 
+  /** @param maxBytes stop after consuming this many record bytes (16-byte
+    *                  header + payload each) — the intra-file split bound */
   def recordsAfterHeader(
       din: DataInputStream,
       header: Header,
       maxPackets: Long,
-      firstNumber: Long): Iterator[Record] =
+      firstNumber: Long,
+      maxBytes: Long = Long.MaxValue): Iterator[Record] =
     new Iterator[Record] {
       private var nextRec: Record = _
       private var done = false
       private var n = firstNumber - 1
+      private var consumed = 0L
 
       private def advance(): Unit = {
-        if (n - firstNumber + 1 >= maxPackets) { done = true; return }
+        if (n - firstNumber + 1 >= maxPackets || consumed >= maxBytes) { done = true; return }
         val rh = new Array[Byte](16)
         var read = 0
         try {
@@ -114,6 +118,7 @@ object PcapFormat {
           if (header.nanos) sec * 1000000L + frac / 1000L
           else sec * 1000000L + frac
         n += 1
+        consumed += 16L + incl
         nextRec = Record(n, micros, incl, orig, data)
       }
 

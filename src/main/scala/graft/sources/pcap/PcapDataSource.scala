@@ -13,7 +13,7 @@ import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.pcap.Glossary
+import graft.pcap.{Glossary, PcapIndex}
 
 /** `spark.read.format("pcap")` — the Spark-native realization of the
   * reference's `read_pcap` table function (reference
@@ -157,18 +157,47 @@ final class PcapScan(
       util.OptionalLong.of(math.max(1L, totalBytes / 600))
   }
 
+  /** Parse "64m"/"1g"/"1048576" split sizes. */
+  private def splitBytes: Option[Long] =
+    Option(options.get("split")).map { s =>
+      val t = s.trim.toLowerCase
+      val (num, mult) =
+        if (t.endsWith("k")) (t.dropRight(1), 1L << 10)
+        else if (t.endsWith("m")) (t.dropRight(1), 1L << 20)
+        else if (t.endsWith("g")) (t.dropRight(1), 1L << 30)
+        else (t, 1L)
+      num.toLong * mult
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val climit = Option(options.get("climit")).map(_.toLong).getOrElse(Long.MaxValue)
     val effLimit =
       if (limit >= 0) math.min(climit, limit.toLong) else climit
-    files.map(f => PcapInputPartition(f, effLimit): InputPartition).toArray
+    splitBytes match {
+      // Intra-file record-boundary splits (stateless-field scale path).
+      // climit keeps the reference's ordered single-pipe semantics, so it
+      // forces whole-file partitions (SURVEY §7.3).
+      case Some(target) if effLimit == Long.MaxValue =>
+        files.flatMap { f =>
+          PcapIndex.splits(f, target, conf).map(s =>
+            PcapInputPartition(f, Long.MaxValue, s.offset, s.length, s.firstNumber): InputPartition)
+        }.toArray
+      case _ =>
+        files.map(f => PcapInputPartition(f, effLimit): InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val compatStrict = options.getOrDefault("compat", "") == "strict"
     val cfilter = Option(options.get("cfilter")).filter(_.nonEmpty)
-    PcapReaderFactory(requiredSchema, compatStrict, cfilter, pushed)
+    val backend = options.getOrDefault("backend", "native")
+    PcapReaderFactory(requiredSchema, compatStrict, cfilter, pushed, backend)
   }
 }
 
-final case class PcapInputPartition(file: String, maxPackets: Long) extends InputPartition
+final case class PcapInputPartition(
+    file: String,
+    maxPackets: Long,
+    startOffset: Long = 24L,
+    byteLength: Long = Long.MaxValue,
+    firstNumber: Long = 1L) extends InputPartition

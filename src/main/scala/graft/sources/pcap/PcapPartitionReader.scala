@@ -24,31 +24,37 @@ final case class PcapReaderFactory(
     schema: StructType,
     compatStrict: Boolean,
     cfilter: Option[String],
-    pushed: Array[Filter])
+    pushed: Array[Filter],
+    backend: String = "native")
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PcapInputPartition]
-    new PcapPartitionReader(p.file, p.maxPackets, schema, compatStrict, cfilter, pushed)
+    if (backend == "tshark")
+      new TsharkPartitionReader(p.file, p.maxPackets, schema, compatStrict, cfilter)
+    else
+      new PcapPartitionReader(p, schema, compatStrict, cfilter, pushed)
   }
 }
 
 final class PcapPartitionReader(
-    file: String,
-    maxPackets: Long,
+    partition: PcapInputPartition,
     schema: StructType,
     compatStrict: Boolean,
     cfilter: Option[String],
     pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
 
-  private val path = new Path(file)
-  private val in = {
-    val fs = path.getFileSystem(new Configuration())
-    new DataInputStream(new java.io.BufferedInputStream(fs.open(path), 1 << 20))
+  private val path = new Path(partition.file)
+  private val raw = path.getFileSystem(new Configuration()).open(path)
+  private val header = {
+    // global header always lives at offset 0, even for split partitions
+    val h = PcapFormat.readHeader(new DataInputStream(raw))
+    if (partition.startOffset != 24L) raw.seek(partition.startOffset)
+    h
   }
-  private val header = PcapFormat.readHeader(in)
-  private val records =
-    PcapFormat.recordsAfterHeader(in, header, maxPackets, firstNumber = 1L)
+  private val in = new DataInputStream(new java.io.BufferedInputStream(raw, 1 << 20))
+  private val records = PcapFormat.recordsAfterHeader(
+    in, header, partition.maxPackets, partition.firstNumber, partition.byteLength)
   private val tracker = new Dissect.Tracker
   private val displayFilter = cfilter.map(DisplayFilter.parse)
 

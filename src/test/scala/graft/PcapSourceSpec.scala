@@ -136,4 +136,36 @@ class PcapSourceSpec extends SparkSpec {
     assert(df.count() === 970)
     assert(df.rdd.getNumPartitions === 2)
   }
+
+  test("SQL table function: SELECT * FROM read_pcap(...)") {
+    val n = spark.sql(s"SELECT count(*) AS n FROM read_pcap('$fixPcap')")
+      .collect()(0).getAs[Long]("n")
+    assert(n === 485)
+    val agg = spark.sql(
+      s"""SELECT count(*) AS n, sum(`tcp.len`) AS bytes, `tcp.srcport`, `tcp.dstport`
+          FROM read_pcap('$fixPcap', 'ip,tcp')
+          GROUP BY `tcp.srcport`, `tcp.dstport` ORDER BY n DESC""").collect()
+    assert(agg(0).getAs[Long]("n") === 429 && agg(0).getAs[Long]("bytes") === 259678)
+    val named = spark.sql(
+      s"SELECT count(*) AS n FROM read_pcap('$fixPcap', climit => 4)")
+      .collect()(0).getAs[Long]("n")
+    assert(named === 4)
+  }
+
+  test("intra-file split: partitions at record boundaries, stateless fields intact") {
+    val df = spark.read.format("pcap").option("split", "64k").load(fixPcap)
+    assert(df.rdd.getNumPartitions > 1)
+    assert(df.count() === 485)
+    // frame numbering stays globally correct across splits
+    import org.apache.spark.sql.functions._
+    val r = df.agg(min(col("`frame.number`")), max(col("`frame.number`")),
+      countDistinct(col("`frame.number`")), sum(col("`frame.len`"))).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((1L, 485L, 485L, 311418L)))
+    // climit forces whole-file partitions (ordered-cap semantics)
+    val capped = spark.read.format("pcap").option("split", "64k")
+      .option("climit", "4").load(fixPcap)
+    assert(capped.rdd.getNumPartitions === 1)
+    assert(capped.count() === 4)
+  }
 }

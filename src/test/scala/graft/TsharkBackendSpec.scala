@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.pcap.TsharkPartitionReader
+
+/** The tshark backend's line/cell semantics (reference SURVEY §1.2),
+  * testable without a tshark binary. */
+class TsharkBackendSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("n", LongType), StructField("d", DoubleType),
+    StructField("b", BooleanType), StructField("t", TimestampType),
+    StructField("s", StringType)))
+
+  test("reference cell semantics: typed parse, empty->NULL, bad->NULL") {
+    val row = TsharkPartitionReader.parseLine(
+      "42\t3.5\t1\t1448733575.877130\thello", schema, compatStrict = false)
+    assert(row.getLong(0) === 42L)
+    assert(row.getDouble(1) === 3.5)
+    assert(row.getBoolean(2) === true)
+    assert(row.getLong(3) === 1448733575877130L)
+    assert(row.getUTF8String(4).toString === "hello")
+
+    val nulls = TsharkPartitionReader.parseLine("\t\t\t\t", schema, compatStrict = false)
+    (0 until 5).foreach(i => assert(nulls.isNullAt(i), s"col $i"))
+
+    val bad = TsharkPartitionReader.parseLine(
+      "abc\txyz\t0\tnope\tok", schema, compatStrict = false)
+    assert(bad.isNullAt(0) && bad.isNullAt(1))
+    assert(bad.getBoolean(2) === false) // anything non-"1" is false (:214)
+    assert(bad.isNullAt(3))
+  }
+
+  test("stoll prefix semantics and compat truncation") {
+    val row = TsharkPartitionReader.parseLine(
+      "123abc\t\t\t1448733575.877130\t", schema, compatStrict = true)
+    assert(row.getLong(0) === 123L) // std::stoll prefix parse
+    assert(row.getLong(3) === 1448733575000000L) // FromEpochSeconds truncation (:217)
+  }
+
+  test("missing trailing fields pad with NULL (fixes reference UB)") {
+    val row = TsharkPartitionReader.parseLine("7", schema, compatStrict = false)
+    assert(row.getLong(0) === 7L)
+    (1 until 5).foreach(i => assert(row.isNullAt(i)))
+  }
+
+  test("backend=tshark without tshark fails with an explanatory error") {
+    val e = intercept[IllegalArgumentException] {
+      new TsharkPartitionReader("/tmp/x.pcap", Long.MaxValue, schema, false, None)
+    }
+    assert(e.getMessage.contains("tshark"))
+  }
+}
