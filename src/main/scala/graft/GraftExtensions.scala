@@ -30,6 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("read_pcap"),
       new ExpressionInfo(classOf[PcapDataSource].getName, "read_pcap"),
       (args: Seq[Expression]) => ReadPcapTableFunction.plan(args)))
+    ext.injectFunction((
+      FunctionIdentifier("hamming_distance"),
+      new ExpressionInfo(classOf[graft.functions.HammingDistance].getName, "hamming_distance"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "hamming_distance(a, b) takes exactly 2 arguments")
+        graft.functions.HammingDistance(args.head, args(1))
+      }))
   }
 }
 

@@ -728,6 +728,43 @@ object RelationalQueries {
       GROUP BY 1, 2
       ORDER BY hour_start, event_type"""))
 
+  /** JSON extraction over the events props column. */
+  val q33Json = GraftQuery(
+    "q33_json_funcs",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select(
+          $"event_id",
+          get_json_object($"props", "$.k").cast(LongType).as("k_value"),
+          (get_json_object($"props", "$.k").isNotNull).as("has_k"),
+          get_json_object($"props", "$.missing").as("missing_field"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id,
+             CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_value,
+             JSON_EXTRACT_STRING(props, '$.k') IS NOT NULL AS has_k,
+             JSON_EXTRACT_STRING(props, '$.missing') AS missing_field
+      FROM events
+      ORDER BY event_id"""))
+
+  /** HyperLogLog approximate distinct (Spark-side sketch; no oracle —
+    * DuckDB's approx_distinct uses a different sketch, so the driver
+    * records the rows-only check and the exactness bound is asserted in
+    * RelationalQueriesSpec against true distinct counts). */
+  val q34ApproxDistinct = GraftQuery(
+    "q34_approx_distinct",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+          countDistinct($"l_orderkey").as("exact_orders"))
+        .orderBy($"l_returnflag")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -736,5 +773,5 @@ object RelationalQueries {
     q16SortLimit, q17Distinct, q18Union, q19IntersectExcept, q20Rollup, q21Cube,
     q22InSubquery, q23ScalarSubquery, q24CorrelatedExists,
     q25StringFuncs, q26DateFuncs, q27MathFuncs, q28Regex, q29CaseAgg,
-    q30Pivot, q31Explode, q32TimeBucket)
+    q30Pivot, q31Explode, q32TimeBucket, q33Json, q34ApproxDistinct)
 }

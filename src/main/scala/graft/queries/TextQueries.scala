@@ -357,7 +357,46 @@ object TextQueries {
       ORDER BY doc_id"""
     })
 
+  /** SimHash near-dup pairing on the codegen'd native
+    * [[graft.functions.HammingDistance]] expression (popcount-xor inside
+    * whole-stage codegen — the "custom Expression beats UDF" path). */
+  val ddSimhashPairs = GraftQuery(
+    "dd_simhash_pairs",
+    (s, dir) => {
+      import s.implicits._
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "hamming_distance",
+        exprs => graft.functions.HammingDistance(exprs.head, exprs(1)),
+        "built-in")
+      val sim = ddSimhash.fn(s, dir)
+      val a = sim.select($"doc_id".as("doc_a"), $"simhash16".as("sim_a"))
+      val b = sim.select($"doc_id".as("doc_b"), $"simhash16".as("sim_b"))
+      a.join(b, $"doc_a" < $"doc_b")
+        .withColumn("dist", expr("hamming_distance(sim_a, sim_b)"))
+        .filter($"dist" <= 3)
+        .select($"doc_a", $"doc_b", $"dist")
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some {
+      val h16 = h16Sql("MD5(w)")
+      val bitSums = (0 until 16)
+        .map(b => s"SUM(CASE WHEN (h16 // ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(", ")
+      val simExpr = (0 until 16).map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"""
+      WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+      h AS (SELECT doc_id, $h16 AS h16 FROM tok WHERE w <> ''),
+      g AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+      sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash16 FROM g)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(BIT_COUNT(XOR(a.simhash16, b.simhash16)) AS BIGINT) AS dist
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      WHERE BIT_COUNT(XOR(a.simhash16, b.simhash16)) <= 3
+      ORDER BY doc_a, doc_b"""
+    })
+
   val all: Seq[GraftQuery] = Seq(
     txTokenCount, txQuality, txLangId, txFingerprint,
-    ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash)
+    ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
+    ddSimhashPairs)
 }

