@@ -60,7 +60,7 @@ final class PcapTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def name(): String = s"pcap(${PcapTable.paths(options).mkString(",")})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String]()
     merged.putAll(options)
@@ -142,6 +142,9 @@ final class PcapScan(
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new PcapMicroBatchStream(requiredSchema, options)
   override def description(): String =
     s"PcapScan(files=${files.size}, columns=${requiredSchema.size}, " +
       s"climit=${options.getOrDefault("climit", "-")}, cfilter=${options.getOrDefault("cfilter", "-")})"

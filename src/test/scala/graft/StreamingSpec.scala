@@ -86,4 +86,24 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.table("fileagg").collect()
     assert(rows.map(_.getAs[Long]("n")).sum === 2)
   }
+
+  test("streaming pcap directory source: new capture files become micro-batches") {
+    val fixPcap = getClass.getResource("/fix.pcap").getPath
+    val dir = java.nio.file.Files.createTempDirectory("pcapstream")
+    val ck = java.nio.file.Files.createTempDirectory("pcapck").toString
+    java.nio.file.Files.copy(java.nio.file.Paths.get(fixPcap), dir.resolve("cap-001.pcap"))
+
+    val stream = spark.readStream.format("pcap").load(dir.toString)
+    val q = stream.groupBy().count()
+      .writeStream.format("memory").queryName("pcapcnt")
+      .option("checkpointLocation", ck).outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("pcapcnt").collect()(0).getLong(0) === 485L)
+      // a second rotated capture file lands -> next micro-batch picks it up
+      java.nio.file.Files.copy(java.nio.file.Paths.get(fixPcap), dir.resolve("cap-002.pcap"))
+      q.processAllAvailable()
+      assert(spark.table("pcapcnt").collect()(0).getLong(0) === 970L)
+    } finally q.stop()
+  }
 }
