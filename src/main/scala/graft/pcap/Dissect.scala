@@ -24,6 +24,14 @@ object Dissect {
       protocols: String,
       info: String)
 
+  /** Column-pruning hints from the scan: payload hex-encoding and info
+    * rendering are the two per-packet costs worth gating (a jumbo frame's
+    * payload hex string is ~48 KB); everything else is cheap fixed work.
+    * `all` keeps full fidelity for cfilter/pushed-filter evaluation paths
+    * that might reference them. */
+  final case class Wanted(payloads: Boolean = true, info: Boolean = true)
+  val WantAll: Wanted = Wanted()
+
   // --- conversation state ------------------------------------------------
 
   private final case class ConvKey(a: String, ap: Int, b: String, bp: Int)
@@ -158,7 +166,8 @@ object Dissect {
     * on malformed packets: fields stop populating at the parse horizon
     * (mirrors the reference's NULL-on-parse-failure semantics, SURVEY §1.2).
     */
-  def dissect(rec: PcapFormat.Record, linktype: Int, tracker: Tracker): Dissected = {
+  def dissect(rec: PcapFormat.Record, linktype: Int, tracker: Tracker,
+      wanted: Wanted = WantAll): Dissected = {
     val v = mutable.HashMap.empty[String, Any]
     val protos = mutable.ArrayBuffer.empty[String]
     var info = ""
@@ -188,11 +197,11 @@ object Dissect {
             v("eth.type") = etherType.toLong
             protos += "ethertype"
             etherType match {
-              case 0x0800 => dissectIpv4(d, 14, v, protos, tracker) match {
+              case 0x0800 => dissectIpv4(d, 14, v, protos, tracker, wanted) match {
                 case s if s != null => info = s
                 case _ =>
               }
-              case 0x86dd => dissectIpv6(d, 14, v, protos, tracker) match {
+              case 0x86dd => dissectIpv6(d, 14, v, protos, tracker, wanted) match {
                 case s if s != null => info = s
                 case _ =>
               }
@@ -205,9 +214,9 @@ object Dissect {
           }
         case 101 => // raw IP
           if (d.length >= 1 && (d(0) >> 4) == 4) {
-            val s = dissectIpv4(d, 0, v, protos, tracker); if (s != null) info = s
+            val s = dissectIpv4(d, 0, v, protos, tracker, wanted); if (s != null) info = s
           } else if (d.length >= 1 && ((d(0) >> 4) & 0xf) == 6) {
-            val s = dissectIpv6(d, 0, v, protos, tracker); if (s != null) info = s
+            val s = dissectIpv6(d, 0, v, protos, tracker, wanted); if (s != null) info = s
           }
         case _ =>
           info = s"Linktype $linktype"
@@ -224,7 +233,8 @@ object Dissect {
       d: Array[Byte], off: Int,
       v: mutable.HashMap[String, Any],
       protos: mutable.ArrayBuffer[String],
-      tracker: Tracker): String = {
+      tracker: Tracker,
+      wanted: Wanted): String = {
     if (d.length < off + 20) return null
     protos += "ip"
     val ihl = (d(off) & 0xf) * 4
@@ -250,8 +260,8 @@ object Dissect {
     // payload bounded by IP total length (ethernet padding must not leak in)
     val ipEnd = math.min(off + totalLen, d.length)
     proto match {
-      case 6  => dissectTcp(d, next, ipEnd, src, dst, v, protos, tracker)
-      case 17 => dissectUdp(d, next, ipEnd, src, dst, v, protos, tracker)
+      case 6  => dissectTcp(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
+      case 17 => dissectUdp(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
       case 1  => protos += "icmp"; "ICMP"
       case _  => null
     }
@@ -261,7 +271,8 @@ object Dissect {
       d: Array[Byte], off: Int,
       v: mutable.HashMap[String, Any],
       protos: mutable.ArrayBuffer[String],
-      tracker: Tracker): String = {
+      tracker: Tracker,
+      wanted: Wanted): String = {
     if (d.length < off + 40) return null
     protos += "ipv6"
     val payLen = u16(d, off + 4)
@@ -277,8 +288,8 @@ object Dissect {
     val next = off + 40
     val end = math.min(next + payLen, d.length)
     nxt match {
-      case 6  => dissectTcp(d, next, end, src, dst, v, protos, tracker)
-      case 17 => dissectUdp(d, next, end, src, dst, v, protos, tracker)
+      case 6  => dissectTcp(d, next, end, src, dst, v, protos, tracker, wanted)
+      case 17 => dissectUdp(d, next, end, src, dst, v, protos, tracker, wanted)
       case _  => null
     }
   }
@@ -288,7 +299,8 @@ object Dissect {
       srcIp: String, dstIp: String,
       v: mutable.HashMap[String, Any],
       protos: mutable.ArrayBuffer[String],
-      tracker: Tracker): String = {
+      tracker: Tracker,
+      wanted: Wanted): String = {
     if (d.length < off + 20) return null
     protos += "tcp"
     val sp = u16(d, off)
@@ -385,7 +397,8 @@ object Dissect {
     if (mss >= 0) v("tcp.options.mss_val") = mss
     if (wsShift >= 0) v("tcp.options.wscale.shift") = wsShift.toLong
     if (tsVal >= 0) { v("tcp.options.timestamp.tsval") = tsVal; v("tcp.options.timestamp.tsecr") = tsEcr }
-    if (segLen > 0) v("tcp.payload") = hexBytes(d, off + hdrLen, math.min(segLen, d.length - off - hdrLen))
+    if (wanted.payloads && segLen > 0)
+      v("tcp.payload") = hexBytes(d, off + hdrLen, math.min(segLen, d.length - off - hdrLen))
 
     // FIX layer
     var fixInfo: String = null
@@ -404,6 +417,7 @@ object Dissect {
     }
 
     if (fixInfo != null) fixInfo
+    else if (!wanted.info) ""
     else {
       // Wireshark-style TCP info column
       val flagNames = mutable.ArrayBuffer.empty[String]
@@ -430,7 +444,8 @@ object Dissect {
       srcIp: String, dstIp: String,
       v: mutable.HashMap[String, Any],
       protos: mutable.ArrayBuffer[String],
-      tracker: Tracker): String = {
+      tracker: Tracker,
+      wanted: Wanted): String = {
     if (d.length < off + 8) return null
     protos += "udp"
     val sp = u16(d, off)
@@ -446,8 +461,8 @@ object Dissect {
     v("udp.length") = len.toLong
     v("udp.checksum") = u16(d, off + 6).toLong
     v("udp.pdu.size") = payLen.toLong
-    if (payLen > 0 && off + 8 < d.length)
+    if (wanted.payloads && payLen > 0 && off + 8 < d.length)
       v("udp.payload") = hexBytes(d, off + 8, math.min(payLen, d.length - off - 8))
-    s"$sp → $dp Len=$payLen"
+    if (wanted.info) s"$sp → $dp Len=$payLen" else ""
   }
 }

@@ -368,10 +368,22 @@ object TextQueries {
         "hamming_distance",
         exprs => graft.functions.HammingDistance(exprs.head, exprs(1)),
         "built-in")
-      val sim = ddSimhash.fn(s, dir)
-      val a = sim.select($"doc_id".as("doc_a"), $"simhash16".as("sim_a"))
-      val b = sim.select($"doc_id".as("doc_b"), $"simhash16".as("sim_b"))
-      a.join(b, $"doc_a" < $"doc_b")
+      // Pigeonhole blocking (exact, not approximate): a pair at hamming
+      // distance ≤ 3 differs in ≤ 3 of the 4 nibble blocks, so it MUST
+      // agree on at least one (block index, nibble value) key. The
+      // candidate join is a bucket equi-join instead of an all-pairs
+      // theta join — the structure that survives 100 TB.
+      val sim = ddSimhash.fn(s, dir).cache()
+      val blocks = sim
+        .select($"doc_id", $"simhash16",
+          explode(expr("sequence(0, 3)")).as("b"))
+        .withColumn("nib", expr("shiftright(simhash16, 4 * b) % 16"))
+      val a = blocks.select($"b", $"nib", $"doc_id".as("doc_a"), $"simhash16".as("sim_a"))
+      val bb = blocks.select($"b", $"nib", $"doc_id".as("doc_b"), $"simhash16".as("sim_b"))
+      a.join(bb, Seq("b", "nib"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b", $"sim_a", $"sim_b")
+        .distinct()
         .withColumn("dist", expr("hamming_distance(sim_a, sim_b)"))
         .filter($"dist" <= 3)
         .select($"doc_a", $"doc_b", $"dist")

@@ -58,6 +58,16 @@ final class PcapPartitionReader(
   private val tracker = new Dissect.Tracker
   private val displayFilter = cfilter.map(DisplayFilter.parse)
 
+  /** Dissection pruning: skip payload hex-encoding / info rendering unless
+    * the pruned schema or a filter actually references them. */
+  private val wanted = {
+    val referenced = schema.fieldNames.toSet ++
+      pushed.flatMap(_.references) ++ cfilter.toSeq
+    Dissect.Wanted(
+      payloads = referenced.exists(_.contains("payload")),
+      info = referenced.exists(_.contains("_ws.col.info")))
+  }
+
   private val fieldNames = schema.fields.map(_.name)
   private val fieldTypes = schema.fields.map(_.dataType)
   private var current: InternalRow = _
@@ -87,7 +97,7 @@ final class PcapPartitionReader(
   override def next(): Boolean = {
     while (records.hasNext) {
       val rec = records.next()
-      val d = Dissect.dissect(rec, header.linktype, tracker)
+      val d = Dissect.dissect(rec, header.linktype, tracker, wanted)
       val passesDisplay = displayFilter.forall(_.eval(d))
       val passesPushed = pushed.forall(f => PcapFilterEval.eval(f, d, compatStrict))
       if (passesDisplay && passesPushed) {

@@ -1,0 +1,71 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pcap.PcapFormat
+
+/** ScalaCheck round-trip properties for the container parser (SURVEY §5
+  * test plan: "scalacheck property tests for the pcap record parser"). */
+class PcapPropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  private case class GenRecord(sec: Long, frac: Long, payload: Array[Byte])
+
+  private val recordGen: Gen[GenRecord] = for {
+    sec <- Gen.chooseNum(0L, 4000000000L)
+    frac <- Gen.chooseNum(0L, 999999L)
+    n <- Gen.chooseNum(0, 512)
+    bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))
+  } yield GenRecord(sec, frac, bytes)
+
+  private def serialize(le: Boolean, nanos: Boolean, recs: Seq[GenRecord]): Array[Byte] = {
+    val order = if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+    val head = ByteBuffer.allocate(24).order(order)
+    head.putInt(if (nanos) 0xa1b23c4d else 0xa1b2c3d4)
+    head.putShort(2.toShort).putShort(4.toShort)
+    head.putInt(0).putInt(0).putInt(262144).putInt(1)
+    val body = recs.flatMap { r =>
+      val b = ByteBuffer.allocate(16 + r.payload.length).order(order)
+      val frac = if (nanos) r.frac * 1000 else r.frac
+      b.putInt(r.sec.toInt).putInt(frac.toInt)
+        .putInt(r.payload.length).putInt(r.payload.length)
+      b.put(r.payload)
+      b.array().toSeq
+    }
+    head.array() ++ body
+  }
+
+  test("round-trip: any record list survives serialize→parse in all 4 magics") {
+    check(Prop.forAll(Gen.listOfN(8, recordGen), Gen.oneOf(true, false), Gen.oneOf(true, false)) {
+      (recs: List[GenRecord], le: Boolean, nanos: Boolean) =>
+        val parsed = PcapFormat.records(
+          new ByteArrayInputStream(serialize(le, nanos, recs))).toList
+        parsed.length == recs.length &&
+          parsed.zip(recs).forall { case (p, g) =>
+            p.tsMicros == g.sec * 1000000L + g.frac &&
+              p.origLen == g.payload.length &&
+              p.data.sameElements(g.payload) &&
+              p.number == parsed.indexOf(p) + 1
+          }
+    })
+  }
+
+  test("truncation at any byte boundary never throws and never fabricates records") {
+    check(Prop.forAll(Gen.listOfN(4, recordGen), Gen.chooseNum(24, 2000)) {
+      (recs: List[GenRecord], cut: Int) =>
+        val bytes = serialize(le = true, nanos = false, recs)
+        val truncated = bytes.take(math.min(cut, bytes.length))
+        val parsed = PcapFormat.records(new ByteArrayInputStream(truncated)).toList
+        parsed.length <= recs.length &&
+          parsed.zip(recs).forall { case (p, g) => p.data.sameElements(g.payload) }
+    })
+  }
+}
