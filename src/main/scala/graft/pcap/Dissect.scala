@@ -20,7 +20,7 @@ object Dissect {
 
   /** All extracted fields for one packet, keyed by tshark filter_name. */
   final case class Dissected(
-      values: Map[String, Any],
+      values: scala.collection.Map[String, Any], // the reader's own mutable map — never copied (hot path)
       protocols: String,
       info: String)
 
@@ -225,7 +225,7 @@ object Dissect {
       case _: ArrayIndexOutOfBoundsException => // truncated capture: keep what we have
     }
 
-    Dissected(v.toMap, protos.mkString(":"), info)
+    Dissected(v, protos.mkString(":"), info)
   }
 
   /** @return info string or null when the inner layer didn't produce one */

@@ -765,6 +765,46 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     })
 
+  /** Skew-resilient salted aggregation — identical results to the direct
+    * groupBy (the oracle is the plain SQL), different shuffle shape. */
+  val q35SaltedAgg = GraftQuery(
+    "q35_salted_agg",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.Skew
+        .saltedSumCount(t(s, dir, "events"), $"user_id", $"value", salts = 16)
+        .withColumnRenamed("key", "user_id")
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  /** Typed Aggregator UDAF: bounded top-k state per group. */
+  val q36TopkAggregator = GraftQuery(
+    "q36_topk_aggregator",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_custkey", $"o_totalprice", $"o_orderkey")
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(new graft.functions.TopKAggregator(3).toColumn.name("top_prices"))
+        .toDF("o_custkey", "top_prices")
+        .orderBy($"o_custkey")
+    },
+    Some("""
+      SELECT o_custkey,
+             (LIST(o_totalprice ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS top_prices
+      FROM orders
+      GROUP BY o_custkey
+      ORDER BY o_custkey"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -773,5 +813,6 @@ object RelationalQueries {
     q16SortLimit, q17Distinct, q18Union, q19IntersectExcept, q20Rollup, q21Cube,
     q22InSubquery, q23ScalarSubquery, q24CorrelatedExists,
     q25StringFuncs, q26DateFuncs, q27MathFuncs, q28Regex, q29CaseAgg,
-    q30Pivot, q31Explode, q32TimeBucket, q33Json, q34ApproxDistinct)
+    q30Pivot, q31Explode, q32TimeBucket, q33Json, q34ApproxDistinct,
+    q35SaltedAgg, q36TopkAggregator)
 }
