@@ -29,7 +29,10 @@ object Dissect {
     * payload hex string is ~48 KB); everything else is cheap fixed work.
     * `all` keeps full fidelity for cfilter/pushed-filter evaluation paths
     * that might reference them. */
-  final case class Wanted(payloads: Boolean = true, info: Boolean = true)
+  final case class Wanted(
+      payloads: Boolean = true,
+      info: Boolean = true,
+      layers: Boolean = true) // false => frame-header fields only, skip eth/ip/tcp/udp entirely
   val WantAll: Wanted = Wanted()
 
   // --- conversation state ------------------------------------------------
@@ -187,6 +190,7 @@ object Dissect {
 
     val d = rec.data
     try {
+      if (!wanted.layers) return Dissected(v, "", "")
       linktype match {
         case 1 => // Ethernet
           protos += "eth"

@@ -63,9 +63,12 @@ final class PcapPartitionReader(
   private val wanted = {
     val referenced = schema.fieldNames.toSet ++
       pushed.flatMap(_.references) ++ cfilter.toSeq
+    val frameOnly = Set("frame.number", "frame.time_epoch", "frame.len",
+      "frame.cap_len", "frame.time_relative", "frame.time_delta")
     Dissect.Wanted(
       payloads = referenced.exists(_.contains("payload")),
-      info = referenced.exists(_.contains("_ws.col.info")))
+      info = referenced.exists(_.contains("_ws.col.info")),
+      layers = referenced.exists(r => !frameOnly.contains(r)))
   }
 
   private val fieldNames = schema.fields.map(_.name)
