@@ -91,5 +91,20 @@ object SimilarityQueries {
         .orderBy($"vec_a", $"vec_b")
     })
 
-  val all: Seq[GraftQuery] = Seq(simAnnBrute, simAnnLsh, ddEmbeddingNeardup)
+  /** IVF scale path: k-means coarse quantizer, probe 4 of 16 cells. No
+    * oracle (k-means is engine-side); exactness anchored in
+    * SimilaritySpec by probing all cells and matching brute force. */
+  val simAnnIvf = GraftQuery(
+    "sim_ann_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val index = graft.functions.Ivf.build(s, emb, k = 16)
+      val query = emb.filter($"vec_id" === 0)
+        .select($"embedding").collect()(0).getSeq[Float](0).toArray
+      graft.functions.Ivf.search(index, query, topK = 10, nProbe = 4)
+        .filter($"vec_id" =!= 0)
+    })
+
+  val all: Seq[GraftQuery] = Seq(simAnnBrute, simAnnLsh, simAnnIvf, ddEmbeddingNeardup)
 }

@@ -116,4 +116,25 @@ class SimilaritySpec extends SparkSpec {
     assert(TextQueries.txLangId.fn(spark, sfDir).count() === n)
     assert(TextQueries.ddSimhash.fn(spark, sfDir).count() === n)
   }
+
+  test("IVF with all cells probed equals brute force; partial probe is a subset") {
+    import spark.implicits._
+    val emb = graft.api.Tables.load(spark, sfDir, "embeddings")
+    val index = graft.functions.Ivf.build(spark, emb, k = 8)
+    val query = emb.filter($"vec_id" === 0)
+      .select($"embedding").collect()(0).getSeq[Float](0).toArray
+
+    val exhaustive = graft.functions.Ivf.search(index, query, 11, nProbe = 8)
+      .collect().map(_.getAs[Long]("vec_id"))
+    val brute = SimilarityQueries.simAnnBrute.fn(spark, sfDir)
+      .collect().map(_.getAs[Long]("vec_id"))
+    // drop the query vector itself (cosine 1.0 tops the exhaustive list)
+    assert(exhaustive.filterNot(_ == 0L).take(10).toSeq === brute.toSeq)
+
+    val probed = graft.functions.Ivf.search(index, query, 10, nProbe = 2)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(probed.nonEmpty && probed.length <= 10)
+    // the query's own cell is always probed first, so vec 0 is found
+    assert(probed.contains(0L))
+  }
 }
