@@ -211,7 +211,7 @@ object Dissect {
               }
               case 0x0806 =>
                 protos += "arp"
-                info = "ARP"
+                info = dissectArp(d, 14, v)
               case other =>
                 info = f"Ethernet II (0x$other%04x)"
             }
@@ -266,7 +266,7 @@ object Dissect {
     proto match {
       case 6  => dissectTcp(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
       case 17 => dissectUdp(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
-      case 1  => protos += "icmp"; "ICMP"
+      case 1  => protos += "icmp"; dissectIcmp(d, next, v)
       case _  => null
     }
   }
@@ -467,6 +467,106 @@ object Dissect {
     v("udp.pdu.size") = payLen.toLong
     if (wanted.payloads && payLen > 0 && off + 8 < d.length)
       v("udp.payload") = hexBytes(d, off + 8, math.min(payLen, d.length - off - 8))
+    if (sp == 53 || dp == 53) {
+      val dnsInfo = dissectDns(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
+      if (dnsInfo != null) return dnsInfo
+    }
     if (wanted.info) s"$sp → $dp Len=$payLen" else ""
+  }
+
+  /** ARP (RFC 826): opcode + sender/target addresses; Wireshark-style
+    * "Who has x? Tell y" / "x is at mac" info. */
+  private def dissectArp(d: Array[Byte], off: Int, v: mutable.HashMap[String, Any]): String = {
+    if (d.length < off + 28) return "ARP"
+    val op = u16(d, off + 6)
+    val senderMac = macStr(d, off + 8)
+    val senderIp = ipv4Str(d, off + 14)
+    val targetIp = ipv4Str(d, off + 24)
+    v("arp.opcode") = op.toLong
+    v("arp.src.hw_mac") = senderMac
+    v("arp.src.proto_ipv4") = senderIp
+    v("arp.dst.hw_mac") = macStr(d, off + 18)
+    v("arp.dst.proto_ipv4") = targetIp
+    op match {
+      case 1 => s"Who has $targetIp? Tell $senderIp"
+      case 2 => s"$senderIp is at $senderMac"
+      case _ => "ARP"
+    }
+  }
+
+  /** ICMP: type/code + echo id/seq; "Echo (ping) request/reply" info. */
+  private def dissectIcmp(d: Array[Byte], off: Int, v: mutable.HashMap[String, Any]): String = {
+    if (d.length < off + 4) return "ICMP"
+    val tpe = u8(d, off)
+    val code = u8(d, off + 1)
+    v("icmp.type") = tpe.toLong
+    v("icmp.code") = code.toLong
+    v("icmp.checksum") = u16(d, off + 2).toLong
+    if ((tpe == 8 || tpe == 0) && d.length >= off + 8) {
+      v("icmp.ident") = u16(d, off + 4).toLong
+      v("icmp.seq") = u16(d, off + 6).toLong
+      val idHex = "%04x".format(u16(d, off + 4))
+      if (tpe == 8) s"Echo (ping) request  id=0x$idHex, seq=${u16(d, off + 6)}"
+      else s"Echo (ping) reply    id=0x$idHex, seq=${u16(d, off + 6)}"
+    } else tpe match {
+      case 3  => "Destination unreachable"
+      case 11 => "Time-to-live exceeded"
+      case _  => s"ICMP type=$tpe code=$code"
+    }
+  }
+
+  /** DNS over UDP/53 (RFC 1035): header counts, QR flag, first question
+    * name/type; "Standard query [response] 0x…" info. Returns null when
+    * the payload does not parse as DNS. */
+  private def dissectDns(
+      d: Array[Byte], off: Int, end: Int,
+      v: mutable.HashMap[String, Any],
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 12) return null
+    val id = u16(d, off)
+    val flags = u16(d, off + 2)
+    val qd = u16(d, off + 4)
+    val an = u16(d, off + 6)
+    if (qd > 32 || an > 128) return null // implausible header: not DNS
+    protos += "dns"
+    val isResponse = (flags & 0x8000) != 0
+    v("dns.id") = id.toLong
+    v("dns.flags.response") = isResponse
+    v("dns.flags.rcode") = (flags & 0xf).toLong
+    v("dns.count.queries") = qd.toLong
+    v("dns.count.answers") = an.toLong
+    // first question: labels until the 0 terminator, then qtype
+    var qname: String = null
+    var qtype = -1
+    if (qd > 0) {
+      val sb = new StringBuilder
+      var i = off + 12
+      var ok = true
+      var guard = 0
+      while (ok && i < end && d(i) != 0 && guard < 128) {
+        val len = u8(d, i)
+        if ((len & 0xc0) != 0 || i + 1 + len > end) ok = false
+        else {
+          if (sb.nonEmpty) sb.append('.')
+          sb.append(new String(d, i + 1, len, "ISO-8859-1"))
+          i += 1 + len
+        }
+        guard += 1
+      }
+      if (ok && i + 4 < end) {
+        qname = sb.toString
+        qtype = u16(d, i + 1)
+        v("dns.qry.name") = qname
+        v("dns.qry.type") = qtype.toLong
+      }
+    }
+    val typeName = qtype match {
+      case 1 => "A"; case 2 => "NS"; case 5 => "CNAME"; case 6 => "SOA"
+      case 12 => "PTR"; case 15 => "MX"; case 16 => "TXT"; case 28 => "AAAA"
+      case _ => if (qtype >= 0) qtype.toString else ""
+    }
+    val idHex = "%04x".format(id)
+    val kind = if (isResponse) "Standard query response" else "Standard query"
+    if (qname != null) s"$kind 0x$idHex $typeName $qname" else s"$kind 0x$idHex"
   }
 }

@@ -765,6 +765,15 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     })
 
+  /** Explicit GROUPING SETS (beyond rollup/cube shorthands). */
+  val q37GroupingSets = sharedSql(
+    "q37_grouping_sets",
+    """
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+
   /** Skew-resilient salted aggregation — identical results to the direct
     * groupBy (the oracle is the plain SQL), different shuffle shape. */
   val q35SaltedAgg = GraftQuery(
@@ -814,5 +823,5 @@ object RelationalQueries {
     q22InSubquery, q23ScalarSubquery, q24CorrelatedExists,
     q25StringFuncs, q26DateFuncs, q27MathFuncs, q28Regex, q29CaseAgg,
     q30Pivot, q31Explode, q32TimeBucket, q33Json, q34ApproxDistinct,
-    q35SaltedAgg, q36TopkAggregator)
+    q35SaltedAgg, q36TopkAggregator, q37GroupingSets)
 }

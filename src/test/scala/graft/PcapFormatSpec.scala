@@ -93,4 +93,72 @@ class PcapFormatSpec extends AnyFunSuite {
     val recs = PcapFormat.records(new ByteArrayInputStream(bytes)).toList
     assert(recs.head.inclLen === 50 && recs.head.origLen === 142)
   }
+
+  private def dissectOne(frame: Array[Byte]): Dissect.Dissected = {
+    val rec = PcapFormat.Record(1, 1000000L, frame.length, frame.length, frame)
+    Dissect.dissect(rec, 1, new Dissect.Tracker)
+  }
+
+  private def ethIpUdp(sp: Int, dp: Int, payload: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(14 + 20 + 8 + payload.length)
+    b.put(new Array[Byte](12)).putShort(0x0800.toShort) // eth
+    val iplen = 20 + 8 + payload.length
+    b.put(0x45.toByte).put(0.toByte).putShort(iplen.toShort)
+      .putShort(1.toShort).putShort(0.toShort)
+      .put(64.toByte).put(17.toByte).putShort(0.toShort)
+      .put(Array[Byte](10, 0, 0, 1)).put(Array[Byte](10, 0, 0, 2))
+    b.putShort(sp.toShort).putShort(dp.toShort)
+      .putShort((8 + payload.length).toShort).putShort(0.toShort)
+    b.put(payload)
+    b.array()
+  }
+
+  test("ARP request renders Who-has info and fields") {
+    val b = java.nio.ByteBuffer.allocate(42)
+    b.put(new Array[Byte](12)).putShort(0x0806.toShort)
+    b.putShort(1.toShort).putShort(0x0800.toShort).put(6.toByte).put(4.toByte)
+      .putShort(1.toShort) // opcode: request
+      .put(Array[Byte](0, 0, 0, 0, 0, 1)) // placeholder
+    val frame = b.array()
+    frame(21) = 1 // ensure some sender mac bytes
+    // sender ip at offset 14+14=28, target ip at 14+24=38
+    frame(28) = 10; frame(29) = 0; frame(30) = 0; frame(31) = 5
+    frame(38) = 10; frame(39) = 0; frame(40) = 0; frame(41) = 9
+    val d = dissectOne(frame)
+    assert(d.protocols === "eth:ethertype:arp")
+    assert(d.info === "Who has 10.0.0.9? Tell 10.0.0.5")
+    assert(d.values("arp.opcode") === 1L)
+  }
+
+  test("DNS query over UDP/53 dissects name, type, and info") {
+    // header: id=0x1234, flags=0x0100 (standard query), qd=1
+    val q = java.nio.ByteBuffer.allocate(12 + 13 + 4)
+    q.putShort(0x1234.toShort).putShort(0x0100.toShort)
+      .putShort(1.toShort).putShort(0.toShort).putShort(0.toShort).putShort(0.toShort)
+    q.put(7.toByte).put("example".getBytes).put(3.toByte).put("com".getBytes).put(0.toByte)
+    q.putShort(1.toShort).putShort(1.toShort) // qtype=A, qclass=IN
+    val d = dissectOne(ethIpUdp(40000, 53, q.array()))
+    assert(d.protocols === "eth:ethertype:ip:udp:dns")
+    assert(d.values("dns.qry.name") === "example.com")
+    assert(d.values("dns.qry.type") === 1L)
+    assert(d.values("dns.flags.response") === false)
+    assert(d.info === "Standard query 0x1234 A example.com")
+  }
+
+  test("ICMP echo request renders ping info") {
+    val icmp = java.nio.ByteBuffer.allocate(8)
+    icmp.put(8.toByte).put(0.toByte).putShort(0.toShort)
+      .putShort(0x42.toShort).putShort(7.toShort)
+    val b = java.nio.ByteBuffer.allocate(14 + 20 + 8)
+    b.put(new Array[Byte](12)).putShort(0x0800.toShort)
+    b.put(0x45.toByte).put(0.toByte).putShort(28.toShort)
+      .putShort(1.toShort).putShort(0.toShort)
+      .put(64.toByte).put(1.toByte).putShort(0.toShort)
+      .put(Array[Byte](10, 0, 0, 1)).put(Array[Byte](10, 0, 0, 2))
+    b.put(icmp.array())
+    val d = dissectOne(b.array())
+    assert(d.protocols === "eth:ethertype:ip:icmp")
+    assert(d.info === "Echo (ping) request  id=0x0042, seq=7")
+    assert(d.values("icmp.type") === 8L)
+  }
 }
