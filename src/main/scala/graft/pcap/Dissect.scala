@@ -53,11 +53,16 @@ object Dissect {
     val isn = Array(-1L, -1L)
     val wsShift = Array(-1, -1) // window-scale shift offered in SYN
     val sawSyn = Array(false, false)
+    val maxNxtSeq = Array(-1L, -1L) // highest relative nxtseq seen (retransmit detection)
     var firstTsMicros = -1L
+    var prevTsMicros = -1L
     def scalingActive: Boolean = wsShift(0) >= 0 && wsShift(1) >= 0
   }
 
-  private final class UdpConv(val stream: Long)
+  private final class UdpConv(val stream: Long) {
+    var firstTsMicros = -1L
+    var prevTsMicros = -1L
+  }
 
   /** Per-file mutable tracker; create one per PartitionReader. */
   final class Tracker {
@@ -67,6 +72,7 @@ object Dissect {
     private var nextUdpStream = 0L
     private[Dissect] var firstPacketMicros = -1L
     private[Dissect] var prevPacketMicros = -1L
+    private[Dissect] var currentTsMicros = -1L
 
     private[Dissect] def tcpConv(k: ConvKey): TcpConv =
       tcpConvs.getOrElseUpdate(k, { val c = new TcpConv(nextTcpStream); nextTcpStream += 1; c })
@@ -180,6 +186,7 @@ object Dissect {
     val timeDeltaMicros =
       if (tracker.prevPacketMicros < 0) 0L else rec.tsMicros - tracker.prevPacketMicros
     tracker.prevPacketMicros = rec.tsMicros
+    tracker.currentTsMicros = rec.tsMicros
 
     v("frame.number") = rec.number
     v("frame.len") = rec.origLen.toLong
@@ -197,21 +204,28 @@ object Dissect {
           if (d.length >= 14) {
             v("eth.dst") = macStr(d, 0)
             v("eth.src") = macStr(d, 6)
-            val etherType = u16(d, 12)
+            var etherType = u16(d, 12)
+            var l3off = 14
+            if (etherType == 0x8100 && d.length >= 18) { // 802.1Q tag
+              protos += "vlan"
+              v("vlan.id") = (u16(d, 14) & 0x0fff).toLong
+              etherType = u16(d, 16)
+              l3off = 18
+            }
             v("eth.type") = etherType.toLong
             protos += "ethertype"
             etherType match {
-              case 0x0800 => dissectIpv4(d, 14, v, protos, tracker, wanted) match {
+              case 0x0800 => dissectIpv4(d, l3off, v, protos, tracker, wanted) match {
                 case s if s != null => info = s
                 case _ =>
               }
-              case 0x86dd => dissectIpv6(d, 14, v, protos, tracker, wanted) match {
+              case 0x86dd => dissectIpv6(d, l3off, v, protos, tracker, wanted) match {
                 case s if s != null => info = s
                 case _ =>
               }
               case 0x0806 =>
                 protos += "arp"
-                info = dissectArp(d, 14, v)
+                info = dissectArp(d, l3off, v)
               case other =>
                 info = f"Ethernet II (0x$other%04x)"
             }
@@ -329,6 +343,13 @@ object Dissect {
     if (conv.isn(dir) < 0) conv.isn(dir) = rawSeq
     if (syn) conv.sawSyn(dir) = true
 
+    // per-stream timing (tshark tcp.time_relative / tcp.time_delta)
+    val nowUs = tracker.currentTsMicros
+    if (conv.firstTsMicros < 0) conv.firstTsMicros = nowUs
+    v("tcp.time_relative") = nowUs - conv.firstTsMicros
+    v("tcp.time_delta") = if (conv.prevTsMicros < 0) 0L else nowUs - conv.prevTsMicros
+    conv.prevTsMicros = nowUs
+
     // parse options (also records window scale into conversation state)
     var mss = -1L
     var wsShift = -1
@@ -384,6 +405,13 @@ object Dissect {
     v("tcp.nxtseq") = relSeq + segLen + (if (syn || fin) 1 else 0)
     v("tcp.ack") = relAck
     v("tcp.ack_raw") = rawAck
+    // retransmission heuristic: a data segment whose end does not advance
+    // the direction's highest nxtseq was already (at least partly) sent
+    val nxtRel = relSeq + segLen + (if (syn || fin) 1 else 0)
+    if (segLen > 0 && conv.maxNxtSeq(dir) >= 0 && nxtRel <= conv.maxNxtSeq(dir))
+      v("tcp.analysis.retransmission") = "1"
+    if (nxtRel > conv.maxNxtSeq(dir)) conv.maxNxtSeq(dir) = nxtRel
+
     v("tcp.hdr_len") = hdrLen.toLong
     v("tcp.flags") = flags.toLong
     v("tcp.flags.fin") = fin
@@ -458,6 +486,11 @@ object Dissect {
     val payLen = math.max(0, len - 8)
     val (key, _) = ConvKey.canonical(srcIp, sp, dstIp, dp)
     val conv = tracker.udpConv(key)
+    val nowUs = tracker.currentTsMicros
+    if (conv.firstTsMicros < 0) conv.firstTsMicros = nowUs
+    v("udp.time_relative") = nowUs - conv.firstTsMicros
+    v("udp.time_delta") = if (conv.prevTsMicros < 0) 0L else nowUs - conv.prevTsMicros
+    conv.prevTsMicros = nowUs
     v("udp.srcport") = sp.toLong
     v("udp.dstport") = dp.toLong
     v("udp.port") = sp.toLong

@@ -168,4 +168,17 @@ class PcapSourceSpec extends SparkSpec {
     assert(capped.rdd.getNumPartitions === 1)
     assert(capped.count() === 4)
   }
+
+  test("per-stream timing fields populate; retransmission detection sane") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("pcap")
+      .option("protocols", "ip,tcp").load(fixPcap)
+    val r = df.agg(
+      count(when(col("`tcp.time_relative`").isNotNull, 1)).as("n_rel"),
+      count(when(col("`tcp.analysis.retransmission`").isNotNull, 1)).as("n_retrans"),
+      max(col("`tcp.time_relative`").cast("long"))).collect()(0)
+    assert(r.getLong(0) === 485L) // every packet is in the one TCP stream
+    // loopback capture: no real retransmissions expected
+    assert(r.getLong(1) <= 5L)
+  }
 }
