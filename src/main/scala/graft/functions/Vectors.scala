@@ -27,7 +27,7 @@ object Vectors {
     * dimension `i` — md5-derived at PLAN time and embedded as an array
     * literal, so executors do one multiply per element instead of one md5
     * per element per row. */
-  private def planeSigns(j: Int, dim: Int): Array[Double] = {
+  private[graft] def planeSigns(j: Int, dim: Int): Array[Double] = {
     val mdAlg = java.security.MessageDigest.getInstance("MD5")
     (0 until dim).toArray.map { i =>
       val hex = mdAlg.digest(s"$j:$i".getBytes("UTF-8"))

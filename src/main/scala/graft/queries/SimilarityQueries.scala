@@ -29,6 +29,21 @@ object SimilarityQueries {
   private def duckDot(a: String, b: String): String =
     (1 to dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
 
+  /** The LSH bucket expression unrolled for DuckDB with the SAME plane-sign
+    * literals the Spark plan embeds (Vectors.planeSigns) and the same
+    * left-associative projection sum — buckets and cosines come out
+    * bit-identical, making the scale-path queries fully oracle-checkable. */
+  private def duckBucket(embCol: String, nPlanes: Int): String = {
+    val planes = (0 until nPlanes).map { j =>
+      val signs = graft.functions.Vectors.planeSigns(j, dim)
+      val proj = (1 to dim)
+        .map(i => s"CAST($embCol[$i] AS DOUBLE) * ${signs(i - 1)}")
+        .mkString(" + ")
+      s"CASE WHEN ($proj) > 0 THEN ${1 << j} ELSE 0 END"
+    }
+    planes.mkString("(", " + ", ")")
+  }
+
   /** Brute-force cosine top-k against the vec_id=0 query vector. */
   val simAnnBrute = GraftQuery(
     "sim_ann_brute",
@@ -72,7 +87,20 @@ object SimilarityQueries {
         .select($"vec_id", $"label", Vectors.cosine($"embedding", $"qe").as("cosine"))
         .orderBy($"cosine".desc, $"vec_id")
         .limit(10)
-    })
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT vec_id, label, embedding, ${duckBucket("embedding", 8)} AS bucket
+        FROM embeddings),
+      q AS (SELECT embedding AS qe, bucket AS qbucket FROM b WHERE vec_id = 0)
+      SELECT b.vec_id, b.label,
+             (${duckDot("b.embedding", "q.qe")})
+               / (SQRT(${duckDot("b.embedding", "b.embedding")})
+                  * SQRT(${duckDot("q.qe", "q.qe")})) AS cosine
+      FROM b, q
+      WHERE b.bucket = q.qbucket AND b.vec_id <> 0
+      ORDER BY cosine DESC, b.vec_id
+      LIMIT 10"""))
 
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket (the
     * candidate join is linear in bucket occupancy, not quadratic in rows). */
@@ -89,7 +117,20 @@ object SimilarityQueries {
           Vectors.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
         .filter($"cosine" >= 0.95)
         .orderBy($"vec_a", $"vec_b")
-    })
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT vec_id, embedding, ${duckBucket("embedding", 6)} AS bucket
+        FROM embeddings)
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             (${duckDot("x.embedding", "y.embedding")})
+               / (SQRT(${duckDot("x.embedding", "x.embedding")})
+                  * SQRT(${duckDot("y.embedding", "y.embedding")})) AS cosine
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      WHERE (${duckDot("x.embedding", "y.embedding")})
+               / (SQRT(${duckDot("x.embedding", "x.embedding")})
+                  * SQRT(${duckDot("y.embedding", "y.embedding")})) >= 0.95
+      ORDER BY vec_a, vec_b"""))
 
   /** IVF scale path: k-means coarse quantizer, probe 4 of 16 cells. No
     * oracle (k-means is engine-side); exactness anchored in
