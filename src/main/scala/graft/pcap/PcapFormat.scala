@@ -25,13 +25,16 @@ object PcapFormat {
       linktype: Int)
 
   /** One captured packet. `tsMicros` is epoch microseconds (nanos input is
-    * truncated, matching DuckDB/tshark display precision). */
+    * truncated, matching DuckDB/tshark display precision). `linktype` is
+    * per-record for pcapng multi-interface captures; -1 = use the file
+    * header's linktype (classic pcap). */
   final case class Record(
       number: Long,
       tsMicros: Long,
       inclLen: Int,
       origLen: Int,
-      data: Array[Byte])
+      data: Array[Byte],
+      linktype: Int = -1)
 
   val MagicLeMicro = 0xd4c3b2a1 // file bytes d4 c3 b2 a1 read big-endian
   val MagicBeMicro = 0xa1b2c3d4

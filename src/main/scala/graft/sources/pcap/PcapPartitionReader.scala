@@ -46,15 +46,29 @@ final class PcapPartitionReader(
 
   private val path = new Path(partition.file)
   private val raw = path.getFileSystem(new Configuration()).open(path)
-  private val header = {
-    // global header always lives at offset 0, even for split partitions
-    val h = PcapFormat.readHeader(new DataInputStream(raw))
-    if (partition.startOffset != 24L) raw.seek(partition.startOffset)
-    h
+
+  private val isPcapng = {
+    val b = new Array[Byte](4)
+    raw.readFully(b)
+    raw.seek(0)
+    (((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) | ((b(2) & 0xff) << 8) | (b(3) & 0xff)) ==
+      graft.pcap.PcapngFormat.Magic
   }
-  private val in = new DataInputStream(new java.io.BufferedInputStream(raw, 1 << 20))
-  private val records = PcapFormat.recordsAfterHeader(
-    in, header, partition.maxPackets, partition.firstNumber, partition.byteLength)
+
+  private val (records, defaultLinktype) =
+    if (isPcapng) {
+      // pcapng carries per-record linktype; splits don't apply (whole file)
+      val din = new DataInputStream(new java.io.BufferedInputStream(raw, 1 << 20))
+      (graft.pcap.PcapngFormat.records(din, partition.maxPackets), 1)
+    } else {
+      // classic: global header at offset 0, then seek for split partitions
+      val h = PcapFormat.readHeader(new DataInputStream(raw))
+      if (partition.startOffset != 24L) raw.seek(partition.startOffset)
+      val din = new DataInputStream(new java.io.BufferedInputStream(raw, 1 << 20))
+      (PcapFormat.recordsAfterHeader(
+        din, h, partition.maxPackets, partition.firstNumber, partition.byteLength),
+        h.linktype)
+    }
   private val tracker = new Dissect.Tracker
   private val displayFilter = cfilter.map(DisplayFilter.parse)
 
@@ -100,7 +114,8 @@ final class PcapPartitionReader(
   override def next(): Boolean = {
     while (records.hasNext) {
       val rec = records.next()
-      val d = Dissect.dissect(rec, header.linktype, tracker, wanted)
+      val lt = if (rec.linktype >= 0) rec.linktype else defaultLinktype
+      val d = Dissect.dissect(rec, lt, tracker, wanted)
       val passesDisplay = displayFilter.forall(_.eval(d))
       val passesPushed = pushed.forall(f => PcapFilterEval.eval(f, d, compatStrict))
       if (passesDisplay && passesPushed) {
@@ -118,7 +133,7 @@ final class PcapPartitionReader(
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = in.close()
+  override def close(): Unit = raw.close()
 }
 
 /** Catalyst v1 Filter evaluation against a dissected packet — the subset
