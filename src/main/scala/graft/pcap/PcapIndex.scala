@@ -29,14 +29,16 @@ object PcapIndex {
     val fileLen = fs.getFileStatus(path).getLen
     val in = fs.open(path)
     try {
-      // pcapng (or anything non-classic): no record-boundary splits — the
-      // reader falls back to a whole-file scan
+      // pcapng / gzip / anything non-classic: no record-boundary splits —
+      // the reader falls back to a whole-file scan
       val probe = new Array[Byte](4)
       in.readFully(probe)
       in.seek(0)
       val magic = ((probe(0) & 0xff) << 24) | ((probe(1) & 0xff) << 16) |
         ((probe(2) & 0xff) << 8) | (probe(3) & 0xff)
-      if (magic == PcapngFormat.Magic)
+      val classicMagics = Set(PcapFormat.MagicLeMicro, PcapFormat.MagicBeMicro,
+        PcapFormat.MagicLeNano, PcapFormat.MagicBeNano)
+      if (!classicMagics.contains(magic))
         return Seq(Split(24L, Long.MaxValue, 1L))
       val din = new DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))
       val header = PcapFormat.readHeader(din)

@@ -46,11 +46,22 @@ final class PcapPartitionReader(
 
   private val path = new Path(partition.file)
   private val raw = path.getFileSystem(new Configuration()).open(path)
+  private val gzipped = partition.file.endsWith(".gz")
+
+  private def buffered(in: java.io.InputStream) =
+    new DataInputStream(new java.io.BufferedInputStream(
+      if (gzipped) new java.util.zip.GZIPInputStream(in, 1 << 16) else in, 1 << 20))
 
   private val isPcapng = {
     val b = new Array[Byte](4)
-    raw.readFully(b)
-    raw.seek(0)
+    if (gzipped) {
+      val probe = buffered(raw)
+      probe.readFully(b)
+      raw.seek(0) // restart: gzip stream can't rewind
+    } else {
+      raw.readFully(b)
+      raw.seek(0)
+    }
     (((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) | ((b(2) & 0xff) << 8) | (b(3) & 0xff)) ==
       graft.pcap.PcapngFormat.Magic
   }
@@ -58,8 +69,12 @@ final class PcapPartitionReader(
   private val (records, defaultLinktype) =
     if (isPcapng) {
       // pcapng carries per-record linktype; splits don't apply (whole file)
-      val din = new DataInputStream(new java.io.BufferedInputStream(raw, 1 << 20))
-      (graft.pcap.PcapngFormat.records(din, partition.maxPackets), 1)
+      (graft.pcap.PcapngFormat.records(buffered(raw), partition.maxPackets), 1)
+    } else if (gzipped) {
+      // gzip: sequential only — no seeks, no intra-file splits
+      val din = buffered(raw)
+      val h = PcapFormat.readHeader(din)
+      (PcapFormat.recordsAfterHeader(din, h, partition.maxPackets, 1L), h.linktype)
     } else {
       // classic: global header at offset 0, then seek for split partitions
       val h = PcapFormat.readHeader(new DataInputStream(raw))

@@ -181,4 +181,16 @@ class PcapSourceSpec extends SparkSpec {
     // loopback capture: no real retransmissions expected
     assert(r.getLong(1) <= 5L)
   }
+
+  test("gzip-compressed capture reads transparently") {
+    val gz = java.nio.file.Files.createTempFile("fix", ".pcap.gz")
+    val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(gz))
+    out.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fixPcap)))
+    out.close()
+    val df = Wireduck.readPcap(spark, gz.toString, protocols = Seq("ip", "tcp"))
+    assert(df.count() === 485)
+    import org.apache.spark.sql.functions._
+    val s = df.agg(sum(col("`tcp.len`"))).collect()(0).getLong(0)
+    assert(s === 259678L + 19702L)
+  }
 }
