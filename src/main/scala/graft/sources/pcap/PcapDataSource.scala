@@ -173,6 +173,11 @@ final class PcapScan(
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // reference parity: read_pcap on a path that resolves to no file is an
+    // error (reference OpenFile at bind, `:84-93`), not an empty table
+    if (files.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"read_pcap: no capture files match ${PcapTable.paths(options).mkString(", ")}")
     val climit = Option(options.get("climit")).map(_.toLong).getOrElse(Long.MaxValue)
     val effLimit =
       if (limit >= 0) math.min(climit, limit.toLong) else climit

@@ -193,4 +193,25 @@ class PcapSourceSpec extends SparkSpec {
     val s = df.agg(sum(col("`tcp.len`"))).collect()(0).getLong(0)
     assert(s === 259678L + 19702L)
   }
+
+  test("missing capture file errors like the reference, not an empty table") {
+    val e = intercept[Exception] {
+      Wireduck.readPcap(spark, "/nonexistent/nothing.pcap").count()
+    }
+    assert(e.getMessage.contains("no capture files") ||
+      Option(e.getCause).exists(_.getMessage.contains("no capture files")))
+  }
+
+  test("display-filter parser: negation, parentheses, inequality") {
+    val base = Wireduck.readPcap(spark, fixPcap, protocols = Seq("ip", "tcp"))
+    assert(base.count() === 485)
+    val notFix = Wireduck.readPcap(spark, fixPcap, cfilter = Some("!fix")).count()
+    assert(notFix === 485 - 429)
+    val neq = Wireduck.readPcap(spark, fixPcap, protocols = Seq("ip", "tcp"),
+      cfilter = Some("tcp.srcport != 11001")).count()
+    assert(neq === 56)
+    val parens = Wireduck.readPcap(spark, fixPcap, protocols = Seq("ip", "tcp"),
+      cfilter = Some("(tcp.srcport == 11001 || tcp.srcport == 53867) && tcp.len >= 100")).count()
+    assert(parens > 0 && parens < 485)
+  }
 }
