@@ -191,6 +191,7 @@ object TextQueries {
     "dd_ngram_jaccard",
     (s, dir) => {
       import s.implicits._
+      // shared 3× below (counts + both join sides): cache once
       val sh = docs(s, dir)
         .withColumn("tokens", split($"text", " "))
         .filter(size($"tokens") >= 5)
@@ -198,6 +199,7 @@ object TextQueries {
           expr("transform(sequence(1, size(tokens) - 4), i -> concat_ws(' ', slice(tokens, i, 5)))"))
           .as("shingle"))
         .distinct()
+        .cache()
       val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
       val a = sh.as("a"); val b = sh.as("b")
       val pairs = a.join(b,
@@ -278,7 +280,9 @@ object TextQueries {
     "dd_minhash_lsh_pairs",
     (s, dir) => {
       import s.implicits._
-      val sig = ddMinhashSig.fn(s, dir)
+      // the signature subtree would otherwise be recomputed once per band
+      // branch per join side (8×) — materialize it once
+      val sig = ddMinhashSig.fn(s, dir).cache()
       val bands = (0 until nHashes by 2).map { h =>
         sig.select($"doc_id", lit(h / 2).as("band"),
           concat(col(s"mh$h"), col(s"mh${h + 1}")).as("bucket"))
