@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("read_pcap"),
       new ExpressionInfo(classOf[PcapDataSource].getName, "read_pcap"),
       (args: Seq[Expression]) => ReadPcapTableFunction.plan(args)))
+    ext.injectTableFunction((
+      FunctionIdentifier("initialize_glossary"),
+      new ExpressionInfo(classOf[PcapDataSource].getName, "initialize_glossary"),
+      (_: Seq[Expression]) => InitializeGlossaryTableFunction.plan()))
     ext.injectFunction((
       FunctionIdentifier("hamming_distance"),
       new ExpressionInfo(classOf[graft.functions.HammingDistance].getName, "hamming_distance"),
@@ -37,6 +41,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "hamming_distance(a, b) takes exactly 2 arguments")
         graft.functions.HammingDistance(args.head, args(1))
       }))
+  }
+}
+
+/** `FROM initialize_glossary()` parity (reference `:264-272`, `:430-450`):
+  * returns the two status rows. Side-effect-free here — glossary views are
+  * (re)registered by `Wireduck.setup` / `Glossary.init`; the SQL form
+  * reports the same statuses the reference procedure emits. */
+object InitializeGlossaryTableFunction {
+  def plan(): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val attr = AttributeReference("status_message", StringType, nullable = false)()
+    LocalRelation(Seq(attr), Seq(
+      InternalRow(UTF8String.fromString("glossary_protocols initialized")),
+      InternalRow(UTF8String.fromString("glossary_fields initialized"))))
   }
 }
 

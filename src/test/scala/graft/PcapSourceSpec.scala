@@ -214,4 +214,11 @@ class PcapSourceSpec extends SparkSpec {
       cfilter = Some("(tcp.srcport == 11001 || tcp.srcport == 53867) && tcp.len >= 100")).count()
     assert(parens > 0 && parens < 485)
   }
+
+  test("SQL: FROM initialize_glossary() returns the reference status rows") {
+    val rows = spark.sql("SELECT * FROM initialize_glossary()")
+      .collect().map(_.getString(0))
+    assert(rows.toSeq === Seq(
+      "glossary_protocols initialized", "glossary_fields initialized"))
+  }
 }
