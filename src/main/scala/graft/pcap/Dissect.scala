@@ -273,7 +273,13 @@ object Dissect {
     v("ip.checksum") = u16(d, off + 10).toLong
     v("ip.src") = src
     v("ip.dst") = dst
-    v("ip.addr") = src
+    // tshark emits every occurrence comma-joined for -T fields; ip.addr is
+    // defined as "Source or Destination" so both values appear ("src,dst").
+    // (tcp.port/udp.port get the same treatment in tshark, but those are
+    // BIGINT after the reference's type collapse and its std::stoll parse
+    // stops at the comma — so source-only IS the reference's observable
+    // value there; here ip.addr is VARCHAR and keeps the full string.)
+    v("ip.addr") = s"$src,$dst"
     val next = off + ihl
     // payload bounded by IP total length (ethernet padding must not leak in)
     val ipEnd = math.min(off + totalLen, d.length)

@@ -19,7 +19,7 @@ object PcapngFormat {
 
   val Magic = 0x0a0d0d0a
 
-  private final case class Iface(linktype: Int, tsresol: Int, tsresolPow2: Boolean)
+  private final case class Iface(linktype: Int, tsresol: Int, tsresolPow2: Boolean, snaplen: Int = 0)
 
   def records(din: DataInputStream, maxPackets: Long): Iterator[PcapFormat.Record] =
     new Iterator[PcapFormat.Record] {
@@ -99,10 +99,11 @@ object PcapngFormat {
             val trailer = new Array[Byte](4)
             if (!readFully(trailer)) { done = true; return }
             rawType match {
-              case 1 => // IDB
+              case 1 => // IDB: linktype(2) reserved(2) snaplen(4) options...
                 val linktype = u16(body, 0)
+                val snaplen = u32(body, 4).toInt
                 val (tsresol, pow2) = parseIdbOptions(body, 8)
-                ifaces += Iface(linktype, tsresol, pow2)
+                ifaces += Iface(linktype, tsresol, pow2, snaplen)
               case 6 => // EPB
                 val ifId = u32(body, 0).toInt
                 val ts = (u32(body, 4) << 32) | u32(body, 8)
@@ -113,12 +114,18 @@ object PcapngFormat {
                 n += 1
                 nextRec = PcapFormat.Record(n, toMicros(ts, f), capLen, origLen, data, f.linktype)
                 return
-              case 3 => // SPB: orig len only, no timestamp
+              case 3 => // SPB: orig len only, no timestamp; captured length is
+                // min(origLen, IDB snaplen) — the block body is padded to 4
+                // bytes, so slicing by body.length would leak up to 3 pad
+                // bytes into the payload (pcapng §4.4).
                 val origLen = u32(body, 0).toInt
                 val f = ifaces.headOption.getOrElse(Iface(1, 6, false))
-                val data = java.util.Arrays.copyOfRange(body, 4, body.length)
+                val bounded =
+                  if (f.snaplen > 0) math.min(origLen.toLong, f.snaplen.toLong).toInt else origLen
+                val capLen = math.min(bounded, body.length - 4)
+                val data = java.util.Arrays.copyOfRange(body, 4, 4 + capLen)
                 n += 1
-                nextRec = PcapFormat.Record(n, 0L, data.length, origLen, data, f.linktype)
+                nextRec = PcapFormat.Record(n, 0L, capLen, origLen, data, f.linktype)
                 return
               case _ => // ISB, NRB, custom: skip
             }

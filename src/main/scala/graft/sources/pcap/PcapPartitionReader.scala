@@ -163,27 +163,55 @@ object PcapFilterEval {
     case _         => false
   }
 
-  private def value(attr: String, d: Dissect.Dissected): Any = attr match {
+  /** Dotted field names (`frame.time_epoch`) arrive backtick-quoted in
+    * pushed v1 Filters (Catalyst quotes them so they aren't read as nested
+    * struct access) — unquote before the dissected-value lookup. */
+  private def attrName(a: String): String =
+    if (a.length >= 2 && a.head == '`' && a.last == '`')
+      a.substring(1, a.length - 1).replace("``", "`")
+    else a
+
+  private def value(attr: String, d: Dissect.Dissected): Any = attrName(attr) match {
     case "frame.protocols" => d.protocols
     case "_ws.col.info"    => d.info
     case n                 => d.values.getOrElse(n, null)
   }
 
-  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-    case (x: Long, y: Number)    => Some(java.lang.Long.compare(x, y.longValue()))
-    case (x: Double, y: Number)  => Some(java.lang.Double.compare(x, y.doubleValue()))
-    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
-    case (x: String, y)          => Some(x.compareTo(y.toString))
-    case _                       => None
+  /** Timestamp columns dissect to epoch micros (Long); Spark pushes their
+    * literals as java.sql.Timestamp (or java.time.Instant under the java8
+    * datetime API). Convert to micros, and truncate the dissected value to
+    * whole seconds first in compat=strict mode so the comparison sees the
+    * same value the scan will emit (reference truncation, SURVEY §1.2).
+    * Unknown type pairs yield None and the row is KEPT — Spark re-applies
+    * the full predicate above the scan, so the reader only needs soundness.
+    */
+  private def cmp(a: Any, b: Any, compatStrict: Boolean): Option[Int] = {
+    def strictMicros(x: Long): Long = if (compatStrict) (x / 1000000L) * 1000000L else x
+    (a, b) match {
+      case (x: Long, y: java.sql.Timestamp) =>
+        Some(java.lang.Long.compare(strictMicros(x),
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(y)))
+      case (x: Long, y: java.time.Instant) =>
+        Some(java.lang.Long.compare(strictMicros(x),
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(y)))
+      case (x: Long, y: Number)    => Some(java.lang.Long.compare(x, y.longValue()))
+      case (x: Double, y: Number)  => Some(java.lang.Double.compare(x, y.doubleValue()))
+      case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+      case (x: String, y: String)  => Some(x.compareTo(y))
+      case (x: String, y: UTF8String) => Some(x.compareTo(y.toString))
+      case _                       => None
+    }
   }
 
   def eval(f: Filter, d: Dissect.Dissected, compatStrict: Boolean): Boolean = f match {
+    // cmp(..).forall: an incomparable pair keeps the row (Spark re-filters);
+    // a null dissected value drops it (SQL three-valued logic → not true).
     case EqualTo(a, v) =>
-      val x = value(a, d); x != null && cmp(x, v).contains(0)
-    case GreaterThan(a, v)        => val x = value(a, d); x != null && cmp(x, v).exists(_ > 0)
-    case GreaterThanOrEqual(a, v) => val x = value(a, d); x != null && cmp(x, v).exists(_ >= 0)
-    case LessThan(a, v)           => val x = value(a, d); x != null && cmp(x, v).exists(_ < 0)
-    case LessThanOrEqual(a, v)    => val x = value(a, d); x != null && cmp(x, v).exists(_ <= 0)
+      val x = value(a, d); x != null && cmp(x, v, compatStrict).forall(_ == 0)
+    case GreaterThan(a, v)        => val x = value(a, d); x != null && cmp(x, v, compatStrict).forall(_ > 0)
+    case GreaterThanOrEqual(a, v) => val x = value(a, d); x != null && cmp(x, v, compatStrict).forall(_ >= 0)
+    case LessThan(a, v)           => val x = value(a, d); x != null && cmp(x, v, compatStrict).forall(_ < 0)
+    case LessThanOrEqual(a, v)    => val x = value(a, d); x != null && cmp(x, v, compatStrict).forall(_ <= 0)
     case IsNotNull(a)             => value(a, d) != null
     case IsNull(a)                => value(a, d) == null
     case And(l, r)                => eval(l, d, compatStrict) && eval(r, d, compatStrict)
@@ -212,11 +240,22 @@ object DisplayFilter {
         case n                 => d.values.getOrElse(n, null)
       }
       if (raw == null) return false
+      val litS = lit.stripPrefix("\"").stripSuffix("\"")
+      raw match {
+        // Multi-occurrence fields (ip.addr = "src,dst") follow Wireshark
+        // display-filter semantics: `==` is true if ANY occurrence matches,
+        // `!=` if any occurrence differs.
+        case x: String if x.indexOf(',') >= 0 && (op == "==" || op == "eq") =>
+          return x.split(',').contains(litS)
+        case x: String if x.indexOf(',') >= 0 && (op == "!=" || op == "ne") =>
+          return x.split(',').exists(_ != litS)
+        case _ =>
+      }
       val c: Option[Int] = raw match {
         case x: Long    => lit.toLongOption.map(java.lang.Long.compare(x, _))
         case x: Double  => lit.toDoubleOption.map(java.lang.Double.compare(x, _))
         case x: Boolean => Some(java.lang.Boolean.compare(x, lit == "1" || lit == "true"))
-        case x          => Some(x.toString.compareTo(lit.stripPrefix("\"").stripSuffix("\"")))
+        case x          => Some(x.toString.compareTo(litS))
       }
       c.exists { r =>
         op match {
@@ -240,35 +279,62 @@ object DisplayFilter {
     def eval(d: Dissect.Dissected): Boolean = l.eval(d) || r.eval(d)
   }
 
-  def parse(s: String): Expr = new Parser(s).parseOr()
+  def parse(s: String): Expr = {
+    val p = new Parser(s)
+    val e = p.parseOr()
+    p.expectEnd()
+    e
+  }
 
   private final class Parser(s: String) {
     private var i = 0
     private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
     private def peek(tok: String): Boolean = { ws(); s.startsWith(tok, i) }
     private def take(tok: String): Boolean = { if (peek(tok)) { i += tok.length; true } else false }
+    private def identChar(c: Char): Boolean = c.isLetterOrDigit || c == '.' || c == '_'
+    // Keyword operators (`or`, `and`, `not`) must end at a word boundary so
+    // a field named `order.id` is not split at its `or` prefix.
+    private def takeWord(w: String): Boolean = {
+      ws()
+      if (s.startsWith(w, i) && (i + w.length >= s.length || !identChar(s(i + w.length)))) {
+        i += w.length; true
+      } else false
+    }
+
+    def expectEnd(): Unit = {
+      ws()
+      if (i < s.length)
+        throw new IllegalArgumentException(
+          s"cfilter: unexpected trailing input at offset $i: '${s.substring(i)}'")
+    }
 
     def parseOr(): Expr = {
       var l = parseAnd()
-      while (take("||") || take(" or ")) l = OrE(l, parseAnd())
+      while (take("||") || takeWord("or")) l = OrE(l, parseAnd())
       l
     }
     private def parseAnd(): Expr = {
       var l = parseUnary()
-      while (take("&&") || take(" and ")) l = AndE(l, parseUnary())
+      while (take("&&") || takeWord("and")) l = AndE(l, parseUnary())
       l
     }
     private def parseUnary(): Expr = {
       ws()
-      if (take("!")) Not(parseUnary())
-      else if (take("(")) { val e = parseOr(); take(")"); e }
-      else parseAtom()
+      if (take("!") || takeWord("not")) Not(parseUnary())
+      else if (take("(")) {
+        val e = parseOr()
+        if (!take(")")) throw new IllegalArgumentException(
+          s"cfilter: expected ')' at offset $i in '$s'")
+        e
+      } else parseAtom()
     }
     private def parseAtom(): Expr = {
       ws()
       val start = i
-      while (i < s.length && (s(i).isLetterOrDigit || s(i) == '.' || s(i) == '_')) i += 1
+      while (i < s.length && identChar(s(i))) i += 1
       val ident = s.substring(start, i)
+      if (ident.isEmpty)
+        throw new IllegalArgumentException(s"cfilter: expected a field name at offset $i in '$s'")
       ws()
       val op = Seq("==", "!=", ">=", "<=", ">", "<").find(take)
       op match {

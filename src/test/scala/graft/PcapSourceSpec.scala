@@ -215,6 +215,54 @@ class PcapSourceSpec extends SparkSpec {
     assert(parens > 0 && parens < 485)
   }
 
+  test("pushed timestamp range filter on frame.time_epoch keeps matching rows") {
+    // Regression: the reader-side Filter eval had no Long-micros vs
+    // java.sql.Timestamp case, dropped every row of any time-range query.
+    val df = Wireduck.readPcap(spark, fixPcap)
+    val start = java.sql.Timestamp.valueOf("2015-11-01 00:00:00")
+    assert(df.filter(col("`frame.time_epoch`") >= start).count() === 485)
+    // midpoint split: both halves non-empty, partition the capture
+    val all = df.select(col("`frame.time_epoch`")).collect().map(_.getTimestamp(0).getTime).sorted
+    val mid = new java.sql.Timestamp(all(242))
+    val before = df.filter(col("`frame.time_epoch`") < mid).count()
+    val atAfter = df.filter(col("`frame.time_epoch`") >= mid).count()
+    assert(before > 0 && atAfter > 0 && before + atAfter === 485)
+    // strict mode truncates to whole seconds before comparing
+    val strictDf = Wireduck.readPcap(spark, fixPcap, compatStrict = true)
+    val firstSec = java.sql.Timestamp.valueOf("2015-11-28 00:00:00")
+    assert(strictDf.filter(col("`frame.time_epoch`") >= firstSec).count() === 485)
+  }
+
+  test("display-filter parser: word-form or/and, trailing garbage rejected") {
+    val orN = Wireduck.readPcap(spark, fixPcap, protocols = Seq("ip", "tcp"),
+      cfilter = Some("tcp.srcport == 11001 or tcp.srcport == 53867")).count()
+    assert(orN === 485)
+    val andN = Wireduck.readPcap(spark, fixPcap, protocols = Seq("ip", "tcp"),
+      cfilter = Some("fix and tcp.srcport == 11001")).count()
+    val andSym = Wireduck.readPcap(spark, fixPcap, protocols = Seq("ip", "tcp"),
+      cfilter = Some("fix && tcp.srcport == 11001")).count()
+    assert(andN === andSym && andN > 0)
+    val notN = Wireduck.readPcap(spark, fixPcap, cfilter = Some("not fix")).count()
+    assert(notN === 485 - 429)
+    val e = intercept[Exception] {
+      Wireduck.readPcap(spark, fixPcap, cfilter = Some("tcp.srcport == 11001 garbage here")).count()
+    }
+    assert(e.getMessage.contains("trailing input") ||
+      Option(e.getCause).exists(_.getMessage.contains("trailing input")))
+  }
+
+  test("ip.addr carries src,dst and display-filter == matches either") {
+    val df = Wireduck.readPcap(spark, fixPcap, protocols = Seq("ip"))
+    val r = df.orderBy(col("`frame.number`")).limit(1).collect()(0)
+    val addr = r.getAs[String]("ip.addr")
+    assert(addr.contains(",") && addr.split(",").length === 2)
+    assert(addr === r.getAs[String]("ip.src") + "," + r.getAs[String]("ip.dst"))
+    // loopback capture: every packet has 127.0.0.1 as src or dst
+    val n = Wireduck.readPcap(spark, fixPcap,
+      cfilter = Some("ip.addr == 127.0.0.1")).count()
+    assert(n === 485)
+  }
+
   test("SQL: FROM initialize_glossary() returns the reference status rows") {
     val rows = spark.sql("SELECT * FROM initialize_glossary()")
       .collect().map(_.getString(0))
