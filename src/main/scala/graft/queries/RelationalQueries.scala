@@ -793,7 +793,9 @@ object RelationalQueries {
       GROUP BY user_id
       ORDER BY user_id"""))
 
-  /** Typed Aggregator UDAF: bounded top-k state per group. */
+  /** Typed Aggregator UDAF: bounded top-k state per group. The array result
+    * is exploded to scalar rows (o_custkey, rnk, price) so the driver's
+    * DuckDB compare can sort/hash it (array cells aren't hashable there). */
   val q36TopkAggregator = GraftQuery(
     "q36_topk_aggregator",
     (s, dir) => {
@@ -805,14 +807,21 @@ object RelationalQueries {
         .mapValues(r => (r._2, r._3))
         .agg(new graft.functions.TopKAggregator(3).toColumn.name("top_prices"))
         .toDF("o_custkey", "top_prices")
-        .orderBy($"o_custkey")
+        .select($"o_custkey", posexplode($"top_prices").as(Seq("pos", "price")))
+        .select($"o_custkey", ($"pos" + 1).cast("long").as("rnk"), $"price")
+        .orderBy($"o_custkey", $"rnk")
     },
     Some("""
-      SELECT o_custkey,
-             (LIST(o_totalprice ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS top_prices
-      FROM orders
-      GROUP BY o_custkey
-      ORDER BY o_custkey"""))
+      WITH t AS (
+        SELECT o_custkey,
+               (LIST(o_totalprice ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS top_prices
+        FROM orders
+        GROUP BY o_custkey
+      )
+      SELECT o_custkey, i AS rnk, top_prices[CAST(i AS INT)] AS price
+      FROM t, (SELECT UNNEST(generate_series(1, 3)) AS i)
+      WHERE i <= len(top_prices)
+      ORDER BY o_custkey, rnk"""))
 
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.TextQueries
+
+/** Scale-behavior specs for the dedup family (VERDICT r1 items 2-3):
+  * 64-bit simhash must keep the candidate-pair space near-linear, and the
+  * ngram-jaccard shingle join must not explode on boilerplate-heavy
+  * corpora thanks to the document-frequency cap.
+  */
+class TextDedupSpec extends SparkSpec {
+
+  /** Write a synthetic documents table with the testdata schema. */
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("synthetic"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("simhash occupies the 64-bit space (no 16-bit saturation)") {
+    val sims = TextQueries.ddSimhash.fn(spark, sfDir).collect()
+    assert(sims.length === 500)
+    val vals = sims.map(_.getAs[Long]("simhash64"))
+    // a 16-bit fingerprint could never leave [0, 65536)
+    assert(vals.exists(v => v < 0 || v > (1L << 32)),
+      "fingerprints confined to a small space — simhash not 64-bit")
+    // 64-bit space on 500 docs: accidental collisions essentially impossible
+    assert(vals.distinct.length >= vals.length - 20)
+  }
+
+  test("simhash pigeonhole candidates stay near-linear; exact dup recovered") {
+    val rnd = new scala.util.Random(7)
+    def doc(): String =
+      (0 until 80).map(_ => s"w${rnd.nextInt(10000)}").mkString(" ")
+    val base = (1 to 500).map(i => (i.toLong, doc()))
+    val corpus = base :+ (9001L, base.head._2) // exact duplicate of doc 1
+    val dir = writeDocs(corpus)
+
+    val hashes = TextQueries.ddSimhash.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("simhash64")))
+    // candidate pairs exactly as the pairing query generates them: agree on
+    // any (block index, 16-bit block value); counted per block = an upper
+    // bound on the deduplicated join size
+    var cand = 0L
+    for (k <- 0 until 4) {
+      val byBlk = hashes.groupBy { case (_, h) => (h >> (16 * k)) & 0xffffL }
+      cand += byBlk.values.map(v => v.size.toLong * (v.size - 1) / 2).sum
+    }
+    val n = hashes.length
+    // 16-bit simhash degenerated to ~n²/64 (≈3,900 here); 64-bit blocks
+    // give ~4·C(n,2)/65536 ≈ 8 expected — assert the linear bound
+    assert(cand < n, s"candidate blow-up: $cand pairs from $n docs")
+
+    val pairs = TextQueries.ddSimhashPairs.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("dist")))
+    assert(pairs.exists { case (a, b, d) => a == 1L && b == 9001L && d == 0L },
+      "exact duplicate not recovered by pigeonhole pairing")
+    // random 80-word docs: no hash-noise "near-dups" at 64 bits
+    assert(pairs.count { case (a, b, _) => !(a == 1L && b == 9001L) } === 0)
+  }
+
+  test("ngram jaccard df-cap: boilerplate creates no pairs, rare overlap still found") {
+    val boiler = (0 until 30).map(j => s"b$j").mkString(" ")
+    val docs =
+      (1 to 100).map(i =>
+        (i.toLong, boiler + " " + (0 until 5).map(j => s"u${i}_$j").mkString(" "))) ++
+      Seq(
+        (200L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (201L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val dir = writeDocs(docs)
+    val res = TextQueries.ddNgramJaccard.fn(spark, dir).collect()
+    val pairs = res.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // the two docs share 5 of 7 rare shingles → jaccard 5/7, found
+    assert(pairs.contains((200L, 201L)))
+    // the 100 boilerplate docs share only df=100 shingles (all capped out):
+    // without the cap this would be C(100,2) = 4,950 candidate pairs
+    assert(pairs.forall { case (a, _) => a >= 200L },
+      s"boilerplate-only pairs leaked through the df cap: $pairs")
+  }
+}
