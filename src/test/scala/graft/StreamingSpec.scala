@@ -72,6 +72,31 @@ class StreamingSpec extends SparkSpec {
     assert(out(0).n_events === 2 && out(0).total_value === 2.0)
   }
 
+  test("sessionize batch: 1M-event hot key folds without buffering") {
+    import spark.implicits._
+    // one user, 1M events: 10,000 sessions of 100 events (1 min apart),
+    // starting every 3 h (81-min idle gap between sessions). The old
+    // toSeq.sortBy would materialize all 1M rows on one executor thread;
+    // the sorted-group fold is O(1).
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val events = spark.range(1000000).select(
+      col("id").as("event_id"),
+      expr(s"timestamp_millis(${base}L + (id div 100) * 10800000 + (id % 100) * 60000)").as("ts"),
+      lit(42L).as("user_id"),
+      lit("e").as("event_type"),
+      lit(1.0).as("value"),
+      lit("{}").as("props")).as[EventPipeline.Event]
+    val sess = EventPipeline.sessionize(spark, events, gapMinutes = 30)
+    // ordering comes from Spark's spillable sort, not user code
+    val plan = sess.queryExecution.executedPlan.toString()
+    assert(plan.contains("Sort"), s"expected Spark-side sort in plan:\n$plan")
+    val agg = sess.agg(count(lit(1)), sum(col("n_events")), sum(col("total_value"))).collect()(0)
+    // 10,000 sessions, last one withheld as open
+    assert(agg.getLong(0) === 9999L)
+    assert(agg.getLong(1) === 999900L)
+    assert(agg.getDouble(2) === 999900.0)
+  }
+
   test("file-stream source: events land in windowed aggregate") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
