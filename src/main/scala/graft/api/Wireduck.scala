@@ -33,12 +33,14 @@ object Wireduck {
       protocols: Seq[String] = Seq.empty,
       climit: Option[Long] = None,
       cfilter: Option[String] = None,
-      compatStrict: Boolean = false): DataFrame = {
+      compatStrict: Boolean = false,
+      desegment: Boolean = false): DataFrame = {
     var r = spark.read.format("pcap")
     if (protocols.nonEmpty) r = r.option("protocols", protocols.mkString(","))
     climit.foreach(n => r = r.option("climit", n.toString))
     cfilter.foreach(f => r = r.option("cfilter", f))
     if (compatStrict) r = r.option("compat", "strict")
+    if (desegment) r = r.option("desegment", "true")
     r.load(path)
   }
 

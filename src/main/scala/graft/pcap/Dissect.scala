@@ -54,6 +54,9 @@ object Dissect {
     val wsShift = Array(-1, -1) // window-scale shift offered in SYN
     val sawSyn = Array(false, false)
     val maxNxtSeq = Array(-1L, -1L) // highest relative nxtseq seen (retransmit detection)
+    // desegmentation: unconsumed tail of an incomplete application PDU,
+    // per direction (only populated when the tracker has desegment=true)
+    val carry: Array[Array[Byte]] = Array(Array.emptyByteArray, Array.emptyByteArray)
     var firstTsMicros = -1L
     var prevTsMicros = -1L
     def scalingActive: Boolean = wsShift(0) >= 0 && wsShift(1) >= 0
@@ -64,8 +67,13 @@ object Dissect {
     var prevTsMicros = -1L
   }
 
-  /** Per-file mutable tracker; create one per PartitionReader. */
-  final class Tracker {
+  /** Per-file mutable tracker; create one per PartitionReader.
+    * @param desegment reassemble application PDUs (FIX) that span TCP
+    *   segments, like tshark's desegmentation: the message is reported on
+    *   the packet carrying its final segment, earlier parts render as
+    *   "[TCP segment of a reassembled PDU]". Off by default (matches the
+    *   per-packet scan semantics the fixture goldens pin). */
+  final class Tracker(val desegment: Boolean = false) {
     private val tcpConvs = mutable.HashMap.empty[ConvKey, TcpConv]
     private val udpConvs = mutable.HashMap.empty[ConvKey, UdpConv]
     private var nextTcpStream = 0L
@@ -156,6 +164,74 @@ object Dissect {
       } else i += 1
     }
     out.toSeq
+  }
+
+  /** Cap on buffered reassembly bytes per TCP direction; a PDU larger than
+    * this is abandoned rather than risking unbounded executor memory. */
+  private val MaxCarry = 1 << 20
+
+  /** Scan `buf` for COMPLETE FIX messages (from "8=FIX" up to and including
+    * the SOH-terminated checksum field "10=xxx<SOH>").
+    * @return (msgtype names of complete messages, bytes consumed) — the
+    *   unconsumed tail is either a partial message start or garbage-free. */
+  private def fixCompleteMessages(buf: Array[Byte]): (Seq[String], Int) = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var consumed = 0
+    var i = 0
+    val n = buf.length
+    while (i < n) {
+      // next message start
+      while (i < n - 4 && !(buf(i) == '8' && buf(i + 1) == '=' && buf(i + 2) == 'F' &&
+        buf(i + 3) == 'I' && buf(i + 4) == 'X')) i += 1
+      if (i >= n - 4)
+        // no further complete start: consume everything except a trailing
+        // proper prefix of "8=FIX" (which the next segment may complete)
+        return (out.toSeq, math.max(consumed, fixPrefixStart(buf, n, consumed)))
+      val start = i
+      // find terminator <SOH>10=...<SOH>
+      var msg: String = null
+      var end = -1
+      var j = start
+      while (j < n - 3 && end < 0) {
+        if (buf(j) == SOH && buf(j + 1) == '1' && buf(j + 2) == '0' && buf(j + 3) == '=') {
+          var k = j + 4
+          while (k < n && buf(k) != SOH) k += 1
+          if (k < n) end = k + 1 // complete (checksum SOH-terminated)
+          else j = n // incomplete checksum: stop
+        } else j += 1
+      }
+      if (end < 0) return (out.toSeq, start) // partial message: carry from its start
+      // msgtype inside [start, end)
+      var m = start
+      while (m < end - 3 && msg == null) {
+        if (buf(m) == SOH && buf(m + 1) == '3' && buf(m + 2) == '5' && buf(m + 3) == '=') {
+          var k = m + 4
+          while (k < end && buf(k) != SOH) k += 1
+          val t = new String(buf, m + 4, k - (m + 4), "ISO-8859-1")
+          msg = fixMsgNames.getOrElse(t, t)
+        }
+        m += 1
+      }
+      if (msg != null) out += msg
+      consumed = end
+      i = end
+    }
+    (out.toSeq, consumed)
+  }
+
+  /** Start index of a trailing proper prefix of "8=FIX" in buf[floor, n),
+    * or n when the tail ends in no such prefix. */
+  private def fixPrefixStart(buf: Array[Byte], n: Int, floor: Int): Int = {
+    val marker = "8=FIX".getBytes("ISO-8859-1")
+    var l = math.min(4, n - floor)
+    while (l > 0) {
+      var ok = true
+      var i = 0
+      while (ok && i < l) { if (buf(n - l + i) != marker(i)) ok = false; i += 1 }
+      if (ok) return n - l
+      l -= 1
+    }
+    n
   }
 
   private def hexBytes(d: Array[Byte], off: Int, len: Int): String = {
@@ -438,23 +514,46 @@ object Dissect {
     if (wanted.payloads && segLen > 0)
       v("tcp.payload") = hexBytes(d, off + hdrLen, math.min(segLen, d.length - off - hdrLen))
 
-    // FIX layer
-    var fixInfo: String = null
-    if (segLen > 5 && off + hdrLen + 5 <= d.length) {
-      val pstart = off + hdrLen
-      val plen = math.min(segLen, d.length - pstart)
-      if (d(pstart) == '8' && d(pstart + 1) == '=' && d(pstart + 2) == 'F' &&
-        d(pstart + 3) == 'I' && d(pstart + 4) == 'X') {
+    // application layer: FIX (with optional desegmentation), HTTP, TLS
+    var appInfo: String = null
+    val pstart = off + hdrLen
+    val plen = math.min(segLen, math.max(0, d.length - pstart))
+    if (plen > 0) {
+      val startsFix = plen > 5 &&
+        d(pstart) == '8' && d(pstart + 1) == '=' && d(pstart + 2) == 'F' &&
+        d(pstart + 3) == 'I' && d(pstart + 4) == 'X'
+      if (tracker.desegment && (startsFix || conv.carry(dir).nonEmpty)) {
+        // reassembly: prepend this direction's carried tail, extract the
+        // messages COMPLETED by this segment, keep the new tail
+        val prev = conv.carry(dir)
+        val buf =
+          if (prev.isEmpty) java.util.Arrays.copyOfRange(d, pstart, pstart + plen)
+          else prev ++ java.util.Arrays.copyOfRange(d, pstart, pstart + plen)
+        val (msgs, consumed) = fixCompleteMessages(buf)
+        conv.carry(dir) =
+          if (buf.length - consumed > MaxCarry) Array.emptyByteArray
+          else java.util.Arrays.copyOfRange(buf, consumed, buf.length)
+        if (msgs.nonEmpty) {
+          protos += "fix"
+          appInfo = msgs.mkString(", ")
+          v("fix.msgtype") = msgs.head
+        } else if (conv.carry(dir).nonEmpty) {
+          // mid-PDU segment: tshark-style continuation marker, no fix layer
+          appInfo = "[TCP segment of a reassembled PDU]"
+        }
+      } else if (startsFix) {
         protos += "fix"
         val msgs = fixMessages(d, pstart, plen)
         if (msgs.nonEmpty) {
-          fixInfo = msgs.mkString(", ")
+          appInfo = msgs.mkString(", ")
           v("fix.msgtype") = msgs.head
         }
       }
+      if (appInfo == null) appInfo = dissectHttp(d, pstart, plen, v, protos)
+      if (appInfo == null) appInfo = dissectTls(d, pstart, plen, sp, dp, v, protos)
     }
 
-    if (fixInfo != null) fixInfo
+    if (appInfo != null) appInfo
     else if (!wanted.info) ""
     else {
       // Wireshark-style TCP info column
@@ -511,6 +610,131 @@ object Dissect {
       if (dnsInfo != null) return dnsInfo
     }
     if (wanted.info) s"$sp → $dp Len=$payLen" else ""
+  }
+
+  private val httpMethods =
+    Seq("GET ", "POST ", "PUT ", "DELETE ", "HEAD ", "OPTIONS ", "PATCH ", "TRACE ", "CONNECT ")
+
+  /** HTTP/1.x request/response line + common headers (content-identified,
+    * any port — exceeds tshark's default port-based dissector binding).
+    * Fields mirror tshark filter names (`tshark -G fields` http rows). */
+  private def dissectHttp(
+      d: Array[Byte], pstart: Int, plen: Int,
+      v: mutable.HashMap[String, Any],
+      protos: mutable.ArrayBuffer[String]): String = {
+    val text = new String(d, pstart, math.min(plen, 2048), "ISO-8859-1")
+    val isResp = text.startsWith("HTTP/1.")
+    val isReq = !isResp && httpMethods.exists(text.startsWith)
+    if (!isReq && !isResp) return null
+    val lineEnd = text.indexOf("\r\n")
+    if (lineEnd < 0) return null // no complete start-line: not (yet) HTTP
+    protos += "http"
+    val line = text.substring(0, lineEnd)
+    val lower = text.toLowerCase
+    def header(name: String): Option[String] = {
+      val at = lower.indexOf(s"\r\n$name:")
+      if (at < 0) None
+      else {
+        val vs = at + 2 + name.length + 1
+        val ve = text.indexOf("\r\n", vs)
+        Some(text.substring(vs, if (ve < 0) text.length else ve).trim)
+      }
+    }
+    val parts = line.split(" ", 3)
+    if (isReq) {
+      v("http.request") = true
+      v("http.request.method") = parts(0)
+      if (parts.length > 1) v("http.request.uri") = parts(1)
+      if (parts.length > 2) v("http.request.version") = parts(2)
+      header("host").foreach(h => v("http.host") = h)
+      header("user-agent").foreach(h => v("http.user_agent") = h)
+    } else {
+      v("http.response") = true
+      v("http.response.version") = parts(0)
+      if (parts.length > 1) parts(1).toLongOption.foreach(c => v("http.response.code") = c)
+      if (parts.length > 2) v("http.response.phrase") = parts(2)
+      header("content-type").foreach(h => v("http.content_type") = h)
+    }
+    header("content-length").flatMap(_.toLongOption).foreach(c => v("http.content_length") = c)
+    line
+  }
+
+  private val tlsHandshakeNames: Map[Int, String] = Map(
+    1 -> "Client Hello", 2 -> "Server Hello", 4 -> "New Session Ticket",
+    8 -> "Encrypted Extensions", 11 -> "Certificate", 12 -> "Server Key Exchange",
+    14 -> "Server Hello Done", 16 -> "Client Key Exchange", 20 -> "Finished")
+
+  /** TLS record layer + handshake type + ClientHello SNI. Identified by a
+    * plausible record header (content types 20-23, version 3.x) on either
+    * direction; SNI comes from the server_name (0) extension. */
+  private def dissectTls(
+      d: Array[Byte], pstart: Int, plen: Int, sp: Int, dp: Int,
+      v: mutable.HashMap[String, Any],
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (plen < 5) return null
+    val ctype = u8(d, pstart)
+    val vmaj = u8(d, pstart + 1)
+    val vmin = u8(d, pstart + 2)
+    val rlen = u16(d, pstart + 3)
+    val plausible = ctype >= 20 && ctype <= 23 && vmaj == 3 && vmin <= 4 && rlen > 0
+    if (!plausible) return null
+    // application-data records carry no structure to confirm — accept them
+    // only on the registered port to avoid false positives
+    if (ctype != 22 && sp != 443 && dp != 443) return null
+    protos += "tls"
+    v("tls.record.content_type") = ctype.toLong
+    v("tls.record.version") = ((vmaj << 8) | vmin).toLong
+    v("tls.record.length") = rlen.toLong
+    if (ctype != 22) return tlsContentName(ctype)
+    if (plen < 6) return "TLS Handshake"
+    val hsType = u8(d, pstart + 5)
+    v("tls.handshake.type") = hsType.toLong
+    if (plen >= 11 && (hsType == 1 || hsType == 2))
+      v("tls.handshake.version") = u16(d, pstart + 9).toLong
+    if (hsType == 1) {
+      val sni = clientHelloSni(d, pstart + 5, math.min(pstart + 5 + plen - 5, d.length))
+      sni.foreach(n => v("tls.handshake.extensions_server_name") = n)
+      sni match {
+        case Some(n) => s"Client Hello (SNI=$n)"
+        case None    => "Client Hello"
+      }
+    } else tlsHandshakeNames.getOrElse(hsType, s"Handshake type=$hsType")
+  }
+
+  private def tlsContentName(ctype: Int): String = ctype match {
+    case 20 => "Change Cipher Spec"
+    case 21 => "Alert"
+    case 23 => "Application Data"
+    case t  => s"TLS record type=$t"
+  }
+
+  /** Walk a ClientHello (starting at the handshake header) to the
+    * server_name extension; None when absent or truncated. */
+  private def clientHelloSni(d: Array[Byte], hs: Int, end: Int): Option[String] = {
+    try {
+      var i = hs + 4 // type(1) + length(3)
+      i += 2 + 32 // client_version + random
+      if (i >= end) return None
+      val sidLen = u8(d, i); i += 1 + sidLen // session_id
+      if (i + 2 > end) return None
+      val csLen = u16(d, i); i += 2 + csLen // cipher_suites
+      if (i + 1 > end) return None
+      val compLen = u8(d, i); i += 1 + compLen // compression_methods
+      if (i + 2 > end) return None
+      val extEnd = math.min(end, i + 2 + u16(d, i)); i += 2
+      while (i + 4 <= extEnd) {
+        val extType = u16(d, i)
+        val extLen = u16(d, i + 2)
+        if (extType == 0 && i + 4 + extLen <= extEnd && extLen >= 5) {
+          // server_name_list: list_len(2) name_type(1) name_len(2) name
+          val nameLen = u16(d, i + 7)
+          if (i + 9 + nameLen <= extEnd)
+            return Some(new String(d, i + 9, nameLen, "ISO-8859-1"))
+        }
+        i += 4 + extLen
+      }
+      None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
   }
 
   /** ARP (RFC 826): opcode + sender/target addresses; Wireshark-style
@@ -597,15 +821,69 @@ object Dissect {
         qtype = u16(d, i + 1)
         v("dns.qry.name") = qname
         v("dns.qry.type") = qtype.toLong
+        // first answer record (responses): name / type / ttl / A address
+        if (isResponse && an > 0 && qd == 1) {
+          val ansAt = i + 5 // past 0-terminator + qtype + qclass
+          readDnsName(d, ansAt, off, end).foreach { case (rname, after) =>
+            if (after + 10 <= end) {
+              val rtype = u16(d, after)
+              val ttl = u32(d, after + 4)
+              val rdlen = u16(d, after + 8)
+              v("dns.resp.name") = rname
+              v("dns.resp.type") = rtype.toLong
+              v("dns.resp.ttl") = ttl
+              if (rtype == 1 && rdlen == 4 && after + 14 <= end)
+                v("dns.a") = ipv4Str(d, after + 10)
+              else if (rtype == 5 && after + 10 + rdlen <= end)
+                readDnsName(d, after + 10, off, end)
+                  .foreach { case (cn, _) => v("dns.cname") = cn }
+            }
+          }
+        }
       }
     }
-    val typeName = qtype match {
+    def nameOf(t: Int): String = t match {
       case 1 => "A"; case 2 => "NS"; case 5 => "CNAME"; case 6 => "SOA"
       case 12 => "PTR"; case 15 => "MX"; case 16 => "TXT"; case 28 => "AAAA"
-      case _ => if (qtype >= 0) qtype.toString else ""
+      case _ => if (t >= 0) t.toString else ""
     }
+    val typeName = nameOf(qtype)
     val idHex = "%04x".format(id)
     val kind = if (isResponse) "Standard query response" else "Standard query"
-    if (qname != null) s"$kind 0x$idHex $typeName $qname" else s"$kind 0x$idHex"
+    val base = if (qname != null) s"$kind 0x$idHex $typeName $qname" else s"$kind 0x$idHex"
+    // tshark appends the answer rdata: "… A example.com A 93.184.216.34"
+    (v.get("dns.a"), v.get("dns.cname")) match {
+      case (Some(a), _)     => s"$base A $a"
+      case (_, Some(cn))    => s"$base CNAME $cn"
+      case _                => base
+    }
+  }
+
+  /** DNS name at `at` with RFC 1035 compression-pointer support;
+    * `msgStart` anchors pointer offsets. Returns (name, index after the
+    * name field) or None when truncated/looping. */
+  private def readDnsName(
+      d: Array[Byte], at: Int, msgStart: Int, end: Int): Option[(String, Int)] = {
+    val sb = new StringBuilder
+    var i = at
+    var after = -1 // set on first pointer: field ends right after it
+    var hops = 0
+    while (hops < 32) {
+      if (i >= end) return None
+      val len = u8(d, i)
+      if (len == 0) return Some((sb.toString, if (after >= 0) after else i + 1))
+      else if ((len & 0xc0) == 0xc0) {
+        if (i + 1 >= end) return None
+        if (after < 0) after = i + 2
+        i = msgStart + (((len & 0x3f) << 8) | u8(d, i + 1))
+      } else {
+        if (i + 1 + len > end) return None
+        if (sb.nonEmpty) sb.append('.')
+        sb.append(new String(d, i + 1, len, "ISO-8859-1"))
+        i += 1 + len
+      }
+      hops += 1
+    }
+    None
   }
 }

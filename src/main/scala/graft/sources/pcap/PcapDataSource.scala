@@ -199,7 +199,8 @@ final class PcapScan(
     val compatStrict = options.getOrDefault("compat", "") == "strict"
     val cfilter = Option(options.get("cfilter")).filter(_.nonEmpty)
     val backend = options.getOrDefault("backend", "native")
-    PcapReaderFactory(requiredSchema, compatStrict, cfilter, pushed, backend)
+    val desegment = options.getBoolean("desegment", false)
+    PcapReaderFactory(requiredSchema, compatStrict, cfilter, pushed, backend, desegment)
   }
 }
 

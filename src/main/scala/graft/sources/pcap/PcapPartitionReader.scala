@@ -25,14 +25,15 @@ final case class PcapReaderFactory(
     compatStrict: Boolean,
     cfilter: Option[String],
     pushed: Array[Filter],
-    backend: String = "native")
+    backend: String = "native",
+    desegment: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PcapInputPartition]
     if (backend == "tshark")
       new TsharkPartitionReader(p.file, p.maxPackets, schema, compatStrict, cfilter)
     else
-      new PcapPartitionReader(p, schema, compatStrict, cfilter, pushed)
+      new PcapPartitionReader(p, schema, compatStrict, cfilter, pushed, desegment)
   }
 }
 
@@ -41,7 +42,8 @@ final class PcapPartitionReader(
     schema: StructType,
     compatStrict: Boolean,
     cfilter: Option[String],
-    pushed: Array[Filter])
+    pushed: Array[Filter],
+    desegment: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val path = new Path(partition.file)
@@ -84,7 +86,7 @@ final class PcapPartitionReader(
         din, h, partition.maxPackets, partition.firstNumber, partition.byteLength),
         h.linktype)
     }
-  private val tracker = new Dissect.Tracker
+  private val tracker = new Dissect.Tracker(desegment)
   private val displayFilter = cfilter.map(DisplayFilter.parse)
 
   /** Dissection pruning: skip payload hex-encoding / info rendering unless

@@ -145,6 +145,134 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d.info === "Standard query 0x1234 A example.com")
   }
 
+  private def ethIpTcp(sp: Int, dp: Int, payload: Array[Byte], seq: Int = 1000): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(14 + 20 + 20 + payload.length)
+    b.put(new Array[Byte](12)).putShort(0x0800.toShort) // eth
+    val iplen = 20 + 20 + payload.length
+    b.put(0x45.toByte).put(0.toByte).putShort(iplen.toShort)
+      .putShort(1.toShort).putShort(0.toShort)
+      .put(64.toByte).put(6.toByte).putShort(0.toShort)
+      .put(Array[Byte](10, 0, 0, 1)).put(Array[Byte](10, 0, 0, 2))
+    b.putShort(sp.toShort).putShort(dp.toShort)
+      .putInt(seq).putInt(0)
+      .put((5 << 4).toByte).put(0x18.toByte) // hdr len 20, PSH+ACK
+      .putShort(8192.toShort).putShort(0.toShort).putShort(0.toShort)
+    b.put(payload)
+    b.array()
+  }
+
+  test("HTTP request dissects method/uri/host; info is the request line") {
+    val payload = ("GET /index.html HTTP/1.1\r\nHost: example.com\r\n" +
+      "User-Agent: curl/8.0\r\n\r\n").getBytes("ISO-8859-1")
+    val d = dissectOne(ethIpTcp(49152, 80, payload))
+    assert(d.protocols === "eth:ethertype:ip:tcp:http")
+    assert(d.info === "GET /index.html HTTP/1.1")
+    assert(d.values("http.request") === true)
+    assert(d.values("http.request.method") === "GET")
+    assert(d.values("http.request.uri") === "/index.html")
+    assert(d.values("http.request.version") === "HTTP/1.1")
+    assert(d.values("http.host") === "example.com")
+    assert(d.values("http.user_agent") === "curl/8.0")
+  }
+
+  test("HTTP response dissects code/phrase/content headers") {
+    val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Content-Length: 42\r\n\r\n" + "x" * 42).getBytes("ISO-8859-1")
+    val d = dissectOne(ethIpTcp(80, 49152, payload))
+    assert(d.protocols === "eth:ethertype:ip:tcp:http")
+    assert(d.info === "HTTP/1.1 200 OK")
+    assert(d.values("http.response") === true)
+    assert(d.values("http.response.code") === 200L)
+    assert(d.values("http.response.phrase") === "OK")
+    assert(d.values("http.content_type") === "text/html")
+    assert(d.values("http.content_length") === 42L)
+  }
+
+  private def clientHello(sni: String): Array[Byte] = {
+    val name = sni.getBytes("ISO-8859-1")
+    val ext = java.nio.ByteBuffer.allocate(4 + 2 + 1 + 2 + name.length)
+    ext.putShort(0.toShort).putShort((2 + 1 + 2 + name.length).toShort) // server_name ext
+    ext.putShort((1 + 2 + name.length).toShort).put(0.toByte).putShort(name.length.toShort).put(name)
+    val extB = ext.array()
+    val hsBodyLen = 2 + 32 + 1 + 2 + 2 + 1 + 1 + 2 + extB.length
+    val hs = java.nio.ByteBuffer.allocate(4 + hsBodyLen)
+    hs.put(1.toByte) // ClientHello
+    hs.put((hsBodyLen >> 16).toByte).put((hsBodyLen >> 8).toByte).put(hsBodyLen.toByte)
+    hs.putShort(0x0303.toShort).put(new Array[Byte](32)) // version + random
+    hs.put(0.toByte) // session_id len
+    hs.putShort(2.toShort).putShort(0x1301.toShort) // one cipher suite
+    hs.put(1.toByte).put(0.toByte) // compression
+    hs.putShort(extB.length.toShort).put(extB)
+    val hsB = hs.array()
+    val rec = java.nio.ByteBuffer.allocate(5 + hsB.length)
+    rec.put(22.toByte).put(3.toByte).put(1.toByte).putShort(hsB.length.toShort).put(hsB)
+    rec.array()
+  }
+
+  test("TLS ClientHello yields record/handshake fields and SNI") {
+    val d = dissectOne(ethIpTcp(49152, 443, clientHello("example.com")))
+    assert(d.protocols === "eth:ethertype:ip:tcp:tls")
+    assert(d.info === "Client Hello (SNI=example.com)")
+    assert(d.values("tls.record.content_type") === 22L)
+    assert(d.values("tls.handshake.type") === 1L)
+    assert(d.values("tls.handshake.extensions_server_name") === "example.com")
+  }
+
+  test("DNS response parses first answer and appends it to info") {
+    val q = java.nio.ByteBuffer.allocate(12 + 13 + 4 + 2 + 10 + 4)
+    q.putShort(0x1234.toShort).putShort(0x8180.toShort) // response, RD+RA
+      .putShort(1.toShort).putShort(1.toShort).putShort(0.toShort).putShort(0.toShort)
+    q.put(7.toByte).put("example".getBytes).put(3.toByte).put("com".getBytes).put(0.toByte)
+    q.putShort(1.toShort).putShort(1.toShort) // question: A IN
+    q.putShort(0xc00c.toShort) // answer name: pointer to offset 12
+    q.putShort(1.toShort).putShort(1.toShort).putInt(300) // A IN ttl=300
+    q.putShort(4.toShort).put(Array[Byte](93, (184 - 256).toByte, (216 - 256).toByte, 34))
+    val d = dissectOne(ethIpUdp(53, 40000, q.array()))
+    assert(d.values("dns.flags.response") === true)
+    assert(d.values("dns.resp.name") === "example.com")
+    assert(d.values("dns.resp.type") === 1L)
+    assert(d.values("dns.resp.ttl") === 300L)
+    assert(d.values("dns.a") === "93.184.216.34")
+    assert(d.info === "Standard query response 0x1234 A example.com A 93.184.216.34")
+  }
+
+  test("desegment: split FIX message renders on the completing packet") {
+    val fix = "8=FIX.4.2\u00019=20\u000135=A\u000134=1\u000149=X\u000110=123\u0001"
+    val (part1, part2) = fix.splitAt(15) // split inside the message body
+    def frame(s: String, seq: Int) = {
+      val f = ethIpTcp(5001, 5002, s.getBytes("ISO-8859-1"), seq)
+      PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    }
+    // without desegmentation: neither packet yields the message
+    val plain = new Dissect.Tracker
+    val p1 = Dissect.dissect(frame(part1, 1000), 1, plain)
+    val p2 = Dissect.dissect(frame(part2, 1000 + part1.length), 1, plain)
+    assert(!p1.values.contains("fix.msgtype") && !p2.values.contains("fix.msgtype"))
+
+    // with desegmentation: first is a continuation, second completes Logon
+    val deseg = new Dissect.Tracker(desegment = true)
+    val d1 = Dissect.dissect(frame(part1, 1000), 1, deseg)
+    val d2 = Dissect.dissect(frame(part2, 1000 + part1.length), 1, deseg)
+    assert(d1.info === "[TCP segment of a reassembled PDU]")
+    assert(!d1.values.contains("fix.msgtype"))
+    assert(d2.info === "Logon")
+    assert(d2.values("fix.msgtype") === "Logon")
+    assert(d2.protocols === "eth:ethertype:ip:tcp:fix")
+
+    // whole-message capture renders identically to the reassembled one
+    val whole = Dissect.dissect(frame(fix, 1000), 1, new Dissect.Tracker(desegment = true))
+    assert(whole.info === d2.info)
+  }
+
+  test("desegment: two complete messages in one segment both render") {
+    val fix = "8=FIX.4.2\u00019=20\u000135=0\u000110=123\u0001" +
+      "8=FIX.4.2\u00019=20\u000135=1\u000110=124\u0001"
+    val f = ethIpTcp(5001, 5002, fix.getBytes("ISO-8859-1"))
+    val rec = PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    val d = Dissect.dissect(rec, 1, new Dissect.Tracker(desegment = true))
+    assert(d.info === "Heartbeat, TestRequest")
+  }
+
   test("ICMP echo request renders ping info") {
     val icmp = java.nio.ByteBuffer.allocate(8)
     icmp.put(8.toByte).put(0.toByte).putShort(0.toShort)

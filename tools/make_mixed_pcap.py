@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Generate src/test/resources/mixed.pcap — a deterministic golden capture
+exercising the native HTTP / TLS(SNI) / DNS-response / ICMP / ARP
+dissectors plus a FIX message split across two TCP segments (for the
+desegment option). Checked in; regenerate with: python3 tools/make_mixed_pcap.py
+"""
+import struct
+
+SOH = b"\x01"
+
+
+def eth(dst, src, etype, payload):
+    return dst + src + struct.pack(">H", etype) + payload
+
+
+MAC_A = bytes.fromhex("020000000001")
+MAC_B = bytes.fromhex("020000000002")
+
+
+def ipv4(proto, src, dst, payload, ident=1, ttl=64):
+    total = 20 + len(payload)
+    hdr = struct.pack(">BBHHHBBH4s4s", 0x45, 0, total, ident, 0, ttl, proto, 0,
+                      bytes(src), bytes(dst))
+    return hdr, payload
+
+
+def ip_frame(proto, src, dst, payload, ident=1):
+    hdr, pay = ipv4(proto, src, dst, payload, ident)
+    return eth(MAC_B, MAC_A, 0x0800, hdr + pay)
+
+
+def tcp(sp, dp, seq, payload, flags=0x18, ack=0):
+    hdr = struct.pack(">HHIIBBHHH", sp, dp, seq, ack, 5 << 4, flags, 8192, 0, 0)
+    return hdr + payload
+
+
+def udp(sp, dp, payload):
+    return struct.pack(">HHHH", sp, dp, 8 + len(payload), 0) + payload
+
+
+A = [10, 0, 0, 1]
+B = [10, 0, 0, 2]
+
+packets = []  # (sec, usec, frame)
+t = 1700000000
+
+# 1-2: ARP request/reply
+arp_req = (struct.pack(">HHBBH", 1, 0x0800, 6, 4, 1) + MAC_A + bytes(A) +
+           bytes(6) + bytes(B))
+packets.append((t, 0, eth(b"\xff" * 6, MAC_A, 0x0806, arp_req)))
+arp_rep = (struct.pack(">HHBBH", 1, 0x0800, 6, 4, 2) + MAC_B + bytes(B) +
+           MAC_A + bytes(A))
+packets.append((t, 100, eth(MAC_A, MAC_B, 0x0806, arp_rep)))
+
+# 3-4: ICMP echo request/reply (id=0x42, seq=7)
+icmp_req = struct.pack(">BBHHH", 8, 0, 0, 0x42, 7) + b"ping"
+packets.append((t, 200, ip_frame(1, A, B, icmp_req, ident=2)))
+icmp_rep = struct.pack(">BBHHH", 0, 0, 0, 0x42, 7) + b"ping"
+packets.append((t, 300, ip_frame(1, B, A, icmp_rep, ident=3)))
+
+# 5-6: DNS query + response (A example.com -> 93.184.216.34, ttl 300)
+qname = b"\x07example\x03com\x00"
+dns_q = struct.pack(">HHHHHH", 0x1234, 0x0100, 1, 0, 0, 0) + qname + struct.pack(">HH", 1, 1)
+packets.append((t + 1, 0, ip_frame(17, A, B, udp(40000, 53, dns_q), ident=4)))
+dns_r = (struct.pack(">HHHHHH", 0x1234, 0x8180, 1, 1, 0, 0) + qname +
+         struct.pack(">HH", 1, 1) +
+         b"\xc0\x0c" + struct.pack(">HHIH", 1, 1, 300, 4) + bytes([93, 184, 216, 34]))
+packets.append((t + 1, 500, ip_frame(17, B, A, udp(53, 40000, dns_r), ident=5)))
+
+# 7-8: HTTP request + response
+http_req = (b"GET /index.html HTTP/1.1\r\nHost: example.com\r\n"
+            b"User-Agent: graft/1.0\r\n\r\n")
+packets.append((t + 2, 0, ip_frame(6, A, B, tcp(49152, 80, 1, http_req), ident=6)))
+http_rsp = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Length: 13\r\n\r\n<html></html>")
+packets.append((t + 2, 500, ip_frame(6, B, A, tcp(80, 49152, 1, http_rsp), ident=7)))
+
+# 9: TLS ClientHello with SNI=example.com
+name = b"example.com"
+sni_ext = struct.pack(">HH", 0, 2 + 1 + 2 + len(name)) + \
+    struct.pack(">HBH", 1 + 2 + len(name), 0, len(name)) + name
+hs_body = (struct.pack(">H", 0x0303) + bytes(32) + b"\x00" +
+           struct.pack(">H", 2) + struct.pack(">H", 0x1301) +
+           b"\x01\x00" + struct.pack(">H", len(sni_ext)) + sni_ext)
+hs = b"\x01" + len(hs_body).to_bytes(3, "big") + hs_body
+tls_rec = struct.pack(">BBBH", 22, 3, 1, len(hs)) + hs
+packets.append((t + 3, 0, ip_frame(6, A, B, tcp(49153, 443, 1, tls_rec), ident=8)))
+
+# 10-11: FIX Logon split across two TCP segments (port 5001 -> 5002)
+fix_msg = (b"8=FIX.4.2" + SOH + b"9=24" + SOH + b"35=A" + SOH + b"34=1" + SOH +
+           b"49=INITIATOR" + SOH + b"10=123" + SOH)
+# split BEFORE the 35= tag so the per-packet scanner cannot see the msgtype
+part1, part2 = fix_msg[:12], fix_msg[12:]
+packets.append((t + 4, 0, ip_frame(6, A, B, tcp(5001, 5002, 1, part1), ident=9)))
+packets.append((t + 4, 500, ip_frame(6, A, B, tcp(5001, 5002, 1 + len(part1), part2), ident=10)))
+
+# 12: whole FIX Heartbeat in one segment (same stream, completes after split msg)
+fix_hb = b"8=FIX.4.2" + SOH + b"9=12" + SOH + b"35=0" + SOH + b"34=2" + SOH + b"10=124" + SOH
+packets.append((t + 5, 0, ip_frame(6, A, B, tcp(5001, 5002, 1 + len(fix_msg), fix_hb), ident=11)))
+
+out = struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 262144, 1)
+for sec, usec, frame in packets:
+    out += struct.pack("<IIII", sec, usec, len(frame), len(frame)) + frame
+
+path = "src/test/resources/mixed.pcap"
+with open(path, "wb") as f:
+    f.write(out)
+print(f"wrote {path}: {len(packets)} packets, {len(out)} bytes")
