@@ -24,6 +24,14 @@ object ScanBench {
         println(f"SCAN $label run$i: $s%.2f s  ${bytes / s}%.0f MB/s")
       }
     }
+    // planning cost: driver header sweep vs executor-parallel resync —
+    // the sweep grows with file size, resync stays O(1) driver I/O
+    for (mode <- Seq("index", "resync"); i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = spark.read.format("pcap").option("split", "16m")
+        .option("split.mode", mode).load(file).rdd.getNumPartitions
+      println(f"PLAN split.mode=$mode run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n partitions)")
+    }
     spark.stop()
   }
 }

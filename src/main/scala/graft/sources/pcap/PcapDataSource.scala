@@ -185,9 +185,18 @@ final class PcapScan(
       // Intra-file record-boundary splits (stateless-field scale path).
       // climit keeps the reference's ordered single-pipe semantics, so it
       // forces whole-file partitions (SURVEY §7.3).
+      // split.mode=resync computes boundaries with a parallel executor-side
+      // resync job (driver reads 40 bytes) instead of the driver's
+      // sequential header sweep — planning time independent of file size.
       case Some(target) if effLimit == Long.MaxValue =>
+        val resync = options.getOrDefault("split.mode", "index") == "resync"
         files.flatMap { f =>
-          PcapIndex.splits(f, target, conf).map(s =>
+          val ss =
+            if (resync)
+              PcapIndex.resyncSplits(f, target, conf,
+                org.apache.spark.sql.SparkSession.active)
+            else PcapIndex.splits(f, target, conf)
+          ss.map(s =>
             PcapInputPartition(f, Long.MaxValue, s.offset, s.length, s.firstNumber): InputPartition)
         }.toArray
       case _ =>

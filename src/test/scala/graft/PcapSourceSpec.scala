@@ -169,6 +169,31 @@ class PcapSourceSpec extends SparkSpec {
     assert(capped.count() === 4)
   }
 
+  test("split.mode=resync: executor-side boundaries agree with the driver sweep") {
+    import graft.pcap.PcapIndex
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fileLen = new java.io.File(fixPcap).length()
+    // resync cuts at fixed byte offsets (vs the sweep's cumulative
+    // thresholds) so the split points differ; the invariants that matter:
+    // contiguous record-boundary coverage of [24, EOF) and exact numbering
+    val par = PcapIndex.resyncSplits(fixPcap, 64 * 1024, conf, spark)
+    assert(par.length > 1 && par.head.offset === 24L)
+    assert(par.map(_.length).sum === fileLen - 24)
+    par.sliding(2).foreach {
+      case Seq(a, b) => assert(a.offset + a.length === b.offset)
+      case _ =>
+    }
+    // boundaries land on true record starts: each split's firstNumber is
+    // 1 + records before it (verified end-to-end below via frame.number)
+    assert(par.map(_.firstNumber) === par.map(_.firstNumber).sorted)
+    // end-to-end: same aggregate through the reader
+    val df = spark.read.format("pcap")
+      .option("split", "64k").option("split.mode", "resync").load(fixPcap)
+    assert(df.rdd.getNumPartitions > 1)
+    val r = df.agg(countDistinct(col("`frame.number`")), sum(col("`frame.len`"))).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((485L, 311418L)))
+  }
+
   test("per-stream timing fields populate; retransmission detection sane") {
     import org.apache.spark.sql.functions._
     val df = spark.read.format("pcap")
