@@ -144,6 +144,74 @@ object TextQueries {
     })
 
   // ---------------------------------------------------------------------
+  // Repetition signals (Gopher-style quality rules)
+  // ---------------------------------------------------------------------
+
+  /** Per-document repetition metrics used by LLM training-data filters
+    * (top-token fraction, duplicate 2-/3-gram fractions): pure
+    * key-partitioned aggregates over exploded tokens — scale-safe. Single
+    * int/int division per fraction keeps doubles bit-identical across
+    * engines. */
+  val txRepetition = GraftQuery(
+    "tx_repetition",
+    (s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir).withColumn("tokens", split($"text", " "))
+      val words = base.select($"doc_id", explode($"tokens").as("w")).filter($"w" =!= "")
+      val tot = words.groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
+      val topc = words.groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_c"))
+      def grams(n: Int) = base
+        .filter(size($"tokens") >= n)
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(1, size(tokens) - ${n - 1}), i -> concat_ws(' ', slice(tokens, i, $n)))"))
+          .as("g"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as(s"ng$n"), countDistinct($"g").as(s"ndg$n"))
+      tot.join(topc, Seq("doc_id"))
+        .join(grams(2), Seq("doc_id"), "left")
+        .join(grams(3), Seq("doc_id"), "left")
+        .select(
+          $"doc_id", $"n_tokens",
+          ($"top_c".cast(DoubleType) / $"n_tokens".cast(DoubleType)).as("top_token_frac"),
+          coalesce(($"ng2" - $"ndg2").cast(DoubleType) / $"ng2".cast(DoubleType), lit(0.0))
+            .as("dup_bigram_frac"),
+          coalesce(($"ng3" - $"ndg3").cast(DoubleType) / $"ng3".cast(DoubleType), lit(0.0))
+            .as("dup_trigram_frac"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH w2 AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+        WHERE w <> ''),
+      tot AS (SELECT doc_id, COUNT(*) AS n_tokens FROM w2 GROUP BY doc_id),
+      topc AS (SELECT doc_id, MAX(c) AS top_c
+               FROM (SELECT doc_id, w, COUNT(*) AS c FROM w2 GROUP BY 1, 2)
+               GROUP BY doc_id),
+      b2 AS (SELECT doc_id, COUNT(*) AS ng2, COUNT(DISTINCT g) AS ndg2
+             FROM (SELECT doc_id, ARRAY_TO_STRING(tokens[i:i+1], ' ') AS g
+                   FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens FROM documents),
+                        UNNEST(RANGE(1, LEN(tokens))) AS t(i)
+                   WHERE LEN(tokens) >= 2)
+             GROUP BY doc_id),
+      b3 AS (SELECT doc_id, COUNT(*) AS ng3, COUNT(DISTINCT g) AS ndg3
+             FROM (SELECT doc_id, ARRAY_TO_STRING(tokens[i:i+2], ' ') AS g
+                   FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens FROM documents),
+                        UNNEST(RANGE(1, LEN(tokens) - 1)) AS t(i)
+                   WHERE LEN(tokens) >= 3)
+             GROUP BY doc_id)
+      SELECT tot.doc_id AS doc_id, n_tokens,
+             CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+             COALESCE(CAST(ng2 - ndg2 AS DOUBLE) / CAST(ng2 AS DOUBLE), 0.0) AS dup_bigram_frac,
+             COALESCE(CAST(ng3 - ndg3 AS DOUBLE) / CAST(ng3 AS DOUBLE), 0.0) AS dup_trigram_frac
+      FROM tot
+      JOIN topc ON topc.doc_id = tot.doc_id
+      LEFT JOIN b2 ON b2.doc_id = tot.doc_id
+      LEFT JOIN b3 ON b3.doc_id = tot.doc_id
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
   // Fingerprinting + exact dedup
   // ---------------------------------------------------------------------
 
@@ -457,7 +525,7 @@ object TextQueries {
     })
 
   val all: Seq[GraftQuery] = Seq(
-    txTokenCount, txQuality, txLangId, txFingerprint,
+    txTokenCount, txQuality, txLangId, txFingerprint, txRepetition,
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
     ddSimhashPairs)
 }
