@@ -96,8 +96,20 @@ object Dissect {
     (((d(o) & 0xff).toLong << 24) | ((d(o + 1) & 0xff) << 16) |
       ((d(o + 2) & 0xff) << 8) | (d(o + 3) & 0xff)) & 0xffffffffL
 
-  private def macStr(d: Array[Byte], o: Int): String =
-    (o until o + 6).map(i => f"${d(i) & 0xff}%02x").mkString(":")
+  /** Two-hex-digit strings for 0..255 — String.format per byte costs more
+    * than the rest of a packet's dissection combined on the hot path. */
+  private val hex2: Array[String] = Array.tabulate(256)(i => f"$i%02x")
+
+  private def macStr(d: Array[Byte], o: Int): String = {
+    val sb = new java.lang.StringBuilder(17)
+    var i = o
+    while (i < o + 6) {
+      if (i > o) sb.append(':')
+      sb.append(hex2(d(i) & 0xff))
+      i += 1
+    }
+    sb.toString
+  }
 
   private def ipv4Str(d: Array[Byte], o: Int): String =
     s"${u8(d, o)}.${u8(d, o + 1)}.${u8(d, o + 2)}.${u8(d, o + 3)}"
@@ -239,7 +251,7 @@ object Dissect {
     var i = 0
     while (i < len) {
       if (i > 0) sb.append(':')
-      sb.append(f"${d(off + i) & 0xff}%02x")
+      sb.append(hex2(d(off + i) & 0xff))
       i += 1
     }
     sb.toString
