@@ -144,7 +144,7 @@ final class PcapScan(
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new PcapMicroBatchStream(requiredSchema, options)
+    new PcapMicroBatchStream(requiredSchema, options, checkpointLocation)
   override def description(): String =
     s"PcapScan(files=${files.size}, columns=${requiredSchema.size}, " +
       s"climit=${options.getOrDefault("climit", "-")}, cfilter=${options.getOrDefault("cfilter", "-")})"

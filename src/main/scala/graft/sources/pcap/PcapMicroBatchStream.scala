@@ -3,6 +3,7 @@ package graft.sources.pcap
 import scala.collection.mutable
 
 import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types.StructType
@@ -18,15 +19,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * rotation + file streaming, with every batch flowing through the same
   * dissector/scan code as the batch source.
   *
-  * Offsets are monotonically increasing batch ids over the set of
-  * files seen by THIS stream instance, discovered in (name-sorted) order.
-  * On checkpoint restart, files are rediscovered — at-least-once delivery;
-  * exactly-once requires the file-sink pattern of idempotent downstream
-  * writes (documented limitation of this v1).
+  * Exactly-once: the batch → file-set assignment is persisted to a file
+  * log under the query's checkpoint location (one atomically-renamed
+  * file per batch id, like Spark's own FileStreamSource log). On restart
+  * the log is replayed, so a batch re-executed after failure reads
+  * exactly the files it read before, and already-committed files are
+  * never re-assigned — combined with Spark's idempotent sinks this gives
+  * end-to-end exactly-once (was: in-memory seen-set, at-least-once).
   */
 final class PcapMicroBatchStream(
     schema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    checkpointLocation: String)
     extends MicroBatchStream {
 
   private final case class PcapOffset(batchId: Long) extends Offset {
@@ -34,9 +38,40 @@ final class PcapMicroBatchStream(
   }
 
   private val conf = new Configuration()
+  private val logDir = new Path(checkpointLocation, "pcap-file-log")
+  private val fs = logDir.getFileSystem(conf)
+
   private val seen = mutable.HashSet.empty[String]
   private val batches = mutable.HashMap.empty[Long, Seq[String]]
   private var lastBatch = -1L
+
+  // recovery: replay the persisted batch → files log
+  locally {
+    if (fs.exists(logDir)) {
+      fs.listStatus(logDir).foreach { st =>
+        st.getPath.getName.toLongOption.foreach { b =>
+          val files = readLogFile(st.getPath)
+          batches(b) = files
+          seen ++= files
+          if (b > lastBatch) lastBatch = b
+        }
+      }
+    } else fs.mkdirs(logDir)
+  }
+
+  private def readLogFile(p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def writeLogFile(b: Long, files: Seq[String]): Unit = {
+    val tmp = new Path(logDir, s".$b.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(logDir, b.toString)))
+      throw new java.io.IOException(s"pcap stream: failed to commit file log for batch $b")
+  }
 
   private def discover(): Seq[String] =
     PcapTable.expand(PcapTable.paths(options), conf).sorted
@@ -46,6 +81,7 @@ final class PcapMicroBatchStream(
   override def latestOffset(): Offset = synchronized {
     val fresh = discover().filterNot(seen)
     if (fresh.nonEmpty) {
+      writeLogFile(lastBatch + 1, fresh) // persist BEFORE exposing the offset
       lastBatch += 1
       batches(lastBatch) = fresh
       seen ++= fresh
@@ -60,8 +96,13 @@ final class PcapMicroBatchStream(
     val e = end.asInstanceOf[PcapOffset].batchId
     val climit = Option(options.get("climit")).map(_.toLong).getOrElse(Long.MaxValue)
     synchronized {
-      ((s + 1) to e).flatMap(b => batches.getOrElse(b, Seq.empty))
-        .map(f => PcapInputPartition(f, climit): InputPartition).toArray
+      ((s + 1) to e).flatMap { b =>
+        batches.get(b).orElse {
+          // replanned after restart beyond what recovery saw: read the log
+          val p = new Path(logDir, b.toString)
+          if (fs.exists(p)) Some(readLogFile(p)) else None
+        }.getOrElse(Seq.empty)
+      }.map(f => PcapInputPartition(f, climit): InputPartition).toArray
     }
   }
 
@@ -72,10 +113,7 @@ final class PcapMicroBatchStream(
     PcapReaderFactory(schema, compatStrict, cfilter, Array.empty, backend)
   }
 
-  override def commit(end: Offset): Unit = synchronized {
-    val e = end.asInstanceOf[PcapOffset].batchId
-    batches.keys.filter(_ <= e).toSeq.foreach(batches.remove)
-  }
+  override def commit(end: Offset): Unit = () // log retained for replay
 
   override def stop(): Unit = ()
 }

@@ -131,4 +131,32 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("pcapcnt").collect()(0).getLong(0) === 970L)
     } finally q.stop()
   }
+
+  test("streaming pcap: checkpoint restart does not re-read committed files") {
+    import org.apache.spark.sql.functions._
+    val fixPcap = getClass.getResource("/fix.pcap").getPath
+    val dir = java.nio.file.Files.createTempDirectory("pcapstream2")
+    val ck = java.nio.file.Files.createTempDirectory("pcapck2").toString
+    val out = java.nio.file.Files.createTempDirectory("pcapout2").toString
+    java.nio.file.Files.copy(java.nio.file.Paths.get(fixPcap), dir.resolve("cap-001.pcap"))
+
+    def run(): Unit = {
+      val q = spark.readStream.format("pcap").load(dir.toString)
+        .select(col("`frame.number`"), col("`frame.len`"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() === 485L)
+    // stop, land a second file, restart from the same checkpoint: the
+    // persisted file log must not re-assign cap-001 (was: in-memory
+    // seen-set → every restart re-read everything, at-least-once)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(fixPcap), dir.resolve("cap-002.pcap"))
+    run()
+    assert(spark.read.parquet(out).count() === 970L)
+    // a third restart with nothing new appends nothing
+    run()
+    assert(spark.read.parquet(out).count() === 970L)
+  }
 }
