@@ -62,4 +62,33 @@ object Media {
       }
     }
   }
+
+  final case class FrameSample(doc_id: Long, frame_idx: Long, ts_ms: Long, frame_md5: String)
+
+  /** Frame sampling over video rows: the 1→N shape of a real
+    * video-to-training-frames pipeline — per-partition batch iteration,
+    * lazy flatMap (no per-video frame buffer), 1-4 frames spread evenly
+    * across the stubbed duration. STUB boundary: a real implementation
+    * seeks the container to `ts_ms` and decodes the frame tensor; here the
+    * frame fingerprint md5(payload ++ ":idx") stands in for it (and keeps
+    * the operator oracle-checkable). */
+  def sampleFrames(spark: SparkSession, media: DataFrame): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.filter(col("media_type") === "video")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, _, payload) =>
+          val (_, _, dur) = decodeStub(payload)
+          val n = 1 + dur % 4
+          val md = MessageDigest.getInstance("MD5")
+          (0L until n).iterator.map { i =>
+            md.reset()
+            md.update(payload)
+            md.update(s":$i".getBytes("UTF-8"))
+            val hex = md.digest().map("%02x".format(_)).mkString
+            FrameSample(id, i, i * (dur / n), hex)
+          }
+        }
+      }
+  }
 }

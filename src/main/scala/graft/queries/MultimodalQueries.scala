@@ -56,5 +56,27 @@ object MultimodalQueries {
       GROUP BY media_type
       ORDER BY media_type"""))
 
-  val all: Seq[GraftQuery] = Seq(mmMediaMeta, mmTypeStats)
+  /** 1→N frame sampling over the video subset (lazy flatMap inside
+    * mapPartitions — the shape a video→training-frames extractor runs at
+    * scale; decode stubbed, see [[graft.multimodal.Media.sampleFrames]]). */
+  val mmFrameSample = GraftQuery(
+    "mm_frame_sample",
+    (s, dir) => {
+      val media = Media.synthesize(Tables.load(s, dir, "documents"))
+      Media.sampleFrames(s, media).toDF().orderBy("doc_id", "frame_idx")
+    },
+    Some("""
+      WITH v AS (
+        SELECT doc_id, text,
+               ASCII(SUBSTR(MD5(text), 5, 1)) * 256 + ASCII(SUBSTR(MD5(text), 6, 1)) AS duration_ms
+        FROM documents
+        WHERE doc_id % 3 = 2),
+      nf AS (SELECT *, 1 + duration_ms % 4 AS n_frames FROM v)
+      SELECT doc_id, i AS frame_idx,
+             CAST(i * (duration_ms // n_frames) AS BIGINT) AS ts_ms,
+             MD5(text || ':' || CAST(i AS VARCHAR)) AS frame_md5
+      FROM nf, UNNEST(RANGE(0, CAST(n_frames AS BIGINT))) AS t(i)
+      ORDER BY doc_id, frame_idx"""))
+
+  val all: Seq[GraftQuery] = Seq(mmMediaMeta, mmTypeStats, mmFrameSample)
 }
