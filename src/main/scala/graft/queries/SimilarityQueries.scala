@@ -147,5 +147,50 @@ object SimilarityQueries {
         .filter($"vec_id" =!= 0)
     })
 
-  val all: Seq[GraftQuery] = Seq(simAnnBrute, simAnnLsh, simAnnIvf, ddEmbeddingNeardup)
+  /** Batch ANN — the realistic at-scale shape: a SET of query vectors
+    * (broadcast) against the bucketed corpus in ONE join, per-query top-k
+    * via window ranking. Wall-clock is one shuffle regardless of query
+    * count, vs running sim_ann_lsh per query. Fully oracle-checkable
+    * (plan-literal buckets + unrolled IEEE cosine + ROW_NUMBER). */
+  val simAnnBatch = GraftQuery(
+    "sim_ann_batch",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("bucket", Vectors.lshBucket($"embedding", 6))
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket".as("qbucket"))
+      val corpus = emb.filter($"vec_id" >= 10)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+      corpus.join(broadcast(queries), $"bucket" === $"qbucket")
+        .select($"query_id", $"vec_id", Vectors.cosine($"embedding", $"qe").as("cosine"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter($"rnk" <= 3)
+        .select($"query_id", $"rnk", $"vec_id", $"cosine")
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT vec_id, embedding, ${duckBucket("embedding", 6)} AS bucket
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qbucket
+            FROM b WHERE vec_id < 10),
+      c AS (SELECT * FROM b WHERE vec_id >= 10),
+      scored AS (
+        SELECT q.query_id, c.vec_id,
+               (${duckDot("c.embedding", "q.qe")})
+                 / (SQRT(${duckDot("c.embedding", "c.embedding")})
+                    * SQRT(${duckDot("q.qe", "q.qe")})) AS cosine
+        FROM c JOIN q ON c.bucket = q.qbucket),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored)
+      SELECT query_id, CAST(rn AS BIGINT) AS rnk, vec_id, cosine
+      FROM ranked WHERE rn <= 3
+      ORDER BY query_id, rnk"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, ddEmbeddingNeardup)
 }
