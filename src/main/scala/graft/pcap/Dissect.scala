@@ -371,6 +371,13 @@ object Dissect {
     val next = off + ihl
     // payload bounded by IP total length (ethernet padding must not leak in)
     val ipEnd = math.min(off + totalLen, d.length)
+    // Non-first fragments carry raw payload where the L4 header would be —
+    // dissecting them as TCP/UDP would emit garbage fields. tshark renders
+    // these as "Fragmented IP protocol"; reassembly is out of scope (the
+    // fixture corpora carry none), so match that rendering and stop here.
+    val fragOffset = flagsFrag & 0x1fff
+    if (fragOffset > 0)
+      return s"Fragmented IP protocol (proto=$proto, off=${fragOffset * 8}, ID=${"%04x".format(u16(d, off + 4))})"
     proto match {
       case 6  => dissectTcp(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
       case 17 => dissectUdp(d, next, ipEnd, src, dst, v, protos, tracker, wanted)

@@ -273,6 +273,23 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d.info === "Heartbeat, TestRequest")
   }
 
+  test("non-first IPv4 fragment: no L4 fields, fragment info rendered") {
+    // frag_offset = 185 (x8 = 1480 bytes), proto = TCP, payload bytes that
+    // would misparse as a TCP header if dissected
+    val b = java.nio.ByteBuffer.allocate(14 + 20 + 20)
+    b.put(new Array[Byte](12)).putShort(0x0800.toShort)
+    b.put(0x45.toByte).put(0.toByte).putShort(40.toShort)
+      .putShort(0xabcd.toShort).putShort((0x2000 | 185).toShort) // MF=1, off=185
+      .put(64.toByte).put(6.toByte).putShort(0.toShort)
+      .put(Array[Byte](10, 0, 0, 1)).put(Array[Byte](10, 0, 0, 2))
+    b.put(Array.fill[Byte](20)(0x41))
+    val d = dissectOne(b.array())
+    assert(d.protocols === "eth:ethertype:ip")
+    assert(!d.values.contains("tcp.srcport"))
+    assert(d.values("ip.frag_offset") === 185L)
+    assert(d.info === "Fragmented IP protocol (proto=6, off=1480, ID=abcd)")
+  }
+
   test("ICMP echo request renders ping info") {
     val icmp = java.nio.ByteBuffer.allocate(8)
     icmp.put(8.toByte).put(0.toByte).putShort(0.toShort)
