@@ -55,8 +55,10 @@ object Dissect {
     val sawSyn = Array(false, false)
     val maxNxtSeq = Array(-1L, -1L) // highest relative nxtseq seen (retransmit detection)
     // desegmentation: unconsumed tail of an incomplete application PDU,
-    // per direction (only populated when the tracker has desegment=true)
+    // per direction (only populated when the tracker has desegment=true);
+    // carryKind records which dissector owns the buffer (1=fix, 2=http)
     val carry: Array[Array[Byte]] = Array(Array.emptyByteArray, Array.emptyByteArray)
+    val carryKind: Array[Int] = Array(0, 0)
     var firstTsMicros = -1L
     var prevTsMicros = -1L
     def scalingActive: Boolean = wsShift(0) >= 0 && wsShift(1) >= 0
@@ -541,8 +543,9 @@ object Dissect {
       val startsFix = plen > 5 &&
         d(pstart) == '8' && d(pstart + 1) == '=' && d(pstart + 2) == 'F' &&
         d(pstart + 3) == 'I' && d(pstart + 4) == 'X'
-      if (tracker.desegment && (startsFix || conv.carry(dir).nonEmpty)) {
-        // reassembly: prepend this direction's carried tail, extract the
+      if (tracker.desegment &&
+        (startsFix || (conv.carryKind(dir) == 1 && conv.carry(dir).nonEmpty))) {
+        // FIX reassembly: prepend this direction's carried tail, extract the
         // messages COMPLETED by this segment, keep the new tail
         val prev = conv.carry(dir)
         val buf =
@@ -552,6 +555,7 @@ object Dissect {
         conv.carry(dir) =
           if (buf.length - consumed > MaxCarry) Array.emptyByteArray
           else java.util.Arrays.copyOfRange(buf, consumed, buf.length)
+        conv.carryKind(dir) = if (conv.carry(dir).nonEmpty) 1 else 0
         if (msgs.nonEmpty) {
           protos += "fix"
           appInfo = msgs.mkString(", ")
@@ -566,6 +570,28 @@ object Dissect {
         if (msgs.nonEmpty) {
           appInfo = msgs.mkString(", ")
           v("fix.msgtype") = msgs.head
+        }
+      }
+      // HTTP reassembly: buffer until the header block terminator arrives
+      if (appInfo == null && tracker.desegment) {
+        val httpCarry = conv.carryKind(dir) == 2 && conv.carry(dir).nonEmpty
+        val head = new String(d, pstart, math.min(plen, 10), "ISO-8859-1")
+        val looksHttpStart = head.startsWith("HTTP/1.") || httpMethods.exists(head.startsWith)
+        if (httpCarry || looksHttpStart) {
+          val seg = java.util.Arrays.copyOfRange(d, pstart, pstart + plen)
+          val buf = if (httpCarry) conv.carry(dir) ++ seg else seg
+          if (indexOfCrlfCrlf(buf) >= 0) {
+            conv.carry(dir) = Array.emptyByteArray
+            conv.carryKind(dir) = 0
+            appInfo = dissectHttp(buf, 0, buf.length, v, protos)
+          } else if (buf.length <= MaxCarry) {
+            conv.carry(dir) = buf
+            conv.carryKind(dir) = 2
+            appInfo = "[TCP segment of a reassembled PDU]"
+          } else {
+            conv.carry(dir) = Array.emptyByteArray
+            conv.carryKind(dir) = 0
+          }
         }
       }
       if (appInfo == null) appInfo = dissectHttp(d, pstart, plen, v, protos)
@@ -634,6 +660,16 @@ object Dissect {
   private val httpMethods =
     Seq("GET ", "POST ", "PUT ", "DELETE ", "HEAD ", "OPTIONS ", "PATCH ", "TRACE ", "CONNECT ")
 
+  /** Index of the HTTP header-block terminator CRLFCRLF, or -1. */
+  private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
   /** HTTP/1.x request/response line + common headers (content-identified,
     * any port — exceeds tshark's default port-based dissector binding).
     * Fields mirror tshark filter names (`tshark -G fields` http rows). */
@@ -656,7 +692,9 @@ object Dissect {
       else {
         val vs = at + 2 + name.length + 1
         val ve = text.indexOf("\r\n", vs)
-        Some(text.substring(vs, if (ve < 0) text.length else ve).trim)
+        // a header whose line terminator hasn't arrived is truncated —
+        // emitting the partial value would be wrong (deseg completes it)
+        if (ve < 0) None else Some(text.substring(vs, ve).trim)
       }
     }
     val parts = line.split(" ", 3)

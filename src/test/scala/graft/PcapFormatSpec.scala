@@ -264,6 +264,28 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(whole.info === d2.info)
   }
 
+  test("desegment: HTTP headers spanning segments reassemble (Host captured)") {
+    val req = "GET /a HTTP/1.1\r\nHost: example.com\r\nUser-Agent: curl/8.0\r\n\r\n"
+    val (p1, p2) = req.splitAt(25) // split inside the Host header line
+    def frame(s: String, seq: Int) = {
+      val f = ethIpTcp(49200, 80, s.getBytes("ISO-8859-1"), seq)
+      PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    }
+    // without desegmentation: first segment parses the request line but the
+    // split Host header is lost
+    val plain = Dissect.dissect(frame(p1, 1), 1, new Dissect.Tracker)
+    assert(plain.values.get("http.request.method").contains("GET"))
+    assert(!plain.values.contains("http.host"))
+
+    val t = new Dissect.Tracker(desegment = true)
+    val d1 = Dissect.dissect(frame(p1, 1), 1, t)
+    val d2 = Dissect.dissect(frame(p2, 1 + p1.length), 1, t)
+    assert(d1.info === "[TCP segment of a reassembled PDU]")
+    assert(d2.info === "GET /a HTTP/1.1")
+    assert(d2.values("http.host") === "example.com")
+    assert(d2.values("http.user_agent") === "curl/8.0")
+  }
+
   test("desegment: two complete messages in one segment both render") {
     val fix = "8=FIX.4.2\u00019=20\u000135=0\u000110=123\u0001" +
       "8=FIX.4.2\u00019=20\u000135=1\u000110=124\u0001"

@@ -68,4 +68,49 @@ class PcapPropertySpec extends AnyFunSuite {
           parsed.zip(recs).forall { case (p, g) => p.data.sameElements(g.payload) }
     })
   }
+
+  test("dissector fuzz: random TCP payloads to app-layer ports never throw") {
+    import graft.pcap.Dissect
+    // ports that trigger the HTTP/TLS/DNS/FIX content sniffers
+    val portGen = Gen.oneOf(80, 443, 53, 5001, 40000)
+    val payloadGen = for {
+      n <- Gen.chooseNum(0, 400)
+      bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))
+      // bias some payloads toward protocol-looking prefixes to reach deep paths
+      prefix <- Gen.oneOf("", "GET ", "HTTP/1.1 ", "8=FIX.4.2", "")
+    } yield prefix.getBytes("ISO-8859-1") ++ bytes
+    def tcpFrame(sp: Int, dp: Int, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(14 + 20 + 20 + payload.length)
+      b.put(new Array[Byte](12)).putShort(0x0800.toShort)
+      b.put(0x45.toByte).put(0.toByte).putShort((40 + payload.length).toShort)
+        .putShort(1.toShort).putShort(0.toShort)
+        .put(64.toByte).put(6.toByte).putShort(0.toShort)
+        .put(Array[Byte](10, 0, 0, 1)).put(Array[Byte](10, 0, 0, 2))
+      b.putShort(sp.toShort).putShort(dp.toShort).putInt(1).putInt(0)
+        .put((5 << 4).toByte).put(0x18.toByte)
+        .putShort(8192.toShort).putShort(0.toShort).putShort(0.toShort)
+      b.put(payload)
+      b.array()
+    }
+    check(Prop.forAll(portGen, payloadGen, Gen.oneOf(true, false)) {
+      (dp: Int, payload: Array[Byte], deseg: Boolean) =>
+        val t = new Dissect.Tracker(desegment = deseg)
+        val f = tcpFrame(49000, dp, payload)
+        val rec = PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+        val d = Dissect.dissect(rec, 1, t)
+        d.values.contains("tcp.srcport") && d.protocols.startsWith("eth")
+    })
+  }
+
+  test("dissector fuzz: arbitrary frame bytes never throw") {
+    import graft.pcap.Dissect
+    val frameGen = for {
+      n <- Gen.chooseNum(0, 200)
+      bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield bytes
+    check(Prop.forAll(frameGen, Gen.oneOf(1, 101, 9999)) { (frame: Array[Byte], lt: Int) =>
+      val rec = PcapFormat.Record(1, 1000000L, frame.length, frame.length, frame)
+      Dissect.dissect(rec, lt, new Dissect.Tracker(desegment = true)) != null
+    })
+  }
 }
