@@ -406,6 +406,7 @@ object Dissect {
     v("ipv6.hlim") = u8(d, off + 7).toLong
     v("ipv6.src") = src
     v("ipv6.dst") = dst
+    v("ipv6.addr") = s"$src,$dst" // "Source or Destination", like ip.addr
     val next = off + 40
     val end = math.min(next + payLen, d.length)
     nxt match {
