@@ -267,7 +267,9 @@ object Dissect {
     */
   def dissect(rec: PcapFormat.Record, linktype: Int, tracker: Tracker,
       wanted: Wanted = WantAll): Dissected = {
-    val v = mutable.HashMap.empty[String, Any]
+    // presized: a full tcp dissection writes ~45 fields; default sizing
+    // would rehash the map 3 times per packet
+    val v = new mutable.HashMap[String, Any](64, mutable.HashMap.defaultLoadFactor)
     val protos = mutable.ArrayBuffer.empty[String]
     var info = ""
 
