@@ -3,22 +3,31 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Embedding-vector column helpers built from codegen'd builtin higher-order
-  * functions (`zip_with` / `aggregate` / `transform`) — no UDFs in the hot
-  * path, so whole-stage codegen stays intact (SURVEY build prompt:
-  * "Functions, not UDFs").
+/** Embedding-vector column helpers on the native codegen'd
+  * [[VectorDot]] expression (a fused loop inside whole-stage codegen; the
+  * earlier `zip_with`/`aggregate` higher-order-function formulation
+  * allocated an array per row and interpreted a lambda per element).
+  * Summation order is unchanged — index-order left fold — so every
+  * oracle stays bit-identical.
   */
 object Vectors {
 
-  /** Sequential left fold — deterministic summation order. */
-  private def arraySum(c: Column): Column =
-    aggregate(c, lit(0.0), (acc, x) => acc + x)
+  /** Register `vector_dot` in the active session's function registry
+    * (idempotent; needed because a Column can't wrap a custom Expression
+    * directly — `call_function` resolves it by name at analysis). */
+  private def ensureRegistered(): Unit =
+    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
+      .createOrReplaceTempFunction(
+        "vector_dot",
+        exprs => VectorDot(exprs.head, exprs(1)),
+        "built-in")
 
-  def dot(a: Column, b: Column): Column =
-    arraySum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+  def dot(a: Column, b: Column): Column = {
+    ensureRegistered()
+    call_function("vector_dot", a, b)
+  }
 
-  def norm(a: Column): Column =
-    sqrt(arraySum(transform(a, x => x.cast("double") * x.cast("double"))))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
@@ -41,8 +50,7 @@ object Vectors {
     * bucket-equi-join (shuffle on bucket id) instead of a cross join. */
   def lshBucket(emb: Column, nPlanes: Int, dim: Int = 64): Column = {
     val bits = (0 until nPlanes).map { j =>
-      val proj = arraySum(zip_with(emb, typedLit(planeSigns(j, dim)),
-        (x, s) => x.cast("double") * s))
+      val proj = dot(emb, typedLit(planeSigns(j, dim)))
       when(proj > 0, lit(1 << j)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
