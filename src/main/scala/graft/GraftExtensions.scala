@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "hamming_distance(a, b) takes exactly 2 arguments")
         graft.functions.HammingDistance(args.head, args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[graft.functions.VectorDot].getName, "vector_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vector_dot(a, b) takes exactly 2 arguments")
+        graft.functions.VectorDot(args.head, args(1))
+      }))
   }
 }
 
@@ -91,7 +98,7 @@ object ReadPcapTableFunction {
     if (positional.size > 1) opts.put("protocols", positional(1))
     if (positional.size > 2) opts.put("climit", positional(2))
     if (positional.size > 3) opts.put("cfilter", positional(3))
-    Seq("protocols", "climit", "cfilter", "compat", "backend")
+    Seq("protocols", "climit", "cfilter", "compat", "backend", "desegment", "split")
       .foreach(k => named.get(k).foreach(opts.put(k, _)))
 
     val cis = new CaseInsensitiveStringMap(opts)

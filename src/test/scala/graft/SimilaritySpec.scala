@@ -8,6 +8,18 @@ import graft.queries.{MultimodalQueries, SimilarityQueries, TextQueries}
 
 class SimilaritySpec extends SparkSpec {
 
+  test("vector_dot SQL function: mixed float/double arrays, null semantics") {
+    val r = spark.sql("""
+      SELECT vector_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+                        array(3.0D, 4.0D)) AS d,
+             vector_dot(array(CAST(1.0 AS FLOAT)), array(1.0D, 2.0D)) AS len_mismatch,
+             vector_dot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+                        array(1.0D, 2.0D)) AS null_elem
+    """).collect()(0)
+    assert(r.getDouble(0) === 11.0)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("cosine helper: hand-checked values") {
     import spark.implicits._
     val df = Seq(
