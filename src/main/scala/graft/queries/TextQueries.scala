@@ -144,6 +144,48 @@ object TextQueries {
     })
 
   // ---------------------------------------------------------------------
+  // PII / term scrubbing
+  // ---------------------------------------------------------------------
+
+  // Patterns deliberately avoid backslash escapes: Spark SQL string
+  // literals process backslashes, DuckDB's don't — [.] classes sidestep
+  // the dialect divergence so both engines compile the same regex.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val termRe = "customer|supplier"
+
+  /** Redaction pass of a training-data pipeline: count + replace email /
+    * phone PII patterns and a blockwords list. Pure per-row projection
+    * (scale-safe); replacement order identical in both engines so the
+    * scrubbed-text hash is comparable. */
+  val txScrub = GraftQuery(
+    "tx_scrub",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(
+        $"doc_id",
+        size(expr(s"regexp_extract_all(text, '$emailRe', 0)")).cast(LongType).as("n_email"),
+        size(expr(s"regexp_extract_all(text, '$phoneRe', 0)")).cast(LongType).as("n_phone"),
+        size(expr(s"regexp_extract_all(text, '$termRe', 0)")).cast(LongType).as("n_term"),
+        md5(regexp_replace(
+          regexp_replace(
+            regexp_replace($"text", emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]"),
+          termRe, "[TERM]")).as("scrubbed_hash"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id,
+             CAST(LEN(REGEXP_EXTRACT_ALL(text, '$emailRe')) AS BIGINT) AS n_email,
+             CAST(LEN(REGEXP_EXTRACT_ALL(text, '$phoneRe')) AS BIGINT) AS n_phone,
+             CAST(LEN(REGEXP_EXTRACT_ALL(text, '$termRe')) AS BIGINT) AS n_term,
+             MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+               text, '$emailRe', '[EMAIL]', 'g'), '$phoneRe', '[PHONE]', 'g'),
+               '$termRe', '[TERM]', 'g')) AS scrubbed_hash
+      FROM documents
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
   // Repetition signals (Gopher-style quality rules)
   // ---------------------------------------------------------------------
 
@@ -525,7 +567,7 @@ object TextQueries {
     })
 
   val all: Seq[GraftQuery] = Seq(
-    txTokenCount, txQuality, txLangId, txFingerprint, txRepetition,
+    txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
     ddSimhashPairs)
 }
