@@ -18,11 +18,67 @@ import scala.collection.mutable
   */
 object Dissect {
 
-  /** All extracted fields for one packet, keyed by tshark filter_name. */
-  final case class Dissected(
-      values: scala.collection.Map[String, Any], // the reader's own mutable map — never copied (hot path)
-      protocols: String,
-      info: String)
+  /** Stable integer ids for every glossary field — the dissector writes
+    * into a flat Array[Any] indexed by these instead of a per-packet
+    * HashMap (an id lookup on write, a plain array load on read; the
+    * reader resolves its column ids once per scan, not per row). The
+    * glossary is the authority for "every field a dissector may emit" —
+    * enforced by the schema-reachability spec. */
+  object FieldIds {
+    val names: Array[String] = Glossary.fields.map(_.filter_name).toArray
+    val count: Int = names.length
+    private val idx = new java.util.HashMap[String, Integer](count * 2)
+    names.zipWithIndex.foreach { case (n, i) => idx.put(n, Integer.valueOf(i)) }
+    def id(name: String): Int = {
+      val v = idx.get(name)
+      if (v == null) -1 else v.intValue
+    }
+  }
+
+  /** Write-side view: `v("tcp.srcport") = x` resolves the field id and
+    * stores into the flat array (unknown names are dropped — the glossary
+    * consistency spec keeps that set empty). */
+  final class FieldVec {
+    val arr = new Array[Any](FieldIds.count)
+    def update(name: String, value: Any): Unit = {
+      val i = FieldIds.id(name)
+      if (i >= 0) arr(i) = value
+    }
+    def get(name: String): Option[Any] = {
+      val i = FieldIds.id(name)
+      if (i < 0) None else Option(arr(i))
+    }
+  }
+
+  /** Read-side map view over the field array (tests, filter evaluators). */
+  private final class FieldView(arr: Array[Any]) extends scala.collection.AbstractMap[String, Any] {
+    override def get(key: String): Option[Any] = {
+      val i = FieldIds.id(key)
+      if (i < 0) None else Option(arr(i))
+    }
+    override def iterator: Iterator[(String, Any)] =
+      FieldIds.names.iterator.zipWithIndex.collect {
+        case (n, i) if arr(i) != null => (n, arr(i))
+      }
+    override def contains(key: String): Boolean = {
+      val i = FieldIds.id(key)
+      i >= 0 && arr(i) != null
+    }
+    // legacy removal ops (required abstract on collection.Map) — cold path
+    override def -(key: String): scala.collection.Map[String, Any] =
+      iterator.toMap - key
+    override def -(key1: String, key2: String, keys: String*): scala.collection.Map[String, Any] =
+      iterator.toMap - key1 - key2 -- keys
+  }
+
+  /** All extracted fields for one packet. `arr` is indexed by
+    * [[FieldIds]]; `values` is a lazy map view over it. */
+  final class Dissected(
+      val arr: Array[Any],
+      val protocols: String,
+      val info: String) {
+    val values: scala.collection.Map[String, Any] = new FieldView(arr)
+  }
 
   /** Column-pruning hints from the scan: payload hex-encoding and info
     * rendering are the two per-packet costs worth gating (a jumbo frame's
@@ -269,7 +325,7 @@ object Dissect {
       wanted: Wanted = WantAll): Dissected = {
     // presized: a full tcp dissection writes ~45 fields; default sizing
     // would rehash the map 3 times per packet
-    val v = new mutable.HashMap[String, Any](64, mutable.HashMap.defaultLoadFactor)
+    val v = new FieldVec
     val protos = mutable.ArrayBuffer.empty[String]
     var info = ""
 
@@ -289,7 +345,7 @@ object Dissect {
 
     val d = rec.data
     try {
-      if (!wanted.layers) return Dissected(v, "", "")
+      if (!wanted.layers) return new Dissected(v.arr, "", "")
       linktype match {
         case 1 => // Ethernet
           protos += "eth"
@@ -335,13 +391,13 @@ object Dissect {
       case _: ArrayIndexOutOfBoundsException => // truncated capture: keep what we have
     }
 
-    Dissected(v, protos.mkString(":"), info)
+    new Dissected(v.arr, protos.mkString(":"), info)
   }
 
   /** @return info string or null when the inner layer didn't produce one */
   private def dissectIpv4(
       d: Array[Byte], off: Int,
-      v: mutable.HashMap[String, Any],
+      v: FieldVec,
       protos: mutable.ArrayBuffer[String],
       tracker: Tracker,
       wanted: Wanted): String = {
@@ -392,7 +448,7 @@ object Dissect {
 
   private def dissectIpv6(
       d: Array[Byte], off: Int,
-      v: mutable.HashMap[String, Any],
+      v: FieldVec,
       protos: mutable.ArrayBuffer[String],
       tracker: Tracker,
       wanted: Wanted): String = {
@@ -421,7 +477,7 @@ object Dissect {
   private def dissectTcp(
       d: Array[Byte], off: Int, ipEnd: Int,
       srcIp: String, dstIp: String,
-      v: mutable.HashMap[String, Any],
+      v: FieldVec,
       protos: mutable.ArrayBuffer[String],
       tracker: Tracker,
       wanted: Wanted): String = {
@@ -627,7 +683,7 @@ object Dissect {
   private def dissectUdp(
       d: Array[Byte], off: Int, ipEnd: Int,
       srcIp: String, dstIp: String,
-      v: mutable.HashMap[String, Any],
+      v: FieldVec,
       protos: mutable.ArrayBuffer[String],
       tracker: Tracker,
       wanted: Wanted): String = {
@@ -678,7 +734,7 @@ object Dissect {
     * Fields mirror tshark filter names (`tshark -G fields` http rows). */
   private def dissectHttp(
       d: Array[Byte], pstart: Int, plen: Int,
-      v: mutable.HashMap[String, Any],
+      v: FieldVec,
       protos: mutable.ArrayBuffer[String]): String = {
     val text = new String(d, pstart, math.min(plen, 2048), "ISO-8859-1")
     val isResp = text.startsWith("HTTP/1.")
@@ -729,7 +785,7 @@ object Dissect {
     * direction; SNI comes from the server_name (0) extension. */
   private def dissectTls(
       d: Array[Byte], pstart: Int, plen: Int, sp: Int, dp: Int,
-      v: mutable.HashMap[String, Any],
+      v: FieldVec,
       protos: mutable.ArrayBuffer[String]): String = {
     if (plen < 5) return null
     val ctype = u8(d, pstart)
@@ -799,7 +855,7 @@ object Dissect {
 
   /** ARP (RFC 826): opcode + sender/target addresses; Wireshark-style
     * "Who has x? Tell y" / "x is at mac" info. */
-  private def dissectArp(d: Array[Byte], off: Int, v: mutable.HashMap[String, Any]): String = {
+  private def dissectArp(d: Array[Byte], off: Int, v: FieldVec): String = {
     if (d.length < off + 28) return "ARP"
     val op = u16(d, off + 6)
     val senderMac = macStr(d, off + 8)
@@ -818,7 +874,7 @@ object Dissect {
   }
 
   /** ICMP: type/code + echo id/seq; "Echo (ping) request/reply" info. */
-  private def dissectIcmp(d: Array[Byte], off: Int, v: mutable.HashMap[String, Any]): String = {
+  private def dissectIcmp(d: Array[Byte], off: Int, v: FieldVec): String = {
     if (d.length < off + 4) return "ICMP"
     val tpe = u8(d, off)
     val code = u8(d, off + 1)
@@ -843,7 +899,7 @@ object Dissect {
     * the payload does not parse as DNS. */
   private def dissectDns(
       d: Array[Byte], off: Int, end: Int,
-      v: mutable.HashMap[String, Any],
+      v: FieldVec,
       protos: mutable.ArrayBuffer[String]): String = {
     if (end - off < 12) return null
     val id = u16(d, off)

@@ -104,19 +104,27 @@ final class PcapPartitionReader(
 
   private val fieldNames = schema.fields.map(_.name)
   private val fieldTypes = schema.fields.map(_.dataType)
+  // per-column source resolved ONCE: -1 = frame.protocols, -2 = info,
+  // else the Dissect.FieldIds array index — per-row reads are array loads
+  private val colIds: Array[Int] = fieldNames.map {
+    case "frame.protocols" => -1
+    case "_ws.col.info"    => -2
+    case n                 => val id = Dissect.FieldIds.id(n); if (id < 0) -3 else id
+  }
   private var current: InternalRow = _
 
   /** tshark type semantics at the cell level (SURVEY §1.2): values are
     * already typed by the dissector; timestamps here are epoch micros, with
     * the reference's whole-second truncation in compat=strict mode. */
-  private def cell(name: String, dt: DataType, d: Dissect.Dissected): Any = {
-    val raw: Any = name match {
-      case "frame.protocols" => d.protocols
-      case "_ws.col.info"    => d.info
-      case n                 => d.values.getOrElse(n, null)
+  private def cell(i: Int, d: Dissect.Dissected): Any = {
+    val raw: Any = colIds(i) match {
+      case -1 => d.protocols
+      case -2 => d.info
+      case -3 => null // not a glossary field (cannot happen for valid schemas)
+      case id => d.arr(id)
     }
     if (raw == null) null
-    else dt match {
+    else fieldTypes(i) match {
       case TimestampType =>
         val micros = raw.asInstanceOf[Long]
         if (compatStrict) (micros / 1000000L) * 1000000L else micros
@@ -139,7 +147,7 @@ final class PcapPartitionReader(
         val row = new GenericInternalRow(fieldNames.length)
         var i = 0
         while (i < fieldNames.length) {
-          row.update(i, cell(fieldNames(i), fieldTypes(i), d))
+          row.update(i, cell(i, d))
           i += 1
         }
         current = row
