@@ -83,9 +83,11 @@ object Bench {
       }
     }
 
+    // a query with no recorded time reports an explicit -1 (never silently
+    // vanishes from the key set — round-over-round diffing relies on it)
     def json(m: scala.collection.Map[String, Double]): String =
       SparkEntry.registry
-        .flatMap(q => m.get(q.name).map(t => "\"" + q.name + "\":" + t))
+        .map(q => "\"" + q.name + "\":" + m.getOrElse(q.name, -1.0))
         .mkString("{", ",", "}")
     // `queries` = sequential (attributable round-over-round); concurrent
     // latencies kept under `queries_concurrent` for continuity with r1.

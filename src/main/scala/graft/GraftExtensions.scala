@@ -98,7 +98,8 @@ object ReadPcapTableFunction {
     if (positional.size > 1) opts.put("protocols", positional(1))
     if (positional.size > 2) opts.put("climit", positional(2))
     if (positional.size > 3) opts.put("cfilter", positional(3))
-    Seq("protocols", "climit", "cfilter", "compat", "backend", "desegment", "split")
+    Seq("protocols", "climit", "cfilter", "compat", "backend", "desegment",
+      "split", "split.mode")
       .foreach(k => named.get(k).foreach(opts.put(k, _)))
 
     val cis = new CaseInsensitiveStringMap(opts)

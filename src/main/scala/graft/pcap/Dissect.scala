@@ -570,8 +570,8 @@ object Dissect {
     // retransmission heuristic: a data segment whose end does not advance
     // the direction's highest nxtseq was already (at least partly) sent
     val nxtRel = relSeq + segLen + (if (syn || fin) 1 else 0)
-    if (segLen > 0 && conv.maxNxtSeq(dir) >= 0 && nxtRel <= conv.maxNxtSeq(dir))
-      v("tcp.analysis.retransmission") = "1"
+    val isRetrans = segLen > 0 && conv.maxNxtSeq(dir) >= 0 && nxtRel <= conv.maxNxtSeq(dir)
+    if (isRetrans) v("tcp.analysis.retransmission") = "1"
     if (nxtRel > conv.maxNxtSeq(dir)) conv.maxNxtSeq(dir) = nxtRel
 
     v("tcp.hdr_len") = hdrLen.toLong
@@ -598,11 +598,18 @@ object Dissect {
     var appInfo: String = null
     val pstart = off + hdrLen
     val plen = math.min(segLen, math.max(0, d.length - pstart))
-    if (plen > 0) {
+    // Retransmitted segments must not feed the reassembly buffers — the
+    // bytes are already in the carry and appending them again corrupts the
+    // PDU stream. (Out-of-order arrival without retransmission is NOT
+    // handled — that needs true seq-indexed reassembly; documented
+    // limitation of desegment v1.)
+    if (plen > 0 && !(tracker.desegment && isRetrans)) {
       val startsFix = plen > 5 &&
         d(pstart) == '8' && d(pstart + 1) == '=' && d(pstart + 2) == 'F' &&
         d(pstart + 3) == 'I' && d(pstart + 4) == 'X'
-      if (tracker.desegment &&
+      // an active HTTP carry owns the stream: a payload that happens to
+      // start with "8=FIX" mid-headers must not clobber it
+      if (tracker.desegment && conv.carryKind(dir) != 2 &&
         (startsFix || (conv.carryKind(dir) == 1 && conv.carry(dir).nonEmpty))) {
         // FIX reassembly: prepend this direction's carried tail, extract the
         // messages COMPLETED by this segment, keep the new tail
@@ -736,6 +743,13 @@ object Dissect {
       d: Array[Byte], pstart: Int, plen: Int,
       v: FieldVec,
       protos: mutable.ArrayBuffer[String]): String = {
+    if (plen < 5) return null
+    // byte-level gate before the String decode: every method/response
+    // prefix starts with one of these — keeps the common non-HTTP payload
+    // path allocation-free (hot-path; most TCP segments are not HTTP)
+    val c0 = d(pstart)
+    if (c0 != 'G' && c0 != 'P' && c0 != 'H' && c0 != 'D' &&
+      c0 != 'O' && c0 != 'T' && c0 != 'C') return null
     val text = new String(d, pstart, math.min(plen, 2048), "ISO-8859-1")
     val isResp = text.startsWith("HTTP/1.")
     val isReq = !isResp && httpMethods.exists(text.startsWith)

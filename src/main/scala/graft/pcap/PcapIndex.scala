@@ -74,10 +74,20 @@ object PcapIndex {
           val end = if (k == nChunks - 1) fileLen else 24L + (k + 1) * targetBytes
           (k, start, end)
         }
+        // ship the driver's Hadoop settings (s3a credentials, fs.defaultFS,
+        // …) to the tasks — a bare `new Configuration()` there would only
+        // see defaults and fail on any configured filesystem
+        val confMap: Array[(String, String)] = {
+          val it = conf.iterator()
+          val b = Array.newBuilder[(String, String)]
+          while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+          b.result()
+        }
         val results = spark.sparkContext
           .parallelize(ranges, nChunks)
           .map { case (k, start, end) =>
             val c = new Configuration()
+            confMap.foreach { case (key, value) => c.set(key, value) }
             val p = new Path(file)
             val s = p.getFileSystem(c).open(p)
             try {
@@ -135,12 +145,29 @@ object PcapIndex {
 
   /** First offset ≥ `from` where a chain of 8 record headers parses with
     * plausible bounds; -1 when none found within snaplen+16 bytes (a true
-    * boundary must occur in that window — one maximal record). */
+    * boundary must occur in that window — one maximal record). The scan
+    * window grows incrementally (64 KB → 4 MB → snaplen+32): boundaries
+    * are almost always within the first couple of KB, and eagerly reading
+    * a snaplen-sized window (up to 64 MB for "unlimited"-snaplen captures)
+    * per chunk would amplify planning I/O past the sweep it replaces. */
   private def findBoundary(
       in: org.apache.hadoop.fs.FSDataInputStream,
       from: Long, fileLen: Long, le: Boolean,
       snaplen: Long, firstSec: Long, fracMax: Long): Long = {
-    val window = math.min(snaplen + 32, fileLen - from).toInt
+    val maxWindow = math.min(snaplen + 32, fileLen - from).toInt
+    var window = math.min(64 * 1024, maxWindow)
+    var r = scanWindow(in, from, fileLen, le, snaplen, firstSec, fracMax, window)
+    while (r < 0 && window < maxWindow) {
+      window = math.min(math.max(window * 64, 4 * 1024 * 1024), maxWindow)
+      r = scanWindow(in, from, fileLen, le, snaplen, firstSec, fracMax, window)
+    }
+    r
+  }
+
+  private def scanWindow(
+      in: org.apache.hadoop.fs.FSDataInputStream,
+      from: Long, fileLen: Long, le: Boolean,
+      snaplen: Long, firstSec: Long, fracMax: Long, window: Int): Long = {
     if (window < 16) return fileLen
     val buf = new Array[Byte](window)
     in.readFully(from, buf, 0, window)

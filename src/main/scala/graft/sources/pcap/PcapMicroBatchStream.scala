@@ -110,10 +110,17 @@ final class PcapMicroBatchStream(
     val compatStrict = options.getOrDefault("compat", "") == "strict"
     val cfilter = Option(options.get("cfilter")).filter(_.nonEmpty)
     val backend = options.getOrDefault("backend", "native")
-    PcapReaderFactory(schema, compatStrict, cfilter, Array.empty, backend)
+    val desegment = options.getBoolean("desegment", false)
+    PcapReaderFactory(schema, compatStrict, cfilter, Array.empty, backend, desegment)
   }
 
-  override def commit(end: Offset): Unit = () // log retained for replay
+  override def commit(end: Offset): Unit = synchronized {
+    // the durable log stays for replay-after-restart; the in-memory copy
+    // of committed batches is droppable (planInputPartitions re-reads the
+    // log on demand) — without this the map grows for the stream's life
+    val e = end.asInstanceOf[PcapOffset].batchId
+    batches.keys.filter(_ <= e).toSeq.foreach(batches.remove)
+  }
 
   override def stop(): Unit = ()
 }

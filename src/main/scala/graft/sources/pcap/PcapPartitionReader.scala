@@ -236,6 +236,9 @@ object PcapFilterEval {
   * `||`, `!`, parentheses).
   */
 object DisplayFilter {
+  /** Fields dissected as comma-joined "src,dst" multi-occurrence values. */
+  val multiValueFields: Set[String] = Set("ip.addr", "ipv6.addr")
+
   sealed trait Expr { def eval(d: Dissect.Dissected): Boolean }
 
   private final case class ProtoPresent(p: String) extends Expr {
@@ -251,10 +254,11 @@ object DisplayFilter {
       }
       if (raw == null) return false
       val litS = lit.stripPrefix("\"").stripSuffix("\"")
-      raw match {
-        // Multi-occurrence fields (ip.addr = "src,dst") follow Wireshark
-        // display-filter semantics: `==` is true if ANY occurrence matches,
-        // `!=` if any occurrence differs.
+      // Only fields DEFINED as multi-occurrence get Wireshark's any-match
+      // semantics (`==` true if ANY occurrence matches) — splitting every
+      // comma-containing string would break equality on values that
+      // legitimately contain commas (info strings, http headers).
+      if (DisplayFilter.multiValueFields.contains(field)) raw match {
         case x: String if x.indexOf(',') >= 0 && (op == "==" || op == "eq") =>
           return x.split(',').contains(litS)
         case x: String if x.indexOf(',') >= 0 && (op == "!=" || op == "ne") =>

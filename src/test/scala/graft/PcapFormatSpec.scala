@@ -286,6 +286,25 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d2.values("http.user_agent") === "curl/8.0")
   }
 
+  test("desegment: retransmitted segment does not corrupt reassembly") {
+    val fix = "8=FIX.4.2\u00019=20\u000135=A\u000134=1\u000149=X\u000110=123\u0001"
+    val (p1, p2) = fix.splitAt(12)
+    def frame(s: String, seq: Int) = {
+      val f = ethIpTcp(5001, 5002, s.getBytes("ISO-8859-1"), seq)
+      PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    }
+    val t = new Dissect.Tracker(desegment = true)
+    val d1 = Dissect.dissect(frame(p1, 1000), 1, t)
+    // the first part arrives AGAIN (same seq = retransmission): must not
+    // be appended to the carry a second time
+    val dup = Dissect.dissect(frame(p1, 1000), 1, t)
+    val d2 = Dissect.dissect(frame(p2, 1000 + p1.length), 1, t)
+    assert(d1.info === "[TCP segment of a reassembled PDU]")
+    assert(dup.values.contains("tcp.analysis.retransmission"))
+    assert(d2.info === "Logon")
+    assert(d2.values("fix.msgtype") === "Logon")
+  }
+
   test("desegment: two complete messages in one segment both render") {
     val fix = "8=FIX.4.2\u00019=20\u000135=0\u000110=123\u0001" +
       "8=FIX.4.2\u00019=20\u000135=1\u000110=124\u0001"
