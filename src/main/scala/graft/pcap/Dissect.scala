@@ -470,8 +470,61 @@ object Dissect {
     nxt match {
       case 6  => dissectTcp(d, next, end, src, dst, v, protos, tracker, wanted)
       case 17 => dissectUdp(d, next, end, src, dst, v, protos, tracker, wanted)
+      case 58 => protos += "icmpv6"; dissectIcmpv6(d, next, v)
       case _  => null
     }
+  }
+
+  /** ICMPv6 (RFC 4443/4861): echo + neighbor/router discovery. */
+  private def dissectIcmpv6(d: Array[Byte], off: Int, v: FieldVec): String = {
+    if (d.length < off + 4) return "ICMPv6"
+    val tpe = u8(d, off)
+    val code = u8(d, off + 1)
+    v("icmpv6.type") = tpe.toLong
+    v("icmpv6.code") = code.toLong
+    v("icmpv6.checksum") = u16(d, off + 2).toLong
+    tpe match {
+      case 128 | 129 if d.length >= off + 8 =>
+        v("icmpv6.echo.identifier") = u16(d, off + 4).toLong
+        v("icmpv6.echo.sequence_number") = u16(d, off + 6).toLong
+        val idHex = "%04x".format(u16(d, off + 4))
+        if (tpe == 128) s"Echo (ping) request id=0x$idHex, seq=${u16(d, off + 6)}"
+        else s"Echo (ping) reply id=0x$idHex, seq=${u16(d, off + 6)}"
+      case 135 if d.length >= off + 24 =>
+        val target = ipv6Str(d, off + 8)
+        v("icmpv6.nd.ns.target_address") = target
+        s"Neighbor Solicitation for $target"
+      case 136 if d.length >= off + 24 =>
+        val target = ipv6Str(d, off + 8)
+        v("icmpv6.nd.na.target_address") = target
+        s"Neighbor Advertisement $target"
+      case 133 => "Router Solicitation"
+      case 134 => "Router Advertisement"
+      case 1   => "Destination Unreachable"
+      case 3   => "Time Exceeded"
+      case _   => s"ICMPv6 type=$tpe code=$code"
+    }
+  }
+
+  private val ntpModes = Array("reserved", "symmetric active", "symmetric passive",
+    "client", "server", "broadcast", "control", "private")
+
+  /** NTP (RFC 5905) over UDP/123: flags byte + stratum. */
+  private def dissectNtp(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 48) return null
+    val flags = u8(d, off)
+    val vn = (flags >> 3) & 0x7
+    val mode = flags & 0x7
+    if (vn < 1 || vn > 4) return null // implausible version: not NTP
+    protos += "ntp"
+    v("ntp.flags") = flags.toLong
+    v("ntp.flags.vn") = vn.toLong
+    v("ntp.flags.mode") = mode.toLong
+    v("ntp.stratum") = u8(d, off + 1).toLong
+    s"NTP Version $vn, ${ntpModes(mode)}"
   }
 
   private def dissectTcp(
@@ -719,6 +772,10 @@ object Dissect {
     if (sp == 53 || dp == 53) {
       val dnsInfo = dissectDns(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
       if (dnsInfo != null) return dnsInfo
+    }
+    if (sp == 123 || dp == 123) {
+      val ntpInfo = dissectNtp(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
+      if (ntpInfo != null) return ntpInfo
     }
     if (wanted.info) s"$sp → $dp Len=$payLen" else ""
   }

@@ -331,6 +331,42 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d.info === "Fragmented IP protocol (proto=6, off=1480, ID=abcd)")
   }
 
+  private def ethIpv6(nxt: Int, payload: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(14 + 40 + payload.length)
+    b.put(new Array[Byte](12)).putShort(0x86dd.toShort)
+    b.putInt(0x60000000) // version 6
+    b.putShort(payload.length.toShort).put(nxt.toByte).put(64.toByte)
+    val src = new Array[Byte](16); src(0) = 0xfe.toByte; src(1) = 0x80.toByte; src(15) = 1
+    val dst = new Array[Byte](16); dst(0) = 0xfe.toByte; dst(1) = 0x80.toByte; dst(15) = 2
+    b.put(src).put(dst).put(payload)
+    b.array()
+  }
+
+  test("ICMPv6 neighbor solicitation dissects target and info") {
+    val ns = java.nio.ByteBuffer.allocate(24)
+    ns.put(135.toByte).put(0.toByte).putShort(0.toShort).putInt(0)
+    val tgt = new Array[Byte](16); tgt(0) = 0xfe.toByte; tgt(1) = 0x80.toByte; tgt(15) = 9
+    ns.put(tgt)
+    val d = dissectOne(ethIpv6(58, ns.array()))
+    assert(d.protocols === "eth:ethertype:ipv6:icmpv6")
+    assert(d.values("icmpv6.type") === 135L)
+    assert(d.values("icmpv6.nd.ns.target_address") === "fe80::9")
+    assert(d.info === "Neighbor Solicitation for fe80::9")
+    assert(d.values("ipv6.addr") === "fe80::1,fe80::2")
+  }
+
+  test("NTP client packet over UDP/123 dissects version/mode/stratum") {
+    val ntp = new Array[Byte](48)
+    ntp(0) = ((0 << 6) | (4 << 3) | 3).toByte // LI=0, VN=4, mode=client
+    ntp(1) = 3 // stratum
+    val d = dissectOne(ethIpUdp(50000, 123, ntp))
+    assert(d.protocols === "eth:ethertype:ip:udp:ntp")
+    assert(d.values("ntp.flags.vn") === 4L)
+    assert(d.values("ntp.flags.mode") === 3L)
+    assert(d.values("ntp.stratum") === 3L)
+    assert(d.info === "NTP Version 4, client")
+  }
+
   test("ICMP echo request renders ping info") {
     val icmp = java.nio.ByteBuffer.allocate(8)
     icmp.put(8.toByte).put(0.toByte).putShort(0.toShort)
