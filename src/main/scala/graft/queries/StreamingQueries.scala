@@ -48,5 +48,25 @@ object StreamingQueries {
       WHERE sess <> last_sess
       ORDER BY s.user_id, session_start"""))
 
-  val all: Seq[GraftQuery] = Seq(stSessionize)
+  /** Tumbling event-time window aggregate (the same transform the
+    * streaming spec drives through MemoryStream with a watermark; batch
+    * twin oracle-checked — hour buckets + decimal-exact sums). */
+  val stWindowedCounts = GraftQuery(
+    "st_windowed_counts",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      EventPipeline.windowedCounts(events)
+        .orderBy("window_start", "event_type")
+    },
+    Some("""
+      SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+             event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2, 3
+      ORDER BY window_start, event_type"""))
+
+  val all: Seq[GraftQuery] = Seq(stSessionize, stWindowedCounts)
 }
