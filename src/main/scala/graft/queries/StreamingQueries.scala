@@ -68,5 +68,30 @@ object StreamingQueries {
       GROUP BY 1, 2, 3
       ORDER BY window_start, event_type"""))
 
-  val all: Seq[GraftQuery] = Seq(stSessionize, stWindowedCounts)
+  /** Sliding windows (10 min window, 5 min slide): every event lands in
+    * exactly two windows; the oracle reproduces that by exploding each
+    * event into both candidate window starts. */
+  val stSlidingRates = GraftQuery(
+    "st_sliding_rates",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      EventPipeline.slidingRates(events)
+        .orderBy("window_start", "user_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               TIME_BUCKET(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS w1
+        FROM events),
+      x AS (
+        SELECT user_id, ts,
+               UNNEST([w1, w1 - INTERVAL 5 MINUTE]) AS window_start
+        FROM e)
+      SELECT window_start, user_id, COUNT(*) AS n_events
+      FROM x
+      WHERE ts >= window_start AND ts < window_start + INTERVAL 10 MINUTE
+      GROUP BY 1, 2
+      ORDER BY window_start, user_id"""))
+
+  val all: Seq[GraftQuery] = Seq(stSessionize, stWindowedCounts, stSlidingRates)
 }
