@@ -361,6 +361,45 @@ object TextQueries {
       ORDER BY doc_a, doc_b"""))
 
   // ---------------------------------------------------------------------
+  // Benchmark decontamination
+  // ---------------------------------------------------------------------
+
+  /** Decontamination pass: flag training documents sharing any n-gram
+    * with the benchmark/eval set (here: doc_id < 5 stands in for the eval
+    * corpus; n = 5 so the synthetic corpus produces non-trivial overlap —
+    * real pipelines use 8-13). At 100 TB the eval shingle set is tiny
+    * relative to the corpus, so the overlap test is a BROADCAST join —
+    * the training corpus never shuffles. */
+  val txContamination = GraftQuery(
+    "tx_contamination",
+    (s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir).withColumn("tokens", split($"text", " "))
+      def shingles(df: DataFrame) = df
+        .filter(size($"tokens") >= 5)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(tokens) - 4), i -> concat_ws(' ', slice(tokens, i, 5)))"))
+          .as("g"))
+        .distinct()
+      val bench = shingles(base.filter($"doc_id" < 5)).select($"g").distinct()
+      val train = shingles(base.filter($"doc_id" >= 5))
+      train.join(broadcast(bench), Seq("g"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(tokens[i:i+4], ' ') AS g
+             FROM t, UNNEST(RANGE(1, LEN(tokens) - 3)) AS u(i)
+             WHERE LEN(tokens) >= 5),
+      bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 5),
+      train AS (SELECT doc_id, g FROM sh WHERE doc_id >= 5)
+      SELECT doc_id, COUNT(*) AS n_contaminated
+      FROM train JOIN bench USING (g)
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
   // MinHash signatures + LSH banding
   // ---------------------------------------------------------------------
 
@@ -568,6 +607,7 @@ object TextQueries {
 
   val all: Seq[GraftQuery] = Seq(
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
+    txContamination,
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
     ddSimhashPairs)
 }
