@@ -470,31 +470,33 @@ object Dissect {
     nxt match {
       case 6  => dissectTcp(d, next, end, src, dst, v, protos, tracker, wanted)
       case 17 => dissectUdp(d, next, end, src, dst, v, protos, tracker, wanted)
-      case 58 => protos += "icmpv6"; dissectIcmpv6(d, next, v)
+      case 58 => protos += "icmpv6"; dissectIcmpv6(d, next, end, v)
       case _  => null
     }
   }
 
-  /** ICMPv6 (RFC 4443/4861): echo + neighbor/router discovery. */
-  private def dissectIcmpv6(d: Array[Byte], off: Int, v: FieldVec): String = {
-    if (d.length < off + 4) return "ICMPv6"
+  /** ICMPv6 (RFC 4443/4861): echo + neighbor/router discovery. Reads are
+    * bounded by `end` (the IPv6 payload boundary) so Ethernet trailer/FCS
+    * bytes never parse as ICMPv6 content — same invariant as TCP/UDP. */
+  private def dissectIcmpv6(d: Array[Byte], off: Int, end: Int, v: FieldVec): String = {
+    if (end < off + 4) return "ICMPv6"
     val tpe = u8(d, off)
     val code = u8(d, off + 1)
     v("icmpv6.type") = tpe.toLong
     v("icmpv6.code") = code.toLong
     v("icmpv6.checksum") = u16(d, off + 2).toLong
     tpe match {
-      case 128 | 129 if d.length >= off + 8 =>
+      case 128 | 129 if end >= off + 8 =>
         v("icmpv6.echo.identifier") = u16(d, off + 4).toLong
         v("icmpv6.echo.sequence_number") = u16(d, off + 6).toLong
         val idHex = "%04x".format(u16(d, off + 4))
         if (tpe == 128) s"Echo (ping) request id=0x$idHex, seq=${u16(d, off + 6)}"
         else s"Echo (ping) reply id=0x$idHex, seq=${u16(d, off + 6)}"
-      case 135 if d.length >= off + 24 =>
+      case 135 if end >= off + 24 =>
         val target = ipv6Str(d, off + 8)
         v("icmpv6.nd.ns.target_address") = target
         s"Neighbor Solicitation for $target"
-      case 136 if d.length >= off + 24 =>
+      case 136 if end >= off + 24 =>
         val target = ipv6Str(d, off + 8)
         v("icmpv6.nd.na.target_address") = target
         s"Neighbor Advertisement $target"
@@ -509,12 +511,16 @@ object Dissect {
   private val ntpModes = Array("reserved", "symmetric active", "symmetric passive",
     "client", "server", "broadcast", "control", "private")
 
-  /** NTP (RFC 5905) over UDP/123: flags byte + stratum. */
+  /** NTP (RFC 5905) over UDP/123: flags byte + stratum. Accepts any
+    * payload ≥ 2 bytes with a plausible version — mode-6 control packets
+    * are only 12 bytes and snaplen truncation is common; the port gate
+    * plus version check keeps false positives out (tshark behaves the
+    * same: port-bound dissection, not length-bound). */
   private def dissectNtp(
       d: Array[Byte], off: Int, end: Int,
       v: FieldVec,
       protos: mutable.ArrayBuffer[String]): String = {
-    if (end - off < 48) return null
+    if (end - off < 2) return null
     val flags = u8(d, off)
     val vn = (flags >> 3) & 0x7
     val mode = flags & 0x7

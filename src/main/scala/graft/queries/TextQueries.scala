@@ -20,6 +20,20 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** (doc_id, shingle) word n-grams of a docs frame that already carries a
+    * `tokens` array column — THE shingle definition shared by the dedup /
+    * repetition / contamination operators (each DuckDB oracle mirrors it
+    * verbatim, so a change here must change every oracle too).
+    * `distinct=false` keeps multiplicities (repetition metrics). */
+  private def shingleRows(withTokens: DataFrame, n: Int, distinct: Boolean = true): DataFrame = {
+    val rows = withTokens
+      .filter(size(col("tokens")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(tokens) - ${n - 1}), i -> concat_ws(' ', slice(tokens, i, $n)))"))
+        .as("shingle"))
+    if (distinct) rows.distinct() else rows
+  }
+
   // ---------------------------------------------------------------------
   // Token counting
   // ---------------------------------------------------------------------
@@ -203,13 +217,9 @@ object TextQueries {
       val tot = words.groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
       val topc = words.groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
         .groupBy($"doc_id").agg(max($"c").as("top_c"))
-      def grams(n: Int) = base
-        .filter(size($"tokens") >= n)
-        .select($"doc_id", explode(expr(
-          s"transform(sequence(1, size(tokens) - ${n - 1}), i -> concat_ws(' ', slice(tokens, i, $n)))"))
-          .as("g"))
+      def grams(n: Int) = shingleRows(base, n, distinct = false)
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as(s"ng$n"), countDistinct($"g").as(s"ndg$n"))
+        .agg(count(lit(1)).as(s"ng$n"), countDistinct($"shingle").as(s"ndg$n"))
       tot.join(topc, Seq("doc_id"))
         .join(grams(2), Seq("doc_id"), "left")
         .join(grams(3), Seq("doc_id"), "left")
@@ -311,13 +321,7 @@ object TextQueries {
     (s, dir) => {
       import s.implicits._
       // shared 3× below (counts + both join sides): cache once
-      val all = docs(s, dir)
-        .withColumn("tokens", split($"text", " "))
-        .filter(size($"tokens") >= 5)
-        .select($"doc_id", explode(
-          expr("transform(sequence(1, size(tokens) - 4), i -> concat_ws(' ', slice(tokens, i, 5)))"))
-          .as("shingle"))
-        .distinct()
+      val all = shingleRows(docs(s, dir).withColumn("tokens", split($"text", " ")), 5)
       val rare = all.groupBy($"shingle").agg(count(lit(1)).as("df"))
         .filter($"df" <= maxShingleDf)
         .select($"shingle")
@@ -375,15 +379,9 @@ object TextQueries {
     (s, dir) => {
       import s.implicits._
       val base = docs(s, dir).withColumn("tokens", split($"text", " "))
-      def shingles(df: DataFrame) = df
-        .filter(size($"tokens") >= 5)
-        .select($"doc_id", explode(expr(
-          "transform(sequence(1, size(tokens) - 4), i -> concat_ws(' ', slice(tokens, i, 5)))"))
-          .as("g"))
-        .distinct()
-      val bench = shingles(base.filter($"doc_id" < 5)).select($"g").distinct()
-      val train = shingles(base.filter($"doc_id" >= 5))
-      train.join(broadcast(bench), Seq("g"))
+      val bench = shingleRows(base.filter($"doc_id" < 5), 5).select($"shingle").distinct()
+      val train = shingleRows(base.filter($"doc_id" >= 5), 5)
+      train.join(broadcast(bench), Seq("shingle"))
         .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
         .orderBy($"doc_id")
     },
@@ -411,13 +409,7 @@ object TextQueries {
     "dd_minhash_sig",
     (s, dir) => {
       import s.implicits._
-      val sh = docs(s, dir)
-        .withColumn("tokens", split($"text", " "))
-        .filter(size($"tokens") >= 3)
-        .select($"doc_id", explode(
-          expr("transform(sequence(1, size(tokens) - 2), i -> concat_ws(' ', slice(tokens, i, 3)))"))
-          .as("shingle"))
-        .distinct()
+      val sh = shingleRows(docs(s, dir).withColumn("tokens", split($"text", " ")), 3)
       val aggs = (0 until nHashes).map(h =>
         min(md5(concat(lit(s"$h|"), col("shingle")))).as(s"mh$h"))
       sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*).orderBy($"doc_id")
