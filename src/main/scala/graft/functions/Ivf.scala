@@ -56,4 +56,36 @@ object Ivf {
       .orderBy($"cosine".desc, $"vec_id")
       .limit(topK)
   }
+
+  /** Batch search: a DataFrame of queries `(query_id, qe)` answered in ONE
+    * plan — per-query probe cells come from a broadcast cross join against
+    * the (tiny) centroid table, candidates from a broadcast probe-to-cell
+    * join against the assigned corpus, per-query top-k from a window. No
+    * driver-side loop or collect: wall-clock is one pass over the probed
+    * cells regardless of query count. */
+  def searchBatch(
+      index: Index,
+      queries: DataFrame,
+      topK: Int,
+      nProbe: Int): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+    val wq = Window.partitionBy($"query_id").orderBy($"ccos".desc, $"cell")
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("ccos", Vectors.cosine($"qe", $"centroid"))
+      .withColumn("prnk", row_number().over(wq))
+      .filter($"prnk" <= nProbe)
+      .select($"query_id", $"qe", $"cell")
+    val wr = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    index.assigned.join(broadcast(probes), Seq("cell"))
+      .select($"query_id", $"vec_id", $"label",
+        Vectors.cosine($"embedding", $"qe").as("cosine"))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter($"rnk" <= topK)
+      .select($"query_id", $"rnk", $"vec_id", $"label", $"cosine")
+      .orderBy($"query_id", $"rnk")
+  }
 }

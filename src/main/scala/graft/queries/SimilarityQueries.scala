@@ -191,6 +191,22 @@ object SimilarityQueries {
       FROM ranked WHERE rn <= 3
       ORDER BY query_id, rnk"""))
 
+  /** Batch IVF: ten query vectors through one probe-join plan (no oracle —
+    * k-means is engine-side; anchored against brute force per query in
+    * SimilaritySpec). */
+  val simAnnIvfBatch = GraftQuery(
+    "sim_ann_ivf_batch",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val index = graft.functions.Ivf.build(s, emb, k = 16)
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      graft.functions.Ivf.searchBatch(index, queries, topK = 5, nProbe = 4)
+        .filter($"query_id" =!= $"vec_id")
+    })
+
   val all: Seq[GraftQuery] =
-    Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, ddEmbeddingNeardup)
+    Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfBatch,
+      ddEmbeddingNeardup)
 }

@@ -149,4 +149,24 @@ class SimilaritySpec extends SparkSpec {
     // the query's own cell is always probed first, so vec 0 is found
     assert(probed.contains(0L))
   }
+
+  test("batch IVF with all cells probed equals per-query exhaustive search") {
+    import spark.implicits._
+    val emb = graft.api.Tables.load(spark, sfDir, "embeddings")
+    val index = graft.functions.Ivf.build(spark, emb, k = 8)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val batch = graft.functions.Ivf.searchBatch(index, queries, topK = 5, nProbe = 8)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("vec_id")).toSeq)
+      .toMap
+    for (qid <- 0L until 3L) {
+      val q = emb.filter($"vec_id" === qid)
+        .select($"embedding").collect()(0).getSeq[Float](0).toArray
+      val single = graft.functions.Ivf.search(index, q, 5, nProbe = 8)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(batch(qid) === single, s"query $qid: batch != single-query search")
+    }
+  }
 }
