@@ -885,8 +885,9 @@ object Dissect {
     if (plen >= 11 && (hsType == 1 || hsType == 2))
       v("tls.handshake.version") = u16(d, pstart + 9).toLong
     if (hsType == 1) {
-      val sni = clientHelloSni(d, pstart + 5, math.min(pstart + 5 + plen - 5, d.length))
+      val (sni, alpn) = clientHelloExts(d, pstart + 5, math.min(pstart + 5 + plen - 5, d.length))
       sni.foreach(n => v("tls.handshake.extensions_server_name") = n)
+      alpn.foreach(a => v("tls.handshake.extensions_alpn_str") = a)
       sni match {
         case Some(n) => s"Client Hello (SNI=$n)"
         case None    => "Client Hello"
@@ -901,33 +902,47 @@ object Dissect {
     case t  => s"TLS record type=$t"
   }
 
-  /** Walk a ClientHello (starting at the handshake header) to the
-    * server_name extension; None when absent or truncated. */
-  private def clientHelloSni(d: Array[Byte], hs: Int, end: Int): Option[String] = {
+  /** Walk a ClientHello (starting at the handshake header) for the
+    * server_name (0) and ALPN (16) extensions.
+    * @return (SNI, ALPN protocol list comma-joined) — either may be None. */
+  private def clientHelloExts(d: Array[Byte], hs: Int, end: Int): (Option[String], Option[String]) = {
     try {
+      var sni: Option[String] = None
+      var alpn: Option[String] = None
       var i = hs + 4 // type(1) + length(3)
       i += 2 + 32 // client_version + random
-      if (i >= end) return None
+      if (i >= end) return (None, None)
       val sidLen = u8(d, i); i += 1 + sidLen // session_id
-      if (i + 2 > end) return None
+      if (i + 2 > end) return (None, None)
       val csLen = u16(d, i); i += 2 + csLen // cipher_suites
-      if (i + 1 > end) return None
+      if (i + 1 > end) return (None, None)
       val compLen = u8(d, i); i += 1 + compLen // compression_methods
-      if (i + 2 > end) return None
+      if (i + 2 > end) return (None, None)
       val extEnd = math.min(end, i + 2 + u16(d, i)); i += 2
-      while (i + 4 <= extEnd) {
+      while (i + 4 <= extEnd && (sni.isEmpty || alpn.isEmpty)) {
         val extType = u16(d, i)
         val extLen = u16(d, i + 2)
         if (extType == 0 && i + 4 + extLen <= extEnd && extLen >= 5) {
           // server_name_list: list_len(2) name_type(1) name_len(2) name
           val nameLen = u16(d, i + 7)
           if (i + 9 + nameLen <= extEnd)
-            return Some(new String(d, i + 9, nameLen, "ISO-8859-1"))
+            sni = Some(new String(d, i + 9, nameLen, "ISO-8859-1"))
+        } else if (extType == 16 && i + 4 + extLen <= extEnd && extLen >= 4) {
+          // alpn: list_len(2) then (len(1) proto)* — comma-join like tshark
+          val names = mutable.ArrayBuffer.empty[String]
+          var j = i + 6
+          val alpnEnd = i + 4 + extLen
+          while (j < alpnEnd) {
+            val l = u8(d, j)
+            if (l == 0 || j + 1 + l > alpnEnd) j = alpnEnd
+            else { names += new String(d, j + 1, l, "ISO-8859-1"); j += 1 + l }
+          }
+          if (names.nonEmpty) alpn = Some(names.mkString(","))
         }
         i += 4 + extLen
       }
-      None
-    } catch { case _: ArrayIndexOutOfBoundsException => None }
+      (sni, alpn)
+    } catch { case _: ArrayIndexOutOfBoundsException => (None, None) }
   }
 
   /** ARP (RFC 826): opcode + sender/target addresses; Wireshark-style

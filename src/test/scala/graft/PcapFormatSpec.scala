@@ -188,12 +188,22 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d.values("http.content_length") === 42L)
   }
 
-  private def clientHello(sni: String): Array[Byte] = {
+  private def clientHello(sni: String, alpn: Seq[String] = Seq.empty): Array[Byte] = {
     val name = sni.getBytes("ISO-8859-1")
-    val ext = java.nio.ByteBuffer.allocate(4 + 2 + 1 + 2 + name.length)
-    ext.putShort(0.toShort).putShort((2 + 1 + 2 + name.length).toShort) // server_name ext
-    ext.putShort((1 + 2 + name.length).toShort).put(0.toByte).putShort(name.length.toShort).put(name)
-    val extB = ext.array()
+    val sniExt = java.nio.ByteBuffer.allocate(4 + 2 + 1 + 2 + name.length)
+    sniExt.putShort(0.toShort).putShort((2 + 1 + 2 + name.length).toShort) // server_name ext
+    sniExt.putShort((1 + 2 + name.length).toShort).put(0.toByte).putShort(name.length.toShort).put(name)
+    val alpnB: Array[Byte] =
+      if (alpn.isEmpty) Array.emptyByteArray
+      else {
+        val protos = alpn.map(_.getBytes("ISO-8859-1"))
+        val listLen = protos.map(_.length + 1).sum
+        val b = java.nio.ByteBuffer.allocate(4 + 2 + listLen)
+        b.putShort(16.toShort).putShort((2 + listLen).toShort).putShort(listLen.toShort)
+        protos.foreach(p => { b.put(p.length.toByte); b.put(p) })
+        b.array()
+      }
+    val extB = sniExt.array() ++ alpnB
     val hsBodyLen = 2 + 32 + 1 + 2 + 2 + 1 + 1 + 2 + extB.length
     val hs = java.nio.ByteBuffer.allocate(4 + hsBodyLen)
     hs.put(1.toByte) // ClientHello
@@ -207,6 +217,12 @@ class PcapFormatSpec extends AnyFunSuite {
     val rec = java.nio.ByteBuffer.allocate(5 + hsB.length)
     rec.put(22.toByte).put(3.toByte).put(1.toByte).putShort(hsB.length.toShort).put(hsB)
     rec.array()
+  }
+
+  test("TLS ClientHello ALPN extension is extracted comma-joined") {
+    val d = dissectOne(ethIpTcp(49154, 443, clientHello("example.com", Seq("h2", "http/1.1"))))
+    assert(d.values("tls.handshake.extensions_server_name") === "example.com")
+    assert(d.values("tls.handshake.extensions_alpn_str") === "h2,http/1.1")
   }
 
   test("TLS ClientHello yields record/handshake fields and SNI") {
