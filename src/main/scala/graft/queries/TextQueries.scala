@@ -541,16 +541,42 @@ object TextQueries {
       ORDER BY doc_id"""
     })
 
+  /** m=6 block layout of the 64-bit simhash: (bit offset, width). Four
+    * 11-bit and two 10-bit blocks. Shared with TextDedupSpec so the
+    * occupancy bound measures exactly the keys the query joins on. */
+  private[graft] val simBlocks: Seq[(Int, Int)] =
+    Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+
+  /** Block i of `simhash64` as Spark/DuckDB-portable SQL. Arithmetic
+    * (sign-filling) shift is irrelevant under the width mask. */
+  private def simBlkSql(i: Int): String = {
+    val (off, w) = simBlocks(i)
+    s"(shiftright(simhash64, $off) & ${(1 << w) - 1})"
+  }
+
+  /** One join key per 3-block combination: the three block values packed
+    * at fixed 11-bit stride (max width is 11, so no overlap; total ≤ 33
+    * bits — safely inside a BIGINT). Ordered like
+    * `(0 until 6).combinations(3)` — index = the `c` column. */
+  private[graft] def simComboKeySqls: Seq[String] =
+    (0 until 6).combinations(3).toSeq.map { c =>
+      s"(${simBlkSql(c(0))} * ${1L << 22} + ${simBlkSql(c(1))} * ${1L << 11} + ${simBlkSql(c(2))})"
+    }
+
   /** SimHash near-dup pairing on the codegen'd native
     * [[graft.functions.HammingDistance]] expression (popcount-xor inside
     * whole-stage codegen — the "custom Expression beats UDF" path).
     *
-    * Pigeonhole blocking (exact, not approximate): a pair at hamming
-    * distance ≤ 3 differs in ≤ 3 of the 4 16-bit blocks, so it MUST agree
-    * on at least one (block index, block value) key. With 64-bit hashes the
-    * bucket space per block is 65,536 values of a well-mixed hash —
-    * candidates stay near-linear instead of the ~n²/64 the 16-bit variant
-    * degenerated to. */
+    * Blocking is Manku-style k-of-m (exact, not approximate): the 64-bit
+    * hash splits into m=6 blocks ([[simBlocks]]); a pair at hamming
+    * distance ≤ 3 has all differing bits inside ≤ 3 blocks, so it MUST
+    * agree on ALL THREE blocks of at least one of the C(6,3) = 20 block
+    * triples. Keying on (triple index, packed 3-block value) gives a
+    * ~2³²-value key space per triple — 2¹⁶× the previous single-16-bit-
+    * block keys, which saturated at ≥10⁹ docs (VERDICT r2 #1): at 10¹⁰
+    * docs a (triple, key) bucket now holds ~2 docs instead of ~150k, at a
+    * bounded 20-rows/doc fan-out. Recall is still exactly 100% for
+    * dist ≤ 3. */
   val ddSimhashPairs = GraftQuery(
     "dd_simhash_pairs",
     (s, dir) => {
@@ -562,12 +588,10 @@ object TextQueries {
       val sim = ddSimhash.fn(s, dir).cache()
       val blocks = sim
         .select($"doc_id", $"simhash64",
-          explode(expr("sequence(0, 3)")).as("b"))
-        // arithmetic vs logical shift is irrelevant under the & 65535 mask
-        .withColumn("blk", expr("shiftright(simhash64, 16 * b) & 65535"))
-      val a = blocks.select($"b", $"blk", $"doc_id".as("doc_a"), $"simhash64".as("sim_a"))
-      val bb = blocks.select($"b", $"blk", $"doc_id".as("doc_b"), $"simhash64".as("sim_b"))
-      a.join(bb, Seq("b", "blk"))
+          posexplode(array(simComboKeySqls.map(expr): _*)).as(Seq("c", "key")))
+      val a = blocks.select($"c", $"key", $"doc_id".as("doc_a"), $"simhash64".as("sim_a"))
+      val bb = blocks.select($"c", $"key", $"doc_id".as("doc_b"), $"simhash64".as("sim_b"))
+      a.join(bb, Seq("c", "key"))
         .filter($"doc_a" < $"doc_b")
         .select($"doc_a", $"doc_b", $"sim_a", $"sim_b")
         .distinct()

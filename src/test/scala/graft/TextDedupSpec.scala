@@ -23,6 +23,20 @@ class TextDedupSpec extends SparkSpec {
     dir
   }
 
+  /** Candidate-pair upper bound exactly as the pairing query generates
+    * them, via the SAME key SQL the query joins on (TextQueries
+    * .simComboKeySqls evaluated through Spark). */
+  private def comboCandidates(hashes: Seq[Long]): Long = {
+    import spark.implicits._
+    val keyed = hashes.toDF("simhash64")
+      .select(posexplode(array(TextQueries.simComboKeySqls.map(expr): _*))
+        .as(Seq("c", "key")))
+      .groupBy($"c", $"key").count()
+      .select(expr("count * (count - 1) div 2").as("pairs"))
+      .agg(sum($"pairs")).collect()(0)
+    if (keyed.isNullAt(0)) 0L else keyed.getLong(0)
+  }
+
   test("simhash occupies the 64-bit space (no 16-bit saturation)") {
     val sims = TextQueries.ddSimhash.fn(spark, sfDir).collect()
     assert(sims.length === 500)
@@ -45,16 +59,12 @@ class TextDedupSpec extends SparkSpec {
     val hashes = TextQueries.ddSimhash.fn(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("simhash64")))
     // candidate pairs exactly as the pairing query generates them: agree on
-    // any (block index, 16-bit block value); counted per block = an upper
-    // bound on the deduplicated join size
-    var cand = 0L
-    for (k <- 0 until 4) {
-      val byBlk = hashes.groupBy { case (_, h) => (h >> (16 * k)) & 0xffffL }
-      cand += byBlk.values.map(v => v.size.toLong * (v.size - 1) / 2).sum
-    }
+    // one of the 20 (triple index, packed 3-block value) keys; counted per
+    // key = an upper bound on the deduplicated join size
     val n = hashes.length
-    // 16-bit simhash degenerated to ~n²/64 (≈3,900 here); 64-bit blocks
-    // give ~4·C(n,2)/65536 ≈ 8 expected — assert the linear bound
+    val cand = comboCandidates(hashes.map(_._2))
+    // 16-bit simhash degenerated to ~n²/64 (≈3,900 here); ~32-bit combo
+    // keys give ~20·C(n,2)/2³² ≈ 0 expected — assert the linear bound
     assert(cand < n, s"candidate blow-up: $cand pairs from $n docs")
 
     val pairs = TextQueries.ddSimhashPairs.fn(spark, dir).collect()
@@ -63,6 +73,26 @@ class TextDedupSpec extends SparkSpec {
       "exact duplicate not recovered by pigeonhole pairing")
     // random 80-word docs: no hash-noise "near-dups" at 64 bits
     assert(pairs.count { case (a, b, _) => !(a == 1L && b == 9001L) } === 0)
+  }
+
+  test("combo keys shrink adversarial bucket occupancy ≥2⁹× vs single-block keys") {
+    // Adversarial corpus for the OLD 4×16-bit scheme: every hash shares the
+    // same low 16 bits (think boilerplate header dominating those simhash
+    // bit-votes) but is random above — block 0 used to put ALL docs in one
+    // bucket, C(n,2) candidates. The k-of-m triple keys each include at
+    // least one block above bit 22, so buckets stay near-empty.
+    val rnd = new scala.util.Random(11)
+    val n = 2000
+    val hashes = (0 until n).map(_ => (rnd.nextLong() << 16) | 0xBEEFL)
+    val oldCand = (0 until 4).map { k =>
+      hashes.groupBy(h => (h >> (16 * k)) & 0xffffL)
+        .values.map(v => v.size.toLong * (v.size - 1) / 2).sum
+    }.sum
+    val newCand = comboCandidates(hashes)
+    assert(oldCand >= n.toLong * (n - 1) / 2, "corpus not adversarial for the old scheme")
+    assert(newCand * 512 <= oldCand,
+      s"combo keys shrank occupancy only ${oldCand.toDouble / newCand.max(1)}× " +
+        s"($oldCand → $newCand candidates)")
   }
 
   test("ngram jaccard df-cap: boilerplate creates no pairs, rare overlap still found") {
