@@ -115,6 +115,13 @@ object Dissect {
     // carryKind records which dissector owns the buffer (1=fix, 2=http)
     val carry: Array[Array[Byte]] = Array(Array.emptyByteArray, Array.emptyByteArray)
     val carryKind: Array[Int] = Array(0, 0)
+    // seq-indexed reassembly (desegment only): expSeq is the next relative
+    // sequence the app-layer stream will consume; segments arriving ahead
+    // of it wait in ooo (relSeq -> payload), bounded by MaxCarry bytes
+    val expSeq = Array(-1L, -1L)
+    val ooo: Array[java.util.TreeMap[java.lang.Long, Array[Byte]]] =
+      Array(new java.util.TreeMap, new java.util.TreeMap)
+    val oooBytes = Array(0, 0)
     var firstTsMicros = -1L
     var prevTsMicros = -1L
     def scalingActive: Boolean = wsShift(0) >= 0 && wsShift(1) >= 0
@@ -239,6 +246,21 @@ object Dissect {
   /** Cap on buffered reassembly bytes per TCP direction; a PDU larger than
     * this is abandoned rather than risking unbounded executor memory. */
   private val MaxCarry = 1 << 20
+
+  /** True iff every byte of [from, until) is already below the direction's
+    * reassembly cursor or covered by buffered out-of-order runs — i.e. the
+    * segment brings nothing the stream hasn't seen (exact retransmission
+    * test under desegment, vs the nxtseq heuristic of the plain scan). */
+  private def noNewBytes(conv: TcpConv, dir: Int, from: Long, until: Long): Boolean = {
+    var cur = math.max(from, conv.expSeq(dir))
+    val m = conv.ooo(dir)
+    while (cur < until) {
+      val e = m.floorEntry(cur)
+      if (e == null || e.getKey + e.getValue.length <= cur) return false
+      cur = e.getKey + e.getValue.length
+    }
+    true
+  }
 
   /** Scan `buf` for COMPLETE FIX messages (from "8=FIX" up to and including
     * the SOH-terminated checksum field "10=xxx<SOH>").
@@ -626,10 +648,24 @@ object Dissect {
     v("tcp.nxtseq") = relSeq + segLen + (if (syn || fin) 1 else 0)
     v("tcp.ack") = relAck
     v("tcp.ack_raw") = rawAck
-    // retransmission heuristic: a data segment whose end does not advance
-    // the direction's highest nxtseq was already (at least partly) sent
     val nxtRel = relSeq + segLen + (if (syn || fin) 1 else 0)
-    val isRetrans = segLen > 0 && conv.maxNxtSeq(dir) >= 0 && nxtRel <= conv.maxNxtSeq(dir)
+    val pstart = off + hdrLen
+    val plen = math.min(segLen, math.max(0, d.length - pstart))
+    // SYN consumes one sequence number: data starts at relSeq + 1, so the
+    // reassembly cursor can anchor even if the first data segment arrives
+    // out of order
+    if (tracker.desegment && syn && conv.expSeq(dir) < 0) conv.expSeq(dir) = relSeq + 1
+    // retransmission: under desegment the rule is exact — a data segment
+    // is a retransmission iff it brings no bytes the stream hasn't already
+    // consumed (below expSeq) or buffered (ooo). Without desegment, the
+    // classic highest-nxtseq heuristic (identical on in-order captures;
+    // the exact rule additionally avoids mis-flagging a segment that fills
+    // a hole left by out-of-order arrival).
+    val isRetrans =
+      if (tracker.desegment && conv.expSeq(dir) >= 0)
+        segLen > 0 && noNewBytes(conv, dir, relSeq, relSeq + segLen)
+      else
+        segLen > 0 && conv.maxNxtSeq(dir) >= 0 && nxtRel <= conv.maxNxtSeq(dir)
     if (isRetrans) v("tcp.analysis.retransmission") = "1"
     if (nxtRel > conv.maxNxtSeq(dir)) conv.maxNxtSeq(dir) = nxtRel
 
@@ -653,19 +689,82 @@ object Dissect {
     if (wanted.payloads && segLen > 0)
       v("tcp.payload") = hexBytes(d, off + hdrLen, math.min(segLen, d.length - off - hdrLen))
 
+    // Application-layer input. Plain per-packet scan: the raw segment.
+    // Under desegment: the seq-ordered run this packet makes available —
+    // retransmitted bytes are dropped (already consumed or buffered),
+    // segments ahead of a hole wait in the per-direction ooo buffer and are
+    // delivered when the hole fills, so the completing PDU is reported on
+    // the hole-filling packet (tshark reassembly semantics).
+    var appBuf: Array[Byte] = d
+    var appOff = pstart
+    var appLen = plen
+    var outOfOrder = false
+    if (tracker.desegment && plen > 0) {
+      if (isRetrans) appLen = 0
+      else {
+        if (conv.expSeq(dir) < 0) conv.expSeq(dir) = relSeq // anchor at first data
+        if (relSeq > conv.expSeq(dir) && conv.oooBytes(dir) + plen > MaxCarry) {
+          // bound blown waiting for a hole that never fills: abandon the
+          // stream prefix and resync the cursor at this segment
+          conv.ooo(dir).clear(); conv.oooBytes(dir) = 0
+          conv.carry(dir) = Array.emptyByteArray; conv.carryKind(dir) = 0
+          conv.expSeq(dir) = relSeq
+        }
+        val exp = conv.expSeq(dir)
+        val segEnd = relSeq + plen
+        if (relSeq > exp) {
+          // ahead of a hole: buffer, nothing reaches the app layer yet
+          outOfOrder = true
+          appLen = 0
+          val m = conv.ooo(dir)
+          if (!m.containsKey(relSeq)) {
+            m.put(relSeq, java.util.Arrays.copyOfRange(d, pstart, pstart + plen))
+            conv.oooBytes(dir) += plen
+          }
+        } else if (segEnd <= exp) {
+          appLen = 0 // only already-consumed bytes (partial overlap below cursor)
+        } else {
+          val skip = (exp - relSeq).toInt
+          val m = conv.ooo(dir)
+          if (m.isEmpty && skip == 0) {
+            conv.expSeq(dir) = segEnd // common case: in order, zero-copy
+          } else {
+            // deliver this segment's new bytes plus buffered runs that are
+            // now contiguous with the advancing cursor
+            val bb = new java.io.ByteArrayOutputStream(plen - skip + conv.oooBytes(dir))
+            bb.write(d, pstart + skip, plen - skip)
+            var cur = segEnd
+            var e = m.firstEntry()
+            while (e != null && e.getKey <= cur) {
+              val k = e.getKey.longValue(); val p = e.getValue
+              m.pollFirstEntry(); conv.oooBytes(dir) -= p.length
+              if (k + p.length > cur) {
+                val s = (cur - k).toInt
+                bb.write(p, s, p.length - s)
+                cur = k + p.length
+              }
+              e = m.firstEntry()
+            }
+            conv.expSeq(dir) = cur
+            appBuf = bb.toByteArray; appOff = 0; appLen = appBuf.length
+          }
+        }
+        // snaplen-truncated segment: the stream has a capture gap — resync
+        // past it and drop the carry rather than reassembling corrupt bytes
+        if (plen < segLen && conv.expSeq(dir) == segEnd) {
+          conv.expSeq(dir) = relSeq + segLen
+          conv.carry(dir) = Array.emptyByteArray; conv.carryKind(dir) = 0
+        }
+      }
+    }
+    if (outOfOrder) v("tcp.analysis.out_of_order") = "1"
+
     // application layer: FIX (with optional desegmentation), HTTP, TLS
     var appInfo: String = null
-    val pstart = off + hdrLen
-    val plen = math.min(segLen, math.max(0, d.length - pstart))
-    // Retransmitted segments must not feed the reassembly buffers — the
-    // bytes are already in the carry and appending them again corrupts the
-    // PDU stream. (Out-of-order arrival without retransmission is NOT
-    // handled — that needs true seq-indexed reassembly; documented
-    // limitation of desegment v1.)
-    if (plen > 0 && !(tracker.desegment && isRetrans)) {
-      val startsFix = plen > 5 &&
-        d(pstart) == '8' && d(pstart + 1) == '=' && d(pstart + 2) == 'F' &&
-        d(pstart + 3) == 'I' && d(pstart + 4) == 'X'
+    if (appLen > 0) {
+      val startsFix = appLen > 5 &&
+        appBuf(appOff) == '8' && appBuf(appOff + 1) == '=' && appBuf(appOff + 2) == 'F' &&
+        appBuf(appOff + 3) == 'I' && appBuf(appOff + 4) == 'X'
       // an active HTTP carry owns the stream: a payload that happens to
       // start with "8=FIX" mid-headers must not clobber it
       if (tracker.desegment && conv.carryKind(dir) != 2 &&
@@ -674,8 +773,8 @@ object Dissect {
         // messages COMPLETED by this segment, keep the new tail
         val prev = conv.carry(dir)
         val buf =
-          if (prev.isEmpty) java.util.Arrays.copyOfRange(d, pstart, pstart + plen)
-          else prev ++ java.util.Arrays.copyOfRange(d, pstart, pstart + plen)
+          if (prev.isEmpty) java.util.Arrays.copyOfRange(appBuf, appOff, appOff + appLen)
+          else prev ++ java.util.Arrays.copyOfRange(appBuf, appOff, appOff + appLen)
         val (msgs, consumed) = fixCompleteMessages(buf)
         conv.carry(dir) =
           if (buf.length - consumed > MaxCarry) Array.emptyByteArray
@@ -691,7 +790,7 @@ object Dissect {
         }
       } else if (startsFix) {
         protos += "fix"
-        val msgs = fixMessages(d, pstart, plen)
+        val msgs = fixMessages(appBuf, appOff, appLen)
         if (msgs.nonEmpty) {
           appInfo = msgs.mkString(", ")
           v("fix.msgtype") = msgs.head
@@ -700,10 +799,10 @@ object Dissect {
       // HTTP reassembly: buffer until the header block terminator arrives
       if (appInfo == null && tracker.desegment) {
         val httpCarry = conv.carryKind(dir) == 2 && conv.carry(dir).nonEmpty
-        val head = new String(d, pstart, math.min(plen, 10), "ISO-8859-1")
+        val head = new String(appBuf, appOff, math.min(appLen, 10), "ISO-8859-1")
         val looksHttpStart = head.startsWith("HTTP/1.") || httpMethods.exists(head.startsWith)
         if (httpCarry || looksHttpStart) {
-          val seg = java.util.Arrays.copyOfRange(d, pstart, pstart + plen)
+          val seg = java.util.Arrays.copyOfRange(appBuf, appOff, appOff + appLen)
           val buf = if (httpCarry) conv.carry(dir) ++ seg else seg
           if (indexOfCrlfCrlf(buf) >= 0) {
             conv.carry(dir) = Array.emptyByteArray
@@ -719,8 +818,8 @@ object Dissect {
           }
         }
       }
-      if (appInfo == null) appInfo = dissectHttp(d, pstart, plen, v, protos)
-      if (appInfo == null) appInfo = dissectTls(d, pstart, plen, sp, dp, v, protos)
+      if (appInfo == null) appInfo = dissectHttp(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null) appInfo = dissectTls(appBuf, appOff, appLen, sp, dp, v, protos)
     }
 
     if (appInfo != null) appInfo
@@ -735,6 +834,8 @@ object Dissect {
       if (ack) flagNames += "ACK"
       if (urg) flagNames += "URG"
       val sb = new StringBuilder
+      if (outOfOrder) sb.append("[TCP Out-Of-Order] ")
+      else if (tracker.desegment && isRetrans) sb.append("[TCP Retransmission] ")
       sb.append(sp).append(" → ").append(dp)
       sb.append(" [").append(flagNames.mkString(", ")).append("]")
       sb.append(" Seq=").append(relSeq)

@@ -321,6 +321,45 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d2.values("fix.msgtype") === "Logon")
   }
 
+  test("desegment: partially-overlapping segment delivers only its new bytes") {
+    val fix = "8=FIX.4.2\u00019=20\u000135=A\u000134=1\u000149=X\u000110=123\u0001"
+    val bytes = fix.getBytes("ISO-8859-1")
+    def frame(b: Array[Byte], seq: Int) = {
+      val f = ethIpTcp(5001, 5002, b, seq)
+      PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    }
+    // p1 = [0,20), p2 = [10,len) — the 10-byte overlap must not be
+    // duplicated into the reassembly buffer
+    val t = new Dissect.Tracker(desegment = true)
+    val d1 = Dissect.dissect(frame(bytes.slice(0, 20), 1000), 1, t)
+    val d2 = Dissect.dissect(frame(bytes.slice(10, bytes.length), 1010), 1, t)
+    assert(d1.info === "[TCP segment of a reassembled PDU]")
+    assert(!d2.values.contains("tcp.analysis.retransmission"))
+    assert(d2.info === "Logon")
+  }
+
+  test("desegment: out-of-order middle segment; PDU completes on hole-filler") {
+    val fix = "8=FIX.4.2\u00019=20\u000135=A\u000134=1\u000149=X\u000110=123\u0001"
+    val bytes = fix.getBytes("ISO-8859-1")
+    def frame(b: Array[Byte], seq: Int) = {
+      val f = ethIpTcp(5001, 5002, b, seq)
+      PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    }
+    val t = new Dissect.Tracker(desegment = true)
+    val d1 = Dissect.dissect(frame(bytes.slice(0, 12), 1000), 1, t)
+    val d3 = Dissect.dissect(frame(bytes.slice(24, bytes.length), 1024), 1, t)
+    val d2 = Dissect.dissect(frame(bytes.slice(12, 24), 1012), 1, t)
+    assert(d1.info === "[TCP segment of a reassembled PDU]")
+    assert(d3.values.contains("tcp.analysis.out_of_order"))
+    assert(d3.info.startsWith("[TCP Out-Of-Order] "))
+    assert(d2.info === "Logon")
+    assert(d2.values("fix.msgtype") === "Logon")
+    // a late duplicate of an already-consumed segment is a retransmission
+    val dup = Dissect.dissect(frame(bytes.slice(12, 24), 1012), 1, t)
+    assert(dup.values.contains("tcp.analysis.retransmission"))
+    assert(dup.info.startsWith("[TCP Retransmission] "))
+  }
+
   test("desegment: two complete messages in one segment both render") {
     val fix = "8=FIX.4.2\u00019=20\u000135=0\u000110=123\u0001" +
       "8=FIX.4.2\u00019=20\u000135=1\u000110=124\u0001"

@@ -98,11 +98,41 @@ packets.append((t + 4, 500, ip_frame(6, A, B, tcp(5001, 5002, 1 + len(part1), pa
 fix_hb = b"8=FIX.4.2" + SOH + b"9=12" + SOH + b"35=0" + SOH + b"34=2" + SOH + b"10=124" + SOH
 packets.append((t + 5, 0, ip_frame(6, A, B, tcp(5001, 5002, 1 + len(fix_msg), fix_hb), ident=11)))
 
-out = struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 262144, 1)
-for sec, usec, frame in packets:
-    out += struct.pack("<IIII", sec, usec, len(frame), len(frame)) + frame
+def write_pcap(path, pkts):
+    out = struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 262144, 1)
+    for sec, usec, frame in pkts:
+        out += struct.pack("<IIII", sec, usec, len(frame), len(frame)) + frame
+    with open(path, "wb") as f:
+        f.write(out)
+    print(f"wrote {path}: {len(pkts)} packets, {len(out)} bytes")
 
-path = "src/test/resources/mixed.pcap"
-with open(path, "wb") as f:
-    f.write(out)
-print(f"wrote {path}: {len(packets)} packets, {len(out)} bytes")
+
+write_pcap("src/test/resources/mixed.pcap", packets)
+
+# ---------------------------------------------------------------------------
+# mixed_ooo.pcap — the same application content arriving with TCP segments
+# OUT OF ORDER (plus a retransmission), for the seq-indexed reassembly
+# golden: under desegment=true the dissected fix.msgtype/_ws.col.info must
+# equal the in-order capture's, with the PDU completing on the hole-filling
+# packet. Streams open with a SYN so the ISN (and the reassembly cursor)
+# is anchored before any data segment arrives.
+ooo = []
+t2 = 1700001000
+
+# FIX stream 5001->5002: SYN, then a Logon split in three segments sent
+# 1st, 3rd, 2nd; then a retransmission of the 2nd; then a whole Heartbeat.
+ooo.append((t2, 0, ip_frame(6, A, B, tcp(5001, 5002, 200, b"", flags=0x02), ident=20)))
+fp1, fp2, fp3 = fix_msg[:12], fix_msg[12:24], fix_msg[24:]
+ooo.append((t2, 100, ip_frame(6, A, B, tcp(5001, 5002, 201, fp1), ident=21)))
+ooo.append((t2, 200, ip_frame(6, A, B, tcp(5001, 5002, 201 + 24, fp3), ident=22)))
+ooo.append((t2, 300, ip_frame(6, A, B, tcp(5001, 5002, 201 + 12, fp2), ident=23)))
+ooo.append((t2, 400, ip_frame(6, A, B, tcp(5001, 5002, 201 + 12, fp2), ident=24)))
+ooo.append((t2, 500, ip_frame(6, A, B, tcp(5001, 5002, 201 + len(fix_msg), fix_hb), ident=25)))
+
+# HTTP stream 49200->80: SYN, then the request's two segments REVERSED.
+hp1, hp2 = http_req[:25], http_req[25:]
+ooo.append((t2 + 1, 0, ip_frame(6, A, B, tcp(49200, 80, 300, b"", flags=0x02), ident=26)))
+ooo.append((t2 + 1, 100, ip_frame(6, A, B, tcp(49200, 80, 301 + 25, hp2), ident=27)))
+ooo.append((t2 + 1, 200, ip_frame(6, A, B, tcp(49200, 80, 301, hp1), ident=28)))
+
+write_pcap("src/test/resources/mixed_ooo.pcap", ooo)
