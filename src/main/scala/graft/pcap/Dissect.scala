@@ -914,7 +914,20 @@ object Dissect {
     val c0 = d(pstart)
     if (c0 != 'G' && c0 != 'P' && c0 != 'H' && c0 != 'D' &&
       c0 != 'O' && c0 != 'T' && c0 != 'C') return null
-    val text = new String(d, pstart, math.min(plen, 2048), "ISO-8859-1")
+    // decode up to the end of the header block when its CRLFCRLF
+    // terminator is present (a desegment-reassembled block can exceed any
+    // fixed cap); fall back to 2 KB for an incomplete first segment, whose
+    // unterminated headers are withheld below anyway
+    var hend = -1
+    var hi = pstart
+    val hscanEnd = pstart + plen - 3
+    while (hend < 0 && hi < hscanEnd) {
+      if (d(hi) == '\r' && d(hi + 1) == '\n' && d(hi + 2) == '\r' && d(hi + 3) == '\n')
+        hend = hi + 4
+      hi += 1
+    }
+    val decLen = if (hend >= 0) hend - pstart else math.min(plen, 2048)
+    val text = new String(d, pstart, decLen, "ISO-8859-1")
     val isResp = text.startsWith("HTTP/1.")
     val isReq = !isResp && httpMethods.exists(text.startsWith)
     if (!isReq && !isResp) return null

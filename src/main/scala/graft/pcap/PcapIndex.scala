@@ -127,7 +127,24 @@ object PcapIndex {
             case Array((_, _, endPos, _, _), (_, sync, _, _, _)) => endPos == sync
             case _ => true
           }
-        if (!consistent) return splits(file, targetBytes, conf) // safe fallback
+        if (!consistent) {
+          // safe fallback — but attributable: losing resync on a real
+          // capture silently costs the whole planning speedup, so say why
+          val noSync = results.filter(_._5).map(_._1)
+          val mismatch = results.sliding(2).collect {
+            case Array((k1, _, endPos, _, _), (k2, sync, _, _, _)) if endPos != sync =>
+              s"chunk $k1 end=$endPos != chunk $k2 sync=$sync"
+          }.toSeq
+          val why =
+            if (noSync.nonEmpty)
+              s"no plausible record boundary in chunk(s) ${noSync.mkString(",")} " +
+                "(timestamps outside the first-record plausibility window, e.g. " +
+                "backward clock jumps or epoch-zero stamps, defeat the chain check)"
+            else mismatch.mkString("; ")
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"resync split planning for $file fell back to the sequential driver sweep: $why")
+          return splits(file, targetBytes, conf)
+        }
         var firstNum = 1L
         results.map { case (_, sync, endPos, cnt, _) =>
           val sp = Split(sync, endPos - sync, firstNum)

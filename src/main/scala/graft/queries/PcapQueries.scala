@@ -12,8 +12,21 @@ import graft.api.{GraftQuery, Wireduck}
   */
 object PcapQueries {
 
+  /** Fixture captures ship as test resources; resolve from the classpath
+    * when visible (test runs) and otherwise relative to
+    * `graft.fixtures.dir` (system property, or GRAFT_FIXTURES_DIR env,
+    * default src/test/resources under the working directory) so the query
+    * set works from any checkout location, not just /root/repo. */
+  private def fixture(name: String): String =
+    Option(getClass.getResource("/" + name)).map(_.getPath).getOrElse {
+      val base = sys.props.get("graft.fixtures.dir")
+        .orElse(sys.env.get("GRAFT_FIXTURES_DIR"))
+        .getOrElse("src/test/resources")
+      new java.io.File(base, name).getPath
+    }
+
   /** The reference's own fixture, vendored as a test resource. */
-  val fixturePath = "/root/repo/src/test/resources/fix.pcap"
+  val fixturePath: String = fixture("fix.pcap")
 
   /** A1: default 5-column scan. */
   val pcapScan = GraftQuery(
@@ -65,7 +78,7 @@ object PcapQueries {
     })
 
   /** The mixed golden capture (tools/make_mixed_pcap.py). */
-  val mixedPath = "/root/repo/src/test/resources/mixed.pcap"
+  val mixedPath: String = fixture("mixed.pcap")
 
   /** Native http/tls/dns long-tail dissection (VERDICT r1 missing #1):
     * request lines, status codes, SNI, DNS answers — with desegmentation on

@@ -321,6 +321,24 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d2.values("fix.msgtype") === "Logon")
   }
 
+  test("desegment: header block larger than 2KB keeps trailing headers") {
+    // a >2KB cookie pushes Host/User-Agent past the old fixed decode cap
+    val req = "GET /big HTTP/1.1\r\nCookie: " + ("x" * 2500) +
+      "\r\nHost: example.com\r\nUser-Agent: big/1.0\r\n\r\n"
+    val (p1, p2) = req.splitAt(1200)
+    def frame(s: String, seq: Int) = {
+      val f = ethIpTcp(49300, 80, s.getBytes("ISO-8859-1"), seq)
+      PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    }
+    val t = new Dissect.Tracker(desegment = true)
+    val d1 = Dissect.dissect(frame(p1, 1), 1, t)
+    val d2 = Dissect.dissect(frame(p2, 1 + p1.length), 1, t)
+    assert(d1.info === "[TCP segment of a reassembled PDU]")
+    assert(d2.info === "GET /big HTTP/1.1")
+    assert(d2.values("http.host") === "example.com")
+    assert(d2.values("http.user_agent") === "big/1.0")
+  }
+
   test("desegment: partially-overlapping segment delivers only its new bytes") {
     val fix = "8=FIX.4.2\u00019=20\u000135=A\u000134=1\u000149=X\u000110=123\u0001"
     val bytes = fix.getBytes("ISO-8859-1")

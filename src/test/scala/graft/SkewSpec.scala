@@ -16,20 +16,19 @@ class SkewSpec extends SparkSpec {
       .select(when($"id" % 100 =!= 0, lit(1L)).otherwise($"id" % 50).as("k"),
         $"id".as("payload"))
     val dim = spark.range(50).select($"id".as("k"), concat(lit("d"), $"id").as("name"))
-    val prev = Map(
-      "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
-      "spark.sql.adaptive.skewJoin.enabled" ->
-        spark.conf.get("spark.sql.adaptive.skewJoin.enabled"),
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" ->
-        spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold").getOrElse(""),
-      "spark.sql.autoBroadcastJoinThreshold" ->
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
-        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
-        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
-        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
+    // remember Option-al original values: a key that was UNSET must be
+    // unset again on restore (SparkSpec.session is shared across suites;
+    // leaving e.g. adaptive.autoBroadcastJoinThreshold=-1 behind would
+    // order-depend later suites' plan assertions)
+    val prev: Map[String, Option[String]] = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -48,7 +47,10 @@ class SkewSpec extends SparkSpec {
       val plan = joined.queryExecution.executedPlan.toString()
       assert(plan.contains("isSkew=true") || plan.contains("skew=true"),
         s"expected AQE skew-join split in final plan:\n${plan.take(3000)}")
-    } finally prev.foreach { case (k, v) => if (v.nonEmpty) spark.conf.set(k, v) }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("salted aggregate equals direct aggregate on a skewed key distribution") {

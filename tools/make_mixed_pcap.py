@@ -136,3 +136,40 @@ ooo.append((t2 + 1, 100, ip_frame(6, A, B, tcp(49200, 80, 301 + 25, hp2), ident=
 ooo.append((t2 + 1, 200, ip_frame(6, A, B, tcp(49200, 80, 301, hp1), ident=28)))
 
 write_pcap("src/test/resources/mixed_ooo.pcap", ooo)
+
+# ---------------------------------------------------------------------------
+# sweep_extra.pcap — ICMPv6 / NTP / VLAN / IPv6-UDP frames for the
+# glossary-consistency sweep (MixedCaptureSpec): every field a dissector on
+# these paths emits must have a glossary row, else it would be a
+# permanently-NULL column (FieldVec drops unknown names silently).
+extra = []
+t3 = 1700002000
+
+SRC6 = bytes([0xfe, 0x80] + [0] * 13 + [1])
+DST6 = bytes([0xfe, 0x80] + [0] * 13 + [2])
+
+
+def ipv6_frame(nxt, payload):
+    hdr = struct.pack(">IHBB", 0x60000000, len(payload), nxt, 64) + SRC6 + DST6
+    return eth(MAC_B, MAC_A, 0x86DD, hdr + payload)
+
+
+# 1: ICMPv6 neighbor solicitation
+tgt = bytes([0xfe, 0x80] + [0] * 13 + [9])
+ns = struct.pack(">BBHI", 135, 0, 0, 0) + tgt
+extra.append((t3, 0, ipv6_frame(58, ns)))
+
+# 2: NTP client packet (v4, mode 3, stratum 3)
+ntp = bytes([(0 << 6) | (4 << 3) | 3, 3]) + bytes(46)
+extra.append((t3, 100, ip_frame(17, A, B, udp(50000, 123, ntp), ident=30)))
+
+# 3: VLAN-tagged (id 42) IPv4 TCP segment with a small payload
+ip_hdr, ip_pay = ipv4(6, A, B, tcp(40000, 9000, 1, b"hello"), ident=31)
+vlan_frame = eth(MAC_B, MAC_A, 0x8100,
+                 struct.pack(">HH", 42, 0x0800) + ip_hdr + ip_pay)
+extra.append((t3, 200, vlan_frame))
+
+# 4: DNS query over IPv6 UDP (ipv6 + udp + dns combined path)
+extra.append((t3, 300, ipv6_frame(17, udp(40001, 53, dns_q))))
+
+write_pcap("src/test/resources/sweep_extra.pcap", extra)
