@@ -132,6 +132,38 @@ object Dissect {
     var prevTsMicros = -1L
   }
 
+  /** One in-flight fragmented IP datagram: parts keyed by byte offset,
+    * complete when [0, totalLen) is contiguously covered (totalLen is known
+    * once the MF=0 / M=0 fragment arrives). Overlapping fragments keep the
+    * first-arrived bytes, clipped to the datagram length. */
+  private final class FragAsm {
+    val parts = new java.util.TreeMap[Integer, Array[Byte]]
+    var bytes = 0
+    var totalLen: Int = -1
+    var proto: Int = -1 // upper-layer protocol (from the first fragment)
+    def add(offset: Int, data: Array[Byte], last: Boolean): Unit = {
+      if (last) totalLen = offset + data.length
+      if (!parts.containsKey(offset)) { parts.put(offset, data); bytes += data.length }
+    }
+    def tryComplete(): Array[Byte] = {
+      if (totalLen < 0) return null
+      var cur = 0
+      val it = parts.entrySet().iterator()
+      while (cur < totalLen && it.hasNext) {
+        val e = it.next()
+        if (e.getKey > cur) return null // hole
+        cur = math.max(cur, e.getKey + e.getValue.length)
+      }
+      if (cur < totalLen) return null
+      val out = new Array[Byte](totalLen)
+      parts.forEach { (k, p) =>
+        val copyLen = math.min(p.length, totalLen - k)
+        if (copyLen > 0) System.arraycopy(p, 0, out, k, copyLen)
+      }
+      out
+    }
+  }
+
   /** Per-file mutable tracker; create one per PartitionReader.
     * @param desegment reassemble application PDUs (FIX) that span TCP
     *   segments, like tshark's desegmentation: the message is reported on
@@ -151,6 +183,26 @@ object Dissect {
       tcpConvs.getOrElseUpdate(k, { val c = new TcpConv(nextTcpStream); nextTcpStream += 1; c })
     private[Dissect] def udpConv(k: ConvKey): UdpConv =
       udpConvs.getOrElseUpdate(k, { val c = new UdpConv(nextUdpStream); nextUdpStream += 1; c })
+
+    // IP fragment reassembly (desegment only): pending datagrams keyed by
+    // (version, src, dst, id), insertion-order bounded so a capture full of
+    // never-completing fragments cannot grow executor memory unboundedly
+    private val ipFrags = mutable.LinkedHashMap.empty[(Int, String, String, Long), FragAsm]
+
+    /** Adds one fragment; returns (reassembled datagram, upper proto) when
+      * this fragment completes it, null otherwise. */
+    private[Dissect] def addFrag(ver: Int, src: String, dst: String, id: Long,
+        offset: Int, data: Array[Byte], last: Boolean, proto: Int): (Array[Byte], Int) = {
+      if (ipFrags.size >= 256 && !ipFrags.contains((ver, src, dst, id)))
+        ipFrags.remove(ipFrags.head._1)
+      val asm = ipFrags.getOrElseUpdate((ver, src, dst, id), new FragAsm)
+      if (proto >= 0 && (offset == 0 || asm.proto < 0)) asm.proto = proto
+      asm.add(offset, data, last)
+      if (asm.bytes > MaxCarry) { ipFrags.remove((ver, src, dst, id)); return null }
+      val r = asm.tryComplete()
+      if (r == null) null
+      else { ipFrags.remove((ver, src, dst, id)); (r, asm.proto) }
+    }
   }
 
   // --- helpers -----------------------------------------------------------
@@ -454,12 +506,30 @@ object Dissect {
     // payload bounded by IP total length (ethernet padding must not leak in)
     val ipEnd = math.min(off + totalLen, d.length)
     // Non-first fragments carry raw payload where the L4 header would be —
-    // dissecting them as TCP/UDP would emit garbage fields. tshark renders
-    // these as "Fragmented IP protocol"; reassembly is out of scope (the
-    // fixture corpora carry none), so match that rendering and stop here.
+    // dissecting them as TCP/UDP would emit garbage fields. Per-packet scan
+    // (no desegment): render tshark's "Fragmented IP protocol" and stop.
+    // Under desegment: buffer fragments keyed by (src, dst, proto, id) and
+    // dissect the upper layer from the reassembled datagram on the
+    // completing fragment, like tshark's defaulted IP reassembly.
     val fragOffset = flagsFrag & 0x1fff
-    if (fragOffset > 0)
+    val mf = (flagsFrag & 0x2000) != 0
+    if (fragOffset > 0 || (mf && tracker.desegment)) {
+      if (tracker.desegment && ipEnd > next) {
+        val id = u16(d, off + 4).toLong
+        val part = java.util.Arrays.copyOfRange(d, next, ipEnd)
+        tracker.addFrag(4, src, dst, id, fragOffset * 8, part, last = !mf, proto) match {
+          case (reasm, p) =>
+            return p match {
+              case 6  => dissectTcp(reasm, 0, reasm.length, src, dst, v, protos, tracker, wanted)
+              case 17 => dissectUdp(reasm, 0, reasm.length, src, dst, v, protos, tracker, wanted)
+              case 1  => protos += "icmp"; dissectIcmp(reasm, 0, v)
+              case _  => null
+            }
+          case null =>
+        }
+      }
       return s"Fragmented IP protocol (proto=$proto, off=${fragOffset * 8}, ID=${"%04x".format(u16(d, off + 4))})"
+    }
     proto match {
       case 6  => dissectTcp(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
       case 17 => dissectUdp(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
@@ -489,10 +559,61 @@ object Dissect {
     v("ipv6.addr") = s"$src,$dst" // "Source or Destination", like ip.addr
     val next = off + 40
     val end = math.min(next + payLen, d.length)
-    nxt match {
-      case 6  => dissectTcp(d, next, end, src, dst, v, protos, tracker, wanted)
-      case 17 => dissectUdp(d, next, end, src, dst, v, protos, tracker, wanted)
-      case 58 => protos += "icmpv6"; dissectIcmpv6(d, next, end, v)
+    // Walk the extension-header chain (hop-by-hop, routing, destination
+    // options, fragment) to the upper-layer header — RFC 8200 §4. tshark
+    // dissects through these by default; stopping at ipv6.nxt would lose
+    // the L4 layer on any packet with a hop-by-hop option.
+    var p = next
+    var nxtH = nxt
+    var fragOffB = -1
+    var more = false
+    var fragId = 0L
+    var hops = 0
+    var walking = true
+    while (walking && hops < 8 && p + 8 <= end) {
+      hops += 1
+      nxtH match {
+        case 0 | 43 | 60 =>
+          protos += (nxtH match {
+            case 0 => "ipv6.hopopts"; case 43 => "ipv6.routing"; case _ => "ipv6.dstopts"
+          })
+          val nn = u8(d, p)
+          p += (u8(d, p + 1) + 1) * 8
+          nxtH = nn
+        case 44 =>
+          protos += "ipv6.fraghdr"
+          val fo = u16(d, p + 2)
+          fragOffB = fo & 0xfff8
+          more = (fo & 1) != 0
+          fragId = u32(d, p + 4)
+          nxtH = u8(d, p)
+          p += 8
+        case _ => walking = false
+      }
+    }
+    if (fragOffB >= 0 && (fragOffB > 0 || more)) {
+      if (tracker.desegment && end > p) {
+        val part = java.util.Arrays.copyOfRange(d, p, end)
+        // the upper-layer Next Header is authoritative only in the first
+        // fragment (RFC 8200 §4.5) — FragAsm keeps that one
+        tracker.addFrag(6, src, dst, fragId, fragOffB, part, last = !more,
+          if (fragOffB == 0) nxtH else -1) match {
+          case (reasm, up) =>
+            return up match {
+              case 6  => dissectTcp(reasm, 0, reasm.length, src, dst, v, protos, tracker, wanted)
+              case 17 => dissectUdp(reasm, 0, reasm.length, src, dst, v, protos, tracker, wanted)
+              case 58 => protos += "icmpv6"; dissectIcmpv6(reasm, 0, reasm.length, v)
+              case _  => null
+            }
+          case null =>
+        }
+      }
+      return s"IPv6 fragment (nxt=$nxtH, off=$fragOffB, id=0x${"%08x".format(fragId)})"
+    }
+    nxtH match {
+      case 6  => dissectTcp(d, p, end, src, dst, v, protos, tracker, wanted)
+      case 17 => dissectUdp(d, p, end, src, dst, v, protos, tracker, wanted)
+      case 58 => protos += "icmpv6"; dissectIcmpv6(d, p, end, v)
       case _  => null
     }
   }

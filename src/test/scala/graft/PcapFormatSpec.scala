@@ -440,6 +440,90 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d.info === "NTP Version 4, client")
   }
 
+  private def ipv4Frag(payloadSlice: Array[Byte], fragOffBytes: Int, mf: Boolean,
+      ident: Int = 0x77, proto: Int = 17): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(14 + 20 + payloadSlice.length)
+    b.put(new Array[Byte](12)).putShort(0x0800.toShort)
+    val flagsFrag = (if (mf) 0x2000 else 0) | (fragOffBytes / 8)
+    b.put(0x45.toByte).put(0.toByte).putShort((20 + payloadSlice.length).toShort)
+      .putShort(ident.toShort).putShort(flagsFrag.toShort)
+      .put(64.toByte).put(proto.toByte).putShort(0.toShort)
+      .put(Array[Byte](10, 0, 0, 1)).put(Array[Byte](10, 0, 0, 2))
+    b.put(payloadSlice)
+    b.array()
+  }
+
+  test("desegment: fragmented IPv4 UDP/DNS dissects from the reassembled datagram") {
+    // DNS query datagram fragmented at an 8-byte boundary, arriving in order
+    val q = java.nio.ByteBuffer.allocate(12 + 13 + 4)
+    q.putShort(0x1234.toShort).putShort(0x0100.toShort)
+      .putShort(1.toShort).putShort(0.toShort).putShort(0.toShort).putShort(0.toShort)
+    q.put(7.toByte).put("example".getBytes).put(3.toByte).put("com".getBytes).put(0.toByte)
+    q.putShort(1.toShort).putShort(1.toShort)
+    val datagram = {
+      val u = java.nio.ByteBuffer.allocate(8 + q.array().length)
+      u.putShort(40000.toShort).putShort(53.toShort)
+        .putShort((8 + q.array().length).toShort).putShort(0.toShort).put(q.array())
+      u.array()
+    }
+    def rec(f: Array[Byte]) = PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    val t = new Dissect.Tracker(desegment = true)
+    val d1 = Dissect.dissect(rec(ipv4Frag(datagram.slice(0, 16), 0, mf = true)), 1, t)
+    val d2 = Dissect.dissect(rec(ipv4Frag(datagram.slice(16, datagram.length), 16, mf = false)), 1, t)
+    assert(d1.info === "Fragmented IP protocol (proto=17, off=0, ID=0077)")
+    assert(!d1.values.contains("udp.srcport"))
+    assert(d2.protocols === "eth:ethertype:ip:udp:dns")
+    assert(d2.values("dns.qry.name") === "example.com")
+    assert(d2.info === "Standard query 0x1234 A example.com")
+
+    // reordered arrival (last fragment first) completes on the hole-filler
+    val t2 = new Dissect.Tracker(desegment = true)
+    val r2 = Dissect.dissect(rec(ipv4Frag(datagram.slice(16, datagram.length), 16, mf = false, ident = 0x78)), 1, t2)
+    val r1 = Dissect.dissect(rec(ipv4Frag(datagram.slice(0, 16), 0, mf = true, ident = 0x78)), 1, t2)
+    assert(r2.info === "Fragmented IP protocol (proto=17, off=16, ID=0078)")
+    assert(r1.values("dns.qry.name") === "example.com")
+
+    // without desegment the guard behavior is unchanged
+    val plain = Dissect.dissect(rec(ipv4Frag(datagram.slice(16, datagram.length), 16, mf = false)), 1, new Dissect.Tracker)
+    assert(plain.info === "Fragmented IP protocol (proto=17, off=16, ID=0077)")
+    assert(!plain.values.contains("udp.srcport"))
+  }
+
+  test("desegment: IPv6 fragment header reassembles; ext-header chain walked") {
+    // UDP/NTP datagram split across two IPv6 fragments
+    val ntp = new Array[Byte](48)
+    ntp(0) = ((0 << 6) | (4 << 3) | 3).toByte
+    ntp(1) = 3
+    val datagram = {
+      val u = java.nio.ByteBuffer.allocate(8 + ntp.length)
+      u.putShort(50000.toShort).putShort(123.toShort)
+        .putShort((8 + ntp.length).toShort).putShort(0.toShort).put(ntp)
+      u.array()
+    }
+    def fragHdr(nxt: Int, offBytes: Int, m: Boolean, id: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8)
+      b.put(nxt.toByte).put(0.toByte)
+        .putShort((offBytes | (if (m) 1 else 0)).toShort).putInt(id.toInt)
+      b.array()
+    }
+    def rec(f: Array[Byte]) = PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    val t = new Dissect.Tracker(desegment = true)
+    val f1 = ethIpv6(44, fragHdr(17, 0, m = true, 0xabcd) ++ datagram.slice(0, 16))
+    val f2 = ethIpv6(44, fragHdr(17, 16, m = false, 0xabcd) ++ datagram.slice(16, datagram.length))
+    val d1 = Dissect.dissect(rec(f1), 1, t)
+    val d2 = Dissect.dissect(rec(f2), 1, t)
+    assert(d1.info === "IPv6 fragment (nxt=17, off=0, id=0x0000abcd)")
+    assert(d2.protocols === "eth:ethertype:ipv6:ipv6.fraghdr:udp:ntp")
+    assert(d2.values("ntp.stratum") === 3L)
+    assert(d2.info === "NTP Version 4, client")
+
+    // hop-by-hop extension header is walked through to the L4 dissector
+    val hbh = Array[Byte](17, 0, 1, 4, 0, 0, 0, 0) // nxt=UDP, len=(0+1)*8
+    val hv = Dissect.dissect(rec(ethIpv6(0, hbh ++ datagram)), 1, new Dissect.Tracker)
+    assert(hv.protocols === "eth:ethertype:ipv6:ipv6.hopopts:udp:ntp")
+    assert(hv.values("ntp.flags.mode") === 3L)
+  }
+
   test("ICMP echo request renders ping info") {
     val icmp = java.nio.ByteBuffer.allocate(8)
     icmp.put(8.toByte).put(0.toByte).putShort(0.toShort)
