@@ -122,6 +122,9 @@ object Dissect {
     val ooo: Array[java.util.TreeMap[java.lang.Long, Array[Byte]]] =
       Array(new java.util.TreeMap, new java.util.TreeMap)
     val oooBytes = Array(0, 0)
+    // set once the HTTP/2 client connection preface is seen; both
+    // directions then sniff h2 frames instead of HTTP/1 heuristics
+    var http2 = false
     var firstTsMicros = -1L
     var prevTsMicros = -1L
     def scalingActive: Boolean = wsShift(0) >= 0 && wsShift(1) >= 0
@@ -917,6 +920,14 @@ object Dissect {
           v("fix.msgtype") = msgs.head
         }
       }
+      // HTTP/2: the 24-byte client connection preface marks the
+      // conversation; afterwards both directions sniff h2 frame headers
+      // (not HTTP/1 heuristics — h2 HEADERS are HPACK, not text)
+      if (appInfo == null) {
+        val isPreface = isH2Preface(appBuf, appOff, appLen)
+        if (isPreface) conv.http2 = true
+        if (conv.http2) appInfo = dissectHttp2(appBuf, appOff, appLen, isPreface, v, protos)
+      }
       // HTTP reassembly: buffer until the header block terminator arrives
       if (appInfo == null && tracker.desegment) {
         val httpCarry = conv.carryKind(dir) == 2 && conv.carry(dir).nonEmpty
@@ -925,10 +936,27 @@ object Dissect {
         if (httpCarry || looksHttpStart) {
           val seg = java.util.Arrays.copyOfRange(appBuf, appOff, appOff + appLen)
           val buf = if (httpCarry) conv.carry(dir) ++ seg else seg
-          if (indexOfCrlfCrlf(buf) >= 0) {
-            conv.carry(dir) = Array.emptyByteArray
-            conv.carryKind(dir) = 0
-            appInfo = dissectHttp(buf, 0, buf.length, v, protos)
+          val hEnd = indexOfCrlfCrlf(buf)
+          if (hEnd >= 0) {
+            // chunked transfer coding: keep carrying past the header block
+            // until the terminal 0-chunk arrives, then decode the body
+            // (tshark reports the message on its final segment); bytes past
+            // the terminal chunk (a pipelined next message) are dropped
+            val chunked = isChunkedHeaders(buf, hEnd + 4)
+            val body = if (chunked) decodeChunked(buf, hEnd + 4) else null
+            if (chunked && body == null && buf.length <= MaxCarry) {
+              conv.carry(dir) = buf
+              conv.carryKind(dir) = 2
+              appInfo = "[TCP segment of a reassembled PDU]"
+            } else {
+              conv.carry(dir) = Array.emptyByteArray
+              conv.carryKind(dir) = 0
+              appInfo = dissectHttp(buf, 0, buf.length, v, protos)
+              if (body != null && appInfo != null) {
+                v("http.transfer_encoding") = "chunked"
+                v("http.file_data") = body
+              }
+            }
           } else if (buf.length <= MaxCarry) {
             conv.carry(dir) = buf
             conv.carryKind(dir) = 2
@@ -1120,14 +1148,108 @@ object Dissect {
     if (plen >= 11 && (hsType == 1 || hsType == 2))
       v("tls.handshake.version") = u16(d, pstart + 9).toLong
     if (hsType == 1) {
-      val (sni, alpn) = clientHelloExts(d, pstart + 5, math.min(pstart + 5 + plen - 5, d.length))
-      sni.foreach(n => v("tls.handshake.extensions_server_name") = n)
-      alpn.foreach(a => v("tls.handshake.extensions_alpn_str") = a)
+      val sni = parseClientHello(d, pstart + 5, math.min(pstart + 5 + plen - 5, d.length), v)
       sni match {
         case Some(n) => s"Client Hello (SNI=$n)"
         case None    => "Client Hello"
       }
+    } else if (hsType == 2) {
+      parseServerHello(d, pstart + 5, math.min(pstart + 5 + plen - 5, d.length), v)
+      "Server Hello"
     } else tlsHandshakeNames.getOrElse(hsType, s"Handshake type=$hsType")
+  }
+
+  /** Does the header block [0, hEnd) declare chunked transfer coding? */
+  private def isChunkedHeaders(buf: Array[Byte], hEnd: Int): Boolean = {
+    val headers = new String(buf, 0, math.min(hEnd, buf.length), "ISO-8859-1")
+      .toLowerCase.replace(" ", "")
+    headers.contains("transfer-encoding:chunked")
+  }
+
+  private def hexVal(b: Byte): Int =
+    if (b >= '0' && b <= '9') b - '0'
+    else if (b >= 'a' && b <= 'f') b - 'a' + 10
+    else if (b >= 'A' && b <= 'F') b - 'A' + 10
+    else -1
+
+  /** Walk a chunked transfer-coding body (RFC 9112 §7.1) starting at
+    * `from`. @return the decoded body once the terminal 0-chunk is in the
+    * buffer; null while incomplete or on malformed framing (trailer
+    * fields after the 0-chunk are ignored, like tshark's default). */
+  private def decodeChunked(buf: Array[Byte], from: Int): String = {
+    val sb = new java.lang.StringBuilder
+    var i = from
+    while (i < buf.length) {
+      var j = i
+      var size = 0L
+      var digits = 0
+      while (j < buf.length && hexVal(buf(j)) >= 0 && digits <= 7) {
+        size = size * 16 + hexVal(buf(j)); j += 1; digits += 1
+      }
+      if (digits == 0 || size > MaxCarry) return null
+      // skip any chunk extension up to the size line's CRLF
+      while (j + 1 < buf.length && !(buf(j) == '\r' && buf(j + 1) == '\n')) j += 1
+      if (j + 1 >= buf.length) return null // size line incomplete
+      j += 2
+      if (size == 0) return sb.toString // terminal chunk
+      if (j + size + 2 > buf.length) return null // chunk data (+CRLF) incomplete
+      sb.append(new String(buf, j, size.toInt, "ISO-8859-1"))
+      i = (j + size + 2).toInt
+    }
+    null
+  }
+
+  private val h2Preface: Array[Byte] = "PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes("ISO-8859-1")
+
+  private def isH2Preface(d: Array[Byte], off: Int, len: Int): Boolean = {
+    if (len < h2Preface.length) return false
+    var i = 0
+    while (i < h2Preface.length) { if (d(off + i) != h2Preface(i)) return false; i += 1 }
+    true
+  }
+
+  private val http2FrameNames: Map[Int, String] = Map(
+    0 -> "DATA", 1 -> "HEADERS", 2 -> "PRIORITY", 3 -> "RST_STREAM",
+    4 -> "SETTINGS", 5 -> "PUSH_PROMISE", 6 -> "PING", 7 -> "GOAWAY",
+    8 -> "WINDOW_UPDATE", 9 -> "CONTINUATION")
+
+  /** HTTP/2 frame sniffing (RFC 9113 §4.1): 9-byte frame headers walked
+    * across the segment, tshark-style "Magic, SETTINGS[0], HEADERS[1]"
+    * info. Frames spanning segments are not reassembled (h2 HEADERS are
+    * HPACK-compressed — without the dynamic table their content is opaque
+    * anyway); a continuation segment that doesn't start on a frame
+    * boundary falls back to the plain TCP rendering. */
+  private def dissectHttp2(
+      d: Array[Byte], pstart: Int, plen: Int, isPreface: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    val parts = mutable.ArrayBuffer.empty[String]
+    var i = pstart
+    val end = pstart + plen
+    if (isPreface) { parts += "Magic"; i += h2Preface.length }
+    var firstType = -1L
+    var firstStream = -1L
+    var firstLen = -1L
+    var ok = true
+    while (ok && i + 9 <= end) {
+      val flen = ((d(i) & 0xff) << 16) | ((d(i + 1) & 0xff) << 8) | (d(i + 2) & 0xff)
+      val ftype = d(i + 3) & 0xff
+      val sid = u32(d, i + 5) & 0x7fffffffL
+      if (ftype > 9) ok = false // not a frame boundary: stop, keep what parsed
+      else {
+        parts += s"${http2FrameNames(ftype)}[$sid]"
+        if (firstType < 0) { firstType = ftype; firstStream = sid; firstLen = flen.toLong }
+        i += 9 + flen
+      }
+    }
+    if (parts.isEmpty) return null
+    protos += "http2"
+    if (firstType >= 0) {
+      v("http2.type") = firstType
+      v("http2.streamid") = firstStream
+      v("http2.length") = firstLen
+    }
+    parts.mkString(", ")
   }
 
   private def tlsContentName(ctype: Int): String = ctype match {
@@ -1137,24 +1259,35 @@ object Dissect {
     case t  => s"TLS record type=$t"
   }
 
-  /** Walk a ClientHello (starting at the handshake header) for the
-    * server_name (0) and ALPN (16) extensions.
-    * @return (SNI, ALPN protocol list comma-joined) — either may be None. */
-  private def clientHelloExts(d: Array[Byte], hs: Int, end: Int): (Option[String], Option[String]) = {
+  /** Walk a ClientHello (starting at the handshake header): emits the
+    * offered cipher suites (comma-joined hex, capped at 64 like a sane
+    * tshark -T fields multi-occurrence), server_name (0), ALPN (16), and
+    * supported_versions (43) extensions. @return SNI for the info column. */
+  private def parseClientHello(d: Array[Byte], hs: Int, end: Int, v: FieldVec): Option[String] = {
     try {
       var sni: Option[String] = None
-      var alpn: Option[String] = None
       var i = hs + 4 // type(1) + length(3)
       i += 2 + 32 // client_version + random
-      if (i >= end) return (None, None)
+      if (i >= end) return None
       val sidLen = u8(d, i); i += 1 + sidLen // session_id
-      if (i + 2 > end) return (None, None)
-      val csLen = u16(d, i); i += 2 + csLen // cipher_suites
-      if (i + 1 > end) return (None, None)
+      if (i + 2 > end) return None
+      val csLen = u16(d, i); i += 2 // cipher_suites
+      if (csLen >= 2 && i + 2 <= end) {
+        val suites = mutable.ArrayBuffer.empty[String]
+        var c = i
+        val csEnd = math.min(end, i + csLen)
+        while (c + 2 <= csEnd && suites.length < 64) {
+          suites += f"0x${u16(d, c)}%04x"
+          c += 2
+        }
+        if (suites.nonEmpty) v("tls.handshake.ciphersuite") = suites.mkString(",")
+      }
+      i += csLen
+      if (i + 1 > end) return None
       val compLen = u8(d, i); i += 1 + compLen // compression_methods
-      if (i + 2 > end) return (None, None)
+      if (i + 2 > end) return None
       val extEnd = math.min(end, i + 2 + u16(d, i)); i += 2
-      while (i + 4 <= extEnd && (sni.isEmpty || alpn.isEmpty)) {
+      while (i + 4 <= extEnd) {
         val extType = u16(d, i)
         val extLen = u16(d, i + 2)
         if (extType == 0 && i + 4 + extLen <= extEnd && extLen >= 5) {
@@ -1172,12 +1305,46 @@ object Dissect {
             if (l == 0 || j + 1 + l > alpnEnd) j = alpnEnd
             else { names += new String(d, j + 1, l, "ISO-8859-1"); j += 1 + l }
           }
-          if (names.nonEmpty) alpn = Some(names.mkString(","))
+          if (names.nonEmpty) v("tls.handshake.extensions_alpn_str") = names.mkString(",")
+        } else if (extType == 43 && i + 4 + extLen <= extEnd && extLen >= 3) {
+          // supported_versions (CH): list_len(1) then 2-byte versions
+          val vers = mutable.ArrayBuffer.empty[String]
+          var j = i + 5
+          val vEnd = math.min(i + 4 + extLen, i + 5 + u8(d, i + 4))
+          while (j + 2 <= vEnd) { vers += f"0x${u16(d, j)}%04x"; j += 2 }
+          if (vers.nonEmpty) v("tls.handshake.extensions.supported_version") = vers.mkString(",")
         }
         i += 4 + extLen
       }
-      (sni, alpn)
-    } catch { case _: ArrayIndexOutOfBoundsException => (None, None) }
+      sni.foreach(n => v("tls.handshake.extensions_server_name") = n)
+      sni
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Walk a ServerHello: the negotiated cipher suite and (TLS 1.3) the
+    * selected supported_version extension — the fields that pin down what
+    * the connection actually negotiated. */
+  private def parseServerHello(d: Array[Byte], hs: Int, end: Int, v: FieldVec): Unit = {
+    try {
+      var i = hs + 4
+      i += 2 + 32 // server_version + random
+      if (i >= end) return
+      val sidLen = u8(d, i); i += 1 + sidLen
+      if (i + 2 > end) return
+      v("tls.handshake.ciphersuite") = f"0x${u16(d, i)}%04x"
+      i += 2
+      if (i + 1 > end) return
+      i += 1 // compression method
+      if (i + 2 > end) return
+      val extEnd = math.min(end, i + 2 + u16(d, i)); i += 2
+      while (i + 4 <= extEnd) {
+        val extType = u16(d, i)
+        val extLen = u16(d, i + 2)
+        if (extType == 43 && extLen == 2 && i + 6 <= extEnd)
+          v("tls.handshake.extensions.supported_version") = f"0x${u16(d, i + 4)}%04x"
+        i += 4 + extLen
+      }
+    } catch { case _: ArrayIndexOutOfBoundsException => }
   }
 
   /** ARP (RFC 826): opcode + sender/target addresses; Wireshark-style

@@ -86,10 +86,12 @@ object PcapQueries {
   val pcapHttpTls = GraftQuery(
     "pcap_http_tls",
     (s, _) => Wireduck.readPcap(s, mixedPath,
-      protocols = Seq("http", "tls", "dns", "fix"), desegment = true)
+      protocols = Seq("http", "tls", "dns", "fix", "http2"), desegment = true)
       .select(col("`frame.number`"), col("`frame.protocols`"),
         col("`http.request.method`"), col("`http.host`"),
-        col("`http.response.code`"), col("`tls.handshake.extensions_server_name`"),
+        col("`http.response.code`"), col("`http.file_data`"),
+        col("`tls.handshake.extensions_server_name`"),
+        col("`tls.handshake.ciphersuite`"), col("`http2.type`"),
         col("`dns.a`"), col("`fix.msgtype`"), col("`_ws.col.info`"))
       .orderBy(col("`frame.number`")))
 

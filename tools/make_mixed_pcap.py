@@ -98,6 +98,35 @@ packets.append((t + 4, 500, ip_frame(6, A, B, tcp(5001, 5002, 1 + len(part1), pa
 fix_hb = b"8=FIX.4.2" + SOH + b"9=12" + SOH + b"35=0" + SOH + b"34=2" + SOH + b"10=124" + SOH
 packets.append((t + 5, 0, ip_frame(6, A, B, tcp(5001, 5002, 1 + len(fix_msg), fix_hb), ident=11)))
 
+# 13: TLS ServerHello (cipher 0x1301 chosen, supported_versions -> 1.3)
+sv_ext = struct.pack(">HHH", 43, 2, 0x0304)
+sh_body = (struct.pack(">H", 0x0303) + bytes(32) + b"\x00" +
+           struct.pack(">H", 0x1301) + b"\x00" +
+           struct.pack(">H", len(sv_ext)) + sv_ext)
+sh = b"\x02" + len(sh_body).to_bytes(3, "big") + sh_body
+sh_rec = struct.pack(">BBBH", 22, 3, 3, len(sh)) + sh
+packets.append((t + 6, 0, ip_frame(6, B, A, tcp(443, 49153, 1, sh_rec), ident=12)))
+
+# 14-15: HTTP/2 — client preface + SETTINGS, then server SETTINGS + HEADERS
+H2_PREFACE = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
+settings = struct.pack(">BHBBI", 0, 0, 4, 0, 0)  # len=0 type=SETTINGS sid=0
+headers_pay = b"\x82\x86\x84\x41"
+headers = struct.pack(">BHBBI", 0, len(headers_pay), 1, 0x05, 1) + headers_pay
+packets.append((t + 7, 0, ip_frame(6, A, B, tcp(49155, 80, 1, H2_PREFACE + settings), ident=13)))
+packets.append((t + 7, 500, ip_frame(6, B, A, tcp(80, 49155, 1, settings + headers), ident=14)))
+
+# 16-18: chunked HTTP response split mid-body (desegment decodes the body)
+chunk_get = b"GET /chunked HTTP/1.1\r\nHost: example.com\r\n\r\n"
+packets.append((t + 8, 0, ip_frame(6, A, B, tcp(49156, 80, 1, chunk_get), ident=15)))
+chunk_hdrs = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+              b"Transfer-Encoding: chunked\r\n\r\n")
+chunk_seg1 = chunk_hdrs + b"5\r\nhello\r\n"
+chunk_seg2 = b"6\r\n world\r\n0\r\n\r\n"
+packets.append((t + 8, 500, ip_frame(6, B, A, tcp(80, 49156, 1, chunk_seg1), ident=16)))
+packets.append((t + 8, 900, ip_frame(6, B, A,
+                tcp(80, 49156, 1 + len(chunk_seg1), chunk_seg2), ident=17)))
+
+
 def write_pcap(path, pkts):
     out = struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 262144, 1)
     for sec, usec, frame in pkts:
