@@ -5,7 +5,50 @@ import java.util.concurrent.atomic.AtomicReference
 
 import scala.collection.concurrent.TrieMap
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
+
+/** Attributes completed-stage metrics to the query named by the active job
+  * group (set per query in the sequential pass; AQE re-plan jobs inherit
+  * the thread-local group, so late-submitted stages attribute correctly).
+  * Plan-shape numbers — shuffle and spill bytes — are stable across
+  * co-tenant load, unlike wall-times (VERDICT r2: three bench "regressions"
+  * were queue noise), so regressions become attributable from BENCH JSON
+  * alone. */
+final class StageMetricsListener extends SparkListener {
+  final class Agg {
+    var shuffleWrite = 0L
+    var shuffleRead = 0L
+    var spill = 0L
+    var taskTimeMs = 0L
+  }
+  private val jobGroup = TrieMap.empty[Int, String]
+  private val stageJob = TrieMap.empty[Int, Int]
+  val byQuery = TrieMap.empty[String, Agg]
+
+  override def onJobStart(js: SparkListenerJobStart): Unit = {
+    val g = js.properties.getProperty("spark.jobGroup.id")
+    if (g != null) {
+      jobGroup(js.jobId) = g
+      js.stageIds.foreach(sid => stageJob(sid) = js.jobId)
+    }
+  }
+
+  override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+    for (jid <- stageJob.get(sc.stageInfo.stageId); g <- jobGroup.get(jid)) {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        val a = byQuery.getOrElseUpdate(g, new Agg)
+        a.synchronized {
+          a.shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+          a.shuffleRead += m.shuffleReadMetrics.totalBytesRead
+          a.spill += m.memoryBytesSpilled + m.diskBytesSpilled
+          a.taskTimeMs += m.executorRunTime
+        }
+      }
+    }
+  }
+}
 
 /** Benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR, forcing full materialization through the noop sink
@@ -68,9 +111,12 @@ object Bench {
     // regression is invisible in them). Cache cleared per query so one
     // query's internal .cache() can't subsidize the next run's subtree.
     val seqTimes = TrieMap.empty[String, Double]
+    val metrics = new StageMetricsListener
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SEQ", "1") != "0") {
+      spark.sparkContext.addSparkListener(metrics)
       SparkEntry.registry.foreach { q =>
         spark.catalog.clearCache()
+        spark.sparkContext.setJobGroup(q.name, q.name, interruptOnCancel = false)
         val s0 = System.nanoTime()
         try {
           q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -79,8 +125,11 @@ object Bench {
           case e: Throwable =>
             seqTimes(q.name) = -1.0
             System.err.println(s"[bench] ${q.name} failed (seq): ${e.getMessage}")
-        }
+        } finally spark.sparkContext.clearJobGroup()
       }
+      // listener events are queued on an internal bus with no public drain
+      // API; give the final query's stage-completed events time to land
+      Thread.sleep(3000)
     }
 
     // a query with no recorded time reports an explicit -1 (never silently
@@ -92,9 +141,19 @@ object Bench {
     // `queries` = sequential (attributable round-over-round); concurrent
     // latencies kept under `queries_concurrent` for continuity with r1.
     val qs = if (seqTimes.nonEmpty) json(seqTimes) else json(times)
+    // plan-shape metrics from the sequential pass: shuffle/spill bytes and
+    // summed task time per query (absent queries report zeros)
+    val qMetrics = SparkEntry.registry.map { q =>
+      val a = metrics.byQuery.get(q.name)
+      "\"" + q.name + "\":{" +
+        s""""shuffle_bytes":${a.fold(0L)(_.shuffleWrite)},""" +
+        s""""shuffle_read_bytes":${a.fold(0L)(_.shuffleRead)},""" +
+        s""""spill_bytes":${a.fold(0L)(_.spill)},""" +
+        s""""task_time_ms":${a.fold(0L)(_.taskTimeMs)}}"""
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,""" +
       s""""queries_concurrent":${json(times)},"seq_total":${seqTimes.values.filter(_ > 0).sum},""" +
-      s""""sf":"$sfDir"}""")
+      s""""queries_metrics":$qMetrics,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
