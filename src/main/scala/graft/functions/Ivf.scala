@@ -30,31 +30,19 @@ object Ivf {
     Index(model.clusterCenters.map(_.toArray), assigned)
   }
 
-  private def cosine(a: Array[Double], b: Array[Double]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
-
-  /** Top-k by cosine probing the nProbe nearest cells to `query`. */
+  /** Top-k by cosine probing the nProbe nearest cells to `query`: a
+    * one-row batch through [[searchBatch]]'s single probe-join plan — the
+    * probe-cell ranking happens plan-side against the broadcast centroid
+    * table, not on the driver. */
   def search(
       index: Index,
       query: Array[Float],
       topK: Int,
       nProbe: Int): DataFrame = {
-    val q = query.map(_.toDouble)
-    val cells = index.centroids.zipWithIndex
-      .sortBy { case (c, _) => -cosine(c, q) }
-      .take(nProbe).map(_._2)
     val spark = index.assigned.sparkSession
     import spark.implicits._
-    val qCol = typedLit(q.map(_.toFloat))
-    index.assigned
-      .filter($"cell".isInCollection(cells))
-      .select($"vec_id", $"label",
-        Vectors.cosine($"embedding", qCol).as("cosine"))
-      .orderBy($"cosine".desc, $"vec_id")
-      .limit(topK)
+    val q = Seq((0L, query)).toDF("query_id", "qe")
+    searchBatch(index, q, topK, nProbe).select($"vec_id", $"label", $"cosine")
   }
 
   /** Batch search: a DataFrame of queries `(query_id, qe)` answered in ONE
@@ -87,5 +75,31 @@ object Ivf {
       .filter($"rnk" <= topK)
       .select($"query_id", $"rnk", $"vec_id", $"label", $"cosine")
       .orderBy($"query_id", $"rnk")
+  }
+
+  /** Persist the index as catalog tables: the (tiny) centroid table plus
+    * the cell-assigned corpus bucketed by cell, so later sessions search
+    * without re-fitting k-means and cell-key joins co-locate. At 100 TB
+    * the fit is a one-off batch job; every query afterwards loads the
+    * index metadata only. */
+  def persist(index: Index, name: String, buckets: Int = 16): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").saveAsTable(s"${name}_centroids")
+    index.assigned
+      .write.mode("overwrite")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(s"${name}_assigned")
+  }
+
+  /** Load a persisted index; no k-means fit happens here — centroids are
+    * a small collect, assignments stay a lazy (bucketed) table scan. */
+  def loadIndex(spark: SparkSession, name: String): Index = {
+    val cents = spark.table(s"${name}_centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    Index(cents, spark.table(s"${name}_assigned"))
   }
 }

@@ -134,17 +134,20 @@ object SimilarityQueries {
 
   /** IVF scale path: k-means coarse quantizer, probe 4 of 16 cells. No
     * oracle (k-means is engine-side); exactness anchored in
-    * SimilaritySpec by probing all cells and matching brute force. */
+    * SimilaritySpec by probing all cells and matching brute force. The
+    * query vector stays plan-side (a one-row batch through the single
+    * probe-join plan — no driver collect, no centroid sort special case). */
   val simAnnIvf = GraftQuery(
     "sim_ann_ivf",
     (s, dir) => {
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
       val index = graft.functions.Ivf.build(s, emb, k = 16)
-      val query = emb.filter($"vec_id" === 0)
-        .select($"embedding").collect()(0).getSeq[Float](0).toArray
-      graft.functions.Ivf.search(index, query, topK = 10, nProbe = 4)
+      val q = emb.filter($"vec_id" === 0)
+        .select($"vec_id".cast(LongType).as("query_id"), $"embedding".as("qe"))
+      graft.functions.Ivf.searchBatch(index, q, topK = 10, nProbe = 4)
         .filter($"vec_id" =!= 0)
+        .select($"vec_id", $"label", $"cosine")
     })
 
   /** Batch ANN — the realistic at-scale shape: a SET of query vectors

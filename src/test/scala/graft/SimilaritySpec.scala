@@ -150,6 +150,33 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.contains(0L))
   }
 
+  test("persisted IVF index reused without re-fitting k-means; recall preserved") {
+    import spark.implicits._
+    val emb = graft.api.Tables.load(spark, sfDir, "embeddings")
+    val index = graft.functions.Ivf.build(spark, emb, k = 8)
+    graft.functions.Ivf.persist(index, "ivf_spec_idx", buckets = 8)
+    // load path involves no KMeans fit by construction — centroids come
+    // from the catalog table, assignments stay a lazy bucketed scan
+    val loaded = graft.functions.Ivf.loadIndex(spark, "ivf_spec_idx")
+    assert(loaded.centroids.map(_.toSeq).toSeq === index.centroids.map(_.toSeq).toSeq)
+
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    def results(ix: graft.functions.Ivf.Index) =
+      graft.functions.Ivf.searchBatch(ix, queries, topK = 5, nProbe = 4)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+          r.getAs[Long]("vec_id"))).toSeq
+    assert(results(loaded) === results(index)) // recall == the fresh index's
+
+    // the assigned table really is bucketed (co-located cell joins)
+    val desc = spark.sql("DESCRIBE EXTENDED ivf_spec_idx_assigned")
+      .collect().map(r => s"${r.getString(0)} ${r.getString(1)}").mkString("\n")
+    assert(desc.contains("Num Buckets") && desc.contains("8"))
+    assert(desc.toLowerCase.contains("cell"))
+    spark.sql("DROP TABLE IF EXISTS ivf_spec_idx_centroids")
+    spark.sql("DROP TABLE IF EXISTS ivf_spec_idx_assigned")
+  }
+
   test("batch IVF with all cells probed equals per-query exhaustive search") {
     import spark.implicits._
     val emb = graft.api.Tables.load(spark, sfDir, "embeddings")
