@@ -93,5 +93,26 @@ object StreamingQueries {
       GROUP BY 1, 2
       ORDER BY window_start, user_id"""))
 
-  val all: Seq[GraftQuery] = Seq(stSessionize, stWindowedCounts, stSlidingRates)
+  /** Watermark-bounded exact dedup (streaming:
+    * dropDuplicatesWithinWatermark with state eviction — StreamingSpec
+    * drives that path; batch twin: plain dropDuplicates, summarized per
+    * event_type so the check is deterministic). */
+  val stDedup = GraftQuery(
+    "st_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val events = Tables.load(s, dir, "events")
+      EventPipeline.dedupEvents(events)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH d AS (
+        SELECT * FROM events
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) = 1)
+      SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      FROM d GROUP BY 1 ORDER BY event_type"""))
+
+  val all: Seq[GraftQuery] = Seq(stSessionize, stWindowedCounts, stSlidingRates, stDedup)
 }

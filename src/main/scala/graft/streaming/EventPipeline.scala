@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Structured Streaming operators over the `events` stream shape.
@@ -145,6 +145,79 @@ object EventPipeline extends Serializable {
         .flatMapSortedGroups(col("ts"), col("event_id")) { (uid, it) =>
           new SessionFold(uid, it, gapUs, None)
         }
+  }
+
+  /** Exact dedup on event_id with watermark-bounded state. Streaming: a
+    * duplicate arriving within the watermark delay of its original is
+    * dropped, and state for keys older than the watermark is EVICTED —
+    * an unbounded stream cannot keep every key forever, so the eviction
+    * is the 100 TB design point (a key re-sent after eviction passes
+    * again; exactly-once-forever needs a batch dedup downstream). Batch
+    * inputs take the plain dropDuplicates path. */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+    else
+      events.dropDuplicates("event_id")
+
+  /** Sessionization as a Spark 4 `transformWithState` processor with
+    * EVENT-TIME TIMERS — the capability step over [[sessionize]]'s
+    * flatMapGroupsWithState path: there, an idle user's open session can
+    * only close when that user's NEXT event arrives (possibly never);
+    * here a timer at last-event + gap fires once the watermark passes,
+    * so idle sessions emit and their state clears without further input.
+    * Same exact integer-arithmetic session math as [[sessionize]].
+    * Requires the RocksDB state store provider (a transformWithState
+    * constraint, not ours). */
+  final class SessionProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, Event, UserSession] {
+    @transient private var session: ValueState[SessionBuf] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionBuf](
+        "session", Encoders.product[SessionBuf], TTLConfig.NONE)
+
+    override def handleInputRows(
+        uid: Long, rows: Iterator[Event], tv: TimerValues): Iterator[UserSession] = {
+      val sorted = rows.toArray.sortBy(e => (toMicros(e.ts), e.event_id))
+      val init = if (session.exists()) Some(session.get()) else None
+      val fold = new SessionFold(uid, sorted.iterator, gapUs, init)
+      val closed = fold.toVector
+      // re-arm the gap deadline for the (single) open session
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      fold.openSession match {
+        case Some(s) =>
+          session.update(s)
+          getHandle.registerTimer(s.lastUs / 1000L + gapUs / 1000L)
+        case None => session.clear()
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(
+        uid: Long, tv: TimerValues, info: ExpiredTimerInfo): Iterator[UserSession] = {
+      // the watermark passed the open session's idle deadline: close it
+      if (session.exists()) {
+        val s = session.get()
+        session.clear()
+        Iterator.single(EventPipeline.close(uid, s)) // object's, not StatefulProcessor.close()
+      } else Iterator.empty
+    }
+  }
+
+  /** [[SessionProcessor]] wired to an event-time watermark; emits closed
+    * sessions, including idle ones closed by timer. */
+  def sessionizeTws(
+      spark: SparkSession,
+      events: Dataset[Event],
+      gapMinutes: Int,
+      watermark: String = "10 minutes"): Dataset[UserSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60000000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming entry: watch a directory of event JSON files. The schema is

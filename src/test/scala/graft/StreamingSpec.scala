@@ -60,6 +60,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicates; watermark evicts state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventPipeline.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      // batch 1: id 1 twice + id 2 → duplicates dropped, state = {1, 2}
+      stream.addData(ev(1, 0, 1, "a", 1.0), ev(1, 0, 1, "a", 1.0), ev(2, 10, 1, "a", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() === 2)
+      val afterB1 = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(afterB1 === 2)
+
+      // batch 2: an event far past the 2h watermark advances it; keys 1
+      // and 2 (event time < watermark) are EVICTED from state
+      stream.addData(ev(3, 300, 1, "a", 1.0))
+      q.processAllAvailable()
+      // watermark application is next-batch: nudge one more batch through
+      stream.addData(ev(4, 301, 1, "a", 1.0))
+      q.processAllAvailable()
+      val afterEvict = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(afterEvict < afterB1 + 2, s"state must shrink by eviction, got $afterEvict")
+
+      // id 1 re-sent AFTER its state was evicted: passes again — the
+      // documented bound of watermark-scoped dedup
+      stream.addData(ev(1, 302, 1, "a", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup").filter($"event_id" === 1).count() === 2)
+    } finally q.stop()
+  }
+
+  test("transformWithState sessionize: timer closes an idle session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[Event]
+    val q = EventPipeline.sessionizeTws(spark, stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sesstws").outputMode("append").start()
+    try {
+      // two events 10 min apart open one session; nothing closes yet
+      stream.addData(ev(1, 0, 7, "click", 1.0), ev(2, 10, 7, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sesstws").count() === 0)
+
+      // ANOTHER USER's event advances the watermark past user 7's
+      // gap deadline (minute 40): the flatMapGroupsWithState variant
+      // could never close user 7 here — the timer does
+      stream.addData(ev(3, 120, 9, "view", 0.5))
+      q.processAllAvailable()
+      stream.addData(ev(4, 125, 9, "view", 0.5)) // one more batch: watermark applies
+      q.processAllAvailable()
+      val closed = spark.table("sesstws").as[EventPipeline.UserSession].collect()
+      assert(closed.length === 1)
+      assert(closed(0).user_id === 7L)
+      assert(closed(0).n_events === 2L)
+      assert(closed(0).total_value === 3.0)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sessionize batch mode agrees with hand computation") {
     import spark.implicits._
     val events = Seq(
