@@ -133,6 +133,9 @@ object Dissect {
   private final class UdpConv(val stream: Long) {
     var firstTsMicros = -1L
     var prevTsMicros = -1L
+    // set once a QUIC long-header packet is seen; short-header packets
+    // carry no version/type bits, so only conversation state can name them
+    var quic = false
   }
 
   /** One in-flight fragmented IP datagram: parts keyed by byte offset,
@@ -1033,7 +1036,105 @@ object Dissect {
       val ntpInfo = dissectNtp(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
       if (ntpInfo != null) return ntpInfo
     }
+    if (sp == 443 || dp == 443 || conv.quic) {
+      val quicInfo = dissectQuic(d, off + 8, math.min(off + 8 + payLen, d.length), conv, v, protos)
+      if (quicInfo != null) return quicInfo
+    }
+    if (sp == 67 || dp == 67 || sp == 68 || dp == 68) {
+      val dhcpInfo = dissectDhcp(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
+      if (dhcpInfo != null) return dhcpInfo
+    }
     if (wanted.info) s"$sp → $dp Len=$payLen" else ""
+  }
+
+  private val dhcpMsgNames: Map[Int, String] = Map(
+    1 -> "Discover", 2 -> "Offer", 3 -> "Request", 4 -> "Decline",
+    5 -> "ACK", 6 -> "NAK", 7 -> "Release", 8 -> "Inform")
+
+  /** DHCP/BOOTP (RFC 2131): fixed header gated on the magic cookie, then
+    * an options walk for message type (53) and requested address (50). */
+  private def dissectDhcp(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end < off + 240) return null
+    if (u32(d, off + 236) != 0x63825363L) return null // magic cookie
+    protos += "dhcp"
+    val op = u8(d, off)
+    v("dhcp.type") = op.toLong
+    v("dhcp.hops") = u8(d, off + 3).toLong
+    v("dhcp.id") = u32(d, off + 4)
+    v("dhcp.secs") = u16(d, off + 8).toLong
+    v("dhcp.ip.client") = ipv4Str(d, off + 12)
+    v("dhcp.ip.your") = ipv4Str(d, off + 16)
+    v("dhcp.ip.server") = ipv4Str(d, off + 20)
+    v("dhcp.ip.relay") = ipv4Str(d, off + 24)
+    if (u8(d, off + 1) == 1 && u8(d, off + 2) == 6)
+      v("dhcp.hw.mac_addr") = macStr(d, off + 28)
+    var i = off + 240
+    var msgType = -1
+    var brk = false
+    while (!brk && i < end) {
+      u8(d, i) match {
+        case 255 => brk = true // end option
+        case 0   => i += 1 // pad
+        case c =>
+          if (i + 1 >= end) brk = true
+          else {
+            val l = u8(d, i + 1)
+            if (i + 2 + l > end) brk = true
+            else {
+              if (c == 53 && l >= 1) msgType = u8(d, i + 2)
+              if (c == 50 && l == 4) v("dhcp.option.requested_ip_address") = ipv4Str(d, i + 2)
+              i += 2 + l
+            }
+          }
+      }
+    }
+    if (msgType > 0) v("dhcp.option.dhcp") = msgType.toLong
+    val name = dhcpMsgNames.getOrElse(msgType, if (op == 1) "Request" else "Reply")
+    s"DHCP $name - Transaction ID 0x${"%x".format(u32(d, off + 4))}"
+  }
+
+  private val quicTypeNames = Array("Initial", "0-RTT", "Handshake", "Retry")
+
+  /** QUIC (RFC 9000) long-header parsing on UDP/443: version, DCID/SCID,
+    * packet type. Payload is encrypted — like tshark without keys, only
+    * the invariant header is dissected. Short-header packets are named
+    * via conversation state (a prior long header on the same 5-tuple). */
+  private def dissectQuic(
+      d: Array[Byte], off: Int, end: Int,
+      conv: UdpConv,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end < off + 1) return null
+    val first = u8(d, off)
+    if ((first & 0x80) != 0) {
+      if (end < off + 6) return null
+      val ver = u32(d, off + 1)
+      // plausibility gate: v1, v2, negotiation, or an IETF draft version
+      val plausibleVer = ver == 0 || ver == 1 || ver == 0x6b3343cfL ||
+        (ver & 0xffffff00L) == 0xff000000L
+      if (!plausibleVer) return null
+      val dcl = u8(d, off + 5)
+      if (dcl > 20 || end < off + 6 + dcl + 1) return null
+      val scl = u8(d, off + 6 + dcl)
+      if (scl > 20 || end < off + 7 + dcl + scl) return null
+      protos += "quic"
+      conv.quic = true
+      v("quic.version") = ver
+      if (dcl > 0) v("quic.dcid") = hexBytes(d, off + 6, dcl)
+      if (scl > 0) v("quic.scid") = hexBytes(d, off + 7 + dcl, scl)
+      if (ver == 0) return "Version Negotiation"
+      val t = (first >> 4) & 3
+      v("quic.long.packet_type") = t.toLong
+      if (dcl > 0) s"${quicTypeNames(t)}, DCID=${hexBytes(d, off + 6, dcl)}"
+      else quicTypeNames(t)
+    } else if (conv.quic) {
+      // short header: 1-RTT protected payload, headers are opaque
+      protos += "quic"
+      "Protected Payload"
+    } else null
   }
 
   private val httpMethods =

@@ -524,6 +524,51 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(hv.values("ntp.flags.mode") === 3L)
   }
 
+  test("DHCP Discover dissects header, options, and info") {
+    val b = java.nio.ByteBuffer.allocate(240 + 3 + 6 + 1)
+    b.put(1.toByte).put(1.toByte).put(6.toByte).put(0.toByte) // op htype hlen hops
+      .putInt(0x3d1d).putShort(0.toShort).putShort(0x8000.toShort)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // ciaddr yiaddr siaddr giaddr
+      .put(Array[Byte](2, 0, 0, 0, 0, 1)).put(new Array[Byte](10)) // chaddr
+      .put(new Array[Byte](64)).put(new Array[Byte](128)) // sname file
+      .putInt(0x63825363) // magic
+      .put(Array[Byte](53, 1, 1)) // option 53: Discover
+      .put(Array[Byte](50, 4, 10, 0, 0, 99)) // option 50: requested 10.0.0.99
+      .put(255.toByte)
+    val d = dissectOne(ethIpUdp(68, 67, b.array()))
+    assert(d.protocols === "eth:ethertype:ip:udp:dhcp")
+    assert(d.info === "DHCP Discover - Transaction ID 0x3d1d")
+    assert(d.values("dhcp.type") === 1L)
+    assert(d.values("dhcp.id") === 0x3d1dL)
+    assert(d.values("dhcp.hw.mac_addr") === "02:00:00:00:00:01")
+    assert(d.values("dhcp.option.dhcp") === 1L)
+    assert(d.values("dhcp.option.requested_ip_address") === "10.0.0.99")
+  }
+
+  test("QUIC long header dissects; short header named via conversation") {
+    val init = java.nio.ByteBuffer.allocate(1 + 4 + 1 + 4 + 1 + 2 + 16)
+    init.put(0xC3.toByte).putInt(1) // long header, Initial, v1
+      .put(4.toByte).put(Array[Byte](0xde.toByte, 0xad.toByte, 0xbe.toByte, 0xef.toByte))
+      .put(2.toByte).put(Array[Byte](0xca.toByte, 0xfe.toByte))
+      .put(new Array[Byte](16))
+    val t = new Dissect.Tracker
+    def rec(f: Array[Byte]) = PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    val d1 = Dissect.dissect(rec(ethIpUdp(50001, 443, init.array())), 1, t)
+    assert(d1.protocols === "eth:ethertype:ip:udp:quic")
+    assert(d1.info === "Initial, DCID=de:ad:be:ef")
+    assert(d1.values("quic.version") === 1L)
+    assert(d1.values("quic.scid") === "ca:fe")
+    assert(d1.values("quic.long.packet_type") === 0L)
+    // short-header packet on the same 5-tuple: named via conversation state
+    val short = Array[Byte](0x41) ++ Array[Byte](0xde.toByte, 0xad.toByte, 0xbe.toByte, 0xef.toByte) ++ new Array[Byte](8)
+    val d2 = Dissect.dissect(rec(ethIpUdp(50001, 443, short)), 1, t)
+    assert(d2.protocols === "eth:ethertype:ip:udp:quic")
+    assert(d2.info === "Protected Payload")
+    // a fresh conversation's random 443 payload does NOT false-positive
+    val d3 = Dissect.dissect(rec(ethIpUdp(50002, 443, short)), 1, t)
+    assert(!d3.protocols.contains("quic"))
+  }
+
   test("ICMP echo request renders ping info") {
     val icmp = java.nio.ByteBuffer.allocate(8)
     icmp.put(8.toByte).put(0.toByte).putShort(0.toShort)

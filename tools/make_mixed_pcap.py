@@ -201,4 +201,21 @@ extra.append((t3, 200, vlan_frame))
 # 4: DNS query over IPv6 UDP (ipv6 + udp + dns combined path)
 extra.append((t3, 300, ipv6_frame(17, udp(40001, 53, dns_q))))
 
+# 5: DHCP Discover (op=1, htype=eth, magic cookie, opt 53=1, opt 50)
+dhcp = (struct.pack(">BBBBIHH", 1, 1, 6, 0, 0x3d1d, 0, 0x8000) +
+        bytes(4) + bytes(4) + bytes(4) + bytes(4) +
+        MAC_A + bytes(10) + bytes(64) + bytes(128) +
+        bytes.fromhex("63825363") +
+        bytes([53, 1, 1]) + bytes([50, 4, 10, 0, 0, 99]) + bytes([255]))
+extra.append((t3, 400, ip_frame(17, [0, 0, 0, 0], [255, 255, 255, 255],
+                                udp(68, 67, dhcp), ident=32)))
+
+# 6-7: QUIC Initial long header + a short-header packet on the same flow
+quic_init = (bytes([0xC3]) + struct.pack(">I", 1) +
+             bytes([4]) + bytes.fromhex("deadbeef") +
+             bytes([2]) + bytes.fromhex("cafe") + bytes(16))
+extra.append((t3, 500, ip_frame(17, A, B, udp(50001, 443, quic_init), ident=33)))
+quic_short = bytes([0x41]) + bytes.fromhex("deadbeef") + bytes(8)
+extra.append((t3, 600, ip_frame(17, A, B, udp(50001, 443, quic_short), ident=34)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
