@@ -621,9 +621,97 @@ object TextQueries {
       ORDER BY doc_a, doc_b"""
     })
 
+  /** Gopher-style composite document gate (Rae et al. 2021 §A1.1 shape):
+    * word-count bounds, mean word length, symbol-token ratio, stopword
+    * presence, duplicate-line fraction, and top-token fraction folded
+    * into one keep/drop verdict naming the FIRST failed rule — the
+    * downstream "which documents survive" decision that the individual
+    * tx_quality / tx_repetition signals feed. All signals are exact
+    * integer counts; derived ratios are single IEEE-double divisions, so
+    * both engines compare identically. */
+  /** The gopher-gate plan over any (doc_id, text) frame — shared by the
+    * registered query and the planted-rule spec. */
+  def gopherVerdicts(input: DataFrame): DataFrame = {
+    val s = input.sparkSession
+    import s.implicits._
+    {
+      val base = input
+        .withColumn("tokens", expr("filter(split(text, ' '), w -> w <> '')"))
+        .withColumn("lines", expr("filter(split(text, chr(10)), x -> x <> '')"))
+        .withColumn("n_words", size($"tokens").cast(LongType))
+        .withColumn("sum_len",
+          coalesce(expr("aggregate(tokens, 0L, (a, w) -> a + length(w))"), lit(0L))
+            .cast(LongType))
+        .withColumn("n_alpha",
+          expr("size(filter(tokens, w -> w rlike '[a-zA-Z]'))").cast(LongType))
+        .withColumn("stop_hits",
+          expr(s"size(filter(tokens, w -> w IN ($stopList)))").cast(LongType))
+        .withColumn("n_lines", size($"lines").cast(LongType))
+        .withColumn("n_dup_lines",
+          (size($"lines") - size(array_distinct($"lines"))).cast(LongType))
+      val topc = base.select($"doc_id", explode($"tokens").as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").cast(LongType).as("top_c"))
+      base.join(topc, Seq("doc_id"))
+        .select(
+          $"doc_id", $"n_words", $"stop_hits",
+          when($"n_words" === 0, 0.0)
+            .otherwise($"sum_len".cast(DoubleType) / $"n_words".cast(DoubleType))
+            .as("mean_word_len"),
+          when($"n_words" < 50 || $"n_words" > 100000, "word_count")
+            .when($"sum_len".cast(DoubleType) / $"n_words".cast(DoubleType) < 3.0 ||
+              $"sum_len".cast(DoubleType) / $"n_words".cast(DoubleType) > 10.0, "mean_word_len")
+            .when(($"n_words" - $"n_alpha").cast(DoubleType) / $"n_words".cast(DoubleType) > 0.2,
+              "symbol_ratio")
+            .when($"stop_hits" < 2, "no_stopwords")
+            .when($"n_lines" > 0 &&
+              $"n_dup_lines".cast(DoubleType) / $"n_lines".cast(DoubleType) > 0.3, "dup_lines")
+            .when($"top_c".cast(DoubleType) / $"n_words".cast(DoubleType) > 0.2, "top_token")
+            .otherwise("keep").as("verdict"))
+        .orderBy($"doc_id")
+    }
+  }
+
+  val txGopherFilter = GraftQuery(
+    "tx_gopher_filter",
+    (s, dir) => gopherVerdicts(docs(s, dir)),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '') AS tokens,
+               LIST_FILTER(STRING_SPLIT(text, CHR(10)), x -> x <> '') AS lines
+        FROM documents),
+      b AS (
+        SELECT doc_id,
+               CAST(LEN(tokens) AS BIGINT) AS n_words,
+               CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(tokens, w -> LENGTH(w))), 0) AS BIGINT) AS sum_len,
+               CAST(LEN(LIST_FILTER(tokens, w -> REGEXP_MATCHES(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+               CAST(LEN(LIST_FILTER(tokens, w -> w IN ($stopList))) AS BIGINT) AS stop_hits,
+               CAST(LEN(lines) AS BIGINT) AS n_lines,
+               CAST(LEN(lines) - LEN(LIST_DISTINCT(lines)) AS BIGINT) AS n_dup_lines
+        FROM t),
+      w2 AS (SELECT doc_id, UNNEST(tokens) AS w FROM t),
+      topc AS (
+        SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_c
+        FROM (SELECT doc_id, w, COUNT(*) AS c FROM w2 GROUP BY 1, 2)
+        GROUP BY doc_id)
+      SELECT b.doc_id AS doc_id, n_words, stop_hits,
+             CASE WHEN n_words = 0 THEN 0.0
+                  ELSE CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_word_len,
+             CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+                  WHEN CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) < 3.0
+                    OR CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) > 10.0 THEN 'mean_word_len'
+                  WHEN CAST(n_words - n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.2 THEN 'symbol_ratio'
+                  WHEN stop_hits < 2 THEN 'no_stopwords'
+                  WHEN n_lines > 0 AND CAST(n_dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) > 0.3 THEN 'dup_lines'
+                  WHEN CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.2 THEN 'top_token'
+                  ELSE 'keep' END AS verdict
+      FROM b JOIN topc ON topc.doc_id = b.doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
-    txContamination,
+    txContamination, txGopherFilter,
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
     ddSimhashPairs)
 }

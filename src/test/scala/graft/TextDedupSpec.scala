@@ -95,6 +95,36 @@ class TextDedupSpec extends SparkSpec {
         s"($oldCand → $newCand candidates)")
   }
 
+  test("gopher gate: each rule fires on its planted document, clean doc keeps") {
+    import spark.implicits._
+    val good = (("the quick brown fox jumps over the lazy dog and then it ran " * 6)
+      .trim.split(" ").zipWithIndex.map { case (w, i) => if (i % 13 == 0) w + i else w })
+      .mkString(" ") // ~72 varied words, stopwords present, no dup lines
+    val docs = Seq(
+      (1L, good),
+      (2L, "too short"), // word_count
+      (3L, ("a b c " * 30).trim + " the of"), // mean_word_len < 3
+      (4L, (1 to 60).map(i => s"### $i%%%").mkString(" ") + " the of is to"), // symbol_ratio
+      (5L, (1 to 60).map(i => s"word$i").mkString(" ")), // no_stopwords
+      (6L, (("these lines repeat exactly the same\n" * 30) +
+        (1 to 40).map(i => s"extra$i the of").mkString("\n"))), // dup_lines
+      (7L, ("spam " * 55).trim + " the of is to in varied words here"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text"))
+    docs.createOrReplaceTempView("documents_gopher_test")
+    // run the registered plan shape against the planted frame
+    val out = graft.queries.TextQueries.gopherVerdicts(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(out(1L) === "keep", s"got $out")
+    assert(out(2L) === "word_count")
+    assert(out(3L) === "mean_word_len")
+    assert(out(4L) === "symbol_ratio")
+    assert(out(5L) === "no_stopwords")
+    assert(out(6L) === "dup_lines")
+    assert(out(7L) === "top_token")
+  }
+
   test("ngram jaccard df-cap: boilerplate creates no pairs, rare overlap still found") {
     val boiler = (0 until 30).map(j => s"b$j").mkString(" ")
     val docs =
