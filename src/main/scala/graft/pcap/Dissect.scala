@@ -2,6 +2,8 @@ package graft.pcap
 
 import scala.collection.mutable
 
+import graft.pcap.Dissect.HotIds._
+
 /** Native packet dissection: Ethernet / IPv4 / IPv6 / TCP / UDP / FIX.
   *
   * Re-expresses the observable field semantics the reference obtains from
@@ -35,7 +37,86 @@ object Dissect {
     }
   }
 
-  /** Write-side view: `v("tcp.srcport") = x` resolves the field id and
+
+  /** Pre-resolved ids for fields written on (nearly) every packet —
+    * see FieldVec.set. Cold-path fields (dns/tls/dhcp/...) keep the
+    * name-keyed update, which the glossary consistency spec guards. */
+  object HotIds {
+    val Id_frame_number: Int = FieldIds.id("frame.number")
+    val Id_frame_len: Int = FieldIds.id("frame.len")
+    val Id_frame_cap_len: Int = FieldIds.id("frame.cap_len")
+    val Id_frame_time_epoch: Int = FieldIds.id("frame.time_epoch")
+    val Id_frame_time_relative: Int = FieldIds.id("frame.time_relative")
+    val Id_frame_time_delta: Int = FieldIds.id("frame.time_delta")
+    val Id_eth_dst: Int = FieldIds.id("eth.dst")
+    val Id_eth_src: Int = FieldIds.id("eth.src")
+    val Id_eth_type: Int = FieldIds.id("eth.type")
+    val Id_vlan_id: Int = FieldIds.id("vlan.id")
+    val Id_ip_version: Int = FieldIds.id("ip.version")
+    val Id_ip_hdr_len: Int = FieldIds.id("ip.hdr_len")
+    val Id_ip_dsfield: Int = FieldIds.id("ip.dsfield")
+    val Id_ip_len: Int = FieldIds.id("ip.len")
+    val Id_ip_id: Int = FieldIds.id("ip.id")
+    val Id_ip_flags: Int = FieldIds.id("ip.flags")
+    val Id_ip_frag_offset: Int = FieldIds.id("ip.frag_offset")
+    val Id_ip_ttl: Int = FieldIds.id("ip.ttl")
+    val Id_ip_proto: Int = FieldIds.id("ip.proto")
+    val Id_ip_checksum: Int = FieldIds.id("ip.checksum")
+    val Id_ip_src: Int = FieldIds.id("ip.src")
+    val Id_ip_dst: Int = FieldIds.id("ip.dst")
+    val Id_ip_addr: Int = FieldIds.id("ip.addr")
+    val Id_ipv6_version: Int = FieldIds.id("ipv6.version")
+    val Id_ipv6_plen: Int = FieldIds.id("ipv6.plen")
+    val Id_ipv6_nxt: Int = FieldIds.id("ipv6.nxt")
+    val Id_ipv6_hlim: Int = FieldIds.id("ipv6.hlim")
+    val Id_ipv6_src: Int = FieldIds.id("ipv6.src")
+    val Id_ipv6_dst: Int = FieldIds.id("ipv6.dst")
+    val Id_ipv6_addr: Int = FieldIds.id("ipv6.addr")
+    val Id_tcp_time_relative: Int = FieldIds.id("tcp.time_relative")
+    val Id_tcp_time_delta: Int = FieldIds.id("tcp.time_delta")
+    val Id_tcp_srcport: Int = FieldIds.id("tcp.srcport")
+    val Id_tcp_dstport: Int = FieldIds.id("tcp.dstport")
+    val Id_tcp_port: Int = FieldIds.id("tcp.port")
+    val Id_tcp_stream: Int = FieldIds.id("tcp.stream")
+    val Id_tcp_len: Int = FieldIds.id("tcp.len")
+    val Id_tcp_seq: Int = FieldIds.id("tcp.seq")
+    val Id_tcp_seq_raw: Int = FieldIds.id("tcp.seq_raw")
+    val Id_tcp_nxtseq: Int = FieldIds.id("tcp.nxtseq")
+    val Id_tcp_ack: Int = FieldIds.id("tcp.ack")
+    val Id_tcp_ack_raw: Int = FieldIds.id("tcp.ack_raw")
+    val Id_tcp_hdr_len: Int = FieldIds.id("tcp.hdr_len")
+    val Id_tcp_flags: Int = FieldIds.id("tcp.flags")
+    val Id_tcp_flags_fin: Int = FieldIds.id("tcp.flags.fin")
+    val Id_tcp_flags_syn: Int = FieldIds.id("tcp.flags.syn")
+    val Id_tcp_flags_reset: Int = FieldIds.id("tcp.flags.reset")
+    val Id_tcp_flags_push: Int = FieldIds.id("tcp.flags.push")
+    val Id_tcp_flags_ack: Int = FieldIds.id("tcp.flags.ack")
+    val Id_tcp_flags_urg: Int = FieldIds.id("tcp.flags.urg")
+    val Id_tcp_window_size_value: Int = FieldIds.id("tcp.window_size_value")
+    val Id_tcp_window_size: Int = FieldIds.id("tcp.window_size")
+    val Id_tcp_window_size_scalefactor: Int = FieldIds.id("tcp.window_size_scalefactor")
+    val Id_tcp_checksum: Int = FieldIds.id("tcp.checksum")
+    val Id_tcp_urgent_pointer: Int = FieldIds.id("tcp.urgent_pointer")
+    val Id_tcp_options_mss_val: Int = FieldIds.id("tcp.options.mss_val")
+    val Id_tcp_options_wscale_shift: Int = FieldIds.id("tcp.options.wscale.shift")
+    val Id_tcp_options_timestamp_tsval: Int = FieldIds.id("tcp.options.timestamp.tsval")
+    val Id_tcp_options_timestamp_tsecr: Int = FieldIds.id("tcp.options.timestamp.tsecr")
+    val Id_tcp_payload: Int = FieldIds.id("tcp.payload")
+    val Id_tcp_analysis_retransmission: Int = FieldIds.id("tcp.analysis.retransmission")
+    val Id_tcp_analysis_out_of_order: Int = FieldIds.id("tcp.analysis.out_of_order")
+    val Id_udp_time_relative: Int = FieldIds.id("udp.time_relative")
+    val Id_udp_time_delta: Int = FieldIds.id("udp.time_delta")
+    val Id_udp_srcport: Int = FieldIds.id("udp.srcport")
+    val Id_udp_dstport: Int = FieldIds.id("udp.dstport")
+    val Id_udp_port: Int = FieldIds.id("udp.port")
+    val Id_udp_stream: Int = FieldIds.id("udp.stream")
+    val Id_udp_length: Int = FieldIds.id("udp.length")
+    val Id_udp_checksum: Int = FieldIds.id("udp.checksum")
+    val Id_udp_pdu_size: Int = FieldIds.id("udp.pdu.size")
+    val Id_udp_payload: Int = FieldIds.id("udp.payload")
+  }
+
+  /** Write-side view: `v.set(Id_tcp_srcport, x` resolves the field id and)
     * stores into the flat array (unknown names are dropped — the glossary
     * consistency spec keeps that set empty). */
   final class FieldVec {
@@ -44,6 +125,10 @@ object Dissect {
       val i = FieldIds.id(name)
       if (i >= 0) arr(i) = value
     }
+    /** Hot-path write with a pre-resolved id ([[HotIds]]) — a plain array
+      * store instead of a name-hash probe; ~45 writes/packet made the
+      * lookup measurable at full-dissection throughput. */
+    def set(i: Int, value: Any): Unit = if (i >= 0) arr(i) = value
     def get(name: String): Option[Any] = {
       val i = FieldIds.id(name)
       if (i < 0) None else Option(arr(i))
@@ -416,12 +501,12 @@ object Dissect {
     tracker.prevPacketMicros = rec.tsMicros
     tracker.currentTsMicros = rec.tsMicros
 
-    v("frame.number") = rec.number
-    v("frame.len") = rec.origLen.toLong
-    v("frame.cap_len") = rec.inclLen.toLong
-    v("frame.time_epoch") = rec.tsMicros // micros; sink applies compat truncation
-    v("frame.time_relative") = timeRelMicros
-    v("frame.time_delta") = timeDeltaMicros
+    v.set(Id_frame_number, rec.number)
+    v.set(Id_frame_len, rec.origLen.toLong)
+    v.set(Id_frame_cap_len, rec.inclLen.toLong)
+    v.set(Id_frame_time_epoch, rec.tsMicros) // micros; sink applies compat truncation
+    v.set(Id_frame_time_relative, timeRelMicros)
+    v.set(Id_frame_time_delta, timeDeltaMicros)
 
     val d = rec.data
     try {
@@ -430,17 +515,17 @@ object Dissect {
         case 1 => // Ethernet
           protos += "eth"
           if (d.length >= 14) {
-            v("eth.dst") = macStr(d, 0)
-            v("eth.src") = macStr(d, 6)
+            v.set(Id_eth_dst, macStr(d, 0))
+            v.set(Id_eth_src, macStr(d, 6))
             var etherType = u16(d, 12)
             var l3off = 14
             if (etherType == 0x8100 && d.length >= 18) { // 802.1Q tag
               protos += "vlan"
-              v("vlan.id") = (u16(d, 14) & 0x0fff).toLong
+              v.set(Id_vlan_id, (u16(d, 14) & 0x0fff).toLong)
               etherType = u16(d, 16)
               l3off = 18
             }
-            v("eth.type") = etherType.toLong
+            v.set(Id_eth_type, etherType.toLong)
             protos += "ethertype"
             etherType match {
               case 0x0800 => dissectIpv4(d, l3off, v, protos, tracker, wanted) match {
@@ -488,26 +573,26 @@ object Dissect {
     val proto = u8(d, off + 9)
     val src = ipv4Str(d, off + 12)
     val dst = ipv4Str(d, off + 16)
-    v("ip.version") = ((d(off) >> 4) & 0xf).toLong
-    v("ip.hdr_len") = ihl.toLong
-    v("ip.dsfield") = u8(d, off + 1).toLong
-    v("ip.len") = totalLen.toLong
-    v("ip.id") = u16(d, off + 4).toLong
+    v.set(Id_ip_version, ((d(off) >> 4) & 0xf).toLong)
+    v.set(Id_ip_hdr_len, ihl.toLong)
+    v.set(Id_ip_dsfield, u8(d, off + 1).toLong)
+    v.set(Id_ip_len, totalLen.toLong)
+    v.set(Id_ip_id, u16(d, off + 4).toLong)
     val flagsFrag = u16(d, off + 6)
-    v("ip.flags") = ((flagsFrag >> 13) & 0x7).toLong
-    v("ip.frag_offset") = (flagsFrag & 0x1fff).toLong
-    v("ip.ttl") = u8(d, off + 8).toLong
-    v("ip.proto") = proto.toLong
-    v("ip.checksum") = u16(d, off + 10).toLong
-    v("ip.src") = src
-    v("ip.dst") = dst
+    v.set(Id_ip_flags, ((flagsFrag >> 13) & 0x7).toLong)
+    v.set(Id_ip_frag_offset, (flagsFrag & 0x1fff).toLong)
+    v.set(Id_ip_ttl, u8(d, off + 8).toLong)
+    v.set(Id_ip_proto, proto.toLong)
+    v.set(Id_ip_checksum, u16(d, off + 10).toLong)
+    v.set(Id_ip_src, src)
+    v.set(Id_ip_dst, dst)
     // tshark emits every occurrence comma-joined for -T fields; ip.addr is
     // defined as "Source or Destination" so both values appear ("src,dst").
     // (tcp.port/udp.port get the same treatment in tshark, but those are
     // BIGINT after the reference's type collapse and its std::stoll parse
     // stops at the comma — so source-only IS the reference's observable
     // value there; here ip.addr is VARCHAR and keeps the full string.)
-    v("ip.addr") = s"$src,$dst"
+    v.set(Id_ip_addr, s"$src,$dst")
     val next = off + ihl
     // payload bounded by IP total length (ethernet padding must not leak in)
     val ipEnd = math.min(off + totalLen, d.length)
@@ -556,13 +641,13 @@ object Dissect {
     val nxt = u8(d, off + 6)
     val src = ipv6Str(d, off + 8)
     val dst = ipv6Str(d, off + 24)
-    v("ipv6.version") = 6L
-    v("ipv6.plen") = payLen.toLong
-    v("ipv6.nxt") = nxt.toLong
-    v("ipv6.hlim") = u8(d, off + 7).toLong
-    v("ipv6.src") = src
-    v("ipv6.dst") = dst
-    v("ipv6.addr") = s"$src,$dst" // "Source or Destination", like ip.addr
+    v.set(Id_ipv6_version, 6L)
+    v.set(Id_ipv6_plen, payLen.toLong)
+    v.set(Id_ipv6_nxt, nxt.toLong)
+    v.set(Id_ipv6_hlim, u8(d, off + 7).toLong)
+    v.set(Id_ipv6_src, src)
+    v.set(Id_ipv6_dst, dst)
+    v.set(Id_ipv6_addr, s"$src,$dst") // "Source or Destination", like ip.addr
     val next = off + 40
     val end = math.min(next + payLen, d.length)
     // Walk the extension-header chain (hop-by-hop, routing, destination
@@ -716,8 +801,8 @@ object Dissect {
     // per-stream timing (tshark tcp.time_relative / tcp.time_delta)
     val nowUs = tracker.currentTsMicros
     if (conv.firstTsMicros < 0) conv.firstTsMicros = nowUs
-    v("tcp.time_relative") = nowUs - conv.firstTsMicros
-    v("tcp.time_delta") = if (conv.prevTsMicros < 0) 0L else nowUs - conv.prevTsMicros
+    v.set(Id_tcp_time_relative, nowUs - conv.firstTsMicros)
+    v.set(Id_tcp_time_delta, if (conv.prevTsMicros < 0) 0L else nowUs - conv.prevTsMicros)
     conv.prevTsMicros = nowUs
 
     // parse options (also records window scale into conversation state)
@@ -765,16 +850,16 @@ object Dissect {
       else 1L
     val calcWin = rawWin * winScale
 
-    v("tcp.srcport") = sp.toLong
-    v("tcp.dstport") = dp.toLong
-    v("tcp.port") = sp.toLong
-    v("tcp.stream") = conv.stream
-    v("tcp.len") = segLen.toLong
-    v("tcp.seq") = relSeq
-    v("tcp.seq_raw") = rawSeq
-    v("tcp.nxtseq") = relSeq + segLen + (if (syn || fin) 1 else 0)
-    v("tcp.ack") = relAck
-    v("tcp.ack_raw") = rawAck
+    v.set(Id_tcp_srcport, sp.toLong)
+    v.set(Id_tcp_dstport, dp.toLong)
+    v.set(Id_tcp_port, sp.toLong)
+    v.set(Id_tcp_stream, conv.stream)
+    v.set(Id_tcp_len, segLen.toLong)
+    v.set(Id_tcp_seq, relSeq)
+    v.set(Id_tcp_seq_raw, rawSeq)
+    v.set(Id_tcp_nxtseq, relSeq + segLen + (if (syn || fin) 1 else 0))
+    v.set(Id_tcp_ack, relAck)
+    v.set(Id_tcp_ack_raw, rawAck)
     val nxtRel = relSeq + segLen + (if (syn || fin) 1 else 0)
     val pstart = off + hdrLen
     val plen = math.min(segLen, math.max(0, d.length - pstart))
@@ -793,28 +878,28 @@ object Dissect {
         segLen > 0 && noNewBytes(conv, dir, relSeq, relSeq + segLen)
       else
         segLen > 0 && conv.maxNxtSeq(dir) >= 0 && nxtRel <= conv.maxNxtSeq(dir)
-    if (isRetrans) v("tcp.analysis.retransmission") = "1"
+    if (isRetrans) v.set(Id_tcp_analysis_retransmission, "1")
     if (nxtRel > conv.maxNxtSeq(dir)) conv.maxNxtSeq(dir) = nxtRel
 
-    v("tcp.hdr_len") = hdrLen.toLong
-    v("tcp.flags") = flags.toLong
-    v("tcp.flags.fin") = fin
-    v("tcp.flags.syn") = syn
-    v("tcp.flags.reset") = rst
-    v("tcp.flags.push") = psh
-    v("tcp.flags.ack") = ack
-    v("tcp.flags.urg") = urg
-    v("tcp.window_size_value") = rawWin.toLong
-    v("tcp.window_size") = calcWin
-    v("tcp.window_size_scalefactor") =
-      if (syn) -1L else if (conv.scalingActive) winScale else -2L
-    v("tcp.checksum") = u16(d, off + 16).toLong
-    v("tcp.urgent_pointer") = u16(d, off + 18).toLong
-    if (mss >= 0) v("tcp.options.mss_val") = mss
-    if (wsShift >= 0) v("tcp.options.wscale.shift") = wsShift.toLong
-    if (tsVal >= 0) { v("tcp.options.timestamp.tsval") = tsVal; v("tcp.options.timestamp.tsecr") = tsEcr }
+    v.set(Id_tcp_hdr_len, hdrLen.toLong)
+    v.set(Id_tcp_flags, flags.toLong)
+    v.set(Id_tcp_flags_fin, fin)
+    v.set(Id_tcp_flags_syn, syn)
+    v.set(Id_tcp_flags_reset, rst)
+    v.set(Id_tcp_flags_push, psh)
+    v.set(Id_tcp_flags_ack, ack)
+    v.set(Id_tcp_flags_urg, urg)
+    v.set(Id_tcp_window_size_value, rawWin.toLong)
+    v.set(Id_tcp_window_size, calcWin)
+    v.set(Id_tcp_window_size_scalefactor,
+      if (syn) -1L else if (conv.scalingActive) winScale else -2L)
+    v.set(Id_tcp_checksum, u16(d, off + 16).toLong)
+    v.set(Id_tcp_urgent_pointer, u16(d, off + 18).toLong)
+    if (mss >= 0) v.set(Id_tcp_options_mss_val, mss)
+    if (wsShift >= 0) v.set(Id_tcp_options_wscale_shift, wsShift.toLong)
+    if (tsVal >= 0) { v.set(Id_tcp_options_timestamp_tsval, tsVal); v.set(Id_tcp_options_timestamp_tsecr, tsEcr) }
     if (wanted.payloads && segLen > 0)
-      v("tcp.payload") = hexBytes(d, off + hdrLen, math.min(segLen, d.length - off - hdrLen))
+      v.set(Id_tcp_payload, hexBytes(d, off + hdrLen, math.min(segLen, d.length - off - hdrLen)))
 
     // Application-layer input. Plain per-packet scan: the raw segment.
     // Under desegment: the seq-ordered run this packet makes available —
@@ -884,7 +969,7 @@ object Dissect {
         }
       }
     }
-    if (outOfOrder) v("tcp.analysis.out_of_order") = "1"
+    if (outOfOrder) v.set(Id_tcp_analysis_out_of_order, "1")
 
     // application layer: FIX (with optional desegmentation), HTTP, TLS
     var appInfo: String = null
@@ -1016,18 +1101,18 @@ object Dissect {
     val conv = tracker.udpConv(key)
     val nowUs = tracker.currentTsMicros
     if (conv.firstTsMicros < 0) conv.firstTsMicros = nowUs
-    v("udp.time_relative") = nowUs - conv.firstTsMicros
-    v("udp.time_delta") = if (conv.prevTsMicros < 0) 0L else nowUs - conv.prevTsMicros
+    v.set(Id_udp_time_relative, nowUs - conv.firstTsMicros)
+    v.set(Id_udp_time_delta, if (conv.prevTsMicros < 0) 0L else nowUs - conv.prevTsMicros)
     conv.prevTsMicros = nowUs
-    v("udp.srcport") = sp.toLong
-    v("udp.dstport") = dp.toLong
-    v("udp.port") = sp.toLong
-    v("udp.stream") = conv.stream
-    v("udp.length") = len.toLong
-    v("udp.checksum") = u16(d, off + 6).toLong
-    v("udp.pdu.size") = payLen.toLong
+    v.set(Id_udp_srcport, sp.toLong)
+    v.set(Id_udp_dstport, dp.toLong)
+    v.set(Id_udp_port, sp.toLong)
+    v.set(Id_udp_stream, conv.stream)
+    v.set(Id_udp_length, len.toLong)
+    v.set(Id_udp_checksum, u16(d, off + 6).toLong)
+    v.set(Id_udp_pdu_size, payLen.toLong)
     if (wanted.payloads && payLen > 0 && off + 8 < d.length)
-      v("udp.payload") = hexBytes(d, off + 8, math.min(payLen, d.length - off - 8))
+      v.set(Id_udp_payload, hexBytes(d, off + 8, math.min(payLen, d.length - off - 8)))
     if (sp == 53 || dp == 53) {
       val dnsInfo = dissectDns(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
       if (dnsInfo != null) return dnsInfo
