@@ -261,7 +261,12 @@ object Dissect {
     *   the packet carrying its final segment, earlier parts render as
     *   "[TCP segment of a reassembled PDU]". Off by default (matches the
     *   per-packet scan semantics the fixture goldens pin). */
-  final class Tracker(val desegment: Boolean = false) {
+  /** @param reuseBuffers reuse one field array across packets — safe ONLY
+    *   when each Dissected is fully consumed before the next dissect call
+    *   (the PartitionReader pattern); tests that hold several Dissected
+    *   objects must keep the default. */
+  final class Tracker(val desegment: Boolean = false, val reuseBuffers: Boolean = false) {
+    private[Dissect] val pooledVec = if (reuseBuffers) new FieldVec else null
     private val tcpConvs = mutable.HashMap.empty[ConvKey, TcpConv]
     private val udpConvs = mutable.HashMap.empty[ConvKey, UdpConv]
     private var nextTcpStream = 0L
@@ -490,7 +495,11 @@ object Dissect {
       wanted: Wanted = WantAll): Dissected = {
     // presized: a full tcp dissection writes ~45 fields; default sizing
     // would rehash the map 3 times per packet
-    val v = new FieldVec
+    val v =
+      if (tracker.pooledVec != null) {
+        java.util.Arrays.fill(tracker.pooledVec.arr, null)
+        tracker.pooledVec
+      } else new FieldVec
     val protos = mutable.ArrayBuffer.empty[String]
     var info = ""
 

@@ -86,7 +86,10 @@ final class PcapPartitionReader(
         din, h, partition.maxPackets, partition.firstNumber, partition.byteLength),
         h.linktype)
     }
-  private val tracker = new Dissect.Tracker(desegment)
+  // reuseBuffers: each Dissected is consumed into an InternalRow inside
+  // next() before the following dissect call, so the pooled field array
+  // is safe here and removes a ~1.3 KB allocation per packet
+  private val tracker = new Dissect.Tracker(desegment, reuseBuffers = true)
   private val displayFilter = cfilter.map(DisplayFilter.parse)
 
   /** Dissection pruning: skip payload hex-encoding / info rendering unless
