@@ -44,6 +44,13 @@ object Wireduck {
     r.load(path)
   }
 
+  /** Rewrite a (filtered / transformed) capture scan back to classic pcap
+    * part-files under `dir` — see [[graft.pcap.PcapWriter]]. The input
+    * needs `frame.time_epoch` and `frame.raw` (scan with
+    * `protocols := ["frame"]` to reach the raw column). */
+  def writePcap(df: DataFrame, dir: String, linktype: Int = 1): Unit =
+    graft.pcap.PcapWriter.write(df, dir, linktype)
+
   implicit private class LogOps(s: SparkSession) {
     def log = org.slf4j.LoggerFactory.getLogger("graft")
   }

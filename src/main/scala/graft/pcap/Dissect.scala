@@ -173,7 +173,8 @@ object Dissect {
   final case class Wanted(
       payloads: Boolean = true,
       info: Boolean = true,
-      layers: Boolean = true) // false => frame-header fields only, skip eth/ip/tcp/udp entirely
+      layers: Boolean = true, // false => frame-header fields only, skip eth/ip/tcp/udp entirely
+      raw: Boolean = false) // frame.raw hex of the whole frame (capture rewriting) — costly, off unless selected
   val WantAll: Wanted = Wanted()
 
   // --- conversation state ------------------------------------------------
@@ -518,6 +519,7 @@ object Dissect {
     v.set(Id_frame_time_delta, timeDeltaMicros)
 
     val d = rec.data
+    if (wanted.raw) v("frame.raw") = hexBytes(d, 0, d.length)
     try {
       if (!wanted.layers) return new Dissected(v.arr, "", "")
       linktype match {

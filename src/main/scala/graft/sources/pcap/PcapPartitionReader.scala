@@ -98,11 +98,12 @@ final class PcapPartitionReader(
     val referenced = schema.fieldNames.toSet ++
       pushed.flatMap(_.references) ++ cfilter.toSeq
     val frameOnly = Set("frame.number", "frame.time_epoch", "frame.len",
-      "frame.cap_len", "frame.time_relative", "frame.time_delta")
+      "frame.cap_len", "frame.time_relative", "frame.time_delta", "frame.raw")
     Dissect.Wanted(
       payloads = referenced.exists(_.contains("payload")),
       info = referenced.exists(_.contains("_ws.col.info")),
-      layers = referenced.exists(r => !frameOnly.contains(r)))
+      layers = referenced.exists(r => !frameOnly.contains(r)),
+      raw = referenced.contains("frame.raw"))
   }
 
   private val fieldNames = schema.fields.map(_.name)
