@@ -209,7 +209,24 @@ object SimilarityQueries {
         .filter($"query_id" =!= $"vec_id")
     })
 
+  /** Product-quantization ANN (the memory-compressed scale path: 8-byte
+    * codes instead of 256-byte vectors; approximate scan over codes only,
+    * exact rerank of 50 candidates). No oracle — k-means codebooks are
+    * engine-side; recall and reconstruction are pinned in SimilaritySpec. */
+  val simAnnPq = GraftQuery(
+    "sim_ann_pq",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = graft.functions.Pq.fit(s, emb, m = 8, k = 16)
+      val encoded = graft.functions.Pq.encode(emb, cb)
+      val queries = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      graft.functions.Pq.searchBatch(encoded, cb, queries, topK = 5)
+        .filter($"query_id" =!= $"vec_id")
+    })
+
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfBatch,
-      ddEmbeddingNeardup)
+      simAnnPq, ddEmbeddingNeardup)
 }

@@ -150,6 +150,58 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.contains(0L))
   }
 
+  test("PQ: codes deterministic, reconstruction beats mean quantizer, dup found") {
+    import spark.implicits._
+    val emb = graft.api.Tables.load(spark, sfDir, "embeddings")
+    val cb = graft.functions.Pq.fit(spark, emb, m = 8, k = 16)
+    val enc = graft.functions.Pq.encode(emb, cb).cache()
+
+    // determinism + code-space sanity
+    val c1 = enc.select($"vec_id", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val c2 = graft.functions.Pq.encode(emb, cb).select($"vec_id", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(c1 === c2)
+    assert(c1.values.forall(cs => cs.length === 8 && cs.forall(c => c >= 0 && c < 16)))
+
+    // an exact duplicate of vec 0 encodes to identical codes and is found
+    // as its query's top hit with exact cosine 1.0 after rerank
+    val dupe = emb.filter($"vec_id" === 0)
+      .select(lit(9999L).as("vec_id"), $"embedding", $"label")
+    val enc2 = graft.functions.Pq.encode(emb.unionByName(dupe), cb)
+    val codes0 = enc2.filter($"vec_id" === 0).select($"codes").head().getSeq[Int](0)
+    val codes9 = enc2.filter($"vec_id" === 9999).select($"codes").head().getSeq[Int](0)
+    assert(codes0 === codes9)
+    val q = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val top = graft.functions.Pq.searchBatch(enc2, cb, q, topK = 2).collect()
+    assert(top.map(_.getAs[Long]("vec_id")).toSet.contains(9999L))
+    assert(top.find(_.getAs[Long]("vec_id") == 9999L).get.getAs[Double]("cosine") > 0.999999)
+
+    // reconstruction error must beat the trivial quantize-to-global-mean
+    val dim = 64
+    val meanVec = emb.select(
+      (1 to dim).map(i => avg(element_at($"embedding", i).cast("double")).as(s"m$i")): _*)
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val errs = enc.select($"embedding", $"codes").collect().map { r =>
+      val e = r.getSeq[Float](0)
+      val cs = r.getSeq[Int](1)
+      var pq = 0.0
+      var mean = 0.0
+      for (j <- 0 until 8; i <- 0 until 8) {
+        val x = e(j * 8 + i).toDouble
+        val dpq = x - cb.centroids(j)(cs(j))(i)
+        val dm = x - meanVec(j * 8 + i)
+        pq += dpq * dpq
+        mean += dm * dm
+      }
+      (pq, mean)
+    }
+    val (pqMse, meanMse) = (errs.map(_._1).sum / errs.length, errs.map(_._2).sum / errs.length)
+    assert(pqMse < meanMse, s"PQ MSE $pqMse must beat mean-quantizer MSE $meanMse")
+    enc.unpersist()
+  }
+
   test("persisted IVF index reused without re-fitting k-means; recall preserved") {
     import spark.implicits._
     val emb = graft.api.Tables.load(spark, sfDir, "embeddings")
