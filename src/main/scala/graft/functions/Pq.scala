@@ -92,6 +92,44 @@ object Pq {
     concat(parts: _*)
   }
 
+  /** IVF-PQ (the composition actually deployed at 100 TB scale: coarse
+    * cells bound the candidate set sub-linearly, codes bound the bytes
+    * scanned per candidate): probe the nProbe nearest cells per query,
+    * approximate-score ONLY those cells' codes, exact-rerank the top
+    * `rerank`. One plan; centroids and probes broadcast. */
+  def searchIvfPq(
+      encodedWithCell: DataFrame, // Ivf.build().assigned + Pq.encode codes
+      cb: Codebook,
+      index: Ivf.Index,
+      queries: DataFrame, // (query_id, qe)
+      topK: Int,
+      nProbe: Int,
+      rerank: Int = 50): DataFrame = {
+    val spark = encodedWithCell.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("ccos", Vectors.cosine(col("qe"), col("centroid")))
+      .withColumn("prnk", row_number().over(wq))
+      .filter(col("prnk") <= nProbe)
+      .select(col("query_id"), col("qe"), col("cell"))
+    val wa = Window.partitionBy(col("query_id")).orderBy(col("approx_cos").desc, col("vec_id"))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    encodedWithCell.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("vec_id"), col("label"), col("embedding"), col("qe"),
+        Vectors.cosine(decodeCol(cb).cast("array<double>"), col("qe")).as("approx_cos"))
+      .withColumn("arnk", row_number().over(wa))
+      .filter(col("arnk") <= rerank)
+      .select(col("query_id"), col("vec_id"), col("label"),
+        Vectors.cosine(col("embedding"), col("qe")).as("cosine"))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("label"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Two-stage batch search: ADC-style approximate scores over codes only
     * (reconstruction cosine via [[VectorDot]]), exact cosine rerank of the
     * top `rerank` per query. One plan, queries broadcast, no driver loop. */

@@ -226,7 +226,26 @@ object SimilarityQueries {
         .filter($"query_id" =!= $"vec_id")
     })
 
+  /** IVF-PQ: coarse cells bound the candidate set, codes bound the bytes
+    * per candidate — the standard composition for planet-scale ANN. Rows
+    * only; SimilaritySpec anchors exhaustive-probe + full-rerank equal to
+    * brute force exactly. */
+  val simAnnIvfPq = GraftQuery(
+    "sim_ann_ivfpq",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val index = graft.functions.Ivf.build(s, emb, k = 16)
+      val cb = graft.functions.Pq.fit(s, emb, m = 8, k = 16)
+      val encoded = graft.functions.Pq.encode(index.assigned, cb)
+      val queries = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      graft.functions.Pq.searchIvfPq(encoded, cb, index, queries,
+        topK = 5, nProbe = 4)
+        .filter($"query_id" =!= $"vec_id")
+    })
+
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfBatch,
-      simAnnPq, ddEmbeddingNeardup)
+      simAnnPq, simAnnIvfPq, ddEmbeddingNeardup)
 }

@@ -202,6 +202,30 @@ class SimilaritySpec extends SparkSpec {
     enc.unpersist()
   }
 
+  test("IVF-PQ with all cells probed and full rerank equals brute force") {
+    import spark.implicits._
+    val emb = graft.api.Tables.load(spark, sfDir, "embeddings")
+    val n = emb.count().toInt
+    val index = graft.functions.Ivf.build(spark, emb, k = 8)
+    val cb = graft.functions.Pq.fit(spark, emb, m = 8, k = 16)
+    val encoded = graft.functions.Pq.encode(index.assigned, cb)
+    val queries = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    // exhaustive probes + rerank >= corpus => the approximate stage cannot
+    // drop anything; the exact rerank must reproduce brute force
+    val full = graft.functions.Pq.searchIvfPq(encoded, cb, index, queries,
+      topK = 11, nProbe = 8, rerank = n + 1)
+      .collect().map(_.getAs[Long]("vec_id")).filterNot(_ == 0L).take(10)
+    val brute = SimilarityQueries.simAnnBrute.fn(spark, sfDir)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(full.toSeq === brute.toSeq)
+
+    // partial probe stays plausible: results non-empty, self-cell found
+    val part = graft.functions.Pq.searchIvfPq(encoded, cb, index, queries,
+      topK = 5, nProbe = 2).collect()
+    assert(part.nonEmpty && part.map(_.getAs[Long]("vec_id")).contains(0L))
+  }
+
   test("persisted IVF index reused without re-fitting k-means; recall preserved") {
     import spark.implicits._
     val emb = graft.api.Tables.load(spark, sfDir, "embeddings")
