@@ -196,6 +196,10 @@ object Dissect {
     val wsShift = Array(-1, -1) // window-scale shift offered in SYN
     val sawSyn = Array(false, false)
     val maxNxtSeq = Array(-1L, -1L) // highest relative nxtseq seen (retransmit detection)
+    // duplicate-ACK tracking (per acking direction)
+    val lastAck = Array(-1L, -1L)
+    val lastAckWin = Array(-1L, -1L)
+    val dupAckCount = Array(0, 0)
     // desegmentation: unconsumed tail of an incomplete application PDU,
     // per direction (only populated when the tracker has desegment=true);
     // carryKind records which dissector owns the buffer (1=fix, 2=http)
@@ -884,11 +888,28 @@ object Dissect {
     // classic highest-nxtseq heuristic (identical on in-order captures;
     // the exact rule additionally avoids mis-flagging a segment that fills
     // a hole left by out-of-order arrival).
-    val isRetrans =
+    // analysis flags beyond retransmission (Wireshark tcp.analysis parity).
+    // Keep-alive: a 0/1-byte probe one sequence number below the
+    // direction's highest nxtseq; takes precedence over retransmission.
+    val isKeepAlive = segLen <= 1 && !syn && !fin && !rst &&
+      conv.maxNxtSeq(dir) >= 0 && relSeq == conv.maxNxtSeq(dir) - 1
+    if (isKeepAlive) v("tcp.analysis.keep_alive") = "1"
+    if (rawWin == 0 && !rst && !syn && !fin) v("tcp.analysis.zero_window") = "1"
+    if (ack && segLen == 0 && !syn && !fin && !rst) {
+      if (conv.lastAck(dir) >= 0 && conv.lastAck(dir) == rawAck &&
+        conv.lastAckWin(dir) == rawWin) {
+        conv.dupAckCount(dir) += 1
+        v("tcp.analysis.duplicate_ack") = "1"
+        v("tcp.analysis.duplicate_ack_num") = conv.dupAckCount(dir).toLong
+      } else conv.dupAckCount(dir) = 0
+    }
+    if (ack) { conv.lastAck(dir) = rawAck; conv.lastAckWin(dir) = rawWin }
+    val isRetrans = !isKeepAlive && {
       if (tracker.desegment && conv.expSeq(dir) >= 0)
         segLen > 0 && noNewBytes(conv, dir, relSeq, relSeq + segLen)
       else
         segLen > 0 && conv.maxNxtSeq(dir) >= 0 && nxtRel <= conv.maxNxtSeq(dir)
+    }
     if (isRetrans) v.set(Id_tcp_analysis_retransmission, "1")
     if (nxtRel > conv.maxNxtSeq(dir)) conv.maxNxtSeq(dir) = nxtRel
 
@@ -1068,6 +1089,16 @@ object Dissect {
       }
       if (appInfo == null) appInfo = dissectHttp(appBuf, appOff, appLen, v, protos)
       if (appInfo == null) appInfo = dissectTls(appBuf, appOff, appLen, sp, dp, v, protos)
+      // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
+      // standard message; dissected when a whole message sits in this
+      // delivered run (zone transfers spanning runs stay undissected)
+      if (appInfo == null && (sp == 53 || dp == 53) && appLen >= 14) {
+        val mlen = u16(appBuf, appOff)
+        if (mlen >= 12 && 2 + mlen <= appLen) {
+          val dnsInfo = dissectDns(appBuf, appOff + 2, appOff + 2 + mlen, v, protos)
+          if (dnsInfo != null) appInfo = dnsInfo
+        }
+      }
     }
 
     if (appInfo != null) appInfo

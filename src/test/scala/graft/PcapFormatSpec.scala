@@ -569,6 +569,61 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(!d3.protocols.contains("quic"))
   }
 
+  private def ethIpTcpFlags(sp: Int, dp: Int, payload: Array[Byte], seq: Int,
+      ackNo: Int, flags: Int, win: Int = 8192): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(14 + 20 + 20 + payload.length)
+    b.put(new Array[Byte](12)).putShort(0x0800.toShort)
+    val iplen = 20 + 20 + payload.length
+    b.put(0x45.toByte).put(0.toByte).putShort(iplen.toShort)
+      .putShort(1.toShort).putShort(0.toShort)
+      .put(64.toByte).put(6.toByte).putShort(0.toShort)
+      .put(Array[Byte](10, 0, 0, 1)).put(Array[Byte](10, 0, 0, 2))
+    b.putShort(sp.toShort).putShort(dp.toShort)
+      .putInt(seq).putInt(ackNo)
+      .put((5 << 4).toByte).put(flags.toByte)
+      .putShort(win.toShort).putShort(0.toShort).putShort(0.toShort)
+    b.put(payload)
+    b.array()
+  }
+
+  test("tcp.analysis: keep-alive, zero-window, duplicate ACKs flagged") {
+    def rec(f: Array[Byte]) = PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    val t = new Dissect.Tracker
+    // data establishes nxtseq 1000+5
+    val d0 = Dissect.dissect(rec(ethIpTcpFlags(5001, 5002, "hello".getBytes, 1000, 0, 0x18)), 1, t)
+    assert(!d0.values.contains("tcp.analysis.keep_alive"))
+    // keep-alive probe: 1 garbage byte at nxtseq-1; must NOT flag retransmission
+    val ka = Dissect.dissect(rec(ethIpTcpFlags(5001, 5002, Array[Byte](0), 1004, 0, 0x10)), 1, t)
+    assert(ka.values.contains("tcp.analysis.keep_alive"))
+    assert(!ka.values.contains("tcp.analysis.retransmission"))
+    // zero-window advertisement from the peer
+    val zw = Dissect.dissect(rec(ethIpTcpFlags(5002, 5001, Array.emptyByteArray, 500, 1005, 0x10, win = 0)), 1, t)
+    assert(zw.values.contains("tcp.analysis.zero_window"))
+    // three identical ACKs: second and third are duplicates, numbered
+    def ackf() = ethIpTcpFlags(5002, 5001, Array.emptyByteArray, 501, 1005, 0x10)
+    val a1 = Dissect.dissect(rec(ackf()), 1, t)
+    val a2 = Dissect.dissect(rec(ackf()), 1, t)
+    val a3 = Dissect.dissect(rec(ackf()), 1, t)
+    assert(!a1.values.contains("tcp.analysis.duplicate_ack"))
+    assert(a2.values("tcp.analysis.duplicate_ack_num") === 1L)
+    assert(a3.values("tcp.analysis.duplicate_ack_num") === 2L)
+  }
+
+  test("DNS over TCP: length-prefixed query dissects") {
+    val q = java.nio.ByteBuffer.allocate(12 + 13 + 4)
+    q.putShort(0x4321.toShort).putShort(0x0100.toShort)
+      .putShort(1.toShort).putShort(0.toShort).putShort(0.toShort).putShort(0.toShort)
+    q.put(7.toByte).put("example".getBytes).put(3.toByte).put("com".getBytes).put(0.toByte)
+    q.putShort(1.toShort).putShort(1.toShort)
+    val msg = q.array()
+    val framed = java.nio.ByteBuffer.allocate(2 + msg.length)
+      .putShort(msg.length.toShort).put(msg).array()
+    val d = dissectOne(ethIpTcp(40000, 53, framed))
+    assert(d.protocols === "eth:ethertype:ip:tcp:dns")
+    assert(d.values("dns.qry.name") === "example.com")
+    assert(d.info === "Standard query 0x4321 A example.com")
+  }
+
   test("ICMP echo request renders ping info") {
     val icmp = java.nio.ByteBuffer.allocate(8)
     icmp.put(8.toByte).put(0.toByte).putShort(0.toShort)
