@@ -1090,13 +1090,52 @@ object Dissect {
       if (appInfo == null) appInfo = dissectHttp(appBuf, appOff, appLen, v, protos)
       if (appInfo == null) appInfo = dissectTls(appBuf, appOff, appLen, sp, dp, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
-      // standard message; dissected when a whole message sits in this
-      // delivered run (zone transfers spanning runs stay undissected)
-      if (appInfo == null && (sp == 53 || dp == 53) && appLen >= 14) {
-        val mlen = u16(appBuf, appOff)
-        if (mlen >= 12 && 2 + mlen <= appLen) {
-          val dnsInfo = dissectDns(appBuf, appOff + 2, appOff + 2 + mlen, v, protos)
-          if (dnsInfo != null) appInfo = dnsInfo
+      // standard message. Under desegment, partial messages carry across
+      // delivered runs (kind 3 — zone transfers span many segments) and
+      // every message COMPLETED by this run dissects; without desegment,
+      // only a message wholly inside this segment dissects.
+      if (appInfo == null && (sp == 53 || dp == 53) && appLen > 0) {
+        if (tracker.desegment) {
+          val dnsCarry = conv.carryKind(dir) == 3 && conv.carry(dir).nonEmpty
+          val seg = java.util.Arrays.copyOfRange(appBuf, appOff, appOff + appLen)
+          val buf = if (dnsCarry) conv.carry(dir) ++ seg else seg
+          var i = 0
+          var lastInfo: String = null
+          var malformed = false
+          var brk = false
+          while (!brk && i + 2 <= buf.length) {
+            val mlen = u16(buf, i)
+            if (mlen < 12) { malformed = true; brk = true }
+            else if (i + 2 + mlen <= buf.length) {
+              val r = dissectDns(buf, i + 2, i + 2 + mlen, v, protos)
+              if (r != null) lastInfo = r
+              i += 2 + mlen
+            } else brk = true
+          }
+          if (malformed) {
+            // framing broke: this is not (or no longer) a sane DNS stream —
+            // drop the carry, keep whatever messages already dissected
+            conv.carry(dir) = Array.emptyByteArray
+            conv.carryKind(dir) = 0
+          } else {
+            val rest = java.util.Arrays.copyOfRange(buf, i, buf.length)
+            conv.carry(dir) = if (rest.length > MaxCarry) Array.emptyByteArray else rest
+            conv.carryKind(dir) = if (conv.carry(dir).nonEmpty) 3 else 0
+          }
+          if (lastInfo != null) {
+            // a multi-message run adds "dns" once per message — dedupe
+            val dd = protos.distinct
+            protos.clear(); protos ++= dd
+            appInfo = lastInfo
+          } else if (conv.carry(dir).nonEmpty && conv.carryKind(dir) == 3) {
+            appInfo = "[TCP segment of a reassembled PDU]"
+          }
+        } else if (appLen >= 14) {
+          val mlen = u16(appBuf, appOff)
+          if (mlen >= 12 && 2 + mlen <= appLen) {
+            val dnsInfo = dissectDns(appBuf, appOff + 2, appOff + 2 + mlen, v, protos)
+            if (dnsInfo != null) appInfo = dnsInfo
+          }
         }
       }
     }
@@ -1384,7 +1423,46 @@ object Dissect {
     } else if (hsType == 2) {
       parseServerHello(d, pstart + 5, math.min(pstart + 5 + plen - 5, d.length), v)
       "Server Hello"
+    } else if (hsType == 11) {
+      val subject = parseCertificateCns(d, pstart + 5, math.min(pstart + plen, d.length), v)
+      subject.map(cn => s"Certificate (CN=$cn)").getOrElse("Certificate")
     } else tlsHandshakeNames.getOrElse(hsType, s"Handshake type=$hsType")
+  }
+
+  /** CN extraction from a TLS Certificate handshake message: scans the
+    * first certificate's DER for commonName AttributeTypeAndValues
+    * (OID 2.5.4.3 = 06 03 55 04 03 followed by a UTF8/Printable/IA5
+    * string). In TBSCertificate the issuer Name precedes the subject
+    * Name, so the first hit is the issuer CN and the last is the subject
+    * CN — a pragmatic scan, not a full X.509 parser (tshark delegates to
+    * its x509 dissector; full DER is out of scope here).
+    * @return the subject CN for the info column. */
+  private def parseCertificateCns(d: Array[Byte], hs: Int, end: Int, v: FieldVec): Option[String] = {
+    // handshake header (4) + certificates length (3) + first cert length (3)
+    var i = hs + 4 + 3
+    if (i + 3 > end) return None
+    val certLen = ((d(i) & 0xff) << 16) | ((d(i + 1) & 0xff) << 8) | (d(i + 2) & 0xff)
+    i += 3
+    val certEnd = math.min(end, i + certLen)
+    val cns = mutable.ArrayBuffer.empty[String]
+    var p = i
+    while (p + 7 < certEnd && cns.length < 8) {
+      if (d(p) == 0x06 && d(p + 1) == 0x03 && d(p + 2) == 0x55 &&
+        d(p + 3) == 0x04 && d(p + 4) == 0x03) {
+        val tag = d(p + 5) & 0xff
+        val len = d(p + 6) & 0xff
+        // utf8 (0x0c), printable (0x13), ia5 (0x16); short-form length only
+        if ((tag == 0x0c || tag == 0x13 || tag == 0x16) && len < 0x80 &&
+          p + 7 + len <= certEnd) {
+          cns += new String(d, p + 7, len, "UTF-8")
+          p += 7 + len
+        } else p += 5
+      } else p += 1
+    }
+    if (cns.isEmpty) return None
+    v("tls.handshake.certificate_issuer_cn") = cns.head
+    v("tls.handshake.certificate_subject_cn") = cns.last
+    Some(cns.last)
   }
 
   /** Does the header block [0, hEnd) declare chunked transfer coding? */

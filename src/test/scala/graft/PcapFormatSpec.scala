@@ -234,6 +234,32 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d.values("tls.handshake.extensions_server_name") === "example.com")
   }
 
+  test("TLS Certificate message yields issuer and subject CN") {
+    def cn(name: String, tag: Int = 0x0c): Array[Byte] =
+      Array[Byte](0x06, 0x03, 0x55, 0x04, 0x03, tag.toByte, name.length.toByte) ++
+        name.getBytes("UTF-8")
+    // minimal DER-ish body: issuer CN then subject CN inside one "cert"
+    val certBody = new Array[Byte](10) ++ cn("TestCA") ++
+      new Array[Byte](6) ++ cn("example.com") ++ new Array[Byte](4)
+    val hsBodyLen = 3 + 3 + certBody.length
+    val hs = java.nio.ByteBuffer.allocate(4 + hsBodyLen)
+    hs.put(11.toByte)
+    hs.put((hsBodyLen >> 16).toByte).put((hsBodyLen >> 8).toByte).put(hsBodyLen.toByte)
+    val total = 3 + certBody.length
+    hs.put((total >> 16).toByte).put((total >> 8).toByte).put(total.toByte)
+    hs.put((certBody.length >> 16).toByte).put((certBody.length >> 8).toByte)
+      .put(certBody.length.toByte)
+    hs.put(certBody)
+    val hsB = hs.array()
+    val rec = java.nio.ByteBuffer.allocate(5 + hsB.length)
+    rec.put(22.toByte).put(3.toByte).put(3.toByte).putShort(hsB.length.toShort).put(hsB)
+    val d = dissectOne(ethIpTcp(443, 49152, rec.array()))
+    assert(d.protocols === "eth:ethertype:ip:tcp:tls")
+    assert(d.info === "Certificate (CN=example.com)")
+    assert(d.values("tls.handshake.certificate_issuer_cn") === "TestCA")
+    assert(d.values("tls.handshake.certificate_subject_cn") === "example.com")
+  }
+
   test("DNS response parses first answer and appends it to info") {
     val q = java.nio.ByteBuffer.allocate(12 + 13 + 4 + 2 + 10 + 4)
     q.putShort(0x1234.toShort).putShort(0x8180.toShort) // response, RD+RA
@@ -622,6 +648,36 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d.protocols === "eth:ethertype:ip:tcp:dns")
     assert(d.values("dns.qry.name") === "example.com")
     assert(d.info === "Standard query 0x4321 A example.com")
+  }
+
+  test("DNS over TCP: message split across segments reassembles under desegment") {
+    val q = java.nio.ByteBuffer.allocate(12 + 13 + 4)
+    q.putShort(0x7777.toShort).putShort(0x0100.toShort)
+      .putShort(1.toShort).putShort(0.toShort).putShort(0.toShort).putShort(0.toShort)
+    q.put(7.toByte).put("example".getBytes).put(3.toByte).put("com".getBytes).put(0.toByte)
+    q.putShort(1.toShort).putShort(1.toShort)
+    val msg = q.array()
+    val framed = java.nio.ByteBuffer.allocate(2 + msg.length)
+      .putShort(msg.length.toShort).put(msg).array()
+    val (p1, p2) = framed.splitAt(10) // split mid-header
+    def frame(b: Array[Byte], seq: Int) = {
+      val f = ethIpTcp(40000, 53, b, seq)
+      PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    }
+    val t = new Dissect.Tracker(desegment = true)
+    val d1 = Dissect.dissect(frame(p1, 1), 1, t)
+    val d2 = Dissect.dissect(frame(p2, 1 + p1.length), 1, t)
+    assert(d1.info === "[TCP segment of a reassembled PDU]")
+    assert(d2.info === "Standard query 0x7777 A example.com")
+    assert(d2.values("dns.qry.name") === "example.com")
+    assert(d2.protocols === "eth:ethertype:ip:tcp:dns")
+
+    // two messages framed back-to-back in one segment: info is the last,
+    // protocols lists dns once
+    val both = framed ++ framed
+    val d3 = Dissect.dissect(frame(both, 1000), 1, new Dissect.Tracker(desegment = true))
+    assert(d3.info === "Standard query 0x7777 A example.com")
+    assert(d3.protocols === "eth:ethertype:ip:tcp:dns")
   }
 
   test("ICMP echo request renders ping info") {
