@@ -26,19 +26,34 @@ object Pq {
 
   final case class Codebook(m: Int, dsub: Int, centroids: Array[Array[Array[Double]]])
 
-  /** Fit one k-means per subspace. The fits are small one-off batch jobs
-    * (index build), like [[Ivf.build]]'s coarse quantizer. */
+  /** Fit one k-means per subspace. Codebook training never needs the full
+    * corpus — a deterministic systematic sample (`vec_id % stride = 0`,
+    * capped at `fitSample` rows) bounds the fit cost independently of
+    * corpus size, which is the only viable shape at 100 TB. The `m`
+    * independent fits run concurrently (each is a small Spark job; serial
+    * execution made the driver-side job overhead the dominant cost). */
   def fit(spark: SparkSession, emb: DataFrame, m: Int = 8, k: Int = 16,
-      seed: Long = 42L): Codebook = {
+      seed: Long = 42L, fitSample: Long = 100000L): Codebook = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    val centroids = (0 until m).map { j =>
-      val sub = emb.select(array_to_vector(
-        slice(col("embedding"), j * dsub + 1, dsub).cast("array<double>")).as("features"))
-      new KMeans().setK(k).setSeed(seed + j).setMaxIter(10).fit(sub)
-        .clusterCenters.map(_.toArray)
-    }.toArray
+    val n = emb.count()
+    val stride = math.max(1L, n / fitSample)
+    val sample =
+      (if (stride > 1) emb.filter(col("vec_id") % stride === 0) else emb).cache()
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fits = (0 until m).map { j =>
+      Future {
+        val sub = sample.select(array_to_vector(
+          slice(col("embedding"), j * dsub + 1, dsub).cast("array<double>")).as("features"))
+        new KMeans().setK(k).setSeed(seed + j).setMaxIter(10).fit(sub)
+          .clusterCenters.map(_.toArray)
+      }
+    }
+    val centroids = fits.map(f => Await.result(f, Duration.Inf)).toArray
+    sample.unpersist()
     Codebook(m, dsub, centroids)
   }
 
