@@ -128,8 +128,18 @@ object Bench {
         } finally spark.sparkContext.clearJobGroup()
       }
       // listener events are queued on an internal bus with no public drain
-      // API; give the final query's stage-completed events time to land
-      Thread.sleep(3000)
+      // API; poll until the aggregated metrics stop changing (a fixed
+      // sleep silently under-reports on a loaded host)
+      def snapshot(): Map[String, (Long, Long)] =
+        metrics.byQuery.map { case (k, a) => k -> (a.taskTimeMs, a.shuffleWrite) }.toMap
+      var prev = snapshot()
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 30000) {
+        Thread.sleep(500); waited += 500
+        val cur = snapshot()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
     }
 
     // a query with no recorded time reports an explicit -1 (never silently

@@ -38,9 +38,10 @@ object Pq {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     val n = emb.count()
-    val stride = math.max(1L, n / fitSample)
+    val stride = (n + fitSample - 1) / fitSample // ceil: sample stays <= fitSample rows
     val sample =
-      (if (stride > 1) emb.filter(col("vec_id") % stride === 0) else emb).cache()
+      if (stride > 1) emb.filter(col("vec_id") % stride === 0).cache()
+      else emb // full corpus already small; never cache-pin the whole table
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
@@ -53,7 +54,7 @@ object Pq {
       }
     }
     val centroids = fits.map(f => Await.result(f, Duration.Inf)).toArray
-    sample.unpersist()
+    if (stride > 1) sample.unpersist()
     Codebook(m, dsub, centroids)
   }
 
@@ -130,13 +131,31 @@ object Pq {
       .withColumn("prnk", row_number().over(wq))
       .filter(col("prnk") <= nProbe)
       .select(col("query_id"), col("qe"), col("cell"))
+    // approx_cos is computed MAP-SIDE from the codes; only the skinny
+    // (query_id, vec_id, approx_cos) triple shuffles through the ranking
+    // window — neither embeddings nor reconstructions move
+    val scored = encodedWithCell.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        Vectors.cosine(decodeCol(cb).cast("array<double>"), col("qe")).as("approx_cos"))
+    rerankExact(scored, encodedWithCell, queries, topK, rerank)
+  }
+
+  /** Shared tail: rank approx scores, fetch true embeddings for the tiny
+    * candidate set only, exact-cosine rerank. */
+  private def rerankExact(
+      scored: DataFrame, // (query_id, vec_id, approx_cos)
+      corpus: DataFrame, // has (vec_id, label, embedding)
+      queries: DataFrame,
+      topK: Int,
+      rerank: Int): DataFrame = {
     val wa = Window.partitionBy(col("query_id")).orderBy(col("approx_cos").desc, col("vec_id"))
     val wr = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    encodedWithCell.join(broadcast(probes), Seq("cell"))
-      .select(col("query_id"), col("vec_id"), col("label"), col("embedding"), col("qe"),
-        Vectors.cosine(decodeCol(cb).cast("array<double>"), col("qe")).as("approx_cos"))
+    scored
       .withColumn("arnk", row_number().over(wa))
       .filter(col("arnk") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+      .join(corpus.select(col("vec_id"), col("label"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
         Vectors.cosine(col("embedding"), col("qe")).as("cosine"))
       .withColumn("rnk", row_number().over(wr).cast("long"))
@@ -154,22 +173,12 @@ object Pq {
       queries: DataFrame, // (query_id, qe)
       topK: Int,
       rerank: Int = 50): DataFrame = {
-    val approx = encoded
-      .select(col("vec_id"), col("label"), col("embedding"),
-        decodeCol(cb).as("decoded"))
+    // map-side scoring from the codes; only (query_id, vec_id, approx_cos)
+    // shuffles — see rerankExact
+    val scored = encoded
       .crossJoin(broadcast(queries))
-      .select(col("query_id"), col("vec_id"), col("label"), col("embedding"), col("qe"),
-        Vectors.cosine(col("decoded").cast("array<double>"), col("qe")).as("approx_cos"))
-    val wa = Window.partitionBy(col("query_id")).orderBy(col("approx_cos").desc, col("vec_id"))
-    val wr = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    approx
-      .withColumn("arnk", row_number().over(wa))
-      .filter(col("arnk") <= rerank)
-      .select(col("query_id"), col("vec_id"), col("label"),
-        Vectors.cosine(col("embedding"), col("qe")).as("cosine"))
-      .withColumn("rnk", row_number().over(wr).cast("long"))
-      .filter(col("rnk") <= topK)
-      .select(col("query_id"), col("rnk"), col("vec_id"), col("label"), col("cosine"))
-      .orderBy(col("query_id"), col("rnk"))
+      .select(col("query_id"), col("vec_id"),
+        Vectors.cosine(decodeCol(cb).cast("array<double>"), col("qe")).as("approx_cos"))
+    rerankExact(scored, encoded, queries, topK, rerank)
   }
 }

@@ -200,6 +200,9 @@ object Dissect {
     val lastAck = Array(-1L, -1L)
     val lastAckWin = Array(-1L, -1L)
     val dupAckCount = Array(0, 0)
+    // 32-bit wrap tracking: analysis state uses extended sequence numbers
+    val seqEpoch = Array(0L, 0L)
+    val lastExtSeq = Array(-1L, -1L)
     // desegmentation: unconsumed tail of an incomplete application PDU,
     // per direction (only populated when the tracker has desegment=true);
     // carryKind records which dissector owns the buffer (1=fix, 2=http)
@@ -231,7 +234,9 @@ object Dissect {
   /** One in-flight fragmented IP datagram: parts keyed by byte offset,
     * complete when [0, totalLen) is contiguously covered (totalLen is known
     * once the MF=0 / M=0 fragment arrives). Overlapping fragments keep the
-    * first-arrived bytes, clipped to the datagram length. */
+    * FIRST-arrived bytes — a later fragment is trimmed against existing
+    * coverage at add time, so overlapping-fragment evasion cannot rewrite
+    * already-buffered content (same policy as Wireshark's reassembler). */
   private final class FragAsm {
     val parts = new java.util.TreeMap[Integer, Array[Byte]]
     var bytes = 0
@@ -239,7 +244,31 @@ object Dissect {
     var proto: Int = -1 // upper-layer protocol (from the first fragment)
     def add(offset: Int, data: Array[Byte], last: Boolean): Unit = {
       if (last) totalLen = offset + data.length
-      if (!parts.containsKey(offset)) { parts.put(offset, data); bytes += data.length }
+      var off = offset
+      var d = data
+      // trim the head against a predecessor that covers into us
+      val fe = parts.floorEntry(off)
+      if (fe != null && fe.getKey + fe.getValue.length > off) {
+        val skip = fe.getKey + fe.getValue.length - off
+        if (skip >= d.length) return // fully covered already
+        d = java.util.Arrays.copyOfRange(d, skip, d.length)
+        off += skip
+      }
+      // emit the gaps between successors that start inside our range
+      var ne = parts.ceilingEntry(off)
+      while (d.length > 0 && ne != null && ne.getKey < off + d.length) {
+        val keep = ne.getKey - off
+        if (keep > 0) {
+          parts.put(off, java.util.Arrays.copyOfRange(d, 0, keep))
+          bytes += keep
+        }
+        val nEnd = ne.getKey + ne.getValue.length
+        if (nEnd >= off + d.length) return // rest fully covered
+        d = java.util.Arrays.copyOfRange(d, nEnd - off, d.length)
+        off = nEnd
+        ne = parts.ceilingEntry(off)
+      }
+      if (d.length > 0) { parts.put(off, d); bytes += d.length }
     }
     def tryComplete(): Array[Byte] = {
       if (totalLen < 0) return null
@@ -621,7 +650,10 @@ object Dissect {
     val mf = (flagsFrag & 0x2000) != 0
     if (fragOffset > 0 || (mf && tracker.desegment)) {
       if (tracker.desegment && ipEnd > next) {
-        val id = u16(d, off + 4).toLong
+        // RFC 791 reassembly identity is (src, dst, protocol, id) — pack
+        // proto above the 16-bit id so same-id fragments of different
+        // protocols never merge
+        val id = (proto.toLong << 16) | u16(d, off + 4).toLong
         val part = java.util.Arrays.copyOfRange(d, next, ipEnd)
         tracker.addFrag(4, src, dst, id, fragOffset * 8, part, last = !mf, proto) match {
           case (reasm, p) =>
@@ -857,6 +889,22 @@ object Dissect {
     if (syn && wsShift >= 0) conv.wsShift(dir) = wsShift
 
     val relSeq = (rawSeq - conv.isn(dir)) & 0xffffffffL
+    // Serial-number unwrap (RFC 1982 style): conversation analysis state
+    // (reassembly cursor, ooo buffer keys, highest-nxtseq, keep-alive
+    // compare) lives in a monotonically EXTENDED sequence space, so a
+    // direction that transfers more than 4 GiB doesn't alias new data into
+    // retransmission territory when the 32-bit space wraps. Displayed
+    // tcp.seq/nxtseq stay 32-bit relative, matching tshark.
+    val SeqMod = 1L << 32
+    var extSeq = conv.seqEpoch(dir) * SeqMod + relSeq
+    if (conv.lastExtSeq(dir) >= 0) {
+      if (extSeq + (SeqMod >> 1) < conv.lastExtSeq(dir)) {
+        conv.seqEpoch(dir) += 1; extSeq += SeqMod // wrapped forward
+      } else if (extSeq > conv.lastExtSeq(dir) + (SeqMod >> 1) && extSeq >= SeqMod) {
+        extSeq -= SeqMod // stale pre-wrap straggler
+      }
+    }
+    if (extSeq > conv.lastExtSeq(dir)) conv.lastExtSeq(dir) = extSeq
     val otherIsn = conv.isn(1 - dir)
     val relAck = if (ack && otherIsn >= 0) (rawAck - otherIsn) & 0xffffffffL else 0L
     val winScale =
@@ -875,13 +923,13 @@ object Dissect {
     v.set(Id_tcp_nxtseq, relSeq + segLen + (if (syn || fin) 1 else 0))
     v.set(Id_tcp_ack, relAck)
     v.set(Id_tcp_ack_raw, rawAck)
-    val nxtRel = relSeq + segLen + (if (syn || fin) 1 else 0)
+    val nxtExt = extSeq + segLen + (if (syn || fin) 1 else 0)
     val pstart = off + hdrLen
     val plen = math.min(segLen, math.max(0, d.length - pstart))
-    // SYN consumes one sequence number: data starts at relSeq + 1, so the
+    // SYN consumes one sequence number: data starts at extSeq + 1, so the
     // reassembly cursor can anchor even if the first data segment arrives
     // out of order
-    if (tracker.desegment && syn && conv.expSeq(dir) < 0) conv.expSeq(dir) = relSeq + 1
+    if (tracker.desegment && syn && conv.expSeq(dir) < 0) conv.expSeq(dir) = extSeq + 1
     // retransmission: under desegment the rule is exact — a data segment
     // is a retransmission iff it brings no bytes the stream hasn't already
     // consumed (below expSeq) or buffered (ooo). Without desegment, the
@@ -892,7 +940,7 @@ object Dissect {
     // Keep-alive: a 0/1-byte probe one sequence number below the
     // direction's highest nxtseq; takes precedence over retransmission.
     val isKeepAlive = segLen <= 1 && !syn && !fin && !rst &&
-      conv.maxNxtSeq(dir) >= 0 && relSeq == conv.maxNxtSeq(dir) - 1
+      conv.maxNxtSeq(dir) >= 0 && extSeq == conv.maxNxtSeq(dir) - 1
     if (isKeepAlive) v("tcp.analysis.keep_alive") = "1"
     if (rawWin == 0 && !rst && !syn && !fin) v("tcp.analysis.zero_window") = "1"
     if (ack && segLen == 0 && !syn && !fin && !rst) {
@@ -906,12 +954,12 @@ object Dissect {
     if (ack) { conv.lastAck(dir) = rawAck; conv.lastAckWin(dir) = rawWin }
     val isRetrans = !isKeepAlive && {
       if (tracker.desegment && conv.expSeq(dir) >= 0)
-        segLen > 0 && noNewBytes(conv, dir, relSeq, relSeq + segLen)
+        segLen > 0 && noNewBytes(conv, dir, extSeq, extSeq + segLen)
       else
-        segLen > 0 && conv.maxNxtSeq(dir) >= 0 && nxtRel <= conv.maxNxtSeq(dir)
+        segLen > 0 && conv.maxNxtSeq(dir) >= 0 && nxtExt <= conv.maxNxtSeq(dir)
     }
     if (isRetrans) v.set(Id_tcp_analysis_retransmission, "1")
-    if (nxtRel > conv.maxNxtSeq(dir)) conv.maxNxtSeq(dir) = nxtRel
+    if (nxtExt > conv.maxNxtSeq(dir)) conv.maxNxtSeq(dir) = nxtExt
 
     v.set(Id_tcp_hdr_len, hdrLen.toLong)
     v.set(Id_tcp_flags, flags.toLong)
@@ -946,29 +994,29 @@ object Dissect {
     if (tracker.desegment && plen > 0) {
       if (isRetrans) appLen = 0
       else {
-        if (conv.expSeq(dir) < 0) conv.expSeq(dir) = relSeq // anchor at first data
-        if (relSeq > conv.expSeq(dir) && conv.oooBytes(dir) + plen > MaxCarry) {
+        if (conv.expSeq(dir) < 0) conv.expSeq(dir) = extSeq // anchor at first data
+        if (extSeq > conv.expSeq(dir) && conv.oooBytes(dir) + plen > MaxCarry) {
           // bound blown waiting for a hole that never fills: abandon the
           // stream prefix and resync the cursor at this segment
           conv.ooo(dir).clear(); conv.oooBytes(dir) = 0
           conv.carry(dir) = Array.emptyByteArray; conv.carryKind(dir) = 0
-          conv.expSeq(dir) = relSeq
+          conv.expSeq(dir) = extSeq
         }
         val exp = conv.expSeq(dir)
-        val segEnd = relSeq + plen
-        if (relSeq > exp) {
+        val segEnd = extSeq + plen
+        if (extSeq > exp) {
           // ahead of a hole: buffer, nothing reaches the app layer yet
           outOfOrder = true
           appLen = 0
           val m = conv.ooo(dir)
-          if (!m.containsKey(relSeq)) {
-            m.put(relSeq, java.util.Arrays.copyOfRange(d, pstart, pstart + plen))
+          if (!m.containsKey(extSeq)) {
+            m.put(extSeq, java.util.Arrays.copyOfRange(d, pstart, pstart + plen))
             conv.oooBytes(dir) += plen
           }
         } else if (segEnd <= exp) {
           appLen = 0 // only already-consumed bytes (partial overlap below cursor)
         } else {
-          val skip = (exp - relSeq).toInt
+          val skip = (exp - extSeq).toInt
           val m = conv.ooo(dir)
           if (m.isEmpty && skip == 0) {
             conv.expSeq(dir) = segEnd // common case: in order, zero-copy
@@ -996,7 +1044,7 @@ object Dissect {
         // snaplen-truncated segment: the stream has a capture gap — resync
         // past it and drop the carry rather than reassembling corrupt bytes
         if (plen < segLen && conv.expSeq(dir) == segEnd) {
-          conv.expSeq(dir) = relSeq + segLen
+          conv.expSeq(dir) = extSeq + segLen
           conv.carry(dir) = Array.emptyByteArray; conv.carryKind(dir) = 0
         }
       }
@@ -1042,14 +1090,22 @@ object Dissect {
       }
       // HTTP/2: the 24-byte client connection preface marks the
       // conversation; afterwards both directions sniff h2 frame headers
-      // (not HTTP/1 heuristics — h2 HEADERS are HPACK, not text)
+      // (not HTTP/1 heuristics — h2 HEADERS are HPACK, not text). An
+      // h2-marked conversation OWNS its segments: a continuation that
+      // doesn't start on a frame boundary must fall back to the plain TCP
+      // rendering, never to the HTTP/1/TLS/DNS content heuristics (HPACK
+      // bytes would false-positive them).
+      var h2Claimed = false
       if (appInfo == null) {
         val isPreface = isH2Preface(appBuf, appOff, appLen)
         if (isPreface) conv.http2 = true
-        if (conv.http2) appInfo = dissectHttp2(appBuf, appOff, appLen, isPreface, v, protos)
+        if (conv.http2) {
+          h2Claimed = true
+          appInfo = dissectHttp2(appBuf, appOff, appLen, isPreface, v, protos)
+        }
       }
       // HTTP reassembly: buffer until the header block terminator arrives
-      if (appInfo == null && tracker.desegment) {
+      if (appInfo == null && !h2Claimed && tracker.desegment) {
         val httpCarry = conv.carryKind(dir) == 2 && conv.carry(dir).nonEmpty
         val head = new String(appBuf, appOff, math.min(appLen, 10), "ISO-8859-1")
         val looksHttpStart = head.startsWith("HTTP/1.") || httpMethods.exists(head.startsWith)
@@ -1087,14 +1143,14 @@ object Dissect {
           }
         }
       }
-      if (appInfo == null) appInfo = dissectHttp(appBuf, appOff, appLen, v, protos)
-      if (appInfo == null) appInfo = dissectTls(appBuf, appOff, appLen, sp, dp, v, protos)
+      if (appInfo == null && !h2Claimed) appInfo = dissectHttp(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed) appInfo = dissectTls(appBuf, appOff, appLen, sp, dp, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
       // every message COMPLETED by this run dissects; without desegment,
       // only a message wholly inside this segment dissects.
-      if (appInfo == null && (sp == 53 || dp == 53) && appLen > 0) {
+      if (appInfo == null && !h2Claimed && (sp == 53 || dp == 53) && appLen > 0) {
         if (tracker.desegment) {
           val dnsCarry = conv.carryKind(dir) == 3 && conv.carry(dir).nonEmpty
           val seg = java.util.Arrays.copyOfRange(appBuf, appOff, appOff + appLen)

@@ -42,9 +42,15 @@ object PcapWriter {
 
   def write(df: DataFrame, dir: String, linktype: Int = 1, snaplen: Int = 262144): Unit = {
     val conf = new SerializableConfiguration(df.sparkSession.sessionState.newHadoopConf())
+    // preserve the on-the-wire length of snaplen-truncated packets when
+    // the scan carried it; otherwise orig_len = captured length
+    val origLenCol =
+      if (df.columns.contains("frame.len")) col("`frame.len`").cast("long")
+      else lit(-1L)
     val rows = df.select(
       unix_micros(col("`frame.time_epoch`")).as("us"),
-      col("`frame.raw`").as("raw"))
+      col("`frame.raw`").as("raw"),
+      origLenCol.as("orig_len"))
     rows.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val path = new Path(dir, f"part-${TaskContext.getPartitionId()}%05d.pcap")
@@ -59,9 +65,10 @@ object PcapWriter {
           it.foreach { r =>
             val us = r.getLong(0)
             val bytes = unhex(r.getString(1))
+            val orig = if (r.getLong(2) >= 0) r.getLong(2).toInt else bytes.length
             rh.clear()
             rh.putInt((us / 1000000L).toInt).putInt((us % 1000000L).toInt)
-              .putInt(bytes.length).putInt(bytes.length)
+              .putInt(bytes.length).putInt(orig)
             out.write(rh.array(), 0, 16)
             out.write(bytes)
           }

@@ -18,12 +18,18 @@ object PcapQueries {
     * default src/test/resources under the working directory) so the query
     * set works from any checkout location, not just /root/repo. */
   private def fixture(name: String): String =
-    Option(getClass.getResource("/" + name)).map(_.getPath).getOrElse {
-      val base = sys.props.get("graft.fixtures.dir")
-        .orElse(sys.env.get("GRAFT_FIXTURES_DIR"))
-        .getOrElse("src/test/resources")
-      new java.io.File(base, name).getPath
-    }
+    Option(getClass.getResource("/" + name))
+      // only a real file:// resource is a usable path — a jar-packaged
+      // resource (jar:file:...!/...) or URL-encoded path must fall through
+      // to the directory resolution below
+      .filter(_.getProtocol == "file")
+      .map(u => java.nio.file.Paths.get(u.toURI).toString)
+      .getOrElse {
+        val base = sys.props.get("graft.fixtures.dir")
+          .orElse(sys.env.get("GRAFT_FIXTURES_DIR"))
+          .getOrElse("src/test/resources")
+        new java.io.File(base, name).getPath
+      }
 
   /** The reference's own fixture, vendored as a test resource. */
   val fixturePath: String = fixture("fix.pcap")

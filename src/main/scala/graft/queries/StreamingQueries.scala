@@ -110,7 +110,8 @@ object StreamingQueries {
     Some("""
       WITH d AS (
         SELECT * FROM events
-        QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) = 1)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id
+          ORDER BY ts, user_id, event_type, value, props) = 1)
       SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
       FROM d GROUP BY 1 ORDER BY event_type"""))
 

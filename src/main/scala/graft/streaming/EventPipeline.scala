@@ -157,8 +157,16 @@ object EventPipeline extends Serializable {
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     if (events.isStreaming)
       events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
-    else
-      events.dropDuplicates("event_id")
+    else {
+      // deterministic survivor: the earliest-ts row (tie: all columns) —
+      // plain dropDuplicates keeps an arbitrary row, which both diverges
+      // from the oracle's min-ts rule and makes the result plan-dependent
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_id"))
+        .orderBy(events.columns.filter(_ != "event_id").map(c => col(s"`$c`")): _*)
+      events.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
 
   /** Sessionization as a Spark 4 `transformWithState` processor with
     * EVENT-TIME TIMERS — the capability step over [[sessionize]]'s

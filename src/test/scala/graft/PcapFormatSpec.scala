@@ -680,6 +680,90 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d3.protocols === "eth:ethertype:ip:tcp:dns")
   }
 
+  test("desegment survives 32-bit sequence wraparound") {
+    val fix = "8=FIX.4.29=2035=A34=149=X10=123"
+    val bytes = fix.getBytes("ISO-8859-1")
+    def frame(b: Array[Byte], seq: Long) = {
+      val f = ethIpTcp(5001, 5002, b, seq.toInt)
+      PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    }
+    // first data segment sits 10 bytes below the 32-bit boundary of the
+    // RELATIVE space (isn = raw of first segment, so craft raw seqs whose
+    // difference wraps): p1 raw = 1000, p2 raw = 1000 + 10 ... to place the
+    // wrap inside the stream, instead anchor at rel 2^32-10 via a later
+    // second segment whose raw difference wraps mod 2^32
+    val rawBase = 0xFFFFFFF6L // rel 0 anchor
+    val t = new Dissect.Tracker(desegment = true)
+    val p1 = bytes.slice(0, 10)
+    val p2 = bytes.slice(10, bytes.length)
+    val d1 = Dissect.dissect(frame(p1, rawBase), 1, t)
+    // p2's raw crosses the 32-bit boundary: 0xFFFFFFF6 + 10 wraps to 0
+    val d2 = Dissect.dissect(frame(p2, (rawBase + 10) & 0xFFFFFFFFL), 1, t)
+    assert(d1.info === "[TCP segment of a reassembled PDU]")
+    assert(!d2.values.contains("tcp.analysis.retransmission"),
+      "post-wrap segment must not alias into retransmission territory")
+    assert(d2.info === "Logon")
+  }
+
+  test("overlapping IP fragments: first-arrived bytes win") {
+    val q = java.nio.ByteBuffer.allocate(12 + 13 + 4)
+    q.putShort(0x1234.toShort).putShort(0x0100.toShort)
+      .putShort(1.toShort).putShort(0.toShort).putShort(0.toShort).putShort(0.toShort)
+    q.put(7.toByte).put("example".getBytes).put(3.toByte).put("com".getBytes).put(0.toByte)
+    q.putShort(1.toShort).putShort(1.toShort)
+    val datagram = {
+      val u = java.nio.ByteBuffer.allocate(8 + q.array().length)
+      u.putShort(40000.toShort).putShort(53.toShort)
+        .putShort((8 + q.array().length).toShort).putShort(0.toShort).put(q.array())
+      u.array()
+    }
+    def rec(f: Array[Byte]) = PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    val t = new Dissect.Tracker(desegment = true)
+    // F1 carries the true bytes [0,16); F2 overlaps [8,16) with garbage —
+    // first-arrival must keep F1's bytes, so the DNS name still parses
+    val f2data = Array.fill[Byte](8)(0x7f) ++ datagram.slice(16, datagram.length)
+    val r1 = Dissect.dissect(rec(ipv4Frag(datagram.slice(0, 16), 0, mf = true, ident = 0x99)), 1, t)
+    val r2 = Dissect.dissect(rec(ipv4Frag(f2data, 8, mf = false, ident = 0x99)), 1, t)
+    assert(r1.info.startsWith("Fragmented IP protocol"))
+    assert(r2.values("dns.qry.name") === "example.com",
+      "overlap region must keep the first-arrived fragment's bytes")
+  }
+
+  test("fragments of different protocols with the same IP ID never merge") {
+    def rec(f: Array[Byte]) = PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    val t = new Dissect.Tracker(desegment = true)
+    // a UDP first-fragment and an ICMP last-fragment sharing ident=0x55
+    val udpPart = Array.fill[Byte](16)(0x11)
+    val icmpPart = Array.fill[Byte](16)(0x22)
+    val r1 = Dissect.dissect(rec(ipv4Frag(udpPart, 0, mf = true, ident = 0x55, proto = 17)), 1, t)
+    val r2 = Dissect.dissect(rec(ipv4Frag(icmpPart, 16, mf = false, ident = 0x55, proto = 1)), 1, t)
+    // neither completes: the ICMP tail must not satisfy the UDP datagram
+    assert(r1.info.startsWith("Fragmented IP protocol"))
+    assert(r2.info.startsWith("Fragmented IP protocol"))
+    assert(!r2.values.contains("udp.srcport") && !r2.values.contains("icmp.type"))
+  }
+
+  test("h2 conversation: misaligned continuation never hits HTTP/1-TLS-DNS heuristics") {
+    def rec(f: Array[Byte]) = PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    val t = new Dissect.Tracker
+    val preface = ("PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n").getBytes("ISO-8859-1") ++
+      Array[Byte](0, 0, 0, 4, 0, 0, 0, 0, 0)
+    val d1 = Dissect.dissect(rec(ethIpTcp(49000, 80, preface, 1)), 1, t)
+    assert(d1.protocols.endsWith(":http2"))
+    // continuation bytes that LOOK like a TLS record stay inside the h2
+    // claim (parsed as an h2 frame or plain TCP) — no tls layer, no
+    // HTTP/1 fields may sprout inside an established h2 stream
+    val tlsish = Array[Byte](0x16, 3, 3, 0, 40) ++ new Array[Byte](40)
+    val d2 = Dissect.dissect(rec(ethIpTcp(49000, 80, tlsish, 1 + preface.length)), 1, t)
+    assert(!d2.protocols.contains("tls"))
+    assert(!d2.values.contains("http.request") && !d2.values.contains("tls.record.content_type"))
+    // and bytes that parse as NO h2 frame at all fall back to plain TCP
+    val junk = Array[Byte](0x47, 0x45, 0x54, 0x20) ++ "x HTTP/1.1\r\n\r\n".getBytes("ISO-8859-1")
+    val d3 = Dissect.dissect(rec(ethIpTcp(49000, 80, junk, 1 + preface.length + tlsish.length)), 1, t)
+    assert(!d3.values.contains("http.request.method"),
+      "GET-looking bytes inside an h2 conversation must not parse as HTTP/1")
+  }
+
   test("ICMP echo request renders ping info") {
     val icmp = java.nio.ByteBuffer.allocate(8)
     icmp.put(8.toByte).put(0.toByte).putShort(0.toShort)

@@ -47,6 +47,28 @@ class PcapWriterSpec extends SparkSpec {
     assert(n === 430L) // pinned by the cfilter golden on the original
   }
 
+  test("rewriting a snaplen-truncated capture preserves frame.len") {
+    // build a one-packet capture whose incl_len (50) < orig_len (142)
+    val full = new Array[Byte](142)
+    full(12) = 0x08; full(13) = 0x06 // ARP ethertype
+    val b = java.nio.ByteBuffer.allocate(24 + 16 + 50)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(0xA1B2C3D4).putShort(2).putShort(4).putInt(0).putInt(0)
+      .putInt(262144).putInt(1)
+    b.putInt(1).putInt(0).putInt(50).putInt(142)
+    b.put(full, 0, 50)
+    val dir = java.nio.file.Files.createTempDirectory("pcapwt")
+    val src = dir.resolve("trunc.pcap")
+    java.nio.file.Files.write(src, b.array())
+    val out = java.nio.file.Files.createTempDirectory("pcapwto").toString
+    Wireduck.writePcap(
+      Wireduck.readPcap(spark, src.toString, protocols = Seq("frame")), out)
+    val re = Wireduck.readPcap(spark, out + "/*.pcap", protocols = Seq("frame"))
+      .select(col("`frame.len`"), col("`frame.cap_len`")).collect()(0)
+    assert(re.getLong(0) === 142L, "orig_len must survive the rewrite")
+    assert(re.getLong(1) === 50L)
+  }
+
   test("frame.raw is absent from default schemas and gated by Wanted") {
     val df = Wireduck.readPcap(spark, fixPcap)
     assert(!df.columns.contains("frame.raw"))
