@@ -1145,6 +1145,8 @@ object Dissect {
       }
       if (appInfo == null && !h2Claimed) appInfo = dissectHttp(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed) appInfo = dissectTls(appBuf, appOff, appLen, sp, dp, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 445 || dp == 445))
+        appInfo = dissectSmb2(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -1559,6 +1561,42 @@ object Dissect {
       i = (j + size + 2).toInt
     }
     null
+  }
+
+  private val smb2CmdNames: Map[Int, String] = Map(
+    0 -> "Negotiate", 1 -> "Session Setup", 2 -> "Logoff", 3 -> "Tree Connect",
+    4 -> "Tree Disconnect", 5 -> "Create", 6 -> "Close", 7 -> "Flush",
+    8 -> "Read", 9 -> "Write", 10 -> "Lock", 11 -> "Ioctl", 12 -> "Cancel",
+    13 -> "Echo", 14 -> "Find", 15 -> "Notify", 16 -> "GetInfo", 17 -> "SetInfo",
+    18 -> "Break")
+
+  /** SMB2/3 header sniff (MS-SMB2 §2.2.1) behind the 4-byte NetBIOS
+    * session-service length on TCP 445: command, message id, and the
+    * request/response direction — the triage fields; full IOCTL/create
+    * bodies are out of scope (tshark's smb2 dissector territory). */
+  private def dissectSmb2(
+      d: Array[Byte], pstart: Int, plen: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (plen < 4 + 16) return null
+    // NetBIOS session service: 0x00 + 3-byte length
+    val hasNbss = d(pstart) == 0 && plen >= 8
+    val off = if (hasNbss) pstart + 4 else pstart
+    if (off + 16 > pstart + plen) return null
+    if (!(d(off) == 0xfe.toByte && d(off + 1) == 'S' && d(off + 2) == 'M' && d(off + 3) == 'B'))
+      return null
+    protos += "smb2"
+    def leU16(o: Int) = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+    def leU32(o: Int): Long = (leU16(o) | (leU16(o + 2).toLong << 16)) & 0xffffffffL
+    val cmd = leU16(off + 12)
+    val flags = leU32(off + 16)
+    val isResponse = (flags & 1L) != 0
+    v("smb2.cmd") = cmd.toLong
+    v("smb2.flags.response") = isResponse
+    if (off + 32 <= pstart + plen)
+      v("smb2.msg_id") = leU32(off + 24) | (leU32(off + 28) << 32)
+    val name = smb2CmdNames.getOrElse(cmd, s"Cmd$cmd")
+    s"$name ${if (isResponse) "Response" else "Request"}"
   }
 
   private val h2Preface: Array[Byte] = "PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes("ISO-8859-1")

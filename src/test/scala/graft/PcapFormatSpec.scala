@@ -764,6 +764,26 @@ class PcapFormatSpec extends AnyFunSuite {
       "GET-looking bytes inside an h2 conversation must not parse as HTTP/1")
   }
 
+  test("SMB2 header sniffs command, direction, and message id") {
+    // NBSS(4) + SMB2 header: fe 'S' 'M' 'B', len 64, ..., cmd at +12,
+    // flags at +16 (bit 0 = response), msg_id at +24 (8 bytes LE)
+    val hdr = java.nio.ByteBuffer.allocate(4 + 64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.put(0.toByte).put(0.toByte).put(0.toByte).put(64.toByte)
+    hdr.put(0xfe.toByte).put('S'.toByte).put('M'.toByte).put('B'.toByte)
+    hdr.putShort(64.toShort).putShort(0.toShort).putInt(0) // structure, credit charge, status
+    hdr.putShort(5.toShort) // command: Create
+    hdr.putShort(1.toShort) // credits
+    hdr.putInt(1) // flags: SERVER_TO_REDIR (response)
+    hdr.putInt(0) // next command
+    hdr.putLong(0x2aL) // message id
+    val d = dissectOne(ethIpTcp(445, 49700, hdr.array()))
+    assert(d.protocols === "eth:ethertype:ip:tcp:smb2")
+    assert(d.info === "Create Response")
+    assert(d.values("smb2.cmd") === 5L)
+    assert(d.values("smb2.flags.response") === true)
+    assert(d.values("smb2.msg_id") === 0x2aL)
+  }
+
   test("ICMP echo request renders ping info") {
     val icmp = java.nio.ByteBuffer.allocate(8)
     icmp.put(8.toByte).put(0.toByte).putShort(0.toShort)
