@@ -81,22 +81,37 @@ object PcapFormat {
   }
 
   /** @param maxBytes stop after consuming this many record bytes (16-byte
-    *                  header + payload each) — the intra-file split bound */
+    *                  header + payload each) — the intra-file split bound
+    * @param reuseBuffers reuse payload arrays (keyed by exact length) across
+    *                  records — each Record's data is valid only until the
+    *                  NEXT hasNext/next call, so this is safe solely for
+    *                  consume-immediately loops (the PartitionReader); any
+    *                  caller that retains Records (toList, buffering specs)
+    *                  must keep the default */
   def recordsAfterHeader(
       din: DataInputStream,
       header: Header,
       maxPackets: Long,
       firstNumber: Long,
-      maxBytes: Long = Long.MaxValue): Iterator[Record] =
+      maxBytes: Long = Long.MaxValue,
+      reuseBuffers: Boolean = false): Iterator[Record] =
     new Iterator[Record] {
       private var nextRec: Record = _
       private var done = false
+      private var advanced = false
       private var n = firstNumber - 1
       private var consumed = 0L
+      private val rh = new Array[Byte](16)
+      // exact-length buffer pool: captures carry few distinct frame sizes
+      // (MTU-ful + a handful of control sizes), so keying by length removes
+      // nearly every per-packet payload allocation without length ambiguity
+      // (Record.data.length stays authoritative for the dissector)
+      private val pool =
+        if (reuseBuffers) new java.util.HashMap[Integer, Array[Byte]] else null
 
       private def advance(): Unit = {
+        advanced = true
         if (n - firstNumber + 1 >= maxPackets || consumed >= maxBytes) { done = true; return }
-        val rh = new Array[Byte](16)
         var read = 0
         try {
           while (read < 16) {
@@ -114,7 +129,12 @@ object PcapFormat {
         val incl = u32(rh, 8, le).toInt
         val orig = u32(rh, 12, le).toInt
         if (incl < 0 || incl > 256 * 1024 * 1024) { done = true; return }
-        val data = new Array[Byte](incl)
+        val data =
+          if (pool != null && incl <= 65536) {
+            var b = pool.get(incl)
+            if (b == null) { b = new Array[Byte](incl); pool.put(incl, b) }
+            b
+          } else new Array[Byte](incl)
         try din.readFully(data)
         catch { case _: EOFException => done = true; return } // truncated body → drop
         val micros =
@@ -125,12 +145,14 @@ object PcapFormat {
         nextRec = Record(n, micros, incl, orig, data)
       }
 
-      advance()
-      override def hasNext: Boolean = !done
+      // lazy advance: the next record is read only when the caller asks,
+      // so with reuseBuffers the current Record's bytes stay valid while
+      // the caller processes it
+      override def hasNext: Boolean = { if (!advanced) advance(); !done }
       override def next(): Record = {
-        val r = nextRec
-        advance()
-        r
+        if (!advanced) advance()
+        advanced = false
+        nextRec
       }
     }
 }

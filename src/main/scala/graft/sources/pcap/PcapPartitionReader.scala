@@ -73,17 +73,21 @@ final class PcapPartitionReader(
       // pcapng carries per-record linktype; splits don't apply (whole file)
       (graft.pcap.PcapngFormat.records(buffered(raw), partition.maxPackets), 1)
     } else if (gzipped) {
-      // gzip: sequential only — no seeks, no intra-file splits
+      // gzip: sequential only — no seeks, no intra-file splits.
+      // reuseBuffers: this reader consumes each Record into an InternalRow
+      // before the next hasNext call, the buffer-reuse contract
       val din = buffered(raw)
       val h = PcapFormat.readHeader(din)
-      (PcapFormat.recordsAfterHeader(din, h, partition.maxPackets, 1L), h.linktype)
+      (PcapFormat.recordsAfterHeader(din, h, partition.maxPackets, 1L,
+        reuseBuffers = true), h.linktype)
     } else {
       // classic: global header at offset 0, then seek for split partitions
       val h = PcapFormat.readHeader(new DataInputStream(raw))
       if (partition.startOffset != 24L) raw.seek(partition.startOffset)
       val din = new DataInputStream(new java.io.BufferedInputStream(raw, 1 << 20))
       (PcapFormat.recordsAfterHeader(
-        din, h, partition.maxPackets, partition.firstNumber, partition.byteLength),
+        din, h, partition.maxPackets, partition.firstNumber, partition.byteLength,
+        reuseBuffers = true),
         h.linktype)
     }
   // reuseBuffers: each Dissected is consumed into an InternalRow inside
