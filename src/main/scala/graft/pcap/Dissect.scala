@@ -121,14 +121,26 @@ object Dissect {
     * consistency spec keeps that set empty). */
   final class FieldVec {
     val arr = new Array[Any](FieldIds.count)
-    def update(name: String, value: Any): Unit = {
-      val i = FieldIds.id(name)
-      if (i >= 0) arr(i) = value
+    /** Tunnel recursion (GRE/VXLAN inner layers) flips this on: a field
+      * already written by an OUTER layer then follows tshark's
+      * multi-occurrence rendering — strings comma-append, non-strings keep
+      * the outer value (the reference's stoll/stod prefix parse observes
+      * the first occurrence of numeric fields). */
+    var nested = false
+    private def store(i: Int, value: Any): Unit = {
+      if (i < 0) return
+      val prev = arr(i)
+      if (prev == null || !nested) arr(i) = value
+      else (prev, value) match {
+        case (p: String, s: String) => arr(i) = p + "," + s
+        case _ => // numeric/bool: outer occurrence wins
+      }
     }
+    def update(name: String, value: Any): Unit = store(FieldIds.id(name), value)
     /** Hot-path write with a pre-resolved id ([[HotIds]]) — a plain array
       * store instead of a name-hash probe; ~45 writes/packet made the
       * lookup measurable at full-dissection throughput. */
-    def set(i: Int, value: Any): Unit = if (i >= 0) arr(i) = value
+    def set(i: Int, value: Any): Unit = store(i, value)
     def get(name: String): Option[Any] = {
       val i = FieldIds.id(name)
       if (i < 0) None else Option(arr(i))
@@ -557,36 +569,8 @@ object Dissect {
       if (!wanted.layers) return new Dissected(v.arr, "", "")
       linktype match {
         case 1 => // Ethernet
-          protos += "eth"
-          if (d.length >= 14) {
-            v.set(Id_eth_dst, macStr(d, 0))
-            v.set(Id_eth_src, macStr(d, 6))
-            var etherType = u16(d, 12)
-            var l3off = 14
-            if (etherType == 0x8100 && d.length >= 18) { // 802.1Q tag
-              protos += "vlan"
-              v.set(Id_vlan_id, (u16(d, 14) & 0x0fff).toLong)
-              etherType = u16(d, 16)
-              l3off = 18
-            }
-            v.set(Id_eth_type, etherType.toLong)
-            protos += "ethertype"
-            etherType match {
-              case 0x0800 => dissectIpv4(d, l3off, v, protos, tracker, wanted) match {
-                case s if s != null => info = s
-                case _ =>
-              }
-              case 0x86dd => dissectIpv6(d, l3off, v, protos, tracker, wanted) match {
-                case s if s != null => info = s
-                case _ =>
-              }
-              case 0x0806 =>
-                protos += "arp"
-                info = dissectArp(d, l3off, v)
-              case other =>
-                info = f"Ethernet II (0x$other%04x)"
-            }
-          }
+          val s = dissectEthFrom(d, 0, v, protos, tracker, wanted)
+          if (s != null) info = s
         case 101 => // raw IP
           if (d.length >= 1 && (d(0) >> 4) == 4) {
             val s = dissectIpv4(d, 0, v, protos, tracker, wanted); if (s != null) info = s
@@ -601,6 +585,73 @@ object Dissect {
     }
 
     new Dissected(v.arr, protos.mkString(":"), info)
+  }
+
+  /** Ethernet (+optional 802.1Q) from `off` — also the tunnel re-entry
+    * point for VXLAN / GRE transparent bridging.
+    * @return info string or null when nothing inner produced one */
+  private def dissectEthFrom(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker,
+      wanted: Wanted): String = {
+    protos += "eth"
+    if (d.length < off + 14) return null
+    v.set(Id_eth_dst, macStr(d, off))
+    v.set(Id_eth_src, macStr(d, off + 6))
+    var etherType = u16(d, off + 12)
+    var l3off = off + 14
+    if (etherType == 0x8100 && d.length >= l3off + 4) { // 802.1Q tag
+      protos += "vlan"
+      v.set(Id_vlan_id, (u16(d, l3off) & 0x0fff).toLong)
+      etherType = u16(d, l3off + 2)
+      l3off += 4
+    }
+    v.set(Id_eth_type, etherType.toLong)
+    protos += "ethertype"
+    etherType match {
+      case 0x0800 => dissectIpv4(d, l3off, v, protos, tracker, wanted)
+      case 0x86dd => dissectIpv6(d, l3off, v, protos, tracker, wanted)
+      case 0x0806 =>
+        protos += "arp"
+        dissectArp(d, l3off, v)
+      case other =>
+        f"Ethernet II (0x$other%04x)"
+    }
+  }
+
+  /** GRE (RFC 2784/2890): skip the header per its flag bits, then recurse
+    * into the inner payload with the FieldVec in nested mode (tshark's
+    * multi-occurrence semantics: address strings comma-append, numeric
+    * fields keep the OUTER value — the reference's stoll/stod prefix
+    * parse observes the first occurrence). */
+  private def dissectGre(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker,
+      wanted: Wanted): String = {
+    if (end < off + 4) return null
+    protos += "gre"
+    val flags = u16(d, off)
+    val proto = u16(d, off + 2)
+    v("gre.proto") = proto.toLong
+    var p = off + 4
+    if ((flags & 0xc000) != 0) p += 4 // checksum + reserved (C or R set)
+    if ((flags & 0x2000) != 0) p += 4 // key
+    if ((flags & 0x1000) != 0) p += 4 // sequence number
+    val wasNested = v.nested
+    v.nested = true
+    val inner =
+      try proto match {
+        case 0x0800 => dissectIpv4(d, p, v, protos, tracker, wanted)
+        case 0x86dd => dissectIpv6(d, p, v, protos, tracker, wanted)
+        case 0x6558 => dissectEthFrom(d, p, v, protos, tracker, wanted) // transparent bridging
+        case _      => null
+      } finally v.nested = wasNested
+    if (inner != null) inner
+    else s"Generic Routing Encapsulation (0x${"%04x".format(proto)})"
   }
 
   /** @return info string or null when the inner layer didn't produce one */
@@ -672,6 +723,7 @@ object Dissect {
       case 6  => dissectTcp(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
       case 17 => dissectUdp(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
       case 1  => protos += "icmp"; dissectIcmp(d, next, v)
+      case 47 => dissectGre(d, next, ipEnd, v, protos, tracker, wanted)
       case _  => null
     }
   }
@@ -752,6 +804,7 @@ object Dissect {
       case 6  => dissectTcp(d, p, end, src, dst, v, protos, tracker, wanted)
       case 17 => dissectUdp(d, p, end, src, dst, v, protos, tracker, wanted)
       case 58 => protos += "icmpv6"; dissectIcmpv6(d, p, end, v)
+      case 47 => dissectGre(d, p, end, v, protos, tracker, wanted)
       case _  => null
     }
   }
@@ -1267,6 +1320,20 @@ object Dissect {
     if (sp == 67 || dp == 67 || sp == 68 || dp == 68) {
       val dhcpInfo = dissectDhcp(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
       if (dhcpInfo != null) return dhcpInfo
+    }
+    // VXLAN (RFC 7348): 8-byte header with the I flag, then an inner
+    // Ethernet frame dissected in nested (multi-occurrence) field mode
+    if ((sp == 4789 || dp == 4789) && payLen >= 8 && off + 16 <= d.length &&
+      (u8(d, off + 8) & 0x08) != 0) {
+      protos += "vxlan"
+      v("vxlan.vni") =
+        ((u8(d, off + 12) << 16) | (u8(d, off + 13) << 8) | u8(d, off + 14)).toLong
+      val wasNested = v.nested
+      v.nested = true
+      val inner =
+        try dissectEthFrom(d, off + 16, v, protos, tracker, wanted)
+        finally v.nested = wasNested
+      return if (inner != null) inner else "VXLAN"
     }
     if (wanted.info) s"$sp → $dp Len=$payLen" else ""
   }

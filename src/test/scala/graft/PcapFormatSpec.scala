@@ -784,6 +784,57 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d.values("smb2.msg_id") === 0x2aL)
   }
 
+  private def ipv4Hdr(proto: Int, src: Array[Byte], dst: Array[Byte], payLen: Int,
+      ttl: Int = 64): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(20)
+    b.put(0x45.toByte).put(0.toByte).putShort((20 + payLen).toShort)
+      .putShort(1.toShort).putShort(0.toShort)
+      .put(ttl.toByte).put(proto.toByte).putShort(0.toShort)
+      .put(src).put(dst)
+    b.array()
+  }
+
+  test("GRE tunnel: inner IP/TCP dissects; addresses multi-occur, numerics keep outer") {
+    // outer 10.0.0.1->10.0.0.2 GRE, inner 192.168.1.1->192.168.1.2 TCP/80
+    val innerTcp = java.nio.ByteBuffer.allocate(20)
+      .putShort(49500.toShort).putShort(80.toShort).putInt(7).putInt(0)
+      .put((5 << 4).toByte).put(0x18.toByte).putShort(8192.toShort)
+      .putShort(0.toShort).putShort(0.toShort).array()
+    val innerIp = ipv4Hdr(6, Array[Byte](192.toByte, 168.toByte, 1, 1),
+      Array[Byte](192.toByte, 168.toByte, 1, 2), innerTcp.length, ttl = 63) ++ innerTcp
+    val gre = Array[Byte](0, 0, 0x08, 0x00) ++ innerIp // no options, proto=ipv4
+    val outer = ipv4Hdr(47, Array[Byte](10, 0, 0, 1), Array[Byte](10, 0, 0, 2),
+      gre.length) ++ gre
+    val frame = new Array[Byte](12) ++ Array[Byte](0x08, 0x00) ++ outer
+    val d = dissectOne(frame)
+    assert(d.protocols === "eth:ethertype:ip:gre:ip:tcp")
+    assert(d.values("gre.proto") === 0x0800L)
+    // string addresses comma-append outer-first; numerics keep outer
+    assert(d.values("ip.src") === "10.0.0.1,192.168.1.1")
+    assert(d.values("ip.dst") === "10.0.0.2,192.168.1.2")
+    assert(d.values("ip.addr") === "10.0.0.1,10.0.0.2,192.168.1.1,192.168.1.2")
+    assert(d.values("ip.ttl") === 64L)
+    assert(d.values("ip.proto") === 47L)
+    // inner TCP fields dissected normally (no outer TCP to collide with)
+    assert(d.values("tcp.dstport") === 80L)
+    assert(d.info.contains("49500 → 80"))
+  }
+
+  test("VXLAN: inner Ethernet frame dissects with VNI surfaced") {
+    val innerIcmp = java.nio.ByteBuffer.allocate(8)
+      .put(8.toByte).put(0.toByte).putShort(0.toShort)
+      .putShort(0x42.toShort).putShort(7.toShort).array()
+    val innerIp = ipv4Hdr(1, Array[Byte](192.toByte, 168.toByte, 2, 1),
+      Array[Byte](192.toByte, 168.toByte, 2, 2), innerIcmp.length) ++ innerIcmp
+    val innerEth = new Array[Byte](12) ++ Array[Byte](0x08, 0x00) ++ innerIp
+    val vxlan = Array[Byte](0x08, 0, 0, 0, 0, 0x12, 0x34, 0) ++ innerEth // VNI 0x1234
+    val d = dissectOne(ethIpUdp(55000, 4789, vxlan))
+    assert(d.protocols === "eth:ethertype:ip:udp:vxlan:eth:ethertype:ip:icmp")
+    assert(d.values("vxlan.vni") === 0x1234L)
+    assert(d.values("ip.src") === "10.0.0.1,192.168.2.1")
+    assert(d.info === "Echo (ping) request  id=0x0042, seq=7")
+  }
+
   test("ICMP echo request renders ping info") {
     val icmp = java.nio.ByteBuffer.allocate(8)
     icmp.put(8.toByte).put(0.toByte).putShort(0.toShort)
