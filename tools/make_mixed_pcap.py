@@ -218,4 +218,24 @@ extra.append((t3, 500, ip_frame(17, A, B, udp(50001, 443, quic_init), ident=33))
 quic_short = bytes([0x41]) + bytes.fromhex("deadbeef") + bytes(8)
 extra.append((t3, 600, ip_frame(17, A, B, udp(50001, 443, quic_short), ident=34)))
 
+# 8: GRE-encapsulated inner IPv4/TCP (multi-occurrence fields path)
+inner_tcp = tcp(49500, 80, 7, b"")
+inner_ip_hdr, inner_ip_pay = ipv4(6, [192, 168, 1, 1], [192, 168, 1, 2],
+                                  inner_tcp, ident=40)
+gre_pay = b"\x00\x00\x08\x00" + inner_ip_hdr + inner_ip_pay
+extra.append((t3, 700, ip_frame(47, A, B, gre_pay, ident=41)))
+
+# 9: VXLAN (VNI 0x1234) carrying an inner Ethernet/IPv4/ICMP frame
+icmp_inner = struct.pack(">BBHHH", 8, 0, 0, 0x42, 7)
+in_ip_hdr, in_ip_pay = ipv4(1, [192, 168, 2, 1], [192, 168, 2, 2],
+                            icmp_inner, ident=42)
+inner_eth = eth(MAC_B, MAC_A, 0x0800, in_ip_hdr + in_ip_pay)
+vxlan = b"\x08\x00\x00\x00" + b"\x00\x12\x34\x00" + inner_eth
+extra.append((t3, 800, ip_frame(17, A, B, udp(55000, 4789, vxlan), ident=43)))
+
+# 10: SMB2 Create Response on TCP 445 (NBSS prefix + 64-byte header)
+smb2 = (b"\x00\x00\x00\x40" + b"\xfeSMB" +
+        struct.pack("<HHIHHIIQ", 64, 0, 0, 5, 1, 1, 0, 0x2a) + bytes(32))
+extra.append((t3, 900, ip_frame(6, B, A, tcp(445, 49700, 1, smb2), ident=44)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
