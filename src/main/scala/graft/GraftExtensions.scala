@@ -48,6 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "vector_dot(a, b) takes exactly 2 arguments")
         graft.functions.VectorDot(args.head, args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc_score"),
+      new ExpressionInfo(classOf[graft.functions.PqAdcScore].getName, "pq_adc_score"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "pq_adc_score(codes, lut) takes exactly 2 arguments")
+        graft.functions.PqAdcScore(args.head, args(1))
+      }))
   }
 }
 

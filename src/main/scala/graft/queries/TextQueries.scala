@@ -709,9 +709,64 @@ object TextQueries {
       FROM b JOIN topc ON topc.doc_id = b.doc_id
       ORDER BY doc_id"""))
 
+  /** Near-dup CLUSTERS from the MinHash-LSH candidate pairs: iterative
+    * min-label propagation to the connected-component fixpoint (the step a
+    * real dedup pipeline runs after pair generation — "keep one doc per
+    * duplicate group"). Each iteration is one join + aggregate; the loop
+    * runs until no label changes, so the result is the exact component
+    * minimum (matching the oracle's recursive transitive closure). At
+    * 100 TB this is the standard iterative CC shape — iteration count is
+    * bounded by the duplicate-cluster diameter (tiny in practice), never
+    * by corpus size, and only (doc, label) pairs ever shuffle. */
+  val ddDedupClusters = GraftQuery(
+    "dd_dedup_clusters",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = ddMinhashLshPairs.fn(s, dir).select($"doc_a", $"doc_b")
+      val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
+        .toDF("src", "dst").cache()
+      // localCheckpoint (eager) both materializes the iterate and truncates
+      // its lineage — without it the plan (and Catalyst analysis time)
+      // grows linearly with the iteration count.
+      var labels = edges.select($"src".as("doc_id")).distinct()
+        .withColumn("label", $"doc_id")
+        .localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val next = edges.join(labels, $"dst" === $"doc_id")
+          .select($"src".as("doc_id"), $"label")
+          .union(labels)
+          .groupBy($"doc_id").agg(min($"label").as("label"))
+          .localCheckpoint()
+        changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
+          .filter(col("n.label") =!= col("o.label")).count()
+        labels = next
+      }
+      edges.unpersist()
+      labels.select($"doc_id", $"label".as("cluster"))
+        .orderBy($"cluster", $"doc_id")
+    },
+    Some {
+      // reuse the pair SQL, then a recursive transitive-min closure
+      val pairSql = ddMinhashLshPairs.oracle.get.trim.stripSuffix("ORDER BY doc_a, doc_b")
+      s"""
+      WITH RECURSIVE base AS ($pairSql),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM base
+        UNION ALL
+        SELECT doc_b, doc_a FROM base),
+      reach(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node)
+      SELECT node AS doc_id, MIN(label) AS cluster
+      FROM reach GROUP BY node
+      ORDER BY cluster, doc_id"""
+    })
+
   val all: Seq[GraftQuery] = Seq(
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter,
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
-    ddSimhashPairs)
+    ddSimhashPairs, ddDedupClusters)
 }

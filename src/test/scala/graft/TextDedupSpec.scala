@@ -95,6 +95,45 @@ class TextDedupSpec extends SparkSpec {
         s"($oldCand → $newCand candidates)")
   }
 
+  test("dedup clusters are the exact transitive closure of the LSH pairs") {
+    // Planted duplicate groups over a random background: a 3-member exact
+    // group (guarantees a cluster of size ≥3) and a separate 2-member
+    // group. Expected labels = union-find over the pairs the LSH query
+    // itself emits on the same corpus, so the spec checks exactly the
+    // closure step and nothing about LSH recall.
+    val rnd = new scala.util.Random(23)
+    def doc(): String =
+      (0 until 80).map(_ => s"w${rnd.nextInt(10000)}").mkString(" ")
+    val base = (1 to 60).map(i => (i.toLong, doc()))
+    val corpus = base ++ Seq(
+      (101L, base(0)._2), (102L, base(0)._2), // group {1, 101, 102}
+      (201L, base(1)._2))                     // group {2, 201}
+    val dir = writeDocs(corpus)
+
+    val pairs = TextQueries.ddMinhashLshPairs.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+
+    // driver-side union-find = ground-truth components
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val expected = parent.keys.map(n => (n, find(n))).toSeq.sorted
+
+    val got = TextQueries.ddDedupClusters.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"))).toSeq.sorted
+    assert(got === expected)
+    // the planted 3-group must land in ONE cluster (transitivity observed)
+    val byCluster = got.groupBy(_._2).values.map(_.map(_._1).toSet)
+    assert(byCluster.exists(c => Set(1L, 101L, 102L).subsetOf(c)))
+  }
+
   test("gopher gate: each rule fires on its planted document, clean doc keeps") {
     import spark.implicits._
     val good = (("the quick brown fox jumps over the lazy dog and then it ran " * 6)
