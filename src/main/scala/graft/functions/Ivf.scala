@@ -19,11 +19,21 @@ object Ivf {
 
   final case class Index(centroids: Array[Array[Double]], assigned: DataFrame)
 
-  /** Fit the coarse quantizer and tag every row with its cell id. */
-  def build(spark: SparkSession, emb: DataFrame, k: Int, seed: Long = 42L): Index = {
+  /** Fit the coarse quantizer and tag every row with its cell id. The
+    * k-means fit never needs the full corpus: a deterministic systematic
+    * sample (`vec_id % stride = 0`, ceil-capped at `fitSample` rows — the
+    * same shape as [[Pq.fit]]) bounds the fit cost independently of corpus
+    * size; cell ASSIGNMENT stays a single full `transform` pass. */
+  def build(spark: SparkSession, emb: DataFrame, k: Int, seed: Long = 42L,
+      fitSample: Long = 100000L): Index = {
     val withVec = emb.withColumn("features",
       array_to_vector(col("embedding").cast("array<double>")))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(withVec)
+    val n = emb.count()
+    val stride = (n + fitSample - 1) / fitSample // ceil: sample stays <= fitSample rows
+    val fitInput =
+      if (stride > 1) withVec.filter(col("vec_id") % stride === 0)
+      else withVec
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(fitInput)
     val assigned = model.transform(withVec)
       .withColumnRenamed("prediction", "cell")
       .drop("features")

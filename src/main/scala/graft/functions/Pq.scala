@@ -17,10 +17,11 @@ import org.apache.spark.sql.types._
   * The 100 TB story: candidate scanning touches ONLY the code column and
   * a broadcast codebook; full vectors are read once at encode time and
   * again only for the final exact rerank of a small candidate set. Search
-  * is two-stage and fully plan-side: approximate scores come from
-  * reconstructing candidates out of codebook literals (`element_at` on a
-  * nested array literal + the codegen'd [[VectorDot]]), then the top
-  * `rerank` candidates join back to true embeddings for exact cosine.
+  * is two-stage and fully plan-side: approximate scores are asymmetric-
+  * distance (ADC) table lookups — per-query `m × k` dot tables precomputed
+  * broadcast-side, scored by the codegen'd [[PqAdcScore]] at `2m` adds per
+  * candidate — then the top `rerank` candidates join back to true
+  * embeddings for exact cosine.
   */
 object Pq {
 
@@ -98,14 +99,59 @@ object Pq {
     }(encoder)
   }
 
-  /** Reconstruction of the codes column from codebook LITERALS — stays
-    * inside whole-stage codegen; no UDF. */
-  private def decodeCol(cb: Codebook) = {
+  /** Register the codegen'd [[PqAdcScore]] table-scoring expression in the
+    * active session (idempotent; a Column can't wrap a custom Expression
+    * directly — `call_function` resolves it by name at analysis). */
+  private def ensureAdcRegistered(): Unit =
+    SparkSession.active.sessionState.functionRegistry
+      .createOrReplaceTempFunction(
+        "pq_adc_score",
+        exprs => PqAdcScore(exprs.head, exprs(1)),
+        "built-in")
+
+  private def adc(codes: org.apache.spark.sql.Column, lut: org.apache.spark.sql.Column) = {
+    ensureAdcRegistered()
+    call_function("pq_adc_score", codes, lut)
+  }
+
+  /** Per-query ADC dot lookup table (Jégou TPAMI 2011 §IV.A), computed on
+    * the BROADCAST side — one `m × k` table per query row, so the corpus
+    * scan pays `m` table adds per candidate instead of reconstructing and
+    * re-dotting a dim-length vector: `lut[j][c] = <centroid_{j,c}, q_j>`.
+    * References `col("qe")`; evaluate it as a column on the queries frame
+    * BEFORE the broadcast join. */
+  private[graft] def lutDotCol(cb: Codebook) =
+    array((0 until cb.m).map { j =>
+      val cents = typedlit(cb.centroids(j).map(_.toSeq).toSeq)
+      transform(cents, c =>
+        Vectors.dot(c, slice(col("qe"), j * cb.dsub + 1, cb.dsub).cast("array<double>")))
+    }: _*)
+
+  /** Query-independent squared-norm table (a plan literal):
+    * `lut[j][c] = |centroid_{j,c}|²`, so the reconstruction's norm for the
+    * cosine denominator is another `m` table adds. */
+  private def normLutLit(cb: Codebook) =
+    typedlit(cb.centroids.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
+
+  /** ADC approximate cosine of a candidate's codes against the
+    * pre-computed per-query tables: `2m` table reads + adds per row, all
+    * inside whole-stage codegen via [[PqAdcScore]]. Numerically this is the
+    * reconstruction cosine with subspace-grouped summation (fp association
+    * differs from the flat fold by ≤1 ulp per add; SimilaritySpec pins the
+    * two within 1e-9 and asserts identical candidate selection). */
+  private[graft] def adcCosCol(cb: Codebook) =
+    adc(col("codes"), col("lut_dot")) /
+      (sqrt(adc(col("codes"), normLutLit(cb))) * col("qnorm"))
+
+  /** Reconstruction-scoring reference path (codebook literals +
+    * `element_at` concat): used ONLY by SimilaritySpec to pin the ADC
+    * scores; the search plans score via [[adcCosCol]]. */
+  private[graft] def reconstructionCos(cb: Codebook) = {
     val parts = (0 until cb.m).map { j =>
       val lit = typedlit(cb.centroids(j).map(_.toSeq).toSeq)
       element_at(lit, element_at(col("codes"), j + 1) + 1)
     }
-    concat(parts: _*)
+    Vectors.cosine(concat(parts: _*).cast("array<double>"), col("qe"))
   }
 
   /** IVF-PQ (the composition actually deployed at 100 TB scale: coarse
@@ -126,17 +172,23 @@ object Pq {
     val cents = index.centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
     val wq = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))
-    val probes = queries.crossJoin(broadcast(cents))
+    // ADC tables are computed ONCE per (query, probed cell) on the
+    // broadcast side; the probe frame carries (lut_dot, qnorm) instead of
+    // the raw query vector
+    val probes = queries
+      .select(col("query_id"), col("qe"),
+        lutDotCol(cb).as("lut_dot"), Vectors.norm(col("qe")).as("qnorm"))
+      .crossJoin(broadcast(cents))
       .withColumn("ccos", Vectors.cosine(col("qe"), col("centroid")))
       .withColumn("prnk", row_number().over(wq))
       .filter(col("prnk") <= nProbe)
-      .select(col("query_id"), col("qe"), col("cell"))
-    // approx_cos is computed MAP-SIDE from the codes; only the skinny
-    // (query_id, vec_id, approx_cos) triple shuffles through the ranking
-    // window — neither embeddings nor reconstructions move
+      .select(col("query_id"), col("cell"), col("lut_dot"), col("qnorm"))
+    // approx_cos is computed MAP-SIDE from the codes (2m table adds via the
+    // codegen'd pq_adc_score); only the skinny (query_id, vec_id,
+    // approx_cos) triple shuffles through the ranking window — neither
+    // embeddings nor reconstructions move
     val scored = encodedWithCell.join(broadcast(probes), Seq("cell"))
-      .select(col("query_id"), col("vec_id"),
-        Vectors.cosine(decodeCol(cb).cast("array<double>"), col("qe")).as("approx_cos"))
+      .select(col("query_id"), col("vec_id"), adcCosCol(cb).as("approx_cos"))
     rerankExact(scored, encodedWithCell, queries, topK, rerank)
   }
 
@@ -164,21 +216,24 @@ object Pq {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** Two-stage batch search: ADC-style approximate scores over codes only
-    * (reconstruction cosine via [[VectorDot]]), exact cosine rerank of the
-    * top `rerank` per query. One plan, queries broadcast, no driver loop. */
+  /** Two-stage batch search: ADC approximate scores over codes only
+    * ([[PqAdcScore]] against broadcast per-query tables), exact cosine
+    * rerank of the top `rerank` per query. One plan, queries broadcast, no
+    * driver loop. */
   def searchBatch(
       encoded: DataFrame,
       cb: Codebook,
       queries: DataFrame, // (query_id, qe)
       topK: Int,
       rerank: Int = 50): DataFrame = {
-    // map-side scoring from the codes; only (query_id, vec_id, approx_cos)
+    // map-side ADC scoring from the codes (pq_adc_score against the
+    // broadcast per-query tables); only (query_id, vec_id, approx_cos)
     // shuffles — see rerankExact
+    val qprep = queries.select(col("query_id"),
+      lutDotCol(cb).as("lut_dot"), Vectors.norm(col("qe")).as("qnorm"))
     val scored = encoded
-      .crossJoin(broadcast(queries))
-      .select(col("query_id"), col("vec_id"),
-        Vectors.cosine(decodeCol(cb).cast("array<double>"), col("qe")).as("approx_cos"))
+      .crossJoin(broadcast(qprep))
+      .select(col("query_id"), col("vec_id"), adcCosCol(cb).as("approx_cos"))
     rerankExact(scored, encoded, queries, topK, rerank)
   }
 }

@@ -202,6 +202,68 @@ class SimilaritySpec extends SparkSpec {
     enc.unpersist()
   }
 
+  test("pq_adc_score SQL function: table scoring + null semantics") {
+    val r = spark.sql("""
+      SELECT pq_adc_score(array(1, 0), array(array(1.0D, 2.0D), array(3.0D, 4.0D))) AS ok,
+             pq_adc_score(array(1), array(array(1.0D), array(2.0D))) AS len_mismatch,
+             pq_adc_score(array(5, 0), array(array(1.0D, 2.0D), array(3.0D, 4.0D))) AS oob,
+             pq_adc_score(CAST(NULL AS ARRAY<INT>),
+                          array(array(1.0D))) AS null_in
+    """).collect()(0)
+    assert(r.getDouble(0) === 5.0) // lut[0][1] + lut[1][0] = 2 + 3
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("ADC table scoring pins to reconstruction scoring; identical candidate pick") {
+    import spark.implicits._
+    val emb = graft.api.Tables.load(spark, sfDir, "embeddings")
+    val cb = graft.functions.Pq.fit(spark, emb, m = 8, k = 16)
+    val enc = graft.functions.Pq.encode(emb, cb)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val qprep = queries.select($"query_id", $"qe",
+      graft.functions.Pq.lutDotCol(cb).as("lut_dot"),
+      Vectors.norm($"qe").as("qnorm"))
+    // the production search path scores via adcCosCol; reconstructionCos is
+    // the literal decode + flat-fold cosine it replaced. The two differ only
+    // in fp association (subspace-grouped vs flat summation), so they must
+    // agree to ~1 ulp per add — pinned at 1e-9 — and pick identical
+    // rerank candidate sets.
+    val both = enc.crossJoin(broadcast(qprep))
+      .select($"query_id", $"vec_id",
+        graft.functions.Pq.adcCosCol(cb).as("adc"),
+        graft.functions.Pq.reconstructionCos(cb).as("recon"))
+      .collect()
+    assert(both.length > 1000)
+    both.foreach { r =>
+      val a = r.getDouble(2); val rc = r.getDouble(3)
+      assert(math.abs(a - rc) < 1e-9,
+        s"ADC $a vs reconstruction $rc at q=${r.getLong(0)} v=${r.getLong(1)}")
+    }
+    def top50(byAdc: Boolean) = both.groupBy(_.getLong(0)).view.mapValues { rows =>
+      rows.sortBy(r => (-(if (byAdc) r.getDouble(2) else r.getDouble(3)), r.getLong(1)))
+        .take(50).map(_.getLong(1)).toSet
+    }.toMap
+    assert(top50(byAdc = true) === top50(byAdc = false))
+  }
+
+  test("sample-bounded IVF fit (stride > 1): probe-all still equals brute force") {
+    import spark.implicits._
+    val emb = graft.api.Tables.load(spark, sfDir, "embeddings")
+    val n = emb.count()
+    // fitSample = n/5 forces stride > 1: the coarse quantizer fits on ~100
+    // of 500 rows. The probe-all anchor is partition-independent, so it
+    // must still reproduce brute force exactly.
+    val index = graft.functions.Ivf.build(spark, emb, k = 8, fitSample = n / 5)
+    val query = emb.filter($"vec_id" === 0)
+      .select($"embedding").collect()(0).getSeq[Float](0).toArray
+    val exhaustive = graft.functions.Ivf.search(index, query, 11, nProbe = 8)
+      .collect().map(_.getAs[Long]("vec_id"))
+    val brute = SimilarityQueries.simAnnBrute.fn(spark, sfDir)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(exhaustive.filterNot(_ == 0L).take(10).toSeq === brute.toSeq)
+  }
+
   test("IVF-PQ with all cells probed and full rerank equals brute force") {
     import spark.implicits._
     val emb = graft.api.Tables.load(spark, sfDir, "embeddings")
