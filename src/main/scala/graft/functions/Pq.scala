@@ -236,4 +236,38 @@ object Pq {
       .select(col("query_id"), col("vec_id"), adcCosCol(cb).as("approx_cos"))
     rerankExact(scored, encoded, queries, topK, rerank)
   }
+
+  /** Persist a fitted PQ index as catalog tables (the [[Ivf.persist]]
+    * shape): `<name>_codebook` holds the (tiny) flattened centroid table,
+    * `<name>_codes` the encoded corpus — bucketed by `cell` when present
+    * (IVF-PQ: probe joins co-locate) else by `vec_id` (the rerank join
+    * key). At 100 TB fit+encode is a one-off batch job; every later
+    * session searches with ZERO k-means jobs via [[loadIndex]]. */
+  def persist(cb: Codebook, encoded: DataFrame, name: String, buckets: Int = 16): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val rows = for {
+      j <- cb.centroids.indices
+      c <- cb.centroids(j).indices
+    } yield (j, c, cb.centroids(j)(c).toSeq)
+    rows.toDF("subspace", "code", "centroid")
+      .write.mode("overwrite").saveAsTable(s"${name}_codebook")
+    val key = if (encoded.columns.contains("cell")) "cell" else "vec_id"
+    encoded.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(s"${name}_codes")
+  }
+
+  /** Load a persisted PQ index; no k-means fit happens here — the codebook
+    * is a small collect, the codes stay a lazy (bucketed) table scan. */
+  def loadIndex(spark: SparkSession, name: String): (Codebook, DataFrame) = {
+    val rows = spark.table(s"${name}_codebook").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val centroids = Array.tabulate(m) { j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3)
+    }
+    val dsub = centroids(0)(0).length
+    (Codebook(m, dsub, centroids), spark.table(s"${name}_codes"))
+  }
 }

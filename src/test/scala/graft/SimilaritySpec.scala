@@ -315,6 +315,46 @@ class SimilaritySpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ivf_spec_idx_assigned")
   }
 
+  test("persisted PQ / IVF-PQ index searches without re-fitting k-means") {
+    import spark.implicits._
+    val emb = graft.api.Tables.load(spark, sfDir, "embeddings")
+    val index = graft.functions.Ivf.build(spark, emb, k = 8)
+    val cb = graft.functions.Pq.fit(spark, emb, m = 8, k = 16)
+    val encoded = graft.functions.Pq.encode(index.assigned, cb)
+    graft.functions.Pq.persist(cb, encoded, "pq_spec_idx", buckets = 8)
+    graft.functions.Ivf.persist(index, "pqivf_spec_idx", buckets = 8)
+
+    // the load path involves no KMeans fit by construction — the codebook
+    // and centroids come from catalog tables, codes stay a lazy bucketed
+    // scan — and must reproduce the fresh index bit-for-bit
+    val (lcb, lcodes) = graft.functions.Pq.loadIndex(spark, "pq_spec_idx")
+    assert(lcb.m === cb.m && lcb.dsub === cb.dsub)
+    assert(lcb.centroids.map(_.map(_.toSeq).toSeq).toSeq ===
+      cb.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    val lix = graft.functions.Ivf.loadIndex(spark, "pqivf_spec_idx")
+
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("vec_id"))).toSeq
+    assert(rows(graft.functions.Pq.searchBatch(lcodes, lcb, queries, topK = 5)) ===
+      rows(graft.functions.Pq.searchBatch(encoded, cb, queries, topK = 5)))
+    assert(rows(graft.functions.Pq.searchIvfPq(lcodes, lcb, lix, queries,
+        topK = 5, nProbe = 4)) ===
+      rows(graft.functions.Pq.searchIvfPq(encoded, cb, index, queries,
+        topK = 5, nProbe = 4)))
+
+    // codes really are bucketed (co-located probe joins at scale)
+    val desc = spark.sql("DESCRIBE EXTENDED pq_spec_idx_codes")
+      .collect().map(r => s"${r.getString(0)} ${r.getString(1)}").mkString("\n")
+    assert(desc.contains("Num Buckets") && desc.contains("8"))
+    assert(desc.toLowerCase.contains("cell"))
+    Seq("pq_spec_idx_codebook", "pq_spec_idx_codes",
+      "pqivf_spec_idx_centroids", "pqivf_spec_idx_assigned")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("batch IVF with all cells probed equals per-query exhaustive search") {
     import spark.implicits._
     val emb = graft.api.Tables.load(spark, sfDir, "embeddings")
