@@ -1200,6 +1200,10 @@ object Dissect {
       if (appInfo == null && !h2Claimed) appInfo = dissectTls(appBuf, appOff, appLen, sp, dp, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 445 || dp == 445))
         appInfo = dissectSmb2(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 21 || dp == 21))
+        appInfo = dissectFtp(appBuf, appOff, appLen, fromServer = sp == 21, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 22 || dp == 22))
+        appInfo = dissectSsh(appBuf, appOff, appLen, fromServer = sp == 22, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -1666,6 +1670,117 @@ object Dissect {
     s"$name ${if (isResponse) "Response" else "Request"}"
   }
 
+  /** FTP control channel (RFC 959 §4-5, TCP 21): plaintext CRLF lines —
+    * requests are "CMD [arg]", replies "NNN text" (terminal) or "NNN-text"
+    * (multi-line continuation). Field set mirrors tshark's ftp dissector
+    * (reference exposes it via `tshark -G`: ftp.request.command,
+    * ftp.response.code, …). A segment carrying several complete lines
+    * renders each Wireshark-style in the info column ("Response: 220-a |
+    * Response: 220 b"); ftp.response.arg comma-appends across lines while
+    * the numeric code keeps its FIRST occurrence (the tunnel-path
+    * multi-occurrence convention = the reference's stoll-prefix parse). */
+  private def dissectFtp(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4) return null
+    val text = new String(d, off, math.min(len, 2048), "ISO-8859-1")
+    val term = text.lastIndexOf("\r\n")
+    if (term < 0) return null // no complete line (yet): not dissectable FTP
+    val lines = text.substring(0, term).split("\r\n", -1)
+    if (lines.isEmpty) return null
+    if (fromServer) {
+      val first = lines.head
+      if (first.length < 3 || !first.take(3).forall(_.isDigit) ||
+        (first.length > 3 && first(3) != ' ' && first(3) != '-')) return null
+      protos += "ftp"
+      v("ftp.response") = true
+      v("ftp.response.code") = first.take(3).toLong
+      val args = lines.map { l =>
+        if (l.length > 4 && l.take(3).forall(_.isDigit)) l.substring(4) else l
+      }
+      v("ftp.response.arg") = args.mkString(",")
+      lines.map(l => s"Response: $l").mkString(" | ")
+    } else {
+      val first = lines.head
+      val sp1 = first.indexOf(' ')
+      val cmd = if (sp1 < 0) first else first.substring(0, sp1)
+      // command verbs are 3-4 ASCII letters (RFC 959 + common extensions)
+      if (cmd.length < 3 || cmd.length > 4 || !cmd.forall(_.isLetter)) return null
+      protos += "ftp"
+      v("ftp.request") = true
+      v("ftp.request.command") = cmd
+      if (sp1 >= 0 && sp1 + 1 < first.length) v("ftp.request.arg") = first.substring(sp1 + 1)
+      lines.map(l => s"Request: $l").mkString(" | ")
+    }
+  }
+
+  private val sshMsgNames: Map[Int, String] = Map(
+    1 -> "Disconnect", 2 -> "Ignore", 3 -> "Unimplemented", 4 -> "Debug",
+    5 -> "Service Request", 6 -> "Service Accept",
+    20 -> "Key Exchange Init", 21 -> "New Keys",
+    30 -> "Diffie-Hellman Key Exchange Init",
+    31 -> "Diffie-Hellman Key Exchange Reply")
+
+  /** SSH transport layer (RFC 4253, TCP 22) — the plaintext prelude: the
+    * version banner (§4.2) and Binary Packet Protocol records up to
+    * NEWKEYS, with the KEXINIT (§7.1) headline name-lists (kex, host-key,
+    * client-to-server cipher). Records that don't parse as a plausible
+    * plaintext packet are post-NEWKEYS ciphertext and render as tshark's
+    * "Encrypted packet (len=N)"; decryption needs session keys and is out
+    * of scope (as it is for tshark without a keylog). */
+  private def dissectSsh(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 5) return null
+    val role = if (fromServer) "Server" else "Client"
+    if (d(off) == 'S' && d(off + 1) == 'S' && d(off + 2) == 'H' && d(off + 3) == '-') {
+      val text = new String(d, off, math.min(len, 255), "ISO-8859-1")
+      val e = text.indexWhere(c => c == '\r' || c == '\n')
+      val banner = if (e < 0) text else text.substring(0, e)
+      protos += "ssh"
+      v("ssh.protocol") = banner
+      return s"$role: Protocol ($banner)"
+    }
+    // binary packet: uint32 packet_length, u8 padding_length, u8 msg code.
+    // A ciphertext record's leading bytes fail these plausibility bounds
+    // (RFC 4253 §6.1 caps packets at 35000 octets).
+    protos += "ssh"
+    val plen = u32(d, off)
+    val pad = u8(d, off + 4)
+    if (plen < 2 || plen > 35000 || pad < 4 || pad >= plen || len < 6)
+      return s"$role: Encrypted packet (len=$len)"
+    val code = u8(d, off + 5)
+    sshMsgNames.get(code) match {
+      case None => s"$role: Encrypted packet (len=$len)"
+      case Some(nm) =>
+        v("ssh.message_code") = code.toLong
+        if (code == 20) parseSshKexInit(d, off + 6, off + math.min(len, 4 + plen.toInt), v)
+        s"$role: $nm"
+    }
+  }
+
+  /** KEXINIT name-lists (RFC 4253 §7.1): 16-byte cookie, then uint32-length
+    * comma-separated name-lists in fixed order. Extracts the first three
+    * (kex, server host key, client-to-server ciphers); truncated lists
+    * (snaplen) are simply absent. */
+  private def parseSshKexInit(d: Array[Byte], start: Int, end: Int, v: FieldVec): Unit = {
+    var p = start + 16 // skip cookie
+    val names = Seq("ssh.kex_algorithms", "ssh.server_host_key_algorithms",
+      "ssh.encryption_algorithms_client_to_server")
+    for (field <- names) {
+      if (p + 4 <= end) {
+        val n = u32(d, p).toInt
+        p += 4
+        if (n >= 0 && p + n <= end) {
+          v(field) = new String(d, p, n, "ISO-8859-1")
+          p += n
+        } else p = end
+      }
+    }
+  }
+
   private val h2Preface: Array[Byte] = "PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes("ISO-8859-1")
 
   private def isH2Preface(d: Array[Byte], off: Int, len: Int): Boolean = {
@@ -1922,6 +2037,7 @@ object Dissect {
     def nameOf(t: Int): String = t match {
       case 1 => "A"; case 2 => "NS"; case 5 => "CNAME"; case 6 => "SOA"
       case 12 => "PTR"; case 15 => "MX"; case 16 => "TXT"; case 28 => "AAAA"
+      case 252 => "AXFR"; case 255 => "ANY"
       case _ => if (t >= 0) t.toString else ""
     }
     val typeName = nameOf(qtype)

@@ -238,4 +238,57 @@ smb2 = (b"\x00\x00\x00\x40" + b"\xfeSMB" +
         struct.pack("<HHIHHIIQ", 64, 0, 0, 5, 1, 1, 0, 0x2a) + bytes(32))
 extra.append((t3, 900, ip_frame(6, B, A, tcp(445, 49700, 1, smb2), ident=44)))
 
+# 11-14: FTP control channel on TCP 21 — greeting, USER, multi-line reply,
+# RETR (tier-3 plaintext protocols for the glossary sweep + goldens)
+ftp_greet = b"220 graft FTP ready\r\n"
+extra.append((t3, 1000, ip_frame(6, B, A, tcp(21, 49800, 1, ftp_greet), ident=45)))
+ftp_user = b"USER anonymous\r\n"
+extra.append((t3, 1100, ip_frame(6, A, B, tcp(49800, 21, 1, ftp_user), ident=46)))
+ftp_multi = b"230-Welcome\r\n230 Login successful\r\n"
+extra.append((t3, 1200, ip_frame(6, B, A,
+              tcp(21, 49800, 1 + len(ftp_greet), ftp_multi), ident=47)))
+ftp_retr = b"RETR file.bin\r\n"
+extra.append((t3, 1300, ip_frame(6, A, B,
+              tcp(49800, 21, 1 + len(ftp_user), ftp_retr), ident=48)))
+
+# 15-18: SSH — both banners, client KEXINIT with three name-lists, then a
+# ciphertext record (implausible plaintext header -> "Encrypted packet")
+ssh_c = b"SSH-2.0-graftssh_0.1\r\n"
+extra.append((t3, 1400, ip_frame(6, A, B, tcp(49801, 22, 1, ssh_c), ident=49)))
+ssh_s = b"SSH-2.0-OpenSSH_9.6\r\n"
+extra.append((t3, 1500, ip_frame(6, B, A, tcp(22, 49801, 1, ssh_s), ident=50)))
+kex_lists = [b"curve25519-sha256,diffie-hellman-group14-sha256",
+             b"ssh-ed25519,rsa-sha2-512",
+             b"chacha20-poly1305@openssh.com,aes128-ctr"]
+kex_pay = b"\x14" + bytes(16)
+for nl in kex_lists:
+    kex_pay += struct.pack(">I", len(nl)) + nl
+for _ in range(7):  # remaining name-lists empty
+    kex_pay += struct.pack(">I", 0)
+kex_pay += b"\x00" + struct.pack(">I", 0)  # first_kex_packet_follows + reserved
+pad = 8 - ((4 + 1 + len(kex_pay)) % 8)
+if pad < 4:
+    pad += 8
+kex_pkt = struct.pack(">IB", 1 + len(kex_pay) + pad, pad) + kex_pay + bytes(pad)
+extra.append((t3, 1600, ip_frame(6, A, B,
+              tcp(49801, 22, 1 + len(ssh_c), kex_pkt), ident=51)))
+ssh_enc = bytes.fromhex("ffffffff") + bytes(28)
+extra.append((t3, 1700, ip_frame(6, B, A,
+              tcp(22, 49801, 1 + len(ssh_s), ssh_enc), ident=52)))
+
+# 19-20: DNS zone transfer (AXFR) over TCP 53: three length-prefixed
+# messages in two segments, the MIDDLE message spanning the segment
+# boundary — pins the cross-run kind-3 carry under desegment
+def dns_tcp_msg(mid):
+    q = (struct.pack(">HHHHHH", mid, 0x8180, 1, 0, 0, 0) + qname +
+         struct.pack(">HH", 252, 1))
+    return struct.pack(">H", len(q)) + q
+
+
+axfr = dns_tcp_msg(0xA001) + dns_tcp_msg(0xA002) + dns_tcp_msg(0xA003)
+cut = len(dns_tcp_msg(0xA001)) + len(dns_tcp_msg(0xA002)) // 2
+extra.append((t3, 1800, ip_frame(6, B, A, tcp(53, 49802, 1, axfr[:cut]), ident=53)))
+extra.append((t3, 1900, ip_frame(6, B, A,
+              tcp(53, 49802, 1 + cut, axfr[cut:]), ident=54)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
