@@ -48,8 +48,11 @@ object Wireduck {
     * part-files under `dir` — see [[graft.pcap.PcapWriter]]. The input
     * needs `frame.time_epoch` and `frame.raw` (scan with
     * `protocols := ["frame"]` to reach the raw column). */
-  def writePcap(df: DataFrame, dir: String, linktype: Int = 1): Unit =
-    graft.pcap.PcapWriter.write(df, dir, linktype)
+  def writePcap(df: DataFrame, dir: String, linktype: Int = 1, nanos: Boolean = false): Unit =
+    graft.pcap.PcapWriter.write(df, dir, linktype, nanos = nanos)
+
+  def writePcapng(df: DataFrame, dir: String, linktype: Int = 1): Unit =
+    graft.pcap.PcapWriter.writePcapng(df, dir, linktype)
 
   implicit private class LogOps(s: SparkSession) {
     def log = org.slf4j.LoggerFactory.getLogger("graft")

@@ -46,6 +46,7 @@ object Dissect {
     val Id_frame_len: Int = FieldIds.id("frame.len")
     val Id_frame_cap_len: Int = FieldIds.id("frame.cap_len")
     val Id_frame_time_epoch: Int = FieldIds.id("frame.time_epoch")
+    val Id_frame_time_epoch_ns: Int = FieldIds.id("frame.time_epoch_ns")
     val Id_frame_time_relative: Int = FieldIds.id("frame.time_relative")
     val Id_frame_time_delta: Int = FieldIds.id("frame.time_delta")
     val Id_eth_dst: Int = FieldIds.id("eth.dst")
@@ -560,6 +561,7 @@ object Dissect {
     v.set(Id_frame_len, rec.origLen.toLong)
     v.set(Id_frame_cap_len, rec.inclLen.toLong)
     v.set(Id_frame_time_epoch, rec.tsMicros) // micros; sink applies compat truncation
+    v.set(Id_frame_time_epoch_ns, rec.epochNanos) // lossless ns rewrite path
     v.set(Id_frame_time_relative, timeRelMicros)
     v.set(Id_frame_time_delta, timeDeltaMicros)
 

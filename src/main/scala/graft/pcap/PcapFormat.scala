@@ -25,16 +25,22 @@ object PcapFormat {
       linktype: Int)
 
   /** One captured packet. `tsMicros` is epoch microseconds (nanos input is
-    * truncated, matching DuckDB/tshark display precision). `linktype` is
-    * per-record for pcapng multi-interface captures; -1 = use the file
-    * header's linktype (classic pcap). */
+    * truncated, matching DuckDB/tshark display precision); `tsNanos` keeps
+    * the full epoch-nanosecond stamp for ns-magic captures so a rewrite
+    * can be lossless (-1 = source had no sub-µs precision — derive as
+    * `tsMicros * 1000`). `linktype` is per-record for pcapng
+    * multi-interface captures; -1 = use the file header's linktype
+    * (classic pcap). */
   final case class Record(
       number: Long,
       tsMicros: Long,
       inclLen: Int,
       origLen: Int,
       data: Array[Byte],
-      linktype: Int = -1)
+      linktype: Int = -1,
+      tsNanos: Long = -1L) {
+    def epochNanos: Long = if (tsNanos >= 0) tsNanos else tsMicros * 1000L
+  }
 
   val MagicLeMicro = 0xd4c3b2a1 // file bytes d4 c3 b2 a1 read big-endian
   val MagicBeMicro = 0xa1b2c3d4
@@ -142,7 +148,8 @@ object PcapFormat {
           else sec * 1000000L + frac
         n += 1
         consumed += 16L + incl
-        nextRec = Record(n, micros, incl, orig, data)
+        nextRec = Record(n, micros, incl, orig, data,
+          tsNanos = if (header.nanos) sec * 1000000000L + frac else micros * 1000L)
       }
 
       // lazy advance: the next record is read only when the caller asks,

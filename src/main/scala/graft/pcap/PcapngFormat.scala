@@ -53,6 +53,17 @@ object PcapngFormat {
           units / math.pow(10, f.tsresol - 6).toLong
         }
 
+      /** Epoch nanoseconds (lossless for tsresol ≤ 9; finer-than-ns
+        * resolutions truncate to ns, the finest stamp the engine keeps). */
+      private def toNanos(units: Long, f: Iface): Long =
+        if (f.tsresolPow2) {
+          (units.toDouble * 1e9 / math.pow(2, f.tsresol)).toLong
+        } else if (f.tsresol <= 9) {
+          units * math.pow(10, 9 - f.tsresol).toLong
+        } else {
+          units / math.pow(10, f.tsresol - 9).toLong
+        }
+
       private def parseIdbOptions(body: Array[Byte], from: Int): (Int, Boolean) = {
         // options: code(2) len(2) value(pad4) ... until opt_endofopt(0)
         var i = from
@@ -112,7 +123,8 @@ object PcapngFormat {
                 val f = if (ifId < ifaces.length) ifaces(ifId) else Iface(1, 6, false)
                 val data = java.util.Arrays.copyOfRange(body, 20, math.min(20 + capLen, body.length))
                 n += 1
-                nextRec = PcapFormat.Record(n, toMicros(ts, f), capLen, origLen, data, f.linktype)
+                nextRec = PcapFormat.Record(n, toMicros(ts, f), capLen, origLen, data, f.linktype,
+                  tsNanos = toNanos(ts, f))
                 return
               case 3 => // SPB: orig len only, no timestamp; captured length is
                 // min(origLen, IDB snaplen) — the block body is padded to 4

@@ -101,8 +101,8 @@ final class PcapPartitionReader(
   private val wanted = {
     val referenced = schema.fieldNames.toSet ++
       pushed.flatMap(_.references) ++ cfilter.toSeq
-    val frameOnly = Set("frame.number", "frame.time_epoch", "frame.len",
-      "frame.cap_len", "frame.time_relative", "frame.time_delta", "frame.raw")
+    val frameOnly = Set("frame.number", "frame.time_epoch", "frame.time_epoch_ns",
+      "frame.len", "frame.cap_len", "frame.time_relative", "frame.time_delta", "frame.raw")
     Dissect.Wanted(
       payloads = referenced.exists(_.contains("payload")),
       info = referenced.exists(_.contains("_ws.col.info")),
