@@ -213,6 +213,7 @@ object Dissect {
     val lastAck = Array(-1L, -1L)
     val lastAckWin = Array(-1L, -1L)
     val dupAckCount = Array(0, 0)
+    val lastDupAckTsMicros = Array(-1L, -1L) // fast-retransmission 20ms window
     // 32-bit wrap tracking: analysis state uses extended sequence numbers
     val seqEpoch = Array(0L, 0L)
     val lastExtSeq = Array(-1L, -1L)
@@ -1004,16 +1005,42 @@ object Dissect {
         conv.dupAckCount(dir) += 1
         v("tcp.analysis.duplicate_ack") = "1"
         v("tcp.analysis.duplicate_ack_num") = conv.dupAckCount(dir).toLong
+        conv.lastDupAckTsMicros(dir) = tracker.currentTsMicros
       } else conv.dupAckCount(dir) = 0
     }
     if (ack) { conv.lastAck(dir) = rawAck; conv.lastAckWin(dir) = rawWin }
-    val isRetrans = !isKeepAlive && {
+    val revDir = 1 - dir
+    val seqNotAdvanced = !isKeepAlive && {
       if (tracker.desegment && conv.expSeq(dir) >= 0)
         segLen > 0 && noNewBytes(conv, dir, extSeq, extSeq + segLen)
       else
         segLen > 0 && conv.maxNxtSeq(dir) >= 0 && nxtExt <= conv.maxNxtSeq(dir)
     }
+    // Fast retransmission (Wireshark rule, re-derived): the sequence
+    // didn't advance, the REVERSE direction sent >= 2 duplicate ACKs for
+    // exactly this sequence number, and the last of them arrived within
+    // 20 ms. Takes precedence over (and replaces) the plain
+    // retransmission flag, matching tshark's exclusive expert flags.
+    val isFastRetrans = seqNotAdvanced &&
+      conv.dupAckCount(revDir) >= 2 &&
+      conv.lastAck(revDir) >= 0 && rawSeq == conv.lastAck(revDir) &&
+      conv.lastDupAckTsMicros(revDir) >= 0 &&
+      tracker.currentTsMicros - conv.lastDupAckTsMicros(revDir) < 20000L
+    val isRetrans = seqNotAdvanced && !isFastRetrans
+    if (isFastRetrans) v("tcp.analysis.fast_retransmission") = "1"
     if (isRetrans) v.set(Id_tcp_analysis_retransmission, "1")
+    // Window full: this data segment's nxtseq lands exactly on the right
+    // edge of the receive window the peer last advertised (peer's last
+    // ack + its scaled window) — the sender has filled the window.
+    val windowFull = segLen > 0 && !rst && !syn &&
+      conv.lastAck(revDir) >= 0 && conv.isn(dir) >= 0 && {
+        val wR =
+          if (conv.scalingActive) conv.lastAckWin(revDir) << conv.wsShift(revDir)
+          else conv.lastAckWin(revDir)
+        ((relSeq + segLen) & 0xffffffffL) ==
+          ((conv.lastAck(revDir) - conv.isn(dir) + wR) & 0xffffffffL)
+      }
+    if (windowFull) v("tcp.analysis.window_full") = "1"
     if (nxtExt > conv.maxNxtSeq(dir)) conv.maxNxtSeq(dir) = nxtExt
 
     v.set(Id_tcp_hdr_len, hdrLen.toLong)
@@ -1047,7 +1074,7 @@ object Dissect {
     var appLen = plen
     var outOfOrder = false
     if (tracker.desegment && plen > 0) {
-      if (isRetrans) appLen = 0
+      if (isRetrans || isFastRetrans) appLen = 0
       else {
         if (conv.expSeq(dir) < 0) conv.expSeq(dir) = extSeq // anchor at first data
         if (extSeq > conv.expSeq(dir) && conv.oooBytes(dir) + plen > MaxCarry) {
@@ -1270,7 +1297,9 @@ object Dissect {
       if (urg) flagNames += "URG"
       val sb = new StringBuilder
       if (outOfOrder) sb.append("[TCP Out-Of-Order] ")
+      else if (tracker.desegment && isFastRetrans) sb.append("[TCP Fast Retransmission] ")
       else if (tracker.desegment && isRetrans) sb.append("[TCP Retransmission] ")
+      else if (tracker.desegment && windowFull) sb.append("[TCP Window Full] ")
       sb.append(sp).append(" → ").append(dp)
       sb.append(" [").append(flagNames.mkString(", ")).append("]")
       sb.append(" Seq=").append(relSeq)

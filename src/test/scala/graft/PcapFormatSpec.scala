@@ -635,6 +635,65 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(a3.values("tcp.analysis.duplicate_ack_num") === 2L)
   }
 
+  test("tcp.analysis tier 2: fast retransmission and window full flagged") {
+    def rec(f: Array[Byte]) = PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    // direction-aware frames: ethIpTcpFlags pins src=10.0.0.1 for both
+    // port orders (two distinct conversations); these flags need ONE
+    // bidirectional stream, so swap the IPs with the ports
+    def biFrame(aToB: Boolean, sp: Int, dp: Int, payload: Array[Byte],
+        seq: Int, ackNo: Int, flags: Int, win: Int = 8192): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(14 + 20 + 20 + payload.length)
+      b.put(new Array[Byte](12)).putShort(0x0800.toShort)
+      val iplen = 20 + 20 + payload.length
+      b.put(0x45.toByte).put(0.toByte).putShort(iplen.toShort)
+        .putShort(1.toShort).putShort(0.toShort)
+        .put(64.toByte).put(6.toByte).putShort(0.toShort)
+      if (aToB) b.put(Array[Byte](10, 0, 0, 1)).put(Array[Byte](10, 0, 0, 2))
+      else b.put(Array[Byte](10, 0, 0, 2)).put(Array[Byte](10, 0, 0, 1))
+      b.putShort(sp.toShort).putShort(dp.toShort)
+        .putInt(seq).putInt(ackNo)
+        .put((5 << 4).toByte).put(flags.toByte)
+        .putShort(win.toShort).putShort(0.toShort).putShort(0.toShort)
+      b.put(payload)
+      b.array()
+    }
+    // fast retransmission: data, ack, more data, two duplicate ACKs for
+    // the lost segment, then its retransmission within 20ms
+    val t = new Dissect.Tracker
+    Dissect.dissect(rec(biFrame(true, 6001, 6002, "aaaaa".getBytes, 1000, 0, 0x18)), 1, t)
+    Dissect.dissect(rec(biFrame(false, 6002, 6001, Array.emptyByteArray, 500, 1005, 0x10)), 1, t)
+    Dissect.dissect(rec(biFrame(true, 6001, 6002, "bbbbb".getBytes, 1005, 0, 0x18)), 1, t)
+    val dup1 = Dissect.dissect(rec(biFrame(false, 6002, 6001, Array.emptyByteArray, 500, 1005, 0x10)), 1, t)
+    assert(dup1.values("tcp.analysis.duplicate_ack_num") === 1L)
+    val dup2 = Dissect.dissect(rec(biFrame(false, 6002, 6001, Array.emptyByteArray, 500, 1005, 0x10)), 1, t)
+    assert(dup2.values("tcp.analysis.duplicate_ack_num") === 2L)
+    val fr = Dissect.dissect(rec(biFrame(true, 6001, 6002, "bbbbb".getBytes, 1005, 0, 0x18)), 1, t)
+    assert(fr.values.contains("tcp.analysis.fast_retransmission"))
+    assert(!fr.values.contains("tcp.analysis.retransmission"),
+      "fast retransmission replaces the plain flag (tshark exclusive expert flags)")
+
+    // a retransmission WITHOUT the dup-ack context stays a plain one
+    val t2 = new Dissect.Tracker
+    Dissect.dissect(rec(biFrame(true, 6003, 6004, "ccccc".getBytes, 2000, 0, 0x18)), 1, t2)
+    val plain = Dissect.dissect(rec(biFrame(true, 6003, 6004, "ccccc".getBytes, 2000, 0, 0x18)), 1, t2)
+    assert(plain.values.contains("tcp.analysis.retransmission"))
+    assert(!plain.values.contains("tcp.analysis.fast_retransmission"))
+
+    // window full: the peer advertised a 10-byte window behind ack 3005;
+    // the segment ending exactly at the right edge is flagged
+    val t3 = new Dissect.Tracker
+    Dissect.dissect(rec(biFrame(true, 6005, 6006, "ddddd".getBytes, 3000, 0, 0x18)), 1, t3)
+    Dissect.dissect(rec(biFrame(false, 6006, 6005, Array.emptyByteArray, 500, 3005, 0x10, win = 10)), 1, t3)
+    val wf = Dissect.dissect(rec(biFrame(true, 6005, 6006, "eeeeeeeeee".getBytes, 3005, 0, 0x18)), 1, t3)
+    assert(wf.values.contains("tcp.analysis.window_full"))
+    // a shorter segment leaves window room -> no flag
+    val t4 = new Dissect.Tracker
+    Dissect.dissect(rec(biFrame(true, 6007, 6008, "ddddd".getBytes, 3000, 0, 0x18)), 1, t4)
+    Dissect.dissect(rec(biFrame(false, 6008, 6007, Array.emptyByteArray, 500, 3005, 0x10, win = 10)), 1, t4)
+    val nf = Dissect.dissect(rec(biFrame(true, 6007, 6008, "eeeee".getBytes, 3005, 0, 0x18)), 1, t4)
+    assert(!nf.values.contains("tcp.analysis.window_full"))
+  }
+
   test("DNS over TCP: length-prefixed query dissects") {
     val q = java.nio.ByteBuffer.allocate(12 + 13 + 4)
     q.putShort(0x4321.toShort).putShort(0x0100.toShort)
