@@ -322,6 +322,9 @@ object Dissect {
     private[Dissect] var firstPacketMicros = -1L
     private[Dissect] var prevPacketMicros = -1L
     private[Dissect] var currentTsMicros = -1L
+    // UDP ports announced by SIP/SDP media lines — gates RTP decode
+    // (bounded; a capture cannot grow this past 256 entries)
+    private[Dissect] val rtpPorts = mutable.Set.empty[Int]
 
     private[Dissect] def tcpConv(k: ConvKey): TcpConv =
       tcpConvs.getOrElseUpdate(k, { val c = new TcpConv(nextTcpStream); nextTcpStream += 1; c })
@@ -1233,6 +1236,8 @@ object Dissect {
         appInfo = dissectFtp(appBuf, appOff, appLen, fromServer = sp == 21, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 22 || dp == 22))
         appInfo = dissectSsh(appBuf, appOff, appLen, fromServer = sp == 22, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 5060 || dp == 5060))
+        appInfo = dissectSip(appBuf, appOff, appLen, v, protos, tracker)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -1355,6 +1360,15 @@ object Dissect {
     if (sp == 67 || dp == 67 || sp == 68 || dp == 68) {
       val dhcpInfo = dissectDhcp(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
       if (dhcpInfo != null) return dhcpInfo
+    }
+    if (sp == 5060 || dp == 5060) {
+      val sipInfo = dissectSip(d, off + 8,
+        math.min(payLen, d.length - off - 8), v, protos, tracker)
+      if (sipInfo != null) return sipInfo
+    }
+    if (tracker.rtpPorts.contains(sp) || tracker.rtpPorts.contains(dp)) {
+      val rtpInfo = dissectRtp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (rtpInfo != null) return rtpInfo
     }
     // VXLAN (RFC 7348): 8-byte header with the I flag, then an inner
     // Ethernet frame dissected in nested (multi-occurrence) field mode
@@ -1810,6 +1824,102 @@ object Dissect {
         } else p = end
       }
     }
+  }
+
+  private val sipMethods = Set("INVITE", "ACK", "BYE", "CANCEL", "REGISTER",
+    "OPTIONS", "SUBSCRIBE", "NOTIFY", "INFO", "MESSAGE", "REFER", "UPDATE",
+    "PRACK", "PUBLISH")
+
+  /** SIP (RFC 3261, port 5060 over UDP or TCP): request/status line plus
+    * the triage headers (Call-ID, From, To, CSeq — compact forms i/f/t
+    * accepted). An SDP body's `m=<media> <port> RTP/…` lines register the
+    * negotiated ports with the tracker so subsequent RTP flows decode —
+    * the same signaled-setup gating tshark uses (RTP has no magic; blind
+    * port heuristics false-positive). */
+  private def dissectSip(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker): String = {
+    if (len < 12) return null
+    val text = new String(d, off, math.min(len, 4096), "ISO-8859-1")
+    val lineEnd = text.indexOf("\r\n")
+    if (lineEnd < 0) return null
+    val line = text.substring(0, lineEnd)
+    val isStatus = line.startsWith("SIP/2.0 ")
+    val parts = line.split(" ", 3)
+    val isReq = !isStatus && parts.length == 3 && parts(2) == "SIP/2.0" &&
+      sipMethods.contains(parts(0))
+    if (!isStatus && !isReq) return null
+    protos += "sip"
+    val lower = text.toLowerCase
+    def header(names: String*): Option[String] =
+      names.iterator.flatMap { name =>
+        val at = lower.indexOf(s"\r\n$name:")
+        if (at < 0) None
+        else {
+          val vs = at + 2 + name.length + 1
+          val ve = text.indexOf("\r\n", vs)
+          if (ve < 0) None else Some(text.substring(vs, ve).trim)
+        }
+      }.nextOption()
+    header("call-id", "i").foreach(h => v("sip.Call-ID") = h)
+    header("from", "f").foreach(h => v("sip.from.addr") = h)
+    header("to", "t").foreach(h => v("sip.to.addr") = h)
+    header("cseq").foreach(h => v("sip.CSeq") = h)
+    // SDP media lines negotiate the RTP transport addresses
+    var mAt = text.indexOf("\r\nm=")
+    while (mAt >= 0) {
+      val me = text.indexOf("\r\n", mAt + 2)
+      val mLine = text.substring(mAt + 2, if (me < 0) text.length else me)
+      val mp = mLine.split(" ")
+      if (mp.length >= 3 && mp(2).startsWith("RTP/")) {
+        mp(1).toIntOption.foreach { port =>
+          if (tracker.rtpPorts.size < 256) tracker.rtpPorts += port
+        }
+      }
+      mAt = if (me < 0) -1 else text.indexOf("\r\nm=", me)
+    }
+    if (isStatus) {
+      v("sip.Status-Line") = line
+      line.split(" ", 3)(1).toLongOption.foreach(c => v("sip.Status-Code") = c)
+      s"Status: ${line.substring(8)}"
+    } else {
+      v("sip.Request-Line") = line
+      v("sip.Method") = parts(0)
+      v("sip.r-uri") = parts(1)
+      s"Request: ${parts(0)} ${parts(1)}"
+    }
+  }
+
+  private def rtpPtName(pt: Int): String = pt match {
+    case 0 => "ITU-T G.711 PCMU"
+    case 8 => "ITU-T G.711 PCMA"
+    case 9 => "ITU-T G.722"
+    case 18 => "ITU-T G.729"
+    case p if p >= 96 => s"DynamicRTP-Type-$p"
+    case p => p.toString
+  }
+
+  /** RTP (RFC 3550) on an SDP-negotiated port: fixed 12-byte header.
+    * Only flows a SIP/SDP exchange announced are decoded (tshark's
+    * signaled-setup semantics) and only when the version bits say 2. */
+  private def dissectRtp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 12 || (u8(d, off) >> 6) != 2) return null
+    protos += "rtp"
+    val pt = u8(d, off + 1) & 0x7f
+    val seq = u16(d, off + 2)
+    val ts = u32(d, off + 4)
+    val ssrc = u32(d, off + 8)
+    v("rtp.version") = 2L
+    v("rtp.p_type") = pt.toLong
+    v("rtp.seq") = seq.toLong
+    v("rtp.timestamp") = ts
+    v("rtp.ssrc") = f"0x$ssrc%08X"
+    f"PT=${rtpPtName(pt)}, SSRC=0x$ssrc%08X, Seq=$seq, Time=$ts"
   }
 
   private val h2Preface: Array[Byte] = "PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes("ISO-8859-1")

@@ -291,4 +291,27 @@ extra.append((t3, 1800, ip_frame(6, B, A, tcp(53, 49802, 1, axfr[:cut]), ident=5
 extra.append((t3, 1900, ip_frame(6, B, A,
               tcp(53, 49802, 1 + cut, axfr[cut:]), ident=54)))
 
+# 21-24: SIP INVITE whose SDP negotiates RTP on 49170, the 200 OK, then
+# two RTP packets on the announced port (signaled-setup RTP decode)
+sip_invite = (b"INVITE sip:bob@example.com SIP/2.0\r\n"
+              b"Via: SIP/2.0/UDP 10.0.0.1:5060\r\n"
+              b"From: <sip:alice@example.com>;tag=1\r\n"
+              b"To: <sip:bob@example.com>\r\n"
+              b"Call-ID: abc123@10.0.0.1\r\n"
+              b"CSeq: 1 INVITE\r\n"
+              b"Content-Type: application/sdp\r\n\r\n"
+              b"v=0\r\no=alice 1 1 IN IP4 10.0.0.1\r\ns=-\r\n"
+              b"c=IN IP4 10.0.0.1\r\nt=0 0\r\nm=audio 49170 RTP/AVP 0\r\n")
+extra.append((t3, 2000, ip_frame(17, A, B, udp(5060, 5060, sip_invite), ident=55)))
+sip_ok = (b"SIP/2.0 200 OK\r\n"
+          b"From: <sip:alice@example.com>;tag=1\r\n"
+          b"To: <sip:bob@example.com>;tag=2\r\n"
+          b"Call-ID: abc123@10.0.0.1\r\n"
+          b"CSeq: 1 INVITE\r\n\r\n")
+extra.append((t3, 2100, ip_frame(17, B, A, udp(5060, 5060, sip_ok), ident=56)))
+rtp1 = bytes([0x80, 0x00]) + struct.pack(">HII", 1, 160, 0xDEADBEEF) + bytes(4)
+rtp2 = bytes([0x80, 0x00]) + struct.pack(">HII", 2, 320, 0xDEADBEEF) + bytes(4)
+extra.append((t3, 2200, ip_frame(17, A, B, udp(49171, 49170, rtp1), ident=57)))
+extra.append((t3, 2300, ip_frame(17, A, B, udp(49171, 49170, rtp2), ident=58)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
