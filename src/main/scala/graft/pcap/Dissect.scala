@@ -313,8 +313,41 @@ object Dissect {
     *   when each Dissected is fully consumed before the next dissect call
     *   (the PartitionReader pattern); tests that hold several Dissected
     *   objects must keep the default. */
+  /** Interns the per-packet `frame.protocols` chain string: captures carry
+    * a handful of distinct layer chains, so joining the same chain once and
+    * returning the cached string removes a StringBuilder + String
+    * allocation per packet. Linear probe over ≤64 cached chains — the
+    * element arrays are tiny and comparisons almost always short-circuit
+    * on length. */
+  private final class ChainCache {
+    private val keys = new java.util.ArrayList[Array[String]]
+    private val vals = new java.util.ArrayList[String]
+    def joined(protos: mutable.ArrayBuffer[String]): String = {
+      val n = protos.length
+      var i = 0
+      while (i < keys.size) {
+        val k = keys.get(i)
+        if (k.length == n) {
+          var j = 0
+          var ok = true
+          while (ok && j < n) { ok = k(j) == protos(j); j += 1 }
+          if (ok) return vals.get(i)
+        }
+        i += 1
+      }
+      val arr = new Array[String](n)
+      protos.copyToArray(arr)
+      val s = protos.mkString(":")
+      if (keys.size < 64) { keys.add(arr); vals.add(s) }
+      s
+    }
+  }
+
   final class Tracker(val desegment: Boolean = false, val reuseBuffers: Boolean = false) {
     private[Dissect] val pooledVec = if (reuseBuffers) new FieldVec else null
+    private[Dissect] val pooledProtos =
+      if (reuseBuffers) mutable.ArrayBuffer.empty[String] else null
+    private[Dissect] val chains = new ChainCache
     private val tcpConvs = mutable.HashMap.empty[ConvKey, TcpConv]
     private val udpConvs = mutable.HashMap.empty[ConvKey, UdpConv]
     private var nextTcpStream = 0L
@@ -551,7 +584,9 @@ object Dissect {
         java.util.Arrays.fill(tracker.pooledVec.arr, null)
         tracker.pooledVec
       } else new FieldVec
-    val protos = mutable.ArrayBuffer.empty[String]
+    val protos =
+      if (tracker.pooledProtos != null) { tracker.pooledProtos.clear(); tracker.pooledProtos }
+      else mutable.ArrayBuffer.empty[String]
     var info = ""
 
     if (tracker.firstPacketMicros < 0) tracker.firstPacketMicros = rec.tsMicros
@@ -590,7 +625,7 @@ object Dissect {
       case _: ArrayIndexOutOfBoundsException => // truncated capture: keep what we have
     }
 
-    new Dissected(v.arr, protos.mkString(":"), info)
+    new Dissected(v.arr, tracker.chains.joined(protos), info)
   }
 
   /** Ethernet (+optional 802.1Q) from `off` — also the tunnel re-entry
