@@ -1273,6 +1273,8 @@ object Dissect {
         appInfo = dissectSsh(appBuf, appOff, appLen, fromServer = sp == 22, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 5060 || dp == 5060))
         appInfo = dissectSip(appBuf, appOff, appLen, v, protos, tracker)
+      if (appInfo == null && !h2Claimed && (sp == 88 || dp == 88))
+        appInfo = dissectKrb5(appBuf, appOff, appLen, overTcp = true, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -1400,6 +1402,11 @@ object Dissect {
       val sipInfo = dissectSip(d, off + 8,
         math.min(payLen, d.length - off - 8), v, protos, tracker)
       if (sipInfo != null) return sipInfo
+    }
+    if (sp == 88 || dp == 88) {
+      val krbInfo = dissectKrb5(d, off + 8,
+        math.min(payLen, d.length - off - 8), overTcp = false, v, protos)
+      if (krbInfo != null) return krbInfo
     }
     if (tracker.rtpPorts.contains(sp) || tracker.rtpPorts.contains(dp)) {
       val rtpInfo = dissectRtp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
@@ -1955,6 +1962,41 @@ object Dissect {
     v("rtp.timestamp") = ts
     v("rtp.ssrc") = f"0x$ssrc%08X"
     f"PT=${rtpPtName(pt)}, SSRC=0x$ssrc%08X, Seq=$seq, Time=$ts"
+  }
+
+  private val krbMsgNames: Map[Int, String] = Map(
+    10 -> "AS-REQ", 11 -> "AS-REP", 12 -> "TGS-REQ", 13 -> "TGS-REP",
+    14 -> "AP-REQ", 15 -> "AP-REP", 20 -> "KRB-SAFE", 21 -> "KRB-PRIV",
+    22 -> "KRB-CRED", 30 -> "KRB-ERROR")
+
+  /** Kerberos v5 (RFC 4120, port 88): DER application-tag sniff — the
+    * message type names the exchange (AS-REQ/AS-REP/TGS-…); full DER
+    * bodies (realms, principal names, enc-parts) are tshark's krb5
+    * dissector territory. TCP framing adds a 4-byte record length
+    * (§7.2.2). */
+  private def dissectKrb5(
+      d: Array[Byte], off: Int, len: Int, overTcp: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    var p = off
+    var rem = len
+    if (overTcp) {
+      if (rem < 5) return null
+      val rl = u32(d, p)
+      if (rl < 2 || rl > 10L * 1024 * 1024) return null
+      p += 4; rem -= 4
+    }
+    if (rem < 2) return null
+    val tag = u8(d, p)
+    if ((tag & 0xe0) != 0x60) return null // not constructed APPLICATION class
+    val msgType = tag & 0x1f
+    krbMsgNames.get(msgType) match {
+      case None => null
+      case Some(nm) =>
+        protos += "kerberos"
+        v("kerberos.msg_type") = msgType.toLong
+        nm
+    }
   }
 
   private val h2Preface: Array[Byte] = "PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes("ISO-8859-1")

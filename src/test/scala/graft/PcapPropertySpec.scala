@@ -71,13 +71,15 @@ class PcapPropertySpec extends AnyFunSuite {
 
   test("dissector fuzz: random TCP payloads to app-layer ports never throw") {
     import graft.pcap.Dissect
-    // ports that trigger the HTTP/TLS/DNS/FIX content sniffers
-    val portGen = Gen.oneOf(80, 443, 53, 5001, 40000)
+    // ports that trigger the HTTP/TLS/DNS/FIX/FTP/SSH/SIP/SMB2 content sniffers
+    val portGen = Gen.oneOf(80, 443, 53, 5001, 40000, 21, 22, 445, 5060)
     val payloadGen = for {
       n <- Gen.chooseNum(0, 400)
       bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))
       // bias some payloads toward protocol-looking prefixes to reach deep paths
-      prefix <- Gen.oneOf("", "GET ", "HTTP/1.1 ", "8=FIX.4.2", "")
+      prefix <- Gen.oneOf("", "GET ", "HTTP/1.1 ", "8=FIX.4.2", "",
+        "SSH-2.0-x\r\n", "220 ok\r\n", "USER a\r\n",
+        "INVITE sip:a SIP/2.0\r\n", "SIP/2.0 200 OK\r\n")
     } yield prefix.getBytes("ISO-8859-1") ++ bytes
     def tcpFrame(sp: Int, dp: Int, payload: Array[Byte]): Array[Byte] = {
       val b = ByteBuffer.allocate(14 + 20 + 20 + payload.length)

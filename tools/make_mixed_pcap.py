@@ -314,4 +314,14 @@ rtp2 = bytes([0x80, 0x00]) + struct.pack(">HII", 2, 320, 0xDEADBEEF) + bytes(4)
 extra.append((t3, 2200, ip_frame(17, A, B, udp(49171, 49170, rtp1), ident=57)))
 extra.append((t3, 2300, ip_frame(17, A, B, udp(49171, 49170, rtp2), ident=58)))
 
+# 25-27: Kerberos — AS-REQ / AS-REP over UDP 88, TGS-REQ over TCP 88
+# (4-byte record length prefix). DER application tags 10/11/12.
+krb_as_req = bytes([0x6A, 0x10]) + bytes([0x30, 0x0E]) + bytes(14)
+extra.append((t3, 2400, ip_frame(17, A, B, udp(49900, 88, krb_as_req), ident=59)))
+krb_as_rep = bytes([0x6B, 0x10]) + bytes([0x30, 0x0E]) + bytes(14)
+extra.append((t3, 2500, ip_frame(17, B, A, udp(88, 49900, krb_as_rep), ident=60)))
+krb_tgs = bytes([0x6C, 0x10]) + bytes([0x30, 0x0E]) + bytes(14)
+krb_tcp = struct.pack(">I", len(krb_tgs)) + krb_tgs
+extra.append((t3, 2600, ip_frame(6, A, B, tcp(49901, 88, 1, krb_tcp), ident=61)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
