@@ -24,6 +24,7 @@ case class HammingDistance(left: Expression, right: Expression)
       s"hamming_distance requires BIGINT arguments, got (${left.dataType}, ${right.dataType})")
   }
   override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hamming_distance"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long]).toLong

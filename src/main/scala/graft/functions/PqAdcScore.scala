@@ -28,6 +28,7 @@ case class PqAdcScore(left: Expression, right: Expression) extends BinaryExpress
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_score"
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>

@@ -28,6 +28,7 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vector_dot"
 
   private def elemOk(t: DataType): Boolean = t match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true

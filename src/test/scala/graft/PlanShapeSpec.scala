@@ -1,0 +1,49 @@
+package graft
+
+/** Physical-plan shape pins for the scale-critical query families: the
+  * point is not what these queries return (CORRECTNESS covers that) but
+  * HOW they execute — a regression that swaps a broadcast for a shuffle
+  * or a bucket equi-join for a cross join would still return the right
+  * rows at sf0.001 while becoming a scale-killer at 100 TB. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString()
+
+  test("ANN search plans broadcast the query/probe side; never cartesian") {
+    for (q <- Seq("sim_ann_batch", "sim_ann_ivf", "sim_ann_ivf_batch",
+      "sim_ann_pq", "sim_ann_ivfpq")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"),
+        s"$q: the query/probe side must broadcast (corpus never shuffles for scoring)")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: plan regressed to a cartesian product")
+    }
+  }
+
+  test("PQ approx stage scores via the codegen pq_adc_score expression") {
+    for (q <- Seq("sim_ann_pq", "sim_ann_ivfpq")) {
+      val p = plan(q)
+      assert(p.contains("pq_adc_score"),
+        s"$q: ADC table scoring must be in the plan (not reconstruction)")
+    }
+  }
+
+  test("dedup candidate generation is a key equi-join, never a cross join") {
+    for (q <- Seq("dd_minhash_lsh_pairs", "dd_simhash_pairs",
+      "dd_ngram_jaccard", "dd_embedding_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: candidate pairing must stay a bucket equi-join")
+    }
+  }
+
+  test("join/topk/pushdown staples keep their shapes") {
+    val p5 = plan("q05_join_topk")
+    assert(p5.contains("BroadcastHashJoin"))
+    val p16 = plan("q16_sort_limit")
+    assert(p16.contains("TakeOrderedAndProject"))
+    val p2 = plan("q02_filter_project")
+    assert(p2.contains("PushedFilters: [IsNotNull") || p2.contains("PushedFilters: ["))
+  }
+}
