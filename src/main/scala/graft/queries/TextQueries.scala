@@ -764,9 +764,61 @@ object TextQueries {
       ORDER BY cluster, doc_id"""
     })
 
+  /** Per-document top terms by df-scaled term weight — the tf-idf family
+    * member expressible in EXACTLY-ROUNDED IEEE ops only (`tf × (N ÷ df)`;
+    * a log-smoothed idf would hash-diverge from the oracle because libm
+    * log implementations differ across engines — see q27's function
+    * choice). 100 TB shape: one (doc,term) shuffle for tf, a
+    * vocabulary-sized df aggregate joined on term, a skinny
+    * (doc_id, term, score) window for top-3; the corpus text never moves
+    * twice. */
+  val txTfidfTerms = GraftQuery(
+    "tx_tfidf_terms",
+    (s, dir) => {
+      import s.implicits._
+      val words = docs(s, dir)
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter($"w" =!= "")
+      val tf = words.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tfc"))
+      val dfx = words.select($"doc_id", $"w").distinct()
+        .groupBy($"w").agg(count(lit(1)).as("dfc"))
+      val ndocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"score".desc, $"w")
+      tf.join(dfx, Seq("w"))
+        .crossJoin(ndocs) // one-row broadcast: the corpus document count
+        .select($"doc_id", $"w",
+          ($"tfc".cast(DoubleType) *
+            ($"n_docs".cast(DoubleType) / $"dfc".cast(DoubleType))).as("score"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter($"rnk" <= 3)
+        .select($"doc_id", $"rnk", $"w".as("term"), $"score")
+        .orderBy($"doc_id", $"rnk")
+    },
+    Some("""
+      WITH w2 AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+        WHERE w <> ''),
+      tf AS (SELECT doc_id, w, COUNT(*) AS tfc FROM w2 GROUP BY 1, 2),
+      dfx AS (SELECT w, COUNT(*) AS dfc
+              FROM (SELECT DISTINCT doc_id, w FROM w2) GROUP BY w),
+      nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.w,
+               CAST(tfc AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(dfc AS DOUBLE)) AS score
+        FROM tf JOIN dfx ON dfx.w = tf.w CROSS JOIN nd),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, w) AS rn
+        FROM scored)
+      SELECT doc_id, CAST(rn AS BIGINT) AS rnk, w AS term, score
+      FROM ranked WHERE rn <= 3
+      ORDER BY doc_id, rnk"""))
+
   val all: Seq[GraftQuery] = Seq(
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
-    txContamination, txGopherFilter,
+    txContamination, txGopherFilter, txTfidfTerms,
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
     ddSimhashPairs, ddDedupClusters)
 }
