@@ -1064,8 +1064,18 @@ object Dissect {
       conv.lastAck(revDir) >= 0 && rawSeq == conv.lastAck(revDir) &&
       conv.lastDupAckTsMicros(revDir) >= 0 &&
       tracker.currentTsMicros - conv.lastDupAckTsMicros(revDir) < 20000L
-    val isRetrans = seqNotAdvanced && !isFastRetrans
+    // Spurious retransmission (Wireshark rule): every byte of this
+    // segment was already ACKed by the peer — the retransmission was
+    // unnecessary. Checked after fast (dup-ACK-triggered) retransmission,
+    // before the plain flag; the three are mutually exclusive.
+    val isSpurious = seqNotAdvanced && !isFastRetrans &&
+      conv.lastAck(revDir) >= 0 && conv.isn(dir) >= 0 && {
+        val relAckFromRev = (conv.lastAck(revDir) - conv.isn(dir)) & 0xffffffffL
+        relSeq + segLen <= relAckFromRev
+      }
+    val isRetrans = seqNotAdvanced && !isFastRetrans && !isSpurious
     if (isFastRetrans) v("tcp.analysis.fast_retransmission") = "1"
+    if (isSpurious) v("tcp.analysis.spurious_retransmission") = "1"
     if (isRetrans) v.set(Id_tcp_analysis_retransmission, "1")
     // Window full: this data segment's nxtseq lands exactly on the right
     // edge of the receive window the peer last advertised (peer's last
@@ -1112,7 +1122,7 @@ object Dissect {
     var appLen = plen
     var outOfOrder = false
     if (tracker.desegment && plen > 0) {
-      if (isRetrans || isFastRetrans) appLen = 0
+      if (seqNotAdvanced) appLen = 0 // any retransmission flavor: no new bytes
       else {
         if (conv.expSeq(dir) < 0) conv.expSeq(dir) = extSeq // anchor at first data
         if (extSeq > conv.expSeq(dir) && conv.oooBytes(dir) + plen > MaxCarry) {
@@ -1340,6 +1350,7 @@ object Dissect {
       val sb = new StringBuilder
       if (outOfOrder) sb.append("[TCP Out-Of-Order] ")
       else if (tracker.desegment && isFastRetrans) sb.append("[TCP Fast Retransmission] ")
+      else if (tracker.desegment && isSpurious) sb.append("[TCP Spurious Retransmission] ")
       else if (tracker.desegment && isRetrans) sb.append("[TCP Retransmission] ")
       else if (tracker.desegment && windowFull) sb.append("[TCP Window Full] ")
       sb.append(sp).append(" → ").append(dp)

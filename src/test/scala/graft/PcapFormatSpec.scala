@@ -679,6 +679,15 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(plain.values.contains("tcp.analysis.retransmission"))
     assert(!plain.values.contains("tcp.analysis.fast_retransmission"))
 
+    // spurious retransmission: the peer already ACKed these bytes
+    val t5 = new Dissect.Tracker
+    Dissect.dissect(rec(biFrame(true, 6009, 6010, "fffff".getBytes, 4000, 0, 0x18)), 1, t5)
+    Dissect.dissect(rec(biFrame(false, 6010, 6009, Array.emptyByteArray, 500, 4005, 0x10)), 1, t5)
+    val sp = Dissect.dissect(rec(biFrame(true, 6009, 6010, "fffff".getBytes, 4000, 0, 0x18)), 1, t5)
+    assert(sp.values.contains("tcp.analysis.spurious_retransmission"))
+    assert(!sp.values.contains("tcp.analysis.retransmission"))
+    assert(!sp.values.contains("tcp.analysis.fast_retransmission"))
+
     // window full: the peer advertised a 10-byte window behind ack 3005;
     // the segment ending exactly at the right edge is flagged
     val t3 = new Dissect.Tracker
