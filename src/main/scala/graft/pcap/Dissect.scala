@@ -1397,6 +1397,11 @@ object Dissect {
       val dnsInfo = dissectDns(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
       if (dnsInfo != null) return dnsInfo
     }
+    if (sp == 5353 || dp == 5353) {
+      val mdnsInfo = dissectDns(d, off + 8, math.min(off + 8 + payLen, d.length),
+        v, protos, protoName = "mdns")
+      if (mdnsInfo != null) return mdnsInfo
+    }
     if (sp == 123 || dp == 123) {
       val ntpInfo = dissectNtp(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
       if (ntpInfo != null) return ntpInfo
@@ -1419,9 +1424,18 @@ object Dissect {
         math.min(payLen, d.length - off - 8), overTcp = false, v, protos)
       if (krbInfo != null) return krbInfo
     }
+    if (sp == 161 || dp == 161 || sp == 162 || dp == 162) {
+      val snmpInfo = dissectSnmp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (snmpInfo != null) return snmpInfo
+    }
     if (tracker.rtpPorts.contains(sp) || tracker.rtpPorts.contains(dp)) {
       val rtpInfo = dissectRtp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
       if (rtpInfo != null) return rtpInfo
+    }
+    // RTCP rides the SDP-announced RTP port + 1 (RFC 3550 §11)
+    if (tracker.rtpPorts.contains(sp - 1) || tracker.rtpPorts.contains(dp - 1)) {
+      val rtcpInfo = dissectRtcp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (rtcpInfo != null) return rtcpInfo
     }
     // VXLAN (RFC 7348): 8-byte header with the I flag, then an inner
     // Ethernet frame dissected in nested (multi-occurrence) field mode
@@ -2010,6 +2024,79 @@ object Dissect {
     }
   }
 
+  /** BER length at `p`: (length, offset after the length field), or
+    * (-1, p) for truncated/indefinite/overlong forms (SNMP messages in
+    * a UDP datagram never legitimately need more than 2 length bytes). */
+  private def berLen(d: Array[Byte], p: Int, end: Int): (Int, Int) = {
+    if (p >= end) return (-1, p)
+    val b0 = u8(d, p)
+    if (b0 < 0x80) (b0, p + 1)
+    else if (b0 == 0x81 && p + 1 < end) (u8(d, p + 1), p + 2)
+    else if (b0 == 0x82 && p + 2 < end) ((u8(d, p + 1) << 8) | u8(d, p + 2), p + 3)
+    else (-1, p)
+  }
+
+  private val snmpPduNames: Map[Int, String] = Map(
+    0 -> "get-request", 1 -> "get-next-request", 2 -> "get-response",
+    3 -> "set-request", 4 -> "trap", 5 -> "getBulkRequest",
+    6 -> "informRequest", 7 -> "snmpV2-trap", 8 -> "report")
+
+  /** SNMP v1/v2c (RFC 1157/3416, UDP 161/162): BER
+    * SEQUENCE { INTEGER version, OCTET STRING community, PDU } — version,
+    * community, and the PDU's context tag (get-request/get-response/…).
+    * Varbind lists are tshark's snmp dissector territory. */
+  private def dissectSnmp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    val end = off + len
+    if (len < 10 || u8(d, off) != 0x30) return null
+    var (l, p) = berLen(d, off + 1, end)
+    if (l < 0 || u8(d, p) != 0x02) return null // version INTEGER
+    val (vl, vp) = berLen(d, p + 1, end)
+    if (vl != 1 || vp >= end) return null
+    val version = u8(d, vp)
+    if (version > 3) return null
+    p = vp + vl
+    if (p >= end || u8(d, p) != 0x04) return null // community OCTET STRING
+    val (cl, cp) = berLen(d, p + 1, end)
+    if (cl < 0 || cp + cl > end) return null
+    val community = new String(d, cp, cl, "ISO-8859-1")
+    p = cp + cl
+    if (p >= end) return null
+    val tag = u8(d, p)
+    if ((tag & 0xe0) != 0xa0) return null // context-class constructed PDU
+    val pduType = tag & 0x1f
+    val name = snmpPduNames.getOrElse(pduType, s"pdu-$pduType")
+    protos += "snmp"
+    v("snmp.version") = version.toLong
+    v("snmp.community") = community
+    v("snmp.pdu_type") = pduType.toLong
+    name
+  }
+
+  /** RTCP (RFC 3550 §6, the RTP control channel — SDP port + 1): packet
+    * type and the first SSRC. Decode is gated on the SIP/SDP-announced
+    * port range exactly like [[dissectRtp]]. */
+  private def dissectRtcp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8 || (u8(d, off) >> 6) != 2) return null
+    val pt = u8(d, off + 1)
+    if (pt < 200 || pt > 204) return null
+    protos += "rtcp"
+    v("rtcp.pt") = pt.toLong
+    v("rtcp.senderssrc") = f"0x${u32(d, off + 4)}%08X"
+    pt match {
+      case 200 => "Sender Report"
+      case 201 => "Receiver Report"
+      case 202 => "Source description"
+      case 203 => "Goodbye"
+      case _   => "Application defined"
+    }
+  }
+
   private val h2Preface: Array[Byte] = "PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes("ISO-8859-1")
 
   private def isH2Preface(d: Array[Byte], off: Int, len: Int): Boolean = {
@@ -2202,17 +2289,21 @@ object Dissect {
   /** DNS over UDP/53 (RFC 1035): header counts, QR flag, first question
     * name/type; "Standard query [response] 0x…" info. Returns null when
     * the payload does not parse as DNS. */
+  /** @param protoName layer name appended on success — "dns", or "mdns"
+    *                   for the same wire format on UDP 5353 (tshark keeps
+    *                   the dns.* field names for mDNS). */
   private def dissectDns(
       d: Array[Byte], off: Int, end: Int,
       v: FieldVec,
-      protos: mutable.ArrayBuffer[String]): String = {
+      protos: mutable.ArrayBuffer[String],
+      protoName: String = "dns"): String = {
     if (end - off < 12) return null
     val id = u16(d, off)
     val flags = u16(d, off + 2)
     val qd = u16(d, off + 4)
     val an = u16(d, off + 6)
     if (qd > 32 || an > 128) return null // implausible header: not DNS
-    protos += "dns"
+    protos += protoName
     val isResponse = (flags & 0x8000) != 0
     v("dns.id") = id.toLong
     v("dns.flags.response") = isResponse

@@ -324,4 +324,27 @@ krb_tgs = bytes([0x6C, 0x10]) + bytes([0x30, 0x0E]) + bytes(14)
 krb_tcp = struct.pack(">I", len(krb_tgs)) + krb_tgs
 extra.append((t3, 2600, ip_frame(6, A, B, tcp(49901, 88, 1, krb_tcp), ident=61)))
 
+# 28: mDNS query on 5353 (same wire format as DNS; protocol named mdns)
+extra.append((t3, 2700, ip_frame(17, A, [224, 0, 0, 251], udp(5353, 5353, dns_q),
+                                ident=62)))
+
+# 29-30: SNMP v2c get-request / get-response (BER, UDP 161)
+def snmp_msg(pdu_tag):
+    community = b"public"
+    pdu = bytes([pdu_tag, 0x0B]) + bytes([0x02, 0x01, 0x2A]) + \
+        bytes([0x02, 0x01, 0x00]) + bytes([0x02, 0x01, 0x00]) + \
+        bytes([0x30, 0x00])
+    body = bytes([0x02, 0x01, 0x01]) + \
+        bytes([0x04, len(community)]) + community + pdu
+    return bytes([0x30, len(body)]) + body
+
+
+extra.append((t3, 2800, ip_frame(17, A, B, udp(50100, 161, snmp_msg(0xA0)), ident=63)))
+extra.append((t3, 2900, ip_frame(17, B, A, udp(161, 50100, snmp_msg(0xA2)), ident=64)))
+
+# 31: RTCP Sender Report on the SDP-negotiated port + 1 (49171)
+rtcp_sr = bytes([0x80, 200]) + struct.pack(">H", 6) + \
+    struct.pack(">I", 0xDEADBEEF) + bytes(20)
+extra.append((t3, 3000, ip_frame(17, A, B, udp(49172, 49171, rtcp_sr), ident=65)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
