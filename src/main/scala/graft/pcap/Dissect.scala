@@ -1277,8 +1277,37 @@ object Dissect {
       if (appInfo == null && !h2Claimed) appInfo = dissectTls(appBuf, appOff, appLen, sp, dp, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 445 || dp == 445))
         appInfo = dissectSmb2(appBuf, appOff, appLen, v, protos)
-      if (appInfo == null && !h2Claimed && (sp == 21 || dp == 21))
-        appInfo = dissectFtp(appBuf, appOff, appLen, fromServer = sp == 21, v, protos)
+      // FTP: line-oriented — under desegment an incomplete trailing line
+      // carries across delivered runs (kind 4) and dissects on the run
+      // that completes its CRLF (tshark reassembly semantics); without
+      // desegment only whole-in-segment lines dissect.
+      if (appInfo == null && !h2Claimed && (sp == 21 || dp == 21) && appLen > 0) {
+        if (tracker.desegment) {
+          val ftpCarry = conv.carryKind(dir) == 4 && conv.carry(dir).nonEmpty
+          val seg = java.util.Arrays.copyOfRange(appBuf, appOff, appOff + appLen)
+          val buf = if (ftpCarry) conv.carry(dir) ++ seg else seg
+          var lastCrlf = -1
+          var i = buf.length - 2
+          while (lastCrlf < 0 && i >= 0) {
+            if (buf(i) == '\r' && buf(i + 1) == '\n') lastCrlf = i
+            i -= 1
+          }
+          if (lastCrlf >= 0)
+            appInfo = dissectFtp(buf, 0, lastCrlf + 2, fromServer = sp == 21, v, protos)
+          val restLen = buf.length - (if (lastCrlf >= 0) lastCrlf + 2 else 0)
+          if (restLen > 0 && restLen <= MaxCarry && (appInfo != null || ftpCarry ||
+            looksFtpStart(buf, fromServer = sp == 21))) {
+            conv.carry(dir) = java.util.Arrays.copyOfRange(buf, buf.length - restLen, buf.length)
+            conv.carryKind(dir) = 4
+            if (appInfo == null) appInfo = "[TCP segment of a reassembled PDU]"
+          } else if (conv.carryKind(dir) == 4) {
+            conv.carry(dir) = Array.emptyByteArray
+            conv.carryKind(dir) = 0
+          }
+        } else {
+          appInfo = dissectFtp(appBuf, appOff, appLen, fromServer = sp == 21, v, protos)
+        }
+      }
       if (appInfo == null && !h2Claimed && (sp == 22 || dp == 22))
         appInfo = dissectSsh(appBuf, appOff, appLen, fromServer = sp == 22, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 5060 || dp == 5060))
@@ -1824,6 +1853,28 @@ object Dissect {
       v("ftp.request.command") = cmd
       if (sp1 >= 0 && sp1 + 1 < first.length) v("ftp.request.arg") = first.substring(sp1 + 1)
       lines.map(l => s"Request: $l").mkString(" | ")
+    }
+  }
+
+  /** Plausibility gate for CARRYING an un-terminated line on the FTP
+    * control port: replies open with digits, commands with 3-4 letters
+    * (then space/end). Prevents a non-FTP stream on 21 from occupying the
+    * carry forever. */
+  private def looksFtpStart(buf: Array[Byte], fromServer: Boolean): Boolean = {
+    if (buf.length == 0) return false
+    if (fromServer) {
+      val n = math.min(3, buf.length)
+      var i = 0
+      while (i < n) { if (buf(i) < '0' || buf(i) > '9') return false; i += 1 }
+      true
+    } else {
+      val n = math.min(5, buf.length)
+      var letters = 0
+      while (letters < n &&
+        ((buf(letters) >= 'A' && buf(letters) <= 'Z') ||
+          (buf(letters) >= 'a' && buf(letters) <= 'z'))) letters += 1
+      if (letters == buf.length && letters <= 4) true
+      else letters >= 3 && letters <= 4 && letters < buf.length && buf(letters) == ' '
     }
   }
 

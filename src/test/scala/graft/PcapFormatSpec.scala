@@ -748,6 +748,34 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d3.protocols === "eth:ethertype:ip:tcp:dns")
   }
 
+  test("FTP line split across segments reassembles under desegment") {
+    def frame(b: Array[Byte], seq: Int) = {
+      val f = ethIpTcp(49810, 21, b, seq)
+      PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    }
+    val t = new Dissect.Tracker(desegment = true)
+    val (p1, p2) = "RETR file.bin\r\n".getBytes("ISO-8859-1").splitAt(6)
+    val d1 = Dissect.dissect(frame(p1, 1), 1, t)
+    assert(d1.info === "[TCP segment of a reassembled PDU]")
+    val d2 = Dissect.dissect(frame(p2, 1 + p1.length), 1, t)
+    assert(d2.info === "Request: RETR file.bin")
+    assert(d2.values("ftp.request.command") === "RETR")
+    assert(d2.values("ftp.request.arg") === "file.bin")
+
+    // a complete line followed by a partial one: the complete line
+    // dissects now, the tail completes on the next segment
+    val t2 = new Dissect.Tracker(desegment = true)
+    val d3 = Dissect.dissect(frame("USER anonymous\r\nPAS".getBytes("ISO-8859-1"), 1), 1, t2)
+    assert(d3.info === "Request: USER anonymous")
+    val d4 = Dissect.dissect(frame("S secret\r\n".getBytes("ISO-8859-1"), 20), 1, t2)
+    assert(d4.info === "Request: PASS secret")
+
+    // without desegment the split line never dissects
+    val t3 = new Dissect.Tracker
+    val d5 = Dissect.dissect(frame(p1, 1), 1, t3)
+    assert(!d5.info.startsWith("Request:"))
+  }
+
   test("desegment survives 32-bit sequence wraparound") {
     val fix = "8=FIX.4.29=2035=A34=149=X10=123"
     val bytes = fix.getBytes("ISO-8859-1")
