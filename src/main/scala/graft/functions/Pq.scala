@@ -258,6 +258,32 @@ object Pq {
       .saveAsTable(s"${name}_codes")
   }
 
+  /** Persist a complete IVF-PQ index WITHOUT corpus duplication: the tiny
+    * centroid table (the [[Ivf.persist]] shape) plus the codebook and ONE
+    * bucketed corpus table that carries cell AND codes (the frame from
+    * `Pq.encode(index.assigned)`). Calling [[Ivf.persist]] + [[persist]]
+    * separately would store the corpus twice. */
+  def persistIvfPq(index: Ivf.Index, cb: Codebook, encodedWithCell: DataFrame,
+      name: String, buckets: Int = 16): Unit = {
+    val spark = encodedWithCell.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").saveAsTable(s"${name}_centroids")
+    persist(cb, encodedWithCell, name, buckets)
+  }
+
+  /** Load a combined IVF-PQ index: centroids + codebook are small
+    * collects; the single bucketed corpus table serves both the
+    * cell-probe join and the exact rerank. Zero k-means jobs. */
+  def loadIvfPq(spark: SparkSession, name: String): (Ivf.Index, Codebook, DataFrame) = {
+    val (cb, codes) = loadIndex(spark, name)
+    val cents = spark.table(s"${name}_centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    (Ivf.Index(cents, codes), cb, codes)
+  }
+
   /** Load a persisted PQ index; no k-means fit happens here — the codebook
     * is a small collect, the codes stay a lazy (bucketed) table scan. */
   def loadIndex(spark: SparkSession, name: String): (Codebook, DataFrame) = {

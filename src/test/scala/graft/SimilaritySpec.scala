@@ -353,6 +353,18 @@ class SimilaritySpec extends SparkSpec {
     Seq("pq_spec_idx_codebook", "pq_spec_idx_codes",
       "pqivf_spec_idx_centroids", "pqivf_spec_idx_assigned")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    // combined persist: THREE tables, corpus stored once, search equal
+    graft.functions.Pq.persistIvfPq(index, cb, encoded, "ivfpq_spec_idx", buckets = 8)
+    val (cix, ccb, ccodes) = graft.functions.Pq.loadIvfPq(spark, "ivfpq_spec_idx")
+    assert(!spark.catalog.tableExists("ivfpq_spec_idx_assigned"),
+      "combined persist must not duplicate the corpus")
+    assert(rows(graft.functions.Pq.searchIvfPq(ccodes, ccb, cix, queries,
+        topK = 5, nProbe = 4)) ===
+      rows(graft.functions.Pq.searchIvfPq(encoded, cb, index, queries,
+        topK = 5, nProbe = 4)))
+    Seq("ivfpq_spec_idx_centroids", "ivfpq_spec_idx_codebook", "ivfpq_spec_idx_codes")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("batch IVF with all cells probed equals per-query exhaustive search") {
