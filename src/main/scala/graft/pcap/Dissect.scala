@@ -358,6 +358,9 @@ object Dissect {
     // UDP ports announced by SIP/SDP media lines — gates RTP decode
     // (bounded; a capture cannot grow this past 256 entries)
     private[Dissect] val rtpPorts = mutable.Set.empty[Int]
+    // outstanding ONC-RPC call xids -> (version, procedure), so NFS
+    // replies name their procedure (bounded at 1024, oldest evicted)
+    private[Dissect] val rpcCalls = mutable.LinkedHashMap.empty[Long, (Long, Long)]
 
     private[Dissect] def tcpConv(k: ConvKey): TcpConv =
       tcpConvs.getOrElseUpdate(k, { val c = new TcpConv(nextTcpStream); nextTcpStream += 1; c })
@@ -1314,6 +1317,8 @@ object Dissect {
         appInfo = dissectSip(appBuf, appOff, appLen, v, protos, tracker)
       if (appInfo == null && !h2Claimed && (sp == 88 || dp == 88))
         appInfo = dissectKrb5(appBuf, appOff, appLen, overTcp = true, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 2049 || dp == 2049))
+        appInfo = dissectRpcNfs(appBuf, appOff, appLen, overTcp = true, v, protos, tracker)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -1456,6 +1461,11 @@ object Dissect {
     if (sp == 161 || dp == 161 || sp == 162 || dp == 162) {
       val snmpInfo = dissectSnmp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
       if (snmpInfo != null) return snmpInfo
+    }
+    if (sp == 2049 || dp == 2049) {
+      val nfsInfo = dissectRpcNfs(d, off + 8, math.min(payLen, d.length - off - 8),
+        overTcp = false, v, protos, tracker)
+      if (nfsInfo != null) return nfsInfo
     }
     if (tracker.rtpPorts.contains(sp) || tracker.rtpPorts.contains(dp)) {
       val rtpInfo = dissectRtp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
@@ -2145,6 +2155,74 @@ object Dissect {
       case 202 => "Source description"
       case 203 => "Goodbye"
       case _   => "Application defined"
+    }
+  }
+
+  private val nfs3ProcNames: Map[Int, String] = Map(
+    0 -> "NULL", 1 -> "GETATTR", 2 -> "SETATTR", 3 -> "LOOKUP", 4 -> "ACCESS",
+    5 -> "READLINK", 6 -> "READ", 7 -> "WRITE", 8 -> "CREATE", 9 -> "MKDIR",
+    10 -> "SYMLINK", 11 -> "MKNOD", 12 -> "REMOVE", 13 -> "RMDIR",
+    14 -> "RENAME", 15 -> "LINK", 16 -> "READDIR", 17 -> "READDIRPLUS",
+    18 -> "FSSTAT", 19 -> "FSINFO", 20 -> "PATHCONF", 21 -> "COMMIT")
+
+  /** ONC-RPC (RFC 5531) on the NFS port: record-marked (TCP) or bare
+    * (UDP) call/reply headers — xid, message type, and for calls the
+    * program/version/procedure (NFSv3 procedures named). XDR argument
+    * bodies are tshark's rpc/nfs dissector territory. */
+  private def dissectRpcNfs(
+      d: Array[Byte], off: Int, len: Int, overTcp: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker): String = {
+    var p = off
+    val end = off + len
+    if (overTcp) {
+      if (len < 4 + 12) return null
+      val marker = u32(d, p)
+      val fragLen = marker & 0x7fffffffL
+      if (fragLen < 12 || fragLen > (1 << 26)) return null
+      p += 4
+    } else if (len < 12) return null
+    val xid = u32(d, p)
+    val msgType = u32(d, p + 4)
+    if (msgType > 1) return null
+    if (msgType == 0) {
+      // call: rpcvers must be 2; program selects the upper layer
+      if (p + 24 > end || u32(d, p + 8) != 2) return null
+      val prog = u32(d, p + 12)
+      val vers = u32(d, p + 16)
+      val proc = u32(d, p + 20)
+      if (prog != 100003) return null // only the NFS program is claimed
+      protos += "rpc"
+      protos += "nfs"
+      v("rpc.xid") = f"0x$xid%08x"
+      v("rpc.msgtyp") = 0L
+      v("rpc.program") = prog
+      v("rpc.programversion") = vers
+      v("rpc.procedure") = proc
+      if (tracker.rpcCalls.size >= 1024) tracker.rpcCalls.remove(tracker.rpcCalls.head._1)
+      tracker.rpcCalls(xid) = (vers, proc)
+      val name =
+        if (vers == 3) nfs3ProcNames.getOrElse(proc.toInt, s"proc-$proc")
+        else s"proc-$proc"
+      s"V$vers $name Call"
+    } else {
+      // reply: no program field on the wire — the port gate plus a
+      // matching outstanding call xid identify it as NFS
+      tracker.rpcCalls.get(xid) match {
+        case Some((vers, proc)) =>
+          protos += "rpc"
+          protos += "nfs"
+          v("rpc.xid") = f"0x$xid%08x"
+          v("rpc.msgtyp") = 1L
+          v("rpc.programversion") = vers
+          v("rpc.procedure") = proc
+          val name =
+            if (vers == 3) nfs3ProcNames.getOrElse(proc.toInt, s"proc-$proc")
+            else s"proc-$proc"
+          s"V$vers $name Reply"
+        case None => null // unmatched reply-shaped bytes: don't claim
+      }
     }
   }
 

@@ -347,4 +347,22 @@ rtcp_sr = bytes([0x80, 200]) + struct.pack(">H", 6) + \
     struct.pack(">I", 0xDEADBEEF) + bytes(20)
 extra.append((t3, 3000, ip_frame(17, A, B, udp(49172, 49171, rtcp_sr), ident=65)))
 
+# 32-33: NFSv3 GETATTR call + reply over TCP 2049 (record-marked ONC-RPC)
+def rpc_call(xid, prog, vers, proc):
+    body = struct.pack(">IIIIII", xid, 0, 2, prog, vers, proc) + \
+        struct.pack(">II", 0, 0) + struct.pack(">II", 0, 0)  # null creds+verf
+    return struct.pack(">I", 0x80000000 | len(body)) + body
+
+
+def rpc_reply(xid):
+    body = struct.pack(">II", xid, 1) + struct.pack(">I", 0) + \
+        struct.pack(">II", 0, 0) + struct.pack(">I", 0)  # accepted, null verf, success
+    return struct.pack(">I", 0x80000000 | len(body)) + body
+
+
+extra.append((t3, 3100, ip_frame(6, A, B,
+              tcp(50200, 2049, 1, rpc_call(0x11223344, 100003, 3, 1)), ident=66)))
+extra.append((t3, 3200, ip_frame(6, B, A,
+              tcp(2049, 50200, 1, rpc_reply(0x11223344)), ident=67)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
