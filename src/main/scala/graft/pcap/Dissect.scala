@@ -1856,8 +1856,11 @@ object Dissect {
       val first = lines.head
       val sp1 = first.indexOf(' ')
       val cmd = if (sp1 < 0) first else first.substring(0, sp1)
-      // command verbs are 3-4 ASCII letters (RFC 959 + common extensions)
-      if (cmd.length < 3 || cmd.length > 4 || !cmd.forall(_.isLetter)) return null
+      // command verbs are 3-4 ASCII letters (RFC 959 + common extensions);
+      // explicitly ASCII — Latin-1 high bytes are Unicode letters, so
+      // Char.isLetter would let binary payloads through
+      if (cmd.length < 3 || cmd.length > 4 ||
+        !cmd.forall(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))) return null
       protos += "ftp"
       v("ftp.request") = true
       v("ftp.request.command") = cmd
