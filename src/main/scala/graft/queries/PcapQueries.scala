@@ -101,7 +101,30 @@ object PcapQueries {
         col("`dns.a`"), col("`fix.msgtype`"), col("`_ws.col.info`"))
       .orderBy(col("`frame.number`")))
 
+  /** The glossary-sweep capture (tools/make_mixed_pcap.py) — tier-3/4
+    * protocol frames incl. the SIP/SDP-signaled RTP flow. */
+  val sweepPath: String = fixture("sweep_extra.pcap")
+
+  /** Media-stream analytics over dissected packets: per-RTP-stream packet
+    * counts, sequence-space loss, and media-timestamp span. RTP rows only
+    * exist because the SIP/SDP exchange earlier in the capture signaled
+    * the ports (Dissect.dissectSip) — the full "SQL over packets" story:
+    * stateful dissection feeding a plain relational aggregate. */
+  val pcapRtpStats = GraftQuery(
+    "pcap_rtp_stats",
+    (s, _) => Wireduck.readPcap(s, sweepPath, protocols = Seq("udp", "rtp"))
+      .filter(col("`rtp.ssrc`").isNotNull)
+      .groupBy(col("`rtp.ssrc`").as("ssrc"), col("`udp.stream`").as("stream"))
+      .agg(
+        count(lit(1)).as("n_packets"),
+        min(col("`rtp.seq`")).as("seq_min"),
+        max(col("`rtp.seq`")).as("seq_max"),
+        (max(col("`rtp.seq`")) - min(col("`rtp.seq`")) + 1 - count(lit(1))).as("lost"),
+        min(col("`rtp.timestamp`")).as("ts_first"),
+        max(col("`rtp.timestamp`")).as("ts_last"))
+      .orderBy(col("ssrc"), col("stream")))
+
   val all: Seq[GraftQuery] =
     Seq(pcapScan, pcapFlagship, pcapFiltered, pcapGlossary, pcapSessionStats,
-      pcapHttpTls)
+      pcapHttpTls, pcapRtpStats)
 }
