@@ -1319,6 +1319,12 @@ object Dissect {
         appInfo = dissectKrb5(appBuf, appOff, appLen, overTcp = true, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 2049 || dp == 2049))
         appInfo = dissectRpcNfs(appBuf, appOff, appLen, overTcp = true, v, protos, tracker)
+      if (appInfo == null && !h2Claimed && (sp == 389 || dp == 389))
+        appInfo = dissectLdap(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 502 || dp == 502))
+        appInfo = dissectModbus(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 23 || dp == 23))
+        appInfo = dissectTelnet(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -1466,6 +1472,11 @@ object Dissect {
       val nfsInfo = dissectRpcNfs(d, off + 8, math.min(payLen, d.length - off - 8),
         overTcp = false, v, protos, tracker)
       if (nfsInfo != null) return nfsInfo
+    }
+    if (sp == 1812 || dp == 1812 || sp == 1813 || dp == 1813 ||
+      sp == 1645 || dp == 1645 || sp == 1646 || dp == 1646) {
+      val radInfo = dissectRadius(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (radInfo != null) return radInfo
     }
     if (tracker.rtpPorts.contains(sp) || tracker.rtpPorts.contains(dp)) {
       val rtpInfo = dissectRtp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
@@ -2227,6 +2238,121 @@ object Dissect {
         case None => null // unmatched reply-shaped bytes: don't claim
       }
     }
+  }
+
+  private val ldapOpNames: Map[Int, String] = Map(
+    0 -> "bindRequest", 1 -> "bindResponse", 2 -> "unbindRequest",
+    3 -> "searchRequest", 4 -> "searchResEntry", 5 -> "searchResDone",
+    6 -> "modifyRequest", 7 -> "modifyResponse", 8 -> "addRequest",
+    9 -> "addResponse", 10 -> "delRequest", 11 -> "delResponse",
+    16 -> "abandonRequest", 23 -> "extendedReq", 24 -> "extendedResp")
+
+  /** LDAP (RFC 4511, TCP 389): BER envelope sniff — message id and the
+    * protocol-op application tag; filters/attributes are tshark's ldap
+    * dissector territory. */
+  private def dissectLdap(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    val end = off + len
+    if (len < 7 || u8(d, off) != 0x30) return null
+    val (l, p) = berLen(d, off + 1, end)
+    if (l < 0 || p >= end || u8(d, p) != 0x02) return null // messageID INTEGER
+    val (il, ip) = berLen(d, p + 1, end)
+    if (il < 1 || il > 4 || ip + il > end) return null
+    var msgId = 0L
+    var i = 0
+    while (i < il) { msgId = (msgId << 8) | u8(d, ip + i); i += 1 }
+    val opAt = ip + il
+    if (opAt >= end) return null
+    val tag = u8(d, opAt)
+    if ((tag & 0xc0) != 0x40) return null // APPLICATION class
+    val op = tag & 0x1f
+    ldapOpNames.get(op) match {
+      case None => null
+      case Some(nm) =>
+        protos += "ldap"
+        v("ldap.messageID") = msgId
+        v("ldap.protocolOp") = op.toLong
+        s"$nm($msgId)"
+    }
+  }
+
+  private val radiusCodeNames: Map[Int, String] = Map(
+    1 -> "Access-Request", 2 -> "Access-Accept", 3 -> "Access-Reject",
+    4 -> "Accounting-Request", 5 -> "Accounting-Response",
+    11 -> "Access-Challenge", 12 -> "Status-Server", 13 -> "Status-Client")
+
+  /** RADIUS (RFC 2865, UDP 1812/1813 + legacy 1645/1646): code, packet
+    * id, and length from the fixed header; attribute TLVs are out of
+    * scope. The declared length must fit the datagram (§3). */
+  private def dissectRadius(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 20) return null // header + 16-byte authenticator
+    val code = u8(d, off)
+    val id = u8(d, off + 1)
+    val plen = u16(d, off + 2)
+    if (plen < 20 || plen > len) return null
+    radiusCodeNames.get(code) match {
+      case None => null
+      case Some(nm) =>
+        protos += "radius"
+        v("radius.code") = code.toLong
+        v("radius.id") = id.toLong
+        v("radius.length") = plen.toLong
+        s"$nm id=$id"
+    }
+  }
+
+  private val modbusFuncNames: Map[Int, String] = Map(
+    1 -> "Read Coils", 2 -> "Read Discrete Inputs", 3 -> "Read Holding Registers",
+    4 -> "Read Input Registers", 5 -> "Write Single Coil",
+    6 -> "Write Single Register", 15 -> "Write Multiple Coils",
+    16 -> "Write Multiple Registers", 23 -> "Read/Write Multiple Registers")
+
+  /** Modbus/TCP (port 502): MBAP header — transaction id, unit id, and
+    * the function code (protocol id must be 0 per the spec). */
+  private def dissectModbus(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8 || u16(d, off + 2) != 0) return null
+    val trans = u16(d, off)
+    val mlen = u16(d, off + 4)
+    if (mlen < 2 || mlen > 260) return null
+    val unit = u8(d, off + 6)
+    val func = u8(d, off + 7) & 0x7f
+    val isException = (u8(d, off + 7) & 0x80) != 0
+    protos += "mbtcp"
+    protos += "modbus"
+    v("mbtcp.trans_id") = trans.toLong
+    v("mbtcp.unit_id") = unit.toLong
+    v("modbus.func_code") = func.toLong
+    val name = modbusFuncNames.getOrElse(func, s"Func $func")
+    if (isException) s"Trans $trans; Unit $unit; Func $func: $name (Exception)"
+    else s"Trans $trans; Unit $unit; Func $func: $name"
+  }
+
+  private val telnetCmdNames: Map[Int, String] = Map(
+    251 -> "Will", 252 -> "Won't", 253 -> "Do", 254 -> "Don't")
+
+  /** Telnet (TCP 23): IAC negotiation walk — the first command/option is
+    * surfaced; data bytes render tshark's "Telnet Data ..." info. */
+  private def dissectTelnet(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 1) return null
+    protos += "telnet"
+    if (len >= 3 && u8(d, off) == 255) {
+      val cmd = u8(d, off + 1)
+      telnetCmdNames.get(cmd).foreach { nm =>
+        v("telnet.cmd") = s"$nm option ${u8(d, off + 2)}"
+      }
+    }
+    "Telnet Data ..."
   }
 
   private val h2Preface: Array[Byte] = "PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes("ISO-8859-1")

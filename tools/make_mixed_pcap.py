@@ -365,4 +365,26 @@ extra.append((t3, 3100, ip_frame(6, A, B,
 extra.append((t3, 3200, ip_frame(6, B, A,
               tcp(2049, 50200, 1, rpc_reply(0x11223344)), ident=67)))
 
+# 34-35: LDAP bindRequest/bindResponse (BER envelope, TCP 389)
+ldap_bind = bytes([0x30, 0x0C]) + bytes([0x02, 0x01, 0x01]) + \
+    bytes([0x60, 0x07, 0x02, 0x01, 0x03, 0x04, 0x00, 0x80, 0x00])
+extra.append((t3, 3300, ip_frame(6, A, B, tcp(50300, 389, 1, ldap_bind), ident=68)))
+ldap_bindrsp = bytes([0x30, 0x0C]) + bytes([0x02, 0x01, 0x01]) + \
+    bytes([0x61, 0x07, 0x0A, 0x01, 0x00, 0x04, 0x00, 0x04, 0x00])
+extra.append((t3, 3400, ip_frame(6, B, A, tcp(389, 50300, 1, ldap_bindrsp), ident=69)))
+
+# 36-37: RADIUS Access-Request / Access-Accept (UDP 1812)
+radius_req = bytes([1, 5]) + struct.pack(">H", 20) + bytes(16)
+extra.append((t3, 3500, ip_frame(17, A, B, udp(50400, 1812, radius_req), ident=70)))
+radius_acc = bytes([2, 5]) + struct.pack(">H", 20) + bytes(16)
+extra.append((t3, 3600, ip_frame(17, B, A, udp(1812, 50400, radius_acc), ident=71)))
+
+# 38: Modbus/TCP Read Holding Registers query (port 502)
+mbap = struct.pack(">HHHB", 7, 0, 6, 1) + bytes([3]) + struct.pack(">HH", 0, 2)
+extra.append((t3, 3700, ip_frame(6, A, B, tcp(50500, 502, 1, mbap), ident=72)))
+
+# 39: Telnet IAC DO option 24 (terminal type) + data
+telnet = bytes([255, 253, 24]) + b"login: "
+extra.append((t3, 3800, ip_frame(6, B, A, tcp(23, 50600, 1, telnet), ident=73)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
