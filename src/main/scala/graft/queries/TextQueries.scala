@@ -816,9 +816,40 @@ object TextQueries {
       FROM ranked WHERE rn <= 3
       ORDER BY doc_id, rnk"""))
 
+  /** Deterministic stratified (quota) sampling — the language/domain
+    * rebalancing step of a training-data pipeline: within each stratum,
+    * rank documents by a salted hash and keep the first `k`. Hash-rank
+    * sampling is reproducible across runs AND engines (md5 is md5
+    * everywhere — no RNG), so the oracle hash-matches. 100 TB shape: one
+    * shuffle on the stratum key; the per-stratum window only ever sorts a
+    * stratum, never the corpus. */
+  val txStratifiedSample = GraftQuery(
+    "tx_stratified_sample",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang")
+        .orderBy(md5(concat(lit("s|"), $"doc_id".cast(StringType))), $"doc_id")
+      docs(s, dir)
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter($"rnk" <= 20)
+        .select($"lang", $"rnk", $"doc_id")
+        .orderBy($"lang", $"rnk")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY MD5('s|' || CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn
+        FROM documents)
+      SELECT lang, CAST(rn AS BIGINT) AS rnk, doc_id
+      FROM ranked WHERE rn <= 20
+      ORDER BY lang, rnk"""))
+
   val all: Seq[GraftQuery] = Seq(
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
-    txContamination, txGopherFilter, txTfidfTerms,
+    txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
     ddSimhashPairs, ddDedupClusters)
 }
