@@ -1325,6 +1325,12 @@ object Dissect {
         appInfo = dissectModbus(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 23 || dp == 23))
         appInfo = dissectTelnet(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 25 || dp == 25 || sp == 587 || dp == 587))
+        appInfo = dissectSmtp(appBuf, appOff, appLen, fromServer = sp == 25 || sp == 587, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 110 || dp == 110))
+        appInfo = dissectPop(appBuf, appOff, appLen, fromServer = sp == 110, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 143 || dp == 143))
+        appInfo = dissectImap(appBuf, appOff, appLen, fromServer = sp == 143, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -2333,6 +2339,109 @@ object Dissect {
     val name = modbusFuncNames.getOrElse(func, s"Func $func")
     if (isException) s"Trans $trans; Unit $unit; Func $func: $name (Exception)"
     else s"Trans $trans; Unit $unit; Func $func: $name"
+  }
+
+  private val smtpCommands = Set("HELO", "EHLO", "MAIL", "RCPT", "DATA",
+    "RSET", "VRFY", "EXPN", "HELP", "NOOP", "QUIT", "AUTH", "STARTTLS",
+    "BDAT")
+
+  /** SMTP (RFC 5321, TCP 25/587): command/reply lines. Wireshark info
+    * convention: "C: <line>" / "S: <line>". Message content (post-DATA)
+    * is out of scope — only the first line of a segment is classified,
+    * and non-command client lines on the mail ports are message payload
+    * rendered as "C: DATA fragment". */
+  private def dissectSmtp(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4) return null
+    val text = new String(d, off, math.min(len, 2048), "ISO-8859-1")
+    val le = text.indexOf("\r\n")
+    if (le < 0) return null
+    val line = text.substring(0, le)
+    if (fromServer) {
+      if (line.length < 3 || !line.take(3).forall(c => c >= '0' && c <= '9') ||
+        (line.length > 3 && line(3) != ' ' && line(3) != '-')) return null
+      protos += "smtp"
+      v("smtp.response.code") = line.take(3).toLong
+      if (line.length > 4) v("smtp.rsp.parameter") = line.substring(4)
+      s"S: $line"
+    } else {
+      val sp1 = line.indexOf(' ')
+      val cmd = (if (sp1 < 0) line else line.substring(0, sp1)).toUpperCase
+      if (!smtpCommands.contains(cmd)) {
+        // client bytes that are not a command are DATA payload; claim them
+        // only when the conversation is already SMTP (port-gated anyway)
+        protos += "smtp"
+        return "C: DATA fragment"
+      }
+      protos += "smtp"
+      v("smtp.req.command") = cmd
+      if (sp1 >= 0 && sp1 + 1 < line.length) v("smtp.req.parameter") = line.substring(sp1 + 1)
+      s"C: $line"
+    }
+  }
+
+  /** POP3 (RFC 1939, TCP 110): "+OK"/"-ERR" replies, short command
+    * requests ("C: ..." / "S: ..." Wireshark info convention). */
+  private def dissectPop(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 3) return null
+    val text = new String(d, off, math.min(len, 1024), "ISO-8859-1")
+    val le = text.indexOf("\r\n")
+    if (le < 0) return null
+    val line = text.substring(0, le)
+    if (fromServer) {
+      if (!line.startsWith("+OK") && !line.startsWith("-ERR")) return null
+      protos += "pop"
+      val sp1 = line.indexOf(' ')
+      v("pop.response.indicator") = if (sp1 < 0) line else line.substring(0, sp1)
+      if (sp1 >= 0 && sp1 + 1 < line.length) v("pop.response.description") = line.substring(sp1 + 1)
+      s"S: $line"
+    } else {
+      val sp1 = line.indexOf(' ')
+      val cmd = (if (sp1 < 0) line else line.substring(0, sp1)).toUpperCase
+      if (cmd.length < 3 || cmd.length > 4 ||
+        !cmd.forall(c => c >= 'A' && c <= 'Z')) return null
+      protos += "pop"
+      v("pop.request.command") = cmd
+      if (sp1 >= 0 && sp1 + 1 < line.length) v("pop.request.parameter") = line.substring(sp1 + 1)
+      s"C: $line"
+    }
+  }
+
+  /** IMAP (RFC 3501, TCP 143): tagged request/response lines —
+    * "a1 LOGIN …" / "a1 OK …" or untagged "* …" server data. */
+  private def dissectImap(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4) return null
+    val text = new String(d, off, math.min(len, 1024), "ISO-8859-1")
+    val le = text.indexOf("\r\n")
+    if (le < 0) return null
+    val line = text.substring(0, le)
+    val sp1 = line.indexOf(' ')
+    if (sp1 <= 0 || sp1 + 1 >= line.length) return null
+    val tag = line.substring(0, sp1)
+    val tagOk = tag == "*" || tag == "+" ||
+      tag.forall(c => c.isLetterOrDigit || c == '.') && tag.length <= 16
+    if (!tagOk) return null
+    protos += "imap"
+    if (fromServer) {
+      v("imap.response.tag") = tag
+      s"Response: $line"
+    } else {
+      val rest = line.substring(sp1 + 1)
+      val sp2 = rest.indexOf(' ')
+      val cmd = (if (sp2 < 0) rest else rest.substring(0, sp2)).toUpperCase
+      if (cmd.isEmpty || !cmd.forall(c => c >= 'A' && c <= 'Z')) return null
+      v("imap.request.tag") = tag
+      v("imap.request.command") = cmd
+      s"Request: $line"
+    }
   }
 
   private val telnetCmdNames: Map[Int, String] = Map(

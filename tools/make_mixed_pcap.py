@@ -387,4 +387,14 @@ extra.append((t3, 3700, ip_frame(6, A, B, tcp(50500, 502, 1, mbap), ident=72)))
 telnet = bytes([255, 253, 24]) + b"login: "
 extra.append((t3, 3800, ip_frame(6, B, A, tcp(23, 50600, 1, telnet), ident=73)))
 
+# 40-43: SMTP greeting + MAIL FROM; POP3 +OK; IMAP tagged LOGIN
+extra.append((t3, 3900, ip_frame(6, B, A,
+              tcp(25, 50700, 1, b"220 mail.example.com ESMTP\r\n"), ident=74)))
+extra.append((t3, 4000, ip_frame(6, A, B,
+              tcp(50700, 25, 1, b"MAIL FROM:<alice@example.com>\r\n"), ident=75)))
+extra.append((t3, 4100, ip_frame(6, B, A,
+              tcp(110, 50701, 1, b"+OK POP3 ready\r\n"), ident=76)))
+extra.append((t3, 4200, ip_frame(6, A, B,
+              tcp(50702, 143, 1, b"a1 LOGIN bob secret\r\n"), ident=77)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
