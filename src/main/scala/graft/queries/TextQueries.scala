@@ -847,9 +847,41 @@ object TextQueries {
       FROM ranked WHERE rn <= 20
       ORDER BY lang, rnk"""))
 
+  /** Training-mix reporting: per (lang, source) document and character
+    * counts plus the corpus fraction — the summary a mixture-weighting
+    * step consumes. Fractions are exact integer→double divisions (IEEE
+    * exactly-rounded, identical across engines). One aggregate + a
+    * broadcast one-row total. */
+  val txMixtureWeights = GraftQuery(
+    "tx_mixture_weights",
+    (s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir)
+      val tot = base.agg(count(lit(1)).as("n_total"), sum($"n_chars").as("c_total"))
+      base.groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+        .crossJoin(tot)
+        .select($"lang", $"source", $"n_docs", $"n_chars",
+          ($"n_docs".cast(DoubleType) / $"n_total".cast(DoubleType)).as("doc_frac"),
+          ($"n_chars".cast(DoubleType) / $"c_total".cast(DoubleType)).as("char_frac"))
+        .orderBy($"lang", $"source")
+    },
+    Some("""
+      WITH tot AS (
+        SELECT COUNT(*) AS n_total, SUM(n_chars) AS c_total FROM documents),
+      g AS (
+        SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+        FROM documents GROUP BY lang, source)
+      SELECT lang, source, n_docs, n_chars,
+             CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS doc_frac,
+             CAST(g.n_chars AS DOUBLE) / CAST(c_total AS DOUBLE) AS char_frac
+      FROM g CROSS JOIN tot
+      ORDER BY lang, source"""))
+
   val all: Seq[GraftQuery] = Seq(
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
+    txMixtureWeights,
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
     ddSimhashPairs, ddDedupClusters)
 }

@@ -115,4 +115,37 @@ class PcapPropertySpec extends AnyFunSuite {
       Dissect.dissect(rec, lt, new Dissect.Tracker(desegment = true)) != null
     })
   }
+
+  test("dissector fuzz: random UDP payloads to app-layer ports never throw") {
+    import graft.pcap.Dissect
+    // ports driving the DNS/mDNS/NTP/QUIC/DHCP/SIP/Kerberos/SNMP/NFS/
+    // RADIUS/VXLAN sniffers
+    val portGen = Gen.oneOf(53, 5353, 123, 443, 67, 5060, 88, 161, 2049,
+      1812, 4789)
+    val payloadGen = for {
+      n <- Gen.chooseNum(0, 300)
+      bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))
+      prefix <- Gen.oneOf("", "INVITE sip:a SIP/2.0\r\n", "SIP/2.0 200 OK\r\n", "0")
+    } yield prefix.getBytes("ISO-8859-1") ++ bytes
+    def udpFrame(sp: Int, dp: Int, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(14 + 20 + 8 + payload.length)
+      b.put(new Array[Byte](12)).putShort(0x0800.toShort)
+      b.put(0x45.toByte).put(0.toByte).putShort((28 + payload.length).toShort)
+        .putShort(1.toShort).putShort(0.toShort)
+        .put(64.toByte).put(17.toByte).putShort(0.toShort)
+        .put(Array[Byte](10, 0, 0, 1)).put(Array[Byte](10, 0, 0, 2))
+      b.putShort(sp.toShort).putShort(dp.toShort)
+        .putShort((8 + payload.length).toShort).putShort(0.toShort)
+      b.put(payload)
+      b.array()
+    }
+    check(Prop.forAll(portGen, payloadGen, Gen.oneOf(true, false)) {
+      (dp: Int, payload: Array[Byte], deseg: Boolean) =>
+        val t = new Dissect.Tracker(desegment = deseg)
+        val f = udpFrame(49000, dp, payload)
+        val rec = PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+        val d = Dissect.dissect(rec, 1, t)
+        d.values.contains("udp.srcport") && d.protocols.startsWith("eth")
+    })
+  }
 }
