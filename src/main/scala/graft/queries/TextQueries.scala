@@ -868,9 +868,9 @@ object TextQueries {
     },
     Some("""
       WITH tot AS (
-        SELECT COUNT(*) AS n_total, SUM(n_chars) AS c_total FROM documents),
+        SELECT COUNT(*) AS n_total, CAST(SUM(n_chars) AS BIGINT) AS c_total FROM documents),
       g AS (
-        SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+        SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
         FROM documents GROUP BY lang, source)
       SELECT lang, source, n_docs, n_chars,
              CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS doc_frac,
