@@ -29,4 +29,10 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Static oracles plus the generated ones that embed this run's fitted
+    * ANN state (centroids/codebooks) as literals — what [[Verify]] dumps. */
+  def oracleSqlAll(spark: SparkSession, sfDir: String): Map[String, String] =
+    registry.flatMap(q =>
+      q.oracle.orElse(q.oracleGen.map(_(spark, sfDir))).map(q.name -> _)).toMap
 }

@@ -34,7 +34,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // oracleSqlAll (not oracleSql): the generated ANN oracles embed the
+    // fitted centroids/codebooks this run's queries used (AnnIndexes cache)
+    val json = SparkEntry.oracleSqlAll(spark, sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

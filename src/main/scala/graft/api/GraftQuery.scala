@@ -7,14 +7,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `fn` builds the Spark plan against the tables in `sfDir`; `oracle` is
   * ANSI SQL producing the identical result (same column names, same row
   * order, bit-identical values) when run by DuckDB over the same parquet
-  * files. Queries without an oracle (pcap scans, approximate sketches,
-  * binary/multimodal ops) get the driver's weaker rows-only check and are
-  * instead golden-tested in ScalaTest.
+  * files. `oracleGen` covers queries whose oracle depends on engine-side
+  * fitted state (the k-means ANN family): it is invoked at Verify-dump
+  * time with the same (session, sfDir) the queries ran under, so it can
+  * embed the run's fitted centroids/codebooks as SQL literals
+  * ([[graft.queries.AnnOracles]]). Queries with neither (pcap scans,
+  * approximate sketches, binary/multimodal ops) get the driver's weaker
+  * rows-only check and are instead golden-tested in ScalaTest.
   */
 final case class GraftQuery(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    oracleGen: Option[(SparkSession, String) => String] = None)
 
 object GraftQuery {
   /** Deterministic-exactness rule used across the inventory: money/measure

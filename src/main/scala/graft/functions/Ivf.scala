@@ -23,21 +23,40 @@ object Ivf {
     * k-means fit never needs the full corpus: a deterministic systematic
     * sample (`vec_id % stride = 0`, ceil-capped at `fitSample` rows — the
     * same shape as [[Pq.fit]]) bounds the fit cost independently of corpus
-    * size; cell ASSIGNMENT stays a single full `transform` pass. */
+    * size; cell ASSIGNMENT is a single codegen'd [[cellCol]] pass. */
   def build(spark: SparkSession, emb: DataFrame, k: Int, seed: Long = 42L,
       fitSample: Long = 100000L): Index = {
-    val withVec = emb.withColumn("features",
-      array_to_vector(col("embedding").cast("array<double>")))
     val n = emb.count()
     val stride = (n + fitSample - 1) / fitSample // ceil: sample stays <= fitSample rows
-    val fitInput =
-      if (stride > 1) withVec.filter(col("vec_id") % stride === 0)
-      else withVec
+    val base = if (stride > 1) emb.filter(col("vec_id") % stride === 0) else emb
+    val fitInput = base.select(
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(fitInput)
-    val assigned = model.transform(withVec)
-      .withColumnRenamed("prediction", "cell")
-      .drop("features")
-    Index(model.clusterCenters.map(_.toArray), assigned)
+    val centroids = model.clusterCenters.map(_.toArray)
+    Index(centroids, emb.withColumn("cell", cellCol(centroids, col("embedding"))))
+  }
+
+  /** |c|² with the same index-order left fold [[VectorDot]] accumulates, so
+    * a value computed here and one computed plan-side are bit-identical. */
+  private[graft] def norm2(c: Array[Double]): Double =
+    c.foldLeft(0.0)((acc, x) => acc + x * x)
+
+  /** Deterministic nearest-centroid assignment as a plan expression over
+    * centroid LITERALS: argmin over `|c_i|² − 2·⟨e, c_i⟩` (the `|e|²` term
+    * is cell-invariant and dropped), ties to the lowest cell id via the
+    * lexicographic `(score, cell)` struct min. Replaces Spark ML's
+    * `model.transform` — whose `fastSquaredDistance` takes
+    * precision-dependent branches a SQL oracle cannot reproduce — with an
+    * IEEE op sequence a DuckDB oracle mirrors exactly
+    * ([[graft.queries.AnnOracles]]); it is also codegen-friendly (no
+    * array_to_vector + predict UDF on the full-corpus pass). */
+  private[graft] def cellCol(centroids: Array[Array[Double]],
+      emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scored = centroids.toSeq.zipWithIndex.map { case (c, i) =>
+      val score = lit(norm2(c)) - lit(2.0) * Vectors.dot(emb, typedlit(c.toSeq))
+      struct(score.as("s"), lit(i).as("c"))
+    }
+    array_min(array(scored: _*)).getField("c")
   }
 
   /** Top-k by cosine probing the nProbe nearest cells to `query`: a

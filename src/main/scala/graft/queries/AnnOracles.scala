@@ -1,0 +1,242 @@
+package graft.queries
+
+import graft.functions.{Ivf, Pq}
+
+/** Generated DuckDB oracle SQL for the k-means ANN family — the
+  * plan-literal trick that makes `sim_ann_lsh`/`sim_ann_batch`
+  * hash-checkable, extended to fitted state: after `Ivf.build`/`Pq.fit`
+  * the centroids and codebooks are driver-visible arrays, so the oracle
+  * embeds them as `VALUES` literals and re-derives cell assignment, ADC
+  * tables, and cosines with the exact IEEE op sequence the Spark plan
+  * executes.
+  *
+  * Exactness contract (what makes the hashes match bit-for-bit):
+  *  - every dot product is an unrolled index-order left-associative sum of
+  *    `CAST(x AS DOUBLE) * CAST(y AS DOUBLE)` terms — the same sequence
+  *    [[graft.functions.VectorDot]] accumulates;
+  *  - cell/code assignment is first-min (ties to the lowest id), mirrored
+  *    here as `ROW_NUMBER() OVER (ORDER BY score, id) = 1` and plan-side
+  *    as the lexicographic `(score, id)` struct min ([[Ivf.cellCol]]) or
+  *    the strict-`<` scan in [[Pq.encode]];
+  *  - ADC scoring sums `lut[j][codes[j]]` in subspace order — the
+  *    sequence [[graft.functions.PqAdcScore]] generates;
+  *  - doubles are rendered with Java's shortest-round-trip `toString`,
+  *    which DuckDB parses back to the identical bits;
+  *  - precomputed scalars (centroid norms, norm-LUT entries) use the same
+  *    index-order folds the runtime expressions evaluate.
+  */
+object AnnOracles {
+
+  private def fmt(d: Double): String = d.toString
+
+  private def dl(c: Array[Double]): String =
+    c.map(fmt).mkString("[", ", ", "]") + "::DOUBLE[]"
+
+  /** Unrolled `VectorDot` mirror over 1-based list columns. */
+  private def dot(a: String, b: String, dim: Int): String =
+    (1 to dim).map(k => s"CAST($a[$k] AS DOUBLE) * CAST($b[$k] AS DOUBLE)")
+      .mkString(" + ")
+
+  private def centsValues(cents: Array[Array[Double]]): String =
+    cents.zipWithIndex.map { case (c, i) =>
+      val n2 = Ivf.norm2(c)
+      s"($i, ${dl(c)}, CAST(${fmt(n2)} AS DOUBLE), CAST(${fmt(math.sqrt(n2))} AS DOUBLE))"
+    }.mkString(",\n  ")
+
+  /** Shared IVF skeleton: literal centroids → deterministic cell
+    * assignment → per-query probe ranking → exact cosine within probed
+    * cells → per-query top-k. */
+  private def ivfCore(cents: Array[Array[Double]], nProbe: Int,
+      qSelect: String, qWhere: String): String = {
+    val dim = cents(0).length
+    s"""
+      WITH cents(cell, centroid, cn2, cnorm) AS (VALUES
+  ${centsValues(cents)}),
+      cellscore AS (
+        SELECT e.vec_id, e.label, e.embedding, c.cell,
+               c.cn2 - 2.0 * (${dot("e.embedding", "c.centroid", dim)}) AS score
+        FROM embeddings e CROSS JOIN cents c),
+      corpus AS (
+        SELECT vec_id, label, embedding, cell FROM (
+          SELECT vec_id, label, embedding, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS crn
+          FROM cellscore) WHERE crn = 1),
+      q AS (SELECT $qSelect FROM embeddings WHERE $qWhere),
+      probes AS (
+        SELECT query_id, qe, cell FROM (
+          SELECT q.query_id, q.qe, c.cell,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                   ((${dot("q.qe", "c.centroid", dim)})
+                     / (SQRT(${dot("q.qe", "q.qe", dim)}) * c.cnorm)) DESC,
+                   c.cell) AS prn
+          FROM q CROSS JOIN cents c) WHERE prn <= $nProbe),
+      scored AS (
+        SELECT p.query_id, s.vec_id, s.label,
+               (${dot("s.embedding", "p.qe", dim)})
+                 / (SQRT(${dot("s.embedding", "s.embedding", dim)})
+                    * SQRT(${dot("p.qe", "p.qe", dim)})) AS cosine
+        FROM corpus s JOIN probes p ON s.cell = p.cell),
+      ranked AS (
+        SELECT query_id, vec_id, label, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored)"""
+  }
+
+  /** Oracle for `sim_ann_ivf`: single query vector (vec_id = 0), the
+    * post-top-k self-exclusion and column trim the query applies. */
+  def ivfSingleSql(cents: Array[Array[Double]], topK: Int, nProbe: Int): String =
+    ivfCore(cents, nProbe,
+      "CAST(vec_id AS BIGINT) AS query_id, embedding AS qe", "vec_id = 0") + s"""
+      SELECT vec_id, label, cosine FROM ranked
+      WHERE rnk <= $topK AND vec_id <> 0
+      ORDER BY rnk"""
+
+  /** Oracle for `sim_ann_ivf_batch`: query set vec_id < maxQ. */
+  def ivfBatchSql(cents: Array[Array[Double]], topK: Int, nProbe: Int,
+      maxQ: Int): String =
+    ivfCore(cents, nProbe,
+      "vec_id AS query_id, embedding AS qe", s"vec_id < $maxQ") + s"""
+      SELECT query_id, rnk, vec_id, label, cosine FROM ranked
+      WHERE rnk <= $topK AND query_id <> vec_id
+      ORDER BY query_id, rnk"""
+
+  private def cbValues(cb: Pq.Codebook): String =
+    (for {
+      j <- cb.centroids.indices
+      ci <- cb.centroids(j).indices
+    } yield s"($j, $ci, ${dl(cb.centroids(j)(ci))})").mkString(",\n  ")
+
+  /** The query-independent norm LUT, the same `c.map(x*x).sum` fold
+    * [[Pq]] embeds as its plan literal. */
+  private def nlutLiteral(cb: Pq.Codebook): String =
+    cb.centroids.map { sub =>
+      sub.map(c => fmt(c.map(x => x * x).sum)).mkString("[", ", ", "]")
+    }.mkString("[", ", ", "]") + "::DOUBLE[][]"
+
+  /** [[Pq.encode]]'s subspace distance: left-assoc sum of squared diffs. */
+  private def sqdist(cb: Pq.Codebook): String =
+    (1 to cb.dsub).map { k =>
+      val x = s"(CAST(e.embedding[b.j*${cb.dsub}+$k] AS DOUBLE) - CAST(b.cent[$k] AS DOUBLE))"
+      s"$x * $x"
+    }.mkString(" + ")
+
+  /** [[Pq.lutDotCol]]'s per-(subspace, code) dot: centroid × query slice. */
+  private def lutDot(cb: Pq.Codebook): String =
+    (1 to cb.dsub).map(k =>
+      s"CAST(b.cent[$k] AS DOUBLE) * CAST(q.qe[b.j*${cb.dsub}+$k] AS DOUBLE)")
+      .mkString(" + ")
+
+  /** Shared PQ fragments: literal codebooks → per-vector code assignment →
+    * per-query dot LUTs → (appended by callers) ADC scoring + rerank. */
+  private def pqCodesAndLuts(cb: Pq.Codebook, maxQ: Int): String = {
+    val dim = cb.m * cb.dsub
+    s"""
+      cb(j, code, cent) AS (VALUES
+  ${cbValues(cb)}),
+      cdist AS (
+        SELECT e.vec_id, b.j, b.code, (${sqdist(cb)}) AS d
+        FROM embeddings e CROSS JOIN cb b),
+      codesel AS (
+        SELECT vec_id, j, code FROM (
+          SELECT vec_id, j, code,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+          FROM cdist) WHERE rn = 1),
+      codes AS (SELECT vec_id, list(code ORDER BY j) AS codes FROM codesel GROUP BY vec_id),
+      q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $maxQ),
+      lutv AS (
+        SELECT q.query_id, b.j, b.code, (${lutDot(cb)}) AS lv
+        FROM q CROSS JOIN cb b),
+      lutj AS (SELECT query_id, j, list(lv ORDER BY code) AS lj FROM lutv GROUP BY query_id, j),
+      lut AS (SELECT query_id, list(lj ORDER BY j) AS lut FROM lutj GROUP BY query_id),
+      qn AS (SELECT query_id, SQRT(${dot("qe", "qe", dim)}) AS qnorm FROM q),
+      nl AS (SELECT ${nlutLiteral(cb)} AS nlut)"""
+  }
+
+  /** [[graft.functions.PqAdcScore]]'s subspace-order sum, unrolled. */
+  private def adcSum(cb: Pq.Codebook, lut: String): String =
+    (1 to cb.m).map(j => s"$lut[$j][c.codes[$j]+1]").mkString(" + ")
+
+  /** The shared rerank tail of [[Pq.searchBatch]]/[[Pq.searchIvfPq]]:
+    * approx-rank → exact cosine of the candidate set → final top-k with
+    * post-rank self-exclusion. */
+  private def rerankTail(cb: Pq.Codebook, topK: Int, rerank: Int): String = {
+    val dim = cb.m * cb.dsub
+    s"""
+      cand AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY approx_cos DESC, vec_id) AS arn
+          FROM scored) WHERE arn <= $rerank),
+      rer AS (
+        SELECT cand.query_id, e.vec_id, e.label,
+               (${dot("e.embedding", "q.qe", dim)})
+                 / (SQRT(${dot("e.embedding", "e.embedding", dim)})
+                    * SQRT(${dot("q.qe", "q.qe", dim)})) AS cosine
+        FROM cand
+        JOIN embeddings e ON e.vec_id = cand.vec_id
+        JOIN q ON q.query_id = cand.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, label, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+        FROM rer)
+      SELECT query_id, rnk, vec_id, label, cosine FROM ranked
+      WHERE rnk <= $topK AND query_id <> vec_id
+      ORDER BY query_id, rnk"""
+  }
+
+  /** Oracle for `sim_ann_pq`: ADC scan over ALL codes, exact rerank. */
+  def pqSql(cb: Pq.Codebook, topK: Int, rerank: Int, maxQ: Int): String =
+    s"""
+      WITH ${pqCodesAndLuts(cb, maxQ).trim},
+      scored AS (
+        SELECT l.query_id, c.vec_id,
+               (${adcSum(cb, "l.lut")})
+                 / (SQRT(${adcSum(cb, "nl.nlut")}) * n.qnorm) AS approx_cos
+        FROM codes c
+        CROSS JOIN lut l
+        JOIN qn n ON n.query_id = l.query_id
+        CROSS JOIN nl),
+      ${rerankTail(cb, topK, rerank).trim}"""
+
+  /** Oracle for `sim_ann_ivfpq`: IVF cell assignment + probe ranking bound
+    * the candidate set; ADC scores only probed cells' codes; exact rerank. */
+  def ivfPqSql(cents: Array[Array[Double]], cb: Pq.Codebook,
+      topK: Int, nProbe: Int, rerank: Int, maxQ: Int): String = {
+    val dim = cents(0).length
+    s"""
+      WITH cents(cell, centroid, cn2, cnorm) AS (VALUES
+  ${centsValues(cents)}),
+      cellscore AS (
+        SELECT e.vec_id, c.cell,
+               c.cn2 - 2.0 * (${dot("e.embedding", "c.centroid", dim)}) AS score
+        FROM embeddings e CROSS JOIN cents c),
+      cells AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS crn
+          FROM cellscore) WHERE crn = 1),
+      ${pqCodesAndLuts(cb, maxQ).trim},
+      probes AS (
+        SELECT query_id, cell FROM (
+          SELECT q.query_id, c.cell,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                   ((${dot("q.qe", "c.centroid", dim)})
+                     / (SQRT(${dot("q.qe", "q.qe", dim)}) * c.cnorm)) DESC,
+                   c.cell) AS prn
+          FROM q CROSS JOIN cents c) WHERE prn <= $nProbe),
+      scored AS (
+        SELECT p.query_id, c.vec_id,
+               (${adcSum(cb, "l.lut")})
+                 / (SQRT(${adcSum(cb, "nl.nlut")}) * n.qnorm) AS approx_cos
+        FROM cells s
+        JOIN probes p ON s.cell = p.cell
+        JOIN codes c ON c.vec_id = s.vec_id
+        JOIN lut l ON l.query_id = p.query_id
+        JOIN qn n ON n.query_id = p.query_id
+        CROSS JOIN nl),
+      ${rerankTail(cb, topK, rerank).trim}"""
+  }
+}

@@ -132,23 +132,28 @@ object SimilarityQueries {
                   * SQRT(${duckDot("y.embedding", "y.embedding")})) >= 0.95
       ORDER BY vec_a, vec_b"""))
 
-  /** IVF scale path: k-means coarse quantizer, probe 4 of 16 cells. No
-    * oracle (k-means is engine-side); exactness anchored in
-    * SimilaritySpec by probing all cells and matching brute force. The
-    * query vector stays plan-side (a one-row batch through the single
-    * probe-join plan — no driver collect, no centroid sort special case). */
+  /** IVF scale path: k-means coarse quantizer, probe 4 of 16 cells. The
+    * fit comes from the shared [[graft.functions.AnnIndexes]] cache (the
+    * at-scale shape: fit once, search many), which also lets the GENERATED
+    * oracle embed the identical centroids as literals — cell assignment,
+    * probe ranking, and cosines re-derived in DuckDB bit-exactly
+    * ([[AnnOracles.ivfSingleSql]]). The query vector stays plan-side (a
+    * one-row batch through the single probe-join plan — no driver collect,
+    * no centroid sort special case). */
   val simAnnIvf = GraftQuery(
     "sim_ann_ivf",
     (s, dir) => {
       import s.implicits._
-      val emb = Tables.load(s, dir, "embeddings")
-      val index = graft.functions.Ivf.build(s, emb, k = 16)
+      val emb = graft.functions.AnnIndexes.embeddings(s, dir)
+      val index = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
       val q = emb.filter($"vec_id" === 0)
         .select($"vec_id".cast(LongType).as("query_id"), $"embedding".as("qe"))
       graft.functions.Ivf.searchBatch(index, q, topK = 10, nProbe = 4)
         .filter($"vec_id" =!= 0)
         .select($"vec_id", $"label", $"cosine")
-    })
+    },
+    oracleGen = Some((s, dir) => AnnOracles.ivfSingleSql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids, topK = 10, nProbe = 4)))
 
   /** Batch ANN — the realistic at-scale shape: a SET of query vectors
     * (broadcast) against the bucketed corpus in ONE join, per-query top-k
@@ -194,56 +199,67 @@ object SimilarityQueries {
       FROM ranked WHERE rn <= 3
       ORDER BY query_id, rnk"""))
 
-  /** Batch IVF: ten query vectors through one probe-join plan (no oracle —
-    * k-means is engine-side; anchored against brute force per query in
-    * SimilaritySpec). */
+  /** Batch IVF: ten query vectors through one probe-join plan; same shared
+    * fit + generated literal-centroid oracle as [[simAnnIvf]]. */
   val simAnnIvfBatch = GraftQuery(
     "sim_ann_ivf_batch",
     (s, dir) => {
       import s.implicits._
-      val emb = Tables.load(s, dir, "embeddings")
-      val index = graft.functions.Ivf.build(s, emb, k = 16)
+      val emb = graft.functions.AnnIndexes.embeddings(s, dir)
+      val index = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
       val queries = emb.filter($"vec_id" < 10)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"))
       graft.functions.Ivf.searchBatch(index, queries, topK = 5, nProbe = 4)
         .filter($"query_id" =!= $"vec_id")
-    })
+    },
+    oracleGen = Some((s, dir) => AnnOracles.ivfBatchSql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids,
+      topK = 5, nProbe = 4, maxQ = 10)))
 
   /** Product-quantization ANN (the memory-compressed scale path: 8-byte
     * codes instead of 256-byte vectors; approximate scan over codes only,
-    * exact rerank of 50 candidates). No oracle — k-means codebooks are
-    * engine-side; recall and reconstruction are pinned in SimilaritySpec. */
+    * exact rerank of 50 candidates). The shared fit's codebook is embedded
+    * in the generated oracle — code assignment, ADC tables, and the rerank
+    * re-derived in DuckDB bit-exactly ([[AnnOracles.pqSql]]). */
   val simAnnPq = GraftQuery(
     "sim_ann_pq",
     (s, dir) => {
       import s.implicits._
-      val emb = Tables.load(s, dir, "embeddings")
-      val cb = graft.functions.Pq.fit(s, emb, m = 8, k = 16)
+      val emb = graft.functions.AnnIndexes.embeddings(s, dir)
+      val cb = graft.functions.AnnIndexes.pq(s, dir, m = 8, k = 16)
       val encoded = graft.functions.Pq.encode(emb, cb)
       val queries = emb.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"))
       graft.functions.Pq.searchBatch(encoded, cb, queries, topK = 5)
         .filter($"query_id" =!= $"vec_id")
-    })
+    },
+    oracleGen = Some((s, dir) => AnnOracles.pqSql(
+      graft.functions.AnnIndexes.pq(s, dir, m = 8, k = 16),
+      topK = 5, rerank = 50, maxQ = 5)))
 
   /** IVF-PQ: coarse cells bound the candidate set, codes bound the bytes
-    * per candidate — the standard composition for planet-scale ANN. Rows
-    * only; SimilaritySpec anchors exhaustive-probe + full-rerank equal to
-    * brute force exactly. */
+    * per candidate — the standard composition for planet-scale ANN. Both
+    * shared fits feed the generated oracle ([[AnnOracles.ivfPqSql]]);
+    * SimilaritySpec additionally anchors exhaustive-probe + full-rerank
+    * equal to brute force exactly. */
   val simAnnIvfPq = GraftQuery(
     "sim_ann_ivfpq",
     (s, dir) => {
       import s.implicits._
-      val emb = Tables.load(s, dir, "embeddings")
-      val index = graft.functions.Ivf.build(s, emb, k = 16)
-      val cb = graft.functions.Pq.fit(s, emb, m = 8, k = 16)
+      val emb = graft.functions.AnnIndexes.embeddings(s, dir)
+      val index = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
+      val cb = graft.functions.AnnIndexes.pq(s, dir, m = 8, k = 16)
       val encoded = graft.functions.Pq.encode(index.assigned, cb)
       val queries = emb.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"))
       graft.functions.Pq.searchIvfPq(encoded, cb, index, queries,
         topK = 5, nProbe = 4)
         .filter($"query_id" =!= $"vec_id")
-    })
+    },
+    oracleGen = Some((s, dir) => AnnOracles.ivfPqSql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids,
+      graft.functions.AnnIndexes.pq(s, dir, m = 8, k = 16),
+      topK = 5, nProbe = 4, rerank = 50, maxQ = 5)))
 
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfBatch,
