@@ -107,7 +107,9 @@ final class PcapPartitionReader(
       payloads = referenced.exists(_.contains("payload")),
       info = referenced.exists(_.contains("_ws.col.info")),
       layers = referenced.exists(r => !frameOnly.contains(r)),
-      raw = referenced.contains("frame.raw"))
+      // frame-bytes searches (`http contains …`, `frame matches …`,
+      // `frame[0:4] == …`) need the raw hex materialized per packet
+      raw = referenced.contains("frame.raw") || displayFilter.exists(_.needsRaw))
   }
 
   private val fieldNames = schema.fields.map(_.name)
@@ -240,26 +242,151 @@ object PcapFilterEval {
 
 /** Minimal Wireshark display-filter subset for the `cfilter` option
   * (reference A4 forwards the string to `tshark -Y`; natively we support
-  * the common shapes: protocol presence, field/literal comparisons, `&&`,
-  * `||`, `!`, parentheses).
+  * the common shapes: protocol presence, field/literal comparisons,
+  * `contains`, `matches`/`~`, byte-slice comparisons, `&&`, `||`, `!`,
+  * parentheses).
+  *
+  * Byte-search semantics (`contains`/`matches`/slices): a FIELD target
+  * (name with a dot) operates on the field's bytes — the raw bytes for
+  * hex-rendered fields (payloads, addresses), UTF-8 of the rendering
+  * otherwise. A PROTOCOL target (no dot, e.g. `http`) follows Wireshark's
+  * layer-bytes semantics approximately: presence of the protocol gated on
+  * a search of the whole frame's bytes (`frame` searches unconditionally);
+  * the per-layer byte ranges tshark uses are not tracked by the native
+  * dissector. `matches` is case-insensitive find-anywhere, as in Wireshark.
   */
 object DisplayFilter {
   /** Fields dissected as comma-joined "src,dst" multi-occurrence values. */
   val multiValueFields: Set[String] = Set("ip.addr", "ipv6.addr")
 
-  sealed trait Expr { def eval(d: Dissect.Dissected): Boolean }
+  sealed trait Expr {
+    def eval(d: Dissect.Dissected): Boolean
+
+    /** True when evaluation reads the whole frame's bytes (`frame.raw`) —
+      * the reader flips `Wanted.raw` on so the dissector materializes them. */
+    def needsRaw: Boolean = false
+  }
+
+  private def fieldValue(d: Dissect.Dissected, field: String): Any = field match {
+    case "frame.protocols" => d.protocols
+    case "_ws.col.info"    => d.info
+    case n                 => d.values.getOrElse(n, null)
+  }
+
+  private val bytePairs = "\\A[0-9a-fA-F]{2}([:.\\-][0-9a-fA-F]{2})*\\z".r
+
+  /** Canonical lowercase separator-free hex of a literal token: quoted →
+    * UTF-8 bytes; `aa:bb` / `aa.bb` / `aa-bb` byte forms → the pairs;
+    * other bare tokens → UTF-8 bytes (Wireshark's unquoted-string case). */
+  private def litHex(tok: String): String = {
+    val unq = if (tok.length >= 2 && tok.head == '"' && tok.last == '"')
+      Some(tok.substring(1, tok.length - 1)) else None
+    unq match {
+      case Some(s) => utf8Hex(s)
+      case None if bytePairs.matches(tok) =>
+        tok.toLowerCase.filter(c => c != ':' && c != '.' && c != '-')
+      case None => utf8Hex(tok)
+    }
+  }
+
+  private def utf8Hex(s: String): String = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    b.foreach(x => sb.append(f"${x & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** Canonical hex of a field's rendering: hex-pair renderings (payload
+    * hex, mac/byte fields) keep their byte values; anything else is its
+    * UTF-8 bytes. */
+  private def valueHex(v: String): String =
+    if (bytePairs.matches(v)) v.toLowerCase.filter(c => c != ':' && c != '.' && c != '-')
+    else utf8Hex(v)
+
+  /** Frame bytes as canonical hex, or null when not materialized. */
+  private def frameHex(d: Dissect.Dissected): String = {
+    val raw = d.values.getOrElse("frame.raw", null)
+    if (raw == null) null else raw.toString.filter(_ != ':')
+  }
+
+  /** Substring search in canonical hex constrained to byte boundaries. */
+  private def hexContains(hay: String, needle: String): Boolean = {
+    if (needle.isEmpty) return true
+    var idx = hay.indexOf(needle)
+    while (idx >= 0 && (idx & 1) == 1) idx = hay.indexOf(needle, idx + 1)
+    idx >= 0
+  }
+
+  /** Target resolution shared by contains/matches/slice: field targets →
+    * the field's canonical hex; `frame`/protocol targets → frame hex
+    * (null when the protocol is absent or bytes unavailable). */
+  private def subjectHex(d: Dissect.Dissected, target: String): String =
+    if (target.contains('.')) {
+      val v = fieldValue(d, target)
+      if (v == null) null else valueHex(v.toString)
+    } else if (target == "frame") frameHex(d)
+    else if (ProtoPresent(target).eval(d)) frameHex(d)
+    else null
 
   private final case class ProtoPresent(p: String) extends Expr {
     def eval(d: Dissect.Dissected): Boolean =
       d.protocols.split(':').contains(p) || d.values.contains(p)
   }
+
+  private final case class ContainsE(target: String, litH: String) extends Expr {
+    override def needsRaw: Boolean = !target.contains('.')
+    def eval(d: Dissect.Dissected): Boolean = {
+      val subject = subjectHex(d, target)
+      subject != null && hexContains(subject, litH)
+    }
+  }
+
+  private final case class MatchesE(target: String, p: java.util.regex.Pattern)
+      extends Expr {
+    override def needsRaw: Boolean = !target.contains('.')
+    def eval(d: Dissect.Dissected): Boolean = {
+      val subject: String =
+        if (target.contains('.')) {
+          val v = fieldValue(d, target)
+          if (v == null) return false
+          v.toString
+        } else {
+          val h = subjectHex(d, target)
+          if (h == null) return false
+          // frame/protocol bytes regex-searched as latin-1 text, tshark-like
+          val b = new Array[Byte](h.length / 2)
+          var i = 0
+          while (i < b.length) {
+            b(i) = Integer.parseInt(h.substring(i * 2, i * 2 + 2), 16).toByte
+            i += 1
+          }
+          new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+        }
+      p.matcher(subject).find()
+    }
+  }
+
+  /** `target[slice] == bytes` — `until == Int.MaxValue` means to-end;
+    * out-of-range slices clamp (Wireshark yields the shorter run, which
+    * then fails equality unless the literal shrank with it). */
+  private final case class SliceCmp(target: String, from: Int, until: Int,
+      negated: Boolean, litH: String) extends Expr {
+    override def needsRaw: Boolean = !target.contains('.')
+    def eval(d: Dissect.Dissected): Boolean = {
+      val subject = subjectHex(d, target)
+      if (subject == null) return false
+      val nBytes = subject.length / 2
+      val lo = math.min(from, nBytes)
+      val hi = math.min(until, nBytes)
+      val slice = if (hi <= lo) "" else subject.substring(lo * 2, hi * 2)
+      val eq = slice == litH
+      if (negated) !eq else eq
+    }
+  }
+
   private final case class Cmp(field: String, op: String, lit: String) extends Expr {
     def eval(d: Dissect.Dissected): Boolean = {
-      val raw: Any = field match {
-        case "frame.protocols" => d.protocols
-        case "_ws.col.info"    => d.info
-        case n                 => d.values.getOrElse(n, null)
-      }
+      val raw: Any = fieldValue(d, field)
       if (raw == null) return false
       val litS = lit.stripPrefix("\"").stripSuffix("\"")
       // Only fields DEFINED as multi-occurrence get Wireshark's any-match
@@ -293,12 +420,15 @@ object DisplayFilter {
   }
   private final case class Not(e: Expr) extends Expr {
     def eval(d: Dissect.Dissected): Boolean = !e.eval(d)
+    override def needsRaw: Boolean = e.needsRaw
   }
   private final case class AndE(l: Expr, r: Expr) extends Expr {
     def eval(d: Dissect.Dissected): Boolean = l.eval(d) && r.eval(d)
+    override def needsRaw: Boolean = l.needsRaw || r.needsRaw
   }
   private final case class OrE(l: Expr, r: Expr) extends Expr {
     def eval(d: Dissect.Dissected): Boolean = l.eval(d) || r.eval(d)
+    override def needsRaw: Boolean = l.needsRaw || r.needsRaw
   }
 
   def parse(s: String): Expr = {
@@ -350,6 +480,50 @@ object DisplayFilter {
         e
       } else parseAtom()
     }
+    /** One literal token: a quoted string (quotes kept) or a bare run. */
+    private def takeLiteral(): String = {
+      ws()
+      val vs = i
+      if (i < s.length && s(i) == '"') {
+        i += 1
+        while (i < s.length && s(i) != '"') i += 1
+        i += 1
+      } else {
+        while (i < s.length && !s(i).isWhitespace && !"()&|!".contains(s(i))) i += 1
+      }
+      val tok = s.substring(vs, i).trim
+      if (tok.isEmpty)
+        throw new IllegalArgumentException(s"cfilter: expected a value at offset $i in '$s'")
+      tok
+    }
+
+    /** Wireshark slice forms inside `[...]`: `i` (one byte), `i:len`,
+      * `lo-hi` (inclusive), `:len`, `i:` (to end). Returns (from, until). */
+    private def parseSlice(): (Int, Int) = {
+      i += 1 // '['
+      val start = i
+      while (i < s.length && s(i) != ']') i += 1
+      if (i >= s.length) throw new IllegalArgumentException(
+        s"cfilter: unterminated byte slice in '$s'")
+      val body = s.substring(start, i)
+      i += 1 // ']'
+      def num(t: String): Int = t.toIntOption.filter(_ >= 0).getOrElse(
+        throw new IllegalArgumentException(s"cfilter: bad slice bound '$t' in '$s'"))
+      if (body.contains(':')) {
+        val Array(a, b) = body.split(":", -1)
+        if (a.isEmpty) (0, num(b))
+        else if (b.isEmpty) (num(a), Int.MaxValue)
+        else { val f = num(a); (f, f + num(b)) }
+      } else if (body.contains('-')) {
+        val Array(a, b) = body.split("-", -1)
+        (num(a), num(b) + 1)
+      } else { val f = num(body); (f, f + 1) }
+    }
+
+    private def stripQuotes(tok: String): String =
+      if (tok.length >= 2 && tok.head == '"' && tok.last == '"')
+        tok.substring(1, tok.length - 1) else tok
+
     private def parseAtom(): Expr = {
       ws()
       val start = i
@@ -357,21 +531,26 @@ object DisplayFilter {
       val ident = s.substring(start, i)
       if (ident.isEmpty)
         throw new IllegalArgumentException(s"cfilter: expected a field name at offset $i in '$s'")
+      if (i < s.length && s(i) == '[') {
+        val (from, until) = parseSlice()
+        ws()
+        val neg = Seq("==", "!=").find(take).getOrElse(
+          throw new IllegalArgumentException(
+            s"cfilter: byte-slice comparison needs == or != at offset $i in '$s'")) == "!="
+        return SliceCmp(ident, from, until, neg, DisplayFilter.litHex(takeLiteral()))
+      }
       ws()
+      if (takeWord("contains"))
+        return ContainsE(ident, DisplayFilter.litHex(takeLiteral()))
+      if (takeWord("matches") || take("~")) {
+        val pat = stripQuotes(takeLiteral())
+        return MatchesE(ident, java.util.regex.Pattern.compile(pat,
+          java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL))
+      }
       val op = Seq("==", "!=", ">=", "<=", ">", "<").find(take)
       op match {
-        case None => ProtoPresent(ident)
-        case Some(o) =>
-          ws()
-          val vs = i
-          if (i < s.length && s(i) == '"') {
-            i += 1
-            while (i < s.length && s(i) != '"') i += 1
-            i += 1
-          } else {
-            while (i < s.length && !s(i).isWhitespace && !"()&|!".contains(s(i))) i += 1
-          }
-          Cmp(ident, o, s.substring(vs, i).trim)
+        case None    => ProtoPresent(ident)
+        case Some(o) => Cmp(ident, o, takeLiteral())
       }
     }
   }

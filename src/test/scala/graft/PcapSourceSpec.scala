@@ -276,6 +276,40 @@ class PcapSourceSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("trailing input")))
   }
 
+  test("display-filter: contains, matches, and byte-slice comparisons") {
+    val mixed = getClass.getResource("/mixed.pcap").getPath
+    // protocol-target contains: frame-bytes search gated on http presence
+    val httpContains = Wireduck.readPcap(spark, mixed,
+      cfilter = Some("http contains \"index.html\"")).count()
+    assert(httpContains > 0)
+    assert(Wireduck.readPcap(spark, mixed,
+      cfilter = Some("http contains \"no-such-needle\"")).count() === 0)
+    // field-target contains: substring over the field's bytes
+    assert(Wireduck.readPcap(spark, mixed,
+      cfilter = Some("http.user_agent contains \"graft\"")).count() > 0)
+    // matches: case-insensitive find-anywhere regex, Wireshark semantics
+    val m = Wireduck.readPcap(spark, mixed,
+      cfilter = Some("frame matches \"EXAMPLE\\.com\"")).count()
+    assert(m > 0)
+    // contains with a byte literal — same needle as the regex above
+    assert(Wireduck.readPcap(spark, mixed,
+      cfilter = Some("frame contains 65:78:61:6d:70:6c:65:2e:63:6f:6d")).count() === m)
+    // byte-slice on the frame: dst-MAC prefix (all but the ARP broadcast)
+    val all = Wireduck.readPcap(spark, mixed).count()
+    val sliced = Wireduck.readPcap(spark, mixed,
+      cfilter = Some("frame[0:3] == 02:00:00")).count()
+    assert(sliced === all - 1)
+    // byte-slice on a field rendering
+    assert(Wireduck.readPcap(spark, mixed,
+      cfilter = Some("eth.dst[0:3] == 02:00:00")).count() === sliced)
+    // slice comparison demands == or != — anything else still rejects
+    val e = intercept[Exception] {
+      Wireduck.readPcap(spark, mixed, cfilter = Some("frame[0:3] > 02:00:00")).count()
+    }
+    assert(e.getMessage.contains("byte-slice") ||
+      Option(e.getCause).exists(_.getMessage.contains("byte-slice")))
+  }
+
   test("ip.addr carries src,dst and display-filter == matches either") {
     val df = Wireduck.readPcap(spark, fixPcap, protocols = Seq("ip"))
     val r = df.orderBy(col("`frame.number`")).limit(1).collect()(0)
