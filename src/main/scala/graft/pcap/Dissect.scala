@@ -767,7 +767,10 @@ object Dissect {
       case 6  => dissectTcp(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
       case 17 => dissectUdp(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
       case 1  => protos += "icmp"; dissectIcmp(d, next, v)
+      case 2  => protos += "igmp"; dissectIgmp(d, next, ipEnd, v)
       case 47 => dissectGre(d, next, ipEnd, v, protos, tracker, wanted)
+      case 50 => protos += "esp"; dissectEsp(d, next, ipEnd, v)
+      case 51 => dissectAh(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
       case _  => null
     }
   }
@@ -849,6 +852,8 @@ object Dissect {
       case 17 => dissectUdp(d, p, end, src, dst, v, protos, tracker, wanted)
       case 58 => protos += "icmpv6"; dissectIcmpv6(d, p, end, v)
       case 47 => dissectGre(d, p, end, v, protos, tracker, wanted)
+      case 50 => protos += "esp"; dissectEsp(d, p, end, v)
+      case 51 => dissectAh(d, p, end, src, dst, v, protos, tracker, wanted)
       case _  => null
     }
   }
@@ -1331,6 +1336,8 @@ object Dissect {
         appInfo = dissectPop(appBuf, appOff, appLen, fromServer = sp == 110, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 143 || dp == 143))
         appInfo = dissectImap(appBuf, appOff, appLen, fromServer = sp == 143, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 179 || dp == 179))
+        appInfo = dissectBgp(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -1483,6 +1490,18 @@ object Dissect {
       sp == 1645 || dp == 1645 || sp == 1646 || dp == 1646) {
       val radInfo = dissectRadius(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
       if (radInfo != null) return radInfo
+    }
+    if (sp == 1900 || dp == 1900) {
+      val ssdpInfo = dissectSsdp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (ssdpInfo != null) return ssdpInfo
+    }
+    if (sp == 514 || dp == 514) {
+      val sysInfo = dissectSyslog(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (sysInfo != null) return sysInfo
+    }
+    if (sp == 69 || dp == 69) {
+      val tftpInfo = dissectTftp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (tftpInfo != null) return tftpInfo
     }
     if (tracker.rtpPorts.contains(sp) || tracker.rtpPorts.contains(dp)) {
       val rtpInfo = dissectRtp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
@@ -2339,6 +2358,235 @@ object Dissect {
     val name = modbusFuncNames.getOrElse(func, s"Func $func")
     if (isException) s"Trans $trans; Unit $unit; Func $func: $name (Exception)"
     else s"Trans $trans; Unit $unit; Func $func: $name"
+  }
+
+  private val bgpTypeNames: Map[Int, String] = Map(
+    1 -> "OPEN Message", 2 -> "UPDATE Message",
+    3 -> "NOTIFICATION Message", 4 -> "KEEPALIVE Message",
+    5 -> "ROUTE-REFRESH Message")
+
+  /** BGP (RFC 4271, TCP 179): every message wholly inside the segment —
+    * 16-byte all-ones marker, length, type — listed Wireshark-style in the
+    * info column; OPEN header fields from the first OPEN present. A
+    * trailing partial message is ignored (no cross-segment carry for BGP). */
+  private def dissectBgp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    val end = off + len
+    var i = off
+    val names = mutable.ArrayBuffer.empty[String]
+    var openDone = false
+    var bad = false
+    while (!bad && i + 19 <= end) {
+      var m = 0
+      while (m < 16 && d(i + m) == -1) m += 1
+      val mlen = if (m == 16) u16(d, i + 16) else 0
+      val tpe = if (m == 16) u8(d, i + 18) else 0
+      if (m < 16 || mlen < 19 || mlen > 4096 || !bgpTypeNames.contains(tpe)) bad = true
+      else if (i + mlen > end) bad = true // trailing partial
+      else {
+        if (names.isEmpty) {
+          v("bgp.type") = tpe.toLong
+          v("bgp.length") = mlen.toLong
+        }
+        if (tpe == 1 && !openDone && i + 29 <= end) {
+          v("bgp.open.version") = u8(d, i + 19).toLong
+          v("bgp.open.myas") = u16(d, i + 20).toLong
+          v("bgp.open.holdtime") = u16(d, i + 22).toLong
+          v("bgp.open.identifier") = ipv4Str(d, i + 24)
+          openDone = true
+        }
+        names += bgpTypeNames(tpe)
+        i += mlen
+      }
+    }
+    if (names.isEmpty) null
+    else {
+      protos += "bgp"
+      names.mkString(", ")
+    }
+  }
+
+  /** IGMP (RFC 2236/3376, IP protocol 2): type, max response time, and —
+    * for the single-group v1/v2 forms — the group address. The v3 report
+    * (0x22) carries group records, not one address, so only type-level
+    * fields are emitted for it. */
+  private def dissectIgmp(d: Array[Byte], off: Int, end: Int, v: FieldVec): String = {
+    if (end < off + 8) return "IGMP"
+    val tpe = u8(d, off)
+    v("igmp.type") = tpe.toLong
+    v("igmp.max_resp") = u8(d, off + 1).toLong
+    v("igmp.checksum") = u16(d, off + 2).toLong
+    if (tpe == 0x22) return "Membership Report"
+    val group = ipv4Str(d, off + 4)
+    v("igmp.maddr") = group
+    tpe match {
+      case 0x11 =>
+        if (group == "0.0.0.0") "Membership Query, general"
+        else s"Membership Query, specific for group $group"
+      case 0x12 | 0x16 => s"Membership Report group $group"
+      case 0x17        => s"Leave Group $group"
+      case _           => s"IGMP type=0x${"%02x".format(tpe)}"
+    }
+  }
+
+  /** IPsec ESP (RFC 4303, IP protocol 50): only the SPI and sequence
+    * number are cleartext — everything after is ciphertext. The caller
+    * adds the layer name. */
+  private def dissectEsp(d: Array[Byte], off: Int, end: Int, v: FieldVec): String = {
+    if (end < off + 8) return "ESP"
+    val spi = u32(d, off)
+    v("esp.spi") = spi
+    v("esp.sequence") = u32(d, off + 4)
+    s"ESP (SPI=0x${"%08x".format(spi)})"
+  }
+
+  /** IPsec AH (RFC 4302, IP protocol 51): integrity header, then the
+    * protected payload dissected in place (transport mode). */
+  private def dissectAh(
+      d: Array[Byte], off: Int, end: Int,
+      src: String, dst: String,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker,
+      wanted: Wanted): String = {
+    protos += "ah"
+    if (end < off + 12) return "AH"
+    val nxt = u8(d, off)
+    val plen = u8(d, off + 1)
+    val spi = u32(d, off + 4)
+    v("ah.next_header") = nxt.toLong
+    v("ah.length") = plen.toLong
+    v("ah.spi") = spi
+    v("ah.sequence") = u32(d, off + 8)
+    val hdrLen = (plen + 2) * 4
+    val inner =
+      if (hdrLen >= 12 && off + hdrLen < end) nxt match {
+        case 6  => dissectTcp(d, off + hdrLen, end, src, dst, v, protos, tracker, wanted)
+        case 17 => dissectUdp(d, off + hdrLen, end, src, dst, v, protos, tracker, wanted)
+        case 1  => protos += "icmp"; dissectIcmp(d, off + hdrLen, v)
+        case 50 => protos += "esp"; dissectEsp(d, off + hdrLen, end, v)
+        case _  => null
+      } else null
+    if (inner != null) inner else s"AH (SPI=0x${"%08x".format(spi)})"
+  }
+
+  private val ssdpMethods = Set("M-SEARCH", "NOTIFY", "GET", "POST",
+    "SUBSCRIBE", "UNSUBSCRIBE")
+
+  /** SSDP (UDP 1900): HTTP-framed discovery — the start line reuses the
+    * http.* request/response fields (tshark keeps those names under the
+    * ssdp layer). */
+  private def dissectSsdp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 12) return null
+    val text = new String(d, off, math.min(len, 2048), "ISO-8859-1")
+    val le = text.indexOf("\r\n")
+    if (le <= 0) return null
+    val line = text.substring(0, le)
+    val parts = line.split(" ", 3)
+    if (line.startsWith("HTTP/1.")) {
+      if (parts.length < 2) return null
+      val code = parts(1).toLongOption.getOrElse(return null)
+      protos += "ssdp"
+      v("http.response") = true
+      v("http.response.version") = parts(0)
+      v("http.response.code") = code
+      if (parts.length > 2) v("http.response.phrase") = parts(2)
+    } else {
+      if (parts.length != 3 || !parts(2).startsWith("HTTP/1.") ||
+        !ssdpMethods.contains(parts(0))) return null
+      protos += "ssdp"
+      v("http.request") = true
+      v("http.request.method") = parts(0)
+      v("http.request.uri") = parts(1)
+      v("http.request.version") = parts(2)
+    }
+    line
+  }
+
+  private val syslogFacilityNames: Array[String] = Array(
+    "KERN", "USER", "MAIL", "DAEMON", "AUTH", "SYSLOG", "LPR", "NEWS",
+    "UUCP", "CRON", "AUTHPRIV", "FTP", "NTP", "AUDIT", "ALERT", "CLOCK",
+    "LOCAL0", "LOCAL1", "LOCAL2", "LOCAL3", "LOCAL4", "LOCAL5", "LOCAL6",
+    "LOCAL7")
+  private val syslogLevelNames: Array[String] = Array(
+    "EMERG", "ALERT", "CRIT", "ERR", "WARNING", "NOTICE", "INFO", "DEBUG")
+
+  /** Syslog (RFC 3164, UDP 514): `<PRI>` then the free-form message;
+    * facility/severity decoded from PRI, "FACILITY.LEVEL: msg" info. */
+  private def dissectSyslog(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 3 || d(off) != '<') return null
+    val end = off + len
+    var i = off + 1
+    var pri = 0
+    var nd = 0
+    while (i < end && nd < 3 && d(i) >= '0' && d(i) <= '9') {
+      pri = pri * 10 + (d(i) - '0'); i += 1; nd += 1
+    }
+    if (nd == 0 || i >= end || d(i) != '>' || pri > 191) return null
+    i += 1
+    val msg = new String(d, i, math.min(end - i, 2048), "ISO-8859-1")
+    protos += "syslog"
+    val fac = pri >> 3
+    val lev = pri & 7
+    v("syslog.facility") = fac.toLong
+    v("syslog.level") = lev.toLong
+    v("syslog.msg") = msg
+    s"${syslogFacilityNames(fac)}.${syslogLevelNames(lev)}: $msg"
+  }
+
+  /** TFTP (RFC 1350, UDP 69): opcode plus filename/mode on RRQ/WRQ. Only
+    * the initial request hits port 69 — the transfer continues between
+    * ephemeral ports (conversation-tracked DATA/ACK is out of scope; the
+    * opcode forms are still dissected when seen on 69). */
+  private def dissectTftp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4) return null
+    val op = u16(d, off)
+    if (op < 1 || op > 6) return null
+    val end = off + len
+    if (op == 1 || op == 2) {
+      var i = off + 2
+      val f0 = i
+      while (i < end && d(i) != 0) i += 1
+      if (i >= end) return null // filename not NUL-terminated
+      val fname = new String(d, f0, i - f0, "ISO-8859-1")
+      i += 1
+      val m0 = i
+      while (i < end && d(i) != 0) i += 1
+      val mode = new String(d, m0, i - m0, "ISO-8859-1")
+      protos += "tftp"
+      v("tftp.opcode") = op.toLong
+      if (op == 1) v("tftp.source_file") = fname
+      else v("tftp.destination_file") = fname
+      v("tftp.type") = mode
+      if (op == 1) s"Read Request, File: $fname, Transfer type: $mode"
+      else s"Write Request, File: $fname, Transfer type: $mode"
+    } else {
+      protos += "tftp"
+      v("tftp.opcode") = op.toLong
+      op match {
+        case 3 =>
+          v("tftp.block") = u16(d, off + 2).toLong
+          s"Data Packet, Block: ${u16(d, off + 2)}"
+        case 4 =>
+          v("tftp.block") = u16(d, off + 2).toLong
+          s"Acknowledgement, Block: ${u16(d, off + 2)}"
+        case 5 =>
+          v("tftp.error.code") = u16(d, off + 2).toLong
+          s"Error Code, Code: ${u16(d, off + 2)}"
+        case _ => "Option Acknowledgement"
+      }
+    }
   }
 
   private val smtpCommands = Set("HELO", "EHLO", "MAIL", "RCPT", "DATA",

@@ -397,4 +397,45 @@ extra.append((t3, 4100, ip_frame(6, B, A,
 extra.append((t3, 4200, ip_frame(6, A, B,
               tcp(50702, 143, 1, b"a1 LOGIN bob secret\r\n"), ident=77)))
 
+# 44-45: BGP OPEN (AS 65001, holdtime 180, id 10.0.0.9) then a segment
+# carrying KEEPALIVE + UPDATE back-to-back (multi-message info column)
+bgp_open = (b"\xff" * 16 + struct.pack(">HB", 29, 1) +
+            struct.pack(">BHH", 4, 65001, 180) + bytes([10, 0, 0, 9]) +
+            bytes([0]))
+extra.append((t3, 4300, ip_frame(6, A, B, tcp(50800, 179, 1, bgp_open), ident=78)))
+bgp_keep = b"\xff" * 16 + struct.pack(">HB", 19, 4)
+bgp_upd = b"\xff" * 16 + struct.pack(">HB", 23, 2) + struct.pack(">HH", 0, 0)
+extra.append((t3, 4400, ip_frame(6, B, A,
+              tcp(179, 50800, 1, bgp_keep + bgp_upd), ident=79)))
+
+# 46-47: IGMPv2 general query + membership report for 224.0.0.9
+igmp_q = struct.pack(">BBH", 0x11, 100, 0) + bytes([0, 0, 0, 0])
+extra.append((t3, 4500, ip_frame(2, A, [224, 0, 0, 1], igmp_q, ident=80)))
+igmp_rep = struct.pack(">BBH", 0x16, 0, 0) + bytes([224, 0, 0, 9])
+extra.append((t3, 4600, ip_frame(2, A, [224, 0, 0, 9], igmp_rep, ident=81)))
+
+# 48: SSDP M-SEARCH discovery on UDP 1900 (http.* fields, ssdp layer)
+ssdp = (b"M-SEARCH * HTTP/1.1\r\nHOST: 239.255.255.250:1900\r\n"
+        b"MAN: \"ssdp:discover\"\r\nMX: 1\r\nST: ssdp:all\r\n\r\n")
+extra.append((t3, 4700, ip_frame(17, A, [239, 255, 255, 250],
+                                 udp(50900, 1900, ssdp), ident=82)))
+
+# 49: syslog LOCAL7.NOTICE on UDP 514
+syslog_msg = b"<189>Aug 12 22:14:15 host app: started"
+extra.append((t3, 4800, ip_frame(17, A, B, udp(51000, 514, syslog_msg), ident=83)))
+
+# 50: TFTP read request on UDP 69
+tftp_rrq = struct.pack(">H", 1) + b"boot.img\x00octet\x00"
+extra.append((t3, 4900, ip_frame(17, A, B, udp(51100, 69, tftp_rrq), ident=84)))
+
+# 51: ESP (only SPI/seq cleartext)
+esp = struct.pack(">II", 0xDEADD00D, 7) + bytes(24)
+extra.append((t3, 5000, ip_frame(50, A, B, esp, ident=85)))
+
+# 52: AH in transport mode protecting an ICMP echo request
+ah_icmp = struct.pack(">BBHH", 8, 0, 0, 0x77) + struct.pack(">H", 3)
+ah = struct.pack(">BBH", 1, 4, 0) + struct.pack(">II", 0xFEEDF00D, 9) + \
+    bytes(12) + ah_icmp
+extra.append((t3, 5100, ip_frame(51, A, B, ah, ident=86)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
