@@ -219,7 +219,8 @@ object Dissect {
     val lastExtSeq = Array(-1L, -1L)
     // desegmentation: unconsumed tail of an incomplete application PDU,
     // per direction (only populated when the tracker has desegment=true);
-    // carryKind records which dissector owns the buffer (1=fix, 2=http)
+    // carryKind records which dissector owns the buffer
+    // (1=fix, 2=http, 3=dns-tcp, 4=ftp, 5=sip)
     val carry: Array[Array[Byte]] = Array(Array.emptyByteArray, Array.emptyByteArray)
     val carryKind: Array[Int] = Array(0, 0)
     // seq-indexed reassembly (desegment only): expSeq is the next relative
@@ -1318,8 +1319,40 @@ object Dissect {
       }
       if (appInfo == null && !h2Claimed && (sp == 22 || dp == 22))
         appInfo = dissectSsh(appBuf, appOff, appLen, fromServer = sp == 22, v, protos)
-      if (appInfo == null && !h2Claimed && (sp == 5060 || dp == 5060))
-        appInfo = dissectSip(appBuf, appOff, appLen, v, protos, tracker)
+      // SIP over TCP (RFC 3261 §18.3): the message length is the header
+      // block plus Content-Length, so under desegment a message spanning
+      // segments carries (kind 5) until headers + body are complete and
+      // dissects on the completing segment — identical fields/RTP-port
+      // registration to the whole-in-segment case. Bytes past the message
+      // (a pipelined next one) are dropped, the HTTP-path simplification.
+      if (appInfo == null && !h2Claimed && (sp == 5060 || dp == 5060) && appLen > 0) {
+        if (tracker.desegment) {
+          val sipCarry = conv.carryKind(dir) == 5 && conv.carry(dir).nonEmpty
+          val head = new String(appBuf, appOff, math.min(appLen, 12), "ISO-8859-1")
+          val looksSipStart = head.startsWith("SIP/2.0 ") ||
+            sipMethods.exists(m => head.startsWith(m + " "))
+          if (sipCarry || looksSipStart) {
+            val seg = java.util.Arrays.copyOfRange(appBuf, appOff, appOff + appLen)
+            val buf = if (sipCarry) conv.carry(dir) ++ seg else seg
+            val hEnd = indexOfCrlfCrlf(buf)
+            val want = if (hEnd < 0) -1 else hEnd + 4 + sipContentLength(buf, hEnd + 4)
+            if (hEnd >= 0 && want >= 0 && buf.length >= want) {
+              conv.carry(dir) = Array.emptyByteArray
+              conv.carryKind(dir) = 0
+              appInfo = dissectSip(buf, 0, want, v, protos, tracker)
+            } else if (buf.length <= MaxCarry) {
+              conv.carry(dir) = buf
+              conv.carryKind(dir) = 5
+              appInfo = "[TCP segment of a reassembled PDU]"
+            } else {
+              conv.carry(dir) = Array.emptyByteArray
+              conv.carryKind(dir) = 0
+            }
+          }
+        } else {
+          appInfo = dissectSip(appBuf, appOff, appLen, v, protos, tracker)
+        }
+      }
       if (appInfo == null && !h2Claimed && (sp == 88 || dp == 88))
         appInfo = dissectKrb5(appBuf, appOff, appLen, overTcp = true, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 2049 || dp == 2049))
@@ -2003,6 +2036,23 @@ object Dissect {
     * negotiated ports with the tracker so subsequent RTP flows decode —
     * the same signaled-setup gating tshark uses (RTP has no magic; blind
     * port heuristics false-positive). */
+  /** Content-Length of a SIP message whose CRLFCRLF header terminator
+    * ends at `bodyStart` (compact form `l:` per RFC 3261 §20); 0 when the
+    * header is absent, as §18.3 specifies for stream transports. */
+  private def sipContentLength(buf: Array[Byte], bodyStart: Int): Int = {
+    val head = new String(buf, 0, bodyStart, "ISO-8859-1").toLowerCase
+    def after(name: String): Option[Int] = {
+      val at = head.indexOf(s"\r\n$name:")
+      if (at < 0) None
+      else {
+        val vs = at + 2 + name.length + 1
+        val ve = head.indexOf("\r\n", vs)
+        head.substring(vs, if (ve < 0) head.length else ve).trim.toIntOption
+      }
+    }
+    after("content-length").orElse(after("l")).filter(_ >= 0).getOrElse(0)
+  }
+
   private def dissectSip(
       d: Array[Byte], off: Int, len: Int,
       v: FieldVec,

@@ -438,4 +438,26 @@ ah = struct.pack(">BBH", 1, 4, 0) + struct.pack(">II", 0xFEEDF00D, 9) + \
     bytes(12) + ah_icmp
 extra.append((t3, 5100, ip_frame(51, A, B, ah, ident=86)))
 
+# 53-55: SIP INVITE over TCP 5060 split mid-SDP-body (RFC 3261 §18.3
+# Content-Length framing; kind-5 carry under desegment), then RTP on the
+# port the reassembled body announces
+sip_body = (b"v=0\r\no=alice 2 2 IN IP4 10.0.0.1\r\ns=-\r\n"
+            b"c=IN IP4 10.0.0.1\r\nt=0 0\r\nm=audio 49180 RTP/AVP 0\r\n")
+sip_tcp = (b"INVITE sip:carol@example.com SIP/2.0\r\n"
+           b"Via: SIP/2.0/TCP 10.0.0.1:5060\r\n"
+           b"From: <sip:alice@example.com>;tag=9\r\n"
+           b"To: <sip:carol@example.com>\r\n"
+           b"Call-ID: tcp42@10.0.0.1\r\n"
+           b"CSeq: 1 INVITE\r\n"
+           b"Content-Type: application/sdp\r\n"
+           b"Content-Length: " + str(len(sip_body)).encode() + b"\r\n\r\n" +
+           sip_body)
+scut = len(sip_tcp) - 20  # cuts through the trailing m= line
+extra.append((t3, 5200, ip_frame(6, A, B,
+              tcp(51200, 5060, 1, sip_tcp[:scut]), ident=87)))
+extra.append((t3, 5300, ip_frame(6, A, B,
+              tcp(51200, 5060, 1 + scut, sip_tcp[scut:]), ident=88)))
+rtp3 = bytes([0x80, 0x00]) + struct.pack(">HII", 5, 480, 0xCAFEBABE) + bytes(4)
+extra.append((t3, 5400, ip_frame(17, A, B, udp(49181, 49180, rtp3), ident=89)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
