@@ -12,6 +12,9 @@ object ScanBench {
     val bytes = new java.io.File(file).length / 1e6
     for ((label, df) <- Seq(
       "count 5-col" -> spark.read.format("pcap").load(file),
+      "count 4-col (info pruned)" -> spark.read.format("pcap").load(file)
+        .select(col("`frame.number`"), col("`frame.time_epoch`"),
+          col("`frame.protocols`"), col("`frame.len`")),
       "count pruned(frame.len)" -> spark.read.format("pcap").load(file).select(col("`frame.len`")),
       "agg ip+tcp ports" -> spark.read.format("pcap").option("protocols", "ip,tcp").load(file)
         .groupBy(col("`tcp.srcport`")).agg(sum(col("`tcp.len`"))),

@@ -451,12 +451,16 @@ object Dissect {
 
   private val SOH: Byte = 0x01
 
-  /** Extract FIX MsgType names for every message starting in this payload. */
-  private def fixMessages(payload: Array[Byte], off: Int, len: Int): Seq[String] = {
+  /** Extract FIX MsgType names for every message starting in this payload.
+    * `maxMsgs` lets the info-pruned scan stop after the first message (the
+    * `fix.msgtype` field only needs the head; the full walk exists for the
+    * info column's comma list). */
+  private def fixMessages(payload: Array[Byte], off: Int, len: Int,
+      maxMsgs: Int = Int.MaxValue): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     var i = off
     val end = off + len
-    while (i < end - 5) {
+    while (i < end - 5 && out.length < maxMsgs) {
       if (payload(i) == '8' && payload(i + 1) == '=' && payload(i + 2) == 'F' &&
         payload(i + 3) == 'I' && payload(i + 4) == 'X') {
         // find \x0135=
@@ -1221,9 +1225,10 @@ object Dissect {
         }
       } else if (startsFix) {
         protos += "fix"
-        val msgs = fixMessages(appBuf, appOff, appLen)
+        val msgs = fixMessages(appBuf, appOff, appLen,
+          if (wanted.info) Int.MaxValue else 1)
         if (msgs.nonEmpty) {
-          appInfo = msgs.mkString(", ")
+          if (wanted.info) appInfo = msgs.mkString(", ") else appInfo = ""
           v("fix.msgtype") = msgs.head
         }
       }

@@ -123,12 +123,28 @@ final class PcapPartitionReader(
   }
   private var current: InternalRow = _
 
+  // The protocols chain repeats across almost every packet of a capture
+  // ("eth:ethertype:ip:tcp:fix" × N) — intern its UTF8String so the
+  // per-row UTF-8 encode + byte[] allocation happens once per distinct
+  // chain, not once per row. UTF8String is immutable, so sharing one
+  // instance across emitted rows is safe; the cap bounds a pathological
+  // capture with thousands of distinct chains.
+  private val chainCache = new java.util.HashMap[String, UTF8String]()
+  private def internedUtf8(s: String): UTF8String = {
+    var u = chainCache.get(s)
+    if (u == null) {
+      u = UTF8String.fromString(s)
+      if (chainCache.size < 1024) chainCache.put(s, u)
+    }
+    u
+  }
+
   /** tshark type semantics at the cell level (SURVEY §1.2): values are
     * already typed by the dissector; timestamps here are epoch micros, with
     * the reference's whole-second truncation in compat=strict mode. */
   private def cell(i: Int, d: Dissect.Dissected): Any = {
     val raw: Any = colIds(i) match {
-      case -1 => d.protocols
+      case -1 => return internedUtf8(d.protocols)
       case -2 => d.info
       case -3 => null // not a glossary field (cannot happen for valid schemas)
       case id => d.arr(id)
