@@ -776,6 +776,7 @@ object Dissect {
       case 47 => dissectGre(d, next, ipEnd, v, protos, tracker, wanted)
       case 50 => protos += "esp"; dissectEsp(d, next, ipEnd, v)
       case 51 => dissectAh(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
+      case 89 => protos += "ospf"; dissectOspf(d, next, ipEnd, v)
       case _  => null
     }
   }
@@ -859,6 +860,7 @@ object Dissect {
       case 47 => dissectGre(d, p, end, v, protos, tracker, wanted)
       case 50 => protos += "esp"; dissectEsp(d, p, end, v)
       case 51 => dissectAh(d, p, end, src, dst, v, protos, tracker, wanted)
+      case 89 => protos += "ospf"; dissectOspf(d, p, end, v)
       case _  => null
     }
   }
@@ -1492,6 +1494,17 @@ object Dissect {
       val mdnsInfo = dissectDns(d, off + 8, math.min(off + 8 + payLen, d.length),
         v, protos, protoName = "mdns")
       if (mdnsInfo != null) return mdnsInfo
+    }
+    // LLMNR (RFC 4795, UDP 5355) is DNS wire format — Wireshark routes it
+    // through the DNS dissector too (dns.* fields under an llmnr layer)
+    if (sp == 5355 || dp == 5355) {
+      val llmnrInfo = dissectDns(d, off + 8, math.min(off + 8 + payLen, d.length),
+        v, protos, protoName = "llmnr")
+      if (llmnrInfo != null) return llmnrInfo
+    }
+    if (sp == 137 || dp == 137) {
+      val nbnsInfo = dissectNbns(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
+      if (nbnsInfo != null) return nbnsInfo
     }
     if (sp == 123 || dp == 123) {
       val ntpInfo = dissectNtp(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
@@ -2642,6 +2655,72 @@ object Dissect {
         case _ => "Option Acknowledgement"
       }
     }
+  }
+
+  private val ospfTypeNames: Map[Int, String] = Map(
+    1 -> "Hello Packet", 2 -> "DB Description", 3 -> "LS Request",
+    4 -> "LS Update", 5 -> "LS Acknowledge")
+
+  /** OSPFv2 (RFC 2328, IP protocol 89): common 24-byte header — version,
+    * type, router/area ids. The caller adds the layer name on success. */
+  private def dissectOspf(d: Array[Byte], off: Int, end: Int, v: FieldVec): String = {
+    if (end < off + 24) return "OSPF"
+    val ver = u8(d, off)
+    val tpe = u8(d, off + 1)
+    v("ospf.version") = ver.toLong
+    v("ospf.msg") = tpe.toLong
+    v("ospf.packet_length") = u16(d, off + 2).toLong
+    v("ospf.srcrouter") = ipv4Str(d, off + 4)
+    v("ospf.area_id") = ipv4Str(d, off + 8)
+    ospfTypeNames.getOrElse(tpe, s"OSPF type=$tpe")
+  }
+
+  /** NetBIOS first-level name decoding (RFC 1001 §14.1): 32 chars of
+    * 'A'..'P', each pair one byte; returns (name, suffix) or null. */
+  private def nbnsDecodeName(enc: String): (String, Int) = {
+    if (enc.length != 32 || enc.exists(c => c < 'A' || c > 'P')) return null
+    val bytes = new Array[Byte](16)
+    var i = 0
+    while (i < 16) {
+      bytes(i) = (((enc(i * 2) - 'A') << 4) | (enc(i * 2 + 1) - 'A')).toByte
+      i += 1
+    }
+    val suffix = bytes(15) & 0xff
+    val name = new String(bytes, 0, 15, "ISO-8859-1").trim
+    (name, suffix)
+  }
+
+  /** NBNS (RFC 1002, UDP 137): DNS-shaped header with first-level-encoded
+    * names — "Name query NB NAME<xx>" info, tshark-style. */
+  private def dissectNbns(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end < off + 12) return null
+    val id = u16(d, off)
+    val flags = u16(d, off + 2)
+    val qd = u16(d, off + 4)
+    val an = u16(d, off + 6)
+    if (qd > 8 || an > 8) return null // sanity: NBNS carries tiny counts
+    val isResponse = (flags & 0x8000) != 0
+    // first question/record name: one label of 32 encoded chars
+    var i = off + 12
+    var decoded: (String, Int) = null
+    if (i < end && u8(d, i) == 32 && i + 33 <= end) {
+      val enc = new String(d, i + 1, 32, "ISO-8859-1")
+      decoded = nbnsDecodeName(enc)
+    }
+    if (decoded == null && !isResponse) return null
+    protos += "nbns"
+    v("nbns.id") = id.toLong
+    v("nbns.flags.response") = isResponse
+    v("nbns.count.queries") = qd.toLong
+    if (decoded != null) {
+      v("nbns.name") = f"${decoded._1}<${decoded._2}%02x>"
+      val verb = if (isResponse) "Name query response NB" else "Name query NB"
+      f"$verb ${decoded._1}<${decoded._2}%02x>"
+    } else if (isResponse) "Name query response"
+    else "Name query"
   }
 
   private val smtpCommands = Set("HELO", "EHLO", "MAIL", "RCPT", "DATA",

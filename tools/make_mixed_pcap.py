@@ -460,4 +460,28 @@ extra.append((t3, 5300, ip_frame(6, A, B,
 rtp3 = bytes([0x80, 0x00]) + struct.pack(">HII", 5, 480, 0xCAFEBABE) + bytes(4)
 extra.append((t3, 5400, ip_frame(17, A, B, udp(49181, 49180, rtp3), ident=89)))
 
+# 56: OSPFv2 Hello (IP proto 89): 24-byte header + minimal hello body
+ospf = (struct.pack(">BBH", 2, 1, 44) + bytes([10, 0, 0, 7]) +
+        bytes([0, 0, 0, 1]) + struct.pack(">HH", 0, 0) + bytes(8) +
+        bytes(20))
+extra.append((t3, 5500, ip_frame(89, A, [224, 0, 0, 5], ospf, ident=90)))
+
+
+# 57: NBNS name query for WORKGROUP<00> (first-level-encoded name)
+def nbns_encode(name, suffix):
+    padded = (name + " " * 15)[:15] + chr(suffix)
+    return "".join(chr(ord('A') + (ord(c) >> 4)) + chr(ord('A') + (ord(c) & 0xF))
+                   for c in padded).encode()
+
+
+nbns_q = (struct.pack(">HHHHHH", 0xB007, 0x0110, 1, 0, 0, 0) +
+          bytes([32]) + nbns_encode("WORKGROUP", 0) + b"\x00" +
+          struct.pack(">HH", 0x20, 1))
+extra.append((t3, 5600, ip_frame(17, A, [10, 0, 0, 255],
+                                 udp(137, 137, nbns_q), ident=91)))
+
+# 58: LLMNR A query (DNS wire format on UDP 5355)
+extra.append((t3, 5700, ip_frame(17, A, [224, 0, 0, 252],
+                                 udp(51300, 5355, dns_q), ident=92)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
