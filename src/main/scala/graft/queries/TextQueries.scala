@@ -847,6 +847,38 @@ object TextQueries {
       FROM ranked WHERE rn <= 20
       ORDER BY lang, rnk"""))
 
+  /** Deterministic train/val/test split — the hold-out assignment step of
+    * a training-data pipeline: each document lands in a split by a salted
+    * md5 of its id (~90/5/5 via hex-prefix thresholds), so membership is
+    * reproducible across runs, engines, and re-shards — no RNG, no state.
+    * Reported as per-(split, lang) doc/char counts. 100 TB shape: one
+    * per-row hash projection + one aggregation shuffle; the assignment
+    * itself never shuffles and new data never perturbs old membership. */
+  val txTrainSplit = GraftQuery(
+    "tx_train_split",
+    (s, dir) => {
+      import s.implicits._
+      val h = substring(md5(concat(lit("t|"), $"doc_id".cast(StringType))), 1, 8)
+      val split = when(h < "e6666666", "train")
+        .when(h < "f3333333", "val")
+        .otherwise("test")
+      docs(s, dir)
+        .withColumn("split", split)
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+        .orderBy($"split", $"lang")
+    },
+    Some("""
+      WITH tagged AS (
+        SELECT lang, n_chars,
+               CASE WHEN substr(MD5('t|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+                    WHEN substr(MD5('t|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+      SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM tagged GROUP BY split, lang
+      ORDER BY split, lang"""))
+
   /** Training-mix reporting: per (lang, source) document and character
     * counts plus the corpus fraction — the summary a mixture-weighting
     * step consumes. Fractions are exact integer→double divisions (IEEE
@@ -881,7 +913,7 @@ object TextQueries {
   val all: Seq[GraftQuery] = Seq(
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
-    txMixtureWeights,
+    txTrainSplit, txMixtureWeights,
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
     ddSimhashPairs, ddDedupClusters)
 }
