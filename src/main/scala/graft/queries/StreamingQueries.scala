@@ -115,5 +115,38 @@ object StreamingQueries {
       SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
       FROM d GROUP BY 1 ORDER BY event_type"""))
 
-  val all: Seq[GraftQuery] = Seq(stSessionize, stWindowedCounts, stSlidingRates, stDedup)
+  /** Stream-stream interval join, exercised through its batch twin (the
+    * streaming spec drives the identical transform through two
+    * MemoryStreams with watermarks): purchases attributed to the same
+    * user's clicks in the preceding 30 minutes, summarized per purchase. */
+  val stIntervalJoin = GraftQuery(
+    "st_interval_join",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val events = Tables.load(s, dir, "events")
+      val pairs = EventPipeline.attributePurchases(
+        events.filter(col("event_type") === "click"),
+        events.filter(col("event_type") === "purchase"),
+        windowMinutes = 30)
+      pairs.groupBy(col("user_id"), col("purchase_id"), col("purchase_ts"))
+        .agg(count(lit(1)).as("n_clicks"), max(col("click_ts")).as("last_click_ts"))
+        .orderBy(col("user_id"), col("purchase_id"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, event_id AS click_id
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.user_id AS user_id, purchase_id, purchase_ts,
+             COUNT(*) AS n_clicks, MAX(click_ts) AS last_click_ts
+      FROM p JOIN c ON c.user_id = p.user_id
+        AND click_ts <= purchase_ts
+        AND click_ts > purchase_ts - INTERVAL 30 MINUTE
+      GROUP BY 1, 2, 3
+      ORDER BY p.user_id, purchase_id"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(stSessionize, stWindowedCounts, stSlidingRates, stDedup, stIntervalJoin)
 }

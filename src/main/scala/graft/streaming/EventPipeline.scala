@@ -71,6 +71,33 @@ object EventPipeline extends Serializable {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join (click→purchase attribution): each
+    * purchase pairs with the same user's clicks from the preceding
+    * `windowMinutes`. Both sides carry watermarks and the join condition
+    * is time-bounded, so in streaming mode the engine evicts click state
+    * once the interval passes (Structured Streaming's stream-stream join
+    * contract — state stays O(window), not O(stream)); in batch the
+    * watermark is a no-op and the identical plan runs stateless. Returns
+    * the raw attributed pairs; aggregate downstream as needed. */
+  def attributePurchases(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val wm = s"$windowMinutes minutes"
+    val c = clicks.withWatermark("ts", wm)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", wm)
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") > col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   private def close(uid: Long, s: SessionBuf): UserSession =
     UserSession(uid, fromMicros(s.startUs), fromMicros(s.lastUs),
       s.nEvents, s.sumCents / 100.0)

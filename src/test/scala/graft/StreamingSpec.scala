@@ -36,6 +36,35 @@ class StreamingSpec extends SparkSpec {
     assert(batch.length === 3) // (h0: click×2) (h1: click, view)
   }
 
+  test("stream-stream interval join: attribution pairs equal batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      ev(1, 0, 1, "click", 1.0), ev(2, 10, 1, "click", 1.0),
+      ev(3, 40, 1, "click", 1.0), ev(4, 12, 2, "click", 1.0))
+    val purchases = Seq(
+      ev(10, 35, 1, "purchase", 9.0), // attributes clicks at minute 10 only (0 is outside 30m)
+      ev(11, 90, 2, "purchase", 5.0)) // no click within 30m
+
+    val batch = EventPipeline
+      .attributePurchases(clicks.toDF(), purchases.toDF(), windowMinutes = 30)
+      .orderBy("purchase_id", "click_id").collect()
+
+    val cs = MemoryStream[Event]
+    val ps = MemoryStream[Event]
+    cs.addData(clicks: _*)
+    ps.addData(purchases: _*)
+    val q = EventPipeline
+      .attributePurchases(cs.toDF(), ps.toDF(), windowMinutes = 30)
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("attr").orderBy("purchase_id", "click_id").collect()
+
+    assert(batch.map(_.toSeq).toSeq === streamed.map(_.toSeq).toSeq)
+    assert(batch.map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSeq
+      === Seq((10L, 2L)))
+  }
+
   test("sessionization closes sessions on gap, keeps open session in state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
