@@ -1506,6 +1506,18 @@ object Dissect {
       val nbnsInfo = dissectNbns(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
       if (nbnsInfo != null) return nbnsInfo
     }
+    if (sp == 3478 || dp == 3478) {
+      val stunInfo = dissectStun(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (stunInfo != null) return stunInfo
+    }
+    if (sp == 546 || dp == 546 || sp == 547 || dp == 547) {
+      val d6Info = dissectDhcpv6(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (d6Info != null) return d6Info
+    }
+    if (sp == 51820 || dp == 51820) {
+      val wgInfo = dissectWireguard(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (wgInfo != null) return wgInfo
+    }
     if (sp == 123 || dp == 123) {
       val ntpInfo = dissectNtp(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
       if (ntpInfo != null) return ntpInfo
@@ -2721,6 +2733,75 @@ object Dissect {
       f"$verb ${decoded._1}<${decoded._2}%02x>"
     } else if (isResponse) "Name query response"
     else "Name query"
+  }
+
+  private val stunTypeNames: Map[Int, String] = Map(
+    0x0001 -> "Binding Request", 0x0101 -> "Binding Success Response",
+    0x0111 -> "Binding Error Response", 0x0011 -> "Binding Indication")
+
+  /** STUN (RFC 5389, UDP 3478): gated on the magic cookie; type, message
+    * length, and the 96-bit transaction id. */
+  private def dissectStun(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 20 || (u8(d, off) & 0xc0) != 0) return null
+    if (u32(d, off + 4) != 0x2112A442L) return null // magic cookie
+    val tpe = u16(d, off)
+    val mlen = u16(d, off + 2)
+    protos += "stun"
+    v("stun.type") = tpe.toLong
+    v("stun.length") = mlen.toLong
+    val sb = new java.lang.StringBuilder(24)
+    var i = 0
+    while (i < 12) { sb.append(hex2(d(off + 8 + i) & 0xff)); i += 1 }
+    v("stun.id") = sb.toString
+    stunTypeNames.getOrElse(tpe, f"STUN type=0x$tpe%04x")
+  }
+
+  private val dhcpv6MsgNames: Map[Int, String] = Map(
+    1 -> "Solicit", 2 -> "Advertise", 3 -> "Request", 4 -> "Confirm",
+    5 -> "Renew", 6 -> "Rebind", 7 -> "Reply", 8 -> "Release",
+    9 -> "Decline", 10 -> "Reconfigure", 11 -> "Information-request",
+    12 -> "Relay-forw", 13 -> "Relay-repl")
+
+  /** DHCPv6 (RFC 8415, UDP 546/547): message type + 24-bit transaction id. */
+  private def dissectDhcpv6(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4) return null
+    val tpe = u8(d, off)
+    val name = dhcpv6MsgNames.getOrElse(tpe, return null)
+    protos += "dhcpv6"
+    val xid = ((u8(d, off + 1) << 16) | (u8(d, off + 2) << 8) | u8(d, off + 3)).toLong
+    v("dhcpv6.msgtype") = tpe.toLong
+    v("dhcpv6.xid") = xid
+    f"$name XID: 0x$xid%06x"
+  }
+
+  private val wgTypeNames: Map[Int, String] = Map(
+    1 -> "Handshake Initiation", 2 -> "Handshake Response",
+    3 -> "Cookie Reply", 4 -> "Transport Data")
+
+  /** WireGuard (UDP 51820): one-byte type + three reserved zero bytes;
+    * little-endian sender/receiver index where the type defines one. */
+  private def dissectWireguard(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8) return null
+    val tpe = u8(d, off)
+    val name = wgTypeNames.getOrElse(tpe, return null)
+    if (u8(d, off + 1) != 0 || u8(d, off + 2) != 0 || u8(d, off + 3) != 0) return null
+    protos += "wg"
+    v("wg.type") = tpe.toLong
+    // types 1/2: sender index; 3/4: receiver index — both LE at offset 4
+    val idx = (u8(d, off + 4).toLong | (u8(d, off + 5).toLong << 8) |
+      (u8(d, off + 6).toLong << 16) | (u8(d, off + 7).toLong << 24))
+    if (tpe == 1 || tpe == 2) v("wg.sender") = idx else v("wg.receiver") = idx
+    val which = if (tpe == 1 || tpe == 2) "sender" else "receiver"
+    f"$name, $which=0x$idx%08x"
   }
 
   private val smtpCommands = Set("HELO", "EHLO", "MAIL", "RCPT", "DATA",

@@ -121,7 +121,7 @@ class PcapPropertySpec extends AnyFunSuite {
     // ports driving the DNS/mDNS/NTP/QUIC/DHCP/SIP/Kerberos/SNMP/NFS/
     // RADIUS/VXLAN/SSDP/syslog/TFTP/LLMNR/NBNS sniffers
     val portGen = Gen.oneOf(53, 5353, 123, 443, 67, 5060, 88, 161, 2049,
-      1812, 4789, 1900, 514, 69, 5355, 137)
+      1812, 4789, 1900, 514, 69, 5355, 137, 3478, 547, 51820)
     val payloadGen = for {
       n <- Gen.chooseNum(0, 300)
       bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))

@@ -484,4 +484,17 @@ extra.append((t3, 5600, ip_frame(17, A, [10, 0, 0, 255],
 extra.append((t3, 5700, ip_frame(17, A, [224, 0, 0, 252],
                                  udp(51300, 5355, dns_q), ident=92)))
 
+# 59: STUN Binding Request (UDP 3478, magic cookie gated)
+stun = (struct.pack(">HHI", 0x0001, 0, 0x2112A442) +
+        bytes.fromhex("0102030405060708090a0b0c"))
+extra.append((t3, 5800, ip_frame(17, A, B, udp(51400, 3478, stun), ident=93)))
+
+# 60: DHCPv6 Solicit over IPv6 (client 546 -> server 547)
+dhcpv6 = bytes([1, 0xAB, 0xCD, 0xEF]) + struct.pack(">HH", 1, 0)
+extra.append((t3, 5900, ipv6_frame(17, udp(546, 547, dhcpv6))))
+
+# 61: WireGuard handshake initiation (UDP 51820, LE sender index)
+wg = bytes([1, 0, 0, 0]) + struct.pack("<I", 0xDEADBEE5) + bytes(24)
+extra.append((t3, 6000, ip_frame(17, A, B, udp(51500, 51820, wg), ident=94)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
