@@ -38,6 +38,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("IVF cell assignment is the codegen vector_dot expression, not an ML UDF") {
+    val p = plan("sim_ann_ivf")
+    assert(p.contains("vector_dot"),
+      "cell assignment must run through the literal-centroid vector_dot expression")
+    assert(!p.contains("UDF"),
+      "the ML model.transform UDF must stay out of the assignment pass")
+  }
+
+  test("stream-stream interval join stays an equi-join on user_id") {
+    val p = plan("st_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the time-bounded attribution join must key on user_id, not cross-join")
+  }
+
   test("join/topk/pushdown staples keep their shapes") {
     val p5 = plan("q05_join_topk")
     assert(p5.contains("BroadcastHashJoin"))
