@@ -556,6 +556,38 @@ object DisplayFilter {
         return SliceCmp(ident, from, until, neg, DisplayFilter.litHex(takeLiteral()))
       }
       ws()
+      // set membership: `f in {a b, c}` — OR of equality against each
+      // member, so multi-value fields keep their any-occurrence semantics
+      if (takeWord("in")) {
+        ws()
+        if (i >= s.length || s(i) != '{')
+          throw new IllegalArgumentException(
+            s"cfilter: 'in' needs a {…} value set at offset $i in '$s'")
+        i += 1
+        val members = scala.collection.mutable.ArrayBuffer.empty[String]
+        var done = false
+        while (!done) {
+          ws()
+          while (i < s.length && s(i) == ',') { i += 1; ws() }
+          if (i < s.length && s(i) == '}') { i += 1; done = true }
+          else if (i >= s.length) throw new IllegalArgumentException(
+            s"cfilter: unterminated value set in '$s'")
+          else {
+            val vs = i
+            if (s(i) == '"') {
+              i += 1
+              while (i < s.length && s(i) != '"') i += 1
+              i += 1
+            } else {
+              while (i < s.length && !s(i).isWhitespace && s(i) != ',' && s(i) != '}') i += 1
+            }
+            members += s.substring(vs, i)
+          }
+        }
+        if (members.isEmpty) throw new IllegalArgumentException(
+          s"cfilter: empty value set in '$s'")
+        return members.map(m => Cmp(ident, "==", m): Expr).reduce(OrE(_, _))
+      }
       if (takeWord("contains"))
         return ContainsE(ident, DisplayFilter.litHex(takeLiteral()))
       if (takeWord("matches") || take("~")) {

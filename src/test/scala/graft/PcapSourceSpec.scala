@@ -310,6 +310,21 @@ class PcapSourceSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("byte-slice")))
   }
 
+  test("display-filter: in {…} set membership") {
+    val both = Wireduck.readPcap(spark, fixPcap,
+      cfilter = Some("tcp.srcport in {11001, 53867}")).count()
+    val orChain = Wireduck.readPcap(spark, fixPcap,
+      cfilter = Some("tcp.srcport == 11001 || tcp.srcport == 53867")).count()
+    assert(both === orChain && both === 485)
+    assert(Wireduck.readPcap(spark, fixPcap,
+      cfilter = Some("tcp.srcport in {1 2 3}")).count() === 0)
+    val e = intercept[Exception] {
+      Wireduck.readPcap(spark, fixPcap, cfilter = Some("tcp.srcport in {}")).count()
+    }
+    assert(e.getMessage.contains("value set") ||
+      Option(e.getCause).exists(_.getMessage.contains("value set")))
+  }
+
   test("ip.addr carries src,dst and display-filter == matches either") {
     val df = Wireduck.readPcap(spark, fixPcap, protocols = Seq("ip"))
     val r = df.orderBy(col("`frame.number`")).limit(1).collect()(0)
