@@ -74,6 +74,23 @@ object Ivf {
     searchBatch(index, q, topK, nProbe).select($"vec_id", $"label", $"cosine")
   }
 
+  /** The per-query probe frame shared by [[searchBatch]] and
+    * [[rangeSearch]]: probe cells ranked plan-side against the broadcast
+    * centroid table, the query vector carried along. */
+  private def probeFrame(index: Index, queries: DataFrame, nProbe: Int): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+    val wq = Window.partitionBy($"query_id").orderBy($"ccos".desc, $"cell")
+    queries.crossJoin(broadcast(cents))
+      .withColumn("ccos", Vectors.cosine($"qe", $"centroid"))
+      .withColumn("prnk", row_number().over(wq))
+      .filter($"prnk" <= nProbe)
+      .select($"query_id", $"qe", $"cell")
+  }
+
   /** Batch search: a DataFrame of queries `(query_id, qe)` answered in ONE
     * plan — per-query probe cells come from a broadcast cross join against
     * the (tiny) centroid table, candidates from a broadcast probe-to-cell
@@ -88,22 +105,32 @@ object Ivf {
     val spark = index.assigned.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val cents = index.centroids.zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
-    val wq = Window.partitionBy($"query_id").orderBy($"ccos".desc, $"cell")
-    val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("ccos", Vectors.cosine($"qe", $"centroid"))
-      .withColumn("prnk", row_number().over(wq))
-      .filter($"prnk" <= nProbe)
-      .select($"query_id", $"qe", $"cell")
     val wr = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
-    index.assigned.join(broadcast(probes), Seq("cell"))
+    index.assigned.join(broadcast(probeFrame(index, queries, nProbe)), Seq("cell"))
       .select($"query_id", $"vec_id", $"label",
         Vectors.cosine($"embedding", $"qe").as("cosine"))
       .withColumn("rnk", row_number().over(wr).cast("long"))
       .filter($"rnk" <= topK)
       .select($"query_id", $"rnk", $"vec_id", $"label", $"cosine")
       .orderBy($"query_id", $"rnk")
+  }
+
+  /** Range (radius) search: every corpus vector in the probed cells whose
+    * cosine to the query meets `minCosine` — the threshold counterpart of
+    * [[searchBatch]] (same probe plan, a filter instead of a ranking
+    * window, so nothing shuffles after the candidate join). */
+  def rangeSearch(
+      index: Index,
+      queries: DataFrame,
+      minCosine: Double,
+      nProbe: Int): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.join(broadcast(probeFrame(index, queries, nProbe)), Seq("cell"))
+      .select($"query_id", $"vec_id", $"label",
+        Vectors.cosine($"embedding", $"qe").as("cosine"))
+      .filter($"cosine" >= minCosine)
+      .orderBy($"query_id", $"cosine".desc, $"vec_id")
   }
 
   /** Persist the index as catalog tables: the (tiny) centroid table plus

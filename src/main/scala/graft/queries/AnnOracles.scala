@@ -92,6 +92,16 @@ object AnnOracles {
       WHERE rnk <= $topK AND vec_id <> 0
       ORDER BY rnk"""
 
+  /** Oracle for `sim_ann_range`: threshold filter over the probed cells
+    * instead of a ranking window (the `ranked` CTE goes unused). */
+  def ivfRangeSql(cents: Array[Array[Double]], minCosine: Double,
+      nProbe: Int): String =
+    ivfCore(cents, nProbe,
+      "CAST(vec_id AS BIGINT) AS query_id, embedding AS qe", "vec_id = 0") + s"""
+      SELECT vec_id, label, cosine FROM scored
+      WHERE cosine >= CAST(${fmt(minCosine)} AS DOUBLE) AND vec_id <> 0
+      ORDER BY cosine DESC, vec_id"""
+
   /** Oracle for `sim_ann_ivf_batch`: query set vec_id < maxQ. */
   def ivfBatchSql(cents: Array[Array[Double]], topK: Int, nProbe: Int,
       maxQ: Int): String =

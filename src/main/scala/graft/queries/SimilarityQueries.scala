@@ -199,6 +199,27 @@ object SimilarityQueries {
       FROM ranked WHERE rn <= 3
       ORDER BY query_id, rnk"""))
 
+  /** IVF range (radius) search: everything within cosine ≥ 0.15 of the
+    * query inside the probed cells — the dedup/retrieval-by-threshold
+    * shape (candidate set bounded by probes, then a stateless filter; no
+    * ranking window, nothing shuffles after the candidate join). Same
+    * shared fit + generated literal-centroid oracle as [[simAnnIvf]]. */
+  val simAnnRange = GraftQuery(
+    "sim_ann_range",
+    (s, dir) => {
+      import s.implicits._
+      val emb = graft.functions.AnnIndexes.embeddings(s, dir)
+      val index = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
+      val q = emb.filter($"vec_id" === 0)
+        .select($"vec_id".cast(LongType).as("query_id"), $"embedding".as("qe"))
+      graft.functions.Ivf.rangeSearch(index, q, minCosine = 0.15, nProbe = 4)
+        .filter($"vec_id" =!= 0)
+        .select($"vec_id", $"label", $"cosine")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.ivfRangeSql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids,
+      minCosine = 0.15, nProbe = 4)))
+
   /** Batch IVF: ten query vectors through one probe-join plan; same shared
     * fit + generated literal-centroid oracle as [[simAnnIvf]]. */
   val simAnnIvfBatch = GraftQuery(
@@ -262,6 +283,6 @@ object SimilarityQueries {
       topK = 5, nProbe = 4, rerank = 50, maxQ = 5)))
 
   val all: Seq[GraftQuery] =
-    Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfBatch,
-      simAnnPq, simAnnIvfPq, ddEmbeddingNeardup)
+    Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnRange,
+      simAnnIvfBatch, simAnnPq, simAnnIvfPq, ddEmbeddingNeardup)
 }
