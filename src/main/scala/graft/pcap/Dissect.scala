@@ -776,8 +776,9 @@ object Dissect {
       case 47 => dissectGre(d, next, ipEnd, v, protos, tracker, wanted)
       case 50 => protos += "esp"; dissectEsp(d, next, ipEnd, v)
       case 51 => dissectAh(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
-      case 89 => protos += "ospf"; dissectOspf(d, next, ipEnd, v)
-      case _  => null
+      case 89  => protos += "ospf"; dissectOspf(d, next, ipEnd, v)
+      case 132 => dissectSctp(d, next, ipEnd, v, protos)
+      case _   => null
     }
   }
 
@@ -860,8 +861,9 @@ object Dissect {
       case 47 => dissectGre(d, p, end, v, protos, tracker, wanted)
       case 50 => protos += "esp"; dissectEsp(d, p, end, v)
       case 51 => dissectAh(d, p, end, src, dst, v, protos, tracker, wanted)
-      case 89 => protos += "ospf"; dissectOspf(d, p, end, v)
-      case _  => null
+      case 89  => protos += "ospf"; dissectOspf(d, p, end, v)
+      case 132 => dissectSctp(d, p, end, v, protos)
+      case _   => null
     }
   }
 
@@ -1378,6 +1380,8 @@ object Dissect {
         appInfo = dissectImap(appBuf, appOff, appLen, fromServer = sp == 143, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 179 || dp == 179))
         appInfo = dissectBgp(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 1883 || dp == 1883))
+        appInfo = dissectMqtt(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -1517,6 +1521,15 @@ object Dissect {
     if (sp == 51820 || dp == 51820) {
       val wgInfo = dissectWireguard(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
       if (wgInfo != null) return wgInfo
+    }
+    if (sp == 2152 || dp == 2152) {
+      val gtpInfo = dissectGtpU(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos, tracker, wanted)
+      if (gtpInfo != null) return gtpInfo
+    }
+    if (sp == 500 || dp == 500 || sp == 4500 || dp == 4500) {
+      val ikeInfo = dissectIkev2(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (ikeInfo != null) return ikeInfo
     }
     if (sp == 123 || dp == 123) {
       val ntpInfo = dissectNtp(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
@@ -2802,6 +2815,162 @@ object Dissect {
     if (tpe == 1 || tpe == 2) v("wg.sender") = idx else v("wg.receiver") = idx
     val which = if (tpe == 1 || tpe == 2) "sender" else "receiver"
     f"$name, $which=0x$idx%08x"
+  }
+
+  private val mqttTypeNames: Map[Int, String] = Map(
+    1 -> "Connect Command", 2 -> "Connect Ack", 3 -> "Publish Message",
+    4 -> "Publish Ack", 5 -> "Publish Received", 6 -> "Publish Release",
+    7 -> "Publish Complete", 8 -> "Subscribe Request", 9 -> "Subscribe Ack",
+    10 -> "Unsubscribe Request", 11 -> "Unsubscribe Ack",
+    12 -> "Ping Request", 13 -> "Ping Response", 14 -> "Disconnect Req")
+
+  /** MQTT (TCP 1883): fixed header (type nibble + varint remaining
+    * length); PUBLISH exposes its topic, CONNECT is sanity-gated on the
+    * "MQTT"/"MQIsdp" protocol-name prefix. */
+  private def dissectMqtt(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 2) return null
+    val tpe = (u8(d, off) >> 4) & 0xf
+    val name = mqttTypeNames.getOrElse(tpe, return null)
+    // varint remaining length (max 4 bytes)
+    var rem = 0
+    var shift = 0
+    var i = off + 1
+    var more = true
+    while (more && shift <= 21 && i < off + len) {
+      val b = u8(d, i)
+      rem |= (b & 0x7f) << shift
+      more = (b & 0x80) != 0
+      shift += 7
+      i += 1
+    }
+    if (more) return null // truncated varint
+    if (tpe == 1) {
+      // CONNECT: 2-byte name length then "MQTT" (3.1.1/5) or "MQIsdp" (3.1)
+      if (i + 6 > off + len) return null
+      val nlen = u16(d, i)
+      if (nlen != 4 && nlen != 6) return null
+      val pn = new String(d, i + 2, math.min(nlen, off + len - i - 2), "ISO-8859-1")
+      if (pn != "MQTT" && pn != "MQIsdp") return null
+    }
+    protos += "mqtt"
+    v("mqtt.msgtype") = tpe.toLong
+    v("mqtt.len") = rem.toLong
+    if (tpe == 3 && i + 2 <= off + len) {
+      val tlen = u16(d, i)
+      if (tlen > 0 && i + 2 + tlen <= off + len) {
+        val topic = new String(d, i + 2, tlen, "ISO-8859-1")
+        v("mqtt.topic") = topic
+        return s"$name [$topic]"
+      }
+    }
+    name
+  }
+
+  private val sctpChunkNames: Map[Int, String] = Map(
+    0 -> "DATA", 1 -> "INIT", 2 -> "INIT_ACK", 3 -> "SACK",
+    4 -> "HEARTBEAT", 5 -> "HEARTBEAT_ACK", 6 -> "ABORT", 7 -> "SHUTDOWN",
+    8 -> "SHUTDOWN_ACK", 9 -> "ERROR", 10 -> "COOKIE_ECHO",
+    11 -> "COOKIE_ACK", 14 -> "SHUTDOWN_COMPLETE")
+
+  /** SCTP (RFC 4960, IP protocol 132): common header + the chunk-type
+    * walk Wireshark lists in the info column. */
+  private def dissectSctp(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    protos += "sctp"
+    if (end < off + 12) return "SCTP"
+    val sp = u16(d, off)
+    val dp = u16(d, off + 2)
+    v("sctp.srcport") = sp.toLong
+    v("sctp.dstport") = dp.toLong
+    v("sctp.verification_tag") = u32(d, off + 4)
+    val names = mutable.ArrayBuffer.empty[String]
+    var i = off + 12
+    var firstChunk = -1
+    while (i + 4 <= end && names.size < 8) {
+      val ct = u8(d, i)
+      val clen = u16(d, i + 2)
+      if (clen < 4) { i = end } // malformed framing: stop the walk
+      else {
+        if (firstChunk < 0) firstChunk = ct
+        names += sctpChunkNames.getOrElse(ct, s"CHUNK_$ct")
+        i += (clen + 3) & ~3 // chunks pad to 4-byte boundaries
+      }
+    }
+    if (firstChunk >= 0) v("sctp.chunk_type") = firstChunk.toLong
+    if (names.isEmpty) s"$sp → $dp"
+    else s"$sp → $dp ${names.mkString(", ")}"
+  }
+
+  /** GTP-U (3GPP TS 29.281, UDP 2152): version-1 header with TEID; a
+    * G-PDU's inner IP packet dissects in nested field mode (the GRE/VXLAN
+    * tunnel pattern). */
+  private def dissectGtpU(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker,
+      wanted: Wanted): String = {
+    if (len < 8) return null
+    val flags = u8(d, off)
+    if ((flags >> 5) != 1 || (flags & 0x10) == 0) return null // version 1, PT=1
+    val msgType = u8(d, off + 1)
+    val teid = u32(d, off + 4)
+    protos += "gtp"
+    v("gtp.message") = msgType.toLong
+    v("gtp.teid") = teid
+    var p = off + 8
+    if ((flags & 0x07) != 0) p += 4 // optional seq/npdu/ext fields present
+    if (msgType == 255 && p < off + len) {
+      val wasNested = v.nested
+      v.nested = true
+      val inner =
+        try (u8(d, p) >> 4) match {
+          case 4 => dissectIpv4(d, p, v, protos, tracker, wanted)
+          case 6 => dissectIpv6(d, p, v, protos, tracker, wanted)
+          case _ => null
+        } finally v.nested = wasNested
+      if (inner != null) return inner
+    }
+    val mname = if (msgType == 255) "G-PDU" else s"Message Type $msgType"
+    f"GTP <$mname> TEID=0x$teid%08x"
+  }
+
+  private val ikeExchangeNames: Map[Int, String] = Map(
+    34 -> "IKE_SA_INIT", 35 -> "IKE_AUTH", 36 -> "CREATE_CHILD_SA",
+    37 -> "INFORMATIONAL")
+
+  /** IKEv2 (RFC 7296, UDP 500; 4500 behind the zero non-ESP marker):
+    * header SPIs, exchange type, message id. */
+  private def dissectIkev2(
+      d: Array[Byte], off0: Int, len0: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    var off = off0
+    var len = len0
+    // UDP-encapsulated (port 4500): 4 zero bytes distinguish IKE from ESP
+    if (len >= 4 && u32(d, off) == 0L) { off += 4; len -= 4 }
+    if (len < 28) return null
+    if (u8(d, off + 17) != 0x20) return null // version 2.0
+    val ex = u8(d, off + 18)
+    val name = ikeExchangeNames.getOrElse(ex, return null)
+    protos += "isakmp"
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i < 8) { sb.append(hex2(d(off + i) & 0xff)); i += 1 }
+    v("isakmp.ispi") = sb.toString
+    val sb2 = new java.lang.StringBuilder(16)
+    i = 0
+    while (i < 8) { sb2.append(hex2(d(off + 8 + i) & 0xff)); i += 1 }
+    v("isakmp.rspi") = sb2.toString
+    v("isakmp.exchangetype") = ex.toLong
+    v("isakmp.messageid") = u32(d, off + 20)
+    v("isakmp.length") = u32(d, off + 24)
+    s"$name MID=${u32(d, off + 20)}"
   }
 
   private val smtpCommands = Set("HELO", "EHLO", "MAIL", "RCPT", "DATA",

@@ -497,4 +497,30 @@ extra.append((t3, 5900, ipv6_frame(17, udp(546, 547, dhcpv6))))
 wg = bytes([1, 0, 0, 0]) + struct.pack("<I", 0xDEADBEE5) + bytes(24)
 extra.append((t3, 6000, ip_frame(17, A, B, udp(51500, 51820, wg), ident=94)))
 
+# 62-63: MQTT CONNECT then PUBLISH to sensors/temp (TCP 1883)
+mqtt_conn = bytes([0x10, 12]) + struct.pack(">H", 4) + b"MQTT" + \
+    bytes([4, 2]) + struct.pack(">H", 60) + struct.pack(">H", 0)
+extra.append((t3, 6100, ip_frame(6, A, B, tcp(51600, 1883, 1, mqtt_conn), ident=95)))
+mqtt_pub = bytes([0x30, 2 + 12 + 4]) + struct.pack(">H", 12) + \
+    b"sensors/temp" + b"21.5"
+extra.append((t3, 6200, ip_frame(6, A, B,
+              tcp(51600, 1883, 1 + len(mqtt_conn), mqtt_pub), ident=96)))
+
+# 64: SCTP INIT chunk (IP proto 132)
+sctp = struct.pack(">HHII", 51700, 80, 0, 0) + \
+    struct.pack(">BBH", 1, 0, 20) + struct.pack(">IHHI", 0xA5A5A5A5, 5, 5, 1000)
+extra.append((t3, 6300, ip_frame(132, A, B, sctp, ident=97)))
+
+# 65: GTP-U G-PDU carrying an inner IPv4/ICMP echo (UDP 2152)
+gtp_inner = struct.pack(">BBHHH", 8, 0, 0, 0x55, 1)
+gi_hdr, gi_pay = ipv4(1, [10, 1, 0, 1], [10, 1, 0, 2], gtp_inner, ident=98)
+gtp = bytes([0x30, 255]) + struct.pack(">H", len(gi_hdr + gi_pay)) + \
+    struct.pack(">I", 0x00C0FFEE) + gi_hdr + gi_pay
+extra.append((t3, 6400, ip_frame(17, A, B, udp(51800, 2152, gtp), ident=99)))
+
+# 66: IKEv2 IKE_SA_INIT (UDP 500)
+ike = (bytes.fromhex("1122334455667788") + bytes(8) +
+       bytes([33, 0x20, 34, 0x08]) + struct.pack(">II", 0, 28))
+extra.append((t3, 6500, ip_frame(17, A, B, udp(500, 500, ike), ident=100)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
