@@ -124,7 +124,54 @@ object PcapQueries {
         max(col("`rtp.timestamp`")).as("ts_last"))
       .orderBy(col("ssrc"), col("stream")))
 
+  /** Transport-health report: per-TCP-stream counts of every
+    * tcp.analysis flag the desegmenting tracker computes — the
+    * "is this capture sick" triage query a network analyst runs first.
+    * Pure relational aggregate over stateful dissection output. */
+  val pcapTcpHealth = GraftQuery(
+    "pcap_tcp_health",
+    (s, _) => {
+      // the analysis flags are FT_NONE presence nodes (string/null), so
+      // "set" means non-null, tshark-style
+      def cnt(c: String) = sum(when(col(s"`$c`").isNotNull, 1L).otherwise(0L)).as(
+        c.stripPrefix("tcp.analysis.").replace('.', '_'))
+      Wireduck.readPcap(s, fixturePath, protocols = Seq("ip", "tcp"), desegment = true)
+        .groupBy(col("`tcp.stream`"))
+        .agg(
+          count(lit(1)).as("n_packets"),
+          cnt("tcp.analysis.retransmission"),
+          cnt("tcp.analysis.fast_retransmission"),
+          cnt("tcp.analysis.spurious_retransmission"),
+          cnt("tcp.analysis.duplicate_ack"),
+          cnt("tcp.analysis.out_of_order"),
+          cnt("tcp.analysis.zero_window"),
+          cnt("tcp.analysis.window_full"),
+          cnt("tcp.analysis.keep_alive"))
+        .orderBy(col("`tcp.stream`"))
+    })
+
+  /** DNS resolution latency: request joined to its response on
+    * (udp.stream, dns.id), RTT in microseconds — dissection feeding a
+    * self-join, the classic packet-analytics two-liner. */
+  val pcapDnsLatency = GraftQuery(
+    "pcap_dns_latency",
+    (s, _) => {
+      val dns = Wireduck.readPcap(s, mixedPath, protocols = Seq("udp", "dns"))
+        .filter(col("`dns.id`").isNotNull)
+        .select(col("`udp.stream`").as("stream"), col("`dns.id`").as("dns_id"),
+          col("`dns.flags.response`").as("is_resp"),
+          col("`dns.qry.name`").as("qry_name"),
+          unix_micros(col("`frame.time_epoch`")).as("ts_us"))
+      val req = dns.filter(!col("is_resp"))
+        .select(col("stream"), col("dns_id"), col("qry_name"), col("ts_us").as("req_ts"))
+      val rsp = dns.filter(col("is_resp"))
+        .select(col("stream"), col("dns_id"), col("ts_us").as("rsp_ts"))
+      req.join(rsp, Seq("stream", "dns_id"))
+        .select(col("dns_id"), col("qry_name"), (col("rsp_ts") - col("req_ts")).as("rtt_us"))
+        .orderBy(col("dns_id"))
+    })
+
   val all: Seq[GraftQuery] =
     Seq(pcapScan, pcapFlagship, pcapFiltered, pcapGlossary, pcapSessionStats,
-      pcapHttpTls, pcapRtpStats)
+      pcapHttpTls, pcapRtpStats, pcapTcpHealth, pcapDnsLatency)
 }
