@@ -823,6 +823,36 @@ object RelationalQueries {
       WHERE i <= len(top_prices)
       ORDER BY o_custkey, rnk"""))
 
+  /** RANGE-frame window (value-bounded, not row-bounded): revenue summed
+    * over the quantity band [q−2, q] per return flag — peers with equal
+    * order values enter the frame together, the semantics ROWS frames
+    * cannot express. Decimal-exact sum, the determinism contract. */
+  val q38WindowRangeFrame = GraftQuery(
+    "q38_window_range",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_quantity".cast("long"))
+        .rangeBetween(-2, Window.currentRow)
+      t(s, dir, "lineitem")
+        .withColumn("band_rev", sum(dec($"l_extendedprice")).over(w).cast(DoubleType))
+        // the key columns do not uniquely identify rows in this testdata —
+        // emit (flag, quantity) too: they fully determine band_rev, so any
+        // residual order ties are between identical rows
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+          $"l_returnflag", $"l_quantity".cast("long").as("quantity"), $"band_rev")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_returnflag", $"quantity")
+    },
+    Some("""
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             l_returnflag, CAST(l_quantity AS BIGINT) AS quantity,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(l_quantity AS BIGINT)
+               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS band_rev
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, l_returnflag, quantity"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -832,5 +862,5 @@ object RelationalQueries {
     q22InSubquery, q23ScalarSubquery, q24CorrelatedExists,
     q25StringFuncs, q26DateFuncs, q27MathFuncs, q28Regex, q29CaseAgg,
     q30Pivot, q31Explode, q32TimeBucket, q33Json, q34ApproxDistinct,
-    q35SaltedAgg, q36TopkAggregator, q37GroupingSets)
+    q35SaltedAgg, q36TopkAggregator, q37GroupingSets, q38WindowRangeFrame)
 }
