@@ -359,6 +359,11 @@ object Dissect {
     // UDP ports announced by SIP/SDP media lines — gates RTP decode
     // (bounded; a capture cannot grow this past 256 entries)
     private[Dissect] val rtpPorts = mutable.Set.empty[Int]
+    // client ports of in-flight TFTP transfers: the RRQ/WRQ hits port 69,
+    // but the server answers from ITS OWN ephemeral port to the client's —
+    // registering the client port lets DATA/ACK/ERROR decode (bounded,
+    // like rtpPorts)
+    private[Dissect] val tftpPorts = mutable.Set.empty[Int]
     // outstanding ONC-RPC call xids -> (version, procedure), so NFS
     // replies name their procedure (bounded at 1024, oldest evicted)
     private[Dissect] val rpcCalls = mutable.LinkedHashMap.empty[Long, (Long, Long)]
@@ -1576,6 +1581,16 @@ object Dissect {
       if (sysInfo != null) return sysInfo
     }
     if (sp == 69 || dp == 69) {
+      val tftpInfo = dissectTftp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (tftpInfo != null) {
+        // a request's CLIENT port identifies the transfer that follows on
+        // ephemeral ports (RFC 1350 §4: the server picks its own TID)
+        val client = if (dp == 69) sp else dp
+        if (tracker.tftpPorts.size < 256) tracker.tftpPorts += client
+        return tftpInfo
+      }
+    }
+    if (tracker.tftpPorts.contains(sp) || tracker.tftpPorts.contains(dp)) {
       val tftpInfo = dissectTftp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
       if (tftpInfo != null) return tftpInfo
     }

@@ -523,4 +523,11 @@ ike = (bytes.fromhex("1122334455667788") + bytes(8) +
        bytes([33, 0x20, 34, 0x08]) + struct.pack(">II", 0, 28))
 extra.append((t3, 6500, ip_frame(17, A, B, udp(500, 500, ike), ident=100)))
 
+# 67-68: the TFTP transfer follows on ephemeral ports (server TID 50001
+# answers the client port from frame 50) — conversation-tracked decode
+tftp_data = struct.pack(">HH", 3, 1) + b"IMGDATA"
+extra.append((t3, 6600, ip_frame(17, B, A, udp(50001, 51100, tftp_data), ident=101)))
+tftp_ack = struct.pack(">HH", 4, 1)
+extra.append((t3, 6700, ip_frame(17, A, B, udp(51100, 50001, tftp_ack), ident=102)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
