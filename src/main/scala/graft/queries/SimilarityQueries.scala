@@ -282,7 +282,43 @@ object SimilarityQueries {
       graft.functions.AnnIndexes.pq(s, dir, m = 8, k = 16),
       topK = 5, nProbe = 4, rerank = 50, maxQ = 5)))
 
+  /** Int8 scalar quantization — the embedding-compression step of a
+    * serving/storage pipeline: per-dimension min-max binning to 256
+    * levels (floor-based, so no rounding-mode divergence between
+    * engines). 100 TB shape: one per-dim aggregate (64 groups) + a
+    * broadcast stats join; emitted here per (vec, dim) for the first 8
+    * dims so the driver can hash scalars. min/max are exact comparisons
+    * and the bin arithmetic is the same IEEE sequence in both engines,
+    * so the static oracle hash-matches without fitted-literal tricks. */
+  val simQuantizeInt8 = GraftQuery(
+    "sim_quantize_int8",
+    (s, dir) => {
+      import s.implicits._
+      val exploded = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", posexplode($"embedding").as(Seq("dim0", "val")))
+        .select($"vec_id", ($"dim0" + 1).cast(LongType).as("dim"),
+          $"val".cast(DoubleType).as("v"))
+        .filter($"dim" <= 8)
+      val stats = exploded.groupBy($"dim")
+        .agg(min($"v").as("mn"), max($"v").as("mx"))
+      exploded.join(broadcast(stats), Seq("dim"))
+        .select($"vec_id", $"dim",
+          least(lit(255L), floor(($"v" - $"mn") * 256.0 / ($"mx" - $"mn")))
+            .as("code"))
+        .orderBy($"vec_id", $"dim")
+    },
+    Some("""
+      WITH dims AS (SELECT UNNEST(generate_series(1, 8)) AS dim),
+      x AS (
+        SELECT vec_id, dim, CAST(embedding[CAST(dim AS INT)] AS DOUBLE) AS v
+        FROM embeddings, dims),
+      st AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY dim)
+      SELECT vec_id, dim,
+             LEAST(255, CAST(FLOOR((v - mn) * 256.0 / (mx - mn)) AS BIGINT)) AS code
+      FROM x JOIN st USING (dim)
+      ORDER BY vec_id, dim"""))
+
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnRange,
-      simAnnIvfBatch, simAnnPq, simAnnIvfPq, ddEmbeddingNeardup)
+      simAnnIvfBatch, simAnnPq, simAnnIvfPq, simQuantizeInt8, ddEmbeddingNeardup)
 }
