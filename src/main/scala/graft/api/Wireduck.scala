@@ -19,6 +19,15 @@ object Wireduck {
     Glossary.register(spark)
     spark.udf.register("check_tshark_installed",
       () => Glossary.checkTsharkInstalled())
+    // the engine's codegen vector/dedup expressions, surfaced to plain-SQL
+    // users (each registration is idempotent)
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vector_dot",
+      es => graft.functions.VectorDot(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("hamming_distance",
+      es => graft.functions.HammingDistance(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("pq_adc_score",
+      es => graft.functions.PqAdcScore(es.head, es(1)), "built-in")
   }
 
   /** `initialize_glossary()` parity (A8): returns the two status rows. */

@@ -69,4 +69,16 @@ class RelationalQueriesSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(rows.toSeq === Seq(0L, 1L, 4L, 63L))
   }
+
+  test("Wireduck.setup registers the vector functions for SQL users") {
+    graft.api.Wireduck.setup(spark)
+    val d = spark.sql(
+      "SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d," +
+        " hamming_distance(255L, 15L) AS h," +
+        " pq_adc_score(array(1, 0), array(array(0.5D, 1.5D), array(2.5D))) AS a")
+      .collect()(0)
+    assert(d.getDouble(0) === 11.0)
+    assert(d.getLong(1) === 4L)
+    assert(d.getDouble(2) === 4.0) // lut[0][1] + lut[1][0]
+  }
 }
