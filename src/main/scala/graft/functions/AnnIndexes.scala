@@ -1,7 +1,5 @@
 package graft.functions
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.api.Tables
@@ -21,21 +19,21 @@ import graft.api.Tables
   *    the ivf/ivf_batch/pq/ivfpq queries of a run mirrors how the
   *    persisted index is used in production.
   *
-  * The coarse lock keeps concurrent bench threads from racing two fits of
-  * the same key into existence (they would differ only by reduction order,
-  * but the oracle contract wants exactly one).
+  * Per-key `computeIfAbsent` keeps concurrent callers from racing two
+  * fits of the same key into existence (they would differ only by
+  * reduction order, but the oracle contract wants exactly one) while
+  * leaving unrelated keys — and unrelated queries — free to run.
   */
 object AnnIndexes {
 
-  private val cache = TrieMap.empty[(Int, String), Any]
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), AnyRef]()
 
   private def key(spark: SparkSession, rest: String): (Int, String) =
     (System.identityHashCode(spark), rest)
 
-  private def getOrFit[T](spark: SparkSession, rest: String)(fit: => T): T =
-    cache.synchronized {
-      cache.getOrElseUpdate(key(spark, rest), fit).asInstanceOf[T]
-    }
+  private def getOrFit[T <: AnyRef](spark: SparkSession, rest: String)(fit: => T): T =
+    cache.computeIfAbsent(key(spark, rest), _ => fit).asInstanceOf[T]
 
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
