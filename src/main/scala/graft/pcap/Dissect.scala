@@ -442,6 +442,28 @@ object Dissect {
   }
 
   /** Wireshark FIX MsgType (tag 35) names, FIX 4.x standard CamelCase. */
+  /** Single-char MsgType fast path (the overwhelmingly common case): name
+    * resolved by byte index, no per-message String allocation. */
+  private lazy val fixMsgNameByByte: Array[String] = {
+    val arr = new Array[String](128)
+    var b = 0
+    while (b < 128) {
+      val s = String.valueOf(b.toChar)
+      arr(b) = fixMsgNames.getOrElse(s, s)
+      b += 1
+    }
+    arr
+  }
+
+  /** MsgType name for the value bytes [from, until) — byte-indexed for
+    * one-char types, allocating only for the rare multi-char ones. */
+  private def fixMsgName(payload: Array[Byte], from: Int, until: Int): String =
+    if (until - from == 1 && payload(from) >= 0) fixMsgNameByByte(payload(from))
+    else {
+      val t = new String(payload, from, until - from, "ISO-8859-1")
+      fixMsgNames.getOrElse(t, t)
+    }
+
   private val fixMsgNames: Map[String, String] = Map(
     "0" -> "Heartbeat", "1" -> "TestRequest", "2" -> "ResendRequest",
     "3" -> "Reject", "4" -> "SequenceReset", "5" -> "Logout",
@@ -476,8 +498,7 @@ object Dissect {
             payload(j + 3) == '=') {
             var k = j + 4
             while (k < end && payload(k) != SOH) k += 1
-            val t = new String(payload, j + 4, k - (j + 4), "ISO-8859-1")
-            msg = fixMsgNames.getOrElse(t, t)
+            msg = fixMsgName(payload, j + 4, k)
           }
           j += 1
         }
@@ -544,8 +565,7 @@ object Dissect {
         if (buf(m) == SOH && buf(m + 1) == '3' && buf(m + 2) == '5' && buf(m + 3) == '=') {
           var k = m + 4
           while (k < end && buf(k) != SOH) k += 1
-          val t = new String(buf, m + 4, k - (m + 4), "ISO-8859-1")
-          msg = fixMsgNames.getOrElse(t, t)
+          msg = fixMsgName(buf, m + 4, k)
         }
         m += 1
       }
@@ -2939,7 +2959,24 @@ object Dissect {
     v("gtp.message") = msgType.toLong
     v("gtp.teid") = teid
     var p = off + 8
-    if ((flags & 0x07) != 0) p += 4 // optional seq/npdu/ext fields present
+    if ((flags & 0x07) != 0) {
+      p += 4 // seq(2) + npdu(1) + next-ext-type(1) present as a block
+      // E flag: chained extension headers — first byte is length in
+      // 4-byte units, last byte the next-ext type (0 terminates)
+      if ((flags & 0x04) != 0) {
+        var next = u8(d, p - 1)
+        var hops = 0
+        while (next != 0 && p + 4 <= off + len && hops < 8) {
+          val extLen = u8(d, p) * 4
+          if (extLen == 0 || p + extLen > off + len) { next = 0 }
+          else {
+            next = u8(d, p + extLen - 1)
+            p += extLen
+            hops += 1
+          }
+        }
+      }
+    }
     if (msgType == 255 && p < off + len) {
       val wasNested = v.nested
       v.nested = true
