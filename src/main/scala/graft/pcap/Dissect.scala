@@ -1407,6 +1407,12 @@ object Dissect {
         appInfo = dissectBgp(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 1883 || dp == 1883))
         appInfo = dissectMqtt(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 1433 || dp == 1433))
+        appInfo = dissectTds(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 5672 || dp == 5672))
+        appInfo = dissectAmqp(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 5432 || dp == 5432))
+        appInfo = dissectPgsql(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -1555,6 +1561,10 @@ object Dissect {
     if (sp == 500 || dp == 500 || sp == 4500 || dp == 4500) {
       val ikeInfo = dissectIkev2(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
       if (ikeInfo != null) return ikeInfo
+    }
+    if (sp == 1701 || dp == 1701) {
+      val l2tpInfo = dissectL2tp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (l2tpInfo != null) return l2tpInfo
     }
     if (sp == 123 || dp == 123) {
       val ntpInfo = dissectNtp(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
@@ -3023,6 +3033,114 @@ object Dissect {
     v("isakmp.messageid") = u32(d, off + 20)
     v("isakmp.length") = u32(d, off + 24)
     s"$name MID=${u32(d, off + 20)}"
+  }
+
+  /** L2TPv2 (RFC 2661, UDP 1701): version-2 header, control/data bit,
+    * tunnel/session ids (offsets shift with the L bit). */
+  private def dissectL2tp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 6) return null
+    val flags = u16(d, off)
+    if ((flags & 0x000f) != 2) return null // version 2
+    val isControl = (flags & 0x8000) != 0
+    val hasLen = (flags & 0x4000) != 0
+    var p = off + 2
+    if (hasLen) p += 2
+    if (p + 4 > off + len) return null
+    protos += "l2tp"
+    val tunnel = u16(d, p)
+    val session = u16(d, p + 2)
+    v("l2tp.type") = (if (isControl) 1L else 0L)
+    v("l2tp.tunnel") = tunnel.toLong
+    v("l2tp.session") = session.toLong
+    val kind = if (isControl) "Control Message" else "Data Message"
+    s"$kind - Tunnel $tunnel Session $session"
+  }
+
+  private val tdsTypeNames: Map[Int, String] = Map(
+    1 -> "SQL batch", 2 -> "Pre-TDS7 Login", 3 -> "Remote Procedure Call",
+    4 -> "Response", 6 -> "Attention Signal", 7 -> "Bulk Load",
+    14 -> "Transaction Manager Request", 17 -> "SSPI Message",
+    18 -> "Pre-Login Message")
+
+  /** TDS (MS-TDS, TCP 1433): 8-byte packet header — type, status,
+    * big-endian length. */
+  private def dissectTds(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8) return null
+    val tpe = u8(d, off)
+    val name = tdsTypeNames.getOrElse(tpe, return null)
+    val plen = u16(d, off + 2)
+    if (plen < 8) return null
+    protos += "tds"
+    v("tds.type") = tpe.toLong
+    v("tds.length") = plen.toLong
+    name
+  }
+
+  private val amqpFrameNames: Map[Int, String] = Map(
+    1 -> "Method", 2 -> "Content header", 3 -> "Content body", 8 -> "Heartbeat")
+
+  /** AMQP 0-9-1 (TCP 5672): the protocol-header handshake or a typed
+    * frame (type, channel, 32-bit size, 0xCE frame-end). */
+  private def dissectAmqp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len >= 8 && d(off) == 'A' && d(off + 1) == 'M' && d(off + 2) == 'Q' &&
+      d(off + 3) == 'P' && u8(d, off + 4) == 0) {
+      protos += "amqp"
+      val maj = u8(d, off + 5)
+      val min = u8(d, off + 6)
+      val rev = u8(d, off + 7)
+      return s"Protocol-Header $maj-$min-$rev"
+    }
+    if (len < 8) return null
+    val tpe = u8(d, off)
+    val name = amqpFrameNames.getOrElse(tpe, return null)
+    val size = u32(d, off + 3) // type(1) channel(2) size(4) payload end(1)
+    // frame-end octet must be 0xCE when the frame closes in this segment
+    val endAt = off + 7 + size.toInt
+    if (size > (1 << 20) || (endAt < off + len && u8(d, endAt) != 0xce)) return null
+    protos += "amqp"
+    v("amqp.type") = tpe.toLong
+    v("amqp.channel") = u16(d, off + 1).toLong
+    v("amqp.length") = size
+    name
+  }
+
+  private val pgsqlTypeNames: Map[Char, String] = Map(
+    'Q' -> "Simple query", 'P' -> "Parse", 'B' -> "Bind", 'E' -> "Execute",
+    'D' -> "Data row", 'T' -> "Row description", 'C' -> "Command completion",
+    'R' -> "Authentication request", 'S' -> "Parameter status",
+    'Z' -> "Ready for query", 'X' -> "Termination", 'p' -> "Password message")
+
+  /** PostgreSQL wire protocol (TCP 5432): the untagged v3 startup message
+    * or a tagged message (type char + 32-bit length). */
+  private def dissectPgsql(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 5) return null
+    // startup: int32 length, int32 protocol 3.0 (0x00030000)
+    if (len >= 8 && u32(d, off + 4) == 0x00030000L && u32(d, off) <= 10000) {
+      protos += "pgsql"
+      v("pgsql.type") = "Startup message"
+      v("pgsql.length") = u32(d, off)
+      return "Startup message"
+    }
+    val c = u8(d, off).toChar
+    val name = pgsqlTypeNames.getOrElse(c, return null)
+    val mlen = u32(d, off + 1)
+    if (mlen < 4 || mlen > (1 << 24)) return null
+    protos += "pgsql"
+    v("pgsql.type") = name
+    v("pgsql.length") = mlen
+    name
   }
 
   private val smtpCommands = Set("HELO", "EHLO", "MAIL", "RCPT", "DATA",

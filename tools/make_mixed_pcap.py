@@ -530,4 +530,28 @@ extra.append((t3, 6600, ip_frame(17, B, A, udp(50001, 51100, tftp_data), ident=1
 tftp_ack = struct.pack(">HH", 4, 1)
 extra.append((t3, 6700, ip_frame(17, A, B, udp(51100, 50001, tftp_ack), ident=102)))
 
+# 69: L2TPv2 control message (UDP 1701): T+L+S bits, tunnel 9, session 2
+l2tp = struct.pack(">HHHHHH", 0xC802, 12, 9, 2, 0, 0)
+extra.append((t3, 6800, ip_frame(17, A, B, udp(51900, 1701, l2tp), ident=103)))
+
+# 70: TDS Pre-Login (type 18) on TCP 1433
+tds = struct.pack(">BBHHBB", 18, 1, 16, 0, 0, 0) + bytes(8)
+extra.append((t3, 6900, ip_frame(6, A, B, tcp(52000, 1433, 1, tds), ident=104)))
+
+# 71-72: AMQP protocol header, then a Method frame (channel 0, 0xCE end)
+extra.append((t3, 7000, ip_frame(6, A, B,
+              tcp(52100, 5672, 1, b"AMQP\x00\x00\x09\x01"), ident=105)))
+amqp_frame = bytes([1]) + struct.pack(">HI", 0, 4) + bytes(4) + bytes([0xCE])
+extra.append((t3, 7100, ip_frame(6, A, B,
+              tcp(52100, 5672, 9, amqp_frame), ident=106)))
+
+# 73-74: PostgreSQL v3 startup, then a simple query
+pg_params = b"user\x00alice\x00\x00"
+pg_startup = struct.pack(">II", 8 + len(pg_params), 0x00030000) + pg_params
+extra.append((t3, 7200, ip_frame(6, A, B, tcp(52200, 5432, 1, pg_startup), ident=107)))
+pg_q = b"SELECT 1;\x00"
+pg_query = b"Q" + struct.pack(">I", 4 + len(pg_q)) + pg_q
+extra.append((t3, 7300, ip_frame(6, A, B,
+              tcp(52200, 5432, 1 + len(pg_startup), pg_query), ident=108)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
