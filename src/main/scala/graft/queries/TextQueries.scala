@@ -910,10 +910,81 @@ object TextQueries {
       FROM g CROSS JOIN tot
       ORDER BY lang, source"""))
 
+  /** The pipeline capstone — what a full ingest run reports: documents
+    * that pass the Gopher quality gate AND survive exact dedup (the
+    * min-doc_id keeper per content hash), bucketed by the deterministic
+    * train/val/test split, summarized per (split, lang). One query
+    * composing three operators; each stage is the same logic its
+    * standalone query runs, so the composition is oracle-checkable too.
+    * 100 TB shape: the quality verdict is per-row work + one top-token
+    * aggregate; dedup is one content-hash shuffle; split is a hash
+    * projection; the report is one final aggregation. */
+  val txCorpusReport = GraftQuery(
+    "tx_corpus_report",
+    (s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir)
+      val keepQuality = gopherVerdicts(base)
+        .filter($"verdict" === "keep").select($"doc_id")
+      val keeper = base.groupBy(md5($"text").as("h"))
+        .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+      val h = substring(md5(concat(lit("t|"), $"doc_id".cast(StringType))), 1, 8)
+      val split = when(h < "e6666666", "train")
+        .when(h < "f3333333", "val")
+        .otherwise("test")
+      base.join(keepQuality, Seq("doc_id")).join(keeper, Seq("doc_id"))
+        .withColumn("split", split)
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+        .orderBy($"split", $"lang")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '') AS tokens,
+               LIST_FILTER(STRING_SPLIT(text, CHR(10)), x -> x <> '') AS lines
+        FROM documents),
+      b AS (
+        SELECT doc_id,
+               CAST(LEN(tokens) AS BIGINT) AS n_words,
+               CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(tokens, w -> LENGTH(w))), 0) AS BIGINT) AS sum_len,
+               CAST(LEN(LIST_FILTER(tokens, w -> REGEXP_MATCHES(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+               CAST(LEN(LIST_FILTER(tokens, w -> w IN ($stopList))) AS BIGINT) AS stop_hits,
+               CAST(LEN(lines) AS BIGINT) AS n_lines,
+               CAST(LEN(lines) - LEN(LIST_DISTINCT(lines)) AS BIGINT) AS n_dup_lines
+        FROM t),
+      w2 AS (SELECT doc_id, UNNEST(tokens) AS w FROM t),
+      topc AS (
+        SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_c
+        FROM (SELECT doc_id, w, COUNT(*) AS c FROM w2 GROUP BY 1, 2)
+        GROUP BY doc_id),
+      keepq AS (
+        SELECT b.doc_id
+        FROM b JOIN topc ON topc.doc_id = b.doc_id
+        WHERE NOT (n_words < 50 OR n_words > 100000)
+          AND NOT (CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) < 3.0
+                   OR CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) > 10.0)
+          AND NOT (CAST(n_words - n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.2)
+          AND NOT (stop_hits < 2)
+          AND NOT (n_lines > 0 AND CAST(n_dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) > 0.3)
+          AND NOT (CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.2)),
+      keeper AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text)),
+      tagged AS (
+        SELECT d.lang, d.n_chars,
+               CASE WHEN substr(MD5('t|' || CAST(d.doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+                    WHEN substr(MD5('t|' || CAST(d.doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents d
+        JOIN keepq ON keepq.doc_id = d.doc_id
+        JOIN keeper ON keeper.doc_id = d.doc_id)
+      SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM tagged GROUP BY split, lang
+      ORDER BY split, lang"""))
+
   val all: Seq[GraftQuery] = Seq(
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
-    txTrainSplit, txMixtureWeights,
+    txTrainSplit, txMixtureWeights, txCorpusReport,
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
     ddSimhashPairs, ddDedupClusters)
 }
