@@ -220,7 +220,7 @@ object Dissect {
     // desegmentation: unconsumed tail of an incomplete application PDU,
     // per direction (only populated when the tracker has desegment=true);
     // carryKind records which dissector owns the buffer
-    // (1=fix, 2=http, 3=dns-tcp, 4=ftp, 5=sip)
+    // (1=fix, 2=http, 3=dns-tcp, 4=ftp, 5=sip, 6=mqtt)
     val carry: Array[Array[Byte]] = Array(Array.emptyByteArray, Array.emptyByteArray)
     val carryKind: Array[Int] = Array(0, 0)
     // seq-indexed reassembly (desegment only): expSeq is the next relative
@@ -1405,8 +1405,53 @@ object Dissect {
         appInfo = dissectImap(appBuf, appOff, appLen, fromServer = sp == 143, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 179 || dp == 179))
         appInfo = dissectBgp(appBuf, appOff, appLen, v, protos)
-      if (appInfo == null && !h2Claimed && (sp == 1883 || dp == 1883))
-        appInfo = dissectMqtt(appBuf, appOff, appLen, v, protos)
+      // MQTT framing is the fixed header's varint length, so under
+      // desegment every PDU COMPLETED by this run dissects (multi-PDU
+      // segments list each message, tshark-style) and a trailing partial
+      // PDU carries (kind 6) to the completing segment.
+      if (appInfo == null && !h2Claimed && (sp == 1883 || dp == 1883) && appLen > 0) {
+        if (tracker.desegment) {
+          val mqCarry = conv.carryKind(dir) == 6 && conv.carry(dir).nonEmpty
+          val seg = java.util.Arrays.copyOfRange(appBuf, appOff, appOff + appLen)
+          val buf = if (mqCarry) conv.carry(dir) ++ seg else seg
+          val infos = mutable.ArrayBuffer.empty[String]
+          var i = 0
+          var bad = false
+          var stop = false
+          while (!stop) {
+            mqttPduLen(buf, i, buf.length) match {
+              case -2 => stop = true; bad = i == 0 && !mqCarry
+              case -1 => stop = true
+              case n =>
+                val r = dissectMqtt(buf, i, n, v, protos)
+                if (r == null) { stop = true; bad = infos.isEmpty && !mqCarry }
+                else { infos += r; i += n }
+            }
+          }
+          if (!bad) {
+            val rest = buf.length - i
+            if (rest > 0 && rest <= MaxCarry && mqttPduLen(buf, i, buf.length) == -1) {
+              conv.carry(dir) = java.util.Arrays.copyOfRange(buf, i, buf.length)
+              conv.carryKind(dir) = 6
+            } else if (conv.carryKind(dir) == 6) {
+              conv.carry(dir) = Array.emptyByteArray
+              conv.carryKind(dir) = 0
+            }
+            if (infos.nonEmpty) {
+              val dd = protos.distinct
+              protos.clear(); protos ++= dd
+              appInfo = infos.mkString(", ")
+            } else if (conv.carryKind(dir) == 6 && conv.carry(dir).nonEmpty) {
+              appInfo = "[TCP segment of a reassembled PDU]"
+            }
+          } else if (conv.carryKind(dir) == 6) {
+            conv.carry(dir) = Array.emptyByteArray
+            conv.carryKind(dir) = 0
+          }
+        } else {
+          appInfo = dissectMqtt(appBuf, appOff, appLen, v, protos)
+        }
+      }
       if (appInfo == null && !h2Claimed && (sp == 1433 || dp == 1433))
         appInfo = dissectTds(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 5672 || dp == 5672))
@@ -2868,6 +2913,30 @@ object Dissect {
     7 -> "Publish Complete", 8 -> "Subscribe Request", 9 -> "Subscribe Ack",
     10 -> "Unsubscribe Request", 11 -> "Unsubscribe Ack",
     12 -> "Ping Request", 13 -> "Ping Response", 14 -> "Disconnect Req")
+
+  /** Total byte length of the MQTT PDU at `off`: -1 when the PDU is
+    * plausible but incomplete in [off, end) (desegment carries it),
+    * -2 when the bytes cannot be an MQTT fixed header. */
+  private def mqttPduLen(d: Array[Byte], off: Int, end: Int): Int = {
+    if (off >= end) return -1
+    val tpe = (u8(d, off) >> 4) & 0xf
+    if (!mqttTypeNames.contains(tpe)) return -2
+    var rem = 0
+    var shift = 0
+    var i = off + 1
+    var more = true
+    while (more && shift <= 21) {
+      if (i >= end) return -1
+      val b = u8(d, i)
+      rem |= (b & 0x7f) << shift
+      more = (b & 0x80) != 0
+      shift += 7
+      i += 1
+    }
+    if (more) return -2 // varint longer than 4 bytes: not MQTT
+    val total = (i - off) + rem
+    if (off + total > end) -1 else total
+  }
 
   /** MQTT (TCP 1883): fixed header (type nibble + varint remaining
     * length); PUBLISH exposes its topic, CONNECT is sanity-gated on the

@@ -554,4 +554,18 @@ pg_query = b"Q" + struct.pack(">I", 4 + len(pg_q)) + pg_q
 extra.append((t3, 7300, ip_frame(6, A, B,
               tcp(52200, 5432, 1 + len(pg_startup), pg_query), ident=108)))
 
+# 75-76: MQTT PUBLISH split mid-payload across two segments (desegment
+# reassembles on the completing one), then PINGREQ+PINGRESP back-to-back
+# in a single segment (multi-PDU info list)
+mq_pub2 = bytes([0x30, 2 + 10 + 6]) + struct.pack(">H", 10) + \
+    b"alarm/door" + b"OPENED"
+cut2 = len(mq_pub2) - 4
+extra.append((t3, 7400, ip_frame(6, A, B,
+              tcp(52300, 1883, 1, mq_pub2[:cut2]), ident=109)))
+extra.append((t3, 7500, ip_frame(6, A, B,
+              tcp(52300, 1883, 1 + cut2, mq_pub2[cut2:]), ident=110)))
+mq_pings = bytes([0xC0, 0]) + bytes([0xD0, 0])
+extra.append((t3, 7600, ip_frame(6, A, B,
+              tcp(52300, 1883, 1 + len(mq_pub2), mq_pings), ident=111)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
