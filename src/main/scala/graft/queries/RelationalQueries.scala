@@ -853,6 +853,21 @@ object RelationalQueries {
       FROM lineitem
       ORDER BY l_orderkey, l_linenumber, l_returnflag, quantity"""))
 
+  /** Ordered-set aggregates: exact interpolated percentiles. Both engines
+    * sort the exact values and interpolate `lo + (hi-lo)*frac` — verified
+    * bit-identical, so the oracle hashes (unlike the approximate-sketch
+    * q34 family). */
+  val q39Percentiles = sharedSql(
+    "q39_percentiles",
+    """
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+             PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -862,5 +877,6 @@ object RelationalQueries {
     q22InSubquery, q23ScalarSubquery, q24CorrelatedExists,
     q25StringFuncs, q26DateFuncs, q27MathFuncs, q28Regex, q29CaseAgg,
     q30Pivot, q31Explode, q32TimeBucket, q33Json, q34ApproxDistinct,
-    q35SaltedAgg, q36TopkAggregator, q37GroupingSets, q38WindowRangeFrame)
+    q35SaltedAgg, q36TopkAggregator, q37GroupingSets, q38WindowRangeFrame,
+    q39Percentiles)
 }
