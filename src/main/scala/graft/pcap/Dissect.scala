@@ -1458,6 +1458,10 @@ object Dissect {
         appInfo = dissectAmqp(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 5432 || dp == 5432))
         appInfo = dissectPgsql(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 3306 || dp == 3306))
+        appInfo = dissectMysql(appBuf, appOff, appLen, fromServer = sp == 3306, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 6379 || dp == 6379))
+        appInfo = dissectRedis(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -1610,6 +1614,10 @@ object Dissect {
     if (sp == 1701 || dp == 1701) {
       val l2tpInfo = dissectL2tp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
       if (l2tpInfo != null) return l2tpInfo
+    }
+    if (sp == 5683 || dp == 5683) {
+      val coapInfo = dissectCoap(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (coapInfo != null) return coapInfo
     }
     if (sp == 123 || dp == 123) {
       val ntpInfo = dissectNtp(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
@@ -3210,6 +3218,110 @@ object Dissect {
     v("pgsql.type") = name
     v("pgsql.length") = mlen
     name
+  }
+
+  private val mysqlCommandNames: Map[Int, String] = Map(
+    0 -> "Sleep", 1 -> "Quit", 2 -> "Init DB", 3 -> "Query",
+    4 -> "Field List", 5 -> "Create DB", 6 -> "Drop DB", 7 -> "Refresh",
+    8 -> "Shutdown", 9 -> "Statistics", 12 -> "Process Kill",
+    14 -> "Ping", 22 -> "Prepare Statement", 23 -> "Execute Statement",
+    25 -> "Close Statement")
+
+  /** MySQL (TCP 3306): 3-byte LE length + sequence packets. The server
+    * greeting (protocol 10) exposes the version string; client command
+    * packets name their command. */
+  private def dissectMysql(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 5) return null
+    val plen = u8(d, off) | (u8(d, off + 1) << 8) | (u8(d, off + 2) << 16)
+    if (plen == 0 || plen + 4 > len + 1024) return null // wild framing
+    val seq = u8(d, off + 3)
+    if (fromServer && seq == 0 && u8(d, off + 4) == 10) {
+      // greeting: protocol version 10, then NUL-terminated version string
+      var i = off + 5
+      val end = math.min(off + len, off + 5 + 64)
+      val v0 = i
+      while (i < end && d(i) != 0) i += 1
+      if (i >= end) return null
+      protos += "mysql"
+      val ver = new String(d, v0, i - v0, "ISO-8859-1")
+      v("mysql.packet_length") = plen.toLong
+      v("mysql.packet_number") = seq.toLong
+      v("mysql.version") = ver
+      s"Server Greeting proto=10 version=$ver"
+    } else if (!fromServer && seq == 0 && plen >= 1) {
+      val cmd = u8(d, off + 4)
+      val name = mysqlCommandNames.getOrElse(cmd, return null)
+      protos += "mysql"
+      v("mysql.packet_length") = plen.toLong
+      v("mysql.packet_number") = seq.toLong
+      v("mysql.command") = cmd.toLong
+      s"Request $name"
+    } else null
+  }
+
+  /** Redis RESP (TCP 6379): typed frames — '*' command arrays expose the
+    * command word; '+', '-', ':', '$' render as replies. */
+  private def dissectRedis(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4) return null
+    val text = new String(d, off, math.min(len, 512), "ISO-8859-1")
+    if (!text.contains("\r\n")) return null
+    text(0) match {
+      case '*' =>
+        // *N\r\n$len\r\nCMD\r\n…
+        val m = "\\A\\*\\d+\r\n\\$\\d+\r\n([A-Za-z]+)\r\n".r.findFirstMatchIn(text)
+          .getOrElse(return null)
+        protos += "redis"
+        val cmd = m.group(1).toUpperCase
+        v("redis.type") = "Request"
+        v("redis.command") = cmd
+        s"Request: $cmd"
+      case '+' | '-' | ':' | '$' =>
+        val le = text.indexOf("\r\n")
+        val first = text.substring(0, le)
+        protos += "redis"
+        val kind = text(0) match {
+          case '+' => "Status"
+          case '-' => "Error"
+          case ':' => "Integer"
+          case _   => "Bulk"
+        }
+        v("redis.type") = kind
+        s"Response: $first"
+      case _ => null
+    }
+  }
+
+  private val coapMethodNames: Map[Int, String] = Map(
+    1 -> "GET", 2 -> "POST", 3 -> "PUT", 4 -> "DELETE")
+  private val coapTypeNames: Array[String] = Array("CON", "NON", "ACK", "RST")
+
+  /** CoAP (RFC 7252, UDP 5683): version-1 fixed header — type, code
+    * (class.detail), message id. */
+  private def dissectCoap(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4) return null
+    val b0 = u8(d, off)
+    if ((b0 >> 6) != 1) return null // version 1
+    val tkl = b0 & 0x0f
+    if (tkl > 8) return null
+    val tpe = (b0 >> 4) & 0x3
+    val code = u8(d, off + 1)
+    val mid = u16(d, off + 2)
+    protos += "coap"
+    v("coap.type") = tpe.toLong
+    v("coap.code") = code.toLong
+    v("coap.mid") = mid.toLong
+    val codeName = coapMethodNames.getOrElse(code,
+      if (code == 0) "Empty" else s"${code >> 5}.${"%02d".format(code & 0x1f)}")
+    s"${coapTypeNames(tpe)} $codeName MID=$mid"
   }
 
   private val smtpCommands = Set("HELO", "EHLO", "MAIL", "RCPT", "DATA",

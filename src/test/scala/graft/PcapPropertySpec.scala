@@ -73,7 +73,7 @@ class PcapPropertySpec extends AnyFunSuite {
     import graft.pcap.Dissect
     // ports that trigger the HTTP/TLS/DNS/FIX/FTP/SSH/SIP/SMB2/BGP content sniffers
     val portGen = Gen.oneOf(80, 443, 53, 5001, 40000, 21, 22, 445, 5060, 179,
-      1883, 1433, 5672, 5432)
+      1883, 1433, 5672, 5432, 3306, 6379)
     val payloadGen = for {
       n <- Gen.chooseNum(0, 400)
       bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))
@@ -122,7 +122,8 @@ class PcapPropertySpec extends AnyFunSuite {
     // ports driving the DNS/mDNS/NTP/QUIC/DHCP/SIP/Kerberos/SNMP/NFS/
     // RADIUS/VXLAN/SSDP/syslog/TFTP/LLMNR/NBNS sniffers
     val portGen = Gen.oneOf(53, 5353, 123, 443, 67, 5060, 88, 161, 2049,
-      1812, 4789, 1900, 514, 69, 5355, 137, 3478, 547, 51820, 2152, 500, 1701)
+      1812, 4789, 1900, 514, 69, 5355, 137, 3478, 547, 51820, 2152, 500,
+      1701, 5683)
     val payloadGen = for {
       n <- Gen.chooseNum(0, 300)
       bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))

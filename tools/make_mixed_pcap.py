@@ -568,4 +568,24 @@ mq_pings = bytes([0xC0, 0]) + bytes([0xD0, 0])
 extra.append((t3, 7600, ip_frame(6, A, B,
               tcp(52300, 1883, 1 + len(mq_pub2), mq_pings), ident=111)))
 
+# 78-79: MySQL server greeting (proto 10) then a client COM_QUERY
+my_ver = b"8.0.39\x00"
+my_greet_payload = bytes([10]) + my_ver + bytes(20)
+my_greet = struct.pack("<I", len(my_greet_payload))[:3] + bytes([0]) + \
+    my_greet_payload
+extra.append((t3, 7700, ip_frame(6, B, A, tcp(3306, 52400, 1, my_greet), ident=112)))
+my_q = bytes([3]) + b"SELECT 1"
+my_query = struct.pack("<I", len(my_q))[:3] + bytes([0]) + my_q
+extra.append((t3, 7800, ip_frame(6, A, B, tcp(52400, 3306, 1, my_query), ident=113)))
+
+# 80-81: Redis GET command array and +OK status reply
+redis_get = b"*2\r\n$3\r\nGET\r\n$5\r\nhello\r\n"
+extra.append((t3, 7900, ip_frame(6, A, B, tcp(52500, 6379, 1, redis_get), ident=114)))
+extra.append((t3, 8000, ip_frame(6, B, A, tcp(6379, 52500, 1, b"+OK\r\n"), ident=115)))
+
+# 82: CoAP confirmable GET (UDP 5683)
+coap = bytes([0x40, 1]) + struct.pack(">H", 0x2D0) + \
+    bytes([0xBB]) + b"temperature"
+extra.append((t3, 8100, ip_frame(17, A, B, udp(52600, 5683, coap), ident=116)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
