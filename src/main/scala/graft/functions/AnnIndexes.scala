@@ -27,13 +27,17 @@ import graft.api.Tables
 object AnnIndexes {
 
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), AnyRef]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (SparkSession, AnyRef)]()
 
   private def key(spark: SparkSession, rest: String): (Int, String) =
     (System.identityHashCode(spark), rest)
 
+  // the entry carries its session so an identityHashCode reused by a NEW
+  // session (old one GC'd) can never serve that session a stale fit whose
+  // plans reference the dead one — reference inequality forces a refit
   private def getOrFit[T <: AnyRef](spark: SparkSession, rest: String)(fit: => T): T =
-    cache.computeIfAbsent(key(spark, rest), _ => fit).asInstanceOf[T]
+    cache.compute(key(spark, rest), (_, old) =>
+      if (old != null && (old._1 eq spark)) old else (spark, fit))._2.asInstanceOf[T]
 
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")

@@ -1611,6 +1611,13 @@ object Dissect {
       val ikeInfo = dissectIkev2(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
       if (ikeInfo != null) return ikeInfo
     }
+    // NAT-T (RFC 3948): on 4500, a non-zero first word is a UDP-
+    // encapsulated ESP packet's SPI (zero would be the IKE marker)
+    if ((sp == 4500 || dp == 4500) && payLen >= 8 &&
+      off + 16 <= d.length && u32(d, off + 8) != 0L) {
+      protos += "esp"
+      return dissectEsp(d, off + 8, math.min(off + 8 + payLen, d.length), v)
+    }
     if (sp == 1701 || dp == 1701) {
       val l2tpInfo = dissectL2tp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
       if (l2tpInfo != null) return l2tpInfo
@@ -3262,6 +3269,8 @@ object Dissect {
     } else null
   }
 
+  private val redisCommandRe = "\\A\\*\\d+\r\n\\$\\d+\r\n([A-Za-z]+)\r\n".r
+
   /** Redis RESP (TCP 6379): typed frames — '*' command arrays expose the
     * command word; '+', '-', ':', '$' render as replies. */
   private def dissectRedis(
@@ -3274,8 +3283,7 @@ object Dissect {
     text(0) match {
       case '*' =>
         // *N\r\n$len\r\nCMD\r\n…
-        val m = "\\A\\*\\d+\r\n\\$\\d+\r\n([A-Za-z]+)\r\n".r.findFirstMatchIn(text)
-          .getOrElse(return null)
+        val m = redisCommandRe.findFirstMatchIn(text).getOrElse(return null)
         protos += "redis"
         val cmd = m.group(1).toUpperCase
         v("redis.type") = "Request"

@@ -588,4 +588,8 @@ coap = bytes([0x40, 1]) + struct.pack(">H", 0x2D0) + \
     bytes([0xBB]) + b"temperature"
 extra.append((t3, 8100, ip_frame(17, A, B, udp(52600, 5683, coap), ident=116)))
 
+# 83: NAT-T UDP-encapsulated ESP on 4500 (non-zero SPI, RFC 3948)
+natt_esp = struct.pack(">II", 0xBEEFCAFE, 42) + bytes(16)
+extra.append((t3, 8200, ip_frame(17, A, B, udp(52700, 4500, natt_esp), ident=117)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
