@@ -171,7 +171,18 @@ object PcapQueries {
         .orderBy(col("dns_id"))
     })
 
+  /** Capture triage: frames per dissected layer (the exploded
+    * `frame.protocols` chain) — "what is in this capture" in one query. */
+  val pcapProtocolMix = GraftQuery(
+    "pcap_protocol_mix",
+    (s, _) => Wireduck.readPcap(s, sweepPath)
+      .select(explode(split(col("`frame.protocols`"), ":")).as("protocol"))
+      .groupBy(col("protocol"))
+      .agg(count(lit(1)).as("n_frames"))
+      .orderBy(col("protocol")))
+
   val all: Seq[GraftQuery] =
     Seq(pcapScan, pcapFlagship, pcapFiltered, pcapGlossary, pcapSessionStats,
-      pcapHttpTls, pcapRtpStats, pcapTcpHealth, pcapDnsLatency)
+      pcapHttpTls, pcapRtpStats, pcapTcpHealth, pcapDnsLatency,
+      pcapProtocolMix)
 }
