@@ -26,27 +26,41 @@ import graft.api.Tables
   */
 object AnnIndexes {
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (SparkSession, AnyRef)]()
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), (java.lang.ref.WeakReference[SparkSession], AnyRef)]()
 
   private def key(spark: SparkSession, rest: String): (Int, String) =
     (System.identityHashCode(spark), rest)
 
-  // the entry carries its session so an identityHashCode reused by a NEW
-  // session (old one GC'd) can never serve that session a stale fit whose
-  // plans reference the dead one — reference inequality forces a refit
-  private def getOrFit[T <: AnyRef](spark: SparkSession, rest: String)(fit: => T): T =
+  // the entry holds its session WEAKLY: a stopped session is collectable
+  // (the fit refits if its owner was collected), and a long-lived JVM
+  // churning sessions doesn't pin the dead ones. Reference equality on
+  // the referent still forces a refit when an identityHashCode is reused
+  // by a NEW session, so a stale fit can never serve the wrong session.
+  private def getOrFit[T <: AnyRef](spark: SparkSession, rest: String)(fit: => T): T = {
+    // opportunistic sweep: drop entries whose session has been collected
+    // (the cache holds a handful of keys, so this is O(few) per call)
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue._1.get() eq null) it.remove()
     cache.compute(key(spark, rest), (_, old) =>
-      if (old != null && (old._1 eq spark)) old else (spark, fit))._2.asInstanceOf[T]
+      if (old != null && (old._1.get() eq spark)) old
+      else (new java.lang.ref.WeakReference(spark), fit))._2.asInstanceOf[T]
+  }
 
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
 
-  /** The IVF index every sim_ann_ivf* query (and its oracle) shares. */
-  def ivf(spark: SparkSession, dir: String, k: Int = 16): Ivf.Index =
-    getOrFit(spark, s"ivf:$dir:$k") {
-      Ivf.build(spark, embeddings(spark, dir), k = k)
+  /** The IVF index every sim_ann_ivf* query (and its oracle) shares. Only
+    * the fitted CENTROIDS are cached (plain arrays — no DataFrame, so the
+    * cached value cannot reach back to the session and defeat the weak
+    * reference); the cell-assignment plan is rebuilt per call, which is
+    * plan construction only — no refit, no job. */
+  def ivf(spark: SparkSession, dir: String, k: Int = 16): Ivf.Index = {
+    val cents = getOrFit(spark, s"ivf:$dir:$k") {
+      Ivf.build(spark, embeddings(spark, dir), k = k).centroids
     }
+    Ivf.fromCentroids(cents, embeddings(spark, dir))
+  }
 
   /** The PQ codebook every sim_ann_pq/ivfpq query (and its oracle) shares. */
   def pq(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16): Pq.Codebook =

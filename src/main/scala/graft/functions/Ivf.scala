@@ -32,9 +32,13 @@ object Ivf {
     val fitInput = base.select(
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(fitInput)
-    val centroids = model.clusterCenters.map(_.toArray)
-    Index(centroids, emb.withColumn("cell", cellCol(centroids, col("embedding"))))
+    fromCentroids(model.clusterCenters.map(_.toArray), emb)
   }
+
+  /** Re-attach already-fitted centroids to a corpus frame: assignment is
+    * the same codegen'd [[cellCol]] pass, no fit job runs. */
+  def fromCentroids(centroids: Array[Array[Double]], emb: DataFrame): Index =
+    Index(centroids, emb.withColumn("cell", cellCol(centroids, col("embedding"))))
 
   /** |c|² with the same index-order left fold [[VectorDot]] accumulates, so
     * a value computed here and one computed plan-side are bit-identical. */

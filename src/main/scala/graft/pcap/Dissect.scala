@@ -1438,8 +1438,12 @@ object Dissect {
               conv.carryKind(dir) = 0
             }
             if (infos.nonEmpty) {
-              val dd = protos.distinct
-              protos.clear(); protos ++= dd
+              // The multi-PDU loop appended one "mqtt" per PDU; collapse
+              // only that trailing run (Wireshark keeps legitimately
+              // repeated layers elsewhere in the chain, e.g. ip:gre:ip).
+              while (protos.length >= 2 && protos.last == "mqtt" &&
+                     protos(protos.length - 2) == "mqtt")
+                protos.remove(protos.length - 1)
               appInfo = infos.mkString(", ")
             } else if (conv.carryKind(dir) == 6 && conv.carry(dir).nonEmpty) {
               appInfo = "[TCP segment of a reassembled PDU]"
@@ -2912,12 +2916,12 @@ object Dissect {
     val tpe = u8(d, off)
     val name = wgTypeNames.getOrElse(tpe, return null)
     if (u8(d, off + 1) != 0 || u8(d, off + 2) != 0 || u8(d, off + 3) != 0) return null
-    protos += "wg"
-    v("wg.type") = tpe.toLong
+    protos += "wireguard"
+    v("wireguard.type") = tpe.toLong
     // types 1/2: sender index; 3/4: receiver index — both LE at offset 4
     val idx = (u8(d, off + 4).toLong | (u8(d, off + 5).toLong << 8) |
       (u8(d, off + 6).toLong << 16) | (u8(d, off + 7).toLong << 24))
-    if (tpe == 1 || tpe == 2) v("wg.sender") = idx else v("wg.receiver") = idx
+    if (tpe == 1 || tpe == 2) v("wireguard.sender") = idx else v("wireguard.receiver") = idx
     val which = if (tpe == 1 || tpe == 2) "sender" else "receiver"
     f"$name, $which=0x$idx%08x"
   }
@@ -3284,22 +3288,22 @@ object Dissect {
       case '*' =>
         // *N\r\n$len\r\nCMD\r\n…
         val m = redisCommandRe.findFirstMatchIn(text).getOrElse(return null)
-        protos += "redis"
+        protos += "resp"
         val cmd = m.group(1).toUpperCase
-        v("redis.type") = "Request"
-        v("redis.command") = cmd
+        v("resp.type") = "Request"
+        v("resp.command") = cmd
         s"Request: $cmd"
       case '+' | '-' | ':' | '$' =>
         val le = text.indexOf("\r\n")
         val first = text.substring(0, le)
-        protos += "redis"
+        protos += "resp"
         val kind = text(0) match {
           case '+' => "Status"
           case '-' => "Error"
           case ':' => "Integer"
           case _   => "Bulk"
         }
-        v("redis.type") = kind
+        v("resp.type") = kind
         s"Response: $first"
       case _ => null
     }

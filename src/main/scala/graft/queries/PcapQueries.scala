@@ -162,13 +162,19 @@ object PcapQueries {
           col("`dns.flags.response`").as("is_resp"),
           col("`dns.qry.name`").as("qry_name"),
           unix_micros(col("`frame.time_epoch`")).as("ts_us"))
+      // first request per (stream, dns_id): retransmitted queries would
+      // otherwise join the one response several times nondeterministically
       val req = dns.filter(!col("is_resp"))
-        .select(col("stream"), col("dns_id"), col("qry_name"), col("ts_us").as("req_ts"))
+        .groupBy(col("stream"), col("dns_id"), col("qry_name"))
+        .agg(min(col("ts_us")).as("req_ts"))
       val rsp = dns.filter(col("is_resp"))
         .select(col("stream"), col("dns_id"), col("ts_us").as("rsp_ts"))
       req.join(rsp, Seq("stream", "dns_id"))
-        .select(col("dns_id"), col("qry_name"), (col("rsp_ts") - col("req_ts")).as("rtt_us"))
-        .orderBy(col("dns_id"))
+        .select(col("stream"), col("dns_id"), col("qry_name"),
+          (col("rsp_ts") - col("req_ts")).as("rtt_us"))
+        // total order: dns.ids repeat across udp streams, so (stream,
+        // dns_id, qry_name, rtt_us) pins every residual tie to equal rows
+        .orderBy(col("stream"), col("dns_id"), col("qry_name"), col("rtt_us"))
     })
 
   /** Capture triage: frames per dissected layer (the exploded
