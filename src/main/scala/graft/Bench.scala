@@ -168,12 +168,12 @@ object Bench {
     // The driver truncates long stdout tails (it destroyed the per-query
     // seconds two rounds running — VERDICT r4 #8); the file copy is the
     // durable artifact the judge can read when the BENCH tail is cut.
-    try {
-      val out = java.nio.file.Paths.get("target/bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
+    for (path <- Seq("target/bench.json", "BENCH_local.json")) try {
+      val out = java.nio.file.Paths.get(path)
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, line + "\n")
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not write $path: ${e.getMessage}")
     }
     spark.stop()
   }

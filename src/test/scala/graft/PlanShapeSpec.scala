@@ -52,6 +52,14 @@ class PlanShapeSpec extends SparkSpec {
       "the time-bounded attribution join must key on user_id, not cross-join")
   }
 
+  test("q33 parses each JSON document exactly once") {
+    val p = plan("q33_json_funcs")
+    val parses = "from_json".r.findAllIn(p).length
+    assert(parses == 1,
+      s"q33 must evaluate ONE from_json per row (found $parses in the plan); " +
+        "CollapseProject must not inline the struct into per-field re-parses")
+  }
+
   test("join/topk/pushdown staples keep their shapes") {
     val p5 = plan("q05_join_topk")
     assert(p5.contains("BroadcastHashJoin"))

@@ -57,6 +57,19 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q39b approx percentiles track the exact q39 values") {
+    val exact = RelationalQueries.q39Percentiles.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    RelationalQueries.q39bApproxPercentiles.fn(spark, sfDir).collect().foreach { r =>
+      val (p50, p95) = exact(r.getAs[String]("l_returnflag"))
+      // accuracy=10000 → rank error ≤ 1/10000; at sf0.001 the sketch is
+      // exact up to value granularity, so a loose 1% value bound is safe
+      assert(math.abs(r.getAs[Double]("p50") - p50) / p50 < 0.01)
+      assert(math.abs(r.getAs[Double]("p95") - p95) / p95 < 0.01)
+    }
+  }
+
   test("hamming_distance expression: eval + codegen agree with bitCount") {
     import spark.implicits._
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
