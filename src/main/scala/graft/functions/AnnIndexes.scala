@@ -62,6 +62,36 @@ object AnnIndexes {
     Ivf.fromCentroids(cents, embeddings(spark, dir))
   }
 
+  /** The PERSISTED-index path: fit once, write the index as catalog
+    * tables ([[Ivf.persist]] — tiny centroid table + cell-bucketed
+    * corpus), then answer from [[Ivf.loadIndex]] with NO refit. This is
+    * the production shape at 100 TB — the fit is a one-off batch job and
+    * every later session loads metadata only. The persist runs once per
+    * (session, dir, k) (cache-guarded); the returned Index always comes
+    * from the catalog tables, so the query exercises the load path
+    * end-to-end. */
+  def ivfPersisted(spark: SparkSession, dir: String, k: Int = 16): Ivf.Index = {
+    val name = ("graft_ivf_" + dir.replaceAll("[^A-Za-z0-9]", "_") + s"_$k")
+      .toLowerCase
+    // fit OUTSIDE the guard below: ConcurrentHashMap.compute must not nest
+    // (the shared-fit lookup is itself a compute on this map)
+    val fitted = ivf(spark, dir, k)
+    getOrFit(spark, s"ivfpersist:$dir:$k") {
+      // leftover warehouse dirs from a PRIOR run are not in this run's
+      // in-memory catalog — drop-and-delete so saveAsTable can recreate
+      for (suffix <- Seq("_centroids", "_assigned")) {
+        spark.sql(s"DROP TABLE IF EXISTS $name$suffix")
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val p = new org.apache.hadoop.fs.Path(wh, name + suffix)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      Ivf.persist(fitted, name)
+      name
+    }
+    Ivf.loadIndex(spark, name)
+  }
+
   /** The PQ codebook every sim_ann_pq/ivfpq query (and its oracle) shares. */
   def pq(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16): Pq.Codebook =
     getOrFit(spark, s"pq:$dir:$m:$k") {

@@ -155,6 +155,28 @@ object SimilarityQueries {
     oracleGen = Some((s, dir) => AnnOracles.ivfSingleSql(
       graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids, topK = 10, nProbe = 4)))
 
+  /** The sim_ann_ivf search answered from the PERSISTED index
+    * ([[graft.functions.AnnIndexes.ivfPersisted]]): centroids + the
+    * cell-bucketed corpus are written as catalog tables once, then the
+    * search runs entirely from [[graft.functions.Ivf.loadIndex]] — no
+    * k-means refit in this query's lineage. Parquet round-trips doubles
+    * bit-exactly, so the loaded index answers identically to the in-memory
+    * one and the SAME generated literal-centroid oracle hash-matches. */
+  val simAnnIvfPersisted = GraftQuery(
+    "sim_ann_ivf_persisted",
+    (s, dir) => {
+      import s.implicits._
+      val emb = graft.functions.AnnIndexes.embeddings(s, dir)
+      val loaded = graft.functions.AnnIndexes.ivfPersisted(s, dir, k = 16)
+      val q = emb.filter($"vec_id" === 0)
+        .select($"vec_id".cast(LongType).as("query_id"), $"embedding".as("qe"))
+      graft.functions.Ivf.searchBatch(loaded, q, topK = 10, nProbe = 4)
+        .filter($"vec_id" =!= 0)
+        .select($"vec_id", $"label", $"cosine")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.ivfSingleSql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids, topK = 10, nProbe = 4)))
+
   /** Batch ANN — the realistic at-scale shape: a SET of query vectors
     * (broadcast) against the bucketed corpus in ONE join, per-query top-k
     * via window ranking. Wall-clock is one shuffle regardless of query
@@ -319,6 +341,7 @@ object SimilarityQueries {
       ORDER BY vec_id, dim"""))
 
   val all: Seq[GraftQuery] =
-    Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnRange,
-      simAnnIvfBatch, simAnnPq, simAnnIvfPq, simQuantizeInt8, ddEmbeddingNeardup)
+    Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfPersisted,
+      simAnnRange, simAnnIvfBatch, simAnnPq, simAnnIvfPq, simQuantizeInt8,
+      ddEmbeddingNeardup)
 }

@@ -367,6 +367,15 @@ class SimilaritySpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("sim_ann_ivf_persisted answers identically to the in-memory sim_ann_ivf") {
+    val mem = SimilarityQueries.simAnnIvf.fn(spark, sfDir).collect()
+    val per = SimilarityQueries.simAnnIvfPersisted.fn(spark, sfDir).collect()
+    assert(per.toSeq === mem.toSeq)
+    // and a second call serves from the already-persisted tables
+    val again = SimilarityQueries.simAnnIvfPersisted.fn(spark, sfDir).collect()
+    assert(again.toSeq === mem.toSeq)
+  }
+
   test("batch IVF with all cells probed equals per-query exhaustive search") {
     import spark.implicits._
     val emb = graft.api.Tables.load(spark, sfDir, "embeddings")
