@@ -259,8 +259,10 @@ object PcapFilterEval {
 /** Minimal Wireshark display-filter subset for the `cfilter` option
   * (reference A4 forwards the string to `tshark -Y`; natively we support
   * the common shapes: protocol presence, field/literal comparisons,
-  * `contains`, `matches`/`~`, byte-slice comparisons, `&&`, `||`, `!`,
-  * parentheses).
+  * `contains`, `matches`/`~`, byte-slice comparisons (byte-string equality
+  * plus the full relational set against numeric literals, the slice read
+  * as a big-endian unsigned integer), `upper()`/`lower()` case folding,
+  * `&&`, `||`, `!`, parentheses).
   *
   * Byte-search semantics (`contains`/`matches`/slices): a FIELD target
   * (name with a dot) operates on the field's bytes — the raw bytes for
@@ -344,30 +346,55 @@ object DisplayFilter {
     else if (ProtoPresent(target).eval(d)) frameHex(d)
     else null
 
+  /** ASCII case transform applied byte-wise to canonical hex — Wireshark's
+    * `upper()`/`lower()` on the subject bytes ('a'–'z' ↔ 'A'–'Z' only, so
+    * non-text bytes pass through untouched). `xf`: ' ' none, 'U', 'L'. */
+  private def caseHex(h: String, xf: Char): String = {
+    if (xf == ' ' || h == null) return h
+    val sb = new java.lang.StringBuilder(h.length)
+    var i = 0
+    while (i < h.length) {
+      val b = Integer.parseInt(h.substring(i, i + 2), 16)
+      val t =
+        if (xf == 'U' && b >= 'a' && b <= 'z') b - 32
+        else if (xf == 'L' && b >= 'A' && b <= 'Z') b + 32
+        else b
+      sb.append(f"$t%02x")
+      i += 2
+    }
+    sb.toString
+  }
+
+  private def caseStr(v: String, xf: Char): String =
+    if (xf == 'U') v.toUpperCase(java.util.Locale.ROOT)
+    else if (xf == 'L') v.toLowerCase(java.util.Locale.ROOT)
+    else v
+
   private final case class ProtoPresent(p: String) extends Expr {
     def eval(d: Dissect.Dissected): Boolean =
       d.protocols.split(':').contains(p) || d.values.contains(p)
   }
 
-  private final case class ContainsE(target: String, litH: String) extends Expr {
+  private final case class ContainsE(target: String, litH: String,
+      xf: Char = ' ') extends Expr {
     override def needsRaw: Boolean = !target.contains('.')
     def eval(d: Dissect.Dissected): Boolean = {
-      val subject = subjectHex(d, target)
+      val subject = caseHex(subjectHex(d, target), xf)
       subject != null && hexContains(subject, litH)
     }
   }
 
-  private final case class MatchesE(target: String, p: java.util.regex.Pattern)
-      extends Expr {
+  private final case class MatchesE(target: String, p: java.util.regex.Pattern,
+      xf: Char = ' ') extends Expr {
     override def needsRaw: Boolean = !target.contains('.')
     def eval(d: Dissect.Dissected): Boolean = {
       val subject: String =
         if (target.contains('.')) {
           val v = fieldValue(d, target)
           if (v == null) return false
-          v.toString
+          caseStr(v.toString, xf)
         } else {
-          val h = subjectHex(d, target)
+          val h = caseHex(subjectHex(d, target), xf)
           if (h == null) return false
           // frame/protocol bytes regex-searched as latin-1 text, tshark-like
           val b = new Array[Byte](h.length / 2)
@@ -382,11 +409,20 @@ object DisplayFilter {
     }
   }
 
-  /** `target[slice] == bytes` — `until == Int.MaxValue` means to-end;
+  /** `target[slice] <op> literal` — `until == Int.MaxValue` means to-end;
     * out-of-range slices clamp (Wireshark yields the shorter run, which
-    * then fails equality unless the literal shrank with it). */
+    * then fails equality unless the literal shrank with it).
+    *
+    * Two literal forms: byte strings (`02:00:00`, quoted text) compare for
+    * `==`/`!=` only (the pre-existing contract — relational byte-string
+    * compares stay rejected at parse time); NUMERIC literals (`0x45`,
+    * `327`) support the full operator set, comparing the slice's bytes as
+    * a big-endian unsigned integer — `ip.ttl[0] >= 0x40`, the common
+    * tshark idiom. A bare even-length hex run like `69` keeps its byte
+    * interpretation for `==` (back-compat); write `0x69` or use a
+    * relational op to force numeric. */
   private final case class SliceCmp(target: String, from: Int, until: Int,
-      negated: Boolean, litH: String) extends Expr {
+      op: String, litH: String, num: Option[Long]) extends Expr {
     override def needsRaw: Boolean = !target.contains('.')
     def eval(d: Dissect.Dissected): Boolean = {
       val subject = subjectHex(d, target)
@@ -395,15 +431,39 @@ object DisplayFilter {
       val lo = math.min(from, nBytes)
       val hi = math.min(until, nBytes)
       val slice = if (hi <= lo) "" else subject.substring(lo * 2, hi * 2)
-      val eq = slice == litH
-      if (negated) !eq else eq
+      val r: Int = num match {
+        case Some(n) =>
+          // slices longer than 8 bytes have no integer meaning → no match
+          if (slice.isEmpty || slice.length > 16) return false
+          java.lang.Long.compareUnsigned(
+            java.lang.Long.parseUnsignedLong(slice, 16), n)
+        case None =>
+          // canonical lowercase hex: string order == bytewise order
+          slice.compareTo(litH)
+      }
+      op match {
+        case "==" => r == 0
+        case "!=" => r != 0
+        case ">"  => r > 0
+        case ">=" => r >= 0
+        case "<"  => r < 0
+        case "<=" => r <= 0
+      }
     }
   }
 
-  private final case class Cmp(field: String, op: String, lit: String) extends Expr {
+  private final case class Cmp(field: String, op: String, lit: String,
+      xf: Char = ' ') extends Expr {
     def eval(d: Dissect.Dissected): Boolean = {
-      val raw: Any = fieldValue(d, field)
-      if (raw == null) return false
+      val raw0: Any = fieldValue(d, field)
+      if (raw0 == null) return false
+      // upper()/lower() force STRING comparison over the transformed
+      // rendering (Wireshark: the functions yield strings)
+      val raw: Any = raw0 match {
+        case s: String if xf != ' ' => caseStr(s, xf)
+        case other if xf != ' '     => caseStr(other.toString, xf)
+        case other                  => other
+      }
       val litS = lit.stripPrefix("\"").stripSuffix("\"")
       // Only fields DEFINED as multi-occurrence get Wireshark's any-match
       // semantics (`==` true if ANY occurrence matches) — splitting every
@@ -542,18 +602,53 @@ object DisplayFilter {
 
     private def parseAtom(): Expr = {
       ws()
+      // function prefix: upper(target) / lower(target) — Wireshark's
+      // case-folding functions; the transform rides on the atom built below
+      var xf = ' '
+      if (s.startsWith("upper(", i) || s.startsWith("lower(", i)) {
+        xf = if (s(i) == 'u') 'U' else 'L'
+        i += 6
+        ws()
+      }
       val start = i
       while (i < s.length && identChar(s(i))) i += 1
       val ident = s.substring(start, i)
       if (ident.isEmpty)
         throw new IllegalArgumentException(s"cfilter: expected a field name at offset $i in '$s'")
+      if (xf != ' ') {
+        ws()
+        if (!take(")"))
+          throw new IllegalArgumentException(
+            s"cfilter: expected ')' closing upper()/lower() at offset $i in '$s'")
+      }
       if (i < s.length && s(i) == '[') {
+        if (xf != ' ')
+          throw new IllegalArgumentException(
+            s"cfilter: upper()/lower() cannot take a byte slice in '$s'")
         val (from, until) = parseSlice()
         ws()
-        val neg = Seq("==", "!=").find(take).getOrElse(
+        val op = Seq("==", "!=", ">=", "<=", ">", "<").find(take).getOrElse(
           throw new IllegalArgumentException(
-            s"cfilter: byte-slice comparison needs == or != at offset $i in '$s'")) == "!="
-        return SliceCmp(ident, from, until, neg, DisplayFilter.litHex(takeLiteral()))
+            s"cfilter: byte-slice comparison needs a comparison operator at offset $i in '$s'"))
+        val tok = takeLiteral()
+        val quoted = tok.head == '"'
+        val num: Option[Long] =
+          if (quoted) None
+          else if (tok.startsWith("0x") || tok.startsWith("0X"))
+            // strict parse: trailing garbage ('0x4g') rejects, never truncates
+            try Some(java.lang.Long.parseUnsignedLong(tok.substring(2), 16))
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"cfilter: bad numeric literal '$tok' in '$s'") }
+          else if (op == "==" || op == "!=") tok.toLongOption.filter(_ =>
+            // even-length hex runs keep their historical byte reading on ==
+            !DisplayFilter.bytePairs.matches(tok))
+          else Some(tok.toLongOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"cfilter: byte-slice relational comparison needs a numeric " +
+                s"literal, got '$tok' in '$s'")))
+        return SliceCmp(ident, from, until, op,
+          if (num.isEmpty) DisplayFilter.litHex(tok) else "", num)
       }
       ws()
       // set membership: `f in {a b, c}` — OR of equality against each
@@ -586,19 +681,22 @@ object DisplayFilter {
         }
         if (members.isEmpty) throw new IllegalArgumentException(
           s"cfilter: empty value set in '$s'")
-        return members.map(m => Cmp(ident, "==", m): Expr).reduce(OrE(_, _))
+        return members.map(m => Cmp(ident, "==", m, xf): Expr).reduce(OrE(_, _))
       }
       if (takeWord("contains"))
-        return ContainsE(ident, DisplayFilter.litHex(takeLiteral()))
+        return ContainsE(ident, DisplayFilter.litHex(takeLiteral()), xf)
       if (takeWord("matches") || take("~")) {
         val pat = stripQuotes(takeLiteral())
         return MatchesE(ident, java.util.regex.Pattern.compile(pat,
-          java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL))
+          java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL), xf)
       }
       val op = Seq("==", "!=", ">=", "<=", ">", "<").find(take)
       op match {
+        case None if xf != ' ' =>
+          throw new IllegalArgumentException(
+            s"cfilter: upper()/lower() need a comparison in '$s'")
         case None    => ProtoPresent(ident)
-        case Some(o) => Cmp(ident, o, takeLiteral())
+        case Some(o) => Cmp(ident, o, takeLiteral(), xf)
       }
     }
   }

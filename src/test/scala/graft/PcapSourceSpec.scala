@@ -302,12 +302,56 @@ class PcapSourceSpec extends SparkSpec {
     // byte-slice on a field rendering
     assert(Wireduck.readPcap(spark, mixed,
       cfilter = Some("eth.dst[0:3] == 02:00:00")).count() === sliced)
-    // slice comparison demands == or != — anything else still rejects
+    // relational slice compare against a byte-string literal still rejects
     val e = intercept[Exception] {
       Wireduck.readPcap(spark, mixed, cfilter = Some("frame[0:3] > 02:00:00")).count()
     }
     assert(e.getMessage.contains("byte-slice") ||
       Option(e.getCause).exists(_.getMessage.contains("byte-slice")))
+  }
+
+  test("display-filter: numeric slice comparisons and upper()/lower()") {
+    val mixed = getClass.getResource("/mixed.pcap").getPath
+    val all = Wireduck.readPcap(spark, mixed).count()
+    // numeric slice: dst-MAC prefix as a big-endian uint — only the ARP
+    // broadcast (ff:ff:ff) exceeds 0x020000
+    assert(Wireduck.readPcap(spark, mixed,
+      cfilter = Some("frame[0:3] > 0x020000")).count() === 1)
+    assert(Wireduck.readPcap(spark, mixed,
+      cfilter = Some("frame[0:3] >= 0x020000")).count() === all)
+    assert(Wireduck.readPcap(spark, mixed,
+      cfilter = Some("eth.dst[0] == 0x02")).count() === all - 1)
+    // decimal literal on a relational op is numeric too (0x02 == 2)
+    assert(Wireduck.readPcap(spark, mixed,
+      cfilter = Some("eth.dst[0] <= 2")).count() === all - 1)
+    // upper()/lower(): case folding on field strings and frame bytes
+    val m = Wireduck.readPcap(spark, mixed,
+      cfilter = Some("frame contains \"example.com\"")).count()
+    assert(m > 0)
+    assert(Wireduck.readPcap(spark, mixed,
+      cfilter = Some("upper(frame) contains \"EXAMPLE.COM\"")).count() === m)
+    assert(Wireduck.readPcap(spark, mixed,
+      cfilter = Some("lower(http.request.method) == \"get\"")).count() > 0)
+    assert(Wireduck.readPcap(spark, mixed,
+      cfilter = Some("upper(http.user_agent) contains \"GRAFT\"")).count() > 0)
+    // numeric literals parse strictly — trailing garbage rejects, never
+    // silently truncates
+    val eNum = intercept[Exception] {
+      Wireduck.readPcap(spark, mixed, cfilter = Some("frame[0] > 64abc")).count()
+    }
+    assert(eNum.getMessage.contains("numeric") ||
+      Option(eNum.getCause).exists(_.getMessage.contains("numeric")))
+    val eHex = intercept[Exception] {
+      Wireduck.readPcap(spark, mixed, cfilter = Some("frame[0] == 0x4g")).count()
+    }
+    assert(eHex.getMessage.contains("numeric literal") ||
+      Option(eHex.getCause).exists(_.getMessage.contains("numeric literal")))
+    // bare function reference without a comparison rejects
+    val eFn = intercept[Exception] {
+      Wireduck.readPcap(spark, mixed, cfilter = Some("upper(http)")).count()
+    }
+    assert(eFn.getMessage.contains("upper()/lower()") ||
+      Option(eFn.getCause).exists(_.getMessage.contains("upper()/lower()")))
   }
 
   test("display-filter: in {…} set membership") {
