@@ -43,13 +43,15 @@ object Wireduck {
       climit: Option[Long] = None,
       cfilter: Option[String] = None,
       compatStrict: Boolean = false,
-      desegment: Boolean = false): DataFrame = {
+      desegment: Boolean = false,
+      backend: Option[String] = None): DataFrame = {
     var r = spark.read.format("pcap")
     if (protocols.nonEmpty) r = r.option("protocols", protocols.mkString(","))
     climit.foreach(n => r = r.option("climit", n.toString))
     cfilter.foreach(f => r = r.option("cfilter", f))
     if (compatStrict) r = r.option("compat", "strict")
     if (desegment) r = r.option("desegment", "true")
+    backend.foreach(b => r = r.option("backend", b))
     r.load(path)
   }
 

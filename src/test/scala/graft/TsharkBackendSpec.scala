@@ -7,7 +7,7 @@ import graft.sources.pcap.TsharkPartitionReader
 
 /** The tshark backend's line/cell semantics (reference SURVEY §1.2),
   * testable without a tshark binary. */
-class TsharkBackendSpec extends AnyFunSuite {
+class TsharkBackendSpec extends SparkSpec {
 
   private val schema = StructType(Seq(
     StructField("n", LongType), StructField("d", DoubleType),
@@ -44,6 +44,43 @@ class TsharkBackendSpec extends AnyFunSuite {
     val row = TsharkPartitionReader.parseLine("7", schema, compatStrict = false)
     assert(row.getLong(0) === 7L)
     (1 until 5).foreach(i => assert(row.isNullAt(i)))
+  }
+
+  test("glossary long tail: smb schema carries real typed columns on both backends") {
+    val p = getClass.getResource("/fix.pcap").getPath
+    val smbN = graft.api.Wireduck.readPcap(spark, p, protocols = Seq("smb"))
+    // schema golden for a newly-glossaried protocol: 4 frame defaults, the
+    // smb fields in glossary order, then the info column
+    assert(smbN.schema.fieldNames.toSeq === Seq(
+      "frame.time_epoch", "frame.number", "frame.len", "frame.protocols",
+      "smb.server_component", "smb.cmd", "smb.nt_status", "smb.error_class",
+      "smb.flags", "smb.flags2", "smb.tid", "smb.pid", "smb.uid", "smb.mid",
+      "smb.path", "smb.file", "_ws.col.info"))
+    assert(smbN.schema("smb.cmd").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(smbN.schema("smb.path").dataType ===
+      org.apache.spark.sql.types.StringType)
+    // bind-time schema is backend-independent (reader spawn is lazy, so the
+    // tshark backend binds without a tshark binary)
+    val smbT = graft.api.Wireduck.readPcap(spark, p, protocols = Seq("smb"),
+      backend = Some("tshark"))
+    assert(smbT.schema === smbN.schema)
+    // rdp long-tail rows resolve too
+    val rdp = graft.pcap.Glossary.schemaFor(Seq("rdp"))
+    assert(rdp.fieldNames.contains("rdp.negReq.requestedProtocols"))
+  }
+
+  test("unknown protocol falls back to the 5 defaults identically on both backends") {
+    val p = getClass.getResource("/fix.pcap").getPath
+    val defaults = Seq("frame.time_epoch", "frame.number", "frame.len",
+      "frame.protocols", "_ws.col.info")
+    val n = graft.api.Wireduck.readPcap(spark, p, protocols = Seq("nosuchproto"))
+    val t = graft.api.Wireduck.readPcap(spark, p, protocols = Seq("nosuchproto"),
+      backend = Some("tshark"))
+    assert(n.schema.fieldNames.toSeq === defaults)
+    assert(t.schema === n.schema)
+    // and the native backend still reads rows under the fallback schema
+    assert(n.count() === 485)
   }
 
   test("backend=tshark without tshark fails with an explanatory error") {
