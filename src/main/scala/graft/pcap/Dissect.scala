@@ -398,6 +398,8 @@ object Dissect {
 
   private def u8(d: Array[Byte], o: Int): Int = d(o) & 0xff
   private def u16(d: Array[Byte], o: Int): Int = ((d(o) & 0xff) << 8) | (d(o + 1) & 0xff)
+  private def u24(d: Array[Byte], o: Int): Int =
+    ((d(o) & 0xff) << 16) | ((d(o + 1) & 0xff) << 8) | (d(o + 2) & 0xff)
   private def u32(d: Array[Byte], o: Int): Long =
     (((d(o) & 0xff).toLong << 24) | ((d(o + 1) & 0xff) << 16) |
       ((d(o + 2) & 0xff) << 8) | (d(o + 3) & 0xff)) & 0xffffffffL
@@ -1317,9 +1319,20 @@ object Dissect {
         }
       }
       if (appInfo == null && !h2Claimed) appInfo = dissectHttp(appBuf, appOff, appLen, v, protos)
-      if (appInfo == null && !h2Claimed) appInfo = dissectTls(appBuf, appOff, appLen, sp, dp, v, protos)
-      if (appInfo == null && !h2Claimed && (sp == 445 || dp == 445))
-        appInfo = dissectSmb2(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed) {
+        appInfo = dissectTls(appBuf, appOff, appLen, sp, dp, v, protos)
+        // DNS-over-TLS (RFC 7858): TLS on registered port 853 — payload
+        // stays encrypted; the transport marker is what analytics can see
+        if (appInfo != null && (sp == 853 || dp == 853))
+          appInfo += " (DNS-over-TLS)"
+      }
+      if (appInfo == null && !h2Claimed &&
+          (sp == 445 || dp == 445 || sp == 139 || dp == 139))
+        appInfo = dissectNbssSmb(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 3389 || dp == 3389))
+        appInfo = dissectRdp(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 3868 || dp == 3868))
+        appInfo = dissectDiameter(appBuf, appOff, appOff + appLen, v, protos)
       // FTP: line-oriented — under desegment an incomplete trailing line
       // carries across delivered runs (kind 4) and dissects on the run
       // that completes its CRLF (tshark reassembly semantics); without
@@ -1903,8 +1916,10 @@ object Dissect {
     val plausible = ctype >= 20 && ctype <= 23 && vmaj == 3 && vmin <= 4 && rlen > 0
     if (!plausible) return null
     // application-data records carry no structure to confirm — accept them
-    // only on the registered port to avoid false positives
-    if (ctype != 22 && sp != 443 && dp != 443) return null
+    // only on a registered port (443, or 853 = DNS-over-TLS) to avoid
+    // false positives
+    if (ctype != 22 && sp != 443 && dp != 443 && sp != 853 && dp != 853)
+      return null
     protos += "tls"
     v("tls.record.content_type") = ctype.toLong
     v("tls.record.version") = ((vmaj << 8) | vmin).toLong
@@ -2013,21 +2028,78 @@ object Dissect {
     13 -> "Echo", 14 -> "Find", 15 -> "Notify", 16 -> "GetInfo", 17 -> "SetInfo",
     18 -> "Break")
 
-  /** SMB2/3 header sniff (MS-SMB2 §2.2.1) behind the 4-byte NetBIOS
-    * session-service length on TCP 445: command, message id, and the
-    * request/response direction — the triage fields; full IOCTL/create
-    * bodies are out of scope (tshark's smb2 dissector territory). */
-  private def dissectSmb2(
+  /** NBSS framing (RFC 1002 §4.3.6, also the "Direct TCP" 445 transport)
+    * carrying an SMB1 or SMB2/3 header: the session-service layer is
+    * emitted when present, then the version-matching SMB dissector runs. */
+  private def dissectNbssSmb(
       d: Array[Byte], pstart: Int, plen: Int,
       v: FieldVec,
       protos: mutable.ArrayBuffer[String]): String = {
-    if (plen < 4 + 16) return null
-    // NetBIOS session service: 0x00 + 3-byte length
+    if (plen < 4) return null
     val hasNbss = d(pstart) == 0 && plen >= 8
     val off = if (hasNbss) pstart + 4 else pstart
-    if (off + 16 > pstart + plen) return null
-    if (!(d(off) == 0xfe.toByte && d(off + 1) == 'S' && d(off + 2) == 'M' && d(off + 3) == 'B'))
+    val end = pstart + plen
+    if (off + 4 > end || !(d(off + 1) == 'S' && d(off + 2) == 'M' && d(off + 3) == 'B'))
       return null
+    val isSmb2 = d(off) == 0xfe.toByte
+    val isSmb1 = d(off) == 0xff.toByte
+    if (!isSmb2 && !isSmb1) return null
+    if (hasNbss) {
+      protos += "nbss"
+      v("nbss.type") = u8(d, pstart).toLong
+      v("nbss.flags") = u8(d, pstart + 1).toLong
+      // 17-bit length: the flags byte's low bit extends the 16-bit field
+      v("nbss.length") = (((u8(d, pstart + 1) & 1) << 16) | u16(d, pstart + 2)).toLong
+    }
+    if (isSmb2) dissectSmb2(d, off, end - off, v, protos)
+    else dissectSmb1(d, off, end - off, v, protos)
+  }
+
+  private val smb1CmdNames: Map[Int, String] = Map(
+    0x04 -> "Close", 0x25 -> "Trans", 0x2e -> "Read AndX", 0x2f -> "Write AndX",
+    0x32 -> "Trans2", 0x71 -> "Tree Disconnect", 0x72 -> "Negotiate Protocol",
+    0x73 -> "Session Setup AndX", 0x74 -> "Logoff AndX",
+    0x75 -> "Tree Connect AndX", 0xa0 -> "NT Trans", 0xa2 -> "NT Create AndX")
+
+  /** SMB1 header (MS-CIFS §2.2.3.1): \xFFSMB magic, command, the
+    * FLAGS2-selected NT-status/DOS-error union, and TID/PID/UID/MID — the
+    * triage fields; command bodies are tshark's smb dissector territory. */
+  private def dissectSmb1(
+      d: Array[Byte], off: Int, plen: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (plen < 32) return null
+    def leU16(o: Int) = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+    def leU32(o: Int): Long = (leU16(o) | (leU16(o + 2).toLong << 16)) & 0xffffffffL
+    protos += "smb"
+    // the magic as Wireshark renders smb.server_component: LE uint32 of \xFFSMB
+    v("smb.server_component") = 0x424d53ffL
+    val cmd = u8(d, off + 4)
+    v("smb.cmd") = cmd.toLong
+    val flags = u8(d, off + 9)
+    val flags2 = leU16(off + 10)
+    v("smb.flags") = flags.toLong
+    v("smb.flags2") = flags2.toLong
+    // FLAGS2 bit 14 selects 32-bit NT status vs DOS error class/code
+    if ((flags2 & 0x4000) != 0) v("smb.nt_status") = leU32(off + 5)
+    else v("smb.error_class") = u8(d, off + 5).toLong
+    v("smb.tid") = leU16(off + 24).toLong
+    v("smb.pid") = leU16(off + 26).toLong
+    v("smb.uid") = leU16(off + 28).toLong
+    v("smb.mid") = leU16(off + 30).toLong
+    val isReply = (flags & 0x80) != 0
+    val name = smb1CmdNames.getOrElse(cmd, f"Cmd 0x$cmd%02x")
+    s"$name ${if (isReply) "Response" else "Request"}"
+  }
+
+  /** SMB2/3 header sniff (MS-SMB2 §2.2.1): command, message id, and the
+    * request/response direction — the triage fields; full IOCTL/create
+    * bodies are out of scope (tshark's smb2 dissector territory). */
+  private def dissectSmb2(
+      d: Array[Byte], off: Int, plen: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (plen < 16) return null
     protos += "smb2"
     def leU16(o: Int) = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
     def leU32(o: Int): Long = (leU16(o) | (leU16(o + 2).toLong << 16)) & 0xffffffffL
@@ -2036,10 +2108,92 @@ object Dissect {
     val isResponse = (flags & 1L) != 0
     v("smb2.cmd") = cmd.toLong
     v("smb2.flags.response") = isResponse
-    if (off + 32 <= pstart + plen)
+    if (off + 32 <= off + plen)
       v("smb2.msg_id") = leU32(off + 24) | (leU32(off + 28) << 32)
     val name = smb2CmdNames.getOrElse(cmd, s"Cmd$cmd")
     s"$name ${if (isResponse) "Response" else "Request"}"
+  }
+
+  /** RDP connection sequence (MS-RDPBCGR §2.2.1) on TCP 3389: TPKT
+    * (RFC 1006) framing + X.224/COTP CR/CC TPDU carrying the routing
+    * cookie and the RDP_NEG_REQ/RSP TLV. Post-negotiation traffic
+    * upgrades to TLS and dissects as tls upstream of this dispatch. */
+  private def dissectRdp(
+      d: Array[Byte], pstart: Int, plen: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (plen < 11) return null
+    // TPKT: version 3, reserved 0, 16-bit length covering the whole PDU
+    if (u8(d, pstart) != 3 || u8(d, pstart + 1) != 0) return null
+    val tlen = u16(d, pstart + 2)
+    if (tlen < 11 || tlen > plen) return null
+    val end = pstart + tlen
+    val li = u8(d, pstart + 4)
+    val code = u8(d, pstart + 5) & 0xf0
+    // CR (connection request) / CC (connection confirm) only — data TPDUs
+    // on 3389 are TLS after the upgrade and never reach here
+    if (code != 0xe0 && code != 0xd0) return null
+    if (pstart + 5 + li > end) return null
+    protos += "tpkt"
+    protos += "cotp"
+    protos += "rdp"
+    val info = if (code == 0xe0) "Connection Request" else "Connection Confirm"
+    var p = pstart + 5 + li // COTP user data: li counts bytes after the LI octet
+    // routing token / cookie: an ASCII line "Cookie: mstshash=…\r\n"
+    val text = new String(d, p, math.max(0, end - p), "ISO-8859-1")
+    if (text.startsWith("Cookie: ")) {
+      val eol = text.indexOf("\r\n")
+      if (eol > 0) {
+        v("rdp.rt_cookie") = text.substring(8, eol)
+        p += eol + 2
+      }
+    }
+    // RDP_NEG_REQ / RDP_NEG_RSP: type(1) flags(1) length(2 LE, =8) value(4 LE)
+    if (p + 8 <= end && ((d(p + 2) & 0xff) | ((d(p + 3) & 0xff) << 8)) == 8) {
+      def leU32(o: Int): Long =
+        ((d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) | ((d(o + 2) & 0xff) << 16) |
+          ((d(o + 3) & 0xff).toLong << 24)) & 0xffffffffL
+      val t = u8(d, p)
+      if (t == 1 && code == 0xe0) {
+        v("rdp.negReq.type") = 1L
+        v("rdp.negReq.flags") = u8(d, p + 1).toLong
+        v("rdp.negReq.requestedProtocols") = leU32(p + 4)
+      } else if (t == 2 && code == 0xd0) {
+        v("rdp.negRsp.selectedProtocol") = leU32(p + 4)
+      }
+    }
+    info
+  }
+
+  private val diameterCmdNames: Map[Int, String] = Map(
+    257 -> "Capabilities-Exchange", 258 -> "Re-Auth", 271 -> "Accounting",
+    272 -> "Credit-Control", 274 -> "Abort-Session", 275 -> "Session-Termination",
+    280 -> "Device-Watchdog", 282 -> "Disconnect-Peer")
+
+  /** Diameter base header (RFC 6733 §3) on TCP/SCTP 3868: version 1,
+    * 24-bit length, R-flag direction, command code, application and
+    * hop-by-hop/end-to-end identifiers. AVPs stay undecoded (triage
+    * surface, like the other tier dissectors). */
+  private def dissectDiameter(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 20) return null
+    if (u8(d, off) != 1) return null
+    val mlen = u24(d, off + 1)
+    if (mlen < 20 || mlen > (1 << 24) - 1) return null
+    val flags = u8(d, off + 4)
+    protos += "diameter"
+    v("diameter.version") = 1L
+    v("diameter.length") = mlen.toLong
+    v("diameter.flags") = flags.toLong
+    val code = u24(d, off + 5)
+    v("diameter.cmd.code") = code.toLong
+    v("diameter.applicationId") = u32(d, off + 8)
+    v("diameter.hopbyhopid") = u32(d, off + 12)
+    v("diameter.endtoendid") = u32(d, off + 16)
+    val name = diameterCmdNames.getOrElse(code, s"Cmd-$code")
+    s"$name ${if ((flags & 0x80) != 0) "Request" else "Answer"}"
   }
 
   /** FTP control channel (RFC 959 §4-5, TCP 21): plaintext CRLF lines —
@@ -3024,17 +3178,31 @@ object Dissect {
     val names = mutable.ArrayBuffer.empty[String]
     var i = off + 12
     var firstChunk = -1
+    var dataOff = -1
+    var dataEnd = -1
     while (i + 4 <= end && names.size < 8) {
       val ct = u8(d, i)
       val clen = u16(d, i + 2)
       if (clen < 4) { i = end } // malformed framing: stop the walk
       else {
         if (firstChunk < 0) firstChunk = ct
+        // DATA chunk (type 0): tsn(4) stream(2) seq(2) ppid(4) then the
+        // upper-layer payload — remember the first one for dispatch
+        if (ct == 0 && dataOff < 0 && clen > 16) {
+          dataOff = i + 16
+          dataEnd = math.min(i + clen, end)
+        }
         names += sctpChunkNames.getOrElse(ct, s"CHUNK_$ct")
         i += (clen + 3) & ~3 // chunks pad to 4-byte boundaries
       }
     }
     if (firstChunk >= 0) v("sctp.chunk_type") = firstChunk.toLong
+    // port-based upper-layer dispatch inside the first DATA chunk — the
+    // info column follows the innermost dissected layer, tunnel-style
+    if (dataOff > 0 && (sp == 3868 || dp == 3868)) {
+      val inner = dissectDiameter(d, dataOff, dataEnd, v, protos)
+      if (inner != null) return inner
+    }
     if (names.isEmpty) s"$sp → $dp"
     else s"$sp → $dp ${names.mkString(", ")}"
   }
@@ -3173,6 +3341,20 @@ object Dissect {
   private val amqpFrameNames: Map[Int, String] = Map(
     1 -> "Method", 2 -> "Content header", 3 -> "Content body", 8 -> "Heartbeat")
 
+  private val amqpMethodNames: Map[(Int, Int), String] = Map(
+    (10, 10) -> "Connection.Start", (10, 11) -> "Connection.Start-Ok",
+    (10, 30) -> "Connection.Tune", (10, 31) -> "Connection.Tune-Ok",
+    (10, 40) -> "Connection.Open", (10, 41) -> "Connection.Open-Ok",
+    (10, 50) -> "Connection.Close", (10, 51) -> "Connection.Close-Ok",
+    (20, 10) -> "Channel.Open", (20, 11) -> "Channel.Open-Ok",
+    (20, 40) -> "Channel.Close", (20, 41) -> "Channel.Close-Ok",
+    (40, 10) -> "Exchange.Declare", (40, 11) -> "Exchange.Declare-Ok",
+    (50, 10) -> "Queue.Declare", (50, 11) -> "Queue.Declare-Ok",
+    (50, 20) -> "Queue.Bind", (50, 21) -> "Queue.Bind-Ok",
+    (60, 10) -> "Basic.Qos", (60, 20) -> "Basic.Consume",
+    (60, 40) -> "Basic.Publish", (60, 60) -> "Basic.Deliver",
+    (60, 70) -> "Basic.Get", (60, 80) -> "Basic.Ack")
+
   /** AMQP 0-9-1 (TCP 5672): the protocol-header handshake or a typed
     * frame (type, channel, 32-bit size, 0xCE frame-end). */
   private def dissectAmqp(
@@ -3198,6 +3380,15 @@ object Dissect {
     v("amqp.type") = tpe.toLong
     v("amqp.channel") = u16(d, off + 1).toLong
     v("amqp.length") = size
+    // Method frames (type 1) lead with class-id + method-id (AMQP 0-9-1
+    // §2.3.5.1) — the dispatch pair that names the operation
+    if (tpe == 1 && size >= 4 && off + 11 <= off + len) {
+      val classId = u16(d, off + 7)
+      val methodId = u16(d, off + 9)
+      v("amqp.method.class.id") = classId.toLong
+      v("amqp.method.method.id") = methodId.toLong
+      return s"Method ${amqpMethodNames.getOrElse((classId, methodId), s"$classId.$methodId")}"
+    }
     name
   }
 

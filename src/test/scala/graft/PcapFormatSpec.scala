@@ -873,7 +873,8 @@ class PcapFormatSpec extends AnyFunSuite {
     hdr.putInt(0) // next command
     hdr.putLong(0x2aL) // message id
     val d = dissectOne(ethIpTcp(445, 49700, hdr.array()))
-    assert(d.protocols === "eth:ethertype:ip:tcp:smb2")
+    // the NBSS session-service layer now surfaces, Wireshark-style
+    assert(d.protocols === "eth:ethertype:ip:tcp:nbss:smb2")
     assert(d.info === "Create Response")
     assert(d.values("smb2.cmd") === 5L)
     assert(d.values("smb2.flags.response") === true)

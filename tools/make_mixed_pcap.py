@@ -541,7 +541,8 @@ extra.append((t3, 6900, ip_frame(6, A, B, tcp(52000, 1433, 1, tds), ident=104)))
 # 71-72: AMQP protocol header, then a Method frame (channel 0, 0xCE end)
 extra.append((t3, 7000, ip_frame(6, A, B,
               tcp(52100, 5672, 1, b"AMQP\x00\x00\x09\x01"), ident=105)))
-amqp_frame = bytes([1]) + struct.pack(">HI", 0, 4) + bytes(4) + bytes([0xCE])
+amqp_frame = bytes([1]) + struct.pack(">HI", 0, 4) + \
+    struct.pack(">HH", 10, 10) + bytes([0xCE])  # Connection.Start
 extra.append((t3, 7100, ip_frame(6, A, B,
               tcp(52100, 5672, 9, amqp_frame), ident=106)))
 
@@ -591,5 +592,54 @@ extra.append((t3, 8100, ip_frame(17, A, B, udp(52600, 5683, coap), ident=116)))
 # 83: NAT-T UDP-encapsulated ESP on 4500 (non-zero SPI, RFC 3948)
 natt_esp = struct.pack(">II", 0xBEEFCAFE, 42) + bytes(16)
 extra.append((t3, 8200, ip_frame(17, A, B, udp(52700, 4500, natt_esp), ident=117)))
+
+# 84-85: SMB1 over NBSS on TCP 445 — Negotiate Protocol Request, then an
+# NT Create AndX Response carrying an NT status (FLAGS2 bit 14 set)
+def smb1_hdr(cmd, status, flags, flags2, tid, pid, uid, mid):
+    return (b"\xffSMB" + bytes([cmd]) + struct.pack("<I", status) +
+            bytes([flags]) + struct.pack("<H", flags2) +
+            bytes(12) +  # PIDHigh(2) + signature(8) + reserved(2)
+            struct.pack("<HHHH", tid, pid, uid, mid))
+smb1_neg = smb1_hdr(0x72, 0, 0x00, 0x0001, 0, 0x1234, 0, 1) + bytes([0]) + \
+    struct.pack("<H", 14) + b"\x02NT LM 0.12\x00"
+smb1_neg = struct.pack(">I", len(smb1_neg)) + smb1_neg  # NBSS session message
+extra.append((t3, 8300, ip_frame(6, A, B, tcp(49900, 445, 1, smb1_neg), ident=118)))
+smb1_create = smb1_hdr(0xA2, 0xC0000022, 0x80, 0x4001, 5, 0x1234, 100, 2) + \
+    bytes([0]) + struct.pack("<H", 0)
+smb1_create = struct.pack(">I", len(smb1_create)) + smb1_create
+extra.append((t3, 8400, ip_frame(6, B, A, tcp(445, 49900, 1, smb1_create), ident=119)))
+
+# 86-87: RDP negotiation on TCP 3389 — X.224 CR with routing cookie +
+# RDP_NEG_REQ (TLS requested), then CC with RDP_NEG_RSP selecting TLS
+rdp_neg_req = b"Cookie: mstshash=alice\r\n" + \
+    bytes([1, 0]) + struct.pack("<H", 8) + struct.pack("<I", 1)
+# COTP LI counts bytes after the LI octet EXCLUDING user data (6 here:
+# code + dst-ref + src-ref + class)
+rdp_cr = bytes([6, 0xE0, 0, 0, 0, 0, 0]) + rdp_neg_req
+rdp_cr = struct.pack(">BBH", 3, 0, 4 + len(rdp_cr)) + rdp_cr
+extra.append((t3, 8500, ip_frame(6, A, B, tcp(52800, 3389, 1, rdp_cr), ident=120)))
+rdp_neg_rsp = bytes([2, 0]) + struct.pack("<H", 8) + struct.pack("<I", 1)
+rdp_cc = bytes([6, 0xD0, 0, 0, 0, 0, 0]) + rdp_neg_rsp
+rdp_cc = struct.pack(">BBH", 3, 0, 4 + len(rdp_cc)) + rdp_cc
+extra.append((t3, 8600, ip_frame(6, B, A, tcp(3389, 52800, 1, rdp_cc), ident=121)))
+
+# 88: DNS-over-TLS marker — TLS application-data record on TCP 853
+dot = bytes([0x17, 0x03, 0x03]) + struct.pack(">H", 12) + bytes(12)
+extra.append((t3, 8700, ip_frame(6, A, B, tcp(52900, 853, 1, dot), ident=122)))
+
+# 89: Diameter Capabilities-Exchange-Request inside an SCTP DATA chunk on
+# port 3868 (the chunk-0 upper-layer dispatch path)
+diam = (bytes([1]) + (20).to_bytes(3, "big") + bytes([0x80]) +
+        (257).to_bytes(3, "big") + struct.pack(">III", 0, 0x1111, 0x2222))
+sctp_data = (struct.pack(">BBH", 0, 3, 16 + len(diam)) +
+             struct.pack(">IHHI", 7, 0, 0, 46))  # tsn, stream, seq, ppid=46
+sctp_diam = (struct.pack(">HHII", 53000, 3868, 0xAB, 0) +
+             sctp_data + diam)
+extra.append((t3, 8800, ip_frame(132, A, B, sctp_diam, ident=123)))
+
+# 90: AMQP Basic.Publish method frame (class 60, method 40) on 5672
+amqp_pub = bytes([1]) + struct.pack(">HI", 1, 8) + \
+    struct.pack(">HH", 60, 40) + bytes(4) + bytes([0xCE])
+extra.append((t3, 8900, ip_frame(6, A, B, tcp(52100, 5672, 50, amqp_pub), ident=124)))
 
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
