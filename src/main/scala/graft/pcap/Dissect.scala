@@ -480,6 +480,19 @@ object Dissect {
 
   private val SOH: Byte = 0x01
 
+  /** All 64 flag-combination renderings ("SYN, ACK", …) in Wireshark's
+    * SYN FIN RST PSH ACK URG order, indexed by the same bit layout. */
+  private val tcpFlagStrings: Array[String] = Array.tabulate(64) { bits =>
+    val names = mutable.ArrayBuffer.empty[String]
+    if ((bits & 1) != 0) names += "SYN"
+    if ((bits & 2) != 0) names += "FIN"
+    if ((bits & 4) != 0) names += "RST"
+    if ((bits & 8) != 0) names += "PSH"
+    if ((bits & 16) != 0) names += "ACK"
+    if ((bits & 32) != 0) names += "URG"
+    names.mkString(", ")
+  }
+
   /** Extract FIX MsgType names for every message starting in this payload.
     * `maxMsgs` lets the info-pruned scan stop after the first message (the
     * `fix.msgtype` field only needs the head; the full walk exists for the
@@ -492,20 +505,55 @@ object Dissect {
     while (i < end - 5 && out.length < maxMsgs) {
       if (payload(i) == '8' && payload(i + 1) == '=' && payload(i + 2) == 'F' &&
         payload(i + 3) == 'I' && payload(i + 4) == 'X') {
-        // find \x0135=
-        var j = i + 5
-        var msg: String = null
-        while (j < end - 4 && msg == null) {
-          if (payload(j) == SOH && payload(j + 1) == '3' && payload(j + 2) == '5' &&
-            payload(j + 3) == '=') {
-            var k = j + 4
-            while (k < end && payload(k) != SOH) k += 1
-            msg = fixMsgName(payload, j + 4, k)
+        // Fast path over the standard header layout (FIX 4.x §"standard
+        // header": 8=BeginString, 9=BodyLength, 35=MsgType in that order):
+        // parse 9='s value and JUMP the body instead of byte-scanning it —
+        // the full-walk info path then touches ~20 bytes per message
+        // regardless of message size. Any shape mismatch falls back to the
+        // exhaustive scan below.
+        var jumped = false
+        var s1 = i + 5
+        while (s1 < end && payload(s1) != SOH) s1 += 1 // end of 8= field
+        if (s1 + 3 < end && payload(s1 + 1) == '9' && payload(s1 + 2) == '=') {
+          var k = s1 + 3
+          var bodyLen = 0
+          while (k < end && payload(k) >= '0' && payload(k) <= '9' && bodyLen < (1 << 24)) {
+            bodyLen = bodyLen * 10 + (payload(k) - '0')
+            k += 1
           }
-          j += 1
+          // k at the SOH closing 9=; body = [k+1, k+1+bodyLen)
+          if (k < end && payload(k) == SOH && k > s1 + 3) {
+            val bodyStart = k + 1
+            if (bodyStart + 3 < end && payload(bodyStart) == '3' &&
+              payload(bodyStart + 1) == '5' && payload(bodyStart + 2) == '=') {
+              var m = bodyStart + 3
+              while (m < end && payload(m) != SOH) m += 1
+              if (m < end) {
+                out += fixMsgName(payload, bodyStart + 3, m)
+                // checksum trailer "10=xxx<SOH>" follows the body — land on
+                // it; the outer scan picks up the next "8=FIX" from there
+                i = math.max(m + 1, bodyStart + bodyLen)
+                jumped = true
+              }
+            }
+          }
         }
-        if (msg != null) out += msg
-        i = j + 1
+        if (!jumped) {
+          // find \x0135= the exhaustive way
+          var j = i + 5
+          var msg: String = null
+          while (j < end - 4 && msg == null) {
+            if (payload(j) == SOH && payload(j + 1) == '3' && payload(j + 2) == '5' &&
+              payload(j + 3) == '=') {
+              var k = j + 4
+              while (k < end && payload(k) != SOH) k += 1
+              msg = fixMsgName(payload, j + 4, k)
+            }
+            j += 1
+          }
+          if (msg != null) out += msg
+          i = j + 1
+        }
       } else i += 1
     }
     out.toSeq
@@ -1259,7 +1307,11 @@ object Dissect {
         val msgs = fixMessages(appBuf, appOff, appLen,
           if (wanted.info) Int.MaxValue else 1)
         if (msgs.nonEmpty) {
-          if (wanted.info) appInfo = msgs.mkString(", ") else appInfo = ""
+          // single-message segments (the overwhelming majority) reuse the
+          // cached name string — no mkString StringBuilder per row
+          if (wanted.info)
+            appInfo = if (msgs.length == 1) msgs.head else msgs.mkString(", ")
+          else appInfo = ""
           v("fix.msgtype") = msgs.head
         }
       }
@@ -1533,14 +1585,10 @@ object Dissect {
     if (appInfo != null) appInfo
     else if (!wanted.info) ""
     else {
-      // Wireshark-style TCP info column
-      val flagNames = mutable.ArrayBuffer.empty[String]
-      if (syn) flagNames += "SYN"
-      if (fin) flagNames += "FIN"
-      if (rst) flagNames += "RST"
-      if (psh) flagNames += "PSH"
-      if (ack) flagNames += "ACK"
-      if (urg) flagNames += "URG"
+      // Wireshark-style TCP info column; the bracketed flag list comes
+      // from a precomputed 64-entry table (no per-row buffer + mkString)
+      val flagBits = (if (syn) 1 else 0) | (if (fin) 2 else 0) | (if (rst) 4 else 0) |
+        (if (psh) 8 else 0) | (if (ack) 16 else 0) | (if (urg) 32 else 0)
       val sb = new StringBuilder
       if (outOfOrder) sb.append("[TCP Out-Of-Order] ")
       else if (tracker.desegment && isFastRetrans) sb.append("[TCP Fast Retransmission] ")
@@ -1548,7 +1596,7 @@ object Dissect {
       else if (tracker.desegment && isRetrans) sb.append("[TCP Retransmission] ")
       else if (tracker.desegment && windowFull) sb.append("[TCP Window Full] ")
       sb.append(sp).append(" → ").append(dp)
-      sb.append(" [").append(flagNames.mkString(", ")).append("]")
+      sb.append(" [").append(tcpFlagStrings(flagBits)).append("]")
       sb.append(" Seq=").append(relSeq)
       if (ack && otherIsn >= 0) sb.append(" Ack=").append(relAck)
       sb.append(" Win=").append(calcWin)

@@ -139,13 +139,49 @@ final class PcapPartitionReader(
     u
   }
 
+  // Rendered-string byte-buffer reuse (the 5-col info hot path):
+  // UTF8String.fromString allocates a fresh byte[] + runs the charset
+  // encoder per value, once per ROW for `_ws.col.info`. ASCII renderings —
+  // virtually all of them — encode byte-for-byte into a per-COLUMN
+  // reusable buffer instead (per column, not one shared: several string
+  // columns of the same row must stay live together). Safe because the
+  // scan's downstream unsafe projection copies the bytes out before
+  // next() overwrites the buffer — the same contract that lets readers
+  // reuse the row object itself. Non-ASCII falls back to the allocating
+  // path.
+  private val strBufs = new Array[Array[Byte]](fieldNames.length)
+  private def reusedUtf8(i: Int, s: String): UTF8String = {
+    val n = s.length
+    var buf = strBufs(i)
+    if (buf == null || buf.length < n) {
+      buf = new Array[Byte](math.max(64, java.lang.Integer.highestOneBit(n) * 2))
+      strBufs(i) = buf
+    }
+    var j = 0
+    while (j < n) {
+      val c = s.charAt(j)
+      if (c >= 0x80) return UTF8String.fromString(s) // non-ASCII: allocate
+      buf(j) = c.toByte
+      j += 1
+    }
+    UTF8String.fromBytes(buf, 0, n)
+  }
+
   /** tshark type semantics at the cell level (SURVEY §1.2): values are
     * already typed by the dissector; timestamps here are epoch micros, with
     * the reference's whole-second truncation in compat=strict mode. */
   private def cell(i: Int, d: Dissect.Dissected): Any = {
     val raw: Any = colIds(i) match {
       case -1 => return internedUtf8(d.protocols)
-      case -2 => d.info
+      case -2 =>
+        val s = d.info
+        if (s == null) return null
+        // short infos repeat heavily (FIX msgtype names, "[TCP segment of
+        // a reassembled PDU]") — intern those; long per-row-unique TCP
+        // infos ("11001 → 53867 [ACK] Seq=…") go through the reusable
+        // buffer instead of thrashing the cache
+        return if (s.length <= 48 && chainCache.size < 1024) internedUtf8(s)
+        else reusedUtf8(i, s)
       case -3 => null // not a glossary field (cannot happen for valid schemas)
       case id => d.arr(id)
     }
@@ -154,7 +190,7 @@ final class PcapPartitionReader(
       case TimestampType =>
         val micros = raw.asInstanceOf[Long]
         if (compatStrict) (micros / 1000000L) * 1000000L else micros
-      case StringType  => UTF8String.fromString(raw.toString)
+      case StringType  => reusedUtf8(i, raw.toString)
       case LongType    => raw.asInstanceOf[Long]
       case DoubleType  => raw.asInstanceOf[Double]
       case BooleanType => raw.asInstanceOf[Boolean]
