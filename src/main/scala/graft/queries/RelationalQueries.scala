@@ -921,6 +921,38 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     })
 
+  /** Distribution window functions: ntile buckets, percent_rank, and
+    * cume_dist over a unique total order per partition — (rank−1)/(n−1)
+    * and rank/n are the same IEEE divisions in both engines, so the
+    * doubles hash bit-identically. */
+  val q40WindowDistribution = sharedSql(
+    "q40_window_distribution",
+    """
+      SELECT o_orderkey,
+             CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile,
+             PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+             CUME_DIST() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS cume
+      FROM orders
+      ORDER BY o_orderkey""")
+
+  /** Several COUNT(DISTINCT) columns in ONE aggregate — Spark plans the
+    * Expand-based multi-distinct rewrite (one shuffle, no self-joins);
+    * the same SQL runs verbatim in DuckDB. */
+  val q41MultiDistinct = sharedSql(
+    "q41_multi_distinct",
+    """
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_orderkey) AS d_orders,
+             COUNT(DISTINCT l_suppkey) AS d_supp,
+             COUNT(DISTINCT l_partkey) AS d_part,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -931,5 +963,6 @@ object RelationalQueries {
     q25StringFuncs, q26DateFuncs, q27MathFuncs, q28Regex, q29CaseAgg,
     q30Pivot, q31Explode, q32TimeBucket, q33Json, q34ApproxDistinct,
     q35SaltedAgg, q36TopkAggregator, q37GroupingSets, q38WindowRangeFrame,
-    q38bWindowRangeBySupp, q39Percentiles, q39bApproxPercentiles)
+    q38bWindowRangeBySupp, q39Percentiles, q39bApproxPercentiles,
+    q40WindowDistribution, q41MultiDistinct)
 }
