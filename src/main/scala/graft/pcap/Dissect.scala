@@ -1939,6 +1939,8 @@ object Dissect {
       if (parts.length > 1) parts(1).toLongOption.foreach(c => v("http.response.code") = c)
       if (parts.length > 2) v("http.response.phrase") = parts(2)
       header("content-type").foreach(h => v("http.content_type") = h)
+      header("server").foreach(h => v("http.server") = h)
+      header("location").foreach(h => v("http.location") = h)
     }
     header("content-length").flatMap(_.toLongOption).foreach(c => v("http.content_length") = c)
     line
@@ -2908,6 +2910,30 @@ object Dissect {
       v("http.request.method") = parts(0)
       v("http.request.uri") = parts(1)
       v("http.request.version") = parts(2)
+    }
+    // NOTIFY/M-SEARCH/response headers: surface the ones tshark names
+    // (http.location / http.server / http.host keep their http.* filter
+    // names under the ssdp layer, like the start-line fields above)
+    var h = le + 2
+    var guard = 0
+    while (h < text.length && guard < 32) {
+      val he = text.indexOf("\r\n", h)
+      if (he < 0 || he == h) { h = text.length }
+      else {
+        val colon = text.indexOf(':', h)
+        if (colon > h && colon < he) {
+          val name = text.substring(h, colon).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = text.substring(colon + 1, he).trim
+          name match {
+            case "location" => v("http.location") = value
+            case "server"   => v("http.server") = value
+            case "host"     => v("http.host") = value
+            case _          =>
+          }
+        }
+        h = he + 2
+        guard += 1
+      }
     }
     line
   }

@@ -121,7 +121,7 @@ class PcapPropertySpec extends AnyFunSuite {
     import graft.pcap.Dissect
     // ports driving the DNS/mDNS/NTP/QUIC/DHCP/SIP/Kerberos/SNMP/NFS/
     // RADIUS/VXLAN/SSDP/syslog/TFTP/LLMNR/NBNS sniffers
-    val portGen = Gen.oneOf(53, 5353, 123, 443, 67, 5060, 88, 161, 2049,
+    val portGen = Gen.oneOf(53, 5353, 123, 443, 67, 5060, 88, 161, 2049, 1900,
       1812, 4789, 1900, 514, 69, 5355, 137, 3478, 547, 51820, 2152, 500,
       1701, 5683)
     val payloadGen = for {

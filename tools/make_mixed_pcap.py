@@ -637,7 +637,14 @@ sctp_diam = (struct.pack(">HHII", 53000, 3868, 0xAB, 0) +
              sctp_data + diam)
 extra.append((t3, 8800, ip_frame(132, A, B, sctp_diam, ident=123)))
 
-# 90: AMQP Basic.Publish method frame (class 60, method 40) on 5672
+# 90: SSDP NOTIFY advertisement with LOCATION/SERVER headers (UDP 1900)
+ssdp_notify = (b"NOTIFY * HTTP/1.1\r\nHOST: 239.255.255.250:1900\r\n"
+               b"NT: upnp:rootdevice\r\nNTS: ssdp:alive\r\n"
+               b"LOCATION: http://192.168.1.1:5000/rootDesc.xml\r\n"
+               b"SERVER: graft/1.0 UPnP/1.1\r\n\r\n")
+extra.append((t3, 8850, ip_frame(17, A, B, udp(53100, 1900, ssdp_notify), ident=125)))
+
+# 91: AMQP Basic.Publish method frame (class 60, method 40) on 5672
 amqp_pub = bytes([1]) + struct.pack(">HI", 1, 8) + \
     struct.pack(">HH", 60, 40) + bytes(4) + bytes([0xCE])
 extra.append((t3, 8900, ip_frame(6, A, B, tcp(52100, 5672, 50, amqp_pub), ident=124)))
