@@ -237,6 +237,34 @@ object Pq {
     rerankExact(scored, encoded, queries, topK, rerank)
   }
 
+  /** Range (radius) search over codes: the ADC approximate score
+    * prefilters candidates at `minCosine − margin` (codes-only scan, the
+    * memory-bound shape), then the exact cosine applies the true radius.
+    * The margin covers the ADC quantization error so recall near the
+    * boundary stays high while the candidate set stays score-bounded —
+    * the retrieval-by-threshold counterpart of [[searchBatch]]'s top-k.
+    * Both thresshold decisions replay bit-exactly in the generated oracle
+    * ([[graft.queries.AnnOracles.pqRangeSql]]). */
+  def rangeSearch(
+      encoded: DataFrame,
+      cb: Codebook,
+      queries: DataFrame, // (query_id, qe)
+      minCosine: Double,
+      margin: Double): DataFrame = {
+    val qprep = queries.select(col("query_id"),
+      lutDotCol(cb).as("lut_dot"), Vectors.norm(col("qe")).as("qnorm"))
+    encoded
+      .crossJoin(broadcast(qprep))
+      .select(col("query_id"), col("vec_id"), col("label"), col("embedding"),
+        adcCosCol(cb).as("approx_cos"))
+      .filter(col("approx_cos") >= lit(minCosine - margin))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        Vectors.cosine(col("embedding"), col("qe")).as("cosine"))
+      .filter(col("cosine") >= lit(minCosine))
+      .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+  }
+
   /** Persist a fitted PQ index as catalog tables (the [[Ivf.persist]]
     * shape): `<name>_codebook` holds the (tiny) flattened centroid table,
     * `<name>_codes` the encoded corpus — bucketed by `cell` when present

@@ -211,6 +211,38 @@ object AnnOracles {
         CROSS JOIN nl),
       ${rerankTail(cb, topK, rerank).trim}"""
 
+  /** Oracle for `sim_ann_pq_range`: the ADC threshold prefilter (same
+    * replayed subspace-order sum as [[pqSql]]'s scored CTE), then the
+    * exact-cosine radius — both comparisons see bit-identical doubles, so
+    * candidate decisions match the plan's exactly. */
+  def pqRangeSql(cb: Pq.Codebook, minCosine: Double, margin: Double, maxQ: Int): String = {
+    val dim = cb.m * cb.dsub
+    s"""
+      WITH ${pqCodesAndLuts(cb, maxQ).trim},
+      scored AS (
+        SELECT l.query_id, c.vec_id,
+               (${adcSum(cb, "l.lut")})
+                 / (SQRT(${adcSum(cb, "nl.nlut")}) * n.qnorm) AS approx_cos
+        FROM codes c
+        CROSS JOIN lut l
+        JOIN qn n ON n.query_id = l.query_id
+        CROSS JOIN nl),
+      cand AS (
+        SELECT query_id, vec_id FROM scored
+        WHERE approx_cos >= CAST(${fmt(minCosine - margin)} AS DOUBLE)),
+      rer AS (
+        SELECT cand.query_id, e.vec_id, e.label,
+               (${dot("e.embedding", "q.qe", dim)})
+                 / (SQRT(${dot("e.embedding", "e.embedding", dim)})
+                    * SQRT(${dot("q.qe", "q.qe", dim)})) AS cosine
+        FROM cand
+        JOIN embeddings e ON e.vec_id = cand.vec_id
+        JOIN q ON q.query_id = cand.query_id)
+      SELECT query_id, vec_id, label, cosine FROM rer
+      WHERE cosine >= CAST(${fmt(minCosine)} AS DOUBLE) AND query_id <> vec_id
+      ORDER BY query_id, cosine DESC, vec_id"""
+  }
+
   /** Oracle for `sim_ann_ivfpq`: IVF cell assignment + probe ranking bound
     * the candidate set; ADC scores only probed cells' codes; exact rerank. */
   def ivfPqSql(cents: Array[Array[Double]], cb: Pq.Codebook,

@@ -304,6 +304,27 @@ object SimilarityQueries {
       graft.functions.AnnIndexes.pq(s, dir, m = 8, k = 16),
       topK = 5, nProbe = 4, rerank = 50, maxQ = 5)))
 
+  /** PQ range search: codes-only ADC threshold prefilter (minCosine −
+    * margin covers the quantization error) + exact-cosine radius — the
+    * memory-bound retrieval-by-threshold shape. Shared fit; both
+    * thresholds replay in the generated oracle bit-exactly. */
+  val simAnnPqRange = GraftQuery(
+    "sim_ann_pq_range",
+    (s, dir) => {
+      import s.implicits._
+      val emb = graft.functions.AnnIndexes.embeddings(s, dir)
+      val cb = graft.functions.AnnIndexes.pq(s, dir, m = 8, k = 16)
+      val encoded = graft.functions.Pq.encode(emb, cb)
+      val queries = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      graft.functions.Pq.rangeSearch(encoded, cb, queries,
+        minCosine = 0.2, margin = 0.05)
+        .filter($"query_id" =!= $"vec_id")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.pqRangeSql(
+      graft.functions.AnnIndexes.pq(s, dir, m = 8, k = 16),
+      minCosine = 0.2, margin = 0.05, maxQ = 5)))
+
   /** Int8 scalar quantization — the embedding-compression step of a
     * serving/storage pipeline: per-dimension min-max binning to 256
     * levels (floor-based, so no rounding-mode divergence between
@@ -342,6 +363,6 @@ object SimilarityQueries {
 
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfPersisted,
-      simAnnRange, simAnnIvfBatch, simAnnPq, simAnnIvfPq, simQuantizeInt8,
-      ddEmbeddingNeardup)
+      simAnnRange, simAnnIvfBatch, simAnnPq, simAnnPqRange, simAnnIvfPq,
+      simQuantizeInt8, ddEmbeddingNeardup)
 }
