@@ -325,6 +325,61 @@ object SimilarityQueries {
       graft.functions.AnnIndexes.pq(s, dir, m = 8, k = 16),
       minCosine = 0.2, margin = 0.05, maxQ = 5)))
 
+  /** The int8 search counterpart of [[simQuantizeInt8]]: asymmetric ADC —
+    * the CORPUS is scored from its dequantized int8 codes (what a serving
+    * tier keeps in RAM at 4× compression), queries stay exact floats.
+    * Per-dim min/max stats are one tiny aggregate (exact comparisons, so
+    * both engines derive identical stats in-query — no fitted literals
+    * needed); the bin arithmetic and the scoring folds are the same IEEE
+    * sequences unrolled in both dialects, so the oracle hash-matches. */
+  private def int8AnnSql(render: (String, Int) => String,
+      floorLong: String => String, maxQ: Int, topK: Int): String = {
+    def mn(d: Int) = s"st.mn$d"
+    def mx(d: Int) = s"st.mx$d"
+    // dequantized corpus value at dim d: bin center of the int8 code
+    def dq(d: Int) = {
+      val code = floorLong(s"FLOOR((${render("e.embedding", d)} - ${mn(d)})" +
+        s" * 256.0 / (${mx(d)} - ${mn(d)}))")
+      s"(${mn(d)} + (LEAST(255, $code) + 0.5) * (${mx(d)} - ${mn(d)}) / 256.0)"
+    }
+    val dotQ = (1 to dim).map(d => s"${dq(d)} * ${render("q.qe", d)}").mkString(" + ")
+    val nrm = (1 to dim).map(d => s"${dq(d)} * ${dq(d)}").mkString(" + ")
+    val qn = (1 to dim).map(d => s"${render("q.qe", d)} * ${render("q.qe", d)}").mkString(" + ")
+    val statCols = (1 to dim).map(d =>
+      s"MIN(${render("embedding", d)}) AS mn$d, MAX(${render("embedding", d)}) AS mx$d")
+      .mkString(", ")
+    s"""
+      WITH st AS (SELECT $statCols FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $maxQ),
+      scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               ($dotQ) / (SQRT($nrm) * SQRT($qn)) AS approx_cos
+        FROM embeddings e CROSS JOIN st CROSS JOIN q),
+      ranked AS (
+        SELECT query_id, vec_id, label, approx_cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY approx_cos DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored)
+      SELECT query_id, rnk, vec_id, label, approx_cos FROM ranked
+      WHERE rnk <= $topK AND query_id <> vec_id
+      ORDER BY query_id, rnk"""
+  }
+
+  val simAnnInt8 = GraftQuery(
+    "sim_ann_int8",
+    (s, dir) => {
+      Tables.registerViews(s, dir)
+      // Spark FLOOR(double) is already BIGINT
+      s.sql(int8AnnSql(
+        (a, d) => s"CAST(element_at($a, $d) AS DOUBLE)", f => f,
+        maxQ = 3, topK = 5))
+    },
+    // DuckDB FLOOR(double) stays DOUBLE — pin it to BIGINT so LEAST and
+    // the +0.5 see the same values Spark's long-typed floor produces
+    Some(int8AnnSql(
+      (a, d) => s"CAST($a[$d] AS DOUBLE)", f => s"CAST($f AS BIGINT)",
+      maxQ = 3, topK = 5)))
+
   /** Int8 scalar quantization — the embedding-compression step of a
     * serving/storage pipeline: per-dimension min-max binning to 256
     * levels (floor-based, so no rounding-mode divergence between
@@ -364,5 +419,5 @@ object SimilarityQueries {
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfPersisted,
       simAnnRange, simAnnIvfBatch, simAnnPq, simAnnPqRange, simAnnIvfPq,
-      simQuantizeInt8, ddEmbeddingNeardup)
+      simAnnInt8, simQuantizeInt8, ddEmbeddingNeardup)
 }
