@@ -953,6 +953,44 @@ object RelationalQueries {
       GROUP BY l_returnflag
       ORDER BY l_returnflag""")
 
+  /** AS-OF join — the temporal operator Spark lacks natively: for every
+    * purchase, the same user's LATEST click at-or-before it. Implemented
+    * the scale-correct way — NOT an inequality join (whose candidate set
+    * explodes quadratically per user) but a union-tag + running-max
+    * window: both sides shuffle ONCE on user_id, a per-user ordered scan
+    * carries the last click time forward, purchases read it in O(1).
+    * Click-vs-purchase timestamp ties land click-first (tag order), i.e.
+    * at-or-before semantics; emitting MAX(ts) keeps residual same-ts
+    * click ties row-identical. Oracle: the equivalent correlated MAX in
+    * DuckDB over identically ns→µs-truncated timestamps. */
+  val q42AsofJoin = GraftQuery(
+    "q42_asof_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", lit(0).as("tag"),
+          lit(null).cast(LongType).as("event_id"), $"ts".as("src_ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", lit(1).as("tag"),
+          $"event_id", lit(null).cast(TimestampType).as("src_ts"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("last_click_ts", max($"src_ts").over(w))
+        .filter($"tag" === 1)
+        .select($"event_id", $"user_id", $"ts", $"last_click_ts")
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+             (SELECT MAX(CAST(c.ts AS TIMESTAMP)) FROM events c
+              WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)) AS last_click_ts
+      FROM events p
+      WHERE p.event_type = 'purchase'
+      ORDER BY event_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -964,5 +1002,5 @@ object RelationalQueries {
     q30Pivot, q31Explode, q32TimeBucket, q33Json, q34ApproxDistinct,
     q35SaltedAgg, q36TopkAggregator, q37GroupingSets, q38WindowRangeFrame,
     q38bWindowRangeBySupp, q39Percentiles, q39bApproxPercentiles,
-    q40WindowDistribution, q41MultiDistinct)
+    q40WindowDistribution, q41MultiDistinct, q42AsofJoin)
 }

@@ -60,6 +60,13 @@ class PlanShapeSpec extends SparkSpec {
         "CollapseProject must not inline the struct into per-field re-parses")
   }
 
+  test("as-of join executes as union + window, never an inequality join") {
+    val p = plan("q42_asof_join")
+    assert(p.contains("Window"), "the running-max window must drive the as-of")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "as-of must not plan a join — per-user inequality joins explode at scale")
+  }
+
   test("join/topk/pushdown staples keep their shapes") {
     val p5 = plan("q05_join_topk")
     assert(p5.contains("BroadcastHashJoin"))
