@@ -367,6 +367,54 @@ class SimilaritySpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("PQ range search: exact radius respected; wide margin recovers exhaustive recall") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.functions.AnnIndexes.embeddings(spark, sfDir)
+    val cb = graft.functions.AnnIndexes.pq(spark, sfDir, m = 8, k = 16)
+    val encoded = graft.functions.Pq.encode(emb, cb)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    def ids(margin: Double): Set[(Long, Long)] =
+      graft.functions.Pq.rangeSearch(encoded, cb, queries,
+        minCosine = 0.2, margin = margin).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every returned row satisfies the exact radius regardless of margin
+    graft.functions.Pq.rangeSearch(encoded, cb, queries, 0.2, 0.05).collect()
+      .foreach(r => assert(r.getAs[Double]("cosine") >= 0.2))
+    // margin=2 exceeds any possible ADC error on cosines in [-1,1]: the
+    // prefilter passes everything, so the result IS the exhaustive radius
+    val exhaustive = ids(2.0)
+    val tight = ids(0.05)
+    val wide = ids(0.25)
+    // recall grows monotonically with margin and stays radius-sound
+    assert(tight.subsetOf(wide) && wide.subsetOf(exhaustive))
+    // the query's production margin keeps a usable fraction at this
+    // (deliberately coarse: m=8, k=16 on sf0.001) codebook
+    assert(tight.size >= (exhaustive.size * 0.4).toInt,
+      s"recall collapsed: ${tight.size}/${exhaustive.size}")
+  }
+
+  test("int8 ADC search tracks exact-cosine ranking closely") {
+    import org.apache.spark.sql.functions._
+    val rows = SimilarityQueries.simAnnInt8.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // dequantized-bin-center cosine is within the scalar-quantization
+    // error envelope of the true cosine for each returned neighbor
+    val emb = graft.functions.AnnIndexes.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.foreach { r =>
+      val exact = cos(emb(r.getAs[Long]("query_id")), emb(r.getAs[Long]("vec_id")))
+      assert(math.abs(r.getAs[Double]("approx_cos") - exact) < 0.05,
+        s"int8 approx drifted: ${r.getAs[Double]("approx_cos")} vs $exact")
+    }
+  }
+
   test("sim_ann_ivf_persisted answers identically to the in-memory sim_ann_ivf") {
     val mem = SimilarityQueries.simAnnIvf.fn(spark, sfDir).collect()
     val per = SimilarityQueries.simAnnIvfPersisted.fn(spark, sfDir).collect()
