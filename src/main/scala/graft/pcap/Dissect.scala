@@ -740,9 +740,59 @@ object Dissect {
       case 0x0806 =>
         protos += "arp"
         dissectArp(d, l3off, v)
+      case 0x88cc =>
+        dissectLldp(d, l3off, v, protos)
       case other =>
         f"Ethernet II (0x$other%04x)"
     }
+  }
+
+  /** LLDP (IEEE 802.1AB, ethertype 0x88CC): TLV walk surfacing the three
+    * mandatory TLVs — Chassis ID (MAC subtype decoded), Port ID, TTL. */
+  private def dissectLldp(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    protos += "lldp"
+    var i = off
+    var chassis: String = null
+    var port: String = null
+    var ttl = -1L
+    var guard = 0
+    while (i + 2 <= d.length && guard < 32) {
+      val hdr = u16(d, i)
+      val tpe = hdr >>> 9
+      val len = hdr & 0x1ff
+      if (tpe == 0) { guard = 32 } // End of LLDPDU
+      else if (i + 2 + len > d.length) { guard = 32 }
+      else {
+        if (guard == 0) v("lldp.tlv.type") = tpe.toLong
+        if (guard == 0) v("lldp.tlv.len") = len.toLong
+        tpe match {
+          case 1 if len >= 2 =>
+            val sub = u8(d, i + 2)
+            v("lldp.chassis.subtype") = sub.toLong
+            if (sub == 4 && len >= 7) { // MAC address
+              chassis = macStr(d, i + 3)
+              v("lldp.chassis.id.mac") = chassis
+            }
+          case 2 if len >= 2 =>
+            v("lldp.port.subtype") = u8(d, i + 2).toLong
+            port = new String(d, i + 3, len - 1, "ISO-8859-1")
+          case 3 if len >= 2 =>
+            ttl = u16(d, i + 2).toLong
+            v("lldp.time.ttl") = ttl
+          case _ =>
+        }
+        i += 2 + len
+        guard += 1
+      }
+    }
+    val parts = mutable.ArrayBuffer.empty[String]
+    if (chassis != null) parts += s"Chassis Id = $chassis"
+    if (port != null) parts += s"Port Id = $port"
+    if (ttl >= 0) parts += s"TTL = $ttl"
+    if (parts.isEmpty) "LLDP" else parts.mkString(", ")
   }
 
   /** GRE (RFC 2784/2890): skip the header per its flag bits, then recurse
@@ -852,9 +902,35 @@ object Dissect {
       case 50 => protos += "esp"; dissectEsp(d, next, ipEnd, v)
       case 51 => dissectAh(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
       case 89  => protos += "ospf"; dissectOspf(d, next, ipEnd, v)
+      case 112 => dissectVrrp(d, next, ipEnd, v, protos)
       case 132 => dissectSctp(d, next, ipEnd, v, protos)
       case _   => null
     }
+  }
+
+  /** VRRP v2 (RFC 3768, IP protocol 112): advertisement header + the
+    * virtual-router address list (first address surfaced). */
+  private def dissectVrrp(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end < off + 8) return null
+    val ver = u8(d, off) >>> 4
+    val tpe = u8(d, off) & 0x0f
+    protos += "vrrp"
+    v("vrrp.version") = ver.toLong
+    v("vrrp.type") = tpe.toLong
+    val vrid = u8(d, off + 1)
+    val prio = u8(d, off + 2)
+    val cnt = u8(d, off + 3)
+    v("vrrp.virt_rtr_id") = vrid.toLong
+    v("vrrp.prio") = prio.toLong
+    v("vrrp.addr_count") = cnt.toLong
+    v("vrrp.adver_int") = u8(d, off + 5).toLong
+    if (ver == 2 && cnt >= 1 && off + 12 <= end)
+      v("vrrp.ip_addr") = ipv4Str(d, off + 8)
+    val name = if (tpe == 1) "Announcement" else s"Type $tpe"
+    s"$name (v$ver)"
   }
 
   private def dissectIpv6(
@@ -1385,6 +1461,10 @@ object Dissect {
         appInfo = dissectRdp(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 3868 || dp == 3868))
         appInfo = dissectDiameter(appBuf, appOff, appOff + appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 554 || dp == 554))
+        appInfo = dissectRtsp(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 1080 || dp == 1080))
+        appInfo = dissectSocks(appBuf, appOff, appLen, fromServer = sp == 1080, v, protos)
       // FTP: line-oriented — under desegment an incomplete trailing line
       // carries across delivered runs (kind 4) and dissects on the run
       // that completes its CRLF (tshark reassembly semantics); without
@@ -2936,6 +3016,124 @@ object Dissect {
       }
     }
     line
+  }
+
+  private val rtspMethods = Set("OPTIONS", "DESCRIBE", "ANNOUNCE", "SETUP",
+    "PLAY", "PAUSE", "TEARDOWN", "GET_PARAMETER", "SET_PARAMETER",
+    "REDIRECT", "RECORD")
+
+  /** RTSP (RFC 2326, TCP 554): HTTP-shaped start line + the Session /
+    * Transport headers that drive stream setup. */
+  private def dissectRtsp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 10) return null
+    val text = new String(d, off, math.min(len, 2048), "ISO-8859-1")
+    val le = text.indexOf("\r\n")
+    if (le <= 0) return null
+    val line = text.substring(0, le)
+    val parts = line.split(" ", 3)
+    if (line.startsWith("RTSP/1.")) {
+      if (parts.length < 2) return null
+      val code = parts(1).toLongOption.getOrElse(return null)
+      protos += "rtsp"
+      v("rtsp.response") = line
+      v("rtsp.status") = code
+    } else {
+      if (parts.length != 3 || !parts(2).startsWith("RTSP/1.") ||
+        !rtspMethods.contains(parts(0))) return null
+      protos += "rtsp"
+      v("rtsp.request") = line
+      v("rtsp.method") = parts(0)
+      v("rtsp.url") = parts(1)
+    }
+    var h = le + 2
+    var guard = 0
+    while (h < text.length && guard < 32) {
+      val he = text.indexOf("\r\n", h)
+      if (he < 0 || he == h) { h = text.length }
+      else {
+        val colon = text.indexOf(':', h)
+        if (colon > h && colon < he) {
+          val name = text.substring(h, colon).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = text.substring(colon + 1, he).trim
+          name match {
+            case "session"   => v("rtsp.session") = value
+            case "transport" => v("rtsp.transport") = value
+            case _           =>
+          }
+        }
+        h = he + 2
+        guard += 1
+      }
+    }
+    line
+  }
+
+  private val socksCmdNames: Map[Int, String] =
+    Map(1 -> "Connect", 2 -> "Bind", 3 -> "UdpAssociate")
+
+  /** SOCKS (TCP 1080): v5 greeting / request / reply and the v4 request —
+    * the triage envelope (RFC 1928). */
+  private def dissectSocks(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 3) return null
+    val ver = u8(d, off)
+    if (ver == 5) {
+      if (!fromServer && len >= 4 && u8(d, off + 2) == 0 &&
+        socksCmdNames.contains(u8(d, off + 1))) {
+        // request: VER CMD RSV ATYP ...
+        val cmd = u8(d, off + 1)
+        protos += "socks"
+        v("socks.version") = 5L
+        v("socks.command") = cmd.toLong
+        val name = socksCmdNames(cmd)
+        u8(d, off + 3) match {
+          case 1 if len >= 10 => // IPv4
+            val dst = ipv4Str(d, off + 4)
+            v("socks.dst") = dst
+            val port = u16(d, off + 8)
+            v("socks.dstport") = port.toLong
+            s"$name to $dst:$port"
+          case 3 if len >= 5 && len >= 7 + u8(d, off + 4) => // domain name
+            val n = u8(d, off + 4)
+            val host = new String(d, off + 5, n, "ISO-8859-1")
+            v("socks.remote_name") = host
+            val port = u16(d, off + 5 + n)
+            v("socks.dstport") = port.toLong
+            s"$name to $host:$port"
+          case _ => s"$name request"
+        }
+      } else if (!fromServer && len >= 2 && len == 2 + u8(d, off + 1)) {
+        // greeting: VER NMETHODS METHODS…
+        protos += "socks"
+        v("socks.version") = 5L
+        "Client greeting"
+      } else if (fromServer && len == 2) {
+        protos += "socks"
+        v("socks.version") = 5L
+        "Server method selection"
+      } else if (fromServer && len >= 4 && u8(d, off + 2) == 0) {
+        protos += "socks"
+        v("socks.version") = 5L
+        v("socks.results") = u8(d, off + 1).toLong
+        if (u8(d, off + 1) == 0) "Connection granted"
+        else s"Connection failed (${u8(d, off + 1)})"
+      } else null
+    } else if (ver == 4 && !fromServer && len >= 8 &&
+      socksCmdNames.contains(u8(d, off + 1))) {
+      protos += "socks"
+      v("socks.version") = 4L
+      v("socks.command") = u8(d, off + 1).toLong
+      val port = u16(d, off + 2)
+      val dst = ipv4Str(d, off + 4)
+      v("socks.dstport") = port.toLong
+      v("socks.dst") = dst
+      s"${socksCmdNames(u8(d, off + 1))} to $dst:$port"
+    } else null
   }
 
   private val syslogFacilityNames: Array[String] = Array(

@@ -649,4 +649,29 @@ amqp_pub = bytes([1]) + struct.pack(">HI", 1, 8) + \
     struct.pack(">HH", 60, 40) + bytes(4) + bytes([0xCE])
 extra.append((t3, 8900, ip_frame(6, A, B, tcp(52100, 5672, 50, amqp_pub), ident=124)))
 
+# 92: LLDP advertisement (ethertype 0x88CC): chassis MAC + port + TTL TLVs
+def lldp_tlv(t, val):
+    return struct.pack(">H", (t << 9) | len(val)) + val
+lldp = (lldp_tlv(1, bytes([4]) + MAC_A) +          # chassis id, MAC subtype
+        lldp_tlv(2, bytes([5]) + b"eth0") +        # port id, ifname subtype
+        lldp_tlv(3, struct.pack(">H", 120)) +      # TTL
+        lldp_tlv(0, b""))
+extra.append((t3, 9000, eth(b"\x01\x80\xc2\x00\x00\x0e", MAC_A, 0x88CC, lldp)))
+
+# 93: VRRP v2 advertisement (IP protocol 112)
+vrrp = (bytes([0x21, 7, 100, 1, 0, 1]) + struct.pack(">H", 0) +
+        bytes([10, 0, 0, 254]) + struct.pack(">II", 0, 0))  # vIP + auth data
+extra.append((t3, 9100, ip_frame(112, A, B, vrrp, ident=126)))
+
+# 94-95: RTSP DESCRIBE + SETUP response with Session/Transport (TCP 554)
+rtsp_req = b"DESCRIBE rtsp://cam.example/stream RTSP/1.0\r\nCSeq: 1\r\n\r\n"
+extra.append((t3, 9200, ip_frame(6, A, B, tcp(53200, 554, 1, rtsp_req), ident=127)))
+rtsp_rsp = (b"RTSP/1.0 200 OK\r\nCSeq: 1\r\nSession: 628348\r\n"
+            b"Transport: RTP/AVP;unicast;client_port=9000-9001\r\n\r\n")
+extra.append((t3, 9300, ip_frame(6, B, A, tcp(554, 53200, 1, rtsp_rsp), ident=128)))
+
+# 96: SOCKS5 CONNECT request to an IPv4 target (TCP 1080)
+socks5 = bytes([5, 1, 0, 1, 10, 0, 0, 5]) + struct.pack(">H", 443)
+extra.append((t3, 9400, ip_frame(6, A, B, tcp(53300, 1080, 1, socks5), ident=129)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
