@@ -92,6 +92,31 @@ object AnnIndexes {
     Ivf.loadIndex(spark, name)
   }
 
+  /** The persisted IVF-PQ composition: the shared fits written ONCE as
+    * three catalog tables (centroids + codebook + one cell-bucketed codes
+    * table — no corpus duplication, [[Pq.persistIvfPq]]), every answer
+    * served from [[Pq.loadIvfPq]] with zero k-means jobs in the lineage. */
+  def ivfPqPersisted(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16)
+      : (Ivf.Index, Pq.Codebook, org.apache.spark.sql.DataFrame) = {
+    val name = ("graft_ivfpq_" + dir.replaceAll("[^A-Za-z0-9]", "_") + s"_${m}_$k")
+      .toLowerCase
+    // fits resolved OUTSIDE the guard (no nested compute, see ivfPersisted)
+    val index = ivf(spark, dir, k)
+    val cb = pq(spark, dir, m, k)
+    getOrFit(spark, s"ivfpqpersist:$dir:$m:$k") {
+      for (suffix <- Seq("_centroids", "_codebook", "_codes")) {
+        spark.sql(s"DROP TABLE IF EXISTS $name$suffix")
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val p = new org.apache.hadoop.fs.Path(wh, name + suffix)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      Pq.persistIvfPq(index, cb, Pq.encode(index.assigned, cb), name)
+      name
+    }
+    Pq.loadIvfPq(spark, name)
+  }
+
   /** The PQ codebook every sim_ann_pq/ivfpq query (and its oracle) shares. */
   def pq(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16): Pq.Codebook =
     getOrFit(spark, s"pq:$dir:$m:$k") {

@@ -380,6 +380,31 @@ object SimilarityQueries {
       (a, d) => s"CAST($a[$d] AS DOUBLE)", f => s"CAST($f AS BIGINT)",
       maxQ = 3, topK = 5)))
 
+  /** The sim_ann_ivfpq search served entirely from the PERSISTED
+    * three-table index ([[graft.functions.AnnIndexes.ivfPqPersisted]]):
+    * centroids, codebook, and the cell-bucketed codes load from the
+    * catalog — zero k-means jobs in this query's lineage, and the probe
+    * join co-locates on the codes table's cell buckets. Parquet
+    * round-trips the doubles and codes exactly, so the SAME generated
+    * oracle as sim_ann_ivfpq hash-matches. */
+  val simAnnIvfPqPersisted = GraftQuery(
+    "sim_ann_ivfpq_persisted",
+    (s, dir) => {
+      import s.implicits._
+      val emb = graft.functions.AnnIndexes.embeddings(s, dir)
+      val (index, cb, codes) =
+        graft.functions.AnnIndexes.ivfPqPersisted(s, dir, m = 8, k = 16)
+      val queries = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      graft.functions.Pq.searchIvfPq(codes, cb, index, queries,
+        topK = 5, nProbe = 4)
+        .filter($"query_id" =!= $"vec_id")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.ivfPqSql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids,
+      graft.functions.AnnIndexes.pq(s, dir, m = 8, k = 16),
+      topK = 5, nProbe = 4, rerank = 50, maxQ = 5)))
+
   /** Int8 scalar quantization — the embedding-compression step of a
     * serving/storage pipeline: per-dimension min-max binning to 256
     * levels (floor-based, so no rounding-mode divergence between
@@ -419,5 +444,5 @@ object SimilarityQueries {
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfPersisted,
       simAnnRange, simAnnIvfBatch, simAnnPq, simAnnPqRange, simAnnIvfPq,
-      simAnnInt8, simQuantizeInt8, ddEmbeddingNeardup)
+      simAnnIvfPqPersisted, simAnnInt8, simQuantizeInt8, ddEmbeddingNeardup)
 }
