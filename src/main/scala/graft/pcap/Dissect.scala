@@ -233,6 +233,9 @@ object Dissect {
     // set once the HTTP/2 client connection preface is seen; both
     // directions then sniff h2 frames instead of HTTP/1 heuristics
     var http2 = false
+    // set once a "101 Switching Protocols" + "Upgrade: websocket" response
+    // is seen; later segments in BOTH directions dissect as ws frames
+    var wsUpgraded = false
     var firstTsMicros = -1L
     var prevTsMicros = -1L
     def scalingActive: Boolean = wsShift(0) >= 0 && wsShift(1) >= 0
@@ -1446,7 +1449,18 @@ object Dissect {
           }
         }
       }
-      if (appInfo == null && !h2Claimed) appInfo = dissectHttp(appBuf, appOff, appLen, v, protos)
+      // a completed websocket upgrade owns the conversation's bytes from
+      // the segment AFTER the 101 (the 101 itself still renders as HTTP)
+      if (appInfo == null && !h2Claimed && conv.wsUpgraded)
+        appInfo = dissectWebsocket(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed) {
+        appInfo = dissectHttp(appBuf, appOff, appLen, v, protos)
+        if (appInfo != null && appInfo.startsWith("HTTP/1.1 101")) {
+          val txt = new String(appBuf, appOff, math.min(appLen, 1024),
+            "ISO-8859-1").toLowerCase(java.util.Locale.ROOT)
+          if (txt.contains("upgrade: websocket")) conv.wsUpgraded = true
+        }
+      }
       if (appInfo == null && !h2Claimed) {
         appInfo = dissectTls(appBuf, appOff, appLen, sp, dp, v, protos)
         // DNS-over-TLS (RFC 7858): TLS on registered port 853 — payload
@@ -1778,6 +1792,11 @@ object Dissect {
     if (sp == 443 || dp == 443 || conv.quic) {
       val quicInfo = dissectQuic(d, off + 8, math.min(off + 8 + payLen, d.length), conv, v, protos)
       if (quicInfo != null) return quicInfo
+    }
+    // DTLS: port-free heuristic — the version magic is distinctive
+    {
+      val dtlsInfo = dissectDtls(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
+      if (dtlsInfo != null) return dtlsInfo
     }
     if (sp == 67 || dp == 67 || sp == 68 || dp == 68) {
       val dhcpInfo = dissectDhcp(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
@@ -3016,6 +3035,73 @@ object Dissect {
       }
     }
     line
+  }
+
+  private val wsOpcodeNames: Map[Int, String] = Map(
+    0 -> "Continuation", 1 -> "Text", 2 -> "Binary",
+    8 -> "Connection Close", 9 -> "Ping", 10 -> "Pong")
+
+  /** WebSocket frame header (RFC 6455 §5.2), reached only after the
+    * conversation's 101 upgrade: FIN/opcode, mask bit, 7/16/64-bit payload
+    * length, masking key. Payload stays opaque (masked client-side). */
+  private def dissectWebsocket(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 2) return null
+    val b0 = u8(d, off)
+    if ((b0 & 0x70) != 0) return null // RSV bits: no negotiated extensions
+    val opcode = b0 & 0x0f
+    val name = wsOpcodeNames.getOrElse(opcode, return null)
+    val fin = (b0 & 0x80) != 0
+    val b1 = u8(d, off + 1)
+    val masked = (b1 & 0x80) != 0
+    var plen: Long = (b1 & 0x7f).toLong
+    var p = off + 2
+    if (plen == 126) {
+      if (len < 4) return null
+      plen = u16(d, p).toLong; p += 2
+    } else if (plen == 127) {
+      if (len < 10) return null
+      plen = (u32(d, p) << 32) | u32(d, p + 4); p += 8
+    }
+    protos += "websocket"
+    v("websocket.fin") = fin
+    v("websocket.opcode") = opcode.toLong
+    v("websocket.mask") = masked
+    v("websocket.payload_length") = plen
+    if (masked && p + 4 <= off + len)
+      v("websocket.masking_key") =
+        (0 until 4).map(i => f"${u8(d, p + i)}%02x").mkString
+    s"WebSocket $name${if (fin) " [FIN]" else ""}"
+  }
+
+  /** DTLS record header (RFC 9147): the 0xfeff/0xfefd version magic is a
+    * strong heuristic on any UDP port; handshake records surface their
+    * message type like the TLS dissector. */
+  private def dissectDtls(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end < off + 13) return null
+    val ctype = u8(d, off)
+    if (ctype < 20 || ctype > 23) return null
+    val ver = u16(d, off + 1)
+    if (ver != 0xfeff && ver != 0xfefd) return null
+    protos += "dtls"
+    v("dtls.record.content_type") = ctype.toLong
+    v("dtls.record.version") = ver.toLong
+    v("dtls.record.epoch") = u16(d, off + 3).toLong
+    v("dtls.record.sequence_number") =
+      (u16(d, off + 5).toLong << 32) | u32(d, off + 7)
+    v("dtls.record.length") = u16(d, off + 11).toLong
+    val vname = if (ver == 0xfeff) "DTLSv1.0" else "DTLSv1.2"
+    if (ctype == 22 && end >= off + 14) {
+      val hs = u8(d, off + 13)
+      v("dtls.handshake.type") = hs.toLong
+      if (end >= off + 17) v("dtls.handshake.length") = u24(d, off + 14).toLong
+      s"$vname ${tlsHandshakeNames.getOrElse(hs, s"Handshake type=$hs")}"
+    } else s"$vname ${tlsContentName(ctype)}"
   }
 
   private val rtspMethods = Set("OPTIONS", "DESCRIBE", "ANNOUNCE", "SETUP",

@@ -674,4 +674,25 @@ extra.append((t3, 9300, ip_frame(6, B, A, tcp(554, 53200, 1, rtsp_rsp), ident=12
 socks5 = bytes([5, 1, 0, 1, 10, 0, 0, 5]) + struct.pack(">H", 443)
 extra.append((t3, 9400, ip_frame(6, A, B, tcp(53300, 1080, 1, socks5), ident=129)))
 
+# 97-100: WebSocket upgrade handshake then frames (conversation-stateful:
+# the 101 flips the stream to ws dissection for BOTH directions)
+ws_get = (b"GET /chat HTTP/1.1\r\nHost: ws.example\r\n"
+          b"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+          b"Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n\r\n")
+extra.append((t3, 9500, ip_frame(6, A, B, tcp(53400, 80, 1, ws_get), ident=130)))
+ws_101 = (b"HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n"
+          b"Connection: Upgrade\r\n\r\n")
+extra.append((t3, 9600, ip_frame(6, B, A, tcp(80, 53400, 1, ws_101), ident=131)))
+ws_text = bytes([0x81, 0x85, 0x11, 0x22, 0x33, 0x44]) + b"\x59\x47\x5f\x28\x7e"
+extra.append((t3, 9700, ip_frame(6, A, B,
+              tcp(53400, 80, 1 + len(ws_get), ws_text), ident=132)))
+ws_pong = bytes([0x8A, 0x02]) + b"hi"
+extra.append((t3, 9800, ip_frame(6, B, A,
+              tcp(80, 53400, 1 + len(ws_101), ws_pong), ident=133)))
+
+# 101: DTLS 1.2 ClientHello record (UDP, port-free version-magic heuristic)
+dtls = (bytes([22]) + b"\xfe\xfd" + struct.pack(">HHI", 0, 0, 1) +
+        struct.pack(">H", 16) + bytes([1]) + (12).to_bytes(3, "big") + bytes(12))
+extra.append((t3, 9900, ip_frame(17, A, B, udp(53500, 4433, dtls), ident=134)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
