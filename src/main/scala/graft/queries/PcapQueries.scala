@@ -177,6 +177,32 @@ object PcapQueries {
         .orderBy(col("stream"), col("dns_id"), col("qry_name"), col("rtt_us"))
     })
 
+  /** Wireshark's "Conversations" statistics: per TCP stream, the endpoint
+    * port pair, packet/byte totals per direction, and the time span — two
+    * cascaded aggregates (per-direction partials first), so at 100 TB the
+    * heavy first pass is map-side-combinable on (stream, srcport). */
+  val pcapConversations = GraftQuery(
+    "pcap_conversations",
+    (s, _) => {
+      val perDir = Wireduck.readPcap(s, fixturePath, protocols = Seq("ip", "tcp"))
+        .groupBy(col("`tcp.stream`").as("stream"), col("`tcp.srcport`").as("srcport"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("`frame.len`")).as("bytes"),
+          min(unix_micros(col("`frame.time_epoch`"))).as("first_us"),
+          max(unix_micros(col("`frame.time_epoch`"))).as("last_us"))
+      perDir.groupBy(col("stream"))
+        .agg(
+          min(col("srcport")).as("port_a"),
+          max(col("srcport")).as("port_b"),
+          sum(col("n")).as("n_packets"),
+          sum(col("bytes")).as("n_bytes"),
+          expr("min_by(n, srcport)").as("a_to_b_packets"),
+          expr("min_by(bytes, srcport)").as("a_to_b_bytes"),
+          (max(col("last_us")) - min(col("first_us"))).as("duration_us"))
+        .orderBy(col("stream"))
+    })
+
   /** Capture triage: frames per dissected layer (the exploded
     * `frame.protocols` chain) — "what is in this capture" in one query. */
   val pcapProtocolMix = GraftQuery(
@@ -190,5 +216,5 @@ object PcapQueries {
   val all: Seq[GraftQuery] =
     Seq(pcapScan, pcapFlagship, pcapFiltered, pcapGlossary, pcapSessionStats,
       pcapHttpTls, pcapRtpStats, pcapTcpHealth, pcapDnsLatency,
-      pcapProtocolMix)
+      pcapProtocolMix, pcapConversations)
 }
