@@ -981,10 +981,51 @@ object TextQueries {
       FROM tagged GROUP BY split, lang
       ORDER BY split, lang"""))
 
+  /** Sequence packing — the pretraining batch-prep step: documents are
+    * concatenated per language shard (deterministic doc_id order) and
+    * sliced into fixed 512-token context windows; each doc reports its
+    * starting bin, offset inside it, and the last bin it spills into.
+    * One window cumsum per shard — shards pack in parallel, the 100 TB
+    * shape (a global pack would serialize on one partition). All-integer
+    * arithmetic on non-negative operands, so Spark's truncating `div`
+    * and DuckDB's flooring `//` agree and the oracle hashes. */
+  val txPack = GraftQuery(
+    "tx_pack",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs(s, dir)
+        .withColumn("n_tokens", size(split($"text", " ")).cast(LongType))
+        .withColumn("start_tok", sum($"n_tokens").over(w) - $"n_tokens")
+        .selectExpr("doc_id", "lang", "n_tokens",
+          "start_tok div 512 AS bin",
+          "start_tok % 512 AS bin_offset",
+          "(start_tok + n_tokens - 1) div 512 AS end_bin")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 - CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS start_tok
+        FROM documents)
+      SELECT doc_id, lang, n_tokens,
+             start_tok // 512 AS bin,
+             start_tok % 512 AS bin_offset,
+             (start_tok + n_tokens - 1) // 512 AS end_bin
+      FROM t
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
-    txTrainSplit, txMixtureWeights, txCorpusReport,
+    txTrainSplit, txMixtureWeights, txCorpusReport, txPack,
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
     ddSimhashPairs, ddDedupClusters)
 }
