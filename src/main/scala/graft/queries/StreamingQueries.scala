@@ -68,6 +68,23 @@ object StreamingQueries {
       GROUP BY 1, 2, 3
       ORDER BY window_start, event_type"""))
 
+  /** Chained stateful operators: watermark-scoped (window, user) dedup
+    * feeding a windowed count — exact per-window user cardinality whose
+    * streaming state is the dedup store, not an unbounded distinct set
+    * (batch twin oracle: COUNT(DISTINCT) per hour). */
+  val stDistinctUsers = GraftQuery(
+    "st_distinct_users",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      EventPipeline.distinctUsers(events).orderBy("window_start")
+    },
+    Some("""
+      SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY 1
+      ORDER BY window_start"""))
+
   /** Sliding windows (10 min window, 5 min slide): every event lands in
     * exactly two windows; the oracle reproduces that by exploding each
     * event into both candidate window starts. */
@@ -148,5 +165,6 @@ object StreamingQueries {
       ORDER BY p.user_id, purchase_id"""))
 
   val all: Seq[GraftQuery] =
-    Seq(stSessionize, stWindowedCounts, stSlidingRates, stDedup, stIntervalJoin)
+    Seq(stSessionize, stWindowedCounts, stDistinctUsers, stSlidingRates,
+      stDedup, stIntervalJoin)
 }

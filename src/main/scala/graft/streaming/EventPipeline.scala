@@ -63,6 +63,26 @@ object EventPipeline extends Serializable {
         col("w.end").as("window_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Windowed EXACT distinct users — CHAINED stateful operators (the
+    * Spark 3.4+ multiple-stateful-operator pipeline): a watermark-scoped
+    * dropDuplicates on (window, user) feeds a windowed count, so the
+    * cardinality state lives in the dedup store (exact, one row per
+    * (window, user), evicted with the watermark) instead of an unbounded
+    * distinct set inside the aggregate. In batch the same plan runs as
+    * dropDuplicates + count (survivor choice is irrelevant — only the
+    * key survives to the count). */
+  def distinctUsers(
+      events: DataFrame,
+      windowDur: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), windowDur).as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").as("window_start"), col("n_users"))
+
   /** Sliding-window per-user rate (events per 10 min, sliding by 5). */
   def slidingRates(events: DataFrame): DataFrame =
     events

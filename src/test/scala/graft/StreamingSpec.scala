@@ -36,6 +36,34 @@ class StreamingSpec extends SparkSpec {
     assert(batch.length === 3) // (h0: click×2) (h1: click, view)
   }
 
+  test("chained stateful distinct users: streaming (append) equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      ev(1, 0, 1, "click", 1.0), ev(2, 10, 1, "view", 1.0), // u1 twice in h0
+      ev(3, 20, 2, "click", 1.0),                           // u2 in h0
+      ev(4, 70, 2, "view", 1.0))                            // u2 in h1
+    val batch = EventPipeline.distinctUsers(events.toDF())
+      .orderBy("window_start").collect()
+    assert(batch.map(r => r.getLong(1)).toSeq === Seq(2L, 1L))
+
+    val stream = MemoryStream[Event]
+    stream.addData(events: _*)
+    val q = EventPipeline.distinctUsers(stream.toDF())
+      .writeStream.format("memory").queryName("du").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode holds windows open until the watermark passes them —
+      // an event far in the future closes h0 and h1
+      stream.addData(ev(9, 600, 3, "click", 1.0))
+      q.processAllAvailable()
+      stream.addData(ev(10, 601, 3, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("du").orderBy("window_start").collect()
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("stream-stream interval join: attribution pairs equal batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
