@@ -904,6 +904,7 @@ object Dissect {
       case 47 => dissectGre(d, next, ipEnd, v, protos, tracker, wanted)
       case 50 => protos += "esp"; dissectEsp(d, next, ipEnd, v)
       case 51 => dissectAh(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
+      case 88  => dissectEigrp(d, next, ipEnd, v, protos)
       case 89  => protos += "ospf"; dissectOspf(d, next, ipEnd, v)
       case 112 => dissectVrrp(d, next, ipEnd, v, protos)
       case 132 => dissectSctp(d, next, ipEnd, v, protos)
@@ -1798,6 +1799,26 @@ object Dissect {
       val dtlsInfo = dissectDtls(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
       if (dtlsInfo != null) return dtlsInfo
     }
+    if (sp == 2055 || dp == 2055) {
+      val nfInfo = dissectNetflow(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (nfInfo != null) return nfInfo
+    }
+    if (sp == 6343 || dp == 6343) {
+      val sfInfo = dissectSflow(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (sfInfo != null) return sfInfo
+    }
+    if (sp == 3784 || dp == 3784) {
+      val bfdInfo = dissectBfd(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (bfdInfo != null) return bfdInfo
+    }
+    if (sp == 520 || dp == 520) {
+      val ripInfo = dissectRip(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (ripInfo != null) return ripInfo
+    }
+    if (sp == 1985 || dp == 1985) {
+      val hsrpInfo = dissectHsrp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (hsrpInfo != null) return hsrpInfo
+    }
     if (sp == 67 || dp == 67 || sp == 68 || dp == 68) {
       val dhcpInfo = dissectDhcp(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
       if (dhcpInfo != null) return dhcpInfo
@@ -2261,6 +2282,141 @@ object Dissect {
       v("smb2.msg_id") = leU32(off + 24) | (leU32(off + 28) << 32)
     val name = smb2CmdNames.getOrElse(cmd, s"Cmd$cmd")
     s"$name ${if (isResponse) "Response" else "Request"}"
+  }
+
+  private val eigrpOpcodeNames: Map[Int, String] = Map(
+    1 -> "Update", 3 -> "Query", 4 -> "Reply", 5 -> "Hello",
+    10 -> "SIA-Query", 11 -> "SIA-Reply")
+
+  /** EIGRP (Cisco, IP protocol 88): version-2 fixed header. */
+  private def dissectEigrp(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end < off + 20) return null
+    if (u8(d, off) != 2) return null // header version
+    val opcode = u8(d, off + 1)
+    protos += "eigrp"
+    v("eigrp.opcode") = opcode.toLong
+    v("eigrp.checksum") = u16(d, off + 2).toLong
+    v("eigrp.flags") = u32(d, off + 4)
+    v("eigrp.seq") = u32(d, off + 8)
+    v("eigrp.ack") = u32(d, off + 12)
+    v("eigrp.as") = u16(d, off + 18).toLong
+    eigrpOpcodeNames.getOrElse(opcode, s"Opcode $opcode")
+  }
+
+  private val hsrpStateNames: Map[Int, String] = Map(
+    0 -> "Initial", 1 -> "Learn", 2 -> "Listen", 4 -> "Speak",
+    8 -> "Standby", 16 -> "Active")
+  private val hsrpOpcodeNames: Map[Int, String] =
+    Map(0 -> "Hello", 1 -> "Coup", 2 -> "Resign")
+
+  /** HSRP v0 (RFC 2281, UDP 1985): hello/coup/resign header. */
+  private def dissectHsrp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 20) return null
+    if (u8(d, off) != 0) return null // version 0
+    val op = u8(d, off + 1)
+    val state = u8(d, off + 2)
+    val opName = hsrpOpcodeNames.getOrElse(op, return null)
+    protos += "hsrp"
+    v("hsrp.version") = 0L
+    v("hsrp.opcode") = op.toLong
+    v("hsrp.state") = state.toLong
+    v("hsrp.hellotime") = u8(d, off + 3).toLong
+    v("hsrp.holdtime") = u8(d, off + 4).toLong
+    v("hsrp.priority") = u8(d, off + 5).toLong
+    v("hsrp.group") = u8(d, off + 6).toLong
+    v("hsrp.virt_ip") = ipv4Str(d, off + 16)
+    s"$opName (state ${hsrpStateNames.getOrElse(state, state.toString)})"
+  }
+
+  /** RIP v1/v2 (RFC 2453, UDP 520): command/version + the first route. */
+  private def dissectRip(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4) return null
+    val cmd = u8(d, off)
+    val ver = u8(d, off + 1)
+    if (cmd < 1 || cmd > 2 || ver < 1 || ver > 2) return null
+    protos += "rip"
+    v("rip.command") = cmd.toLong
+    v("rip.version") = ver.toLong
+    if (len >= 24) { // first 20-byte route entry
+      v("rip.family") = u16(d, off + 4).toLong
+      v("rip.ip") = ipv4Str(d, off + 8)
+      v("rip.netmask") = ipv4Str(d, off + 12)
+      v("rip.next_hop") = ipv4Str(d, off + 16)
+      v("rip.metric") = u32(d, off + 20)
+    }
+    if (cmd == 1) "Request" else "Response"
+  }
+
+  private val bfdStateNames: Array[String] =
+    Array("AdminDown", "Down", "Init", "Up")
+
+  /** BFD control packet (RFC 5880 §4.1, UDP 3784). */
+  private def dissectBfd(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 24) return null
+    val ver = u8(d, off) >>> 5
+    if (ver != 1) return null
+    if (u8(d, off + 3) != len) return null // length field covers the packet
+    protos += "bfd"
+    v("bfd.version") = ver.toLong
+    v("bfd.diag") = (u8(d, off) & 0x1f).toLong
+    val sta = u8(d, off + 1) >>> 6
+    v("bfd.sta") = sta.toLong
+    v("bfd.flags") = (u8(d, off + 1) & 0x3f).toLong
+    v("bfd.detect_time_multiplier") = u8(d, off + 2).toLong
+    v("bfd.my_discriminator") = u32(d, off + 4)
+    v("bfd.your_discriminator") = u32(d, off + 8)
+    s"Control, State ${bfdStateNames(sta)}"
+  }
+
+  /** NetFlow v5 (Cisco export format, UDP 2055): header + the first
+    * 48-byte flow record's 5-tuple. */
+  private def dissectNetflow(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 24) return null
+    if (u16(d, off) != 5) return null
+    val count = u16(d, off + 2)
+    if (count < 1 || count > 30 || len < 24 + 48) return null
+    protos += "cflow"
+    v("cflow.version") = 5L
+    v("cflow.count") = count.toLong
+    v("cflow.sequence") = u32(d, off + 16)
+    val r = off + 24
+    v("cflow.srcaddr") = ipv4Str(d, r)
+    v("cflow.dstaddr") = ipv4Str(d, r + 4)
+    v("cflow.srcport") = u16(d, r + 32).toLong
+    v("cflow.dstport") = u16(d, r + 34).toLong
+    s"total: $count (v5) flows"
+  }
+
+  /** sFlow v5 datagram header (InMon, UDP 6343). */
+  private def dissectSflow(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 28) return null
+    if (u32(d, off) != 5L || u32(d, off + 4) != 1L) return null // v5, IPv4 agent
+    protos += "sflow"
+    v("sflow.version") = 5L
+    val agent = ipv4Str(d, off + 8)
+    v("sflow.agent") = agent
+    v("sflow.sub_agent_id") = u32(d, off + 12)
+    val n = u32(d, off + 24)
+    v("sflow.numsamples") = n
+    s"V5, agent $agent, $n samples"
   }
 
   /** RDP connection sequence (MS-RDPBCGR §2.2.1) on TCP 3389: TPKT

@@ -123,7 +123,7 @@ class PcapPropertySpec extends AnyFunSuite {
     // RADIUS/VXLAN/SSDP/syslog/TFTP/LLMNR/NBNS sniffers
     val portGen = Gen.oneOf(53, 5353, 123, 443, 67, 5060, 88, 161, 2049, 1900,
       1812, 4789, 1900, 514, 69, 5355, 137, 3478, 547, 51820, 2152, 500,
-      1701, 5683)
+      1701, 5683, 2055, 6343, 3784, 520, 1985)
     val payloadGen = for {
       n <- Gen.chooseNum(0, 300)
       bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))

@@ -695,4 +695,38 @@ dtls = (bytes([22]) + b"\xfe\xfd" + struct.pack(">HHI", 0, 0, 1) +
         struct.pack(">H", 16) + bytes([1]) + (12).to_bytes(3, "big") + bytes(12))
 extra.append((t3, 9900, ip_frame(17, A, B, udp(53500, 4433, dtls), ident=134)))
 
+# 102: NetFlow v5 export with one flow record (UDP 2055)
+nf_rec = (bytes([10, 0, 0, 1]) + bytes([10, 0, 0, 2]) + bytes([0, 0, 0, 0]) +
+          struct.pack(">HH", 1, 2) + struct.pack(">II", 9, 4200) +
+          struct.pack(">II", 100, 200) + struct.pack(">HH", 5353, 80) +
+          bytes(12))  # pad/flags/proto/tos/AS/masks/pad: 48-byte record
+nf = struct.pack(">HHIIII", 5, 1, 1000, 1700000000, 0, 77) + \
+    struct.pack(">BBH", 0, 0, 0) + nf_rec
+extra.append((t3, 10000, ip_frame(17, A, B, udp(53600, 2055, nf), ident=135)))
+
+# 103: sFlow v5 datagram header (UDP 6343)
+sf = struct.pack(">IIIIIII", 5, 1, 0x0A000001, 3, 42, 1000, 2)
+extra.append((t3, 10100, ip_frame(17, A, B, udp(53700, 6343, sf), ident=136)))
+
+# 104: BFD control packet, state Up (UDP 3784)
+bfd = (bytes([0x20, 0xC0, 3, 24]) + struct.pack(">II", 0x11, 0x22) +
+       struct.pack(">III", 1000000, 1000000, 0))
+extra.append((t3, 10200, ip_frame(17, A, B, udp(49152, 3784, bfd), ident=137)))
+
+# 105: RIP v2 response with one route (UDP 520)
+rip = (bytes([2, 2, 0, 0]) + struct.pack(">HH", 2, 0) +
+       bytes([192, 168, 5, 0]) + bytes([255, 255, 255, 0]) +
+       bytes([10, 0, 0, 1]) + struct.pack(">I", 3))
+extra.append((t3, 10300, ip_frame(17, A, B, udp(520, 520, rip), ident=138)))
+
+# 106: HSRP hello, state Active (UDP 1985)
+hsrp = (bytes([0, 0, 16, 3, 10, 120, 1, 0]) + b"cisco\x00\x00\x00" +
+        bytes([10, 0, 0, 100]))
+extra.append((t3, 10400, ip_frame(17, A, B, udp(1985, 1985, hsrp), ident=139)))
+
+# 107: EIGRP hello (IP protocol 88)
+eigrp = (bytes([2, 5]) + struct.pack(">H", 0) + struct.pack(">III", 0, 7, 0) +
+         struct.pack(">HH", 0, 100))
+extra.append((t3, 10500, ip_frame(88, A, B, eigrp, ident=140)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
