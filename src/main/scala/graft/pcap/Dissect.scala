@@ -1478,6 +1478,8 @@ object Dissect {
         appInfo = dissectDiameter(appBuf, appOff, appOff + appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 554 || dp == 554))
         appInfo = dissectRtsp(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 135 || dp == 135))
+        appInfo = dissectDcerpc(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 1080 || dp == 1080))
         appInfo = dissectSocks(appBuf, appOff, appLen, fromServer = sp == 1080, v, protos)
       // FTP: line-oriented — under desegment an incomplete trailing line
@@ -2902,6 +2904,33 @@ object Dissect {
       v("rpc.procedure") = proc
       if (tracker.rpcCalls.size >= 1024) tracker.rpcCalls.remove(tracker.rpcCalls.head._1)
       tracker.rpcCalls(xid) = (vers, proc)
+      if (vers == 3) {
+        v("nfs.procedure_v3") = proc
+        // walk cred + verf (opaque_auth) to the XDR args; the diropargs
+        // procs (LOOKUP/CREATE/MKDIR/REMOVE/RMDIR) carry fh + filename
+        var q = p + 24
+        def skipOpaqueAuth(): Boolean = {
+          if (q + 8 > end) false
+          else {
+            val l = u32(d, q + 4)
+            if (l > 400) false
+            else { q += 8 + ((l + 3) & ~3L).toInt; q <= end }
+          }
+        }
+        if (skipOpaqueAuth() && skipOpaqueAuth() &&
+          Set(3L, 8L, 9L, 12L, 13L).contains(proc) && q + 4 <= end) {
+          val fhLen = u32(d, q)
+          if (fhLen <= 64) {
+            v("nfs.fh.length") = fhLen
+            val nq = q + 4 + ((fhLen + 3) & ~3L).toInt
+            if (nq + 4 <= end) {
+              val nameLen = u32(d, nq)
+              if (nameLen > 0 && nameLen <= 255 && nq + 4 + nameLen <= end)
+                v("nfs.name") = new String(d, nq + 4, nameLen.toInt, "UTF-8")
+            }
+          }
+        }
+      }
       val name =
         if (vers == 3) nfs3ProcNames.getOrElse(proc.toInt, s"proc-$proc")
         else s"proc-$proc"
@@ -2917,6 +2946,23 @@ object Dissect {
           v("rpc.msgtyp") = 1L
           v("rpc.programversion") = vers
           v("rpc.procedure") = proc
+          if (vers == 3) {
+            v("nfs.procedure_v3") = proc
+            // accepted reply: stat + verf(opaque_auth) + accept_stat, then
+            // the NFS3 status word leads nearly every result body
+            var q = p + 8
+            if (q + 4 <= end && u32(d, q) == 0) {
+              q += 4
+              val vl = if (q + 8 <= end) u32(d, q + 4) else 999L
+              if (vl <= 400) {
+                q += 8 + ((vl + 3) & ~3L).toInt
+                if (q + 4 <= end && u32(d, q) == 0) { // accept_stat SUCCESS
+                  q += 4
+                  if (q + 4 <= end && proc != 0) v("nfs.status") = u32(d, q)
+                }
+              }
+            }
+          }
           val name =
             if (vers == 3) nfs3ProcNames.getOrElse(proc.toInt, s"proc-$proc")
             else s"proc-$proc"
@@ -2924,6 +2970,45 @@ object Dissect {
         case None => null // unmatched reply-shaped bytes: don't claim
       }
     }
+  }
+
+  private val dcerpcPtypeNames: Map[Int, String] = Map(
+    0 -> "Request", 2 -> "Response", 3 -> "Fault", 11 -> "Bind",
+    12 -> "Bind_ack", 13 -> "Bind_nak", 14 -> "Alter_context",
+    15 -> "Alter_context_resp", 17 -> "Auth3", 18 -> "Shutdown")
+
+  /** DCE/RPC connection-oriented PDU header (C706 §12.6, TCP 135 — the
+    * endpoint mapper): version 5, packet type, DREP-selected endianness
+    * for the integer fields, call id; Request PDUs add ctx id + opnum. */
+  private def dissectDcerpc(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 16) return null
+    if (u8(d, off) != 5) return null // rpc_vers
+    val ptype = u8(d, off + 2)
+    val name = dcerpcPtypeNames.getOrElse(ptype, return null)
+    val le = (u8(d, off + 4) & 0x10) != 0 // DREP byte 0: integer order
+    def i16(o: Int): Int =
+      if (le) (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) else u16(d, o)
+    def i32(o: Int): Long =
+      if (le) ((d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) | ((d(o + 2) & 0xff) << 16) |
+        ((d(o + 3) & 0xff).toLong << 24)) & 0xffffffffL
+      else u32(d, o)
+    val fragLen = i16(off + 8)
+    if (fragLen < 16) return null
+    protos += "dcerpc"
+    v("dcerpc.ver") = 5L
+    v("dcerpc.pkt_type") = ptype.toLong
+    v("dcerpc.cn_flags") = u8(d, off + 3).toLong
+    v("dcerpc.cn_frag_len") = fragLen.toLong
+    v("dcerpc.cn_call_id") = i32(off + 12)
+    if (ptype == 0 && len >= 24) { // request: alloc_hint, ctx id, opnum
+      v("dcerpc.cn_ctx_id") = i16(off + 20).toLong
+      val opnum = i16(off + 22)
+      v("dcerpc.opnum") = opnum.toLong
+      s"$name: opnum $opnum"
+    } else name
   }
 
   private val ldapOpNames: Map[Int, String] = Map(

@@ -729,4 +729,28 @@ eigrp = (bytes([2, 5]) + struct.pack(">H", 0) + struct.pack(">III", 0, 7, 0) +
          struct.pack(">HH", 0, 100))
 extra.append((t3, 10500, ip_frame(88, A, B, eigrp, ident=140)))
 
+# 108-109: NFSv3 LOOKUP call with diropargs (fh + name) and its reply
+# carrying an NFS3ERR_NOENT status word
+nfs_fh = struct.pack(">I", 8) + b"\x01\x02\x03\x04\x05\x06\x07\x08"
+nfs_name = struct.pack(">I", 9) + b"data.json" + bytes(3)  # XDR pad to 12
+lookup_body = struct.pack(">IIIIII", 0x55667788, 0, 2, 100003, 3, 3) + \
+    struct.pack(">II", 0, 0) + struct.pack(">II", 0, 0) + nfs_fh + nfs_name
+nfs_lookup = struct.pack(">I", 0x80000000 | len(lookup_body)) + lookup_body
+extra.append((t3, 10600, ip_frame(6, A, B,
+              tcp(50200, 2049, 100, nfs_lookup), ident=141)))
+lookup_rsp = struct.pack(">II", 0x55667788, 1) + struct.pack(">I", 0) + \
+    struct.pack(">II", 0, 0) + struct.pack(">I", 0) + struct.pack(">I", 2)
+nfs_lookup_rsp = struct.pack(">I", 0x80000000 | len(lookup_rsp)) + lookup_rsp
+extra.append((t3, 10700, ip_frame(6, B, A,
+              tcp(2049, 50200, 100, nfs_lookup_rsp), ident=142)))
+
+# 110-111: DCERPC bind then a request with opnum 3 (TCP 135, LE DREP)
+dce_bind = bytes([5, 0, 11, 3]) + bytes([0x10, 0, 0, 0]) + \
+    struct.pack("<HHI", 72, 0, 1) + bytes(56)
+extra.append((t3, 10800, ip_frame(6, A, B, tcp(53800, 135, 1, dce_bind), ident=143)))
+dce_req = bytes([5, 0, 0, 3]) + bytes([0x10, 0, 0, 0]) + \
+    struct.pack("<HHI", 32, 0, 2) + struct.pack("<IHH", 0, 1, 3) + bytes(8)
+extra.append((t3, 10900, ip_frame(6, A, B,
+              tcp(53800, 135, 1 + len(dce_bind), dce_req), ident=144)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
