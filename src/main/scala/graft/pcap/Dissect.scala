@@ -3311,10 +3311,28 @@ object Dissect {
     v("websocket.opcode") = opcode.toLong
     v("websocket.mask") = masked
     v("websocket.payload_length") = plen
-    if (masked && p + 4 <= off + len)
-      v("websocket.masking_key") =
-        (0 until 4).map(i => f"${u8(d, p + i)}%02x").mkString
-    s"WebSocket $name${if (fin) " [FIN]" else ""}"
+    var key: Array[Int] = null
+    if (masked && p + 4 <= off + len) {
+      key = Array.tabulate(4)(i => u8(d, p + i))
+      v("websocket.masking_key") = key.map(b => f"$b%02x").mkString
+      p += 4
+    }
+    val base = s"WebSocket $name${if (fin) " [FIN]" else ""}"
+    // Text payload fully inside this segment: unmask (RFC 6455 §5.3) and
+    // surface it when it is clean printable UTF-8-ASCII
+    if (opcode == 1 && plen > 0 && plen <= 256 && p + plen <= off + len &&
+      (!masked || key != null)) {
+      val bytes = Array.tabulate(plen.toInt) { i =>
+        val raw = u8(d, p + i)
+        (if (key != null) raw ^ key(i & 3) else raw).toByte
+      }
+      if (bytes.forall(b => b >= 0x20 && b < 0x7f)) {
+        val text = new String(bytes, java.nio.charset.StandardCharsets.US_ASCII)
+        v("websocket.payload.text") = text
+        return s"$base: $text"
+      }
+    }
+    base
   }
 
   /** DTLS record header (RFC 9147): the 0xfeff/0xfefd version magic is a
