@@ -369,7 +369,7 @@ object Dissect {
     private[Dissect] val tftpPorts = mutable.Set.empty[Int]
     // outstanding ONC-RPC call xids -> (version, procedure), so NFS
     // replies name their procedure (bounded at 1024, oldest evicted)
-    private[Dissect] val rpcCalls = mutable.LinkedHashMap.empty[Long, (Long, Long)]
+    private[Dissect] val rpcCalls = mutable.LinkedHashMap.empty[Long, (Long, Long, Long)]
 
     private[Dissect] def tcpConv(k: ConvKey): TcpConv =
       tcpConvs.getOrElseUpdate(k, { val c = new TcpConv(nextTcpStream); nextTcpStream += 1; c })
@@ -2867,6 +2867,10 @@ object Dissect {
     14 -> "RENAME", 15 -> "LINK", 16 -> "READDIR", 17 -> "READDIRPLUS",
     18 -> "FSSTAT", 19 -> "FSINFO", 20 -> "PATHCONF", 21 -> "COMMIT")
 
+  private val mountProcNames: Map[Int, String] = Map(
+    0 -> "NULL", 1 -> "MNT", 2 -> "DUMP", 3 -> "UMNT", 4 -> "UMNTALL",
+    5 -> "EXPORT")
+
   /** ONC-RPC (RFC 5531) on the NFS port: record-marked (TCP) or bare
     * (UDP) call/reply headers — xid, message type, and for calls the
     * program/version/procedure (NFSv3 procedures named). XDR argument
@@ -2894,17 +2898,18 @@ object Dissect {
       val prog = u32(d, p + 12)
       val vers = u32(d, p + 16)
       val proc = u32(d, p + 20)
-      if (prog != 100003) return null // only the NFS program is claimed
+      // the NFS program and its MOUNT companion are claimed on this port
+      if (prog != 100003 && prog != 100005) return null
       protos += "rpc"
-      protos += "nfs"
+      protos += (if (prog == 100003) "nfs" else "mount")
       v("rpc.xid") = f"0x$xid%08x"
       v("rpc.msgtyp") = 0L
       v("rpc.program") = prog
       v("rpc.programversion") = vers
       v("rpc.procedure") = proc
       if (tracker.rpcCalls.size >= 1024) tracker.rpcCalls.remove(tracker.rpcCalls.head._1)
-      tracker.rpcCalls(xid) = (vers, proc)
-      if (vers == 3) {
+      tracker.rpcCalls(xid) = (prog, vers, proc)
+      if (prog == 100003 && vers == 3) {
         v("nfs.procedure_v3") = proc
         // walk cred + verf (opaque_auth) to the XDR args; the diropargs
         // procs (LOOKUP/CREATE/MKDIR/REMOVE/RMDIR) carry fh + filename
@@ -2932,21 +2937,22 @@ object Dissect {
         }
       }
       val name =
-        if (vers == 3) nfs3ProcNames.getOrElse(proc.toInt, s"proc-$proc")
+        if (prog == 100005) mountProcNames.getOrElse(proc.toInt, s"proc-$proc")
+        else if (vers == 3) nfs3ProcNames.getOrElse(proc.toInt, s"proc-$proc")
         else s"proc-$proc"
       s"V$vers $name Call"
     } else {
       // reply: no program field on the wire — the port gate plus a
       // matching outstanding call xid identify it as NFS
       tracker.rpcCalls.get(xid) match {
-        case Some((vers, proc)) =>
+        case Some((prog, vers, proc)) =>
           protos += "rpc"
-          protos += "nfs"
+          protos += (if (prog == 100003) "nfs" else "mount")
           v("rpc.xid") = f"0x$xid%08x"
           v("rpc.msgtyp") = 1L
           v("rpc.programversion") = vers
           v("rpc.procedure") = proc
-          if (vers == 3) {
+          if (prog == 100003 && vers == 3) {
             v("nfs.procedure_v3") = proc
             // accepted reply: stat + verf(opaque_auth) + accept_stat, then
             // the NFS3 status word leads nearly every result body
@@ -2964,7 +2970,8 @@ object Dissect {
             }
           }
           val name =
-            if (vers == 3) nfs3ProcNames.getOrElse(proc.toInt, s"proc-$proc")
+            if (prog == 100005) mountProcNames.getOrElse(proc.toInt, s"proc-$proc")
+            else if (vers == 3) nfs3ProcNames.getOrElse(proc.toInt, s"proc-$proc")
             else s"proc-$proc"
           s"V$vers $name Reply"
         case None => null // unmatched reply-shaped bytes: don't claim

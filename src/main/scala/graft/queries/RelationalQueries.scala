@@ -991,6 +991,35 @@ object RelationalQueries {
       WHERE p.event_type = 'purchase'
       ORDER BY event_id"""))
 
+  /** Partitioned write → partition-PRUNED read: orders land partitioned
+    * by `o_orderpriority`, then the query reads ONE priority back — the
+    * scan's PartitionFilters must skip the other four directories
+    * entirely (pinned in PlanShapeSpec). At 100 TB this is the difference
+    * between reading 20% and 100% of a table. Oracle: the same aggregate
+    * over the unpartitioned source (a lossless round trip by definition). */
+  val q43PartitionedRw = GraftQuery(
+    "q43_partitioned_rw",
+    (s, dir) => {
+      import s.implicits._
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q43_" + Integer.toHexString(dir.hashCode)).getPath
+      t(s, dir, "orders")
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+      s.read.parquet(out)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -1002,5 +1031,5 @@ object RelationalQueries {
     q30Pivot, q31Explode, q32TimeBucket, q33Json, q34ApproxDistinct,
     q35SaltedAgg, q36TopkAggregator, q37GroupingSets, q38WindowRangeFrame,
     q38bWindowRangeBySupp, q39Percentiles, q39bApproxPercentiles,
-    q40WindowDistribution, q41MultiDistinct, q42AsofJoin)
+    q40WindowDistribution, q41MultiDistinct, q42AsofJoin, q43PartitionedRw)
 }

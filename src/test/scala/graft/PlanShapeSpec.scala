@@ -67,6 +67,12 @@ class PlanShapeSpec extends SparkSpec {
       "as-of must not plan a join — per-user inequality joins explode at scale")
   }
 
+  test("q43 partitioned read prunes to one partition directory") {
+    val p = plan("q43_partitioned_rw")
+    assert(p.contains("PartitionFilters") && p.contains("o_orderpriority"),
+      "the priority filter must prune partitions at the scan, not post-filter")
+  }
+
   test("join/topk/pushdown staples keep their shapes") {
     val p5 = plan("q05_join_topk")
     assert(p5.contains("BroadcastHashJoin"))

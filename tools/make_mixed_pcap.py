@@ -753,4 +753,11 @@ dce_req = bytes([5, 0, 0, 3]) + bytes([0x10, 0, 0, 0]) + \
 extra.append((t3, 10900, ip_frame(6, A, B,
               tcp(53800, 135, 1 + len(dce_bind), dce_req), ident=144)))
 
+# 112: MOUNT v3 MNT call (RPC program 100005 on the NFS port)
+mnt_path = struct.pack(">I", 7) + b"/export" + bytes(1)  # XDR pad to 8
+mnt_body = struct.pack(">IIIIII", 0x66778899, 0, 2, 100005, 3, 1) + \
+    struct.pack(">II", 0, 0) + struct.pack(">II", 0, 0) + mnt_path
+mnt_call = struct.pack(">I", 0x80000000 | len(mnt_body)) + mnt_body
+extra.append((t3, 11000, ip_frame(6, A, B, tcp(50200, 2049, 200, mnt_call), ident=145)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
