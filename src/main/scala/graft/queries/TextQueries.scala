@@ -764,6 +764,51 @@ object TextQueries {
       ORDER BY cluster, doc_id"""
     })
 
+  /** The dedup CAPSTONE composition: connected-component clusters →
+    * keep-one-per-cluster (the min-doc_id representative IS the cluster
+    * label, so survivors fall out of the labels for free) → per-language
+    * kept-corpus statistics. The droplist is tiny relative to the corpus
+    * (duplicates only) and broadcasts; the corpus shuffles once for the
+    * final aggregate. */
+  val ddDedupKeep = GraftQuery(
+    "dd_dedup_keep",
+    (s, dir) => {
+      import s.implicits._
+      val clusters = ddDedupClusters.fn(s, dir)
+      val dropped = clusters.filter($"doc_id" =!= $"cluster")
+        .select($"doc_id", lit(true).as("is_dup"))
+      docs(s, dir)
+        .join(broadcast(dropped), Seq("doc_id"), "left")
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"is_dup".isNull, 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"is_dup".isNull, $"n_chars").otherwise(0L)).as("n_chars_kept"))
+        .orderBy($"lang")
+    },
+    Some {
+      val pairSql = ddMinhashLshPairs.oracle.get.trim.stripSuffix("ORDER BY doc_a, doc_b")
+      s"""
+      WITH RECURSIVE base AS ($pairSql),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM base
+        UNION ALL
+        SELECT doc_b, doc_a FROM base),
+      reach(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node),
+      clusters AS (SELECT node AS doc_id, MIN(label) AS cluster FROM reach GROUP BY node),
+      dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster)
+      SELECT d.lang, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN x.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN x.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT)
+               AS n_chars_kept
+      FROM documents d LEFT JOIN dropped x ON d.doc_id = x.doc_id
+      GROUP BY d.lang
+      ORDER BY d.lang"""
+    })
+
   /** Per-document top terms by df-scaled term weight — the tf-idf family
     * member expressible in EXACTLY-ROUNDED IEEE ops only (`tf × (N ÷ df)`;
     * a log-smoothed idf would hash-diverge from the oracle because libm
@@ -1027,5 +1072,5 @@ object TextQueries {
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
     txTrainSplit, txMixtureWeights, txCorpusReport, txPack,
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
-    ddSimhashPairs, ddDedupClusters)
+    ddSimhashPairs, ddDedupClusters, ddDedupKeep)
 }
