@@ -122,4 +122,20 @@ object AnnIndexes {
     getOrFit(spark, s"pq:$dir:$m:$k") {
       Pq.fit(spark, embeddings(spark, dir), m = m, k = k)
     }
+
+  /** The corpus in the OPQ-rotated space ([[Vectors.opqRotate]] — exact in
+    * float, so no oracle divergence). Plan construction only; not cached. */
+  def rotatedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    embeddings(spark, dir).select(col("vec_id"), col("label"),
+      Vectors.opqRotate(col("embedding")).as("embedding"))
+  }
+
+  /** PQ codebook fitted in the OPQ-rotated space (the sim_ann_opq fit —
+    * rotation decorrelates dims across subspaces before the per-subspace
+    * k-means, the OPQ idea with a deterministic signed permutation). */
+  def opqPq(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16): Pq.Codebook =
+    getOrFit(spark, s"opq:$dir:$m:$k") {
+      Pq.fit(spark, rotatedEmbeddings(spark, dir), m = m, k = k)
+    }
 }

@@ -44,6 +44,47 @@ object Vectors {
     }
   }
 
+  /** Deterministic OPQ-style rotation parameters (Ge et al., "Optimized
+    * Product Quantization", CVPR 2013, restricted to the signed-permutation
+    * subgroup): a seeded Fisher–Yates permutation + per-dim sign flips.
+    * A signed permutation IS an orthogonal matrix, and applying it is
+    * EXACT in float arithmetic (permutation moves values, negation flips a
+    * sign bit — no rounding), so the rotated corpus is bit-identical
+    * between the Spark plan and the generated DuckDB oracle. md5-derived
+    * like [[planeSigns]] so the transform is a plan-time constant. */
+  private[graft] def opqPerm(dim: Int): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val a = Array.tabulate(dim)(identity)
+    var i = dim - 1
+    while (i > 0) {
+      val h = md.digest(s"opq-perm:$i".getBytes("UTF-8"))
+      val v = ((h(0) & 0xff) << 24) | ((h(1) & 0xff) << 16) |
+        ((h(2) & 0xff) << 8) | (h(3) & 0xff)
+      val j = math.floorMod(v, i + 1)
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    a
+  }
+
+  private[graft] def opqSigns(dim: Int): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { d =>
+      val h = md.digest(s"opq-sign:$d".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 0) 1 else -1
+    }
+  }
+
+  /** Apply the signed-permutation rotation: `rot[d] = ±emb[perm[d]]`.
+    * Output element type stays FLOAT (exact — see [[opqPerm]]). */
+  def opqRotate(emb: Column, dim: Int = 64): Column = {
+    val perm = opqPerm(dim); val signs = opqSigns(dim)
+    array((0 until dim).map { d =>
+      val e = element_at(emb, perm(d) + 1)
+      if (signs(d) < 0) -e else e
+    }: _*)
+  }
+
   /** Random-hyperplane (SimHash-for-vectors) LSH bucket id: one bit per
     * hyperplane = sign of the projection. nPlanes ≤ 16 keeps bucket ids in
     * an int. Buckets co-locate similar vectors so candidate generation is a

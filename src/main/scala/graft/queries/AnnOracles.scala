@@ -138,22 +138,24 @@ object AnnOracles {
       .mkString(" + ")
 
   /** Shared PQ fragments: literal codebooks → per-vector code assignment →
-    * per-query dot LUTs → (appended by callers) ADC scoring + rerank. */
-  private def pqCodesAndLuts(cb: Pq.Codebook, maxQ: Int): String = {
+    * per-query dot LUTs → (appended by callers) ADC scoring + rerank.
+    * `emb` is the corpus relation — "embeddings", or a rotated CTE. */
+  private def pqCodesAndLuts(cb: Pq.Codebook, maxQ: Int,
+      emb: String = "embeddings"): String = {
     val dim = cb.m * cb.dsub
     s"""
       cb(j, code, cent) AS (VALUES
   ${cbValues(cb)}),
       cdist AS (
         SELECT e.vec_id, b.j, b.code, (${sqdist(cb)}) AS d
-        FROM embeddings e CROSS JOIN cb b),
+        FROM $emb e CROSS JOIN cb b),
       codesel AS (
         SELECT vec_id, j, code FROM (
           SELECT vec_id, j, code,
                  ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
           FROM cdist) WHERE rn = 1),
       codes AS (SELECT vec_id, list(code ORDER BY j) AS codes FROM codesel GROUP BY vec_id),
-      q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $maxQ),
+      q AS (SELECT vec_id AS query_id, embedding AS qe FROM $emb WHERE vec_id < $maxQ),
       lutv AS (
         SELECT q.query_id, b.j, b.code, (${lutDot(cb)}) AS lv
         FROM q CROSS JOIN cb b),
@@ -170,7 +172,8 @@ object AnnOracles {
   /** The shared rerank tail of [[Pq.searchBatch]]/[[Pq.searchIvfPq]]:
     * approx-rank → exact cosine of the candidate set → final top-k with
     * post-rank self-exclusion. */
-  private def rerankTail(cb: Pq.Codebook, topK: Int, rerank: Int): String = {
+  private def rerankTail(cb: Pq.Codebook, topK: Int, rerank: Int,
+      emb: String = "embeddings"): String = {
     val dim = cb.m * cb.dsub
     s"""
       cand AS (
@@ -185,7 +188,7 @@ object AnnOracles {
                  / (SQRT(${dot("e.embedding", "e.embedding", dim)})
                     * SQRT(${dot("q.qe", "q.qe", dim)})) AS cosine
         FROM cand
-        JOIN embeddings e ON e.vec_id = cand.vec_id
+        JOIN $emb e ON e.vec_id = cand.vec_id
         JOIN q ON q.query_id = cand.query_id),
       ranked AS (
         SELECT query_id, vec_id, label, cosine,
@@ -197,10 +200,13 @@ object AnnOracles {
       ORDER BY query_id, rnk"""
   }
 
-  /** Oracle for `sim_ann_pq`: ADC scan over ALL codes, exact rerank. */
-  def pqSql(cb: Pq.Codebook, topK: Int, rerank: Int, maxQ: Int): String =
+  /** Oracle for `sim_ann_pq`: ADC scan over ALL codes, exact rerank.
+    * `pre` prepends extra CTEs (the OPQ rotation), `emb` names the corpus
+    * relation those fragments read. */
+  def pqSql(cb: Pq.Codebook, topK: Int, rerank: Int, maxQ: Int,
+      emb: String = "embeddings", pre: String = ""): String =
     s"""
-      WITH ${pqCodesAndLuts(cb, maxQ).trim},
+      WITH $pre${pqCodesAndLuts(cb, maxQ, emb).trim},
       scored AS (
         SELECT l.query_id, c.vec_id,
                (${adcSum(cb, "l.lut")})
@@ -209,7 +215,25 @@ object AnnOracles {
         CROSS JOIN lut l
         JOIN qn n ON n.query_id = l.query_id
         CROSS JOIN nl),
-      ${rerankTail(cb, topK, rerank).trim}"""
+      ${rerankTail(cb, topK, rerank, emb).trim}"""
+
+  /** The OPQ rotation as a CTE: `rot[d] = ±embedding[perm[d]]` — the
+    * signed permutation [[graft.functions.Vectors.opqRotate]] embeds in
+    * the Spark plan, exact in float, so downstream fragments see
+    * bit-identical vectors. */
+  private def rotCte(dim: Int): String = {
+    val perm = graft.functions.Vectors.opqPerm(dim)
+    val signs = graft.functions.Vectors.opqSigns(dim)
+    val elems = (0 until dim).map { d =>
+      val e = s"embedding[${perm(d) + 1}]"
+      if (signs(d) < 0) s"-$e" else e
+    }.mkString("[", ", ", "]")
+    s"rot AS (SELECT vec_id, label, $elems AS embedding FROM embeddings)"
+  }
+
+  /** Oracle for `sim_ann_opq`: [[pqSql]] over the rotated corpus. */
+  def opqPqSql(dim: Int, cb: Pq.Codebook, topK: Int, rerank: Int, maxQ: Int): String =
+    pqSql(cb, topK, rerank, maxQ, emb = "rot", pre = rotCte(dim) + ",\n      ")
 
   /** Oracle for `sim_ann_pq_range`: the ADC threshold prefilter (same
     * replayed subspace-order sum as [[pqSql]]'s scored CTE), then the

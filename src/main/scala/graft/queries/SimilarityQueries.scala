@@ -325,6 +325,31 @@ object SimilarityQueries {
       graft.functions.AnnIndexes.pq(s, dir, m = 8, k = 16),
       minCosine = 0.2, margin = 0.05, maxQ = 5)))
 
+  /** OPQ-style PQ (Ge et al., CVPR 2013, restricted to the signed-
+    * permutation subgroup so the rotation is EXACT in float arithmetic):
+    * rotate the space with a deterministic orthogonal transform, then fit
+    * and search PQ in the rotated space. Cosines are rotation-invariant
+    * mathematically; computationally everything (fit, codes, ADC, rerank)
+    * lives in rotated coordinates, and the generated oracle replays the
+    * identical rotation as a CTE, so the hashes match bit-for-bit. Same
+    * 100 TB shape as [[simAnnPq]] — the rotation adds one map-side
+    * projection, no extra shuffle. */
+  val simAnnOpq = GraftQuery(
+    "sim_ann_opq",
+    (s, dir) => {
+      import s.implicits._
+      val rot = graft.functions.AnnIndexes.rotatedEmbeddings(s, dir)
+      val cb = graft.functions.AnnIndexes.opqPq(s, dir, m = 8, k = 16)
+      val encoded = graft.functions.Pq.encode(rot, cb)
+      val queries = rot.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      graft.functions.Pq.searchBatch(encoded, cb, queries, topK = 5)
+        .filter($"query_id" =!= $"vec_id")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.opqPqSql(dim,
+      graft.functions.AnnIndexes.opqPq(s, dir, m = 8, k = 16),
+      topK = 5, rerank = 50, maxQ = 5)))
+
   /** The int8 search counterpart of [[simQuantizeInt8]]: asymmetric ADC —
     * the CORPUS is scored from its dequantized int8 codes (what a serving
     * tier keeps in RAM at 4× compression), queries stay exact floats.
@@ -444,5 +469,6 @@ object SimilarityQueries {
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfPersisted,
       simAnnRange, simAnnIvfBatch, simAnnPq, simAnnPqRange, simAnnIvfPq,
-      simAnnIvfPqPersisted, simAnnInt8, simQuantizeInt8, ddEmbeddingNeardup)
+      simAnnIvfPqPersisted, simAnnOpq, simAnnInt8, simQuantizeInt8,
+      ddEmbeddingNeardup)
 }

@@ -809,6 +809,49 @@ object TextQueries {
       ORDER BY d.lang"""
     })
 
+  /** SUB-document dedup: exact duplicate detection at PASSAGE granularity
+    * (consecutive 20-token windows, md5-keyed), catching boilerplate and
+    * partial copies that whole-document hashing misses. 100 TB shape: the
+    * passage explode is a bounded per-row flatMap (n_tokens/20 rows per
+    * doc), sharing is one hash aggregate on the passage key, and the
+    * mark-back is an equi-join on the same key — no pairwise comparison
+    * anywhere, so cost stays linear in corpus size. */
+  val ddSubdocDedup = GraftQuery(
+    "dd_subdoc_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val k = 20
+      val passages = docs(s, dir)
+        .withColumn("tokens", split($"text", " "))
+        .filter(size($"tokens") >= k)
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(1, size(tokens) div $k), " +
+            s"i -> md5(concat_ws(' ', slice(tokens, (i-1)*$k+1, $k))))"))
+          .as("p"))
+        .distinct()
+      val shared = passages.groupBy($"p").agg(count(lit(1)).as("nd"))
+        .filter($"nd" >= 2).select($"p", lit(true).as("dup"))
+      passages.join(shared, Seq("p"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_passages"),
+          sum(when($"dup", 1L).otherwise(0L)).as("n_dup_passages"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      passages AS (
+        SELECT DISTINCT doc_id,
+               md5(ARRAY_TO_STRING(t[(i-1)*20+1 : i*20], ' ')) AS p
+        FROM toks, UNNEST(generate_series(1, LEN(t) // 20)) AS u(i)
+        WHERE LEN(t) >= 20),
+      shared AS (SELECT p FROM passages GROUP BY p HAVING COUNT(*) >= 2)
+      SELECT passages.doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages,
+             CAST(SUM(CASE WHEN s.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_passages
+      FROM passages LEFT JOIN shared s ON passages.p = s.p
+      GROUP BY passages.doc_id
+      ORDER BY doc_id"""))
+
   /** Per-document top terms by df-scaled term weight — the tf-idf family
     * member expressible in EXACTLY-ROUNDED IEEE ops only (`tf × (N ÷ df)`;
     * a log-smoothed idf would hash-diverge from the oracle because libm
@@ -1072,5 +1115,5 @@ object TextQueries {
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
     txTrainSplit, txMixtureWeights, txCorpusReport, txPack,
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
-    ddSimhashPairs, ddDedupClusters, ddDedupKeep)
+    ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddSubdocDedup)
 }
