@@ -123,6 +123,53 @@ object AnnIndexes {
       Pq.fit(spark, embeddings(spark, dir), m = m, k = k)
     }
 
+  /** Persisted int8-quantized corpus — the 4×-compressed serving-tier
+    * table: per-dim min-max stats (64 rows) + codes stored as
+    * `array<tinyint>` (code − 128, so 0..255 fits the signed byte; one
+    * byte per dim in Tungsten AND parquet). Quantization runs ONCE as a
+    * cache-guarded batch job; every later search reads the codes table
+    * plus a 64-pair stats collect — zero recompute in the query lineage.
+    * The code/stat arithmetic replays [[graft.queries.SimilarityQueries]]'
+    * int8 oracle exactly (same IEEE sequence, exact min/max), so searches
+    * over the persisted codes stay hash-checkable. */
+  def int8Persisted(spark: SparkSession, dir: String, dim: Int = 64)
+      : (DataFrame, Array[(Double, Double)]) = {
+    import org.apache.spark.sql.functions._
+    val name = ("graft_int8_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toLowerCase
+    getOrFit(spark, s"int8persist:$dir") {
+      for (suffix <- Seq("_codes", "_stats")) {
+        spark.sql(s"DROP TABLE IF EXISTS $name$suffix")
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val p = new org.apache.hadoop.fs.Path(wh, name + suffix)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val emb = embeddings(spark, dir)
+      // exact per-dim min/max — the same comparisons the oracle derives
+      val st = emb.select((1 to dim).flatMap(d => Seq(
+        min(element_at(col("embedding"), d).cast("double")).as(s"mn$d"),
+        max(element_at(col("embedding"), d).cast("double")).as(s"mx$d"))): _*)
+        .head()
+      val mnmx = Array.tabulate(dim)(i => (st.getDouble(2 * i), st.getDouble(2 * i + 1)))
+      import spark.implicits._
+      mnmx.zipWithIndex.map { case ((mn, mx), i) => (i + 1, mn, mx) }.toSeq
+        .toDF("dim", "mn", "mx")
+        .write.mode("overwrite").saveAsTable(name + "_stats")
+      val codeCols = array((1 to dim).map { d =>
+        val (mn, mx) = mnmx(d - 1)
+        (least(lit(255L), floor((element_at(col("embedding"), d).cast("double") - mn)
+          * 256.0 / (mx - mn))) - 128L).cast("tinyint")
+      }: _*)
+      emb.select(col("vec_id"), col("label"), codeCols.as("codes"))
+        .write.mode("overwrite").saveAsTable(name + "_codes")
+      name
+    }
+    val loaded = spark.table(name + "_stats").collect()
+      .map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2))))
+      .sortBy(_._1).map(_._2)
+    (spark.table(name + "_codes"), loaded)
+  }
+
   /** The corpus in the OPQ-rotated space ([[Vectors.opqRotate]] — exact in
     * float, so no oracle divergence). Plan construction only; not cached. */
   def rotatedEmbeddings(spark: SparkSession, dir: String): DataFrame = {

@@ -405,6 +405,48 @@ object SimilarityQueries {
       (a, d) => s"CAST($a[$d] AS DOUBLE)", f => s"CAST($f AS BIGINT)",
       maxQ = 3, topK = 5)))
 
+  /** The sim_ann_int8 search served from the PERSISTED codes table
+    * ([[graft.functions.AnnIndexes.int8Persisted]] — `array<tinyint>`
+    * codes + a 64-row stats table): the serving-tier shape where the
+    * 4×-compressed corpus is quantized ONCE offline and every search
+    * reads bytes, never floats. The stored code equals the oracle's
+    * in-query `LEAST(255, FLOOR(...))` bit-exactly (same IEEE sequence at
+    * persist time), and the +128 byte-shift cancels exactly in doubles,
+    * so the SAME static oracle as sim_ann_int8 hash-matches. */
+  val simAnnInt8Persisted = GraftQuery(
+    "sim_ann_int8_persisted",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.Column
+      val (codes, stats) = graft.functions.AnnIndexes.int8Persisted(s, dir)
+      val emb = graft.functions.AnnIndexes.embeddings(s, dir)
+      val queries = emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      // dequantized bin center of the stored byte: stored+128.0 is exact
+      // (integers), so (stored+128.0)+0.5 == oracle's (code + 0.5)
+      def dq(d: Int): Column = {
+        val (mn, mx) = stats(d - 1)
+        lit(mn) + (element_at($"codes", d).cast(DoubleType) + 128.0 + 0.5) *
+          (lit(mx) - lit(mn)) / 256.0
+      }
+      def qd(d: Int): Column = element_at($"qe", d).cast(DoubleType)
+      val dotQ = (1 to dim).map(d => dq(d) * qd(d)).reduce(_ + _)
+      val nrm = (1 to dim).map(d => dq(d) * dq(d)).reduce(_ + _)
+      val qn = (1 to dim).map(d => qd(d) * qd(d)).reduce(_ + _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"approx_cos".desc, $"vec_id")
+      codes.crossJoin(broadcast(queries))
+        .select($"query_id", $"vec_id", $"label",
+          (dotQ / (sqrt(nrm) * sqrt(qn))).as("approx_cos"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter($"rnk" <= 5 && $"query_id" =!= $"vec_id")
+        .select($"query_id", $"rnk", $"vec_id", $"label", $"approx_cos")
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(int8AnnSql(
+      (a, d) => s"CAST($a[$d] AS DOUBLE)", f => s"CAST($f AS BIGINT)",
+      maxQ = 3, topK = 5)))
+
   /** The sim_ann_ivfpq search served entirely from the PERSISTED
     * three-table index ([[graft.functions.AnnIndexes.ivfPqPersisted]]):
     * centroids, codebook, and the cell-bucketed codes load from the
@@ -469,6 +511,6 @@ object SimilarityQueries {
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfPersisted,
       simAnnRange, simAnnIvfBatch, simAnnPq, simAnnPqRange, simAnnIvfPq,
-      simAnnIvfPqPersisted, simAnnOpq, simAnnInt8, simQuantizeInt8,
-      ddEmbeddingNeardup)
+      simAnnIvfPqPersisted, simAnnOpq, simAnnInt8, simAnnInt8Persisted,
+      simQuantizeInt8, ddEmbeddingNeardup)
 }
