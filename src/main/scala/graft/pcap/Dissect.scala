@@ -2283,6 +2283,30 @@ object Dissect {
     if (off + 32 <= off + plen)
       v("smb2.msg_id") = leU32(off + 24) | (leU32(off + 28) << 32)
     val name = smb2CmdNames.getOrElse(cmd, s"Cmd$cmd")
+    // DCERPC over the SMB named-pipe transport (MS-SMB2 §2.2.20/2.2.21 +
+    // C706: RPC PDUs ride in Write-request / Read-response data to an
+    // IPC$ pipe): locate the data block from the body's DataOffset/Length
+    // and hand it to the DCERPC dissector — Wireshark stacks the layer
+    // chain the same way (…:smb2:dcerpc) and promotes the RPC info.
+    val end = off + plen
+    if (plen >= 64 + 16) {
+      var payOff = -1; var payLen = -1
+      if (cmd == 9 && !isResponse && leU16(off + 64) == 49 && plen >= 64 + 48) {
+        val doff = leU16(off + 66); val dlen = leU32(off + 68).toInt
+        if (doff >= 64 && dlen >= 16 && off + doff + dlen <= end) {
+          payOff = off + doff; payLen = dlen
+        }
+      } else if (cmd == 8 && isResponse && leU16(off + 64) == 17 && plen >= 64 + 16) {
+        val doff = u8(d, off + 66); val dlen = leU32(off + 68).toInt
+        if (doff >= 64 && dlen >= 16 && off + doff + dlen <= end) {
+          payOff = off + doff; payLen = dlen
+        }
+      }
+      if (payOff >= 0) {
+        val inner = dissectDcerpc(d, payOff, payLen, v, protos)
+        if (inner != null) return inner
+      }
+    }
     s"$name ${if (isResponse) "Response" else "Request"}"
   }
 
@@ -3052,7 +3076,141 @@ object Dissect {
         protos += "ldap"
         v("ldap.messageID") = msgId
         v("ldap.protocolOp") = op.toLong
+        if (op == 3) {
+          val (sl, sc) = berLen(d, opAt + 1, end)
+          if (sl >= 0) {
+            val sr = ldapSearchRequest(d, sc, math.min(end, sc + sl), msgId, v)
+            if (sr != null) return sr
+          }
+        }
         s"$nm($msgId)"
+    }
+  }
+
+  /** searchRequest body (RFC 4511 §4.5.1): baseObject, scope, and the
+    * filter rendered in RFC 4515's parenthesized text form — what
+    * Wireshark surfaces as ldap.baseObject / ldap.scope / ldap.filter. */
+  private def ldapSearchRequest(
+      d: Array[Byte], start: Int, end: Int, msgId: Long, v: FieldVec): String = {
+    var p = start
+    // one tagged BER field; (-1, -1) when the tag doesn't match
+    def field(tag: Int): (Int, Int) = {
+      if (p >= end || u8(d, p) != tag) return (-1, -1)
+      val (l, c) = berLen(d, p + 1, end)
+      if (l < 0 || c + l > end) return (-1, -1)
+      p = c + l
+      (c, l)
+    }
+    val (bo, bl) = field(0x04)
+    if (bo < 0) return null
+    val base = new String(d, bo, bl, "UTF-8")
+    val (so, slen) = field(0x0a)
+    if (so < 0 || slen < 1) return null
+    var scope = 0L
+    var i = 0
+    while (i < slen) { scope = (scope << 8) | u8(d, so + i); i += 1 }
+    field(0x0a) // derefAliases
+    field(0x02) // sizeLimit
+    field(0x02) // timeLimit
+    field(0x01) // typesOnly
+    v("ldap.baseObject") = base
+    v("ldap.scope") = scope
+    if (p < end) {
+      val sb = new StringBuilder
+      if (ldapFilter(d, p, end, sb)) v("ldap.filter") = sb.toString
+    }
+    val scopeName = scope match {
+      case 0 => "baseObject"
+      case 1 => "singleLevel"
+      case _ => "wholeSubtree"
+    }
+    s"searchRequest($msgId) \"$base\" $scopeName"
+  }
+
+  /** One LDAP filter element (RFC 4511 §4.5.1.7) rendered as RFC 4515
+    * text: and/or/not compose recursively, present is `(attr=*)`,
+    * substrings interleave `*` around initial/any/final components. */
+  private def ldapFilter(
+      d: Array[Byte], at: Int, end: Int, sb: StringBuilder): Boolean = {
+    if (at >= end) return false
+    val tag = u8(d, at)
+    val (l, c) = berLen(d, at + 1, end)
+    if (l < 0 || c + l > end) return false
+    val cEnd = c + l
+    def str(o: Int, n: Int) = new String(d, o, n, "UTF-8")
+    // OCTET STRING at `o`; returns (contentStart, len, next) or null
+    def octets(o: Int): (Int, Int, Int) = {
+      if (o >= cEnd || u8(d, o) != 0x04) return null
+      val (ol, oc) = berLen(d, o + 1, cEnd)
+      if (ol < 0 || oc + ol > cEnd) return null
+      (oc, ol, oc + ol)
+    }
+    tag match {
+      case 0xa0 | 0xa1 => // and / or: SET OF Filter
+        sb.append('(').append(if (tag == 0xa0) '&' else '|')
+        var q = c
+        while (q < cEnd) {
+          val (ql, qc) = berLen(d, q + 1, cEnd)
+          if (ql < 0 || !ldapFilter(d, q, cEnd, sb)) return false
+          q = qc + ql
+        }
+        sb.append(')')
+        true
+      case 0xa2 => // not
+        sb.append("(!")
+        if (!ldapFilter(d, c, cEnd, sb)) return false
+        sb.append(')')
+        true
+      case 0xa3 | 0xa5 | 0xa6 | 0xa8 => // eq / ge / le / approx
+        val cmp = tag match {
+          case 0xa3 => "="
+          case 0xa5 => ">="
+          case 0xa6 => "<="
+          case _    => "~="
+        }
+        val a = octets(c)
+        if (a == null) return false
+        val vv = octets(a._3)
+        if (vv == null) return false
+        sb.append('(').append(str(a._1, a._2)).append(cmp)
+          .append(str(vv._1, vv._2)).append(')')
+        true
+      case 0xa4 => // substrings: type + SEQUENCE OF [0]initial/[1]any/[2]final
+        val a = octets(c)
+        if (a == null) return false
+        var q = a._3
+        if (q >= cEnd || u8(d, q) != 0x30) return false
+        val (ql, qc) = berLen(d, q + 1, cEnd)
+        if (ql < 0 || qc + ql > cEnd) return false
+        var initial: String = null
+        var fin: String = null
+        val anys = mutable.ArrayBuffer.empty[String]
+        var r = qc
+        val subEnd = qc + ql
+        while (r < subEnd) {
+          val st = u8(d, r)
+          val (rl, rc) = berLen(d, r + 1, subEnd)
+          if (rl < 0 || rc + rl > subEnd) return false
+          val s = str(rc, rl)
+          st match {
+            case 0x80 => initial = s
+            case 0x81 => anys += s
+            case 0x82 => fin = s
+            case _    => return false
+          }
+          r = rc + rl
+        }
+        sb.append('(').append(str(a._1, a._2)).append('=')
+        if (initial != null) sb.append(initial)
+        sb.append('*')
+        anys.foreach(s => sb.append(s).append('*'))
+        if (fin != null) sb.append(fin)
+        sb.append(')')
+        true
+      case 0x87 => // present (primitive: contents are the attr name)
+        sb.append('(').append(str(c, l)).append("=*)")
+        true
+      case _ => false
     }
   }
 

@@ -760,4 +760,40 @@ mnt_body = struct.pack(">IIIIII", 0x66778899, 0, 2, 100005, 3, 1) + \
 mnt_call = struct.pack(">I", 0x80000000 | len(mnt_body)) + mnt_body
 extra.append((t3, 11000, ip_frame(6, A, B, tcp(50200, 2049, 200, mnt_call), ident=145)))
 
+# 113-114: DCERPC over the SMB2 named-pipe transport — a Write request
+# carrying a Bind to the pipe, then a Read response with the Bind_ack
+def smb2_hdr(cmd, flags, msg_id):
+    return (b"\xfeSMB" + struct.pack("<HH", 64, 1) + struct.pack("<I", 0) +
+            struct.pack("<HH", cmd, 1) + struct.pack("<II", flags, 0) +
+            struct.pack("<Q", msg_id) + struct.pack("<II", 0xFEFF, 5) +
+            struct.pack("<Q", 0x11) + bytes(16))
+dce_pipe_bind = bytes([5, 0, 11, 3]) + bytes([0x10, 0, 0, 0]) + \
+    struct.pack("<HHI", 72, 0, 7) + bytes(56)
+smb2_write = smb2_hdr(9, 0, 4) + \
+    struct.pack("<HHI", 49, 112, len(dce_pipe_bind)) + struct.pack("<Q", 0) + \
+    bytes(16) + struct.pack("<II", 0, 0) + struct.pack("<HHI", 0, 0, 0) + \
+    dce_pipe_bind
+smb2_write = struct.pack(">I", len(smb2_write)) + smb2_write
+extra.append((t3, 11100, ip_frame(6, A, B, tcp(53900, 445, 1, smb2_write), ident=147)))
+dce_pipe_back = bytes([5, 0, 12, 3]) + bytes([0x10, 0, 0, 0]) + \
+    struct.pack("<HHI", 60, 0, 7) + bytes(44)
+smb2_read = smb2_hdr(8, 1, 5) + \
+    struct.pack("<HBB", 17, 80, 0) + struct.pack("<III", len(dce_pipe_back), 0, 0) + \
+    dce_pipe_back
+smb2_read = struct.pack(">I", len(smb2_read)) + smb2_read
+extra.append((t3, 11200, ip_frame(6, B, A, tcp(445, 53900, 1, smb2_read), ident=148)))
+
+# 115: LDAP searchRequest with base object, scope and a composite filter
+def ber(tag, content):
+    assert len(content) < 128
+    return bytes([tag, len(content)]) + content
+f_and = ber(0xA0,
+            ber(0xA3, ber(0x04, b"objectClass") + ber(0x04, b"person")) +
+            ber(0xA4, ber(0x04, b"cn") + ber(0x30, ber(0x80, b"ali"))))
+sr_body = ber(0x04, b"dc=example,dc=com") + ber(0x0A, bytes([2])) + \
+    ber(0x0A, bytes([0])) + ber(0x02, bytes([0])) + ber(0x02, bytes([0])) + \
+    ber(0x01, bytes([0])) + f_and
+ldap_search = ber(0x30, ber(0x02, bytes([2])) + ber(0x63, sr_body))
+extra.append((t3, 11300, ip_frame(6, A, B, tcp(53950, 389, 1, ldap_search), ident=149)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
