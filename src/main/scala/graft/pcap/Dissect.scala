@@ -1439,6 +1439,13 @@ object Dissect {
                 v("http.transfer_encoding") = "chunked"
                 v("http.file_data") = body
               }
+              // the upgrade flip must also happen on the desegment path,
+              // or a 101 seen here would leave ws frames undissected
+              if (appInfo != null && appInfo.startsWith("HTTP/1.1 101")) {
+                val txt = new String(buf, 0, math.min(buf.length, 1024),
+                  "ISO-8859-1").toLowerCase(java.util.Locale.ROOT)
+                if (txt.contains("upgrade: websocket")) conv.wsUpgraded = true
+              }
             }
           } else if (buf.length <= MaxCarry) {
             conv.carry(dir) = buf
@@ -1452,8 +1459,35 @@ object Dissect {
       }
       // a completed websocket upgrade owns the conversation's bytes from
       // the segment AFTER the 101 (the 101 itself still renders as HTTP)
-      if (appInfo == null && !h2Claimed && conv.wsUpgraded)
-        appInfo = dissectWebsocket(appBuf, appOff, appLen, v, protos)
+      // WebSocket framing is self-describing (header + declared payload
+      // length), so under desegment a frame spanning TCP segments carries
+      // (kind 7) until complete, then dissects — and unmasks — on the
+      // completing segment, tshark reassembly semantics. Without
+      // desegment only the header's fields surface (no payload text).
+      if (appInfo == null && !h2Claimed && conv.wsUpgraded) {
+        if (tracker.desegment) {
+          val wsCarry = conv.carryKind(dir) == 7 && conv.carry(dir).nonEmpty
+          val seg = java.util.Arrays.copyOfRange(appBuf, appOff, appOff + appLen)
+          val buf = if (wsCarry) conv.carry(dir) ++ seg else seg
+          val need = wsFrameLen(buf, 0, buf.length)
+          if (need > 0 && buf.length >= need) {
+            conv.carry(dir) = Array.emptyByteArray
+            conv.carryKind(dir) = 0
+            appInfo = dissectWebsocket(buf, 0, buf.length, v, protos)
+          } else if (need != 0 && buf.length <= MaxCarry) {
+            // incomplete frame (or incomplete header): wait for more
+            conv.carry(dir) = buf
+            conv.carryKind(dir) = 7
+            appInfo = "[TCP segment of a reassembled PDU]"
+          } else {
+            conv.carry(dir) = Array.emptyByteArray
+            conv.carryKind(dir) = 0
+            appInfo = dissectWebsocket(appBuf, appOff, appLen, v, protos)
+          }
+        } else {
+          appInfo = dissectWebsocket(appBuf, appOff, appLen, v, protos)
+        }
+      }
       if (appInfo == null && !h2Claimed) {
         appInfo = dissectHttp(appBuf, appOff, appLen, v, protos)
         if (appInfo != null && appInfo.startsWith("HTTP/1.1 101")) {
@@ -3450,6 +3484,29 @@ object Dissect {
   /** WebSocket frame header (RFC 6455 §5.2), reached only after the
     * conversation's 101 upgrade: FIN/opcode, mask bit, 7/16/64-bit payload
     * length, masking key. Payload stays opaque (masked client-side). */
+  /** Total on-wire length (header + mask + payload) of the WebSocket
+    * frame starting at `off`: > 0 when the header parses, -1 when the
+    * header itself is still incomplete (plausibly ws — wait for more),
+    * 0 when the bytes cannot start a ws frame. */
+  private def wsFrameLen(d: Array[Byte], off: Int, len: Int): Long = {
+    if (len < 1) return -1
+    val b0 = u8(d, off)
+    if ((b0 & 0x70) != 0 || !wsOpcodeNames.contains(b0 & 0x0f)) return 0
+    if (len < 2) return -1
+    val b1 = u8(d, off + 1)
+    var plen: Long = (b1 & 0x7f).toLong
+    var hdr = 2
+    if (plen == 126) {
+      if (len < 4) return -1
+      plen = u16(d, off + 2).toLong; hdr = 4
+    } else if (plen == 127) {
+      if (len < 10) return -1
+      plen = (u32(d, off + 2) << 32) | u32(d, off + 6); hdr = 10
+    }
+    if ((b1 & 0x80) != 0) hdr += 4
+    hdr + plen
+  }
+
   private def dissectWebsocket(
       d: Array[Byte], off: Int, len: Int,
       v: FieldVec,

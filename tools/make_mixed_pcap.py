@@ -796,4 +796,18 @@ sr_body = ber(0x04, b"dc=example,dc=com") + ber(0x0A, bytes([2])) + \
 ldap_search = ber(0x30, ber(0x02, bytes([2])) + ber(0x63, sr_body))
 extra.append((t3, 11300, ip_frame(6, A, B, tcp(53950, 389, 1, ldap_search), ident=149)))
 
+# 116-117: a masked WebSocket text frame split across two TCP segments on
+# the upgraded 53400<->80 stream — reassembles under desegment (carry
+# kind 7) and unmasks on the completing segment
+ws_msg = b"reassembled hello from graft"
+ws_key = bytes([0x0F, 0x0E, 0x0D, 0x0C])
+ws_frame2 = bytes([0x81, 0x80 | len(ws_msg)]) + ws_key + \
+    bytes(b ^ ws_key[i & 3] for i, b in enumerate(ws_msg))
+cut_ws = 9
+seq_ws = 1 + len(ws_get) + 11  # after ws_get and the 11-byte ws_text frame
+extra.append((t3, 11400, ip_frame(6, A, B,
+              tcp(53400, 80, seq_ws, ws_frame2[:cut_ws]), ident=150)))
+extra.append((t3, 11500, ip_frame(6, A, B,
+              tcp(53400, 80, seq_ws + cut_ws, ws_frame2[cut_ws:]), ident=151)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
