@@ -424,6 +424,55 @@ class SimilaritySpec extends SparkSpec {
     assert(again.toSeq === mem.toSeq)
   }
 
+  test("OPQ rotation: exact in float, orthogonal (cosines preserved to fold-order ulps)") {
+    import spark.implicits._
+    val perm = Vectors.opqPerm(64)
+    // a signed permutation must be a bijection on dims
+    assert(perm.sorted.toSeq === (0 until 64))
+    val emb = graft.api.Tables.load(spark, sfDir, "embeddings").limit(50)
+    val rot = emb.select($"vec_id", Vectors.opqRotate($"embedding").as("re"),
+      $"embedding")
+    val both = rot.as("a").crossJoin(rot.as("b"))
+      .where(col("a.vec_id") < col("b.vec_id")).limit(100)
+      .select(
+        Vectors.cosine(col("a.embedding"), col("b.embedding")).as("orig"),
+        Vectors.cosine(col("a.re"), col("b.re")).as("rotated"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+        s"rotation changed a cosine beyond fold-order noise: $r")
+    }
+  }
+
+  test("sim_ann_opq returns ranked neighbors for every query") {
+    val rows = SimilarityQueries.simAnnOpq.fn(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rs =>
+      val rnks = rs.map(_.getAs[Long]("rnk")).toSeq
+      assert(rnks.distinct.size === rnks.size)
+      assert(rnks.forall(r => r >= 1L && r <= 5L))
+      assert(rs.forall(_.getAs[Double]("cosine") <= 1.0 + 1e-12))
+    }
+  }
+
+  test("sim_ann_int8_persisted: byte-typed codes table, answers == in-query int8 search") {
+    val inQuery = SimilarityQueries.simAnnInt8.fn(spark, sfDir).collect()
+    val persisted = SimilarityQueries.simAnnInt8Persisted.fn(spark, sfDir).collect()
+    assert(persisted.toSeq === inQuery.toSeq)
+    val (codes, stats) = graft.functions.AnnIndexes.int8Persisted(spark, sfDir)
+    val codesField = codes.schema("codes").dataType
+    assert(codesField ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      codesField ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true))
+    assert(stats.length === 64)
+    assert(stats.forall { case (mn, mx) => mn < mx })
+  }
+
   test("batch IVF with all cells probed equals per-query exhaustive search") {
     import spark.implicits._
     val emb = graft.api.Tables.load(spark, sfDir, "embeddings")

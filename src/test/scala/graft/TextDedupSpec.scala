@@ -182,4 +182,21 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, _) => a >= 200L },
       s"boilerplate-only pairs leaked through the df cap: $pairs")
   }
+
+  test("subdoc dedup flags exactly the docs sharing an aligned 20-token passage") {
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val uniqA = (1 to 20).map(i => s"aaa$i").mkString(" ")
+    val uniqB = (1 to 20).map(i => s"bbb$i").mkString(" ")
+    val uniqC = (1 to 25).map(i => s"ccc$i").mkString(" ")
+    // the shared window sits at passage slot 1 in doc 0 and slot 2 in
+    // doc 1 — alignment of the slot CONTENT is what matters, not position
+    val dir = writeDocs(Seq(
+      (0L, s"$shared $uniqA"),
+      (1L, s"$uniqB $shared"),
+      (2L, uniqC)))
+    val rows = TextQueries.ddSubdocDedup.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_passages"), r.getAs[Long]("n_dup_passages")))).toMap
+    assert(rows === Map(0L -> ((2L, 1L)), 1L -> ((2L, 1L)), 2L -> ((1L, 0L))))
+  }
 }
