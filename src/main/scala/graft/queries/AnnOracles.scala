@@ -111,6 +111,29 @@ object AnnOracles {
       WHERE rnk <= $topK AND query_id <> vec_id
       ORDER BY query_id, rnk"""
 
+  /** Oracle for `sim_ivf_cell_stats`: literal centroids → deterministic
+    * cell assignment → per-cell occupancy. Counts and min/max ids only —
+    * no floating-point aggregates, so group order cannot diverge. */
+  def ivfCellStatsSql(cents: Array[Array[Double]]): String = {
+    val dim = cents(0).length
+    s"""
+      WITH cents(cell, centroid, cn2, cnorm) AS (VALUES
+  ${centsValues(cents)}),
+      cellscore AS (
+        SELECT e.vec_id, c.cell,
+               c.cn2 - 2.0 * (${dot("e.embedding", "c.centroid", dim)}) AS score
+        FROM embeddings e CROSS JOIN cents c),
+      cells AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS crn
+          FROM cellscore) WHERE crn = 1)
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+      FROM cells GROUP BY cell
+      ORDER BY cell"""
+  }
+
   private def cbValues(cb: Pq.Codebook): String =
     (for {
       j <- cb.centroids.indices

@@ -1020,6 +1020,44 @@ object RelationalQueries {
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
 
+  /** Bucketed co-located join — the shuffle-free join shape bucketing
+    * buys at 100 TB: both sides written ONCE as catalog tables bucketed
+    * on the join key (8 buckets each), then joined with NO Exchange on
+    * either input (PlanShapeSpec pins the absence of a custkey
+    * hashpartitioning). The `merge` hint keeps the demo on the
+    * sort-merge path a real fact-fact join would take — without it
+    * Catalyst would broadcast the small dimension and the bucketing
+    * would be invisible at this SF. */
+  val q44BucketedJoin = GraftQuery(
+    "q44_bucketed_join",
+    (s, dir) => {
+      import s.implicits._
+      for (name <- Seq("graft_q44_orders", "graft_q44_customer")) {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val p = new org.apache.hadoop.fs.Path(wh, name)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      t(s, dir, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_q44_orders")
+      t(s, dir, "customer").write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_q44_customer")
+      s.table("graft_q44_orders").hint("merge")
+        .join(s.table("graft_q44_customer"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -1031,5 +1069,6 @@ object RelationalQueries {
     q30Pivot, q31Explode, q32TimeBucket, q33Json, q34ApproxDistinct,
     q35SaltedAgg, q36TopkAggregator, q37GroupingSets, q38WindowRangeFrame,
     q38bWindowRangeBySupp, q39Percentiles, q39bApproxPercentiles,
-    q40WindowDistribution, q41MultiDistinct, q42AsofJoin, q43PartitionedRw)
+    q40WindowDistribution, q41MultiDistinct, q42AsofJoin, q43PartitionedRw,
+    q44BucketedJoin)
 }

@@ -472,6 +472,25 @@ object SimilarityQueries {
       graft.functions.AnnIndexes.pq(s, dir, m = 8, k = 16),
       topK = 5, nProbe = 4, rerank = 50, maxQ = 5)))
 
+  /** IVF index-health report: per-cell occupancy from the shared fit —
+    * the balance check a 100 TB serving tier runs before trusting an
+    * index (a skewed cell means one probe scans a disproportionate slice;
+    * the fix is refit or cell splitting). Counts and id ranges only, so
+    * the generated literal-centroid oracle matches without any
+    * floating-point aggregate concerns. */
+  val simIvfCellStats = GraftQuery(
+    "sim_ivf_cell_stats",
+    (s, dir) => {
+      import s.implicits._
+      val index = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
+      index.assigned.groupBy($"cell")
+        .agg(count(lit(1)).as("n_vectors"),
+          min($"vec_id").as("min_vec"), max($"vec_id").as("max_vec"))
+        .orderBy($"cell")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.ivfCellStatsSql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids)))
+
   /** Int8 scalar quantization — the embedding-compression step of a
     * serving/storage pipeline: per-dimension min-max binning to 256
     * levels (floor-based, so no rounding-mode divergence between
@@ -512,5 +531,5 @@ object SimilarityQueries {
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfPersisted,
       simAnnRange, simAnnIvfBatch, simAnnPq, simAnnPqRange, simAnnIvfPq,
       simAnnIvfPqPersisted, simAnnOpq, simAnnInt8, simAnnInt8Persisted,
-      simQuantizeInt8, ddEmbeddingNeardup)
+      simQuantizeInt8, simIvfCellStats, ddEmbeddingNeardup)
 }

@@ -73,6 +73,16 @@ class PlanShapeSpec extends SparkSpec {
       "the priority filter must prune partitions at the scan, not post-filter")
   }
 
+  test("q44 bucketed join reads co-located buckets with no join-key shuffle") {
+    val p = plan("q44_bucketed_join")
+    assert(p.contains("SortMergeJoin"),
+      "the bucketed fact-fact shape must stay on the sort-merge path")
+    assert(!p.contains("hashpartitioning(o_custkey") &&
+      !p.contains("hashpartitioning(c_custkey"),
+      "a custkey Exchange means the bucketing was ignored — the whole point " +
+        "of the bucketed write is a shuffle-free join")
+  }
+
   test("join/topk/pushdown staples keep their shapes") {
     val p5 = plan("q05_join_topk")
     assert(p5.contains("BroadcastHashJoin"))
