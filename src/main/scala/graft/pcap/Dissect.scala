@@ -1662,6 +1662,12 @@ object Dissect {
         appInfo = dissectMysql(appBuf, appOff, appLen, fromServer = sp == 3306, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 6379 || dp == 6379))
         appInfo = dissectRedis(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 9092 || dp == 9092))
+        appInfo = dissectKafka(appBuf, appOff, appLen, fromServer = sp == 9092, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 9042 || dp == 9042))
+        appInfo = dissectCql(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 11211 || dp == 11211))
+        appInfo = dissectMemcache(appBuf, appOff, appLen, fromServer = sp == 11211, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -4336,6 +4342,125 @@ object Dissect {
         v("resp.type") = kind
         s"Response: $first"
       case _ => null
+    }
+  }
+
+  private val kafkaApiNames: Map[Int, String] = Map(
+    0 -> "Produce", 1 -> "Fetch", 2 -> "ListOffsets", 3 -> "Metadata",
+    8 -> "OffsetCommit", 9 -> "OffsetFetch", 10 -> "FindCoordinator",
+    11 -> "JoinGroup", 12 -> "Heartbeat", 13 -> "LeaveGroup",
+    14 -> "SyncGroup", 15 -> "DescribeGroups", 16 -> "ListGroups",
+    17 -> "SaslHandshake", 18 -> "ApiVersions", 19 -> "CreateTopics",
+    20 -> "DeleteTopics")
+
+  /** Kafka wire protocol (TCP 9092): int32 size-prefixed messages;
+    * requests are self-describing (api key/version, correlation id,
+    * client id string), broker responses surface the correlation id.
+    * One whole message per segment — the common capture shape; spanning
+    * messages are tshark territory. */
+  private def dissectKafka(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8) return null
+    val size = u32(d, off)
+    if (size != len - 4) return null
+    if (!fromServer) {
+      if (len < 14) return null
+      val apiKey = u16(d, off + 4)
+      val apiVer = u16(d, off + 6)
+      val name = kafkaApiNames.getOrElse(apiKey, return null)
+      if (apiVer > 20) return null
+      protos += "kafka"
+      v("kafka.len") = size
+      v("kafka.request_key") = apiKey.toLong
+      v("kafka.request_api_version") = apiVer.toLong
+      v("kafka.correlation_id") = u32(d, off + 8)
+      val cidLen = u16(d, off + 12)
+      if (cidLen != 0xffff && off + 14 + cidLen <= off + len)
+        v("kafka.client_id") = new String(d, off + 14, cidLen, "UTF-8")
+      s"Kafka $name v$apiVer Request"
+    } else {
+      protos += "kafka"
+      v("kafka.len") = size
+      v("kafka.correlation_id") = u32(d, off + 4)
+      s"Kafka Response (CorrId=${u32(d, off + 4)})"
+    }
+  }
+
+  private val cqlOpcodeNames: Map[Int, String] = Map(
+    0 -> "ERROR", 1 -> "STARTUP", 2 -> "READY", 3 -> "AUTHENTICATE",
+    5 -> "OPTIONS", 6 -> "SUPPORTED", 7 -> "QUERY", 8 -> "RESULT",
+    9 -> "PREPARE", 10 -> "EXECUTE", 11 -> "REGISTER", 12 -> "EVENT",
+    13 -> "BATCH", 14 -> "AUTH_CHALLENGE", 15 -> "AUTH_RESPONSE",
+    16 -> "AUTH_SUCCESS")
+
+  /** Cassandra CQL native protocol (TCP 9042, framing v3–v5): the
+    * version byte carries the direction bit; QUERY requests surface the
+    * long-string query text. */
+  private def dissectCql(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 9) return null
+    val ver = u8(d, off)
+    val proto = ver & 0x7f
+    if (proto < 3 || proto > 5) return null
+    val opcode = u8(d, off + 4)
+    val name = cqlOpcodeNames.getOrElse(opcode, return null)
+    val blen = u32(d, off + 5)
+    if (blen != len - 9) return null
+    protos += "cql"
+    v("cql.version") = ver.toLong
+    v("cql.flags") = u8(d, off + 1).toLong
+    v("cql.stream") = u16(d, off + 2).toLong
+    v("cql.opcode") = opcode.toLong
+    v("cql.length") = blen
+    val isResponse = (ver & 0x80) != 0
+    if (opcode == 7 && !isResponse && len >= 13) {
+      val qlen = u32(d, off + 9).toInt
+      if (qlen >= 0 && off + 13 + qlen <= off + len) {
+        val q = new String(d, off + 13, math.min(qlen, 256), "UTF-8")
+        v("cql.string") = q
+        return s"QUERY: $q"
+      }
+    }
+    name
+  }
+
+  private val memcacheRequests = Set("get", "gets", "set", "add", "replace",
+    "append", "prepend", "cas", "delete", "incr", "decr", "touch", "stats",
+    "flush_all", "version", "verbosity", "quit")
+  private val memcacheResponses = Set("VALUE", "END", "STORED", "NOT_STORED",
+    "EXISTS", "NOT_FOUND", "DELETED", "TOUCHED", "OK", "ERROR", "VERSION",
+    "STAT", "CLIENT_ERROR", "SERVER_ERROR")
+
+  /** memcached text protocol (TCP 11211): client command lines and server
+    * status/VALUE lines; the first line is the info string. */
+  private def dissectMemcache(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4) return null
+    val text = new String(d, off, math.min(len, 256), "ISO-8859-1")
+    val le = text.indexOf("\r\n")
+    if (le <= 0) return null
+    val line = text.substring(0, le)
+    val parts = line.split(" ")
+    if (!fromServer) {
+      if (!memcacheRequests.contains(parts(0))) return null
+      protos += "memcache"
+      v("memcache.command") = parts(0)
+      if (parts.length > 1 && parts(0) != "stats" && parts(0) != "version" &&
+        parts(0) != "flush_all" && parts(0) != "quit")
+        v("memcache.key") = parts(1)
+      line
+    } else {
+      if (!memcacheResponses.contains(parts(0))) return null
+      protos += "memcache"
+      v("memcache.command") = parts(0)
+      if (parts(0) == "VALUE" && parts.length > 1) v("memcache.key") = parts(1)
+      line
     }
   }
 

@@ -810,4 +810,24 @@ extra.append((t3, 11400, ip_frame(6, A, B,
 extra.append((t3, 11500, ip_frame(6, A, B,
               tcp(53400, 80, seq_ws + cut_ws, ws_frame2[cut_ws:]), ident=151)))
 
+# 118-119: Kafka Metadata v7 request (with client id) and its response
+kafka_req = struct.pack(">HHI", 3, 7, 12) + struct.pack(">H", 7) + b"graft-c"
+kafka_req = struct.pack(">I", len(kafka_req)) + kafka_req
+extra.append((t3, 11600, ip_frame(6, A, B, tcp(54000, 9092, 1, kafka_req), ident=152)))
+kafka_rsp = struct.pack(">I", 8) + struct.pack(">I", 12) + struct.pack(">I", 0)
+extra.append((t3, 11700, ip_frame(6, B, A, tcp(9092, 54000, 1, kafka_rsp), ident=153)))
+
+# 120-121: CQL v4 QUERY request (long-string body) and a READY response
+cql_q = b"SELECT * FROM ks.tbl"
+cql_body = struct.pack(">I", len(cql_q)) + cql_q
+cql_query = bytes([0x04, 0, 0, 3, 7]) + struct.pack(">I", len(cql_body)) + cql_body
+extra.append((t3, 11800, ip_frame(6, A, B, tcp(54100, 9042, 1, cql_query), ident=154)))
+cql_ready = bytes([0x84, 0, 0, 3, 2]) + struct.pack(">I", 0)
+extra.append((t3, 11900, ip_frame(6, B, A, tcp(9042, 54100, 1, cql_ready), ident=155)))
+
+# 122-123: memcached text set command and the STORED reply
+mc_set = b"set session:42 0 300 5\r\nhello\r\n"
+extra.append((t3, 12000, ip_frame(6, A, B, tcp(54200, 11211, 1, mc_set), ident=156)))
+extra.append((t3, 12100, ip_frame(6, B, A, tcp(11211, 54200, 1, b"STORED\r\n"), ident=157)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
