@@ -50,6 +50,13 @@ object AnnIndexes {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
 
+  /** The fit-cache guard for non-ANN derived state that follows the same
+    * fit-once/serve-many contract (e.g. dedup cluster labels persisted as
+    * a catalog table). Values must be plain data or table NAMES — never a
+    * DataFrame, which would pin the session through the weak reference. */
+  def cached[T <: AnyRef](spark: SparkSession, key: String)(fit: => T): T =
+    getOrFit(spark, key)(fit)
+
   /** The IVF index every sim_ann_ivf* query (and its oracle) shares. Only
     * the fitted CENTROIDS are cached (plain arrays — no DataFrame, so the
     * cached value cannot reach back to the session and defeat the weak

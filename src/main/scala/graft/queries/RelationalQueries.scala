@@ -1039,10 +1039,15 @@ object RelationalQueries {
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
       }
-      t(s, dir, "orders").write.mode("overwrite")
+      // prune to the join/agg columns before writing — the bucketed table
+      // carries only what downstream reads (at 100 TB an unpruned bucketed
+      // copy of a fact table doubles storage for nothing)
+      t(s, dir, "orders").select($"o_custkey", $"o_totalprice")
+        .write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
         .saveAsTable("graft_q44_orders")
-      t(s, dir, "customer").write.mode("overwrite")
+      t(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
+        .write.mode("overwrite")
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
         .saveAsTable("graft_q44_customer")
       s.table("graft_q44_orders").hint("merge")

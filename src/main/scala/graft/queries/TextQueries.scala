@@ -774,7 +774,22 @@ object TextQueries {
     "dd_dedup_keep",
     (s, dir) => {
       import s.implicits._
-      val clusters = ddDedupClusters.fn(s, dir)
+      // cluster labels are computed ONCE per (session, dir) and persisted
+      // as a catalog table — the production shape (label once, consume
+      // from the table in every downstream job), and it keeps this query
+      // from re-running the iterative CC fixpoint
+      val name = ("graft_ddclusters_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        .toLowerCase
+      graft.functions.AnnIndexes.cached(s, s"ddclusters:$dir") {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val p = new org.apache.hadoop.fs.Path(wh, name)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        ddDedupClusters.fn(s, dir).write.saveAsTable(name)
+        name
+      }
+      val clusters = s.table(name)
       val dropped = clusters.filter($"doc_id" =!= $"cluster")
         .select($"doc_id", lit(true).as("is_dup"))
       docs(s, dir)
