@@ -38,6 +38,40 @@ object TextQueries {
   // Token counting
   // ---------------------------------------------------------------------
 
+  /** BPE-style pre-tokenization counts: the GPT-2 pre-tokenizer's shape
+    * (space-prefixed letter runs / digit runs / punctuation runs)
+    * restricted to lookahead-free alternation so Java regex (Spark) and
+    * RE2 (DuckDB) match identically — both are leftmost-first engines, so
+    * the match COUNTS are bit-comparable. The per-token-length ratio is a
+    * single IEEE division (exactly rounded in both engines). */
+  val txBpeTokens = GraftQuery(
+    "tx_bpe_tokens",
+    (s, dir) => {
+      import s.implicits._
+      val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+      docs(s, dir).select(
+        $"doc_id",
+        size(regexp_extract_all($"text", lit(pat), lit(0)))
+          .cast(LongType).as("n_bpe_tokens"),
+        size(regexp_extract_all($"text", lit(" ?[0-9]+"), lit(0)))
+          .cast(LongType).as("n_number_tokens"),
+        (length($"text").cast(DoubleType) /
+          size(regexp_extract_all($"text", lit(pat), lit(0))).cast(DoubleType))
+          .as("chars_per_token"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(LEN(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS BIGINT)
+               AS n_bpe_tokens,
+             CAST(LEN(regexp_extract_all(text, ' ?[0-9]+')) AS BIGINT)
+               AS n_number_tokens,
+             CAST(LENGTH(text) AS DOUBLE)
+               / CAST(LEN(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS DOUBLE)
+               AS chars_per_token
+      FROM documents
+      ORDER BY doc_id"""))
+
   val txTokenCount = GraftQuery(
     "tx_token_count",
     (s, dir) => {
@@ -1130,5 +1164,5 @@ object TextQueries {
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
     txTrainSplit, txMixtureWeights, txCorpusReport, txPack,
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
-    ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddSubdocDedup)
+    ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddSubdocDedup, txBpeTokens)
 }
