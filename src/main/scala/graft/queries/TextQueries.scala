@@ -861,16 +861,20 @@ object TextQueries {
   /** SUB-document dedup: exact duplicate detection at PASSAGE granularity
     * (consecutive 20-token windows, md5-keyed), catching boilerplate and
     * partial copies that whole-document hashing misses. 100 TB shape: the
-    * passage explode is a bounded per-row flatMap (n_tokens/20 rows per
-    * doc), sharing is one hash aggregate on the passage key, and the
-    * mark-back is an equi-join on the same key — no pairwise comparison
-    * anywhere, so cost stays linear in corpus size. */
+    * passage explode runs ONCE (a bounded per-row flatMap, n_tokens/20
+    * rows per doc); sharing is a count window over the passage key —
+    * one shuffle on p instead of the aggregate-plus-join formulation,
+    * which would explode the corpus twice (Catalyst does not reuse the
+    * exchange across those branches). No pairwise comparison anywhere,
+    * so cost stays linear in corpus size. Window partitions are
+    * per-passage-hash (tiny), so no skew concern. */
   val ddSubdocDedup = GraftQuery(
     "dd_subdoc_dedup",
     (s, dir) => {
       import s.implicits._
       val k = 20
-      val passages = docs(s, dir)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"p")
+      docs(s, dir)
         .withColumn("tokens", split($"text", " "))
         .filter(size($"tokens") >= k)
         .select($"doc_id", explode(expr(
@@ -878,12 +882,10 @@ object TextQueries {
             s"i -> md5(concat_ws(' ', slice(tokens, (i-1)*$k+1, $k))))"))
           .as("p"))
         .distinct()
-      val shared = passages.groupBy($"p").agg(count(lit(1)).as("nd"))
-        .filter($"nd" >= 2).select($"p", lit(true).as("dup"))
-      passages.join(shared, Seq("p"), "left")
+        .withColumn("nd", count(lit(1)).over(w))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_passages"),
-          sum(when($"dup", 1L).otherwise(0L)).as("n_dup_passages"))
+          sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_dup_passages"))
         .orderBy($"doc_id")
     },
     Some("""
