@@ -903,6 +903,62 @@ object TextQueries {
       GROUP BY passages.doc_id
       ORDER BY doc_id"""))
 
+  /** Document-BOUNDARY-respecting sequence packing — the [[txPack]]
+    * variant where no document is ever split: per-shard NEXT-FIT, docs in
+    * doc_id order go whole into the current 512-token pack and a doc that
+    * doesn't fit starts the next one (docs at/over capacity get a pack of
+    * their own). Packing is inherently a sequential prefix scan, so the
+    * scalable unit is the SHARD — (lang, doc_id div 100000) — each shard
+    * folds independently via `flatMapSortedGroups` (Spark's spillable
+    * sort feeds doc_id order, the fold is O(1) state; the sessionize
+    * shape), and pack ids are per-shard. The capacity residue at shard
+    * boundaries is the standard accepted tradeoff. The oracle replays
+    * the identical next-fit as a recursive CTE per shard (DuckDB `//`
+    * floors = Spark `div` on these non-negative ids). */
+  val txPackDocs = GraftQuery(
+    "tx_pack_docs",
+    (s, dir) => {
+      import s.implicits._
+      val cap = 512L
+      val toks = docs(s, dir)
+        .select($"doc_id", $"lang",
+          least(lit(cap), size(split($"text", " ")).cast(LongType)).as("len"))
+        .as[(Long, String, Long)]
+      toks.groupByKey { case (docId, lang, _) => (lang, docId / 100000L) }
+        .flatMapSortedGroups(col("doc_id")) { (key, it) =>
+          var pack = 0L
+          var used = 0L
+          it.map { case (docId, lang, len) =>
+            if (used > 0 && used + len > cap) { pack += 1; used = 0L }
+            used += len
+            (docId, lang, key._2, len, pack, used)
+          }
+        }
+        .toDF("doc_id", "lang", "shard", "len", "pack_id", "used_after")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT doc_id, lang, doc_id // 100000 AS shard,
+               CAST(LEAST(512, LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS len,
+               ROW_NUMBER() OVER (PARTITION BY lang, doc_id // 100000
+                                  ORDER BY doc_id) AS rn
+        FROM documents),
+      packed(lang, shard, rn, doc_id, len, pack_id, used_after) AS (
+        SELECT lang, shard, rn, doc_id, len, CAST(0 AS BIGINT), len
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.lang, d.shard, d.rn, d.doc_id, d.len,
+               CASE WHEN p.used_after + d.len > 512 THEN p.pack_id + 1
+                    ELSE p.pack_id END,
+               CASE WHEN p.used_after + d.len > 512 THEN d.len
+                    ELSE p.used_after + d.len END
+        FROM packed p
+        JOIN d ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1)
+      SELECT doc_id, lang, shard, len, pack_id, used_after
+      FROM packed
+      ORDER BY doc_id"""))
+
   /** Per-document top terms by df-scaled term weight — the tf-idf family
     * member expressible in EXACTLY-ROUNDED IEEE ops only (`tf × (N ÷ df)`;
     * a log-smoothed idf would hash-diverge from the oracle because libm
@@ -1166,5 +1222,6 @@ object TextQueries {
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
     txTrainSplit, txMixtureWeights, txCorpusReport, txPack,
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
-    ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddSubdocDedup, txBpeTokens)
+    ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddSubdocDedup, txBpeTokens,
+    txPackDocs)
 }
