@@ -150,7 +150,23 @@ final class PcapPartitionReader(
   // reuse the row object itself. Non-ASCII falls back to the allocating
   // path.
   private val strBufs = new Array[Array[Byte]](fieldNames.length)
+  // Identity memo per column slot: dissectors return MAP-CONSTANT String
+  // instances for the common renderings (FIX msg names, TCP flag combos),
+  // and captures carry long runs of the same one ("ExecutionReport" is
+  // 87% of a FIX capture). On the second consecutive `eq`-identical value
+  // the slot pins ONE stable UTF8String and every further row in the run
+  // returns it — no copy, no encode. Varying strings (the TCP default
+  // info) miss the `eq` check and take the reused-buffer path below.
+  private val lastStrs = new Array[String](fieldNames.length)
+  private val lastU8s = new Array[UTF8String](fieldNames.length)
   private def reusedUtf8(i: Int, s: String): UTF8String = {
+    if (s eq lastStrs(i)) {
+      var u = lastU8s(i)
+      if (u == null) { u = UTF8String.fromString(s); lastU8s(i) = u }
+      return u
+    }
+    lastStrs(i) = s
+    lastU8s(i) = null
     val n = s.length
     var buf = strBufs(i)
     if (buf == null || buf.length < n) {
