@@ -199,4 +199,20 @@ class TextDedupSpec extends SparkSpec {
         ((r.getAs[Long]("n_passages"), r.getAs[Long]("n_dup_passages")))).toMap
     assert(rows === Map(0L -> ((2L, 1L)), 1L -> ((2L, 1L)), 2L -> ((1L, 0L))))
   }
+
+  test("boundary packing: next-fit keeps docs whole and respects the 512 capacity") {
+    def doc(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    // lens 500, 10, 500, 600(capped to 512) → packs [500+10], [500], [512]
+    val dir = writeDocs(Seq(
+      (0L, doc(500)), (1L, doc(10)), (2L, doc(500)), (3L, doc(600))))
+    val rows = TextQueries.txPackDocs.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("len"), r.getAs[Long]("pack_id"), r.getAs[Long]("used_after"))))
+      .toMap
+    assert(rows === Map(
+      0L -> ((500L, 0L, 500L)),
+      1L -> ((10L, 0L, 510L)),
+      2L -> ((500L, 1L, 500L)),
+      3L -> ((512L, 2L, 512L))))
+  }
 }
