@@ -236,6 +236,14 @@ object Dissect {
     // set once a "101 Switching Protocols" + "Upgrade: websocket" response
     // is seen; later segments in BOTH directions dissect as ws frames
     var wsUpgraded = false
+    // Kafka request/response correlation: correlation id → (api key,
+    // api version) of the pending request, LRU-bounded so a capture that
+    // never sees responses cannot grow the map unboundedly
+    lazy val kafkaReqs: java.util.LinkedHashMap[Long, (Int, Int)] =
+      new java.util.LinkedHashMap[Long, (Int, Int)](16, 0.75f, false) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Long, (Int, Int)]): Boolean = size > 64
+      }
     var firstTsMicros = -1L
     var prevTsMicros = -1L
     def scalingActive: Boolean = wsShift(0) >= 0 && wsShift(1) >= 0
@@ -1663,7 +1671,8 @@ object Dissect {
       if (appInfo == null && !h2Claimed && (sp == 6379 || dp == 6379))
         appInfo = dissectRedis(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 9092 || dp == 9092))
-        appInfo = dissectKafka(appBuf, appOff, appLen, fromServer = sp == 9092, v, protos)
+        appInfo = dissectKafka(appBuf, appOff, appLen, fromServer = sp == 9092,
+          conv, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 9042 || dp == 9042))
         appInfo = dissectCql(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 11211 || dp == 11211))
@@ -3123,6 +3132,17 @@ object Dissect {
             if (sr != null) return sr
           }
         }
+        if (op == 4) { // searchResEntry: objectName LDAPDN leads the body
+          val (el, ec) = berLen(d, opAt + 1, end)
+          if (el >= 0 && ec < end && u8(d, ec) == 0x04) {
+            val (dl, dc) = berLen(d, ec + 1, end)
+            if (dl >= 0 && dc + dl <= end) {
+              val dn = new String(d, dc, dl, "UTF-8")
+              v("ldap.objectName") = dn
+              return s"searchResEntry($msgId) \"$dn\""
+            }
+          }
+        }
         s"$nm($msgId)"
     }
   }
@@ -4360,6 +4380,7 @@ object Dissect {
     * messages are tshark territory. */
   private def dissectKafka(
       d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      conv: TcpConv,
       v: FieldVec,
       protos: mutable.ArrayBuffer[String]): String = {
     if (len < 8) return null
@@ -4372,19 +4393,29 @@ object Dissect {
       val name = kafkaApiNames.getOrElse(apiKey, return null)
       if (apiVer > 20) return null
       protos += "kafka"
+      val corr = u32(d, off + 8)
       v("kafka.len") = size
       v("kafka.request_key") = apiKey.toLong
       v("kafka.request_api_version") = apiVer.toLong
-      v("kafka.correlation_id") = u32(d, off + 8)
+      v("kafka.correlation_id") = corr
       val cidLen = u16(d, off + 12)
       if (cidLen != 0xffff && off + 14 + cidLen <= off + len)
         v("kafka.client_id") = new String(d, off + 14, cidLen, "UTF-8")
+      conv.kafkaReqs.put(corr, (apiKey, apiVer))
       s"Kafka $name v$apiVer Request"
     } else {
       protos += "kafka"
+      val corr = u32(d, off + 4)
       v("kafka.len") = size
-      v("kafka.correlation_id") = u32(d, off + 4)
-      s"Kafka Response (CorrId=${u32(d, off + 4)})"
+      v("kafka.correlation_id") = corr
+      // correlate with the pending request (Wireshark matches the same
+      // way): the response then carries the api key/version it answers
+      val req = conv.kafkaReqs.remove(corr)
+      if (req != null) {
+        v("kafka.request_key") = req._1.toLong
+        v("kafka.request_api_version") = req._2.toLong
+        s"Kafka ${kafkaApiNames.getOrElse(req._1, s"Api${req._1}")} v${req._2} Response"
+      } else s"Kafka Response (CorrId=$corr)"
     }
   }
 

@@ -830,4 +830,9 @@ mc_set = b"set session:42 0 300 5\r\nhello\r\n"
 extra.append((t3, 12000, ip_frame(6, A, B, tcp(54200, 11211, 1, mc_set), ident=156)))
 extra.append((t3, 12100, ip_frame(6, B, A, tcp(11211, 54200, 1, b"STORED\r\n"), ident=157)))
 
+# 124: LDAP searchResEntry carrying the result DN
+sre = ber(0x30, ber(0x02, bytes([2])) +
+          ber(0x64, ber(0x04, b"cn=alice,dc=example,dc=com") + ber(0x30, b"")))
+extra.append((t3, 12200, ip_frame(6, B, A, tcp(389, 53950, 1, sre), ident=158)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
