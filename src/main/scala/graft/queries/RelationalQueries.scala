@@ -1020,6 +1020,37 @@ object RelationalQueries {
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
 
+  /** UNPIVOT (melt) — the inverse of q30's pivot: wide measure columns
+    * into (measure, value) rows via Spark's native `unpivot` (an Expand
+    * node — one pass, no join, 4× row fan-out). Measure NAMES become
+    * data, so both engines emit identical strings; values stay the
+    * untouched doubles. */
+  val q45Unpivot = GraftQuery(
+    "q45_unpivot",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_orderkey" <= 100)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax")
+        .unpivot(
+          Array($"l_orderkey", $"l_linenumber"),
+          Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+          "measure", "value")
+        .orderBy($"l_orderkey", $"l_linenumber", $"measure", $"value")
+    },
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    // `value` completes the total order (residual ties are identical rows)
+    Some("""
+      SELECT l_orderkey, l_linenumber, measure, value
+      FROM (
+        UNPIVOT (SELECT l_orderkey, l_linenumber,
+                        l_quantity, l_extendedprice, l_discount, l_tax
+                 FROM lineitem WHERE l_orderkey <= 100)
+        ON l_quantity, l_extendedprice, l_discount, l_tax
+        INTO NAME measure VALUE value)
+      ORDER BY l_orderkey, l_linenumber, measure, value"""))
+
   /** Bucketed co-located join — the shuffle-free join shape bucketing
     * buys at 100 TB: both sides written ONCE as catalog tables bucketed
     * on the join key (8 buckets each), then joined with NO Exchange on
@@ -1075,5 +1106,5 @@ object RelationalQueries {
     q35SaltedAgg, q36TopkAggregator, q37GroupingSets, q38WindowRangeFrame,
     q38bWindowRangeBySupp, q39Percentiles, q39bApproxPercentiles,
     q40WindowDistribution, q41MultiDistinct, q42AsofJoin, q43PartitionedRw,
-    q44BucketedJoin)
+    q44BucketedJoin, q45Unpivot)
 }
