@@ -1051,6 +1051,40 @@ object RelationalQueries {
         INTO NAME measure VALUE value)
       ORDER BY l_orderkey, l_linenumber, measure, value"""))
 
+  /** Recursive CTE (Spark 4.1 `WITH RECURSIVE`): the date-spine pattern —
+    * a generated month series LEFT-joined to facts so empty months
+    * surface as zero rows (a plain GROUP BY silently drops them). The
+    * recursion is a 48-step integer series (driver-trivial, no data
+    * motion); the join and aggregate stay distributed. Integer month
+    * keys sidestep date-interval type drift between engines. */
+  val q46RecursiveSpine = GraftQuery(
+    "q46_recursive_spine",
+    (s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        WITH RECURSIVE months(ym) AS (
+          SELECT 199501
+          UNION ALL
+          SELECT CASE WHEN ym % 100 = 12 THEN ym + 89 ELSE ym + 1 END
+          FROM months WHERE ym < 199812)
+        SELECT ym, COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders
+          ON (YEAR(o_orderdate) * 100 + MONTH(o_orderdate)) = ym
+        GROUP BY ym
+        ORDER BY ym""")
+    },
+    Some("""
+      WITH RECURSIVE months(ym) AS (
+        SELECT 199501
+        UNION ALL
+        SELECT CASE WHEN ym % 100 = 12 THEN ym + 89 ELSE ym + 1 END
+        FROM months WHERE ym < 199812)
+      SELECT ym, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+      FROM months LEFT JOIN orders
+        ON (YEAR(o_orderdate) * 100 + MONTH(o_orderdate)) = ym
+      GROUP BY ym
+      ORDER BY ym"""))
+
   /** Bucketed co-located join — the shuffle-free join shape bucketing
     * buys at 100 TB: both sides written ONCE as catalog tables bucketed
     * on the join key (8 buckets each), then joined with NO Exchange on
@@ -1106,5 +1140,5 @@ object RelationalQueries {
     q35SaltedAgg, q36TopkAggregator, q37GroupingSets, q38WindowRangeFrame,
     q38bWindowRangeBySupp, q39Percentiles, q39bApproxPercentiles,
     q40WindowDistribution, q41MultiDistinct, q42AsofJoin, q43PartitionedRw,
-    q44BucketedJoin, q45Unpivot)
+    q44BucketedJoin, q45Unpivot, q46RecursiveSpine)
 }
