@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.api.{GraftQuery, Tables}
 import graft.streaming.EventPipeline
 
@@ -164,7 +166,46 @@ object StreamingQueries {
       GROUP BY 1, 2, 3
       ORDER BY p.user_id, purchase_id"""))
 
+  /** Spark's NATIVE `session_window` operator (the built-in the custom
+    * [[EventPipeline.sessionize]] generalizes): gap-merged session
+    * aggregation, batch twin of the streaming form. Boundary semantics —
+    * an event exactly `gap` after the last one starts a NEW session
+    * (merge requires ts < session end), so the oracle's island break is
+    * `>= gap`, not `>`. Unlike st_sessionize no trailing-session
+    * exclusion applies: batch closes every session. */
+  val stSessionWindow = GraftQuery(
+    "st_session_window",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", $"sw.start".as("session_start"),
+          $"sw.end".as("session_end"), $"n_events")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      l AS (
+        SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM e),
+      f AS (
+        SELECT *, CASE WHEN prev IS NULL
+                         OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+                       THEN 1 ELSE 0 END AS is_start
+        FROM l),
+      g AS (
+        SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+        FROM f)
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM g GROUP BY user_id, sess
+      ORDER BY user_id, session_start"""))
+
   val all: Seq[GraftQuery] =
     Seq(stSessionize, stWindowedCounts, stDistinctUsers, stSlidingRates,
-      stDedup, stIntervalJoin)
+      stDedup, stIntervalJoin, stSessionWindow)
 }
