@@ -48,6 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "vector_dot(a, b) takes exactly 2 arguments")
         graft.functions.VectorDot(args.head, args(1))
       }))
+    ext.injectOptimizerRule(_ => graft.plans.SimJoinBandRewrite)
     ext.injectFunction((
       FunctionIdentifier("pq_adc_score"),
       new ExpressionInfo(classOf[graft.functions.PqAdcScore].getName, "pq_adc_score"),

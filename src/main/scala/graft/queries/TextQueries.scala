@@ -655,6 +655,52 @@ object TextQueries {
       ORDER BY doc_a, doc_b"""
     })
 
+  /** The SAME near-dup pairing as [[ddSimhashPairs]] written as the NAIVE
+    * O(n²) hamming join — and executed as a banded equi-join anyway,
+    * because the [[graft.plans.SimJoinBandRewrite]] optimizer rule
+    * recognizes `hamming_distance(a, b) <= 3` with no other cross-side
+    * equality and auto-pigeonholes it (attached to any session via
+    * `spark.experimental.extraOptimizations`; PlanShapeSpec pins that no
+    * cartesian/nested-loop join survives). This is what a USER gets to
+    * write at 100 TB while still getting the scalable plan. */
+  val ddSimjoinAuto = GraftQuery(
+    "dd_simjoin_auto",
+    (s, dir) => {
+      import s.implicits._
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "hamming_distance",
+        exprs => graft.functions.HammingDistance(exprs.head, exprs(1)),
+        "built-in")
+      if (!s.experimental.extraOptimizations.contains(graft.plans.SimJoinBandRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.SimJoinBandRewrite
+      val sim = ddSimhash.fn(s, dir).select($"doc_id", $"simhash64")
+      sim.as("a").join(sim.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          expr("hamming_distance(a.simhash64, b.simhash64) <= 3"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("hamming_distance(a.simhash64, b.simhash64)").as("dist"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some {
+      val chunks = (0 until 4).map(k => s"${h16SqlAt("m", 1 + 4 * k)} AS h$k").mkString(", ")
+      val bitSums = (0 until 64).map(b => bitSumSql(b, "//")).mkString(", ")
+      val blockDist = (0 until 4).map(k =>
+        s"BIT_COUNT(XOR((a.simhash64 >> ${16 * k}) & 65535, (b.simhash64 >> ${16 * k}) & 65535))")
+        .mkString(" + ")
+      s"""
+      WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+      h AS (SELECT doc_id, $chunks
+            FROM (SELECT doc_id, MD5(w) AS m FROM tok WHERE w <> '')),
+      g AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+      sim AS (SELECT doc_id, CAST($simFromVotesSql AS BIGINT) AS simhash64 FROM g)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST($blockDist AS BIGINT) AS dist
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      WHERE $blockDist <= 3
+      ORDER BY doc_a, doc_b"""
+    })
+
   /** Gopher-style composite document gate (Rae et al. 2021 §A1.1 shape):
     * word-count bounds, mean word length, symbol-token ratio, stopword
     * presence, duplicate-line fraction, and top-token fraction folded
@@ -1222,6 +1268,6 @@ object TextQueries {
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
     txTrainSplit, txMixtureWeights, txCorpusReport, txPack,
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
-    ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddSubdocDedup, txBpeTokens,
-    txPackDocs)
+    ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddSubdocDedup, ddSimjoinAuto,
+    txBpeTokens, txPackDocs)
 }

@@ -73,6 +73,14 @@ class PlanShapeSpec extends SparkSpec {
       "the priority filter must prune partitions at the scan, not post-filter")
   }
 
+  test("SimJoinBandRewrite turns the naive hamming join into a banded equi-join") {
+    val p = plan("dd_simjoin_auto")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the hamming_distance<=k join must be auto-banded, never O(n²)")
+    assert(p.contains("Generate"),
+      "the pigeonhole band explode must appear in the plan")
+  }
+
   test("q44 bucketed join reads co-located buckets with no join-key shuffle") {
     val p = plan("q44_bucketed_join")
     assert(p.contains("SortMergeJoin"),

@@ -200,6 +200,41 @@ class TextDedupSpec extends SparkSpec {
     assert(rows === Map(0L -> ((2L, 1L)), 1L -> ((2L, 1L)), 2L -> ((1L, 0L))))
   }
 
+  test("SimJoinBandRewrite: banded plan returns exactly the brute-force pair set") {
+    import spark.implicits._
+    // signatures engineered so distances straddle the threshold, including
+    // a pair differing in all four bands (never band-equal → must be out)
+    val sigs = Seq(
+      1L -> 0x0000000000000000L,
+      2L -> 0x0000000000000007L, // dist 3 from #1 — in
+      3L -> 0x000000000000000FL, // dist 4 from #1 — out; dist 1 from #2? (0x7^0xF=0x8) dist 1 — in
+      4L -> 0x1111111111110000L, // far from all
+      5L -> 0x1111111111110001L) // dist 1 from #4 — in
+      .toDF("id", "sig")
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.SimJoinBandRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SimJoinBandRewrite
+    val got = sigs.as("a").join(sigs.as("b"),
+      col("a.id") < col("b.id") &&
+        expr("hamming_distance(a.sig, b.sig) <= 3"))
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, sa) <- raw; (ib, sb) <- raw
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got === want)
+    // multiset semantics: duplicated input rows multiply pairs, no dedup loss
+    val dup = sigs.union(sigs.filter($"id" === 1L))
+    val n = dup.as("a").join(dup.as("b"),
+      col("a.id") < col("b.id") && expr("hamming_distance(a.sig, b.sig) <= 3"))
+      .count()
+    // pair (1,2) now appears twice (two copies of id 1), (1,3) absent (dist 4)
+    val wantDup = want.size + 1
+    assert(n === wantDup)
+  }
+
   test("boundary packing: next-fit keeps docs whole and respects the 512 capacity") {
     def doc(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
     // lens 500, 10, 500, 600(capped to 512) → packs [500+10], [500], [512]
