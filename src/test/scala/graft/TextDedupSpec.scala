@@ -233,6 +233,17 @@ class TextDedupSpec extends SparkSpec {
     // pair (1,2) now appears twice (two copies of id 1), (1,3) absent (dist 4)
     val wantDup = want.size + 1
     assert(n === wantDup)
+    // wider threshold (k=7 → 8 variable-width bands): still exact
+    val got7 = sigs.as("a").join(sigs.as("b"),
+      col("a.id") < col("b.id") &&
+        expr("hamming_distance(a.sig, b.sig) <= 7"))
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want7 = (for {
+      (ia, sa) <- raw; (ib, sb) <- raw
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 7
+    } yield (ia, ib)).toSet
+    assert(got7 === want7)
   }
 
   test("boundary packing: next-fit keeps docs whole and respects the 512 capacity") {
