@@ -674,7 +674,9 @@ object TextQueries {
       if (!s.experimental.extraOptimizations.contains(graft.plans.SimJoinBandRewrite))
         s.experimental.extraOptimizations =
           s.experimental.extraOptimizations :+ graft.plans.SimJoinBandRewrite
-      val sim = ddSimhash.fn(s, dir).select($"doc_id", $"simhash64")
+      // cache the tiny signature frame (the dd_simhash_pairs pattern) so
+      // the md5 signature pipeline runs once, not once per join side
+      val sim = ddSimhash.fn(s, dir).select($"doc_id", $"simhash64").cache()
       sim.as("a").join(sim.as("b"),
         col("a.doc_id") < col("b.doc_id") &&
           expr("hamming_distance(a.simhash64, b.simhash64) <= 3"))
