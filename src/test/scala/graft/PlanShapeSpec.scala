@@ -91,6 +91,38 @@ class PlanShapeSpec extends SparkSpec {
         "of the bucketed write is a shuffle-free join")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // q35 demonstrates MANUAL salting; this pins the RUNTIME path — AQE
+    // re-plans the oversized partition into splits without query changes.
+    // Thresholds are lowered so test-scale data crosses them; every conf
+    // is restored afterwards.
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val old = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20000")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20000")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(200000).select(
+        when($"id" % 10 === 0, lit(1L)).otherwise($"id").as("k"),
+        concat(lit("x"), $"id").as("pad"))
+      val right = spark.range(5000).select($"id".as("k"), lit("r").as("v"))
+      val j = left.join(right, "k")
+      assert(j.collect().length === 24500)
+      val p = j.queryExecution.executedPlan.toString()
+      assert(p.contains("skew=true"),
+        "the hot key's partition must be split by the AQE skew-join rule")
+    } finally old.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("join/topk/pushdown staples keep their shapes") {
     val p5 = plan("q05_join_topk")
     assert(p5.contains("BroadcastHashJoin"))
