@@ -192,4 +192,13 @@ object AnnIndexes {
     getOrFit(spark, s"opq:$dir:$m:$k") {
       Pq.fit(spark, rotatedEmbeddings(spark, dir), m = m, k = k)
     }
+
+  /** IVF coarse quantizer fitted in the OPQ-rotated space — pairs with
+    * [[opqPq]] for the full OPQ + IVF-PQ composition. */
+  def opqIvf(spark: SparkSession, dir: String, k: Int = 16): Ivf.Index = {
+    val cents = getOrFit(spark, s"opqivf:$dir:$k") {
+      Ivf.build(spark, rotatedEmbeddings(spark, dir), k = k).centroids
+    }
+    Ivf.fromCentroids(cents, rotatedEmbeddings(spark, dir))
+  }
 }

@@ -291,23 +291,25 @@ object AnnOracles {
   }
 
   /** Oracle for `sim_ann_ivfpq`: IVF cell assignment + probe ranking bound
-    * the candidate set; ADC scores only probed cells' codes; exact rerank. */
+    * the candidate set; ADC scores only probed cells' codes; exact rerank.
+    * `emb`/`pre` parametrize the corpus relation (the OPQ rotation CTE). */
   def ivfPqSql(cents: Array[Array[Double]], cb: Pq.Codebook,
-      topK: Int, nProbe: Int, rerank: Int, maxQ: Int): String = {
+      topK: Int, nProbe: Int, rerank: Int, maxQ: Int,
+      emb: String = "embeddings", pre: String = ""): String = {
     val dim = cents(0).length
     s"""
-      WITH cents(cell, centroid, cn2, cnorm) AS (VALUES
+      WITH ${pre}cents(cell, centroid, cn2, cnorm) AS (VALUES
   ${centsValues(cents)}),
       cellscore AS (
         SELECT e.vec_id, c.cell,
                c.cn2 - 2.0 * (${dot("e.embedding", "c.centroid", dim)}) AS score
-        FROM embeddings e CROSS JOIN cents c),
+        FROM $emb e CROSS JOIN cents c),
       cells AS (
         SELECT vec_id, cell FROM (
           SELECT vec_id, cell,
                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS crn
           FROM cellscore) WHERE crn = 1),
-      ${pqCodesAndLuts(cb, maxQ).trim},
+      ${pqCodesAndLuts(cb, maxQ, emb).trim},
       probes AS (
         SELECT query_id, cell FROM (
           SELECT q.query_id, c.cell,
@@ -326,6 +328,12 @@ object AnnOracles {
         JOIN lut l ON l.query_id = p.query_id
         JOIN qn n ON n.query_id = p.query_id
         CROSS JOIN nl),
-      ${rerankTail(cb, topK, rerank).trim}"""
+      ${rerankTail(cb, topK, rerank, emb).trim}"""
   }
+
+  /** Oracle for `sim_ann_opq_ivfpq`: [[ivfPqSql]] over the rotated corpus. */
+  def opqIvfPqSql(dim: Int, cents: Array[Array[Double]], cb: Pq.Codebook,
+      topK: Int, nProbe: Int, rerank: Int, maxQ: Int): String =
+    ivfPqSql(cents, cb, topK, nProbe, rerank, maxQ,
+      emb = "rot", pre = rotCte(dim) + ",\n      ")
 }

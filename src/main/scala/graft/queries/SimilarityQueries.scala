@@ -350,6 +350,30 @@ object SimilarityQueries {
       graft.functions.AnnIndexes.opqPq(s, dir, m = 8, k = 16),
       topK = 5, rerank = 50, maxQ = 5)))
 
+  /** The full OPQ composition: signed-permutation rotation → IVF coarse
+    * cells → PQ codes, all fitted in rotated space — [[simAnnIvfPq]]'s
+    * planet-scale shape with the OPQ decorrelation in front. The
+    * generated oracle replays rotation, cells, codes, ADC, and rerank
+    * bit-exactly over the rotated CTE. */
+  val simAnnOpqIvfPq = GraftQuery(
+    "sim_ann_opq_ivfpq",
+    (s, dir) => {
+      import s.implicits._
+      val rot = graft.functions.AnnIndexes.rotatedEmbeddings(s, dir)
+      val index = graft.functions.AnnIndexes.opqIvf(s, dir, k = 16)
+      val cb = graft.functions.AnnIndexes.opqPq(s, dir, m = 8, k = 16)
+      val encoded = graft.functions.Pq.encode(index.assigned, cb)
+      val queries = rot.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      graft.functions.Pq.searchIvfPq(encoded, cb, index, queries,
+        topK = 5, nProbe = 4)
+        .filter($"query_id" =!= $"vec_id")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.opqIvfPqSql(dim,
+      graft.functions.AnnIndexes.opqIvf(s, dir, k = 16).centroids,
+      graft.functions.AnnIndexes.opqPq(s, dir, m = 8, k = 16),
+      topK = 5, nProbe = 4, rerank = 50, maxQ = 5)))
+
   /** The int8 search counterpart of [[simQuantizeInt8]]: asymmetric ADC —
     * the CORPUS is scored from its dequantized int8 codes (what a serving
     * tier keeps in RAM at 4× compression), queries stay exact floats.
@@ -530,6 +554,7 @@ object SimilarityQueries {
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfPersisted,
       simAnnRange, simAnnIvfBatch, simAnnPq, simAnnPqRange, simAnnIvfPq,
-      simAnnIvfPqPersisted, simAnnOpq, simAnnInt8, simAnnInt8Persisted,
-      simQuantizeInt8, simIvfCellStats, ddEmbeddingNeardup)
+      simAnnIvfPqPersisted, simAnnOpq, simAnnOpqIvfPq, simAnnInt8,
+      simAnnInt8Persisted, simQuantizeInt8, simIvfCellStats,
+      ddEmbeddingNeardup)
 }
