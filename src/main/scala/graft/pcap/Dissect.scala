@@ -1474,19 +1474,48 @@ object Dissect {
       // desegment only the header's fields surface (no payload text).
       if (appInfo == null && !h2Claimed && conv.wsUpgraded) {
         if (tracker.desegment) {
+          // Like the MQTT multi-PDU path: every frame COMPLETED by this
+          // run dissects, and only the trailing partial frame carries
+          // (kind 7) to the completing segment.
           val wsCarry = conv.carryKind(dir) == 7 && conv.carry(dir).nonEmpty
           val seg = java.util.Arrays.copyOfRange(appBuf, appOff, appOff + appLen)
           val buf = if (wsCarry) conv.carry(dir) ++ seg else seg
-          val need = wsFrameLen(buf, 0, buf.length)
-          if (need > 0 && buf.length >= need) {
-            conv.carry(dir) = Array.emptyByteArray
-            conv.carryKind(dir) = 0
-            appInfo = dissectWebsocket(buf, 0, buf.length, v, protos)
-          } else if (need != 0 && buf.length <= MaxCarry) {
-            // incomplete frame (or incomplete header): wait for more
-            conv.carry(dir) = buf
-            conv.carryKind(dir) = 7
-            appInfo = "[TCP segment of a reassembled PDU]"
+          val infos = mutable.ArrayBuffer.empty[String]
+          var i = 0
+          var lastNeed = 0L
+          var stop = false
+          var bad = false
+          while (!stop) {
+            lastNeed = wsFrameLen(buf, i, buf.length - i)
+            if (lastNeed > 0 && buf.length - i >= lastNeed) {
+              val r = dissectWebsocket(buf, i, lastNeed.toInt, v, protos)
+              if (r == null) { stop = true; bad = infos.isEmpty && !wsCarry }
+              else { infos += r; i += lastNeed.toInt }
+            } else if (lastNeed == 0) {
+              stop = true; bad = infos.isEmpty && !wsCarry
+            } else {
+              stop = true // incomplete header or partial frame: wait
+            }
+          }
+          if (!bad) {
+            val rest = buf.length - i
+            if (rest > 0 && rest <= MaxCarry && lastNeed != 0) {
+              conv.carry(dir) = java.util.Arrays.copyOfRange(buf, i, buf.length)
+              conv.carryKind(dir) = 7
+            } else if (conv.carryKind(dir) == 7) {
+              conv.carry(dir) = Array.emptyByteArray
+              conv.carryKind(dir) = 0
+            }
+            if (infos.nonEmpty) {
+              // One "websocket" layer appended per frame; collapse only
+              // the trailing run (as the MQTT loop does).
+              while (protos.length >= 2 && protos.last == "websocket" &&
+                     protos(protos.length - 2) == "websocket")
+                protos.remove(protos.length - 1)
+              appInfo = infos.mkString(", ")
+            } else if (conv.carryKind(dir) == 7 && conv.carry(dir).nonEmpty) {
+              appInfo = "[TCP segment of a reassembled PDU]"
+            }
           } else {
             conv.carry(dir) = Array.emptyByteArray
             conv.carryKind(dir) = 0
@@ -3528,6 +3557,10 @@ object Dissect {
     } else if (plen == 127) {
       if (len < 10) return -1
       plen = (u32(d, off + 2) << 32) | u32(d, off + 6); hdr = 10
+      // A 64-bit length that is negative (>= 2^63) or beyond what this
+      // engine would ever reassemble is a malformed/not-ws frame, not a
+      // carry-forever sink (and hdr + plen must not wrap).
+      if (plen < 0 || plen > MaxCarry) return 0
     }
     if ((b1 & 0x80) != 0) hdr += 4
     hdr + plen

@@ -50,7 +50,12 @@ object SimJoinBandRewrite extends Rule[LogicalPlan] {
   }
 
   private def bandExpr(sig: Expression, off: Int, width: Int): Expression =
-    BitwiseAnd(ShiftRightUnsigned(sig, Literal(off)), Literal((1L << width) - 1))
+    // A full-width band (k = 0 ⇒ one 64-bit band) must not build its mask
+    // as (1L << 64) - 1: Scala shifts mod 64, so that mask is 0 and both
+    // band values would be the CONSTANT 0 — a single-reducer cross
+    // product. The unmasked shift IS the band value there.
+    if (width >= 64) ShiftRightUnsigned(sig, Literal(off))
+    else BitwiseAnd(ShiftRightUnsigned(sig, Literal(off)), Literal((1L << width) - 1))
 
   /** Index of the first agreeing band (defined whenever the hamming
     * predicate held — pigeonhole guarantees one exists). */

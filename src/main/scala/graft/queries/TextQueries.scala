@@ -55,8 +55,12 @@ object TextQueries {
           .cast(LongType).as("n_bpe_tokens"),
         size(regexp_extract_all($"text", lit(" ?[0-9]+"), lit(0)))
           .cast(LongType).as("n_number_tokens"),
+        // nullif guards the zero-token (empty doc) case: Spark's Divide
+        // returns NULL on /0 while DuckDB's IEEE mode returns inf/NaN —
+        // pinning the divisor to NULL makes both engines agree on NULL.
         (length($"text").cast(DoubleType) /
-          size(regexp_extract_all($"text", lit(pat), lit(0))).cast(DoubleType))
+          nullif(size(regexp_extract_all($"text", lit(pat), lit(0)))
+            .cast(DoubleType), lit(0.0d)))
           .as("chars_per_token"))
         .orderBy($"doc_id")
     },
@@ -67,7 +71,7 @@ object TextQueries {
              CAST(LEN(regexp_extract_all(text, ' ?[0-9]+')) AS BIGINT)
                AS n_number_tokens,
              CAST(LENGTH(text) AS DOUBLE)
-               / CAST(LEN(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS DOUBLE)
+               / NULLIF(CAST(LEN(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS DOUBLE), 0)
                AS chars_per_token
       FROM documents
       ORDER BY doc_id"""))

@@ -145,14 +145,16 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d.info === "Standard query 0x1234 A example.com")
   }
 
-  private def ethIpTcp(sp: Int, dp: Int, payload: Array[Byte], seq: Int = 1000): Array[Byte] = {
+  private def ethIpTcp(sp: Int, dp: Int, payload: Array[Byte], seq: Int = 1000,
+      rev: Boolean = false): Array[Byte] = {
     val b = java.nio.ByteBuffer.allocate(14 + 20 + 20 + payload.length)
     b.put(new Array[Byte](12)).putShort(0x0800.toShort) // eth
     val iplen = 20 + 20 + payload.length
     b.put(0x45.toByte).put(0.toByte).putShort(iplen.toShort)
       .putShort(1.toShort).putShort(0.toShort)
       .put(64.toByte).put(6.toByte).putShort(0.toShort)
-      .put(Array[Byte](10, 0, 0, 1)).put(Array[Byte](10, 0, 0, 2))
+    if (rev) b.put(Array[Byte](10, 0, 0, 2)).put(Array[Byte](10, 0, 0, 1))
+    else b.put(Array[Byte](10, 0, 0, 1)).put(Array[Byte](10, 0, 0, 2))
     b.putShort(sp.toShort).putShort(dp.toShort)
       .putInt(seq).putInt(0)
       .put((5 << 4).toByte).put(0x18.toByte) // hdr len 20, PSH+ACK
@@ -774,6 +776,60 @@ class PcapFormatSpec extends AnyFunSuite {
     val t3 = new Dissect.Tracker
     val d5 = Dissect.dissect(frame(p1, 1), 1, t3)
     assert(!d5.info.startsWith("Request:"))
+  }
+
+  test("WebSocket multi-frame segment: every completed frame dissects, tail carries") {
+    // server→client frames swap the IP pair (rev) so both directions
+    // belong to ONE conversation
+    def frame(b: Array[Byte], sp: Int, dp: Int, seq: Int) = {
+      val f = ethIpTcp(sp, dp, b, seq, rev = sp == 80)
+      PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    }
+    val upgrade = ("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n" +
+      "Connection: Upgrade\r\n\r\n").getBytes("ISO-8859-1")
+    val f1 = Array[Byte](0x81.toByte, 0x02, 'H', 'i') // unmasked Text "Hi"
+    val key = Array(0x11, 0x22, 0x33, 0x44)
+    val f2 = Array[Byte](0x81.toByte, 0x85.toByte) ++ key.map(_.toByte) ++
+      "World".getBytes("ISO-8859-1").zipWithIndex.map { case (c, i) =>
+        (c ^ key(i & 3)).toByte } // masked Text "World"
+
+    // Both complete frames in ONE segment: each dissects, info lists both,
+    // the protocol chain has a single websocket layer.
+    val t = new Dissect.Tracker(desegment = true)
+    Dissect.dissect(frame(upgrade, 80, 50100, 1), 1, t)
+    val d1 = Dissect.dissect(frame(f1 ++ f2, 50100, 80, 1), 1, t)
+    assert(d1.info === "WebSocket Text [FIN]: Hi, WebSocket Text [FIN]: World")
+    assert(d1.protocols === "eth:ethertype:ip:tcp:websocket")
+
+    // A complete frame PLUS the start of the next in one segment: the
+    // complete frame dissects now (previously the tail was discarded) and
+    // the partial frame completes on the next segment.
+    val t2 = new Dissect.Tracker(desegment = true)
+    Dissect.dissect(frame(upgrade, 80, 50101, 1), 1, t2)
+    val seg1 = f1 ++ f2.take(3)
+    val d2 = Dissect.dissect(frame(seg1, 50101, 80, 1), 1, t2)
+    assert(d2.info === "WebSocket Text [FIN]: Hi")
+    val d3 = Dissect.dissect(frame(f2.drop(3), 50101, 80, 1 + seg1.length), 1, t2)
+    assert(d3.info === "WebSocket Text [FIN]: World")
+    assert(d3.values("websocket.payload.text") === "World")
+  }
+
+  test("wsFrameLen rejects malformed 64-bit lengths instead of carrying forever") {
+    def frame(b: Array[Byte], sp: Int, dp: Int, seq: Int) = {
+      val f = ethIpTcp(sp, dp, b, seq, rev = sp == 80)
+      PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    }
+    val upgrade = ("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n" +
+      "Connection: Upgrade\r\n\r\n").getBytes("ISO-8859-1")
+    // 64-bit extended length with the top bit set (>= 2^63): must be
+    // treated as not-a-ws-frame (header-only dissect), not an
+    // accumulate-until-MaxCarry sink.
+    val evil = Array[Byte](0x81.toByte, 127.toByte) ++
+      Array[Byte](0x80.toByte, 0, 0, 0, 0, 0, 0, 1)
+    val t = new Dissect.Tracker(desegment = true)
+    Dissect.dissect(frame(upgrade, 80, 50102, 1), 1, t)
+    val d = Dissect.dissect(frame(evil, 50102, 80, 1), 1, t)
+    assert(d.info !== "[TCP segment of a reassembled PDU]")
   }
 
   test("desegment survives 32-bit sequence wraparound") {

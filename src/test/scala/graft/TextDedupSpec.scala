@@ -244,6 +244,19 @@ class TextDedupSpec extends SparkSpec {
       if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 7
     } yield (ia, ib)).toSet
     assert(got7 === want7)
+    // k=0 edge: one full-width 64-bit band. The mask (1L<<64)-1 wraps to 0
+    // in Scala, which would make both band values the CONSTANT 0 (a
+    // single-reducer cross product); the band must instead be the
+    // signature itself — a real equality join key.
+    val eq = Seq(1L -> 42L, 2L -> 42L, 3L -> 43L, 4L -> 42L).toDF("id", "sig")
+    val df0 = eq.as("a").join(eq.as("b"),
+      col("a.id") < col("b.id") && expr("hamming_distance(a.sig, b.sig) <= 0"))
+      .select(col("a.id"), col("b.id"))
+    val opt = df0.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("array(0)"),
+      s"k=0 band values folded to constant 0 — degenerate join keys:\n$opt")
+    val got0 = df0.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got0 === Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
   test("boundary packing: next-fit keeps docs whole and respects the 512 capacity") {
