@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -9,13 +11,23 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata alongside (driver-mandated
   * extension, SURVEY §7.6.5).
   *
-  * The Spark-side mechanics are real and tested — schema, per-partition
-  * batch processing (`mapPartitions` over a typed Dataset, the Scala
-  * analogue of `mapInPandas` batch shape), partition-friendly layout, no
-  * driver-side materialization. The codec step itself is STUBBED (this
-  * container has no image/audio libraries): [[Media.decodeStub]] derives
-  * deterministic fake dimensions from the payload digest, and marks where a
-  * real JPEG/PNG/WAV decoder plugs in.
+  * The pipeline is real end-to-end: [[synthesize]] builds WELL-FORMED
+  * container bytes (PNG with CRC'd chunks, JFIF JPEG with an SOF0 frame
+  * header, GIF89a, RIFF/WAVE PCM, RIFF/AVI with an `avih` main header)
+  * whose declared dimensions/duration derive deterministically from the
+  * document's md5, and [[decode]] recovers them by parsing the actual
+  * codec headers — PNG IHDR (ISO 15948 §11.2.2), JPEG SOF marker scan
+  * (ITU T.81 §B.2.2), GIF logical screen descriptor (GIF89a spec §18),
+  * WAV fmt/data chunk walk (RIFF spec), AVI `avih` AVIMAINHEADER. A
+  * payload with an unknown magic falls back to digest-derived metadata
+  * ([[digestMeta]]) — the documented boundary for codecs this container
+  * cannot parse. Because the oracle replays the GENERATION formulas while
+  * Spark replays the PARSERS, a hash-match proves the byte-level decode
+  * is correct.
+  *
+  * Spark-side mechanics: per-partition batch processing (`mapPartitions`
+  * over a typed Dataset, the Scala analogue of `mapInPandas`), lazy 1→N
+  * flatMap for frame sampling, no driver-side materialization.
   */
 object Media {
 
@@ -29,26 +41,261 @@ object Media {
       height: Long,
       duration_ms: Long)
 
-  /** Synthesize a binary media column from `documents` (deterministic:
-    * payload = UTF-8 text bytes, type round-robins by doc_id). In a real
-    * pipeline this column comes straight from parquet `binary` storage. */
-  def synthesize(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-      encode(col("text"), "UTF-8").as("payload"))
+  private def md5Hex(b: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
 
-  /** STUB — real implementation decodes the codec header (JPEG SOF / PNG
-    * IHDR / WAV fmt chunk). Here: deterministic pseudo-metadata from the
-    * md5 hex digest so the pipeline shape is testable end-to-end. */
-  def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
-    val hex = MessageDigest.getInstance("MD5").digest(payload)
-      .map("%02x".format(_)).mkString
+  private def crc32(b: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(b, off, len)
+    c.getValue.toInt
+  }
+
+  // ---- container builders (fixture synthesis; all fields real) ----
+
+  /** PNG: 8-byte signature, IHDR (13-byte payload + CRC32), one IDAT
+    * carrying the raw document bytes, IEND. Total = 57 + data.length. */
+  def pngBytes(w: Long, h: Long, data: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(57 + data.length) // big-endian (PNG network order)
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes(ISO_8859_1))
+    val ihdrType = bb.position() - 4
+    bb.putInt(w.toInt).putInt(h.toInt)
+      .put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.putInt(crc32(bb.array(), ihdrType, 4 + 13))
+    bb.putInt(data.length).put("IDAT".getBytes(ISO_8859_1))
+    val idatType = bb.position() - 4
+    bb.put(data)
+    bb.putInt(crc32(bb.array(), idatType, 4 + data.length))
+    bb.putInt(0).put("IEND".getBytes(ISO_8859_1))
+      .putInt(crc32("IEND".getBytes(ISO_8859_1), 0, 4))
+    bb.array()
+  }
+
+  /** JPEG: SOI, JFIF APP0, SOF0 (8-bit precision, 3 components), the raw
+    * document bytes as stand-in entropy data, EOI. Total = 41 + len. */
+  def jpegBytes(w: Long, h: Long, data: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(41 + data.length)
+    bb.putShort(0xFFD8.toShort) // SOI
+    bb.putShort(0xFFE0.toShort).putShort(16.toShort) // APP0 JFIF
+      .put("JFIF".getBytes(ISO_8859_1)).put(0.toByte)
+      .put(1.toByte).put(1.toByte) // version 1.1
+      .put(0.toByte) // density units
+      .putShort(1.toShort).putShort(1.toShort)
+      .put(0.toByte).put(0.toByte) // no thumbnail
+    bb.putShort(0xFFC0.toShort).putShort(17.toShort) // SOF0, len 2+6+3*3
+      .put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+    var c = 1
+    while (c <= 3) { bb.put(c.toByte).put(0x11.toByte).put(0.toByte); c += 1 }
+    bb.put(data)
+    bb.putShort(0xFFD9.toShort) // EOI
+    bb.array()
+  }
+
+  /** GIF89a: signature + logical screen descriptor (LE dimensions), raw
+    * document bytes, 0x3B trailer. Total = 14 + len. */
+  def gifBytes(w: Long, h: Long, data: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(14 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes(ISO_8859_1))
+    bb.putShort(w.toShort).putShort(h.toShort)
+    bb.put(0.toByte).put(0.toByte).put(0.toByte) // flags, bg color, aspect
+    bb.put(data)
+    bb.put(0x3b.toByte)
+    bb.array()
+  }
+
+  /** WAV: canonical 44-byte RIFF/WAVE header (PCM, mono, 8-bit, 1000 Hz ⇒
+    * byte rate 1000, so duration_ms == data length) + silence samples.
+    * Total = 44 + durMs. */
+  def wavBytes(durMs: Long): Array[Byte] = {
+    val n = durMs.toInt
+    val bb = ByteBuffer.allocate(44 + n).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(ISO_8859_1)).putInt(36 + n).put("WAVE".getBytes(ISO_8859_1))
+    bb.put("fmt ".getBytes(ISO_8859_1)).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort) // PCM, mono
+      .putInt(1000) // sample rate
+      .putInt(1000) // byte rate = rate * channels * bits/8
+      .putShort(1.toShort).putShort(8.toShort) // block align, bits/sample
+    bb.put("data".getBytes(ISO_8859_1)).putInt(n)
+    var i = 0
+    while (i < n) { bb.put(0x80.toByte); i += 1 } // 8-bit PCM midpoint
+    bb.array()
+  }
+
+  /** AVI: RIFF/AVI with a LIST/hdrl holding the 56-byte `avih`
+    * AVIMAINHEADER (µs-per-frame 1000 and durMs frames ⇒ duration durMs)
+    * and a LIST/movi carrying the raw document bytes as the stream
+    * essence. Total = 100 + len. */
+  def aviBytes(w: Long, h: Long, durMs: Long, data: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(100 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(ISO_8859_1)).putInt(92 + data.length).put("AVI ".getBytes(ISO_8859_1))
+    bb.put("LIST".getBytes(ISO_8859_1)).putInt(4 + 8 + 56).put("hdrl".getBytes(ISO_8859_1))
+    bb.put("avih".getBytes(ISO_8859_1)).putInt(56)
+    bb.putInt(1000) // dwMicroSecPerFrame
+    bb.putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+    bb.putInt(durMs.toInt) // dwTotalFrames
+    bb.putInt(0).putInt(1).putInt(0) // initialFrames, streams, suggestedBuffer
+    bb.putInt(w.toInt).putInt(h.toInt)
+    bb.putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+    bb.put("LIST".getBytes(ISO_8859_1)).putInt(4 + data.length).put("movi".getBytes(ISO_8859_1))
+    bb.put(data)
+    bb.array()
+  }
+
+  /** Synthesize a binary media column from `documents` — deterministic,
+    * REAL container formats: images rotate png/jpeg/gif by doc_id/3,
+    * audio is RIFF/WAVE, video is RIFF/AVI; every declared dimension /
+    * duration derives from the document md5 (which is what the DuckDB
+    * oracle replays). In a real pipeline this column comes straight from
+    * parquet `binary` storage. */
+  def synthesize(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val data = text.getBytes(UTF_8)
+      val hex = md5Hex(data)
+      val w = 1 + (hex(0).toLong * 256 + hex(1)) % 512
+      val h = 1 + (hex(2).toLong * 256 + hex(3)) % 512
+      val dur = hex(4).toLong * 256 + hex(5)
+      (id % 3) match {
+        case 0 =>
+          val payload = ((id / 3) % 3) match {
+            case 0 => pngBytes(w, h, data)
+            case 1 => jpegBytes(w, h, data)
+            case _ => gifBytes(w, h, data)
+          }
+          MediaRecord(id, "image", payload)
+        case 1 => MediaRecord(id, "audio", wavBytes(dur))
+        case _ => MediaRecord(id, "video", aviBytes(w, h, dur, data))
+      }
+    }.toDF()
+  }
+
+  /** Digest-derived pseudo-metadata — the fallback for payloads whose
+    * magic none of the header parsers recognize (codecs this container
+    * has no library for). Deterministic, documented boundary. */
+  def digestMeta(payload: Array[Byte]): (Long, Long, Long) = {
+    val hex = md5Hex(payload)
     val width = 1 + (hex(0).toLong * 256 + hex(1)) % 512
     val height = 1 + (hex(2).toLong * 256 + hex(3)) % 512
     val duration = hex(4).toLong * 256 + hex(5)
     (width, height, duration)
+  }
+
+  private def fourcc(d: Array[Byte], i: Int): String =
+    if (i + 4 <= d.length) new String(d, i, 4, ISO_8859_1) else ""
+
+  private def u16be(d: Array[Byte], i: Int): Int =
+    ((d(i) & 0xff) << 8) | (d(i + 1) & 0xff)
+  private def u32be(d: Array[Byte], i: Int): Long =
+    ((d(i) & 0xffL) << 24) | ((d(i + 1) & 0xffL) << 16) |
+      ((d(i + 2) & 0xffL) << 8) | (d(i + 3) & 0xffL)
+  private def u16le(d: Array[Byte], i: Int): Int =
+    (d(i) & 0xff) | ((d(i + 1) & 0xff) << 8)
+  private def u32le(d: Array[Byte], i: Int): Long =
+    (d(i) & 0xffL) | ((d(i + 1) & 0xffL) << 8) |
+      ((d(i + 2) & 0xffL) << 16) | ((d(i + 3) & 0xffL) << 24)
+
+  private val PngMagic =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Real header decode: (width, height, duration_ms). Images report
+    * duration 0, audio reports dimensions 0. Unknown magic falls back to
+    * [[digestMeta]]. Never throws on malformed input. */
+  def decode(payload: Array[Byte]): (Long, Long, Long) = {
+    val n = payload.length
+    // PNG: signature + first chunk must be IHDR (width/height BE u32)
+    if (n >= 24 && payload.startsWith(PngMagic) && fourcc(payload, 12) == "IHDR")
+      return (u32be(payload, 16), u32be(payload, 20), 0L)
+    // JPEG: marker scan for a start-of-frame segment
+    if (n >= 4 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) {
+      var p = 2
+      while (p + 4 <= n && (payload(p) & 0xff) == 0xff) {
+        val m = payload(p + 1) & 0xff
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) p += 2 // standalone
+        else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (p + 9 <= n)
+            return (u16be(payload, p + 7).toLong, u16be(payload, p + 5).toLong, 0L)
+          else return digestMeta(payload)
+        } else if (m == 0xda) p = n // SOS: entropy-coded data follows
+        else p += 2 + u16be(payload, p + 2)
+      }
+      return digestMeta(payload)
+    }
+    // GIF: logical screen descriptor (LE u16 dimensions at 6/8)
+    if (n >= 13 && (fourcc(payload, 0) + new String(payload, 4, 2, ISO_8859_1))
+        .matches("GIF8[79]a"))
+      return (u16le(payload, 6).toLong, u16le(payload, 8).toLong, 0L)
+    if (fourcc(payload, 0) == "RIFF" && n >= 12) {
+      val form = fourcc(payload, 8)
+      if (form == "WAVE") {
+        // chunk walk: fmt → byte rate; data → length; duration = len*1000/rate
+        var p = 12
+        var byteRate = 0L
+        var dataLen = -1L
+        while (p + 8 <= n) {
+          val id = fourcc(payload, p)
+          val size = u32le(payload, p + 4)
+          if (id == "fmt " && p + 16 <= n) byteRate = u32le(payload, p + 16)
+          if (id == "data") dataLen = size
+          // a declared size beyond the buffer is malformed: stop the walk
+          if (size > n) p = n
+          else p += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        }
+        if (byteRate > 0 && dataLen >= 0)
+          return (0L, 0L, dataLen * 1000L / byteRate)
+        return digestMeta(payload)
+      }
+      if (form == "AVI ") {
+        // LIST/hdrl → avih AVIMAINHEADER: µsPerFrame, ..., totalFrames at
+        // +16, width/height at +32/+36
+        var p = 12
+        while (p + 12 <= n) {
+          val id = fourcc(payload, p)
+          val size = u32le(payload, p + 4)
+          if (id == "LIST" && fourcc(payload, p + 8) == "hdrl") {
+            var q = p + 12
+            val listEnd = math.min(n.toLong, p + 8 + size).toInt
+            while (q + 8 <= listEnd) {
+              val cid = fourcc(payload, q)
+              val csize = u32le(payload, q + 4)
+              if (cid == "avih" && q + 8 + 40 <= n) {
+                val usPerFrame = u32le(payload, q + 8)
+                val totalFrames = u32le(payload, q + 8 + 16)
+                val w = u32le(payload, q + 8 + 32)
+                val h = u32le(payload, q + 8 + 36)
+                return (w, h, usPerFrame * totalFrames / 1000L)
+              }
+              if (csize > n) q = listEnd
+              else q += 8 + csize.toInt + (csize.toInt & 1)
+            }
+          }
+          if (size > n) p = n
+          else p += 8 + size.toInt + (size.toInt & 1)
+        }
+        return digestMeta(payload)
+      }
+    }
+    digestMeta(payload)
+  }
+
+  /** The AVI stream essence (LIST/movi contents) — what a real pipeline
+    * would hand the frame decoder. Falls back to the whole payload when
+    * the container shape is unknown. */
+  def aviMoviData(payload: Array[Byte]): Array[Byte] = {
+    val n = payload.length
+    if (fourcc(payload, 0) == "RIFF" && fourcc(payload, 8) == "AVI ") {
+      var p = 12
+      while (p + 12 <= n) {
+        val size = u32le(payload, p + 4)
+        if (fourcc(payload, p) == "LIST" && fourcc(payload, p + 8) == "movi") {
+          val end = math.min(n.toLong, p + 8 + size).toInt
+          return java.util.Arrays.copyOfRange(payload, p + 12, math.max(p + 12, end))
+        }
+        if (size > n) p = n
+        else p += 8 + size.toInt + (size.toInt & 1)
+      }
+    }
+    payload
   }
 
   /** Batch metadata extraction: one `mapPartitions` pass, constant memory
@@ -57,7 +304,7 @@ object Media {
     import spark.implicits._
     media.as[(Long, String, Array[Byte])].mapPartitions { it =>
       it.map { case (id, tpe, payload) =>
-        val (w, h, d) = decodeStub(payload)
+        val (w, h, d) = decode(payload)
         MediaMeta(id, tpe, payload.length.toLong, w, h, d)
       }
     }
@@ -68,23 +315,25 @@ object Media {
   /** Frame sampling over video rows: the 1→N shape of a real
     * video-to-training-frames pipeline — per-partition batch iteration,
     * lazy flatMap (no per-video frame buffer), 1-4 frames spread evenly
-    * across the stubbed duration. STUB boundary: a real implementation
-    * seeks the container to `ts_ms` and decodes the frame tensor; here the
-    * frame fingerprint md5(payload ++ ":idx") stands in for it (and keeps
-    * the operator oracle-checkable). */
+    * across the container-declared duration. The duration and the stream
+    * essence both come from REAL AVI parsing ([[decode]] /
+    * [[aviMoviData]]); the frame fingerprint md5(essence ++ ":idx")
+    * stands in for the decoded frame tensor (no video codec library in
+    * this container) and keeps the operator oracle-checkable. */
   def sampleFrames(spark: SparkSession, media: DataFrame): Dataset[FrameSample] = {
     import spark.implicits._
     media.filter(col("media_type") === "video")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, _, payload) =>
-          val (_, _, dur) = decodeStub(payload)
+          val (_, _, dur) = decode(payload)
+          val essence = aviMoviData(payload)
           val n = 1 + dur % 4
           val md = MessageDigest.getInstance("MD5")
           (0L until n).iterator.map { i =>
             md.reset()
-            md.update(payload)
-            md.update(s":$i".getBytes("UTF-8"))
+            md.update(essence)
+            md.update(s":$i".getBytes(UTF_8))
             val hex = md.digest().map("%02x".format(_)).mkString
             FrameSample(id, i, i * (dur / n), hex)
           }

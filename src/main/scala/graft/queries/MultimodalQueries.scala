@@ -6,10 +6,41 @@ import graft.api.{GraftQuery, Tables}
 import graft.multimodal.Media
 
 /** Multimodal binary-column pipeline surfaced as driver queries. The
-  * decode step is a deterministic stub (see [[graft.multimodal.Media]]),
-  * which makes the whole pipeline — binary synthesis, mapPartitions batch
-  * decode, metadata aggregation — oracle-checkable end-to-end. */
+  * payloads are REAL container bytes (PNG/JPEG/GIF/WAV/AVI — see
+  * [[graft.multimodal.Media]]) whose declared dimensions derive from the
+  * document md5; Spark recovers them by PARSING the codec headers while
+  * the DuckDB oracle replays the GENERATION formulas — a hash match
+  * therefore proves the byte-level header decode end-to-end.
+  *
+  * Decode semantics: images → (width, height, 0), audio → (0, 0,
+  * duration), video → (width, height, duration). Container overheads are
+  * fixed per format (png 57 / jpeg 41 / gif 14 bytes + payload; wav 44 +
+  * duration silence samples; avi 100 + payload), which the oracle
+  * reproduces arithmetically for n_bytes. */
 object MultimodalQueries {
+
+  /** Shared oracle CTE: per-document md5-derived generation parameters. */
+  private val paramsCte = """
+      params AS (
+        SELECT doc_id, text,
+               1 + (ASCII(SUBSTR(MD5(text), 1, 1)) * 256 + ASCII(SUBSTR(MD5(text), 2, 1))) % 512 AS gw,
+               1 + (ASCII(SUBSTR(MD5(text), 3, 1)) * 256 + ASCII(SUBSTR(MD5(text), 4, 1))) % 512 AS gh,
+               ASCII(SUBSTR(MD5(text), 5, 1)) * 256 + ASCII(SUBSTR(MD5(text), 6, 1)) AS gdur
+        FROM documents),
+      meta AS (
+        SELECT doc_id,
+               (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+               CAST(CASE
+                 WHEN doc_id % 3 = 0 THEN
+                   (CASE CAST((doc_id // 3) % 3 AS INTEGER)
+                      WHEN 0 THEN 57 WHEN 1 THEN 41 ELSE 14 END)
+                   + OCTET_LENGTH(ENCODE(text))
+                 WHEN doc_id % 3 = 1 THEN 44 + gdur
+                 ELSE 100 + OCTET_LENGTH(ENCODE(text)) END AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE gw END AS BIGINT) AS width,
+               CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE gh END AS BIGINT) AS height,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE gdur END AS BIGINT) AS duration_ms
+        FROM params)"""
 
   val mmMediaMeta = GraftQuery(
     "mm_media_meta",
@@ -17,14 +48,10 @@ object MultimodalQueries {
       val media = Media.synthesize(Tables.load(s, dir, "documents"))
       Media.extractMeta(s, media).toDF().orderBy("doc_id")
     },
-    Some("""
-      SELECT doc_id,
-             (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
-             CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
-             1 + (ASCII(SUBSTR(MD5(text), 1, 1)) * 256 + ASCII(SUBSTR(MD5(text), 2, 1))) % 512 AS width,
-             1 + (ASCII(SUBSTR(MD5(text), 3, 1)) * 256 + ASCII(SUBSTR(MD5(text), 4, 1))) % 512 AS height,
-             ASCII(SUBSTR(MD5(text), 5, 1)) * 256 + ASCII(SUBSTR(MD5(text), 6, 1)) AS duration_ms
-      FROM documents
+    Some(s"""
+      WITH $paramsCte
+      SELECT doc_id, media_type, n_bytes, width, height, duration_ms
+      FROM meta
       ORDER BY doc_id"""))
 
   /** Aggregate over decoded metadata: batch stats per media type. */
@@ -41,14 +68,8 @@ object MultimodalQueries {
           max(col("height")).as("max_height"))
         .orderBy("media_type")
     },
-    Some("""
-      WITH meta AS (
-        SELECT doc_id,
-               (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
-               CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
-               1 + (ASCII(SUBSTR(MD5(text), 1, 1)) * 256 + ASCII(SUBSTR(MD5(text), 2, 1))) % 512 AS width,
-               1 + (ASCII(SUBSTR(MD5(text), 3, 1)) * 256 + ASCII(SUBSTR(MD5(text), 4, 1))) % 512 AS height
-        FROM documents)
+    Some(s"""
+      WITH $paramsCte
       SELECT media_type, COUNT(*) AS n,
              CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
              MIN(width) AS min_width, MAX(height) AS max_height
@@ -58,7 +79,9 @@ object MultimodalQueries {
 
   /** 1→N frame sampling over the video subset (lazy flatMap inside
     * mapPartitions — the shape a video→training-frames extractor runs at
-    * scale; decode stubbed, see [[graft.multimodal.Media.sampleFrames]]). */
+    * scale). Duration and essence come from REAL AVI container parsing;
+    * the frame fingerprint hashes the movi essence (= the document
+    * bytes), which is what the oracle replays. */
   val mmFrameSample = GraftQuery(
     "mm_frame_sample",
     (s, dir) => {

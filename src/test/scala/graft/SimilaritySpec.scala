@@ -70,16 +70,56 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets(0) === buckets(1))
   }
 
-  test("media pipeline: decode stub is deterministic, metadata plausible") {
+  test("media pipeline: real headers round-trip through the decoder") {
     val meta = MultimodalQueries.mmMediaMeta.fn(spark, sfDir).collect()
     assert(meta.nonEmpty)
     meta.foreach { r =>
-      assert(Set("image", "audio", "video").contains(r.getAs[String]("media_type")))
-      assert(r.getAs[Long]("width") >= 1 && r.getAs[Long]("width") <= 512)
+      val tpe = r.getAs[String]("media_type")
+      assert(Set("image", "audio", "video").contains(tpe))
       assert(r.getAs[Long]("n_bytes") > 0)
+      if (tpe == "audio") {
+        assert(r.getAs[Long]("width") === 0L)
+        assert(r.getAs[Long]("duration_ms") >= 0L)
+      } else {
+        assert(r.getAs[Long]("width") >= 1 && r.getAs[Long]("width") <= 512)
+      }
     }
-    val (w, h, d) = Media.decodeStub("hello".getBytes("UTF-8"))
-    assert((w, h, d) === Media.decodeStub("hello".getBytes("UTF-8")))
+  }
+
+  test("codec decode goldens: PNG/JPEG/GIF/WAV/AVI headers parse byte-exactly") {
+    val data = "payload body".getBytes("UTF-8")
+    // PNG: IHDR big-endian dimensions, 57-byte container overhead
+    val png = Media.pngBytes(640, 480, data)
+    assert(png.length === 57 + data.length)
+    assert(Media.decode(png) === ((640L, 480L, 0L)))
+    // JPEG: SOF0 found via marker scan (APP0 skipped by its length)
+    val jpg = Media.jpegBytes(1920, 1080, data)
+    assert(jpg.length === 41 + data.length)
+    assert(Media.decode(jpg) === ((1920L, 1080L, 0L)))
+    // GIF: little-endian logical screen descriptor
+    val gif = Media.gifBytes(320, 200, data)
+    assert(gif.length === 14 + data.length)
+    assert(Media.decode(gif) === ((320L, 200L, 0L)))
+    // WAV: duration = data bytes * 1000 / byte rate (1000 Hz mono 8-bit)
+    val wav = Media.wavBytes(1234)
+    assert(wav.length === 44 + 1234)
+    assert(Media.decode(wav) === ((0L, 0L, 1234L)))
+    // AVI: avih main header carries µs/frame, frames, dimensions
+    val avi = Media.aviBytes(720, 576, 5000, data)
+    assert(avi.length === 100 + data.length)
+    assert(Media.decode(avi) === ((720L, 576L, 5000L)))
+    // movi essence round-trips for the frame fingerprint
+    assert(Media.aviMoviData(avi).toSeq === data.toSeq)
+    // unknown magic: digest fallback, deterministic, never throws
+    val junk = "not a media file".getBytes("UTF-8")
+    assert(Media.decode(junk) === Media.digestMeta(junk))
+    // malformed inputs must not throw or loop
+    assert(Media.decode(Array.empty[Byte]) === Media.digestMeta(Array.empty[Byte]))
+    val evilWav = Media.wavBytes(8)
+    evilWav(19) = 0x80.toByte // fmt chunk size becomes huge/negative-as-int
+    Media.decode(evilWav) // must terminate (size guard), not loop
+    val truncated = java.util.Arrays.copyOf(png, 20)
+    Media.decode(truncated) // must not throw
   }
 
   test("exact dedup groups duplicate texts") {
