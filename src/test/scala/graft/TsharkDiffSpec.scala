@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.api.Wireduck
+import graft.pcap.Glossary
+
+/** tshark-diff harness (VERDICT r6 next-round #3): when a REAL tshark is
+  * installed, dissect the sweep fixtures with both engines and diff
+  * `_ws.col.info` plus declared field values per dissected layer.
+  *
+  * Environment contract:
+  *   - no tshark (this container): every test auto-cancels via `assume`
+  *     — green-or-skipped in `sbt test`, zero flakiness.
+  *   - tshark host: the README-golden core protocols (arp/icmp/dns/http/
+  *     tls/fix/tcp/udp) must render `_ws.col.info` byte-exactly and a
+  *     curated unambiguous field set must agree value-for-value; every
+  *     other difference is written to `target/tshark_diff_report.txt` —
+  *     the permanent worklist that closes "late-tier info strings are
+  *     plausible renderings, not tshark-diffed".
+  *
+  * Rendering normalization (tshark version drift is real): booleans
+  * accept 1/0 and True/False; BASE_HEX integers compare numerically
+  * (0x-prefixed vs decimal); time fields are skipped (locale-dependent).
+  */
+class TsharkDiffSpec extends SparkSpec {
+
+  private val fixtures = Seq(
+    "mixed" -> getClass.getResource("/mixed.pcap").getPath,
+    "fix" -> getClass.getResource("/fix.pcap").getPath)
+
+  private def runTshark(args: Seq[String]): Option[Seq[String]] =
+    try {
+      val p = new ProcessBuilder(("tshark" +: args): _*).start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8")
+        .getLines().toList
+      p.getErrorStream.readAllBytes() // drain so tshark can't block on stderr
+      if (p.waitFor() == 0) Some(out) else None
+    } catch { case _: Throwable => None }
+
+  /** Frames whose LAST dissected layer is in this set must info-match
+    * byte-exactly (the README golden core). */
+  private val coreInfoLayers = Set("arp", "icmp", "dns", "http", "tls", "fix", "tcp", "udp")
+
+  /** Fields with one unambiguous rendering in both engines. */
+  private val exactFields = Seq(
+    "frame.len", "ip.src", "ip.dst", "ip.ttl", "ip.proto",
+    "tcp.srcport", "tcp.dstport", "udp.srcport", "udp.dstport",
+    "dns.qry.name", "dns.a", "http.request.method", "http.request.uri",
+    "http.response.code", "tls.handshake.type")
+
+  private def report(lines: Seq[String], name: String): Unit = {
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get(s"target/tshark_diff_$name.txt"),
+      lines.mkString("", "\n", "\n"))
+  }
+
+  test("_ws.col.info diff vs real tshark: core byte-exact, tail reported") {
+    assume(Glossary.checkTsharkInstalled(), "tshark not installed; harness skipped")
+    val diffs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val coreMismatches = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((fname, path) <- fixtures) {
+      val ours = Wireduck.readPcap(spark, path)
+        .select(col("`frame.number`"), col("`frame.protocols`"), col("`_ws.col.info`"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+        .toMap
+      val theirs = runTshark(Seq("-r", path, "-T", "fields",
+        "-E", "separator=/t", "-e", "frame.number", "-e", "_ws.col.info"))
+        .getOrElse(fail(s"tshark failed reading $path"))
+        .map(_.split("\t", -1)).collect { case Array(n, info) => n.toLong -> info }
+        .toMap
+      for (fn <- ours.keys.toSeq.sorted) {
+        val (protos, oinfo) = ours(fn)
+        theirs.get(fn).foreach { tinfo =>
+          if (oinfo != tinfo) {
+            val layer = protos.split(':').last
+            val line = s"$fname #$fn [$layer] ours=$oinfo tshark=$tinfo"
+            if (coreInfoLayers.contains(layer)) coreMismatches += line
+            diffs += line
+          }
+        }
+      }
+    }
+    report(diffs.toSeq, "info")
+    info(s"${diffs.size} info diffs reported to target/tshark_diff_info.txt")
+    assert(coreMismatches.isEmpty,
+      s"core-protocol info strings must be byte-exact:\n${coreMismatches.mkString("\n")}")
+  }
+
+  test("field-value diff vs real tshark: curated set exact, rest reported") {
+    assume(Glossary.checkTsharkInstalled(), "tshark not installed; harness skipped")
+    val allProtos = Glossary.protocols.map(_.filter_name)
+    val byName = Glossary.fields.map(f => f.filter_name -> f).toMap
+    def normalizeTheirs(field: String, v: String): String = {
+      val f = byName.get(field)
+      val t = f.map(_.field_type).getOrElse("")
+      if (t == "FT_BOOLEAN") {
+        val lv = v.toLowerCase
+        if (lv == "true" || lv == "1") "1" else "0"
+      } else if (v.startsWith("0x"))
+        java.lang.Long.parseLong(v.drop(2), 16).toString
+      else v
+    }
+    def normalizeOurs(field: String, v: Any): String = v match {
+      case b: Boolean => if (b) "1" else "0"
+      case other => String.valueOf(other)
+    }
+    val diffs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val exactMismatches = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((fname, path) <- fixtures) {
+      val df = Wireduck.readPcap(spark, path, protocols = allProtos)
+      // only diff fields our dissectors populated on this fixture, and
+      // skip time renderings (locale/precision differ by design)
+      val candidates = df.columns.filter { c =>
+        c != "_ws.col.info" && !c.startsWith("frame.time") &&
+          byName.get(c).forall(f => !f.field_type.contains("TIME"))
+      }
+      // one aggregate job for all non-null counts, not one job per column
+      val counts = df.select(candidates.map(c =>
+        count(col(s"`$c`")).as(c)).toIndexedSeq: _*).collect()(0)
+      val populated = candidates.filter(c => counts.getAs[Long](c) > 0)
+      val rows = df.collect().map(r => r.getAs[Long]("frame.number") -> r).toMap
+      for (chunk <- populated.grouped(40)) {
+        val args = Seq(path).flatMap(p => Seq("-r", p)) ++
+          Seq("-T", "fields", "-E", "separator=/t", "-E", "occurrence=a",
+            "-e", "frame.number") ++ chunk.flatMap(c => Seq("-e", c))
+        runTshark(args) match {
+          case None =>
+            diffs += s"$fname: tshark rejected chunk ${chunk.mkString(",")}"
+          case Some(lines) =>
+            for (l <- lines; parts = l.split("\t", -1) if parts.length == chunk.length + 1) {
+              val fn = parts(0).toLong
+              rows.get(fn).foreach { row =>
+                chunk.zipWithIndex.foreach { case (field, i) =>
+                  val tv = parts(i + 1)
+                  val ov = row.getAs[Any](field)
+                  // multi-occurrence frames (tunnels) and absent-on-one-side
+                  // values go to the report, not the assertion
+                  if (ov != null && tv.nonEmpty && !tv.contains(',')) {
+                    val o = normalizeOurs(field, ov)
+                    val t = normalizeTheirs(field, tv)
+                    if (o != t) {
+                      val line = s"$fname #$fn $field ours=$o tshark=$t"
+                      if (exactFields.contains(field)) exactMismatches += line
+                      diffs += line
+                    }
+                  }
+                }
+              }
+            }
+        }
+      }
+    }
+    report(diffs.toSeq, "fields")
+    info(s"${diffs.size} field diffs reported to target/tshark_diff_fields.txt")
+    assert(exactMismatches.isEmpty,
+      s"curated unambiguous fields must agree:\n${exactMismatches.mkString("\n")}")
+  }
+}
