@@ -233,6 +233,10 @@ object Dissect {
     // set once the HTTP/2 client connection preface is seen; both
     // directions then sniff h2 frames instead of HTTP/1 heuristics
     var http2 = false
+    // set when an h2 HEADERS block declares content-type application/grpc
+    // (HPACK static-table/raw-literal decode): DATA frames in BOTH
+    // directions then dissect the gRPC length-prefixed message framing
+    var grpc = false
     // set once a "101 Switching Protocols" + "Upgrade: websocket" response
     // is seen; later segments in BOTH directions dissect as ws frames
     var wsUpgraded = false
@@ -1416,7 +1420,7 @@ object Dissect {
         if (isPreface) conv.http2 = true
         if (conv.http2) {
           h2Claimed = true
-          appInfo = dissectHttp2(appBuf, appOff, appLen, isPreface, v, protos)
+          appInfo = dissectHttp2(appBuf, appOff, appLen, isPreface, conv, v, protos)
         }
       }
       // HTTP reassembly: buffer until the header block terminator arrives
@@ -4692,14 +4696,134 @@ object Dissect {
     4 -> "SETTINGS", 5 -> "PUSH_PROMISE", 6 -> "PING", 7 -> "GOAWAY",
     8 -> "WINDOW_UPDATE", 9 -> "CONTINUATION")
 
+  /** Reason phrases for the h2 HEADERS info line (h2 carries only the
+    * :status code; the phrase matches what tshark renders for the codes
+    * the HPACK static table can express). */
+  private val httpStatusPhrases: Map[String, String] = Map(
+    "200" -> "OK", "204" -> "No Content", "206" -> "Partial Content",
+    "304" -> "Not Modified", "400" -> "Bad Request", "404" -> "Not Found",
+    "500" -> "Internal Server Error")
+
+  /** HPACK static table, RFC 7541 Appendix A (1-based; "" = no value). */
+  private val hpackStatic: Array[(String, String)] = Array(
+    ("", ""),
+    (":authority", ""), (":method", "GET"), (":method", "POST"),
+    (":path", "/"), (":path", "/index.html"), (":scheme", "http"),
+    (":scheme", "https"), (":status", "200"), (":status", "204"),
+    (":status", "206"), (":status", "304"), (":status", "400"),
+    (":status", "404"), (":status", "500"), ("accept-charset", ""),
+    ("accept-encoding", "gzip, deflate"), ("accept-language", ""),
+    ("accept-ranges", ""), ("accept", ""), ("access-control-allow-origin", ""),
+    ("age", ""), ("allow", ""), ("authorization", ""), ("cache-control", ""),
+    ("content-disposition", ""), ("content-encoding", ""),
+    ("content-language", ""), ("content-length", ""), ("content-location", ""),
+    ("content-range", ""), ("content-type", ""), ("cookie", ""), ("date", ""),
+    ("etag", ""), ("expect", ""), ("expires", ""), ("from", ""), ("host", ""),
+    ("if-match", ""), ("if-modified-since", ""), ("if-none-match", ""),
+    ("if-range", ""), ("if-unmodified-since", ""), ("last-modified", ""),
+    ("link", ""), ("location", ""), ("max-forwards", ""),
+    ("proxy-authenticate", ""), ("proxy-authorization", ""), ("range", ""),
+    ("referer", ""), ("refresh", ""), ("retry-after", ""), ("server", ""),
+    ("set-cookie", ""), ("strict-transport-security", ""),
+    ("transfer-encoding", ""), ("user-agent", ""), ("vary", ""), ("via", ""),
+    ("www-authenticate", ""))
+
+  /** HPACK prefixed integer (RFC 7541 §5.1): (value, index after) or null
+    * when truncated/absurd. */
+  private def hpackInt(d: Array[Byte], at: Int, end: Int, prefixBits: Int): (Long, Int) = {
+    val mask = (1 << prefixBits) - 1
+    var v = (u8(d, at) & mask).toLong
+    var i = at + 1
+    if (v == mask) {
+      var shift = 0
+      var cont = true
+      while (cont) {
+        if (i >= end || shift > 28) return null
+        val b = u8(d, i); i += 1
+        v += (b & 0x7f).toLong << shift
+        shift += 7
+        cont = (b & 0x80) != 0
+      }
+    }
+    (v, i)
+  }
+
+  /** Decode an HPACK header block using the STATIC table and raw-literal
+    * strings (RFC 7541 §6). No dynamic table is tracked across frames —
+    * a mid-stream indexed reference into it, or a Huffman-coded string,
+    * yields an opaque placeholder instead of a wrong value. */
+  private def decodeHpack(d: Array[Byte], start: Int, end: Int): Seq[(String, String)] = {
+    val out = mutable.ArrayBuffer.empty[(String, String)]
+    def str(at: Int): (String, Int) = {
+      if (at >= end) return null
+      val huff = (u8(d, at) & 0x80) != 0
+      val li = hpackInt(d, at, end, 7)
+      if (li == null) return null
+      val (slen, sstart) = li
+      if (slen > end - sstart) return null
+      val s =
+        if (huff) "<huffman>" // no Huffman table vendored: opaque, never wrong
+        else new String(d, sstart, slen.toInt, "ISO-8859-1")
+      (s, sstart + slen.toInt)
+    }
+    def nameAt(idx: Long): String =
+      if (idx >= 1 && idx < hpackStatic.length) hpackStatic(idx.toInt)._1
+      else "<dynamic>"
+    var i = start
+    var ok = true
+    while (ok && i < end && out.length < 64) {
+      val b = u8(d, i)
+      if ((b & 0x80) != 0) { // indexed header field
+        hpackInt(d, i, end, 7) match {
+          case null => ok = false
+          case (idx, ni) =>
+            if (idx >= 1 && idx < hpackStatic.length) out += hpackStatic(idx.toInt)
+            else out += (("<dynamic>", "<dynamic>"))
+            i = ni
+        }
+      } else if ((b & 0xe0) == 0x20) { // dynamic table size update
+        hpackInt(d, i, end, 5) match {
+          case null => ok = false
+          case (_, ni) => i = ni
+        }
+      } else { // literal: incremental (01), without (0000) or never (0001)
+        val prefix = if ((b & 0xc0) == 0x40) 6 else 4
+        hpackInt(d, i, end, prefix) match {
+          case null => ok = false
+          case (idx, ni) =>
+            var p = ni
+            val name =
+              if (idx == 0) str(p) match {
+                case null => ok = false; null
+                case (s, np) => p = np; s
+              }
+              else nameAt(idx)
+            if (ok) str(p) match {
+              case null => ok = false
+              case (value, np) =>
+                p = np
+                out += ((name, value))
+                i = p
+            }
+        }
+      }
+    }
+    out.toSeq
+  }
+
   /** HTTP/2 frame sniffing (RFC 9113 §4.1): 9-byte frame headers walked
     * across the segment, tshark-style "Magic, SETTINGS[0], HEADERS[1]"
-    * info. Frames spanning segments are not reassembled (h2 HEADERS are
-    * HPACK-compressed — without the dynamic table their content is opaque
-    * anyway); a continuation segment that doesn't start on a frame
-    * boundary falls back to the plain TCP rendering. */
+    * info. HEADERS payloads fully inside the segment decode their HPACK
+    * block against the static table ([[decodeHpack]]) — request/response
+    * pseudo-headers surface as http2.headers.* and drive the info line;
+    * a content-type of application/grpc marks the conversation so DATA
+    * frames dissect the gRPC length-prefixed message framing. Frames
+    * spanning segments are not reassembled; a continuation segment that
+    * doesn't start on a frame boundary falls back to the plain TCP
+    * rendering. */
   private def dissectHttp2(
       d: Array[Byte], pstart: Int, plen: Int, isPreface: Boolean,
+      conv: TcpConv,
       v: FieldVec,
       protos: mutable.ArrayBuffer[String]): String = {
     val parts = mutable.ArrayBuffer.empty[String]
@@ -4709,20 +4833,61 @@ object Dissect {
     var firstType = -1L
     var firstStream = -1L
     var firstLen = -1L
+    var sawGrpc = false
     var ok = true
     while (ok && i + 9 <= end) {
       val flen = ((d(i) & 0xff) << 16) | ((d(i + 1) & 0xff) << 8) | (d(i + 2) & 0xff)
       val ftype = d(i + 3) & 0xff
+      val fflags = d(i + 4) & 0xff
       val sid = u32(d, i + 5) & 0x7fffffffL
       if (ftype > 9) ok = false // not a frame boundary: stop, keep what parsed
       else {
-        parts += s"${http2FrameNames(ftype)}[$sid]"
+        val pStart = i + 9
+        val pEnd = math.min(end, pStart + flen)
+        var label = s"${http2FrameNames(ftype)}[$sid]"
+        if (ftype == 1 && pStart + flen <= end) {
+          // HEADERS fully in this segment: skip PADDED/PRIORITY prelude
+          var h = pStart
+          var hEnd = pEnd
+          if ((fflags & 0x08) != 0 && h < hEnd) { hEnd -= u8(d, h); h += 1 } // padded
+          if ((fflags & 0x20) != 0) h += 5 // priority: dep(4) + weight(1)
+          if (h <= hEnd) {
+            val hdrs = decodeHpack(d, h, hEnd)
+            def hv(n: String) = hdrs.collectFirst { case (`n`, value) => value }
+            hv(":method").foreach(v("http2.headers.method") = _)
+            hv(":path").foreach(v("http2.headers.path") = _)
+            hv(":scheme").foreach(v("http2.headers.scheme") = _)
+            hv(":authority").foreach(v("http2.headers.authority") = _)
+            hv(":status").foreach(v("http2.headers.status") = _)
+            if (hv("content-type").exists(_.startsWith("application/grpc")) && conv != null)
+              conv.grpc = true
+            (hv(":method"), hv(":path"), hv(":status")) match {
+              case (Some(m), Some(p), _) => label = s"HEADERS[$sid]: $m $p"
+              case (_, _, Some(st)) =>
+                val phrase = httpStatusPhrases.getOrElse(st, "")
+                label = s"HEADERS[$sid]: $st${if (phrase.nonEmpty) " " + phrase else ""}"
+              case _ =>
+            }
+          }
+        } else if (ftype == 0 && conv != null && conv.grpc &&
+            pStart + 5 <= pEnd) {
+          // gRPC message framing (PROTOCOL-HTTP2): compressed flag + BE32 len
+          val cflag = u8(d, pStart)
+          val mlen = u32(d, pStart + 1)
+          if (cflag <= 1) {
+            if (!sawGrpc) { protos += "grpc"; sawGrpc = true }
+            v("grpc.compressed_flag") = cflag == 1
+            v("grpc.message_length") = mlen
+            label = s"DATA[$sid] (GRPC message, length=$mlen)"
+          }
+        }
+        parts += label
         if (firstType < 0) { firstType = ftype; firstStream = sid; firstLen = flen.toLong }
         i += 9 + flen
       }
     }
     if (parts.isEmpty) return null
-    protos += "http2"
+    protos.insert(protos.length - (if (sawGrpc) 1 else 0), "http2")
     if (firstType >= 0) {
       v("http2.type") = firstType
       v("http2.streamid") = firstStream
@@ -4930,6 +5095,38 @@ object Dissect {
               else if (rtype == 5 && after + 10 + rdlen <= end)
                 readDnsName(d, after + 10, off, end)
                   .foreach { case (cn, _) => v("dns.cname") = cn }
+              else if ((rtype == 64 || rtype == 65) && rdlen >= 3 &&
+                  after + 10 + rdlen <= end) {
+                // SVCB / HTTPS RR (RFC 9460): SvcPriority, TargetName,
+                // SvcParams (alpn=1 as length-prefixed ids, port=3)
+                val rd = after + 10
+                val rdEnd = rd + rdlen
+                v("dns.svcb.svcpriority") = u16(d, rd).toLong
+                readDnsName(d, rd + 2, off, rdEnd).foreach { case (tgt, afterT) =>
+                  v("dns.svcb.target") = if (tgt.isEmpty) "." else tgt
+                  var p = afterT
+                  while (p + 4 <= rdEnd) {
+                    val key = u16(d, p)
+                    val plen = u16(d, p + 2)
+                    val pv = p + 4
+                    if (pv + plen <= rdEnd) {
+                      if (key == 1) { // alpn: list of length-prefixed ids
+                        val ids = mutable.ArrayBuffer.empty[String]
+                        var a = pv
+                        while (a < pv + plen) {
+                          val l = u8(d, a)
+                          if (a + 1 + l <= pv + plen)
+                            ids += new String(d, a + 1, l, "ISO-8859-1")
+                          a += 1 + l
+                        }
+                        v("dns.svcb.svcparam.alpn") = ids.mkString(",")
+                      } else if (key == 3 && plen == 2)
+                        v("dns.svcb.svcparam.port") = u16(d, pv).toLong
+                    }
+                    p = pv + plen
+                  }
+                }
+              }
             }
           }
         }
@@ -4938,6 +5135,7 @@ object Dissect {
     def nameOf(t: Int): String = t match {
       case 1 => "A"; case 2 => "NS"; case 5 => "CNAME"; case 6 => "SOA"
       case 12 => "PTR"; case 15 => "MX"; case 16 => "TXT"; case 28 => "AAAA"
+      case 33 => "SRV"; case 64 => "SVCB"; case 65 => "HTTPS"
       case 252 => "AXFR"; case 255 => "ANY"
       case _ => if (t >= 0) t.toString else ""
     }
@@ -4946,9 +5144,13 @@ object Dissect {
     val kind = if (isResponse) "Standard query response" else "Standard query"
     val base = if (qname != null) s"$kind 0x$idHex $typeName $qname" else s"$kind 0x$idHex"
     // tshark appends the answer rdata: "… A example.com A 93.184.216.34"
-    (v.get("dns.a"), v.get("dns.cname")) match {
-      case (Some(a), _)     => s"$base A $a"
-      case (_, Some(cn))    => s"$base CNAME $cn"
+    (v.get("dns.a"), v.get("dns.cname"), v.get("dns.svcb.svcpriority")) match {
+      case (Some(a), _, _)  => s"$base A $a"
+      case (_, Some(cn), _) => s"$base CNAME $cn"
+      case (_, _, Some(prio)) =>
+        val tgt = v.get("dns.svcb.target").fold("")(t => s" $t")
+        val alpn = v.get("dns.svcb.svcparam.alpn").fold("")(a => s" alpn=$a")
+        s"$base $typeName $prio$tgt$alpn"
       case _                => base
     }
   }

@@ -836,3 +836,50 @@ sre = ber(0x30, ber(0x02, bytes([2])) +
 extra.append((t3, 12200, ip_frame(6, B, A, tcp(389, 53950, 1, sre), ident=158)))
 
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
+
+# 125-129: HTTP/2 + gRPC conversation (tier 15): client preface+SETTINGS,
+# HPACK HEADERS with static-table indexed and raw-literal fields (the
+# content-type application/grpc marks the conv), then length-prefixed
+# gRPC messages in DATA frames both directions
+def h2f(ftype, flags, sid, payload):
+    return struct.pack(">I", len(payload))[1:] + bytes([ftype, flags]) + \
+        struct.pack(">I", sid) + payload
+def hstr(s):
+    return bytes([len(s)]) + s
+h2_preface = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
+c1 = h2_preface + h2f(4, 0, 0, b"")  # Magic + SETTINGS[0]
+extra.append((t3, 12300, ip_frame(6, A, B, tcp(54300, 50051, 1, c1), ident=159)))
+req_hdrs = bytes([0x83, 0x87]) + \
+    bytes([0x44]) + hstr(b"/echo.Echo/Say") + \
+    bytes([0x41]) + hstr(b"grpc.local") + \
+    bytes([0x5F]) + hstr(b"application/grpc")
+c2 = h2f(1, 0x04, 1, req_hdrs)  # HEADERS[1] END_HEADERS
+extra.append((t3, 12400, ip_frame(6, A, B,
+              tcp(54300, 50051, 1 + len(c1), c2), ident=160)))
+rsp_hdrs = bytes([0x88]) + bytes([0x5F]) + hstr(b"application/grpc")
+s1 = h2f(4, 0, 0, b"") + h2f(1, 0x04, 1, rsp_hdrs)
+extra.append((t3, 12500, ip_frame(6, B, A, tcp(50051, 54300, 1, s1), ident=161)))
+grpc_req = bytes([0]) + struct.pack(">I", 11) + b"hello graft"
+c3 = h2f(0, 0, 1, grpc_req)  # DATA[1] carrying a gRPC message
+extra.append((t3, 12600, ip_frame(6, A, B,
+              tcp(54300, 50051, 1 + len(c1) + len(c2), c3), ident=162)))
+grpc_rsp = bytes([0]) + struct.pack(">I", 5) + b"reply"
+s2 = h2f(0, 0x01, 1, grpc_rsp)  # DATA[1] END_STREAM
+extra.append((t3, 12700, ip_frame(6, B, A,
+              tcp(50051, 54300, 1 + len(s1), s2), ident=163)))
+
+# 130-131: DNS HTTPS (SVCB) query + response with alpn/port SvcParams
+def dns_name(parts):
+    return b"".join(bytes([len(p)]) + p for p in parts) + b"\x00"
+https_q = struct.pack(">HHHHHH", 0x0077, 0x0100, 1, 0, 0, 0) + \
+    dns_name([b"svc", b"example", b"com"]) + struct.pack(">HH", 65, 1)
+extra.append((t3, 12800, ip_frame(17, A, B, udp(54310, 53, https_q), ident=164)))
+svcb_rdata = struct.pack(">H", 1) + b"\x00" + \
+    struct.pack(">HH", 1, 6) + b"\x02h2\x02h3" + \
+    struct.pack(">HH", 3, 2) + struct.pack(">H", 443)
+https_r = struct.pack(">HHHHHH", 0x0077, 0x8180, 1, 1, 0, 0) + \
+    dns_name([b"svc", b"example", b"com"]) + struct.pack(">HH", 65, 1) + \
+    b"\xc0\x0c" + struct.pack(">HHIH", 65, 1, 300, len(svcb_rdata)) + svcb_rdata
+extra.append((t3, 12900, ip_frame(17, B, A, udp(53, 54310, https_r), ident=165)))
+
+write_pcap("src/test/resources/sweep_extra.pcap", extra)
