@@ -70,6 +70,27 @@ class TsharkBackendSpec extends SparkSpec {
     assert(rdp.fieldNames.contains("rdp.negReq.requestedProtocols"))
   }
 
+  test("glossary r7 tranche: someip schema carries real typed columns on both backends") {
+    val p = getClass.getResource("/fix.pcap").getPath
+    val n = graft.api.Wireduck.readPcap(spark, p, protocols = Seq("someip"))
+    // schema golden for an r7-tranche protocol: 4 frame defaults, the
+    // someip fields in glossary order, then the info column
+    assert(n.schema.fieldNames.toSeq === Seq(
+      "frame.time_epoch", "frame.number", "frame.len", "frame.protocols",
+      "someip.serviceid", "someip.methodid", "someip.length", "_ws.col.info"))
+    assert(n.schema("someip.serviceid").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val t = graft.api.Wireduck.readPcap(spark, p, protocols = Seq("someip"),
+      backend = Some("tshark"))
+    assert(t.schema === n.schema)
+    // spot-resolve a few more r7 rows across families
+    val multi = graft.pcap.Glossary.schemaFor(Seq("mpls", "wlan", "gtpv2", "btatt"))
+    assert(multi.fieldNames.contains("mpls.label"))
+    assert(multi.fieldNames.contains("wlan.ssid"))
+    assert(multi.fieldNames.contains("gtpv2.message_type"))
+    assert(multi.fieldNames.contains("btatt.opcode"))
+  }
+
   test("unknown protocol falls back to the 5 defaults identically on both backends") {
     val p = getClass.getResource("/fix.pcap").getPath
     val defaults = Seq("frame.time_epoch", "frame.number", "frame.len",
