@@ -170,13 +170,64 @@ object Dissect {
   }
 
   /** All extracted fields for one packet. `arr` is indexed by
-    * [[FieldIds]]; `values` is a lazy map view over it. */
+    * [[FieldIds]]; `values` is a lazy map view over it.
+    *
+    * The info column arrives EITHER as a String (app-layer renderings,
+    * test-path default) OR as UTF-8 bytes in the tracker's reused buffer
+    * (`infoBytes`/`infoLen`, the scan's bytes-only hot path — valid only
+    * until the next dissect call, the same lifetime contract as a reused
+    * reader row). [[info]] materializes a String from the bytes for
+    * non-scan consumers. */
   final class Dissected(
       val arr: Array[Any],
       val protocols: String,
-      val info: String) {
+      private val infoStr: String,
+      val infoBytes: Array[Byte] = null,
+      val infoLen: Int = 0) {
     val values: scala.collection.Map[String, Any] = new FieldView(arr)
+    def info: String =
+      if (infoStr != null || infoBytes == null) infoStr
+      else new String(infoBytes, 0, infoLen, java.nio.charset.StandardCharsets.UTF_8)
   }
+
+  /** Growable UTF-8 scratch for the bytes-only info path: ASCII literals,
+    * the Wireshark " → " arrow, and non-negative decimal renders write
+    * straight into one reused byte buffer — no StringBuilder, no String,
+    * no charset encoder on the per-row hot path. */
+  final class InfoBuf {
+    var buf = new Array[Byte](256)
+    var len = 0
+    def reset(): Unit = len = 0
+    private def ensure(n: Int): Unit =
+      if (len + n > buf.length)
+        buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + n))
+    def ascii(s: String): Unit = {
+      ensure(s.length)
+      var i = 0
+      while (i < s.length) { buf(len) = s.charAt(i).toByte; len += 1; i += 1 }
+    }
+    /** " → " (U+2192 is 3 UTF-8 bytes — the reason the old path could
+      * never take an ASCII fast path). */
+    def arrow(): Unit = {
+      ensure(5)
+      buf(len) = ' '; buf(len + 1) = 0xe2.toByte; buf(len + 2) = 0x86.toByte
+      buf(len + 3) = 0x92.toByte; buf(len + 4) = ' '
+      len += 5
+    }
+    def num(v: Long): Unit = {
+      if (v <= 0) { ensure(1); buf(len) = '0'; len += 1; return }
+      ensure(20)
+      val start = len
+      var x = v
+      while (x > 0) { buf(len) = ('0' + (x % 10)).toByte; len += 1; x /= 10 }
+      var a = start
+      var b = len - 1
+      while (a < b) { val t = buf(a); buf(a) = buf(b); buf(b) = t; a += 1; b -= 1 }
+    }
+  }
+
+  /** Sentinel info return: "the rendering is in tracker.infoBuf". */
+  private[pcap] val InfoInBuf: String = new String("infobuf-sentinel")
 
   /** Column-pruning hints from the scan: payload hex-encoding and info
     * rendering are the two per-packet costs worth gating (a jumbo frame's
@@ -187,7 +238,12 @@ object Dissect {
       payloads: Boolean = true,
       info: Boolean = true,
       layers: Boolean = true, // false => frame-header fields only, skip eth/ip/tcp/udp entirely
-      raw: Boolean = false) // frame.raw hex of the whole frame (capture rewriting) — costly, off unless selected
+      raw: Boolean = false, // frame.raw hex of the whole frame (capture rewriting) — costly, off unless selected
+      // scan-only: render the default TCP/UDP info straight into the
+      // tracker's reused UTF-8 buffer (Dissected.infoBytes) — no String on
+      // the hot path. Off for unit tests, whose Dissected outlives the
+      // next dissect call.
+      infoBytes: Boolean = false)
   val WantAll: Wanted = Wanted()
 
   // --- conversation state ------------------------------------------------
@@ -364,6 +420,7 @@ object Dissect {
     private[Dissect] val pooledProtos =
       if (reuseBuffers) mutable.ArrayBuffer.empty[String] else null
     private[Dissect] val chains = new ChainCache
+    private[Dissect] lazy val infoBuf = new InfoBuf
     private val tcpConvs = mutable.HashMap.empty[ConvKey, TcpConv]
     private val udpConvs = mutable.HashMap.empty[ConvKey, UdpConv]
     private var nextTcpStream = 0L
@@ -723,7 +780,10 @@ object Dissect {
       case _: ArrayIndexOutOfBoundsException => // truncated capture: keep what we have
     }
 
-    new Dissected(v.arr, tracker.chains.joined(protos), info)
+    if (info eq InfoInBuf)
+      new Dissected(v.arr, tracker.chains.joined(protos), null,
+        tracker.infoBuf.buf, tracker.infoBuf.len)
+    else new Dissected(v.arr, tracker.chains.joined(protos), info)
   }
 
   /** Ethernet (+optional 802.1Q) from `off` — also the tunnel re-entry
@@ -1768,20 +1828,44 @@ object Dissect {
       // from a precomputed 64-entry table (no per-row buffer + mkString)
       val flagBits = (if (syn) 1 else 0) | (if (fin) 2 else 0) | (if (rst) 4 else 0) |
         (if (psh) 8 else 0) | (if (ack) 16 else 0) | (if (urg) 32 else 0)
-      val sb = new StringBuilder
-      if (outOfOrder) sb.append("[TCP Out-Of-Order] ")
-      else if (tracker.desegment && isFastRetrans) sb.append("[TCP Fast Retransmission] ")
-      else if (tracker.desegment && isSpurious) sb.append("[TCP Spurious Retransmission] ")
-      else if (tracker.desegment && isRetrans) sb.append("[TCP Retransmission] ")
-      else if (tracker.desegment && windowFull) sb.append("[TCP Window Full] ")
-      sb.append(sp).append(" → ").append(dp)
-      sb.append(" [").append(tcpFlagStrings(flagBits)).append("]")
-      sb.append(" Seq=").append(relSeq)
-      if (ack && otherIsn >= 0) sb.append(" Ack=").append(relAck)
-      sb.append(" Win=").append(calcWin)
-      sb.append(" Len=").append(segLen)
-      if (optParts.nonEmpty) sb.append(" ").append(optParts.mkString(" "))
-      sb.toString
+      if (wanted.infoBytes) {
+        // bytes-only hot path: UTF-8 straight into the tracker's reused
+        // buffer — no StringBuilder, no String, no charset encoder
+        val ib = tracker.infoBuf
+        ib.reset()
+        if (outOfOrder) ib.ascii("[TCP Out-Of-Order] ")
+        else if (tracker.desegment && isFastRetrans) ib.ascii("[TCP Fast Retransmission] ")
+        else if (tracker.desegment && isSpurious) ib.ascii("[TCP Spurious Retransmission] ")
+        else if (tracker.desegment && isRetrans) ib.ascii("[TCP Retransmission] ")
+        else if (tracker.desegment && windowFull) ib.ascii("[TCP Window Full] ")
+        ib.num(sp); ib.arrow(); ib.num(dp)
+        ib.ascii(" [")
+        ib.ascii(tcpFlagStrings(flagBits))
+        ib.ascii("] Seq=")
+        ib.num(relSeq)
+        if (ack && otherIsn >= 0) { ib.ascii(" Ack="); ib.num(relAck) }
+        ib.ascii(" Win=")
+        ib.num(calcWin)
+        ib.ascii(" Len=")
+        ib.num(segLen)
+        if (optParts.nonEmpty) { ib.ascii(" "); ib.ascii(optParts.mkString(" ")) }
+        InfoInBuf
+      } else {
+        val sb = new StringBuilder
+        if (outOfOrder) sb.append("[TCP Out-Of-Order] ")
+        else if (tracker.desegment && isFastRetrans) sb.append("[TCP Fast Retransmission] ")
+        else if (tracker.desegment && isSpurious) sb.append("[TCP Spurious Retransmission] ")
+        else if (tracker.desegment && isRetrans) sb.append("[TCP Retransmission] ")
+        else if (tracker.desegment && windowFull) sb.append("[TCP Window Full] ")
+        sb.append(sp).append(" → ").append(dp)
+        sb.append(" [").append(tcpFlagStrings(flagBits)).append("]")
+        sb.append(" Seq=").append(relSeq)
+        if (ack && otherIsn >= 0) sb.append(" Ack=").append(relAck)
+        sb.append(" Win=").append(calcWin)
+        sb.append(" Len=").append(segLen)
+        if (optParts.nonEmpty) sb.append(" ").append(optParts.mkString(" "))
+        sb.toString
+      }
     }
   }
 
@@ -1976,7 +2060,15 @@ object Dissect {
         finally v.nested = wasNested
       return if (inner != null) inner else "VXLAN"
     }
-    if (wanted.info) s"$sp → $dp Len=$payLen" else ""
+    if (!wanted.info) ""
+    else if (wanted.infoBytes) {
+      val ib = tracker.infoBuf
+      ib.reset()
+      ib.num(sp); ib.arrow(); ib.num(dp)
+      ib.ascii(" Len=")
+      ib.num(payLen)
+      InfoInBuf
+    } else s"$sp → $dp Len=$payLen"
   }
 
   private val dhcpMsgNames: Map[Int, String] = Map(

@@ -106,6 +106,10 @@ final class PcapPartitionReader(
     Dissect.Wanted(
       payloads = referenced.exists(_.contains("payload")),
       info = referenced.exists(_.contains("_ws.col.info")),
+      // default TCP/UDP infos render as UTF-8 bytes into the tracker's
+      // reused buffer (no java.lang.String); safe because the unsafe
+      // projection copies the row out before the next dissect call
+      infoBytes = referenced.exists(_.contains("_ws.col.info")),
       layers = referenced.exists(r => !frameOnly.contains(r)),
       // frame-bytes searches (`http contains …`, `frame matches …`,
       // `frame[0:4] == …`) need the raw hex materialized per packet
@@ -190,6 +194,10 @@ final class PcapPartitionReader(
     val raw: Any = colIds(i) match {
       case -1 => return internedUtf8(d.protocols)
       case -2 =>
+        // bytes-only hot path: the dissector rendered straight into its
+        // reused UTF-8 buffer — wrap it, zero String/encoder work (the
+        // downstream unsafe projection copies before the next row)
+        if (d.infoBytes != null) return UTF8String.fromBytes(d.infoBytes, 0, d.infoLen)
         val s = d.info
         if (s == null) return null
         // short infos repeat heavily (FIX msgtype names, "[TCP segment of
