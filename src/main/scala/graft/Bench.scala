@@ -65,6 +65,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional dev filter (e.g. "dd_,sim_,st_" for the sf1 stress sweep);
+    // the driver sets no filter and benches everything
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(p) => val ps = p.split(','); name => ps.exists(name.startsWith)
+      case None => _ => true
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -82,11 +88,12 @@ object Bench {
       .foreach(f => f(spark, "/root/testdata/sf0.001").write
         .format("noop").mode("overwrite").save())
 
+    val benched = SparkEntry.registry.filter(q => only(q.name))
     val times = TrieMap.empty[String, Double]
     val failed = new AtomicReference(List.empty[String])
     val pool = Executors.newFixedThreadPool(sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS", "6").toInt)
     val t0 = System.nanoTime()
-    SparkEntry.registry.foreach { q =>
+    benched.foreach { q =>
       pool.submit(new Runnable {
         override def run(): Unit = {
           val s0 = System.nanoTime()
@@ -114,7 +121,7 @@ object Bench {
     val metrics = new StageMetricsListener
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SEQ", "1") != "0") {
       spark.sparkContext.addSparkListener(metrics)
-      SparkEntry.registry.foreach { q =>
+      benched.foreach { q =>
         spark.catalog.clearCache()
         spark.sparkContext.setJobGroup(q.name, q.name, interruptOnCancel = false)
         val s0 = System.nanoTime()
@@ -145,7 +152,7 @@ object Bench {
     // a query with no recorded time reports an explicit -1 (never silently
     // vanishes from the key set — round-over-round diffing relies on it)
     def json(m: scala.collection.Map[String, Double]): String =
-      SparkEntry.registry
+      benched
         .map(q => "\"" + q.name + "\":" + m.getOrElse(q.name, -1.0))
         .mkString("{", ",", "}")
     // `queries` = sequential (attributable round-over-round); concurrent
@@ -153,7 +160,7 @@ object Bench {
     val qs = if (seqTimes.nonEmpty) json(seqTimes) else json(times)
     // plan-shape metrics from the sequential pass: shuffle/spill bytes and
     // summed task time per query (absent queries report zeros)
-    val qMetrics = SparkEntry.registry.map { q =>
+    val qMetrics = benched.map { q =>
       val a = metrics.byQuery.get(q.name)
       "\"" + q.name + "\":{" +
         s""""shuffle_bytes":${a.fold(0L)(_.shuffleWrite)},""" +
@@ -179,7 +186,7 @@ object Bench {
     // ~2.5 KB, safely inside any tail window), printed after spark.stop()
     // so no shutdown logging can follow it; only sbt's short epilogue does.
     def jsonCompact(m: scala.collection.Map[String, Double]): String =
-      SparkEntry.registry
+      benched
         .map(q => "\"" + q.name + "\":" +
           (if (m.getOrElse(q.name, -1.0) < 0) "-1"
            else f"${m(q.name)}%.3f"))

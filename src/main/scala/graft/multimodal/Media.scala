@@ -198,6 +198,18 @@ object Media {
   private val PngMagic =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
+  /** Container sniff by magic — the dispatch [[decode]] runs, surfaced as
+    * a value for format-distribution analytics. */
+  def codecOf(payload: Array[Byte]): String = {
+    val n = payload.length
+    if (n >= 8 && payload.startsWith(PngMagic)) "png"
+    else if (n >= 2 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) "jpeg"
+    else if (n >= 6 && new String(payload, 0, 6, ISO_8859_1).matches("GIF8[79]a")) "gif"
+    else if (n >= 12 && fourcc(payload, 0) == "RIFF" && fourcc(payload, 8) == "WAVE") "wav"
+    else if (n >= 12 && fourcc(payload, 0) == "RIFF" && fourcc(payload, 8) == "AVI ") "avi"
+    else "unknown"
+  }
+
   /** Real header decode: (width, height, duration_ms). Images report
     * duration 0, audio reports dimensions 0. Unknown magic falls back to
     * [[digestMeta]]. Never throws on malformed input. */

@@ -101,5 +101,48 @@ object MultimodalQueries {
       FROM nf, UNNEST(RANGE(0, CAST(n_frames AS BIGINT))) AS t(i)
       ORDER BY doc_id, frame_idx"""))
 
-  val all: Seq[GraftQuery] = Seq(mmMediaMeta, mmTypeStats, mmFrameSample)
+  /** Container-format distribution: sniff the REAL magic of every payload
+    * ([[graft.multimodal.Media.codecOf]]) and aggregate counts + bytes
+    * per codec. The oracle reconstructs the synthesis rotation (png/jpeg/
+    * gif by doc_id/3 on image rows, wav on audio, avi on video) — a hash
+    * match proves the sniffer classified every container byte-exactly. */
+  val mmCodecStats = GraftQuery(
+    "mm_codec_stats",
+    (s, dir) => {
+      import s.implicits._
+      val media = Media.synthesize(Tables.load(s, dir, "documents"))
+      media.as[(Long, String, Array[Byte])]
+        .mapPartitions(_.map { case (id, _, payload) =>
+          (id, Media.codecOf(payload), payload.length.toLong)
+        })
+        .toDF("doc_id", "codec", "n_bytes")
+        .groupBy($"codec")
+        .agg(count(lit(1)).as("n"), sum($"n_bytes").as("total_bytes"))
+        .orderBy($"codec")
+    },
+    Some("""
+      WITH params AS (
+        SELECT doc_id,
+               ASCII(SUBSTR(MD5(text), 5, 1)) * 256 + ASCII(SUBSTR(MD5(text), 6, 1)) AS gdur,
+               OCTET_LENGTH(ENCODE(text)) AS len
+        FROM documents),
+      m AS (
+        SELECT CASE
+                 WHEN doc_id % 3 = 1 THEN 'wav'
+                 WHEN doc_id % 3 = 2 THEN 'avi'
+                 ELSE (['png', 'jpeg', 'gif'])[CAST((doc_id // 3) % 3 AS INTEGER) + 1]
+               END AS codec,
+               CASE
+                 WHEN doc_id % 3 = 1 THEN 44 + gdur
+                 WHEN doc_id % 3 = 2 THEN 100 + len
+                 ELSE (CASE CAST((doc_id // 3) % 3 AS INTEGER)
+                         WHEN 0 THEN 57 WHEN 1 THEN 41 ELSE 14 END) + len
+               END AS n_bytes
+        FROM params)
+      SELECT codec, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+      FROM m
+      GROUP BY codec
+      ORDER BY codec"""))
+
+  val all: Seq[GraftQuery] = Seq(mmMediaMeta, mmTypeStats, mmFrameSample, mmCodecStats)
 }
