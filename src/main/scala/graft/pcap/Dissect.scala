@@ -276,7 +276,7 @@ object Dissect {
     // desegmentation: unconsumed tail of an incomplete application PDU,
     // per direction (only populated when the tracker has desegment=true);
     // carryKind records which dissector owns the buffer
-    // (1=fix, 2=http, 3=dns-tcp, 4=ftp, 5=sip, 6=mqtt)
+    // (1=fix, 2=http, 3=dns-tcp, 4=ftp, 5=sip, 6=mqtt, 7=websocket, 8=http2)
     val carry: Array[Array[Byte]] = Array(Array.emptyByteArray, Array.emptyByteArray)
     val carryKind: Array[Int] = Array(0, 0)
     // seq-indexed reassembly (desegment only): expSeq is the next relative
@@ -293,6 +293,12 @@ object Dissect {
     // (HPACK static-table/raw-literal decode): DATA frames in BOTH
     // directions then dissect the gRPC length-prefixed message framing
     var grpc = false
+    // h2 CONTINUATION accumulation (RFC 9113 §6.10): a HEADERS frame
+    // without END_HEADERS stashes its block here per direction; each
+    // CONTINUATION appends; the END_HEADERS frame decodes the whole
+    // block. Bounded by MaxCarry.
+    val h2Pending: Array[Array[Byte]] = Array(null, null)
+    val h2PendingSid: Array[Long] = Array(-1L, -1L)
     // set once a "101 Switching Protocols" + "Upgrade: websocket" response
     // is seen; later segments in BOTH directions dissect as ws frames
     var wsUpgraded = false
@@ -1476,11 +1482,62 @@ object Dissect {
       // bytes would false-positive them).
       var h2Claimed = false
       if (appInfo == null) {
-        val isPreface = isH2Preface(appBuf, appOff, appLen)
+        // any kind-8 carry joins the segment up front, so a preface or
+        // frame split across segments completes here
+        val h2CarryPending = tracker.desegment &&
+          conv.carryKind(dir) == 8 && conv.carry(dir).nonEmpty
+        val hbuf =
+          if (h2CarryPending)
+            conv.carry(dir) ++ java.util.Arrays.copyOfRange(appBuf, appOff, appOff + appLen)
+          else appBuf
+        val hoff = if (h2CarryPending) 0 else appOff
+        val hlen = if (h2CarryPending) hbuf.length else appLen
+        val isPreface = isH2Preface(hbuf, hoff, hlen)
         if (isPreface) conv.http2 = true
         if (conv.http2) {
           h2Claimed = true
-          appInfo = dissectHttp2(appBuf, appOff, appLen, isPreface, conv, v, protos)
+          if (tracker.desegment) {
+            // frame-boundary reassembly (carry kind 8): every frame
+            // COMPLETED by this run dissects; an incomplete trailing
+            // frame (or header) carries to the completing segment —
+            // the same shape as the ws/MQTT desegment paths.
+            val consumed = h2Consumed(hbuf, hoff, hlen, isPreface)
+            if (consumed < 0) {
+              // not frame-aligned (mid-frame continuation of a run we
+              // never saw the start of): plain TCP rendering, no carry
+              conv.carry(dir) = Array.emptyByteArray
+              conv.carryKind(dir) = 0
+              appInfo = dissectHttp2(hbuf, hoff, hlen, isPreface, conv, v, protos, dir)
+            } else {
+              if (consumed > 0)
+                appInfo = dissectHttp2(hbuf, hoff, consumed, isPreface, conv, v, protos, dir)
+              val rest = hlen - consumed
+              if (rest > 0 && rest <= MaxCarry &&
+                  h2TailPlausible(hbuf, hoff + consumed, hoff + hlen)) {
+                conv.carry(dir) =
+                  java.util.Arrays.copyOfRange(hbuf, hoff + consumed, hoff + hlen)
+                conv.carryKind(dir) = 8
+                if (appInfo == null) appInfo = "[TCP segment of a reassembled PDU]"
+              } else if (conv.carryKind(dir) == 8) {
+                conv.carry(dir) = Array.emptyByteArray
+                conv.carryKind(dir) = 0
+              }
+            }
+          } else {
+            appInfo = dissectHttp2(appBuf, appOff, appLen, isPreface, conv, v, protos, dir)
+          }
+        } else if (tracker.desegment && hlen < h2Preface.length &&
+            isH2PrefacePrefix(hbuf, hoff, hlen) && hlen <= MaxCarry) {
+          // a strict prefix of the client preface: carry (kind 8) and
+          // wait — nothing else can start with these bytes
+          conv.carry(dir) = java.util.Arrays.copyOfRange(hbuf, hoff, hoff + hlen)
+          conv.carryKind(dir) = 8
+          h2Claimed = true
+          appInfo = "[TCP segment of a reassembled PDU]"
+        } else if (h2CarryPending) {
+          // carried bytes turned out not to be h2 after all
+          conv.carry(dir) = Array.emptyByteArray
+          conv.carryKind(dir) = 0
         }
       }
       // HTTP reassembly: buffer until the header block terminator arrives
@@ -4783,6 +4840,48 @@ object Dissect {
     true
   }
 
+  /** True when [off, off+len) is a STRICT prefix of the client preface
+    * (len < preface length, all bytes match). */
+  private def isH2PrefacePrefix(d: Array[Byte], off: Int, len: Int): Boolean = {
+    if (len >= h2Preface.length || len == 0) return false
+    var i = 0
+    while (i < len) { if (d(off + i) != h2Preface(i)) return false; i += 1 }
+    true
+  }
+
+  /** Bytes consumed by the preface (when present) plus every COMPLETE h2
+    * frame from `off`; -1 when the buffer doesn't start on a plausible
+    * frame boundary (mid-frame continuation of an unseen run). */
+  private def h2Consumed(d: Array[Byte], off: Int, len: Int, pref: Boolean): Int = {
+    val end = off + len
+    var i = off + (if (pref) h2Preface.length else 0)
+    val first = i
+    var lastComplete = i
+    var stop = false
+    while (!stop && i + 9 <= end) {
+      val flen = ((d(i) & 0xff) << 16) | ((d(i + 1) & 0xff) << 8) | (d(i + 2) & 0xff)
+      val ftype = d(i + 3) & 0xff
+      if (ftype > 9) {
+        if (lastComplete == first && !pref) return -1
+        stop = true
+      } else if (i + 9 + flen > end) stop = true // incomplete: tail carries
+      else { i += 9 + flen; lastComplete = i }
+    }
+    lastComplete - off
+  }
+
+  /** Is the unconsumed tail a plausible partial frame (short header, or a
+    * valid header whose payload hasn't fully arrived)? Garbage tails must
+    * be dropped, not carried until MaxCarry. */
+  private def h2TailPlausible(d: Array[Byte], at: Int, end: Int): Boolean = {
+    val n = end - at
+    if (n <= 0) return false
+    if (n < 9) return true // header itself incomplete: can't judge, wait
+    val ftype = d(at + 3) & 0xff
+    val flen = ((d(at) & 0xff) << 16) | ((d(at + 1) & 0xff) << 8) | (d(at + 2) & 0xff)
+    ftype <= 9 && at + 9 + flen > end
+  }
+
   private val http2FrameNames: Map[Int, String] = Map(
     0 -> "DATA", 1 -> "HEADERS", 2 -> "PRIORITY", 3 -> "RST_STREAM",
     4 -> "SETTINGS", 5 -> "PUSH_PROMISE", 6 -> "PING", 7 -> "GOAWAY",
@@ -4917,7 +5016,8 @@ object Dissect {
       d: Array[Byte], pstart: Int, plen: Int, isPreface: Boolean,
       conv: TcpConv,
       v: FieldVec,
-      protos: mutable.ArrayBuffer[String]): String = {
+      protos: mutable.ArrayBuffer[String],
+      dir: Int = -1): String = {
     val parts = mutable.ArrayBuffer.empty[String]
     var i = pstart
     val end = pstart + plen
@@ -4927,6 +5027,26 @@ object Dissect {
     var firstLen = -1L
     var sawGrpc = false
     var ok = true
+    // decode one complete HPACK header block: fields + info label
+    def decodeBlock(b: Array[Byte], boff: Int, bend: Int,
+        frameName: String, sid: Long): Option[String] = {
+      val hdrs = decodeHpack(b, boff, bend)
+      def hv(n: String) = hdrs.collectFirst { case (`n`, value) => value }
+      hv(":method").foreach(v("http2.headers.method") = _)
+      hv(":path").foreach(v("http2.headers.path") = _)
+      hv(":scheme").foreach(v("http2.headers.scheme") = _)
+      hv(":authority").foreach(v("http2.headers.authority") = _)
+      hv(":status").foreach(v("http2.headers.status") = _)
+      if (hv("content-type").exists(_.startsWith("application/grpc")) && conv != null)
+        conv.grpc = true
+      (hv(":method"), hv(":path"), hv(":status")) match {
+        case (Some(m), Some(p), _) => Some(s"$frameName[$sid]: $m $p")
+        case (_, _, Some(st)) =>
+          val phrase = httpStatusPhrases.getOrElse(st, "")
+          Some(s"$frameName[$sid]: $st${if (phrase.nonEmpty) " " + phrase else ""}")
+        case _ => None
+      }
+    }
     while (ok && i + 9 <= end) {
       val flen = ((d(i) & 0xff) << 16) | ((d(i + 1) & 0xff) << 8) | (d(i + 2) & 0xff)
       val ftype = d(i + 3) & 0xff
@@ -4944,23 +5064,28 @@ object Dissect {
           if ((fflags & 0x08) != 0 && h < hEnd) { hEnd -= u8(d, h); h += 1 } // padded
           if ((fflags & 0x20) != 0) h += 5 // priority: dep(4) + weight(1)
           if (h <= hEnd) {
-            val hdrs = decodeHpack(d, h, hEnd)
-            def hv(n: String) = hdrs.collectFirst { case (`n`, value) => value }
-            hv(":method").foreach(v("http2.headers.method") = _)
-            hv(":path").foreach(v("http2.headers.path") = _)
-            hv(":scheme").foreach(v("http2.headers.scheme") = _)
-            hv(":authority").foreach(v("http2.headers.authority") = _)
-            hv(":status").foreach(v("http2.headers.status") = _)
-            if (hv("content-type").exists(_.startsWith("application/grpc")) && conv != null)
-              conv.grpc = true
-            (hv(":method"), hv(":path"), hv(":status")) match {
-              case (Some(m), Some(p), _) => label = s"HEADERS[$sid]: $m $p"
-              case (_, _, Some(st)) =>
-                val phrase = httpStatusPhrases.getOrElse(st, "")
-                label = s"HEADERS[$sid]: $st${if (phrase.nonEmpty) " " + phrase else ""}"
-              case _ =>
+            if ((fflags & 0x04) != 0) // END_HEADERS: decode now
+              decodeBlock(d, h, hEnd, "HEADERS", sid).foreach(label = _)
+            else if (conv != null && dir >= 0 && hEnd - h <= MaxCarry) {
+              // block continues in CONTINUATION frames: stash per direction
+              conv.h2Pending(dir) = java.util.Arrays.copyOfRange(d, h, hEnd)
+              conv.h2PendingSid(dir) = sid
             }
           }
+        } else if (ftype == 9 && conv != null && dir >= 0 &&
+            conv.h2Pending(dir) != null && sid == conv.h2PendingSid(dir) &&
+            pStart + flen <= end) {
+          // CONTINUATION (RFC 9113 §6.10): append this fragment to the
+          // pending block; END_HEADERS decodes the concatenation
+          val appended = conv.h2Pending(dir) ++
+            java.util.Arrays.copyOfRange(d, pStart, pEnd)
+          if (appended.length > MaxCarry) {
+            conv.h2Pending(dir) = null; conv.h2PendingSid(dir) = -1L
+          } else if ((fflags & 0x04) != 0) {
+            conv.h2Pending(dir) = null; conv.h2PendingSid(dir) = -1L
+            decodeBlock(appended, 0, appended.length, "CONTINUATION", sid)
+              .foreach(label = _)
+          } else conv.h2Pending(dir) = appended
         } else if (ftype == 0 && conv != null && conv.grpc &&
             pStart + 5 <= pEnd) {
           // gRPC message framing (PROTOCOL-HTTP2): compressed flag + BE32 len

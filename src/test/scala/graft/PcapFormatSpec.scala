@@ -832,6 +832,69 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d.info !== "[TCP segment of a reassembled PDU]")
   }
 
+  test("HTTP/2 desegment: frames split across TCP segments reassemble (carry kind 8)") {
+    def frame(b: Array[Byte], sp: Int, dp: Int, seq: Int) = {
+      val f = ethIpTcp(sp, dp, b, seq, rev = sp == 8080)
+      PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    }
+    def h2f(ftype: Int, flags: Int, sid: Int, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(9 + payload.length)
+      b.put((payload.length >> 16).toByte).put((payload.length >> 8).toByte)
+        .put(payload.length.toByte).put(ftype.toByte).put(flags.toByte)
+        .putInt(sid).put(payload)
+      b.array()
+    }
+    val preface = "PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes("ISO-8859-1")
+    // HEADERS: indexed :method GET + :path /index.html, plus a raw-literal
+    // :authority so the payload is long enough to split meaningfully
+    val hdrs = Array[Byte](0x82.toByte, 0x85.toByte, 0x41) ++
+      Array[Byte]("example.org".length.toByte) ++ "example.org".getBytes("ISO-8859-1")
+    val stream = preface ++ h2f(4, 0, 0, Array.empty) ++ h2f(1, 0x04, 1, hdrs)
+    val t = new Dissect.Tracker(desegment = true)
+    // split mid-HEADERS-payload: first run renders what completed, the
+    // partial frame carries and completes on the next segment
+    val cut = preface.length + 9 + 9 + 5
+    val d1 = Dissect.dissect(frame(stream.take(cut), 52200, 8080, 1), 1, t)
+    assert(d1.info === "Magic, SETTINGS[0]")
+    val d2 = Dissect.dissect(frame(stream.drop(cut), 52200, 8080, 1 + cut), 1, t)
+    assert(d2.info === "HEADERS[1]: GET /index.html")
+    assert(d2.values("http2.headers.authority") === "example.org")
+    assert(d2.protocols === "eth:ethertype:ip:tcp:http2")
+
+    // the client preface itself split across segments still marks the conv
+    val t2 = new Dissect.Tracker(desegment = true)
+    val e1 = Dissect.dissect(frame(stream.take(10), 52201, 8080, 1), 1, t2)
+    assert(e1.info === "[TCP segment of a reassembled PDU]")
+    val e2 = Dissect.dissect(frame(stream.drop(10), 52201, 8080, 11), 1, t2)
+    assert(e2.info === "Magic, SETTINGS[0], HEADERS[1]: GET /index.html")
+  }
+
+  test("HTTP/2 CONTINUATION: header block spanning frames decodes at END_HEADERS") {
+    def frame(b: Array[Byte], sp: Int, dp: Int, seq: Int) = {
+      val f = ethIpTcp(sp, dp, b, seq, rev = sp == 8080)
+      PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    }
+    def h2f(ftype: Int, flags: Int, sid: Int, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(9 + payload.length)
+      b.put((payload.length >> 16).toByte).put((payload.length >> 8).toByte)
+        .put(payload.length.toByte).put(ftype.toByte).put(flags.toByte)
+        .putInt(sid).put(payload)
+      b.array()
+    }
+    val preface = "PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes("ISO-8859-1")
+    val block = Array[Byte](0x83.toByte, 0x44) ++
+      Array[Byte]("/upload".length.toByte) ++ "/upload".getBytes("ISO-8859-1")
+    // HEADERS without END_HEADERS carries the first half of the block;
+    // CONTINUATION with END_HEADERS carries the rest
+    val (b1, b2) = block.splitAt(4)
+    val seg = preface ++ h2f(1, 0x00, 1, b1) ++ h2f(9, 0x04, 1, b2)
+    val t = new Dissect.Tracker(desegment = true)
+    val d = Dissect.dissect(frame(seg, 52210, 8080, 1), 1, t)
+    assert(d.info === "Magic, HEADERS[1], CONTINUATION[1]: POST /upload")
+    assert(d.values("http2.headers.method") === "POST")
+    assert(d.values("http2.headers.path") === "/upload")
+  }
+
   test("desegment survives 32-bit sequence wraparound") {
     val fix = "8=FIX.4.29=2035=A34=149=X10=123"
     val bytes = fix.getBytes("ISO-8859-1")
