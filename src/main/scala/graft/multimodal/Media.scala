@@ -73,8 +73,15 @@ object Media {
 
   /** JPEG: SOI, JFIF APP0, SOF0 (8-bit precision, 3 components), the raw
     * document bytes as stand-in entropy data, EOI. Total = 41 + len. */
-  def jpegBytes(w: Long, h: Long, data: Array[Byte]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(41 + data.length)
+  def jpegBytes(w: Long, h: Long, data: Array[Byte]): Array[Byte] =
+    jpegBytes(w, h, 0L, data)
+
+  /** JPEG with an optional EXIF APP1 (orientation > 0): a little-endian
+    * TIFF header + a one-entry IFD0 carrying tag 0x0112 (Orientation).
+    * APP1 adds 36 bytes ⇒ total = 77 + len (41 + len without EXIF). */
+  def jpegBytes(w: Long, h: Long, orientation: Long, data: Array[Byte]): Array[Byte] = {
+    val exifLen = if (orientation > 0) 36 else 0
+    val bb = ByteBuffer.allocate(41 + exifLen + data.length)
     bb.putShort(0xFFD8.toShort) // SOI
     bb.putShort(0xFFE0.toShort).putShort(16.toShort) // APP0 JFIF
       .put("JFIF".getBytes(ISO_8859_1)).put(0.toByte)
@@ -82,12 +89,85 @@ object Media {
       .put(0.toByte) // density units
       .putShort(1.toShort).putShort(1.toShort)
       .put(0.toByte).put(0.toByte) // no thumbnail
+    if (orientation > 0) {
+      bb.putShort(0xFFE1.toShort).putShort(34.toShort) // APP1, len 2+6+8+18
+        .put("Exif".getBytes(ISO_8859_1)).put(0.toByte).put(0.toByte)
+      // TIFF header, little-endian ("II"), IFD0 right after (offset 8)
+      bb.put('I'.toByte).put('I'.toByte)
+        .putShort(java.lang.Short.reverseBytes(42.toShort))
+        .putInt(java.lang.Integer.reverseBytes(8))
+      // IFD0: one entry — tag 0x0112, type SHORT(3), count 1, value
+      bb.putShort(java.lang.Short.reverseBytes(1.toShort)) // entry count
+      bb.putShort(java.lang.Short.reverseBytes(0x0112.toShort))
+        .putShort(java.lang.Short.reverseBytes(3.toShort))
+        .putInt(java.lang.Integer.reverseBytes(1))
+        .putShort(java.lang.Short.reverseBytes(orientation.toShort))
+        .putShort(0.toShort) // value padding
+      bb.putInt(0) // next IFD offset
+    }
     bb.putShort(0xFFC0.toShort).putShort(17.toShort) // SOF0, len 2+6+3*3
       .put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(3.toByte)
     var c = 1
     while (c <= 3) { bb.put(c.toByte).put(0x11.toByte).put(0.toByte); c += 1 }
     bb.put(data)
     bb.putShort(0xFFD9.toShort) // EOI
+    bb.array()
+  }
+
+  /** MP3: an ID3v2.3 container with a TLEN frame declaring the duration
+    * in ms (text), then 100 bytes of stand-in MPEG data.
+    * Total = 21 + digits(durMs) + 100. */
+  def mp3Bytes(durMs: Long): Array[Byte] = {
+    val digits = durMs.toString.getBytes(ISO_8859_1)
+    val frameLen = 1 + digits.length // encoding byte + text
+    val tagLen = 10 + frameLen // one frame
+    val bb = ByteBuffer.allocate(10 + tagLen + 100)
+    bb.put("ID3".getBytes(ISO_8859_1)).put(3.toByte).put(0.toByte).put(0.toByte)
+    // syncsafe size (7 bits per byte)
+    bb.put(((tagLen >> 21) & 0x7f).toByte).put(((tagLen >> 14) & 0x7f).toByte)
+      .put(((tagLen >> 7) & 0x7f).toByte).put((tagLen & 0x7f).toByte)
+    bb.put("TLEN".getBytes(ISO_8859_1)).putInt(frameLen).putShort(0.toShort)
+    bb.put(0.toByte).put(digits) // ISO-8859-1 text encoding
+    var i = 0
+    while (i < 100) { bb.put(0x55.toByte); i += 1 }
+    bb.array()
+  }
+
+  /** MP4 (ISO BMFF): ftyp + moov(mvhd timescale 1000/duration, trak(tkhd
+    * 16.16 dimensions)) + mdat carrying the document bytes as essence.
+    * Total = 244 + len. */
+  def mp4Bytes(w: Long, h: Long, durMs: Long, data: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(244 + data.length) // big-endian (BMFF network order)
+    def box(tpe: String, payloadLen: Int): Unit =
+      bb.putInt(8 + payloadLen).put(tpe.getBytes(ISO_8859_1))
+    box("ftyp", 12)
+    bb.put("isom".getBytes(ISO_8859_1)).putInt(0x200).put("isom".getBytes(ISO_8859_1))
+    box("moov", 108 + 100)
+    box("mvhd", 100)
+    bb.putInt(0) // version/flags
+      .putInt(0).putInt(0) // ctime/mtime
+      .putInt(1000) // timescale
+      .putInt(durMs.toInt) // duration (ms at timescale 1000)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0.toShort) // rate/volume
+    bb.put(new Array[Byte](8)) // reserved
+    // identity matrix
+    bb.putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+    bb.put(new Array[Byte](24)) // pre_defined
+    bb.putInt(2) // next track id
+    box("trak", 92)
+    box("tkhd", 84)
+    bb.putInt(0).putInt(0).putInt(0).putInt(1).putInt(0) // vf/ct/mt/track/res
+      .putInt(durMs.toInt)
+    bb.put(new Array[Byte](8)) // reserved
+    bb.putShort(0.toShort).putShort(0.toShort).putShort(0.toShort).putShort(0.toShort)
+    bb.putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+    bb.putInt((w << 16).toInt).putInt((h << 16).toInt) // 16.16 fixed
+    box("mdat", data.length)
+    bb.put(data)
     bb.array()
   }
 
@@ -156,16 +236,22 @@ object Media {
       val w = 1 + (hex(0).toLong * 256 + hex(1)) % 512
       val h = 1 + (hex(2).toLong * 256 + hex(3)) % 512
       val dur = hex(4).toLong * 256 + hex(5)
+      val orient = 1 + (hex(6).toLong * 256 + hex(7)) % 8
       (id % 3) match {
         case 0 =>
           val payload = ((id / 3) % 3) match {
             case 0 => pngBytes(w, h, data)
-            case 1 => jpegBytes(w, h, data)
+            case 1 => jpegBytes(w, h, orient, data) // EXIF APP1 orientation
             case _ => gifBytes(w, h, data)
           }
           MediaRecord(id, "image", payload)
-        case 1 => MediaRecord(id, "audio", wavBytes(dur))
-        case _ => MediaRecord(id, "video", aviBytes(w, h, dur, data))
+        case 1 =>
+          MediaRecord(id, "audio",
+            if ((id / 3) % 2 == 0) wavBytes(dur) else mp3Bytes(dur))
+        case _ =>
+          MediaRecord(id, "video",
+            if ((id / 3) % 2 == 0) aviBytes(w, h, dur, data)
+            else mp4Bytes(w, h, dur, data))
       }
     }.toDF()
   }
@@ -205,6 +291,8 @@ object Media {
     if (n >= 8 && payload.startsWith(PngMagic)) "png"
     else if (n >= 2 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) "jpeg"
     else if (n >= 6 && new String(payload, 0, 6, ISO_8859_1).matches("GIF8[79]a")) "gif"
+    else if (n >= 3 && payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') "mp3"
+    else if (n >= 12 && fourcc(payload, 4) == "ftyp") "mp4"
     else if (n >= 12 && fourcc(payload, 0) == "RIFF" && fourcc(payload, 8) == "WAVE") "wav"
     else if (n >= 12 && fourcc(payload, 0) == "RIFF" && fourcc(payload, 8) == "AVI ") "avi"
     else "unknown"
@@ -237,6 +325,54 @@ object Media {
     if (n >= 13 && (fourcc(payload, 0) + new String(payload, 4, 2, ISO_8859_1))
         .matches("GIF8[79]a"))
       return (u16le(payload, 6).toLong, u16le(payload, 8).toLong, 0L)
+    // MP3 / ID3v2: TLEN text frame declares the duration in ms
+    if (n >= 10 && payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') {
+      val tagLen = ((payload(6) & 0x7f) << 21) | ((payload(7) & 0x7f) << 14) |
+        ((payload(8) & 0x7f) << 7) | (payload(9) & 0x7f)
+      var p = 10
+      val tagEnd = math.min(n, 10 + tagLen)
+      while (p + 10 <= tagEnd) {
+        val id = fourcc(payload, p)
+        val size = u32be(payload, p + 4)
+        if (size <= 0 || p + 10 + size > tagEnd) return (0L, 0L, 0L)
+        if (id == "TLEN" && size >= 2) {
+          val txt = new String(payload, p + 11, size.toInt - 1, ISO_8859_1)
+          return (0L, 0L, try txt.trim.toLong catch { case _: Throwable => 0L })
+        }
+        p += 10 + size.toInt
+      }
+      return (0L, 0L, 0L)
+    }
+    // MP4 / ISO BMFF: moov → mvhd (timescale/duration) + tkhd (16.16 dims)
+    if (n >= 12 && fourcc(payload, 4) == "ftyp") {
+      var w = 0L
+      var h = 0L
+      var dur = 0L
+      def walk(from: Int, to: Int, depth: Int): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val size = u32be(payload, p)
+          val tpe = fourcc(payload, p + 4)
+          if (size < 8 || p + size > to) return
+          val bEnd = (p + size).toInt
+          tpe match {
+            case "moov" | "trak" if depth < 3 => walk(p + 8, bEnd, depth + 1)
+            case "mvhd" if p + 8 + 20 <= to =>
+              val ts = u32be(payload, p + 8 + 12)
+              val d0 = u32be(payload, p + 8 + 16)
+              if (ts > 0) dur = d0 * 1000L / ts
+            case "tkhd" if p + 8 + 84 <= to =>
+              w = u32be(payload, p + 8 + 76) >> 16
+              h = u32be(payload, p + 8 + 80) >> 16
+            case _ =>
+          }
+          p = bEnd
+        }
+      }
+      walk(0, n, 0)
+      if (w > 0 || h > 0 || dur > 0) return (w, h, dur)
+      return digestMeta(payload)
+    }
     if (fourcc(payload, 0) == "RIFF" && n >= 12) {
       val form = fourcc(payload, 8)
       if (form == "WAVE") {
@@ -310,6 +446,58 @@ object Media {
     payload
   }
 
+  /** Container essence (what a frame decoder would consume): AVI
+    * LIST/movi contents, MP4 mdat contents; whole payload otherwise. */
+  def essenceOf(payload: Array[Byte]): Array[Byte] = {
+    val n = payload.length
+    if (n >= 12 && fourcc(payload, 4) == "ftyp") {
+      var p = 0
+      while (p + 8 <= n) {
+        val size = u32be(payload, p)
+        if (size < 8 || p + size > n) return payload
+        if (fourcc(payload, p + 4) == "mdat")
+          return java.util.Arrays.copyOfRange(payload, p + 8, (p + size).toInt)
+        p = (p + size).toInt
+      }
+      payload
+    } else aviMoviData(payload)
+  }
+
+  /** EXIF orientation (tag 0x0112) from a JPEG APP1 segment; 0 when
+    * absent/unparseable. Handles both II and MM byte orders. */
+  def exifOrientation(payload: Array[Byte]): Long = {
+    val n = payload.length
+    if (n < 4 || (payload(0) & 0xff) != 0xff || (payload(1) & 0xff) != 0xd8) return 0L
+    var p = 2
+    while (p + 4 <= n && (payload(p) & 0xff) == 0xff) {
+      val m = payload(p + 1) & 0xff
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) p += 2
+      else {
+        val seglen = u16be(payload, p + 2)
+        if (m == 0xe1 && p + 4 + 6 <= n &&
+            new String(payload, p + 4, 4, ISO_8859_1) == "Exif") {
+          val tiff = p + 10 // past "Exif\0\0"
+          if (tiff + 8 > n) return 0L
+          val le = payload(tiff) == 'I'
+          def r16(i: Int) = if (le) u16le(payload, i) else u16be(payload, i)
+          def r32(i: Int) = if (le) u32le(payload, i) else u32be(payload, i)
+          val ifd = tiff + r32(tiff + 4).toInt
+          if (ifd + 2 > n) return 0L
+          val count = r16(ifd)
+          var e = 0
+          while (e < count && ifd + 2 + (e + 1) * 12 <= n) {
+            val at = ifd + 2 + e * 12
+            if (r16(at) == 0x0112) return r16(at + 8).toLong
+            e += 1
+          }
+          return 0L
+        } else if (m == 0xda) return 0L
+        else p += 2 + seglen
+      }
+    }
+    0L
+  }
+
   /** Batch metadata extraction: one `mapPartitions` pass, constant memory
     * per partition, executor-local — scales to any number of partitions. */
   def extractMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
@@ -339,7 +527,7 @@ object Media {
       .mapPartitions { it =>
         it.flatMap { case (id, _, payload) =>
           val (_, _, dur) = decode(payload)
-          val essence = aviMoviData(payload)
+          val essence = essenceOf(payload)
           val n = 1 + dur % 4
           val md = MessageDigest.getInstance("MD5")
           (0L until n).iterator.map { i =>

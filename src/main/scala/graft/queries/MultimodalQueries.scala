@@ -19,13 +19,17 @@ import graft.multimodal.Media
   * reproduces arithmetically for n_bytes. */
 object MultimodalQueries {
 
-  /** Shared oracle CTE: per-document md5-derived generation parameters. */
+  /** Shared oracle CTE: per-document md5-derived generation parameters.
+    * Container overheads: png 57 / jpeg+EXIF 77 / gif 14 + payload;
+    * wav 44 + duration samples; mp3 121 + duration digit count;
+    * avi 100 / mp4 244 + payload. */
   private val paramsCte = """
       params AS (
         SELECT doc_id, text,
                1 + (ASCII(SUBSTR(MD5(text), 1, 1)) * 256 + ASCII(SUBSTR(MD5(text), 2, 1))) % 512 AS gw,
                1 + (ASCII(SUBSTR(MD5(text), 3, 1)) * 256 + ASCII(SUBSTR(MD5(text), 4, 1))) % 512 AS gh,
-               ASCII(SUBSTR(MD5(text), 5, 1)) * 256 + ASCII(SUBSTR(MD5(text), 6, 1)) AS gdur
+               ASCII(SUBSTR(MD5(text), 5, 1)) * 256 + ASCII(SUBSTR(MD5(text), 6, 1)) AS gdur,
+               1 + (ASCII(SUBSTR(MD5(text), 7, 1)) * 256 + ASCII(SUBSTR(MD5(text), 8, 1))) % 8 AS gorient
         FROM documents),
       meta AS (
         SELECT doc_id,
@@ -33,13 +37,18 @@ object MultimodalQueries {
                CAST(CASE
                  WHEN doc_id % 3 = 0 THEN
                    (CASE CAST((doc_id // 3) % 3 AS INTEGER)
-                      WHEN 0 THEN 57 WHEN 1 THEN 41 ELSE 14 END)
+                      WHEN 0 THEN 57 WHEN 1 THEN 77 ELSE 14 END)
                    + OCTET_LENGTH(ENCODE(text))
-                 WHEN doc_id % 3 = 1 THEN 44 + gdur
-                 ELSE 100 + OCTET_LENGTH(ENCODE(text)) END AS BIGINT) AS n_bytes,
+                 WHEN doc_id % 3 = 1 THEN
+                   CASE WHEN (doc_id // 3) % 2 = 0 THEN 44 + gdur
+                        ELSE 121 + LENGTH(CAST(gdur AS VARCHAR)) END
+                 ELSE
+                   CASE WHEN (doc_id // 3) % 2 = 0 THEN 100 ELSE 244 END
+                   + OCTET_LENGTH(ENCODE(text)) END AS BIGINT) AS n_bytes,
                CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE gw END AS BIGINT) AS width,
                CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE gh END AS BIGINT) AS height,
-               CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE gdur END AS BIGINT) AS duration_ms
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE gdur END AS BIGINT) AS duration_ms,
+               gorient
         FROM params)"""
 
   val mmMediaMeta = GraftQuery(
@@ -128,15 +137,20 @@ object MultimodalQueries {
         FROM documents),
       m AS (
         SELECT CASE
-                 WHEN doc_id % 3 = 1 THEN 'wav'
-                 WHEN doc_id % 3 = 2 THEN 'avi'
+                 WHEN doc_id % 3 = 1 THEN
+                   CASE WHEN (doc_id // 3) % 2 = 0 THEN 'wav' ELSE 'mp3' END
+                 WHEN doc_id % 3 = 2 THEN
+                   CASE WHEN (doc_id // 3) % 2 = 0 THEN 'avi' ELSE 'mp4' END
                  ELSE (['png', 'jpeg', 'gif'])[CAST((doc_id // 3) % 3 AS INTEGER) + 1]
                END AS codec,
                CASE
-                 WHEN doc_id % 3 = 1 THEN 44 + gdur
-                 WHEN doc_id % 3 = 2 THEN 100 + len
+                 WHEN doc_id % 3 = 1 THEN
+                   CASE WHEN (doc_id // 3) % 2 = 0 THEN 44 + gdur
+                        ELSE 121 + LENGTH(CAST(gdur AS VARCHAR)) END
+                 WHEN doc_id % 3 = 2 THEN
+                   (CASE WHEN (doc_id // 3) % 2 = 0 THEN 100 ELSE 244 END) + len
                  ELSE (CASE CAST((doc_id // 3) % 3 AS INTEGER)
-                         WHEN 0 THEN 57 WHEN 1 THEN 41 ELSE 14 END) + len
+                         WHEN 0 THEN 57 WHEN 1 THEN 77 ELSE 14 END) + len
                END AS n_bytes
         FROM params)
       SELECT codec, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
@@ -144,5 +158,35 @@ object MultimodalQueries {
       GROUP BY codec
       ORDER BY codec"""))
 
-  val all: Seq[GraftQuery] = Seq(mmMediaMeta, mmTypeStats, mmFrameSample, mmCodecStats)
+  /** EXIF orientation distribution over the image subset: Spark PARSES
+    * the APP1 TIFF IFD ([[graft.multimodal.Media.exifOrientation]]) — II
+    * and MM byte orders — while the oracle replays the generation formula
+    * (jpeg rows carry 1-8, png/gif carry none → 0). */
+  val mmOrientationStats = GraftQuery(
+    "mm_orientation_stats",
+    (s, dir) => {
+      import s.implicits._
+      val media = Media.synthesize(Tables.load(s, dir, "documents"))
+      media.filter($"media_type" === "image")
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions(_.map { case (id, _, payload) =>
+          (id, Media.exifOrientation(payload))
+        })
+        .toDF("doc_id", "orientation")
+        .groupBy($"orientation")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"orientation")
+    },
+    Some(s"""
+      WITH $paramsCte
+      SELECT CAST(CASE WHEN CAST((doc_id // 3) % 3 AS INTEGER) = 1
+                       THEN gorient ELSE 0 END AS BIGINT) AS orientation,
+             COUNT(*) AS n
+      FROM meta
+      WHERE doc_id % 3 = 0
+      GROUP BY 1
+      ORDER BY orientation"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(mmMediaMeta, mmTypeStats, mmFrameSample, mmCodecStats, mmOrientationStats)
 }

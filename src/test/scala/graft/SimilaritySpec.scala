@@ -110,6 +110,23 @@ class SimilaritySpec extends SparkSpec {
     assert(Media.decode(avi) === ((720L, 576L, 5000L)))
     // movi essence round-trips for the frame fingerprint
     assert(Media.aviMoviData(avi).toSeq === data.toSeq)
+    // MP4 / ISO BMFF: mvhd duration at timescale 1000, tkhd 16.16 dims
+    val mp4 = Media.mp4Bytes(1280, 720, 9000, data)
+    assert(mp4.length === 244 + data.length)
+    assert(Media.decode(mp4) === ((1280L, 720L, 9000L)))
+    assert(Media.essenceOf(mp4).toSeq === data.toSeq)
+    assert(Media.codecOf(mp4) === "mp4")
+    // MP3 / ID3v2: TLEN text frame declares the duration
+    val mp3 = Media.mp3Bytes(12345)
+    assert(mp3.length === 121 + "12345".length)
+    assert(Media.decode(mp3) === ((0L, 0L, 12345L)))
+    assert(Media.codecOf(mp3) === "mp3")
+    // JPEG EXIF APP1: orientation tag parses (LE TIFF), dims unaffected
+    val jex = Media.jpegBytes(800, 600, 6, data)
+    assert(jex.length === 77 + data.length)
+    assert(Media.decode(jex) === ((800L, 600L, 0L)))
+    assert(Media.exifOrientation(jex) === 6L)
+    assert(Media.exifOrientation(jpg) === 0L) // no APP1 → absent
     // unknown magic: digest fallback, deterministic, never throws
     val junk = "not a media file".getBytes("UTF-8")
     assert(Media.decode(junk) === Media.digestMeta(junk))
