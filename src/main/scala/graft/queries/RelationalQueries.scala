@@ -1135,6 +1135,32 @@ object RelationalQueries {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
 
+  /** Correlated LATERAL subquery (SQL:1999; Spark ≥3.2, DuckDB native):
+    * per-customer top-2 orders — the per-row dependent subplan the
+    * DataFrame API can't express directly. Both engines run the SAME SQL
+    * text; Spark de-correlates the LATERAL into a ranked window under
+    * the hood (no per-row re-execution — the scalable plan), DuckDB
+    * executes it as a dependent join. No arithmetic, so cells agree
+    * bit-exactly. */
+  private val q47Sql = """
+      SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+      FROM customer, LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2)
+      WHERE c_custkey <= 100
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""
+
+  val q47LateralTopn = GraftQuery(
+    "q47_lateral_topn",
+    (s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql(q47Sql)
+    },
+    Some(q47Sql))
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -1147,5 +1173,5 @@ object RelationalQueries {
     q35SaltedAgg, q36TopkAggregator, q37GroupingSets, q38WindowRangeFrame,
     q38bWindowRangeBySupp, q39Percentiles, q39bApproxPercentiles,
     q40WindowDistribution, q41MultiDistinct, q42AsofJoin, q43PartitionedRw,
-    q44BucketedJoin, q45Unpivot, q46RecursiveSpine)
+    q44BucketedJoin, q45Unpivot, q46RecursiveSpine, q47LateralTopn)
 }

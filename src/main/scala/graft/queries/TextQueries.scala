@@ -1269,11 +1269,61 @@ object TextQueries {
       FROM t
       ORDER BY doc_id"""))
 
+  /** Blocking + verify fuzzy dedup — the classic entity-resolution shape
+    * at scale: candidate pairs come from an EQUI-join on aligned 10-char
+    * bands of the 30-char prefix (blocking keys: edit-light duplicates
+    * rarely disturb every band), then the exact `levenshtein` verifies.
+    * Exact pair multiplicity via the first-agreeing-band predicate (the
+    * SimJoinBandRewrite trick over strings). The oracle replays the SAME
+    * blocking predicate naively — Spark's plan is the shuffle-
+    * partitionable banded join, DuckDB's is an O(n²) scan, results are
+    * identical by construction. `levenshtein` is classic integer DP in
+    * both engines, so the verify agrees bit-exactly. */
+  val ddEditPairs = GraftQuery(
+    "dd_edit_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val pre = docs(s, dir)
+        .select($"doc_id", substring(lower($"text"), 1, 30).as("pre"))
+        .filter(length($"pre") === 30)
+      val banded = pre.select($"doc_id", $"pre",
+        posexplode(array(
+          substring($"pre", 1, 10), substring($"pre", 11, 10),
+          substring($"pre", 21, 10))).as(Seq("band_idx", "band_val")))
+      val l = banded.as("l")
+      val r = banded.as("r")
+      def firstAgree(a: Column, b: Column): Column =
+        when(substring(a, 1, 10) === substring(b, 1, 10), 0)
+          .when(substring(a, 11, 10) === substring(b, 11, 10), 1)
+          .otherwise(2)
+      l.join(r,
+          $"l.band_idx" === $"r.band_idx" && $"l.band_val" === $"r.band_val" &&
+            $"l.doc_id" < $"r.doc_id" &&
+            firstAgree($"l.pre", $"r.pre") === $"l.band_idx")
+        .select($"l.doc_id".as("id_a"), $"r.doc_id".as("id_b"),
+          levenshtein($"l.pre", $"r.pre").cast(LongType).as("edit_distance"))
+        .filter($"edit_distance" <= 2)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""
+      WITH pre AS (
+        SELECT doc_id, SUBSTR(LOWER(text), 1, 30) AS pre
+        FROM documents
+        WHERE LENGTH(SUBSTR(LOWER(text), 1, 30)) = 30)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS edit_distance
+      FROM pre a JOIN pre b ON a.doc_id < b.doc_id
+       AND (SUBSTR(a.pre, 1, 10) = SUBSTR(b.pre, 1, 10)
+         OR SUBSTR(a.pre, 11, 10) = SUBSTR(b.pre, 11, 10)
+         OR SUBSTR(a.pre, 21, 10) = SUBSTR(b.pre, 21, 10))
+      WHERE levenshtein(a.pre, b.pre) <= 2
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[GraftQuery] = Seq(
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
     txTrainSplit, txMixtureWeights, txCorpusReport, txPack,
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
     ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddSubdocDedup, ddSimjoinAuto,
-    txBpeTokens, txPackDocs)
+    txBpeTokens, txPackDocs, ddEditPairs)
 }

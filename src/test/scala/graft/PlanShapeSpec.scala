@@ -31,11 +31,17 @@ class PlanShapeSpec extends SparkSpec {
 
   test("dedup candidate generation is a key equi-join, never a cross join") {
     for (q <- Seq("dd_minhash_lsh_pairs", "dd_simhash_pairs",
-      "dd_ngram_jaccard", "dd_embedding_neardup")) {
+      "dd_ngram_jaccard", "dd_embedding_neardup", "dd_edit_pairs")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q: candidate pairing must stay a bucket equi-join")
     }
+  }
+
+  test("q47 LATERAL de-correlates: no per-row dependent join in the plan") {
+    val p = plan("q47_lateral_topn")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the correlated LATERAL must rewrite to a join + ranking, not a dependent loop")
   }
 
   test("IVF cell assignment is the codegen vector_dot expression, not an ML UDF") {
