@@ -205,7 +205,29 @@ object StreamingQueries {
       FROM g GROUP BY user_id, sess
       ORDER BY user_id, session_start"""))
 
+  /** Stream-static dimension enrichment (broadcast left join + windowed
+    * agg): batch twin of the micro-batch shape where the static dim is
+    * re-read per batch. Oracle replays the left join + hour buckets with
+    * the decimal-exact sum. */
+  val stEnrich = GraftQuery(
+    "st_enrich",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val customer = Tables.load(s, dir, "customer")
+      EventPipeline.enrichedSegmentCounts(events, customer)
+        .orderBy("window_start", "segment")
+    },
+    Some("""
+      SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+             COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events LEFT JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2, 3
+      ORDER BY window_start, segment"""))
+
   val all: Seq[GraftQuery] =
     Seq(stSessionize, stWindowedCounts, stDistinctUsers, stSlidingRates,
-      stDedup, stIntervalJoin, stSessionWindow)
+      stDedup, stIntervalJoin, stSessionWindow, stEnrich)
 }

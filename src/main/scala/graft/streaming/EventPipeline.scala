@@ -63,6 +63,34 @@ object EventPipeline extends Serializable {
         col("w.end").as("window_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-static dimension enrichment — the production clickstream
+    * shape: the event stream joins a SMALL static dimension (explicitly
+    * broadcast, so the stream never shuffles for the join; in streaming
+    * the static side is re-read per micro-batch, which is how dimension
+    * updates become visible) and aggregates per (event-time window,
+    * segment). Unmatched users keep flowing as 'UNKNOWN' (left join) —
+    * enrichment must never drop events. Works on batch and streaming
+    * inputs alike. */
+  def enrichedSegmentCounts(
+      events: DataFrame,
+      customer: DataFrame,
+      windowDur: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val dim = customer.select(col("c_custkey"), col("c_mktsegment"))
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .withColumn("segment", coalesce(col("c_mktsegment"), lit("UNKNOWN")))
+      .groupBy(window(col("ts"), windowDur).as("w"), col("segment"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("segment"), col("n"), col("sum_value"))
+  }
+
   /** Windowed EXACT distinct users — CHAINED stateful operators (the
     * Spark 3.4+ multiple-stateful-operator pipeline): a watermark-scoped
     * dropDuplicates on (window, user) feeds a windowed count, so the

@@ -36,6 +36,30 @@ class StreamingSpec extends SparkSpec {
     assert(batch.length === 3) // (h0: click×2) (h1: click, view)
   }
 
+  test("stream-static enrichment: streaming result equals batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val events = Seq(
+      ev(1, 0, 1, "click", 1.0), ev(2, 10, 2, "click", 2.0),
+      ev(3, 20, 9, "view", 3.0), // user 9 has no dim row → UNKNOWN
+      ev(4, 70, 1, "click", 4.0))
+
+    val batch = EventPipeline.enrichedSegmentCounts(events.toDF(), dim)
+      .orderBy("window_start", "segment").collect()
+    assert(batch.map(r => (r.getAs[String]("segment"), r.getAs[Long]("n"))).toSeq ===
+      Seq(("BUILDING", 1L), ("MACHINERY", 1L), ("UNKNOWN", 1L), ("BUILDING", 1L)))
+
+    val stream = MemoryStream[Event]
+    stream.addData(events: _*)
+    val q = EventPipeline.enrichedSegmentCounts(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich").outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("enrich").orderBy("window_start", "segment").collect()
+    assert(batch.map(_.toSeq).toSeq === streamed.map(_.toSeq).toSeq)
+  }
+
   test("chained stateful distinct users: streaming (append) equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
