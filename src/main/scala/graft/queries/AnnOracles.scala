@@ -134,6 +134,37 @@ object AnnOracles {
       ORDER BY cell"""
   }
 
+  /** Oracle for `sim_recall_report`: replay BOTH pipelines — the IVF
+    * probe search (fitted centroid literals, `ranked` from [[ivfCore]])
+    * and the exact brute-force ranking over the full corpus — then join
+    * the two ≤topK sets per query. recall = hits/truth is one IEEE
+    * division of two integers, exactly rounded in both engines. */
+  def ivfRecallSql(cents: Array[Array[Double]], topK: Int, nProbe: Int,
+      maxQ: Int): String = {
+    val dim = cents(0).length
+    ivfCore(cents, nProbe,
+      "vec_id AS query_id, embedding AS qe", s"vec_id < $maxQ") + s""",
+      brute AS (
+        SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 ((${dot("e.embedding", "q.qe", dim)})
+                   / (SQRT(${dot("e.embedding", "e.embedding", dim)})
+                      * SQRT(${dot("q.qe", "q.qe", dim)}))) DESC, e.vec_id) AS brn
+        FROM embeddings e CROSS JOIN q),
+      bsel AS (SELECT query_id, vec_id FROM brute
+               WHERE brn <= $topK AND vec_id <> query_id),
+      isel AS (SELECT query_id, vec_id FROM ranked
+               WHERE rnk <= $topK AND vec_id <> query_id)
+      SELECT b.query_id AS query_id,
+             CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+             CAST(COUNT(*) AS BIGINT) AS n_truth,
+             CAST(COUNT(i.vec_id) AS DOUBLE) / COUNT(*) AS recall
+      FROM bsel b LEFT JOIN isel i
+        ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+      GROUP BY b.query_id
+      ORDER BY query_id"""
+  }
+
   private def cbValues(cb: Pq.Codebook): String =
     (for {
       j <- cb.centroids.indices

@@ -527,6 +527,45 @@ object SimilarityQueries {
     oracleGen = Some((s, dir) => AnnOracles.ivfCellStatsSql(
       graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids)))
 
+  /** Index-quality recall report — the metric a serving team watches
+    * before trusting an ANN index: recall@k of the IVF probe search vs
+    * the exact brute-force top-k, per query. Both pipelines run in ONE
+    * plan (the brute side broadcasts the query set — the corpus never
+    * shuffles; the IVF side is the shared probe search), joined on the
+    * returned (query, neighbor) pairs. The generated oracle replays both
+    * pipelines with the fitted centroid literals; recall is a single
+    * exactly-rounded integer division. */
+  val simRecallReport = GraftQuery(
+    "sim_recall_report",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = graft.functions.AnnIndexes.embeddings(s, dir)
+      val index = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+      val truth = emb.crossJoin(broadcast(queries))
+        .select($"query_id", $"vec_id",
+          graft.functions.Vectors.cosine($"embedding", $"qe").as("cosine"))
+        .withColumn("brn", row_number().over(w))
+        .filter($"brn" <= 5 && $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id")
+      val got = graft.functions.Ivf.searchBatch(index, queries, topK = 5, nProbe = 4)
+        .filter($"query_id" =!= $"vec_id")
+        .select($"query_id".as("iq"), $"vec_id".as("iv"))
+      truth.join(got, $"query_id" === $"iq" && $"vec_id" === $"iv", "left")
+        .groupBy($"query_id")
+        .agg(
+          count($"iv").as("n_hits"),
+          count(lit(1)).as("n_truth"),
+          (count($"iv").cast(DoubleType) / count(lit(1))).as("recall"))
+        .orderBy($"query_id")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.ivfRecallSql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids,
+      topK = 5, nProbe = 4, maxQ = 10)))
+
   /** Int8 scalar quantization — the embedding-compression step of a
     * serving/storage pipeline: per-dimension min-max binning to 256
     * levels (floor-based, so no rounding-mode divergence between
@@ -567,6 +606,6 @@ object SimilarityQueries {
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfPersisted,
       simAnnRange, simAnnIvfBatch, simAnnPq, simAnnPqRange, simAnnIvfPq,
       simAnnIvfPqPersisted, simAnnOpq, simAnnOpqIvfPq, simAnnInt8,
-      simAnnInt8Persisted, simQuantizeInt8, simIvfCellStats,
+      simAnnInt8Persisted, simQuantizeInt8, simIvfCellStats, simRecallReport,
       ddEmbeddingNeardup)
 }
