@@ -882,4 +882,19 @@ https_r = struct.pack(">HHHHHH", 0x0077, 0x8180, 1, 1, 0, 0) + \
     b"\xc0\x0c" + struct.pack(">HHIH", 65, 1, 300, len(svcb_rdata)) + svcb_rdata
 extra.append((t3, 12900, ip_frame(17, B, A, udp(53, 54310, https_r), ident=165)))
 
+# 132-134: HTTP/2 with Huffman-coded HPACK strings, using the RFC 7541
+# Appendix C vectors verbatim: the C.4.1 first request (the :authority
+# literal Huffman-codes "www.example.com") and a response whose
+# custom-key/custom-value literal is Huffman-coded (C.4.3 encodings)
+hc1 = h2_preface + h2f(4, 0, 0, b"")
+extra.append((t3, 13000, ip_frame(6, A, B, tcp(54400, 50051, 1, hc1), ident=166)))
+huff_req = bytes.fromhex("828684418cf1e3c2e5f23a6ba0ab90f4ff")
+hc2 = h2f(1, 0x04, 1, huff_req)
+extra.append((t3, 13100, ip_frame(6, A, B,
+              tcp(54400, 50051, 1 + len(hc1), hc2), ident=167)))
+huff_rsp = bytes([0x88]) + \
+    bytes.fromhex("408825a849e95ba97d7f8925a849e95bb8e8b4bf")
+hs1 = h2f(4, 0, 0, b"") + h2f(1, 0x04, 1, huff_rsp)
+extra.append((t3, 13200, ip_frame(6, B, A, tcp(50051, 54400, 1, hs1), ident=168)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
