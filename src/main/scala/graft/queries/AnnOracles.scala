@@ -165,6 +165,37 @@ object AnnOracles {
       ORDER BY query_id"""
   }
 
+  /** Oracle for `dd_semantic_dedup`: literal centroids → deterministic
+    * cell assignment (embedding kept in the cells CTE) → within-cell
+    * lower-id near-dup probe at cosine ≥ τ → per-vector kept flag. The
+    * threshold comparison sees the same replayed IEEE cosine on both
+    * engines, so the keep/remove decisions match bit-for-bit. */
+  def semanticDedupSql(cents: Array[Array[Double]], tau: Double): String = {
+    val dim = cents(0).length
+    s"""
+      WITH cents(cell, centroid, cn2, cnorm) AS (VALUES
+  ${centsValues(cents)}),
+      cellscore AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               c.cn2 - 2.0 * (${dot("e.embedding", "c.centroid", dim)}) AS score
+        FROM embeddings e CROSS JOIN cents c),
+      cells AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT vec_id, embedding, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS crn
+          FROM cellscore) WHERE crn = 1),
+      dups AS (
+        SELECT DISTINCT y.vec_id
+        FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        WHERE (${dot("x.embedding", "y.embedding", dim)})
+                / (SQRT(${dot("x.embedding", "x.embedding", dim)})
+                   * SQRT(${dot("y.embedding", "y.embedding", dim)}))
+              >= CAST(${fmt(tau)} AS DOUBLE))
+      SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS kept
+      FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id
+      ORDER BY c.vec_id"""
+  }
+
   private def cbValues(cb: Pq.Codebook): String =
     (for {
       j <- cb.centroids.indices

@@ -602,10 +602,44 @@ object SimilarityQueries {
       FROM x JOIN st USING (dim)
       ORDER BY vec_id, dim"""))
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space — the shared
+    * [[graft.functions.AnnIndexes.ivf]] fit — then, WITHIN each cell only,
+    * remove every vector that has a strictly-lower-id neighbor at cosine
+    * ≥ τ (the lowest id of each near-dup set survives; deterministic, no
+    * medoid tie-breaks). Emits the full per-vector verdict (vec_id, cell,
+    * kept) so downstream keep-joins are a trivial filter.
+    *
+    * 100 TB shape: the candidate join is a cell EQUI-join — pair work is
+    * quadratic only in cell occupancy, never in corpus size; k scales with
+    * n to hold cells at ~10³ vectors (here k=16 over the test corpus), and
+    * the duplicate-id side of the final join is small enough to broadcast.
+    * τ is calibrated to the synthetic corpus (max pairwise cosine ≈ 0.51)
+    * so the rule demonstrably fires; production corpora use ≈ 0.95+. */
+  val ddSemanticDedup = GraftQuery(
+    "dd_semantic_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val cells = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
+        .assigned.select($"vec_id", $"embedding", $"cell")
+      val dups = cells.as("a")
+        .join(cells.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .filter(Vectors.cosine(col("a.embedding"), col("b.embedding")) >= 0.4)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+        .withColumn("dup", lit(true))
+      cells.select($"vec_id", $"cell")
+        .join(broadcast(dups), Seq("vec_id"), "left_outer")
+        .select($"vec_id", $"cell", $"dup".isNull.as("kept"))
+        .orderBy($"vec_id")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.semanticDedupSql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids, tau = 0.4)))
+
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfPersisted,
       simAnnRange, simAnnIvfBatch, simAnnPq, simAnnPqRange, simAnnIvfPq,
       simAnnIvfPqPersisted, simAnnOpq, simAnnOpqIvfPq, simAnnInt8,
       simAnnInt8Persisted, simQuantizeInt8, simIvfCellStats, simRecallReport,
-      ddEmbeddingNeardup)
+      ddEmbeddingNeardup, ddSemanticDedup)
 }
