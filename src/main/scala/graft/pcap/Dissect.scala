@@ -117,50 +117,96 @@ object Dissect {
     val Id_udp_payload: Int = FieldIds.id("udp.payload")
   }
 
-  /** Write-side view: `v.set(Id_tcp_srcport, x` resolves the field id and)
-    * stores into the flat array (unknown names are dropped — the glossary
-    * consistency spec keeps that set empty). */
+  /** Write-side view: `v.set(Id_tcp_srcport, x)` resolves the field id and
+    * stores into flat arrays (unknown names are dropped — the glossary
+    * consistency spec keeps that set empty).
+    *
+    * Primitive-slot layout: Long/Boolean/Double writes land in `longs`
+    * (bools as 0/1, doubles as raw IEEE bits) with a kind tag — no
+    * `java.lang.Long` boxing on the ~45-writes-per-packet dissection hot
+    * path; only strings and other objects touch `objs`. Overload
+    * resolution picks the primitive `set`/`update` statically, so the
+    * thousands of dissector call sites did not change. */
   final class FieldVec {
-    val arr = new Array[Any](FieldIds.count)
+    val objs = new Array[Any](FieldIds.count)
+    val longs = new Array[Long](FieldIds.count)
+    /** 0 = empty, 1 = object, 2 = long, 3 = boolean, 4 = double. */
+    val kinds = new Array[Byte](FieldIds.count)
     /** Tunnel recursion (GRE/VXLAN inner layers) flips this on: a field
       * already written by an OUTER layer then follows tshark's
       * multi-occurrence rendering — strings comma-append, non-strings keep
       * the outer value (the reference's stoll/stod prefix parse observes
       * the first occurrence of numeric fields). */
     var nested = false
-    private def store(i: Int, value: Any): Unit = {
+
+    def clear(): Unit = {
+      java.util.Arrays.fill(objs, null)
+      java.util.Arrays.fill(kinds, 0.toByte)
+    }
+
+    def set(i: Int, value: Long): Unit = {
+      if (i < 0 || (nested && kinds(i) != 0)) return // outer occurrence wins
+      longs(i) = value; kinds(i) = 2
+    }
+    def set(i: Int, value: Boolean): Unit = {
+      if (i < 0 || (nested && kinds(i) != 0)) return
+      longs(i) = if (value) 1L else 0L; kinds(i) = 3
+    }
+    def set(i: Int, value: Double): Unit = {
+      if (i < 0 || (nested && kinds(i) != 0)) return
+      longs(i) = java.lang.Double.doubleToRawLongBits(value); kinds(i) = 4
+    }
+    /** Object (string) store — also the landing spot for values that are
+      * boxed already (generic code paths); those re-dispatch to the
+      * primitive slots so consumers see one representation per kind. */
+    def set(i: Int, value: Any): Unit = {
       if (i < 0) return
-      val prev = arr(i)
-      if (prev == null || !nested) arr(i) = value
-      else (prev, value) match {
-        case (p: String, s: String) => arr(i) = p + "," + s
-        case _ => // numeric/bool: outer occurrence wins
+      value match {
+        case l: java.lang.Long    => set(i, l.longValue)
+        case b: java.lang.Boolean => set(i, b.booleanValue)
+        case d: java.lang.Double  => set(i, d.doubleValue)
+        case x: java.lang.Integer => set(i, x.longValue)
+        case _ =>
+          if (kinds(i) == 0 || !nested) { objs(i) = value; kinds(i) = 1 }
+          else (objs(i), value) match {
+            case (p: String, s: String) => objs(i) = p + "," + s
+            case _ => // numeric/bool outer occurrence wins
+          }
       }
     }
-    def update(name: String, value: Any): Unit = store(FieldIds.id(name), value)
-    /** Hot-path write with a pre-resolved id ([[HotIds]]) — a plain array
-      * store instead of a name-hash probe; ~45 writes/packet made the
-      * lookup measurable at full-dissection throughput. */
-    def set(i: Int, value: Any): Unit = store(i, value)
+    def update(name: String, value: Long): Unit = set(FieldIds.id(name), value)
+    def update(name: String, value: Boolean): Unit = set(FieldIds.id(name), value)
+    def update(name: String, value: Double): Unit = set(FieldIds.id(name), value)
+    def update(name: String, value: Any): Unit = set(FieldIds.id(name), value)
+
+    /** Boxing read — filter evaluators, tests, info renderers (cold path
+      * relative to the scan's typed column reads). */
+    def valueAt(i: Int): Any = (kinds(i).toInt: @annotation.switch) match {
+      case 0 => null
+      case 1 => objs(i)
+      case 2 => java.lang.Long.valueOf(longs(i))
+      case 3 => java.lang.Boolean.valueOf(longs(i) != 0L)
+      case _ => java.lang.Double.valueOf(java.lang.Double.longBitsToDouble(longs(i)))
+    }
     def get(name: String): Option[Any] = {
       val i = FieldIds.id(name)
-      if (i < 0) None else Option(arr(i))
+      if (i < 0) None else Option(valueAt(i))
     }
   }
 
-  /** Read-side map view over the field array (tests, filter evaluators). */
-  private final class FieldView(arr: Array[Any]) extends scala.collection.AbstractMap[String, Any] {
+  /** Read-side map view over the field vector (tests, filter evaluators). */
+  private final class FieldView(vec: FieldVec) extends scala.collection.AbstractMap[String, Any] {
     override def get(key: String): Option[Any] = {
       val i = FieldIds.id(key)
-      if (i < 0) None else Option(arr(i))
+      if (i < 0) None else Option(vec.valueAt(i))
     }
     override def iterator: Iterator[(String, Any)] =
       FieldIds.names.iterator.zipWithIndex.collect {
-        case (n, i) if arr(i) != null => (n, arr(i))
+        case (n, i) if vec.kinds(i) != 0 => (n, vec.valueAt(i))
       }
     override def contains(key: String): Boolean = {
       val i = FieldIds.id(key)
-      i >= 0 && arr(i) != null
+      i >= 0 && vec.kinds(i) != 0
     }
     // legacy removal ops (required abstract on collection.Map) — cold path
     override def -(key: String): scala.collection.Map[String, Any] =
@@ -179,12 +225,12 @@ object Dissect {
     * reader row). [[info]] materializes a String from the bytes for
     * non-scan consumers. */
   final class Dissected(
-      val arr: Array[Any],
+      val vec: FieldVec,
       val protocols: String,
       private val infoStr: String,
       val infoBytes: Array[Byte] = null,
       val infoLen: Int = 0) {
-    val values: scala.collection.Map[String, Any] = new FieldView(arr)
+    val values: scala.collection.Map[String, Any] = new FieldView(vec)
     def info: String =
       if (infoStr != null || infoBytes == null) infoStr
       else new String(infoBytes, 0, infoLen, java.nio.charset.StandardCharsets.UTF_8)
@@ -742,7 +788,7 @@ object Dissect {
     // would rehash the map 3 times per packet
     val v =
       if (tracker.pooledVec != null) {
-        java.util.Arrays.fill(tracker.pooledVec.arr, null)
+        tracker.pooledVec.clear()
         tracker.pooledVec
       } else new FieldVec
     val protos =
@@ -768,7 +814,7 @@ object Dissect {
     val d = rec.data
     if (wanted.raw) v("frame.raw") = hexBytes(d, 0, d.length)
     try {
-      if (!wanted.layers) return new Dissected(v.arr, "", "")
+      if (!wanted.layers) return new Dissected(v, "", "")
       linktype match {
         case 1 => // Ethernet
           val s = dissectEthFrom(d, 0, v, protos, tracker, wanted)
@@ -787,9 +833,9 @@ object Dissect {
     }
 
     if (info eq InfoInBuf)
-      new Dissected(v.arr, tracker.chains.joined(protos), null,
+      new Dissected(v, tracker.chains.joined(protos), null,
         tracker.infoBuf.buf, tracker.infoBuf.len)
-    else new Dissected(v.arr, tracker.chains.joined(protos), info)
+    else new Dissected(v, tracker.chains.joined(protos), info)
   }
 
   /** Ethernet (+optional 802.1Q) from `off` — also the tunnel re-entry

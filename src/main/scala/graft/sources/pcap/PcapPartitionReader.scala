@@ -187,38 +187,76 @@ final class PcapPartitionReader(
     UTF8String.fromBytes(buf, 0, n)
   }
 
+  // One mutable row reused for every emitted record: SpecificInternalRow
+  // holds typed mutable slots, so Long/Boolean/Double columns are written
+  // as primitives — no per-row GenericInternalRow allocation and no
+  // java.lang.Long boxing between the dissector's primitive field slots
+  // and Tungsten. Safe under the same contract as the string buffers
+  // above: the downstream unsafe projection copies the row out before
+  // next() mutates it again.
+  private val row = new org.apache.spark.sql.catalyst.expressions.SpecificInternalRow(
+    fieldTypes.toSeq)
+  private val typeTags: Array[Int] = fieldTypes.map {
+    case TimestampType => 0
+    case StringType    => 1
+    case LongType      => 2
+    case DoubleType    => 3
+    case BooleanType   => 4
+    case _             => 5
+  }
+
   /** tshark type semantics at the cell level (SURVEY §1.2): values are
-    * already typed by the dissector; timestamps here are epoch micros, with
-    * the reference's whole-second truncation in compat=strict mode. */
-  private def cell(i: Int, d: Dissect.Dissected): Any = {
-    val raw: Any = colIds(i) match {
-      case -1 => return internedUtf8(d.protocols)
-      case -2 =>
-        // bytes-only hot path: the dissector rendered straight into its
-        // reused UTF-8 buffer — wrap it, zero String/encoder work (the
-        // downstream unsafe projection copies before the next row)
-        if (d.infoBytes != null) return UTF8String.fromBytes(d.infoBytes, 0, d.infoLen)
-        val s = d.info
-        if (s == null) return null
-        // short infos repeat heavily (FIX msgtype names, "[TCP segment of
-        // a reassembled PDU]") — intern those; long per-row-unique TCP
-        // infos ("11001 → 53867 [ACK] Seq=…") go through the reusable
-        // buffer instead of thrashing the cache
-        return if (s.length <= 48 && chainCache.size < 1024) internedUtf8(s)
-        else reusedUtf8(i, s)
-      case -3 => null // not a glossary field (cannot happen for valid schemas)
-      case id => d.arr(id)
-    }
-    if (raw == null) null
-    else fieldTypes(i) match {
-      case TimestampType =>
-        val micros = raw.asInstanceOf[Long]
-        if (compatStrict) (micros / 1000000L) * 1000000L else micros
-      case StringType  => reusedUtf8(i, raw.toString)
-      case LongType    => raw.asInstanceOf[Long]
-      case DoubleType  => raw.asInstanceOf[Double]
-      case BooleanType => raw.asInstanceOf[Boolean]
-      case _           => null
+    * already typed by the dissector (kind tags gate each primitive slot);
+    * timestamps are epoch micros, with the reference's whole-second
+    * truncation in compat=strict mode. */
+  private def fill(d: Dissect.Dissected): Unit = {
+    val vec = d.vec
+    var i = 0
+    while (i < fieldNames.length) {
+      colIds(i) match {
+        case -1 => row.update(i, internedUtf8(d.protocols))
+        case -2 =>
+          // bytes-only hot path: the dissector rendered straight into its
+          // reused UTF-8 buffer — wrap it, zero String/encoder work
+          if (d.infoBytes != null)
+            row.update(i, UTF8String.fromBytes(d.infoBytes, 0, d.infoLen))
+          else {
+            val s = d.info
+            if (s == null) row.setNullAt(i)
+            // short infos repeat heavily (FIX msgtype names, "[TCP segment
+            // of a reassembled PDU]") — intern those; long per-row-unique
+            // TCP infos go through the reusable buffer instead
+            else if (s.length <= 48 && chainCache.size < 1024)
+              row.update(i, internedUtf8(s))
+            else row.update(i, reusedUtf8(i, s))
+          }
+        case -3 => row.setNullAt(i) // not a glossary field
+        case id =>
+          val k = vec.kinds(id)
+          if (k == 0) row.setNullAt(i)
+          else (typeTags(i): @annotation.switch) match {
+            case 0 =>
+              if (k == 2) {
+                val micros = vec.longs(id)
+                row.setLong(i,
+                  if (compatStrict) (micros / 1000000L) * 1000000L else micros)
+              } else row.setNullAt(i)
+            case 1 =>
+              val s = if (k == 1) vec.objs(id).toString else vec.valueAt(id).toString
+              row.update(i, reusedUtf8(i, s))
+            case 2 =>
+              if (k == 2) row.setLong(i, vec.longs(id)) else row.setNullAt(i)
+            case 3 =>
+              if (k == 4)
+                row.setDouble(i, java.lang.Double.longBitsToDouble(vec.longs(id)))
+              else row.setNullAt(i)
+            case 4 =>
+              if (k == 3) row.setBoolean(i, vec.longs(id) != 0L)
+              else row.setNullAt(i)
+            case _ => row.setNullAt(i)
+          }
+      }
+      i += 1
     }
   }
 
@@ -230,12 +268,7 @@ final class PcapPartitionReader(
       val passesDisplay = displayFilter.forall(_.eval(d))
       val passesPushed = pushed.forall(f => PcapFilterEval.eval(f, d, compatStrict))
       if (passesDisplay && passesPushed) {
-        val row = new GenericInternalRow(fieldNames.length)
-        var i = 0
-        while (i < fieldNames.length) {
-          row.update(i, cell(i, d))
-          i += 1
-        }
+        fill(d)
         current = row
         return true
       }
