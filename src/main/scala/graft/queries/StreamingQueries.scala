@@ -166,6 +166,42 @@ object StreamingQueries {
       GROUP BY 1, 2, 3
       ORDER BY p.user_id, purchase_id"""))
 
+  /** Stream-stream LEFT OUTER interval join
+    * ([[EventPipeline.attributePurchasesOuter]]): every purchase emits,
+    * with zero clicks when nothing preceded it in-window — in streaming,
+    * the watermark-expiry null-emission path (StreamingSpec drives it
+    * through two MemoryStreams). Batch twin summarized per purchase;
+    * COUNT(click_id) counts only matches, so unattributed purchases carry
+    * n_clicks = 0 and a NULL last click. */
+  val stAttributionOuter = GraftQuery(
+    "st_attribution_outer",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val events = Tables.load(s, dir, "events")
+      val pairs = EventPipeline.attributePurchasesOuter(
+        events.filter(col("event_type") === "click"),
+        events.filter(col("event_type") === "purchase"),
+        windowMinutes = 30)
+      pairs.groupBy(col("user_id"), col("purchase_id"), col("purchase_ts"))
+        .agg(count(col("click_id")).as("n_clicks"),
+          max(col("click_ts")).as("last_click_ts"))
+        .orderBy(col("user_id"), col("purchase_id"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, event_id AS click_id
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.user_id AS user_id, purchase_id, purchase_ts,
+             COUNT(click_id) AS n_clicks, MAX(click_ts) AS last_click_ts
+      FROM p LEFT JOIN c ON c.user_id = p.user_id
+        AND click_ts <= purchase_ts
+        AND click_ts > purchase_ts - INTERVAL 30 MINUTE
+      GROUP BY 1, 2, 3
+      ORDER BY p.user_id, purchase_id"""))
+
   /** Spark's NATIVE `session_window` operator (the built-in the custom
     * [[EventPipeline.sessionize]] generalizes): gap-merged session
     * aggregation, batch twin of the streaming form. Boundary semantics —
@@ -229,5 +265,5 @@ object StreamingQueries {
 
   val all: Seq[GraftQuery] =
     Seq(stSessionize, stWindowedCounts, stDistinctUsers, stSlidingRates,
-      stDedup, stIntervalJoin, stSessionWindow, stEnrich)
+      stDedup, stIntervalJoin, stAttributionOuter, stSessionWindow, stEnrich)
 }

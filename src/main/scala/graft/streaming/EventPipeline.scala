@@ -146,6 +146,34 @@ object EventPipeline extends Serializable {
         col("click_id"), col("click_ts"))
   }
 
+  /** Left-outer attribution: EVERY purchase emits — joined to each click
+    * in its preceding window when one exists, with NULL click columns
+    * otherwise. In streaming this exercises the watermark-driven null
+    * emission path: an unmatched purchase is held in join state until the
+    * watermark passes its interval, then released with nulls — the
+    * semantic that distinguishes outer stream-stream joins from the inner
+    * form (and the reason both sides need a watermark here, not just a
+    * state-bound one). */
+  def attributePurchasesOuter(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val wm = s"$windowMinutes minutes"
+    val c = clicks.withWatermark("ts", wm)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", wm)
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") > col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   private def close(uid: Long, s: SessionBuf): UserSession =
     UserSession(uid, fromMicros(s.startUs), fromMicros(s.lastUs),
       s.nEvents, s.sumCents / 100.0)

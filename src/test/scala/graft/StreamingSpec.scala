@@ -117,6 +117,49 @@ class StreamingSpec extends SparkSpec {
       === Seq((10L, 2L)))
   }
 
+  test("stream-stream LEFT OUTER join: unmatched purchase emits nulls after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      ev(1, 0, 1, "click", 1.0), ev(2, 10, 1, "click", 1.0),
+      ev(4, 12, 2, "click", 1.0))
+    val purchases = Seq(
+      ev(10, 35, 1, "purchase", 9.0), // attributes the click at minute 10
+      ev(11, 90, 2, "purchase", 5.0)) // outside any click window → null row
+
+    val batch = EventPipeline
+      .attributePurchasesOuter(clicks.toDF(), purchases.toDF(), windowMinutes = 30)
+      .orderBy("purchase_id", "click_id").collect()
+
+    val cs = MemoryStream[Event]
+    val ps = MemoryStream[Event]
+    cs.addData(clicks: _*)
+    ps.addData(purchases: _*)
+    val q = EventPipeline
+      .attributePurchasesOuter(cs.toDF(), ps.toDF(), windowMinutes = 30)
+      .writeStream.format("memory").queryName("attro").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // null emission is watermark-driven: purchase 11 stays in state until
+      // BOTH sides' watermarks pass its interval — push them far forward
+      cs.addData(ev(20, 300, 9, "click", 1.0))
+      ps.addData(ev(21, 300, 9, "purchase", 1.0))
+      q.processAllAvailable()
+      cs.addData(ev(22, 301, 9, "click", 1.0))
+      ps.addData(ev(23, 301, 9, "purchase", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("attro")
+      .filter($"purchase_id" <= 11).orderBy("purchase_id", "click_id").collect()
+
+    assert(batch.map(_.toSeq).toSeq === streamed.map(_.toSeq).toSeq)
+    // the unmatched purchase came through exactly once, click columns null
+    val unmatched = streamed.filter(_.getAs[Long]("purchase_id") == 11L)
+    assert(unmatched.length === 1)
+    assert(unmatched(0).isNullAt(unmatched(0).fieldIndex("click_id")))
+    assert(unmatched(0).isNullAt(unmatched(0).fieldIndex("click_ts")))
+  }
+
   test("sessionization closes sessions on gap, keeps open session in state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
