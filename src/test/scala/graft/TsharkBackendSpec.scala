@@ -91,6 +91,29 @@ class TsharkBackendSpec extends SparkSpec {
     assert(multi.fieldNames.contains("btatt.opcode"))
   }
 
+  test("glossary r8 tranche: goose schema carries real typed columns on both backends") {
+    val p = getClass.getResource("/fix.pcap").getPath
+    val n = graft.api.Wireduck.readPcap(spark, p, protocols = Seq("goose"))
+    assert(n.schema.fieldNames.toSeq === Seq(
+      "frame.time_epoch", "frame.number", "frame.len", "frame.protocols",
+      "goose.gocbRef", "goose.stNum", "goose.sqNum", "goose.timeAllowedtoLive",
+      "_ws.col.info"))
+    assert(n.schema("goose.gocbRef").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(n.schema("goose.stNum").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val t = graft.api.Wireduck.readPcap(spark, p, protocols = Seq("goose"),
+      backend = Some("tshark"))
+    assert(t.schema === n.schema)
+    // spot-resolve more r8 rows across families
+    val multi = graft.pcap.Glossary.schemaFor(Seq("cotp", "sll", "uds", "bthci_cmd", "sdp"))
+    assert(multi.fieldNames.contains("cotp.destref"))
+    assert(multi.fieldNames.contains("sll.pkttype"))
+    assert(multi.fieldNames.contains("uds.sid"))
+    assert(multi.fieldNames.contains("bthci_cmd.opcode"))
+    assert(multi.fieldNames.contains("sdp.media"))
+  }
+
   test("unknown protocol falls back to the 5 defaults identically on both backends") {
     val p = getClass.getResource("/fix.pcap").getPath
     val defaults = Seq("frame.time_epoch", "frame.number", "frame.len",
