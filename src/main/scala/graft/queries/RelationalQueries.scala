@@ -1161,6 +1161,78 @@ object RelationalQueries {
     },
     Some(q47Sql))
 
+  /** Higher-order array functions (`transform`/`filter`/`aggregate` with
+    * lambdas) over per-order quantity arrays. The arrays are built with
+    * `sort_array(collect_list(...))` so their element order is a
+    * deterministic sorted multiset (bare `collect_list` order is
+    * execution-dependent); all lambda arithmetic is integral, so the
+    * DuckDB `list_*` replays are exact. Catalyst evaluates the lambdas in
+    * codegen over the grouped arrays — no UDF, no extra shuffle beyond
+    * the one grouping exchange. */
+  val q48HigherOrder = GraftQuery(
+    "q48_higher_order",
+    (s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        WITH a AS (
+          SELECT l_orderkey,
+                 sort_array(collect_list(CAST(l_quantity AS BIGINT))) AS qty
+          FROM lineitem
+          WHERE l_orderkey <= 500
+          GROUP BY l_orderkey)
+        SELECT l_orderkey,
+               size(qty) AS n_items,
+               aggregate(qty, 0L, (acc, x) -> acc + x) AS total_qty,
+               size(filter(qty, x -> x >= 25)) AS n_big,
+               array_max(transform(qty, x -> x * 3 - 1)) AS max_scaled
+        FROM a
+        ORDER BY l_orderkey""")
+    },
+    Some("""
+      WITH a AS (
+        SELECT l_orderkey,
+               list_sort(list(CAST(l_quantity AS BIGINT))) AS qty
+        FROM lineitem
+        WHERE l_orderkey <= 500
+        GROUP BY l_orderkey)
+      SELECT l_orderkey,
+             CAST(len(qty) AS INT) AS n_items,
+             CAST(list_sum(qty) AS BIGINT) AS total_qty,
+             CAST(len(list_filter(qty, x -> x >= 25)) AS INT) AS n_big,
+             CAST(list_max(list_transform(qty, x -> x * 3 - 1)) AS BIGINT) AS max_scaled
+      FROM a
+      ORDER BY l_orderkey"""))
+
+  /** Ordered string aggregation with Spark 4's native `listagg ... WITHIN
+    * GROUP` (the ordered-set aggregate form): per-nation market-segment
+    * roster. The WITHIN GROUP ordering makes the concatenation
+    * deterministic (ties are identical strings); DuckDB replays it as
+    * `string_agg(... ORDER BY ...)`. One hash-agg exchange, no sort of
+    * the full input — the per-group sort happens inside the aggregate
+    * buffer. */
+  val q49ListAgg = GraftQuery(
+    "q49_listagg",
+    (s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT c_nationkey,
+               count(*) AS n_customers,
+               listagg(c_mktsegment, ',') WITHIN GROUP (ORDER BY c_mktsegment)
+                 AS segments
+        FROM customer
+        WHERE c_custkey <= 300
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey""")
+    },
+    Some("""
+      SELECT c_nationkey,
+             count(*) AS n_customers,
+             string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+      FROM customer
+      WHERE c_custkey <= 300
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -1173,5 +1245,6 @@ object RelationalQueries {
     q35SaltedAgg, q36TopkAggregator, q37GroupingSets, q38WindowRangeFrame,
     q38bWindowRangeBySupp, q39Percentiles, q39bApproxPercentiles,
     q40WindowDistribution, q41MultiDistinct, q42AsofJoin, q43PartitionedRw,
-    q44BucketedJoin, q45Unpivot, q46RecursiveSpine, q47LateralTopn)
+    q44BucketedJoin, q45Unpivot, q46RecursiveSpine, q47LateralTopn,
+    q48HigherOrder, q49ListAgg)
 }
