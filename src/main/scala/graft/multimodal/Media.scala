@@ -201,6 +201,24 @@ object Media {
     bb.array()
   }
 
+  /** FLAC: `fLaC` magic + a single (last) STREAMINFO metadata block.
+    * Sample rate 1000 Hz with `durMs` total samples ⇒ duration == durMs,
+    * the same declared-value trick the WAV byte-rate uses. Fixed 42-byte
+    * container (4 magic + 4 block header + 34 STREAMINFO). */
+  def flacBytes(durMs: Long): Array[Byte] = {
+    val bb = ByteBuffer.allocate(42).order(ByteOrder.BIG_ENDIAN)
+    bb.put("fLaC".getBytes(ISO_8859_1))
+    bb.put(0x80.toByte) // last-metadata-block flag + type 0 (STREAMINFO)
+    bb.put(0.toByte).put(0.toByte).put(34.toByte) // block length
+    bb.putShort(4096.toShort).putShort(4096.toShort) // min/max block size
+    bb.put(0.toByte).put(0.toByte).put(0.toByte) // min frame size (unknown)
+    bb.put(0.toByte).put(0.toByte).put(0.toByte) // max frame size (unknown)
+    // 64-bit group: sample rate (20) | channels-1 (3) | bps-1 (5) | total samples (36)
+    bb.putLong((1000L << 44) | (0L << 41) | (15L << 36) | (durMs & 0xfffffffffL))
+    (0 until 16).foreach(_ => bb.put(0.toByte)) // unaudited MD5
+    bb.array()
+  }
+
   /** AVI: RIFF/AVI with a LIST/hdrl holding the 56-byte `avih`
     * AVIMAINHEADER (µs-per-frame 1000 and durMs frames ⇒ duration durMs)
     * and a LIST/movi carrying the raw document bytes as the stream
@@ -246,8 +264,12 @@ object Media {
           }
           MediaRecord(id, "image", payload)
         case 1 =>
-          MediaRecord(id, "audio",
-            if ((id / 3) % 2 == 0) wavBytes(dur) else mp3Bytes(dur))
+          val payload = ((id / 3) % 3) match {
+            case 0 => wavBytes(dur)
+            case 1 => mp3Bytes(dur)
+            case _ => flacBytes(dur)
+          }
+          MediaRecord(id, "audio", payload)
         case _ =>
           MediaRecord(id, "video",
             if ((id / 3) % 2 == 0) aviBytes(w, h, dur, data)
@@ -292,6 +314,7 @@ object Media {
     else if (n >= 2 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) "jpeg"
     else if (n >= 6 && new String(payload, 0, 6, ISO_8859_1).matches("GIF8[79]a")) "gif"
     else if (n >= 3 && payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') "mp3"
+    else if (n >= 4 && fourcc(payload, 0) == "fLaC") "flac"
     else if (n >= 12 && fourcc(payload, 4) == "ftyp") "mp4"
     else if (n >= 12 && fourcc(payload, 0) == "RIFF" && fourcc(payload, 8) == "WAVE") "wav"
     else if (n >= 12 && fourcc(payload, 0) == "RIFF" && fourcc(payload, 8) == "AVI ") "avi"
@@ -342,6 +365,14 @@ object Media {
         p += 10 + size.toInt
       }
       return (0L, 0L, 0L)
+    }
+    // FLAC: STREAMINFO's 64-bit packed group — sample rate (20 bits) and
+    // total samples (36 bits) give the duration exactly
+    if (n >= 26 && fourcc(payload, 0) == "fLaC" && (payload(4) & 0x7f) == 0) {
+      val packed = (u32be(payload, 18) << 32) | u32be(payload, 22)
+      val sr = packed >>> 44
+      val totalSamples = packed & 0xfffffffffL
+      return (0L, 0L, if (sr > 0) totalSamples * 1000L / sr else 0L)
     }
     // MP4 / ISO BMFF: moov → mvhd (timescale/duration) + tkhd (16.16 dims)
     if (n >= 12 && fourcc(payload, 4) == "ftyp") {

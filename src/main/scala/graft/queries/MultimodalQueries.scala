@@ -21,8 +21,8 @@ object MultimodalQueries {
 
   /** Shared oracle CTE: per-document md5-derived generation parameters.
     * Container overheads: png 57 / jpeg+EXIF 77 / gif 14 + payload;
-    * wav 44 + duration samples; mp3 121 + duration digit count;
-    * avi 100 / mp4 244 + payload. */
+    * wav 44 + duration samples; mp3 121 + duration digit count; flac 42
+    * fixed; avi 100 / mp4 244 + payload. */
   private val paramsCte = """
       params AS (
         SELECT doc_id, text,
@@ -40,8 +40,10 @@ object MultimodalQueries {
                       WHEN 0 THEN 57 WHEN 1 THEN 77 ELSE 14 END)
                    + OCTET_LENGTH(ENCODE(text))
                  WHEN doc_id % 3 = 1 THEN
-                   CASE WHEN (doc_id // 3) % 2 = 0 THEN 44 + gdur
-                        ELSE 121 + LENGTH(CAST(gdur AS VARCHAR)) END
+                   CASE CAST((doc_id // 3) % 3 AS INTEGER)
+                     WHEN 0 THEN 44 + gdur
+                     WHEN 1 THEN 121 + LENGTH(CAST(gdur AS VARCHAR))
+                     ELSE 42 END
                  ELSE
                    CASE WHEN (doc_id // 3) % 2 = 0 THEN 100 ELSE 244 END
                    + OCTET_LENGTH(ENCODE(text)) END AS BIGINT) AS n_bytes,
@@ -138,15 +140,18 @@ object MultimodalQueries {
       m AS (
         SELECT CASE
                  WHEN doc_id % 3 = 1 THEN
-                   CASE WHEN (doc_id // 3) % 2 = 0 THEN 'wav' ELSE 'mp3' END
+                   CASE CAST((doc_id // 3) % 3 AS INTEGER)
+                     WHEN 0 THEN 'wav' WHEN 1 THEN 'mp3' ELSE 'flac' END
                  WHEN doc_id % 3 = 2 THEN
                    CASE WHEN (doc_id // 3) % 2 = 0 THEN 'avi' ELSE 'mp4' END
                  ELSE (['png', 'jpeg', 'gif'])[CAST((doc_id // 3) % 3 AS INTEGER) + 1]
                END AS codec,
                CASE
                  WHEN doc_id % 3 = 1 THEN
-                   CASE WHEN (doc_id // 3) % 2 = 0 THEN 44 + gdur
-                        ELSE 121 + LENGTH(CAST(gdur AS VARCHAR)) END
+                   CASE CAST((doc_id // 3) % 3 AS INTEGER)
+                     WHEN 0 THEN 44 + gdur
+                     WHEN 1 THEN 121 + LENGTH(CAST(gdur AS VARCHAR))
+                     ELSE 42 END
                  WHEN doc_id % 3 = 2 THEN
                    (CASE WHEN (doc_id // 3) % 2 = 0 THEN 100 ELSE 244 END) + len
                  ELSE (CASE CAST((doc_id // 3) % 3 AS INTEGER)

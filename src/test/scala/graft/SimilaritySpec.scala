@@ -121,6 +121,11 @@ class SimilaritySpec extends SparkSpec {
     assert(mp3.length === 121 + "12345".length)
     assert(Media.decode(mp3) === ((0L, 0L, 12345L)))
     assert(Media.codecOf(mp3) === "mp3")
+    // FLAC STREAMINFO: duration from the packed sample-rate/total-samples
+    val flac = Media.flacBytes(43210)
+    assert(flac.length === 42)
+    assert(Media.decode(flac) === ((0L, 0L, 43210L)))
+    assert(Media.codecOf(flac) === "flac")
     // JPEG EXIF APP1: orientation tag parses (LE TIFF), dims unaffected
     val jex = Media.jpegBytes(800, 600, 6, data)
     assert(jex.length === 77 + data.length)
