@@ -825,6 +825,9 @@ object Dissect {
           } else if (d.length >= 1 && ((d(0) >> 4) & 0xf) == 6) {
             val s = dissectIpv6(d, 0, v, protos, tracker, wanted); if (s != null) info = s
           }
+        case 113 => // Linux cooked capture v1 (tcpdump -i any)
+          val s = dissectSll(d, 0, v, protos, tracker, wanted)
+          if (s != null) info = s
         case _ =>
           info = s"Linktype $linktype"
       }
@@ -871,6 +874,33 @@ object Dissect {
         dissectLldp(d, l3off, v, protos)
       case other =>
         f"Ethernet II (0x$other%04x)"
+    }
+  }
+
+  /** Linux cooked-mode capture v1 (LINKTYPE_LINUX_SLL 113, the 16-byte
+    * pseudo-header `tcpdump -i any` writes): packet type, ARPHRD hardware
+    * type, link-layer address block, then the same EtherType dispatch the
+    * Ethernet path takes. */
+  private def dissectSll(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker,
+      wanted: Wanted): String = {
+    protos += "sll"
+    if (d.length < off + 16) return null
+    v("sll.pkttype") = u16(d, off).toLong
+    v("sll.hatype") = u16(d, off + 2).toLong
+    val proto = u16(d, off + 14)
+    v("sll.etype") = proto.toLong
+    protos += "ethertype"
+    proto match {
+      case 0x0800 => dissectIpv4(d, off + 16, v, protos, tracker, wanted)
+      case 0x86dd => dissectIpv6(d, off + 16, v, protos, tracker, wanted)
+      case 0x0806 =>
+        protos += "arp"
+        dissectArp(d, off + 16, v)
+      case other => f"Linux cooked capture (0x$other%04x)"
     }
   }
 
@@ -2745,6 +2775,14 @@ object Dissect {
     protos += "tpkt"
     protos += "cotp"
     protos += "rdp"
+    v("tpkt.version") = 3L
+    v("tpkt.length") = tlen.toLong
+    v("cotp.li") = li.toLong
+    v("cotp.type") = (code >>> 4).toLong // 0x0e CR / 0x0d CC
+    if (pstart + 10 <= end) {
+      v("cotp.destref") = u16(d, pstart + 6).toLong
+      v("cotp.srcref") = u16(d, pstart + 8).toLong
+    }
     val info = if (code == 0xe0) "Connection Request" else "Connection Confirm"
     var p = pstart + 5 + li // COTP user data: li counts bytes after the LI octet
     // routing token / cookie: an ASCII line "Cookie: mstshash=…\r\n"
@@ -2998,7 +3036,21 @@ object Dissect {
     header("from", "f").foreach(h => v("sip.from.addr") = h)
     header("to", "t").foreach(h => v("sip.to.addr") = h)
     header("cseq").foreach(h => v("sip.CSeq") = h)
-    // SDP media lines negotiate the RTP transport addresses
+    // SDP body (RFC 8866): its own protocol layer + session-level fields;
+    // media lines negotiate the RTP transport addresses
+    val bodyAt = text.indexOf("\r\n\r\n")
+    if (bodyAt >= 0 && text.startsWith("v=", bodyAt + 4)) {
+      protos += "sdp"
+      val media = mutable.ArrayBuffer.empty[String]
+      text.substring(bodyAt + 4).split("\r\n").foreach { l =>
+        if (l.startsWith("v=")) v("sdp.version") = l.substring(2)
+        else if (l.startsWith("s=")) v("sdp.session_name") = l.substring(2)
+        else if (l.startsWith("c=")) v("sdp.connection_info") = l.substring(2)
+        else if (l.startsWith("m=")) media += l.substring(2)
+      }
+      // tshark multi-occurrence rendering: all media descriptions joined
+      if (media.nonEmpty) v("sdp.media") = media.mkString(",")
+    }
     var mAt = text.indexOf("\r\nm=")
     while (mAt >= 0) {
       val me = text.indexOf("\r\n", mAt + 2)

@@ -84,6 +84,29 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d.values("eth.type") === 0x0806L)
   }
 
+  test("SLL (linktype 113): cooked pseudo-header dispatches into IPv4") {
+    // 16-byte SLL v1 header: pkttype=0 (to us), hatype=1 (ARPHRD_ETHER),
+    // halen=6, addr, protocol=0x0800; then a plain IPv4/UDP datagram
+    val udp = ethIpUdp(4000, 9, Array[Byte](1, 2, 3)).drop(14) // strip eth
+    val b = ByteBuffer.allocate(16 + udp.length)
+    b.putShort(0.toShort).putShort(1.toShort).putShort(6.toShort)
+    b.put(new Array[Byte](8)).putShort(0x0800.toShort)
+    b.put(udp)
+    val frame = b.array()
+    val rec = PcapFormat.Record(1, 1000000L, frame.length, frame.length, frame)
+    val d = Dissect.dissect(rec, 113, new Dissect.Tracker)
+    assert(d.protocols === "sll:ethertype:ip:udp")
+    assert(d.values("sll.pkttype") === 0L)
+    assert(d.values("sll.hatype") === 1L)
+    assert(d.values("sll.etype") === 0x0800L)
+    assert(d.values("ip.src") === "10.0.0.1")
+    assert(d.values("udp.srcport") === 4000L)
+    // truncated pseudo-header: layer announced, no crash, no fields
+    val short = PcapFormat.Record(2, 2000000L, 8, 8, frame.take(8))
+    val ds = Dissect.dissect(short, 113, new Dissect.Tracker)
+    assert(ds.protocols === "sll")
+  }
+
   test("snaplen-truncated packet keeps orig_len in frame.len") {
     val full = arpFrame ++ new Array[Byte](100)
     val b = ByteBuffer.allocate(16 + 50).order(ByteOrder.LITTLE_ENDIAN)
