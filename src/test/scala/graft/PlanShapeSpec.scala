@@ -31,11 +31,24 @@ class PlanShapeSpec extends SparkSpec {
 
   test("dedup candidate generation is a key equi-join, never a cross join") {
     for (q <- Seq("dd_minhash_lsh_pairs", "dd_simhash_pairs",
-      "dd_ngram_jaccard", "dd_embedding_neardup", "dd_edit_pairs")) {
+      "dd_ngram_jaccard", "dd_embedding_neardup", "dd_edit_pairs",
+      "dd_semantic_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q: candidate pairing must stay a bucket equi-join")
     }
+  }
+
+  test("semantic dedup broadcasts the duplicate-id side of the verdict join") {
+    val p = plan("dd_semantic_dedup")
+    assert(p.contains("BroadcastHashJoin"),
+      "the small dups relation must broadcast, not shuffle the corpus")
+  }
+
+  test("q48 higher-order lambdas stay in the plan, not a UDF") {
+    val p = plan("q48_higher_order")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "transform/filter/aggregate must run as Catalyst expressions")
   }
 
   test("q47 LATERAL de-correlates: no per-row dependent join in the plan") {
