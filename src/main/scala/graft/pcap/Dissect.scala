@@ -2255,6 +2255,170 @@ object Dissect {
 
   private val quicTypeNames = Array("Initial", "0-RTT", "Handshake", "Retry")
 
+  // ---- QUIC Initial packet protection (RFC 9001 §5) ------------------
+  // Initial packets are encrypted with keys derived ONLY from the client's
+  // Destination Connection ID and a published salt — so, like tshark, the
+  // dissector can decrypt them without any session secrets and surface the
+  // TLS ClientHello (SNI/ALPN/cipher suites) riding in CRYPTO frames.
+
+  /** RFC 9001 §5.2 QUIC v1 initial salt. */
+  private val quicV1Salt: Array[Byte] =
+    Array(0x38, 0x76, 0x2c, 0xf7, 0xf5, 0x59, 0x34, 0xb3, 0x4d, 0x17,
+      0x9a, 0xe6, 0xa4, 0xc8, 0x0c, 0xad, 0xcc, 0xbb, 0x7f, 0x0a)
+      .map(_.toByte)
+
+  private def hmacSha256(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data)
+  }
+
+  /** HKDF-Expand-Label (RFC 8446 §7.1) for the lengths QUIC needs (≤32,
+    * a single HMAC block — no expand loop). */
+  private[pcap] def hkdfExpandLabel(secret: Array[Byte], label: String, len: Int): Array[Byte] = {
+    val full = "tls13 " + label
+    val info = new Array[Byte](2 + 1 + full.length + 1 + 1)
+    info(0) = (len >>> 8).toByte
+    info(1) = len.toByte
+    info(2) = full.length.toByte
+    System.arraycopy(full.getBytes("ISO-8859-1"), 0, info, 3, full.length)
+    info(3 + full.length) = 0 // empty context
+    info(4 + full.length) = 1 // T(1) counter
+    hmacSha256(secret, info).take(len)
+  }
+
+  /** client_in key material from the Initial DCID: (key, iv, hp). */
+  private[pcap] def quicInitialClientKeys(dcid: Array[Byte]): (Array[Byte], Array[Byte], Array[Byte]) = {
+    val initialSecret = hmacSha256(quicV1Salt, dcid) // HKDF-Extract(salt, dcid)
+    val clientSecret = hkdfExpandLabel(initialSecret, "client in", 32)
+    (hkdfExpandLabel(clientSecret, "quic key", 16),
+      hkdfExpandLabel(clientSecret, "quic iv", 12),
+      hkdfExpandLabel(clientSecret, "quic hp", 16))
+  }
+
+  /** QUIC variable-length integer (RFC 9000 §16): (value, next index), or
+    * null when truncated. */
+  private def quicVarint(d: Array[Byte], at: Int, end: Int): (Long, Int) = {
+    if (at >= end) return null
+    val first = u8(d, at)
+    val len = 1 << (first >>> 6)
+    if (at + len > end) return null
+    var v = (first & 0x3f).toLong
+    var i = at + 1
+    while (i < at + len) { v = (v << 8) | u8(d, i); i += 1 }
+    (v, at + len)
+  }
+
+  /** Decrypt a client Initial packet in place-of: returns the plaintext
+    * payload (frames) or null on any failure (wrong keys, AEAD mismatch,
+    * malformed lengths) — callers fall back to the opaque rendering.
+    * `pktStart` is the first byte of the packet, `pnOff` the packet-number
+    * offset, `pktEnd` the end of this QUIC packet (Length-bounded). */
+  private def quicDecryptInitial(
+      d: Array[Byte], pktStart: Int, pnOff: Int, pktEnd: Int,
+      dcid: Array[Byte]): Array[Byte] = {
+    try {
+      if (pnOff + 4 + 16 > pktEnd) return null
+      val (key, iv, hp) = quicInitialClientKeys(dcid)
+      // header protection mask from the 16-byte sample at pn_offset + 4
+      val ecb = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+      ecb.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(hp, "AES"))
+      val mask = ecb.doFinal(java.util.Arrays.copyOfRange(d, pnOff + 4, pnOff + 20))
+      val first = (u8(d, pktStart) ^ (mask(0) & 0x0f)) & 0xff
+      val pnLen = (first & 0x03) + 1
+      if (pnOff + pnLen > pktEnd) return null
+      var pn = 0L
+      val pnBytes = new Array[Byte](pnLen)
+      var i = 0
+      while (i < pnLen) {
+        pnBytes(i) = (d(pnOff + i) ^ mask(1 + i)).toByte
+        pn = (pn << 8) | (pnBytes(i) & 0xff)
+        i += 1
+      }
+      // AEAD nonce: iv XOR left-padded packet number
+      val nonce = iv.clone()
+      i = 0
+      while (i < 8) {
+        nonce(nonce.length - 1 - i) = (nonce(nonce.length - 1 - i) ^ ((pn >>> (8 * i)) & 0xff)).toByte
+        i += 1
+      }
+      // AAD: the unprotected header — first byte through the packet number
+      val aad = java.util.Arrays.copyOfRange(d, pktStart, pnOff + pnLen)
+      aad(0) = first.toByte
+      System.arraycopy(pnBytes, 0, aad, pnOff - pktStart, pnLen)
+      val gcm = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
+      gcm.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.GCMParameterSpec(128, nonce))
+      gcm.updateAAD(aad)
+      gcm.doFinal(d, pnOff + pnLen, pktEnd - (pnOff + pnLen))
+    } catch { case _: Exception => null }
+  }
+
+  /** Reassemble CRYPTO frame data from a decrypted Initial payload
+    * (PADDING/PING skipped, ACKs tolerated); null when nothing usable. */
+  private def quicCryptoData(p: Array[Byte]): Array[Byte] = {
+    val out = mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    var i = 0
+    var ok = true
+    while (ok && i < p.length) {
+      (u8(p, i): @annotation.switch) match {
+        case 0x00 => i += 1 // PADDING
+        case 0x01 => i += 1 // PING
+        case 0x06 => // CRYPTO: varint offset, varint length, data
+          quicVarint(p, i + 1, p.length) match {
+            case null => ok = false
+            case (cOff, a) => quicVarint(p, a, p.length) match {
+              case null => ok = false
+              case (cLen, b) =>
+                if (cLen < 0 || b + cLen > p.length) ok = false
+                else {
+                  out += ((cOff, java.util.Arrays.copyOfRange(p, b, b + cLen.toInt)))
+                  i = b + cLen.toInt
+                }
+            }
+          }
+        case 0x02 | 0x03 => // ACK: largest, delay, range count, first range
+          var at = i + 1
+          var fields = 0
+          var failed = false
+          var ranges = 0L
+          while (fields < 4 && !failed) {
+            quicVarint(p, at, p.length) match {
+              case null => failed = true
+              case (value, next) =>
+                if (fields == 2) ranges = value
+                at = next; fields += 1
+            }
+          }
+          var r = 0L
+          while (r < ranges && !failed) { // gap + len per range
+            quicVarint(p, at, p.length) match {
+              case null => failed = true
+              case (_, n1) => quicVarint(p, n1, p.length) match {
+                case null => failed = true
+                case (_, n2) => at = n2
+              }
+            }
+            r += 1
+          }
+          if (failed) ok = false else i = at
+        case _ => ok = false // unexpected frame type in an Initial: stop
+      }
+    }
+    if (out.isEmpty) return null
+    val sorted = out.sortBy(_._1)
+    if (sorted.head._1 != 0L) return null
+    val buf = mutable.ArrayBuffer.empty[Byte]
+    sorted.foreach { case (o, data) =>
+      if (o > buf.length) return buf.toArray // gap: keep the prefix
+      else if (o + data.length > buf.length)
+        buf ++= data.drop((buf.length - o).toInt)
+    }
+    buf.toArray
+  }
+
   /** QUIC (RFC 9000) long-header parsing on UDP/443: version, DCID/SCID,
     * packet type. Payload is encrypted — like tshark without keys, only
     * the invariant header is dissected. Short-header packets are named
@@ -2285,8 +2449,39 @@ object Dissect {
       if (ver == 0) return "Version Negotiation"
       val t = (first >> 4) & 3
       v("quic.long.packet_type") = t.toLong
-      if (dcl > 0) s"${quicTypeNames(t)}, DCID=${hexBytes(d, off + 6, dcl)}"
-      else quicTypeNames(t)
+      val base =
+        if (dcl > 0) s"${quicTypeNames(t)}, DCID=${hexBytes(d, off + 6, dcl)}"
+        else quicTypeNames(t)
+      // client Initial (v1): keys derive from the DCID alone (RFC 9001
+      // §5.2) — remove header protection, AEAD-decrypt, and surface the
+      // ClientHello from the CRYPTO frames, as tshark does without keys.
+      // Any failure (server Initial, wrong version, tampered bytes) falls
+      // back to the opaque rendering — never a wrong value.
+      if (t == 0 && ver == 1) {
+        val afterScid = off + 7 + dcl + scl
+        val dec = quicVarint(d, afterScid, end) match {
+          case null => null
+          case (tokenLen, a0) =>
+            val a1 = a0 + tokenLen.toInt
+            if (tokenLen < 0 || a1 > end) null
+            else quicVarint(d, a1, end) match {
+              case null => null
+              case (plen2, pnOff) =>
+                val pktEnd = pnOff + plen2.toInt
+                if (plen2 < 20 || pktEnd > end) null
+                else quicDecryptInitial(d, off, pnOff, pktEnd,
+                  java.util.Arrays.copyOfRange(d, off + 6, off + 6 + dcl))
+            }
+        }
+        val crypto = if (dec == null) null else quicCryptoData(dec)
+        if (crypto != null && crypto.length >= 4 && (crypto(0) & 0xff) == 1 &&
+            4 + ((u8(crypto, 1) << 16) | u16(crypto, 2)) <= crypto.length) {
+          protos += "tls"
+          val sni = parseClientHello(crypto, 0, crypto.length, v)
+          return base + s", CRYPTO(ClientHello${sni.fold("")(" SNI=" + _)})"
+        }
+      }
+      base
     } else if (conv.quic) {
       // short header: 1-RTT protected payload, headers are opaque
       protos += "quic"
