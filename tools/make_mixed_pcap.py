@@ -897,4 +897,54 @@ huff_rsp = bytes([0x88]) + \
 hs1 = h2f(4, 0, 0, b"") + h2f(1, 0x04, 1, huff_rsp)
 extra.append((t3, 13200, ip_frame(6, B, A, tcp(50051, 54400, 1, hs1), ident=168)))
 
+# 135: QUIC v1 client Initial with REAL RFC 9001 packet protection — keys
+# derive from the DCID + published salt, the CRYPTO frame carries a
+# ClientHello; the dissector must DECRYPT to recover the SNI/ALPN
+import hmac as _hmac
+import hashlib as _hashlib
+from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+def hkdf_expand_label(secret, label, n):
+    full = b"tls13 " + label
+    info = struct.pack(">HB", n, len(full)) + full + b"\x00" + b"\x01"
+    return _hmac.new(secret, info, _hashlib.sha256).digest()[:n]
+
+def quic_client_keys(dcid):
+    salt = bytes.fromhex("38762cf7f55934b34d179ae6a4c80cadccbb7f0a")
+    initial = _hmac.new(salt, dcid, _hashlib.sha256).digest()
+    cs = hkdf_expand_label(initial, b"client in", 32)
+    return (hkdf_expand_label(cs, b"quic key", 16),
+            hkdf_expand_label(cs, b"quic iv", 12),
+            hkdf_expand_label(cs, b"quic hp", 16))
+
+def quic_initial(dcid, frames):
+    key, iv, hp = quic_client_keys(dcid)
+    hdr = (bytes([0xC0]) + struct.pack(">I", 1) + bytes([len(dcid)]) + dcid +
+           b"\x00" + b"\x00" + struct.pack(">H", 0x4000 | (1 + len(frames) + 16)) +
+           b"\x00")  # pn 0, 1-byte encoding
+    pn_off = len(hdr) - 1
+    ct = AESGCM(key).encrypt(iv, frames, hdr)  # nonce = iv for pn 0
+    pkt = bytearray(hdr + ct)
+    mask = Cipher(algorithms.AES(hp), modes.ECB()).encryptor() \
+        .update(bytes(pkt[pn_off + 4:pn_off + 20]))
+    pkt[0] ^= mask[0] & 0x0F
+    pkt[pn_off] ^= mask[1]
+    return bytes(pkt)
+
+q_sni = b"sweep.quic.test"
+q_alpn = b"h3"
+q_ext = (struct.pack(">HH", 0, len(q_sni) + 5) + struct.pack(">H", len(q_sni) + 3) +
+         b"\x00" + struct.pack(">H", len(q_sni)) + q_sni +
+         struct.pack(">HH", 16, len(q_alpn) + 3) + struct.pack(">H", len(q_alpn) + 1) +
+         bytes([len(q_alpn)]) + q_alpn)
+q_chb = (struct.pack(">H", 0x0303) + b"\x00" * 32 + b"\x00" +
+         struct.pack(">HH", 2, 0x1301) + b"\x01\x00" +
+         struct.pack(">H", len(q_ext)) + q_ext)
+q_ch = b"\x01" + struct.pack(">I", len(q_chb))[1:] + q_chb
+q_crypto = b"\x06\x00" + struct.pack(">H", 0x4000 | len(q_ch)) + q_ch + b"\x00" * 32
+extra.append((t3, 13300, ip_frame(17, A, B,
+              udp(54500, 443, quic_initial(bytes.fromhex("c0ffee00c0ffee01"), q_crypto)),
+              ident=169)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
