@@ -367,6 +367,10 @@ object Dissect {
     // set once a QUIC long-header packet is seen; short-header packets
     // carry no version/type bits, so only conversation state can name them
     var quic = false
+    // the client's original Destination Connection ID — BOTH directions'
+    // Initial keys derive from it (RFC 9001 §5.2), so the server's
+    // Initial is only decryptable through this conversation state
+    var quicClientDcid: Array[Byte] = null
   }
 
   /** One in-flight fragmented IP datagram: parts keyed by byte offset,
@@ -2287,14 +2291,19 @@ object Dissect {
     hmacSha256(secret, info).take(len)
   }
 
-  /** client_in key material from the Initial DCID: (key, iv, hp). */
-  private[pcap] def quicInitialClientKeys(dcid: Array[Byte]): (Array[Byte], Array[Byte], Array[Byte]) = {
+  /** Initial key material from the client's original DCID for one side:
+    * (key, iv, hp). Both directions derive from the SAME DCID — only the
+    * expand label differs. */
+  private[pcap] def quicInitialKeys(dcid: Array[Byte], side: String): (Array[Byte], Array[Byte], Array[Byte]) = {
     val initialSecret = hmacSha256(quicV1Salt, dcid) // HKDF-Extract(salt, dcid)
-    val clientSecret = hkdfExpandLabel(initialSecret, "client in", 32)
-    (hkdfExpandLabel(clientSecret, "quic key", 16),
-      hkdfExpandLabel(clientSecret, "quic iv", 12),
-      hkdfExpandLabel(clientSecret, "quic hp", 16))
+    val secret = hkdfExpandLabel(initialSecret, side, 32)
+    (hkdfExpandLabel(secret, "quic key", 16),
+      hkdfExpandLabel(secret, "quic iv", 12),
+      hkdfExpandLabel(secret, "quic hp", 16))
   }
+
+  private[pcap] def quicInitialClientKeys(dcid: Array[Byte]): (Array[Byte], Array[Byte], Array[Byte]) =
+    quicInitialKeys(dcid, "client in")
 
   /** QUIC variable-length integer (RFC 9000 §16): (value, next index), or
     * null when truncated. */
@@ -2316,10 +2325,10 @@ object Dissect {
     * offset, `pktEnd` the end of this QUIC packet (Length-bounded). */
   private def quicDecryptInitial(
       d: Array[Byte], pktStart: Int, pnOff: Int, pktEnd: Int,
-      dcid: Array[Byte]): Array[Byte] = {
+      keys: (Array[Byte], Array[Byte], Array[Byte])): Array[Byte] = {
     try {
       if (pnOff + 4 + 16 > pktEnd) return null
-      val (key, iv, hp) = quicInitialClientKeys(dcid)
+      val (key, iv, hp) = keys
       // header protection mask from the 16-byte sample at pn_offset + 4
       val ecb = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
       ecb.init(javax.crypto.Cipher.ENCRYPT_MODE,
@@ -2459,6 +2468,7 @@ object Dissect {
       // back to the opaque rendering — never a wrong value.
       if (t == 0 && ver == 1) {
         val afterScid = off + 7 + dcl + scl
+        val ownDcid = java.util.Arrays.copyOfRange(d, off + 6, off + 6 + dcl)
         val dec = quicVarint(d, afterScid, end) match {
           case null => null
           case (tokenLen, a0) =>
@@ -2469,16 +2479,35 @@ object Dissect {
               case (plen2, pnOff) =>
                 val pktEnd = pnOff + plen2.toInt
                 if (plen2 < 20 || pktEnd > end) null
-                else quicDecryptInitial(d, off, pnOff, pktEnd,
-                  java.util.Arrays.copyOfRange(d, off + 6, off + 6 + dcl))
+                else {
+                  // a client Initial decrypts with keys from ITS OWN dcid;
+                  // a server Initial only with "server in" keys from the
+                  // CLIENT's original dcid held in conversation state
+                  val asClient = quicDecryptInitial(d, off, pnOff, pktEnd,
+                    quicInitialKeys(ownDcid, "client in"))
+                  if (asClient != null) {
+                    if (conv != null) conv.quicClientDcid = ownDcid
+                    asClient
+                  } else if (conv != null && conv.quicClientDcid != null)
+                    quicDecryptInitial(d, off, pnOff, pktEnd,
+                      quicInitialKeys(conv.quicClientDcid, "server in"))
+                  else null
+                }
             }
         }
         val crypto = if (dec == null) null else quicCryptoData(dec)
-        if (crypto != null && crypto.length >= 4 && (crypto(0) & 0xff) == 1 &&
+        if (crypto != null && crypto.length >= 4 &&
             4 + ((u8(crypto, 1) << 16) | u16(crypto, 2)) <= crypto.length) {
-          protos += "tls"
-          val sni = parseClientHello(crypto, 0, crypto.length, v)
-          return base + s", CRYPTO(ClientHello${sni.fold("")(" SNI=" + _)})"
+          (crypto(0) & 0xff) match {
+            case 1 =>
+              protos += "tls"
+              val sni = parseClientHello(crypto, 0, crypto.length, v)
+              return base + s", CRYPTO(ClientHello${sni.fold("")(" SNI=" + _)})"
+            case 2 =>
+              protos += "tls"
+              return base + ", CRYPTO(ServerHello)"
+            case _ =>
+          }
         }
       }
       base

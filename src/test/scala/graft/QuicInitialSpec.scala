@@ -50,10 +50,14 @@ class QuicInitialSpec extends AnyFunSuite {
     hs.array()
   }
 
-  /** Seal a client Initial per RFC 9001: CRYPTO frame + PADDING, AEAD,
-    * then header protection. pn = 0 with a 1-byte encoding. */
-  private def sealInitial(dcid: Array[Byte], plaintextFrames: Array[Byte]): Array[Byte] = {
-    val (key, iv, hp) = Dissect.quicInitialClientKeys(dcid)
+  /** Seal an Initial per RFC 9001: CRYPTO frame + PADDING, AEAD, then
+    * header protection. pn = 0 with a 1-byte encoding. `keyDcid` selects
+    * the key schedule (the CLIENT's original DCID for both sides); `dcid`
+    * is what goes in the wire header. */
+  private def sealInitial(dcid: Array[Byte], plaintextFrames: Array[Byte],
+      side: String = "client in", keyDcid: Array[Byte] = null): Array[Byte] = {
+    val (key, iv, hp) =
+      Dissect.quicInitialKeys(if (keyDcid == null) dcid else keyDcid, side)
     val header = ByteBuffer.allocate(12 + dcid.length)
     header.put(0xc0.toByte) // long header, fixed bit, Initial, pn_len 1
     header.putInt(1) // version
@@ -85,14 +89,16 @@ class QuicInitialSpec extends AnyFunSuite {
     out
   }
 
-  private def udpFrame(sp: Int, dp: Int, payload: Array[Byte]): Array[Byte] = {
+  private def udpFrame(sp: Int, dp: Int, payload: Array[Byte],
+      rev: Boolean = false): Array[Byte] = {
     val b = ByteBuffer.allocate(14 + 20 + 8 + payload.length)
     b.put(new Array[Byte](12)).putShort(0x0800.toShort)
     val iplen = 20 + 8 + payload.length
     b.put(0x45.toByte).put(0.toByte).putShort(iplen.toShort)
       .putShort(1.toShort).putShort(0.toShort)
       .put(64.toByte).put(17.toByte).putShort(0.toShort)
-      .put(Array[Byte](10, 0, 0, 1)).put(Array[Byte](10, 0, 0, 2))
+    if (rev) b.put(Array[Byte](10, 0, 0, 2)).put(Array[Byte](10, 0, 0, 1))
+    else b.put(Array[Byte](10, 0, 0, 1)).put(Array[Byte](10, 0, 0, 2))
     b.putShort(sp.toShort).putShort(dp.toShort)
       .putShort((8 + payload.length).toShort).putShort(0.toShort)
     b.put(payload)
@@ -121,6 +127,38 @@ class QuicInitialSpec extends AnyFunSuite {
     assert(d.values("tls.handshake.extensions_server_name") === "quic.example.com")
     assert(d.values("tls.handshake.extensions_alpn_str") === "h3")
     assert(d.values("tls.handshake.ciphersuite") === "0x1301,0x1302")
+  }
+
+  test("server Initial decrypts via the client DCID held in conversation state") {
+    val clientDcid = hex("aabbccdd00112233")
+    val ch = clientHello("bidi.example.com", "h3")
+    val cCrypto = ByteBuffer.allocate(4 + ch.length + 24)
+    cCrypto.put(0x06.toByte).put(0x00.toByte)
+    cCrypto.putShort((0x4000 | ch.length).toShort).put(ch)
+    (0 until 24).foreach(_ => cCrypto.put(0.toByte))
+    // minimal ServerHello: type 2, 3-byte length, 40-byte body
+    val shBody = new Array[Byte](40)
+    val sh = ByteBuffer.allocate(4 + shBody.length)
+    sh.put(2.toByte).put(0.toByte).put(0.toByte).put(shBody.length.toByte).put(shBody)
+    val sCrypto = ByteBuffer.allocate(4 + sh.capacity() + 16)
+    sCrypto.put(0x06.toByte).put(0x00.toByte)
+    sCrypto.putShort((0x4000 | sh.capacity()).toShort).put(sh.array())
+    (0 until 16).foreach(_ => sCrypto.put(0.toByte))
+
+    val tracker = new Dissect.Tracker
+    def run(frame: Array[Byte], n: Long): Dissect.Dissected =
+      Dissect.dissect(PcapFormat.Record(n, n * 1000000L, frame.length, frame.length, frame),
+        1, tracker)
+    // 1) client Initial stores the original DCID on the conversation
+    val d1 = run(udpFrame(50002, 443, sealInitial(clientDcid, cCrypto.array())), 1)
+    assert(d1.info.endsWith("CRYPTO(ClientHello SNI=bidi.example.com)"))
+    // 2) the server's Initial uses its OWN dcid on the wire but derives
+    //    keys from the client's original DCID with the "server in" label
+    val sPkt = sealInitial(hex("5e5e5e5e"), sCrypto.array(),
+      side = "server in", keyDcid = clientDcid)
+    val d2 = run(udpFrame(443, 50002, sPkt, rev = true), 2)
+    assert(d2.info === "Initial, DCID=5e:5e:5e:5e, CRYPTO(ServerHello)")
+    assert(d2.protocols === "eth:ethertype:ip:udp:quic:tls")
   }
 
   test("tampered Initial falls back to the opaque rendering, never wrong values") {
