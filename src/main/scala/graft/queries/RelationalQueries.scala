@@ -1233,6 +1233,54 @@ object RelationalQueries {
       GROUP BY c_nationkey
       ORDER BY c_nationkey"""))
 
+  /** Ordered funnel analysis over the events stream: per-user stage
+    * progression view → click → purchase with STRICTLY increasing
+    * timestamps (each stage anchors at its earliest occurrence after the
+    * prior stage). The classic product-analytics sequence operator,
+    * expressed as three cascaded min-timestamp aggregates + equi-joins —
+    * each stage is one hash aggregate over a filtered slice and a
+    * same-key join, so the whole funnel shuffles only on user_id and
+    * scales linearly. Counts only (no emitted timestamps), so µs/ns
+    * precision differences between engines cannot surface. */
+  val q50Funnel = GraftQuery(
+    "q50_funnel",
+    (s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        WITH v AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+               (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+               (SELECT COUNT(*) FROM p) AS n_purchased_after_click""")
+    },
+    Some("""
+      WITH e0 AS (
+        SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts
+        FROM events),
+      v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM e0
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM e0 e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM e0 e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+             (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+             (SELECT COUNT(*) FROM p) AS n_purchased_after_click"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -1246,5 +1294,5 @@ object RelationalQueries {
     q38bWindowRangeBySupp, q39Percentiles, q39bApproxPercentiles,
     q40WindowDistribution, q41MultiDistinct, q42AsofJoin, q43PartitionedRw,
     q44BucketedJoin, q45Unpivot, q46RecursiveSpine, q47LateralTopn,
-    q48HigherOrder, q49ListAgg)
+    q48HigherOrder, q49ListAgg, q50Funnel)
 }
