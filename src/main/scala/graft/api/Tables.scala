@@ -18,16 +18,26 @@ object Tables {
     if (name == "events") loadEvents(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which vanilla Spark rejects
-    * (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and rebuild a microsecond
-    * TimestampType with exact integer division (`div` — nanos ≈ 1.7e18 is
-    * beyond double precision, so no float division), matching DuckDB's
-    * `CAST(ts AS TIMESTAMP)` truncation. */
+  /** `events.ts` arrives in one of three parquet shapes depending on the
+    * generator vintage: TIMESTAMP(NANOS) (vanilla Spark rejects it —
+    * PARQUET_TYPE_ILLEGAL — so with `nanosAsLong` it reads as raw-nanos
+    * LongType, as do MakeSf1's replicas), TIMESTAMP(MICROS) isAdjustedToUTC
+    * (TimestampType), or TIMESTAMP_NTZ micros. All three normalize to a
+    * microsecond TimestampType: nanos via exact integer division (`div` —
+    * nanos ≈ 1.7e18 is beyond double precision, so no float division),
+    * NTZ via a cast that is value-preserving under the UTC session zone.
+    * Matches DuckDB's `CAST(ts AS TIMESTAMP)` on the same file. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val ts = raw.schema("ts").dataType match {
+      case LongType      => timestamp_micros(expr("ts div 1000"))
+      case TimestampType => col("ts")
+      case _             => col("ts").cast(TimestampType) // TIMESTAMP_NTZ, UTC session
+    }
+    raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
