@@ -345,6 +345,16 @@ object Dissect {
     // block. Bounded by MaxCarry.
     val h2Pending: Array[Array[Byte]] = Array(null, null)
     val h2PendingSid: Array[Long] = Array(-1L, -1L)
+    // HPACK dynamic table per SENDING direction (RFC 7541 §2.3.2): each
+    // peer's encoder owns one table, so indexed refs >=62 in a segment
+    // resolve against the table built from that direction's earlier
+    // header blocks. Most-recent entry first; bounded by hpackMax octets
+    // (entry size = name + value + 32, §4.1). Placeholder entries from
+    // undecodable strings still occupy their slot so positions stay
+    // aligned with the encoder's view.
+    val hpackTable: Array[mutable.ArrayBuffer[(String, String)]] = Array(null, null)
+    val hpackMax: Array[Int] = Array(4096, 4096)
+    val hpackSize: Array[Int] = Array(0, 0)
     // set once a "101 Switching Protocols" + "Upgrade: websocket" response
     // is seen; later segments in BOTH directions dissect as ws frames
     var wsUpgraded = false
@@ -5383,13 +5393,41 @@ object Dissect {
     (v, i)
   }
 
-  /** Decode an HPACK header block using the STATIC table, raw-literal
-    * strings, and Appendix B Huffman-coded strings (RFC 7541 §6). No
-    * dynamic table is tracked across frames — a mid-stream indexed
-    * reference into it (or a malformed Huffman coding) yields an opaque
-    * placeholder instead of a wrong value. */
-  private def decodeHpack(d: Array[Byte], start: Int, end: Int): Seq[(String, String)] = {
+  /** Decode an HPACK header block using the static table, raw-literal
+    * strings, Appendix B Huffman-coded strings (RFC 7541 §6), and — when
+    * the owning conversation is known — the per-direction DYNAMIC table:
+    * incremental-indexing literals insert at the front of the sending
+    * direction's table (evicting from the back past `hpackMax`, §4.2),
+    * indexed references >= 62 resolve against it, and table-size updates
+    * resize it. A reference past the table's end (capture started
+    * mid-stream) or a malformed Huffman coding yields an opaque
+    * placeholder instead of a wrong value; placeholder strings still
+    * occupy their table slot so later indices stay aligned. */
+  private def decodeHpack(d: Array[Byte], start: Int, end: Int,
+      conv: TcpConv = null, dir: Int = -1): Seq[(String, String)] = {
     val out = mutable.ArrayBuffer.empty[(String, String)]
+    val tbl: mutable.ArrayBuffer[(String, String)] =
+      if (conv == null || dir < 0) null
+      else {
+        if (conv.hpackTable(dir) == null)
+          conv.hpackTable(dir) = mutable.ArrayBuffer.empty[(String, String)]
+        conv.hpackTable(dir)
+      }
+    def entrySize(e: (String, String)): Int = e._1.length + e._2.length + 32
+    def evict(): Unit =
+      while (conv.hpackSize(dir) > conv.hpackMax(dir) && tbl.nonEmpty) {
+        conv.hpackSize(dir) -= entrySize(tbl.remove(tbl.length - 1))
+      }
+    def insert(name: String, value: String): Unit = if (tbl != null) {
+      tbl.insert(0, (name, value))
+      conv.hpackSize(dir) += name.length + value.length + 32
+      evict()
+    }
+    def dynAt(idx: Long): (String, String) = {
+      val k = idx - hpackStatic.length // 0 = most recent insertion
+      if (tbl != null && k >= 0 && k < tbl.length) tbl(k.toInt)
+      else ("<dynamic>", "<dynamic>")
+    }
     def str(at: Int): (String, Int) = {
       if (at >= end) return null
       val huff = (u8(d, at) & 0x80) != 0
@@ -5407,7 +5445,7 @@ object Dissect {
     }
     def nameAt(idx: Long): String =
       if (idx >= 1 && idx < hpackStatic.length) hpackStatic(idx.toInt)._1
-      else "<dynamic>"
+      else dynAt(idx)._1
     var i = start
     var ok = true
     while (ok && i < end && out.length < 64) {
@@ -5417,16 +5455,22 @@ object Dissect {
           case null => ok = false
           case (idx, ni) =>
             if (idx >= 1 && idx < hpackStatic.length) out += hpackStatic(idx.toInt)
-            else out += (("<dynamic>", "<dynamic>"))
+            else out += dynAt(idx)
             i = ni
         }
-      } else if ((b & 0xe0) == 0x20) { // dynamic table size update
+      } else if ((b & 0xe0) == 0x20) { // dynamic table size update (§6.3)
         hpackInt(d, i, end, 5) match {
           case null => ok = false
-          case (_, ni) => i = ni
+          case (sz, ni) =>
+            if (tbl != null && sz <= (1 << 20)) { // sane ceiling: 1 MiB
+              conv.hpackMax(dir) = sz.toInt
+              evict()
+            }
+            i = ni
         }
       } else { // literal: incremental (01), without (0000) or never (0001)
-        val prefix = if ((b & 0xc0) == 0x40) 6 else 4
+        val incremental = (b & 0xc0) == 0x40
+        val prefix = if (incremental) 6 else 4
         hpackInt(d, i, end, prefix) match {
           case null => ok = false
           case (idx, ni) =>
@@ -5442,6 +5486,7 @@ object Dissect {
               case (value, np) =>
                 p = np
                 out += ((name, value))
+                if (incremental) insert(name, value)
                 i = p
             }
         }
@@ -5478,7 +5523,7 @@ object Dissect {
     // decode one complete HPACK header block: fields + info label
     def decodeBlock(b: Array[Byte], boff: Int, bend: Int,
         frameName: String, sid: Long): Option[String] = {
-      val hdrs = decodeHpack(b, boff, bend)
+      val hdrs = decodeHpack(b, boff, bend, conv, dir)
       def hv(n: String) = hdrs.collectFirst { case (`n`, value) => value }
       hv(":method").foreach(v("http2.headers.method") = _)
       hv(":path").foreach(v("http2.headers.path") = _)
