@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.api.GraftQuery
-import graft.queries.{MultimodalQueries, PcapQueries, RelationalQueries, SimilarityQueries, StreamingQueries, TextQueries}
+import graft.queries.{MultimodalQueries, PcapQueries, RelationalQueries, ScoringQueries, SimilarityQueries, StreamingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,8 +14,9 @@ object SparkEntry {
 
   /** All registered capabilities, in SURVEY §2 inventory order. */
   def registry: Seq[GraftQuery] =
-    RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all ++ StreamingQueries.all ++ PcapQueries.all
+    RelationalQueries.all ++ TextQueries.all ++ ScoringQueries.all ++
+      SimilarityQueries.all ++ MultimodalQueries.all ++ StreamingQueries.all ++
+      PcapQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

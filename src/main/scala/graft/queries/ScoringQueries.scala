@@ -1,0 +1,230 @@
+package graft.queries
+
+import java.math.{BigDecimal => JBigDecimal, MathContext, RoundingMode}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.{GraftQuery, Tables}
+import graft.functions.AnnIndexes
+
+/** Model-based document SCORING operators for training-data curation —
+  * the fit-once/score-many family: DSIR importance weights (Xie et al.
+  * 2023, "Data Selection for Language Models via Importance Resampling")
+  * over hashed-bigram features, and a CCNet-style unigram-LM quality
+  * score (bits per token under a corpus-fitted language model).
+  *
+  * Exactness contract (the same trick as [[AnnOracles]]): the fitted
+  * model — 64 bucket log-ratios, or a 256-word negative-log-prob table —
+  * is driver-visible state, QUANTIZED to DECIMAL(12,6) at fit time.
+  * Per-document scoring is then a sum of `count × decimal` terms, which
+  * is EXACT decimal arithmetic — order-independent, so Spark's unordered
+  * aggregation and DuckDB's agree bit-for-bit; only the final
+  * decimal→double casts (correctly rounded in both engines) touch
+  * floating point. The generated oracle embeds the fitted table as
+  * `VALUES` literals and re-derives everything else from the raw text.
+  *
+  * Scale notes (100 TB): fits are one-off aggregate jobs collecting a
+  * few hundred rows (the same contract as the k-means centroids in
+  * [[AnnIndexes]]); scoring is one (doc, feature) shuffle joined against
+  * a BROADCAST model table — no driver-side loops, no re-fit per query.
+  */
+object ScoringQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ---------------------------------------------------------------------
+  // Shared tokenization (mirrors TextQueries: whitespace words, empties
+  // dropped) and the engine-portable hashed-bigram bucket
+  // ---------------------------------------------------------------------
+
+  private val B = 64 // hashed-feature bucket count
+
+  /** (doc_id, lang, bg) word bigrams; docs with <2 words contribute none.
+    * The sequence guard matters: Spark's `sequence(2, 1)` is DESCENDING,
+    * not empty, so short docs must be filtered before the transform. */
+  private def bigrams(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("lang"),
+        expr("filter(split(text, ' '), x -> x != '')").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(2, size(w)), i -> concat(element_at(w, i - 1), ' ', element_at(w, i)))"))
+        .as("bg"))
+
+  /** Bucket = high 16 bits of md5(bigram) mod 64 — the [[TextQueries]]
+    * nibble trick, identical in Spark and DuckDB. */
+  private def bucketExpr(c: String): String =
+    s"(${TextQueries.h16SqlAt(s"md5($c)", 1)} % $B)"
+
+  private def quant6(x: Double): JBigDecimal =
+    new JBigDecimal(x, MathContext.DECIMAL64).setScale(6, RoundingMode.HALF_EVEN)
+
+  // ---------------------------------------------------------------------
+  // DSIR importance weights
+  // ---------------------------------------------------------------------
+
+  /** Fit the DSIR model: per-bucket λ_b = ln p_target(b) − ln p_raw(b)
+    * with add-1 smoothing, target = the `lang = 'en'` slice, raw = the
+    * whole corpus. One 64-row aggregate; cached per (session, dir) so the
+    * query plan and its generated oracle see the identical quantized
+    * table. */
+  private def dsirFit(s: SparkSession, dir: String): Array[JBigDecimal] =
+    AnnIndexes.cached(s, s"dsir:$dir") {
+      val rows = bigrams(docs(s, dir))
+        .select(expr(bucketExpr("bg")).as("bucket"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("t"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("t")).as("ct"), count(lit(1)).as("cr"))
+        .collect()
+      val ct = new Array[Long](B)
+      val cr = new Array[Long](B)
+      rows.foreach { r =>
+        val b = r.getAs[Number]("bucket").intValue()
+        ct(b) = r.getAs[Long]("ct"); cr(b) = r.getAs[Long]("cr")
+      }
+      val nt = ct.sum.toDouble + B
+      val nr = cr.sum.toDouble + B
+      Array.tabulate(B) { b =>
+        quant6(math.log((ct(b) + 1) / nt) - math.log((cr(b) + 1) / nr))
+      }
+    }
+
+  private def lamValues(lam: Array[JBigDecimal]): String =
+    lam.zipWithIndex
+      .map { case (l, b) => s"($b, ${l.toPlainString}::DECIMAL(12,6))" }
+      .mkString(", ")
+
+  /** Per-document DSIR log importance weight Σ_b n_b · λ_b over hashed
+    * bigram features — rank-by-weight is the resampling key that tilts a
+    * raw crawl toward the target distribution. Zero-bigram docs surface
+    * with weight 0 (LEFT join from the corpus). */
+  val txDsirWeights = GraftQuery(
+    "tx_dsir_weights",
+    (s, dir) => {
+      import s.implicits._
+      val lam = dsirFit(s, dir)
+      val lamDf = s.createDataFrame(
+        s.sparkContext.parallelize(lam.zipWithIndex.map { case (l, b) =>
+          org.apache.spark.sql.Row(b, l)
+        }.toSeq, 1),
+        StructType(Seq(StructField("bucket", IntegerType),
+          StructField("lam", DecimalType(12, 6)))))
+      val scored = bigrams(docs(s, dir))
+        .select($"doc_id", expr(bucketExpr("bg")).as("bucket"))
+        .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("n"))
+        .join(broadcast(lamDf), Seq("bucket"))
+        .groupBy($"doc_id")
+        .agg(sum($"n" * $"lam").as("lw"), sum($"n").as("nb"))
+      docs(s, dir).select($"doc_id")
+        .join(scored, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"nb", lit(0L)).as("n_bigrams"),
+          coalesce($"lw".cast(DoubleType), lit(0.0d)).as("dsir_logw"))
+        .orderBy($"doc_id")
+    },
+    oracleGen = Some((s, dir) => {
+      val lam = dsirFit(s, dir)
+      s"""
+      WITH lam(bucket, lam) AS (VALUES ${lamValues(lam)}),
+      ws AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents),
+      bg AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(2, len(w) + 1),
+                                     i -> w[i - 1] || ' ' || w[i])) AS bg
+        FROM ws),
+      cnt AS (
+        SELECT doc_id, ${bucketExpr("bg")} AS bucket, COUNT(*) AS n
+        FROM bg GROUP BY 1, 2),
+      scored AS (
+        SELECT doc_id, SUM(cnt.n * lam.lam) AS lw, SUM(cnt.n) AS nb
+        FROM cnt JOIN lam USING (bucket) GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,
+             COALESCE(CAST(lw AS DOUBLE), 0.0) AS dsir_logw
+      FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
+    }))
+
+  // ---------------------------------------------------------------------
+  // Unigram-LM quality score (CCNet-style perplexity proxy)
+  // ---------------------------------------------------------------------
+
+  private val VocabK = 256
+
+  /** Fit the unigram LM: top-256 words by corpus frequency (ties to the
+    * lexicographically smaller word) plus one UNK bucket holding the
+    * remaining mass; p(w) = (c_w + 1)/(N + 257) so the distribution sums
+    * to one. Returns (vocab word → −log2 p quantized, UNK −log2 p). */
+  private def lmFit(s: SparkSession, dir: String): (Array[(String, JBigDecimal)], JBigDecimal) =
+    AnnIndexes.cached(s, s"unigramlm:$dir") {
+      import s.implicits._
+      val counts = docs(s, dir)
+        .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+      val top = counts.orderBy($"c".desc, $"w").limit(VocabK)
+        .as[(String, Long)].collect()
+      val total = counts.agg(sum($"c")).as[Long].head()
+      val unk = total - top.map(_._2).sum
+      val denom = total.toDouble + VocabK + 1
+      def nlp(c: Long): JBigDecimal =
+        quant6(-(math.log((c + 1) / denom) / math.log(2.0)))
+      (top.map { case (w, c) => (w, nlp(c)) }, nlp(unk))
+    }
+
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Per-document cross-entropy under the corpus-fitted unigram LM —
+    * the perplexity-proxy quality filter: low bits/token ≈ in-domain
+    * fluent text, high ≈ noise. `bits_total` is an exact decimal sum cast
+    * once; `bits_per_token` divides the two already-deterministic
+    * doubles (one correctly-rounded IEEE op). */
+  val txLmScore = GraftQuery(
+    "tx_lm_score",
+    (s, dir) => {
+      import s.implicits._
+      val (vocab, unkNlp) = lmFit(s, dir)
+      val vocabDf = s.createDataFrame(
+        s.sparkContext.parallelize(vocab.map { case (w, p) =>
+          org.apache.spark.sql.Row(w, p)
+        }.toSeq, 1),
+        StructType(Seq(StructField("w", StringType),
+          StructField("nlp", DecimalType(12, 6)))))
+      val toks = docs(s, dir)
+        .select($"doc_id", explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+      val unkLit = lit(unkNlp).cast(DecimalType(12, 6))
+      toks.join(broadcast(vocabDf), Seq("w"), "left")
+        .select($"doc_id", coalesce($"nlp", unkLit).as("nlp"))
+        .groupBy($"doc_id")
+        .agg(sum($"nlp").as("bt"), count(lit(1)).as("n_tokens"))
+        .select($"doc_id", $"n_tokens",
+          $"bt".cast(DoubleType).as("bits_total"),
+          ($"bt".cast(DoubleType) / $"n_tokens".cast(DoubleType)).as("bits_per_token"))
+        .orderBy($"doc_id")
+    },
+    oracleGen = Some((s, dir) => {
+      val (vocab, unkNlp) = lmFit(s, dir)
+      val vals = vocab
+        .map { case (w, p) => s"(${sq(w)}, ${p.toPlainString}::DECIMAL(12,6))" }
+        .mkString(", ")
+      s"""
+      WITH vocab(w, nlp) AS (VALUES $vals),
+      toks AS (
+        SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents),
+      scored AS (
+        SELECT t.doc_id,
+               COALESCE(v.nlp, ${unkNlp.toPlainString}::DECIMAL(12,6)) AS nlp
+        FROM toks t LEFT JOIN vocab v ON v.w = t.w)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(nlp) AS DOUBLE) AS bits_total,
+             CAST(SUM(nlp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bits_per_token
+      FROM scored GROUP BY doc_id
+      ORDER BY doc_id"""
+    }))
+
+  val all: Seq[GraftQuery] = Seq(txDsirWeights, txLmScore)
+}

@@ -517,12 +517,12 @@ object TextQueries {
 
   /** Hex→int without engine-specific conversions: nibble =
     * instr('0123456789abcdef', chr) - 1, identical in Spark and DuckDB. */
-  private def nibbleSql(c: String) = s"(INSTR('0123456789abcdef', $c) - 1)"
+  private[queries] def nibbleSql(c: String) = s"(INSTR('0123456789abcdef', $c) - 1)"
 
   /** 16-bit chunk from 4 hex chars of an md5 column starting at 1-based
     * offset `off` — chunk k (off = 1,5,9,13) holds simhash bits
     * 63-16k .. 48-16k (big-endian hex → chunk 0 is the high quarter). */
-  private def h16SqlAt(md5col: String, off: Int) =
+  private[queries] def h16SqlAt(md5col: String, off: Int) =
     s"(${nibbleSql(s"SUBSTR($md5col, $off, 1)")} * 4096 + ${nibbleSql(s"SUBSTR($md5col, ${off + 1}, 1)")} * 256 + " +
       s"${nibbleSql(s"SUBSTR($md5col, ${off + 2}, 1)")} * 16 + ${nibbleSql(s"SUBSTR($md5col, ${off + 3}, 1)")})"
 
