@@ -1281,6 +1281,36 @@ object RelationalQueries {
              (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
              (SELECT COUNT(*) FROM p) AS n_purchased_after_click"""))
 
+  /** Spark 4 VARIANT — the semi-structured column type: `parse_json`
+    * builds the binary variant ONCE per row, `variant_get` extracts
+    * typed paths from it without re-parsing, and `to_json` canonicalizes
+    * back (minified key order-preserving text, which DuckDB's
+    * `json_extract(props, '$')` re-render matches). At 100 TB this is the schema-
+    * on-read path for heterogeneous event payloads: the variant encodes
+    * once at ingest and every later extraction is a binary field walk,
+    * not a JSON re-parse (contrast q33's one-parse `from_json`, which
+    * needs the schema up front). */
+  val q51Variant = GraftQuery(
+    "q51_variant",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_id", parse_json($"props").as("v"))
+        .select(
+          $"event_id",
+          expr("variant_get(v, '$.k', 'bigint')").as("k_value"),
+          to_json($"v").as("canonical"),
+          expr("variant_get(v, '$.missing', 'string')").as("missing_field"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id,
+             CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_value,
+             CAST(JSON_EXTRACT(props, '$') AS VARCHAR) AS canonical,
+             JSON_EXTRACT_STRING(props, '$.missing') AS missing_field
+      FROM events
+      ORDER BY event_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -1294,5 +1324,5 @@ object RelationalQueries {
     q38bWindowRangeBySupp, q39Percentiles, q39bApproxPercentiles,
     q40WindowDistribution, q41MultiDistinct, q42AsofJoin, q43PartitionedRw,
     q44BucketedJoin, q45Unpivot, q46RecursiveSpine, q47LateralTopn,
-    q48HigherOrder, q49ListAgg, q50Funnel)
+    q48HigherOrder, q49ListAgg, q50Funnel, q51Variant)
 }
