@@ -1839,6 +1839,16 @@ object Dissect {
         appInfo = dissectLdap(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 502 || dp == 502))
         appInfo = dissectModbus(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 102 || dp == 102))
+        appInfo = dissectS7(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 20000 || dp == 20000))
+        appInfo = dissectDnp3(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 2404 || dp == 2404))
+        appInfo = dissectIec104(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 44818 || dp == 44818))
+        appInfo = dissectEnip(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 4840 || dp == 4840))
+        appInfo = dissectOpcua(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 23 || dp == 23))
         appInfo = dissectTelnet(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 25 || dp == 25 || sp == 587 || dp == 587))
@@ -3843,6 +3853,237 @@ object Dissect {
     val name = modbusFuncNames.getOrElse(func, s"Func $func")
     if (isException) s"Trans $trans; Unit $unit; Func $func: $name (Exception)"
     else s"Trans $trans; Unit $unit; Func $func: $name"
+  }
+
+  // -------------------------------------------------------------------
+  // Industrial / SCADA tier: S7comm, DNP3, IEC 60870-5-104, EtherNet/IP
+  // (CIP), OPC UA binary — header-level triage like the other tiers.
+  // -------------------------------------------------------------------
+
+  private val s7RosctrNames: Map[Int, String] = Map(
+    1 -> "Job", 2 -> "Ack", 3 -> "Ack_Data", 7 -> "Userdata")
+
+  private val s7FuncNames: Map[Int, String] = Map(
+    0xf0 -> "Setup communication", 0x04 -> "Read Var", 0x05 -> "Write Var",
+    0x1a -> "Request download", 0x1b -> "Download block",
+    0x1c -> "Download ended", 0x1d -> "Start upload", 0x1e -> "Upload",
+    0x1f -> "End upload", 0x28 -> "PI-Service", 0x29 -> "PLC Stop")
+
+  /** S7comm (Siemens S7 PLC protocol) over ISO-on-TCP, port 102: TPKT +
+    * COTP DT TPDU + the 0x32-tagged S7 PDU — ROSCTR kind, PDU reference,
+    * and the parameter function code. Ack_Data carries two error octets
+    * before the parameters (header is 12 bytes, not 10). */
+  private def dissectS7(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 17) return null
+    if (u8(d, off) != 3 || u8(d, off + 1) != 0) return null // TPKT v3
+    val tlen = u16(d, off + 2)
+    if (tlen < 17 || tlen > len) return null
+    // COTP DT: length indicator 2, code 0xf0, TPDU number + EOT bit
+    if (u8(d, off + 4) != 2 || u8(d, off + 5) != 0xf0) return null
+    val p = off + 7
+    if (u8(d, p) != 0x32) return null // S7 protocol id
+    val rosctr = u8(d, p + 1)
+    val pduRef = u16(d, p + 4)
+    val plen = u16(d, p + 6)
+    val hdrLen = if (rosctr == 2 || rosctr == 3) 12 else 10
+    protos += "tpkt"
+    protos += "cotp"
+    protos += "s7comm"
+    v("tpkt.version") = 3L
+    v("tpkt.length") = tlen.toLong
+    v("cotp.li") = 2L
+    v("cotp.type") = 0x0fL // DT data
+    v("s7comm.header.rosctr") = rosctr.toLong
+    v("s7comm.header.pduref") = pduRef.toLong
+    var funcPart = ""
+    if (plen >= 1 && p + hdrLen < off + tlen) {
+      val func = u8(d, p + hdrLen)
+      v("s7comm.param.func") = func.toLong
+      funcPart = s" Function:[${s7FuncNames.getOrElse(func, f"0x$func%02x")}]"
+    }
+    s"ROSCTR:[${s7RosctrNames.getOrElse(rosctr, rosctr.toString)}]$funcPart"
+  }
+
+  private val dnp3FuncNames: Map[Int, String] = Map(
+    0 -> "Confirm", 1 -> "Read", 2 -> "Write", 3 -> "Select", 4 -> "Operate",
+    5 -> "Direct Operate", 13 -> "Cold Restart", 14 -> "Warm Restart",
+    20 -> "Enable Unsolicited", 21 -> "Disable Unsolicited",
+    129 -> "Response", 130 -> "Unsolicited Response")
+
+  /** DNP3 (IEEE 1815) link layer on TCP 20000: 0x0564 start, length
+    * (counting ctrl+addresses+user data, CRCs excluded), control octet,
+    * LE destination/source addresses; the first data block carries the
+    * transport octet and the application control + function code. */
+  private def dissectDnp3(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 10) return null
+    if (u8(d, off) != 0x05 || u8(d, off + 1) != 0x64) return null
+    val dlen = u8(d, off + 2)
+    if (dlen < 5) return null
+    def le16(o: Int): Int = u8(d, o) | (u8(d, o + 1) << 8)
+    val ctl = u8(d, off + 3)
+    val dst = le16(off + 4)
+    val src = le16(off + 6)
+    protos += "dnp3"
+    v("dnp3.len") = dlen.toLong
+    v("dnp3.ctl") = ctl.toLong
+    v("dnp3.dst") = dst.toLong
+    v("dnp3.src") = src.toLong
+    var info = s"len=$dlen, from $src to $dst"
+    // first data block (after the 10-byte CRC'd link header): transport
+    // octet, application control, application function code
+    if (len >= 13 && dlen >= 8) {
+      val func = u8(d, off + 12)
+      v("dnp3.al.func") = func.toLong
+      info += ", " + dnp3FuncNames.getOrElse(func, s"Func $func")
+    }
+    info
+  }
+
+  private val iecTypeNames: Map[Int, String] = Map(
+    1 -> "M_SP_NA_1", 3 -> "M_DP_NA_1", 9 -> "M_ME_NA_1", 13 -> "M_ME_NC_1",
+    30 -> "M_SP_TB_1", 36 -> "M_ME_TF_1", 45 -> "C_SC_NA_1", 46 -> "C_DC_NA_1",
+    100 -> "C_IC_NA_1", 103 -> "C_CS_NA_1")
+
+  /** IEC 60870-5-104 (TCP 2404): 0x68-started APCI with I/S/U control
+    * formats; I-format APDUs carry an ASDU whose type id and common
+    * address surface as iec60870_asdu fields. */
+  private def dissectIec104(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 6) return null
+    if (u8(d, off) != 0x68) return null
+    val alen = u8(d, off + 1)
+    if (alen < 4 || alen + 2 > len) return null
+    val c1 = u8(d, off + 2); val c2 = u8(d, off + 3)
+    val c3 = u8(d, off + 4); val c4 = u8(d, off + 5)
+    protos += "iec60870_104"
+    v("iec60870_104.apdulen") = alen.toLong
+    if ((c1 & 1) == 0) { // I format: numbered information transfer
+      v("iec60870_104.type") = 0L
+      val tx = (c1 >> 1) | (c2 << 7)
+      val rx = (c3 >> 1) | (c4 << 7)
+      var info = s"I ($tx,$rx)"
+      if (alen >= 10) {
+        // ASDU: type id, VSQ, cause (2), common address (2 LE)
+        val a = off + 6
+        val tid = u8(d, a)
+        val addr = u8(d, a + 4) | (u8(d, a + 5) << 8)
+        protos += "iec60870_asdu"
+        v("iec60870_asdu.typeid") = tid.toLong
+        v("iec60870_asdu.addr") = addr.toLong
+        info += s" ASDU: ${iecTypeNames.getOrElse(tid, s"Type $tid")} ($tid) Addr=$addr"
+      }
+      info
+    } else if ((c1 & 3) == 1) { // S format: supervisory ack
+      v("iec60870_104.type") = 1L
+      s"S (${(c3 >> 1) | (c4 << 7)})"
+    } else { // U format: unnumbered control
+      v("iec60870_104.type") = 3L
+      val name = c1 match {
+        case 0x07 => "STARTDT act"; case 0x0b => "STARTDT con"
+        case 0x13 => "STOPDT act"; case 0x23 => "STOPDT con"
+        case 0x43 => "TESTFR act"; case 0x83 => "TESTFR con"
+        case b => f"0x$b%02x"
+      }
+      s"U ($name)"
+    }
+  }
+
+  private val enipCmdNames: Map[Int, String] = Map(
+    0x0004 -> "List Services", 0x0063 -> "List Identity",
+    0x0065 -> "Register Session", 0x0066 -> "Unregister Session",
+    0x006f -> "Send RR Data", 0x0070 -> "Send Unit Data")
+
+  private val cipServiceNames: Map[Int, String] = Map(
+    0x01 -> "Get Attributes All", 0x05 -> "Reset",
+    0x0e -> "Get Attribute Single", 0x10 -> "Set Attribute Single",
+    0x4c -> "Read Tag", 0x4d -> "Write Tag")
+
+  /** EtherNet/IP encapsulation (TCP 44818): LE command/length/session/
+    * status header; SendRRData/SendUnitData walk the CPF items and an
+    * Unconnected Data item (0x00b2) surfaces the CIP service code. */
+  private def dissectEnip(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 24) return null
+    def le16(o: Int): Int = u8(d, o) | (u8(d, o + 1) << 8)
+    def le32(o: Int): Long =
+      (le16(o) | (le16(o + 2).toLong << 16)) & 0xffffffffL
+    val cmd = le16(off)
+    if (!enipCmdNames.contains(cmd)) return null
+    val dlen = le16(off + 2)
+    if (24 + dlen > len) return null
+    protos += "enip"
+    v("enip.command") = cmd.toLong
+    v("enip.length") = dlen.toLong
+    v("enip.session") = le32(off + 4)
+    v("enip.status") = le32(off + 8)
+    var info = enipCmdNames(cmd)
+    if ((cmd == 0x006f || cmd == 0x0070) && dlen >= 10) {
+      // interface handle (4), timeout (2), CPF item count (2), items
+      val p = off + 24
+      val end = p + dlen
+      var ip = p + 8
+      var items = if (p + 8 <= end) le16(p + 6) else 0
+      while (items > 0 && ip + 4 <= end) {
+        val tid = le16(ip)
+        val ilen = le16(ip + 2)
+        if (tid == 0x00b2 && ilen >= 2 && ip + 4 + ilen <= end) {
+          val svc = u8(d, ip + 4)
+          val code = svc & 0x7f
+          protos += "cip"
+          v("cip.service") = code.toLong
+          info += ": " + cipServiceNames.getOrElse(code, f"Service 0x$code%02x") +
+            (if ((svc & 0x80) == 0) " (Request)" else " (Response)")
+          items = 1 // stop after the data item
+        }
+        ip += 4 + ilen
+        items -= 1
+      }
+    }
+    info
+  }
+
+  private val opcuaMsgNames: Map[String, String] = Map(
+    "HEL" -> "Hello", "ACK" -> "Acknowledge", "ERR" -> "Error",
+    "OPN" -> "OpenSecureChannel", "CLO" -> "CloseSecureChannel",
+    "MSG" -> "Message")
+
+  /** OPC UA binary transport (TCP 4840): 3-char message type + 'F' final
+    * chunk marker + LE size; Hello additionally carries the endpoint URL
+    * after the five LE32 transport parameters. */
+  private def dissectOpcua(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8) return null
+    val t = new String(d, off, 3, "ISO-8859-1")
+    if (!opcuaMsgNames.contains(t)) return null
+    if (u8(d, off + 3) != 'F') return null
+    def le32(o: Int): Long =
+      ((u8(d, o) | (u8(d, o + 1) << 8) | (u8(d, o + 2) << 16)).toLong |
+        ((u8(d, o + 3) & 0xffL) << 24)) & 0xffffffffL
+    val sz = le32(off + 4)
+    if (sz < 8 || sz > (1L << 24)) return null
+    protos += "opcua"
+    v("opcua.transport.type") = t
+    v("opcua.transport.size") = sz
+    if (t == "HEL" && len >= 32) {
+      val ulen = le32(off + 28)
+      if (ulen > 0 && ulen < 4096 && 32 + ulen <= len) {
+        v("opcua.transport.endpoint") =
+          new String(d, off + 32, ulen.toInt, "ISO-8859-1")
+      }
+    }
+    opcuaMsgNames(t) + " message"
   }
 
   private val bgpTypeNames: Map[Int, String] = Map(

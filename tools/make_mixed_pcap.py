@@ -947,4 +947,52 @@ extra.append((t3, 13300, ip_frame(17, A, B,
               udp(54500, 443, quic_initial(bytes.fromhex("c0ffee00c0ffee01"), q_crypto)),
               ident=169)))
 
+# 136-140: industrial/SCADA tier — S7comm (ISO-on-TCP 102), DNP3 (20000),
+# IEC 60870-5-104 (2404), EtherNet/IP + CIP (44818), OPC UA binary (4840)
+
+# S7comm Job "Setup communication": TPKT + COTP DT + 0x32 PDU, pduref 18
+s7 = (bytes([0x32, 0x01]) + b"\x00\x00" + struct.pack(">H", 18) +
+      struct.pack(">H", 8) + struct.pack(">H", 0) +
+      bytes([0xF0, 0x00]) + struct.pack(">H", 1) + struct.pack(">H", 1) +
+      struct.pack(">H", 480))
+s7_payload = bytes([3, 0]) + struct.pack(">H", 4 + 3 + len(s7)) + \
+    bytes([0x02, 0xF0, 0x80]) + s7
+extra.append((t3, 13400, ip_frame(6, A, B, tcp(49321, 102, 1, s7_payload),
+              ident=170)))
+
+# DNP3 master Read of classes 1/2/3: link 0564, master 1 -> outstation
+# 1024, transport C1 + app C1 + func 01 + three class object headers
+dnp_user = bytes([0xC1, 0xC1, 0x01]) + bytes.fromhex("3c02063c03063c0406")
+dnp = (bytes([0x05, 0x64, 5 + len(dnp_user), 0xC4]) +
+       struct.pack("<H", 1024) + struct.pack("<H", 1) + b"\x00\x00" +
+       dnp_user + b"\x00\x00")
+extra.append((t3, 13500, ip_frame(6, A, B, tcp(49322, 20000, 1, dnp),
+              ident=171)))
+
+# IEC 104 I-frame (tx 5, rx 2) carrying an M_SP_NA_1 ASDU, spontaneous,
+# common address 3, IOA 1
+iec_asdu = bytes([1, 0x01, 0x03, 0x00, 0x03, 0x00, 0x01, 0x00, 0x00, 0x01])
+iec = bytes([0x68, 4 + len(iec_asdu), 0x0A, 0x00, 0x04, 0x00]) + iec_asdu
+extra.append((t3, 13600, ip_frame(6, A, B, tcp(49323, 2404, 1, iec),
+              ident=172)))
+
+# EtherNet/IP SendRRData wrapping a CIP Get Attributes All request
+# (class 1 path) in an Unconnected Data CPF item
+cip = bytes([0x01, 0x01, 0x20, 0x01])
+enip_data = (b"\x00" * 4 + struct.pack("<H", 10) + struct.pack("<H", 2) +
+             struct.pack("<HH", 0x0000, 0) +
+             struct.pack("<HH", 0x00B2, len(cip)) + cip)
+enip = (struct.pack("<HHII", 0x006F, len(enip_data), 0xDEADBEEF, 0) +
+        b"\x00" * 8 + struct.pack("<I", 0) + enip_data)
+extra.append((t3, 13700, ip_frame(6, A, B, tcp(49324, 44818, 1, enip),
+              ident=173)))
+
+# OPC UA binary Hello with the endpoint URL
+opc_url = b"opc.tcp://plc.example:4840"
+opc_body = struct.pack("<IIIII", 0, 65536, 65536, 0, 0) + \
+    struct.pack("<I", len(opc_url)) + opc_url
+opc = b"HELF" + struct.pack("<I", 8 + len(opc_body)) + opc_body
+extra.append((t3, 13800, ip_frame(6, A, B, tcp(49325, 4840, 1, opc),
+              ident=174)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
