@@ -226,5 +226,70 @@ object ScoringQueries {
       ORDER BY doc_id"""
     }))
 
-  val all: Seq[GraftQuery] = Seq(txDsirWeights, txLmScore)
+  // ---------------------------------------------------------------------
+  // Temperature-smoothed mixture resampling
+  // ---------------------------------------------------------------------
+
+  /** Fit the temperature-smoothed sampling quotas (the multilingual
+    * rebalancing rule of XLM-R / mBERT: q_l ∝ p_l^α with α = 0.7 flattens
+    * the language distribution so low-resource languages are upsampled
+    * relative to their share). Driver-side pow on a handful of language
+    * counts, materialized as INTEGER quotas out of a 100-doc budget —
+    * the query side never touches floating point. */
+  private def mixFit(s: SparkSession, dir: String): Array[(String, Long)] =
+    AnnIndexes.cached(s, s"mixquota:$dir") {
+      import s.implicits._
+      val counts = docs(s, dir).groupBy($"lang").agg(count(lit(1)).as("c"))
+        .orderBy($"lang").as[(String, Long)].collect()
+      val n = counts.map(_._2).sum.toDouble
+      val smoothed = counts.map { case (l, c) => (l, math.pow(c / n, 0.7)) }
+      val z = smoothed.map(_._2).sum
+      smoothed.map { case (l, q) => (l, math.max(1L, math.floor(100.0 * q / z).toLong)) }
+    }
+
+  /** Deterministic resampling to the temperature-smoothed mixture:
+    * within each language, rank documents by a salted md5 and keep the
+    * first quota_l — same hash-rank machinery as tx_stratified_sample,
+    * but the per-stratum k comes from the FITTED mixture instead of a
+    * constant. 100 TB shape: one shuffle on the stratum key, a broadcast
+    * quota join, per-stratum windows only ever sort a stratum. */
+  val txResampleToMix = GraftQuery(
+    "tx_resample_to_mix",
+    (s, dir) => {
+      import s.implicits._
+      val quotas = mixFit(s, dir)
+      val qDf = s.createDataFrame(
+        s.sparkContext.parallelize(quotas.map { case (l, q) =>
+          org.apache.spark.sql.Row(l, q)
+        }.toSeq, 1),
+        StructType(Seq(StructField("lang", StringType),
+          StructField("quota", LongType))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang")
+        .orderBy(md5(concat(lit("m|"), $"doc_id".cast(StringType))), $"doc_id")
+      docs(s, dir)
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .join(broadcast(qDf), Seq("lang"))
+        .filter($"rnk" <= $"quota")
+        .select($"lang", $"quota", $"rnk", $"doc_id")
+        .orderBy($"lang", $"rnk")
+    },
+    oracleGen = Some((s, dir) => {
+      val vals = mixFit(s, dir)
+        .map { case (l, q) => s"(${sq(l)}, CAST($q AS BIGINT))" }.mkString(", ")
+      s"""
+      WITH quota(lang, quota) AS (VALUES $vals),
+      ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY MD5('m|' || CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn
+        FROM documents)
+      SELECT r.lang, q.quota, CAST(rn AS BIGINT) AS rnk, r.doc_id
+      FROM ranked r JOIN quota q ON q.lang = r.lang
+      WHERE rn <= q.quota
+      ORDER BY r.lang, rnk"""
+    }))
+
+  val all: Seq[GraftQuery] = Seq(txDsirWeights, txLmScore, txResampleToMix)
 }

@@ -38,4 +38,25 @@ class ScoringSpec extends SparkSpec {
     val avg = rows.map(_.getAs[Double]("bits_per_token")).sum / rows.length
     assert(avg < 12.0, s"corpus-average bits/token $avg — model not fitted?")
   }
+
+  test("tx_resample_to_mix flattens the language distribution (alpha=0.7)") {
+    val rows = ScoringQueries.txResampleToMix.fn(spark, sfDir).collect()
+    val quotas = rows.map(r =>
+      r.getAs[String]("lang") -> r.getAs[Long]("quota")).toMap
+    val kept = rows.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    // every language fills its quota exactly (hash-rank is total)
+    kept.foreach { case (l, n) => assert(n.toLong === quotas(l)) }
+    // temperature smoothing: the majority language is DOWN-sampled below
+    // its raw share, minorities upsampled above theirs
+    val docsByLang = graft.api.Tables.load(spark, sfDir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val n = docsByLang.values.sum.toDouble
+    val budget = quotas.values.sum.toDouble
+    assert(quotas("en") / budget < docsByLang("en") / n,
+      "en should be down-sampled by the temperature")
+    quotas.collect { case (l, q) if l != "en" =>
+      assert(q / budget > docsByLang(l) / n, s"$l should be upsampled")
+    }
+  }
 }
