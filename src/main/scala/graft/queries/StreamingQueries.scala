@@ -263,7 +263,70 @@ object StreamingQueries {
       GROUP BY 1, 2, 3
       ORDER BY window_start, segment"""))
 
+  /** Per-key token-bucket rate limiting (GCRA-style, integer-exact): each
+    * user's bucket holds `Cap` periods of credit in MICROSECONDS; an
+    * event refills elapsed time (capped), is admitted if a full period of
+    * credit is available, and spends one period when admitted. All state
+    * is two longs per key and all arithmetic is integer — exact, so the
+    * recursive-CTE oracle replays the fold bit-for-bit. The batch path
+    * folds each user via the spillable-sorted-group shape (sessionize
+    * pattern); the streaming form is the same fold under
+    * flatMapGroupsWithState. 100 TB: one shuffle on the key, O(1) state,
+    * no per-key buffering. */
+  val stRateLimit = GraftQuery(
+    "st_rate_limit",
+    (s, dir) => {
+      import s.implicits._
+      val P = 43200000000L // refill period: 12 h in micros
+      val Cap = 3L // bucket capacity in periods
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_id", unix_micros($"ts").as("tsu"))
+        .as[(Long, Long, Long)]
+      ev.groupByKey(_._1)
+        .flatMapSortedGroups(col("tsu"), col("event_id")) { (user, it) =>
+          var credit = Cap * P
+          var last = Long.MinValue
+          it.map { case (_, eventId, tsu) =>
+            if (last != Long.MinValue)
+              credit = math.min(Cap * P, credit + (tsu - last))
+            last = tsu
+            val admitted = credit >= P
+            if (admitted) credit -= P
+            (user, eventId, admitted, credit)
+          }
+        }
+        .toDF("user_id", "event_id", "admitted", "credit_after")
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""
+      WITH RECURSIVE e AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                                           event_id) AS rn
+        FROM events),
+      rl(user_id, rn, event_id, tsu, credit_after, admitted) AS (
+        SELECT user_id, rn, event_id, tsu,
+               CAST(129600000000 - 43200000000 AS BIGINT), TRUE
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn, e.event_id, e.tsu,
+               CASE WHEN LEAST(129600000000, p.credit_after + (e.tsu - p.tsu))
+                         >= 43200000000
+                    THEN LEAST(129600000000, p.credit_after + (e.tsu - p.tsu))
+                         - 43200000000
+                    ELSE LEAST(129600000000, p.credit_after + (e.tsu - p.tsu))
+               END,
+               LEAST(129600000000, p.credit_after + (e.tsu - p.tsu))
+                 >= 43200000000
+        FROM rl p JOIN e ON e.user_id = p.user_id AND e.rn = p.rn + 1)
+      SELECT user_id, event_id, admitted,
+             CAST(credit_after AS BIGINT) AS credit_after
+      FROM rl
+      ORDER BY user_id, event_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(stSessionize, stWindowedCounts, stDistinctUsers, stSlidingRates,
-      stDedup, stIntervalJoin, stAttributionOuter, stSessionWindow, stEnrich)
+      stDedup, stIntervalJoin, stAttributionOuter, stSessionWindow, stEnrich,
+      stRateLimit)
 }
