@@ -277,25 +277,10 @@ object StreamingQueries {
     "st_rate_limit",
     (s, dir) => {
       import s.implicits._
-      val P = 43200000000L // refill period: 12 h in micros
-      val Cap = 3L // bucket capacity in periods
-      val ev = Tables.load(s, dir, "events")
-        .select($"user_id", $"event_id", unix_micros($"ts").as("tsu"))
-        .as[(Long, Long, Long)]
-      ev.groupByKey(_._1)
-        .flatMapSortedGroups(col("tsu"), col("event_id")) { (user, it) =>
-          var credit = Cap * P
-          var last = Long.MinValue
-          it.map { case (_, eventId, tsu) =>
-            if (last != Long.MinValue)
-              credit = math.min(Cap * P, credit + (tsu - last))
-            last = tsu
-            val admitted = credit >= P
-            if (admitted) credit -= P
-            (user, eventId, admitted, credit)
-          }
-        }
-        .toDF("user_id", "event_id", "admitted", "credit_after")
+      val events = Tables.load(s, dir, "events").as[EventPipeline.Event]
+      EventPipeline
+        .rateLimit(s, events, periodUs = 43200000000L, capacity = 3L)
+        .toDF()
         .orderBy($"user_id", $"event_id")
     },
     Some("""

@@ -250,6 +250,69 @@ object EventPipeline extends Serializable {
         }
   }
 
+  /** Admission decision of [[rateLimit]]; credit is microseconds of
+    * remaining allowance after the event. */
+  final case class Admission(
+      user_id: Long, event_id: Long, admitted: Boolean, credit_after: Long)
+
+  /** Token-bucket state: credit in micros + last event time. */
+  final case class BucketState(credit: Long, last: Long)
+
+  /** GCRA-style per-key token-bucket rate limiting, integer-exact: the
+    * bucket holds `capacity` periods of credit in MICROSECONDS; each
+    * event refills the elapsed time since the previous one (capped at
+    * capacity), is admitted iff a full period of credit is available,
+    * and spends one period when admitted. State is two longs per key.
+    *
+    * Batch path: the spillable-sorted-group fold (sessionize shape).
+    * Streaming path: the same fold under `flatMapGroupsWithState`, state
+    * carried across micro-batches; within a batch a key's events sort by
+    * event time first (buffer bounded by the trigger interval). */
+  def rateLimit(
+      spark: SparkSession,
+      events: Dataset[Event],
+      periodUs: Long,
+      capacity: Long): Dataset[Admission] = {
+    import spark.implicits._
+    val cap = capacity * periodUs
+
+    def step(st: BucketState, eventId: Long, tsu: Long): (Admission, BucketState) = {
+      var credit =
+        if (st.last == Long.MinValue) st.credit
+        else math.min(cap, st.credit + (tsu - st.last))
+      val admitted = credit >= periodUs
+      if (admitted) credit -= periodUs
+      (Admission(0L, eventId, admitted, credit), BucketState(credit, tsu))
+    }
+
+    if (events.isStreaming)
+      events
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[Event], state: GroupState[BucketState]) =>
+            val sorted = it.toArray.sortBy(e => (toMicros(e.ts), e.event_id))
+            var st = state.getOption.getOrElse(BucketState(cap, Long.MinValue))
+            val out = sorted.map { e =>
+              val (a, ns) = step(st, e.event_id, toMicros(e.ts))
+              st = ns
+              a.copy(user_id = uid)
+            }
+            state.update(st)
+            out.iterator
+        }
+    else
+      events
+        .groupByKey(_.user_id)
+        .flatMapSortedGroups(col("ts"), col("event_id")) { (uid, it) =>
+          var st = BucketState(cap, Long.MinValue)
+          it.map { e =>
+            val (a, ns) = step(st, e.event_id, toMicros(e.ts))
+            st = ns
+            a.copy(user_id = uid)
+          }
+        }
+  }
+
   /** Exact dedup on event_id with watermark-bounded state. Streaming: a
     * duplicate arriving within the watermark delay of its original is
     * dropped, and state for keys older than the watermark is EVICTED —

@@ -351,4 +351,37 @@ class StreamingSpec extends SparkSpec {
     run()
     assert(spark.read.parquet(out).count() === 970L)
   }
+
+  test("token-bucket rate limit: streaming equals batch, state crosses batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // period 10 min, capacity 2: user 1 fires every 5 min — only every
+    // other event finds a full period of credit after the burst drains
+    val P = 10L * 60000000L
+    val events = (0 until 8).map(i => ev(i + 1, i * 5, 1, "click", 1.0)) :+
+      ev(100, 3, 2, "view", 1.0) // a second key, single event
+    val batch = EventPipeline
+      .rateLimit(spark, events.toDS(), periodUs = P, capacity = 2L)
+      .collect().sortBy(a => (a.user_id, a.event_id))
+    // full bucket admits 1 and 2; refill lets 3 scrape exactly one
+    // period; after that only every other 5-min event finds credit
+    assert(batch.filter(_.user_id == 1L).map(_.admitted).toSeq ===
+      Seq(true, true, true, false, true, false, true, false))
+    assert(batch.filter(_.user_id == 2L).map(_.admitted).toSeq === Seq(true))
+
+    // streaming in TWO micro-batches: the bucket state must carry over
+    val stream = MemoryStream[Event]
+    val q = EventPipeline.rateLimit(spark, stream.toDS(), periodUs = P, capacity = 2L)
+      .writeStream.format("memory").queryName("rl").outputMode("append").start()
+    try {
+      stream.addData(events.take(4): _*)
+      q.processAllAvailable()
+      stream.addData(events.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("rl")
+      .as[EventPipeline.Admission].collect()
+      .sortBy(a => (a.user_id, a.event_id))
+    assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+  }
 }
