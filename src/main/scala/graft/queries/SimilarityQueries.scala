@@ -636,10 +636,78 @@ object SimilarityQueries {
     oracleGen = Some((s, dir) => AnnOracles.semanticDedupSql(
       graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids, tau = 0.4)))
 
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) —
+    * the diversity pass a retrieval pipeline runs AFTER candidate
+    * generation: from the query's top-10 exact-cosine candidates,
+    * greedily pick 5, each step maximizing λ·cos(q,d) − (1−λ)·max
+    * similarity to the already-picked set (λ = 0.7, ties to the lower
+    * id). The greedy loop is UNROLLED into five select/rescore CTE
+    * stages built from the same dialect-parametrized unrolled dot
+    * product on both engines, so every cosine, every 0.7·x − 0.3·y
+    * score, and every tie-break is the identical IEEE op sequence —
+    * bit-exact without a generated oracle. 100 TB shape: candidate
+    * generation is the indexed ANN path; the rerank touches k=10 rows
+    * per query. The chained single-row rescore stages overflow one
+    * generated-code method and fall back to interpreted eval — harmless
+    * by construction here (every post-candidate stage is ≤ 10 rows; the
+    * corpus-sized cands scan codegens normally). */
+  private def mmrSql(dot: (String, String) => String): String = {
+    def cos(ae: String, an: String, be: String, bn: String) =
+      s"(${dot(ae, be)}) / ($an * $bn)"
+    def sel(n: Int, from: String, scored: Boolean) = {
+      val ord = if (scored) "0.7 * qcos - 0.3 * ms DESC, cid" else "qcos DESC, cid"
+      val cols = if (scored) "cid, emb, nrm, qcos, ms" else "cid, emb, nrm, qcos"
+      s"s$n AS (SELECT $cols FROM $from ORDER BY $ord LIMIT 1)"
+    }
+    def rescore(n: Int, from: String, first: Boolean) = {
+      val ms =
+        if (first) cos("c.emb", "c.nrm", "s.emb", "s.nrm")
+        else s"GREATEST(c.ms, ${cos("c.emb", "c.nrm", "s.emb", "s.nrm")})"
+      s"r$n AS (SELECT c.cid, c.emb, c.nrm, c.qcos, $ms AS ms FROM " +
+        s"$from c CROSS JOIN s$n s WHERE c.cid <> s.cid)"
+    }
+    s"""
+      WITH q AS (
+        SELECT embedding AS qe, SQRT(${dot("embedding", "embedding")}) AS qn
+        FROM embeddings WHERE vec_id = 0),
+      cands AS (
+        SELECT cid, emb, nrm, num / (nrm * qn) AS qcos FROM (
+          SELECT e.vec_id AS cid, e.embedding AS emb,
+                 SQRT(${dot("e.embedding", "e.embedding")}) AS nrm,
+                 (${dot("e.embedding", "q.qe")}) AS num, q.qn AS qn
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> 0) t
+        ORDER BY qcos DESC, cid LIMIT 10),
+      ${sel(1, "cands", scored = false)},
+      ${rescore(1, "cands", first = true)},
+      ${sel(2, "r1", scored = true)},
+      ${rescore(2, "r1", first = false)},
+      ${sel(3, "r2", scored = true)},
+      ${rescore(3, "r2", first = false)},
+      ${sel(4, "r3", scored = true)},
+      ${rescore(4, "r3", first = false)},
+      ${sel(5, "r4", scored = true)}
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS mmr_rank, cid AS vec_id, qcos FROM s1
+        UNION ALL SELECT CAST(2 AS BIGINT), cid, qcos FROM s2
+        UNION ALL SELECT CAST(3 AS BIGINT), cid, qcos FROM s3
+        UNION ALL SELECT CAST(4 AS BIGINT), cid, qcos FROM s4
+        UNION ALL SELECT CAST(5 AS BIGINT), cid, qcos FROM s5)
+      ORDER BY mmr_rank"""
+  }
+
+  val simMmrRerank = GraftQuery(
+    "sim_mmr_rerank",
+    (s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql(mmrSql(sparkDot))
+    },
+    Some(mmrSql(duckDot)))
+
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfPersisted,
       simAnnRange, simAnnIvfBatch, simAnnPq, simAnnPqRange, simAnnIvfPq,
       simAnnIvfPqPersisted, simAnnOpq, simAnnOpqIvfPq, simAnnInt8,
       simAnnInt8Persisted, simQuantizeInt8, simIvfCellStats, simRecallReport,
-      ddEmbeddingNeardup, ddSemanticDedup)
+      ddEmbeddingNeardup, ddSemanticDedup, simMmrRerank)
 }
