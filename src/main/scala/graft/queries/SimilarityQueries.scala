@@ -696,11 +696,76 @@ object SimilarityQueries {
       ORDER BY mmr_rank"""
   }
 
+  /** Spark side of [[mmrSql]]'s candidate stage only — the corpus is
+    * scanned ONCE (codegen'd unrolled dot, TakeOrdered top-10); the
+    * five-step greedy loop then folds over those ten rows in a typed
+    * group (Spark would otherwise re-inline the cands CTE into every
+    * rescore stage and re-scan the corpus per step). The fold's float
+    * ops replicate the oracle's exactly: index-order left-associative
+    * dot accumulation (duckDot's shape), commutative norm product, one
+    * division, max against a −∞-seeded running best. */
+  private def mmrCandsSql: String = s"""
+      WITH q AS (
+        SELECT embedding AS qe, SQRT(${sparkDot("embedding", "embedding")}) AS qn
+        FROM embeddings WHERE vec_id = 0)
+      SELECT cid, emb, nrm, num / (nrm * qn) AS qcos FROM (
+        SELECT e.vec_id AS cid, e.embedding AS emb,
+               SQRT(${sparkDot("e.embedding", "e.embedding")}) AS nrm,
+               (${sparkDot("e.embedding", "q.qe")}) AS num, q.qn AS qn
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0) t
+      ORDER BY qcos DESC, cid LIMIT 10"""
+
   val simMmrRerank = GraftQuery(
     "sim_mmr_rerank",
     (s, dir) => {
+      import s.implicits._
       Tables.registerViews(s, dir)
-      s.sql(mmrSql(sparkDot))
+      val cands = s.sql(mmrCandsSql)
+        .as[(Long, Array[Float], Double, Double)]
+      cands
+        .groupByKey(_ => true)
+        .flatMapSortedGroups(col("qcos").desc, col("cid")) { (_, it) =>
+          val arr = it.toArray // k = 10, bounded by the LIMIT above
+          def cos(i: Int, j: Int): Double = {
+            val a = arr(i)._2; val b = arr(j)._2
+            var s = 0.0
+            var k = 0
+            while (k < a.length) { s += a(k).toDouble * b(k).toDouble; k += 1 }
+            s / (arr(i)._3 * arr(j)._3)
+          }
+          val n = arr.length
+          val picked = new Array[Boolean](n)
+          val ms = Array.fill(n)(Double.NegativeInfinity)
+          val out = new Array[(Long, Long, Double)](math.min(5, n))
+          var last = 0 // step 1: arr is sorted by (qcos desc, cid)
+          picked(0) = true
+          out(0) = (1L, arr(0)._1, arr(0)._4)
+          var step = 1
+          while (step < out.length) {
+            var best = -1
+            var bestScore = 0.0
+            var i = 0
+            while (i < n) {
+              if (!picked(i)) {
+                ms(i) = math.max(ms(i), cos(i, last))
+                val score = 0.7 * arr(i)._4 - 0.3 * ms(i)
+                if (best < 0 || score > bestScore ||
+                    (score == bestScore && arr(i)._1 < arr(best)._1)) {
+                  best = i; bestScore = score
+                }
+              }
+              i += 1
+            }
+            picked(best) = true
+            last = best
+            out(step) = (step + 1L, arr(best)._1, arr(best)._4)
+            step += 1
+          }
+          out.iterator
+        }
+        .toDF("mmr_rank", "vec_id", "qcos")
+        .orderBy($"mmr_rank")
     },
     Some(mmrSql(duckDot)))
 
