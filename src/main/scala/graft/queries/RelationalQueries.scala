@@ -1311,6 +1311,49 @@ object RelationalQueries {
       FROM events
       ORDER BY event_id"""))
 
+  /** SCD type-2 dimension build from a change stream: per user, each
+    * event_type CHANGE (or first sighting) opens a validity interval,
+    * the next change closes it (LEAD; NULL = current row). The
+    * gaps-and-islands change detection is two windows over one
+    * user-keyed shuffle — the warehouse shape for snapshotting mutable
+    * attributes at 100 TB (no self-join, no per-key iteration). */
+  val q52Scd2 = GraftQuery(
+    "q52_scd2",
+    (s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        WITH o AS (
+          SELECT user_id, event_id, ts, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events),
+        c AS (
+          SELECT user_id, event_id, ts, event_type FROM o
+          WHERE prev IS NULL OR prev <> event_type)
+        SELECT user_id, event_id, event_type, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM c
+        ORDER BY user_id, event_id""")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events),
+      o AS (
+        SELECT user_id, event_id, ts, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM e),
+      c AS (
+        SELECT user_id, event_id, ts, event_type FROM o
+        WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, event_id, event_type, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM c
+      ORDER BY user_id, event_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -1324,5 +1367,5 @@ object RelationalQueries {
     q38bWindowRangeBySupp, q39Percentiles, q39bApproxPercentiles,
     q40WindowDistribution, q41MultiDistinct, q42AsofJoin, q43PartitionedRw,
     q44BucketedJoin, q45Unpivot, q46RecursiveSpine, q47LateralTopn,
-    q48HigherOrder, q49ListAgg, q50Funnel, q51Variant)
+    q48HigherOrder, q49ListAgg, q50Funnel, q51Variant, q52Scd2)
 }
