@@ -150,4 +150,23 @@ class PlanShapeSpec extends SparkSpec {
     val p2 = plan("q02_filter_project")
     assert(p2.contains("PushedFilters: [IsNotNull") || p2.contains("PushedFilters: ["))
   }
+
+  test("fitted-model scoring joins broadcast the model, never shuffle the corpus on it") {
+    for (q <- Seq("tx_dsir_weights", "tx_lm_score", "tx_resample_to_mix")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+        s"$q: the fitted model table (64–256 rows) must broadcast")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: scoring must stay a key join")
+    }
+  }
+
+  test("MMR candidate stage is one TakeOrdered scan; the greedy fold adds no corpus rescan") {
+    val p = plan("sim_mmr_rerank")
+    assert(p.contains("TakeOrderedAndProject"),
+      "candidate generation must be the single top-k scan")
+    // exactly one embeddings scan: the greedy stages must not re-read it
+    val scans = "(?i)scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"expected the corpus+query scans only, saw $scans parquet scans")
+  }
 }
