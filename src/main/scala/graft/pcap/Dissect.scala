@@ -1849,6 +1849,16 @@ object Dissect {
         appInfo = dissectEnip(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 4840 || dp == 4840))
         appInfo = dissectOpcua(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 6667 || dp == 6667))
+        appInfo = dissectIrc(appBuf, appOff, appLen, fromServer = sp == 6667, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 5222 || dp == 5222))
+        appInfo = dissectXmpp(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 2775 || dp == 2775))
+        appInfo = dissectSmpp(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 1723 || dp == 1723))
+        appInfo = dissectPptp(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 49 || dp == 49))
+        appInfo = dissectTacplus(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 23 || dp == 23))
         appInfo = dissectTelnet(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 25 || dp == 25 || sp == 587 || dp == 587))
@@ -3853,6 +3863,181 @@ object Dissect {
     val name = modbusFuncNames.getOrElse(func, s"Func $func")
     if (isException) s"Trans $trans; Unit $unit; Func $func: $name (Exception)"
     else s"Trans $trans; Unit $unit; Func $func: $name"
+  }
+
+  // -------------------------------------------------------------------
+  // Messaging / telco tier: IRC, XMPP, SMPP, PPTP, TACACS+ — header- and
+  // first-line-level triage like the other tiers.
+  // -------------------------------------------------------------------
+
+  /** IRC (RFC 2812, TCP 6667): a CRLF line of printable ASCII — optional
+    * `:prefix`, then a command that is all letters or a 3-digit numeric
+    * reply. Direction (request/response) comes from the server port. */
+  private def dissectIrc(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4) return null
+    var eol = -1
+    var i = off
+    val end = off + len
+    while (eol < 0 && i + 1 < end) {
+      val c = u8(d, i)
+      if (c == '\r' && u8(d, i + 1) == '\n') eol = i
+      else if (c < 0x20 || c > 0x7e) return null // control/binary: not IRC
+      i += 1
+    }
+    if (eol <= off) return null
+    val line = new String(d, off, eol - off, "ISO-8859-1")
+    var p = 0
+    if (line.startsWith(":")) { // prefix
+      val sp = line.indexOf(' ')
+      if (sp < 0) return null
+      p = sp + 1
+    }
+    val cmdEnd0 = line.indexOf(' ', p)
+    val cmdEnd = if (cmdEnd0 < 0) line.length else cmdEnd0
+    val cmd = line.substring(p, cmdEnd)
+    val isWord = cmd.nonEmpty && cmd.forall(c => c.isLetter)
+    val isNum = cmd.length == 3 && cmd.forall(_.isDigit)
+    if (!isWord && !isNum) return null
+    protos += "irc"
+    if (fromServer) {
+      v("irc.response") = line
+      v("irc.response.command") = cmd
+    } else {
+      v("irc.request") = line
+      v("irc.request.command") = cmd
+    }
+    line
+  }
+
+  /** XMPP (RFC 6120, TCP 5222): the first XML stanza's element name and
+    * its to/from/id attributes. Accepts the stream open and the three
+    * core stanza kinds; anything else falls through. */
+  private def dissectXmpp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4 || u8(d, off) != '<') return null
+    val text = new String(d, off, math.min(len, 2048), "ISO-8859-1")
+    // skip an XML declaration
+    var t = if (text.startsWith("<?xml")) {
+      val e = text.indexOf("?>")
+      if (e < 0) return null
+      text.substring(e + 2).dropWhile(c => c == '\r' || c == '\n' || c == ' ')
+    } else text
+    if (!t.startsWith("<")) return null
+    val nameEnd = t.indexWhere(c => c == ' ' || c == '>' || c == '/', 1)
+    if (nameEnd < 0) return null
+    val name = t.substring(1, nameEnd)
+    if (name != "stream:stream" && name != "message" &&
+        name != "presence" && name != "iq") return null
+    val tagEnd0 = t.indexOf('>')
+    val tag = if (tagEnd0 < 0) t else t.substring(0, tagEnd0)
+    def attr(a: String): Option[String] = {
+      val k = a + "='"
+      val k2 = a + "=\""
+      val s1 = tag.indexOf(k); val s2 = tag.indexOf(k2)
+      val (s, q) = if (s1 >= 0) (s1 + k.length, '\'') else (s2 + k2.length, '"')
+      if (s1 < 0 && s2 < 0) None
+      else {
+        val e = tag.indexOf(q, s)
+        if (e < 0) None else Some(tag.substring(s, e))
+      }
+    }
+    protos += "xmpp"
+    attr("to").foreach(v("xmpp.to") = _)
+    attr("from").foreach(v("xmpp.from") = _)
+    attr("id").foreach(v("xmpp.id") = _)
+    val label = name.toUpperCase.replace("STREAM:STREAM", "STREAM")
+    attr("to").orElse(attr("from")) match {
+      case Some(peer) => s"$label > $peer"
+      case None => label
+    }
+  }
+
+  private val smppCmdNames: Map[Long, String] = Map(
+    0x00000001L -> "bind_receiver", 0x00000002L -> "bind_transmitter",
+    0x00000004L -> "submit_sm", 0x00000005L -> "deliver_sm",
+    0x00000006L -> "unbind", 0x00000009L -> "bind_transceiver",
+    0x00000015L -> "enquire_link", 0x80000000L -> "generic_nack")
+
+  /** SMPP (TCP 2775): the 16-byte big-endian PDU header — length,
+    * command id (bit 31 = response), status, sequence number. */
+  private def dissectSmpp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 16) return null
+    val clen = u32(d, off)
+    if (clen < 16 || clen > 0x10000) return null
+    val cmd = u32(d, off + 4)
+    val base = cmd & 0x7fffffffL
+    val isResp = (cmd & 0x80000000L) != 0
+    val name = smppCmdNames.get(cmd).orElse(
+      smppCmdNames.get(base).map(n => if (isResp) n + "_resp" else n))
+      .getOrElse(return null)
+    protos += "smpp"
+    v("smpp.command_length") = clen
+    v("smpp.command_id") = cmd
+    v("smpp.command_status") = u32(d, off + 8)
+    v("smpp.sequence_number") = u32(d, off + 12)
+    name
+  }
+
+  private val pptpCtrlNames: Map[Int, String] = Map(
+    1 -> "Start-Control-Connection-Request", 2 -> "Start-Control-Connection-Reply",
+    3 -> "Stop-Control-Connection-Request", 4 -> "Stop-Control-Connection-Reply",
+    5 -> "Echo-Request", 6 -> "Echo-Reply",
+    7 -> "Outgoing-Call-Request", 8 -> "Outgoing-Call-Reply",
+    9 -> "Incoming-Call-Request", 10 -> "Incoming-Call-Reply",
+    12 -> "Call-Clear-Request", 13 -> "Call-Disconnect-Notify")
+
+  /** PPTP control connection (RFC 2637, TCP 1723): length, message type
+    * 1 (control), the 0x1a2b3c4d magic cookie, and the control type. */
+  private def dissectPptp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 12) return null
+    val mlen = u16(d, off)
+    val mtype = u16(d, off + 2)
+    if (mlen < 12 || mtype != 1) return null
+    if (u32(d, off + 4) != 0x1a2b3c4dL) return null
+    val ctrl = u16(d, off + 8)
+    protos += "pptp"
+    v("pptp.length") = mlen.toLong
+    v("pptp.type") = mtype.toLong
+    v("pptp.magic_cookie") = 0x1a2b3c4dL
+    v("pptp.cntrl_type") = ctrl.toLong
+    pptpCtrlNames.getOrElse(ctrl, s"Control type $ctrl")
+  }
+
+  /** TACACS+ (RFC 8907, TCP 49): major version 0xc in the high nibble,
+    * packet type, sequence number, flags (bit 0 = unencrypted), session
+    * id and body length. The body stays opaque (normally encrypted). */
+  private def dissectTacplus(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 12) return null
+    val ver = u8(d, off)
+    if ((ver >> 4) != 0xc) return null
+    val tpe = u8(d, off + 1)
+    if (tpe < 1 || tpe > 3) return null
+    val plen = u32(d, off + 8)
+    if (plen > (1 << 20)) return null
+    protos += "tacplus"
+    v("tacplus.type") = tpe.toLong
+    v("tacplus.seqno") = u8(d, off + 2).toLong
+    v("tacplus.flags") = u8(d, off + 3).toLong
+    v("tacplus.session_id") = u32(d, off + 4)
+    v("tacplus.packet_len") = plen
+    val name = tpe match {
+      case 1 => "Authentication"; case 2 => "Authorization"; case _ => "Accounting"
+    }
+    if ((u8(d, off + 3) & 1) != 0) s"$name" else s"$name (encrypted)"
   }
 
   // -------------------------------------------------------------------

@@ -74,7 +74,8 @@ class PcapPropertySpec extends AnyFunSuite {
     // ports that trigger the HTTP/TLS/DNS/FIX/FTP/SSH/SIP/SMB2/BGP content sniffers
     val portGen = Gen.oneOf(80, 443, 53, 5001, 40000, 21, 22, 445, 5060, 179,
       1883, 1433, 5672, 5432, 3306, 6379, 139, 3389, 853, 3868, 554, 1080, 135,
-      2049, 389, 9092, 9042, 11211, 50051, 102, 20000, 2404, 44818, 4840)
+      2049, 389, 9092, 9042, 11211, 50051, 102, 20000, 2404, 44818, 4840,
+      6667, 5222, 2775, 1723, 49)
     val payloadGen = for {
       n <- Gen.chooseNum(0, 400)
       bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))

@@ -995,4 +995,27 @@ opc = b"HELF" + struct.pack("<I", 8 + len(opc_body)) + opc_body
 extra.append((t3, 13800, ip_frame(6, A, B, tcp(49325, 4840, 1, opc),
               ident=174)))
 
+# 141-145: messaging/telco tier — IRC (6667), XMPP (5222), SMPP (2775),
+# PPTP (1723), TACACS+ (49)
+irc = b"PRIVMSG #graft :hello from the sweep\r\n"
+extra.append((t3, 13900, ip_frame(6, A, B, tcp(49326, 6667, 1, irc),
+              ident=175)))
+
+xmpp = (b"<message to='bob@example.com' from='alice@example.com' id='m1'>"
+        b"<body>hi</body></message>")
+extra.append((t3, 14000, ip_frame(6, A, B, tcp(49327, 5222, 1, xmpp),
+              ident=176)))
+
+smpp = struct.pack(">IIII", 16, 0x00000015, 0, 7)  # enquire_link seq 7
+extra.append((t3, 14100, ip_frame(6, A, B, tcp(49328, 2775, 1, smpp),
+              ident=177)))
+
+pptp = struct.pack(">HHIHH", 16, 1, 0x1A2B3C4D, 1, 0) + b"\x00" * 4
+extra.append((t3, 14200, ip_frame(6, A, B, tcp(49329, 1723, 1, pptp),
+              ident=178)))
+
+tac = struct.pack(">BBBBII", 0xC0, 1, 1, 0x01, 0xCAFEBABE, 8) + b"\x00" * 8
+extra.append((t3, 14300, ip_frame(6, A, B, tcp(49330, 49, 1, tac),
+              ident=179)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
