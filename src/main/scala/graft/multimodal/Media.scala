@@ -219,6 +219,65 @@ object Media {
     bb.array()
   }
 
+  /** TIFF (classic, little-endian): "II" + 42 + IFD0 at offset 8 with
+    * two LONG entries — tag 256 ImageWidth and 257 ImageLength — then the
+    * raw document bytes. Fixed 38-byte header ⇒ total = 38 + len. */
+  def tiffBytes(w: Long, h: Long, data: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(38 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42.toShort).putInt(8)
+    bb.putShort(2.toShort) // IFD0 entry count
+    bb.putShort(256.toShort).putShort(4.toShort).putInt(1).putInt(w.toInt)
+    bb.putShort(257.toShort).putShort(4.toShort).putInt(1).putInt(h.toInt)
+    bb.putInt(0) // next IFD offset
+    bb.put(data)
+    bb.array()
+  }
+
+  /** WebP (RIFF/WEBP): a VP8X extended-format chunk carrying the canvas
+    * size as 24-bit LE minus-one fields, then the document bytes in an
+    * UNKN chunk (word-aligned per RIFF). Total = 38 + len + (len & 1). */
+  def webpBytes(w: Long, h: Long, data: Array[Byte]): Array[Byte] = {
+    val pad = data.length & 1
+    val bb = ByteBuffer.allocate(38 + data.length + pad).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(ISO_8859_1)).putInt(30 + data.length + pad)
+      .put("WEBP".getBytes(ISO_8859_1))
+    bb.put("VP8X".getBytes(ISO_8859_1)).putInt(10)
+    bb.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte) // flags + reserved
+    val wm = (w - 1).toInt; val hm = (h - 1).toInt
+    bb.put((wm & 0xff).toByte).put(((wm >> 8) & 0xff).toByte).put(((wm >> 16) & 0xff).toByte)
+    bb.put((hm & 0xff).toByte).put(((hm >> 8) & 0xff).toByte).put(((hm >> 16) & 0xff).toByte)
+    bb.put("UNKN".getBytes(ISO_8859_1)).putInt(data.length)
+    bb.put(data)
+    if (pad == 1) bb.put(0.toByte)
+    bb.array()
+  }
+
+  /** Ogg/Vorbis: a BOS page carrying the 30-byte Vorbis identification
+    * header (sample rate 1000 Hz) and an EOS page whose granule position
+    * equals `durMs` — at 1000 samples/s the last-granule/rate duration
+    * rule yields durMs exactly. Page CRCs are zero (the one well-formed
+    * ness concession; Ogg uses its own CRC polynomial). Fixed 106 bytes. */
+  def oggBytes(durMs: Long): Array[Byte] = {
+    def page(ptype: Int, granule: Long, seq: Int, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(27 + 1 + payload.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("OggS".getBytes(ISO_8859_1)).put(0.toByte).put(ptype.toByte)
+      bb.putLong(granule).putInt(1).putInt(seq).putInt(0)
+      bb.put(1.toByte).put(payload.length.toByte)
+      bb.put(payload)
+      bb.array()
+    }
+    val id = ByteBuffer.allocate(30).order(ByteOrder.LITTLE_ENDIAN)
+    id.put(1.toByte).put("vorbis".getBytes(ISO_8859_1))
+      .putInt(0) // version
+      .put(1.toByte) // channels
+      .putInt(1000) // sample rate
+      .putInt(0).putInt(0).putInt(0) // bitrates
+      .put(0x66.toByte) // blocksizes
+      .put(1.toByte) // framing
+    page(0x02, 0L, 0, id.array()) ++
+      page(0x04, durMs, 1, Array.fill(20)(0x55.toByte))
+  }
+
   /** AVI: RIFF/AVI with a LIST/hdrl holding the 56-byte `avih`
     * AVIMAINHEADER (µs-per-frame 1000 and durMs frames ⇒ duration durMs)
     * and a LIST/movi carrying the raw document bytes as the stream
@@ -240,11 +299,12 @@ object Media {
   }
 
   /** Synthesize a binary media column from `documents` — deterministic,
-    * REAL container formats: images rotate png/jpeg/gif by doc_id/3,
-    * audio is RIFF/WAVE, video is RIFF/AVI; every declared dimension /
-    * duration derives from the document md5 (which is what the DuckDB
-    * oracle replays). In a real pipeline this column comes straight from
-    * parquet `binary` storage. */
+    * REAL container formats: images rotate png/jpeg/gif/tiff/webp by
+    * doc_id/3 mod 5, audio rotates wav/mp3/flac/ogg mod 4, video
+    * alternates avi/mp4; every declared dimension / duration derives
+    * from the document md5 (which is what the DuckDB oracle replays).
+    * In a real pipeline this column comes straight from parquet
+    * `binary` storage. */
   def synthesize(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -257,17 +317,20 @@ object Media {
       val orient = 1 + (hex(6).toLong * 256 + hex(7)) % 8
       (id % 3) match {
         case 0 =>
-          val payload = ((id / 3) % 3) match {
+          val payload = ((id / 3) % 5) match {
             case 0 => pngBytes(w, h, data)
             case 1 => jpegBytes(w, h, orient, data) // EXIF APP1 orientation
-            case _ => gifBytes(w, h, data)
+            case 2 => gifBytes(w, h, data)
+            case 3 => tiffBytes(w, h, data)
+            case _ => webpBytes(w, h, data)
           }
           MediaRecord(id, "image", payload)
         case 1 =>
-          val payload = ((id / 3) % 3) match {
+          val payload = ((id / 3) % 4) match {
             case 0 => wavBytes(dur)
             case 1 => mp3Bytes(dur)
-            case _ => flacBytes(dur)
+            case 2 => flacBytes(dur)
+            case _ => oggBytes(dur)
           }
           MediaRecord(id, "audio", payload)
         case _ =>
@@ -318,6 +381,12 @@ object Media {
     else if (n >= 12 && fourcc(payload, 4) == "ftyp") "mp4"
     else if (n >= 12 && fourcc(payload, 0) == "RIFF" && fourcc(payload, 8) == "WAVE") "wav"
     else if (n >= 12 && fourcc(payload, 0) == "RIFF" && fourcc(payload, 8) == "AVI ") "avi"
+    else if (n >= 12 && fourcc(payload, 0) == "RIFF" && fourcc(payload, 8) == "WEBP") "webp"
+    else if (n >= 4 && ((payload(0) == 'I' && payload(1) == 'I' &&
+      payload(2) == 42 && payload(3) == 0) ||
+      (payload(0) == 'M' && payload(1) == 'M' &&
+        payload(2) == 0 && payload(3) == 42))) "tiff"
+    else if (n >= 4 && fourcc(payload, 0) == "OggS") "ogg"
     else "unknown"
   }
 
@@ -424,6 +493,23 @@ object Media {
           return (0L, 0L, dataLen * 1000L / byteRate)
         return digestMeta(payload)
       }
+      if (form == "WEBP") {
+        // chunk walk to VP8X: canvas = 24-bit LE minus-one fields
+        var p = 12
+        while (p + 8 <= n) {
+          val id = fourcc(payload, p)
+          val size = u32le(payload, p + 4)
+          if (id == "VP8X" && size >= 10 && p + 18 <= n) {
+            def le24(o: Int): Long =
+              (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+                ((payload(o + 2) & 0xffL) << 16)
+            return (1L + le24(p + 12), 1L + le24(p + 15), 0L)
+          }
+          if (size > n) p = n
+          else p += 8 + size.toInt + (size.toInt & 1)
+        }
+        return digestMeta(payload)
+      }
       if (form == "AVI ") {
         // LIST/hdrl → avih AVIMAINHEADER: µsPerFrame, ..., totalFrames at
         // +16, width/height at +32/+36
@@ -453,6 +539,55 @@ object Media {
         }
         return digestMeta(payload)
       }
+    }
+    // TIFF: II/MM byte-order header, IFD0 walk for tags 256/257
+    if (n >= 8 && ((payload(0) == 'I' && payload(1) == 'I' &&
+        payload(2) == 42 && payload(3) == 0) ||
+        (payload(0) == 'M' && payload(1) == 'M' &&
+          payload(2) == 0 && payload(3) == 42))) {
+      val le = payload(0) == 'I'
+      def rd16(o: Int): Int = if (le) u16le(payload, o) else u16be(payload, o)
+      def rd32(o: Int): Long = if (le) u32le(payload, o) else u32be(payload, o)
+      val ifd = rd32(4)
+      if (ifd >= 8 && ifd + 2 <= n) {
+        val cnt = rd16(ifd.toInt)
+        var w = 0L
+        var h = 0L
+        var i = 0
+        while (i < cnt && ifd + 2 + (i + 1) * 12 <= n) {
+          val e = ifd.toInt + 2 + i * 12
+          val tag = rd16(e)
+          val tpe = rd16(e + 2)
+          val value = if (tpe == 3) rd16(e + 8).toLong else rd32(e + 8)
+          if (tag == 256) w = value
+          if (tag == 257) h = value
+          i += 1
+        }
+        if (w > 0 || h > 0) return (w, h, 0L)
+      }
+      return digestMeta(payload)
+    }
+    // Ogg: BOS-page Vorbis id header gives the rate, the LAST page's
+    // granule position the total samples — duration = granule/rate
+    if (n >= 28 && fourcc(payload, 0) == "OggS") {
+      var rate = 0L
+      var granule = 0L
+      var p = 0
+      while (p + 27 <= n && fourcc(payload, p) == "OggS") {
+        granule = // u64 LE at +6
+          (u32le(payload, p + 6) | (u32le(payload, p + 10) << 32))
+        val nsegs = payload(p + 26) & 0xff
+        var plen = 0
+        var s = 0
+        while (s < nsegs && p + 27 + s < n) { plen += payload(p + 27 + s) & 0xff; s += 1 }
+        val body = p + 27 + nsegs
+        if (rate == 0 && body + 16 <= n && payload(body) == 1 &&
+            new String(payload, body + 1, 6, ISO_8859_1) == "vorbis")
+          rate = u32le(payload, body + 12)
+        p = body + plen
+      }
+      if (rate > 0) return (0L, 0L, granule * 1000L / rate)
+      return digestMeta(payload)
     }
     digestMeta(payload)
   }

@@ -6,7 +6,8 @@ import graft.api.{GraftQuery, Tables}
 import graft.multimodal.Media
 
 /** Multimodal binary-column pipeline surfaced as driver queries. The
-  * payloads are REAL container bytes (PNG/JPEG/GIF/WAV/AVI — see
+  * payloads are REAL container bytes (PNG/JPEG/GIF/TIFF/WebP/WAV/MP3/
+  * FLAC/Ogg/AVI/MP4 — see
   * [[graft.multimodal.Media]]) whose declared dimensions derive from the
   * document md5; Spark recovers them by PARSING the codec headers while
   * the DuckDB oracle replays the GENERATION formulas — a hash match
@@ -20,9 +21,10 @@ import graft.multimodal.Media
 object MultimodalQueries {
 
   /** Shared oracle CTE: per-document md5-derived generation parameters.
-    * Container overheads: png 57 / jpeg+EXIF 77 / gif 14 + payload;
-    * wav 44 + duration samples; mp3 121 + duration digit count; flac 42
-    * fixed; avi 100 / mp4 244 + payload. */
+    * Container overheads: png 57 / jpeg+EXIF 77 / gif 14 / tiff 38 /
+    * webp 38 + RIFF pad + payload; wav 44 + duration samples; mp3 121 +
+    * duration digit count; flac 42 fixed; ogg 106 fixed; avi 100 /
+    * mp4 244 + payload. */
   private val paramsCte = """
       params AS (
         SELECT doc_id, text,
@@ -36,14 +38,17 @@ object MultimodalQueries {
                (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
                CAST(CASE
                  WHEN doc_id % 3 = 0 THEN
-                   (CASE CAST((doc_id // 3) % 3 AS INTEGER)
-                      WHEN 0 THEN 57 WHEN 1 THEN 77 ELSE 14 END)
+                   (CASE CAST((doc_id // 3) % 5 AS INTEGER)
+                      WHEN 0 THEN 57 WHEN 1 THEN 77 WHEN 2 THEN 14
+                      WHEN 3 THEN 38
+                      ELSE 38 + OCTET_LENGTH(ENCODE(text)) % 2 END)
                    + OCTET_LENGTH(ENCODE(text))
                  WHEN doc_id % 3 = 1 THEN
-                   CASE CAST((doc_id // 3) % 3 AS INTEGER)
+                   CASE CAST((doc_id // 3) % 4 AS INTEGER)
                      WHEN 0 THEN 44 + gdur
                      WHEN 1 THEN 121 + LENGTH(CAST(gdur AS VARCHAR))
-                     ELSE 42 END
+                     WHEN 2 THEN 42
+                     ELSE 106 END
                  ELSE
                    CASE WHEN (doc_id // 3) % 2 = 0 THEN 100 ELSE 244 END
                    + OCTET_LENGTH(ENCODE(text)) END AS BIGINT) AS n_bytes,
@@ -115,7 +120,8 @@ object MultimodalQueries {
   /** Container-format distribution: sniff the REAL magic of every payload
     * ([[graft.multimodal.Media.codecOf]]) and aggregate counts + bytes
     * per codec. The oracle reconstructs the synthesis rotation (png/jpeg/
-    * gif by doc_id/3 on image rows, wav on audio, avi on video) — a hash
+    * gif/tiff/webp by doc_id/3 mod 5 on image rows, wav/mp3/flac/ogg on
+    * audio, avi/mp4 on video) — a hash
     * match proves the sniffer classified every container byte-exactly. */
   val mmCodecStats = GraftQuery(
     "mm_codec_stats",
@@ -140,22 +146,26 @@ object MultimodalQueries {
       m AS (
         SELECT CASE
                  WHEN doc_id % 3 = 1 THEN
-                   CASE CAST((doc_id // 3) % 3 AS INTEGER)
-                     WHEN 0 THEN 'wav' WHEN 1 THEN 'mp3' ELSE 'flac' END
+                   CASE CAST((doc_id // 3) % 4 AS INTEGER)
+                     WHEN 0 THEN 'wav' WHEN 1 THEN 'mp3'
+                     WHEN 2 THEN 'flac' ELSE 'ogg' END
                  WHEN doc_id % 3 = 2 THEN
                    CASE WHEN (doc_id // 3) % 2 = 0 THEN 'avi' ELSE 'mp4' END
-                 ELSE (['png', 'jpeg', 'gif'])[CAST((doc_id // 3) % 3 AS INTEGER) + 1]
+                 ELSE (['png', 'jpeg', 'gif', 'tiff', 'webp'])[CAST((doc_id // 3) % 5 AS INTEGER) + 1]
                END AS codec,
                CASE
                  WHEN doc_id % 3 = 1 THEN
-                   CASE CAST((doc_id // 3) % 3 AS INTEGER)
+                   CASE CAST((doc_id // 3) % 4 AS INTEGER)
                      WHEN 0 THEN 44 + gdur
                      WHEN 1 THEN 121 + LENGTH(CAST(gdur AS VARCHAR))
-                     ELSE 42 END
+                     WHEN 2 THEN 42
+                     ELSE 106 END
                  WHEN doc_id % 3 = 2 THEN
                    (CASE WHEN (doc_id // 3) % 2 = 0 THEN 100 ELSE 244 END) + len
-                 ELSE (CASE CAST((doc_id // 3) % 3 AS INTEGER)
-                         WHEN 0 THEN 57 WHEN 1 THEN 77 ELSE 14 END) + len
+                 ELSE (CASE CAST((doc_id // 3) % 5 AS INTEGER)
+                         WHEN 0 THEN 57 WHEN 1 THEN 77 WHEN 2 THEN 14
+                         WHEN 3 THEN 38
+                         ELSE 38 + len % 2 END) + len
                END AS n_bytes
         FROM params)
       SELECT codec, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
@@ -184,7 +194,7 @@ object MultimodalQueries {
     },
     Some(s"""
       WITH $paramsCte
-      SELECT CAST(CASE WHEN CAST((doc_id // 3) % 3 AS INTEGER) = 1
+      SELECT CAST(CASE WHEN CAST((doc_id // 3) % 5 AS INTEGER) = 1
                        THEN gorient ELSE 0 END AS BIGINT) AS orientation,
              COUNT(*) AS n
       FROM meta

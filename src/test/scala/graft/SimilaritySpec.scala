@@ -132,6 +132,21 @@ class SimilaritySpec extends SparkSpec {
     assert(Media.decode(jex) === ((800L, 600L, 0L)))
     assert(Media.exifOrientation(jex) === 6L)
     assert(Media.exifOrientation(jpg) === 0L) // no APP1 → absent
+    // TIFF: II IFD0 tags 256/257, 38-byte fixed header
+    val tif = Media.tiffBytes(1024, 768, data)
+    assert(tif.length === 38 + data.length)
+    assert(Media.decode(tif) === ((1024L, 768L, 0L)))
+    assert(Media.codecOf(tif) === "tiff")
+    // WebP: VP8X canvas minus-one 24-bit fields, RIFF word alignment
+    val webp = Media.webpBytes(2048, 1024, data)
+    assert(webp.length === 38 + data.length + (data.length & 1))
+    assert(Media.decode(webp) === ((2048L, 1024L, 0L)))
+    assert(Media.codecOf(webp) === "webp")
+    // Ogg: BOS Vorbis id header rate + EOS page granule → duration
+    val ogg = Media.oggBytes(7777)
+    assert(ogg.length === 106)
+    assert(Media.decode(ogg) === ((0L, 0L, 7777L)))
+    assert(Media.codecOf(ogg) === "ogg")
     // unknown magic: digest fallback, deterministic, never throws
     val junk = "not a media file".getBytes("UTF-8")
     assert(Media.decode(junk) === Media.digestMeta(junk))
