@@ -1319,11 +1319,81 @@ object TextQueries {
       WHERE levenshtein(a.pre, b.pre) <= 2
       ORDER BY id_a, id_b"""))
 
+  /** PassJoin (Li, Deng, Feng — VLDB'12): the EXACT edit-distance
+    * similarity join for VARIABLE-length strings (dd_edit_pairs' aligned
+    * bands are exact only for equal-length substitution-only edits).
+    * Pigeonhole on the SHORTER string of a pair: partition it into k+1
+    * segments — if ed(s,t) ≤ k, some segment of s occurs VERBATIM in t
+    * at a position shifted by at most k. Candidate generation is thus an
+    * equi-join on (shorter-length, segment-index, segment-text): the
+    * short side emits its k+1 segments; the probe side enumerates, for
+    * each candidate shorter length ℓ ∈ [L−k, L], the substrings in each
+    * segment's ±k position window — a bounded (2k+1)²·(k+1) ≈ 75-key
+    * expansion per string, NOT a cross join. Exact levenshtein verifies
+    * survivors; (least, greatest) id ordering dedups the symmetric
+    * equal-length case. The key is each document's first five words
+    * lowercased, so lengths genuinely vary. Oracle: brute-force
+    * levenshtein over all pairs. 100 TB: both sides shuffle on the
+    * candidate key — near-linear like the other banded joins. */
+  val ddPassJoin = GraftQuery(
+    "dd_passjoin",
+    (s, dir) => {
+      import s.implicits._
+      val k = 2
+      val p = docs(s, dir).select($"doc_id",
+          lower(array_join(slice(split($"text", " "), 1, 5), " ")).as("ks"))
+        .withColumn("len", length($"ks"))
+      // segment layout for a string of length l (3 segments): the first
+      // (3 - l%3) take l div 3 chars, the rest one more — closed form
+      // shared by both sides so the equi-key agrees per length
+      def layout(lCol: String, iCol: String): (String, String) = (
+        s"($lCol div 3) + IF($iCol >= 3 - ($lCol % 3), 1, 0)", // len_i
+        s"1 + $iCol * ($lCol div 3) + GREATEST(0, $iCol - (3 - ($lCol % 3)))") // start_i
+      val (liS, qiS) = layout("ls", "i")
+      val segs = p.select($"doc_id".as("id_s"), $"ks".as("ks_s"), $"len".as("ls"),
+          explode(expr("sequence(0, 2)")).as("i"))
+        .withColumn("seg", expr(s"substring(ks_s, $qiS, $liS)"))
+        .filter(length($"seg") > 0)
+        .select($"id_s", $"ks_s", $"ls", $"i", $"seg")
+      val (liT, qiT) = layout("lseg", "i")
+      val probes = p.select($"doc_id".as("id_t"), $"ks".as("ks_t"), $"len".as("lt"),
+          explode(expr(s"sequence(greatest(1, len - $k), len)")).as("lseg"))
+        .select($"id_t", $"ks_t", $"lt", $"lseg",
+          explode(expr("sequence(0, 2)")).as("i"))
+        .withColumn("li", expr(liT))
+        .withColumn("qi", expr(qiT))
+        .select($"id_t", $"ks_t", $"lt", $"lseg", $"i", $"li",
+          explode(expr(s"sequence($qiT - $k, $qiT + $k)")).as("q"))
+        .filter($"q" >= 1 && $"q" + $"li" - lit(1) <= $"lt" && $"li" > 0)
+        .select($"id_t", $"ks_t", $"lt", $"lseg", $"i",
+          expr("substring(ks_t, q, li)").as("seg"))
+      segs.join(probes,
+          $"ls" === $"lseg" && segs("i") === probes("i") &&
+            segs("seg") === probes("seg") && $"id_s" =!= $"id_t")
+        .select(
+          least($"id_s", $"id_t").as("id_a"),
+          greatest($"id_s", $"id_t").as("id_b"),
+          levenshtein($"ks_s", $"ks_t").cast(LongType).as("dist"))
+        .filter($"dist" <= k)
+        .distinct()
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+               LOWER(ARRAY_TO_STRING((STRING_SPLIT(text, ' '))[1:5], ' ')) AS ks
+        FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(levenshtein(a.ks, b.ks) AS BIGINT) AS dist
+      FROM p a JOIN p b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.ks, b.ks) <= 2
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[GraftQuery] = Seq(
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
     txTrainSplit, txMixtureWeights, txCorpusReport, txPack,
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
     ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddSubdocDedup, ddSimjoinAuto,
-    txBpeTokens, txPackDocs, ddEditPairs)
+    txBpeTokens, txPackDocs, ddEditPairs, ddPassJoin)
 }
