@@ -358,6 +358,10 @@ object Dissect {
     // set once a "101 Switching Protocols" + "Upgrade: websocket" response
     // is seen; later segments in BOTH directions dissect as ws frames
     var wsUpgraded = false
+    // set once a "@RSYNCD:" daemon greeting is seen on port 873; client
+    // lines after the handshake (module request) carry no magic of their
+    // own, so only conversation state can claim them as rsync
+    var rsyncSeen = false
     // Kafka request/response correlation: correlation id → (api key,
     // api version) of the pending request, LRU-bounded so a capture that
     // never sees responses cannot grow the map unboundedly
@@ -5437,6 +5441,219 @@ object Dissect {
       if (parts(0) == "VALUE" && parts.length > 1) v("memcache.key") = parts(1)
       line
     }
+  }
+
+  private val mongoOpcodeNames: Map[Int, String] = Map(
+    1 -> "OP_REPLY", 2001 -> "OP_UPDATE", 2002 -> "OP_INSERT",
+    2004 -> "OP_QUERY", 2005 -> "OP_GET_MORE", 2006 -> "OP_DELETE",
+    2007 -> "OP_KILL_CURSORS", 2010 -> "OP_COMMAND",
+    2011 -> "OP_COMMANDREPLY", 2012 -> "OP_COMPRESSED", 2013 -> "OP_MSG")
+
+  /** First element name of a BSON document at `o` (int32 LE doc length,
+    * then type-byte + cstring name elements) — for OP_MSG/OP_QUERY this
+    * is the command ("find", "insert", …) or the collection filter key.
+    * Returns null when the bytes aren't a sane document. */
+  private def bsonFirstKey(d: Array[Byte], o: Int, end: Int): String = {
+    if (o + 5 > end) return null
+    val dlen = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) |
+      ((d(o + 2) & 0xff) << 16) | ((d(o + 3) & 0xff) << 24)
+    if (dlen < 5 || o + dlen > end) return null
+    if (dlen == 5) return "" // empty document
+    var i = o + 5 // skip doc length + first element's type byte
+    val s = i
+    while (i < end && d(i) != 0 && i - s < 128) i += 1
+    if (i >= end || d(i) != 0) return null
+    new String(d, s, i - s, "UTF-8")
+  }
+
+  /** MongoDB wire protocol (TCP 27017): little-endian standard header
+    * (messageLength, requestID, responseTo, opCode), then per-opcode
+    * bodies — OP_MSG (flagBits + kind-0 BSON section, the modern form)
+    * surfaces the command name from the document's first element,
+    * OP_QUERY the full collection name and skip/return counts.
+    * Field names follow tshark's packet-mongo.c registrations. */
+  private def dissectMongo(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 16) return null
+    def le32(o: Int): Int = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) |
+      ((d(o + 2) & 0xff) << 16) | ((d(o + 3) & 0xff) << 24)
+    val mlen = le32(off)
+    if (mlen != len) return null // whole message per segment (tshark reassembles)
+    val opcode = le32(off + 12)
+    val opName = mongoOpcodeNames.getOrElse(opcode, return null)
+    protos += "mongo"
+    v("mongo.message_length") = mlen.toLong
+    v("mongo.request_id") = le32(off + 4).toLong & 0xffffffffL
+    v("mongo.response_to") = le32(off + 8).toLong & 0xffffffffL
+    v("mongo.opcode") = opcode.toLong
+    val end = off + len
+    if (opcode == 2013 && len >= 21) { // OP_MSG: flagBits + section kind
+      v("mongo.msg.flags") = le32(off + 16).toLong & 0xffffffffL
+      if (u8(d, off + 20) == 0) { // kind 0: body document
+        val cmd = bsonFirstKey(d, off + 21, end)
+        if (cmd != null && cmd.nonEmpty) {
+          v("mongo.element.name") = cmd
+          return s"$opName [$cmd]"
+        }
+      }
+    } else if (opcode == 2004 && len >= 21) { // OP_QUERY
+      var i = off + 20 // after int32 flags
+      val s = i
+      while (i < end && d(i) != 0 && i - s < 128) i += 1
+      if (i < end && d(i) == 0) {
+        val coll = new String(d, s, i - s, "UTF-8")
+        v("mongo.full_collection_name") = coll
+        if (i + 9 <= end) {
+          v("mongo.number_to_skip") = le32(i + 1).toLong
+          v("mongo.number_to_return") = le32(i + 5).toLong
+          return s"$opName $coll"
+        }
+      }
+    }
+    opName
+  }
+
+  /** rsync daemon protocol (TCP 873, packet-rsync.c): "@RSYNCD: <ver>"
+    * greeting/handshake lines in both directions, then the client's bare
+    * module-request line (claimed via conversation state) and the
+    * server's MOTD/OK/EXIT lines. */
+  private def dissectRsync(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      conv: TcpConv,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 2) return null
+    val text = new String(d, off, math.min(len, 256), "ISO-8859-1")
+    val le = text.indexOf('\n')
+    if (le <= 0) return null
+    val line = text.substring(0, le).stripSuffix("\r")
+    if (line.exists(c => c < 0x20 && c != '\t')) return null
+    if (line.startsWith("@RSYNCD: ")) {
+      protos += "rsync"
+      conv.rsyncSeen = true
+      v("rsync.hdr_magic") = "@RSYNCD:"
+      val rest = line.substring(9)
+      if (rest.nonEmpty && (rest(0).isDigit)) v("rsync.protocol_version") = rest
+      line
+    } else if (conv.rsyncSeen) {
+      protos += "rsync"
+      if (fromServer) v("rsync.motd") = line
+      else v("rsync.query") = line
+      if (fromServer) s"MOTD: $line" else s"Module request: $line"
+    } else null
+  }
+
+  private val gearmanTypeNames: Map[Int, String] = Map(
+    1 -> "CAN_DO", 2 -> "CANT_DO", 3 -> "RESET_ABILITIES", 4 -> "PRE_SLEEP",
+    6 -> "NOOP", 7 -> "SUBMIT_JOB", 8 -> "JOB_CREATED", 9 -> "GRAB_JOB",
+    10 -> "NO_JOB", 11 -> "JOB_ASSIGN", 12 -> "WORK_STATUS",
+    13 -> "WORK_COMPLETE", 14 -> "WORK_FAIL", 15 -> "GET_STATUS",
+    16 -> "ECHO_REQ", 17 -> "ECHO_RES", 18 -> "SUBMIT_JOB_BG",
+    19 -> "ERROR", 20 -> "STATUS_RES", 21 -> "SUBMIT_JOB_HIGH",
+    22 -> "SET_CLIENT_ID", 23 -> "CAN_DO_TIMEOUT", 24 -> "ALL_YOURS",
+    25 -> "WORK_EXCEPTION", 26 -> "OPTION_REQ", 27 -> "OPTION_RES",
+    28 -> "WORK_DATA", 29 -> "WORK_WARNING", 30 -> "GRAB_JOB_UNIQ",
+    31 -> "JOB_ASSIGN_UNIQ", 32 -> "SUBMIT_JOB_HIGH_BG",
+    33 -> "SUBMIT_JOB_LOW", 34 -> "SUBMIT_JOB_LOW_BG",
+    35 -> "SUBMIT_JOB_SCHED", 36 -> "SUBMIT_JOB_EPOCH")
+
+  /** Gearman job-server protocol (TCP 4730, packet-gearman.c): binary
+    * packets are "\0REQ"/"\0RES" magic + big-endian type and size, args
+    * NUL-separated; the first argument (function name / job handle)
+    * surfaces in the info line. */
+  private def dissectGearman(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 12) return null
+    if (u8(d, off) != 0) return null
+    val magic = new String(d, off + 1, 3, "ISO-8859-1")
+    if (magic != "REQ" && magic != "RES") return null
+    val ptype = u32(d, off + 4)
+    val name = gearmanTypeNames.getOrElse(ptype.toInt, return null)
+    val size = u32(d, off + 8)
+    if (size != len - 12) return null // one packet per segment
+    protos += "gearman"
+    v("gearman.magic.code") = magic
+    v("gearman.pkt.type") = ptype
+    v("gearman.data.size") = size
+    if (size > 0) {
+      var i = off + 12
+      val s = i
+      val end = off + len
+      while (i < end && d(i) != 0 && i - s < 128) i += 1
+      val arg = new String(d, s, i - s, "UTF-8")
+      if (arg.nonEmpty) {
+        v("gearman.argument") = arg
+        return s"[$magic] $name: $arg"
+      }
+    }
+    s"[$magic] $name"
+  }
+
+  private val ajpMethodNames: Map[Int, String] = Map(
+    1 -> "OPTIONS", 2 -> "GET", 3 -> "HEAD", 4 -> "POST", 5 -> "PUT",
+    6 -> "DELETE", 7 -> "TRACE", 8 -> "PROPFIND", 9 -> "PROPPATCH",
+    10 -> "MKCOL", 11 -> "COPY", 12 -> "MOVE", 13 -> "LOCK", 14 -> "UNLOCK",
+    15 -> "ACL", 16 -> "REPORT", 17 -> "VERSION-CONTROL", 18 -> "CHECKIN",
+    19 -> "CHECKOUT", 20 -> "UNCHECKOUT", 21 -> "SEARCH", 22 -> "MKWORKSPACE",
+    23 -> "UPDATE", 24 -> "LABEL", 25 -> "MERGE", 26 -> "BASELINE_CONTROL",
+    27 -> "MKACTIVITY")
+
+  private val ajpCodeNames: Map[Int, String] = Map(
+    2 -> "FORWARD_REQUEST", 3 -> "SEND_BODY_CHUNK", 4 -> "SEND_HEADERS",
+    5 -> "END_RESPONSE", 6 -> "GET_BODY_CHUNK", 7 -> "SHUTDOWN",
+    9 -> "CPONG", 10 -> "CPING")
+
+  /** Apache JServ Protocol v1.3 (TCP 8009, packet-ajp13.c): container
+    * magic 0x1234 (client→server) / "AB" (server→client) + uint16 length;
+    * FORWARD_REQUEST surfaces the method and URI, SEND_HEADERS the HTTP
+    * status. AJP strings are uint16-length-prefixed, NUL-terminated. */
+  private def dissectAjp13(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 5) return null
+    val magicOk =
+      if (fromServer) d(off) == 'A'.toByte && d(off + 1) == 'B'.toByte
+      else u8(d, off) == 0x12 && u8(d, off + 1) == 0x34
+    if (!magicOk) return null
+    val plen = u16(d, off + 2)
+    if (plen != len - 4) return null // one container per segment
+    val code = u8(d, off + 4)
+    val codeName = ajpCodeNames.getOrElse(code, return null)
+    protos += "ajp13"
+    v("ajp13.magic") = if (fromServer) "AB" else "0x1234"
+    v("ajp13.len") = plen.toLong
+    v("ajp13.code") = code.toLong
+    val end = off + len
+    def ajpString(o: Int): (String, Int) = { // (value, next offset) or null
+      if (o + 2 > end) return null
+      val sl = u16(d, o)
+      if (sl == 0xffff) return ("", o + 2) // null string
+      if (o + 2 + sl + 1 > end) return null
+      (new String(d, o + 2, math.min(sl, 256), "UTF-8"), o + 2 + sl + 1)
+    }
+    if (code == 2 && !fromServer && off + 6 <= end) { // FORWARD_REQUEST
+      val m = u8(d, off + 5)
+      val method = ajpMethodNames.getOrElse(m, return s"$codeName")
+      v("ajp13.method") = method
+      val proto = ajpString(off + 6)
+      if (proto != null) {
+        val uri = ajpString(proto._2)
+        if (uri != null) {
+          v("ajp13.req_uri") = uri._1
+          return s"$codeName $method ${uri._1}"
+        }
+      }
+      s"$codeName $method"
+    } else if (code == 4 && fromServer && off + 7 <= end) { // SEND_HEADERS
+      val status = u16(d, off + 5)
+      v("ajp13.status") = status.toLong
+      s"$codeName $status"
+    } else codeName
   }
 
   private val coapMethodNames: Map[Int, String] = Map(

@@ -1354,6 +1354,91 @@ object RelationalQueries {
       FROM c
       ORDER BY user_id, event_id"""))
 
+  /** Statistical aggregates — corr / stddev / linear-regression slope and
+    * intercept — made bit-exact cross-engine by the decimal-moment trick:
+    * the five moment sums Σx, Σy, Σx², Σy², Σxy are EXACT decimal
+    * arithmetic (quantity is 2-dp, discount is 2-dp, so products are 4-dp
+    * decimals summed without float-order nondeterminism), and only the
+    * final closed-form formulas touch doubles — identical scalar
+    * expression trees that both engines evaluate IEEE-deterministically.
+    * The scaled moment magnitudes stay < 2^53 so the decimal→double casts
+    * are correctly rounded in both engines (the established envelope of
+    * the dsum contract). 100 TB shape: one map-side-combined hash
+    * aggregate — the moments are algebraic, so partial aggregation is
+    * free; never a second pass over the data (vs the naive two-pass
+    * mean-then-variance formulation). */
+  val q53StatsExact = sharedSql("q53_stats_exact", """
+      WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             sx / CAST(n AS DOUBLE) AS mean_qty,
+             sy / CAST(n AS DOUBLE) AS mean_disc,
+             SQRT((sxx - (sx * sx) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+               AS stddev_pop_qty,
+             (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope_disc_on_qty,
+             (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+               / CAST(n AS DOUBLE) AS intercept_disc,
+             (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+                      * (CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_disc
+      FROM m
+      ORDER BY l_returnflag""")
+
+  /** IGNORE NULLS window navigation — the gap-fill / forward-fill shape
+    * (carry the last observed sensor reading forward over missing rows).
+    * `click` events are masked to NULL, then last_value/first_value/
+    * nth_value IGNORE NULLS reconstruct the carried readings over one
+    * user-keyed window sort. The value column passes through without
+    * arithmetic, so doubles compare bit-identically. Spark puts the
+    * modifier outside the call (`LAST_VALUE(v) IGNORE NULLS`), DuckDB
+    * inside (`LAST_VALUE(v IGNORE NULLS)`) — same semantics. */
+  val q54IgnoreNulls = GraftQuery(
+    "q54_ignore_nulls",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("v",
+          when($"event_type" === "click", lit(null).cast(DoubleType))
+            .otherwise($"value"))
+        .select($"user_id", $"event_id",
+          last($"v", ignoreNulls = true).over(w).as("filled"),
+          first($"v", ignoreNulls = true).over(w).as("first_seen"),
+          nth_value($"v", 2, ignoreNulls = true).over(w).as("second_seen"))
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+        FROM events)
+      SELECT user_id, event_id,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+             FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_seen,
+             NTH_VALUE(v, 2 IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_seen
+      FROM e
+      ORDER BY user_id, event_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -1367,5 +1452,6 @@ object RelationalQueries {
     q38bWindowRangeBySupp, q39Percentiles, q39bApproxPercentiles,
     q40WindowDistribution, q41MultiDistinct, q42AsofJoin, q43PartitionedRw,
     q44BucketedJoin, q45Unpivot, q46RecursiveSpine, q47LateralTopn,
-    q48HigherOrder, q49ListAgg, q50Funnel, q51Variant, q52Scd2)
+    q48HigherOrder, q49ListAgg, q50Funnel, q51Variant, q52Scd2,
+    q53StatsExact, q54IgnoreNulls)
 }

@@ -291,5 +291,93 @@ object ScoringQueries {
       ORDER BY r.lang, rnk"""
     }))
 
-  val all: Seq[GraftQuery] = Seq(txDsirWeights, txLmScore, txResampleToMix)
+  // ---------------------------------------------------------------------
+  // BM25 retrieval scoring
+  // ---------------------------------------------------------------------
+
+  private val bmTerms = Seq("join", "vector", "stream")
+  private val bmK1 = "1.2"
+  // (k1 + 1) and (1 - b) pre-folded as literals so both engines parse the
+  // identical decimal text (b = 0.75).
+  private val bmK1p1 = "2.2"
+  private val bmOneMinusB = "0.25"
+  private val bmB = "0.75"
+
+  /** Fit the BM25 corpus statistics — N, Σdl, and per-term document
+    * frequency — in ONE aggregate job; idf_t = ln((N − df + ½)/(df + ½) + 1)
+    * (the Robertson–Spärck Jones "plus one" form, always positive) is
+    * computed driver-side and QUANTIZED to DECIMAL(12,6), the same
+    * transcendental-free contract as the DSIR/LM fits: the query side only
+    * ever sees the quantized literal. */
+  private def bm25Fit(s: SparkSession, dir: String): (Long, Long, Seq[(String, JBigDecimal)]) =
+    AnnIndexes.cached(s, s"bm25:$dir") {
+      import s.implicits._
+      val toks = docs(s, dir)
+        .select(expr("filter(split(text, ' '), x -> x != '')").as("w"))
+      val aggs = count(lit(1)).as("n") +: sum(size($"w")).cast(LongType).as("sumdl") +:
+        bmTerms.map(t =>
+          sum(when(array_contains($"w", t), 1L).otherwise(0L)).as(s"df_$t"))
+      val row = toks.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getAs[Long]("n")
+      val sumdl = row.getAs[Long]("sumdl")
+      val idf = bmTerms.map { t =>
+        val df = row.getAs[Long](s"df_$t")
+        (t, quant6(math.log((n - df + 0.5) / (df + 0.5) + 1.0)))
+      }
+      (n, sumdl, idf)
+    }
+
+  /** BM25 (Okapi) score SQL, parametrized by dialect: tf and dl are exact
+    * integer list ops; avgdl and the saturation formula are identical
+    * IEEE-double scalar expression trees, and idf enters as a quantized
+    * decimal literal cast once — so Spark and DuckDB agree bit-for-bit. */
+  private def bm25Sql(spark: Boolean, n: Long, sumdl: Long,
+      idf: Seq[(String, JBigDecimal)]): String = {
+    val wExpr =
+      if (spark) "filter(split(text, ' '), x -> x != '')"
+      else "list_filter(string_split(text, ' '), x -> x <> '')"
+    def tfOf(t: String) =
+      if (spark) s"size(filter(w, x -> x = '$t'))"
+      else s"len(list_filter(w, x -> x = '$t'))"
+    val dlLen = if (spark) "size(w)" else "len(w)"
+    val dl = s"CAST($dlLen AS DOUBLE)"
+    val avgdl = s"(CAST($sumdl AS DOUBLE) / CAST($n AS DOUBLE))"
+    val score = idf.map { case (t, q) =>
+      val tf = s"CAST(${tfOf(t)} AS DOUBLE)"
+      s"""CAST(CAST('${q.toPlainString}' AS DECIMAL(12,6)) AS DOUBLE)
+               * ($tf * $bmK1p1)
+               / ($tf + $bmK1 * ($bmOneMinusB + $bmB * ($dl / $avgdl)))"""
+    }.mkString("(", "\n             + ", ")")
+    val tfCols = idf.map { case (t, _) =>
+      s"CAST(${tfOf(t)} AS BIGINT) AS tf_$t" }.mkString(",\n             ")
+    s"""
+      WITH t AS (SELECT doc_id, $wExpr AS w FROM documents)
+      SELECT doc_id,
+             CAST($dlLen AS BIGINT) AS dl,
+             $tfCols,
+             $score AS bm25
+      FROM t
+      ORDER BY doc_id"""
+  }
+
+  /** Okapi BM25 scoring of every document against a fixed query-term set
+    * (k1 = 1.2, b = 0.75) — the lexical-retrieval ranking op (and the
+    * quality-mix counterpart to the dense sim_ann_* family). Fit-once /
+    * score-many: idf and avgdl come from one corpus aggregate; scoring is
+    * a pure per-row projection — embarrassingly parallel, no shuffle at
+    * all after the fit. */
+  val txBm25 = GraftQuery(
+    "tx_bm25",
+    (s, dir) => {
+      val (n, sumdl, idf) = bm25Fit(s, dir)
+      Tables.registerViews(s, dir)
+      s.sql(bm25Sql(spark = true, n, sumdl, idf))
+    },
+    oracleGen = Some((s, dir) => {
+      val (n, sumdl, idf) = bm25Fit(s, dir)
+      bm25Sql(spark = false, n, sumdl, idf)
+    }))
+
+  val all: Seq[GraftQuery] = Seq(txDsirWeights, txLmScore, txResampleToMix,
+    txBm25)
 }

@@ -769,10 +769,55 @@ object SimilarityQueries {
     },
     Some(mmrSql(duckDot)))
 
+  /** Hard-negative mining for contrastive training (DPR/Contriever
+    * recipe): for each of ten query vectors, the five highest-cosine
+    * corpus vectors carrying a DIFFERENT label — near the decision
+    * boundary, which is exactly what makes them "hard". Exactness anchor:
+    * the query side is a 10-row BROADCAST against one linear corpus scan
+    * (never a shuffle of the corpus), scored per-row and top-k'd by a
+    * per-query window. At 100 TB the candidate scan swaps for the
+    * persisted IVF probe join (sim_ann_ivf_persisted) with the label
+    * filter applied to its candidates — same downstream window. */
+  val simHardNegatives = GraftQuery(
+    "sim_hard_negatives",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"label".as("qlabel"), $"embedding".as("qe"))
+      val corpus = emb.filter($"vec_id" >= 10)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+      corpus.join(broadcast(q), col("label") =!= col("qlabel"))
+        .select($"query_id", $"vec_id", $"label",
+          Vectors.cosine($"embedding", $"qe").as("cosine"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter($"rnk" <= 5)
+        .select($"query_id", $"rnk", $"vec_id", $"label", $"cosine")
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT * FROM embeddings WHERE vec_id >= 10),
+      scored AS (
+        SELECT q.query_id, c.vec_id, c.label,
+               (${duckDot("c.embedding", "q.qe")})
+                 / (SQRT(${duckDot("c.embedding", "c.embedding")})
+                    * SQRT(${duckDot("q.qe", "q.qe")})) AS cosine
+        FROM c JOIN q ON c.label <> q.qlabel),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored)
+      SELECT query_id, CAST(rn AS BIGINT) AS rnk, vec_id, label, cosine
+      FROM ranked WHERE rn <= 5
+      ORDER BY query_id, rnk"""))
+
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfPersisted,
       simAnnRange, simAnnIvfBatch, simAnnPq, simAnnPqRange, simAnnIvfPq,
       simAnnIvfPqPersisted, simAnnOpq, simAnnOpqIvfPq, simAnnInt8,
       simAnnInt8Persisted, simQuantizeInt8, simIvfCellStats, simRecallReport,
-      ddEmbeddingNeardup, ddSemanticDedup, simMmrRerank)
+      ddEmbeddingNeardup, ddSemanticDedup, simMmrRerank, simHardNegatives)
 }

@@ -1389,11 +1389,82 @@ object TextQueries {
       WHERE levenshtein(a.ks, b.ks) <= 2
       ORDER BY id_a, id_b"""))
 
+  /** Per-domain document caps — the crawl-curation rule that no single
+    * (lang, source) domain dominates the training mix: rank a domain's
+    * documents by quality proxy (length, doc_id tie-break) and keep the
+    * top 50. 100 TB shape: ONE shuffle on the domain key; each window
+    * only ever sorts one domain's rows (spillable sort), and the cap
+    * bounds the output to 50 × |domains| regardless of corpus size. */
+  val txDomainCap = GraftQuery(
+    "tx_domain_cap",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang", $"source").orderBy($"n_chars".desc, $"doc_id")
+      docs(s, dir)
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter($"rk" <= 50)
+        .select($"lang", $"source", $"rk", $"doc_id", $"n_chars")
+        .orderBy($"lang", $"source", $"rk")
+    },
+    Some("""
+      WITH r AS (
+        SELECT lang, source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents)
+      SELECT lang, source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+      FROM r WHERE rk <= 50
+      ORDER BY lang, source, rk"""))
+
+  /** Overlapping-window chunking for retrieval corpora (RAG): 128-token
+    * chunks on a 96-token stride (32 tokens of overlap so no boundary
+    * sentence is lost to both neighbors). `sequence(0, nt-1, 96)` emits
+    * the chunk starts, `slice` takes the tokens, and the chunk content is
+    * surfaced as an md5 so the row stays narrow. Pure per-row flatMap —
+    * embarrassingly parallel, output linear in token count; the lazy
+    * explode never materializes a doc's chunk list. */
+  val txChunkOverlap = GraftQuery(
+    "tx_chunk_overlap",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .withColumn("tokens", split($"text", " "))
+        .withColumn("nt", size($"tokens"))
+        .filter($"nt" > 0)
+        .select($"doc_id", $"nt", $"tokens",
+          explode(expr("sequence(0, nt - 1, 96)")).as("start"))
+        .select(
+          $"doc_id",
+          expr("CAST(start DIV 96 AS BIGINT)").as("chunk_id"),
+          $"start".cast(LongType).as("start_tok"),
+          least(lit(128), $"nt" - $"start").cast(LongType).as("len_tok"),
+          md5(concat_ws(" ", expr("slice(tokens, start + 1, 128)"))).as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+               LEN(STRING_SPLIT(text, ' ')) AS nt
+        FROM documents),
+      s AS (
+        SELECT doc_id, toks, nt, UNNEST(RANGE(0, nt, 96)) AS start
+        FROM d WHERE nt > 0)
+      SELECT doc_id,
+             CAST(start // 96 AS BIGINT) AS chunk_id,
+             CAST(start AS BIGINT) AS start_tok,
+             CAST(LEAST(128, nt - start) AS BIGINT) AS len_tok,
+             MD5(ARRAY_TO_STRING(list_slice(toks, start + 1, LEAST(start + 128, nt)), ' '))
+               AS chunk_md5
+      FROM s
+      ORDER BY doc_id, chunk_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
     txTrainSplit, txMixtureWeights, txCorpusReport, txPack,
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
     ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddSubdocDedup, ddSimjoinAuto,
-    txBpeTokens, txPackDocs, ddEditPairs, ddPassJoin)
+    txBpeTokens, txPackDocs, ddEditPairs, ddPassJoin, txDomainCap,
+    txChunkOverlap)
 }
