@@ -1941,6 +1941,15 @@ object Dissect {
         appInfo = dissectCql(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 11211 || dp == 11211))
         appInfo = dissectMemcache(appBuf, appOff, appLen, fromServer = sp == 11211, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 27017 || dp == 27017))
+        appInfo = dissectMongo(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 873 || dp == 873))
+        appInfo = dissectRsync(appBuf, appOff, appLen, fromServer = sp == 873,
+          conv, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 4730 || dp == 4730))
+        appInfo = dissectGearman(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 8009 || dp == 8009))
+        appInfo = dissectAjp13(appBuf, appOff, appLen, fromServer = sp == 8009, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and

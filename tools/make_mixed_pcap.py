@@ -1018,4 +1018,52 @@ tac = struct.pack(">BBBBII", 0xC0, 1, 1, 0x01, 0xCAFEBABE, 8) + b"\x00" * 8
 extra.append((t3, 14300, ip_frame(6, A, B, tcp(49330, 49, 1, tac),
               ident=179)))
 
+# 146-153: data-infrastructure tier (19) — MongoDB (27017), rsync (873),
+# Gearman (4730), AJP13 (8009)
+
+# MongoDB OP_MSG find request: header (LE) + flagBits + kind-0 BSON body
+mongo_el = b"\x02find\x00" + struct.pack("<i", 7) + b"orders\x00"
+mongo_doc = struct.pack("<i", 4 + len(mongo_el) + 1) + mongo_el + b"\x00"
+mongo_body = struct.pack("<I", 0) + b"\x00" + mongo_doc
+mongo_req = struct.pack("<iiii", 16 + len(mongo_body), 0x2A, 0, 2013) + mongo_body
+extra.append((t3, 14400, ip_frame(6, A, B, tcp(54300, 27017, 1, mongo_req),
+              ident=180)))
+# OP_MSG reply {"ok": 1.0} correlated via responseTo
+mongo_el2 = b"\x01ok\x00" + struct.pack("<d", 1.0)
+mongo_doc2 = struct.pack("<i", 4 + len(mongo_el2) + 1) + mongo_el2 + b"\x00"
+mongo_body2 = struct.pack("<I", 0) + b"\x00" + mongo_doc2
+mongo_rsp = struct.pack("<iiii", 16 + len(mongo_body2), 0x2B, 0x2A, 2013) + mongo_body2
+extra.append((t3, 14500, ip_frame(6, B, A, tcp(27017, 54300, 1, mongo_rsp),
+              ident=181)))
+
+# rsync daemon handshake: server greeting, client version, module request
+extra.append((t3, 14600, ip_frame(6, B, A, tcp(873, 54400, 1, b"@RSYNCD: 31.0\n"),
+              ident=182)))
+extra.append((t3, 14700, ip_frame(6, A, B, tcp(54400, 873, 1, b"@RSYNCD: 31.0\n"),
+              ident=183)))
+extra.append((t3, 14800, ip_frame(6, A, B, tcp(54400, 873, 15, b"backups\n"),
+              ident=184)))
+
+# Gearman SUBMIT_JOB (function "reverse", empty unique, payload) + JOB_CREATED
+g_args = b"reverse\x00\x00hello"
+g_req = b"\x00REQ" + struct.pack(">II", 7, len(g_args)) + g_args
+extra.append((t3, 14900, ip_frame(6, A, B, tcp(54500, 4730, 1, g_req),
+              ident=185)))
+g_handle = b"H:graft:1"
+g_rsp = b"\x00RES" + struct.pack(">II", 8, len(g_handle)) + g_handle
+extra.append((t3, 15000, ip_frame(6, B, A, tcp(4730, 54500, 1, g_rsp),
+              ident=186)))
+
+# AJP13 FORWARD_REQUEST GET /status + SEND_HEADERS 200
+def ajp_str(sv):
+    return struct.pack(">H", len(sv)) + sv + b"\x00"
+ajp_pl = bytes([2, 2]) + ajp_str(b"HTTP/1.1") + ajp_str(b"/status")
+ajp_req = struct.pack(">HH", 0x1234, len(ajp_pl)) + ajp_pl
+extra.append((t3, 15100, ip_frame(6, A, B, tcp(54600, 8009, 1, ajp_req),
+              ident=187)))
+ajp_pl2 = bytes([4]) + struct.pack(">H", 200) + ajp_str(b"OK") + struct.pack(">H", 0)
+ajp_rsp = b"AB" + struct.pack(">H", len(ajp_pl2)) + ajp_pl2
+extra.append((t3, 15200, ip_frame(6, B, A, tcp(8009, 54600, 1, ajp_rsp),
+              ident=188)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
