@@ -1439,6 +1439,25 @@ object RelationalQueries {
       FROM e
       ORDER BY user_id, event_id"""))
 
+  /** FILTER (WHERE …) aggregate clauses — per-predicate conditional
+    * aggregation in ONE pass (the idiomatic replacement for N self-joins
+    * or N CASE pyramids): each branch keeps partial aggregation, so at
+    * 100 TB this is one map-side-combined shuffle regardless of how many
+    * filtered branches ride along. count_if is the Spark/DuckDB-shared
+    * shorthand for the COUNT variant. */
+  val q55FilterClause = sharedSql("q55_filter_clause", """
+      SELECT o_orderpriority,
+             COUNT(*) AS n_orders,
+             COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_finished,
+             CAST(COUNT(DISTINCT o_custkey)
+                  FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open_custs,
+             CAST(count_if(o_custkey % 2 = 0) AS BIGINT) AS n_even_cust
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -1453,5 +1472,5 @@ object RelationalQueries {
     q40WindowDistribution, q41MultiDistinct, q42AsofJoin, q43PartitionedRw,
     q44BucketedJoin, q45Unpivot, q46RecursiveSpine, q47LateralTopn,
     q48HigherOrder, q49ListAgg, q50Funnel, q51Variant, q52Scd2,
-    q53StatsExact, q54IgnoreNulls)
+    q53StatsExact, q54IgnoreNulls, q55FilterClause)
 }

@@ -814,10 +814,55 @@ object SimilarityQueries {
       FROM ranked WHERE rn <= 5
       ORDER BY query_id, rnk"""))
 
+  /** k-NN graph construction (k = 3) — the substrate for graph-based
+    * clustering / SemDeDup-style community detection: every vector picks
+    * its three highest-cosine neighbors within its 8-plane LSH bucket.
+    * Candidate generation is the bucket SELF-equi-join (linear in bucket
+    * occupancy, the dd_embedding_neardup shape), ranking is one per-src
+    * window that Spark's WindowGroupLimit prunes to k rows per map
+    * partition BEFORE the shuffle — at 100 TB only O(k · V) edge rows
+    * ever cross the wire, not the candidate pairs. */
+  val simKnnGraph = GraftQuery(
+    "sim_knn_graph",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("bucket", Vectors.lshBucket($"embedding", 8))
+      val a = emb.select($"vec_id".as("src"), $"embedding".as("se"), $"bucket")
+      val b = emb.select($"vec_id".as("dst"), $"embedding".as("de"), $"bucket")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"src").orderBy($"cosine".desc, $"dst")
+      a.join(b, Seq("bucket"))
+        .filter($"src" =!= $"dst")
+        .select($"src", $"dst", Vectors.cosine($"se", $"de").as("cosine"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter($"rnk" <= 3)
+        .select($"src", $"rnk", $"dst", $"cosine")
+        .orderBy($"src", $"rnk")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT vec_id, embedding, ${duckBucket("embedding", 8)} AS bucket
+        FROM embeddings),
+      scored AS (
+        SELECT x.vec_id AS src, y.vec_id AS dst,
+               (${duckDot("x.embedding", "y.embedding")})
+                 / (SQRT(${duckDot("x.embedding", "x.embedding")})
+                    * SQRT(${duckDot("y.embedding", "y.embedding")})) AS cosine
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY cosine DESC, dst) AS rn
+        FROM scored)
+      SELECT src, CAST(rn AS BIGINT) AS rnk, dst, cosine
+      FROM ranked WHERE rn <= 3
+      ORDER BY src, rnk"""))
+
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfPersisted,
       simAnnRange, simAnnIvfBatch, simAnnPq, simAnnPqRange, simAnnIvfPq,
       simAnnIvfPqPersisted, simAnnOpq, simAnnOpqIvfPq, simAnnInt8,
       simAnnInt8Persisted, simQuantizeInt8, simIvfCellStats, simRecallReport,
-      ddEmbeddingNeardup, ddSemanticDedup, simMmrRerank, simHardNegatives)
+      ddEmbeddingNeardup, ddSemanticDedup, simMmrRerank, simHardNegatives,
+      simKnnGraph)
 }

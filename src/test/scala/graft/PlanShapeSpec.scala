@@ -169,4 +169,68 @@ class PlanShapeSpec extends SparkSpec {
     val scans = "(?i)scan parquet".r.findAllIn(p).length
     assert(scans <= 2, s"expected the corpus+query scans only, saw $scans parquet scans")
   }
+
+  test("q53 exact-moment stats stay one partial/final hash aggregate") {
+    val p = plan("q53_stats_exact")
+    assert(p.contains("HashAggregate"),
+      "decimal moment sums must hash-aggregate (map-side combine)")
+    assert(!p.contains("SortAggregate"),
+      "algebraic moments must never fall back to a sort aggregate")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 1, s"one group-key shuffle expected, saw $shuffles")
+  }
+
+  test("tx_bm25 scoring is a shuffle-free projection (fit is not in the lineage)") {
+    val p = plan("tx_bm25")
+    assert(!p.contains("hashpartitioning"),
+      "BM25 scoring must not shuffle — idf/avgdl are plan-time literals")
+    assert(!p.contains("Join"), "no join: the fitted model is folded into the projection")
+  }
+
+  test("tx_domain_cap is one domain-key shuffle; tx_chunk_overlap none") {
+    val pdc = plan("tx_domain_cap")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(pdc).length
+    assert(shuffles === 1, s"domain cap should shuffle once on (lang, source), saw $shuffles")
+    val pco = plan("tx_chunk_overlap")
+    assert(pco.contains("Generate"), "chunking must be a lazy explode (Generate)")
+    assert(!pco.contains("hashpartitioning"),
+      "chunking is a per-row flatMap — no shuffle before the presentation sort")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The 100 TB lever Catalyst adds at runtime: a bloom filter built from
+    // the selective dim side is pushed into the fact scan, so most fact
+    // rows die BEFORE the join shuffle. Thresholds are tuned for cluster
+    // scale; pin the mechanism by relaxing them at test scale.
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      graft.api.Tables.registerViews(spark, sfDir)
+      val df = spark.sql("""
+        SELECT l_orderkey, l_quantity FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 400000""")
+      val p = df.queryExecution.optimizedPlan.toString()
+      assert(p.contains("might_contain") || p.contains("bloomFilter"),
+        "the selective dim side must inject a bloom filter into the fact scan")
+    } finally restore.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
+
+  test("hard-negative mining broadcasts the query side; corpus scans once") {
+    val p = plan("sim_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 10-row query side must broadcast")
+    assert(!p.contains("CartesianProduct"), "never a cartesian of the corpus")
+    val scans = "(?i)scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"corpus+query scans only, saw $scans")
+  }
 }
