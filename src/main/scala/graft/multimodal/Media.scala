@@ -629,6 +629,67 @@ object Media {
     } else aviMoviData(payload)
   }
 
+  /** Image-codec essence recovered by a REAL container walk: PNG IDAT
+    * chunk data (length-prefixed chunk iteration), JPEG entropy bytes
+    * (marker-segment walk to the first non-segment byte, EOI stripped),
+    * GIF data between the logical-screen descriptor and the 0x3B
+    * trailer. Returns null for non-image/unsupported formats, empty for
+    * well-formed containers with no data section. */
+  def imageEssence(payload: Array[Byte]): Array[Byte] = {
+    val n = payload.length
+    if (n >= 20 && payload.startsWith(PngMagic)) {
+      var p = 8
+      while (p + 8 <= n) {
+        val len = u32be(payload, p)
+        val typ = fourcc(payload, p + 4)
+        if (typ == "IDAT")
+          return java.util.Arrays.copyOfRange(payload, p + 8,
+            math.min(n.toLong, p + 8 + len).toInt)
+        if (typ == "IEND" || len > n) return Array.emptyByteArray
+        p += 12 + len.toInt // length + type + data + crc
+      }
+      Array.emptyByteArray
+    } else if (n >= 4 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) {
+      var p = 2
+      while (p + 4 <= n && (payload(p) & 0xff) == 0xff) {
+        val m = payload(p + 1) & 0xff
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) p += 2
+        else if (m == 0xd9) return Array.emptyByteArray
+        else p += 2 + u16be(payload, p + 2)
+      }
+      if (p < n - 2) java.util.Arrays.copyOfRange(payload, p, n - 2)
+      else Array.emptyByteArray
+    } else if (n >= 14 && new String(payload, 0, 6, ISO_8859_1).matches("GIF8[79]a")) {
+      java.util.Arrays.copyOfRange(payload, 13, n - 1)
+    } else null
+  }
+
+  /** 8×8 average hash over the first 64 essence bytes (unsigned): byte j
+    * of the hash covers essence bytes 8j..8j+7 MSB-first, bit set iff the
+    * byte exceeds the floor-mean of the 64. Lowercase hex; null when the
+    * essence is too short — the aHash shape every perceptual-dedup
+    * pipeline reduces to once frames are grayscale-resized to 8×8. */
+  def aHash64(essence: Array[Byte]): String = {
+    if (essence == null || essence.length < 64) return null
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += essence(i) & 0xff; i += 1 }
+    val mean = sum / 64
+    val out = new StringBuilder(16)
+    var j = 0
+    while (j < 8) {
+      var b = 0
+      var k = 0
+      while (k < 8) {
+        if ((essence(8 * j + k) & 0xff) > mean) b |= 1 << (7 - k)
+        k += 1
+      }
+      out.append("%02x".format(b))
+      j += 1
+    }
+    out.toString
+  }
+
   /** EXIF orientation (tag 0x0112) from a JPEG APP1 segment; 0 when
     * absent/unparseable. Handles both II and MM byte orders. */
   def exifOrientation(payload: Array[Byte]): Long = {

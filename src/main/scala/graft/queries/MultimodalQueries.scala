@@ -202,6 +202,58 @@ object MultimodalQueries {
       GROUP BY 1
       ORDER BY orientation"""))
 
+  /** One hash byte in the oracle: essence bytes 8j..8j+7 MSB-first,
+    * CASE-summed against the floor-mean. */
+  private def phashByteSql(j: Int): String =
+    (0 until 8).map { k =>
+      s"CASE WHEN c[${8 * j + k + 1}] > mean THEN ${1 << (7 - k)} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** Perceptual hashing over the image subset: Spark walks the REAL
+    * container (PNG IDAT chunk iteration / JPEG marker-segment walk /
+    * GIF descriptor+trailer bounds — [[Media.imageEssence]]) to recover
+    * the codec data section, then computes the canonical 8×8 average
+    * hash ([[Media.aHash64]]). The oracle replays the hash from the
+    * generation bytes, so a match proves the byte-level essence
+    * extraction AND the hash fold. Equal-phash grouping is then ordinary
+    * exact dedup machinery (hash groupBy) — the near-dup variant is the
+    * [[graft.functions.HammingDistance]] banded join the simhash family
+    * already runs. TIFF/WebP rotation slots have no essence walker and
+    * drop out (the documented boundary). */
+  val mmPhash = GraftQuery(
+    "mm_phash",
+    (s, dir) => {
+      import s.implicits._
+      val media = Media.synthesize(Tables.load(s, dir, "documents"))
+      media.filter($"media_type" === "image")
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, _, payload) =>
+          val h = Media.aHash64(Media.imageEssence(payload))
+          if (h == null) None else Some((id, Media.codecOf(payload), h))
+        })
+        .toDF("doc_id", "codec", "phash")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH img AS (
+        SELECT doc_id, text, CAST((doc_id // 3) % 5 AS INTEGER) AS slot
+        FROM documents
+        WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 IN (0, 1, 2)
+          AND OCTET_LENGTH(ENCODE(text)) >= 64),
+      codes AS (
+        SELECT doc_id, slot,
+               list_transform(range(1, 65),
+                              i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS c
+        FROM img),
+      m AS (SELECT doc_id, slot, c, list_sum(c) // 64 AS mean FROM codes)
+      SELECT doc_id,
+             (['png', 'jpeg', 'gif'])[slot + 1] AS codec,
+             printf('%02x%02x%02x%02x%02x%02x%02x%02x',
+               ${(0 until 8).map(phashByteSql).mkString(",\n               ")}) AS phash
+      FROM m
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
-    Seq(mmMediaMeta, mmTypeStats, mmFrameSample, mmCodecStats, mmOrientationStats)
+    Seq(mmMediaMeta, mmTypeStats, mmFrameSample, mmCodecStats, mmOrientationStats,
+      mmPhash)
 }
