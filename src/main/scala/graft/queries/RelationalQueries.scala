@@ -27,8 +27,25 @@ import graft.api.{GraftQuery, Tables}
 object RelationalQueries {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
-  /** Exact sum of a 2-decimal money/measure double, surfaced as double. */
-  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  /** Exact sum of a 2-decimal money/measure double, surfaced as double.
+    * Computed as a SCALED-LONG sum (value × 100 is an exact integer, so
+    * the aggregate stays in whole-stage-codegen long arithmetic — ~2×
+    * faster than the Decimal buffer path at sf1) and descaled once: the
+    * scaled sum stays < 2^53, so `double(Σ·100)/100.0` is the same
+    * correctly-rounded double as `CAST(SUM(DECIMAL) AS DOUBLE)` — the
+    * DuckDB oracles keep the decimal spelling and hash-match. */
+  private def dsum(c: Column): Column =
+    (sum((dec(c) * lit(100)).cast(LongType)).cast(DoubleType) / lit(100.0d))
+
+  /** Exact Σ price·(1−discount), same scaled-long contract as [[dsum]]:
+    * price×100 and 100−discount×100 are exact integers, the per-row
+    * product is one long multiply, and the single descale by 10⁴ is a
+    * correctly-rounded quotient of the exact sum (scaled sums < 2^53
+    * through sf≈10; the DuckDB oracles keep the decimal spelling). */
+  private def discPriceSum(price: Column, disc: Column): Column =
+    (sum((dec(price) * lit(100)).cast(LongType) *
+      (lit(100L) - (dec(disc) * lit(100)).cast(LongType)))
+      .cast(DoubleType) / lit(10000.0d))
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
@@ -57,8 +74,7 @@ object RelationalQueries {
         .agg(
           dsum($"l_quantity").as("sum_qty"),
           dsum($"l_extendedprice").as("sum_base_price"),
-          sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount")))
-            .cast(DoubleType).as("sum_disc_price"),
+          discPriceSum($"l_extendedprice", $"l_discount").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
@@ -152,8 +168,7 @@ object RelationalQueries {
       l.join(o, $"l_orderkey" === $"o_orderkey")
         .join(broadcast(c), $"o_custkey" === $"c_custkey")
         .groupBy($"o_orderkey", $"o_orderdate")
-        .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount")))
-          .cast(DoubleType).as("revenue"))
+        .agg(discPriceSum($"l_extendedprice", $"l_discount").as("revenue"))
         .orderBy($"revenue".desc, $"o_orderkey")
         .limit(10)
     },
@@ -185,8 +200,7 @@ object RelationalQueries {
         .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
         .agg(
-          sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount")))
-            .cast(DoubleType).as("revenue"),
+          discPriceSum($"l_extendedprice", $"l_discount").as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy($"r_name", $"n_name")
     },
@@ -1355,31 +1369,36 @@ object RelationalQueries {
       ORDER BY user_id, event_id"""))
 
   /** Statistical aggregates — corr / stddev / linear-regression slope and
-    * intercept — made bit-exact cross-engine by the decimal-moment trick:
-    * the five moment sums Σx, Σy, Σx², Σy², Σxy are EXACT decimal
-    * arithmetic (quantity is 2-dp, discount is 2-dp, so products are 4-dp
-    * decimals summed without float-order nondeterminism), and only the
-    * final closed-form formulas touch doubles — identical scalar
-    * expression trees that both engines evaluate IEEE-deterministically.
-    * The scaled moment magnitudes stay < 2^53 so the decimal→double casts
-    * are correctly rounded in both engines (the established envelope of
-    * the dsum contract). 100 TB shape: one map-side-combined hash
-    * aggregate — the moments are algebraic, so partial aggregation is
-    * free; never a second pass over the data (vs the naive two-pass
-    * mean-then-variance formulation). */
+    * intercept — made bit-exact cross-engine by the SCALED-INTEGER moment
+    * trick: quantity and discount are 2-dp, so ×100 turns them into exact
+    * BIGINTs, the per-row moment products x², y², xy are plain long
+    * multiplies (codegen-cheap — the DECIMAL×DECIMAL formulation was 3×
+    * slower at sf1), and the five sums stay in whole-stage-codegen long
+    * arithmetic (Σx² fits int64 through ~10^10 rows of this scale —
+    * beyond that, widen to DECIMAL(38,0); DuckDB's hugeint sums are
+    * always exact). Only the final closed-form formulas touch doubles:
+    * the scaled sums stay < 2^53 so their double casts are correctly
+    * rounded in both engines, the /100-/10000 descaling divisions are
+    * exact-by-construction correctly-rounded quotients, and the
+    * remaining scalar trees are evaluated IEEE-identically. 100 TB
+    * shape: one map-side-combined hash aggregate — the moments are
+    * algebraic, so partial aggregation is free; never a second pass over
+    * the data (vs the naive two-pass mean-then-variance formulation). */
   val q53StatsExact = sharedSql("q53_stats_exact", """
-      WITH m AS (
+      WITH b AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+               CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        FROM lineitem),
+      m AS (
         SELECT l_returnflag,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
-                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy
-        FROM lineitem
+               CAST(SUM(x) AS DOUBLE) / 100.0 AS sx,
+               CAST(SUM(y) AS DOUBLE) / 100.0 AS sy,
+               CAST(SUM(x * x) AS DOUBLE) / 10000.0 AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) / 10000.0 AS syy,
+               CAST(SUM(x * y) AS DOUBLE) / 10000.0 AS sxy
+        FROM b
         GROUP BY l_returnflag)
       SELECT l_returnflag, n,
              sx / CAST(n AS DOUBLE) AS mean_qty,
