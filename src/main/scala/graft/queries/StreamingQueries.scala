@@ -310,8 +310,34 @@ object StreamingQueries {
       FROM rl
       ORDER BY user_id, event_id"""))
 
+  /** Streaming windowed top-k (batch twin): the k most frequent event
+    * types per tumbling hour. The streaming path ranks each window when
+    * its event-time timer fires (see [[EventPipeline.topkTypes]]);
+    * StreamingSpec pins streaming == batch across a watermark advance. */
+  val stTopk = GraftQuery(
+    "st_topk",
+    (s, dir) => {
+      import s.implicits._
+      val events = Tables.load(s, dir, "events").as[EventPipeline.Event]
+      EventPipeline.topkTypes(s, events, k = 3)
+        .orderBy($"window_start", $"rnk")
+    },
+    Some("""
+      WITH c AS (
+        SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type, COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                     ORDER BY n DESC, event_type) AS rnk
+        FROM c)
+      SELECT window_start, CAST(rnk AS BIGINT) AS rnk, event_type, n
+      FROM r WHERE rnk <= 3
+      ORDER BY window_start, rnk"""))
+
   val all: Seq[GraftQuery] =
     Seq(stSessionize, stWindowedCounts, stDistinctUsers, stSlidingRates,
       stDedup, stIntervalJoin, stAttributionOuter, stSessionWindow, stEnrich,
-      stRateLimit)
+      stRateLimit, stTopk)
 }

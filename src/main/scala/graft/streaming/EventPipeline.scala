@@ -394,6 +394,65 @@ object EventPipeline extends Serializable {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** One window's ranked top-k row. */
+  final case class WindowTopk(
+      window_start: Timestamp, rnk: Long, event_type: String, n: Long)
+
+  /** Streaming windowed TOP-K: per tumbling hour, the k most frequent
+    * event types (count desc, type-name tie-break).
+    *
+    * Streaming path: per-window per-type counts live as ONE map in
+    * `flatMapGroupsWithState` keyed by the hour index, and an EVENT-TIME
+    * TIMEOUT at the window end emits the ranked top-k exactly once when
+    * the watermark passes, then removes the state — append-mode clean,
+    * state O(distinct types) per open window, output O(k) per window.
+    * (A plain streaming aggregate cannot rank within a window — ranking
+    * needs the window's counts COMPLETE, which is exactly what the timer
+    * signals.) Batch path: (window, type) counts + a per-window rank —
+    * one shuffle, and WindowGroupLimit caps the rank sort at k rows per
+    * partition. */
+  def topkTypes(
+      spark: SparkSession,
+      events: Dataset[Event],
+      k: Int,
+      watermark: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    if (events.isStreaming) {
+      events
+        .withWatermark("ts", watermark)
+        .groupByKey(e => toMicros(e.ts) / 3600000000L)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (hour: Long, it: Iterator[Event], state: GroupState[Map[String, Long]]) =>
+            if (state.hasTimedOut) {
+              val ws = new Timestamp(hour * 3600000L)
+              val ranked = state.get.toSeq
+                .sortBy { case (t, n) => (-n, t) }
+                .take(k).zipWithIndex
+                .map { case ((t, n), i) => WindowTopk(ws, i + 1L, t, n) }
+              state.remove()
+              ranked.iterator
+            } else {
+              var m = state.getOption.getOrElse(Map.empty[String, Long])
+              it.foreach(e =>
+                m = m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1))
+              state.update(m)
+              state.setTimeoutTimestamp((hour + 1) * 3600000L)
+              Iterator.empty
+            }
+        }.toDF()
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"window_start").orderBy($"n".desc, $"event_type")
+      events.toDF()
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+        .withColumn("rnk", row_number().over(w).cast(org.apache.spark.sql.types.LongType))
+        .filter($"rnk" <= k)
+        .select($"window_start", $"rnk", $"event_type", $"n")
+    }
+  }
+
   /** Streaming entry: watch a directory of event JSON files. The schema is
     * the `events` table's; the transforms above apply unchanged. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

@@ -252,6 +252,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming windowed top-k: timer emits ranked types equal to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hour0 = Seq(
+      ev(1, 0, 1, "click", 1.0), ev(2, 5, 2, "click", 1.0), ev(3, 10, 3, "click", 1.0),
+      ev(4, 15, 1, "view", 1.0), ev(5, 20, 2, "view", 1.0),
+      ev(6, 25, 1, "buy", 1.0), ev(7, 30, 4, "cart", 1.0))
+    val stream = MemoryStream[Event]
+    val q = EventPipeline.topkTypes(spark, stream.toDS(), k = 3)
+      .writeStream.format("memory").queryName("topk").outputMode("append").start()
+    try {
+      stream.addData(hour0: _*)
+      q.processAllAvailable()
+      assert(spark.table("topk").count() === 0) // window still open
+
+      // far-future events advance the watermark past hour0's end: the
+      // event-time timer fires and emits the ranked top-3 exactly once
+      stream.addData(ev(8, 180, 9, "view", 1.0))
+      q.processAllAvailable()
+      stream.addData(ev(9, 185, 9, "view", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("topk").orderBy("window_start", "rnk").collect()
+      val batch = EventPipeline.topkTypes(spark, hour0.toDS(), k = 3)
+        .orderBy("window_start", "rnk").collect()
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+      assert(streamed.length === 3)
+      assert(streamed(0).getString(2) === "click" && streamed(0).getLong(3) === 3L)
+      assert(streamed(1).getString(2) === "view") // tie-break: buy beats cart at rank 3
+      assert(streamed(2).getString(2) === "buy")
+    } finally q.stop()
+  }
+
   test("sessionize batch mode agrees with hand computation") {
     import spark.implicits._
     val events = Seq(
