@@ -890,6 +890,10 @@ object Dissect {
         dissectArp(d, l3off, v)
       case 0x88cc =>
         dissectLldp(d, l3off, v, protos)
+      case 0x8863 =>
+        dissectPppoed(d, l3off, v, protos)
+      case 0x0842 =>
+        dissectWol(d, l3off, d.length, v, protos)
       case other =>
         f"Ethernet II (0x$other%04x)"
     }
@@ -1080,6 +1084,7 @@ object Dissect {
       case 89  => protos += "ospf"; dissectOspf(d, next, ipEnd, v)
       case 112 => dissectVrrp(d, next, ipEnd, v, protos)
       case 132 => dissectSctp(d, next, ipEnd, v, protos)
+      case 33  => dissectDccp(d, next, ipEnd, v, protos)
       case _   => null
     }
   }
@@ -1190,6 +1195,7 @@ object Dissect {
       case 51 => dissectAh(d, p, end, src, dst, v, protos, tracker, wanted)
       case 89  => protos += "ospf"; dissectOspf(d, p, end, v)
       case 132 => dissectSctp(d, p, end, v, protos)
+      case 33  => dissectDccp(d, p, end, v, protos)
       case _   => null
     }
   }
@@ -2202,6 +2208,11 @@ object Dissect {
     if (sp == 514 || dp == 514) {
       val sysInfo = dissectSyslog(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
       if (sysInfo != null) return sysInfo
+    }
+    if (sp == 9 || dp == 9) {
+      val wolInfo = dissectWol(d, off + 8,
+        off + 8 + math.min(payLen, d.length - off - 8), v, protos)
+      if (wolInfo != null) return wolInfo
     }
     if (sp == 69 || dp == 69) {
       val tftpInfo = dissectTftp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
@@ -5663,6 +5674,80 @@ object Dissect {
       v("ajp13.status") = status.toLong
       s"$codeName $status"
     } else codeName
+  }
+
+  private val dccpTypeNames: Array[String] = Array("Request", "Response",
+    "Data", "Ack", "DataAck", "CloseReq", "Close", "Reset", "Sync", "SyncAck")
+
+  /** DCCP (RFC 4340, IP protocol 33): generic header; the X bit selects
+    * the 24-bit short or 48-bit extended sequence number. */
+  private def dissectDccp(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (off + 12 > end) return null
+    protos += "dccp"
+    val sp = u16(d, off); val dp = u16(d, off + 2)
+    v("dccp.srcport") = sp.toLong
+    v("dccp.dstport") = dp.toLong
+    val tByte = u8(d, off + 8)
+    val typ = (tByte >> 1) & 0x0f
+    v("dccp.type") = typ.toLong
+    val seq: Long =
+      if ((tByte & 1) == 1 && off + 16 <= end)
+        (u16(d, off + 10).toLong << 32) | u32(d, off + 12)
+      else (u8(d, off + 9).toLong << 16) | u16(d, off + 10).toLong
+    v("dccp.seq") = seq
+    val name = if (typ < dccpTypeNames.length) dccpTypeNames(typ) else s"Type$typ"
+    s"$sp → $dp [$name] Seq=$seq"
+  }
+
+  private val pppoedCodeNames: Map[Int, String] = Map(
+    0x09 -> "Active Discovery Initiation (PADI)",
+    0x07 -> "Active Discovery Offer (PADO)",
+    0x19 -> "Active Discovery Request (PADR)",
+    0x65 -> "Active Discovery Session-confirmation (PADS)",
+    0xa7 -> "Active Discovery Terminate (PADT)")
+
+  /** PPPoE Discovery (RFC 2516, ethertype 0x8863): ver/type 0x11, code,
+    * session id, then TLV tags (first tag surfaced). */
+  private def dissectPppoed(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 6 || u8(d, off) != 0x11) return null
+    protos += "pppoed"
+    val code = u8(d, off + 1)
+    if (d.length >= off + 10) {
+      v("pppoed.tag") = u16(d, off + 6).toLong
+      v("pppoed.tag_length") = u16(d, off + 8).toLong
+    }
+    pppoedCodeNames.getOrElse(code, f"Code 0x$code%02x")
+  }
+
+  /** Wake-on-LAN magic packet (UDP 9 / ethertype 0x0842): six 0xFF sync
+    * bytes then sixteen repetitions of the target MAC. */
+  private def dissectWol(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 102) return null
+    var i = 0
+    while (i < 6) { if ((d(off + i) & 0xff) != 0xff) return null; i += 1 }
+    var r = 1
+    while (r < 16) {
+      var k = 0
+      while (k < 6) {
+        if (d(off + 6 + r * 6 + k) != d(off + 6 + k)) return null
+        k += 1
+      }
+      r += 1
+    }
+    protos += "wol"
+    val mac = (0 until 6).map(k => f"${d(off + 6 + k) & 0xff}%02x").mkString(":")
+    v("wol.sync_stream") = "ffffffffffff"
+    v("wol.mac") = mac
+    s"MagicPacket for $mac"
   }
 
   private val coapMethodNames: Map[Int, String] = Map(

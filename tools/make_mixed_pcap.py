@@ -1066,4 +1066,19 @@ ajp_rsp = b"AB" + struct.pack(">H", len(ajp_pl2)) + ajp_pl2
 extra.append((t3, 15200, ip_frame(6, B, A, tcp(8009, 54600, 1, ajp_rsp),
               ident=188)))
 
+# 155-157: transports/link tier — DCCP Request (IP proto 33), PPPoE
+# Discovery PADI (ethertype 0x8863), Wake-on-LAN magic packet (UDP 9)
+dccp_req = struct.pack(">HHBBH", 54700, 5001, 5, 0, 0) + \
+    bytes([0 << 1 | 1, 0]) + struct.pack(">HI", 0x0012, 0x3456789A) + \
+    struct.pack(">I", 42)  # 48-bit seq 0x123456789A + service code
+extra.append((t3, 15300, ip_frame(33, A, B, dccp_req, ident=189)))
+
+padi = bytes([0x11, 0x09]) + struct.pack(">HH", 0, 4) + \
+    struct.pack(">HH", 0x0101, 0)  # Service-Name tag, empty
+extra.append((t3, 15400, eth(b"\xff" * 6, MAC_A, 0x8863, padi)))
+
+wol_mac = bytes.fromhex("020000000002")
+wol_pkt = b"\xff" * 6 + wol_mac * 16
+extra.append((t3, 15500, ip_frame(17, A, B, udp(54800, 9, wol_pkt), ident=190)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
