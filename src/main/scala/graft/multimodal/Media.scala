@@ -664,6 +664,37 @@ object Media {
     } else null
   }
 
+  /** Verify every PNG chunk's stored CRC32 against a recomputation over
+    * type+data — the ingest-time integrity gate that catches bit rot and
+    * truncation before a corrupt sample reaches training. Structural
+    * damage (bad lengths, missing IEND, trailing bytes) also fails. */
+  def pngCrcOk(payload: Array[Byte]): Boolean = {
+    val n = payload.length
+    if (n < 20 || !payload.startsWith(PngMagic)) return false
+    var p = 8
+    while (p + 12 <= n) {
+      val len = u32be(payload, p).toInt
+      if (len < 0 || p + 12 + len > n) return false
+      val stored = u32be(payload, p + 8 + len)
+      val c = new java.util.zip.CRC32()
+      c.update(payload, p + 4, 4 + len)
+      if ((c.getValue & 0xffffffffL) != stored) return false
+      val typ = fourcc(payload, p + 4)
+      p += 12 + len
+      if (typ == "IEND") return p == n
+    }
+    false
+  }
+
+  /** Deterministic single-bit corruption inside a synthesized PNG's IDAT
+    * data (fixture-side damage injection for the integrity check). */
+  def corruptOneByte(payload: Array[Byte]): Array[Byte] = {
+    val out = payload.clone()
+    val pos = math.min(out.length - 1, 41 + math.max(0, (out.length - 57) / 2))
+    out(pos) = (out(pos) ^ 0x01).toByte
+    out
+  }
+
   /** 8×8 average hash over the first 64 essence bytes (unsigned): byte j
     * of the hash covers essence bytes 8j..8j+7 MSB-first, bit set iff the
     * byte exceeds the floor-mean of the 64. Lowercase hex; null when the

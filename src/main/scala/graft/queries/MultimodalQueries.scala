@@ -253,7 +253,35 @@ object MultimodalQueries {
       FROM m
       ORDER BY doc_id"""))
 
+  /** Container integrity validation: every PNG chunk's CRC32 is
+    * RECOMPUTED and compared to the stored value ([[Media.pngCrcOk]]);
+    * even-id PNGs get one bit flipped inside IDAT first
+    * ([[Media.corruptOneByte]]), so the oracle's id-parity truth table
+    * only hash-matches if the CRC walk detects exactly the damaged
+    * payloads — the ingest-time bit-rot gate, validated end-to-end. */
+  val mmIntegrity = GraftQuery(
+    "mm_integrity",
+    (s, dir) => {
+      import s.implicits._
+      val media = Media.synthesize(Tables.load(s, dir, "documents"))
+      media.as[(Long, String, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, _, payload) =>
+          if (Media.codecOf(payload) != "png") None
+          else {
+            val p = if (id % 2 == 0) Media.corruptOneByte(payload) else payload
+            Some((id, Media.pngCrcOk(p)))
+          }
+        })
+        .toDF("doc_id", "crc_ok")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id, (doc_id % 2 <> 0) AS crc_ok
+      FROM documents
+      WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 = 0
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(mmMediaMeta, mmTypeStats, mmFrameSample, mmCodecStats, mmOrientationStats,
-      mmPhash)
+      mmPhash, mmIntegrity)
 }

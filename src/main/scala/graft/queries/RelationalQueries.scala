@@ -1477,6 +1477,18 @@ object RelationalQueries {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""")
 
+  /** GROUP BY ALL / ORDER BY ALL — the modern-SQL ergonomic forms (every
+    * non-aggregate projection becomes a grouping key; the result orders
+    * by all columns left-to-right). Same physical plan as the explicit
+    * spelling; this pins that both engines resolve the sugar identically. */
+  val q56GroupByAll = sharedSql("q56_group_by_all", """
+      SELECT l_returnflag, l_linestatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY ALL
+      ORDER BY ALL""")
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -1491,5 +1503,5 @@ object RelationalQueries {
     q40WindowDistribution, q41MultiDistinct, q42AsofJoin, q43PartitionedRw,
     q44BucketedJoin, q45Unpivot, q46RecursiveSpine, q47LateralTopn,
     q48HigherOrder, q49ListAgg, q50Funnel, q51Variant, q52Scd2,
-    q53StatsExact, q54IgnoreNulls, q55FilterClause)
+    q53StatsExact, q54IgnoreNulls, q55FilterClause, q56GroupByAll)
 }
