@@ -511,6 +511,71 @@ object TextQueries {
       ORDER BY doc_a, doc_b"""
     })
 
+  /** Incremental (ingest-time) near-dup detection: "new" documents
+    * (doc_id % 10 = 7 stands in for the arriving slice) are signed
+    * PER-ROW with [[graft.functions.MinHash]] — pure local compute, no
+    * shuffle on the serving side — banded, and probed against the
+    * corpus's LSH band index (in production a persisted bucketed table;
+    * here the fit-side SQL machinery, proving the two signature paths
+    * are bit-identical). Output: every signable new doc with its count
+    * of distinct corpus near-dup partners. The streaming twin runs the
+    * same per-row signer under a stream-static join (StreamingSpec). */
+  val ddIncremental = GraftQuery(
+    "dd_incremental",
+    (s, dir) => {
+      import s.implicits._
+      val sig = ddMinhashSig.fn(s, dir)
+      val corpusBands = (0 until nHashes by 2).map { h =>
+        sig.filter($"doc_id" % 10 =!= 7)
+          .select($"doc_id".as("corpus_id"), lit(h / 2).as("band"),
+            concat(col(s"mh$h"), col(s"mh${h + 1}")).as("bucket"))
+      }.reduce(_ union _)
+      val newDocs = docs(s, dir).filter($"doc_id" % 10 === 7)
+        .select($"doc_id", $"text").as[(Long, String)]
+      val newBands = newDocs.flatMap { case (id, text) =>
+        val sg = graft.functions.MinHash.signature(text)
+        if (sg == null) Nil
+        else graft.functions.MinHash.bands(sg).map { case (b, bk) => (id, b, bk) }
+      }.toDF("doc_id", "band", "bucket")
+      val hits = newBands.join(corpusBands, Seq("band", "bucket"))
+        .groupBy($"doc_id")
+        .agg(countDistinct($"corpus_id").as("n_dup_partners"))
+      newBands.select($"doc_id").distinct()
+        .join(hits, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_dup_partners", lit(0L)).as("n_dup_partners"),
+          (coalesce($"n_dup_partners", lit(0L)) > 0).as("is_dup"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val aggs = (0 until nHashes)
+        .map(h => s"MIN(MD5('$h|' || shingle)) AS mh$h").mkString(", ")
+      val bandSelects = (0 until nHashes by 2).map { h =>
+        s"SELECT doc_id, ${h / 2} AS band, mh$h || mh${h + 1} AS bucket FROM sig"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, ARRAY_TO_STRING(tokens[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens FROM documents),
+             UNNEST(RANGE(1, LEN(tokens) - 1)) AS t(i)
+        WHERE LEN(tokens) >= 3),
+      sig AS (SELECT doc_id, $aggs FROM sh GROUP BY doc_id),
+      bands AS (
+        $bandSelects),
+      newb AS (SELECT * FROM bands WHERE doc_id % 10 = 7),
+      corp AS (SELECT * FROM bands WHERE doc_id % 10 <> 7),
+      hits AS (
+        SELECT n.doc_id, COUNT(DISTINCT c.doc_id) AS n_dup_partners
+        FROM newb n JOIN corp c ON n.band = c.band AND n.bucket = c.bucket
+        GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(COALESCE(h.n_dup_partners, 0) AS BIGINT) AS n_dup_partners,
+             COALESCE(h.n_dup_partners, 0) > 0 AS is_dup
+      FROM (SELECT DISTINCT doc_id FROM newb) d
+      LEFT JOIN hits h ON h.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
+    })
+
   // ---------------------------------------------------------------------
   // SimHash (64-bit, exact-integer, engine-portable)
   // ---------------------------------------------------------------------
@@ -1466,5 +1531,5 @@ object TextQueries {
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
     ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddSubdocDedup, ddSimjoinAuto,
     txBpeTokens, txPackDocs, ddEditPairs, ddPassJoin, txDomainCap,
-    txChunkOverlap)
+    txChunkOverlap, ddIncremental)
 }

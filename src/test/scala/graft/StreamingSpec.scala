@@ -284,6 +284,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental near-dup: streamed docs flag against the static corpus index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.MinHash
+    def bandRows(id: Long, text: String): Seq[(Long, Int, String)] = {
+      val sg = MinHash.signature(text)
+      if (sg == null) Nil else MinHash.bands(sg).map { case (b, bk) => (id, b, bk) }
+    }
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different corpus text about spark joins and shuffles"))
+    val corpusBands = corpus.flatMap { case (id, t) => bandRows(id, t) }
+      .toDF("corpus_id", "band", "bucket")
+
+    val stream = MemoryStream[(Long, String)]
+    val newBands = stream.toDS().flatMap { case (id, t) => bandRows(id, t) }
+      .toDF("doc_id", "band", "bucket")
+    val flagged = newBands.join(corpusBands, Seq("band", "bucket"))
+      .select(col("doc_id")).dropDuplicates("doc_id")
+    val q = flagged.writeStream.format("memory").queryName("incdup")
+      .outputMode("append").start()
+    try {
+      // doc 10 duplicates corpus doc 1 (all bands collide); doc 11 is novel
+      stream.addData(
+        (10L, "the quick brown fox jumps over the lazy dog tonight"),
+        (11L, "a totally novel document with no shared shingles anywhere here"))
+      q.processAllAvailable()
+      val got = spark.table("incdup").as[Long].collect().sorted.toSeq
+      assert(got === Seq(10L))
+    } finally q.stop()
+  }
+
   test("sessionize batch mode agrees with hand computation") {
     import spark.implicits._
     val events = Seq(
