@@ -576,6 +576,54 @@ object TextQueries {
       ORDER BY d.doc_id"""
     })
 
+  /** LSH index health: per-band bucket statistics INCLUDING the exact
+    * candidate-pair bound Σ occ·(occ−1)/2 — the cost of the banded
+    * near-dup join, predicted from a counts-only aggregate BEFORE paying
+    * for it (the text-side twin of sim_ivf_cell_stats; at 100 TB this is
+    * the report that tells you to widen bands or cap df first). */
+  val ddLshStats = GraftQuery(
+    "dd_lsh_stats",
+    (s, dir) => {
+      import s.implicits._
+      val sig = ddMinhashSig.fn(s, dir)
+      val bands = (0 until nHashes by 2).map { h =>
+        sig.select($"doc_id", lit(h / 2).as("band"),
+          concat(col(s"mh$h"), col(s"mh${h + 1}")).as("bucket"))
+      }.reduce(_ union _)
+      bands.groupBy($"band", $"bucket").agg(count(lit(1)).as("occ"))
+        .groupBy($"band")
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          max($"occ").as("max_occ"),
+          sum($"occ").as("n_docs"),
+          expr("CAST(SUM((occ * (occ - 1)) DIV 2) AS BIGINT)").as("candidate_pairs"))
+        .orderBy($"band")
+    },
+    Some {
+      val aggs = (0 until nHashes)
+        .map(h => s"MIN(MD5('$h|' || shingle)) AS mh$h").mkString(", ")
+      val bandSelects = (0 until nHashes by 2).map { h =>
+        s"SELECT doc_id, ${h / 2} AS band, mh$h || mh${h + 1} AS bucket FROM sig"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, ARRAY_TO_STRING(tokens[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens FROM documents),
+             UNNEST(RANGE(1, LEN(tokens) - 1)) AS t(i)
+        WHERE LEN(tokens) >= 3),
+      sig AS (SELECT doc_id, $aggs FROM sh GROUP BY doc_id),
+      bands AS (
+        $bandSelects),
+      occ AS (SELECT band, bucket, COUNT(*) AS occ FROM bands GROUP BY 1, 2)
+      SELECT band, COUNT(*) AS n_buckets,
+             CAST(MAX(occ) AS BIGINT) AS max_occ,
+             CAST(SUM(occ) AS BIGINT) AS n_docs,
+             CAST(SUM((occ * (occ - 1)) // 2) AS BIGINT) AS candidate_pairs
+      FROM occ
+      GROUP BY band
+      ORDER BY band"""
+    })
+
   // ---------------------------------------------------------------------
   // SimHash (64-bit, exact-integer, engine-portable)
   // ---------------------------------------------------------------------
@@ -1531,5 +1579,5 @@ object TextQueries {
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
     ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddSubdocDedup, ddSimjoinAuto,
     txBpeTokens, txPackDocs, ddEditPairs, ddPassJoin, txDomainCap,
-    txChunkOverlap, ddIncremental)
+    txChunkOverlap, ddIncremental, ddLshStats)
 }

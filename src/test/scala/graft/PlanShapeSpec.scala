@@ -225,6 +225,43 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning reaches a partitioned fact scan") {
+    // DPP: the selective dim side's keys prune fact PARTITIONS at
+    // runtime — the difference between scanning 3 and 3,000 partitions
+    // of a date-partitioned 100 TB fact table.
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    graft.api.Tables.registerViews(spark, sfDir)
+    spark.sql("SELECT o_orderkey, o_custkey, o_orderpriority FROM orders")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("orders_part")
+    val df = spark.sql("""
+      SELECT p.o_orderkey FROM orders_part p
+      JOIN (SELECT DISTINCT o_orderpriority AS pr FROM orders
+            WHERE o_orderkey < 10) d
+        ON p.o_orderpriority = d.pr""")
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
+      "the dim side must inject a dynamic partition-pruning subquery")
+  }
+
+  test("parquet aggregate pushdown answers MIN/MAX/COUNT from footer stats") {
+    val keys = Seq("spark.sql.parquet.aggregatePushDown", "spark.sql.sources.useV1SourceList")
+    val restore = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+      spark.conf.set("spark.sql.sources.useV1SourceList", "") // DSv2 path required
+      val df = spark.read.format("parquet").load(s"$sfDir/lineitem.parquet")
+        .agg(org.apache.spark.sql.functions.max("l_quantity"),
+          org.apache.spark.sql.functions.count("*"))
+      val p = df.queryExecution.optimizedPlan.toString() +
+        df.queryExecution.executedPlan.toString()
+      assert(p.contains("PushedAggregation") || p.contains("pushedAggregate"),
+        "MIN/MAX/COUNT should be answered from parquet footer statistics")
+    } finally restore.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
+
   test("hard-negative mining broadcasts the query side; corpus scans once") {
     val p = plan("sim_hard_negatives")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
