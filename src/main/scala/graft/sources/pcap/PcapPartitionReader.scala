@@ -49,17 +49,23 @@ final class PcapPartitionReader(
   private val path = new Path(partition.file)
   private val raw = path.getFileSystem(new Configuration()).open(path)
   private val gzipped = partition.file.endsWith(".gz")
+  // zstd via Spark's bundled pure-Java aircompressor — no native lib
+  private val zstded =
+    partition.file.endsWith(".zst") || partition.file.endsWith(".zstd")
+  private val compressed = gzipped || zstded
 
   private def buffered(in: java.io.InputStream) =
     new DataInputStream(new java.io.BufferedInputStream(
-      if (gzipped) new java.util.zip.GZIPInputStream(in, 1 << 16) else in, 1 << 20))
+      if (gzipped) new java.util.zip.GZIPInputStream(in, 1 << 16)
+      else if (zstded) new io.airlift.compress.zstd.ZstdInputStream(in)
+      else in, 1 << 20))
 
   private val isPcapng = {
     val b = new Array[Byte](4)
-    if (gzipped) {
+    if (compressed) {
       val probe = buffered(raw)
       probe.readFully(b)
-      raw.seek(0) // restart: gzip stream can't rewind
+      raw.seek(0) // restart: a compressed stream can't rewind
     } else {
       raw.readFully(b)
       raw.seek(0)
@@ -72,8 +78,8 @@ final class PcapPartitionReader(
     if (isPcapng) {
       // pcapng carries per-record linktype; splits don't apply (whole file)
       (graft.pcap.PcapngFormat.records(buffered(raw), partition.maxPackets), 1)
-    } else if (gzipped) {
-      // gzip: sequential only — no seeks, no intra-file splits.
+    } else if (compressed) {
+      // gzip/zstd: sequential only — no seeks, no intra-file splits.
       // reuseBuffers: this reader consumes each Record into an InternalRow
       // before the next hasNext call, the buffer-reuse contract
       val din = buffered(raw)

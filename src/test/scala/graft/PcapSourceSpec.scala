@@ -219,6 +219,19 @@ class PcapSourceSpec extends SparkSpec {
     assert(s === 259678L + 19702L)
   }
 
+  test("zstd-compressed capture reads transparently (pure-Java aircompressor)") {
+    val zst = java.nio.file.Files.createTempFile("fix", ".pcap.zst")
+    val out = new io.airlift.compress.zstd.ZstdOutputStream(
+      java.nio.file.Files.newOutputStream(zst))
+    out.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fixPcap)))
+    out.close()
+    val df = Wireduck.readPcap(spark, zst.toString, protocols = Seq("ip", "tcp"))
+    assert(df.count() === 485)
+    import org.apache.spark.sql.functions._
+    val s = df.agg(sum(col("`tcp.len`"))).collect()(0).getLong(0)
+    assert(s === 259678L + 19702L)
+  }
+
   test("missing capture file errors like the reference, not an empty table") {
     val e = intercept[Exception] {
       Wireduck.readPcap(spark, "/nonexistent/nothing.pcap").count()
