@@ -1489,6 +1489,81 @@ object RelationalQueries {
       GROUP BY ALL
       ORDER BY ALL""")
 
+  /** Time-series resampling: irregular per-user readings LINEARLY
+    * INTERPOLATED onto an hourly grid — the alignment step before any
+    * cross-series analytics. One union + two frames over a single
+    * user-keyed window sort: grid points and readings interleave by
+    * (ts, kind, event_id), the carried prev/next reading come from
+    * IGNORE NULLS navigation (the q54 machinery), and the lerp is an
+    * identical IEEE scalar tree in both engines. The grid spans
+    * (trunc(min)+1h … max] so a prev and next reading always exist;
+    * coincident reading/grid timestamps degenerate to frac = 0 and
+    * equal-neighbor guards avoid 0/0. 100 TB shape: no join — one
+    * shuffle on user_id, grid generation is a lazy explode. */
+  val q57Resample = GraftQuery(
+    "q57_resample",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "events").filter($"user_id" < 10)
+      val ev = base.select($"user_id", $"ts", $"value",
+        lit(0).as("kind"), $"event_id")
+      val grid = base.groupBy($"user_id")
+        .agg(min($"ts").as("t0"), max($"ts").as("t1"))
+        .select($"user_id", explode(expr(
+          "sequence(date_trunc('hour', t0) + interval 1 hour, t1, interval 1 hour)"))
+          .as("ts"))
+        .withColumn("value", lit(null).cast(DoubleType))
+        .withColumn("kind", lit(1))
+        .withColumn("event_id", lit(null).cast(LongType))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind", $"event_id")
+      val prevW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nextW = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.unionByName(grid)
+        .withColumn("pv", last($"value", ignoreNulls = true).over(prevW))
+        .withColumn("pt", last(when($"kind" === 0, $"ts"), ignoreNulls = true).over(prevW))
+        .withColumn("nv", first($"value", ignoreNulls = true).over(nextW))
+        .withColumn("nt", first(when($"kind" === 0, $"ts"), ignoreNulls = true).over(nextW))
+        .filter($"kind" === 1)
+        .select($"user_id", $"ts",
+          when(unix_micros($"nt") === unix_micros($"pt"), $"pv")
+            .otherwise($"pv" + ($"nv" - $"pv") *
+              ((unix_micros($"ts") - unix_micros($"pt")).cast(DoubleType) /
+                (unix_micros($"nt") - unix_micros($"pt")).cast(DoubleType)))
+            .as("value_interp"))
+        .orderBy($"user_id", $"ts")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, 0 AS kind, event_id
+        FROM events WHERE user_id < 10),
+      g AS (
+        SELECT user_id,
+               UNNEST(generate_series(DATE_TRUNC('hour', MIN(ts)) + INTERVAL 1 HOUR,
+                                      MAX(ts), INTERVAL 1 HOUR)) AS ts,
+               CAST(NULL AS DOUBLE) AS value, 1 AS kind,
+               CAST(NULL AS BIGINT) AS event_id
+        FROM e GROUP BY user_id),
+      u AS (SELECT * FROM e UNION ALL SELECT * FROM g),
+      f AS (
+        SELECT *,
+               LAST_VALUE(value IGNORE NULLS) OVER w1 AS pv,
+               LAST_VALUE(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER w1 AS pt,
+               FIRST_VALUE(value IGNORE NULLS) OVER w2 AS nv,
+               FIRST_VALUE(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER w2 AS nt
+        FROM u
+        WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w2 AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(nt) = epoch_us(pt) THEN pv
+                  ELSE pv + (nv - pv) *
+                       (CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE)
+                        / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE)) END
+               AS value_interp
+      FROM f WHERE kind = 1
+      ORDER BY user_id, ts"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -1503,5 +1578,6 @@ object RelationalQueries {
     q40WindowDistribution, q41MultiDistinct, q42AsofJoin, q43PartitionedRw,
     q44BucketedJoin, q45Unpivot, q46RecursiveSpine, q47LateralTopn,
     q48HigherOrder, q49ListAgg, q50Funnel, q51Variant, q52Scd2,
-    q53StatsExact, q54IgnoreNulls, q55FilterClause, q56GroupByAll)
+    q53StatsExact, q54IgnoreNulls, q55FilterClause, q56GroupByAll,
+    q57Resample)
 }
