@@ -1564,6 +1564,86 @@ object RelationalQueries {
       FROM f WHERE kind = 1
       ORDER BY user_id, ts"""))
 
+  /** NEAREST-direction as-of join (pandas merge_asof direction='nearest'):
+    * each click pairs with the user's closest purchase by |Δt| (ties →
+    * the earlier one). Same one-window-sort machinery as the backward
+    * as-of q42 — prev/next purchase carried by IGNORE NULLS navigation
+    * over the interleaved stream, then a scalar argmin — never an
+    * inequality join, so the 100 TB cost is one user-keyed shuffle. */
+  val q58AsofNearest = GraftQuery(
+    "q58_asof_nearest",
+    (s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        WITH e AS (
+          SELECT user_id, event_id, ts, event_type,
+                 unix_micros(ts) AS tsu
+          FROM events
+          WHERE event_type IN ('click', 'purchase')),
+        f AS (
+          SELECT *,
+                 LAST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END)
+                   IGNORE NULLS OVER w1 AS prev_id,
+                 LAST_VALUE(CASE WHEN event_type = 'purchase' THEN tsu END)
+                   IGNORE NULLS OVER w1 AS prev_tsu,
+                 FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END)
+                   IGNORE NULLS OVER w2 AS next_id,
+                 FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN tsu END)
+                   IGNORE NULLS OVER w2 AS next_tsu
+          FROM e
+          WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT user_id, event_id AS click_id,
+               CASE WHEN next_id IS NULL THEN prev_id
+                    WHEN prev_id IS NULL THEN next_id
+                    WHEN tsu - prev_tsu <= next_tsu - tsu THEN prev_id
+                    ELSE next_id END AS purchase_id,
+               CASE WHEN next_id IS NULL THEN tsu - prev_tsu
+                    WHEN prev_id IS NULL THEN next_tsu - tsu
+                    WHEN tsu - prev_tsu <= next_tsu - tsu THEN tsu - prev_tsu
+                    ELSE next_tsu - tsu END AS delta_us
+        FROM f
+        WHERE event_type = 'click'
+          AND (prev_id IS NOT NULL OR next_id IS NOT NULL)
+        ORDER BY user_id, click_id""")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+        FROM events
+        WHERE event_type IN ('click', 'purchase')),
+      f AS (
+        SELECT *,
+               LAST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END
+                          IGNORE NULLS) OVER w1 AS prev_id,
+               LAST_VALUE(CASE WHEN event_type = 'purchase' THEN tsu END
+                          IGNORE NULLS) OVER w1 AS prev_tsu,
+               FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END
+                           IGNORE NULLS) OVER w2 AS next_id,
+               FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN tsu END
+                           IGNORE NULLS) OVER w2 AS next_tsu
+        FROM e
+        WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, event_id AS click_id,
+             CASE WHEN next_id IS NULL THEN prev_id
+                  WHEN prev_id IS NULL THEN next_id
+                  WHEN tsu - prev_tsu <= next_tsu - tsu THEN prev_id
+                  ELSE next_id END AS purchase_id,
+             CASE WHEN next_id IS NULL THEN tsu - prev_tsu
+                  WHEN prev_id IS NULL THEN next_tsu - tsu
+                  WHEN tsu - prev_tsu <= next_tsu - tsu THEN tsu - prev_tsu
+                  ELSE next_tsu - tsu END AS delta_us
+      FROM f
+      WHERE event_type = 'click'
+        AND (prev_id IS NOT NULL OR next_id IS NOT NULL)
+      ORDER BY user_id, click_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -1579,5 +1659,5 @@ object RelationalQueries {
     q44BucketedJoin, q45Unpivot, q46RecursiveSpine, q47LateralTopn,
     q48HigherOrder, q49ListAgg, q50Funnel, q51Variant, q52Scd2,
     q53StatsExact, q54IgnoreNulls, q55FilterClause, q56GroupByAll,
-    q57Resample)
+    q57Resample, q58AsofNearest)
 }

@@ -336,8 +336,30 @@ object StreamingQueries {
       FROM r WHERE rnk <= 3
       ORDER BY window_start, rnk"""))
 
+  /** CDC upsert materialization (batch twin): latest event per user —
+    * see [[EventPipeline.latestPerUser]]; streaming runs the same
+    * semantics as two-longs-per-key `mapGroupsWithState` state
+    * (StreamingSpec pins streaming == batch across micro-batches,
+    * including an out-of-order event that must NOT regress the table). */
+  val stUpsert = GraftQuery(
+    "st_upsert",
+    (s, dir) => {
+      import s.implicits._
+      val events = Tables.load(s, dir, "events").as[EventPipeline.Event]
+      EventPipeline.latestPerUser(s, events).toDF().orderBy($"user_id")
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, event_id, ts, event_type, value
+      FROM r WHERE rn = 1
+      ORDER BY user_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(stSessionize, stWindowedCounts, stDistinctUsers, stSlidingRates,
       stDedup, stIntervalJoin, stAttributionOuter, stSessionWindow, stEnrich,
-      stRateLimit, stTopk)
+      stRateLimit, stTopk, stUpsert)
 }

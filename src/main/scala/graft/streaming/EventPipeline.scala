@@ -453,6 +453,48 @@ object EventPipeline extends Serializable {
     }
   }
 
+  /** The materialized "current row" of a key — CDC upsert output. */
+  final case class Latest(
+      user_id: Long, event_id: Long, ts: Timestamp,
+      event_type: String, value: Double)
+
+  /** CDC upsert materialization: the LATEST event per user (by event
+    * time, event_id tie-break) — the keyed-table view of a change
+    * stream. Streaming path: two longs + a payload of state per key
+    * under `mapGroupsWithState`, emitting the key's new current row
+    * whenever a batch advances it (update-mode clean; late/out-of-order
+    * events lose to the stored maximum instead of regressing the
+    * table). Batch path: one row_number window — the standard
+    * latest-snapshot query. */
+  def latestPerUser(spark: SparkSession, events: Dataset[Event]): Dataset[Latest] = {
+    import spark.implicits._
+    if (events.isStreaming)
+      events
+        .groupByKey(_.user_id)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[Event], state: GroupState[Latest]) =>
+            var best = state.getOption.orNull
+            it.foreach { e =>
+              if (best == null || toMicros(e.ts) > toMicros(best.ts) ||
+                (toMicros(e.ts) == toMicros(best.ts) && e.event_id > best.event_id))
+                best = Latest(uid, e.event_id, e.ts, e.event_type, e.value)
+            }
+            state.update(best)
+            best
+        }
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events.toDF()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .as[Latest]
+    }
+  }
+
   /** Streaming entry: watch a directory of event JSON files. The schema is
     * the `events` table's; the transforms above apply unchanged. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

@@ -316,6 +316,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC upsert: state advances across batches; late events cannot regress it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventPipeline.latestPerUser(spark, stream.toDS())
+      .writeStream.format("memory").queryName("upsert").outputMode("update").start()
+    try {
+      stream.addData(ev(1, 10, 7, "view", 1.0), ev(2, 20, 7, "click", 2.0))
+      q.processAllAvailable()
+      stream.addData(ev(3, 30, 7, "buy", 3.0), ev(4, 5, 7, "late", 9.0))
+      q.processAllAvailable()
+      // last emission for user 7 must be the minute-30 buy; the late
+      // minute-5 event in the same batch lost to the stored maximum
+      val rows = spark.table("upsert").as[EventPipeline.Latest].collect()
+      val fin = rows.maxBy(r => (r.ts.getTime, r.event_id))
+      assert(fin.event_id === 3L && fin.event_type === "buy" && fin.value === 3.0)
+
+      // streaming final state equals the batch twin over the same events
+      val all = Seq(ev(1, 10, 7, "view", 1.0), ev(2, 20, 7, "click", 2.0),
+        ev(3, 30, 7, "buy", 3.0), ev(4, 5, 7, "late", 9.0))
+      val batch = EventPipeline.latestPerUser(spark, all.toDS()).collect()
+      assert(batch.length === 1 && batch(0).event_id === 3L)
+    } finally q.stop()
+  }
+
   test("sessionize batch mode agrees with hand computation") {
     import spark.implicits._
     val events = Seq(
