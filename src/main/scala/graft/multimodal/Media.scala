@@ -196,8 +196,16 @@ object Media {
       .putInt(1000) // byte rate = rate * channels * bits/8
       .putShort(1.toShort).putShort(8.toShort) // block align, bits/sample
     bb.put("data".getBytes(ISO_8859_1)).putInt(n)
+    // Deterministic 8-bit PCM waveform (NOT silence): sample i is
+    // 64 + (durMs·11 + i·37) mod 97, a 97-periodic sawtooth around an
+    // off-center bias — gives [[audioFeatures]] real RMS energy and
+    // midline crossings to measure, and the DuckDB oracle replays the
+    // formula over generate_series while Spark reads the bytes back.
     var i = 0
-    while (i < n) { bb.put(0x80.toByte); i += 1 } // 8-bit PCM midpoint
+    while (i < n) {
+      bb.put((64 + ((durMs * 11 + i * 37) % 97)).toByte)
+      i += 1
+    }
     bb.array()
   }
 
@@ -764,6 +772,64 @@ object Media {
       it.map { case (id, tpe, payload) =>
         val (w, h, d) = decode(payload)
         MediaMeta(id, tpe, payload.length.toLong, w, h, d)
+      }
+    }
+  }
+
+  /** Signal features of one PCM audio payload — see [[audioFeatures]]. */
+  final case class AudioStats(
+      doc_id: Long, n_samples: Long, peak_dev: Long, n_crossings: Long, rms: Double)
+
+  /** Real DSP over the WAV essence: walks the RIFF chunks to the `data`
+    * chunk (same chunk walk [[decode]] does for duration) and computes
+    * per-payload signal statistics from the actual 8-bit PCM bytes —
+    * peak deviation and RMS energy around the 128 midpoint, and midline
+    * crossings (the classic zero-crossing-rate voicing feature). All
+    * integer sums + one exactly-rounded divide/sqrt, so the result is
+    * bit-identical to the oracle's formula replay. Non-WAV payloads
+    * yield no row (the dispatch a mixed-modality pipeline would do by
+    * [[codecOf]]). */
+  def audioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioStats] = {
+    import spark.implicits._
+    media.as[(Long, String, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, _, payload) =>
+        if (codecOf(payload) != "wav") None
+        else {
+          val n = payload.length
+          // RIFF chunk walk to the data chunk (offset + length)
+          var p = 12
+          var dataOff = -1
+          var dataLen = 0L
+          while (p >= 0 && p + 8 <= n && dataOff < 0) {
+            val cid = fourcc(payload, p)
+            val clen = u32le(payload, p + 4)
+            if (cid == "data") { dataOff = p + 8; dataLen = clen }
+            else if (clen > n) p = -1 // lying chunk length: stop the walk
+            else p += 8 + clen.toInt + (clen.toInt & 1)
+          }
+          if (dataOff < 0) None
+          else {
+            val end = math.min(n.toLong, dataOff + dataLen).toInt
+            var i = dataOff
+            var sumSq = 0L
+            var peak = 0L
+            var crossings = 0L
+            var prevHigh = false
+            while (i < end) {
+              val dev = (payload(i) & 0xff) - 128
+              sumSq += dev.toLong * dev
+              if (math.abs(dev) > peak) peak = math.abs(dev)
+              val high = dev >= 0
+              if (i > dataOff && high != prevHigh) crossings += 1
+              prevHigh = high
+              i += 1
+            }
+            val cnt = (end - dataOff).toLong
+            if (cnt == 0) None
+            else Some(AudioStats(id, cnt, peak, crossings,
+              math.sqrt(sumSq.toDouble / cnt.toDouble)))
+          }
+        }
       }
     }
   }

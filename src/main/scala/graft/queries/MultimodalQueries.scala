@@ -281,7 +281,43 @@ object MultimodalQueries {
       WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 = 0
       ORDER BY doc_id"""))
 
+  /** Audio feature extraction over the REAL PCM essence: Spark walks each
+    * WAV container to its data chunk and folds peak / RMS / midline
+    * crossings over the actual sample bytes ([[Media.audioFeatures]]);
+    * the oracle replays the generation waveform (64 + (dur·11 + i·37)
+    * mod 97) over `range(dur)` — a hash match proves the byte-level
+    * chunk walk AND the sample arithmetic. 100 TB shape: per-row
+    * bounded work in one `mapPartitions` pass, no shuffle before the
+    * final sort; integer sums + exactly-rounded sqrt keep it
+    * bit-deterministic across engines and re-shards. */
+  val mmAudioStats = GraftQuery(
+    "mm_audio_stats",
+    (s, dir) => {
+      val media = Media.synthesize(Tables.load(s, dir, "documents"))
+      Media.audioFeatures(s, media).toDF().orderBy("doc_id")
+    },
+    Some("""
+      WITH params AS (
+        SELECT doc_id,
+               ASCII(SUBSTR(MD5(text), 5, 1)) * 256 + ASCII(SUBSTR(MD5(text), 6, 1)) AS gdur
+        FROM documents
+        WHERE doc_id % 3 = 1 AND (doc_id // 3) % 4 = 0),
+      s AS (
+        SELECT p.doc_id, p.gdur, g.i,
+               64 + (p.gdur * 11 + g.i * 37) % 97 AS smp,
+               64 + (p.gdur * 11 + (g.i - 1) * 37) % 97 AS prev
+        FROM params p, LATERAL (SELECT UNNEST(range(0, p.gdur)) AS i) g)
+      SELECT doc_id,
+             COUNT(*) AS n_samples,
+             CAST(MAX(ABS(smp - 128)) AS BIGINT) AS peak_dev,
+             CAST(SUM(CASE WHEN i > 0 AND ((smp >= 128) <> (prev >= 128))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings,
+             SQRT(CAST(SUM((smp - 128) * (smp - 128)) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)) AS rms
+      FROM s GROUP BY doc_id, gdur
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(mmMediaMeta, mmTypeStats, mmFrameSample, mmCodecStats, mmOrientationStats,
-      mmPhash, mmIntegrity)
+      mmPhash, mmIntegrity, mmAudioStats)
 }

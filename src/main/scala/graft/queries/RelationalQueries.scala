@@ -1644,6 +1644,53 @@ object RelationalQueries {
         AND (prev_id IS NOT NULL OR next_id IS NOT NULL)
       ORDER BY user_id, click_id"""))
 
+  /** MERGE INTO semantics without a mutable table format: the canonical
+    * upsert — target `customer`, source = per-customer order turnover
+    * plus a synthesized late-arriving-member slice (keys offset past the
+    * dimension) — expressed as ONE full outer join producing the new
+    * table state with its per-row action (update / insert / keep). This
+    * is exactly what `MERGE INTO` lowers to in engines with ACID table
+    * formats (Delta/Iceberg are external packages, unavailable offline —
+    * documented delegation in SURVEY §2B); the join itself is the 100 TB
+    * shape: one key-partitioned shuffle on c_custkey, no row-at-a-time
+    * mutation, balances folded as scaled-long cents so the update
+    * arithmetic is exact in both engines. */
+  val q59MergeUpsert = sharedSql("q59_merge_upsert", """
+      WITH chg AS (
+        SELECT o_custkey AS c_custkey,
+               COUNT(*) AS n_orders,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS turnover_cents
+        FROM orders
+        GROUP BY o_custkey),
+      src AS (
+        SELECT c_custkey, n_orders, turnover_cents FROM chg
+        UNION ALL
+        SELECT c_custkey + 200000, n_orders, turnover_cents
+        FROM chg WHERE c_custkey % 97 = 0),
+      tgt AS (
+        SELECT c_custkey, c_name,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS acctbal_cents
+        FROM customer),
+      m AS (
+        SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+               CASE WHEN t.c_custkey IS NULL THEN 'insert'
+                    WHEN s.c_custkey IS NULL THEN 'keep'
+                    ELSE 'update' END AS action,
+               CASE WHEN t.c_custkey IS NULL
+                    THEN 'Customer#new' || CAST(s.c_custkey AS STRING)
+                    ELSE t.c_name END AS c_name,
+               COALESCE(t.acctbal_cents, 0) + COALESCE(s.turnover_cents, 0)
+                 AS new_bal_cents,
+               COALESCE(s.n_orders, 0) AS n_orders
+        FROM tgt t FULL JOIN src s ON t.c_custkey = s.c_custkey)
+      SELECT c_custkey, action, c_name,
+             CAST(new_bal_cents AS DOUBLE) / 100.0 AS new_acctbal,
+             CAST(n_orders AS BIGINT) AS n_orders
+      FROM m
+      ORDER BY c_custkey""")
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -1659,5 +1706,5 @@ object RelationalQueries {
     q44BucketedJoin, q45Unpivot, q46RecursiveSpine, q47LateralTopn,
     q48HigherOrder, q49ListAgg, q50Funnel, q51Variant, q52Scd2,
     q53StatsExact, q54IgnoreNulls, q55FilterClause, q56GroupByAll,
-    q57Resample, q58AsofNearest)
+    q57Resample, q58AsofNearest, q59MergeUpsert)
 }

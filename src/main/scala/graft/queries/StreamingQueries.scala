@@ -358,8 +358,63 @@ object StreamingQueries {
       FROM r WHERE rn = 1
       ORDER BY user_id"""))
 
+  /** CEP ordered-pattern match (batch twin): the first completed
+    * view→click→purchase chain per user with each step at most 6 h after
+    * the previous — see [[EventPipeline.funnelMatch]] for the exact
+    * tie-deterministic semantics the oracle replays (lexicographic
+    * (ts, event_id) "before", latest-candidate capture, first-match-only
+    * emission). StreamingSpec pins streaming == batch with a chain split
+    * across a micro-batch boundary. */
+  val stPattern = GraftQuery(
+    "st_pattern",
+    (s, dir) => {
+      import s.implicits._
+      val events = Tables.load(s, dir, "events").as[EventPipeline.Event]
+      EventPipeline.funnelMatch(s, events, gapUs = 21600000000L)
+        .toDF()
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+        FROM events),
+      ck AS (
+        SELECT c.user_id, c.event_id, c.tsu,
+               (SELECT v.tsu FROM e v
+                WHERE v.user_id = c.user_id AND v.event_type = 'view'
+                  AND (v.tsu < c.tsu
+                       OR (v.tsu = c.tsu AND v.event_id < c.event_id))
+                  AND c.tsu - v.tsu <= 21600000000
+                ORDER BY v.tsu DESC, v.event_id DESC LIMIT 1) AS view_us
+        FROM e c WHERE c.event_type = 'click'),
+      vc AS (SELECT * FROM ck WHERE view_us IS NOT NULL),
+      pq AS (
+        SELECT p.user_id, p.event_id, p.tsu AS purchase_us,
+               (SELECT vc.tsu FROM vc
+                WHERE vc.user_id = p.user_id
+                  AND (vc.tsu < p.tsu
+                       OR (vc.tsu = p.tsu AND vc.event_id < p.event_id))
+                  AND p.tsu - vc.tsu <= 21600000000
+                ORDER BY vc.tsu DESC, vc.event_id DESC LIMIT 1) AS click_us,
+               (SELECT vc.view_us FROM vc
+                WHERE vc.user_id = p.user_id
+                  AND (vc.tsu < p.tsu
+                       OR (vc.tsu = p.tsu AND vc.event_id < p.event_id))
+                  AND p.tsu - vc.tsu <= 21600000000
+                ORDER BY vc.tsu DESC, vc.event_id DESC LIMIT 1) AS view_us
+        FROM e p WHERE p.event_type = 'purchase'),
+      q AS (SELECT * FROM pq WHERE click_us IS NOT NULL),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY purchase_us, event_id) AS rn
+        FROM q)
+      SELECT user_id, view_us, click_us, purchase_us
+      FROM r WHERE rn = 1
+      ORDER BY user_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(stSessionize, stWindowedCounts, stDistinctUsers, stSlidingRates,
       stDedup, stIntervalJoin, stAttributionOuter, stSessionWindow, stEnrich,
-      stRateLimit, stTopk, stUpsert)
+      stRateLimit, stTopk, stUpsert, stPattern)
 }

@@ -1214,6 +1214,59 @@ object TextQueries {
     * Reported as per-(split, lang) doc/char counts. 100 TB shape: one
     * per-row hash projection + one aggregation shuffle; the assignment
     * itself never shuffles and new data never perturbs old membership. */
+  /** Weighted sampling without replacement — priority sampling (Duffield,
+    * Lund & Thorup, JACM 54(6) 2007): each doc draws a deterministic
+    * uniform u from 48 bits of a salted md5, gets priority q = w/u
+    * (w = n_chars), and the k largest priorities are the sample. The
+    * (k+1)-th priority τ makes the sample self-weighting: Σ max(w_i, τ)
+    * over the sample is an (near-)unbiased estimate of Σw over the whole
+    * corpus, so a 50-doc sample carries exact-expectation corpus
+    * statistics. All arithmetic is exact-in-double (48-bit integers,
+    * exact products by 2⁴⁸, one correctly-rounded divide), so both
+    * engines agree bit-for-bit — no RNG, reproducible across runs and
+    * re-shards. 100 TB shape: per-row hash + TakeOrderedAndProject
+    * (distributed top-k, never a global sort); τ comes from the same
+    * top-(k+1) pass and broadcasts back over the 50 sample rows. */
+  val txWeightedSample = GraftQuery(
+    "tx_weighted_sample",
+    (s, dir) => {
+      import s.implicits._
+      val h48 = conv(substring(md5(concat(lit("w|"), $"doc_id".cast(StringType))), 1, 12),
+        16, 10).cast(LongType)
+      val q = ($"n_chars".cast(DoubleType) * lit(281474976710656.0d)) /
+        ($"h48".cast(DoubleType) + lit(0.5d))
+      val scored = docs(s, dir)
+        .withColumn("h48", h48)
+        .withColumn("priority", q)
+        .select($"doc_id", $"lang", $"n_chars", $"priority")
+      val top51 = scored.orderBy($"priority".desc, $"doc_id").limit(51)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"priority".desc, $"doc_id") // 51 rows — not a data-scale window
+      val ranked = top51.withColumn("rnk", row_number().over(w).cast(LongType))
+      val tau = ranked.filter($"rnk" === 51L).select($"priority".as("tau"))
+      ranked.filter($"rnk" <= 50L)
+        .crossJoin(broadcast(tau))
+        .select($"rnk", $"doc_id", $"lang", $"n_chars", $"priority",
+          greatest($"n_chars".cast(DoubleType), $"tau").as("est_w"))
+        .orderBy($"rnk")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               (CAST(n_chars AS DOUBLE) * 281474976710656.0) /
+               (CAST(CAST(('0x' || SUBSTR(MD5('w|' || CAST(doc_id AS VARCHAR)), 1, 12))
+                          AS BIGINT) AS DOUBLE) + 0.5) AS priority
+        FROM documents),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rn
+        FROM scored),
+      tau AS (SELECT priority AS tau FROM ranked WHERE rn = 51)
+      SELECT CAST(rn AS BIGINT) AS rnk, doc_id, lang, n_chars, priority,
+             GREATEST(CAST(n_chars AS DOUBLE), tau.tau) AS est_w
+      FROM ranked, tau
+      WHERE rn <= 50
+      ORDER BY rnk"""))
+
   val txTrainSplit = GraftQuery(
     "tx_train_split",
     (s, dir) => {
@@ -1579,5 +1632,5 @@ object TextQueries {
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
     ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddSubdocDedup, ddSimjoinAuto,
     txBpeTokens, txPackDocs, ddEditPairs, ddPassJoin, txDomainCap,
-    txChunkOverlap, ddIncremental, ddLshStats)
+    txChunkOverlap, ddIncremental, ddLshStats, txWeightedSample)
 }

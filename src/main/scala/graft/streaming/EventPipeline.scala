@@ -453,6 +453,93 @@ object EventPipeline extends Serializable {
     }
   }
 
+  /** One completed view→click→purchase match (epoch micros per stage). */
+  final case class FunnelMatch(
+      user_id: Long, view_us: Long, click_us: Long, purchase_us: Long)
+
+  /** CEP state: latest view seen, latest VALID click (one with a view at
+    * most `gap` before it) plus that click's captured view, and whether
+    * the user's first match was already emitted. Sentinel Long.MinValue
+    * = "none yet"; four longs + a boolean per key, O(1) forever. */
+  final case class FunnelState(
+      lastViewUs: Long, candViewUs: Long, candClickUs: Long, done: Boolean)
+
+  /** Ordered-pattern detection (CEP): the first completed
+    * view → click → purchase chain per user where each step follows the
+    * previous within `gapUs` microseconds. Semantics (deterministic under
+    * ties by processing events in (ts, event_id) order):
+    *
+    *   - a click QUALIFIES if the latest view processed before it is at
+    *     most `gapUs` older; the click captures that view's time;
+    *   - a purchase MATCHES if the latest qualifying click processed
+    *     before it is at most `gapUs` older;
+    *   - only the user's FIRST matching purchase emits; later matches are
+    *     suppressed (the `done` flag — one row per converted user).
+    *
+    * This is the MATCH_RECOGNIZE shape (A then B then C with per-step
+    * time constraints) folded as a constant-space state machine: no event
+    * buffering, no joins — state is four longs per key however long the
+    * history. Batch path: the spillable-sorted-group fold (sessionize
+    * shape). Streaming path: the same step function under
+    * `flatMapGroupsWithState`, state crossing micro-batches, so a view in
+    * one batch and its purchase in the next still match (StreamingSpec
+    * pins streaming == batch across such a boundary). */
+  def funnelMatch(
+      spark: SparkSession,
+      events: Dataset[Event],
+      gapUs: Long): Dataset[FunnelMatch] = {
+    import spark.implicits._
+    val None_ = Long.MinValue
+
+    def step(st: FunnelState, e: Event): (FunnelState, FunnelMatch) = {
+      if (st.done) return (st, null)
+      val tsu = toMicros(e.ts)
+      e.event_type match {
+        case "view" =>
+          (st.copy(lastViewUs = tsu), null)
+        case "click" =>
+          if (st.lastViewUs != None_ && tsu - st.lastViewUs <= gapUs)
+            (st.copy(candViewUs = st.lastViewUs, candClickUs = tsu), null)
+          else (st, null)
+        case "purchase" =>
+          if (st.candClickUs != None_ && tsu - st.candClickUs <= gapUs)
+            (st.copy(done = true),
+              FunnelMatch(e.user_id, st.candViewUs, st.candClickUs, tsu))
+          else (st, null)
+        case _ => (st, null)
+      }
+    }
+    val init = FunnelState(None_, None_, None_, done = false)
+
+    if (events.isStreaming)
+      events
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+            val sorted = it.toArray.sortBy(e => (toMicros(e.ts), e.event_id))
+            var st = state.getOption.getOrElse(init)
+            val out = Vector.newBuilder[FunnelMatch]
+            sorted.foreach { e =>
+              val (ns, m) = step(st, e)
+              st = ns
+              if (m != null) out += m.copy(user_id = uid)
+            }
+            state.update(st)
+            out.result().iterator
+        }
+    else
+      events
+        .groupByKey(_.user_id)
+        .flatMapSortedGroups(col("ts"), col("event_id")) { (uid, it) =>
+          var st = init
+          it.flatMap { e =>
+            val (ns, m) = step(st, e)
+            st = ns
+            if (m != null) Iterator.single(m.copy(user_id = uid)) else Iterator.empty
+          }
+        }
+  }
+
   /** The materialized "current row" of a key — CDC upsert output. */
   final case class Latest(
       user_id: Long, event_id: Long, ts: Timestamp,

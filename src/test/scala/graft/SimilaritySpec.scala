@@ -159,6 +159,28 @@ class SimilaritySpec extends SparkSpec {
     Media.decode(truncated) // must not throw
   }
 
+  test("audio features: RIFF walk + PCM fold match a hand-computed reference") {
+    import spark.implicits._
+    val dur = 200L
+    val wav = Media.wavBytes(dur)
+    // reference: replay the generation waveform directly
+    val samples = (0 until dur.toInt).map(i => 64 + ((dur * 11 + i * 37) % 97).toInt)
+    val devs = samples.map(_ - 128)
+    val expPeak = devs.map(math.abs).max.toLong
+    val expCross = devs.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0)).toLong
+    val expRms = math.sqrt(devs.map(d => d.toLong * d).sum.toDouble / dur)
+    val media = Seq((7L, "audio", wav)).toDF("doc_id", "media_type", "payload")
+    val got = Media.audioFeatures(spark, media).collect()
+    assert(got.length === 1)
+    assert(got(0) === Media.AudioStats(7L, dur, expPeak, expCross, expRms))
+    // non-wav rows produce no stats; malformed wav terminates and yields none
+    val mp3row = Seq((8L, "audio", Media.mp3Bytes(5))).toDF("doc_id", "media_type", "payload")
+    assert(Media.audioFeatures(spark, mp3row).count() === 0L)
+    val evil = Media.wavBytes(8)
+    evil(19) = 0x80.toByte // fmt chunk length lies — the walk must still end
+    Media.audioFeatures(spark, Seq((9L, "audio", evil)).toDF("doc_id", "media_type", "payload")).count()
+  }
+
   test("exact dedup groups duplicate texts") {
     import spark.implicits._
     // plant duplicates in a local frame and run the same plan shape

@@ -441,6 +441,49 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 970L)
   }
 
+  test("funnel pattern: first view→click→purchase chain, state crosses batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 30L * 60000000L // 30 min per step
+    val events = Seq(
+      // user 1: view@0 → click@20 (valid) → purchase@45 (25 min after click) = match
+      ev(1, 0, 1, "view", 1.0), ev(2, 20, 1, "click", 1.0),
+      ev(3, 45, 1, "purchase", 1.0),
+      // second full chain must NOT emit (first-match-only)
+      ev(4, 100, 1, "view", 1.0), ev(5, 110, 1, "click", 1.0),
+      ev(6, 120, 1, "purchase", 1.0),
+      // user 2: click@10 has no prior view → its purchase can't match;
+      // then view@200 → click@220, purchase@300 is 80 min later → stale
+      ev(10, 10, 2, "click", 1.0), ev(11, 35, 2, "purchase", 1.0),
+      ev(12, 200, 2, "view", 1.0), ev(13, 220, 2, "click", 1.0),
+      ev(14, 300, 2, "purchase", 1.0),
+      // user 3: a LATER view refreshes the chain; click captures view@60
+      ev(20, 0, 3, "view", 1.0), ev(21, 60, 3, "view", 1.0),
+      ev(22, 75, 3, "click", 1.0), ev(23, 95, 3, "purchase", 1.0))
+
+    val batch = EventPipeline.funnelMatch(spark, events.toDS(), gapUs)
+      .collect().sortBy(_.user_id)
+    val base = 1700000000000L
+    def us(minute: Int) = (base + minute * 60000L) * 1000L
+    assert(batch.map(m => (m.user_id, m.view_us, m.click_us, m.purchase_us)).toSeq ===
+      Seq((1L, us(0), us(20), us(45)), (3L, us(60), us(75), us(95))))
+
+    // streaming in TWO micro-batches: user 1's purchase and user 3's whole
+    // chain arrive in batch 2 — view/click state must carry over
+    val stream = MemoryStream[Event]
+    val q = EventPipeline.funnelMatch(spark, stream.toDS(), gapUs)
+      .writeStream.format("memory").queryName("fm").outputMode("append").start()
+    try {
+      stream.addData(events.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(events.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("fm")
+      .as[EventPipeline.FunnelMatch].collect().sortBy(_.user_id)
+    assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+  }
+
   test("token-bucket rate limit: streaming equals batch, state crosses batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
