@@ -511,6 +511,83 @@ object TextQueries {
       ORDER BY doc_a, doc_b"""
     })
 
+  /** LSH tuning evaluation: precision/recall of the banded MinHash
+    * candidate pairs against EXACT 3-gram Jaccard ≥ 0.5 ground truth —
+    * the report that justifies a band/row configuration before running
+    * it over the full corpus. The truth side is the uncapped all-pairs
+    * shingle join (quadratic in family size — an EVAL pass run on a
+    * sample in production, never the 100 TB serving path; the serving
+    * path stays the banded join this report validates). Ratios are
+    * exact integer→double divisions, bit-identical across engines. */
+  val ddLshEval = GraftQuery(
+    "dd_lsh_eval",
+    (s, dir) => {
+      import s.implicits._
+      val cand = ddMinhashLshPairs.fn(s, dir)
+      val sh = shingleRows(docs(s, dir).withColumn("tokens", split($"text", " ")), 3)
+        .cache()
+      val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val truth = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(cnt.toDF("doc_a", "na"), "doc_a")
+        .join(cnt.toDF("doc_b", "nb"), "doc_b")
+        .filter($"shared".cast(DoubleType) /
+          ($"na" + $"nb" - $"shared").cast(DoubleType) >= 0.5)
+        .select($"doc_a", $"doc_b")
+      val hits = cand.join(truth, Seq("doc_a", "doc_b"))
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      val nh = hits.agg(count(lit(1)).as("n_hits"))
+      nc.crossJoin(nt).crossJoin(nh)
+        .select($"n_candidates", $"n_truth", $"n_hits",
+          ($"n_hits".cast(DoubleType) / $"n_candidates".cast(DoubleType))
+            .as("precision"),
+          ($"n_hits".cast(DoubleType) / $"n_truth".cast(DoubleType))
+            .as("recall"))
+    },
+    Some {
+      val aggs = (0 until nHashes)
+        .map(h => s"MIN(MD5('$h|' || shingle)) AS mh$h").mkString(", ")
+      val bandSelects = (0 until nHashes by 2).map { h =>
+        s"SELECT doc_id, ${h / 2} AS band, mh$h || mh${h + 1} AS bucket FROM sig"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, ARRAY_TO_STRING(tokens[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens FROM documents),
+             UNNEST(RANGE(1, LEN(tokens) - 1)) AS t(i)
+        WHERE LEN(tokens) >= 3),
+      sig AS (SELECT doc_id, $aggs FROM sh GROUP BY doc_id),
+      bands AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      tp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (
+        SELECT doc_a, doc_b
+        FROM tp JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+        WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.5),
+      hit AS (
+        SELECT c.doc_a FROM cand c
+        JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+      SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+             (SELECT COUNT(*) FROM truth) AS n_truth,
+             (SELECT COUNT(*) FROM hit) AS n_hits,
+             CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+               / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE) AS precision,
+             CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+               / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) AS recall"""
+    })
+
   /** Incremental (ingest-time) near-dup detection: "new" documents
     * (doc_id % 10 = 7 stands in for the arriving slice) are signed
     * PER-ROW with [[graft.functions.MinHash]] — pure local compute, no
@@ -1632,5 +1709,5 @@ object TextQueries {
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
     ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddSubdocDedup, ddSimjoinAuto,
     txBpeTokens, txPackDocs, ddEditPairs, ddPassJoin, txDomainCap,
-    txChunkOverlap, ddIncremental, ddLshStats, txWeightedSample)
+    txChunkOverlap, ddIncremental, ddLshStats, txWeightedSample, ddLshEval)
 }
