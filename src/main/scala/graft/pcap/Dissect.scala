@@ -880,8 +880,11 @@ object Dissect {
       etherType = u16(d, l3off + 2)
       l3off += 4
     }
-    v.set(Id_eth_type, etherType.toLong)
-    protos += "ethertype"
+    if (etherType >= 0x0600) {
+      // 802.3 frames carry a LENGTH here, not a type — no ethertype layer
+      v.set(Id_eth_type, etherType.toLong)
+      protos += "ethertype"
+    }
     etherType match {
       case 0x0800 => dissectIpv4(d, l3off, v, protos, tracker, wanted)
       case 0x86dd => dissectIpv6(d, l3off, v, protos, tracker, wanted)
@@ -894,6 +897,13 @@ object Dissect {
         dissectPppoed(d, l3off, v, protos)
       case 0x0842 =>
         dissectWol(d, l3off, d.length, v, protos)
+      case 0x8809 =>
+        dissectSlow(d, l3off, d.length, v, protos)
+      case 0x88f7 =>
+        dissectPtp(d, l3off, d.length - l3off, v, protos)
+      case lenField if lenField < 0x0600 =>
+        // 802.3: the EtherType slot is a payload LENGTH → LLC follows
+        dissectLlc(d, l3off, math.min(d.length, l3off + lenField), v, protos)
       case other =>
         f"Ethernet II (0x$other%04x)"
     }
@@ -2107,6 +2117,10 @@ object Dissect {
     if (sp == 3478 || dp == 3478) {
       val stunInfo = dissectStun(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
       if (stunInfo != null) return stunInfo
+    }
+    if (sp == 319 || dp == 319 || sp == 320 || dp == 320) {
+      val ptpInfo = dissectPtp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (ptpInfo != null) return ptpInfo
     }
     if (sp == 546 || dp == 546 || sp == 547 || dp == 547) {
       val d6Info = dissectDhcpv6(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
@@ -5748,6 +5762,158 @@ object Dissect {
     v("wol.sync_stream") = "ffffffffffff"
     v("wol.mac") = mac
     s"MagicPacket for $mac"
+  }
+
+  /** IEEE 802.2 LLC — entered from an 802.3 frame whose EtherType field
+    * is a LENGTH (< 0x0600). Surfaces DSAP/SSAP/control, then dispatches
+    * the two classic LLC residents: STP BPDUs (DSAP/SSAP 0x42) and, via
+    * SNAP (0xAA/0xAA, UI control), OUI-keyed payloads — Cisco CDP
+    * (OUI 00:00:0C, PID 0x2000) and OUI 0 re-entering the EtherType
+    * dispatch. Reference scope: wireduck sees these only as raw frames
+    * (README.md:17 five default columns); layering here mirrors
+    * Wireshark's eth:llc:stp / eth:llc:cdp chains. */
+  private def dissectLlc(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 3) return null
+    protos += "llc"
+    val dsap = d(off) & 0xff
+    val ssap = d(off + 1) & 0xff
+    val ctrl = d(off + 2) & 0xff
+    v("llc.dsap") = dsap.toLong
+    v("llc.ssap") = ssap.toLong
+    v("llc.control") = ctrl.toLong
+    if (dsap == 0x42 && ssap == 0x42 && ctrl == 0x03)
+      return dissectStp(d, off + 3, end, v, protos)
+    if (dsap == 0xaa && ssap == 0xaa && ctrl == 0x03 && end - off >= 8) {
+      val oui = ((d(off + 3) & 0xff) << 16) | ((d(off + 4) & 0xff) << 8) | (d(off + 5) & 0xff)
+      val pid = u16(d, off + 6)
+      if (oui == 0x00000c && pid == 0x2000)
+        return dissectCdp(d, off + 8, end, v, protos)
+    }
+    f"LLC dsap=0x$dsap%02x ssap=0x$ssap%02x"
+  }
+
+  /** Spanning Tree BPDU (IEEE 802.1D §9.3): configuration (type 0x00),
+    * TCN (0x80) and RSTP (0x02) BPDUs; bridge/root IDs split into the
+    * 16-bit priority + 6-byte system MAC exactly as 802.1D lays them
+    * out. Info string follows tshark's packet-stp template
+    * ("Conf. Root = prio/ext/mac  Cost = n  Port = 0x…"). */
+  private def dissectStp(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 4) return null
+    protos += "stp"
+    val proto = u16(d, off)
+    val ver = d(off + 2) & 0xff
+    val tpe = d(off + 3) & 0xff
+    v("stp.protocol") = proto.toLong
+    v("stp.version") = ver.toLong
+    v("stp.type") = tpe.toLong
+    if (tpe == 0x80) return "Topology Change Notification"
+    if (end - off < 35) return "Spanning Tree Protocol"
+    val flags = d(off + 4) & 0xff
+    val rootPrio = u16(d, off + 5)
+    val rootHw = macStr(d, off + 7)
+    val cost = u32(d, off + 13)
+    val brPrio = u16(d, off + 17)
+    val brHw = macStr(d, off + 19)
+    val port = u16(d, off + 25)
+    v("stp.flags") = flags.toLong
+    v("stp.root.prio") = (rootPrio & 0xf000).toLong
+    v("stp.root.hw") = rootHw
+    v("stp.root.cost") = cost
+    v("stp.bridge.prio") = (brPrio & 0xf000).toLong
+    v("stp.bridge.hw") = brHw
+    v("stp.port") = port.toLong
+    val kind = if (tpe == 0x02) "RST." else "Conf."
+    f"$kind Root = ${rootPrio & 0xf000}/${rootPrio & 0x0fff}/$rootHw  Cost = $cost  Port = 0x$port%04x"
+  }
+
+  /** Cisco Discovery Protocol (over LLC/SNAP OUI 00:00:0C PID 0x2000):
+    * version/TTL/checksum header + the TLV walk for the three
+    * identity-bearing TLVs — Device ID (1), Port ID (3), Platform (6). */
+  private def dissectCdp(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 4) return null
+    protos += "cdp"
+    v("cdp.version") = (d(off) & 0xff).toLong
+    v("cdp.ttl") = (d(off + 1) & 0xff).toLong
+    v("cdp.checksum") = u16(d, off + 2).toLong
+    var p = off + 4
+    var devId: String = null
+    var portId: String = null
+    while (p + 4 <= end) {
+      val t = u16(d, p)
+      val l = u16(d, p + 2)
+      if (l < 4 || p + l > end) { p = end } // malformed TLV: stop
+      else {
+        val s = new String(d, p + 4, l - 4, java.nio.charset.StandardCharsets.UTF_8)
+        t match {
+          case 1 => v("cdp.deviceid") = s; devId = s
+          case 3 => v("cdp.portid") = s; portId = s
+          case 6 => v("cdp.platform") = s
+          case _ =>
+        }
+        p += l
+      }
+    }
+    if (devId != null && portId != null) s"Device ID: $devId  Port ID: $portId"
+    else "Cisco Discovery Protocol"
+  }
+
+  /** LACP (IEEE 802.3ad Slow Protocols, EtherType 0x8809 subtype 1):
+    * version + the actor TLV's system ID / key / port / state — the
+    * fields a bonding health check reads. Layered eth:ethertype:slow:lacp
+    * as Wireshark does. */
+  private def dissectSlow(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 1) return null
+    protos += "slow"
+    val subtype = d(off) & 0xff
+    if (subtype != 1 || end - off < 20) return f"Slow Protocols (subtype $subtype)"
+    protos += "lacp"
+    v("lacp.version") = (d(off + 1) & 0xff).toLong
+    // actor TLV: type(1) len(20) sysprio(2) sysid(6) key(2) portprio(2) port(2) state(1)
+    if ((d(off + 2) & 0xff) == 1) {
+      v("lacp.actor.sysid") = macStr(d, off + 6)
+      v("lacp.actor.key") = u16(d, off + 12).toLong
+      v("lacp.actor.port") = u16(d, off + 16).toLong
+      v("lacp.actor.state") = (d(off + 18) & 0xff).toLong
+    }
+    "LACPDU"
+  }
+
+  private val ptpMsgNames: Map[Int, String] = Map(
+    0 -> "Sync", 1 -> "Delay_Req", 2 -> "Path_Delay_Req", 3 -> "Path_Delay_Resp",
+    8 -> "Follow_Up", 9 -> "Delay_Resp", 10 -> "Path_Delay_Resp_Follow_Up",
+    11 -> "Announce", 12 -> "Signalling", 13 -> "Management")
+
+  /** PTPv2 (IEEE 1588-2008): common header — messageId nibble, version,
+    * domain, flags, source clock identity, sequenceId. Reached both over
+    * UDP 319/320 and raw Ethernet 0x88F7. */
+  private def dissectPtp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 34) return null
+    val msgId = d(off) & 0x0f
+    val ver = d(off + 1) & 0x0f
+    if (ver != 2) return null
+    protos += "ptp"
+    v("ptp.v2.messageid") = msgId.toLong
+    v("ptp.v2.versionptp") = ver.toLong
+    v("ptp.v2.domainnumber") = (d(off + 4) & 0xff).toLong
+    v("ptp.v2.flags") = u16(d, off + 6).toLong
+    v("ptp.v2.clockidentity") = (u32(d, off + 20) << 32) | u32(d, off + 24)
+    v("ptp.v2.sequenceid") = u16(d, off + 30).toLong
+    s"${ptpMsgNames.getOrElse(msgId, f"Reserved (0x$msgId%x)")} Message"
   }
 
   private val coapMethodNames: Map[Int, String] = Map(

@@ -1081,4 +1081,41 @@ wol_mac = bytes.fromhex("020000000002")
 wol_pkt = b"\xff" * 6 + wol_mac * 16
 extra.append((t3, 15500, ip_frame(17, A, B, udp(54800, 9, wol_pkt), ident=190)))
 
+# 158-161: L2 control tier — STP config BPDU (802.3/LLC 0x42), Cisco CDP
+# (LLC/SNAP OUI 00000c), LACP actor PDU (slow protocols 0x8809), and a
+# PTPv2 Sync over UDP 319
+stp_bpdu = struct.pack(">HBB", 0, 0, 0) + bytes([0x01]) + \
+    struct.pack(">H", 0x8000) + bytes.fromhex("020000000001") + \
+    struct.pack(">I", 4) + struct.pack(">H", 0x8000) + \
+    bytes.fromhex("020000000002") + struct.pack(">H", 0x8001) + \
+    struct.pack(">HHHH", 0x0100, 0x1400, 0x0200, 0x0f00)  # timers in 1/256 s
+llc_stp = bytes([0x42, 0x42, 0x03]) + stp_bpdu
+extra.append((t3, 15600, eth(bytes.fromhex("0180c2000000"), MAC_A,
+              len(llc_stp), llc_stp)))
+
+cdp_tlvs = struct.pack(">HH", 1, 4 + 7) + b"router1" + \
+    struct.pack(">HH", 3, 4 + 9) + b"Ethernet0" + \
+    struct.pack(">HH", 6, 4 + 8) + b"cisco 12"
+cdp_pkt = bytes([0x02, 0xb4]) + struct.pack(">H", 0x1a2b) + cdp_tlvs
+llc_cdp = bytes([0xaa, 0xaa, 0x03]) + bytes.fromhex("00000c") + \
+    struct.pack(">H", 0x2000) + cdp_pkt
+extra.append((t3, 15700, eth(bytes.fromhex("01000ccccccc"), MAC_A,
+              len(llc_cdp), llc_cdp)))
+
+lacp = bytes([1, 1]) + bytes([1, 20]) + struct.pack(">H", 32768) + \
+    bytes.fromhex("020000000001") + struct.pack(">HHH", 13, 255, 7) + \
+    bytes([0x3d]) + b"\x00" * 3 + \
+    bytes([2, 20]) + struct.pack(">H", 32768) + \
+    bytes.fromhex("020000000002") + struct.pack(">HHH", 13, 255, 9) + \
+    bytes([0x3d]) + b"\x00" * 3 + \
+    bytes([3, 16]) + b"\x00" * 52  # collector TLV + terminator pad
+extra.append((t3, 15800, eth(bytes.fromhex("0180c2000002"), MAC_A,
+              0x8809, lacp)))
+
+ptp_sync = bytes([0x00, 0x02]) + struct.pack(">H", 44) + \
+    bytes([0, 0]) + struct.pack(">H", 0x0200) + b"\x00" * 8 + b"\x00" * 4 + \
+    bytes.fromhex("02000000000000fe") + struct.pack(">H", 1) + \
+    struct.pack(">H", 0x1234) + bytes([0, 0]) + b"\x00" * 10
+extra.append((t3, 15900, ip_frame(17, A, B, udp(319, 319, ptp_sync), ident=191)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
