@@ -91,6 +91,28 @@ class TsharkBackendSpec extends SparkSpec {
     assert(multi.fieldNames.contains("btatt.opcode"))
   }
 
+  test("glossary r9 tranche: ipmi schema carries real typed columns on both backends") {
+    val p = getClass.getResource("/fix.pcap").getPath
+    val n = graft.api.Wireduck.readPcap(spark, p, protocols = Seq("ipmi"))
+    assert(n.schema.fieldNames.toSeq === Seq(
+      "frame.time_epoch", "frame.number", "frame.len", "frame.protocols",
+      "ipmi.netfn", "ipmi.cmd", "ipmi.ccode", "_ws.col.info"))
+    assert(n.schema("ipmi.netfn").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val t = graft.api.Wireduck.readPcap(spark, p, protocols = Seq("ipmi"),
+      backend = Some("tshark"))
+    assert(t.schema === n.schema)
+    // spot-resolve rows across the r9 families
+    val multi = graft.pcap.Glossary.schemaFor(
+      Seq("dicom", "git", "pcep", "zep", "elasticsearch"))
+    assert(multi.fieldNames.contains("dicom.pdu.type"))
+    assert(multi.fieldNames.contains("git.length"))
+    assert(multi.fieldNames.contains("pcep.msg"))
+    assert(multi.fieldNames.contains("zep.channel_id"))
+    assert(multi.fieldNames.contains("elasticsearch.action"))
+    assert(!multi.fieldNames.contains("collectd.val.value")) // not requested
+  }
+
   test("glossary r8 tranche: goose schema carries real typed columns on both backends") {
     val p = getClass.getResource("/fix.pcap").getPath
     val n = graft.api.Wireduck.readPcap(spark, p, protocols = Seq("goose"))
