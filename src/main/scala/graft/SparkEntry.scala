@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.api.GraftQuery
-import graft.queries.{MultimodalQueries, PcapQueries, RelationalQueries, ScoringQueries, SimilarityQueries, StreamingQueries, TextQueries}
+import graft.queries.{GraphQueries, MultimodalQueries, PcapQueries, RelationalQueries, ScoringQueries, SimilarityQueries, StreamingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
   def registry: Seq[GraftQuery] =
     RelationalQueries.all ++ TextQueries.all ++ ScoringQueries.all ++
       SimilarityQueries.all ++ MultimodalQueries.all ++ StreamingQueries.all ++
-      PcapQueries.all
+      GraphQueries.all ++ PcapQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

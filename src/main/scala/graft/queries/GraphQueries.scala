@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.{GraftQuery, Tables}
+
+/** Graph analytics over the order network (suppliers ↔ customers via
+  * lineitem), extending the iterative-computation surface begun by
+  * `dd_dedup_clusters` (connected components). The reference has no graph
+  * operators — this is part of the large-scale-pipeline extension the
+  * driver mandates (link analysis over web-crawl corpora is the original
+  * PageRank use case).
+  *
+  * Determinism contract: every iterative kernel is INTEGER-ONLY — ranks
+  * are scaled longs (10¹²), per-edge contributions use truncating integer
+  * division (non-negative operands, where Spark's `div` and DuckDB's `//`
+  * agree), so results are independent of aggregation order, partition
+  * count, and engine. A float PageRank would hash-differently on every
+  * re-shard; the scaled-long one never does.
+  *
+  * 100 TB shape: the edge list is the only big dataset; each iteration is
+  * one join + one key-partitioned aggregate (shuffle on src / dst keys),
+  * exactly the BSP step every production graph engine runs. Degrees and
+  * ranks are node-sized (≪ edges). Iteration count is fixed (5), so the
+  * lineage stays bounded; at real scale each iteration's rank table would
+  * checkpoint to a bucketed table like the ANN artifacts do.
+  */
+object GraphQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Distinct supplier↔customer bipartite pairs (supplier keys offset by
+    * 10⁶ into a shared node-id space). */
+  private def pairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"l_suppkey" + 1000000L).as("supp"), $"o_custkey".as("cust"))
+      .distinct()
+  }
+
+  private val prIters = 5
+
+  /** PageRank (Brin & Page 1998) over the symmetrized order graph,
+    * integer-exact: rank is a scaled long (10¹² = 1.0), one BSP step is
+    *   rank'(v) = 0.15·10¹² + (85 · Σ_{u→v} rank(u) div deg(u)) div 100
+    * with truncating division throughout. 5 fixed iterations; output the
+    * 20 highest-rank nodes (suppliers dominate — each touches hundreds
+    * of customers). The oracle replays the identical integer recurrence
+    * as 5 chained CTE blocks. */
+  val grPagerank = GraftQuery(
+    "gr_pagerank",
+    (s, dir) => {
+      import s.implicits._
+      val p = pairs(s, dir)
+      val e = p.select($"supp".as("src"), $"cust".as("dst"))
+        .union(p.select($"cust".as("src"), $"supp".as("dst")))
+        .distinct().cache()
+      val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+      var r = deg.select($"src".as("node"), lit(1000000000000L).as("rank"))
+      for (_ <- 1 to prIters) {
+        r = e.join(r, e("src") === r("node"))
+          .join(deg, "src")
+          .select($"dst", expr("rank div deg").as("c"))
+          .groupBy($"dst".as("node"))
+          .agg(expr("150000000000 + (85 * sum(c)) div 100").as("rank"))
+      }
+      r.orderBy($"rank".desc, $"node").limit(20)
+    },
+    Some {
+      val iters = (1 to prIters).map { i =>
+        s"""r$i AS (
+        SELECT e.dst AS node,
+               150000000000 + (85 * SUM(r${i - 1}.rank // deg.deg)) // 100 AS rank
+        FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+               JOIN deg ON deg.src = e.src
+        GROUP BY e.dst)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH p AS (
+        SELECT DISTINCT 1000000 + l_suppkey AS supp, o_custkey AS cust
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (SELECT supp AS src, cust AS dst FROM p
+            UNION SELECT cust, supp FROM p),
+      deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS rank FROM deg),
+      $iters
+      SELECT node, rank FROM r$prIters
+      ORDER BY rank DESC, node LIMIT 20"""
+    })
+
+  /** Triangle count over the supplier co-purchase projection (suppliers
+    * sharing ≥ 190 customers) — the canonical clustering-coefficient
+    * numerator. Edges are oriented s1 < s2 so each triangle is counted
+    * once by the two-hop join e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c); at scale this
+    * is the standard "forward" algorithm whose join fan-out the
+    * orientation bounds by the smaller-degree endpoint. Output: edge and
+    * triangle counts plus the global closure ratio (exact divisions). */
+  val grTriangles = GraftQuery(
+    "gr_triangles",
+    (s, dir) => {
+      import s.implicits._
+      val p = pairs(s, dir)
+        .select(($"supp" - 1000000L).as("supp"), $"cust")
+      val co = p.as("a").join(p.as("b"),
+        col("a.cust") === col("b.cust") && col("a.supp") < col("b.supp"))
+        .groupBy(col("a.supp").as("s1"), col("b.supp").as("s2"))
+        .agg(count(lit(1)).as("shared"))
+        .filter($"shared" >= 190L)
+        .select($"s1", $"s2")
+        .cache()
+      val tri = co.as("e1")
+        .join(co.as("e2"), col("e2.s1") === col("e1.s2"))
+        .join(co.as("e3"),
+          col("e3.s1") === col("e1.s1") && col("e3.s2") === col("e2.s2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      co.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+        .select($"n_edges", $"n_triangles",
+          ($"n_triangles".cast("double") / $"n_edges".cast("double"))
+            .as("triangles_per_edge"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      co AS (
+        SELECT a.supp AS s1, b.supp AS s2
+        FROM p a JOIN p b ON a.cust = b.cust AND a.supp < b.supp
+        GROUP BY 1, 2 HAVING COUNT(*) >= 190),
+      tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM co e1 JOIN co e2 ON e2.s1 = e1.s2
+             JOIN co e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2)
+      SELECT (SELECT COUNT(*) FROM co) AS n_edges,
+             n_triangles,
+             CAST(n_triangles AS DOUBLE)
+               / CAST((SELECT COUNT(*) FROM co) AS DOUBLE) AS triangles_per_edge
+      FROM tri"""))
+
+  /** Degree distribution of the bipartite order graph — the first
+    * diagnostic run on any production graph (power-law check, skew
+    * estimate for partitioning). One aggregate over edges, one over
+    * degrees. */
+  val grDegreeDist = GraftQuery(
+    "gr_degree_dist",
+    (s, dir) => {
+      import s.implicits._
+      val p = pairs(s, dir)
+      val e = p.select($"supp".as("src"), $"cust".as("dst"))
+        .union(p.select($"cust".as("src"), $"supp".as("dst")))
+        .distinct()
+      e.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .groupBy($"deg").agg(count(lit(1)).as("n_nodes"))
+        .orderBy($"deg")
+    },
+    Some("""
+      WITH p AS (
+        SELECT DISTINCT 1000000 + l_suppkey AS supp, o_custkey AS cust
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (SELECT supp AS src, cust AS dst FROM p
+            UNION SELECT cust, supp FROM p),
+      deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)
+      SELECT deg, COUNT(*) AS n_nodes FROM deg
+      GROUP BY deg ORDER BY deg"""))
+
+  val all: Seq[GraftQuery] = Seq(grPagerank, grTriangles, grDegreeDist)
+}
