@@ -1691,6 +1691,79 @@ object RelationalQueries {
       FROM m
       ORDER BY c_custkey""")
 
+  /** Interval-overlap (range) join, solved at scale by BINNING: which
+    * user sessions (30-min-gap islands over events) overlap each of the
+    * 50 busiest hours? The naive formulation is an inequality join
+    * (`s_start < h+1h AND s_end >= h`) that Spark can only execute as a
+    * nested-loop cross product; instead each session EXPLODES into the
+    * hour buckets it covers (`sequence(date_trunc(start), end, 1 hour)`)
+    * and the overlap becomes an EQUI-join on the bucket — the same
+    * pigeonhole trick as the LSH band joins, exact here because hour
+    * buckets tile time. The DuckDB oracle runs the naive inequality join
+    * (its IEJoin handles small SFs), so the hash-match proves the binned
+    * rewrite preserves the exact multiset.
+    *
+    * 100 TB shape: bucket fan-out is bounded by session duration (÷1 h);
+    * the busiest-hours side is top-k small → broadcast; the only big
+    * shuffle is the sessionization window itself. */
+  val q60RangeJoin = GraftQuery(
+    "q60_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sess = ev
+        .withColumn("prev", lag($"ts", 1).over(w))
+        .withColumn("is_start", when($"prev".isNull ||
+          unix_micros($"ts") - unix_micros($"prev") > 1800L * 1000000L, 1)
+          .otherwise(0))
+        .withColumn("sess", sum($"is_start")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sess")
+        .agg(min($"ts").as("s_start"), max($"ts").as("s_end"))
+      val inc = ev.groupBy(date_trunc("hour", $"ts").as("inc_hour"))
+        .agg(count(lit(1)).as("n_ev"))
+        .orderBy($"n_ev".desc, $"inc_hour")
+        .limit(50)
+      val binned = sess.select($"user_id",
+        explode(expr("sequence(date_trunc('hour', s_start), s_end, interval 1 hour)"))
+          .as("inc_hour"))
+      binned.join(broadcast(inc), Seq("inc_hour"))
+        .groupBy($"inc_hour", $"n_ev")
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy($"inc_hour")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      l AS (
+        SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM e),
+      f AS (
+        SELECT *, CASE WHEN prev IS NULL
+                         OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                       THEN 1 ELSE 0 END AS is_start
+        FROM l),
+      g AS (
+        SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+        FROM f),
+      sess AS (
+        SELECT user_id, sess, MIN(ts) AS s_start, MAX(ts) AS s_end
+        FROM g GROUP BY 1, 2),
+      inc AS (
+        SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS inc_hour,
+               COUNT(*) AS n_ev
+        FROM events GROUP BY 1
+        ORDER BY n_ev DESC, inc_hour LIMIT 50)
+      SELECT inc_hour, n_ev, COUNT(*) AS n_sessions,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM inc JOIN sess
+        ON sess.s_start < inc_hour + INTERVAL 1 HOUR AND sess.s_end >= inc_hour
+      GROUP BY 1, 2
+      ORDER BY inc_hour"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -1706,5 +1779,5 @@ object RelationalQueries {
     q44BucketedJoin, q45Unpivot, q46RecursiveSpine, q47LateralTopn,
     q48HigherOrder, q49ListAgg, q50Funnel, q51Variant, q52Scd2,
     q53StatsExact, q54IgnoreNulls, q55FilterClause, q56GroupByAll,
-    q57Resample, q58AsofNearest, q59MergeUpsert)
+    q57Resample, q58AsofNearest, q59MergeUpsert, q60RangeJoin)
 }

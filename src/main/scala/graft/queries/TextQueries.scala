@@ -1702,6 +1702,37 @@ object TextQueries {
       FROM s
       ORDER BY doc_id, chunk_id"""))
 
+  /** WIMBD-style corpus n-gram census (Elazar et al. 2024, "What's In My
+    * Big Data?"): the 20 most-frequent word trigrams with occurrence and
+    * document-frequency counts. One explode + one partial-aggregated
+    * count shuffle + a TakeOrdered top-k — the counts-first shape that
+    * lets a 100 TB corpus census run as a single map-side-combined pass
+    * (no per-doc state, no join). Ties at the cut break on the ngram text
+    * so the result is total-ordered. */
+  val txCorpusNgrams = GraftQuery(
+    "tx_corpus_ngrams",
+    (s, dir) => {
+      import s.implicits._
+      val rows = shingleRows(
+        docs(s, dir).withColumn("tokens", split($"text", " ")), 3,
+        distinct = false)
+      rows.groupBy($"shingle".as("ngram"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct($"doc_id").as("n_docs"))
+        .orderBy($"n_occurrences".desc, $"ngram")
+        .limit(20)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens FROM documents),
+      sh AS (SELECT doc_id, ARRAY_TO_STRING(tokens[i:i+2], ' ') AS ngram
+             FROM t, UNNEST(RANGE(1, LEN(tokens) - 1)) AS u(i)
+             WHERE LEN(tokens) >= 3)
+      SELECT ngram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+      FROM sh
+      GROUP BY ngram
+      ORDER BY n_occurrences DESC, ngram
+      LIMIT 20"""))
+
   val all: Seq[GraftQuery] = Seq(
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
@@ -1709,5 +1740,6 @@ object TextQueries {
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
     ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddSubdocDedup, ddSimjoinAuto,
     txBpeTokens, txPackDocs, ddEditPairs, ddPassJoin, txDomainCap,
-    txChunkOverlap, ddIncremental, ddLshStats, txWeightedSample, ddLshEval)
+    txChunkOverlap, ddIncremental, ddLshStats, txWeightedSample, ddLshEval,
+    txCorpusNgrams)
 }

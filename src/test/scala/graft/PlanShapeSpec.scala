@@ -270,4 +270,18 @@ class PlanShapeSpec extends SparkSpec {
     val scans = "(?i)scan parquet".r.findAllIn(p).length
     assert(scans <= 2, s"corpus+query scans only, saw $scans")
   }
+
+  test("q60 range join executes as a binned broadcast equi-join, not a theta join") {
+    val p = plan("q60_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the interval overlap must be the exploded hour-bucket EQUI-join")
+    assert(p.contains("BroadcastHashJoin"),
+      "the top-k incident-hours side must broadcast")
+  }
+
+  test("gr_reach BFS rounds are node-key equi-joins, never cartesian") {
+    val p = plan("gr_reach")
+    assert(!p.contains("CartesianProduct"),
+      "frontier expansion must join on the node key")
+  }
 }
