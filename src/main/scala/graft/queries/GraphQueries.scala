@@ -117,9 +117,14 @@ object GraphQueries {
         .join(co.as("e3"),
           col("e3.s1") === col("e1.s1") && col("e3.s2") === col("e2.s2"))
         .agg(count(lit(1)).as("n_triangles"))
+      // n_edges can legitimately be 0 (at larger SFs the per-pair customer
+      // overlap DROPS — more suppliers spread over more customers — so the
+      // shared>=190 projection empties). NULLIF-guard the ratio on both
+      // engines: ANSI Spark would throw, DuckDB would emit inf.
       co.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
         .select($"n_edges", $"n_triangles",
-          ($"n_triangles".cast("double") / $"n_edges".cast("double"))
+          ($"n_triangles".cast("double") /
+            nullif($"n_edges", lit(0L)).cast("double"))
             .as("triangles_per_edge"))
     },
     Some("""
@@ -137,7 +142,8 @@ object GraphQueries {
       SELECT (SELECT COUNT(*) FROM co) AS n_edges,
              n_triangles,
              CAST(n_triangles AS DOUBLE)
-               / CAST((SELECT COUNT(*) FROM co) AS DOUBLE) AS triangles_per_edge
+               / CAST(NULLIF((SELECT COUNT(*) FROM co), 0) AS DOUBLE)
+               AS triangles_per_edge
       FROM tri"""))
 
   /** Degree distribution of the bipartite order graph — the first
