@@ -901,6 +901,8 @@ object Dissect {
         dissectSlow(d, l3off, d.length, v, protos)
       case 0x88f7 =>
         dissectPtp(d, l3off, d.length - l3off, v, protos)
+      case 0x8847 | 0x8848 =>
+        dissectMpls(d, l3off, v, protos, tracker, wanted)
       case lenField if lenField < 0x0600 =>
         // 802.3: the EtherType slot is a payload LENGTH → LLC follows
         dissectLlc(d, l3off, math.min(d.length, l3off + lenField), v, protos)
@@ -989,6 +991,38 @@ object Dissect {
     * multi-occurrence semantics: address strings comma-append, numeric
     * fields keep the OUTER value — the reference's stoll/stod prefix
     * parse observes the first occurrence). */
+  /** MPLS label stack (RFC 3032): 4-byte entries — label(20) exp(3)
+    * bottom(1) ttl(8) — walked to the bottom-of-stack bit; the emitted
+    * fields keep the TOP entry (the reference's stoll prefix parse
+    * observes the first occurrence of multi-valued numeric fields). The
+    * payload after the stack has no protocol field — sniff the IP
+    * version nibble, tshark's heuristic. */
+  private def dissectMpls(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker,
+      wanted: Wanted): String = {
+    if (d.length < off + 4) return null
+    protos += "mpls"
+    val top = u32(d, off)
+    v("mpls.label") = (top >>> 12) & 0xfffffL
+    v("mpls.exp") = ((top >>> 9) & 0x7L)
+    v("mpls.bottom") = ((top >>> 8) & 0x1L)
+    v("mpls.ttl") = (top & 0xffL)
+    var p = off
+    // walk to the bottom-of-stack entry (stack depth bounded by frame len)
+    while (p + 4 <= d.length && (u32(d, p) & 0x100L) == 0L) p += 4
+    val inner = p + 4
+    val res =
+      if (inner < d.length) (u8(d, inner) >> 4) match {
+        case 4 => dissectIpv4(d, inner, v, protos, tracker, wanted)
+        case 6 => dissectIpv6(d, inner, v, protos, tracker, wanted)
+        case _ => null
+      } else null
+    if (res != null) res else "MPLS Label Switched Packet"
+  }
+
   private def dissectGre(
       d: Array[Byte], off: Int, end: Int,
       v: FieldVec,
@@ -1011,6 +1045,19 @@ object Dissect {
         case 0x0800 => dissectIpv4(d, p, v, protos, tracker, wanted)
         case 0x86dd => dissectIpv6(d, p, v, protos, tracker, wanted)
         case 0x6558 => dissectEthFrom(d, p, v, protos, tracker, wanted) // transparent bridging
+        case 0x88be if end >= p + 8 =>
+          // ERSPAN Type II (Cisco): 8-byte header — ver(4)+vlan(12),
+          // cos/en/t + session id(10), reserved+index — then the
+          // mirrored Ethernet frame. (Type I — no header — is signalled
+          // by the GRE sequence bit being absent; tshark still inserts
+          // the erspan layer, with no fields.)
+          protos += "erspan"
+          val innerOff = if ((flags & 0x1000) != 0) {
+            v("erspan.version") = ((u8(d, p) >> 4) & 0xf).toLong
+            v("erspan.spanid") = (u16(d, p + 2) & 0x3ff).toLong
+            p + 8
+          } else p
+          dissectEthFrom(d, innerOff, v, protos, tracker, wanted)
         case _      => null
       } finally v.nested = wasNested
     if (inner != null) inner
@@ -2264,6 +2311,32 @@ object Dissect {
         try dissectEthFrom(d, off + 16, v, protos, tracker, wanted)
         finally v.nested = wasNested
       return if (inner != null) inner else "VXLAN"
+    }
+    // Geneve (RFC 8926): Ver(2)+OptLen(6) | flags | Protocol Type |
+    // VNI(24)+rsvd, then OptLen×4 bytes of TLV options, then the inner
+    // frame per the declared protocol type (0x6558 = bridged Ethernet)
+    if ((sp == 6081 || dp == 6081) && payLen >= 8 && off + 16 <= d.length &&
+      (u8(d, off + 8) >> 6) == 0) {
+      val optLen = (u8(d, off + 8) & 0x3f) * 4
+      val ptype = u16(d, off + 10)
+      val innerOff = off + 16 + optLen
+      if (innerOff <= d.length) {
+        protos += "geneve"
+        v("geneve.version") = ((u8(d, off + 8) >> 6) & 0x3).toLong
+        v("geneve.proto_type") = ptype.toLong
+        v("geneve.vni") =
+          ((u8(d, off + 12) << 16) | (u8(d, off + 13) << 8) | u8(d, off + 14)).toLong
+        val wasNested = v.nested
+        v.nested = true
+        val inner =
+          try ptype match {
+            case 0x6558 => dissectEthFrom(d, innerOff, v, protos, tracker, wanted)
+            case 0x0800 => dissectIpv4(d, innerOff, v, protos, tracker, wanted)
+            case 0x86dd => dissectIpv6(d, innerOff, v, protos, tracker, wanted)
+            case _      => null
+          } finally v.nested = wasNested
+        return if (inner != null) inner else "Geneve"
+      }
     }
     if (!wanted.info) ""
     else if (wanted.infoBytes) {

@@ -1074,6 +1074,64 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d.info === "Echo (ping) request  id=0x0042, seq=7")
   }
 
+  private def innerEthIcmp(): Array[Byte] = {
+    val innerIcmp = java.nio.ByteBuffer.allocate(8)
+      .put(8.toByte).put(0.toByte).putShort(0.toShort)
+      .putShort(0x42.toShort).putShort(7.toShort).array()
+    val innerIp = ipv4Hdr(1, Array[Byte](192.toByte, 168.toByte, 2, 1),
+      Array[Byte](192.toByte, 168.toByte, 2, 2), innerIcmp.length) ++ innerIcmp
+    new Array[Byte](12) ++ Array[Byte](0x08, 0x00) ++ innerIp
+  }
+
+  test("Geneve: inner Ethernet frame dissects after the option TLVs") {
+    // ver 0, optLen 1 (one 4-byte TLV), proto 0x6558, VNI 0xAB
+    val geneve = Array[Byte](0x01, 0, 0x65, 0x58, 0, 0, 0xAB.toByte, 0,
+      0xFF.toByte, 0xFF.toByte, 0, 0) ++ innerEthIcmp()
+    val d = dissectOne(ethIpUdp(55000, 6081, geneve))
+    assert(d.protocols === "eth:ethertype:ip:udp:geneve:eth:ethertype:ip:icmp")
+    assert(d.values("geneve.vni") === 0xABL)
+    assert(d.values("geneve.proto_type") === 0x6558L)
+    assert(d.values("geneve.version") === 0L)
+    assert(d.values("ip.src") === "10.0.0.1,192.168.2.1")
+    assert(d.info === "Echo (ping) request  id=0x0042, seq=7")
+  }
+
+  test("MPLS: stack walks to bottom, top entry's fields kept, inner IPv4") {
+    val icmp = java.nio.ByteBuffer.allocate(8)
+      .put(8.toByte).put(0.toByte).putShort(0.toShort)
+      .putShort(0x42.toShort).putShort(7.toShort).array()
+    val ip = ipv4Hdr(1, Array[Byte](10, 0, 1, 1), Array[Byte](10, 0, 1, 2),
+      icmp.length) ++ icmp
+    // two-entry stack: top label 100 (not bottom, ttl 64), then label 200
+    // (bottom of stack, ttl 63)
+    val stack = java.nio.ByteBuffer.allocate(8)
+      .putInt((100 << 12) | 64).putInt((200 << 12) | (1 << 8) | 63).array()
+    val frame = new Array[Byte](12) ++ Array[Byte](0x88.toByte, 0x47) ++ stack ++ ip
+    val d = dissectOne(frame)
+    assert(d.protocols === "eth:ethertype:mpls:ip:icmp")
+    assert(d.values("mpls.label") === 100L)
+    assert(d.values("mpls.bottom") === 0L)
+    assert(d.values("mpls.ttl") === 64L)
+    assert(d.values("ip.src") === "10.0.1.1")
+    assert(d.info === "Echo (ping) request  id=0x0042, seq=7")
+  }
+
+  test("ERSPAN II under GRE: mirrored Ethernet dissects with span id") {
+    // GRE with the sequence bit (ERSPAN II), proto 0x88be, seq 9, then the
+    // 8-byte ERSPAN header: ver 1, session id 0x123
+    val erspan = Array[Byte](0x10, 0, 0x01, 0x23, 0, 0, 0, 0) ++ innerEthIcmp()
+    val gre = Array[Byte](0x10, 0, 0x88.toByte, 0xBE.toByte, 0, 0, 0, 9) ++ erspan
+    val outer = ipv4Hdr(47, Array[Byte](10, 0, 0, 1), Array[Byte](10, 0, 0, 2),
+      gre.length) ++ gre
+    val frame = new Array[Byte](12) ++ Array[Byte](0x08, 0x00) ++ outer
+    val d = dissectOne(frame)
+    assert(d.protocols === "eth:ethertype:ip:gre:erspan:eth:ethertype:ip:icmp")
+    assert(d.values("erspan.version") === 1L)
+    assert(d.values("erspan.spanid") === 0x123L)
+    assert(d.values("ip.src") === "10.0.0.1,192.168.2.1")
+    assert(d.info === "Echo (ping) request  id=0x0042, seq=7")
+  }
+
   test("ICMP echo request renders ping info") {
     val icmp = java.nio.ByteBuffer.allocate(8)
     icmp.put(8.toByte).put(0.toByte).putShort(0.toShort)

@@ -1118,4 +1118,21 @@ ptp_sync = bytes([0x00, 0x02]) + struct.pack(">H", 44) + \
     struct.pack(">H", 0x1234) + bytes([0, 0]) + b"\x00" * 10
 extra.append((t3, 15900, ip_frame(17, A, B, udp(319, 319, ptp_sync), ident=191)))
 
+# 162-164: tunnel/encap tier — Geneve (one option TLV + bridged Ethernet),
+# MPLS two-entry label stack over raw IPv4, ERSPAN Type II under GRE
+inner_icmp = struct.pack(">BBHHH", 8, 0, 0, 0x42, 7)
+_ih, _ip = ipv4(1, [192, 168, 2, 1], [192, 168, 2, 2], inner_icmp)
+inner_eth = eth(MAC_B, MAC_A, 0x0800, _ih + _ip)
+geneve = bytes([0x01, 0, 0x65, 0x58, 0, 0, 0xAB, 0]) + \
+    bytes([0xFF, 0xFF, 0x00, 0x00]) + inner_eth  # ver 0, 1 TLV, VNI 0xAB
+extra.append((t3, 16000, ip_frame(17, A, B, udp(55001, 6081, geneve), ident=192)))
+
+mpls_stack = struct.pack(">II", (100 << 12) | 64, (200 << 12) | (1 << 8) | 63)
+_mh, _mp = ipv4(1, [10, 0, 1, 1], [10, 0, 1, 2], inner_icmp)
+extra.append((t3, 16100, eth(MAC_B, MAC_A, 0x8847, mpls_stack + _mh + _mp)))
+
+erspan = bytes([0x10, 0, 0x01, 0x23, 0, 0, 0, 0]) + inner_eth  # ver 1, span 0x123
+gre_hdr = struct.pack(">HHI", 0x1000, 0x88BE, 9)  # sequence bit, seq 9
+extra.append((t3, 16200, ip_frame(47, A, B, gre_hdr + erspan, ident=193)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
