@@ -113,6 +113,29 @@ class TsharkBackendSpec extends SparkSpec {
     assert(!multi.fieldNames.contains("collectd.val.value")) // not requested
   }
 
+  test("glossary r10 tranche: bitcoin schema carries real typed columns on both backends") {
+    val p = getClass.getResource("/fix.pcap").getPath
+    val n = graft.api.Wireduck.readPcap(spark, p, protocols = Seq("bitcoin"))
+    assert(n.schema.fieldNames.toSeq === Seq(
+      "frame.time_epoch", "frame.number", "frame.len", "frame.protocols",
+      "bitcoin.magic", "bitcoin.command", "bitcoin.length", "_ws.col.info"))
+    assert(n.schema("bitcoin.magic").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(n.schema("bitcoin.command").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val t = graft.api.Wireduck.readPcap(spark, p, protocols = Seq("bitcoin"),
+      backend = Some("tshark"))
+    assert(t.schema === n.schema)
+    // spot-resolve rows across the r10 families
+    val multi = graft.pcap.Glossary.schemaFor(
+      Seq("fcgi", "moldudp64", "nvme-tcp", "cops", "giop"))
+    assert(multi.fieldNames.contains("fcgi.id"))
+    assert(multi.fieldNames.contains("moldudp64.sequence"))
+    assert(multi.fieldNames.contains("nvme-tcp.plen"))
+    assert(multi.fieldNames.contains("cops.client_type"))
+    assert(multi.fieldNames.contains("giop.len"))
+  }
+
   test("glossary r8 tranche: goose schema carries real typed columns on both backends") {
     val p = getClass.getResource("/fix.pcap").getPath
     val n = graft.api.Wireduck.readPcap(spark, p, protocols = Seq("goose"))
