@@ -1764,6 +1764,94 @@ object RelationalQueries {
       GROUP BY 1, 2
       ORDER BY inc_hour"""))
 
+  /** Time-interval RANGE frame: per event, activity in the PRECEDING HOUR
+    * (count + exact sum) via `RANGE BETWEEN 3600000000 PRECEDING AND
+    * CURRENT ROW` over `unix_micros(ts)` — the sliding-time-window
+    * aggregate as a WINDOW FRAME, not a self-join. q38 pins the
+    * value-bounded RANGE frame on numeric keys; this is the temporal
+    * variant every ops dashboard needs ("requests in the last hour, per
+    * row"). One shuffle on user_id; frame evaluation is a single ordered
+    * scan per partition with two moving pointers. */
+  val q61TimeRangeFrame = GraftQuery(
+    "q61_time_range_frame",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, dir, "events").filter($"user_id" < 100)
+        .select($"user_id", $"event_id", $"ts",
+          count(lit(1)).over(w).as("n_1h"),
+          (sum((dec($"value") * lit(100)).cast(LongType)).over(w)
+            .cast(DoubleType) / lit(100.0d)).as("sum_1h"))
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             COUNT(*) OVER w AS n_1h,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    OVER w AS DOUBLE) / 100.0 AS sum_1h
+      FROM events
+      WHERE user_id < 100
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""))
+
+  /** Interval union (coverage) aggregation: each event opens a 5-minute
+    * activity interval; per user, overlapping intervals MERGE and the
+    * union's total length surfaces in integer microseconds — the
+    * gaps-and-islands chain-merge (running max of interval ends decides
+    * whether an interval starts a new island). All arithmetic is integer
+    * micros, so the result is exact and shard-independent. One shuffle
+    * (user key), one spillable ordered pass — no interval self-join. */
+  val q62IntervalUnion = GraftQuery(
+    "q62_interval_union",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"s", $"event_id")
+      val iv = t(s, dir, "events")
+        .select($"user_id", $"event_id", unix_micros($"ts").as("s"),
+          (unix_micros($"ts") + lit(300000000L)).as("e"))
+      iv.withColumn("prev_max",
+          max($"e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("is_start",
+          when($"prev_max".isNull || $"s" > $"prev_max", 1).otherwise(0))
+        .withColumn("island", sum($"is_start")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"island")
+        .agg(min($"s").as("is_s"), max($"e").as("is_e"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum($"is_e" - $"is_s").as("active_micros"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+               epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS e
+        FROM events),
+      m AS (
+        SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max
+        FROM iv),
+      f AS (
+        SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+                    AS is_start
+        FROM m),
+      g AS (
+        SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS island
+        FROM f),
+      isl AS (
+        SELECT user_id, island, MIN(s) AS is_s, MAX(e) AS is_e
+        FROM g GROUP BY 1, 2)
+      SELECT user_id, COUNT(*) AS n_intervals,
+             CAST(SUM(is_e - is_s) AS BIGINT) AS active_micros
+      FROM isl GROUP BY user_id
+      ORDER BY user_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -1779,5 +1867,6 @@ object RelationalQueries {
     q44BucketedJoin, q45Unpivot, q46RecursiveSpine, q47LateralTopn,
     q48HigherOrder, q49ListAgg, q50Funnel, q51Variant, q52Scd2,
     q53StatsExact, q54IgnoreNulls, q55FilterClause, q56GroupByAll,
-    q57Resample, q58AsofNearest, q59MergeUpsert, q60RangeJoin)
+    q57Resample, q58AsofNearest, q59MergeUpsert, q60RangeJoin,
+    q61TimeRangeFrame, q62IntervalUnion)
 }
