@@ -379,6 +379,195 @@ object Media {
 
   /** Container sniff by magic — the dispatch [[decode]] runs, surfaced as
     * a value for format-distribution analytics. */
+  // ---- pixel-true PNG path (encode + full decode, no stand-in bytes) ----
+
+  private def paethPredictor(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Pixel-true grayscale PNG: 8-bit colour-type-0 scanlines whose pixel
+    * at (x, y) is `(seed + 31·x + 7·y) mod 256`, each row filtered with
+    * PNG filter `y mod 5` (None/Sub/Up/Average/Paeth — all five standard
+    * filters exercised), the filtered stream zlib-DEFLATEd into one IDAT.
+    * Unlike [[pngBytes]] (real container, stand-in entropy bytes) this is
+    * a fully decodable image: [[decodeGray]] must INFLATE and UN-filter
+    * to recover the pixels. PNG spec: RFC 2083 §6 (filters), §2.3 (zlib). */
+  def pngPixelBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val raw = new Array[Byte]((1 + w) * h)
+    var pos = 0
+    val prior = new Array[Int](w)
+    val cur = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      raw(pos) = ft.toByte; pos += 1
+      var x = 0
+      while (x < w) { cur(x) = (seed + 31 * x + 7 * y) % 256; x += 1 }
+      x = 0
+      while (x < w) {
+        val left = if (x > 0) cur(x - 1) else 0
+        val up = if (y > 0) prior(x) else 0
+        val ul = if (x > 0 && y > 0) prior(x - 1) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ => paethPredictor(left, up, ul)
+        }
+        raw(pos) = ((cur(x) - pred) & 0xff).toByte; pos += 1
+        x += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, w)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater(6)
+    defl.setInput(raw); defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val idat = out.toByteArray
+    val bb = ByteBuffer.allocate(57 + idat.length)
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes(ISO_8859_1))
+    val ihdrType = bb.position() - 4
+    bb.putInt(w).putInt(h)
+      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.putInt(crc32(bb.array(), ihdrType, 4 + 13))
+    bb.putInt(idat.length).put("IDAT".getBytes(ISO_8859_1))
+    val idatType = bb.position() - 4
+    bb.put(idat)
+    bb.putInt(crc32(bb.array(), idatType, 4 + idat.length))
+    bb.putInt(0).put("IEND".getBytes(ISO_8859_1))
+      .putInt(crc32("IEND".getBytes(ISO_8859_1), 0, 4))
+    bb.array()
+  }
+
+  final case class GrayImage(w: Int, h: Int, px: Array[Int])
+
+  /** Full decode of an 8-bit grayscale PNG: chunk walk → concatenated
+    * IDAT zlib INFLATE → per-row UN-filtering (all five PNG filter
+    * types). Returns null for non-PNG input, wrong bit depth/colour
+    * type, truncated zlib streams, or an unknown filter byte — the
+    * ingest gate never throws. */
+  def decodeGray(payload: Array[Byte]): GrayImage = {
+    if (payload.length < 26 || !payload.startsWith(PngMagic) ||
+      fourcc(payload, 12) != "IHDR") return null
+    val w = u32be(payload, 16).toInt
+    val h = u32be(payload, 20).toInt
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return null
+    if ((payload(24) & 0xff) != 8 || (payload(25) & 0xff) != 0) return null
+    val idat = new java.io.ByteArrayOutputStream()
+    var p = 8
+    var walking = true
+    while (walking && p + 8 <= payload.length) {
+      val len = u32be(payload, p).toInt
+      val typ = fourcc(payload, p + 4)
+      if (len < 0 || p + 8 + len > payload.length) walking = false
+      else {
+        if (typ == "IDAT") idat.write(payload, p + 8, len)
+        if (typ == "IEND") walking = false
+        p += 12 + len
+      }
+    }
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    val raw = new Array[Byte]((1 + w) * h)
+    var got = 0
+    try {
+      while (got < raw.length && !infl.finished()) {
+        val n = infl.inflate(raw, got, raw.length - got)
+        if (n == 0 && infl.needsInput()) return null // truncated stream
+        got += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return null }
+    finally infl.end()
+    if (got != raw.length) return null
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (w + 1)) & 0xff
+      if (ft > 4) return null
+      var x = 0
+      while (x < w) {
+        val f = raw(y * (w + 1) + 1 + x) & 0xff
+        val left = if (x > 0) px(y * w + x - 1) else 0
+        val up = if (y > 0) px((y - 1) * w + x) else 0
+        val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ => paethPredictor(left, up, ul)
+        }
+        px(y * w + x) = (f + pred) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    GrayImage(w, h, px)
+  }
+
+  /** Pixel fixture: every document becomes a fully decodable grayscale
+    * PNG whose dims (8–32 px/side) and pixel seed derive from the text
+    * md5 — the same hex-char convention [[synthesize]] uses, so the
+    * DuckDB oracle replays the parameters arithmetically. */
+  def synthesizePixels(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val hex = md5Hex(text.getBytes(UTF_8))
+      val w = 8 + ((hex(0).toInt * 256 + hex(1).toInt) % 25)
+      val h = 8 + ((hex(2).toInt * 256 + hex(3).toInt) % 25)
+      val seed = (hex(4).toInt * 256 + hex(5).toInt) % 256
+      (id, pngPixelBytes(w, h, seed))
+    }.toDF("doc_id", "payload")
+  }
+
+  final case class Thumb(doc_id: Long, width: Long, height: Long, thumb: String)
+
+  /** 4×4 average-pooled thumbnails over REAL decoded pixels: inflate +
+    * un-filter each payload ([[decodeGray]]), then integer block
+    * averaging (truncating division, non-negative — the `//`-compatible
+    * convention every oracle uses). One mapPartitions pass, constant
+    * memory; undecodable payloads yield no row. */
+  def thumbnails(spark: SparkSession, media: DataFrame): Dataset[Thumb] = {
+    import spark.implicits._
+    media.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        val img = decodeGray(payload)
+        if (img == null) None
+        else {
+          val sb = new StringBuilder(32)
+          var by = 0
+          while (by < 4) {
+            var bx = 0
+            while (bx < 4) {
+              val x0 = bx * img.w / 4; val x1 = (bx + 1) * img.w / 4
+              val y0 = by * img.h / 4; val y1 = (by + 1) * img.h / 4
+              var s = 0L
+              var yy = y0
+              while (yy < y1) {
+                var xx = x0
+                while (xx < x1) { s += img.px(yy * img.w + xx); xx += 1 }
+                yy += 1
+              }
+              val avg = s / ((x1 - x0).toLong * (y1 - y0))
+              sb.append(f"$avg%02x")
+              bx += 1
+            }
+            by += 1
+          }
+          Some(Thumb(id, img.w.toLong, img.h.toLong, sb.toString))
+        }
+      }
+    }
+  }
+
   def codecOf(payload: Array[Byte]): String = {
     val n = payload.length
     if (n >= 8 && payload.startsWith(PngMagic)) "png"

@@ -317,7 +317,49 @@ object MultimodalQueries {
       FROM s GROUP BY doc_id, gdur
       ORDER BY doc_id"""))
 
+  /** PIXEL-level decode: every document becomes a fully decodable
+    * grayscale PNG (deflate-compressed scanlines, all five PNG row
+    * filters in rotation — [[Media.pngPixelBytes]]); Spark INFLATES the
+    * IDAT, UN-filters every row, and average-pools the recovered pixels
+    * into a 4×4 thumbnail (the resize/feature-extract step of an image
+    * training pipeline). The oracle replays the generator's pixel
+    * formula `(seed + 31x + 7y) mod 256` arithmetically over the exact
+    * block partition — so a hash match proves zlib + filter
+    * reconstruction byte-for-byte, not just header parsing. Scale shape:
+    * one mapPartitions pass, constant memory, no shuffle. */
+  val mmThumbnail = GraftQuery(
+    "mm_thumbnail",
+    (s, dir) => {
+      val media = Media.synthesizePixels(Tables.load(s, dir, "documents"))
+      Media.thumbnails(s, media).toDF().orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+               8 + (ASCII(SUBSTR(MD5(text), 1, 1)) * 256 + ASCII(SUBSTR(MD5(text), 2, 1))) % 25 AS pw,
+               8 + (ASCII(SUBSTR(MD5(text), 3, 1)) * 256 + ASCII(SUBSTR(MD5(text), 4, 1))) % 25 AS ph,
+               (ASCII(SUBSTR(MD5(text), 5, 1)) * 256 + ASCII(SUBSTR(MD5(text), 6, 1))) % 256 AS pseed
+        FROM documents),
+      blk AS (
+        SELECT doc_id, pw, ph, pseed, by, bx
+        FROM p, UNNEST(RANGE(0, 4)) t1(by), UNNEST(RANGE(0, 4)) t2(bx)),
+      cell AS (
+        SELECT doc_id, pw, ph, by, bx,
+               CAST(SUM((pseed + 31 * x + 7 * y) % 256) AS BIGINT) // COUNT(*) AS avgv
+        FROM blk,
+             UNNEST(GENERATE_SERIES(bx * pw // 4, (bx + 1) * pw // 4 - 1)) xs(x),
+             UNNEST(GENERATE_SERIES(by * ph // 4, (by + 1) * ph // 4 - 1)) ys(y)
+        GROUP BY 1, 2, 3, 4, 5),
+      t AS (
+        SELECT doc_id, pw, ph,
+               STRING_AGG(printf('%02x', avgv), '' ORDER BY by, bx) AS thumb
+        FROM cell GROUP BY 1, 2, 3)
+      SELECT doc_id, CAST(pw AS BIGINT) AS width, CAST(ph AS BIGINT) AS height,
+             thumb
+      FROM t
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(mmMediaMeta, mmTypeStats, mmFrameSample, mmCodecStats, mmOrientationStats,
-      mmPhash, mmIntegrity, mmAudioStats)
+      mmPhash, mmIntegrity, mmAudioStats, mmThumbnail)
 }
