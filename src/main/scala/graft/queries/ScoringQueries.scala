@@ -327,12 +327,14 @@ object ScoringQueries {
       (n, sumdl, idf)
     }
 
-  /** BM25 (Okapi) score SQL, parametrized by dialect: tf and dl are exact
-    * integer list ops; avgdl and the saturation formula are identical
-    * IEEE-double scalar expression trees, and idf enters as a quantized
-    * decimal literal cast once — so Spark and DuckDB agree bit-for-bit. */
-  private def bm25Sql(spark: Boolean, n: Long, sumdl: Long,
-      idf: Seq[(String, JBigDecimal)]): String = {
+  /** Dialect-parametrized BM25 fragments shared by tx_bm25 and the
+    * hybrid fusion: (tokenize expression, dl-length expression, score
+    * expression over a CTE exposing `w`). tf and dl are exact integer
+    * list ops; avgdl and the saturation formula are identical IEEE-double
+    * scalar expression trees, and idf enters as a quantized decimal
+    * literal cast once — so Spark and DuckDB agree bit-for-bit. */
+  private def bm25Parts(spark: Boolean, n: Long, sumdl: Long,
+      idf: Seq[(String, JBigDecimal)]): (String, String, String, String => String) = {
     val wExpr =
       if (spark) "filter(split(text, ' '), x -> x != '')"
       else "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -348,6 +350,12 @@ object ScoringQueries {
                * ($tf * $bmK1p1)
                / ($tf + $bmK1 * ($bmOneMinusB + $bmB * ($dl / $avgdl)))"""
     }.mkString("(", "\n             + ", ")")
+    (wExpr, dlLen, score, tfOf)
+  }
+
+  private def bm25Sql(spark: Boolean, n: Long, sumdl: Long,
+      idf: Seq[(String, JBigDecimal)]): String = {
+    val (wExpr, dlLen, score, tfOf) = bm25Parts(spark, n, sumdl, idf)
     val tfCols = idf.map { case (t, _) =>
       s"CAST(${tfOf(t)} AS BIGINT) AS tf_$t" }.mkString(",\n             ")
     s"""
@@ -378,6 +386,77 @@ object ScoringQueries {
       bm25Sql(spark = false, n, sumdl, idf)
     }))
 
+  /** Hybrid lexical+dense retrieval SQL (dialect-parametrized): BM25
+    * top-50 and cosine top-50 rankings fuse by Reciprocal Rank Fusion
+    * (Cormack, Clarke & Buettcher 2009), Σ 1/(60 + rank). Both candidate
+    * lists are ORDER BY + LIMIT (TakeOrdered in Spark — distributed
+    * top-k, never a global-window sort over the corpus); ranks are
+    * row_numbers over the 50 survivors only. Each 1/(60+r) is one
+    * exactly-rounded IEEE division and the fusion adds the lexical term
+    * then the dense term — fixed order, bit-identical across engines. */
+  private def hybridSql(spark: Boolean, n: Long, sumdl: Long,
+      idf: Seq[(String, JBigDecimal)]): String = {
+    val (wExpr, _, score, _) = bm25Parts(spark, n, sumdl, idf)
+    val dim = 64
+    def dot(a: String, b: String) =
+      if (spark)
+        (1 to dim).map(i =>
+          s"CAST(element_at($a, $i) AS DOUBLE) * CAST(element_at($b, $i) AS DOUBLE)")
+          .mkString(" + ")
+      else
+        (1 to dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+          .mkString(" + ")
+    val cosine = s"(${dot("embedding", "qe")}) / (SQRT(${dot("embedding", "embedding")}) * SQRT(${dot("qe", "qe")}))"
+    s"""
+      WITH t AS (SELECT doc_id, $wExpr AS w FROM documents),
+      lex0 AS (
+        SELECT doc_id, $score AS s
+        FROM t ORDER BY s DESC, doc_id LIMIT 50),
+      lex AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS lex_rank
+        FROM lex0),
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      dense0 AS (
+        SELECT vec_id AS doc_id, $cosine AS c
+        FROM embeddings CROSS JOIN q
+        WHERE vec_id <> 0
+        ORDER BY c DESC, doc_id LIMIT 50),
+      dense AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS BIGINT) AS vec_rank
+        FROM dense0),
+      fused AS (
+        SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+               lex.lex_rank AS lex_rank, dense.vec_rank AS vec_rank,
+               COALESCE(CAST(1 AS DOUBLE) / (60 + lex.lex_rank), CAST(0 AS DOUBLE))
+                 + COALESCE(CAST(1 AS DOUBLE) / (60 + dense.vec_rank), CAST(0 AS DOUBLE))
+                 AS rrf
+        FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
+      SELECT doc_id, lex_rank, vec_rank, rrf
+      FROM fused
+      ORDER BY rrf DESC, doc_id
+      LIMIT 10"""
+  }
+
+  /** Hybrid search over the SAME corpus id space (documents ids double
+    * as embedding ids): the modern RAG retrieval stack's fusion step,
+    * fully oracle-checked. 100 TB shape: each arm is an independent
+    * top-k (lexical scoring is shuffle-free after the broadcast fit; the
+    * dense arm is the brute anchor here and swaps for the persisted IVF
+    * probe at scale); the fusion join touches 50+50 rows. */
+  val simHybridRrf = GraftQuery(
+    "sim_hybrid_rrf",
+    (s, dir) => {
+      val (n, sumdl, idf) = bm25Fit(s, dir)
+      Tables.registerViews(s, dir)
+      s.sql(hybridSql(spark = true, n, sumdl, idf))
+    },
+    oracleGen = Some((s, dir) => {
+      val (n, sumdl, idf) = bm25Fit(s, dir)
+      hybridSql(spark = false, n, sumdl, idf)
+    }))
+
   val all: Seq[GraftQuery] = Seq(txDsirWeights, txLmScore, txResampleToMix,
-    txBm25)
+    txBm25, simHybridRrf)
 }
