@@ -279,6 +279,15 @@ class PlanShapeSpec extends SparkSpec {
       "the top-k incident-hours side must broadcast")
   }
 
+  test("sim_hybrid_rrf candidate arms are distributed top-k, not global-window sorts") {
+    val p = plan("sim_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"),
+      "each retrieval arm must TakeOrdered its top-50, not sort the corpus")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "the single-row query vector side must broadcast")
+  }
+
   test("gr_reach BFS rounds are node-key equi-joins, never cartesian") {
     val p = plan("gr_reach")
     assert(!p.contains("CartesianProduct"),
