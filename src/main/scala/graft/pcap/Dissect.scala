@@ -2013,6 +2013,12 @@ object Dissect {
         appInfo = dissectGearman(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 8009 || dp == 8009))
         appInfo = dissectAjp13(appBuf, appOff, appLen, fromServer = sp == 8009, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 8333 || dp == 8333))
+        appInfo = dissectBitcoin(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 9000 || dp == 9000))
+        appInfo = dissectFcgi(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && dp == 4369)
+        appInfo = dissectEpmd(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -2274,6 +2280,24 @@ object Dissect {
       val wolInfo = dissectWol(d, off + 8,
         off + 8 + math.min(payLen, d.length - off - 8), v, protos)
       if (wolInfo != null) return wolInfo
+    }
+    // NAT-PMP (RFC 6886, UDP 5351): version 0, opcode 0–2 request /
+    // 128–130 response (the +128 response convention)
+    if ((sp == 5351 || dp == 5351) && payLen >= 2 && off + 10 <= d.length &&
+      u8(d, off + 8) == 0) {
+      val op = u8(d, off + 9)
+      val name = (op & 0x7f) match {
+        case 0 => "External Address"
+        case 1 => "Map UDP"
+        case 2 => "Map TCP"
+        case _ => null
+      }
+      if (name != null) {
+        protos += "nat-pmp"
+        v("nat-pmp.version") = 0L
+        v("nat-pmp.opcode") = op.toLong
+        return s"$name ${if (op >= 128) "Response" else "Request"}"
+      }
     }
     if (sp == 69 || dp == 69) {
       val tftpInfo = dissectTftp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
@@ -5385,6 +5409,94 @@ object Dissect {
   }
 
   private val redisCommandRe = "\\A\\*\\d+\r\n\\$\\d+\r\n([A-Za-z]+)\r\n".r
+
+  private val bitcoinMagics =
+    Set(0xD9B4BEF9L, 0x0709110BL, 0xDAB5BFFAL, 0x40CF030AL) // main/test3/regtest/signet
+
+  /** Bitcoin P2P (TCP 8333): 24-byte message header — LE network magic,
+    * 12-byte NUL-padded ASCII command, LE payload length, checksum —
+    * per the public protocol documentation (en.bitcoin.it/wiki/Protocol). */
+  private def dissectBitcoin(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 24) return null
+    val magic = ((d(off) & 0xffL)) | ((d(off + 1) & 0xffL) << 8) |
+      ((d(off + 2) & 0xffL) << 16) | ((d(off + 3) & 0xffL) << 24)
+    if (!bitcoinMagics.contains(magic)) return null
+    var i = off + 4
+    val cmdEnd = off + 16
+    while (i < cmdEnd && d(i) != 0) {
+      val c = d(i) & 0xff
+      if (c < 'a' || c > 'z') return null // command is lowercase ASCII
+      i += 1
+    }
+    if (i == off + 4) return null
+    protos += "bitcoin"
+    v("bitcoin.magic") = magic
+    val cmd = new String(d, off + 4, i - (off + 4),
+      java.nio.charset.StandardCharsets.US_ASCII)
+    v("bitcoin.command") = cmd
+    v("bitcoin.length") = ((d(off + 16) & 0xffL)) | ((d(off + 17) & 0xffL) << 8) |
+      ((d(off + 18) & 0xffL) << 16) | ((d(off + 19) & 0xffL) << 24)
+    s"$cmd message"
+  }
+
+  private val fcgiTypeNames: Map[Int, String] = Map(
+    1 -> "FCGI_BEGIN_REQUEST", 2 -> "FCGI_ABORT_REQUEST", 3 -> "FCGI_END_REQUEST",
+    4 -> "FCGI_PARAMS", 5 -> "FCGI_STDIN", 6 -> "FCGI_STDOUT", 7 -> "FCGI_STDERR",
+    8 -> "FCGI_DATA", 9 -> "FCGI_GET_VALUES", 10 -> "FCGI_GET_VALUES_RESULT",
+    11 -> "FCGI_UNKNOWN_TYPE")
+
+  /** FastCGI (TCP 9000): 8-byte record header — version 1, type,
+    * requestId, BE contentLength, paddingLength (RFC-less public spec,
+    * fastcgi-archives.github.io). */
+  private def dissectFcgi(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8 || u8(d, off) != 1) return null
+    val typ = u8(d, off + 1)
+    if (typ < 1 || typ > 11) return null
+    protos += "fcgi"
+    v("fcgi.version") = 1L
+    v("fcgi.type") = typ.toLong
+    v("fcgi.id") = u16(d, off + 2).toLong
+    fcgiTypeNames(typ)
+  }
+
+  /** Erlang Port Mapper Daemon (TCP 4369): 2-byte BE length + request
+    * byte — ALIVE2_REQ (120), PORT_PLEASE2_REQ (122), NAMES_REQ (110),
+    * STOP_REQ (115); the node name trails the fixed part. */
+  private def dissectEpmd(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 3) return null
+    val mlen = u16(d, off)
+    if (mlen != len - 2) return null
+    val typ = u8(d, off + 2)
+    val (name, what) = typ match {
+      case 120 if len >= 13 => // ALIVE2_REQ: port, nodetype, proto, hi, lo, nlen, name
+        val nlen = u16(d, off + 11)
+        if (13 + nlen > len) return null
+        (new String(d, off + 13, nlen, java.nio.charset.StandardCharsets.UTF_8),
+          "ALIVE2_REQ")
+      case 122 =>
+        (new String(d, off + 3, len - 3, java.nio.charset.StandardCharsets.UTF_8),
+          "PORT_PLEASE2_REQ")
+      case 110 if len == 3 => ("", "NAMES_REQ")
+      case 115 =>
+        (new String(d, off + 3, len - 3, java.nio.charset.StandardCharsets.UTF_8),
+          "STOP_REQ")
+      case _ => return null
+    }
+    protos += "epmd"
+    v("epmd.len") = mlen.toLong
+    v("epmd.type") = typ.toLong
+    if (name.nonEmpty) v("epmd.name") = name
+    if (name.nonEmpty) s"$what $name" else what
+  }
 
   /** Redis RESP (TCP 6379): typed frames — '*' command arrays expose the
     * command word; '+', '-', ':', '$' render as replies. */

@@ -1132,6 +1132,56 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d.info === "Echo (ping) request  id=0x0042, seq=7")
   }
 
+  private def ethIpTcpF(sp: Int, dp: Int, payload: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(14 + 20 + 20 + payload.length)
+    b.put(new Array[Byte](12)).putShort(0x0800.toShort)
+    val iplen = 20 + 20 + payload.length
+    b.put(0x45.toByte).put(0.toByte).putShort(iplen.toShort)
+      .putShort(1.toShort).putShort(0.toShort)
+      .put(64.toByte).put(6.toByte).putShort(0.toShort)
+      .put(Array[Byte](10, 0, 0, 1)).put(Array[Byte](10, 0, 0, 2))
+    b.putShort(sp.toShort).putShort(dp.toShort).putInt(1).putInt(0)
+      .put((5 << 4).toByte).put(0x18.toByte).putShort(8192.toShort)
+      .putShort(0.toShort).putShort(0.toShort)
+    b.put(payload)
+    b.array()
+  }
+
+  test("tier-23: bitcoin, FastCGI, EPMD, NAT-PMP dissect") {
+    val btc = java.nio.ByteBuffer.allocate(24)
+      .put(Array(0xF9, 0xBE, 0xB4, 0xD9).map(_.toByte))
+      .put("version".getBytes("US-ASCII")).put(new Array[Byte](5))
+      .put(Array[Byte](0x64, 0, 0, 0)) // LE payload length 100
+      .putInt(0).array()
+    val d1 = dissectOne(ethIpTcpF(50000, 8333, btc))
+    assert(d1.protocols === "eth:ethertype:ip:tcp:bitcoin")
+    assert(d1.values("bitcoin.magic") === 0xD9B4BEF9L)
+    assert(d1.values("bitcoin.command") === "version")
+    assert(d1.values("bitcoin.length") === 100L)
+    assert(d1.info === "version message")
+
+    val fr = Array[Byte](1, 1, 0, 1, 0, 8, 0, 0) ++ new Array[Byte](8)
+    val d2 = dissectOne(ethIpTcpF(50001, 9000, fr))
+    assert(d2.protocols === "eth:ethertype:ip:tcp:fcgi")
+    assert(d2.info === "FCGI_BEGIN_REQUEST")
+    assert(d2.values("fcgi.type") === 1L)
+    assert(d2.values("fcgi.id") === 1L)
+
+    val ep = java.nio.ByteBuffer.allocate(9).putShort(7.toShort)
+      .put(122.toByte).put("rabbit".getBytes("US-ASCII")).array()
+    val d3 = dissectOne(ethIpTcpF(50002, 4369, ep))
+    assert(d3.protocols === "eth:ethertype:ip:tcp:epmd")
+    assert(d3.info === "PORT_PLEASE2_REQ rabbit")
+    assert(d3.values("epmd.name") === "rabbit")
+    assert(d3.values("epmd.type") === 122L)
+
+    val d4 = dissectOne(ethIpUdp(50003, 5351,
+      Array[Byte](0, 1, 0, 0, 0x1F, 0x40, 0x1F, 0x40, 0, 0, 0x0E, 0x10)))
+    assert(d4.protocols === "eth:ethertype:ip:udp:nat-pmp")
+    assert(d4.info === "Map UDP Request")
+    assert(d4.values("nat-pmp.opcode") === 1L)
+  }
+
   test("ICMP echo request renders ping info") {
     val icmp = java.nio.ByteBuffer.allocate(8)
     icmp.put(8.toByte).put(0.toByte).putShort(0.toShort)

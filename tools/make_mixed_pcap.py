@@ -1135,4 +1135,20 @@ erspan = bytes([0x10, 0, 0x01, 0x23, 0, 0, 0, 0]) + inner_eth  # ver 1, span 0x1
 gre_hdr = struct.pack(">HHI", 0x1000, 0x88BE, 9)  # sequence bit, seq 9
 extra.append((t3, 16200, ip_frame(47, A, B, gre_hdr + erspan, ident=193)))
 
+# 165-168: app-protocol tier — bitcoin version header, FastCGI
+# BEGIN_REQUEST, EPMD PORT_PLEASE2_REQ, NAT-PMP map request
+btc = struct.pack("<I", 0xD9B4BEF9) + b"version" + b"\x00" * 5 + \
+    struct.pack("<I", 100) + b"\x00" * 4
+extra.append((t3, 16300, ip_frame(6, A, B, tcp(50000, 8333, 1, btc), ident=194)))
+
+fcgi = bytes([1, 1, 0, 1, 0, 8, 0, 0]) + b"\x00" * 8
+extra.append((t3, 16400, ip_frame(6, A, B, tcp(50001, 9000, 1, fcgi), ident=195)))
+
+epmd = struct.pack(">HB", 7, 122) + b"rabbit"
+extra.append((t3, 16500, ip_frame(6, A, B, tcp(50002, 4369, 1, epmd), ident=196)))
+
+natpmp = bytes([0, 1, 0, 0]) + struct.pack(">HH", 8000, 8000) + \
+    struct.pack(">I", 3600)
+extra.append((t3, 16600, ip_frame(17, A, B, udp(50003, 5351, natpmp), ident=197)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
