@@ -653,6 +653,98 @@ object TextQueries {
       ORDER BY d.doc_id"""
     })
 
+  /** INCREMENTAL connected components — the production shape of
+    * continuous dedup: the base corpus's cluster labels are computed once
+    * and PERSISTED; when a batch of documents arrives, only the arriving
+    * docs are signed (per row, zero corpus shuffle), probed against the
+    * band index, and the min-label fixpoint re-runs over the CONTRACTED
+    * graph only — nodes are arriving docs plus the base-cluster LABELS
+    * they touch, so per-batch work is proportional to the batch and the
+    * clusters it bridges, never the corpus. Correctness argument: a base
+    * label is the min doc of its base cluster, so the contracted
+    * component min equals the union-graph component min. The oracle runs
+    * full-corpus CC as a recursive CTE and reads off the arriving docs'
+    * labels — a hash match proves the incremental merge EXACTLY matches
+    * the from-scratch recompute. */
+  val ddCcIncremental = GraftQuery(
+    "dd_cc_incremental",
+    (s, dir) => {
+      import s.implicits._
+      val name = ("graft_ccbase_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        .toLowerCase
+      graft.functions.AnnIndexes.cached(s, s"ccbase:$dir") {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val p = new org.apache.hadoop.fs.Path(wh, name)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val sig = ddMinhashSig.fn(s, dir).filter($"doc_id" % 10 =!= 7).cache()
+        val bands = (0 until nHashes by 2).map { h =>
+          sig.select($"doc_id", lit(h / 2).as("band"),
+            concat(col(s"mh$h"), col(s"mh${h + 1}")).as("bucket"))
+        }.reduce(_ union _)
+        val basePairs = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        ccFixpoint(basePairs).write.saveAsTable(name)
+        name
+      }
+      val baseLabels = s.table(name)
+      val newDocs = docs(s, dir).filter($"doc_id" % 10 === 7)
+        .select($"doc_id", $"text").as[(Long, String)]
+      val newBands = newDocs.flatMap { case (id, text) =>
+        val sg = graft.functions.MinHash.signature(text)
+        if (sg == null) Nil
+        else graft.functions.MinHash.bands(sg).map { case (b, bk) => (id, b, bk) }
+      }.toDF("doc_id", "band", "bucket").cache()
+      val sig = ddMinhashSig.fn(s, dir).filter($"doc_id" % 10 =!= 7)
+      val corpusBands = (0 until nHashes by 2).map { h =>
+        sig.select($"doc_id", lit(h / 2).as("band"),
+          concat(col(s"mh$h"), col(s"mh${h + 1}")).as("bucket"))
+      }.reduce(_ union _)
+      val rawPairs = newBands.as("n")
+        .join(corpusBands.unionByName(newBands).as("t"),
+          col("n.band") === col("t.band") && col("n.bucket") === col("t.bucket") &&
+            col("n.doc_id") =!= col("t.doc_id"))
+        .select(col("n.doc_id").as("na"), col("t.doc_id").as("nb"))
+        .distinct()
+      val contracted = rawPairs
+        .join(baseLabels.select($"doc_id".as("na"), $"label".as("la_base")),
+          Seq("na"), "left")
+        .join(baseLabels.select($"doc_id".as("nb"), $"label".as("lb_base")),
+          Seq("nb"), "left")
+        .select(coalesce($"la_base", $"na").as("ca"),
+          coalesce($"lb_base", $"nb").as("cb"))
+        .filter($"ca" =!= $"cb")
+        .select(least($"ca", $"cb").as("doc_a"), greatest($"ca", $"cb").as("doc_b"))
+        .distinct()
+      val merged = ccFixpoint(contracted)
+      newDocs.toDF("doc_id", "text").select($"doc_id")
+        .join(merged.select($"doc_id", $"label".as("cluster")), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"cluster", $"doc_id").as("cluster"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val pairSql = ddMinhashLshPairs.oracle.get.trim.stripSuffix("ORDER BY doc_a, doc_b")
+      s"""
+      WITH RECURSIVE base AS ($pairSql),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM base
+        UNION ALL
+        SELECT doc_b, doc_a FROM base),
+      reach(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node),
+      lab AS (SELECT node AS doc_id, MIN(label) AS cluster FROM reach GROUP BY node)
+      SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+      LEFT JOIN lab l ON l.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
+    })
+
   /** LSH index health: per-band bucket statistics INCLUDING the exact
     * candidate-pair bound Σ occ·(occ−1)/2 — the cost of the banded
     * near-dup join, predicted from a counts-only aggregate BEFORE paying
@@ -994,32 +1086,41 @@ object TextQueries {
     * 100 TB this is the standard iterative CC shape — iteration count is
     * bounded by the duplicate-cluster diameter (tiny in practice), never
     * by corpus size, and only (doc, label) pairs ever shuffle. */
+  /** Min-label connected-components fixpoint over an (doc_a, doc_b) pair
+    * frame — the iterative kernel shared by dd_dedup_clusters and the
+    * incremental variant. localCheckpoint (eager) both materializes each
+    * iterate and truncates its lineage — without it the plan (and
+    * Catalyst analysis time) grows linearly with the iteration count. */
+  private def ccFixpoint(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val edges = pairs.toDF("doc_a", "doc_b")
+      .union(pairs.toDF("doc_a", "doc_b").select($"doc_b", $"doc_a"))
+      .toDF("src", "dst").cache()
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .withColumn("label", $"doc_id")
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val next = edges.join(labels, $"dst" === $"doc_id")
+        .select($"src".as("doc_id"), $"label")
+        .union(labels)
+        .groupBy($"doc_id").agg(min($"label").as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
   val ddDedupClusters = GraftQuery(
     "dd_dedup_clusters",
     (s, dir) => {
       import s.implicits._
-      val pairs = ddMinhashLshPairs.fn(s, dir).select($"doc_a", $"doc_b")
-      val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
-        .toDF("src", "dst").cache()
-      // localCheckpoint (eager) both materializes the iterate and truncates
-      // its lineage — without it the plan (and Catalyst analysis time)
-      // grows linearly with the iteration count.
-      var labels = edges.select($"src".as("doc_id")).distinct()
-        .withColumn("label", $"doc_id")
-        .localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
-        val next = edges.join(labels, $"dst" === $"doc_id")
-          .select($"src".as("doc_id"), $"label")
-          .union(labels)
-          .groupBy($"doc_id").agg(min($"label").as("label"))
-          .localCheckpoint()
-        changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
-          .filter(col("n.label") =!= col("o.label")).count()
-        labels = next
-      }
-      edges.unpersist()
-      labels.select($"doc_id", $"label".as("cluster"))
+      ccFixpoint(ddMinhashLshPairs.fn(s, dir).select($"doc_a", $"doc_b"))
+        .select($"doc_id", $"label".as("cluster"))
         .orderBy($"cluster", $"doc_id")
     },
     Some {
@@ -1741,5 +1842,5 @@ object TextQueries {
     ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddSubdocDedup, ddSimjoinAuto,
     txBpeTokens, txPackDocs, ddEditPairs, ddPassJoin, txDomainCap,
     txChunkOverlap, ddIncremental, ddLshStats, txWeightedSample, ddLshEval,
-    txCorpusNgrams)
+    txCorpusNgrams, ddCcIncremental)
 }
