@@ -49,6 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.VectorDot(args.head, args(1))
       }))
     ext.injectOptimizerRule(_ => graft.plans.SimJoinBandRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinRewrite)
     ext.injectFunction((
       FunctionIdentifier("pq_adc_score"),
       new ExpressionInfo(classOf[graft.functions.PqAdcScore].getName, "pq_adc_score"),

@@ -1852,6 +1852,52 @@ object RelationalQueries {
       FROM isl GROUP BY user_id
       ORDER BY user_id"""))
 
+  /** The AUTO-binned range join: the same semantics as q60_range_join,
+    * but the Spark side writes the NAIVE interval-overlap theta join —
+    * `s_start ≤ inc_end AND inc_start ≤ s_end`, which would plan as a
+    * nested-loop scan — and [[graft.plans.RangeJoinBinRewrite]]
+    * (attached at runtime, `spark.graft.rangeJoin.binWidth` = 1 hour in
+    * micros) rewrites it into the binned EQUI-join with a
+    * first-overlapping-bin predicate. The oracle is the identical naive
+    * join in DuckDB, so the hash-match proves the rewrite preserves the
+    * exact multiset THROUGH the optimizer — the user writes the obvious
+    * query at 100 TB and still gets the partitionable plan (the
+    * SimJoinBandRewrite story, for time). */
+  val q63RangeJoinAuto = GraftQuery(
+    "q63_range_join_auto",
+    (s, dir) => {
+      import s.implicits._
+      if (!s.experimental.extraOptimizations.contains(graft.plans.RangeJoinBinRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.RangeJoinBinRewrite
+      s.conf.set("spark.graft.rangeJoin.binWidth", (3600L * 1000000L).toString)
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sess = ev
+        .withColumn("prev", lag($"ts", 1).over(w))
+        .withColumn("is_start", when($"prev".isNull ||
+          unix_micros($"ts") - unix_micros($"prev") > 1800L * 1000000L, 1)
+          .otherwise(0))
+        .withColumn("sess", sum($"is_start")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sess")
+        .agg(unix_micros(min($"ts")).as("s_start_us"),
+          unix_micros(max($"ts")).as("s_end_us"))
+      val inc = ev.groupBy(date_trunc("hour", $"ts").as("inc_hour"))
+        .agg(count(lit(1)).as("n_ev"))
+        .orderBy($"n_ev".desc, $"inc_hour")
+        .limit(50)
+        .withColumn("inc_us", unix_micros($"inc_hour"))
+      sess.join(inc,
+          $"s_start_us" <= $"inc_us" + lit(3599999999L) &&
+            $"inc_us" <= $"s_end_us")
+        .groupBy($"inc_hour", $"n_ev")
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy($"inc_hour")
+    },
+    q60RangeJoin.oracle)
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -1868,5 +1914,5 @@ object RelationalQueries {
     q48HigherOrder, q49ListAgg, q50Funnel, q51Variant, q52Scd2,
     q53StatsExact, q54IgnoreNulls, q55FilterClause, q56GroupByAll,
     q57Resample, q58AsofNearest, q59MergeUpsert, q60RangeJoin,
-    q61TimeRangeFrame, q62IntervalUnion)
+    q61TimeRangeFrame, q62IntervalUnion, q63RangeJoinAuto)
 }

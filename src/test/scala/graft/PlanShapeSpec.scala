@@ -288,6 +288,14 @@ class PlanShapeSpec extends SparkSpec {
       "the single-row query vector side must broadcast")
   }
 
+  test("RangeJoinBinRewrite turns the naive interval join into a binned equi-join") {
+    val p = plan("q63_range_join_auto")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the overlap theta join must rewrite to the bin equi-join")
+    assert(p.contains("Generate explode"),
+      "both sides must explode their covered bins")
+  }
+
   test("gr_reach BFS rounds are node-key equi-joins, never cartesian") {
     val p = plan("gr_reach")
     assert(!p.contains("CartesianProduct"),
