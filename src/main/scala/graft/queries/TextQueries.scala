@@ -672,18 +672,26 @@ object TextQueries {
       import s.implicits._
       val name = ("graft_ccbase_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
         .toLowerCase
+      val bandName = ("graft_ccbands_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        .toLowerCase
       graft.functions.AnnIndexes.cached(s, s"ccbase:$dir") {
-        s.sql(s"DROP TABLE IF EXISTS $name")
         val wh = s.conf.get("spark.sql.warehouse.dir")
-        val p = new org.apache.hadoop.fs.Path(wh, name)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
+        for (t <- Seq(name, bandName)) {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val p = new org.apache.hadoop.fs.Path(wh, t)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
         val sig = ddMinhashSig.fn(s, dir).filter($"doc_id" % 10 =!= 7).cache()
         val bands = (0 until nHashes by 2).map { h =>
           sig.select($"doc_id", lit(h / 2).as("band"),
             concat(col(s"mh$h"), col(s"mh${h + 1}")).as("bucket"))
         }.reduce(_ union _)
-        val basePairs = bands.as("a").join(bands.as("b"),
+        // the BAND INDEX persists next to the labels: later batches probe
+        // the table — zero corpus signature recompute in the serving path
+        bands.write.saveAsTable(bandName)
+        val persisted = s.table(bandName)
+        val basePairs = persisted.as("a").join(persisted.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -699,11 +707,7 @@ object TextQueries {
         if (sg == null) Nil
         else graft.functions.MinHash.bands(sg).map { case (b, bk) => (id, b, bk) }
       }.toDF("doc_id", "band", "bucket").cache()
-      val sig = ddMinhashSig.fn(s, dir).filter($"doc_id" % 10 =!= 7)
-      val corpusBands = (0 until nHashes by 2).map { h =>
-        sig.select($"doc_id", lit(h / 2).as("band"),
-          concat(col(s"mh$h"), col(s"mh${h + 1}")).as("bucket"))
-      }.reduce(_ union _)
+      val corpusBands = s.table(bandName)
       val rawPairs = newBands.as("n")
         .join(corpusBands.unionByName(newBands).as("t"),
           col("n.band") === col("t.band") && col("n.bucket") === col("t.bucket") &&
