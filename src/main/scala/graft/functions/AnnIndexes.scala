@@ -99,6 +99,18 @@ object AnnIndexes {
     Ivf.loadIndex(spark, name)
   }
 
+  /** Centroids fitted on the BASE slice only (vec_id % 10 ≠ 7) — the
+    * fit that [[graft.queries.SimilarityQueries]]'s index-append query
+    * keeps FIXED while later batches are assigned and appended (a
+    * production IVF index does not refit per ingest). Shared with the
+    * generated oracle so both see identical literals. */
+  def ivfBase(spark: SparkSession, dir: String, k: Int = 16): Array[Array[Double]] =
+    getOrFit(spark, s"ivfbase:$dir:$k") {
+      Ivf.build(spark,
+        embeddings(spark, dir).filter(org.apache.spark.sql.functions.col("vec_id") % 10 =!= 7),
+        k = k).centroids
+    }
+
   /** The persisted IVF-PQ composition: the shared fits written ONCE as
     * three catalog tables (centroids + codebook + one cell-bucketed codes
     * table — no corpus duplication, [[Pq.persistIvfPq]]), every answer

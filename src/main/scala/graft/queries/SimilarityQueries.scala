@@ -177,6 +177,53 @@ object SimilarityQueries {
     oracleGen = Some((s, dir) => AnnOracles.ivfSingleSql(
       graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids, topK = 10, nProbe = 4)))
 
+  /** IVF index MAINTENANCE — the append path a production vector index
+    * runs every ingest cycle: centroids are fitted ONCE on the base
+    * slice and FROZEN; an arriving batch (vec_id % 10 = 7) is assigned
+    * to those fixed centroids with the same codegen cell expression and
+    * APPENDED to the persisted cell-bucketed table (no refit, no rewrite
+    * of the base). The search then serves base+appended from the catalog
+    * index. The generated oracle replays the full-corpus search with the
+    * BASE-fitted centroid literals — a hash match proves appended
+    * vectors land in exactly the cells a from-scratch assignment gives
+    * them (the dd_cc_incremental story, for the ANN tier). */
+  val simIvfAppend = GraftQuery(
+    "sim_ivf_append",
+    (s, dir) => {
+      import s.implicits._
+      val name = ("graft_ivfappend_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        .toLowerCase
+      val emb = graft.functions.AnnIndexes.embeddings(s, dir)
+      val cents = graft.functions.AnnIndexes.ivfBase(s, dir, k = 16)
+      graft.functions.AnnIndexes.cached(s, s"ivfappend:$dir") {
+        for (suffix <- Seq("_centroids", "_assigned")) {
+          s.sql(s"DROP TABLE IF EXISTS $name$suffix")
+          val wh = s.conf.get("spark.sql.warehouse.dir")
+          val p = new org.apache.hadoop.fs.Path(wh, name + suffix)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        graft.functions.Ivf.persist(
+          graft.functions.Ivf.fromCentroids(cents, emb.filter($"vec_id" % 10 =!= 7)),
+          name)
+        // the ingest append: fixed centroids, same bucket spec, mode append
+        graft.functions.Ivf.fromCentroids(cents, emb.filter($"vec_id" % 10 === 7))
+          .assigned
+          .write.mode("append")
+          .bucketBy(16, "cell").sortBy("cell")
+          .saveAsTable(s"${name}_assigned")
+        name
+      }
+      val loaded = graft.functions.Ivf.loadIndex(s, name)
+      val q = emb.filter($"vec_id" === 0)
+        .select($"vec_id".cast(LongType).as("query_id"), $"embedding".as("qe"))
+      graft.functions.Ivf.searchBatch(loaded, q, topK = 10, nProbe = 4)
+        .filter($"vec_id" =!= 0)
+        .select($"vec_id", $"label", $"cosine")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.ivfSingleSql(
+      graft.functions.AnnIndexes.ivfBase(s, dir, k = 16), topK = 10, nProbe = 4)))
+
   /** Batch ANN — the realistic at-scale shape: a SET of query vectors
     * (broadcast) against the bucketed corpus in ONE join, per-query top-k
     * via window ranking. Wall-clock is one shuffle regardless of query
@@ -860,6 +907,7 @@ object SimilarityQueries {
 
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfPersisted,
+      simIvfAppend,
       simAnnRange, simAnnIvfBatch, simAnnPq, simAnnPqRange, simAnnIvfPq,
       simAnnIvfPqPersisted, simAnnOpq, simAnnOpqIvfPq, simAnnInt8,
       simAnnInt8Persisted, simQuantizeInt8, simIvfCellStats, simRecallReport,
