@@ -903,6 +903,15 @@ object Dissect {
         dissectPtp(d, l3off, d.length - l3off, v, protos)
       case 0x8847 | 0x8848 =>
         dissectMpls(d, l3off, v, protos, tracker, wanted)
+      case 0x88ab if d.length >= l3off + 3 =>
+        // Ethernet POWERLINK: message type (low 7 bits), dest, src nodes
+        protos += "epl"
+        val mtyp = u8(d, l3off) & 0x7f
+        v("epl.mtyp") = mtyp.toLong
+        v("epl.dest") = u8(d, l3off + 1).toLong
+        v("epl.src") = u8(d, l3off + 2).toLong
+        Map(1 -> "SoC", 3 -> "PReq", 4 -> "PRes", 5 -> "SoA", 6 -> "ASnd")
+          .getOrElse(mtyp, s"EPL ($mtyp)")
       case lenField if lenField < 0x0600 =>
         // 802.3: the EtherType slot is a payload LENGTH → LLC follows
         dissectLlc(d, l3off, math.min(d.length, l3off + lenField), v, protos)
@@ -2019,6 +2028,10 @@ object Dissect {
         appInfo = dissectFcgi(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && dp == 4369)
         appInfo = dissectEpmd(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 3260 || dp == 3260))
+        appInfo = dissectIscsi(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 5084 || dp == 5084))
+        appInfo = dissectLlrp(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -2280,6 +2293,23 @@ object Dissect {
       val wolInfo = dissectWol(d, off + 8,
         off + 8 + math.min(payLen, d.length - off - 8), v, protos)
       if (wolInfo != null) return wolInfo
+    }
+    // GigE Vision Control Protocol (UDP 3956): command packets carry the
+    // 0x42 magic key; acks from port 3956 lead with a status word
+    if ((sp == 3956 || dp == 3956) && payLen >= 8 && off + 16 <= d.length) {
+      if (u8(d, off + 8) == 0x42) {
+        protos += "gvcp"
+        val cmd = u16(d, off + 10)
+        v("gvcp.command") = cmd.toLong
+        return f"GVCP CMD 0x$cmd%04x"
+      } else if (sp == 3956) {
+        protos += "gvcp"
+        val status = u16(d, off + 8)
+        val cmd = u16(d, off + 10)
+        v("gvcp.command") = cmd.toLong
+        v("gvcp.status") = status.toLong
+        return f"GVCP ACK 0x$cmd%04x status 0x$status%04x"
+      }
     }
     // NAT-PMP (RFC 6886, UDP 5351): version 0, opcode 0–2 request /
     // 128–130 response (the +128 response convention)
@@ -5409,6 +5439,59 @@ object Dissect {
   }
 
   private val redisCommandRe = "\\A\\*\\d+\r\n\\$\\d+\r\n([A-Za-z]+)\r\n".r
+
+  private val iscsiOpcodeNames: Map[Int, String] = Map(
+    0x00 -> "NOP Out", 0x01 -> "SCSI Command", 0x02 -> "Task Management Function",
+    0x03 -> "Login Command", 0x04 -> "Text Command", 0x05 -> "SCSI Data Out",
+    0x06 -> "Logout Command", 0x20 -> "NOP In", 0x21 -> "SCSI Response",
+    0x22 -> "Task Management Function Response", 0x23 -> "Login Response",
+    0x24 -> "Text Response", 0x25 -> "SCSI Data In", 0x26 -> "Logout Response",
+    0x31 -> "Ready To Transfer", 0x32 -> "Asynchronous Message", 0x3f -> "Reject")
+
+  /** iSCSI (RFC 7143, TCP 3260): the 48-byte Basic Header Segment —
+    * opcode (low 6 bits), flags octet, 24-bit DataSegmentLength,
+    * InitiatorTaskTag, CmdSN. */
+  private def dissectIscsi(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 48) return null
+    val op = u8(d, off) & 0x3f
+    if (!iscsiOpcodeNames.contains(op)) return null
+    protos += "iscsi"
+    v("iscsi.opcode") = op.toLong
+    v("iscsi.flags") = u8(d, off + 1).toLong
+    v("iscsi.datasegmentlength") = u24(d, off + 5).toLong
+    v("iscsi.initiatortasktag") = u32(d, off + 16)
+    v("iscsi.cmdsn") = u32(d, off + 24)
+    iscsiOpcodeNames(op)
+  }
+
+  private val llrpTypeNames: Map[Int, String] = Map(
+    1 -> "GET_READER_CAPABILITIES", 3 -> "GET_READER_CONFIG",
+    20 -> "ADD_ROSPEC", 21 -> "DELETE_ROSPEC", 22 -> "START_ROSPEC",
+    61 -> "RO_ACCESS_REPORT", 62 -> "KEEPALIVE", 63 -> "READER_EVENT_NOTIFICATION")
+
+  /** LLRP (EPCglobal Low-Level Reader Protocol, TCP 5084): 10-byte
+    * header — reserved(3)+version(3)+type(10), u32 message length,
+    * u32 message id. */
+  private def dissectLlrp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 10) return null
+    val h = u16(d, off)
+    val ver = (h >> 10) & 0x7
+    val typ = h & 0x3ff
+    if (ver < 1 || ver > 2) return null
+    val mlen = u32(d, off + 2)
+    if (mlen < 10) return null
+    protos += "llrp"
+    v("llrp.version") = ver.toLong
+    v("llrp.type") = typ.toLong
+    v("llrp.id") = u32(d, off + 6)
+    llrpTypeNames.getOrElse(typ, s"LLRP message ($typ)")
+  }
 
   private val bitcoinMagics =
     Set(0xD9B4BEF9L, 0x0709110BL, 0xDAB5BFFAL, 0x40CF030AL) // main/test3/regtest/signet

@@ -1182,6 +1182,50 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d4.values("nat-pmp.opcode") === 1L)
   }
 
+  test("tier-24: iSCSI, LLRP, GVCP, POWERLINK dissect") {
+    // iSCSI login request BHS: opcode 0x43 (I bit + 0x03), 48 bytes
+    val bhs = new Array[Byte](48)
+    bhs(0) = 0x43; bhs(1) = 0x87.toByte
+    bhs(5) = 0; bhs(6) = 1; bhs(7) = 0x2c // DataSegmentLength 0x12c
+    bhs(16) = 0; bhs(17) = 0; bhs(18) = 0; bhs(19) = 9 // ITT 9
+    bhs(24) = 0; bhs(25) = 0; bhs(26) = 0; bhs(27) = 5 // CmdSN 5
+    val d1 = dissectOne(ethIpTcpF(50010, 3260, bhs))
+    assert(d1.protocols === "eth:ethertype:ip:tcp:iscsi")
+    assert(d1.info === "Login Command")
+    assert(d1.values("iscsi.opcode") === 3L)
+    assert(d1.values("iscsi.datasegmentlength") === 0x12cL)
+    assert(d1.values("iscsi.initiatortasktag") === 9L)
+    assert(d1.values("iscsi.cmdsn") === 5L)
+
+    // LLRP KEEPALIVE: ver 1, type 62, length 10, id 0x77
+    val ll = java.nio.ByteBuffer.allocate(10)
+      .putShort(((1 << 10) | 62).toShort).putInt(10).putInt(0x77).array()
+    val d2 = dissectOne(ethIpTcpF(50011, 5084, ll))
+    assert(d2.protocols === "eth:ethertype:ip:tcp:llrp")
+    assert(d2.info === "KEEPALIVE")
+    assert(d2.values("llrp.version") === 1L)
+    assert(d2.values("llrp.id") === 0x77L)
+
+    // GVCP READREG command (0x0080) and its ack with status 0
+    val cmd = Array[Byte](0x42, 0x01, 0x00, 0x80.toByte, 0, 4, 0, 1)
+    val d3 = dissectOne(ethIpUdp(50012, 3956, cmd))
+    assert(d3.protocols === "eth:ethertype:ip:udp:gvcp")
+    assert(d3.info === "GVCP CMD 0x0080")
+    val ack = Array[Byte](0, 0, 0x00, 0x81.toByte, 0, 4, 0, 1)
+    val d4 = dissectOne(ethIpUdp(3956, 50012, ack))
+    assert(d4.info === "GVCP ACK 0x0081 status 0x0000")
+    assert(d4.values("gvcp.status") === 0L)
+
+    // POWERLINK PRes from node 1 to broadcast 255
+    val epl = Array[Byte](0x04, 0xff.toByte, 0x01) ++ new Array[Byte](43)
+    val d5 = dissectOne(new Array[Byte](12) ++
+      Array[Byte](0x88.toByte, 0xab.toByte) ++ epl)
+    assert(d5.protocols === "eth:ethertype:epl")
+    assert(d5.info === "PRes")
+    assert(d5.values("epl.dest") === 255L)
+    assert(d5.values("epl.src") === 1L)
+  }
+
   test("ICMP echo request renders ping info") {
     val icmp = java.nio.ByteBuffer.allocate(8)
     icmp.put(8.toByte).put(0.toByte).putShort(0.toShort)

@@ -1151,4 +1151,20 @@ natpmp = bytes([0, 1, 0, 0]) + struct.pack(">HH", 8000, 8000) + \
     struct.pack(">I", 3600)
 extra.append((t3, 16600, ip_frame(17, A, B, udp(50003, 5351, natpmp), ident=197)))
 
+# 169-172: storage/industrial tier — iSCSI login BHS, LLRP keepalive,
+# GVCP readreg command, POWERLINK PRes
+iscsi = bytes([0x43, 0x87]) + b"\x00" * 3 + bytes([0, 1, 0x2c]) + \
+    b"\x00" * 8 + struct.pack(">I", 9) + b"\x00" * 4 + \
+    struct.pack(">I", 5) + b"\x00" * 20
+extra.append((t3, 16700, ip_frame(6, A, B, tcp(50010, 3260, 1, iscsi), ident=198)))
+
+llrp = struct.pack(">HII", (1 << 10) | 62, 10, 0x77)
+extra.append((t3, 16800, ip_frame(6, A, B, tcp(50011, 5084, 1, llrp), ident=199)))
+
+gvcp = bytes([0x42, 0x01, 0x00, 0x80, 0, 4, 0, 1])
+extra.append((t3, 16900, ip_frame(17, A, B, udp(50012, 3956, gvcp), ident=200)))
+
+epl_f = bytes([0x04, 0xFF, 0x01]) + b"\x00" * 43
+extra.append((t3, 17000, eth(MAC_B, MAC_A, 0x88AB, epl_f)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
