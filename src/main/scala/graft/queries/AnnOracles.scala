@@ -111,6 +111,16 @@ object AnnOracles {
       WHERE rnk <= $topK AND query_id <> vec_id
       ORDER BY query_id, rnk"""
 
+  /** Oracle for `st_ann_serve`: the arriving-query slice (vec_id % 10 = 7)
+    * served against the shared index — same core as [[ivfBatchSql]] with
+    * the ingest-slice predicate. */
+  def ivfServeSql(cents: Array[Array[Double]], topK: Int, nProbe: Int): String =
+    ivfCore(cents, nProbe,
+      "vec_id AS query_id, embedding AS qe", "vec_id % 10 = 7") + s"""
+      SELECT query_id, rnk, vec_id, label, cosine FROM ranked
+      WHERE rnk <= $topK AND query_id <> vec_id
+      ORDER BY query_id, rnk"""
+
   /** Oracle for `sim_ivf_cell_stats`: literal centroids → deterministic
     * cell assignment → per-cell occupancy. Counts and min/max ids only —
     * no floating-point aggregates, so group order cannot diverge. */

@@ -413,8 +413,32 @@ object StreamingQueries {
       FROM r WHERE rn = 1
       ORDER BY user_id"""))
 
+  /** ONLINE ANN serving — the retrieval side of a streaming RAG/feature
+    * pipeline: arriving query vectors (the vec_id % 10 = 7 ingest slice)
+    * are probed against the session's shared IVF index. Ranking windows
+    * are not allowed inside an append-mode stream, so the streaming form
+    * is `foreachBatch(Ivf.searchBatch)` — per-micro-batch retrieval
+    * against the static index, the pattern production online stores run;
+    * StreamingSpec pins streaming == batch across a batch split. This
+    * batch twin is the same searchBatch call over the whole slice,
+    * oracle-checked via the fitted-centroid-literal replay. */
+  val stAnnServe = GraftQuery(
+    "st_ann_serve",
+    (s, dir) => {
+      import s.implicits._
+      val emb = graft.functions.AnnIndexes.embeddings(s, dir)
+      val index = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
+      val queries = emb.filter($"vec_id" % 10 === 7)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      graft.functions.Ivf.searchBatch(index, queries, topK = 3, nProbe = 4)
+        .filter($"query_id" =!= $"vec_id")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.ivfServeSql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids,
+      topK = 3, nProbe = 4)))
+
   val all: Seq[GraftQuery] =
     Seq(stSessionize, stWindowedCounts, stDistinctUsers, stSlidingRates,
       stDedup, stIntervalJoin, stAttributionOuter, stSessionWindow, stEnrich,
-      stRateLimit, stTopk, stUpsert, stPattern)
+      stRateLimit, stTopk, stUpsert, stPattern, stAnnServe)
 }

@@ -516,4 +516,39 @@ class StreamingSpec extends SparkSpec {
       .sortBy(a => (a.user_id, a.event_id))
     assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
   }
+
+  test("online ANN serving: foreachBatch streaming result equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.functions.AnnIndexes.embeddings(spark, sfDir)
+    val index = graft.functions.AnnIndexes.ivf(spark, sfDir, k = 16)
+    val queries = emb.filter($"vec_id" % 10 === 7)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      .as[(Long, Array[Float])].collect().toSeq
+    assert(queries.nonEmpty)
+    val batch = graft.queries.StreamingQueries.stAnnServe.fn(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    // ranking windows are illegal inside an append stream — online
+    // retrieval is per-micro-batch searchBatch under foreachBatch, with
+    // the query set split across TWO batches (results must be identical
+    // to the one-shot batch serve: the index is static state)
+    val stream = MemoryStream[(Long, Array[Float])]
+    val acc = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = stream.toDF().toDF("query_id", "qe")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val res = graft.functions.Ivf.searchBatch(index, b, topK = 3, nProbe = 4)
+          .filter(col("query_id") =!= col("vec_id")).collect()
+        acc.synchronized { acc ++= res.map(_.toSeq) }
+        ()
+      }.start()
+    try {
+      val (first, second) = queries.splitAt(queries.size / 2)
+      stream.addData(first: _*)
+      q.processAllAvailable()
+      stream.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: Seq[Any]) = (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])
+    assert(acc.sortBy(key) === batch.sortBy(key))
+  }
 }
