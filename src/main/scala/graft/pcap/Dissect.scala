@@ -1732,7 +1732,14 @@ object Dissect {
               appInfo = dissectHttp(buf, 0, buf.length, v, protos)
               if (body != null && appInfo != null) {
                 v("http.transfer_encoding") = "chunked"
-                v("http.file_data") = body
+                // gzip entity coding: file_data carries the DECOMPRESSED
+                // body (tshark semantics); undecodable gzip keeps the raw
+                val hdrs = new String(buf, 0, hEnd, "ISO-8859-1")
+                  .toLowerCase(java.util.Locale.ROOT).replace(" ", "")
+                val dec = if (hdrs.contains("content-encoding:gzip"))
+                  gunzipBody(body) else null
+                if (dec != null) v("http.content_encoding") = "gzip"
+                v("http.file_data") = if (dec != null) dec else body
               }
               // the upgrade flip must also happen on the desegment path,
               // or a 101 seen here would leave ws frames undissected
@@ -2884,6 +2891,27 @@ object Dissect {
     val headers = new String(buf, 0, math.min(hEnd, buf.length), "ISO-8859-1")
       .toLowerCase.replace(" ", "")
     headers.contains("transfer-encoding:chunked")
+  }
+
+  /** Gunzip a gzip-coded entity body (ISO-8859-1 byte-preserving string
+    * in, decompressed text out) — tshark's http.file_data shows the
+    * DECOMPRESSED bytes for Content-Encoding: gzip. Null on truncated or
+    * corrupt streams (never throws). */
+  private def gunzipBody(body: String): String = {
+    val bytes = body.getBytes("ISO-8859-1")
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var total = 0
+      var n = in.read(buf)
+      while (n > 0 && total <= MaxCarry) {
+        out.write(buf, 0, n); total += n; n = in.read(buf)
+      }
+      in.close()
+      if (total > MaxCarry) null else new String(out.toByteArray, "ISO-8859-1")
+    } catch { case _: java.io.IOException => null }
   }
 
   private def hexVal(b: Byte): Int =

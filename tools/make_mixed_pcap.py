@@ -1167,4 +1167,17 @@ extra.append((t3, 16900, ip_frame(17, A, B, udp(50012, 3956, gvcp), ident=200)))
 epl_f = bytes([0x04, 0xFF, 0x01]) + b"\x00" * 43
 extra.append((t3, 17000, eth(MAC_B, MAC_A, 0x88AB, epl_f)))
 
+# 173-174: gzip + chunked HTTP response split across two segments — the
+# desegmenter must reassemble the chunk stream AND gunzip the entity
+import gzip as _gzip
+gz = _gzip.compress(b"Hello gzip world!", mtime=0)
+hdrs = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n\r\n")
+chunk1, chunk2 = gz[:10], gz[10:]
+body = (hdrs + b"%x\r\n" % len(chunk1) + chunk1 + b"\r\n")
+body2 = (b"%x\r\n" % len(chunk2) + chunk2 + b"\r\n0\r\n\r\n")
+extra.append((t3, 17100, ip_frame(6, B, A, tcp(80, 51000, 1, body), ident=201)))
+extra.append((t3, 17200, ip_frame(6, B, A,
+              tcp(80, 51000, 1 + len(body), body2), ident=202)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
