@@ -4650,7 +4650,9 @@ object Dissect {
   private def wsFrameLen(d: Array[Byte], off: Int, len: Int): Long = {
     if (len < 1) return -1
     val b0 = u8(d, off)
-    if ((b0 & 0x70) != 0 || !wsOpcodeNames.contains(b0 & 0x0f)) return 0
+    // RSV1 is legal on data frames (permessage-deflate); RSV2/3 never are
+    if ((b0 & 0x30) != 0 || !wsOpcodeNames.contains(b0 & 0x0f)) return 0
+    if ((b0 & 0x40) != 0 && (b0 & 0x0f) != 1 && (b0 & 0x0f) != 2) return 0
     if (len < 2) return -1
     val b1 = u8(d, off + 1)
     var plen: Long = (b1 & 0x7f).toLong
@@ -4676,8 +4678,10 @@ object Dissect {
       protos: mutable.ArrayBuffer[String]): String = {
     if (len < 2) return null
     val b0 = u8(d, off)
-    if ((b0 & 0x70) != 0) return null // RSV bits: no negotiated extensions
+    if ((b0 & 0x30) != 0) return null // RSV2/3: never negotiated
+    val rsv1 = (b0 & 0x40) != 0 // permessage-deflate (RFC 7692)
     val opcode = b0 & 0x0f
+    if (rsv1 && opcode != 1 && opcode != 2) return null // data frames only
     val name = wsOpcodeNames.getOrElse(opcode, return null)
     val fin = (b0 & 0x80) != 0
     val b1 = u8(d, off + 1)
@@ -4702,22 +4706,47 @@ object Dissect {
       v("websocket.masking_key") = key.map(b => f"$b%02x").mkString
       p += 4
     }
+    if (rsv1) v("websocket.rsv") = 4L
     val base = s"WebSocket $name${if (fin) " [FIN]" else ""}"
     // Text payload fully inside this segment: unmask (RFC 6455 §5.3) and
-    // surface it when it is clean printable UTF-8-ASCII
+    // surface it when it is clean printable UTF-8-ASCII. An RSV1 frame's
+    // payload is raw DEFLATE with the trailing 00 00 ff ff removed
+    // (RFC 7692 §7.2.1) — re-append the tail and inflate (no zlib wrap).
     if (opcode == 1 && plen > 0 && plen <= 256 && p + plen <= off + len &&
       (!masked || key != null)) {
-      val bytes = Array.tabulate(plen.toInt) { i =>
+      var bytes = Array.tabulate(plen.toInt) { i =>
         val raw = u8(d, p + i)
         (if (key != null) raw ^ key(i & 3) else raw).toByte
       }
-      if (bytes.forall(b => b >= 0x20 && b < 0x7f)) {
+      if (rsv1) {
+        val inflated = wsInflate(bytes)
+        if (inflated == null) return base // undecodable: header info only
+        bytes = inflated
+      }
+      if (bytes.length <= 256 && bytes.forall(b => b >= 0x20 && b < 0x7f)) {
         val text = new String(bytes, java.nio.charset.StandardCharsets.US_ASCII)
         v("websocket.payload.text") = text
         return s"$base: $text"
       }
     }
     base
+  }
+
+  /** Inflate one permessage-deflate message (RFC 7692): the frame omits
+    * the deflate sync-flush tail, so re-append 00 00 ff ff and run a
+    * raw (nowrap) Inflater. Null on corrupt/truncated streams. */
+  private def wsInflate(payload: Array[Byte]): Array[Byte] = {
+    val infl = new java.util.zip.Inflater(true)
+    infl.setInput(payload ++ Array[Byte](0x00, 0x00, 0xff.toByte, 0xff.toByte))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    try {
+      var n = infl.inflate(buf)
+      var total = 0
+      while (n > 0 && total <= MaxCarry) { out.write(buf, 0, n); total += n; n = infl.inflate(buf) }
+      if (total > MaxCarry) null else out.toByteArray
+    } catch { case _: java.util.zip.DataFormatException => null }
+    finally infl.end()
   }
 
   /** DTLS record header (RFC 9147): the 0xfeff/0xfefd version magic is a

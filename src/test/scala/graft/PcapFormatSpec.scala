@@ -837,6 +837,33 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d3.values("websocket.payload.text") === "World")
   }
 
+  test("WebSocket permessage-deflate: RSV1 payload inflates to text") {
+    def frame(b: Array[Byte], sp: Int, dp: Int, seq: Int) = {
+      val f = ethIpTcp(sp, dp, b, seq, rev = sp == 80)
+      PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+    }
+    val upgrade = ("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n" +
+      "Connection: Upgrade\r\n\r\n").getBytes("ISO-8859-1")
+    val defl = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    defl.setInput("compressed hello".getBytes("US-ASCII"))
+    val out = new Array[Byte](256)
+    val n = defl.deflate(out, 0, out.length, java.util.zip.Deflater.SYNC_FLUSH)
+    defl.end()
+    val comp = out.take(n - 4) // RFC 7692 §7.2.1: strip the 00 00 ff ff tail
+    val f = Array[Byte]((0x80 | 0x40 | 0x01).toByte, comp.length.toByte) ++ comp
+    val t = new Dissect.Tracker(desegment = true)
+    Dissect.dissect(frame(upgrade, 80, 50103, 1), 1, t)
+    val d = Dissect.dissect(frame(f, 50103, 80, 1), 1, t)
+    assert(d.info === "WebSocket Text [FIN]: compressed hello")
+    assert(d.values("websocket.payload.text") === "compressed hello")
+    assert(d.values("websocket.rsv") === 4L)
+    // RSV2/3 remain invalid
+    val bad = Array[Byte]((0x80 | 0x20 | 0x01).toByte, 0x02, 'H', 'i')
+    val d2 = Dissect.dissect(frame(bad, 50103, 80, 1 + f.length), 1, t)
+    assert(!d2.info.startsWith("WebSocket"))
+  }
+
   test("wsFrameLen rejects malformed 64-bit lengths instead of carrying forever") {
     def frame(b: Array[Byte], sp: Int, dp: Int, seq: Int) = {
       val f = ethIpTcp(sp, dp, b, seq, rev = sp == 80)
