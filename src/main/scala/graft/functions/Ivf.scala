@@ -110,9 +110,17 @@ object Ivf {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val wr = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
-    index.assigned.join(broadcast(probeFrame(index, queries, nProbe)), Seq("cell"))
+    // cosine = dot ÷ (enorm · qnorm) with both norms HOISTED: the query
+    // norm evaluates once per probe row and the corpus norm once per
+    // candidate row — the same IEEE value sequence as the inline
+    // dot/(√dot·√dot) form (identical expression trees per value), so
+    // every generated oracle still matches, while the scan stops paying
+    // THREE unrolled 64-dim dots per candidate pair.
+    index.assigned.withColumn("en", Vectors.norm($"embedding"))
+      .join(broadcast(probeFrame(index, queries, nProbe)
+        .withColumn("qn", Vectors.norm($"qe"))), Seq("cell"))
       .select($"query_id", $"vec_id", $"label",
-        Vectors.cosine($"embedding", $"qe").as("cosine"))
+        (Vectors.dot($"embedding", $"qe") / ($"en" * $"qn")).as("cosine"))
       .withColumn("rnk", row_number().over(wr).cast("long"))
       .filter($"rnk" <= topK)
       .select($"query_id", $"rnk", $"vec_id", $"label", $"cosine")
@@ -130,9 +138,12 @@ object Ivf {
       nProbe: Int): DataFrame = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
-    index.assigned.join(broadcast(probeFrame(index, queries, nProbe)), Seq("cell"))
+    // same hoisted-norm cosine as searchBatch (bit-identical to inline)
+    index.assigned.withColumn("en", Vectors.norm($"embedding"))
+      .join(broadcast(probeFrame(index, queries, nProbe)
+        .withColumn("qn", Vectors.norm($"qe"))), Seq("cell"))
       .select($"query_id", $"vec_id", $"label",
-        Vectors.cosine($"embedding", $"qe").as("cosine"))
+        (Vectors.dot($"embedding", $"qe") / ($"en" * $"qn")).as("cosine"))
       .filter($"cosine" >= minCosine)
       .orderBy($"query_id", $"cosine".desc, $"vec_id")
   }

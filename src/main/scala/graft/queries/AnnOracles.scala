@@ -111,12 +111,12 @@ object AnnOracles {
       WHERE rnk <= $topK AND query_id <> vec_id
       ORDER BY query_id, rnk"""
 
-  /** Oracle for `st_ann_serve`: the arriving-query slice (vec_id % 10 = 7)
+  /** Oracle for `st_ann_serve`: the arriving-query slice (vec_id % 50 = 7)
     * served against the shared index — same core as [[ivfBatchSql]] with
     * the ingest-slice predicate. */
   def ivfServeSql(cents: Array[Array[Double]], topK: Int, nProbe: Int): String =
     ivfCore(cents, nProbe,
-      "vec_id AS query_id, embedding AS qe", "vec_id % 10 = 7") + s"""
+      "vec_id AS query_id, embedding AS qe", "vec_id % 50 = 7") + s"""
       SELECT query_id, rnk, vec_id, label, cosine FROM ranked
       WHERE rnk <= $topK AND query_id <> vec_id
       ORDER BY query_id, rnk"""

@@ -414,7 +414,7 @@ object StreamingQueries {
       ORDER BY user_id"""))
 
   /** ONLINE ANN serving — the retrieval side of a streaming RAG/feature
-    * pipeline: arriving query vectors (the vec_id % 10 = 7 ingest slice)
+    * pipeline: arriving query vectors (the vec_id % 50 = 7 ingest slice)
     * are probed against the session's shared IVF index. Ranking windows
     * are not allowed inside an append-mode stream, so the streaming form
     * is `foreachBatch(Ivf.searchBatch)` — per-micro-batch retrieval
@@ -428,7 +428,7 @@ object StreamingQueries {
       import s.implicits._
       val emb = graft.functions.AnnIndexes.embeddings(s, dir)
       val index = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
-      val queries = emb.filter($"vec_id" % 10 === 7)
+      val queries = emb.filter($"vec_id" % 50 === 7)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"))
       graft.functions.Ivf.searchBatch(index, queries, topK = 3, nProbe = 4)
         .filter($"query_id" =!= $"vec_id")
