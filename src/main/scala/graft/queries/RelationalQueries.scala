@@ -1898,6 +1898,35 @@ object RelationalQueries {
     },
     q60RangeJoin.oracle)
 
+  /** Equi-width histogram (the data-profiling staple): 20 buckets over
+    * exact integer cents — bounds from one tiny broadcast aggregate,
+    * bucketing a pure projection (`(v-lo)·20 div (hi-lo+1)` — truncating
+    * integer division on non-negative operands, engine-identical), then
+    * one map-side-combined count shuffle. Two passes over the fact, no
+    * sort, no collect — the shape that profiles a 100 TB column. */
+  val q64Histogram = GraftQuery(
+    "q64_histogram",
+    (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "lineitem")
+        .select((dec($"l_extendedprice") * lit(100)).cast(LongType).as("cents"))
+      val bounds = c.agg(min($"cents").as("lo"), max($"cents").as("hi"))
+      c.crossJoin(broadcast(bounds))
+        .select(expr("((cents - lo) * 20) div (hi - lo + 1)").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    },
+    Some("""
+      WITH c AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents
+        FROM lineitem),
+      s AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM c)
+      SELECT ((cents - lo) * 20) // (hi - lo + 1) AS bucket, COUNT(*) AS n
+      FROM c, s
+      GROUP BY 1
+      ORDER BY bucket"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -1914,5 +1943,5 @@ object RelationalQueries {
     q48HigherOrder, q49ListAgg, q50Funnel, q51Variant, q52Scd2,
     q53StatsExact, q54IgnoreNulls, q55FilterClause, q56GroupByAll,
     q57Resample, q58AsofNearest, q59MergeUpsert, q60RangeJoin,
-    q61TimeRangeFrame, q62IntervalUnion, q63RangeJoinAuto)
+    q61TimeRangeFrame, q62IntervalUnion, q63RangeJoinAuto, q64Histogram)
 }
