@@ -2318,6 +2318,45 @@ object Dissect {
         return f"GVCP ACK 0x$cmd%04x status 0x$status%04x"
       }
     }
+    // NetBIOS Datagram Service (RFC 1002 §4.4, UDP 138)
+    if ((sp == 138 || dp == 138) && payLen >= 10 && off + 18 <= d.length) {
+      val mt = u8(d, off + 8)
+      if (mt >= 0x10 && mt <= 0x16) {
+        protos += "nbdgm"
+        v("nbdgm.type") = mt.toLong
+        v("nbdgm.dgram_id") = u16(d, off + 10).toLong
+        return mt match {
+          case 0x10 => "Direct_unique datagram"
+          case 0x11 => "Direct_group datagram"
+          case 0x12 => "Broadcast datagram"
+          case 0x13 => "Datagram error"
+          case _    => "Datagram query"
+        }
+      }
+    }
+    // BitTorrent DHT (KRPC over bencode, UDP 6881): top-level dict keys
+    // y (message kind) and q (query name)
+    if ((sp == 6881 || dp == 6881) && payLen >= 4 && off + 9 <= d.length &&
+      d(off + 8) == 'd') {
+      val info = dissectBtDht(d, off + 8,
+        math.min(off + 8 + payLen, d.length), v, protos)
+      if (info != null) return info
+    }
+    // OpenVPN (UDP 1194): opcode(5 bits) + key id(3); control packets
+    // carry a 64-bit session id
+    if ((sp == 1194 || dp == 1194) && payLen >= 1 && off + 9 <= d.length) {
+      val b = u8(d, off + 8)
+      val op = b >> 3
+      val name = openvpnOpcodeNames.getOrElse(op, null)
+      if (name != null) {
+        protos += "openvpn"
+        v("openvpn.type") = b.toLong
+        if (op != 6 && op != 9 && off + 17 <= d.length)
+          v("openvpn.sessionid") =
+            (u32(d, off + 9) << 32) | u32(d, off + 13)
+        return name
+      }
+    }
     // NAT-PMP (RFC 6886, UDP 5351): version 0, opcode 0–2 request /
     // 128–130 response (the +128 response convention)
     if ((sp == 5351 || dp == 5351) && payLen >= 2 && off + 10 <= d.length &&
@@ -5548,6 +5587,81 @@ object Dissect {
     v("llrp.type") = typ.toLong
     v("llrp.id") = u32(d, off + 6)
     llrpTypeNames.getOrElse(typ, s"LLRP message ($typ)")
+  }
+
+  private val openvpnOpcodeNames: Map[Int, String] = Map(
+    1 -> "P_CONTROL_HARD_RESET_CLIENT_V1", 2 -> "P_CONTROL_HARD_RESET_SERVER_V1",
+    3 -> "P_CONTROL_SOFT_RESET_V1", 4 -> "P_CONTROL_V1", 5 -> "P_ACK_V1",
+    6 -> "P_DATA_V1", 7 -> "P_CONTROL_HARD_RESET_CLIENT_V2",
+    8 -> "P_CONTROL_HARD_RESET_SERVER_V2", 9 -> "P_DATA_V2",
+    10 -> "P_CONTROL_HARD_RESET_CLIENT_V3", 11 -> "P_CONTROL_WKC_V1")
+
+  /** Minimal bencode walker for KRPC (BitTorrent DHT): scans the
+    * TOP-LEVEL dict for the `y` (message kind) and `q` (query name)
+    * string values, skipping nested values with a recursive
+    * depth-capped cursor. Returns the info string, or null when the
+    * bytes are not a well-formed bencoded dict. */
+  private def dissectBtDht(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    // returns the index after the value at `i`, or -1 on malformed input
+    def skipValue(i: Int, depth: Int): Int = {
+      if (i >= end || depth > 8) return -1
+      d(i) match {
+        case 'i' =>
+          var j = i + 1
+          while (j < end && d(j) != 'e') j += 1
+          if (j >= end) -1 else j + 1
+        case 'l' | 'd' =>
+          var j = i + 1
+          while (j < end && d(j) != 'e') {
+            j = skipValue(j, depth + 1)
+            if (j < 0) return -1
+          }
+          if (j >= end) -1 else j + 1
+        case c if c >= '0' && c <= '9' =>
+          var j = i
+          var len = 0L
+          while (j < end && d(j) >= '0' && d(j) <= '9' && len <= end.toLong) {
+            len = len * 10 + (d(j) - '0'); j += 1
+          }
+          if (j >= end || d(j) != ':' || j + 1 + len > end) -1
+          else (j + 1 + len).toInt
+        case _ => -1
+      }
+    }
+    def str(i: Int): String = { // the string value starting at i, or null
+      var j = i
+      var len = 0L
+      while (j < end && d(j) >= '0' && d(j) <= '9' && len <= 256) {
+        len = len * 10 + (d(j) - '0'); j += 1
+      }
+      if (j >= end || d(j) != ':' || len > 256 || j + 1 + len > end) null
+      else new String(d, j + 1, len.toInt, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    if (d(off) != 'd') return null
+    var i = off + 1
+    var y: String = null
+    var q: String = null
+    while (i < end && d(i) != 'e') {
+      val key = str(i)
+      val afterKey = skipValue(i, 0)
+      if (key == null || afterKey < 0 || afterKey >= end) return null
+      if (key == "y") y = str(afterKey)
+      if (key == "q") q = str(afterKey)
+      i = skipValue(afterKey, 0)
+      if (i < 0) return null
+    }
+    if (i >= end || y == null) return null
+    protos += "bt-dht"
+    if (q != null) v("bt-dht.bencoded.string") = q
+    y match {
+      case "q" => s"DHT Query ${if (q != null) q else "?"}"
+      case "r" => "DHT Response"
+      case "e" => "DHT Error"
+      case _   => return null
+    }
   }
 
   private val bitcoinMagics =

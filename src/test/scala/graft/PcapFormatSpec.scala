@@ -1253,6 +1253,43 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d5.values("epl.src") === 1L)
   }
 
+  test("tier-25: NBDGM, BT-DHT bencode, OpenVPN dissect") {
+    // NBDGM direct_group datagram, dgm_id 0x2b
+    val nb = java.nio.ByteBuffer.allocate(20)
+      .put(0x11.toByte).put(0x02.toByte).putShort(0x2b.toShort)
+      .put(Array[Byte](10, 0, 0, 1)).putShort(138.toShort)
+      .putShort(6.toShort).putShort(0.toShort).array()
+    val d1 = dissectOne(ethIpUdp(138, 138, nb))
+    assert(d1.protocols === "eth:ethertype:ip:udp:nbdgm")
+    assert(d1.info === "Direct_group datagram")
+    assert(d1.values("nbdgm.dgram_id") === 0x2bL)
+
+    // KRPC ping query (the canonical bencoded form)
+    val krpc = "d1:ad2:id20:abcdefghij0123456789e1:q4:ping1:t2:aa1:y1:qe"
+      .getBytes("ISO-8859-1")
+    val d2 = dissectOne(ethIpUdp(50020, 6881, krpc))
+    assert(d2.protocols === "eth:ethertype:ip:udp:bt-dht")
+    assert(d2.info === "DHT Query ping")
+    assert(d2.values("bt-dht.bencoded.string") === "ping")
+    // a response (no q key)
+    val resp = "d1:rd2:id20:abcdefghij0123456789e1:t2:aa1:y1:re"
+      .getBytes("ISO-8859-1")
+    val d3 = dissectOne(ethIpUdp(6881, 50020, resp))
+    assert(d3.info === "DHT Response")
+    // malformed bencode never claims the frame
+    val d4 = dissectOne(ethIpUdp(50020, 6881, "d1:y".getBytes("ISO-8859-1")))
+    assert(d4.protocols === "eth:ethertype:ip:udp")
+
+    // OpenVPN hard reset client v2 (opcode 7, key 0) + session id
+    val ov = java.nio.ByteBuffer.allocate(14)
+      .put((7 << 3).toByte).putLong(0x1122334455667788L)
+      .put(Array[Byte](0, 0, 0, 0, 0)).array()
+    val d5 = dissectOne(ethIpUdp(50021, 1194, ov))
+    assert(d5.protocols === "eth:ethertype:ip:udp:openvpn")
+    assert(d5.info === "P_CONTROL_HARD_RESET_CLIENT_V2")
+    assert(d5.values("openvpn.sessionid") === 0x1122334455667788L)
+  }
+
   test("ICMP echo request renders ping info") {
     val icmp = java.nio.ByteBuffer.allocate(8)
     icmp.put(8.toByte).put(0.toByte).putShort(0.toShort)

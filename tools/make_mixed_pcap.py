@@ -1180,4 +1180,16 @@ extra.append((t3, 17100, ip_frame(6, B, A, tcp(80, 51000, 1, body), ident=201)))
 extra.append((t3, 17200, ip_frame(6, B, A,
               tcp(80, 51000, 1 + len(body), body2), ident=202)))
 
+# 175-177: P2P/VPN/NetBIOS tier — NBDGM direct_group datagram, KRPC
+# (BitTorrent DHT) ping query, OpenVPN hard-reset-client-v2
+nbdgm = struct.pack(">BBH4sHHH", 0x11, 0x02, 0x2B, bytes([10, 0, 0, 1]),
+                    138, 6, 0)
+extra.append((t3, 17300, ip_frame(17, A, B, udp(138, 138, nbdgm), ident=203)))
+
+krpc = b"d1:ad2:id20:abcdefghij0123456789e1:q4:ping1:t2:aa1:y1:qe"
+extra.append((t3, 17400, ip_frame(17, A, B, udp(50020, 6881, krpc), ident=204)))
+
+ovpn = struct.pack(">BQ", 7 << 3, 0x1122334455667788) + b"\x00" * 5
+extra.append((t3, 17500, ip_frame(17, A, B, udp(50021, 1194, ovpn), ident=205)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
