@@ -846,6 +846,20 @@ object Dissect {
         case 113 => // Linux cooked capture v1 (tcpdump -i any)
           val s = dissectSll(d, 0, v, protos, tracker, wanted)
           if (s != null) info = s
+        case 105 => // IEEE 802.11 (monitor mode, no radio header)
+          val s = dissectWlan(d, 0, v, protos, tracker, wanted)
+          if (s != null) info = s
+        case 127 => // radiotap + 802.11
+          if (d.length >= 4 && u8(d, 0) == 0) {
+            val rlen = u8(d, 2) | (u8(d, 3) << 8) // LE length
+            if (rlen >= 8 && rlen <= d.length) {
+              protos += "radiotap"
+              v("radiotap.version") = 0L
+              v("radiotap.length") = rlen.toLong
+              val s = dissectWlan(d, rlen, v, protos, tracker, wanted)
+              if (s != null) info = s
+            }
+          }
         case _ =>
           info = s"Linktype $linktype"
       }
@@ -918,6 +932,102 @@ object Dissect {
       case other =>
         f"Ethernet II (0x$other%04x)"
     }
+  }
+
+  private val wlanMgmtNames: Map[Int, String] = Map(
+    0 -> "Association Request", 1 -> "Association Response",
+    4 -> "Probe Request", 5 -> "Probe Response", 8 -> "Beacon",
+    10 -> "Disassociate", 11 -> "Authentication", 12 -> "Deauthentication")
+
+  /** IEEE 802.11 MAC (linktypes 105/127): frame control decode with the
+    * ToDS/FromDS address mapping, SSID from the management tagged
+    * parameters (beacon/probe), and LLC/SNAP decapsulation of
+    * unprotected data frames into the IP dissectors — the monitor-mode
+    * capture path. Protected (WEP/WPA) payloads stop at the MAC layer. */
+  private def dissectWlan(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker,
+      wanted: Wanted): String = {
+    if (d.length < off + 10) return null
+    val fc = u8(d, off) | (u8(d, off + 1) << 8) // LE frame control
+    if ((fc & 0x3) != 0) return null // protocol version must be 0
+    val ftype = (fc >> 2) & 0x3
+    val subtype = (fc >> 4) & 0xf
+    protos += "wlan"
+    v("wlan.fc.type") = ftype.toLong
+    v("wlan.fc.subtype") = subtype.toLong
+    val toDs = (fc & 0x0100) != 0
+    val fromDs = (fc & 0x0200) != 0
+    val protected_ = (fc & 0x4000) != 0
+    if (ftype == 1) { // control frames: addr1 only (RA)
+      return subtype match {
+        case 11 => "Request-to-send"
+        case 12 => "Clear-to-send"
+        case 13 => "Acknowledgement"
+        case 9  => "Block Ack"
+        case _  => s"Control frame ($subtype)"
+      }
+    }
+    if (d.length < off + 24) return "802.11 (truncated)"
+    val a1 = macStr(d, off + 4)
+    val a2 = macStr(d, off + 10)
+    val a3 = macStr(d, off + 16)
+    val (da, sa, bssid) =
+      if (!toDs && !fromDs) (a1, a2, a3)
+      else if (toDs && !fromDs) (a3, a2, a1)
+      else if (!toDs && fromDs) (a1, a3, a2)
+      else (a3, a2, null) // WDS: 4-address, BSSID ambiguous
+    v("wlan.da") = da
+    v("wlan.sa") = sa
+    if (bssid != null) v("wlan.bssid") = bssid
+    if (ftype == 0) { // management
+      val name = wlanMgmtNames.getOrElse(subtype, s"Management frame ($subtype)")
+      // tagged parameters: after 12 fixed bytes for beacon/probe-resp,
+      // immediately for probe-request
+      val tagOff = subtype match {
+        case 8 | 5 => off + 24 + 12
+        case 4     => off + 24
+        case _     => -1
+      }
+      var ssid: String = null
+      if (tagOff > 0) {
+        var i = tagOff
+        while (ssid == null && i + 2 <= d.length) {
+          val tag = u8(d, i); val tlen = u8(d, i + 1)
+          if (i + 2 + tlen > d.length) i = d.length
+          else if (tag == 0) {
+            ssid = new String(d, i + 2, tlen,
+              java.nio.charset.StandardCharsets.UTF_8)
+          } else i += 2 + tlen
+        }
+      }
+      if (ssid != null) {
+        v("wlan.ssid") = ssid
+        return s"""$name frame, SSID="$ssid""""
+      }
+      return s"$name frame"
+    }
+    // data frames: QoS subtypes carry 2 extra control bytes before the body
+    val body = off + 24 + (if ((subtype & 0x8) != 0) 2 else 0)
+    val kind = if ((subtype & 0x8) != 0) "QoS Data" else "Data"
+    if (protected_) return s"$kind (protected)"
+    // LLC/SNAP: AA AA 03 <oui> <ethertype> → inner IP
+    if (d.length >= body + 8 && u8(d, body) == 0xaa && u8(d, body + 1) == 0xaa &&
+      u8(d, body + 2) == 0x03) {
+      val etype = u16(d, body + 6)
+      val inner = etype match {
+        case 0x0800 => dissectIpv4(d, body + 8, v, protos, tracker, wanted)
+        case 0x86dd => dissectIpv6(d, body + 8, v, protos, tracker, wanted)
+        case 0x0806 =>
+          protos += "arp"
+          dissectArp(d, body + 8, v)
+        case _ => null
+      }
+      if (inner != null) return inner
+    }
+    kind
   }
 
   /** Linux cooked-mode capture v1 (LINKTYPE_LINUX_SLL 113, the 16-byte

@@ -1290,6 +1290,56 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d5.values("openvpn.sessionid") === 0x1122334455667788L)
   }
 
+  test("802.11 monitor mode (linktypes 105/127): beacon SSID + SNAP data decap") {
+    def rec(frame: Array[Byte]) =
+      PcapFormat.Record(1, 1000000L, frame.length, frame.length, frame)
+    // beacon: fc 0x0080 (LE: 80 00), 24-byte header, 12 fixed bytes,
+    // SSID tag "graftnet"
+    val beacon = java.nio.ByteBuffer.allocate(24 + 12 + 2 + 8)
+      .put(0x80.toByte).put(0.toByte).putShort(0.toShort)
+      .put(Array.fill[Byte](6)(0xff.toByte))            // DA broadcast
+      .put(Array[Byte](2, 0, 0, 0, 0, 1))               // SA
+      .put(Array[Byte](2, 0, 0, 0, 0, 1))               // BSSID
+      .putShort(0.toShort)                              // seq ctl
+      .put(new Array[Byte](12))                         // fixed params
+      .put(0.toByte).put(8.toByte).put("graftnet".getBytes("US-ASCII"))
+      .array()
+    val d1 = Dissect.dissect(rec(beacon), 105, new Dissect.Tracker)
+    assert(d1.protocols === "wlan")
+    assert(d1.info === "Beacon frame, SSID=\"graftnet\"")
+    assert(d1.values("wlan.ssid") === "graftnet")
+    assert(d1.values("wlan.bssid") === "02:00:00:00:00:01")
+
+    // radiotap (8-byte header) + unprotected QoS data, ToDS, SNAP → IPv4 ICMP
+    val icmp = java.nio.ByteBuffer.allocate(8)
+      .put(8.toByte).put(0.toByte).putShort(0.toShort)
+      .putShort(0x42.toShort).putShort(7.toShort).array()
+    val ip = ipv4Hdr(1, Array[Byte](10, 0, 2, 1), Array[Byte](10, 0, 2, 2),
+      icmp.length) ++ icmp
+    val snap = Array[Byte](0xaa.toByte, 0xaa.toByte, 0x03, 0, 0, 0, 0x08, 0x00)
+    val dot11 = java.nio.ByteBuffer.allocate(26 + snap.length + ip.length)
+      .put(0x88.toByte).put(0x01.toByte)                // QoS data, ToDS
+      .putShort(0.toShort)
+      .put(Array[Byte](2, 0, 0, 0, 0, 9))               // addr1 = BSSID (ToDS)
+      .put(Array[Byte](2, 0, 0, 0, 0, 1))               // addr2 = SA
+      .put(Array[Byte](2, 0, 0, 0, 0, 2))               // addr3 = DA
+      .putShort(0.toShort).putShort(0.toShort)          // seq + QoS ctl
+      .put(snap).put(ip).array()
+    val radiotap = Array[Byte](0, 0, 8, 0, 0, 0, 0, 0) ++ dot11
+    val d2 = Dissect.dissect(rec(radiotap), 127, new Dissect.Tracker)
+    assert(d2.protocols === "radiotap:wlan:ip:icmp")
+    assert(d2.values("radiotap.length") === 8L)
+    assert(d2.values("wlan.sa") === "02:00:00:00:00:01")
+    assert(d2.values("wlan.da") === "02:00:00:00:00:02")
+    assert(d2.values("wlan.bssid") === "02:00:00:00:00:09")
+    assert(d2.info === "Echo (ping) request  id=0x0042, seq=7")
+
+    // protected data frame stops at the MAC layer
+    val prot = dot11.clone(); prot(1) = (prot(1) | 0x40).toByte
+    val d3 = Dissect.dissect(rec(prot), 105, new Dissect.Tracker)
+    assert(d3.info === "QoS Data (protected)")
+  }
+
   test("ICMP echo request renders ping info") {
     val icmp = java.nio.ByteBuffer.allocate(8)
     icmp.put(8.toByte).put(0.toByte).putShort(0.toShort)
