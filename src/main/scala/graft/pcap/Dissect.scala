@@ -846,6 +846,37 @@ object Dissect {
         case 113 => // Linux cooked capture v1 (tcpdump -i any)
           val s = dissectSll(d, 0, v, protos, tracker, wanted)
           if (s != null) info = s
+        case 0 => // BSD loopback/NULL: 4-byte HOST-order address family
+          if (d.length >= 5) {
+            protos += "null"
+            // AF written in the capturing host's byte order (values < 256,
+            // so exactly one end of the word is nonzero) — accept either
+            val af = if (u8(d, 0) != 0) u8(d, 0) else u8(d, 3)
+            val s = af match {
+              case 2 => dissectIpv4(d, 4, v, protos, tracker, wanted)
+              case 24 | 28 | 30 => dissectIpv6(d, 4, v, protos, tracker, wanted)
+              case _ => null
+            }
+            if (s != null) info = s
+          }
+        case 276 => // Linux cooked capture v2 (libpcap >= 1.10 -i any)
+          if (d.length >= 20) {
+            protos += "sll"
+            val proto = u16(d, 0)
+            v("sll.etype") = proto.toLong
+            v("sll.pkttype") = u8(d, 10).toLong
+            v("sll.hatype") = u16(d, 8).toLong
+            protos += "ethertype"
+            val s = proto match {
+              case 0x0800 => dissectIpv4(d, 20, v, protos, tracker, wanted)
+              case 0x86dd => dissectIpv6(d, 20, v, protos, tracker, wanted)
+              case 0x0806 =>
+                protos += "arp"
+                dissectArp(d, 20, v)
+              case _ => null
+            }
+            if (s != null) info = s
+          }
         case 105 => // IEEE 802.11 (monitor mode, no radio header)
           val s = dissectWlan(d, 0, v, protos, tracker, wanted)
           if (s != null) info = s

@@ -1340,6 +1340,35 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d3.info === "QoS Data (protected)")
   }
 
+  test("NULL loopback (0) and SLL2 (276) linktypes dispatch into IP") {
+    def rec(frame: Array[Byte]) =
+      PcapFormat.Record(1, 1000000L, frame.length, frame.length, frame)
+    val icmp = java.nio.ByteBuffer.allocate(8)
+      .put(8.toByte).put(0.toByte).putShort(0.toShort)
+      .putShort(0x42.toShort).putShort(7.toShort).array()
+    val ip = ipv4Hdr(1, Array[Byte](127, 0, 0, 1), Array[Byte](127, 0, 0, 1),
+      icmp.length) ++ icmp
+    // little-endian host AF_INET
+    val nullLe = Array[Byte](2, 0, 0, 0) ++ ip
+    val d1 = Dissect.dissect(rec(nullLe), 0, new Dissect.Tracker)
+    assert(d1.protocols === "null:ip:icmp")
+    assert(d1.info === "Echo (ping) request  id=0x0042, seq=7")
+    // big-endian host AF_INET
+    val nullBe = Array[Byte](0, 0, 0, 2) ++ ip
+    val d2 = Dissect.dissect(rec(nullBe), 0, new Dissect.Tracker)
+    assert(d2.protocols === "null:ip:icmp")
+    // SLL2: proto 0x0800, ifindex 3, hatype 1, pkttype 0 (unicast to us)
+    val sll2 = java.nio.ByteBuffer.allocate(20 + ip.length)
+      .putShort(0x0800.toShort).putShort(0.toShort).putInt(3)
+      .putShort(1.toShort).put(0.toByte).put(6.toByte)
+      .put(new Array[Byte](8)).put(ip).array()
+    val d3 = Dissect.dissect(rec(sll2), 276, new Dissect.Tracker)
+    assert(d3.protocols === "sll:ethertype:ip:icmp")
+    assert(d3.values("sll.etype") === 0x0800L)
+    assert(d3.values("sll.hatype") === 1L)
+    assert(d3.info === "Echo (ping) request  id=0x0042, seq=7")
+  }
+
   test("ICMP echo request renders ping info") {
     val icmp = java.nio.ByteBuffer.allocate(8)
     icmp.put(8.toByte).put(0.toByte).putShort(0.toShort)
