@@ -213,8 +213,19 @@ object PcapQueries {
       .agg(count(lit(1)).as("n_frames"))
       .orderBy(col("protocol")))
 
+  /** Monitor-mode (linktype 105) capture: per-SSID beacon census — the
+    * wireless site-survey one-liner, proving the 802.11 MAC decode
+    * end-to-end through the DSv2 source (not just the unit dissector). */
+  val pcapWlanSsids = GraftQuery(
+    "pcap_wlan_ssids",
+    (s, _) => Wireduck.readPcap(s, fixture("wlan.pcap"), protocols = Seq("wlan"))
+      .filter(col("`wlan.ssid`").isNotNull)
+      .groupBy(col("`wlan.ssid`").as("ssid"), col("`wlan.bssid`").as("bssid"))
+      .agg(count(lit(1)).as("n_beacons"))
+      .orderBy(col("ssid"), col("bssid")))
+
   val all: Seq[GraftQuery] =
     Seq(pcapScan, pcapFlagship, pcapFiltered, pcapGlossary, pcapSessionStats,
       pcapHttpTls, pcapRtpStats, pcapTcpHealth, pcapDnsLatency,
-      pcapProtocolMix, pcapConversations)
+      pcapProtocolMix, pcapConversations, pcapWlanSsids)
 }

@@ -127,8 +127,8 @@ packets.append((t + 8, 900, ip_frame(6, B, A,
                 tcp(80, 49156, 1 + len(chunk_seg1), chunk_seg2), ident=17)))
 
 
-def write_pcap(path, pkts):
-    out = struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 262144, 1)
+def write_pcap(path, pkts, linktype=1):
+    out = struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 262144, linktype)
     for sec, usec, frame in pkts:
         out += struct.pack("<IIII", sec, usec, len(frame), len(frame)) + frame
     with open(path, "wb") as f:
@@ -1193,3 +1193,27 @@ ovpn = struct.pack(">BQ", 7 << 3, 0x1122334455667788) + b"\x00" * 5
 extra.append((t3, 17500, ip_frame(17, A, B, udp(50021, 1194, ovpn), ident=205)))
 
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
+
+
+# wlan.pcap — a monitor-mode capture (linktype 105): beacons from two
+# BSSes plus one unprotected QoS data frame carrying SNAP/IPv4/ICMP
+def dot11_beacon(bssid_last, ssid, seq):
+    return struct.pack("<H", 0x0080) + struct.pack(">H", 0) + \
+        b"\xff" * 6 + bytes([2, 0, 0, 0, 0, bssid_last]) + \
+        bytes([2, 0, 0, 0, 0, bssid_last]) + struct.pack("<H", seq << 4) + \
+        b"\x00" * 12 + bytes([0, len(ssid)]) + ssid
+
+
+wlan_pkts = []
+for i, (b, s) in enumerate([(1, b"graftnet"), (1, b"graftnet"),
+                            (2, b"labnet"), (1, b"graftnet")]):
+    wlan_pkts.append((t3, 100 * i, dot11_beacon(b, s, i)))
+_icmp = struct.pack(">BBHHH", 8, 0, 0, 0x42, 7)
+_ih2, _ip2 = ipv4(1, [10, 0, 2, 1], [10, 0, 2, 2], _icmp)
+snap = bytes([0xAA, 0xAA, 0x03, 0, 0, 0, 0x08, 0x00])
+qos_data = struct.pack("<H", 0x0188) + struct.pack(">H", 0) + \
+    bytes([2, 0, 0, 0, 0, 9]) + bytes([2, 0, 0, 0, 0, 1]) + \
+    bytes([2, 0, 0, 0, 0, 2]) + struct.pack("<HH", 0, 0) + \
+    snap + _ih2 + _ip2
+wlan_pkts.append((t3, 500, qos_data))
+write_pcap("src/test/resources/wlan.pcap", wlan_pkts, linktype=105)
