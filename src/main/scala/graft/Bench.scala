@@ -120,6 +120,12 @@ object Bench {
     val seqTimes = TrieMap.empty[String, Double]
     val metrics = new StageMetricsListener
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SEQ", "1") != "0") {
+      // a throwaway job first: after the concurrent pass the first
+      // sequential query otherwise absorbs GC/compilation settling (the
+      // r7 full-board run recorded q01 at 13.7 s vs its true 1.1 s)
+      try benched.headOption.foreach(
+        _.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+      catch { case _: Throwable => () }
       spark.sparkContext.addSparkListener(metrics)
       benched.foreach { q =>
         spark.catalog.clearCache()
