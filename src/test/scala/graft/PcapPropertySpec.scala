@@ -75,7 +75,7 @@ class PcapPropertySpec extends AnyFunSuite {
     val portGen = Gen.oneOf(80, 443, 53, 5001, 40000, 21, 22, 445, 5060, 179,
       1883, 1433, 5672, 5432, 3306, 6379, 139, 3389, 853, 3868, 554, 1080, 135,
       2049, 389, 9092, 9042, 11211, 50051, 102, 20000, 2404, 44818, 4840,
-      6667, 5222, 2775, 1723, 49)
+      6667, 5222, 2775, 1723, 49, 8333, 9000, 4369, 3260, 5084, 27017, 873, 4730)
     val payloadGen = for {
       n <- Gen.chooseNum(0, 400)
       bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))
@@ -113,11 +113,13 @@ class PcapPropertySpec extends AnyFunSuite {
       n <- Gen.chooseNum(0, 200)
       bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))
     } yield bytes
-    check(Prop.forAll(frameGen, Gen.oneOf(1, 101, 9999)) { (frame: Array[Byte], lt: Int) =>
-      val rec = PcapFormat.Record(1, 1000000L, frame.length, frame.length, frame)
-      Dissect.dissect(rec, lt, new Dissect.Tracker(desegment = true)) != null
+    check(Prop.forAll(frameGen, Gen.oneOf(1, 101, 9999, 0, 105, 113, 127, 276)) {
+      (frame: Array[Byte], lt: Int) =>
+        val rec = PcapFormat.Record(1, 1000000L, frame.length, frame.length, frame)
+        Dissect.dissect(rec, lt, new Dissect.Tracker(desegment = true)) != null
     })
   }
+
 
   test("dissector fuzz: random UDP payloads to app-layer ports never throw") {
     import graft.pcap.Dissect
@@ -125,11 +127,13 @@ class PcapPropertySpec extends AnyFunSuite {
     // RADIUS/VXLAN/SSDP/syslog/TFTP/LLMNR/NBNS sniffers
     val portGen = Gen.oneOf(53, 5353, 123, 443, 67, 5060, 88, 161, 2049, 1900,
       1812, 4789, 1900, 514, 69, 5355, 137, 3478, 547, 51820, 2152, 500,
-      1701, 5683, 2055, 6343, 3784, 520, 1985)
+      1701, 5683, 2055, 6343, 3784, 520, 1985,
+      6081, 3956, 5351, 138, 6881, 1194, 319) // geneve/gvcp/nat-pmp/nbdgm/dht/openvpn/ptp
     val payloadGen = for {
       n <- Gen.chooseNum(0, 300)
       bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))
-      prefix <- Gen.oneOf("", "INVITE sip:a SIP/2.0\r\n", "SIP/2.0 200 OK\r\n", "0")
+      prefix <- Gen.oneOf("", "INVITE sip:a SIP/2.0\r\n", "SIP/2.0 200 OK\r\n", "0",
+        "d1:", "d1:ad2:id20:", "B", "")
     } yield prefix.getBytes("ISO-8859-1") ++ bytes
     def udpFrame(sp: Int, dp: Int, payload: Array[Byte]): Array[Byte] = {
       val b = ByteBuffer.allocate(14 + 20 + 8 + payload.length)
