@@ -948,6 +948,17 @@ object Dissect {
         dissectPtp(d, l3off, d.length - l3off, v, protos)
       case 0x8847 | 0x8848 =>
         dissectMpls(d, l3off, v, protos, tracker, wanted)
+      case 0x8892 if d.length >= l3off + 2 =>
+        // PROFINET Real-Time: FrameID, payload, trailing APDU status
+        protos += "pn_rt"
+        val fid = u16(d, l3off)
+        v("pn_rt.frame_id") = fid.toLong
+        if (d.length >= l3off + 6)
+          v("pn_rt.cycle_counter") = u16(d, d.length - 4).toLong
+        if (fid >= 0x8000 && fid <= 0xbfff) "PROFINET IO Cyclic Service Data Unit"
+        else if (fid >= 0xfefc && fid <= 0xfeff) "PROFINET DCP"
+        else if (fid == 0xfe01) "PROFINET Alarm Low"
+        else f"PROFINET FrameID 0x$fid%04x"
       case 0x88ab if d.length >= l3off + 3 =>
         // Ethernet POWERLINK: message type (low 7 bits), dest, src nodes
         protos += "epl"
@@ -2180,6 +2191,8 @@ object Dissect {
         appInfo = dissectIscsi(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 5084 || dp == 5084))
         appInfo = dissectLlrp(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 6653 || dp == 6653))
+        appInfo = dissectOpenflow(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -2458,6 +2471,12 @@ object Dissect {
         v("gvcp.status") = status.toLong
         return f"GVCP ACK 0x$cmd%04x status 0x$status%04x"
       }
+    }
+    // BACnet/IP (UDP 47808 = 0xBAC0): BVLC → NPDU → APDU
+    if ((sp == 47808 || dp == 47808) && payLen >= 4) {
+      val bacInfo = dissectBacnet(d, off + 8,
+        math.min(off + 8 + payLen, d.length), v, protos)
+      if (bacInfo != null) return bacInfo
     }
     // NetBIOS Datagram Service (RFC 1002 §4.4, UDP 138)
     if ((sp == 138 || dp == 138) && payLen >= 10 && off + 18 <= d.length) {
@@ -5803,6 +5822,70 @@ object Dissect {
       case "e" => "DHT Error"
       case _   => return null
     }
+  }
+
+  private val openflowTypeNames: Map[Int, String] = Map(
+    0 -> "OFPT_HELLO", 1 -> "OFPT_ERROR", 2 -> "OFPT_ECHO_REQUEST",
+    3 -> "OFPT_ECHO_REPLY", 5 -> "OFPT_FEATURES_REQUEST",
+    6 -> "OFPT_FEATURES_REPLY", 8 -> "OFPT_GET_CONFIG_REPLY",
+    10 -> "OFPT_PACKET_IN", 13 -> "OFPT_PACKET_OUT", 14 -> "OFPT_FLOW_MOD",
+    18 -> "OFPT_MULTIPART_REQUEST", 19 -> "OFPT_MULTIPART_REPLY")
+
+  /** OpenFlow 1.3 (TCP 6653): 8-byte header — version 0x04, type,
+    * length, transaction id. */
+  private def dissectOpenflow(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8 || u8(d, off) != 0x04) return null
+    val typ = u8(d, off + 1)
+    val mlen = u16(d, off + 2)
+    if (mlen < 8) return null
+    protos += "openflow_v4"
+    v("openflow_v4.type") = typ.toLong
+    v("openflow_v4.length") = mlen.toLong
+    v("openflow_v4.xid") = u32(d, off + 4)
+    openflowTypeNames.getOrElse(typ, s"OFPT ($typ)")
+  }
+
+  private val bvlcFunctionNames: Map[Int, String] = Map(
+    0x00 -> "BVLC-Result", 0x04 -> "Forwarded-NPDU",
+    0x0a -> "Original-Unicast-NPDU", 0x0b -> "Original-Broadcast-NPDU")
+
+  /** BACnet/IP (UDP 47808): BVLC (type 0x81) → NPDU version 1 → APDU
+    * type when the NPDU control byte says one follows. */
+  private def dissectBacnet(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end < off + 4 || u8(d, off) != 0x81) return null
+    val fn = u8(d, off + 1)
+    val name = bvlcFunctionNames.getOrElse(fn, return null)
+    protos += "bvlc"
+    v("bvlc.type") = 0x81L
+    v("bvlc.function") = fn.toLong
+    // NPDU directly after the 4-byte BVLC header for Original-* functions
+    val npdu = if (fn == 0x04) off + 10 else off + 4 // Forwarded adds B/IP address
+    if (npdu + 2 <= end && u8(d, npdu) == 0x01) {
+      protos += "bacnet"
+      val control = u8(d, npdu + 1)
+      if ((control & 0x80) == 0) { // bit 7 clear: an APDU follows
+        // skip DNET/DADR/SNET/SADR/hop fields per control bits
+        var p = npdu + 2
+        if ((control & 0x20) != 0 && p + 3 <= end) { // destination present
+          val dlen = u8(d, p + 2); p += 3 + dlen
+        }
+        if ((control & 0x08) != 0 && p + 3 <= end) { // source present
+          val slen = u8(d, p + 2); p += 3 + slen
+        }
+        if ((control & 0x20) != 0) p += 1 // hop count
+        if (p < end) {
+          protos += "bacapp"
+          v("bacapp.type") = ((u8(d, p) >> 4) & 0xf).toLong
+        }
+      }
+    }
+    name
   }
 
   private val bitcoinMagics =

@@ -1369,6 +1369,37 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d3.info === "Echo (ping) request  id=0x0042, seq=7")
   }
 
+  test("tier-26: OpenFlow 1.3, BACnet/IP, PROFINET-RT dissect") {
+    // OpenFlow HELLO: version 4, type 0, length 8, xid 0x99
+    val of = java.nio.ByteBuffer.allocate(8)
+      .put(4.toByte).put(0.toByte).putShort(8.toShort).putInt(0x99).array()
+    val d1 = dissectOne(ethIpTcpF(50030, 6653, of))
+    assert(d1.protocols === "eth:ethertype:ip:tcp:openflow_v4")
+    assert(d1.info === "OFPT_HELLO")
+    assert(d1.values("openflow_v4.xid") === 0x99L)
+
+    // BACnet Original-Broadcast-NPDU carrying an Unconfirmed-REQ (0x10)
+    val bac = Array[Byte](0x81.toByte, 0x0b, 0, 12, // BVLC
+      0x01, 0x00,                                   // NPDU v1, no routing
+      0x10, 0x08, 0x0a, 0x07, 0x0a, 0x07)           // APDU: who-is-ish
+    val d2 = dissectOne(ethIpUdp(47808, 47808, bac))
+    assert(d2.protocols === "eth:ethertype:ip:udp:bvlc:bacnet:bacapp")
+    assert(d2.info === "Original-Broadcast-NPDU")
+    assert(d2.values("bvlc.function") === 0x0bL)
+    assert(d2.values("bacapp.type") === 1L)
+
+    // PROFINET cyclic data: ethertype 0x8892, FrameID 0x8001, cycle 0x1234
+    val pn = java.nio.ByteBuffer.allocate(2 + 40 + 4)
+      .putShort(0x8001.toShort).put(new Array[Byte](40))
+      .putShort(0x1234.toShort).putShort(0.toShort).array()
+    val d3 = dissectOne(new Array[Byte](12) ++
+      Array[Byte](0x88.toByte, 0x92.toByte) ++ pn)
+    assert(d3.protocols === "eth:ethertype:pn_rt")
+    assert(d3.info === "PROFINET IO Cyclic Service Data Unit")
+    assert(d3.values("pn_rt.frame_id") === 0x8001L)
+    assert(d3.values("pn_rt.cycle_counter") === 0x1234L)
+  }
+
   test("ICMP echo request renders ping info") {
     val icmp = java.nio.ByteBuffer.allocate(8)
     icmp.put(8.toByte).put(0.toByte).putShort(0.toShort)

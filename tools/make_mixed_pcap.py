@@ -1192,6 +1192,18 @@ extra.append((t3, 17400, ip_frame(17, A, B, udp(50020, 6881, krpc), ident=204)))
 ovpn = struct.pack(">BQ", 7 << 3, 0x1122334455667788) + b"\x00" * 5
 extra.append((t3, 17500, ip_frame(17, A, B, udp(50021, 1194, ovpn), ident=205)))
 
+# 178-180: SDN/building/factory tier — OpenFlow HELLO, BACnet
+# Original-Broadcast-NPDU, PROFINET-RT cyclic frame
+of_hello = struct.pack(">BBHI", 4, 0, 8, 0x99)
+extra.append((t3, 17600, ip_frame(6, A, B, tcp(50030, 6653, 1, of_hello), ident=206)))
+
+bacnet = bytes([0x81, 0x0B, 0, 12, 0x01, 0x00,
+                0x10, 0x08, 0x0A, 0x07, 0x0A, 0x07])
+extra.append((t3, 17700, ip_frame(17, A, B, udp(47808, 47808, bacnet), ident=207)))
+
+pn = struct.pack(">H", 0x8001) + b"\x00" * 40 + struct.pack(">HH", 0x1234, 0)
+extra.append((t3, 17800, eth(MAC_B, MAC_A, 0x8892, pn)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
