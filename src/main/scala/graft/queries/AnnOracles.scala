@@ -144,6 +144,32 @@ object AnnOracles {
       ORDER BY cell"""
   }
 
+  /** Oracle for `sim_cluster_balance`: literal-centroid cell assignment,
+    * then a salted-md5 ranking within each cell capped at `cap` — no
+    * floats beyond the assignment argmin both engines already replay
+    * bit-exactly for the cell-stats oracle. */
+  def ivfClusterBalanceSql(cents: Array[Array[Double]], cap: Int): String = {
+    val dim = cents(0).length
+    s"""
+      WITH cents(cell, centroid, cn2, cnorm) AS (VALUES
+  ${centsValues(cents)}),
+      cellscore AS (
+        SELECT e.vec_id, c.cell,
+               c.cn2 - 2.0 * (${dot("e.embedding", "c.centroid", dim)}) AS score
+        FROM embeddings e CROSS JOIN cents c),
+      cells AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS crn
+          FROM cellscore) WHERE crn = 1)
+      SELECT cell, CAST(rn AS BIGINT) AS rnk, vec_id FROM (
+        SELECT cell, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY cell
+                 ORDER BY MD5('cb|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM cells) WHERE rn <= $cap
+      ORDER BY cell, rnk"""
+  }
+
   /** Oracle for `sim_recall_report`: replay BOTH pipelines — the IVF
     * probe search (fitted centroid literals, `ranked` from [[ivfCore]])
     * and the exact brute-force ranking over the full corpus — then join

@@ -225,5 +225,55 @@ object GraphQueries {
              CAST(SUM(node) AS BIGINT) AS sum_node
       FROM m GROUP BY d ORDER BY hops"""))
 
-  val all: Seq[GraftQuery] = Seq(grPagerank, grTriangles, grDegreeDist, grReach)
+  /** Link prediction over the supplier co-purchase graph: the top-100
+    * supplier pairs by shared-customer count, scored by the three classic
+    * neighborhood indices — common neighbors, Jaccard coefficient, and
+    * preferential attachment (Liben-Nowell & Kleinberg 2003). Selection is
+    * top-N by overlap (not a fixed threshold) so the query is meaningful at
+    * every SF: at sf0.01 every pair overlaps heavily, at sf0.1 the max
+    * overlap is ~51. Jaccard is the only float — ONE exactly-rounded IEEE
+    * division of two integers per row, so engines agree bit-for-bit; the
+    * final ordering tiebreaks through (s1, s2) for a total order.
+    *
+    * 100 TB shape: the pair generation is the customer-key equi-join whose
+    * fan-out the co-purchase projection bounds; candidate selection is a
+    * distributed top-k (TakeOrdered, never a global sort); degree tables
+    * are node-sized and broadcast into the final scoring join. */
+  val grLinkPredict = GraftQuery(
+    "gr_link_predict",
+    (s, dir) => {
+      import s.implicits._
+      val p = pairs(s, dir).select(($"supp" - 1000000L).as("supp"), $"cust")
+      val deg = p.groupBy($"supp").agg(count(lit(1)).as("deg"))
+      val sh = p.as("a").join(p.as("b"),
+          col("a.cust") === col("b.cust") && col("a.supp") < col("b.supp"))
+        .groupBy(col("a.supp").as("s1"), col("b.supp").as("s2"))
+        .agg(count(lit(1)).as("cn"))
+        .orderBy($"cn".desc, $"s1", $"s2").limit(100)
+      sh.join(broadcast(deg.select($"supp".as("s1"), $"deg".as("d1"))), Seq("s1"))
+        .join(broadcast(deg.select($"supp".as("s2"), $"deg".as("d2"))), Seq("s2"))
+        .select($"s1", $"s2", $"cn".as("common_neighbors"), $"d1", $"d2",
+          ($"cn".cast("double") / ($"d1" + $"d2" - $"cn").cast("double"))
+            .as("jaccard"),
+          ($"d1" * $"d2").as("pref_attach"))
+        .orderBy($"jaccard".desc, $"s1", $"s2")
+    },
+    Some("""
+      WITH p AS (
+        SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      deg AS (SELECT supp, COUNT(*) AS deg FROM p GROUP BY supp),
+      sh AS (
+        SELECT a.supp AS s1, b.supp AS s2, COUNT(*) AS cn
+        FROM p a JOIN p b ON a.cust = b.cust AND a.supp < b.supp
+        GROUP BY 1, 2
+        ORDER BY cn DESC, s1, s2 LIMIT 100)
+      SELECT s1, s2, cn AS common_neighbors, d1.deg AS d1, d2.deg AS d2,
+             CAST(cn AS DOUBLE) / CAST(d1.deg + d2.deg - cn AS DOUBLE) AS jaccard,
+             d1.deg * d2.deg AS pref_attach
+      FROM sh JOIN deg d1 ON d1.supp = sh.s1 JOIN deg d2 ON d2.supp = sh.s2
+      ORDER BY jaccard DESC, s1, s2"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(grPagerank, grTriangles, grDegreeDist, grReach, grLinkPredict)
 }

@@ -457,6 +457,92 @@ object ScoringQueries {
       hybridSql(spark = false, n, sumdl, idf)
     }))
 
+  // ---------------------------------------------------------------------
+  // Character-level entropy / diversity (gibberish + repetition signal)
+  // ---------------------------------------------------------------------
+
+  /** Fit the quantized log2 table: every integer that can appear as a
+    * per-(doc, char) count or a doc length in this corpus, mapped to
+    * log2(k) as DECIMAL(12,6). The transcendental never runs plan-side —
+    * the same contract as the DSIR/LM fits — so per-doc entropy becomes
+    * exact decimal arithmetic plus two final IEEE ops. The distinct-count
+    * set is bounded by the longest document (~387 values at sf0.01), a
+    * driver-trivial collect at any corpus size. */
+  private def entLogFit(s: SparkSession, dir: String): Array[(Long, JBigDecimal)] =
+    AnnIndexes.cached(s, s"entlog:$dir") {
+      import s.implicits._
+      val d = docs(s, dir).filter(length($"text") >= 1)
+      val ks = d
+        .select($"doc_id", explode(expr("sequence(1, length(text))")).as("i"), $"text")
+        .select($"doc_id", expr("substring(text, i, 1)").as("ch"))
+        .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("k"))
+        .select($"k")
+        .union(d.select(length($"text").cast(LongType).as("k")))
+        .distinct().as[Long].collect().sorted
+      ks.map(k => (k, quant6(math.log(k.toDouble) / math.log(2.0))))
+    }
+
+  /** Per-document character-level Shannon entropy (bits/char) and Simpson
+    * diversity — the classic gibberish/boilerplate quality signals (low
+    * entropy ≈ repeated filler, near-max entropy ≈ random noise). Uses the
+    * identity H = log2(n) − (Σ c·log2(c))/n so only integer counts and
+    * quantized-decimal log2 values aggregate (order-independent, exact);
+    * entropy and Simpson (1 − Σc²/n²) are then fixed-order IEEE ops on
+    * already-deterministic inputs. 100 TB shape: the char explode is
+    * per-doc linear work, one (doc, char) shuffle, a broadcast log-table
+    * join — no transcendentals, no float aggregation anywhere. */
+  val txCharEntropy = GraftQuery(
+    "tx_char_entropy",
+    (s, dir) => {
+      import s.implicits._
+      val logs = entLogFit(s, dir)
+      val logDf = s.createDataFrame(
+        s.sparkContext.parallelize(logs.map { case (k, l) =>
+          org.apache.spark.sql.Row(k, l)
+        }.toSeq, 1),
+        StructType(Seq(StructField("k", LongType),
+          StructField("lk", DecimalType(12, 6)))))
+      val cnt = docs(s, dir).filter(length($"text") >= 1)
+        .select($"doc_id", explode(expr("sequence(1, length(text))")).as("i"), $"text")
+        .select($"doc_id", expr("substring(text, i, 1)").as("ch"))
+        .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("k"))
+      val agg = cnt.join(broadcast(logDf), Seq("k"))
+        .groupBy($"doc_id")
+        .agg(sum($"k" * $"lk").as("slk"), sum($"k").as("n"),
+          count(lit(1)).as("distinct_chars"), sum($"k" * $"k").as("sk2"))
+      agg.join(broadcast(logDf.select($"k".as("n"), $"lk".as("ln2"))), Seq("n"))
+        .select($"doc_id", $"n".as("n_chars"), $"distinct_chars",
+          ($"ln2".cast(DoubleType)
+            - $"slk".cast(DoubleType) / $"n".cast(DoubleType)).as("entropy_bits"),
+          (lit(1.0d) - $"sk2".cast(DoubleType)
+            / ($"n" * $"n").cast(DoubleType)).as("simpson"))
+        .orderBy($"doc_id")
+    },
+    oracleGen = Some((s, dir) => {
+      val vals = entLogFit(s, dir)
+        .map { case (k, l) => s"($k, ${l.toPlainString}::DECIMAL(12,6))" }
+        .mkString(", ")
+      s"""
+      WITH logt(k, lk) AS (VALUES $vals),
+      chars AS (
+        SELECT doc_id, substring(text, CAST(i AS INTEGER), 1) AS ch
+        FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+        WHERE length(text) >= 1),
+      cnt AS (SELECT doc_id, ch, COUNT(*) AS k FROM chars GROUP BY 1, 2),
+      agg AS (
+        SELECT c.doc_id, SUM(c.k * l.lk) AS slk, SUM(c.k) AS n,
+               COUNT(*) AS distinct_chars, SUM(c.k * c.k) AS sk2
+        FROM cnt c JOIN logt l ON l.k = c.k GROUP BY 1)
+      SELECT a.doc_id, CAST(a.n AS BIGINT) AS n_chars,
+             CAST(a.distinct_chars AS BIGINT) AS distinct_chars,
+             CAST(l.lk AS DOUBLE) - CAST(a.slk AS DOUBLE) / CAST(a.n AS DOUBLE)
+               AS entropy_bits,
+             CAST(1 AS DOUBLE) - CAST(a.sk2 AS DOUBLE)
+               / CAST(a.n * a.n AS DOUBLE) AS simpson
+      FROM agg a JOIN logt l ON l.k = a.n
+      ORDER BY a.doc_id"""
+    }))
+
   val all: Seq[GraftQuery] = Seq(txDsirWeights, txLmScore, txResampleToMix,
-    txBm25, simHybridRrf)
+    txBm25, simHybridRrf, txCharEntropy)
 }

@@ -905,6 +905,33 @@ object SimilarityQueries {
       FROM ranked WHERE rn <= 3
       ORDER BY src, rnk"""))
 
+  /** Cluster-balanced corpus curation (the SemDeDup / cluster-then-cap
+    * recipe, Abbas et al. 2023): assign every embedding to its IVF cell
+    * with the SHARED fitted quantizer, rank within each cell by a salted
+    * md5, and keep at most 32 per cell — flattening semantic density so
+    * over-represented regions cannot dominate a training mixture. The
+    * generated oracle replays the literal-centroid assignment and the
+    * same hash ranking. 100 TB shape: assignment is the codegen'd argmin
+    * pass (no fit in lineage when served from the persisted index), the
+    * cap is one per-cell window whose partitions are cell-sized — the
+    * same label-once/consume-many contract as the dedup clusters. */
+  val simClusterBalance = GraftQuery(
+    "sim_cluster_balance",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val index = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
+      val w = Window.partitionBy($"cell")
+        .orderBy(md5(concat(lit("cb|"), $"vec_id".cast(StringType))), $"vec_id")
+      index.assigned.select($"vec_id", $"cell")
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter($"rnk" <= 32L)
+        .select($"cell", $"rnk", $"vec_id")
+        .orderBy($"cell", $"rnk")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.ivfClusterBalanceSql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids, 32)))
+
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfPersisted,
       simIvfAppend,
@@ -912,5 +939,5 @@ object SimilarityQueries {
       simAnnIvfPqPersisted, simAnnOpq, simAnnOpqIvfPq, simAnnInt8,
       simAnnInt8Persisted, simQuantizeInt8, simIvfCellStats, simRecallReport,
       ddEmbeddingNeardup, ddSemanticDedup, simMmrRerank, simHardNegatives,
-      simKnnGraph)
+      simKnnGraph, simClusterBalance)
 }
