@@ -948,6 +948,8 @@ object Dissect {
         dissectPtp(d, l3off, d.length - l3off, v, protos)
       case 0x8847 | 0x8848 =>
         dissectMpls(d, l3off, v, protos, tracker, wanted)
+      case 0x888e =>
+        dissectEapol(d, l3off, v, protos)
       case 0x8892 if d.length >= l3off + 2 =>
         // PROFINET Real-Time: FrameID, payload, trailing APDU status
         protos += "pn_rt"
@@ -2193,6 +2195,12 @@ object Dissect {
         appInfo = dissectLlrp(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 6653 || dp == 6653))
         appInfo = dissectOpenflow(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 5900 || dp == 5900))
+        appInfo = dissectVnc(appBuf, appOff, appLen, fromServer = sp == 5900, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 61613 || dp == 61613))
+        appInfo = dissectStomp(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 564 || dp == 564))
+        appInfo = dissect9p(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -2477,6 +2485,12 @@ object Dissect {
       val bacInfo = dissectBacnet(d, off + 8,
         math.min(off + 8 + payLen, d.length), v, protos)
       if (bacInfo != null) return bacInfo
+    }
+    // MGCP (RFC 3435): gateway side 2427, call-agent side 2727
+    if ((sp == 2427 || dp == 2427 || sp == 2727 || dp == 2727) && payLen >= 4) {
+      val mgcpInfo = dissectMgcp(d, off + 8,
+        math.min(payLen, d.length - off - 8), v, protos)
+      if (mgcpInfo != null) return mgcpInfo
     }
     // NetBIOS Datagram Service (RFC 1002 §4.4, UDP 138)
     if ((sp == 138 || dp == 138) && payLen >= 10 && off + 18 <= d.length) {
@@ -5886,6 +5900,142 @@ object Dissect {
       }
     }
     name
+  }
+
+  private val eapCodeNames: Map[Int, String] = Map(
+    1 -> "Request", 2 -> "Response", 3 -> "Success", 4 -> "Failure")
+  private val eapTypeNames: Map[Int, String] = Map(
+    1 -> "Identity", 2 -> "Notification", 3 -> "Legacy Nak (Response Only)",
+    4 -> "MD5-Challenge EAP (EAP-MD5-CHALLENGE)",
+    13 -> "TLS EAP (EAP-TLS)", 21 -> "Tunneled TLS EAP (EAP-TTLS)",
+    25 -> "Protected EAP (EAP-PEAP)")
+
+  /** 802.1X EAPOL (ethertype 0x888E, IEEE 802.1X-2020 §11) and the EAP
+    * packet it frames (RFC 3748 §4): version/type/length, then EAP
+    * code/id/length/type. */
+  private def dissectEapol(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 4) return "Malformed EAPOL"
+    protos += "eapol"
+    val typ = u8(d, off + 1)
+    v("eapol.version") = u8(d, off).toLong
+    v("eapol.type") = typ.toLong
+    v("eapol.len") = u16(d, off + 2).toLong
+    typ match {
+      case 0 if d.length >= off + 8 => // EAP packet
+        protos += "eap"
+        val code = u8(d, off + 4)
+        v("eap.code") = code.toLong
+        v("eap.id") = u8(d, off + 5).toLong
+        v("eap.len") = u16(d, off + 6).toLong
+        val codeName = eapCodeNames.getOrElse(code, s"Code $code")
+        if ((code == 1 || code == 2) && d.length >= off + 9) {
+          val et = u8(d, off + 8)
+          v("eap.type") = et.toLong
+          s"$codeName, ${eapTypeNames.getOrElse(et, s"Type $et")}"
+        } else codeName
+      case 1 => "Start"
+      case 2 => "Logoff"
+      case 3 => "Key"
+      case t => s"Unknown Type ($t)"
+    }
+  }
+
+  /** VNC / RFB handshake (TCP 5900, RFC 6143 §7.1.1): the 12-byte
+    * "RFB xxx.yyy\n" protocol-version exchange, attributed to server or
+    * client by the well-known port side. */
+  private def dissectVnc(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 12 || d(off) != 'R' || d(off + 1) != 'F' || d(off + 2) != 'B' ||
+      d(off + 3) != ' ' || d(off + 11) != '\n') return null
+    val ver = new String(d, off + 4, 7, java.nio.charset.StandardCharsets.US_ASCII)
+    if (!ver.matches("\\d{3}\\.\\d{3}")) return null
+    protos += "vnc"
+    if (fromServer) { v("vnc.server_proto_ver") = ver; s"Server protocol version: $ver" }
+    else { v("vnc.client_proto_ver") = ver; s"Client protocol version: $ver" }
+  }
+
+  private val stompCommands = Set(
+    "CONNECT", "CONNECTED", "STOMP", "SEND", "SUBSCRIBE", "UNSUBSCRIBE",
+    "ACK", "NACK", "BEGIN", "COMMIT", "ABORT", "DISCONNECT", "MESSAGE",
+    "RECEIPT", "ERROR")
+
+  /** STOMP 1.2 (TCP 61613): text frames — a command line, header lines,
+    * a blank line, then a NUL-terminated body (stomp.github.io spec). */
+  private def dissectStomp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    var e = off
+    val end = off + math.min(len, 16)
+    while (e < end && d(e) != '\n' && d(e) != '\r') e += 1
+    if (e == off || e == off + 16) return null
+    val cmd = new String(d, off, e - off, java.nio.charset.StandardCharsets.US_ASCII)
+    if (!stompCommands.contains(cmd)) return null
+    protos += "stomp"
+    v("stomp.command") = cmd
+    cmd
+  }
+
+  private val p9MsgNames: Map[Int, String] = Map(
+    100 -> "Tversion", 101 -> "Rversion", 102 -> "Tauth", 103 -> "Rauth",
+    104 -> "Tattach", 105 -> "Rattach", 107 -> "Rerror", 108 -> "Tflush",
+    109 -> "Rflush", 110 -> "Twalk", 111 -> "Rwalk", 112 -> "Topen",
+    113 -> "Ropen", 114 -> "Tcreate", 115 -> "Rcreate", 116 -> "Tread",
+    117 -> "Rread", 118 -> "Twrite", 119 -> "Rwrite", 120 -> "Tclunk",
+    121 -> "Rclunk", 122 -> "Tremove", 123 -> "Rremove", 124 -> "Tstat",
+    125 -> "Rstat", 126 -> "Twstat", 127 -> "Rwstat")
+
+  /** Plan 9 9P2000 (TCP 564): little-endian size[4] type[1] tag[2]
+    * message header (the public intro(5) manual / 9p.cat-v.org). */
+  private def dissect9p(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 7) return null
+    def leU16(o: Int) = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+    val size = (leU16(off) | (leU16(off + 2).toLong << 16)) & 0xffffffffL
+    if (size < 7 || size > 0x100000L) return null // sane 9P sizes only
+    val typ = u8(d, off + 4)
+    val name = p9MsgNames.getOrElse(typ, return null)
+    protos += "9p"
+    v("9p.msgtype") = typ.toLong
+    val tag = leU16(off + 5)
+    v("9p.tag") = tag.toLong
+    s"$name tag=$tag"
+  }
+
+  private val mgcpVerbs = Set(
+    "EPCF", "CRCX", "MDCX", "DLCX", "RQNT", "NTFY", "AUEP", "AUCX", "RSIP")
+
+  /** MGCP (UDP 2427/2727, RFC 3435 §3): a text command line
+    * `VERB transid endpoint MGCP 1.0` or a response `code transid ...`. */
+  private def dissectMgcp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    var e = off
+    val lim = off + math.min(len, 200)
+    while (e < lim && d(e) != '\n' && d(e) != '\r') e += 1
+    if (e == off) return null
+    val line = new String(d, off, e - off, java.nio.charset.StandardCharsets.US_ASCII)
+    val parts = line.split(" ")
+    if (parts.length < 2) return null
+    if (mgcpVerbs.contains(parts(0))) {
+      protos += "mgcp"
+      v("mgcp.req.verb") = parts(0)
+      v("mgcp.transid") = parts(1)
+      line
+    } else if (parts(0).length == 3 && parts(0).forall(_.isDigit)) {
+      protos += "mgcp"
+      v("mgcp.rsp.rspcode") = parts(0).toLong
+      v("mgcp.transid") = parts(1)
+      line
+    } else null
   }
 
   private val bitcoinMagics =

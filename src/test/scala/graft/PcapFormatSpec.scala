@@ -1400,6 +1400,60 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d3.values("pn_rt.cycle_counter") === 0x1234L)
   }
 
+  test("tier-27: EAPOL/EAP, VNC, STOMP, 9P, MGCP dissect") {
+    // EAPOL v2 framing an EAP Request/Identity (code 1, id 1, type 1)
+    val eap = java.nio.ByteBuffer.allocate(9)
+      .put(2.toByte).put(0.toByte).putShort(5.toShort) // eapol v2, type 0, len 5
+      .put(1.toByte).put(1.toByte).putShort(5.toShort).put(1.toByte).array()
+    val d1 = dissectOne(new Array[Byte](12) ++
+      Array[Byte](0x88.toByte, 0x8e.toByte) ++ eap)
+    assert(d1.protocols === "eth:ethertype:eapol:eap")
+    assert(d1.info === "Request, Identity")
+    assert(d1.values("eapol.version") === 2L)
+    assert(d1.values("eap.code") === 1L)
+    assert(d1.values("eap.type") === 1L)
+
+    // EAPOL-Start has no EAP layer
+    val start = dissectOne(new Array[Byte](12) ++
+      Array[Byte](0x88.toByte, 0x8e.toByte, 1, 1, 0, 0))
+    assert(start.protocols === "eth:ethertype:eapol")
+    assert(start.info === "Start")
+
+    // VNC RFB greeting, attributed to the server side (sp 5900)
+    val d2 = dissectOne(ethIpTcp(5900, 50040, "RFB 003.008\n".getBytes, rev = true))
+    assert(d2.protocols === "eth:ethertype:ip:tcp:vnc")
+    assert(d2.info === "Server protocol version: 003.008")
+    assert(d2.values("vnc.server_proto_ver") === "003.008")
+
+    // STOMP CONNECT frame
+    val d3 = dissectOne(ethIpTcp(50041, 61613,
+      "CONNECT\naccept-version:1.2\nhost:broker\n\n ".getBytes))
+    assert(d3.protocols === "eth:ethertype:ip:tcp:stomp")
+    assert(d3.info === "CONNECT")
+    assert(d3.values("stomp.command") === "CONNECT")
+
+    // 9P Tversion: LE size 19, type 100, tag 0xFFFF
+    val p9 = java.nio.ByteBuffer.allocate(19)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(19).put(100.toByte).putShort(0xFFFF.toShort)
+      .putInt(8192).putShort(6.toShort).put("9P2000".getBytes).array()
+    val d4 = dissectOne(ethIpTcp(50042, 564, p9))
+    assert(d4.protocols === "eth:ethertype:ip:tcp:9p")
+    assert(d4.info === "Tversion tag=65535")
+    assert(d4.values("9p.msgtype") === 100L)
+
+    // MGCP request line + a response line
+    val d5 = dissectOne(ethIpUdp(2727, 2427,
+      "CRCX 1204 aaln/1@gw1.example.net MGCP 1.0\nC: A3C47F21456789F0\n".getBytes))
+    assert(d5.protocols === "eth:ethertype:ip:udp:mgcp")
+    assert(d5.info === "CRCX 1204 aaln/1@gw1.example.net MGCP 1.0")
+    assert(d5.values("mgcp.req.verb") === "CRCX")
+    assert(d5.values("mgcp.transid") === "1204")
+    val d6 = dissectOne(ethIpUdp(2427, 2727, "200 1204 OK\n".getBytes))
+    assert(d6.info === "200 1204 OK")
+    assert(d6.values("mgcp.rsp.rspcode") === 200L)
+  }
+
   test("ICMP echo request renders ping info") {
     val icmp = java.nio.ByteBuffer.allocate(8)
     icmp.put(8.toByte).put(0.toByte).putShort(0.toShort)

@@ -1204,6 +1204,25 @@ extra.append((t3, 17700, ip_frame(17, A, B, udp(47808, 47808, bacnet), ident=207
 pn = struct.pack(">H", 0x8001) + b"\x00" * 40 + struct.pack(">HH", 0x1234, 0)
 extra.append((t3, 17800, eth(MAC_B, MAC_A, 0x8892, pn)))
 
+# 181-185: auth/desktop/messaging tier — EAPOL-framed EAP Request
+# Identity, VNC server greeting, STOMP CONNECT, 9P Tversion, MGCP CRCX
+eap_req = struct.pack(">BBH", 1, 1, 5) + bytes([1])  # code=Request id=1 type=Identity
+eapol = struct.pack(">BBH", 2, 0, len(eap_req)) + eap_req
+extra.append((t3, 17900, eth(MAC_B, MAC_A, 0x888E, eapol)))
+
+extra.append((t3, 18000, ip_frame(6, B, A, tcp(5900, 50040, 1, b"RFB 003.008\n"),
+                                  ident=208)))
+
+stomp = b"CONNECT\naccept-version:1.2\nhost:broker\n\n\x00"
+extra.append((t3, 18100, ip_frame(6, A, B, tcp(50041, 61613, 1, stomp), ident=209)))
+
+p9 = struct.pack("<IBH", 19, 100, 0xFFFF) + struct.pack("<I", 8192) + \
+    struct.pack("<H", 6) + b"9P2000"  # Tversion msize=8192 version=9P2000
+extra.append((t3, 18200, ip_frame(6, A, B, tcp(50042, 564, 1, p9), ident=210)))
+
+mgcp = b"CRCX 1204 aaln/1@gw1.example.net MGCP 1.0\nC: A3C47F21456789F0\n"
+extra.append((t3, 18300, ip_frame(17, A, B, udp(2727, 2427, mgcp), ident=211)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
