@@ -47,7 +47,7 @@ object AnnOracles {
     * assignment → per-query probe ranking → exact cosine within probed
     * cells → per-query top-k. */
   private def ivfCore(cents: Array[Array[Double]], nProbe: Int,
-      qSelect: String, qWhere: String): String = {
+      qSelect: String, qWhere: String, corpusWhere: String = "TRUE"): String = {
     val dim = cents(0).length
     s"""
       WITH cents(cell, centroid, cn2, cnorm) AS (VALUES
@@ -60,7 +60,7 @@ object AnnOracles {
         SELECT vec_id, label, embedding, cell FROM (
           SELECT vec_id, label, embedding, cell,
                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS crn
-          FROM cellscore) WHERE crn = 1),
+          FROM cellscore) WHERE crn = 1 AND ($corpusWhere)),
       q AS (SELECT $qSelect FROM embeddings WHERE $qWhere),
       probes AS (
         SELECT query_id, qe, cell FROM (
@@ -107,6 +107,19 @@ object AnnOracles {
       maxQ: Int): String =
     ivfCore(cents, nProbe,
       "vec_id AS query_id, embedding AS qe", s"vec_id < $maxQ") + s"""
+      SELECT query_id, rnk, vec_id, label, cosine FROM ranked
+      WHERE rnk <= $topK AND query_id <> vec_id
+      ORDER BY query_id, rnk"""
+
+  /** Oracle for `sim_ann_filtered`: [[ivfBatchSql]] with the metadata
+    * predicate applied to the CANDIDATE side only (queries stay
+    * unfiltered) — mirrors the pre-filtered `Index.assigned` frame the
+    * Spark plan probes. */
+  def ivfFilteredSql(cents: Array[Array[Double]], topK: Int, nProbe: Int,
+      maxQ: Int, corpusWhere: String): String =
+    ivfCore(cents, nProbe,
+      "vec_id AS query_id, embedding AS qe", s"vec_id < $maxQ",
+      corpusWhere) + s"""
       SELECT query_id, rnk, vec_id, label, cosine FROM ranked
       WHERE rnk <= $topK AND query_id <> vec_id
       ORDER BY query_id, rnk"""

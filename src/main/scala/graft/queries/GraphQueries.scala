@@ -274,6 +274,57 @@ object GraphQueries {
       FROM sh JOIN deg d1 ON d1.supp = sh.s1 JOIN deg d2 ON d2.supp = sh.s2
       ORDER BY jaccard DESC, s1, s2"""))
 
+  /** Label-propagation community detection (Raghavan et al. 2007) over
+    * the symmetrized order graph — 3 SYNCHRONOUS rounds with a fully
+    * deterministic update: a node's next label is the most frequent label
+    * among its neighbors, ties broken to the SMALLEST label (the
+    * `(count DESC, label ASC)` row_number), so the result is independent
+    * of partitioning and engine (classic async LPA is run-order dependent
+    * and could never hash-match an oracle). Integer-only throughout.
+    *
+    * 100 TB shape: each round is one edges⋈labels join (shuffle on the
+    * label key) + one (node, label) count + a node-partitioned top-1
+    * window — the same BSP step as PageRank with a mode instead of a sum;
+    * labels stay node-sized. Fixed round count bounds the lineage. The
+    * oracle replays the identical rounds as chained CTEs. */
+  private val lpaRounds = 3
+
+  /** Engine-shared ANSI text for `gr_lpa` (no dialect divergence: counts,
+    * joins and ROW_NUMBER only). */
+  private lazy val lpaSql: String = {
+    val rounds = (1 to lpaRounds).map { i =>
+      s"""r$i AS (
+        SELECT node, lbl FROM (
+          SELECT e.src AS node, l.lbl,
+                 ROW_NUMBER() OVER (PARTITION BY e.src
+                   ORDER BY COUNT(*) DESC, l.lbl) AS rn
+          FROM e JOIN r${i - 1} l ON l.node = e.dst
+          GROUP BY e.src, l.lbl) t$i WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH p AS (
+        SELECT DISTINCT 1000000 + l_suppkey AS supp, o_custkey AS cust
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (SELECT supp AS src, cust AS dst FROM p
+            UNION SELECT cust, supp FROM p),
+      r0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+      $rounds
+      SELECT lbl AS community, COUNT(*) AS members,
+             MIN(node) AS min_node, MAX(node) AS max_node
+      FROM r$lpaRounds
+      GROUP BY lbl
+      ORDER BY members DESC, community
+      LIMIT 20"""
+  }
+
+  val grLpa = GraftQuery(
+    "gr_lpa",
+    (s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql(lpaSql)
+    },
+    Some(lpaSql))
+
   val all: Seq[GraftQuery] =
-    Seq(grPagerank, grTriangles, grDegreeDist, grReach, grLinkPredict)
+    Seq(grPagerank, grTriangles, grDegreeDist, grReach, grLinkPredict, grLpa)
 }

@@ -1927,6 +1927,51 @@ object RelationalQueries {
       GROUP BY 1
       ORDER BY bucket"""))
 
+  /** Cohort retention analysis — the canonical product-analytics matrix:
+    * every user is cohorted by the Monday-truncated week of their FIRST
+    * event, and each (cohort week, week offset) cell counts the distinct
+    * users active that many weeks later. Week offsets are exact integer
+    * date arithmetic (`DATEDIFF ... DIV 7` / DuckDB date subtraction
+    * `// 7` — both operands non-negative, where the two engines' integer
+    * divisions agree). Scale shape: one min-aggregate by user (shuffle on
+    * user_id), one broadcast-free re-join ALSO keyed on user_id — AQE
+    * reuses the partitioning — then a distinct-count shuffle on the
+    * (cohort, offset) matrix, whose cardinality is O(weeks²), tiny. */
+  val q65Retention = GraftQuery(
+    "q65_retention",
+    (s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        WITH firsts AS (
+          SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_week
+          FROM events GROUP BY user_id),
+        activity AS (
+          SELECT DISTINCT e.user_id, f.cohort_week,
+                 CAST(DATEDIFF(CAST(DATE_TRUNC('week', e.ts) AS DATE),
+                               f.cohort_week) DIV 7 AS BIGINT) AS week_offset
+          FROM events e JOIN firsts f ON e.user_id = f.user_id)
+        SELECT cohort_week, week_offset,
+               COUNT(DISTINCT user_id) AS active_users
+        FROM activity
+        GROUP BY cohort_week, week_offset
+        ORDER BY cohort_week, week_offset""")
+    },
+    Some("""
+      WITH firsts AS (
+        SELECT user_id,
+               CAST(DATE_TRUNC('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id),
+      activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST((CAST(DATE_TRUNC('week', CAST(e.ts AS TIMESTAMP)) AS DATE)
+                 - f.cohort_week) // 7 AS BIGINT) AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id)
+      SELECT cohort_week, week_offset,
+             COUNT(DISTINCT user_id) AS active_users
+      FROM activity
+      GROUP BY cohort_week, week_offset
+      ORDER BY cohort_week, week_offset"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -1943,5 +1988,6 @@ object RelationalQueries {
     q48HigherOrder, q49ListAgg, q50Funnel, q51Variant, q52Scd2,
     q53StatsExact, q54IgnoreNulls, q55FilterClause, q56GroupByAll,
     q57Resample, q58AsofNearest, q59MergeUpsert, q60RangeJoin,
-    q61TimeRangeFrame, q62IntervalUnion, q63RangeJoinAuto, q64Histogram)
+    q61TimeRangeFrame, q62IntervalUnion, q63RangeJoinAuto, q64Histogram,
+    q65Retention)
 }

@@ -932,6 +932,89 @@ object SimilarityQueries {
     oracleGen = Some((s, dir) => AnnOracles.ivfClusterBalanceSql(
       graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids, 32)))
 
+  /** FILTERED vector search (the "metadata predicate + ANN" shape every
+    * retrieval stack needs: Qdrant/Vespa-style pre-filtering): candidates
+    * are restricted to `label = 1` BEFORE the probe join, queries stay
+    * unfiltered. Pre-filtering (vs post-filtering the top-k) is the
+    * correct semantics — a post-filter can return < k rows even when k
+    * matches exist. 100 TB shape: the predicate lands on the cell-bucketed
+    * persisted index scan (partition/row-group pruning applies), the probe
+    * join and per-query top-k are unchanged `searchBatch` machinery — the
+    * filter only ever SHRINKS the candidate set. */
+  val simAnnFiltered = GraftQuery(
+    "sim_ann_filtered",
+    (s, dir) => {
+      import s.implicits._
+      val emb = graft.functions.AnnIndexes.embeddings(s, dir)
+      val index = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
+      val filtered = index.copy(assigned = index.assigned.filter($"label" === 1))
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      graft.functions.Ivf.searchBatch(filtered, queries, topK = 5, nProbe = 4)
+        .filter($"query_id" =!= $"vec_id")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.ivfFilteredSql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids,
+      topK = 5, nProbe = 4, maxQ = 10, corpusWhere = "label = 1")))
+
+  /** Binary (1-bit) quantization + Hamming prefilter + exact rerank: each
+    * embedding compresses to its 64 sign bits packed into two BIGINT
+    * halves (32 bits each — the high half of a single 64-bit word would
+    * overflow signed BIGINT in portable SQL), candidates come from the
+    * top-64 by Hamming distance (`bit_count(xor(...))` — codegen'd
+    * integer ops on both engines), and only those 64 pay the exact
+    * cosine. The bit signatures are 32× smaller than the float vectors —
+    * the cheapest serving tier below int8/PQ. Distribution shape: the
+    * Hamming stage is a TakeOrdered (distributed partial top-k, no global
+    * sort), the rerank touches 64 rows. Fully static oracle — sign
+    * thresholding has no fitted state. */
+  val simAnnBitq = GraftQuery(
+    "sim_ann_bitq",
+    (s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql(bitqSql(spark = true))
+    },
+    Some(bitqSql(spark = false)))
+
+  /** Dialect-parametrized text for `sim_ann_bitq`: only the array indexer
+    * differs (element_at vs 1-based []). */
+  private def bitqSql(spark: Boolean): String = {
+    def at(col: String, i: Int) =
+      if (spark) s"element_at($col, $i)" else s"$col[$i]"
+    def sig(col: String, lo: Int) =
+      (1 to 32).map(i =>
+        s"(CASE WHEN CAST(${at(col, lo + i - 1)} AS DOUBLE) > 0 THEN CAST(${1L << (i - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+    def dotQ(a: String, b: String) =
+      (1 to dim).map(i =>
+        s"CAST(${at(a, i)} AS DOUBLE) * CAST(${at(b, i)} AS DOUBLE)").mkString(" + ")
+    def bxor(a: String, b: String) =
+      if (spark) s"($a ^ $b)" else s"xor($a, $b)"
+    s"""
+      WITH sigs AS (
+        SELECT vec_id, label, embedding,
+               ${sig("embedding", 1)} AS s_lo,
+               ${sig("embedding", 33)} AS s_hi
+        FROM embeddings),
+      q AS (SELECT embedding AS qe, s_lo AS q_lo, s_hi AS q_hi
+            FROM sigs WHERE vec_id = 0),
+      hamm AS (
+        SELECT s.vec_id, s.label, s.embedding, q.qe,
+               CAST(bit_count(${bxor("s.s_lo", "q.q_lo")})
+                    + bit_count(${bxor("s.s_hi", "q.q_hi")}) AS BIGINT) AS hamming
+        FROM sigs s CROSS JOIN q
+        WHERE s.vec_id <> 0
+        ORDER BY hamming, s.vec_id
+        LIMIT 64)
+      SELECT vec_id, label, hamming,
+             (${dotQ("embedding", "qe")})
+               / (SQRT(${dotQ("embedding", "embedding")})
+                  * SQRT(${dotQ("qe", "qe")})) AS cosine
+      FROM hamm
+      ORDER BY cosine DESC, vec_id
+      LIMIT 10"""
+  }
+
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfPersisted,
       simIvfAppend,
@@ -939,5 +1022,5 @@ object SimilarityQueries {
       simAnnIvfPqPersisted, simAnnOpq, simAnnOpqIvfPq, simAnnInt8,
       simAnnInt8Persisted, simQuantizeInt8, simIvfCellStats, simRecallReport,
       ddEmbeddingNeardup, ddSemanticDedup, simMmrRerank, simHardNegatives,
-      simKnnGraph, simClusterBalance)
+      simKnnGraph, simClusterBalance, simAnnFiltered, simAnnBitq)
 }
