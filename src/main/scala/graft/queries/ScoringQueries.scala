@@ -543,6 +543,91 @@ object ScoringQueries {
       ORDER BY a.doc_id"""
     }))
 
+  /** CCNet's head/middle/tail perplexity bucketing (Wenzek et al. 2020):
+    * score every document with the [[txLmScore]] bits-per-token model,
+    * cut the corpus at the 33rd/67th percentiles of that score, and
+    * report per-(lang, bucket) composition — the selection step CCNet
+    * actually trains on ("head" = most in-domain text). Determinism:
+    * per-doc scores are the exact-decimal sums of [[txLmScore]] (their
+    * final double division is one correctly-rounded IEEE op), the two
+    * global percentile_cont thresholds interpolate those deterministic
+    * doubles identically in both engines (the q39 precedent), and the
+    * per-bucket mean is an exact decimal sum with ONE final division.
+    *
+    * 100 TB shape: scoring is the broadcast-vocab join; the thresholds
+    * are ONE tiny two-value global aggregate broadcast back (at real
+    * scale an approx-quantile sketch — q39b — replaces it); bucketing is
+    * a per-row comparison; the report is a low-cardinality aggregate. */
+  val txCcnetBuckets = GraftQuery(
+    "tx_ccnet_buckets",
+    (s, dir) => {
+      import s.implicits._
+      val (vocab, unkNlp) = lmFit(s, dir)
+      val vocabDf = s.createDataFrame(
+        s.sparkContext.parallelize(vocab.map { case (w, p) =>
+          org.apache.spark.sql.Row(w, p)
+        }.toSeq, 1),
+        StructType(Seq(StructField("w", StringType),
+          StructField("nlp", DecimalType(12, 6)))))
+      val toks = docs(s, dir)
+        .select($"doc_id", $"lang",
+          explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+      val unkLit = lit(unkNlp).cast(DecimalType(12, 6))
+      val scored = toks.join(broadcast(vocabDf), Seq("w"), "left")
+        .select($"doc_id", $"lang", coalesce($"nlp", unkLit).as("nlp"))
+        .groupBy($"doc_id", $"lang")
+        .agg(sum($"nlp").as("bt"), count(lit(1)).as("n_tokens"))
+        .select($"doc_id", $"lang", $"bt", $"n_tokens",
+          ($"bt".cast(DoubleType) / $"n_tokens".cast(DoubleType)).as("bpt"))
+      val cuts = scored.agg(
+        expr("percentile_cont(0.33) WITHIN GROUP (ORDER BY bpt)").as("p33"),
+        expr("percentile_cont(0.67) WITHIN GROUP (ORDER BY bpt)").as("p67"))
+      scored.crossJoin(broadcast(cuts))
+        .select($"lang", $"bt", $"n_tokens",
+          when($"bpt" < $"p33", "head")
+            .when($"bpt" < $"p67", "middle")
+            .otherwise("tail").as("bucket"))
+        .groupBy($"lang", $"bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("tokens"),
+          (sum($"bt").cast(DoubleType) / sum($"n_tokens").cast(DoubleType))
+            .as("avg_bits_per_token"))
+        .orderBy($"lang", $"bucket")
+    },
+    oracleGen = Some((s, dir) => {
+      val (vocab, unkNlp) = lmFit(s, dir)
+      val vals = vocab
+        .map { case (w, p) => s"(${sq(w)}, ${p.toPlainString}::DECIMAL(12,6))" }
+        .mkString(", ")
+      s"""
+      WITH vocab(w, nlp) AS (VALUES $vals),
+      toks AS (
+        SELECT doc_id, lang,
+               UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents),
+      scored AS (
+        SELECT doc_id, lang, SUM(nlp) AS bt, COUNT(*) AS n_tokens,
+               CAST(SUM(nlp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bpt
+        FROM (
+          SELECT t.doc_id, t.lang,
+                 COALESCE(v.nlp, ${unkNlp.toPlainString}::DECIMAL(12,6)) AS nlp
+          FROM toks t LEFT JOIN vocab v ON v.w = t.w) x
+        GROUP BY doc_id, lang),
+      cuts AS (
+        SELECT PERCENTILE_CONT(0.33) WITHIN GROUP (ORDER BY bpt) AS p33,
+               PERCENTILE_CONT(0.67) WITHIN GROUP (ORDER BY bpt) AS p67
+        FROM scored)
+      SELECT lang,
+             CASE WHEN bpt < p33 THEN 'head'
+                  WHEN bpt < p67 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+             CAST(SUM(bt) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+               AS avg_bits_per_token
+      FROM scored CROSS JOIN cuts
+      GROUP BY 1, 2
+      ORDER BY lang, bucket"""
+    }))
+
   val all: Seq[GraftQuery] = Seq(txDsirWeights, txLmScore, txResampleToMix,
-    txBm25, simHybridRrf, txCharEntropy)
+    txBm25, simHybridRrf, txCharEntropy, txCcnetBuckets)
 }

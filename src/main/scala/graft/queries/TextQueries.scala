@@ -1838,6 +1838,78 @@ object TextQueries {
       ORDER BY n_occurrences DESC, ngram
       LIMIT 20"""))
 
+  /** Content-defined chunking dedup (the FastCDC/LBFS recipe at word
+    * granularity, Muthitacharoen et al. 2001): chunk boundaries fall
+    * where the rolling fingerprint of the last 3 words hits a target
+    * pattern (md5 low nibble = 0 → expected chunk ≈ 16 words), so an
+    * insertion early in a document SHIFTS boundaries only locally and
+    * repeated passages re-chunk identically wherever they occur — the
+    * property fixed-stride passage windows (dd_subdoc_dedup) lack.
+    * Output: the top-50 chunks by corpus occurrence.
+    *
+    * 100 TB shape: the explode is linear in corpus tokens, the boundary
+    * decision is per-row (no cross-row state — the "rolling" window is
+    * re-derived from the array, so no sequential scan), chunk reassembly
+    * is one (doc, chunk) aggregate on the already-doc-partitioned rows,
+    * and the census is a map-side-combined count + TakeOrdered. */
+  val ddCdcChunks = GraftQuery(
+    "dd_cdc_chunks",
+    (s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql(s"""
+        WITH t AS (SELECT doc_id, SPLIT(text, ' ') AS ws FROM documents),
+        w AS (
+          SELECT doc_id, i, element_at(ws, i) AS w,
+                 CASE WHEN i >= 3 AND (INSTR('0123456789abcdef',
+                        SUBSTR(md5(concat_ws(' ', element_at(ws, i-2),
+                                                  element_at(ws, i-1),
+                                                  element_at(ws, i))), 32, 1)) - 1) = 0
+                      THEN 1 ELSE 0 END AS b
+          FROM t LATERAL VIEW explode(sequence(1, size(ws))) sq AS i),
+        c AS (
+          SELECT doc_id, i, w,
+                 COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+          FROM w),
+        chunks AS (
+          SELECT doc_id, chunk_idx,
+                 md5(listagg(w, ' ') WITHIN GROUP (ORDER BY i)) AS chunk_hash,
+                 COUNT(*) AS n_words
+          FROM c GROUP BY doc_id, chunk_idx)
+        SELECT chunk_hash, COUNT(*) AS occurrences,
+               COUNT(DISTINCT doc_id) AS docs,
+               MIN(n_words) AS n_words, MIN(doc_id) AS first_doc
+        FROM chunks
+        GROUP BY chunk_hash
+        ORDER BY occurrences DESC, chunk_hash
+        LIMIT 50""")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+      w AS (
+        SELECT doc_id, i, ws[i] AS w,
+               CASE WHEN i >= 3 AND (INSTR('0123456789abcdef',
+                      SUBSTR(md5(concat_ws(' ', ws[i-2], ws[i-1], ws[i])), 32, 1)) - 1) = 0
+                    THEN 1 ELSE 0 END AS b
+        FROM t, UNNEST(RANGE(1, LEN(ws) + 1)) AS sq(i)),
+      c AS (
+        SELECT doc_id, i, w,
+               COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+        FROM w),
+      chunks AS (
+        SELECT doc_id, chunk_idx,
+               md5(STRING_AGG(w, ' ' ORDER BY i)) AS chunk_hash,
+               COUNT(*) AS n_words
+        FROM c GROUP BY doc_id, chunk_idx)
+      SELECT chunk_hash, COUNT(*) AS occurrences,
+             COUNT(DISTINCT doc_id) AS docs,
+             MIN(n_words) AS n_words, MIN(doc_id) AS first_doc
+      FROM chunks
+      GROUP BY chunk_hash
+      ORDER BY occurrences DESC, chunk_hash
+      LIMIT 50"""))
+
   val all: Seq[GraftQuery] = Seq(
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
@@ -1846,5 +1918,5 @@ object TextQueries {
     ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddSubdocDedup, ddSimjoinAuto,
     txBpeTokens, txPackDocs, ddEditPairs, ddPassJoin, txDomainCap,
     txChunkOverlap, ddIncremental, ddLshStats, txWeightedSample, ddLshEval,
-    txCorpusNgrams, ddCcIncremental)
+    txCorpusNgrams, ddCcIncremental, ddCdcChunks)
 }
