@@ -2201,6 +2201,8 @@ object Dissect {
         appInfo = dissectStomp(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 564 || dp == 564))
         appInfo = dissect9p(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 13400 || dp == 13400))
+        appInfo = dissectDoip(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -2491,6 +2493,30 @@ object Dissect {
       val mgcpInfo = dissectMgcp(d, off + 8,
         math.min(payLen, d.length - off - 8), v, protos)
       if (mgcpInfo != null) return mgcpInfo
+    }
+    // SOME/IP (AUTOSAR, UDP 30490 service discovery / 30509 events)
+    if ((sp == 30490 || dp == 30490 || sp == 30509 || dp == 30509) && payLen >= 16) {
+      val someipInfo = dissectSomeip(d, off + 8,
+        math.min(payLen, d.length - off - 8), v, protos)
+      if (someipInfo != null) return someipInfo
+    }
+    // GTPv2-C (3GPP TS 29.274, UDP 2123)
+    if ((sp == 2123 || dp == 2123) && payLen >= 8) {
+      val gtpInfo = dissectGtpv2(d, off + 8,
+        math.min(payLen, d.length - off - 8), v, protos)
+      if (gtpInfo != null) return gtpInfo
+    }
+    // PFCP (3GPP TS 29.244, UDP 8805)
+    if ((sp == 8805 || dp == 8805) && payLen >= 8) {
+      val pfcpInfo = dissectPfcp(d, off + 8,
+        math.min(payLen, d.length - off - 8), v, protos)
+      if (pfcpInfo != null) return pfcpInfo
+    }
+    // DoIP (ISO 13400-2, UDP 13400 — vehicle discovery)
+    if ((sp == 13400 || dp == 13400) && payLen >= 8) {
+      val doipInfo = dissectDoip(d, off + 8,
+        math.min(payLen, d.length - off - 8), v, protos)
+      if (doipInfo != null) return doipInfo
     }
     // NetBIOS Datagram Service (RFC 1002 §4.4, UDP 138)
     if ((sp == 138 || dp == 138) && payLen >= 10 && off + 18 <= d.length) {
@@ -6036,6 +6062,161 @@ object Dissect {
       v("mgcp.transid") = parts(1)
       line
     } else null
+  }
+
+  private val someipMsgTypes = Map(
+    0x00 -> "Request", 0x01 -> "Request no return", 0x02 -> "Notification",
+    0x80 -> "Response", 0x81 -> "Error",
+    0x20 -> "Request (TP)", 0x21 -> "Request no return (TP)",
+    0x22 -> "Notification (TP)", 0xa0 -> "Response (TP)", 0xa1 -> "Error (TP)")
+
+  /** SOME/IP (AUTOSAR PRS_SOMEIP, UDP 30490/30509): 16-byte header —
+    * Message ID (service:method), big-endian length covering everything
+    * after it (≥ 8 for the request id + versions), Request ID
+    * (client:session), protocol version (always 1), interface version,
+    * message type, return code. */
+  private def dissectSomeip(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 16) return null
+    val length = u32(d, off + 4)
+    if (length < 8 || length > 0xFFFFFFL) return null
+    if (u8(d, off + 12) != 1) return null // protocol version is fixed at 1
+    val mt = u8(d, off + 14)
+    val name = someipMsgTypes.getOrElse(mt, return null)
+    protos += "someip"
+    val service = u16(d, off)
+    val method = u16(d, off + 2)
+    v("someip.serviceid") = service.toLong
+    v("someip.methodid") = method.toLong
+    v("someip.length") = length
+    v("someip.clientid") = u16(d, off + 8).toLong
+    v("someip.sessionid") = u16(d, off + 10).toLong
+    v("someip.messagetype") = mt.toLong
+    v("someip.returncode") = u8(d, off + 15).toLong
+    f"$name Service 0x$service%04x Method 0x$method%04x"
+  }
+
+  private val doipPayloadTypes = Map(
+    0x0000 -> "Generic DoIP header NACK",
+    0x0001 -> "Vehicle identification request",
+    0x0002 -> "Vehicle identification request (EID)",
+    0x0003 -> "Vehicle identification request (VIN)",
+    0x0004 -> "Vehicle announcement message",
+    0x0005 -> "Routing activation request",
+    0x0006 -> "Routing activation response",
+    0x0007 -> "Alive check request",
+    0x0008 -> "Alive check response",
+    0x4001 -> "DoIP entity status request",
+    0x4002 -> "DoIP entity status response",
+    0x4003 -> "Diagnostic power mode information request",
+    0x4004 -> "Diagnostic power mode information response",
+    0x8001 -> "Diagnostic message",
+    0x8002 -> "Diagnostic message ACK",
+    0x8003 -> "Diagnostic message NACK")
+
+  /** DoIP (ISO 13400-2, TCP/UDP 13400): 8-byte generic header — protocol
+    * version, its ones-complement inverse, payload type, payload length. */
+  private def dissectDoip(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8) return null
+    val ver = u8(d, off)
+    if (ver < 1 || ver > 3) return null
+    if (u8(d, off + 1) != (~ver & 0xff)) return null
+    val ptype = u16(d, off + 2)
+    val name = doipPayloadTypes.getOrElse(ptype, return null)
+    protos += "doip"
+    v("doip.version") = ver.toLong
+    v("doip.type") = ptype.toLong
+    v("doip.length") = u32(d, off + 4)
+    name
+  }
+
+  private val gtpv2MsgNames = Map(
+    1 -> "Echo Request", 2 -> "Echo Response",
+    3 -> "Version Not Supported Indication",
+    32 -> "Create Session Request", 33 -> "Create Session Response",
+    34 -> "Modify Bearer Request", 35 -> "Modify Bearer Response",
+    36 -> "Delete Session Request", 37 -> "Delete Session Response",
+    95 -> "Create Bearer Request", 96 -> "Create Bearer Response",
+    97 -> "Update Bearer Request", 98 -> "Update Bearer Response",
+    99 -> "Delete Bearer Request", 100 -> "Delete Bearer Response",
+    170 -> "Release Access Bearers Request",
+    171 -> "Release Access Bearers Response",
+    176 -> "Downlink Data Notification",
+    177 -> "Downlink Data Notification Acknowledge")
+
+  /** GTPv2-C (3GPP TS 29.274 §5.1, UDP 2123): flags (version 2 in bits
+    * 7-5, T = TEID-present bit 3), message type, length, optional TEID,
+    * 24-bit sequence number. */
+  private def dissectGtpv2(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8) return null
+    val flags = u8(d, off)
+    if ((flags >> 5) != 2) return null
+    val hasTeid = (flags & 0x08) != 0
+    if (hasTeid && len < 12) return null
+    val mt = u8(d, off + 1)
+    val name = gtpv2MsgNames.getOrElse(mt, return null)
+    protos += "gtpv2"
+    v("gtpv2.flags") = flags.toLong
+    v("gtpv2.message_type") = mt.toLong
+    v("gtpv2.len") = u16(d, off + 2).toLong
+    var p = off + 4
+    if (hasTeid) {
+      v("gtpv2.teid") = u32(d, p)
+      p += 4
+    }
+    val seq = (u8(d, p) << 16) | (u8(d, p + 1) << 8) | u8(d, p + 2)
+    v("gtpv2.seq") = seq.toLong
+    name
+  }
+
+  private val pfcpMsgNames = Map(
+    1 -> "Heartbeat Request", 2 -> "Heartbeat Response",
+    3 -> "PFD Management Request", 4 -> "PFD Management Response",
+    5 -> "Association Setup Request", 6 -> "Association Setup Response",
+    7 -> "Association Update Request", 8 -> "Association Update Response",
+    9 -> "Association Release Request", 10 -> "Association Release Response",
+    11 -> "Version Not Supported Response",
+    12 -> "Node Report Request", 13 -> "Node Report Response",
+    14 -> "Session Set Deletion Request", 15 -> "Session Set Deletion Response",
+    50 -> "Session Establishment Request", 51 -> "Session Establishment Response",
+    52 -> "Session Modification Request", 53 -> "Session Modification Response",
+    54 -> "Session Deletion Request", 55 -> "Session Deletion Response",
+    56 -> "Session Report Request", 57 -> "Session Report Response")
+
+  /** PFCP (3GPP TS 29.244 §7.2, UDP 8805): flags (version 1 in bits 7-5,
+    * S = SEID-present bit 0), message type, length, optional 64-bit SEID,
+    * 24-bit sequence number. */
+  private def dissectPfcp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8) return null
+    val flags = u8(d, off)
+    if ((flags >> 5) != 1) return null
+    val hasSeid = (flags & 0x01) != 0
+    if (hasSeid && len < 16) return null
+    val mt = u8(d, off + 1)
+    val name = pfcpMsgNames.getOrElse(mt, return null)
+    protos += "pfcp"
+    v("pfcp.flags") = flags.toLong
+    v("pfcp.msg_type") = mt.toLong
+    v("pfcp.length") = u16(d, off + 2).toLong
+    var p = off + 4
+    if (hasSeid) {
+      v("pfcp.seid") = (u32(d, p) << 32) | u32(d, p + 4)
+      p += 8
+    }
+    val seq = (u8(d, p) << 16) | (u8(d, p + 1) << 8) | u8(d, p + 2)
+    v("pfcp.seqno") = seq.toLong
+    name
   }
 
   private val bitcoinMagics =

@@ -1454,6 +1454,77 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(d6.values("mgcp.rsp.rspcode") === 200L)
   }
 
+  test("tier-28: SOME/IP, DoIP, GTPv2-C, PFCP dissect") {
+    // SOME/IP request: service 0x1234 method 0x0001, length 8, proto ver 1
+    val someip = java.nio.ByteBuffer.allocate(16)
+      .putShort(0x1234.toShort).putShort(0x0001.toShort).putInt(8)
+      .putShort(0x0001.toShort).putShort(0x0001.toShort)
+      .put(1.toByte).put(1.toByte).put(0x00.toByte).put(0x00.toByte).array()
+    val d1 = dissectOne(ethIpUdp(50050, 30490, someip))
+    assert(d1.protocols === "eth:ethertype:ip:udp:someip")
+    assert(d1.info === "Request Service 0x1234 Method 0x0001")
+    assert(d1.values("someip.serviceid") === 0x1234L)
+    assert(d1.values("someip.methodid") === 1L)
+    assert(d1.values("someip.clientid") === 1L)
+    assert(d1.values("someip.messagetype") === 0L)
+    assert(d1.values("someip.returncode") === 0L)
+
+    // a wrong protocol version is not SOME/IP
+    val bad = someip.clone(); bad(12) = 3
+    assert(dissectOne(ethIpUdp(50050, 30490, bad)).protocols
+      === "eth:ethertype:ip:udp")
+
+    // DoIP routing activation request over TCP 13400
+    val doip = java.nio.ByteBuffer.allocate(15)
+      .put(2.toByte).put(0xFD.toByte).putShort(0x0005.toShort).putInt(7)
+      .putShort(0x0E00.toShort).put(0.toByte).putInt(0).array()
+    val d2 = dissectOne(ethIpTcp(50051, 13400, doip))
+    assert(d2.protocols === "eth:ethertype:ip:tcp:doip")
+    assert(d2.info === "Routing activation request")
+    assert(d2.values("doip.version") === 2L)
+    assert(d2.values("doip.type") === 5L)
+    assert(d2.values("doip.length") === 7L)
+
+    // an inverse-version mismatch is not DoIP
+    val badDoip = doip.clone(); badDoip(1) = 0xAA.toByte
+    assert(!dissectOne(ethIpTcp(50051, 13400, badDoip)).protocols.contains("doip"))
+
+    // GTPv2-C Create Session Request with TEID
+    val gtp = java.nio.ByteBuffer.allocate(12)
+      .put(0x48.toByte).put(32.toByte).putShort(8.toShort)
+      .putInt(0x11223344).put(Array[Byte](0, 0, 1, 0)).array()
+    val d3 = dissectOne(ethIpUdp(50052, 2123, gtp))
+    assert(d3.protocols === "eth:ethertype:ip:udp:gtpv2")
+    assert(d3.info === "Create Session Request")
+    assert(d3.values("gtpv2.message_type") === 32L)
+    assert(d3.values("gtpv2.teid") === 0x11223344L)
+    assert(d3.values("gtpv2.seq") === 1L)
+
+    // GTPv1 flags (version 1) on 2123 fall through untouched
+    val v1 = gtp.clone(); v1(0) = 0x28.toByte
+    assert(!dissectOne(ethIpUdp(50052, 2123, v1)).protocols.contains("gtpv2"))
+
+    // PFCP Session Establishment Request with SEID
+    val pfcp = java.nio.ByteBuffer.allocate(16)
+      .put(0x21.toByte).put(50.toByte).putShort(12.toShort)
+      .putLong(0x42L).put(Array[Byte](0, 0, 7, 0)).array()
+    val d4 = dissectOne(ethIpUdp(50053, 8805, pfcp))
+    assert(d4.protocols === "eth:ethertype:ip:udp:pfcp")
+    assert(d4.info === "Session Establishment Request")
+    assert(d4.values("pfcp.msg_type") === 50L)
+    assert(d4.values("pfcp.seid") === 0x42L)
+    assert(d4.values("pfcp.seqno") === 7L)
+
+    // PFCP Heartbeat Request has no SEID (S = 0): seq reads right after length
+    val hb = java.nio.ByteBuffer.allocate(8)
+      .put(0x20.toByte).put(1.toByte).putShort(4.toShort)
+      .put(Array[Byte](0, 0, 3, 0)).array()
+    val d5 = dissectOne(ethIpUdp(8805, 50053, hb))
+    assert(d5.info === "Heartbeat Request")
+    assert(d5.values("pfcp.seqno") === 3L)
+    assert(!d5.values.contains("pfcp.seid"))
+  }
+
   test("ICMP echo request renders ping info") {
     val icmp = java.nio.ByteBuffer.allocate(8)
     icmp.put(8.toByte).put(0.toByte).putShort(0.toShort)

@@ -1223,6 +1223,25 @@ extra.append((t3, 18200, ip_frame(6, A, B, tcp(50042, 564, 1, p9), ident=210)))
 mgcp = b"CRCX 1204 aaln/1@gw1.example.net MGCP 1.0\nC: A3C47F21456789F0\n"
 extra.append((t3, 18300, ip_frame(17, A, B, udp(2727, 2427, mgcp), ident=211)))
 
+# 186-189: automotive/5G control-plane tier — SOME/IP request, DoIP
+# routing activation request (TCP), GTPv2-C Create Session Request,
+# PFCP Session Establishment Request
+someip = struct.pack(">HHIHHBBBB", 0x1234, 0x0001, 8, 0x0001, 0x0001,
+                     1, 1, 0x00, 0x00)
+extra.append((t3, 18400, ip_frame(17, A, B, udp(50050, 30490, someip), ident=212)))
+
+doip = struct.pack(">BBHI", 2, 0xFD, 0x0005, 7) + \
+    struct.pack(">HB", 0x0E00, 0) + b"\x00" * 4
+extra.append((t3, 18500, ip_frame(6, A, B, tcp(50051, 13400, 1, doip), ident=213)))
+
+gtpv2 = struct.pack(">BBH", 0x48, 32, 8) + struct.pack(">I", 0x11223344) + \
+    bytes([0, 0, 1, 0])  # teid, seq=1, spare
+extra.append((t3, 18600, ip_frame(17, A, B, udp(50052, 2123, gtpv2), ident=214)))
+
+pfcp = struct.pack(">BBH", 0x21, 50, 12) + struct.pack(">Q", 0x42) + \
+    bytes([0, 0, 7, 0])  # seid, seq=7, spare
+extra.append((t3, 18700, ip_frame(17, A, B, udp(50053, 8805, pfcp), ident=215)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
