@@ -2203,6 +2203,13 @@ object Dissect {
         appInfo = dissect9p(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 13400 || dp == 13400))
         appInfo = dissectDoip(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 4222 || dp == 4222))
+        appInfo = dissectNats(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed &&
+        (sp == 104 || dp == 104 || sp == 11112 || dp == 11112))
+        appInfo = dissectDicom(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 8583 || dp == 8583))
+        appInfo = dissectIso8583(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -2611,6 +2618,43 @@ object Dissect {
         try dissectEthFrom(d, off + 16, v, protos, tracker, wanted)
         finally v.nested = wasNested
       return if (inner != null) inner else "VXLAN"
+    }
+    // TZSP (TaZmen Sniffer Protocol, UDP 37008): version 1 header, tagged
+    // fields to TAG_END, then the encapsulated frame (encap 1 = Ethernet),
+    // dissected in nested multi-occurrence mode like the other tunnels
+    if ((sp == 37008 || dp == 37008) && payLen >= 4 && off + 12 <= d.length &&
+      u8(d, off + 8) == 1) {
+      val typ = u8(d, off + 9)
+      val encap = u16(d, off + 10)
+      if (typ <= 5) {
+        protos += "tzsp"
+        v("tzsp.version") = 1L
+        v("tzsp.type") = typ.toLong
+        v("tzsp.encap") = encap.toLong
+        // walk the tag list: 0x00 padding, 0x01 end, else (tag, len, data)
+        var p = off + 12
+        val lim = math.min(off + 8 + payLen, d.length)
+        var ended = false
+        while (!ended && p < lim) {
+          u8(d, p) match {
+            case 0 => p += 1
+            case 1 => p += 1; ended = true
+            case _ =>
+              if (p + 2 > lim) { p = lim }
+              else p += 2 + u8(d, p + 1)
+          }
+        }
+        if (typ == 4) return "TZSP Keepalive"
+        if (ended && encap == 1 && p + 14 <= lim) {
+          val wasNested = v.nested
+          v.nested = true
+          val inner =
+            try dissectEthFrom(d, p, v, protos, tracker, wanted)
+            finally v.nested = wasNested
+          return if (inner != null) inner else "TZSP"
+        }
+        return "TZSP"
+      }
     }
     // Geneve (RFC 8926): Ver(2)+OptLen(6) | flags | Protocol Type |
     // VNI(24)+rsvd, then OptLen×4 bytes of TLV options, then the inner
@@ -6217,6 +6261,109 @@ object Dissect {
     val seq = (u8(d, p) << 16) | (u8(d, p + 1) << 8) | u8(d, p + 2)
     v("pfcp.seqno") = seq.toLong
     name
+  }
+
+  private val natsVerbs = Set(
+    "INFO", "CONNECT", "PUB", "HPUB", "SUB", "UNSUB", "MSG", "HMSG",
+    "PING", "PONG", "+OK", "-ERR")
+
+  /** NATS (TCP 4222): CRLF-delimited text operations per the public
+    * protocol docs (docs.nats.io/reference/reference-protocols/nats-protocol):
+    * verb [subject ...] with the payload byte count last on PUB/MSG. */
+  private def dissectNats(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    var e = off
+    val lim = off + math.min(len, 200)
+    while (e < lim && d(e) != '\r' && d(e) != '\n') e += 1
+    // a full 200-byte window with no line break is not a NATS control line
+    if (e == lim && len > 200) return null
+    val line = new String(d, off, e - off, java.nio.charset.StandardCharsets.US_ASCII)
+    val parts = line.split(" ").filter(_.nonEmpty)
+    if (parts.isEmpty) return null
+    val verb = parts(0).toUpperCase(java.util.Locale.ROOT)
+    if (!natsVerbs.contains(verb)) return null
+    protos += "nats"
+    v("nats.type") = verb
+    verb match {
+      case "PUB" | "HPUB" if parts.length >= 3 =>
+        v("nats.subject") = parts(1)
+        val last = parts(parts.length - 1)
+        if (last.forall(_.isDigit) && last.length <= 9)
+          v("nats.payload_length") = last.toLong
+      case "MSG" | "HMSG" if parts.length >= 4 =>
+        v("nats.subject") = parts(1)
+        val last = parts(parts.length - 1)
+        if (last.forall(_.isDigit) && last.length <= 9)
+          v("nats.payload_length") = last.toLong
+      case "SUB" if parts.length >= 3 =>
+        v("nats.subject") = parts(1)
+      case _ =>
+    }
+    if (line.length <= 60) line else line.substring(0, 60)
+  }
+
+  private val dicomPduNames = Map(
+    1 -> "A-ASSOCIATE-RQ", 2 -> "A-ASSOCIATE-AC", 3 -> "A-ASSOCIATE-RJ",
+    4 -> "P-DATA-TF", 5 -> "A-RELEASE-RQ", 6 -> "A-RELEASE-RP", 7 -> "A-ABORT")
+
+  /** DICOM upper layer (TCP 104/11112, PS3.8 §9): PDU type, reserved,
+    * big-endian length; associate PDUs carry the protocol version and the
+    * 16-byte called/calling AE titles, P-DATA-TF the first PDV's
+    * presentation-context id. */
+  private def dissectDicom(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 6) return null
+    val typ = u8(d, off)
+    val name = dicomPduNames.getOrElse(typ, return null)
+    if (u8(d, off + 1) != 0) return null // reserved byte is always zero
+    val plen = u32(d, off + 2)
+    if (plen < 4 || plen > 0x1000000L) return null
+    protos += "dicom"
+    v("dicom.pdu.type") = typ.toLong
+    v("dicom.pdu.len") = plen
+    if ((typ == 1 || typ == 2) && len >= 6 + 4 + 32) {
+      def ae(o: Int): String = {
+        val s = new String(d, o, 16, java.nio.charset.StandardCharsets.US_ASCII).trim
+        if (s.nonEmpty && s.forall(c => c >= ' ' && c < 127)) s else ""
+      }
+      val called = ae(off + 10)
+      val calling = ae(off + 26)
+      if (calling.nonEmpty || called.nonEmpty)
+        return s"$name $calling → $called"
+    }
+    if (typ == 4 && len >= 6 + 5) {
+      v("dicom.pdv.ctx") = u8(d, off + 10).toLong
+    }
+    name
+  }
+
+  /** ISO 8583-1 over TCP (conventional port 8583): 2-byte big-endian
+    * length prefix, 4-digit ASCII message type indicator, 8-byte primary
+    * bitmap (public field layout, e.g. the ISO 8583 Wikipedia article). */
+  private def dissectIso8583(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 14) return null
+    val mlen = u16(d, off)
+    if (mlen < 12 || mlen > 4096) return null
+    var i = off + 2
+    val mtiEnd = i + 4
+    while (i < mtiEnd) {
+      if (d(i) < '0' || d(i) > '9') return null
+      i += 1
+    }
+    val mti = new String(d, off + 2, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // version digit 0-2 and class digit 1-8 cover every published message
+    if (mti(0) > '2' || mti(1) == '0' || mti(1) > '8') return null
+    protos += "iso8583"
+    v("iso8583.len") = mlen.toLong
+    v("iso8583.mti") = mti
+    s"MTI $mti"
   }
 
   private val bitcoinMagics =

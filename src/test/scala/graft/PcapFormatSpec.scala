@@ -1525,6 +1525,76 @@ class PcapFormatSpec extends AnyFunSuite {
     assert(!d5.values.contains("pfcp.seid"))
   }
 
+  test("tier-29: NATS, DICOM, ISO 8583, TZSP dissect") {
+    // NATS PUB control line: subject + payload byte count
+    val d1 = dissectOne(ethIpTcp(50060, 4222,
+      "PUB orders.created 11\r\nhello world\r\n".getBytes))
+    assert(d1.protocols === "eth:ethertype:ip:tcp:nats")
+    assert(d1.info === "PUB orders.created 11")
+    assert(d1.values("nats.type") === "PUB")
+    assert(d1.values("nats.subject") === "orders.created")
+    assert(d1.values("nats.payload_length") === 11L)
+    val d1b = dissectOne(ethIpTcp(4222, 50060, "PONG\r\n".getBytes))
+    assert(d1b.values("nats.type") === "PONG")
+    // an arbitrary text line on 4222 is not NATS
+    assert(!dissectOne(ethIpTcp(50060, 4222, "HELLO there\r\n".getBytes))
+      .protocols.contains("nats"))
+
+    // DICOM A-ASSOCIATE-RQ with called/calling AE titles
+    val dicom = java.nio.ByteBuffer.allocate(74)
+      .put(1.toByte).put(0.toByte).putInt(68)
+      .putShort(1.toShort).putShort(0.toShort)
+      .put("ARCHIVE         ".getBytes).put("MODALITY1       ".getBytes)
+      .put(new Array[Byte](32)).array()
+    val d2 = dissectOne(ethIpTcp(50061, 11112, dicom))
+    assert(d2.protocols === "eth:ethertype:ip:tcp:dicom")
+    assert(d2.info === "A-ASSOCIATE-RQ MODALITY1 → ARCHIVE")
+    assert(d2.values("dicom.pdu.type") === 1L)
+    assert(d2.values("dicom.pdu.len") === 68L)
+    // P-DATA-TF carries the first PDV's presentation context
+    val pdata = java.nio.ByteBuffer.allocate(12)
+      .put(4.toByte).put(0.toByte).putInt(6).putInt(2).put(3.toByte)
+      .put(0x03.toByte).array()
+    val d2b = dissectOne(ethIpTcp(50061, 104, pdata))
+    assert(d2b.info === "P-DATA-TF")
+    assert(d2b.values("dicom.pdv.ctx") === 3L)
+
+    // ISO 8583 authorization request (MTI 0200) behind the length prefix
+    val iso = java.nio.ByteBuffer.allocate(20)
+      .putShort(18.toShort).put("0200".getBytes)
+      .putLong(0x7234054128C28805L).put("123456".getBytes).array()
+    val d3 = dissectOne(ethIpTcp(50062, 8583, iso))
+    assert(d3.protocols === "eth:ethertype:ip:tcp:iso8583")
+    assert(d3.info === "MTI 0200")
+    assert(d3.values("iso8583.mti") === "0200")
+    assert(d3.values("iso8583.len") === 18L)
+    // a non-digit MTI is not ISO 8583
+    val bad = iso.clone(); bad(3) = 'X'.toByte
+    assert(!dissectOne(ethIpTcp(50062, 8583, bad)).protocols.contains("iso8583"))
+
+    // TZSP-encapsulated Ethernet ping: tunnel decap like VXLAN/Geneve
+    val icmp = java.nio.ByteBuffer.allocate(8)
+      .put(8.toByte).put(0.toByte).putShort(0.toShort)
+      .putShort(0x42.toShort).putShort(9.toShort).array()
+    val innerIp = java.nio.ByteBuffer.allocate(20 + 8)
+    innerIp.put(0x45.toByte).put(0.toByte).putShort(28.toShort)
+      .putShort(1.toShort).putShort(0.toShort)
+      .put(64.toByte).put(1.toByte).putShort(0.toShort)
+      .put(Array[Byte](10, 0, 3, 1)).put(Array[Byte](10, 0, 3, 2))
+      .put(icmp)
+    val innerEth = new Array[Byte](12) ++
+      Array[Byte](0x08, 0x00) ++ innerIp.array()
+    val tzsp = Array[Byte](1, 0, 0, 1, 1) ++ innerEth // v1, rx, encap=eth, TAG_END
+    val d4 = dissectOne(ethIpUdp(50063, 37008, tzsp))
+    assert(d4.protocols === "eth:ethertype:ip:udp:tzsp:eth:ethertype:ip:icmp")
+    assert(d4.values("tzsp.encap") === 1L)
+    assert(d4.values("tzsp.type") === 0L)
+    assert(d4.info.startsWith("Echo (ping) request"))
+    // keepalive: header only, no encapsulated frame
+    val d4b = dissectOne(ethIpUdp(50063, 37008, Array[Byte](1, 4, 0, 1, 1)))
+    assert(d4b.info === "TZSP Keepalive")
+  }
+
   test("ICMP echo request renders ping info") {
     val icmp = java.nio.ByteBuffer.allocate(8)
     icmp.put(8.toByte).put(0.toByte).putShort(0.toShort)

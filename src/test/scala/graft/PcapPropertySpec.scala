@@ -76,7 +76,7 @@ class PcapPropertySpec extends AnyFunSuite {
       1883, 1433, 5672, 5432, 3306, 6379, 139, 3389, 853, 3868, 554, 1080, 135,
       2049, 389, 9092, 9042, 11211, 50051, 102, 20000, 2404, 44818, 4840,
       6667, 5222, 2775, 1723, 49, 8333, 9000, 4369, 3260, 5084, 27017, 873, 4730,
-      6653, 5900, 61613, 564, 13400) // openflow/vnc/stomp/9p/doip
+      6653, 5900, 61613, 564, 13400, 4222, 11112, 104, 8583) // openflow/vnc/stomp/9p/doip/nats/dicom/iso8583
     val payloadGen = for {
       n <- Gen.chooseNum(0, 400)
       bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))
@@ -130,7 +130,7 @@ class PcapPropertySpec extends AnyFunSuite {
       1812, 4789, 1900, 514, 69, 5355, 137, 3478, 547, 51820, 2152, 500,
       1701, 5683, 2055, 6343, 3784, 520, 1985,
       6081, 3956, 5351, 138, 6881, 1194, 319, // geneve/gvcp/nat-pmp/nbdgm/dht/openvpn/ptp
-      47808, 2427, 2727, 30490, 2123, 8805, 13400) // bacnet/mgcp/someip/gtpv2/pfcp/doip
+      47808, 2427, 2727, 30490, 2123, 8805, 13400, 37008) // bacnet/mgcp/someip/gtpv2/pfcp/doip/tzsp
     val payloadGen = for {
       n <- Gen.chooseNum(0, 300)
       bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))

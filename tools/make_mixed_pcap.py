@@ -1242,6 +1242,25 @@ pfcp = struct.pack(">BBH", 0x21, 50, 12) + struct.pack(">Q", 0x42) + \
     bytes([0, 0, 7, 0])  # seid, seq=7, spare
 extra.append((t3, 18700, ip_frame(17, A, B, udp(50053, 8805, pfcp), ident=215)))
 
+# 190-193: messaging/medical/payments/sniffer tier — NATS PUB, DICOM
+# A-ASSOCIATE-RQ, ISO 8583 authorization request, TZSP-encapsulated ping
+nats = b"PUB orders.created 11\r\nhello world\r\n"
+extra.append((t3, 18800, ip_frame(6, A, B, tcp(50060, 4222, 1, nats), ident=216)))
+
+dicom = struct.pack(">BBI", 1, 0, 68) + struct.pack(">HH", 1, 0) + \
+    b"ARCHIVE         " + b"MODALITY1       " + b"\x00" * 32
+extra.append((t3, 18900, ip_frame(6, A, B, tcp(50061, 11112, 1, dicom), ident=217)))
+
+iso = struct.pack(">H", 18) + b"0200" + struct.pack(">Q", 0x7234054128C28805) + \
+    b"123456"
+extra.append((t3, 19000, ip_frame(6, A, B, tcp(50062, 8583, 1, iso), ident=218)))
+
+_tz_icmp = struct.pack(">BBHHH", 8, 0, 0, 0x42, 9)
+_tzh, _tzp = ipv4(1, [10, 0, 3, 1], [10, 0, 3, 2], _tz_icmp)
+tz_inner = eth(MAC_B, MAC_A, 0x0800, _tzh + _tzp)
+tzsp = struct.pack(">BBH", 1, 0, 1) + bytes([1]) + tz_inner  # TAG_END, eth encap
+extra.append((t3, 19100, ip_frame(17, A, B, udp(50063, 37008, tzsp), ident=219)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
