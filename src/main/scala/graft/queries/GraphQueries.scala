@@ -62,11 +62,17 @@ object GraphQueries {
       val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
       var r = deg.select($"src".as("node"), lit(1000000000000L).as("rank"))
       for (_ <- 1 to prIters) {
+        // per-iteration checkpoint (VERDICT r7 #7): each rank iterate is
+        // node-sized; materializing it truncates the lineage so plan
+        // depth stays O(1) per round instead of O(iterations) — at real
+        // scale this is a checkpoint to reliable storage / a persisted
+        // rank table, exactly like the ANN artifacts. Values unchanged.
         r = e.join(r, e("src") === r("node"))
           .join(deg, "src")
           .select($"dst", expr("rank div deg").as("c"))
           .groupBy($"dst".as("node"))
           .agg(expr("150000000000 + (85 * sum(c)) div 100").as("rank"))
+          .localCheckpoint()
       }
       r.orderBy($"rank".desc, $"node").limit(20)
     },
@@ -74,7 +80,8 @@ object GraphQueries {
       val iters = (1 to prIters).map { i =>
         s"""r$i AS (
         SELECT e.dst AS node,
-               150000000000 + (85 * SUM(r${i - 1}.rank // deg.deg)) // 100 AS rank
+               CAST(150000000000 + (85 * SUM(r${i - 1}.rank // deg.deg)) // 100
+                    AS BIGINT) AS rank
         FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
                JOIN deg ON deg.src = e.src
         GROUP BY e.dst)"""
@@ -320,8 +327,35 @@ object GraphQueries {
   val grLpa = GraftQuery(
     "gr_lpa",
     (s, dir) => {
-      Tables.registerViews(s, dir)
-      s.sql(lpaSql)
+      // DataFrame twin of lpaSql with a localCheckpoint per round
+      // (VERDICT r7 #7): labels are node-sized, so materializing each
+      // round bounds lineage depth the way a persisted label table would
+      // at 100 TB. The update is value-identical to the SQL rounds:
+      // top-1 neighbor label by (count DESC, label ASC).
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val p = pairs(s, dir)
+      val e = p.select($"supp".as("src"), $"cust".as("dst"))
+        .union(p.select($"cust".as("src"), $"supp".as("dst")))
+        .distinct().cache()
+      var lab = e.select($"src".as("node")).distinct()
+        .withColumn("lbl", $"node")
+        .localCheckpoint()
+      val top1 = Window.partitionBy($"src").orderBy($"cnt".desc, $"lbl")
+      for (_ <- 1 to lpaRounds) {
+        lab = e.join(lab.select($"node".as("dst"), $"lbl"), Seq("dst"))
+          .groupBy($"src", $"lbl").agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(top1))
+          .filter($"rn" === 1)
+          .select($"src".as("node"), $"lbl")
+          .localCheckpoint()
+      }
+      val out = lab.groupBy($"lbl".as("community"))
+        .agg(count(lit(1)).as("members"),
+          min($"node").as("min_node"), max($"node").as("max_node"))
+        .orderBy($"members".desc, $"community").limit(20)
+      e.unpersist()
+      out
     },
     Some(lpaSql))
 

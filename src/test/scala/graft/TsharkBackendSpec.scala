@@ -77,7 +77,9 @@ class TsharkBackendSpec extends SparkSpec {
     // someip fields in glossary order, then the info column
     assert(n.schema.fieldNames.toSeq === Seq(
       "frame.time_epoch", "frame.number", "frame.len", "frame.protocols",
-      "someip.serviceid", "someip.methodid", "someip.length", "_ws.col.info"))
+      "someip.serviceid", "someip.methodid", "someip.length",
+      "someip.clientid", "someip.sessionid", "someip.messagetype",
+      "someip.returncode", "_ws.col.info"))
     assert(n.schema("someip.serviceid").dataType ===
       org.apache.spark.sql.types.LongType)
     val t = graft.api.Wireduck.readPcap(spark, p, protocols = Seq("someip"),
@@ -157,6 +159,42 @@ class TsharkBackendSpec extends SparkSpec {
     assert(multi.fieldNames.contains("uds.sid"))
     assert(multi.fieldNames.contains("bthci_cmd.opcode"))
     assert(multi.fieldNames.contains("sdp.media"))
+  }
+
+  test("glossary↔golden guard: pinned per-protocol field counts from the TSV") {
+    // Every protocol with a hand-written schema golden in this suite is
+    // pinned here to its CURRENT field count in glossary_fields.tsv. A
+    // glossary tranche that grows one of these protocols fails THIS
+    // assertion by protocol name, forcing the matching golden list to be
+    // updated in the same commit (the r7 someip golden went stale exactly
+    // this way: tier 28 added 4 fields, the 8-column golden kept passing
+    // compile but failed at runtime a round later).
+    val pinned = Map(
+      "udp" -> 27, "smb" -> 12, "someip" -> 7, "goose" -> 4,
+      "bitcoin" -> 3, "ipmi" -> 3)
+    val counts = graft.pcap.Glossary.fields
+      .groupBy(_.protocol_filter_name).map { case (p, fs) => p -> fs.size }
+    pinned.foreach { case (p, n) =>
+      assert(counts.getOrElse(p, 0) === n,
+        s"glossary field count for '$p' drifted from its pin — update the " +
+          s"'$p' schema golden in this suite AND this pin in the same commit")
+    }
+    // Structural invariant for EVERY glossaried protocol: the bound schema
+    // is exactly 4 frame defaults + that protocol's TSV fields (glossary
+    // order, deduped) + _ws.col.info — so goldens and schemaFor can never
+    // disagree on count, only on a stale hand-written list (caught above).
+    val defaults = graft.pcap.Glossary.defaultFrameFields.toSet +
+      graft.pcap.Glossary.infoField
+    counts.keys.foreach { p =>
+      val tsvNames = graft.pcap.Glossary.fields
+        .filter(_.protocol_filter_name == p).map(_.filter_name)
+        .distinct.filterNot(defaults.contains)
+      val bound = graft.pcap.Glossary.schemaFor(Seq(p)).fieldNames.toSeq
+      assert(bound.size === 4 + tsvNames.size + 1,
+        s"schemaFor('$p') column count diverged from the TSV")
+      assert(bound.slice(4, bound.size - 1) === tsvNames,
+        s"schemaFor('$p') field order diverged from TSV glossary order")
+    }
   }
 
   test("unknown protocol falls back to the 5 defaults identically on both backends") {
