@@ -102,25 +102,27 @@ object SimilarityQueries {
       ORDER BY cosine DESC, b.vec_id
       LIMIT 10"""))
 
-  /** Embedding-cosine near-duplicate pairs via shared LSH bucket (the
-    * candidate join is linear in bucket occupancy, not quadratic in rows). */
-  val ddEmbeddingNeardup = GraftQuery(
-    "dd_embedding_neardup",
-    (s, dir) => {
-      import s.implicits._
-      val emb = Tables.load(s, dir, "embeddings")
-        .withColumn("bucket", Vectors.lshBucket($"embedding", 6))
-        .select($"vec_id", $"embedding", $"bucket")
-      val a = emb.as("a"); val b = emb.as("b")
-      a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          Vectors.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
-        .filter($"cosine" >= 0.95)
-        .orderBy($"vec_a", $"vec_b")
-    },
-    Some(s"""
+  /** Hyperplane count for the near-dup LSH table, scaled so AVERAGE bucket
+    * occupancy stays ≤ 64 as the corpus grows (VERDICT r7 #9: a FIXED
+    * 6-bit table means 64 buckets forever, so occupancy — and the
+    * quadratic-in-occupancy candidate self-join — grows with the corpus:
+    * 10× data cost 12.6× at sf1). Buckets must multiply with the data;
+    * with bounded occupancy the candidate join is LINEAR in corpus size.
+    * Deterministic in the row count only, so the generated oracle embeds
+    * the same literal; at sf0.01 (500 rows) this stays 6 — the r7 hash is
+    * unchanged. More planes lower per-pair recall (standard LSH tradeoff);
+    * at production scale recall is recovered with multiple tables (bands),
+    * exactly like the MinHash path — one table keeps this query's oracle
+    * check single-valued. */
+  private def neardupBits(n: Long): Int = {
+    var bits = 6
+    while ((n >> bits) > 64 && bits < 16) bits += 1
+    bits
+  }
+
+  private def neardupSql(bits: Int): String = s"""
       WITH b AS (
-        SELECT vec_id, embedding, ${duckBucket("embedding", 6)} AS bucket
+        SELECT vec_id, embedding, ${duckBucket("embedding", bits)} AS bucket
         FROM embeddings)
       SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
              (${duckDot("x.embedding", "y.embedding")})
@@ -130,7 +132,29 @@ object SimilarityQueries {
       WHERE (${duckDot("x.embedding", "y.embedding")})
                / (SQRT(${duckDot("x.embedding", "x.embedding")})
                   * SQRT(${duckDot("y.embedding", "y.embedding")})) >= 0.95
-      ORDER BY vec_a, vec_b"""))
+      ORDER BY vec_a, vec_b"""
+
+  /** Embedding-cosine near-duplicate pairs via shared LSH bucket (the
+    * candidate join is linear in bucket occupancy, not quadratic in rows;
+    * [[neardupBits]] keeps occupancy bounded as the corpus grows). */
+  val ddEmbeddingNeardup = GraftQuery(
+    "dd_embedding_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val bits = neardupBits(emb.count())
+      val bucketed = emb
+        .withColumn("bucket", Vectors.lshBucket($"embedding", bits))
+        .select($"vec_id", $"embedding", $"bucket")
+      val a = bucketed.as("a"); val b = bucketed.as("b")
+      a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          Vectors.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+        .filter($"cosine" >= 0.95)
+        .orderBy($"vec_a", $"vec_b")
+    },
+    oracleGen = Some((s, dir) =>
+      neardupSql(neardupBits(Tables.load(s, dir, "embeddings").count()))))
 
   /** IVF scale path: k-means coarse quantizer, probe 4 of 16 cells. The
     * fit comes from the shared [[graft.functions.AnnIndexes]] cache (the
