@@ -161,6 +161,26 @@ class TsharkBackendSpec extends SparkSpec {
     assert(multi.fieldNames.contains("sdp.media"))
   }
 
+  test("glossary tranche 13: deepened core-protocol fields resolve with real types") {
+    // r8 deepening tranche: high-traffic protocols gain their most-queried
+    // public fields (Wireshark display-filter reference names)
+    val multi = graft.pcap.Glossary.schemaFor(
+      Seq("dns", "http", "tls", "quic", "smb2", "mqtt", "kerberos", "vlan"))
+    for (f <- Seq("dns.flags.opcode", "dns.aaaa", "dns.srv.target",
+        "http.request.full_uri", "http.cookie", "http.set_cookie",
+        "tls.handshake.session_id", "tls.alert_message.desc",
+        "quic.packet_number", "smb2.sesid", "smb2.filename",
+        "mqtt.qos", "kerberos.realm", "vlan.etype"))
+      assert(multi.fieldNames.contains(f), s"tranche-13 field $f missing")
+    assert(multi("dns.flags.authoritative").dataType ===
+      org.apache.spark.sql.types.BooleanType)
+    assert(multi("dns.aaaa").dataType ===
+      org.apache.spark.sql.types.StringType) // FT_IPv6 → VARCHAR
+    assert(multi("quic.packet_number").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(!multi.fieldNames.contains("ntp.refid")) // ntp not requested
+  }
+
   test("glossary↔golden guard: pinned per-protocol field counts from the TSV") {
     // Every protocol with a hand-written schema golden in this suite is
     // pinned here to its CURRENT field count in glossary_fields.tsv. A

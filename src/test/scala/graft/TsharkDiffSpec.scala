@@ -29,7 +29,12 @@ class TsharkDiffSpec extends SparkSpec {
 
   private val fixtures = Seq(
     "mixed" -> getClass.getResource("/mixed.pcap").getPath,
-    "fix" -> getClass.getResource("/fix.pcap").getPath)
+    "fix" -> getClass.getResource("/fix.pcap").getPath,
+    // the 185-frame protocol sweep + the monitor-mode 802.11 capture:
+    // extends the diff surface over the tier-16..29 dissectors
+    // (VERDICT r7 #8 — late-tier info strings were report-only before)
+    "sweep" -> getClass.getResource("/sweep_extra.pcap").getPath,
+    "wlan" -> getClass.getResource("/wlan.pcap").getPath)
 
   private def runTshark(args: Seq[String]): Option[Seq[String]] =
     try {
@@ -43,6 +48,27 @@ class TsharkDiffSpec extends SparkSpec {
   /** Frames whose LAST dissected layer is in this set must info-match
     * byte-exactly (the README golden core). */
   private val coreInfoLayers = Set("arp", "icmp", "dns", "http", "tls", "fix", "tcp", "udp")
+
+  /** Tier-16..29 dissectors (VERDICT r7 #8): their `_ws.col.info`
+    * renderings are ASSERTED byte-exact too on a tshark host — any
+    * mismatch is a red test naming the frame, not a report line. The
+    * long-tail layers outside this set stay report-only
+    * (target/tshark_diff_info.txt is the permanent worklist). */
+  private val lateTierInfoLayers = Set(
+    // t16: sll/sdp/tpkt/cotp/quic    t17: SCADA
+    "quic", "sdp", "s7comm", "dnp3", "iec60870_asdu", "cip", "opcua",
+    // t19: data infra               t20
+    "mongo", "rsync", "gearman", "ajp13", "dccp", "pppoed", "wol",
+    // t22-25
+    "bitcoin", "fcgi", "epmd", "nat-pmp", "iscsi", "llrp", "gvcp", "epl",
+    "nbdgm", "bt-dht", "openvpn", "wlan",
+    // t26-27
+    "openflow_v4", "bacapp", "pn_rt", "eap", "vnc", "stomp", "9p", "mgcp",
+    // t28-29
+    "someip", "doip", "gtpv2", "pfcp", "nats", "dicom", "iso8583")
+
+  private def assertedLayer(l: String): Boolean =
+    coreInfoLayers.contains(l) || lateTierInfoLayers.contains(l)
 
   /** Fields with one unambiguous rendering in both engines. */
   private val exactFields = Seq(
@@ -78,7 +104,7 @@ class TsharkDiffSpec extends SparkSpec {
           if (oinfo != tinfo) {
             val layer = protos.split(':').last
             val line = s"$fname #$fn [$layer] ours=$oinfo tshark=$tinfo"
-            if (coreInfoLayers.contains(layer)) coreMismatches += line
+            if (assertedLayer(layer)) coreMismatches += line
             diffs += line
           }
         }
@@ -87,7 +113,7 @@ class TsharkDiffSpec extends SparkSpec {
     report(diffs.toSeq, "info")
     info(s"${diffs.size} info diffs reported to target/tshark_diff_info.txt")
     assert(coreMismatches.isEmpty,
-      s"core-protocol info strings must be byte-exact:\n${coreMismatches.mkString("\n")}")
+      s"asserted-layer (core + tier-16..29) info strings must be byte-exact:\n${coreMismatches.mkString("\n")}")
   }
 
   test("field-value diff vs real tshark: curated set exact, rest reported") {
