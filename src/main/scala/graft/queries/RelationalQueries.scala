@@ -1972,6 +1972,53 @@ object RelationalQueries {
       GROUP BY cohort_week, week_offset
       ORDER BY cohort_week, week_offset"""))
 
+  /** Gaps-and-islands: per-user activity sessions split on a >30-minute
+    * gap — the canonical "islands" pattern (lag → new-island flag →
+    * running-sum island id → per-island aggregate). Gap arithmetic is in
+    * exact epoch microseconds, island ids are running integer sums, and
+    * the (ts, event_id) ordering is total, so the result is deterministic
+    * across engines and partitionings. 100 TB shape: ONE shuffle on
+    * user_id feeds both windows and the final aggregate (same key), so
+    * AQE/codegen keep it a single exchange, never a global sort. */
+  val q66Islands = GraftQuery(
+    "q66_islands",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("prev_us", lag($"us", 1).over(w))
+        .withColumn("new_island",
+          when($"prev_us".isNull || $"us" - $"prev_us" > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("island", sum($"new_island").over(run))
+        .groupBy($"user_id", $"island")
+        .agg(min($"ts").as("ts_start"), max($"ts").as("ts_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"user_id", $"island")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN us - LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0
+                  END AS new_island
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      islands AS (
+        SELECT *, SUM(new_island) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged)
+      SELECT user_id, CAST(island AS BIGINT) AS island,
+             MIN(ts) AS ts_start, MAX(ts) AS ts_end, COUNT(*) AS n_events
+      FROM islands
+      GROUP BY user_id, island
+      ORDER BY user_id, island"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
@@ -1989,5 +2036,5 @@ object RelationalQueries {
     q53StatsExact, q54IgnoreNulls, q55FilterClause, q56GroupByAll,
     q57Resample, q58AsofNearest, q59MergeUpsert, q60RangeJoin,
     q61TimeRangeFrame, q62IntervalUnion, q63RangeJoinAuto, q64Histogram,
-    q65Retention)
+    q65Retention, q66Islands)
 }

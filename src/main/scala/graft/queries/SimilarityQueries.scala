@@ -1039,6 +1039,80 @@ object SimilarityQueries {
       LIMIT 10"""
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    * LASER/CCMatrix recipe): candidate translation pairs are scored not
+    * by raw cosine (hubness-biased) but by the MARGIN — best cosine over
+    * the mean of the k nearest cosines — and kept when the margin clears
+    * a threshold. Source docs are vec_id % 2 = 0 (< 40: the mining
+    * slice), targets the odd side; candidate generation is the SAME
+    * hyperplane-LSH bucket equi-join the ANN tier uses (never all-pairs),
+    * k = 4. Float determinism: cosines are the unrolled left-associative
+    * dot (bit-identical in DuckDB); the top-4 are PIVOTED to columns via
+    * MAX(CASE rn=…) — never a float SUM whose order the shuffle picks —
+    * and the mean is the explicit ((c1+c2)+c3)+c4 over 4.0. Sources with
+    * fewer than 4 bucket candidates are dropped (both engines).
+    *
+    * 100 TB shape: bucket join + per-source top-k window — the mining
+    * pass CCMatrix ran over 32 B sentences, candidate-bounded by LSH. */
+  val simBitextMargin = GraftQuery(
+    "sim_bitext_margin",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("bucket", Vectors.lshBucket($"embedding", 4))
+      val src = emb.filter($"vec_id" % 2 === 0 && $"vec_id" < 40)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket")
+      val tgt = emb.filter($"vec_id" % 2 === 1)
+        .select($"vec_id".as("tgt_id"), $"embedding".as("te"), $"bucket")
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"tgt_id")
+      val ranked = src.join(tgt, Seq("bucket"))
+        .select($"query_id", $"tgt_id",
+          Vectors.cosine($"qe", $"te").as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 4)
+      def at(i: Int, c: String) = max(when($"rn" === i, col(c))).as(s"$c$i")
+      ranked.groupBy($"query_id")
+        .agg(at(1, "cos"), at(2, "cos"), at(3, "cos"), at(4, "cos"),
+          max(when($"rn" === 1, $"tgt_id")).as("best_target"))
+        .filter($"cos4".isNotNull)
+        .select($"query_id", $"best_target", $"cos1".as("best_cos"),
+          ($"cos1" / (((($"cos1" + $"cos2") + $"cos3") + $"cos4") / lit(4.0d)))
+            .as("margin"))
+        .orderBy($"query_id")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT vec_id, embedding, ${duckBucket("embedding", 4)} AS bucket
+        FROM embeddings),
+      src AS (SELECT vec_id AS query_id, embedding AS qe, bucket
+              FROM b WHERE vec_id % 2 = 0 AND vec_id < 40),
+      tgt AS (SELECT vec_id AS tgt_id, embedding AS te, bucket
+              FROM b WHERE vec_id % 2 = 1),
+      ranked AS (
+        SELECT query_id, tgt_id,
+               (${duckDot("qe", "te")})
+                 / (SQRT(${duckDot("qe", "qe")}) * SQRT(${duckDot("te", "te")}))
+                 AS cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY (${duckDot("qe", "te")})
+                   / (SQRT(${duckDot("qe", "qe")}) * SQRT(${duckDot("te", "te")}))
+                   DESC, tgt_id) AS rn
+        FROM src JOIN tgt USING (bucket)),
+      top4 AS (
+        SELECT query_id,
+               MAX(CASE WHEN rn = 1 THEN cos END) AS cos1,
+               MAX(CASE WHEN rn = 2 THEN cos END) AS cos2,
+               MAX(CASE WHEN rn = 3 THEN cos END) AS cos3,
+               MAX(CASE WHEN rn = 4 THEN cos END) AS cos4,
+               MAX(CASE WHEN rn = 1 THEN tgt_id END) AS best_target
+        FROM ranked WHERE rn <= 4 GROUP BY query_id)
+      SELECT query_id, best_target, cos1 AS best_cos,
+             cos1 / ((((cos1 + cos2) + cos3) + cos4) / 4.0) AS margin
+      FROM top4
+      WHERE cos4 IS NOT NULL
+      ORDER BY query_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfPersisted,
       simIvfAppend,
@@ -1046,5 +1120,6 @@ object SimilarityQueries {
       simAnnIvfPqPersisted, simAnnOpq, simAnnOpqIvfPq, simAnnInt8,
       simAnnInt8Persisted, simQuantizeInt8, simIvfCellStats, simRecallReport,
       ddEmbeddingNeardup, ddSemanticDedup, simMmrRerank, simHardNegatives,
-      simKnnGraph, simClusterBalance, simAnnFiltered, simAnnBitq)
+      simKnnGraph, simClusterBalance, simAnnFiltered, simAnnBitq,
+      simBitextMargin)
 }

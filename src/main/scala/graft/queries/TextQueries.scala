@@ -1964,6 +1964,85 @@ object TextQueries {
       ORDER BY occurrences DESC, chunk_hash
       LIMIT 50"""))
 
+  /** Bloom-filter dedup membership — the constant-space pre-filter a
+    * 100 TB ingest runs BEFORE any join against the corpus: a 4,032-bit
+    * Bloom filter (64 × 63-bit BIGINT words — 63 so no set bit ever
+    * touches the sign bit, keeping the words engine-portable) with 3
+    * md5-derived hash positions is FITTED over the corpus slice
+    * (doc_id % 10 ≠ 7) by a single bit_or aggregate, broadcast (it is 4
+    * rows — in production, 10s of MB), and PROBED by the arriving slice;
+    * each arriving doc reports its bloom verdict next to ground truth
+    * (an exact md5 semi-join), exposing the false-positive behavior the
+    * Bloom parameters trade away. Everything is integer/bit arithmetic
+    * on md5 prefixes, so DuckDB replays the filter bit-for-bit — the
+    * oracle checks the exact WORDS the fit produces, not just the
+    * verdicts. At scale the arriving side never shuffles: fit is one
+    * aggregate, probe is a broadcast join. */
+  val ddBloomFilter = GraftQuery(
+    "dd_bloom_filter",
+    (s, dir) => {
+      import s.implicits._
+      val hashed = docs(s, dir).select($"doc_id", md5($"text").as("h"))
+      val corpus = hashed.filter($"doc_id" % 10 =!= 7)
+      val arriving = hashed.filter($"doc_id" % 10 === 7)
+      def positions(df: DataFrame): DataFrame = df
+        .select($"doc_id", $"h",
+          explode(array((0 until 3).map(j =>
+            conv(substring(md5(concat(lit(s"$j|"), $"h")), 1, 12), 16, 10)
+              .cast(LongType) % 4032L): _*)).as("pos"))
+      val bloom = positions(corpus)
+        .select(expr("pos div 63").as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").as("mask"))
+        .groupBy($"word").agg(expr("bit_or(mask)").as("bits"))
+      val probed = positions(arriving)
+        .select($"doc_id", expr("pos div 63").as("word"),
+          ($"pos" % 63L).cast(IntegerType).as("bit"))
+        .join(broadcast(bloom), Seq("word"), "left")
+        .select($"doc_id",
+          coalesce(expr("(shiftright(bits, bit) & 1) = 1"), lit(false))
+            .cast(IntegerType).as("hit"))
+        .groupBy($"doc_id").agg(sum($"hit").as("n_set"))
+      val exact = arriving
+        .join(corpus.select($"h").distinct().withColumn("m", lit(1)),
+          Seq("h"), "left")
+        .select($"doc_id", $"m".isNotNull.as("exact_dup"))
+      probed.join(exact, Seq("doc_id"))
+        .select($"doc_id", ($"n_set" === 3L).as("bloom_hit"), $"exact_dup",
+          ($"n_set" === 3L && !$"exact_dup").as("false_positive"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, MD5(text) AS h FROM documents),
+      corpus AS (SELECT * FROM d WHERE doc_id % 10 <> 7),
+      arriving AS (SELECT * FROM d WHERE doc_id % 10 = 7),
+      js AS (SELECT UNNEST(['0', '1', '2']) AS j),
+      cpos AS (
+        SELECT doc_id,
+               CAST(('0x' || SUBSTR(MD5(j || '|' || h), 1, 12)) AS BIGINT) % 4032 AS pos
+        FROM corpus, js),
+      bloom AS (
+        SELECT pos // 63 AS word,
+               BIT_OR(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+        FROM cpos GROUP BY 1),
+      apos AS (
+        SELECT doc_id,
+               CAST(('0x' || SUBSTR(MD5(j || '|' || h), 1, 12)) AS BIGINT) % 4032 AS pos
+        FROM arriving, js),
+      probe AS (
+        SELECT a.doc_id,
+               COALESCE((b.bits >> CAST(a.pos % 63 AS INT)) & 1 = 1, FALSE) AS hit
+        FROM apos a LEFT JOIN bloom b ON b.word = a.pos // 63),
+      agg AS (
+        SELECT doc_id, CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+        FROM probe GROUP BY doc_id),
+      ex AS (
+        SELECT a.doc_id, a.h IN (SELECT h FROM corpus) AS exact_dup
+        FROM arriving a)
+      SELECT ag.doc_id, ag.n_set = 3 AS bloom_hit, ex.exact_dup,
+             ag.n_set = 3 AND NOT ex.exact_dup AS false_positive
+      FROM agg ag JOIN ex ON ex.doc_id = ag.doc_id
+      ORDER BY ag.doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
@@ -1972,5 +2051,5 @@ object TextQueries {
     ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddSubdocDedup, ddSimjoinAuto,
     txBpeTokens, txPackDocs, ddEditPairs, ddPassJoin, txDomainCap,
     txChunkOverlap, ddIncremental, ddLshStats, txWeightedSample, ddLshEval,
-    txCorpusNgrams, ddCcIncremental, ddCdcChunks)
+    txCorpusNgrams, ddCcIncremental, ddCdcChunks, ddBloomFilter)
 }

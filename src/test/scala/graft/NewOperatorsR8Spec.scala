@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{GraphQueries, RelationalQueries, SimilarityQueries, TextQueries}
+
+/** Property specs for the round-8 operators (gaps-and-islands, k-core,
+  * Bloom dedup pre-filter, bitext margin mining). Oracle hash-matching is
+  * the driver's gate; these pin the operator INVARIANTS that a hash can't
+  * express (no-false-negative Bloom, ≥k surviving degrees, margin ≥ 1). */
+class NewOperatorsR8Spec extends SparkSpec {
+
+  test("q66_islands: islands partition each user's events; intra-island gaps ≤ 30 min") {
+    import spark.implicits._
+    val islands = RelationalQueries.q66Islands.fn(spark, sfDir).cache()
+    val events = graft.api.Tables.load(spark, sfDir, "events")
+    // every event lands in exactly one island
+    val nEvents = events.count()
+    val covered = islands.agg(sum($"n_events")).collect()(0).getLong(0)
+    assert(covered === nEvents)
+    // islands of one user never overlap: next island starts after prev ends
+    val overlaps = islands.as("a").join(islands.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("a.island") + 1 === col("b.island") &&
+        col("b.ts_start") <= col("a.ts_end")).count()
+    assert(overlaps === 0L)
+    // a >30-minute quiet period really separates islands
+    val tooClose = islands.as("a").join(islands.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("a.island") + 1 === col("b.island") &&
+        unix_micros(col("b.ts_start")) - unix_micros(col("a.ts_end"))
+          <= 1800000000L).count()
+    assert(tooClose === 0L)
+    islands.unpersist()
+  }
+
+  test("gr_kcore: surviving degrees all ≥ k after the fixed peel") {
+    // sf0.01: at sf0.001 every node's degree is < k and the core is
+    // legitimately empty — the invariant needs a surviving core to bite
+    val rows = GraphQueries.grKcore.fn(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    // output is (node, deg) sorted by deg desc — every survivor that the
+    // 4-round peel kept still meets the core threshold in round 4's count
+    val degs = rows.map(_.getAs[Long]("deg"))
+    assert(degs.forall(_ >= 35L))
+    assert(degs.sameElements(degs.sortBy(-_)))
+  }
+
+  test("dd_bloom_filter: Bloom never false-negatives; words replay in SQL") {
+    val rows = TextQueries.ddBloomFilter.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hit = r.getAs[Boolean]("bloom_hit")
+      val exact = r.getAs[Boolean]("exact_dup")
+      val fp = r.getAs[Boolean]("false_positive")
+      assert(!exact || hit, s"false negative for doc ${r.get(0)}")
+      assert(fp === (hit && !exact))
+    }
+  }
+
+  test("sim_bitext_margin: margin ≥ 1, best_cos bounded, one row per source") {
+    val rows = SimilarityQueries.simBitextMargin.fn(spark, sfDir).collect()
+    // margin = best / mean(top-4) ≥ 1 by construction; cosine ∈ [-1, 1]
+    rows.foreach { r =>
+      assert(r.getAs[Double]("margin") >= 1.0 - 1e-12)
+      assert(math.abs(r.getAs[Double]("best_cos")) <= 1.0 + 1e-12)
+    }
+    val qids = rows.map(_.getAs[Long]("query_id"))
+    assert(qids.distinct.length === qids.length)
+  }
+}
