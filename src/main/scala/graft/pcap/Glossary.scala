@@ -75,18 +75,42 @@ object Glossary {
     Seq("frame.time_epoch", "frame.number", "frame.len", "frame.protocols")
   val infoField = "_ws.col.info"
 
+  /** The LIVE dictionary, parsed lazily (once per JVM) from `tshark -G
+    * fields` — the reference's actual load-time source (`:288`, `:357`).
+    * Consulted ONLY for protocols absent from the snapshot TSVs, and only
+    * when a tshark binary exists; offline it is empty and the snapshot
+    * rows remain the whole dictionary. This closes the structural gap
+    * between the 1.3k-field snapshot and tshark's full ~3k-protocol /
+    * 100k+-field registry: on a tshark host, `backend=tshark` schema
+    * requests for ANY dissector resolve with real typed columns instead
+    * of the 5-default fallback. */
+  private lazy val liveFieldsByProtocol: Map[String, Seq[Field]] =
+    fromTshark().map(_._2.groupBy(_.protocol_filter_name)).getOrElse(Map.empty)
+
+  /** A protocol's fields in registration order: snapshot rows when
+    * vendored (stable offline behavior, golden-pinned), live `tshark -G`
+    * rows otherwise. */
+  def fieldsForProtocol(p: String): Seq[Field] = {
+    val snap = fields.filter(_.protocol_filter_name == p)
+    if (snap.nonEmpty) snap else liveFieldsByProtocol.getOrElse(p, Seq.empty)
+  }
+
   /** Bind-time schema computation (reference `FetchSelectedFields`,
     * `:53-78`): frame defaults, then each requested protocol's glossary
     * fields in glossary order (protocols in user-listed order), then the
     * info column. Unknown protocols contribute nothing — silently, exactly
-    * like the reference's empty glossary result (`:71-76`). */
+    * like the reference's empty glossary result (`:71-76`) — unless a live
+    * tshark dictionary resolves them (see [[fieldsForProtocol]]). */
   def schemaFor(protocolList: Seq[String]): StructType = {
-    val protoFields = protocolList.flatMap { p =>
-      fields.filter(_.protocol_filter_name == p).map(_.filter_name)
-    }.distinct.filterNot(f => defaultFrameFields.contains(f) || f == infoField)
+    val perProto = protocolList.flatMap(fieldsForProtocol)
+    val protoFields = perProto.map(_.filter_name)
+      .distinct.filterNot(f => defaultFrameFields.contains(f) || f == infoField)
+    // snapshot types win on collision so goldens can never drift under a
+    // host tshark with different field typing
+    val typeOf = perProto.map(f => f.filter_name -> f).toMap ++ byFilterName
     val names = defaultFrameFields ++ protoFields ++ Seq(infoField)
     StructType(names.map { n =>
-      val tpe = byFilterName.get(n).map(f => sparkType(f.field_type)).getOrElse(StringType)
+      val tpe = typeOf.get(n).map(f => sparkType(f.field_type)).getOrElse(StringType)
       StructField(n, tpe, nullable = true)
     })
   }
