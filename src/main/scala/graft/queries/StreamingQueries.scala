@@ -437,8 +437,57 @@ object StreamingQueries {
       graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids,
       topK = 3, nProbe = 4)))
 
+  /** Streaming Bloom dedup pre-filter — the ingest-time twin of
+    * dd_bloom_filter: the corpus filter is fitted once (one bit_or
+    * aggregate), pivoted to a one-row broadcast map, and each arriving
+    * document gets a per-row verdict through a stream-static broadcast
+    * join — NO stateful operator, no shuffle on the arriving side, append
+    * mode. This is the first membership gate a 100 TB ingest runs before
+    * any exact join. Batch twin below; StreamingSpec drives the identical
+    * [[graft.functions.BloomDedup.probe]] through MemoryStream and pins
+    * streaming == batch. */
+  val stBloomDedup = GraftQuery(
+    "st_bloom_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val hashed = Tables.load(s, dir, "documents")
+        .select($"doc_id", md5($"text").as("h"))
+      val bloom = graft.functions.BloomDedup.fit(
+        hashed.filter($"doc_id" % 10 =!= 7))
+      graft.functions.BloomDedup.probe(
+        hashed.filter($"doc_id" % 10 === 7),
+        graft.functions.BloomDedup.fitMapRow(bloom))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, MD5(text) AS h FROM documents),
+      corpus AS (SELECT * FROM d WHERE doc_id % 10 <> 7),
+      arriving AS (SELECT * FROM d WHERE doc_id % 10 = 7),
+      js AS (SELECT UNNEST(['0', '1', '2']) AS j),
+      cpos AS (
+        SELECT CAST(('0x' || SUBSTR(MD5(j || '|' || h), 1, 12)) AS BIGINT) % 4032 AS pos
+        FROM corpus, js),
+      bloom AS (
+        SELECT pos // 63 AS word,
+               BIT_OR(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+        FROM cpos GROUP BY 1),
+      apos AS (
+        SELECT doc_id,
+               CAST(('0x' || SUBSTR(MD5(j || '|' || h), 1, 12)) AS BIGINT) % 4032 AS pos
+        FROM arriving, js),
+      probe AS (
+        SELECT a.doc_id,
+               COALESCE((b.bits >> CAST(a.pos % 63 AS INT)) & 1 = 1, FALSE) AS hit
+        FROM apos a LEFT JOIN bloom b ON b.word = a.pos // 63),
+      agg AS (
+        SELECT doc_id, CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+        FROM probe GROUP BY doc_id)
+      SELECT doc_id, n_set = 3 AS bloom_hit
+      FROM agg
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(stSessionize, stWindowedCounts, stDistinctUsers, stSlidingRates,
       stDedup, stIntervalJoin, stAttributionOuter, stSessionWindow, stEnrich,
-      stRateLimit, stTopk, stUpsert, stPattern, stAnnServe)
+      stRateLimit, stTopk, stUpsert, stPattern, stAnnServe, stBloomDedup)
 }

@@ -551,4 +551,38 @@ class StreamingSpec extends SparkSpec {
     def key(r: Seq[Any]) = (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])
     assert(acc.sortBy(key) === batch.sortBy(key))
   }
+
+  test("streaming Bloom dedup probe: streaming (append) equals batch; no false negatives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus: 6 known docs; arriving: 2 exact dups + 2 fresh
+    val corpusTexts = Seq("alpha beta", "gamma delta", "epsilon zeta",
+      "eta theta", "iota kappa", "lambda mu")
+    val corpus = corpusTexts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select($"doc_id", md5($"text").as("h"))
+    val bloomMap = graft.functions.BloomDedup.fitMapRow(
+      graft.functions.BloomDedup.fit(corpus))
+    val arriving = Seq(
+      (100L, "alpha beta"), (101L, "brand new text"),
+      (102L, "lambda mu"), (103L, "another fresh one"))
+
+    val batch = graft.functions.BloomDedup.probe(
+      arriving.toDF("doc_id", "text").select($"doc_id", md5($"text").as("h")),
+      bloomMap).orderBy("doc_id").collect()
+    // the Bloom guarantee: exact members are ALWAYS hits
+    val byId = batch.map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(byId(100L) && byId(102L))
+
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(arriving: _*)
+    val q = graft.functions.BloomDedup.probe(
+      stream.toDF().toDF("doc_id", "text").select($"doc_id", md5($"text").as("h")),
+      bloomMap)
+      .writeStream.format("memory").queryName("bloomprobe")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("bloomprobe").orderBy("doc_id").collect()
+    assert(batch.map(_.toSeq).toSeq === streamed.map(_.toSeq).toSeq)
+  }
 }
