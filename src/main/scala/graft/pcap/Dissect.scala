@@ -2210,6 +2210,18 @@ object Dissect {
         appInfo = dissectDicom(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 8583 || dp == 8583))
         appInfo = dissectIso8583(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 5555 || dp == 5555))
+        appInfo = dissectZmtp(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 21001 || dp == 21001))
+        appInfo = dissectSoupbin(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 10051 || dp == 10051))
+        appInfo = dissectZabbix(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 79 || dp == 79))
+        appInfo = dissectFinger(appBuf, appOff, appLen, fromServer = sp == 79, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 70 || dp == 70))
+        appInfo = dissectGopher(appBuf, appOff, appLen, fromServer = sp == 70, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 113 || dp == 113))
+        appInfo = dissectIdent(appBuf, appOff, appLen, fromServer = sp == 113, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -2681,6 +2693,21 @@ object Dissect {
           } finally v.nested = wasNested
         return if (inner != null) inner else "Geneve"
       }
+    }
+    if (sp >= 7400 && sp < 7900 || dp >= 7400 && dp < 7900) {
+      val rtpsInfo = dissectRtps(d, off + 8, math.min(payLen, d.length - off - 8),
+        dp, v, protos)
+      if (rtpsInfo != null) return rtpsInfo
+    }
+    if (sp == 30001 || dp == 30001) {
+      val moldInfo = dissectMoldudp64(d, off + 8,
+        math.min(payLen, d.length - off - 8), v, protos)
+      if (moldInfo != null) return moldInfo
+    }
+    if (sp == 9300 || dp == 9300) {
+      val srtInfo = dissectSrt(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (srtInfo != null) return srtInfo
     }
     if (!wanted.info) ""
     else if (wanted.infoBytes) {
@@ -6396,6 +6423,248 @@ object Dissect {
     v("bitcoin.length") = ((d(off + 16) & 0xffL)) | ((d(off + 17) & 0xffL) << 8) |
       ((d(off + 18) & 0xffL) << 16) | ((d(off + 19) & 0xffL) << 24)
     s"$cmd message"
+  }
+
+  // ------------------------------------------------------------------
+  // Tier 30: RTPS / ZMTP / SoupBinTCP / MoldUDP64 / Zabbix / SRT +
+  // the classic text trio finger/gopher/ident — all from public wire
+  // formats (OMG DDSI-RTPS 2.3 §9.4.1, zmq.org RFC 23/ZMTP 3.0,
+  // NASDAQ SoupBinTCP 3.0 / MoldUDP64 1.0 specs, Zabbix header docs,
+  // SRT RFC 9212-draft header layout, RFC 1288/1413 and RFC 1436).
+  // ------------------------------------------------------------------
+
+  /** RTPS (UDP 7400-7420 discovery/user traffic): magic "RTPS", protocol
+    * version, vendor id, 12-byte GUID prefix (DDSI-RTPS §9.4.1). The
+    * domain id is recovered from the well-known port mapping
+    * PB=7400 + DG=250·domainId (§9.6.1.1). */
+  private def dissectRtps(
+      d: Array[Byte], off: Int, len: Int, dstPort: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 20) return null
+    if (d(off) != 'R' || d(off + 1) != 'T' || d(off + 2) != 'P' || d(off + 3) != 'S')
+      return null
+    val vMaj = u8(d, off + 4); val vMin = u8(d, off + 5)
+    if (vMaj != 2) return null
+    protos += "rtps"
+    v("rtps.magic") = "RTPS"
+    if (dstPort >= 7400) v("rtps.domain_id") = ((dstPort - 7400) / 250).toLong
+    v("rtps.guid_prefix") = hexBytes(d, off + 8, 12)
+    s"RTPS $vMaj.$vMin"
+  }
+
+  /** ZMTP 3.x (TCP 5555): either the 64-byte greeting (signature
+    * ff …padding… 7f, version, 20-byte mechanism — ZMTP RFC §greeting)
+    * or a traffic frame (flags byte: MORE=1, LONG=2, COMMAND=4; then a
+    * 1- or 8-byte length and the body, commands carrying a
+    * length-prefixed name like READY). */
+  private def dissectZmtp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 2) return null
+    val b0 = u8(d, off)
+    if (b0 == 0xff && len >= 12 && u8(d, off + 9) == 0x7f) {
+      protos += "zmtp"
+      v("zmtp.flags") = 0xffL
+      val maj = if (len > 10) u8(d, off + 10) else 0
+      var mech = ""
+      if (len >= 33) {
+        var e = off + 12
+        val lim = math.min(off + 32, off + len)
+        while (e < lim && d(e) != 0) e += 1
+        mech = new String(d, off + 12, e - (off + 12),
+          java.nio.charset.StandardCharsets.US_ASCII)
+      }
+      return if (mech.nonEmpty) s"Greeting v$maj, mechanism $mech"
+      else s"Greeting v$maj"
+    }
+    if ((b0 & ~0x07) != 0) return null // flags byte: only 3 low bits defined
+    val long = (b0 & 0x02) != 0
+    val hdr = if (long) 9 else 2
+    if (len < hdr) return null
+    val fLen: Long =
+      if (long) {
+        var n = 0L
+        var i = 0
+        while (i < 8) { n = (n << 8) | (d(off + 1 + i) & 0xffL); i += 1 }
+        n
+      } else u8(d, off + 1).toLong
+    if (fLen > 256 * 1024 * 1024) return null
+    protos += "zmtp"
+    v("zmtp.flags") = b0.toLong
+    v("zmtp.length") = fLen
+    if ((b0 & 0x04) != 0 && len > hdr) {
+      // command frame: body starts with a length-prefixed command name
+      val nameLen = u8(d, off + hdr)
+      if (nameLen > 0 && hdr + 1 + nameLen <= len) {
+        val name = new String(d, off + hdr + 1, nameLen,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        if (name.forall(c => c >= 'A' && c <= 'Z'))
+          return s"Command $name"
+      }
+      s"Command frame, len $fLen"
+    } else s"${if ((b0 & 1) != 0) "Message frame (more)" else "Message frame"}, len $fLen"
+  }
+
+  private val soupTypes = Map(
+    'L' -> "Login Request", 'A' -> "Login Accepted", 'J' -> "Login Rejected",
+    'S' -> "Sequenced Data", 'U' -> "Unsequenced Data", 'H' -> "Server Heartbeat",
+    'R' -> "Client Heartbeat", 'O' -> "Logout Request", '+' -> "Debug",
+    'Z' -> "End of Session")
+
+  /** SoupBinTCP 3.0 (TCP 21001 by local convention — the spec assigns no
+    * IANA port): u16 big-endian payload length (type byte included) +
+    * 1-char packet type (NASDAQ SoupBinTCP 3.00b spec §2). */
+  private def dissectSoupbin(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 3) return null
+    val plen = u16(d, off)
+    val typ = (d(off + 2) & 0xff).toChar
+    val name = soupTypes.getOrElse(typ, return null)
+    if (plen < 1 || plen > len - 2) return null
+    protos += "soupbintcp"
+    v("soupbintcp.packet_length") = plen.toLong
+    v("soupbintcp.packet_type") = typ.toString
+    name
+  }
+
+  /** MoldUDP64 1.0 (UDP 30001 by local convention): 10-byte ASCII
+    * session, u64 big-endian first sequence number, u16 message count
+    * (NASDAQ MoldUDP64 1.00 spec). count 0xFFFF = end-of-session. */
+  private def dissectMoldudp64(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 20) return null
+    var i = off
+    while (i < off + 10) {
+      val c = d(i) & 0xff
+      if (c < 0x20 || c > 0x7e) return null // session is printable ASCII
+      i += 1
+    }
+    var seq = 0L
+    i = 0
+    while (i < 8) { seq = (seq << 8) | (d(off + 10 + i) & 0xffL); i += 1 }
+    val count = u16(d, off + 18)
+    protos += "moldudp64"
+    v("moldudp64.session") = new String(d, off, 10,
+      java.nio.charset.StandardCharsets.US_ASCII).trim
+    v("moldudp64.sequence") = seq
+    v("moldudp64.count") = count.toLong
+    if (count == 0xffff) "End of Session"
+    else if (count == 0) s"Heartbeat, seq $seq"
+    else s"$count message(s), seq $seq"
+  }
+
+  /** Zabbix protocol (TCP 10051): "ZBXD" + flags byte (0x01 = Zabbix
+    * communications, 0x02 = compressed) + u32 little-endian data length
+    * + u32 reserved, then the JSON body (Zabbix header docs). */
+  private def dissectZabbix(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 13) return null
+    if (d(off) != 'Z' || d(off + 1) != 'B' || d(off + 2) != 'X' || d(off + 3) != 'D')
+      return null
+    val flags = u8(d, off + 4)
+    if ((flags & ~0x03) != 0 || flags == 0) return null
+    val dlen = ((d(off + 5) & 0xffL)) | ((d(off + 6) & 0xffL) << 8) |
+      ((d(off + 7) & 0xffL) << 16) | ((d(off + 8) & 0xffL) << 24)
+    protos += "zabbix"
+    v("zabbix.flags") = flags.toLong
+    v("zabbix.len") = dlen
+    s"Zabbix protocol, len $dlen${if ((flags & 2) != 0) " (compressed)" else ""}"
+  }
+
+  private val srtCtrlNames = Map(
+    0 -> "HANDSHAKE", 1 -> "KEEPALIVE", 2 -> "ACK", 3 -> "NAK",
+    5 -> "SHUTDOWN", 6 -> "ACKACK", 7 -> "DROPREQ", 8 -> "PEERERROR")
+
+  /** SRT (UDP 9300 by local convention): bit 7 of byte 0 distinguishes
+    * control (type in the low 15 bits of the first u16) from data
+    * (31-bit packet sequence number) — draft-sharabayko-srt §3. */
+  private def dissectSrt(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 16) return null
+    val ctrl = (d(off) & 0x80) != 0
+    if (ctrl) {
+      val typ = u16(d, off) & 0x7fff
+      val name = srtCtrlNames.getOrElse(typ, return null)
+      protos += "srt"
+      v("srt.iscontrol") = true
+      v("srt.type") = typ.toLong
+      s"Control: $name"
+    } else {
+      protos += "srt"
+      v("srt.iscontrol") = false
+      val seq = u32(d, off) & 0x7fffffffL
+      v("srt.seqno") = seq
+      s"Data, seq $seq"
+    }
+  }
+
+  /** One CRLF-terminated ASCII line, or null if none in the window. */
+  private def asciiLine(d: Array[Byte], off: Int, len: Int, max: Int): String = {
+    var e = off
+    val lim = off + math.min(len, max)
+    while (e < lim && d(e) != '\r' && d(e) != '\n') {
+      val c = d(e) & 0xff
+      if (c < 0x20 || c > 0x7e) return null
+      e += 1
+    }
+    if (e == lim) return null // no terminator inside the window
+    new String(d, off, e - off, java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  /** finger (TCP 79, RFC 1288): the request is one "[/W ]user" line. */
+  private def dissectFinger(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (fromServer) { protos += "finger"; return "Response" }
+    val line = asciiLine(d, off, len, 200)
+    if (line == null) return null
+    protos += "finger"
+    v("finger.query") = line
+    s"Query: ${if (line.isEmpty) "<all users>" else line}"
+  }
+
+  /** gopher (TCP 70, RFC 1436): request is one selector line; response
+    * directory items lead with a type character. */
+  private def dissectGopher(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    val line = asciiLine(d, off, len, 200)
+    if (line == null) return null
+    protos += "gopher"
+    if (fromServer) {
+      if (line.nonEmpty) v("gopher.di.type") = line.substring(0, 1)
+      "Response"
+    } else {
+      v("gopher.request") = line
+      s"Request: ${if (line.isEmpty) "<root>" else line}"
+    }
+  }
+
+  /** ident (TCP 113, RFC 1413): "serverPort, clientPort" query line. */
+  private def dissectIdent(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    val line = asciiLine(d, off, len, 200)
+    if (line == null) return null
+    if (!fromServer && !line.matches("\\s*\\d{1,5}\\s*,\\s*\\d{1,5}\\s*")) return null
+    protos += "ident"
+    if (!fromServer) {
+      v("ident.request") = line.trim
+      s"Request: ${line.trim}"
+    } else "Response"
   }
 
   private val fcgiTypeNames: Map[Int, String] = Map(

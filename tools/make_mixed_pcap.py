@@ -1261,6 +1261,40 @@ tz_inner = eth(MAC_B, MAC_A, 0x0800, _tzh + _tzp)
 tzsp = struct.pack(">BBH", 1, 0, 1) + bytes([1]) + tz_inner  # TAG_END, eth encap
 extra.append((t3, 19100, ip_frame(17, A, B, udp(50063, 37008, tzsp), ident=219)))
 
+# 194-202: tier 30 — pub/sub + market-data + monitoring + media +
+# classic text trio: RTPS discovery, ZMTP READY command, SoupBinTCP
+# login accepted, MoldUDP64 downstream, Zabbix request, SRT handshake,
+# finger query, gopher request, ident query
+rtps = b"RTPS" + bytes([2, 3, 1, 15]) + bytes(range(12)) + \
+    struct.pack(">BBH", 0x09, 0x01, 8) + b"\x00" * 8  # INFO_TS submessage
+extra.append((t3, 19200, ip_frame(17, A, B, udp(50070, 7650, rtps), ident=220)))
+
+zmtp = bytes([0x04, 0x26, 0x05]) + b"READY" + \
+    bytes([11]) + b"Socket-Type" + struct.pack(">I", 6) + b"ROUTER"
+extra.append((t3, 19300, ip_frame(6, A, B, tcp(50071, 5555, 1, zmtp), ident=221)))
+
+soup = struct.pack(">H", 11) + b"A" + b"SESS00001 "  # login accepted
+extra.append((t3, 19400, ip_frame(6, B, A, tcp(21001, 50072, 1, soup), ident=222)))
+
+mold = b"SESS000001" + struct.pack(">QH", 4242, 1) + \
+    struct.pack(">H", 6) + b"ORDER!"  # one 6-byte message block
+extra.append((t3, 19500, ip_frame(17, B, A, udp(30001, 50073, mold), ident=223)))
+
+zbx = b'{"request":"agent data"}'
+zabbix = b"ZBXD" + bytes([1]) + struct.pack("<I", len(zbx)) + b"\x00" * 4 + zbx
+extra.append((t3, 19600, ip_frame(6, A, B, tcp(50074, 10051, 1, zabbix), ident=224)))
+
+srt = struct.pack(">HHII", 0x8000, 0, 0, 0) + struct.pack(">II", 1, 0x42) + \
+    struct.pack(">I", 5) * 2  # control HANDSHAKE
+extra.append((t3, 19700, ip_frame(17, A, B, udp(50075, 9300, srt), ident=225)))
+
+extra.append((t3, 19800, ip_frame(6, A, B, tcp(50076, 79, 1, b"operator\r\n"),
+                                  ident=226)))
+extra.append((t3, 19900, ip_frame(6, A, B, tcp(50077, 70, 1, b"/docs/readme\r\n"),
+                                  ident=227)))
+extra.append((t3, 20000, ip_frame(6, A, B, tcp(50078, 113, 1, b"6195, 23\r\n"),
+                                  ident=228)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
