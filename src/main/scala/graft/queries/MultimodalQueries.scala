@@ -359,7 +359,71 @@ object MultimodalQueries {
       FROM t
       ORDER BY doc_id"""))
 
+  /** Image NEAR-duplicate pairs over the perceptual hash — the multimodal
+    * capstone that composes [[mmPhash]]'s real container decode with the
+    * text tier's banded near-dup machinery: pHashes within Hamming
+    * distance ≤ 3 are near-dup pairs, generated by the 4×16-bit
+    * pigeonhole band join (with ≤ 3 flipped bits at least one of the 4
+    * 16-bit blocks is intact, so the band equi-join is EXACT, never
+    * all-pairs — the dd_simhash_pairs argument applied to images). Hamming arithmetic is
+    * per-BYTE `bit_count(xor)` over hex-pair substrings, identical and
+    * integer-exact on both engines. The oracle replays the pHash from
+    * the generation bytes (the mm_phash contract), so a match proves
+    * container decode + hash fold + banding + distance end-to-end.
+    * 100 TB shape: decode once (mapPartitions batch), band equi-join on
+    * 16-bit keys, distance only on candidates. */
+  val mmPhashNeardup = GraftQuery(
+    "mm_phash_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val ph = mmPhash.fn(s, dir).select($"doc_id", $"phash").cache()
+      val blocks = ph.select($"doc_id", $"phash",
+        posexplode(array((0 until 4).map(k =>
+          substring($"phash", 1 + 4 * k, 4)): _*)).as(Seq("blk", "key")))
+      val a = blocks.select($"blk", $"key", $"doc_id".as("doc_a"), $"phash".as("ph_a"))
+      val b = blocks.select($"blk", $"key", $"doc_id".as("doc_b"), $"phash".as("ph_b"))
+      val dist = (0 until 8).map(k =>
+        s"bit_count(CAST(conv(substring(ph_a, ${2 * k + 1}, 2), 16, 10) AS INT) ^ " +
+          s"CAST(conv(substring(ph_b, ${2 * k + 1}, 2), 16, 10) AS INT))")
+        .mkString(" + ")
+      a.join(b, Seq("blk", "key"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b", $"ph_a", $"ph_b").distinct()
+        .withColumn("dist", expr(s"CAST($dist AS BIGINT)"))
+        .filter($"dist" <= 3L)
+        .select($"doc_a", $"doc_b", $"dist")
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some {
+      val byteList = (0 until 8).map(phashByteSql).mkString(", ")
+      val blockKeys = (0 until 4).map(k =>
+        s"pb[${2 * k + 1}] * 256 + pb[${2 * k + 2}] AS k$k").mkString(", ")
+      val bandJoin = (0 until 4).map(k => s"a.k$k = b.k$k").mkString(" OR ")
+      val dist = (1 to 8).map(i =>
+        s"BIT_COUNT(XOR(a.pb[$i], b.pb[$i]))").mkString(" + ")
+      s"""
+      WITH img AS (
+        SELECT doc_id, text, CAST((doc_id // 3) % 5 AS INTEGER) AS slot
+        FROM documents
+        WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 IN (0, 1, 2)
+          AND OCTET_LENGTH(ENCODE(text)) >= 64),
+      codes AS (
+        SELECT doc_id, slot,
+               list_transform(range(1, 65),
+                              i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS c
+        FROM img),
+      m AS (SELECT doc_id, slot, c, list_sum(c) // 64 AS mean FROM codes),
+      ph AS (SELECT doc_id, [$byteList] AS pb FROM m),
+      keyed AS (SELECT doc_id, pb, $blockKeys FROM ph)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST($dist AS BIGINT) AS dist
+      FROM keyed a JOIN keyed b
+        ON a.doc_id < b.doc_id AND ($bandJoin)
+      WHERE $dist <= 3
+      ORDER BY doc_a, doc_b"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(mmMediaMeta, mmTypeStats, mmFrameSample, mmCodecStats, mmOrientationStats,
-      mmPhash, mmIntegrity, mmAudioStats, mmThumbnail)
+      mmPhash, mmIntegrity, mmAudioStats, mmThumbnail, mmPhashNeardup)
 }
