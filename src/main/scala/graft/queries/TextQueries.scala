@@ -2052,7 +2052,67 @@ object TextQueries {
       FROM agg ag JOIN ex ON ex.doc_id = ag.doc_id
       ORDER BY ag.doc_id"""))
 
+  /** URL-canonicalization dedup — the FIRST dedup pass every web-crawl
+    * corpus runs (before any content hashing): two fetches of the same
+    * page differ only in URL noise, so the canonical form (fragment
+    * stripped, host case-folded, `www.` dropped, `utm_*` tracking
+    * parameters removed, dangling `?`/`&` tidied) is the dedup key. The
+    * documents table carries no URL, so one is SYNTHESIZED
+    * deterministically from doc_id (the Media.synthesize pattern) with
+    * realistic noise — mixed-case host, fragment, utm parameters — and
+    * the oracle replays both the synthesis AND the canonicalization, so
+    * a hash match proves the string surgery exactly. Per-row projection
+    * + one hash aggregate on the canonical key: at 100 TB this is a
+    * map-side-combined groupBy, no joins. */
+  val txUrlDedup = GraftQuery(
+    "tx_url_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val url = concat(lit("https://WWW.Site"), ($"doc_id" % 7).cast(StringType),
+        lit(".Example.COM/articles/"), ($"doc_id" % 40).cast(StringType),
+        lit("?utm_source=feed&id="), ($"doc_id" % 40).cast(StringType),
+        lit("&utm_campaign=c"), ($"doc_id" % 3).cast(StringType),
+        lit("#frag"), ($"doc_id" % 5).cast(StringType))
+      val canonical =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              lower(regexp_replace(url, "#.*$", "")),
+              "utm_[a-z]+=[^&]*&?", ""),
+            "[?&]$", ""),
+          "^https://www\\.", "https://")
+      docs(s, dir)
+        .select($"doc_id", canonical.as("canonical_url"))
+        .groupBy($"canonical_url")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keep_id"))
+        .orderBy($"canonical_url")
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id,
+               'https://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+               '.Example.COM/articles/' || CAST(doc_id % 40 AS VARCHAR) ||
+               '?utm_source=feed&id=' || CAST(doc_id % 40 AS VARCHAR) ||
+               '&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR) ||
+               '#frag' || CAST(doc_id % 5 AS VARCHAR) AS url
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               REGEXP_REPLACE(
+                 REGEXP_REPLACE(
+                   REGEXP_REPLACE(
+                     LOWER(REGEXP_REPLACE(url, '#.*$', '')),
+                     'utm_[a-z]+=[^&]*&?', '', 'g'),
+                   '[?&]$', ''),
+                 '^https://www\.', 'https://') AS canonical_url
+        FROM u)
+      SELECT canonical_url, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+      FROM c
+      GROUP BY canonical_url
+      ORDER BY canonical_url"""))
+
   val all: Seq[GraftQuery] = Seq(
+    txUrlDedup,
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
     txTrainSplit, txMixtureWeights, txCorpusReport, txPack,
