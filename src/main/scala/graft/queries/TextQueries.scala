@@ -2111,8 +2111,77 @@ object TextQueries {
       GROUP BY canonical_url
       ORDER BY canonical_url"""))
 
+  /** HTML main-content extraction — the crawl step BEFORE any text
+    * scoring: raw fetches are markup, and quality/dedup operate on the
+    * extracted main text. The documents table carries plain text, so a
+    * realistic page is SYNTHESIZED around it (head/title, a nav bar, the
+    * body paragraph, a footer — the boilerplate a trafilatura-style
+    * extractor removes) and the operator recovers the main text by
+    * structural stripping: boilerplate containers (`<nav>`, `<footer>`,
+    * `<head>`) dropped wholesale, remaining tags removed, whitespace
+    * collapsed. Output is the extraction REPORT (recovered length,
+    * main-content ratio, lossless-roundtrip flag) — per-row regex
+    * projection only, no shuffle except the final sort; the oracle
+    * replays synthesis and extraction with the same regexes. */
+  val txHtmlExtract = GraftQuery(
+    "tx_html_extract",
+    (s, dir) => {
+      import s.implicits._
+      val html = concat(
+        lit("<html><head><title>Doc "), $"doc_id".cast(StringType),
+        lit("</title><meta charset=\"utf-8\"/></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a></nav>"),
+        lit("<p>"), $"text", lit("</p>"),
+        lit("<footer>(c) 2024 Site"), ($"doc_id" % 7).cast(StringType),
+        lit(" - All rights reserved</footer></body></html>"))
+      val extracted = trim(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(html, "<head>.*?</head>", " "),
+              "<(nav|footer)>.*?</(nav|footer)>", " "),
+            "<[^>]*>", " "),
+          "\\s+", " "))
+      docs(s, dir)
+        .select($"doc_id", $"n_chars",
+          length(html).as("html_chars"),
+          length(extracted).as("extracted_chars"),
+          (extracted === $"text").as("lossless"))
+        .withColumn("main_ratio",
+          $"extracted_chars".cast(DoubleType) / $"html_chars".cast(DoubleType))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id, text, n_chars,
+               '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+               '</title><meta charset="utf-8"/></head><body>' ||
+               '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>' ||
+               '<p>' || text || '</p>' ||
+               '<footer>(c) 2024 Site' || CAST(doc_id % 7 AS VARCHAR) ||
+               ' - All rights reserved</footer></body></html>' AS html
+        FROM documents),
+      x AS (
+        SELECT doc_id, text, n_chars, html,
+               TRIM(REGEXP_REPLACE(
+                 REGEXP_REPLACE(
+                   REGEXP_REPLACE(
+                     REGEXP_REPLACE(html, '<head>.*?</head>', ' ', 'g'),
+                     '<(nav|footer)>.*?</(nav|footer)>', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '\s+', ' ', 'g')) AS extracted
+        FROM h)
+      SELECT doc_id, n_chars,
+             CAST(LENGTH(html) AS INTEGER) AS html_chars,
+             CAST(LENGTH(extracted) AS INTEGER) AS extracted_chars,
+             extracted = text AS lossless,
+             CAST(LENGTH(extracted) AS DOUBLE) / CAST(LENGTH(html) AS DOUBLE)
+               AS main_ratio
+      FROM x
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(
-    txUrlDedup,
+    txUrlDedup, txHtmlExtract,
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
     txTrainSplit, txMixtureWeights, txCorpusReport, txPack,
