@@ -921,7 +921,11 @@ object Dissect {
     var l3off = off + 14
     if (etherType == 0x8100 && d.length >= l3off + 4) { // 802.1Q tag
       protos += "vlan"
-      v.set(Id_vlan_id, (u16(d, l3off) & 0x0fff).toLong)
+      val tci = u16(d, l3off)
+      v.set(Id_vlan_id, (tci & 0x0fff).toLong)
+      v("vlan.priority") = ((tci >> 13) & 0x7).toLong
+      v("vlan.dei") = (tci & 0x1000) != 0
+      v("vlan.etype") = u16(d, l3off + 2).toLong
       etherType = u16(d, l3off + 2)
       l3off += 4
     }
@@ -1002,6 +1006,9 @@ object Dissect {
     protos += "wlan"
     v("wlan.fc.type") = ftype.toLong
     v("wlan.fc.subtype") = subtype.toLong
+    v("wlan.fc.retry") = (fc & 0x0800) != 0
+    v("wlan.fc.protected") = (fc & 0x4000) != 0
+    v("wlan.duration") = (u8(d, off + 2) | (u8(d, off + 3) << 8)).toLong
     val toDs = (fc & 0x0100) != 0
     val fromDs = (fc & 0x0200) != 0
     val protected_ = (fc & 0x4000) != 0
@@ -1018,6 +1025,8 @@ object Dissect {
     val a1 = macStr(d, off + 4)
     val a2 = macStr(d, off + 10)
     val a3 = macStr(d, off + 16)
+    // sequence control (LE): fragment number low 4 bits, sequence high 12
+    v("wlan.seq") = ((u8(d, off + 22) | (u8(d, off + 23) << 8)) >> 4).toLong
     val (da, sa, bssid) =
       if (!toDs && !fromDs) (a1, a2, a3)
       else if (toDs && !fromDs) (a3, a2, a1)
@@ -1243,11 +1252,18 @@ object Dissect {
     val dst = ipv4Str(d, off + 16)
     v.set(Id_ip_version, ((d(off) >> 4) & 0xf).toLong)
     v.set(Id_ip_hdr_len, ihl.toLong)
-    v.set(Id_ip_dsfield, u8(d, off + 1).toLong)
+    val tos = u8(d, off + 1)
+    v.set(Id_ip_dsfield, tos.toLong)
+    v("ip.tos") = tos.toLong
+    v("ip.dsfield.dscp") = (tos >> 2).toLong
+    v("ip.dsfield.ecn") = (tos & 0x3).toLong
     v.set(Id_ip_len, totalLen.toLong)
     v.set(Id_ip_id, u16(d, off + 4).toLong)
     val flagsFrag = u16(d, off + 6)
     v.set(Id_ip_flags, ((flagsFrag >> 13) & 0x7).toLong)
+    v("ip.flags.rb") = (flagsFrag & 0x8000) != 0
+    v("ip.flags.df") = (flagsFrag & 0x4000) != 0
+    v("ip.flags.mf") = (flagsFrag & 0x2000) != 0
     v.set(Id_ip_frag_offset, (flagsFrag & 0x1fff).toLong)
     v.set(Id_ip_ttl, u8(d, off + 8).toLong)
     v.set(Id_ip_proto, proto.toLong)
@@ -1347,6 +1363,12 @@ object Dissect {
     val src = ipv6Str(d, off + 8)
     val dst = ipv6Str(d, off + 24)
     v.set(Id_ipv6_version, 6L)
+    val vtf = u32(d, off)
+    val tclass = ((vtf >> 20) & 0xff).toInt
+    v("ipv6.tclass") = tclass.toLong
+    v("ipv6.tclass.dscp") = (tclass >> 2).toLong
+    v("ipv6.tclass.ecn") = (tclass & 0x3).toLong
+    v("ipv6.flow") = vtf & 0xfffffL
     v.set(Id_ipv6_plen, payLen.toLong)
     v.set(Id_ipv6_nxt, nxt.toLong)
     v.set(Id_ipv6_hlim, u8(d, off + 7).toLong)
@@ -1472,9 +1494,15 @@ object Dissect {
     if (vn < 1 || vn > 4) return null // implausible version: not NTP
     protos += "ntp"
     v("ntp.flags") = flags.toLong
+    v("ntp.flags.li") = ((flags >> 6) & 0x3).toLong
     v("ntp.flags.vn") = vn.toLong
     v("ntp.flags.mode") = mode.toLong
     v("ntp.stratum") = u8(d, off + 1).toLong
+    if (d.length >= off + 16) {
+      v("ntp.ppoll") = u8(d, off + 2).toLong
+      v("ntp.precision") = d(off + 3).toLong // signed log2 seconds
+      v("ntp.refid") = hexBytes(d, off + 12, 4)
+    }
     s"NTP Version $vn, ${ntpModes(mode)}"
   }
 
@@ -3098,6 +3126,14 @@ object Dissect {
       if (parts.length > 2) v("http.request.version") = parts(2)
       header("host").foreach(h => v("http.host") = h)
       header("user-agent").foreach(h => v("http.user_agent") = h)
+      header("cookie").foreach(h => v("http.cookie") = h)
+      header("referer").foreach(h => v("http.referer") = h)
+      header("authorization").foreach(h => v("http.authorization") = h)
+      header("accept").foreach(h => v("http.accept") = h)
+      header("accept-encoding").foreach(h => v("http.accept_encoding") = h)
+      // tshark's computed full_uri: scheme + Host header + request target
+      if (parts.length > 1) header("host").foreach(h =>
+        v("http.request.full_uri") = s"http://$h${parts(1)}")
     } else {
       v("http.response") = true
       v("http.response.version") = parts(0)
@@ -3106,7 +3142,11 @@ object Dissect {
       header("content-type").foreach(h => v("http.content_type") = h)
       header("server").foreach(h => v("http.server") = h)
       header("location").foreach(h => v("http.location") = h)
+      header("set-cookie").foreach(h => v("http.set_cookie") = h)
+      header("last-modified").foreach(h => v("http.last_modified") = h)
     }
+    header("connection").foreach(h => v("http.connection") = h)
+    header("cache-control").foreach(h => v("http.cache_control") = h)
     header("content-length").flatMap(_.toLongOption).foreach(c => v("http.content_length") = c)
     line
   }
@@ -3139,6 +3179,12 @@ object Dissect {
     v("tls.record.content_type") = ctype.toLong
     v("tls.record.version") = ((vmaj << 8) | vmin).toLong
     v("tls.record.length") = rlen.toLong
+    if (ctype == 21 && plen >= 7) {
+      // Alert (RFC 8446 §6): level (1=warning, 2=fatal) + description —
+      // payload starts after the 5-byte record header, like hsType below
+      v("tls.alert_message.level") = u8(d, pstart + 5).toLong
+      v("tls.alert_message.desc") = u8(d, pstart + 6).toLong
+    }
     if (ctype != 22) return tlsContentName(ctype)
     if (plen < 6) return "TLS Handshake"
     val hsType = u8(d, pstart + 5)
@@ -3344,8 +3390,16 @@ object Dissect {
     val isResponse = (flags & 1L) != 0
     v("smb2.cmd") = cmd.toLong
     v("smb2.flags.response") = isResponse
+    v("smb2.credit.charge") = leU16(off + 6).toLong
+    v("smb2.credits.requested") = leU16(off + 14).toLong
+    if (isResponse) v("smb2.nt_status") = leU32(off + 8)
     if (off + 32 <= off + plen)
       v("smb2.msg_id") = leU32(off + 24) | (leU32(off + 28) << 32)
+    if (plen >= 44) {
+      v("smb2.tid") = leU32(off + 36)
+      if (plen >= 48)
+        v("smb2.sesid") = leU32(off + 40) | (leU32(off + 44) << 32)
+    }
     val name = smb2CmdNames.getOrElse(cmd, s"Cmd$cmd")
     // DCERPC over the SMB named-pipe transport (MS-SMB2 §2.2.20/2.2.21 +
     // C706: RPC PDUs ride in Write-request / Read-response data to an
@@ -3710,6 +3764,8 @@ object Dissect {
       case None => s"$role: Encrypted packet (len=$len)"
       case Some(nm) =>
         v("ssh.message_code") = code.toLong
+        v("ssh.packet_length") = plen
+        v("ssh.padding_length") = pad.toLong
         if (code == 20) parseSshKexInit(d, off + 6, off + math.min(len, 4 + plen.toInt), v)
         s"$role: $nm"
     }
@@ -3721,14 +3777,18 @@ object Dissect {
     * (snaplen) are simply absent. */
   private def parseSshKexInit(d: Array[Byte], start: Int, end: Int, v: FieldVec): Unit = {
     var p = start + 16 // skip cookie
+    // RFC 4253 §7.1 name-list order: kex, host key, enc c2s, enc s2c,
+    // mac c2s, mac s2c, compression c2s (… languages follow, unneeded)
     val names = Seq("ssh.kex_algorithms", "ssh.server_host_key_algorithms",
-      "ssh.encryption_algorithms_client_to_server")
+      "ssh.encryption_algorithms_client_to_server", "",
+      "ssh.mac_algorithms_client_to_server", "",
+      "ssh.compression_algorithms_client_to_server")
     for (field <- names) {
       if (p + 4 <= end) {
         val n = u32(d, p).toInt
         p += 4
         if (n >= 0 && p + n <= end) {
-          v(field) = new String(d, p, n, "ISO-8859-1")
+          if (field.nonEmpty) v(field) = new String(d, p, n, "ISO-8859-1")
           p += n
         } else p = end
       }
@@ -3793,6 +3853,10 @@ object Dissect {
     header("from", "f").foreach(h => v("sip.from.addr") = h)
     header("to", "t").foreach(h => v("sip.to.addr") = h)
     header("cseq").foreach(h => v("sip.CSeq") = h)
+    header("user-agent").foreach(h => v("sip.User-Agent") = h)
+    header("contact", "m").foreach(h => v("sip.Contact") = h)
+    header("max-forwards").flatMap(_.toLongOption)
+      .foreach(h => v("sip.Max-Forwards") = h)
     // SDP body (RFC 8866): its own protocol layer + session-level fields;
     // media lines negotiate the RTP transport addresses
     val bodyAt = text.indexOf("\r\n\r\n")
@@ -3855,6 +3919,9 @@ object Dissect {
     val ts = u32(d, off + 4)
     val ssrc = u32(d, off + 8)
     v("rtp.version") = 2L
+    v("rtp.padding") = (u8(d, off) & 0x20) != 0
+    v("rtp.cc") = (u8(d, off) & 0x0f).toLong
+    v("rtp.marker") = (u8(d, off + 1) & 0x80) != 0
     v("rtp.p_type") = pt.toLong
     v("rtp.seq") = seq.toLong
     v("rtp.timestamp") = ts
@@ -5486,12 +5553,32 @@ object Dissect {
     protos += "mqtt"
     v("mqtt.msgtype") = tpe.toLong
     v("mqtt.len") = rem.toLong
+    if (tpe == 3) { // PUBLISH carries flags in the low fixed-header nibble
+      v("mqtt.dupflag") = (u8(d, off) & 0x08) != 0
+      v("mqtt.qos") = ((u8(d, off) >> 1) & 0x3).toLong
+      v("mqtt.retain") = (u8(d, off) & 0x01) != 0
+    }
     if (tpe == 3 && i + 2 <= off + len) {
       val tlen = u16(d, i)
       if (tlen > 0 && i + 2 + tlen <= off + len) {
         val topic = new String(d, i + 2, tlen, "ISO-8859-1")
         v("mqtt.topic") = topic
+        // QoS > 0 PUBLISH carries a packet identifier after the topic
+        if (((u8(d, off) >> 1) & 0x3) > 0 && i + 4 + tlen <= off + len)
+          v("mqtt.msgid") = u16(d, i + 2 + tlen).toLong
         return s"$name [$topic]"
+      }
+    }
+    if (tpe == 1) {
+      // CONNECT payload: name(2+n) + level(1) + flags(1) + keepalive(2),
+      // then the length-prefixed client identifier
+      val nlen = u16(d, i)
+      val cidAt = i + 2 + nlen + 4
+      if (cidAt + 2 <= off + len) {
+        val clen = u16(d, cidAt)
+        if (clen > 0 && cidAt + 2 + clen <= off + len)
+          v("mqtt.clientid") =
+            new String(d, cidAt + 2, clen, "ISO-8859-1")
       }
     }
     name
@@ -5516,6 +5603,7 @@ object Dissect {
     v("sctp.srcport") = sp.toLong
     v("sctp.dstport") = dp.toLong
     v("sctp.verification_tag") = u32(d, off + 4)
+    v("sctp.checksum") = u32(d, off + 8)
     val names = mutable.ArrayBuffer.empty[String]
     var i = off + 12
     var firstChunk = -1
@@ -5530,6 +5618,9 @@ object Dissect {
         // DATA chunk (type 0): tsn(4) stream(2) seq(2) ppid(4) then the
         // upper-layer payload — remember the first one for dispatch
         if (ct == 0 && dataOff < 0 && clen > 16) {
+          v("sctp.data_sid") = u16(d, i + 8).toLong
+          v("sctp.data_ssn") = u16(d, i + 10).toLong
+          v("sctp.data_payload_proto_id") = u32(d, i + 12)
           dataOff = i + 16
           dataEnd = math.min(i + clen, end)
         }
@@ -7831,6 +7922,7 @@ object Dissect {
     var firstType = -1L
     var firstStream = -1L
     var firstLen = -1L
+    var firstFlags = -1L
     var sawGrpc = false
     var ok = true
     // decode one complete HPACK header block: fields + info label
@@ -7863,12 +7955,21 @@ object Dissect {
         val pStart = i + 9
         val pEnd = math.min(end, pStart + flen)
         var label = s"${http2FrameNames(ftype)}[$sid]"
+        if (ftype == 8 && pStart + 4 <= end) // WINDOW_UPDATE (§6.9)
+          v("http2.window_update.window_size_increment") =
+            u32(d, pStart) & 0x7fffffffL
         if (ftype == 1 && pStart + flen <= end) {
           // HEADERS fully in this segment: skip PADDED/PRIORITY prelude
           var h = pStart
           var hEnd = pEnd
           if ((fflags & 0x08) != 0 && h < hEnd) { hEnd -= u8(d, h); h += 1 } // padded
-          if ((fflags & 0x20) != 0) h += 5 // priority: dep(4) + weight(1)
+          if ((fflags & 0x20) != 0) { // priority: E/dep(4) + weight(1)
+            if (h + 5 <= hEnd) {
+              v("http2.exclusive") = (u8(d, h) & 0x80) != 0
+              v("http2.weight") = u8(d, h + 4).toLong
+            }
+            h += 5
+          }
           if (h <= hEnd) {
             if ((fflags & 0x04) != 0) // END_HEADERS: decode now
               decodeBlock(d, h, hEnd, "HEADERS", sid).foreach(label = _)
@@ -7905,7 +8006,10 @@ object Dissect {
           }
         }
         parts += label
-        if (firstType < 0) { firstType = ftype; firstStream = sid; firstLen = flen.toLong }
+        if (firstType < 0) {
+          firstType = ftype; firstStream = sid; firstLen = flen.toLong
+          firstFlags = fflags.toLong
+        }
         i += 9 + flen
       }
     }
@@ -7915,6 +8019,7 @@ object Dissect {
       v("http2.type") = firstType
       v("http2.streamid") = firstStream
       v("http2.length") = firstLen
+      v("http2.flags") = firstFlags
     }
     parts.mkString(", ")
   }
@@ -8022,6 +8127,10 @@ object Dissect {
     val senderMac = macStr(d, off + 8)
     val senderIp = ipv4Str(d, off + 14)
     val targetIp = ipv4Str(d, off + 24)
+    v("arp.hw.type") = u16(d, off).toLong
+    v("arp.proto.type") = u16(d, off + 2).toLong
+    v("arp.hw.size") = u8(d, off + 4).toLong
+    v("arp.proto.size") = u8(d, off + 5).toLong
     v("arp.opcode") = op.toLong
     v("arp.src.hw_mac") = senderMac
     v("arp.src.proto_ipv4") = senderIp
@@ -8049,7 +8158,15 @@ object Dissect {
       if (tpe == 8) s"Echo (ping) request  id=0x$idHex, seq=${u16(d, off + 6)}"
       else s"Echo (ping) reply    id=0x$idHex, seq=${u16(d, off + 6)}"
     } else tpe match {
-      case 3  => "Destination unreachable"
+      case 3 =>
+        // code 4 = fragmentation needed: next-hop MTU in bytes 6-7
+        if (code == 4 && d.length >= off + 8)
+          v("icmp.mtu") = u16(d, off + 6).toLong
+        "Destination unreachable"
+      case 5 =>
+        if (d.length >= off + 8)
+          v("icmp.redir_gw") = ipv4Str(d, off + 4)
+        "Redirect"
       case 11 => "Time-to-live exceeded"
       case _  => s"ICMP type=$tpe code=$code"
     }
@@ -8076,9 +8193,17 @@ object Dissect {
     val isResponse = (flags & 0x8000) != 0
     v("dns.id") = id.toLong
     v("dns.flags.response") = isResponse
+    v("dns.flags.opcode") = ((flags >> 11) & 0xf).toLong
+    v("dns.flags.authoritative") = (flags & 0x0400) != 0
+    v("dns.flags.truncated") = (flags & 0x0200) != 0
+    v("dns.flags.recdesired") = (flags & 0x0100) != 0
+    v("dns.flags.recavail") = (flags & 0x0080) != 0
+    v("dns.flags.authenticated") = (flags & 0x0020) != 0
     v("dns.flags.rcode") = (flags & 0xf).toLong
     v("dns.count.queries") = qd.toLong
     v("dns.count.answers") = an.toLong
+    v("dns.count.auth_rr") = u16(d, off + 8).toLong
+    v("dns.count.add_rr") = u16(d, off + 10).toLong
     // first question: labels until the 0 terminator, then qtype
     var qname: String = null
     var qtype = -1
@@ -8102,6 +8227,7 @@ object Dissect {
         qtype = u16(d, i + 1)
         v("dns.qry.name") = qname
         v("dns.qry.type") = qtype.toLong
+        v("dns.qry.class") = u16(d, i + 3).toLong
         // first answer record (responses): name / type / ttl / A address
         if (isResponse && an > 0 && qd == 1) {
           val ansAt = i + 5 // past 0-terminator + qtype + qclass
@@ -8112,9 +8238,28 @@ object Dissect {
               val rdlen = u16(d, after + 8)
               v("dns.resp.name") = rname
               v("dns.resp.type") = rtype.toLong
+              v("dns.resp.class") = u16(d, after + 2).toLong
               v("dns.resp.ttl") = ttl
+              v("dns.resp.len") = rdlen.toLong
               if (rtype == 1 && rdlen == 4 && after + 14 <= end)
                 v("dns.a") = ipv4Str(d, after + 10)
+              else if (rtype == 28 && rdlen == 16 && after + 26 <= end)
+                v("dns.aaaa") = ipv6Str(d, after + 10)
+              else if (rtype == 12 && after + 10 + rdlen <= end)
+                readDnsName(d, after + 10, off, end)
+                  .foreach { case (pn, _) => v("dns.ptr.domain_name") = pn }
+              else if (rtype == 2 && after + 10 + rdlen <= end)
+                readDnsName(d, after + 10, off, end)
+                  .foreach { case (ns, _) => v("dns.ns") = ns }
+              else if (rtype == 15 && after + 12 + (rdlen - 2) <= end && rdlen > 2)
+                readDnsName(d, after + 12, off, end)
+                  .foreach { case (mx, _) => v("dns.mx.mail_exchange") = mx }
+              else if (rtype == 16 && rdlen >= 1 && after + 11 <= end) {
+                // TXT: one or more <len><chars> strings; surface the first
+                val tl = u8(d, after + 10)
+                if (after + 11 + tl <= end)
+                  v("dns.txt") = new String(d, after + 11, tl, "ISO-8859-1")
+              }
               else if (rtype == 5 && after + 10 + rdlen <= end)
                 readDnsName(d, after + 10, off, end)
                   .foreach { case (cn, _) => v("dns.cname") = cn }
