@@ -3013,11 +3013,13 @@ object Dissect {
           case null => null
           case (tokenLen, a0) =>
             val a1 = a0 + tokenLen.toInt
+            if (tokenLen >= 0) v("quic.token_length") = tokenLen
             if (tokenLen < 0 || a1 > end) null
             else quicVarint(d, a1, end) match {
               case null => null
               case (plen2, pnOff) =>
                 val pktEnd = pnOff + plen2.toInt
+                if (plen2 >= 0) v("quic.length") = plen2
                 if (plen2 < 20 || pktEnd > end) null
                 else {
                   // a client Initial decrypts with keys from ITS OWN dcid;
@@ -8260,6 +8262,15 @@ object Dissect {
                 if (after + 11 + tl <= end)
                   v("dns.txt") = new String(d, after + 11, tl, "ISO-8859-1")
               }
+              else if (rtype == 33 && rdlen > 6 && after + 16 <= end) {
+                // SRV (RFC 2782): priority(2) weight(2) port(2) target
+                v("dns.srv.port") = u16(d, after + 14).toLong
+                readDnsName(d, after + 16, off, end)
+                  .foreach { case (t, _) => v("dns.srv.target") = t }
+              }
+              else if (rtype == 6 && after + 10 + rdlen <= end)
+                readDnsName(d, after + 10, off, end)
+                  .foreach { case (mn, _) => v("dns.soa.mname") = mn }
               else if (rtype == 5 && after + 10 + rdlen <= end)
                 readDnsName(d, after + 10, off, end)
                   .foreach { case (cn, _) => v("dns.cname") = cn }
