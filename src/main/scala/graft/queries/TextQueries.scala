@@ -2180,8 +2180,79 @@ object TextQueries {
       FROM x
       ORDER BY doc_id"""))
 
+  /** The end-to-end CURATION FUNNEL — the whole pre-training data DAG as
+    * one oracle-checked report: raw corpus → URL-canonical dedup (the
+    * tx_url_dedup rule: keep the min doc_id per canonical URL) → quality
+    * gate (≥ 20 whitespace tokens) → exact content dedup (md5 keep-one)
+    * → train-slice selection (the tx_train_split salted-md5 rule:
+    * 48-bit hex prefix < 90% of 2⁴⁸). Output: one row per stage with
+    * surviving doc/char counts — the funnel a data-curation team reviews
+    * before every training run. Each stage is a filter or keyed keep-one
+    * over the previous survivor set; the only shuffles are the dedup
+    * groupBys, and the stage counts are map-side-combined aggregates.
+    * Every rule is integer/hash-deterministic, so DuckDB replays the
+    * funnel exactly. */
+  val txCurationFunnel = GraftQuery(
+    "tx_curation_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val raw = docs(s, dir)
+      val canonical = concat(lit("s"), ($"doc_id" % 7).cast(StringType),
+        lit("/p"), ($"doc_id" % 40).cast(StringType))
+      val urlKeep = raw.withColumn("cu", canonical)
+        .withColumn("keep",
+          min($"doc_id").over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"cu")))
+        .filter($"doc_id" === $"keep").drop("cu", "keep")
+      val quality = urlKeep.filter(size(split($"text", "\\s+")) >= 20)
+      val exact = quality
+        .withColumn("h", md5($"text"))
+        .withColumn("keep",
+          min($"doc_id").over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"h")))
+        .filter($"doc_id" === $"keep").drop("h", "keep")
+      val train = exact.filter(
+        conv(substring(md5(concat(lit("s|"), $"doc_id".cast(StringType))), 1, 12),
+          16, 10).cast(LongType) < 253327479039590L) // 0.9 * 2^48
+      def stage(n: Long, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+          .select(lit(n).as("stage"), lit(name).as("stage_name"),
+            $"n_docs", $"n_chars")
+      stage(0L, "raw", raw)
+        .unionByName(stage(1L, "url_dedup", urlKeep))
+        .unionByName(stage(2L, "quality", quality))
+        .unionByName(stage(3L, "exact_dedup", exact))
+        .unionByName(stage(4L, "train_split", train))
+        .orderBy($"stage")
+    },
+    Some("""
+      WITH raw AS (SELECT doc_id, text, n_chars FROM documents),
+      url_keep AS (
+        SELECT doc_id, text, n_chars FROM (
+          SELECT *, MIN(doc_id) OVER (PARTITION BY
+            's' || CAST(doc_id % 7 AS VARCHAR) || '/p' || CAST(doc_id % 40 AS VARCHAR)
+          ) AS keep FROM raw) WHERE doc_id = keep),
+      quality AS (
+        SELECT * FROM url_keep
+        WHERE LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) >= 20),
+      exact AS (
+        SELECT doc_id, text, n_chars FROM (
+          SELECT *, MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keep
+          FROM quality) WHERE doc_id = keep),
+      train AS (
+        SELECT * FROM exact
+        WHERE CAST(('0x' || SUBSTR(MD5('s|' || CAST(doc_id AS VARCHAR)), 1, 12))
+                   AS BIGINT) < 253327479039590)
+      SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+             COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM raw
+      UNION ALL SELECT 1, 'url_dedup', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM url_keep
+      UNION ALL SELECT 2, 'quality', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM quality
+      UNION ALL SELECT 3, 'exact_dedup', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM exact
+      UNION ALL SELECT 4, 'train_split', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM train
+      ORDER BY stage"""))
+
   val all: Seq[GraftQuery] = Seq(
-    txUrlDedup, txHtmlExtract,
+    txUrlDedup, txHtmlExtract, txCurationFunnel,
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
     txTrainSplit, txMixtureWeights, txCorpusReport, txPack,
