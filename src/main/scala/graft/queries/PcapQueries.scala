@@ -224,8 +224,28 @@ object PcapQueries {
       .agg(count(lit(1)).as("n_beacons"))
       .orderBy(col("ssid"), col("bssid")))
 
+  /** QoS / differentiated-services census over the sweep — the traffic
+    * triage a network team runs first: per-(DSCP, ECN, transport) frame
+    * and byte counts with the don't-fragment ratio, built entirely from
+    * the r8 natively-filled IP sub-fields (ip.dsfield.dscp/ecn,
+    * ip.flags.df) through the DSv2 source. */
+  val pcapQosCensus = GraftQuery(
+    "pcap_qos_census",
+    (s, _) => Wireduck.readPcap(s, sweepPath, protocols = Seq("ip", "tcp", "udp"))
+      .filter(col("`ip.dsfield.dscp`").isNotNull)
+      .withColumn("transport",
+        when(col("`tcp.srcport`").isNotNull, "tcp")
+          .when(col("`udp.srcport`").isNotNull, "udp")
+          .otherwise("other"))
+      .groupBy(col("`ip.dsfield.dscp`").as("dscp"),
+        col("`ip.dsfield.ecn`").as("ecn"), col("transport"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("`frame.len`")).as("n_bytes"),
+        sum(when(col("`ip.flags.df`"), 1L).otherwise(0L)).as("n_df"))
+      .orderBy(col("dscp"), col("ecn"), col("transport")))
+
   val all: Seq[GraftQuery] =
     Seq(pcapScan, pcapFlagship, pcapFiltered, pcapGlossary, pcapSessionStats,
       pcapHttpTls, pcapRtpStats, pcapTcpHealth, pcapDnsLatency,
-      pcapProtocolMix, pcapConversations, pcapWlanSsids)
+      pcapProtocolMix, pcapConversations, pcapWlanSsids, pcapQosCensus)
 }
