@@ -2865,7 +2865,8 @@ object Dissect {
     * offset, `pktEnd` the end of this QUIC packet (Length-bounded). */
   private def quicDecryptInitial(
       d: Array[Byte], pktStart: Int, pnOff: Int, pktEnd: Int,
-      keys: (Array[Byte], Array[Byte], Array[Byte])): Array[Byte] = {
+      keys: (Array[Byte], Array[Byte], Array[Byte]),
+      v: FieldVec = null): Array[Byte] = {
     try {
       if (pnOff + 4 + 16 > pktEnd) return null
       val (key, iv, hp) = keys
@@ -2901,7 +2902,11 @@ object Dissect {
         new javax.crypto.spec.SecretKeySpec(key, "AES"),
         new javax.crypto.spec.GCMParameterSpec(128, nonce))
       gcm.updateAAD(aad)
-      gcm.doFinal(d, pnOff + pnLen, pktEnd - (pnOff + pnLen))
+      val plain = gcm.doFinal(d, pnOff + pnLen, pktEnd - (pnOff + pnLen))
+      // pn is only trustworthy once the AEAD tag verified (doFinal throws
+      // otherwise) - surface it like tshark's decrypted-Initial rendering
+      if (v != null) v("quic.packet_number") = pn
+      plain
     } catch { case _: Exception => null }
   }
 
@@ -3026,13 +3031,13 @@ object Dissect {
                   // a server Initial only with "server in" keys from the
                   // CLIENT's original dcid held in conversation state
                   val asClient = quicDecryptInitial(d, off, pnOff, pktEnd,
-                    quicInitialKeys(ownDcid, "client in"))
+                    quicInitialKeys(ownDcid, "client in"), v)
                   if (asClient != null) {
                     if (conv != null) conv.quicClientDcid = ownDcid
                     asClient
                   } else if (conv != null && conv.quicClientDcid != null)
                     quicDecryptInitial(d, off, pnOff, pktEnd,
-                      quicInitialKeys(conv.quicClientDcid, "server in"))
+                      quicInitialKeys(conv.quicClientDcid, "server in"), v)
                   else null
                 }
             }
