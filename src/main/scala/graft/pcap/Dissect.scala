@@ -3967,7 +3967,96 @@ object Dissect {
       case Some(nm) =>
         protos += "kerberos"
         v("kerberos.msg_type") = msgType.toLong
+        if (msgType == 10 || msgType == 12) {
+          val (al, ac) = berLen(d, p + 1, p + rem)
+          if (al >= 0) krbReqNames(d, ac, math.min(ac + al, p + rem), v)
+        } else if (msgType == 30) {
+          val (al, ac) = berLen(d, p + 1, p + rem)
+          if (al >= 0) krbErrorCode(d, ac, math.min(ac + al, p + rem), v)
+        }
         nm
+    }
+  }
+
+  /** KRB-ERROR [6] error-code (RFC 4120 §5.9.1): one context-tag scan of
+    * the top-level sequence for the INTEGER. */
+  private def krbErrorCode(d: Array[Byte], start: Int, end: Int, v: FieldVec): Unit = {
+    if (start >= end || u8(d, start) != 0x30) return
+    val (sl, sc) = berLen(d, start + 1, end)
+    if (sl < 0) return
+    var p = sc
+    val lim = math.min(sc + sl, end)
+    var guard = 0
+    while (p + 2 <= lim && guard < 16) {
+      val tag = u8(d, p)
+      val (l, c) = berLen(d, p + 1, lim)
+      if (l < 0 || c + l > lim) return
+      if ((tag & 0xc0) == 0x80 && (tag & 0x1f) == 6 &&
+          c < lim && u8(d, c) == 0x02) { // [6] { INTEGER }
+        val (il, ic) = berLen(d, c + 1, c + l)
+        if (il > 0 && il <= 4 && ic + il <= c + l) {
+          var code = 0L
+          var i = 0
+          while (i < il) { code = (code << 8) | (d(ic + i) & 0xffL); i += 1 }
+          v("kerberos.error_code") = code
+        }
+        return
+      }
+      p = c + l
+      guard += 1
+    }
+  }
+
+  /** Minimal DER walk into a KDC-REQ (AS-REQ/TGS-REQ) for the triage
+    * names — the client principal's first GeneralString and the realm
+    * (RFC 4120 §5.4.1: req-body [4] { …, cname [1] PrincipalName,
+    * realm [2] Realm, … }). Bails silently on any malformed structure;
+    * full KDC body decode stays tshark's krb5 dissector territory. */
+  private def krbReqNames(d: Array[Byte], start: Int, end: Int, v: FieldVec): Unit = {
+    def walkCtx(p0: Int, lim: Int)(f: (Int, Int, Int) => Unit): Unit = {
+      var p = p0
+      var guard = 0
+      var stop = false
+      while (!stop && p + 2 <= lim && guard < 16) {
+        val tag = u8(d, p)
+        val (l, c) = berLen(d, p + 1, lim)
+        if (l < 0 || c + l > lim) stop = true
+        else {
+          if ((tag & 0xc0) == 0x80) f(tag & 0x1f, c, c + l) // context class
+          p = c + l
+          guard += 1
+        }
+      }
+    }
+    def generalString(b: Int, e: Int): Option[String] =
+      if (b < e && u8(d, b) == 0x1b) {
+        val (gl, gc) = berLen(d, b + 1, e)
+        if (gl >= 0 && gc + gl <= e)
+          Some(new String(d, gc, gl, "ISO-8859-1"))
+        else None
+      } else None
+    if (start >= end || u8(d, start) != 0x30) return
+    val (sl, sc) = berLen(d, start + 1, end)
+    if (sl < 0) return
+    walkCtx(sc, math.min(sc + sl, end)) { (n, b, e) =>
+      if (n == 4 && b < e && u8(d, b) == 0x30) { // req-body KDC-REQ-BODY
+        val (bl, bc) = berLen(d, b + 1, e)
+        if (bl >= 0) walkCtx(bc, math.min(bc + bl, e)) { (m, rb, re) =>
+          if (m == 1 && rb < re && u8(d, rb) == 0x30) {
+            // cname PrincipalName: [0] name-type, [1] SEQUENCE OF GeneralString
+            val (pl, pc) = berLen(d, rb + 1, re)
+            if (pl >= 0) walkCtx(pc, math.min(pc + pl, re)) { (k, nb, ne) =>
+              if (k == 1 && nb < ne && u8(d, nb) == 0x30) {
+                val (ql, qc) = berLen(d, nb + 1, ne)
+                if (ql >= 0)
+                  generalString(qc, math.min(qc + ql, ne))
+                    .foreach(s => v("kerberos.CNameString") = s)
+              }
+            }
+          } else if (m == 2)
+            generalString(rb, re).foreach(s => v("kerberos.realm") = s)
+        }
+      }
     }
   }
 

@@ -316,7 +316,17 @@ extra.append((t3, 2300, ip_frame(17, A, B, udp(49171, 49170, rtp2), ident=58)))
 
 # 25-27: Kerberos — AS-REQ / AS-REP over UDP 88, TGS-REQ over TCP 88
 # (4-byte record length prefix). DER application tags 10/11/12.
-krb_as_req = bytes([0x6A, 0x10]) + bytes([0x30, 0x0E]) + bytes(14)
+# realistic AS-REQ DER (RFC 4120 §5.4.1): pvno, msg-type, req-body with
+# kdc-options, cname PrincipalName ("alice") and realm "EXAMPLE.COM"
+def der(tag, body):
+    return bytes([tag, len(body)]) + body
+_krb_cname = der(0x30, der(0xA0, der(0x02, b"\x01")) +
+                 der(0xA1, der(0x30, der(0x1B, b"alice"))))
+_krb_body = der(0x30, der(0xA0, der(0x03, b"\x00\x00\x00\x00\x00")) +
+                der(0xA1, _krb_cname) + der(0xA2, der(0x1B, b"EXAMPLE.COM")))
+krb_as_req = der(0x6A, der(0x30, der(0xA1, der(0x02, b"\x05")) +
+                           der(0xA2, der(0x02, b"\x0A")) +
+                           der(0xA4, _krb_body)))
 extra.append((t3, 2400, ip_frame(17, A, B, udp(49900, 88, krb_as_req), ident=59)))
 krb_as_rep = bytes([0x6B, 0x10]) + bytes([0x30, 0x0E]) + bytes(14)
 extra.append((t3, 2500, ip_frame(17, B, A, udp(88, 49900, krb_as_rep), ident=60)))
