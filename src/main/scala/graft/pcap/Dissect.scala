@@ -2250,6 +2250,20 @@ object Dissect {
         appInfo = dissectGopher(appBuf, appOff, appLen, fromServer = sp == 70, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 113 || dp == 113))
         appInfo = dissectIdent(appBuf, appOff, appLen, fromServer = sp == 113, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 9418 || dp == 9418))
+        appInfo = dissectGit(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 11210 || dp == 11210))
+        appInfo = dissectCouchbase(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 1521 || dp == 1521))
+        appInfo = dissectTns(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 5050 || dp == 5050))
+        appInfo = dissectYmsg(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 3632 || dp == 3632))
+        appInfo = dissectDistcc(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 5900 || dp == 5900))
+        appInfo = dissectSpice(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 6000 || dp == 6000))
+        appInfo = dissectX11(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -2736,6 +2750,11 @@ object Dissect {
       val srtInfo = dissectSrt(d, off + 8, math.min(payLen, d.length - off - 8),
         v, protos)
       if (srtInfo != null) return srtInfo
+    }
+    if (sp == 3130 || dp == 3130) {
+      val icpInfo = dissectIcp(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (icpInfo != null) return icpInfo
     }
     if (!wanted.info) ""
     else if (wanted.infoBytes) {
@@ -6806,6 +6825,192 @@ object Dissect {
     }
     if (e == lim) return null // no terminator inside the window
     new String(d, off, e - off, java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  // ------------------------------------------------------------------
+  // Tier 31: git / couchbase / tns / icp / ymsg / distcc / spice / x11 —
+  // all from public wire formats (git pack-protocol pkt-line, the
+  // memcached binary framing couchbase speaks, Oracle TNS packet header,
+  // ICP RFC 2186, the published YMSG header layout, distcc's DIST/ARGC
+  // hex tokens, the SPICE link header, X11 connection setup).
+  // ------------------------------------------------------------------
+
+  /** git pack protocol (TCP 9418): 4-hex-digit pkt-line length, then the
+    * line ("git-upload-pack /repo\0host=…"); "0000" is a flush-pkt. */
+  private def dissectGit(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4) return null
+    var n = 0
+    var i = 0
+    while (i < 4) {
+      val c = u8(d, off + i)
+      val h = if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else return null
+      n = (n << 4) | h
+      i += 1
+    }
+    protos += "git"
+    v("git.length") = n.toLong
+    if (n == 0) return "Flush pkt"
+    if (n < 4 || n > len) return s"pkt-line, len $n"
+    var e = off + 4
+    val lim = off + math.min(n, 4 + 120)
+    while (e < lim && d(e) != 0 && d(e) != '\n') e += 1
+    val line = new String(d, off + 4, e - (off + 4),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    v("git.data") = line
+    line
+  }
+
+  private val couchbaseOpNames = Map(
+    0x00 -> "Get", 0x01 -> "Set", 0x02 -> "Add", 0x04 -> "Delete",
+    0x0a -> "No-op", 0x10 -> "Stat", 0x1f -> "SASL Auth", 0x89 -> "Select Bucket")
+
+  /** Couchbase / memcached binary framing (TCP 11210): magic 0x80
+    * request / 0x81 response, opcode, key/extras lengths, body length. */
+  private def dissectCouchbase(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 24) return null
+    val magic = u8(d, off)
+    if (magic != 0x80 && magic != 0x81) return null
+    val opcode = u8(d, off + 1)
+    protos += "couchbase"
+    v("couchbase.magic") = magic.toLong
+    v("couchbase.opcode") = opcode.toLong
+    val dirn = if (magic == 0x80) "Request" else "Response"
+    s"$dirn: ${couchbaseOpNames.getOrElse(opcode, f"opcode 0x$opcode%02x")}"
+  }
+
+  private val tnsTypeNames = Map(
+    1 -> "Connect", 2 -> "Accept", 4 -> "Refuse", 5 -> "Redirect",
+    6 -> "Data", 11 -> "Resend", 12 -> "Marker", 14 -> "Abort")
+
+  /** Oracle TNS (TCP 1521): packet length, checksum, packet type. */
+  private def dissectTns(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8) return null
+    val plen = u16(d, off)
+    val typ = u8(d, off + 4)
+    val name = tnsTypeNames.getOrElse(typ, return null)
+    if (plen < 8) return null
+    protos += "tns"
+    v("tns.length") = plen.toLong
+    v("tns.type") = typ.toLong
+    name
+  }
+
+  private val icpOpNames = Map(
+    1 -> "ICP_QUERY", 2 -> "ICP_HIT", 3 -> "ICP_MISS", 4 -> "ICP_ERR",
+    10 -> "ICP_SECHO", 11 -> "ICP_DECHO", 21 -> "ICP_MISS_NOFETCH",
+    22 -> "ICP_DENIED")
+
+  /** ICP (RFC 2186, UDP 3130): opcode, version, message length. */
+  private def dissectIcp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 20) return null
+    val op = u8(d, off)
+    val ver = u8(d, off + 1)
+    val name = icpOpNames.getOrElse(op, return null)
+    if (ver != 2 && ver != 3) return null
+    protos += "icp"
+    v("icp.opcode") = op.toLong
+    v("icp.version") = ver.toLong
+    v("icp.length") = u16(d, off + 2).toLong
+    name
+  }
+
+  /** Yahoo Messenger YMSG (TCP 5050): "YMSG" magic, version, vendor,
+    * payload length, service, status, session id. */
+  private def dissectYmsg(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 20) return null
+    if (d(off) != 'Y' || d(off + 1) != 'M' || d(off + 2) != 'S' || d(off + 3) != 'G')
+      return null
+    protos += "ymsg"
+    val ver = u16(d, off + 4)
+    val service = u16(d, off + 10)
+    v("ymsg.version") = ver.toLong
+    v("ymsg.service") = service.toLong
+    v("ymsg.status") = u32(d, off + 12)
+    s"YMSG v$ver service $service"
+  }
+
+  /** distcc (TCP 3632): 4-char token + 8 hex digits per field —
+    * DIST <version>, ARGC <count>, … (the published token protocol). */
+  private def dissectDistcc(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 12) return null
+    def hex8(o: Int): Long = {
+      var n = 0L
+      var i = 0
+      while (i < 8) {
+        val c = u8(d, o + i)
+        val h = if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else return -1L
+        n = (n << 4) | h
+        i += 1
+      }
+      n
+    }
+    val tok = new String(d, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tok != "DIST" && tok != "DONE") return null
+    val ver = hex8(off + 4)
+    if (ver < 0) return null
+    protos += "distcc"
+    v("distcc.version") = ver
+    // ARGC follows DIST in a request
+    if (tok == "DIST" && len >= 24 &&
+        new String(d, off + 12, 4, java.nio.charset.StandardCharsets.US_ASCII) == "ARGC") {
+      val argc = hex8(off + 16)
+      if (argc >= 0) v("distcc.argc") = argc
+    }
+    s"$tok ${ver}"
+  }
+
+  /** SPICE link header (magic "REDQ", LE major/minor/size). Shares port
+    * 5900 with VNC; the magic disambiguates. */
+  private def dissectSpice(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 16) return null
+    if (d(off) != 'R' || d(off + 1) != 'E' || d(off + 2) != 'D' || d(off + 3) != 'Q')
+      return null
+    protos += "spice"
+    val major = ((d(off + 4) & 0xffL)) | ((d(off + 5) & 0xffL) << 8) |
+      ((d(off + 6) & 0xffL) << 16) | ((d(off + 7) & 0xffL) << 24)
+    v("spice.magic") = "REDQ"
+    v("spice.major_version") = major
+    s"Link header, protocol $major"
+  }
+
+  /** X11 (TCP 6000): the connection setup packet leads with the
+    * byte-order marker 'B' (MSB) or 'l' (LSB) + protocol 11. */
+  private def dissectX11(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 12) return null
+    val bo = u8(d, off)
+    if (bo != 'B' && bo != 'l') return null
+    val major = if (bo == 'B') u16(d, off + 2) else u8(d, off + 2) | (u8(d, off + 3) << 8)
+    if (major != 11) return null
+    protos += "x11"
+    s"Initial connection request (${if (bo == 'B') "MSB" else "LSB"} first)"
   }
 
   /** finger (TCP 79, RFC 1288): the request is one "[/W ]user" line. */

@@ -1305,6 +1305,36 @@ extra.append((t3, 19900, ip_frame(6, A, B, tcp(50077, 70, 1, b"/docs/readme\r\n"
 extra.append((t3, 20000, ip_frame(6, A, B, tcp(50078, 113, 1, b"6195, 23\r\n"),
                                   ident=228)))
 
+# 203-210: tier 31 — git pkt-line, couchbase binary, Oracle TNS connect,
+# ICP query, YMSG header, distcc request, SPICE link header, X11 setup
+gitline = b"git-upload-pack /project.git\x00host=git.example.com\x00"
+gitpkt = ("%04x" % (4 + len(gitline))).encode() + gitline
+extra.append((t3, 20100, ip_frame(6, A, B, tcp(50080, 9418, 1, gitpkt), ident=229)))
+
+cb = bytes([0x80, 0x00]) + struct.pack(">HBB", 5, 0, 0) + \
+    struct.pack(">HIIQ", 0, 5, 0x1234, 0) + b"mykey"
+extra.append((t3, 20200, ip_frame(6, A, B, tcp(50081, 11210, 1, cb), ident=230)))
+
+tns_body = b"(CONNECT_DATA=(SERVICE_NAME=orcl))"
+tns = struct.pack(">HHBB", 8 + 2 + len(tns_body), 0, 1, 0) + \
+    struct.pack(">H", 0x0134) + tns_body
+extra.append((t3, 20300, ip_frame(6, A, B, tcp(50082, 1521, 1, tns), ident=231)))
+
+icp = struct.pack(">BBHIII", 1, 2, 24, 0x42, 0, 0) + b"\x00" * 4 + b"url\x00"
+extra.append((t3, 20400, ip_frame(17, A, B, udp(50083, 3130, icp), ident=232)))
+
+ymsg = b"YMSG" + struct.pack(">HHHHI", 16, 0, 0, 6, 0) + struct.pack(">I", 0xBEEF)
+extra.append((t3, 20500, ip_frame(6, A, B, tcp(50084, 5050, 1, ymsg), ident=233)))
+
+distcc = b"DIST00000001ARGC00000004"
+extra.append((t3, 20600, ip_frame(6, A, B, tcp(50085, 3632, 1, distcc), ident=234)))
+
+spice = b"REDQ" + struct.pack("<III", 2, 2, 18) + struct.pack("<IH", 1, 0)
+extra.append((t3, 20700, ip_frame(6, A, B, tcp(50086, 5900, 1, spice), ident=235)))
+
+x11 = b"l\x00" + struct.pack("<HH", 11, 0) + struct.pack("<HHH", 0, 0, 0) + b"\x00\x00"
+extra.append((t3, 20800, ip_frame(6, A, B, tcp(50087, 6000, 1, x11), ident=236)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
