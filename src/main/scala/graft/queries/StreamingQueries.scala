@@ -486,8 +486,67 @@ object StreamingQueries {
       FROM agg
       ORDER BY doc_id"""))
 
+  /** The streaming INGEST GATE — the per-document admission decision a
+    * 100 TB pipeline makes as data arrives, composed in ONE stateless
+    * plan: token-count quality gate (≥ 20 whitespace tokens) ∧ NOT
+    * Bloom-membership (the corpus pre-filter) → accepted. Everything is
+    * per-row compute + the stream-static broadcast Bloom probe, so the
+    * identical plan runs in batch (oracle-checked below) and under
+    * Structured Streaming append mode with zero state. Accepted docs
+    * flow on to the heavier batch passes (MinHash, clustering); rejected
+    * ones carry their reason. */
+  val stCurationGate = GraftQuery(
+    "st_curation_gate",
+    (s, dir) => {
+      import s.implicits._
+      val hashed = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text", md5($"text").as("h"))
+      val bloom = graft.functions.BloomDedup.fit(
+        hashed.filter($"doc_id" % 10 =!= 7).select($"doc_id", $"h"))
+      val verdicts = graft.functions.BloomDedup.probe(
+        hashed.filter($"doc_id" % 10 === 7).select($"doc_id", $"h"),
+        graft.functions.BloomDedup.fitMapRow(bloom))
+      hashed.filter($"doc_id" % 10 === 7)
+        .withColumn("n_tokens", size(split($"text", "\\s+")).cast("long"))
+        .join(verdicts, Seq("doc_id"))
+        .select($"doc_id", $"n_tokens", $"bloom_hit",
+          ($"n_tokens" >= 20L && !$"bloom_hit").as("accepted"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text, MD5(text) AS h FROM documents),
+      corpus AS (SELECT * FROM d WHERE doc_id % 10 <> 7),
+      arriving AS (SELECT * FROM d WHERE doc_id % 10 = 7),
+      js AS (SELECT UNNEST(['0', '1', '2']) AS j),
+      cpos AS (
+        SELECT CAST(('0x' || SUBSTR(MD5(j || '|' || h), 1, 12)) AS BIGINT) % 4032 AS pos
+        FROM corpus, js),
+      bloom AS (
+        SELECT pos // 63 AS word,
+               BIT_OR(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+        FROM cpos GROUP BY 1),
+      apos AS (
+        SELECT doc_id,
+               CAST(('0x' || SUBSTR(MD5(j || '|' || h), 1, 12)) AS BIGINT) % 4032 AS pos
+        FROM arriving, js),
+      probe AS (
+        SELECT a.doc_id,
+               COALESCE((b.bits >> CAST(a.pos % 63 AS INT)) & 1 = 1, FALSE) AS hit
+        FROM apos a LEFT JOIN bloom b ON b.word = a.pos // 63),
+      agg AS (
+        SELECT doc_id, CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+        FROM probe GROUP BY doc_id),
+      toks AS (
+        SELECT doc_id, CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS BIGINT) AS n_tokens
+        FROM arriving)
+      SELECT t.doc_id, t.n_tokens, ag.n_set = 3 AS bloom_hit,
+             t.n_tokens >= 20 AND NOT (ag.n_set = 3) AS accepted
+      FROM toks t JOIN agg ag ON ag.doc_id = t.doc_id
+      ORDER BY t.doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(stSessionize, stWindowedCounts, stDistinctUsers, stSlidingRates,
       stDedup, stIntervalJoin, stAttributionOuter, stSessionWindow, stEnrich,
-      stRateLimit, stTopk, stUpsert, stPattern, stAnnServe, stBloomDedup)
+      stRateLimit, stTopk, stUpsert, stPattern, stAnnServe, stBloomDedup,
+      stCurationGate)
 }

@@ -585,4 +585,38 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("bloomprobe").orderBy("doc_id").collect()
     assert(batch.map(_.toSeq).toSeq === streamed.map(_.toSeq).toSeq)
   }
+
+  test("streaming curation gate: quality ∧ ¬bloom verdict equals batch, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((0L, "known doc body"), (1L, "other known body"))
+      .toDF("doc_id", "text").select($"doc_id", md5($"text").as("h"))
+    val bloomMap = graft.functions.BloomDedup.fitMapRow(
+      graft.functions.BloomDedup.fit(corpus))
+    val arriving = Seq(
+      (100L, "known doc body"), // member → rejected as dup
+      (101L, ("w " * 25).trim), // 25 tokens, fresh → accepted
+      (102L, "too short"))      // fresh but fails the quality gate
+    def gate(df: org.apache.spark.sql.DataFrame) = {
+      val hashed = df.select($"doc_id", $"text", md5($"text").as("h"))
+      hashed
+        .withColumn("n_tokens", size(split($"text", "\\s+")).cast("long"))
+        .join(graft.functions.BloomDedup.probe(
+          hashed.select($"doc_id", $"h"), bloomMap), Seq("doc_id"))
+        .select($"doc_id", $"n_tokens", $"bloom_hit",
+          ($"n_tokens" >= 20L && !$"bloom_hit").as("accepted"))
+    }
+    val batch = gate(arriving.toDF("doc_id", "text")).orderBy("doc_id").collect()
+    assert(batch.map(r => r.getLong(0) -> r.getBoolean(3)).toMap ===
+      Map(100L -> false, 101L -> true, 102L -> false))
+
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(arriving: _*)
+    val q = gate(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curationgate")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("curationgate").orderBy("doc_id").collect()
+    assert(batch.map(_.toSeq).toSeq === streamed.map(_.toSeq).toSeq)
+  }
 }
