@@ -2251,8 +2251,87 @@ object TextQueries {
       UNION ALL SELECT 4, 'train_split', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM train
       ORDER BY stage"""))
 
+  /** Bloom-filter HEALTH report — the dd_lsh_stats twin for the Bloom
+    * tier: word-level fill statistics (set bits via bit_count over the
+    * fitted words), the THEORETICAL false-positive rate (fill³ — 3
+    * independent hash probes), and the OBSERVED FP rate from the
+    * arriving slice's ground truth, side by side. This is the report
+    * that says "grow m" before the pre-filter starts waving dups
+    * through; counts-only aggregates, one row out. The fill³ power is
+    * one exactly-rounded IEEE multiply chain, bit-identical in DuckDB. */
+  val ddBloomStats = GraftQuery(
+    "dd_bloom_stats",
+    (s, dir) => {
+      import s.implicits._
+      val hashed = docs(s, dir).select($"doc_id", md5($"text").as("h"))
+      val corpus = hashed.filter($"doc_id" % 10 =!= 7)
+      val bloom = graft.functions.BloomDedup.fit(corpus).cache()
+      val fill = bloom.agg(
+        count(lit(1)).as("n_words"),
+        sum(expr("bit_count(bits)")).cast("long").as("set_bits"))
+        .select($"n_words", $"set_bits",
+          ($"set_bits".cast(DoubleType) / lit(4032.0d)).as("fill"))
+      val verdicts = ddBloomFilter.fn(s, dir)
+      val observed = verdicts.agg(
+        count(lit(1)).as("n_probed"),
+        sum(when($"false_positive", 1L).otherwise(0L)).as("n_fp"),
+        sum(when(!$"exact_dup", 1L).otherwise(0L)).as("n_nondup"))
+      fill.crossJoin(observed)
+        .select($"n_words", $"set_bits", $"fill",
+          (($"fill" * $"fill") * $"fill").as("predicted_fp_rate"),
+          $"n_probed", $"n_fp",
+          ($"n_fp".cast(DoubleType) / $"n_nondup".cast(DoubleType))
+            .as("observed_fp_rate"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, MD5(text) AS h FROM documents),
+      corpus AS (SELECT * FROM d WHERE doc_id % 10 <> 7),
+      arriving AS (SELECT * FROM d WHERE doc_id % 10 = 7),
+      js AS (SELECT UNNEST(['0', '1', '2']) AS j),
+      cpos AS (
+        SELECT CAST(('0x' || SUBSTR(MD5(j || '|' || h), 1, 12)) AS BIGINT) % 4032 AS pos
+        FROM corpus, js),
+      bloom AS (
+        SELECT pos // 63 AS word,
+               BIT_OR(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+        FROM cpos GROUP BY 1),
+      fill AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(BIT_COUNT(bits)) AS BIGINT) AS set_bits
+        FROM bloom),
+      apos AS (
+        SELECT doc_id,
+               CAST(('0x' || SUBSTR(MD5(j || '|' || h), 1, 12)) AS BIGINT) % 4032 AS pos
+        FROM arriving, js),
+      probe AS (
+        SELECT a.doc_id,
+               COALESCE((b.bits >> CAST(a.pos % 63 AS INT)) & 1 = 1, FALSE) AS hit
+        FROM apos a LEFT JOIN bloom b ON b.word = a.pos // 63),
+      agg AS (
+        SELECT doc_id, SUM(CASE WHEN hit THEN 1 ELSE 0 END) = 3 AS bloom_hit
+        FROM probe GROUP BY doc_id),
+      ex AS (
+        SELECT a.doc_id, a.h IN (SELECT h FROM corpus) AS exact_dup
+        FROM arriving a),
+      obs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+               CAST(SUM(CASE WHEN ag.bloom_hit AND NOT ex.exact_dup
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+               CAST(SUM(CASE WHEN NOT ex.exact_dup THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nondup
+        FROM agg ag JOIN ex ON ex.doc_id = ag.doc_id)
+      SELECT f.n_words, f.set_bits,
+             CAST(f.set_bits AS DOUBLE) / 4032.0 AS fill,
+             ((CAST(f.set_bits AS DOUBLE) / 4032.0)
+               * (CAST(f.set_bits AS DOUBLE) / 4032.0))
+               * (CAST(f.set_bits AS DOUBLE) / 4032.0) AS predicted_fp_rate,
+             o.n_probed, o.n_fp,
+             CAST(o.n_fp AS DOUBLE) / CAST(o.n_nondup AS DOUBLE)
+               AS observed_fp_rate
+      FROM fill f, obs o"""))
+
   val all: Seq[GraftQuery] = Seq(
-    txUrlDedup, txHtmlExtract, txCurationFunnel,
+    txUrlDedup, txHtmlExtract, txCurationFunnel, ddBloomStats,
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
     txTrainSplit, txMixtureWeights, txCorpusReport, txPack,
