@@ -852,6 +852,7 @@ object Dissect {
             // AF written in the capturing host's byte order (values < 256,
             // so exactly one end of the word is nonzero) — accept either
             val af = if (u8(d, 0) != 0) u8(d, 0) else u8(d, 3)
+            v("null.family") = af.toLong
             val s = af match {
               case 2 => dissectIpv4(d, 4, v, protos, tracker, wanted)
               case 24 | 28 | 30 => dissectIpv6(d, 4, v, protos, tracker, wanted)
@@ -917,6 +918,9 @@ object Dissect {
     if (d.length < off + 14) return null
     v.set(Id_eth_dst, macStr(d, off))
     v.set(Id_eth_src, macStr(d, off + 6))
+    // "Source or Destination" rendering + the dst group/individual bit
+    v("eth.addr") = s"${macStr(d, off)},${macStr(d, off + 6)}"
+    v("eth.ig") = (u8(d, off) & 0x01) != 0
     var etherType = u16(d, off + 12)
     var l3off = off + 14
     if (etherType == 0x8100 && d.length >= l3off + 4) { // 802.1Q tag
@@ -933,7 +937,7 @@ object Dissect {
       // 802.3 frames carry a LENGTH here, not a type — no ethertype layer
       v.set(Id_eth_type, etherType.toLong)
       protos += "ethertype"
-    }
+    } else v("eth.len") = etherType.toLong
     etherType match {
       case 0x0800 => dissectIpv4(d, l3off, v, protos, tracker, wanted)
       case 0x86dd => dissectIpv6(d, l3off, v, protos, tracker, wanted)
@@ -2388,7 +2392,40 @@ object Dissect {
     v.set(Id_udp_port, sp.toLong)
     v.set(Id_udp_stream, conv.stream)
     v.set(Id_udp_length, len.toLong)
-    v.set(Id_udp_checksum, u16(d, off + 6).toLong)
+    val ckStored = u16(d, off + 6)
+    v.set(Id_udp_checksum, ckStored.toLong)
+    // FT_NONE expert flags: PRESENT (label string) when the condition
+    // holds, NULL otherwise — tshark's -T fields rendering for expert items
+    if (ckStored == 0) v("udp.checksum.zero") = "Illegal checksum value (0)"
+    if (len < 8) v("udp.length.bad") = "Bad length value"
+    // verify the checksum over the IPv4 pseudo-header when the datagram is
+    // fully captured (v6 strings are not reparsed; those stay unverified)
+    if (ckStored != 0 && len >= 8 && off + len <= d.length &&
+        srcIp != null && srcIp.indexOf('.') > 0) {
+      val sp4 = srcIp.split('.'); val dp4 = dstIp.split('.')
+      if (sp4.length == 4 && dp4.length == 4) {
+        var sum = 0L
+        def add16(x: Int): Unit = sum += (x & 0xffff)
+        add16((sp4(0).toInt << 8) | sp4(1).toInt)
+        add16((sp4(2).toInt << 8) | sp4(3).toInt)
+        add16((dp4(0).toInt << 8) | dp4(1).toInt)
+        add16((dp4(2).toInt << 8) | dp4(3).toInt)
+        add16(17); add16(len)
+        var i = off
+        val udpEnd = off + len
+        while (i + 1 < udpEnd) {
+          if (i != off + 6) add16((u8(d, i) << 8) | u8(d, i + 1))
+          i += 2
+        }
+        if (i < udpEnd) add16(u8(d, i) << 8)
+        while ((sum >> 16) != 0) sum = (sum & 0xffff) + (sum >> 16)
+        val calc0 = (~sum).toInt & 0xffff
+        val calc = if (calc0 == 0) 0xffff else calc0
+        v("udp.checksum_calculated") = calc.toLong
+        if (calc != ckStored) v("udp.checksum.bad") = "Bad checksum"
+        v("udp.checksum.status") = if (calc == ckStored) 1L else 0L
+      }
+    }
     v.set(Id_udp_pdu_size, payLen.toLong)
     if (wanted.payloads && payLen > 0 && off + 8 < d.length)
       v.set(Id_udp_payload, hexBytes(d, off + 8, math.min(payLen, d.length - off - 8)))
@@ -3016,6 +3053,7 @@ object Dissect {
       if (scl > 20 || end < off + 7 + dcl + scl) return null
       protos += "quic"
       conv.quic = true
+      v("quic.fixed_bit") = (first & 0x40) != 0
       v("quic.version") = ver
       if (dcl > 0) v("quic.dcid") = hexBytes(d, off + 6, dcl)
       if (scl > 0) v("quic.scid") = hexBytes(d, off + 7 + dcl, scl)
@@ -3080,6 +3118,7 @@ object Dissect {
     } else if (conv.quic) {
       // short header: 1-RTT protected payload, headers are opaque
       protos += "quic"
+      v("quic.fixed_bit") = (first & 0x40) != 0
       "Protected Payload"
     } else null
   }
@@ -4061,15 +4100,17 @@ object Dissect {
       if (n == 4 && b < e && u8(d, b) == 0x30) { // req-body KDC-REQ-BODY
         val (bl, bc) = berLen(d, b + 1, e)
         if (bl >= 0) walkCtx(bc, math.min(bc + bl, e)) { (m, rb, re) =>
-          if (m == 1 && rb < re && u8(d, rb) == 0x30) {
-            // cname PrincipalName: [0] name-type, [1] SEQUENCE OF GeneralString
+          // cname [1] / sname [3]: PrincipalName = SEQUENCE {
+          //   [0] name-type, [1] SEQUENCE OF GeneralString }
+          if ((m == 1 || m == 3) && rb < re && u8(d, rb) == 0x30) {
+            val field = if (m == 1) "kerberos.CNameString" else "kerberos.SNameString"
             val (pl, pc) = berLen(d, rb + 1, re)
             if (pl >= 0) walkCtx(pc, math.min(pc + pl, re)) { (k, nb, ne) =>
               if (k == 1 && nb < ne && u8(d, nb) == 0x30) {
                 val (ql, qc) = berLen(d, nb + 1, ne)
                 if (ql >= 0)
                   generalString(qc, math.min(qc + ql, ne))
-                    .foreach(s => v("kerberos.CNameString") = s)
+                    .foreach(s => v(field) = s)
               }
             }
           } else if (m == 2)
@@ -4545,6 +4586,14 @@ object Dissect {
     v("mbtcp.trans_id") = trans.toLong
     v("mbtcp.unit_id") = unit.toLong
     v("modbus.func_code") = func.toLong
+    if (isException && len >= 9)
+      v("modbus.exception_code") = u8(d, off + 8).toLong
+    else if ((func == 1 || func == 2 || func == 3 || func == 4 ||
+        func == 15 || func == 16) && len >= 12 && mlen >= 6) {
+      // read/write-multiple requests: reference number + count words
+      v("modbus.reference_num") = u16(d, off + 8).toLong
+      v("modbus.word_cnt") = u16(d, off + 10).toLong
+    }
     val name = modbusFuncNames.getOrElse(func, s"Func $func")
     if (isException) s"Trans $trans; Unit $unit; Func $func: $name (Exception)"
     else s"Trans $trans; Unit $unit; Func $func: $name"
@@ -7591,6 +7640,8 @@ object Dissect {
     if (dsap == 0xaa && ssap == 0xaa && ctrl == 0x03 && end - off >= 8) {
       val oui = ((d(off + 3) & 0xff) << 16) | ((d(off + 4) & 0xff) << 8) | (d(off + 5) & 0xff)
       val pid = u16(d, off + 6)
+      v("llc.oui") = oui.toLong
+      v("llc.type") = pid.toLong
       if (oui == 0x00000c && pid == 0x2000)
         return dissectCdp(d, off + 8, end, v, protos)
     }
@@ -8340,9 +8391,14 @@ object Dissect {
     try {
       var sni: Option[String] = None
       var i = hs + 4 // type(1) + length(3)
+      if (i + 34 <= end) v("tls.handshake.random") = hexBytes(d, i + 2, 32)
       i += 2 + 32 // client_version + random
       if (i >= end) return None
-      val sidLen = u8(d, i); i += 1 + sidLen // session_id
+      val sidLen = u8(d, i)
+      v("tls.handshake.session_id_length") = sidLen.toLong
+      if (sidLen > 0 && i + 1 + sidLen <= end)
+        v("tls.handshake.session_id") = hexBytes(d, i + 1, sidLen)
+      i += 1 + sidLen // session_id
       if (i + 2 > end) return None
       val csLen = u16(d, i); i += 2 // cipher_suites
       if (csLen >= 2 && i + 2 <= end) {
@@ -8359,10 +8415,16 @@ object Dissect {
       if (i + 1 > end) return None
       val compLen = u8(d, i); i += 1 + compLen // compression_methods
       if (i + 2 > end) return None
+      v("tls.handshake.extensions_length") = u16(d, i).toLong
       val extEnd = math.min(end, i + 2 + u16(d, i)); i += 2
+      var firstExt = true
       while (i + 4 <= extEnd) {
         val extType = u16(d, i)
         val extLen = u16(d, i + 2)
+        if (firstExt) { v("tls.handshake.extension.type") = extType.toLong; firstExt = false }
+        if (extType == 51 && i + 4 + extLen <= extEnd && extLen >= 4)
+          // key_share (CH): client_shares_len(2) then group(2) …
+          v("tls.handshake.extensions_key_share_group") = u16(d, i + 6).toLong
         if (extType == 0 && i + 4 + extLen <= extEnd && extLen >= 5) {
           // server_name_list: list_len(2) name_type(1) name_len(2) name
           val nameLen = u16(d, i + 7)

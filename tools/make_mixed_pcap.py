@@ -1335,6 +1335,27 @@ extra.append((t3, 20700, ip_frame(6, A, B, tcp(50086, 5900, 1, spice), ident=235
 x11 = b"l\x00" + struct.pack("<HH", 11, 0) + struct.pack("<HHH", 0, 0, 0) + b"\x00\x00"
 extra.append((t3, 20800, ip_frame(6, A, B, tcp(50087, 6000, 1, x11), ident=236)))
 
+# 211-212: UDP checksum-verification fixtures — one datagram with the
+# CORRECT RFC 768 checksum, one with a deliberately corrupted value
+def udp_ck(sp, dp, payload, src, dst, corrupt=False):
+    length = 8 + len(payload)
+    pseudo = bytes(src) + bytes(dst) + struct.pack(">BBH", 0, 17, length)
+    seg = struct.pack(">HHHH", sp, dp, length, 0) + payload
+    data = pseudo + seg + (b"\x00" if len(seg) % 2 else b"")
+    s = sum(struct.unpack(">%dH" % (len(data) // 2), data))
+    while s >> 16:
+        s = (s & 0xFFFF) + (s >> 16)
+    ck = (~s) & 0xFFFF or 0xFFFF
+    if corrupt:
+        ck ^= 0x00FF
+    return struct.pack(">HHHH", sp, dp, length, ck) + payload
+
+extra.append((t3, 20900, ip_frame(17, A, B,
+                                  udp_ck(40001, 9, b"goodsum", A, B), ident=237)))
+extra.append((t3, 21000, ip_frame(17, A, B,
+                                  udp_ck(40002, 9, b"badsum!!", A, B, corrupt=True),
+                                  ident=238)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
