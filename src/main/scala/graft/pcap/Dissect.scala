@@ -946,6 +946,8 @@ object Dissect {
         dissectArp(d, l3off, v)
       case 0x88cc =>
         dissectLldp(d, l3off, v, protos)
+      case 0x88a2 =>
+        dissectAoe(d, l3off, v, protos)
       case 0x8863 =>
         dissectPppoed(d, l3off, v, protos)
       case 0x0842 =>
@@ -1319,6 +1321,7 @@ object Dissect {
       case 2  => protos += "igmp"; dissectIgmp(d, next, ipEnd, v)
       case 47 => dissectGre(d, next, ipEnd, v, protos, tracker, wanted)
       case 50 => protos += "esp"; dissectEsp(d, next, ipEnd, v)
+      case 97 => dissectEtherip(d, next, ipEnd, v, protos, tracker, wanted)
       case 51 => dissectAh(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
       case 88  => dissectEigrp(d, next, ipEnd, v, protos)
       case 89  => protos += "ospf"; dissectOspf(d, next, ipEnd, v)
@@ -1438,6 +1441,7 @@ object Dissect {
       case 58 => protos += "icmpv6"; dissectIcmpv6(d, p, end, v)
       case 47 => dissectGre(d, p, end, v, protos, tracker, wanted)
       case 50 => protos += "esp"; dissectEsp(d, p, end, v)
+      case 97 => dissectEtherip(d, p, end, v, protos, tracker, wanted)
       case 51 => dissectAh(d, p, end, src, dst, v, protos, tracker, wanted)
       case 89  => protos += "ospf"; dissectOspf(d, p, end, v)
       case 132 => dissectSctp(d, p, end, v, protos)
@@ -2268,6 +2272,16 @@ object Dissect {
         appInfo = dissectSpice(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 6000 || dp == 6000))
         appInfo = dissectX11(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 2855 || dp == 2855))
+        appInfo = dissectMsrp(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 61616 || dp == 61616))
+        appInfo = dissectOpenwire(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 2600 || dp == 2600))
+        appInfo = dissectZebra(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 10000 || dp == 10000))
+        appInfo = dissectHpfeeds(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 8020 || dp == 8020))
+        appInfo = dissectHdfs(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -2792,6 +2806,11 @@ object Dissect {
       val icpInfo = dissectIcp(d, off + 8, math.min(payLen, d.length - off - 8),
         v, protos)
       if (icpInfo != null) return icpInfo
+    }
+    if (sp == 3544 || dp == 3544) {
+      val trdInfo = dissectTeredo(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos, tracker, wanted)
+      if (trdInfo != null) return trdInfo
     }
     if (!wanted.info) ""
     else if (wanted.infoBytes) {
@@ -7060,6 +7079,180 @@ object Dissect {
     if (major != 11) return null
     protos += "x11"
     s"Initial connection request (${if (bo == 'B') "MSB" else "LSB"} first)"
+  }
+
+  // ------------------------------------------------------------------
+  // Tier 32: Teredo / EtherIP tunnels + AoE / MSRP / OpenWire / Zebra /
+  // hpfeeds / Hadoop IPC — public wire formats (RFC 4380, RFC 3378,
+  // the Brantley-Coile AoE spec, RFC 4975, ActiveMQ OpenWire framing,
+  // Quagga ZServ header, the hpfeeds wire doc, Hadoop IPC "hrpc").
+  // ------------------------------------------------------------------
+
+  /** Teredo (RFC 4380, UDP 3544): optional origin indication (leading
+    * 0x0000; port/address obfuscated by XOR-0xFFFF / bitwise-NOT), then
+    * the tunneled IPv6 packet, which dissects like any tunnel inner. */
+  private def dissectTeredo(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker,
+      wanted: Wanted): String = {
+    if (len < 2) return null
+    var p = off
+    var hasOrigin = false
+    if (u16(d, p) == 0x0000 && len >= 8) {
+      hasOrigin = true
+      protos += "teredo"
+      v("teredo.orig.port") = (u16(d, p + 2) ^ 0xffff).toLong
+      v("teredo.orig.addr") = ipv4Str(
+        Array[Byte]((~d(p + 4)).toByte, (~d(p + 5)).toByte,
+          (~d(p + 6)).toByte, (~d(p + 7)).toByte), 0)
+      p += 8
+    }
+    if (p < off + len && (u8(d, p) >> 4) == 6 && off + len - p >= 40) {
+      if (!hasOrigin) protos += "teredo"
+      val wasNested = v.nested
+      v.nested = true
+      val inner =
+        try dissectIpv6(d, p, v, protos, tracker, wanted)
+        finally v.nested = wasNested
+      if (inner != null) return inner
+      return "Teredo tunneled IPv6"
+    }
+    if (hasOrigin) "Teredo origin indication" else null
+  }
+
+  /** EtherIP (RFC 3378, IP protocol 97): 2-byte version header (3 in the
+    * high nibble) then a complete tunneled Ethernet frame. */
+  private def dissectEtherip(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker,
+      wanted: Wanted): String = {
+    if (end - off < 2 + 14) return null
+    val ver = u8(d, off) >> 4
+    if (ver != 3) return null
+    protos += "etherip"
+    v("etherip.ver") = ver.toLong
+    val wasNested = v.nested
+    v.nested = true
+    val inner =
+      try dissectEthFrom(d, off + 2, v, protos, tracker, wanted)
+      finally v.nested = wasNested
+    if (inner != null) inner else "EtherIP"
+  }
+
+  private val aoeCmdNames = Map(
+    0 -> "Issue ATA Command", 1 -> "Query Config Information",
+    2 -> "Mac Mask List", 3 -> "Reserve/Release")
+
+  /** ATA over Ethernet (ethertype 0x88A2): version/flags, error, shelf
+    * (major) / slot (minor) address, command, tag. */
+  private def dissectAoe(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 10) return null
+    val verFlags = u8(d, off)
+    if ((verFlags >> 4) != 1) return null
+    protos += "aoe"
+    v("aoe.version") = (verFlags >> 4).toLong
+    val cmd = u8(d, off + 5)
+    v("aoe.cmd") = cmd.toLong
+    v("aoe.tag") = u32(d, off + 6)
+    aoeCmdNames.getOrElse(cmd, s"Command $cmd")
+  }
+
+  /** MSRP (RFC 4975, TCP 2855): "MSRP <txid> <method|status>" start line. */
+  private def dissectMsrp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    val line = asciiLine(d, off, len, 200)
+    if (line == null || !line.startsWith("MSRP ")) return null
+    val parts = line.split(" ")
+    if (parts.length < 3) return null
+    protos += "msrp"
+    v("msrp.transaction.id") = parts(1)
+    if (parts(2).forall(_.isDigit) && parts(2).length == 3) {
+      v("msrp.status.code") = parts(2).toLong
+      s"Response: ${parts(2)}"
+    } else {
+      v("msrp.method") = parts(2)
+      s"Request: ${parts(2)}"
+    }
+  }
+
+  /** ActiveMQ OpenWire (TCP 61616): BE length prefix + data type byte;
+    * type 1 is WireFormatInfo and carries the "ActiveMQ" magic. */
+  private def dissectOpenwire(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 5) return null
+    val flen = u32(d, off)
+    if (flen < 1 || flen > 64L * 1024 * 1024) return null
+    val typ = u8(d, off + 4)
+    if (typ == 1) {
+      if (len < 13 ||
+          new String(d, off + 5, 8, java.nio.charset.StandardCharsets.US_ASCII)
+            != "ActiveMQ") return null
+      protos += "openwire"
+      v("openwire.command") = 1L
+      "WireFormatInfo"
+    } else if (typ >= 2 && typ <= 120) {
+      protos += "openwire"
+      v("openwire.command") = typ.toLong
+      s"Command type $typ"
+    } else null
+  }
+
+  /** Quagga/FRR ZServ (TCP 2600): length, 0xFF marker, version, command. */
+  private def dissectZebra(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 6) return null
+    val plen = u16(d, off)
+    if (u8(d, off + 2) != 0xff || plen < 6) return null
+    val ver = u8(d, off + 3)
+    if (ver < 1 || ver > 6) return null
+    protos += "zebra"
+    v("zebra.len") = plen.toLong
+    v("zebra.command") = u16(d, off + 4).toLong
+    s"ZServ v$ver command ${u16(d, off + 4)}"
+  }
+
+  private val hpfeedsOpNames = Map(
+    0 -> "ERROR", 1 -> "INFO", 2 -> "AUTH", 3 -> "PUBLISH", 4 -> "SUBSCRIBE")
+
+  /** hpfeeds (TCP 10000): u32 message length + opcode. */
+  private def dissectHpfeeds(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 5) return null
+    val mlen = u32(d, off)
+    if (mlen < 5 || mlen > (1 << 20)) return null
+    val op = u8(d, off + 4)
+    val name = hpfeedsOpNames.getOrElse(op, return null)
+    protos += "hpfeeds"
+    v("hpfeeds.msg_length") = mlen
+    v("hpfeeds.opcode") = op.toLong
+    name
+  }
+
+  /** Hadoop IPC (TCP 8020): the "hrpc" connection header + version. */
+  private def dissectHdfs(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 5) return null
+    if (d(off) != 'h' || d(off + 1) != 'r' || d(off + 2) != 'p' || d(off + 3) != 'c')
+      return null
+    protos += "hdfs"
+    s"Hadoop IPC handshake, version ${u8(d, off + 4)}"
   }
 
   /** finger (TCP 79, RFC 1288): the request is one "[/W ]user" line. */

@@ -1356,6 +1356,38 @@ extra.append((t3, 21000, ip_frame(17, A, B,
                                   udp_ck(40002, 9, b"badsum!!", A, B, corrupt=True),
                                   ident=238)))
 
+# 213-220: tier 32 — Teredo tunneled IPv6 ping (with origin indication),
+# EtherIP tunneled ARP, AoE query, MSRP SEND, OpenWire WireFormatInfo,
+# ZServ hello, hpfeeds INFO, Hadoop IPC handshake
+_t_icmp6 = struct.pack(">BBHHH", 128, 0, 0, 0x77, 1)
+_t_inner6 = struct.pack(">IHBB", 0x60000000, len(_t_icmp6), 58, 64) + SRC6 + DST6 + _t_icmp6
+_t_origin = struct.pack(">HH", 0, 0x3039 ^ 0xFFFF) + bytes(~b & 0xFF for b in [10, 0, 9, 9])
+extra.append((t3, 21100, ip_frame(17, A, B, udp(50090, 3544, _t_origin + _t_inner6),
+                                  ident=239)))
+
+_e_arp = struct.pack(">HHBBH", 1, 0x0800, 6, 4, 1) + MAC_A + bytes([10, 0, 5, 1]) + \
+    bytes(6) + bytes([10, 0, 5, 2])
+_e_inner = eth(MAC_B, MAC_A, 0x0806, _e_arp)
+extra.append((t3, 21200, ip_frame(97, A, B, (b"\x30\x00" + _e_inner), ident=240)))
+
+aoe = bytes([0x10, 0, 0, 1, 2, 1]) + struct.pack(">I", 0xCAFE01)
+extra.append((t3, 21300, eth(MAC_B, MAC_A, 0x88A2, aoe + bytes(16))))
+
+msrp = b"MSRP a786hjs2 SEND\r\nTo-Path: msrp://bob.example.com:2855/ab;tcp\r\n"
+extra.append((t3, 21400, ip_frame(6, A, B, tcp(50091, 2855, 1, msrp), ident=241)))
+
+ow = struct.pack(">IB", 30, 1) + b"ActiveMQ" + struct.pack(">I", 12) + bytes(17)
+extra.append((t3, 21500, ip_frame(6, A, B, tcp(50092, 61616, 1, ow), ident=242)))
+
+zserv = struct.pack(">HBBH", 8, 0xFF, 2, 23) + b"\x00\x00"
+extra.append((t3, 21600, ip_frame(6, A, B, tcp(50093, 2600, 1, zserv), ident=243)))
+
+hp = struct.pack(">IB", 16, 1) + b"\x08hpfeeds1" + b"\x00\x00"
+extra.append((t3, 21700, ip_frame(6, A, B, tcp(10000, 50094, 1, hp), ident=244)))
+
+hrpc = b"hrpc" + bytes([9, 0, 0])
+extra.append((t3, 21800, ip_frame(6, A, B, tcp(50095, 8020, 1, hrpc), ident=245)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
