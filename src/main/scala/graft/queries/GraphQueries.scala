@@ -454,7 +454,74 @@ object GraphQueries {
       ORDER BY deg DESC, node LIMIT 20"""
     })
 
+  private val pprIters = 4
+  private val pprSeeds = Seq(1000001L, 1000002L, 1000003L, 1000004L, 1000005L)
+
+  /** Personalized PageRank (Jeh & Widom 2003) from a 5-supplier seed set,
+    * integer-exact like [[grPagerank]]: all teleport mass returns to the
+    * seeds (10¹² split evenly), so rank measures proximity TO the seeds
+    * rather than global centrality — the "related items" / expansion
+    * primitive of recommendation and crawl-frontier scoring.
+    *
+    *   r0(v)   = [v ∈ S] · (10¹² div |S|)
+    *   r_i(v)  = [v ∈ S] · (15·10¹⁰ div |S|)
+    *             + (85 · Σ_{u→v} r_{i-1}(u) div deg(u)) div 100
+    *
+    * 100 TB shape: unlike global PageRank the rank table starts at |S|
+    * rows and only ever holds the REACHED frontier — each iteration is
+    * one bucketed-edge ⋈ frontier join + a key aggregate, with a UNION of
+    * the constant-sized seed teleport rows; per-iteration localCheckpoint
+    * bounds lineage exactly as in gr_pagerank. */
+  val grPpr = GraftQuery(
+    "gr_ppr",
+    (s, dir) => {
+      import s.implicits._
+      val e = edges(s, dir).cache()
+      val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val seedDf = s.createDataset(pprSeeds).toDF("node")
+      val r0seed = 1000000000000L / pprSeeds.size
+      val teleport = 150000000000L / pprSeeds.size
+      var r = seedDf.select($"node", lit(r0seed).as("rank"))
+      for (_ <- 1 to pprIters) {
+        val contrib = e.join(r, e("src") === r("node"))
+          .join(deg, "src")
+          .select($"dst".as("node"), expr("85 * (rank div deg) div 100").as("x"))
+        val tele = seedDf.select($"node", lit(teleport).as("x"))
+        r = contrib.union(tele)
+          .groupBy($"node").agg(sum($"x").as("rank"))
+          .localCheckpoint()
+      }
+      r.orderBy($"rank".desc, $"node").limit(20)
+    },
+    Some {
+      val seedsSql = pprSeeds.mkString(", ")
+      val r0seed = 1000000000000L / pprSeeds.size
+      val teleport = 150000000000L / pprSeeds.size
+      val iters = (1 to pprIters).map { i =>
+        s"""r$i AS (
+        SELECT node, CAST(SUM(x) AS BIGINT) AS rank FROM (
+          SELECT e.dst AS node, 85 * (r${i - 1}.rank // deg.deg) // 100 AS x
+          FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+                 JOIN deg ON deg.src = e.src
+          UNION ALL
+          SELECT node, $teleport AS x FROM seeds)
+        GROUP BY node)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH p AS (
+        SELECT DISTINCT 1000000 + l_suppkey AS supp, o_custkey AS cust
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (SELECT supp AS src, cust AS dst FROM p
+            UNION SELECT cust, supp FROM p),
+      deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      seeds AS (SELECT UNNEST([$seedsSql]) AS node),
+      r0 AS (SELECT node, CAST($r0seed AS BIGINT) AS rank FROM seeds),
+      $iters
+      SELECT node, rank FROM r$pprIters
+      ORDER BY rank DESC, node LIMIT 20"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(grPagerank, grTriangles, grDegreeDist, grReach, grLinkPredict, grLpa,
-      grKcore)
+      grKcore, grPpr)
 }

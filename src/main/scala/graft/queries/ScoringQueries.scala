@@ -2,7 +2,7 @@ package graft.queries
 
 import java.math.{BigDecimal => JBigDecimal, MathContext, RoundingMode}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -222,6 +222,131 @@ object ScoringQueries {
       SELECT doc_id, COUNT(*) AS n_tokens,
              CAST(SUM(nlp) AS DOUBLE) AS bits_total,
              CAST(SUM(nlp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bits_per_token
+      FROM scored GROUP BY doc_id
+      ORDER BY doc_id"""
+    }))
+
+  // ---------------------------------------------------------------------
+  // Bigram-LM quality score (KenLM-style fluency filter, one order up
+  // from tx_lm_score's unigram model)
+  // ---------------------------------------------------------------------
+
+  private val BigramV = 32
+
+  /** Fit the bigram LM over a CLOSED 33-symbol alphabet: the top-32
+    * corpus words (ties lexicographic) plus `<unk>` absorbing the rest.
+    * Every adjacent in-doc pair (prev, cur) is mapped into the alphabet
+    * and add-one smoothed against it:
+    *   p(cur | prev) = (c2(prev,cur) + 1) / (c1(prev) + 33)
+    * so unseen-but-possible bigrams of an observed context get the
+    * context's default probability 1/(c1+33). The fit is BOUNDED BY
+    * CONSTRUCTION — at most 33² bigram rows + 33 context rows collect,
+    * independent of corpus size (the same contract as the k-means
+    * centroids). Returns (vocab, observed-bigram −log2 p, per-context
+    * default −log2 p), all DECIMAL(12,6)-quantized. */
+  private def bigramFit(s: SparkSession, dir: String)
+      : (Array[String], Array[(String, String, JBigDecimal)], Array[(String, JBigDecimal)]) =
+    AnnIndexes.cached(s, s"bigramlm:$dir") {
+      import s.implicits._
+      val words = docs(s, dir)
+        .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+      val top = words.groupBy($"w").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"w").limit(BigramV)
+        .select($"w").as[String].collect()
+      val topSet = top.toSet
+      val d = docs(s, dir)
+        .select($"doc_id", expr("filter(split(text, ' '), x -> x != '')").as("w"))
+        .filter(size($"w") >= 2)
+      val mapTok = (c: Column) => when(c.isInCollection(topSet), c).otherwise(lit("<unk>"))
+      val prs = d.select(explode(expr(
+          "transform(sequence(2, size(w)), i -> struct(element_at(w, i - 1) AS p, element_at(w, i) AS c))"))
+          .as("pc"))
+        .select(mapTok($"pc.p").as("p"), mapTok($"pc.c").as("c"))
+      val c2 = prs.groupBy($"p", $"c").agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect()
+      val c1 = c2.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._3).sum }
+      val denom = (p: String) => c1(p).toDouble + BigramV + 1
+      def nlp(num: Double, den: Double): JBigDecimal =
+        quant6(-(math.log(num / den) / math.log(2.0)))
+      val bg = c2.map { case (p, c, n) => (p, c, nlp(n + 1.0, denom(p))) }
+        .sortBy(t => (t._1, t._2))
+      val pd = c1.toArray.sortBy(_._1)
+        .map { case (p, _) => (p, nlp(1.0, denom(p))) }
+      (top, bg, pd)
+    }
+
+  /** Per-document bits under the corpus-fitted bigram LM — the KenLM-
+    * shaped fluency filter: documents whose word ORDER is corpus-typical
+    * score low bits/pair even when their unigram mix is unremarkable
+    * (which is exactly what tx_lm_score cannot see). Decimal-exact sums;
+    * docs with <2 words carry no pair and drop out, mirrored by the
+    * oracle. 100 TB shape: broadcast model (≤33² rows), one lag window
+    * per doc partition, one doc-keyed aggregate. */
+  val txBigramLm = GraftQuery(
+    "tx_bigram_lm",
+    (s, dir) => {
+      import s.implicits._
+      val (vocab, bg, pd) = bigramFit(s, dir)
+      val bgDf = s.createDataFrame(
+        s.sparkContext.parallelize(bg.map { case (p, c, x) =>
+          org.apache.spark.sql.Row(p, c, x)
+        }.toSeq, 1),
+        StructType(Seq(StructField("p", StringType), StructField("c", StringType),
+          StructField("bnlp", DecimalType(12, 6)))))
+      val pdDf = s.createDataFrame(
+        s.sparkContext.parallelize(pd.map { case (p, x) =>
+          org.apache.spark.sql.Row(p, x)
+        }.toSeq, 1),
+        StructType(Seq(StructField("p", StringType),
+          StructField("dnlp", DecimalType(12, 6)))))
+      val vset = vocab.toSet
+      val mapTok = (c: Column) => when(c.isInCollection(vset), c).otherwise(lit("<unk>"))
+      val prs = docs(s, dir)
+        .select($"doc_id", expr("filter(split(text, ' '), x -> x != '')").as("w"))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(2, size(w)), i -> struct(element_at(w, i - 1) AS p, element_at(w, i) AS c))"))
+          .as("pc"))
+        .select($"doc_id", mapTok($"pc.p").as("p"), mapTok($"pc.c").as("c"))
+      prs.join(broadcast(bgDf), Seq("p", "c"), "left")
+        .join(broadcast(pdDf), Seq("p"), "left")
+        .select($"doc_id", coalesce($"bnlp", $"dnlp").as("nlp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_pairs"), sum($"nlp").as("bt"))
+        .select($"doc_id", $"n_pairs",
+          $"bt".cast(DoubleType).as("bits_total"),
+          ($"bt".cast(DoubleType) / $"n_pairs".cast(DoubleType)).as("bits_per_pair"))
+        .orderBy($"doc_id")
+    },
+    oracleGen = Some((s, dir) => {
+      val (vocab, bg, pd) = bigramFit(s, dir)
+      val vvals = vocab.map(sq).mkString(", ")
+      val bvals = bg.map { case (p, c, x) =>
+        s"(${sq(p)}, ${sq(c)}, ${x.toPlainString}::DECIMAL(12,6))" }.mkString(", ")
+      val pvals = pd.map { case (p, x) =>
+        s"(${sq(p)}, ${x.toPlainString}::DECIMAL(12,6))" }.mkString(", ")
+      s"""
+      WITH vocab AS (SELECT UNNEST([$vvals]) AS w),
+      bg(p, c, bnlp) AS (VALUES $bvals),
+      pd(p, dnlp) AS (VALUES $pvals),
+      t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents),
+      prs AS (
+        SELECT doc_id,
+               CASE WHEN w[i - 1] IN (SELECT w FROM vocab) THEN w[i - 1]
+                    ELSE '<unk>' END AS p,
+               CASE WHEN w[i] IN (SELECT w FROM vocab) THEN w[i]
+                    ELSE '<unk>' END AS c
+        FROM t, UNNEST(RANGE(2, LEN(w) + 1)) AS u(i)
+        WHERE LEN(w) >= 2),
+      scored AS (
+        SELECT doc_id, COALESCE(bg.bnlp, pd.dnlp) AS nlp
+        FROM prs LEFT JOIN bg ON bg.p = prs.p AND bg.c = prs.c
+                 LEFT JOIN pd ON pd.p = prs.p)
+      SELECT doc_id, COUNT(*) AS n_pairs,
+             CAST(SUM(nlp) AS DOUBLE) AS bits_total,
+             CAST(SUM(nlp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bits_per_pair
       FROM scored GROUP BY doc_id
       ORDER BY doc_id"""
     }))
@@ -628,6 +753,6 @@ object ScoringQueries {
       ORDER BY lang, bucket"""
     }))
 
-  val all: Seq[GraftQuery] = Seq(txDsirWeights, txLmScore, txResampleToMix,
+  val all: Seq[GraftQuery] = Seq(txDsirWeights, txLmScore, txBigramLm, txResampleToMix,
     txBm25, simHybridRrf, txCharEntropy, txCcnetBuckets)
 }

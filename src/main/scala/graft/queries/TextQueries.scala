@@ -2330,8 +2330,92 @@ object TextQueries {
                AS observed_fp_rate
       FROM fill f, obs o"""))
 
+  // ---------------------------------------------------------------------
+  // Exact-substring duplication accounting (Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better" — the ExactSubstr pass)
+  // ---------------------------------------------------------------------
+
+  private val SubstrK = 5
+
+  /** Per-document duplicated-span accounting: a k-token window is
+    * "duplicated" if the identical window occurs anywhere else in the
+    * corpus (another doc OR another position of the same doc); the
+    * duplicated-token count is the size of the UNION of all duplicated
+    * windows' [i, i+k) spans — the quantity ExactSubstr dedup would
+    * remove. k = 5 here so the synthetic corpus produces non-trivial
+    * spans (production uses ~50-token windows).
+    *
+    * 100 TB shape — the reason this formulation (not a suffix array) is
+    * the distributed one: the corpus becomes a (window-hash → postings)
+    * key-partitioned aggregate (one shuffle, map-side partial), the
+    * duplicated postings flow back keyed by doc, and the span union is a
+    * per-doc sorted window (gaps-and-islands, linear per doc). No
+    * quadratic pair join anywhere, no driver state. */
+  val ddSubstringDup = GraftQuery(
+    "dd_substring_dup",
+    (s, dir) => {
+      import s.implicits._
+      val k = SubstrK
+      val toks = docs(s, dir).withColumn("tokens", split($"text", " "))
+      val win = toks.filter(size($"tokens") >= k)
+        .select($"doc_id",
+          explode(expr(s"sequence(1, size(tokens) - ${k - 1})")).as("i"),
+          $"tokens")
+        .select($"doc_id", $"i",
+          expr(s"concat_ws(' ', slice(tokens, i, $k))").as("g"))
+      val dup = win.groupBy($"g").agg(count(lit(1)).as("c"))
+        .filter($"c" > 1).select($"g")
+      val dpos = win.join(dup, "g").select($"doc_id", $"i")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"i")
+      val isl = dpos
+        .withColumn("brk",
+          when(lag($"i", 1).over(w).isNull ||
+            $"i" > lag($"i", 1).over(w) + k, 1L).otherwise(0L))
+        .withColumn("island", sum($"brk").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val perDoc = isl.groupBy($"doc_id", $"island")
+        .agg((max($"i") - min($"i") + k).as("cov"))
+        .groupBy($"doc_id").agg(sum($"cov").as("dup_tokens"))
+      toks.select($"doc_id", size($"tokens").cast(LongType).as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+          (coalesce($"dup_tokens", lit(0L)).cast(DoubleType) /
+            $"n_tokens".cast(DoubleType)).as("dup_frac"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens FROM documents),
+      win AS (
+        SELECT doc_id, i, ARRAY_TO_STRING(tokens[i:i+${SubstrK - 1}], ' ') AS g
+        FROM t, UNNEST(RANGE(1, LEN(tokens) - ${SubstrK - 2})) AS u(i)
+        WHERE LEN(tokens) >= $SubstrK),
+      dup AS (SELECT g FROM win GROUP BY g HAVING COUNT(*) > 1),
+      dpos AS (SELECT doc_id, i FROM win JOIN dup USING (g)),
+      isl AS (
+        SELECT doc_id, i,
+               CASE WHEN lag(i) OVER w IS NULL OR i > lag(i) OVER w + $SubstrK
+                    THEN 1 ELSE 0 END AS brk
+        FROM dpos WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+      isl2 AS (
+        SELECT doc_id, i, SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+          ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl),
+      cov AS (
+        SELECT doc_id, island, MAX(i) - MIN(i) + $SubstrK AS cov
+        FROM isl2 GROUP BY doc_id, island),
+      dd AS (SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS dup_tokens
+             FROM cov GROUP BY doc_id)
+      SELECT t.doc_id, CAST(LEN(tokens) AS BIGINT) AS n_tokens,
+             COALESCE(dd.dup_tokens, 0) AS dup_tokens,
+             CAST(COALESCE(dd.dup_tokens, 0) AS DOUBLE)
+               / CAST(LEN(tokens) AS DOUBLE) AS dup_frac
+      FROM t LEFT JOIN dd USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(
-    txUrlDedup, txHtmlExtract, txCurationFunnel, ddBloomStats,
+    txUrlDedup, txHtmlExtract, txCurationFunnel, ddBloomStats, ddSubstringDup,
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
     txTrainSplit, txMixtureWeights, txCorpusReport, txPack,

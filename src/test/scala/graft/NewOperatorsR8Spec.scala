@@ -68,4 +68,58 @@ class NewOperatorsR8Spec extends SparkSpec {
     val qids = rows.map(_.getAs[Long]("query_id"))
     assert(qids.distinct.length === qids.length)
   }
+
+  test("dd_substring_dup: span union bounded by doc length; covered docs ≥ one window") {
+    val rows = TextQueries.ddSubstringDup.fn(spark, sfDir).collect()
+    val docs = graft.api.Tables.load(spark, sfDir, "documents")
+    assert(rows.length.toLong === docs.count()) // every doc accounted for
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val d = r.getAs[Long]("dup_tokens")
+      assert(d >= 0L && d <= n, s"doc ${r.get(0)}: dup $d outside [0, $n]")
+      // a doc with any duplicated window covers at least the window (k=5)
+      assert(d == 0L || d >= 5L)
+      assert(math.abs(r.getAs[Double]("dup_frac") - d.toDouble / n) < 1e-15)
+    }
+    // the synthetic corpus repeats shingles across replicas — spans exist
+    assert(rows.exists(_.getAs[Long]("dup_tokens") > 0L))
+  }
+
+  test("tx_bigram_lm: one row per ≥2-token doc; pair count = tokens − 1; bits positive") {
+    import spark.implicits._
+    val rows = graft.queries.ScoringQueries.txBigramLm.fn(spark, sfDir).cache()
+    val docs = graft.api.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id",
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("n_tok"))
+    // n_pairs is exactly n_tokens − 1, and docs with <2 tokens are absent
+    val joined = rows.join(docs, "doc_id")
+      .select($"doc_id", $"n_pairs", $"n_tok").collect()
+    assert(joined.length === rows.count().toInt)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_tok") >= 2L)
+      assert(r.getAs[Long]("n_pairs") === r.getAs[Long]("n_tok") - 1L)
+    }
+    rows.collect().foreach { r =>
+      val bpp = r.getAs[Double]("bits_per_pair")
+      // alphabet is 33 symbols: per-pair bits ∈ (0, log2 denom_max]; the
+      // add-one floor keeps every pair strictly positive
+      assert(bpp > 0.0 && bpp < 64.0)
+    }
+    rows.unpersist()
+  }
+
+  test("gr_ppr: seeds dominate their neighborhood; ranks positive and sorted") {
+    val rows = GraphQueries.grPpr.fn(spark, sfDir).collect()
+    assert(rows.length > 0 && rows.length <= 20)
+    val ranks = rows.map(_.getAs[Long]("rank"))
+    assert(ranks.forall(_ > 0L))
+    assert(ranks.sameElements(ranks.sortBy(-_)))
+    // teleport returns all restart mass to the seeds — at least one seed
+    // node must survive into the global top-20
+    val nodes = rows.map(_.getAs[Long]("node")).toSet
+    assert((1000001L to 1000005L).exists(nodes.contains))
+    // total mass never exceeds the injected 10¹² (truncating division
+    // only ever LOSES mass; nothing is created)
+    assert(ranks.sum <= 1000000000000L)
+  }
 }
