@@ -521,7 +521,76 @@ object GraphQueries {
       ORDER BY rank DESC, node LIMIT 20"""
     })
 
+  private val hitsIters = 3
+
+  /** HITS (Kleinberg 1999) on the DIRECTED supplier→customer bipartite
+    * graph: suppliers are the hubs (they point at many customers),
+    * customers the authorities. Integer-exact mutual recurrence with
+    * per-half-step max-normalization to 10⁶ (a float L2 norm would break
+    * the engine-portable hash; dividing by the max is the same fixpoint
+    * up to scale and stays in BIGINT — raw ≤ nodes·10⁶, raw·10⁶ ≪ 2⁶³):
+    *   a_i(c) = norm(Σ_{s→c} h_{i-1}(s)),  h_i(s) = norm(Σ_{s→c} a_i(c))
+    * 3 iterations, per-half-step localCheckpoint; output the top-10 hubs
+    * and top-10 authorities as (role, node, score). 100 TB shape: two
+    * edge⋈score joins per iteration (the bucketed edge side never
+    * re-shuffles) plus an O(1) broadcast of the max. */
+  val grHits = GraftQuery(
+    "gr_hits",
+    (s, dir) => {
+      import s.implicits._
+      val p = pairs(s, dir).cache()
+      var h = p.select($"supp".as("node")).distinct()
+        .select($"node", lit(1000000L).as("score"))
+      var a: DataFrame = null
+      for (_ <- 1 to hitsIters) {
+        val ar = p.join(h, p("supp") === h("node"))
+          .groupBy($"cust".as("node")).agg(sum($"score").as("raw"))
+        a = ar.crossJoin(broadcast(ar.agg(max($"raw").as("mx"))))
+          .select($"node", expr("raw * 1000000 div mx").as("score"))
+          .localCheckpoint()
+        val hr = p.join(a, p("cust") === a("node"))
+          .groupBy($"supp".as("node")).agg(sum($"score").as("raw"))
+        h = hr.crossJoin(broadcast(hr.agg(max($"raw").as("mx"))))
+          .select($"node", expr("raw * 1000000 div mx").as("score"))
+          .localCheckpoint()
+      }
+      val topA = a.orderBy($"score".desc, $"node").limit(10)
+        .select(lit("auth").as("role"), $"node", $"score")
+      val topH = h.orderBy($"score".desc, $"node").limit(10)
+        .select(lit("hub").as("role"), $"node", $"score")
+      topA.union(topH).orderBy($"role", $"score".desc, $"node")
+    },
+    Some {
+      val steps = (1 to hitsIters).map { i =>
+        val prevH = if (i == 1) "h0" else s"h${i - 1}"
+        s"""a${i}r AS (
+        SELECT p.cust AS node, CAST(SUM($prevH.score) AS BIGINT) AS raw
+        FROM p JOIN $prevH ON p.supp = $prevH.node GROUP BY p.cust),
+      a$i AS (SELECT node, raw * 1000000 // (SELECT MAX(raw) FROM a${i}r) AS score
+              FROM a${i}r),
+      h${i}r AS (
+        SELECT p.supp AS node, CAST(SUM(a$i.score) AS BIGINT) AS raw
+        FROM p JOIN a$i ON p.cust = a$i.node GROUP BY p.supp),
+      h$i AS (SELECT node, raw * 1000000 // (SELECT MAX(raw) FROM h${i}r) AS score
+              FROM h${i}r)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH p AS (
+        SELECT DISTINCT 1000000 + l_suppkey AS supp, o_custkey AS cust
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      h0 AS (SELECT DISTINCT supp AS node, CAST(1000000 AS BIGINT) AS score
+             FROM p),
+      $steps
+      SELECT * FROM (
+        SELECT 'auth' AS role, node, score FROM
+          (SELECT node, score FROM a$hitsIters ORDER BY score DESC, node LIMIT 10)
+        UNION ALL
+        SELECT 'hub' AS role, node, score FROM
+          (SELECT node, score FROM h$hitsIters ORDER BY score DESC, node LIMIT 10))
+      ORDER BY role, score DESC, node"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(grPagerank, grTriangles, grDegreeDist, grReach, grLinkPredict, grLpa,
-      grKcore, grPpr)
+      grKcore, grPpr, grHits)
 }

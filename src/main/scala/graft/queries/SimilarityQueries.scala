@@ -102,6 +102,52 @@ object SimilarityQueries {
       ORDER BY cosine DESC, b.vec_id
       LIMIT 10"""))
 
+  /** Multi-probe LSH (Lv et al. 2007, VLDB): probe the query's bucket PLUS
+    * every bucket at Hamming distance 1 in code space (flip each of the 8
+    * hyperplane bits) — 9 probes instead of 1. This is THE standard way to
+    * recover recall lost to hyperplane quantization WITHOUT multiplying
+    * hash tables: a near neighbor that landed one sign-flip away is still
+    * found, at 9× candidate cost instead of 2^8. Each base vector carries
+    * exactly one bucket code, so a candidate can match at most one probe —
+    * no dedup step needed. 100 TB shape: probes stay a 9-row broadcast;
+    * the corpus side is the same single bucket-keyed scan as sim_ann_lsh. */
+  val simAnnMultiprobe = GraftQuery(
+    "sim_ann_multiprobe",
+    (s, dir) => {
+      import s.implicits._
+      val nP = 8
+      val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("bucket", Vectors.lshBucket($"embedding", nP))
+      val probes = emb.filter($"vec_id" === 0)
+        .select($"embedding".as("qe"), $"bucket".as("qbucket"))
+        .select($"qe", explode(expr(
+          s"transform(sequence(0, $nP), j -> " +
+            "CASE WHEN j = 0 THEN qbucket ELSE qbucket ^ shiftleft(1, j - 1) END)"))
+          .as("probe"))
+      emb.join(broadcast(probes), $"bucket" === $"probe")
+        .filter($"vec_id" =!= 0)
+        .select($"vec_id", $"label", Vectors.cosine($"embedding", $"qe").as("cosine"))
+        .orderBy($"cosine".desc, $"vec_id")
+        .limit(10)
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT vec_id, label, embedding, ${duckBucket("embedding", 8)} AS bucket
+        FROM embeddings),
+      q AS (SELECT embedding AS qe, bucket AS qbucket FROM b WHERE vec_id = 0),
+      probes AS (
+        SELECT qe, CASE WHEN j = 0 THEN qbucket
+                        ELSE xor(qbucket, 1 << (j - 1)) END AS probe
+        FROM q, UNNEST(RANGE(0, 9)) AS u(j))
+      SELECT b.vec_id, b.label,
+             (${duckDot("b.embedding", "p.qe")})
+               / (SQRT(${duckDot("b.embedding", "b.embedding")})
+                  * SQRT(${duckDot("p.qe", "p.qe")})) AS cosine
+      FROM b JOIN probes p ON b.bucket = p.probe
+      WHERE b.vec_id <> 0
+      ORDER BY cosine DESC, b.vec_id
+      LIMIT 10"""))
+
   /** Hyperplane count for the near-dup LSH table, scaled so AVERAGE bucket
     * occupancy stays ≤ 64 as the corpus grows (VERDICT r7 #9: a FIXED
     * 6-bit table means 64 buckets forever, so occupancy — and the
@@ -1126,5 +1172,5 @@ object SimilarityQueries {
       simAnnInt8Persisted, simQuantizeInt8, simIvfCellStats, simRecallReport,
       ddEmbeddingNeardup, ddSemanticDedup, simMmrRerank, simHardNegatives,
       simKnnGraph, simClusterBalance, simAnnFiltered, simAnnBitq,
-      simBitextMargin)
+      simBitextMargin, simAnnMultiprobe)
 }

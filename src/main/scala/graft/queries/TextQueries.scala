@@ -2331,6 +2331,49 @@ object TextQueries {
       FROM fill f, obs o"""))
 
   // ---------------------------------------------------------------------
+  // Corpus novelty curve
+  // ---------------------------------------------------------------------
+
+  /** Per-document n-gram novelty: the fraction of a doc's distinct
+    * 3-shingles whose FIRST corpus occurrence (min doc_id) is this doc —
+    * the curation diagnostic behind "the web is running out of new text":
+    * replicas and boilerplate score near 0, fresh material near 1, and the
+    * corpus-level decay of this curve is the saturation signal dataset
+    * builders track. 100 TB shape: one shingle-keyed aggregate for the
+    * first-occurrence table, one shingle-keyed join back, one doc-keyed
+    * aggregate — all linear, no pair joins. */
+  val txNgramNovelty = GraftQuery(
+    "tx_ngram_novelty",
+    (s, dir) => {
+      import s.implicits._
+      val sh = shingleRows(docs(s, dir).withColumn("tokens", split($"text", " ")), 3)
+      val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
+      sh.join(first, "shingle")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+        .select($"doc_id", $"n_shingles", $"n_novel",
+          ($"n_novel".cast(DoubleType) / $"n_shingles".cast(DoubleType))
+            .as("novelty_frac"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, ARRAY_TO_STRING(tokens[i:i+2], ' ') AS shingle
+        FROM t, UNNEST(RANGE(1, LEN(tokens) - 1)) AS u(i)
+        WHERE LEN(tokens) >= 3),
+      first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+      SELECT doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+             CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+      FROM sh JOIN first USING (shingle)
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
   // Exact-substring duplication accounting (Lee et al. 2022, "Deduplicating
   // Training Data Makes Language Models Better" — the ExactSubstr pass)
   // ---------------------------------------------------------------------
@@ -2416,6 +2459,7 @@ object TextQueries {
 
   val all: Seq[GraftQuery] = Seq(
     txUrlDedup, txHtmlExtract, txCurationFunnel, ddBloomStats, ddSubstringDup,
+    txNgramNovelty,
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
     txTrainSplit, txMixtureWeights, txCorpusReport, txPack,

@@ -122,4 +122,54 @@ class NewOperatorsR8Spec extends SparkSpec {
     // only ever LOSES mass; nothing is created)
     assert(ranks.sum <= 1000000000000L)
   }
+
+  test("sim_ann_multiprobe: candidates dominate single-probe LSH; recall ≥ LSH vs brute") {
+    val brute = SimilarityQueries.simAnnBrute.fn(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val lsh = SimilarityQueries.simAnnLsh.fn(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val mp = SimilarityQueries.simAnnMultiprobe.fn(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    // the probe set strictly contains the query bucket, so every LSH
+    // result survives into the multiprobe candidate pool; with ≤10 total
+    // results the top-10 can only improve toward brute force
+    val mpRecall = (mp & brute).size
+    val lshRecall = (lsh & brute).size
+    assert(mpRecall >= lshRecall,
+      s"multiprobe recall $mpRecall < single-probe $lshRecall")
+    assert(mp.size >= lsh.size)
+  }
+
+  test("gr_hits: normalized scores peak at exactly 10⁶; hubs are suppliers, auths customers") {
+    val rows = GraphQueries.grHits.fn(spark, sfDir).collect()
+    val (auths, hubs) = rows.partition(_.getAs[String]("role") == "auth")
+    assert(auths.length === 10 && hubs.length === 10)
+    // max-normalization pins each half's top score to exactly 10⁶
+    assert(auths.map(_.getAs[Long]("score")).max === 1000000L)
+    assert(hubs.map(_.getAs[Long]("score")).max === 1000000L)
+    assert(rows.map(_.getAs[Long]("score")).forall(x => x > 0L && x <= 1000000L))
+    // node-id space: suppliers offset by 10⁶ (keys are 0-based), customers below it
+    assert(hubs.map(_.getAs[Long]("node")).forall(_ >= 1000000L))
+    assert(auths.map(_.getAs[Long]("node")).forall(_ < 1000000L))
+  }
+
+  test("tx_ngram_novelty: fractions in [0,1]; novel counts sum to the distinct-shingle total") {
+    import spark.implicits._
+    val rows = graft.queries.TextQueries.txNgramNovelty.fn(spark, sfDir).cache()
+    rows.collect().foreach { r =>
+      val f = r.getAs[Double]("novelty_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles"))
+    }
+    // every distinct corpus shingle is novel in exactly one doc (its first)
+    val novelSum = rows.agg(sum($"n_novel")).collect()(0).getLong(0)
+    val docs = graft.api.Tables.load(spark, sfDir, "documents")
+      .withColumn("tokens", split($"text", " "))
+      .filter(size($"tokens") >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(tokens) - 2), i -> concat_ws(' ', slice(tokens, i, 3)))"))
+        .as("shingle"))
+    assert(novelSum === docs.distinct().count())
+    rows.unpersist()
+  }
 }
