@@ -1322,6 +1322,7 @@ object Dissect {
       case 47 => dissectGre(d, next, ipEnd, v, protos, tracker, wanted)
       case 50 => protos += "esp"; dissectEsp(d, next, ipEnd, v)
       case 97 => dissectEtherip(d, next, ipEnd, v, protos, tracker, wanted)
+      case 103 => dissectPim(d, next, ipEnd, v, protos)
       case 51 => dissectAh(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
       case 88  => dissectEigrp(d, next, ipEnd, v, protos)
       case 89  => protos += "ospf"; dissectOspf(d, next, ipEnd, v)
@@ -1442,6 +1443,7 @@ object Dissect {
       case 47 => dissectGre(d, p, end, v, protos, tracker, wanted)
       case 50 => protos += "esp"; dissectEsp(d, p, end, v)
       case 97 => dissectEtherip(d, p, end, v, protos, tracker, wanted)
+      case 103 => dissectPim(d, p, end, v, protos)
       case 51 => dissectAh(d, p, end, src, dst, v, protos, tracker, wanted)
       case 89  => protos += "ospf"; dissectOspf(d, p, end, v)
       case 132 => dissectSctp(d, p, end, v, protos)
@@ -2282,6 +2284,8 @@ object Dissect {
         appInfo = dissectHpfeeds(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 8020 || dp == 8020))
         appInfo = dissectHdfs(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 639 || dp == 639))
+        appInfo = dissectMsdp(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -2516,7 +2520,8 @@ object Dissect {
       val dtlsInfo = dissectDtls(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
       if (dtlsInfo != null) return dtlsInfo
     }
-    if (sp == 2055 || dp == 2055) {
+    if (sp == 2055 || dp == 2055 || sp == 9995 || dp == 9995 ||
+        sp == 4739 || dp == 4739) {
       val nfInfo = dissectNetflow(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
       if (nfInfo != null) return nfInfo
     }
@@ -2811,6 +2816,21 @@ object Dissect {
       val trdInfo = dissectTeredo(d, off + 8, math.min(payLen, d.length - off - 8),
         v, protos, tracker, wanted)
       if (trdInfo != null) return trdInfo
+    }
+    if (sp == 521 || dp == 521) {
+      val rnInfo = dissectRipng(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (rnInfo != null) return rnInfo
+    }
+    if (sp == 698 || dp == 698) {
+      val olInfo = dissectOlsr(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (olInfo != null) return olInfo
+    }
+    if (sp == 6696 || dp == 6696) {
+      val bbInfo = dissectBabel(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (bbInfo != null) return bbInfo
     }
     if (!wanted.info) ""
     else if (wanted.infoBytes) {
@@ -3608,26 +3628,56 @@ object Dissect {
     s"Control, State ${bfdStateNames(sta)}"
   }
 
-  /** NetFlow v5 (Cisco export format, UDP 2055): header + the first
-    * 48-byte flow record's 5-tuple. */
+  /** NetFlow v5/v9 + IPFIX (Cisco export formats + RFC 7011, UDP
+    * 2055/9995/4739): version-discriminated export header; v5 surfaces
+    * the first 48-byte flow record's 5-tuple, v10 carries a message
+    * length instead of a record count. */
   private def dissectNetflow(
       d: Array[Byte], off: Int, len: Int,
       v: FieldVec,
       protos: mutable.ArrayBuffer[String]): String = {
-    if (len < 24) return null
-    if (u16(d, off) != 5) return null
-    val count = u16(d, off + 2)
-    if (count < 1 || count > 30 || len < 24 + 48) return null
-    protos += "cflow"
-    v("cflow.version") = 5L
-    v("cflow.count") = count.toLong
-    v("cflow.sequence") = u32(d, off + 16)
-    val r = off + 24
-    v("cflow.srcaddr") = ipv4Str(d, r)
-    v("cflow.dstaddr") = ipv4Str(d, r + 4)
-    v("cflow.srcport") = u16(d, r + 32).toLong
-    v("cflow.dstport") = u16(d, r + 34).toLong
-    s"total: $count (v5) flows"
+    if (len < 16) return null
+    u16(d, off) match {
+      case 5 =>
+        if (len < 24) return null
+        val count = u16(d, off + 2)
+        if (count < 1 || count > 30 || len < 24 + 48) return null
+        protos += "cflow"
+        v("cflow.version") = 5L
+        v("cflow.count") = count.toLong
+        v("cflow.sysuptime") = u32(d, off + 4)
+        v("cflow.unix_secs") = u32(d, off + 8)
+        v("cflow.sequence") = u32(d, off + 16)
+        val r = off + 24
+        v("cflow.srcaddr") = ipv4Str(d, r)
+        v("cflow.dstaddr") = ipv4Str(d, r + 4)
+        v("cflow.srcport") = u16(d, r + 32).toLong
+        v("cflow.dstport") = u16(d, r + 34).toLong
+        s"total: $count (v5) flows"
+      case 9 =>
+        if (len < 20) return null
+        val count = u16(d, off + 2)
+        if (count < 1 || count > 3000) return null
+        protos += "cflow"
+        v("cflow.version") = 9L
+        v("cflow.count") = count.toLong
+        v("cflow.sysuptime") = u32(d, off + 4)
+        v("cflow.unix_secs") = u32(d, off + 8)
+        v("cflow.sequence") = u32(d, off + 12)
+        v("cflow.source_id") = u32(d, off + 16)
+        s"total: $count (v9) records"
+      case 10 =>
+        val flen = u16(d, off + 2)
+        if (flen < 16) return null
+        protos += "cflow"
+        v("cflow.version") = 10L
+        v("cflow.len") = flen.toLong
+        v("cflow.unix_secs") = u32(d, off + 4)
+        v("cflow.sequence") = u32(d, off + 8)
+        v("cflow.source_id") = u32(d, off + 12)
+        s"IPFIX, $flen bytes"
+      case _ => null
+    }
   }
 
   /** sFlow v5 datagram header (InMon, UDP 6343). */
@@ -4782,6 +4832,8 @@ object Dissect {
     val plen = u32(d, off + 8)
     if (plen > (1 << 20)) return null
     protos += "tacplus"
+    v("tacplus.majvers") = (ver >> 4).toLong
+    v("tacplus.minvers") = (ver & 0xf).toLong
     v("tacplus.type") = tpe.toLong
     v("tacplus.seqno") = u8(d, off + 2).toLong
     v("tacplus.flags") = u8(d, off + 3).toLong
@@ -7255,6 +7307,99 @@ object Dissect {
     s"Hadoop IPC handshake, version ${u8(d, off + 4)}"
   }
 
+  // ------------------------------------------------------------------
+  // Tier 33: TACACS+ / NetFlow-IPFIX / Redis RESP / RIPng / PIM / MSDP /
+  // OLSR / Babel — public wire formats (RFC 8907, the Cisco NetFlow v5/v9
+  // export formats + RFC 7011 IPFIX, the Redis serialization protocol
+  // spec, RFC 2080, RFC 7761, RFC 3618, RFC 3626, RFC 8966).
+  // ------------------------------------------------------------------
+
+  /** RIPng (RFC 2080, UDP 521): command, version 1, then 20-byte RTEs. */
+  private def dissectRipng(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4) return null
+    val cmd = u8(d, off)
+    if (cmd != 1 && cmd != 2) return null
+    if (u8(d, off + 1) != 1 || u16(d, off + 2) != 0) return null
+    protos += "ripng"
+    v("ripng.command") = cmd.toLong
+    v("ripng.version") = 1L
+    if (cmd == 1) "Request" else "Response"
+  }
+
+  private val pimTypeNames = Map(
+    0 -> "Hello", 1 -> "Register", 2 -> "Register-stop", 3 -> "Join/Prune",
+    4 -> "Bootstrap", 5 -> "Assert", 8 -> "Candidate-RP-Advertisement")
+
+  /** PIMv2 (RFC 7761, IP protocol 103): version/type octet + checksum. */
+  private def dissectPim(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 4) return null
+    val vt = u8(d, off)
+    if ((vt >> 4) != 2) return null
+    val name = pimTypeNames.getOrElse(vt & 0xf, return null)
+    protos += "pim"
+    v("pim.version") = (vt >> 4).toLong
+    v("pim.type") = (vt & 0xf).toLong
+    v("pim.cksum") = u16(d, off + 2).toLong
+    name
+  }
+
+  private val msdpTypeNames = Map(
+    1 -> "IPv4 Source-Active", 2 -> "IPv4 Source-Active Request",
+    3 -> "IPv4 Source-Active Response", 4 -> "KeepAlive")
+
+  /** MSDP (RFC 3618, TCP 639): TLV stream — type, 2-byte length. */
+  private def dissectMsdp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 3) return null
+    val typ = u8(d, off)
+    val name = msdpTypeNames.getOrElse(typ, return null)
+    val tlen = u16(d, off + 1)
+    if (tlen < 3 || tlen > len) return null
+    protos += "msdp"
+    v("msdp.type") = typ.toLong
+    v("msdp.length") = tlen.toLong
+    name
+  }
+
+  /** OLSR (RFC 3626, UDP 698): packet length + sequence, then messages. */
+  private def dissectOlsr(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4) return null
+    val plen = u16(d, off)
+    if (plen != len || plen < 4) return null
+    protos += "olsr"
+    v("olsr.packet_len") = plen.toLong
+    v("olsr.packet_seq") = u16(d, off + 2).toLong
+    if (len >= 8) v("olsr.message_type") = u8(d, off + 4).toLong
+    s"OLSR ($plen bytes)"
+  }
+
+  /** Babel (RFC 8966, UDP 6696): magic 42, version 2, body length. */
+  private def dissectBabel(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4) return null
+    if (u8(d, off) != 42 || u8(d, off + 1) != 2) return null
+    val blen = u16(d, off + 2)
+    if (blen + 4 > len) return null
+    protos += "babel"
+    v("babel.magic") = 42L
+    v("babel.version") = 2L
+    v("babel.bodylen") = blen.toLong
+    s"Babel v2 ($blen bytes body)"
+  }
+
   /** finger (TCP 79, RFC 1288): the request is one "[/W ]user" line. */
   private def dissectFinger(
       d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
@@ -7374,6 +7519,8 @@ object Dissect {
         val cmd = m.group(1).toUpperCase
         v("resp.type") = "Request"
         v("resp.command") = cmd
+        val n = text.substring(1, text.indexOf("\r\n"))
+        if (n.forall(_.isDigit)) v("resp.length") = n.toLong
         s"Request: $cmd"
       case '+' | '-' | ':' | '$' =>
         val le = text.indexOf("\r\n")
@@ -7386,6 +7533,10 @@ object Dissect {
           case _   => "Bulk"
         }
         v("resp.type") = kind
+        val body = first.substring(1)
+        if (kind == "Bulk") {
+          if (body.forall(c => c.isDigit || c == '-')) v("resp.length") = body.toLong
+        } else v("resp.value") = body
         s"Response: $first"
       case _ => null
     }

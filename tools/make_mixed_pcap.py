@@ -1388,6 +1388,35 @@ extra.append((t3, 21700, ip_frame(6, A, B, tcp(10000, 50094, 1, hp), ident=244))
 hrpc = b"hrpc" + bytes([9, 0, 0])
 extra.append((t3, 21800, ip_frame(6, A, B, tcp(50095, 8020, 1, hrpc), ident=245)))
 
+# 221-229: tier 33 — TACACS+ authentication, NetFlow v5, IPFIX, Redis
+# RESP request, RIPng response, PIM hello, MSDP keepalive, OLSR, Babel
+tac = struct.pack(">BBBBII", 0xC0, 1, 1, 1, 0x1234, 8) + bytes(8)
+extra.append((t3, 22000, ip_frame(6, A, B, tcp(50096, 49, 1, tac), ident=246)))
+
+nf5 = struct.pack(">HHIIIIBBH", 5, 2, 1000, 1700002000, 0, 77, 0, 0, 0) + bytes(96)
+extra.append((t3, 22100, ip_frame(17, A, B, udp(50097, 2055, nf5), ident=247)))
+
+ipfix = struct.pack(">HHIII", 10, 20, 1700002000, 5, 1) + bytes(4)
+extra.append((t3, 22200, ip_frame(17, A, B, udp(50098, 4739, ipfix), ident=248)))
+
+resp = b"*2\r\n$3\r\nGET\r\n$3\r\nfoo\r\n"
+extra.append((t3, 22300, ip_frame(6, A, B, tcp(50099, 6379, 1, resp), ident=249)))
+
+ripng = struct.pack(">BBH", 2, 1, 0) + bytes(16) + struct.pack(">HBB", 0, 0, 1)
+extra.append((t3, 22400, ip_frame(17, A, B, udp(521, 521, ripng), ident=250)))
+
+pim = struct.pack(">BBH", 0x20, 0, 0xBEEF) + bytes(8)
+extra.append((t3, 22500, ip_frame(103, A, B, pim, ident=251)))
+
+msdp = struct.pack(">BH", 4, 3)
+extra.append((t3, 22600, ip_frame(6, A, B, tcp(50100, 639, 1, msdp), ident=252)))
+
+olsr = struct.pack(">HH", 8, 42) + struct.pack(">BBH", 1, 0, 0)
+extra.append((t3, 22700, ip_frame(17, A, B, udp(698, 698, olsr), ident=253)))
+
+babel = struct.pack(">BBH", 42, 2, 8) + bytes(8)
+extra.append((t3, 22800, ip_frame(17, A, B, udp(6696, 6696, babel), ident=254)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
