@@ -2331,6 +2331,68 @@ object TextQueries {
       FROM fill f, obs o"""))
 
   // ---------------------------------------------------------------------
+  // Containment (asymmetric near-dup)
+  // ---------------------------------------------------------------------
+
+  /** Broder containment C(A→B) = |S(A)∩S(B)| / |S(A)| over the df-capped
+    * 5-shingle sets — the ASYMMETRIC companion to dd_ngram_jaccard:
+    * a short document quoted wholesale inside a long one has low Jaccard
+    * (the union is dominated by the long doc) but containment ≈ 1 from
+    * the short side, which is exactly the "article embedded in a crawl
+    * page" case Jaccard dedup misses. Same df-capped shingle equi-join
+    * (linear candidates), same 100 TB shape as the Jaccard pass; emits
+    * pairs where either direction's containment ≥ 0.8. */
+  val ddContainment = GraftQuery(
+    "dd_containment",
+    (s, dir) => {
+      import s.implicits._
+      val all = shingleRows(docs(s, dir).withColumn("tokens", split($"text", " ")), 5)
+      val rare = all.groupBy($"shingle").agg(count(lit(1)).as("df"))
+        .filter($"df" <= maxShingleDf)
+        .select($"shingle")
+      val sh = all.join(rare, Seq("shingle"), "left_semi").cache()
+      val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val pairs = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn("containment_a", $"shared".cast(DoubleType) / $"na".cast(DoubleType))
+        .withColumn("containment_b", $"shared".cast(DoubleType) / $"nb".cast(DoubleType))
+        .filter($"containment_a" >= 0.8 || $"containment_b" >= 0.8)
+        .select($"doc_a", $"doc_b", $"shared", $"na", $"nb",
+          $"containment_a", $"containment_b")
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(s"""
+      WITH allsh AS (
+        SELECT DISTINCT doc_id, ARRAY_TO_STRING(tokens[i:i+4], ' ') AS shingle
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens FROM documents),
+             UNNEST(RANGE(1, LEN(tokens) - 3)) AS t(i)
+        WHERE LEN(tokens) >= 5),
+      sh AS (
+        SELECT doc_id, shingle FROM allsh
+        WHERE shingle IN (SELECT shingle FROM allsh
+                          GROUP BY shingle HAVING COUNT(*) <= $maxShingleDf)),
+      cnt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, shared, ca.n_shingles AS na, cb.n_shingles AS nb,
+             CAST(shared AS DOUBLE) / CAST(ca.n_shingles AS DOUBLE) AS containment_a,
+             CAST(shared AS DOUBLE) / CAST(cb.n_shingles AS DOUBLE) AS containment_b
+      FROM pairs
+      JOIN cnt ca ON ca.doc_id = doc_a
+      JOIN cnt cb ON cb.doc_id = doc_b
+      WHERE CAST(shared AS DOUBLE) / CAST(ca.n_shingles AS DOUBLE) >= 0.8
+         OR CAST(shared AS DOUBLE) / CAST(cb.n_shingles AS DOUBLE) >= 0.8
+      ORDER BY doc_a, doc_b"""))
+
+  // ---------------------------------------------------------------------
   // Corpus novelty curve
   // ---------------------------------------------------------------------
 
@@ -2459,7 +2521,7 @@ object TextQueries {
 
   val all: Seq[GraftQuery] = Seq(
     txUrlDedup, txHtmlExtract, txCurationFunnel, ddBloomStats, ddSubstringDup,
-    txNgramNovelty,
+    txNgramNovelty, ddContainment,
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
     txTrainSplit, txMixtureWeights, txCorpusReport, txPack,
