@@ -58,14 +58,21 @@ object GraphQueries {
     val base = ("graft_graph_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toLowerCase
     graft.functions.AnnIndexes.cached(s, s"graph:$dir") {
       val wh = s.conf.get("spark.sql.warehouse.dir")
-      for (t <- Seq(s"${base}_pairs", s"${base}_edges")) {
+      for (t <- Seq(s"${base}_pairs", s"${base}_pairs_bycust", s"${base}_edges")) {
         s.sql(s"DROP TABLE IF EXISTS $t")
         val p = new org.apache.hadoop.fs.Path(wh, t)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
       }
       val p = pairsFrame(s, dir).cache()
-      p.write.mode("overwrite").saveAsTable(s"${base}_pairs")
+      // both bucketings of the bipartite projection: BSP kernels that
+      // alternate sides (gr_hits) join each half-step against the copy
+      // bucketed on ITS key, so only the node-sized score table ever
+      // shuffles — the 100 TB contract for mutual-recurrence kernels
+      p.write.mode("overwrite").bucketBy(16, "supp").sortBy("supp")
+        .saveAsTable(s"${base}_pairs")
+      p.write.mode("overwrite").bucketBy(16, "cust").sortBy("cust")
+        .saveAsTable(s"${base}_pairs_bycust")
       p.select($"supp".as("src"), $"cust".as("dst"))
         .union(p.select($"cust".as("src"), $"supp".as("dst")))
         .distinct()
@@ -76,6 +83,12 @@ object GraphQueries {
       base
     }
     (s.table(s"${base}_pairs"), s.table(s"${base}_edges"))
+  }
+
+  private def pairsByCust(s: SparkSession, dir: String): DataFrame = {
+    graphTables(s, dir)
+    val base = ("graft_graph_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toLowerCase
+    s.table(s"${base}_pairs_bycust")
   }
 
   private def pairs(s: SparkSession, dir: String): DataFrame =
@@ -538,17 +551,18 @@ object GraphQueries {
     "gr_hits",
     (s, dir) => {
       import s.implicits._
-      val p = pairs(s, dir).cache()
-      var h = p.select($"supp".as("node")).distinct()
+      val pSupp = pairs(s, dir)          // bucketed by supp
+      val pCust = pairsByCust(s, dir)    // bucketed by cust
+      var h = pSupp.select($"supp".as("node")).distinct()
         .select($"node", lit(1000000L).as("score"))
       var a: DataFrame = null
       for (_ <- 1 to hitsIters) {
-        val ar = p.join(h, p("supp") === h("node"))
+        val ar = pSupp.join(h, pSupp("supp") === h("node"))
           .groupBy($"cust".as("node")).agg(sum($"score").as("raw"))
         a = ar.crossJoin(broadcast(ar.agg(max($"raw").as("mx"))))
           .select($"node", expr("raw * 1000000 div mx").as("score"))
           .localCheckpoint()
-        val hr = p.join(a, p("cust") === a("node"))
+        val hr = pCust.join(a, pCust("cust") === a("node"))
           .groupBy($"supp".as("node")).agg(sum($"score").as("raw"))
         h = hr.crossJoin(broadcast(hr.agg(max($"raw").as("mx"))))
           .select($"node", expr("raw * 1000000 div mx").as("score"))

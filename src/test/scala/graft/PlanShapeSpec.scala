@@ -301,4 +301,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "frontier expansion must join on the node key")
   }
+
+  test("r8 text/dedup additions stay key equi-joins with broadcast model sides") {
+    for (q <- Seq("dd_substring_dup", "dd_containment", "tx_ngram_novelty")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: shingle/window candidate generation must stay a key equi-join")
+    }
+    val lm = plan("tx_bigram_lm")
+    assert(lm.contains("BroadcastHashJoin"),
+      "tx_bigram_lm: the fitted bigram/backoff tables must broadcast, not shuffle the corpus")
+    assert(!lm.contains("ScalaUDF") && !lm.contains("BatchEvalPython"),
+      "tx_bigram_lm: scoring must stay in codegen expressions")
+  }
+
+  test("sim_ann_multiprobe broadcasts the 9-row probe set; corpus never shuffles") {
+    val p = plan("sim_ann_multiprobe")
+    assert(p.contains("BroadcastExchange"),
+      "the probe codes must broadcast against the bucketed corpus scan")
+    assert(!p.contains("CartesianProduct"),
+      "probing must remain a bucket equi-join")
+  }
 }
