@@ -423,7 +423,68 @@ object MultimodalQueries {
       ORDER BY doc_a, doc_b"""
     })
 
+  /** Shot-boundary (scene-cut) statistics per video: consecutive sampled
+    * frames are compared by the Hamming distance of their 60-bit frame
+    * signatures (md5-derived, the same signature a perceptual hash would
+    * supply on real decoders); a transition with distance ≥ 16 is a cut.
+    * This is the standard "keyframe selection / shot segmentation"
+    * pre-pass of video curation pipelines, expressed as one lag window
+    * per video partition + one per-video aggregate — per-doc linear,
+    * no cross-video dependency, scales as a plain keyed window. */
+  val mmSceneCut = GraftQuery(
+    "mm_scene_cut",
+    (s, dir) => {
+      import s.implicits._
+      val frames = Media.sampleFrames(s,
+        Media.synthesize(Tables.load(s, dir, "documents"))).toDF()
+      val sig = frames.select($"doc_id", $"frame_idx",
+        expr("cast(conv(substring(frame_md5, 1, 15), 16, 10) as bigint)").as("sig"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"frame_idx")
+      sig.withColumn("prev", lag($"sig", 1).over(w))
+        .withColumn("hamming",
+          expr("bit_count(sig ^ prev)").cast(org.apache.spark.sql.types.LongType))
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_frames"),
+          sum(when($"hamming" >= 16, 1L).otherwise(0L)).as("n_cuts"),
+          (sum($"hamming").cast(org.apache.spark.sql.types.DoubleType) /
+            count($"hamming").cast(org.apache.spark.sql.types.DoubleType))
+            .as("mean_hamming"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH v AS (
+        SELECT doc_id, text,
+               ASCII(SUBSTR(MD5(text), 5, 1)) * 256 + ASCII(SUBSTR(MD5(text), 6, 1)) AS duration_ms
+        FROM documents
+        WHERE doc_id % 3 = 2),
+      nf AS (SELECT *, 1 + duration_ms % 4 AS n_frames FROM v),
+      f AS (
+        SELECT doc_id, i AS frame_idx,
+               MD5(text || ':' || CAST(i AS VARCHAR)) AS frame_md5
+        FROM nf, UNNEST(RANGE(0, CAST(n_frames AS BIGINT))) AS t(i)),
+      sig AS (
+        SELECT doc_id, frame_idx,
+               CAST(('0x' || SUBSTR(frame_md5, 1, 15)) AS BIGINT) AS sig
+        FROM f),
+      d AS (
+        SELECT doc_id, sig,
+               LAG(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        FROM sig),
+      h AS (
+        SELECT doc_id,
+               CASE WHEN prev IS NULL THEN NULL
+                    ELSE BIT_COUNT(XOR(sig, prev)) END AS hamming
+        FROM d)
+      SELECT doc_id, COUNT(*) AS n_frames,
+             CAST(SUM(CASE WHEN hamming >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+             CAST(SUM(hamming) AS DOUBLE) / CAST(COUNT(hamming) AS DOUBLE)
+               AS mean_hamming
+      FROM h GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(mmMediaMeta, mmTypeStats, mmFrameSample, mmCodecStats, mmOrientationStats,
-      mmPhash, mmIntegrity, mmAudioStats, mmThumbnail, mmPhashNeardup)
+      mmPhash, mmIntegrity, mmAudioStats, mmThumbnail, mmPhashNeardup, mmSceneCut)
 }

@@ -644,6 +644,36 @@ object SimilarityQueries {
     oracleGen = Some((s, dir) => AnnOracles.ivfCellStatsSql(
       graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids)))
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup scoped to k-means
+    * cells — assign every vector to its IVF cell (the shared fitted
+    * quantizer), compare pairs ONLY within a cell at cosine ≥ 0.95, and
+    * keep the lowest vec_id of each duplicate group. This is the paper's
+    * exact candidate-bounding trick: the pair space is O(n²/k) per cell
+    * instead of O(n²), and in production k grows with the corpus (the
+    * same occupancy contract as [[TextQueries]]' LSH bit scaling) so
+    * per-cell work stays constant. Output is the per-vector verdict
+    * (is_dup, surviving dup_of, dup-neighbor count). */
+  val ddSemdedupIvf = GraftQuery(
+    "dd_semdedup_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val index = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
+      val ce = index.assigned.select($"vec_id", $"cell", $"embedding")
+      val a = ce.as("a"); val b = ce.as("b")
+      val dup = a.join(b,
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .filter(Vectors.cosine(col("a.embedding"), col("b.embedding")) >= 0.95)
+        .groupBy(col("b.vec_id").as("vec_id"))
+        .agg(min(col("a.vec_id")).as("dup_of"), count(lit(1)).as("n_dups"))
+      ce.select($"vec_id", $"cell")
+        .join(dup, Seq("vec_id"), "left")
+        .select($"vec_id", $"cell", $"dup_of".isNotNull.as("is_dup"), $"dup_of",
+          coalesce($"n_dups", lit(0L)).as("n_dups"))
+        .orderBy($"vec_id")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.semDedupSql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids, 0.95)))
+
   /** Index-quality recall report — the metric a serving team watches
     * before trusting an ANN index: recall@k of the IVF probe search vs
     * the exact brute-force top-k, per query. Both pipelines run in ONE
@@ -1172,5 +1202,5 @@ object SimilarityQueries {
       simAnnInt8Persisted, simQuantizeInt8, simIvfCellStats, simRecallReport,
       ddEmbeddingNeardup, ddSemanticDedup, simMmrRerank, simHardNegatives,
       simKnnGraph, simClusterBalance, simAnnFiltered, simAnnBitq,
-      simBitextMargin, simAnnMultiprobe)
+      simBitextMargin, simAnnMultiprobe, ddSemdedupIvf)
 }

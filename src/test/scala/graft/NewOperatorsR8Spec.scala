@@ -172,4 +172,39 @@ class NewOperatorsR8Spec extends SparkSpec {
     assert(novelSum === docs.distinct().count())
     rows.unpersist()
   }
+
+  test("mm_scene_cut: cuts bounded by transitions; one row per video doc") {
+    val rows = graft.queries.MultimodalQueries.mmSceneCut.fn(spark, sfDir).collect()
+    val nVideos = graft.api.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 3 === 2).count()
+    assert(rows.length.toLong === nVideos)
+    rows.foreach { r =>
+      val nf = r.getAs[Long]("n_frames")
+      val nc = r.getAs[Long]("n_cuts")
+      assert(nf >= 1L && nc >= 0L && nc <= nf - 1,
+        s"doc ${r.get(0)}: $nc cuts for $nf frames")
+      if (nf > 1) {
+        val mh = r.getAs[Double]("mean_hamming")
+        assert(mh >= 0.0 && mh <= 60.0) // 60-bit signatures
+      } else assert(r.isNullAt(r.fieldIndex("mean_hamming")))
+    }
+  }
+
+  test("dd_semdedup_ivf: verdict per vector; survivors are the lowest id of each group") {
+    val rows = SimilarityQueries.ddSemdedupIvf.fn(spark, sfDir).collect()
+    val nVecs = graft.api.Tables.load(spark, sfDir, "embeddings").count()
+    assert(rows.length.toLong === nVecs)
+    rows.foreach { r =>
+      val isDup = r.getAs[Boolean]("is_dup")
+      val nDups = r.getAs[Long]("n_dups")
+      if (isDup) {
+        // the surviving representative always has a smaller id
+        assert(r.getAs[Long]("dup_of") < r.getAs[Long]("vec_id"))
+        assert(nDups >= 1L)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("dup_of")))
+        assert(nDups === 0L)
+      }
+    }
+  }
 }
