@@ -1236,10 +1236,32 @@ object Dissect {
             p + 8
           } else p
           dissectEthFrom(d, innerOff, v, protos, tracker, wanted)
+        case 0x2001 => dissectNhrp(d, p, end, v, protos)
         case _      => null
       } finally v.nested = wasNested
     if (inner != null) inner
     else s"Generic Routing Encapsulation (0x${"%04x".format(proto)})"
+  }
+
+  private val nhrpOpNames = Map(
+    1 -> "Resolution Request", 2 -> "Resolution Reply",
+    3 -> "Registration Request", 4 -> "Registration Reply",
+    5 -> "Purge Request", 6 -> "Purge Reply", 7 -> "Error Indication")
+
+  /** NHRP (RFC 2332, GRE protocol 0x2001): 20-byte fixed header — the
+    * NBMA next-hop resolution control plane of DMVPN overlays. */
+  private def dissectNhrp(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 20) return null
+    if (u8(d, off + 16) != 1) return null // op_version
+    val op = u8(d, off + 17)
+    val name = nhrpOpNames.getOrElse(op, return null)
+    protos += "nhrp"
+    v("nhrp.hdr.afn") = u16(d, off).toLong
+    v("nhrp.hdr.pro.type") = u16(d, off + 2).toLong
+    s"NHRP $name"
   }
 
   /** @return info string or null when the inner layer didn't produce one */
@@ -1322,6 +1344,7 @@ object Dissect {
       case 47 => dissectGre(d, next, ipEnd, v, protos, tracker, wanted)
       case 50 => protos += "esp"; dissectEsp(d, next, ipEnd, v)
       case 97 => dissectEtherip(d, next, ipEnd, v, protos, tracker, wanted)
+      case 46 => dissectRsvp(d, next, ipEnd, v, protos)
       case 103 => dissectPim(d, next, ipEnd, v, protos)
       case 51 => dissectAh(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
       case 88  => dissectEigrp(d, next, ipEnd, v, protos)
@@ -1443,6 +1466,7 @@ object Dissect {
       case 47 => dissectGre(d, p, end, v, protos, tracker, wanted)
       case 50 => protos += "esp"; dissectEsp(d, p, end, v)
       case 97 => dissectEtherip(d, p, end, v, protos, tracker, wanted)
+      case 46 => dissectRsvp(d, p, end, v, protos)
       case 103 => dissectPim(d, p, end, v, protos)
       case 51 => dissectAh(d, p, end, src, dst, v, protos, tracker, wanted)
       case 89  => protos += "ospf"; dissectOspf(d, p, end, v)
@@ -2821,6 +2845,21 @@ object Dissect {
       val rnInfo = dissectRipng(d, off + 8, math.min(payLen, d.length - off - 8),
         v, protos)
       if (rnInfo != null) return rnInfo
+    }
+    if (sp == 2048 || dp == 2048) {
+      val wcInfo = dissectWccp(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (wcInfo != null) return wcInfo
+    }
+    if (sp == 427 || dp == 427) {
+      val slInfo = dissectSrvloc(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (slInfo != null) return slInfo
+    }
+    if (sp == 2944 || dp == 2944) {
+      val mgInfo = dissectMegaco(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (mgInfo != null) return mgInfo
     }
     if (sp == 698 || dp == 698) {
       val olInfo = dissectOlsr(d, off + 8, math.min(payLen, d.length - off - 8),
@@ -7313,6 +7352,94 @@ object Dissect {
   // export formats + RFC 7011 IPFIX, the Redis serialization protocol
   // spec, RFC 2080, RFC 7761, RFC 3618, RFC 3626, RFC 8966).
   // ------------------------------------------------------------------
+
+  // ------------------------------------------------------------------
+  // Tier 34: RSVP / WCCP / SLP / Megaco / NHRP — public wire formats
+  // (RFC 2205, the WCCPv2 draft header, RFC 2608, RFC 3525 text
+  // encoding, RFC 2332 — NHRP lives in dissectGre's inner dispatch).
+  // ------------------------------------------------------------------
+
+  private val rsvpMsgNames = Map(
+    1 -> "PATH", 2 -> "RESV", 3 -> "PATH ERROR", 4 -> "RESV ERROR",
+    5 -> "PATH TEAR", 6 -> "RESV TEAR", 7 -> "CONFIRM")
+
+  /** RSVP (RFC 2205 §3.1, IP protocol 46): common header — version 1,
+    * message type, checksum, send TTL, length. */
+  private def dissectRsvp(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 8) return null
+    if ((u8(d, off) >> 4) != 1) return null
+    val msg = u8(d, off + 1)
+    val name = rsvpMsgNames.getOrElse(msg, return null)
+    protos += "rsvp"
+    v("rsvp.msg") = msg.toLong
+    v("rsvp.sending_ttl") = u8(d, off + 4).toLong
+    s"$name Message"
+  }
+
+  private val wccpMsgNames = Map(
+    10 -> "Here I am", 11 -> "I see you", 12 -> "Redirect assign",
+    13 -> "Removal query")
+
+  /** WCCPv2 (UDP 2048): u32 message type, u16 version 0x0200. */
+  private def dissectWccp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8) return null
+    val typ = u32(d, off)
+    if (typ < 10 || typ > 13) return null
+    if (u16(d, off + 4) != 0x0200) return null
+    protos += "wccp"
+    v("wccp.message") = typ
+    v("wccp.version") = 0x0200L
+    s"2.0 ${wccpMsgNames(typ.toInt)}"
+  }
+
+  private val srvlocFnNames = Map(
+    1 -> "Service Request", 2 -> "Service Reply", 3 -> "Service Registration",
+    4 -> "Service Deregister", 5 -> "Service Acknowledge",
+    6 -> "Attribute Request", 7 -> "Attribute Reply",
+    8 -> "DA Advertisement", 9 -> "Service Type Request",
+    10 -> "Service Type Reply", 11 -> "SA Advertisement")
+
+  /** SLPv2 (RFC 2608, port 427): version 2, function id, u24 length. */
+  private def dissectSrvloc(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 5) return null
+    if (u8(d, off) != 2) return null
+    val fn = u8(d, off + 1)
+    val name = srvlocFnNames.getOrElse(fn, return null)
+    protos += "srvloc"
+    v("srvloc.version") = 2L
+    v("srvloc.function") = fn.toLong
+    name
+  }
+
+  private val megacoCommands =
+    Seq("Add", "Modify", "Subtract", "Move", "Notify", "ServiceChange",
+      "AuditValue", "AuditCapabilities")
+
+  /** Megaco/H.248 text encoding (RFC 3525, port 2944): "MEGACO/1 …"
+    * header, a "Transaction = N" id, and the first command token. */
+  private def dissectMegaco(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 9) return null
+    val text = new String(d, off, math.min(len, 512), "ISO-8859-1")
+    if (!text.startsWith("MEGACO/1") && !text.startsWith("!/1")) return null
+    protos += "megaco"
+    val tm = "Transaction\\s*=\\s*(\\d+)".r.findFirstMatchIn(text)
+    tm.foreach(m => v("megaco.transid") = m.group(1))
+    val cmd = megacoCommands.find(c => text.contains(c + " = "))
+    cmd.foreach(c => v("megaco.command") = c)
+    tm.map(m => s"Transaction ${m.group(1)}").getOrElse("Megaco")
+  }
 
   /** RIPng (RFC 2080, UDP 521): command, version 1, then 20-byte RTEs. */
   private def dissectRipng(

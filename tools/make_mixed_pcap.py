@@ -1417,6 +1417,25 @@ extra.append((t3, 22700, ip_frame(17, A, B, udp(698, 698, olsr), ident=253)))
 babel = struct.pack(">BBH", 42, 2, 8) + bytes(8)
 extra.append((t3, 22800, ip_frame(17, A, B, udp(6696, 6696, babel), ident=254)))
 
+# 230-234: tier 34 — RSVP PATH, WCCPv2 Here-I-Am, SLP service request,
+# Megaco transaction, NHRP resolution request over GRE
+rsvp = struct.pack(">BBHBBH", 0x10, 1, 0, 64, 0, 8)
+extra.append((t3, 22900, ip_frame(46, A, B, rsvp, ident=255)))
+
+wccp = struct.pack(">IHH", 10, 0x0200, 0) + bytes(8)
+extra.append((t3, 23000, ip_frame(17, A, B, udp(50101, 2048, wccp), ident=256)))
+
+slp = bytes([2, 1]) + b"\x00\x00\x10" + bytes(11)
+extra.append((t3, 23100, ip_frame(17, A, B, udp(50102, 427, slp), ident=257)))
+
+mgc = b"MEGACO/1 [10.0.0.1]:2944\nTransaction = 9998 {\n Context = - {\n  Add = term1 {}\n }\n}"
+extra.append((t3, 23200, ip_frame(17, A, B, udp(50103, 2944, mgc), ident=258)))
+
+nhrp = struct.pack(">HH", 1, 0x0800) + bytes(5) + bytes([255]) + \
+    struct.pack(">HHH", 40, 0, 0) + bytes([1, 1, 4, 0]) + bytes(20)
+extra.append((t3, 23300, ip_frame(47, A, B, struct.pack(">HH", 0, 0x2001) + nhrp,
+                                  ident=259)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
