@@ -644,15 +644,16 @@ object SimilarityQueries {
     oracleGen = Some((s, dir) => AnnOracles.ivfCellStatsSql(
       graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids)))
 
-  /** SemDeDup (Abbas et al. 2023): semantic dedup scoped to k-means
-    * cells — assign every vector to its IVF cell (the shared fitted
-    * quantizer), compare pairs ONLY within a cell at cosine ≥ 0.95, and
-    * keep the lowest vec_id of each duplicate group. This is the paper's
-    * exact candidate-bounding trick: the pair space is O(n²/k) per cell
-    * instead of O(n²), and in production k grows with the corpus (the
-    * same occupancy contract as [[TextQueries]]' LSH bit scaling) so
-    * per-cell work stays constant. Output is the per-vector verdict
-    * (is_dup, surviving dup_of, dup-neighbor count). */
+  /** Semantic-dedup SURVIVORSHIP MAP — the companion [[ddSemanticDedup]]
+    * (the SemDeDup keep/drop verdict, τ = 0.4) does not provide: for every
+    * removed vector, WHICH surviving representative replaced it (lowest
+    * id of the duplicate group, the Abbas et al. 2023 convention) and how
+    * many dup neighbors it had. This mapping is what a corpus-rewrite job
+    * joins on — redirect references from removed items to their
+    * representative — exactly the role `dd_dedup_keep` plays for exact
+    * dedup. Candidates come from the same shared IVF-cell bound
+    * (O(n²/k) per cell; k grows with the corpus like the LSH bit
+    * scaling), at the near-dup threshold τ = 0.95. */
   val ddSemdedupIvf = GraftQuery(
     "dd_semdedup_ivf",
     (s, dir) => {
