@@ -2331,6 +2331,69 @@ object TextQueries {
       FROM fill f, obs o"""))
 
   // ---------------------------------------------------------------------
+  // Count-Min Sketch heavy hitters
+  // ---------------------------------------------------------------------
+
+  /** Count-Min Sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    * verification: a depth-3 × width-256 integer counter matrix over the
+    * token stream (three salted md5 bucket rows), probed for the true
+    * top-20 words — estimate = min over the 3 rows, with the CMS
+    * guarantee `estimate ≥ true` surfaced as the `overestimate` column.
+    * Completes the sketch family (HLL q34, KLL-style quantiles q39b,
+    * Bloom dd_bloom_*): CMS is the point-frequency sketch. Everything is
+    * integer counts over engine-portable md5 buckets, so the oracle is
+    * exact. 100 TB shape: the sketch build is ONE map-side-combined
+    * aggregate onto ≤ 768 cells (the entire sketch is broadcast-sized by
+    * construction — that is the point of CMS); the probe side is 60
+    * rows. */
+  val txCmsTopk = GraftQuery(
+    "tx_cms_topk",
+    (s, dir) => {
+      import s.implicits._
+      val W = 256
+      val toks = docs(s, dir)
+        .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+      def bucketed(df: DataFrame): DataFrame = df
+        .withColumn("m", md5(concat(lit("cms"), $"j".cast("string"), lit("|"), $"w")))
+        .withColumn("bucket", expr(s"${h16SqlAt("m", 1)} % $W"))
+      val cells = bucketed(toks.select($"w", explode(expr("sequence(0, 2)")).as("j")))
+        .groupBy($"j", $"bucket").agg(count(lit(1)).as("cell_cnt"))
+      val top = toks.groupBy($"w").agg(count(lit(1)).as("true_cnt"))
+        .orderBy($"true_cnt".desc, $"w").limit(20)
+      val probes = bucketed(
+        top.select($"w", $"true_cnt", explode(expr("sequence(0, 2)")).as("j")))
+      probes.join(cells, Seq("j", "bucket"))
+        .groupBy($"w", $"true_cnt").agg(min($"cell_cnt").as("cms_estimate"))
+        .select($"w", $"true_cnt", $"cms_estimate",
+          ($"cms_estimate" - $"true_cnt").as("overestimate"))
+        .orderBy($"true_cnt".desc, $"w")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents),
+      salted AS (
+        SELECT w, j, MD5('cms' || CAST(j AS VARCHAR) || '|' || w) AS m
+        FROM toks, UNNEST([0, 1, 2]) AS u(j)),
+      cells AS (
+        SELECT j, ${h16SqlAt("m", 1)} % 256 AS bucket, COUNT(*) AS cell_cnt
+        FROM salted GROUP BY 1, 2),
+      top AS (
+        SELECT w, COUNT(*) AS true_cnt FROM toks
+        GROUP BY w ORDER BY true_cnt DESC, w LIMIT 20),
+      probes AS (
+        SELECT t.w, t.true_cnt, j,
+               MD5('cms' || CAST(j AS VARCHAR) || '|' || t.w) AS m
+        FROM top t, UNNEST([0, 1, 2]) AS u(j)),
+      pb AS (
+        SELECT w, true_cnt, j, ${h16SqlAt("m", 1)} % 256 AS bucket FROM probes)
+      SELECT p.w, p.true_cnt, MIN(c.cell_cnt) AS cms_estimate,
+             MIN(c.cell_cnt) - p.true_cnt AS overestimate
+      FROM pb p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+      GROUP BY p.w, p.true_cnt
+      ORDER BY true_cnt DESC, w"""))
+
+  // ---------------------------------------------------------------------
   // Containment (asymmetric near-dup)
   // ---------------------------------------------------------------------
 
@@ -2521,7 +2584,7 @@ object TextQueries {
 
   val all: Seq[GraftQuery] = Seq(
     txUrlDedup, txHtmlExtract, txCurationFunnel, ddBloomStats, ddSubstringDup,
-    txNgramNovelty, ddContainment,
+    txNgramNovelty, ddContainment, txCmsTopk,
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
     txTrainSplit, txMixtureWeights, txCorpusReport, txPack,

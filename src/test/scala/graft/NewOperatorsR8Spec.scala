@@ -190,6 +190,18 @@ class NewOperatorsR8Spec extends SparkSpec {
     }
   }
 
+  test("tx_cms_topk: the CMS guarantee — estimates never undercount") {
+    val rows = TextQueries.txCmsTopk.fn(spark, sfDir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val over = r.getAs[Long]("overestimate")
+      assert(over >= 0L,
+        s"word ${r.get(0)}: CMS estimate undercounts by ${-over}")
+      assert(r.getAs[Long]("cms_estimate") ===
+        r.getAs[Long]("true_cnt") + over)
+    }
+  }
+
   test("dd_semdedup_ivf: verdict per vector; survivors are the lowest id of each group") {
     val rows = SimilarityQueries.ddSemdedupIvf.fn(spark, sfDir).collect()
     val nVecs = graft.api.Tables.load(spark, sfDir, "embeddings").count()
