@@ -35,6 +35,7 @@ object SparkEntry {
     * (VERDICT r7 #4: dd_minhash_lsh_pairs billed 13.5 s for the fit). */
   def prepareArtifacts(spark: SparkSession, sfDir: String): Unit = {
     TextQueries.minhashSigTable(spark, sfDir).count()
+    TextQueries.shingleTable(spark, sfDir).count()
     TextQueries.ccBaseTables(spark, sfDir)
     GraphQueries.prepare(spark, sfDir)
     graft.functions.AnnIndexes.ivfPersisted(spark, sfDir, k = 16)

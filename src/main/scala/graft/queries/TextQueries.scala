@@ -354,16 +354,42 @@ object TextQueries {
     * sets on both engines (semantics mirrored in the oracle). */
   private val maxShingleDf = 50
 
+  /** PERSISTED df-capped 5-shingle posting table, built once per
+    * (session, dir) behind the shared write-once guard and BUCKETED BY
+    * `shingle` — the join key of every consumer (dd_ngram_jaccard's and
+    * dd_containment's candidate self-joins run bucket-co-located with no
+    * posting shuffle). The same artifact contract as
+    * [[minhashSigTable]]: at 100 TB the shingle postings are signed once
+    * by a batch job and every similarity pass reads the table. */
+  private[graft] def shingleTable(s: SparkSession, dir: String): DataFrame = {
+    val name = ("graft_shingle5_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      .toLowerCase
+    graft.functions.AnnIndexes.cached(s, s"shingle5:$dir") {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(wh, name)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val all = shingleRows(
+        docs(s, dir).withColumn("tokens", split(col("text"), " ")), 5)
+      val rare = all.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf)
+        .select(col("shingle"))
+      all.join(rare, Seq("shingle"), "left_semi")
+        .write.mode("overwrite")
+        .bucketBy(16, "shingle").sortBy("shingle")
+        .saveAsTable(name)
+      name
+    }
+    s.table(name)
+  }
+
   val ddNgramJaccard = GraftQuery(
     "dd_ngram_jaccard",
     (s, dir) => {
       import s.implicits._
-      // shared 3× below (counts + both join sides): cache once
-      val all = shingleRows(docs(s, dir).withColumn("tokens", split($"text", " ")), 5)
-      val rare = all.groupBy($"shingle").agg(count(lit(1)).as("df"))
-        .filter($"df" <= maxShingleDf)
-        .select($"shingle")
-      val sh = all.join(rare, Seq("shingle"), "left_semi").cache()
+      val sh = shingleTable(s, dir)
       val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
       val a = sh.as("a"); val b = sh.as("b")
       val pairs = a.join(b,
@@ -2409,11 +2435,7 @@ object TextQueries {
     "dd_containment",
     (s, dir) => {
       import s.implicits._
-      val all = shingleRows(docs(s, dir).withColumn("tokens", split($"text", " ")), 5)
-      val rare = all.groupBy($"shingle").agg(count(lit(1)).as("df"))
-        .filter($"df" <= maxShingleDf)
-        .select($"shingle")
-      val sh = all.join(rare, Seq("shingle"), "left_semi").cache()
+      val sh = shingleTable(s, dir)
       val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
       val a = sh.as("a"); val b = sh.as("b")
       val pairs = a.join(b,
