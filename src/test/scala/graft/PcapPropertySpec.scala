@@ -76,7 +76,9 @@ class PcapPropertySpec extends AnyFunSuite {
       1883, 1433, 5672, 5432, 3306, 6379, 139, 3389, 853, 3868, 554, 1080, 135,
       2049, 389, 9092, 9042, 11211, 50051, 102, 20000, 2404, 44818, 4840,
       6667, 5222, 2775, 1723, 49, 8333, 9000, 4369, 3260, 5084, 27017, 873, 4730,
-      6653, 5900, 61613, 564, 13400, 4222, 11112, 104, 8583) // openflow/vnc/stomp/9p/doip/nats/dicom/iso8583
+      6653, 5900, 61613, 564, 13400, 4222, 11112, 104, 8583, // openflow/vnc/stomp/9p/doip/nats/dicom/iso8583
+      9418, 11210, 1521, 5050, 3632, 6000, // git/couchbase/tns/ymsg/distcc/x11
+      61616, 2855, 2600, 10000, 8020, 639) // openwire/msrp/zebra/hpfeeds/hdfs/msdp
     val payloadGen = for {
       n <- Gen.chooseNum(0, 400)
       bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))
@@ -130,7 +132,9 @@ class PcapPropertySpec extends AnyFunSuite {
       1812, 4789, 1900, 514, 69, 5355, 137, 3478, 547, 51820, 2152, 500,
       1701, 5683, 2055, 6343, 3784, 520, 1985,
       6081, 3956, 5351, 138, 6881, 1194, 319, // geneve/gvcp/nat-pmp/nbdgm/dht/openvpn/ptp
-      47808, 2427, 2727, 30490, 2123, 8805, 13400, 37008) // bacnet/mgcp/someip/gtpv2/pfcp/doip/tzsp
+      47808, 2427, 2727, 30490, 2123, 8805, 13400, 37008, // bacnet/mgcp/someip/gtpv2/pfcp/doip/tzsp
+      3544, 521, 698, 6696, 2048, 427, 2944, // teredo/ripng/olsr/babel/wccp/slp/megaco
+      9995, 4739, 7400, 30001, 9300, 3130) // cflow-v9/ipfix/rtps/moldudp64/srt/icp
     val payloadGen = for {
       n <- Gen.chooseNum(0, 300)
       bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))
@@ -156,6 +160,40 @@ class PcapPropertySpec extends AnyFunSuite {
         val rec = PcapFormat.Record(1, 1000000L, f.length, f.length, f)
         val d = Dissect.dissect(rec, 1, t)
         d.values.contains("udp.srcport") && d.protocols.startsWith("eth")
+    })
+  }
+
+  test("dissector fuzz: random IP protocol numbers with random payloads never throw") {
+    import graft.pcap.Dissect
+    // exercises the non-TCP/UDP IP-protocol chains: ICMP/IGMP/GRE(+inner
+    // ethertypes incl. NHRP 0x2001)/ESP/AH/RSVP/EtherIP/PIM/OSPF/EIGRP/
+    // SCTP/VRRP/L2TP-over-IP and the unknown-proto fallback
+    val protoGen = Gen.oneOf(1, 2, 46, 47, 50, 51, 88, 89, 97, 103, 112, 132,
+      6, 17, 58, 255, 0)
+    val payloadGen = for {
+      n <- Gen.chooseNum(0, 120)
+      bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))
+      // bias toward valid-looking GRE+NHRP / RSVP / PIM prefixes
+      prefix <- Gen.oneOf(Array.emptyByteArray,
+        Array[Byte](0, 0, 0x20, 0x01), // GRE proto 0x2001 (NHRP)
+        Array[Byte](0x10, 1), // RSVP v1 PATH
+        Array[Byte](0x20, 0)) // PIMv2 hello
+    } yield prefix ++ bytes
+    def ipFrame(proto: Int, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(14 + 20 + payload.length)
+      b.put(new Array[Byte](12)).putShort(0x0800.toShort)
+      b.put(0x45.toByte).put(0.toByte).putShort((20 + payload.length).toShort)
+        .putShort(1.toShort).putShort(0.toShort)
+        .put(64.toByte).put(proto.toByte).putShort(0.toShort)
+        .put(Array[Byte](10, 0, 0, 1)).put(Array[Byte](10, 0, 0, 2))
+      b.put(payload)
+      b.array()
+    }
+    check(Prop.forAll(protoGen, payloadGen) { (proto: Int, payload: Array[Byte]) =>
+      val f = ipFrame(proto, payload)
+      val rec = PcapFormat.Record(1, 1000000L, f.length, f.length, f)
+      val d = Dissect.dissect(rec, 1, new Dissect.Tracker(desegment = true))
+      d != null && d.protocols.startsWith("eth")
     })
   }
 }
