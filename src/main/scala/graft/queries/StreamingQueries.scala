@@ -544,9 +544,36 @@ object StreamingQueries {
       FROM toks t JOIN agg ag ON ag.doc_id = t.doc_id
       ORDER BY t.doc_id"""))
 
+  /** Streaming Count-Min-Sketch build: [[TextQueries.cmsCells]] is an
+    * input-agnostic groupBy aggregate onto ≤ 768 (j, bucket) cells, so
+    * under complete-mode streaming it IS the incrementally-maintained
+    * sketch — every micro-batch folds its token counts into the same
+    * bounded state, the textbook streaming-sketch shape (state size is a
+    * constant 768 rows regardless of stream length). StreamingSpec pins
+    * streaming == batch over a MemoryStream; this batch twin is what the
+    * driver oracle-checks. */
+  val stCmsSketch = GraftQuery(
+    "st_cms_sketch",
+    (s, dir) => {
+      import s.implicits._
+      graft.queries.TextQueries.cmsCells(Tables.load(s, dir, "documents"))
+        .orderBy($"j", $"bucket")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents),
+      salted AS (
+        SELECT w, j, MD5('cms' || CAST(j AS VARCHAR) || '|' || w) AS m
+        FROM toks, UNNEST([0, 1, 2]) AS u(j))
+      SELECT j, ${graft.queries.TextQueries.h16SqlAt("m", 1)} % 256 AS bucket,
+             COUNT(*) AS cell_cnt
+      FROM salted GROUP BY 1, 2
+      ORDER BY j, bucket"""))
+
   val all: Seq[GraftQuery] =
     Seq(stSessionize, stWindowedCounts, stDistinctUsers, stSlidingRates,
       stDedup, stIntervalJoin, stAttributionOuter, stSessionWindow, stEnrich,
       stRateLimit, stTopk, stUpsert, stPattern, stAnnServe, stBloomDedup,
-      stCurationGate)
+      stCurationGate, stCmsSketch)
 }

@@ -2372,21 +2372,34 @@ object TextQueries {
     * aggregate onto ≤ 768 cells (the entire sketch is broadcast-sized by
     * construction — that is the point of CMS); the probe side is 60
     * rows. */
+  private val CmsW = 256
+
+  /** Salted CMS bucket columns for a frame carrying (w, j). */
+  private[graft] def cmsBucketed(df: DataFrame): DataFrame = df
+    .withColumn("m", md5(concat(lit("cms"), col("j").cast("string"), lit("|"), col("w"))))
+    .withColumn("bucket", expr(s"${h16SqlAt("m", 1)} % $CmsW"))
+
+  /** The depth-3 × width-256 CMS counter matrix over a (text) frame —
+    * shared verbatim by the batch build ([[txCmsTopk]]) and the streaming
+    * build (st_cms_sketch): one aggregate onto ≤ 768 cells, which under
+    * streaming complete-mode is the canonical incrementally-maintained
+    * sketch (bounded state by construction). */
+  private[graft] def cmsCells(df: DataFrame): DataFrame =
+    cmsBucketed(df
+      .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+      .select(col("w"), explode(expr("sequence(0, 2)")).as("j")))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cell_cnt"))
+
   val txCmsTopk = GraftQuery(
     "tx_cms_topk",
     (s, dir) => {
       import s.implicits._
-      val W = 256
       val toks = docs(s, dir)
         .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
-      def bucketed(df: DataFrame): DataFrame = df
-        .withColumn("m", md5(concat(lit("cms"), $"j".cast("string"), lit("|"), $"w")))
-        .withColumn("bucket", expr(s"${h16SqlAt("m", 1)} % $W"))
-      val cells = bucketed(toks.select($"w", explode(expr("sequence(0, 2)")).as("j")))
-        .groupBy($"j", $"bucket").agg(count(lit(1)).as("cell_cnt"))
+      val cells = cmsCells(docs(s, dir))
       val top = toks.groupBy($"w").agg(count(lit(1)).as("true_cnt"))
         .orderBy($"true_cnt".desc, $"w").limit(20)
-      val probes = bucketed(
+      val probes = cmsBucketed(
         top.select($"w", $"true_cnt", explode(expr("sequence(0, 2)")).as("j")))
       probes.join(cells, Seq("j", "bucket"))
         .groupBy($"w", $"true_cnt").agg(min($"cell_cnt").as("cms_estimate"))

@@ -619,4 +619,27 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("curationgate").orderBy("doc_id").collect()
     assert(batch.map(_.toSeq).toSeq === streamed.map(_.toSeq).toSeq)
   }
+
+  test("streaming CMS sketch build: complete-mode cells equal batch; state stays ≤ 768 rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq("alpha beta alpha", "beta gamma", "alpha delta delta",
+      "gamma gamma gamma")
+    val batch = graft.queries.TextQueries.cmsCells(texts.toDF("text"))
+      .orderBy("j", "bucket").collect()
+    // the counter matrix is bounded by construction: depth 3 × width 256
+    assert(batch.length <= 768)
+    // total mass = 3 salts × token occurrences
+    val nToks = texts.map(_.split(" ").length).sum
+    assert(batch.map(_.getAs[Long]("cell_cnt")).sum === 3L * nToks)
+
+    val stream = MemoryStream[String]
+    texts.foreach(t => stream.addData(t)) // one micro-batch per document
+    val q = graft.queries.TextQueries.cmsCells(stream.toDF().toDF("text"))
+      .writeStream.format("memory").queryName("cmscells")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("cmscells").orderBy("j", "bucket").collect()
+    assert(batch.map(_.toSeq).toSeq === streamed.map(_.toSeq).toSeq)
+  }
 }
