@@ -5173,7 +5173,17 @@ object Dissect {
     v("igmp.type") = tpe.toLong
     v("igmp.max_resp") = u8(d, off + 1).toLong
     v("igmp.checksum") = u16(d, off + 2).toLong
-    if (tpe == 0x22) return "Membership Report"
+    if (tpe == 0x22) {
+      // IGMPv3 (RFC 3376 §4.2): reserved(2), number of group records(2),
+      // then records — type(1), aux len(1), n sources(2), group address(4)
+      val n = u16(d, off + 6)
+      v("igmp.num_grp_recs") = n.toLong
+      if (n > 0 && end >= off + 16) {
+        v("igmp.record_type") = u8(d, off + 8).toLong
+        v("igmp.maddr") = ipv4Str(d, off + 12)
+      }
+      return s"Membership Report / ${if (n == 1) "1 group record" else s"$n group records"}"
+    }
     val group = ipv4Str(d, off + 4)
     v("igmp.maddr") = group
     tpe match {

@@ -1436,6 +1436,11 @@ nhrp = struct.pack(">HH", 1, 0x0800) + bytes(5) + bytes([255]) + \
 extra.append((t3, 23300, ip_frame(47, A, B, struct.pack(">HH", 0, 0x2001) + nhrp,
                                   ident=259)))
 
+# 235: IGMPv3 membership report — one EXCLUDE{} (join) record for 239.1.2.3
+igmp3 = struct.pack(">BBHHH", 0x22, 0, 0, 0, 1) + \
+    struct.pack(">BBH", 4, 0, 0) + bytes([239, 1, 2, 3])
+extra.append((t3, 23400, ip_frame(2, A, [224, 0, 0, 22], igmp3, ident=260)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
