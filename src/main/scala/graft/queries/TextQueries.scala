@@ -2394,11 +2394,19 @@ object TextQueries {
     "tx_cms_topk",
     (s, dir) => {
       import s.implicits._
-      val toks = docs(s, dir)
+      // one token pass: the per-word counts feed BOTH the truth top-20
+      // and the sketch build (cell count = Σ word counts per bucket —
+      // identical values to the per-occurrence fold cmsCells runs for
+      // streaming, but the salting/md5 work here is per DISTINCT word,
+      // not per occurrence, and the corpus is scanned once)
+      val counts = docs(s, dir)
         .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
-      val cells = cmsCells(docs(s, dir))
-      val top = toks.groupBy($"w").agg(count(lit(1)).as("true_cnt"))
-        .orderBy($"true_cnt".desc, $"w").limit(20)
+        .groupBy($"w").agg(count(lit(1)).as("true_cnt"))
+        .cache()
+      val cells = cmsBucketed(
+        counts.select($"w", $"true_cnt", explode(expr("sequence(0, 2)")).as("j")))
+        .groupBy($"j", $"bucket").agg(sum($"true_cnt").as("cell_cnt"))
+      val top = counts.orderBy($"true_cnt".desc, $"w").limit(20)
       val probes = cmsBucketed(
         top.select($"w", $"true_cnt", explode(expr("sequence(0, 2)")).as("j")))
       probes.join(cells, Seq("j", "bucket"))
