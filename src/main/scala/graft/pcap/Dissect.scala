@@ -1340,12 +1340,13 @@ object Dissect {
       case 6  => dissectTcp(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
       case 17 => dissectUdp(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
       case 1  => protos += "icmp"; dissectIcmp(d, next, v)
-      case 2  => protos += "igmp"; dissectIgmp(d, next, ipEnd, v)
+      case 2  => protos += "igmp"; dissectIgmp(d, next, ipEnd, v, protos)
       case 47 => dissectGre(d, next, ipEnd, v, protos, tracker, wanted)
       case 50 => protos += "esp"; dissectEsp(d, next, ipEnd, v)
       case 97 => dissectEtherip(d, next, ipEnd, v, protos, tracker, wanted)
       case 46 => dissectRsvp(d, next, ipEnd, v, protos)
       case 103 => dissectPim(d, next, ipEnd, v, protos)
+      case 115 => dissectL2tpv3(d, next, ipEnd, v, protos)
       case 51 => dissectAh(d, next, ipEnd, src, dst, v, protos, tracker, wanted)
       case 88  => dissectEigrp(d, next, ipEnd, v, protos)
       case 89  => protos += "ospf"; dissectOspf(d, next, ipEnd, v)
@@ -1468,6 +1469,7 @@ object Dissect {
       case 97 => dissectEtherip(d, p, end, v, protos, tracker, wanted)
       case 46 => dissectRsvp(d, p, end, v, protos)
       case 103 => dissectPim(d, p, end, v, protos)
+      case 115 => dissectL2tpv3(d, p, end, v, protos)
       case 51 => dissectAh(d, p, end, src, dst, v, protos, tracker, wanted)
       case 89  => protos += "ospf"; dissectOspf(d, p, end, v)
       case 132 => dissectSctp(d, p, end, v, protos)
@@ -2860,6 +2862,11 @@ object Dissect {
       val mgInfo = dissectMegaco(d, off + 8, math.min(payLen, d.length - off - 8),
         v, protos)
       if (mgInfo != null) return mgInfo
+    }
+    if (sp == 2442 || dp == 2442) {
+      val msInfo = dissectMqttsn(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (msInfo != null) return msInfo
     }
     if (sp == 698 || dp == 698) {
       val olInfo = dissectOlsr(d, off + 8, math.min(payLen, d.length - off - 8),
@@ -4262,7 +4269,25 @@ object Dissect {
     val version = u8(d, vp)
     if (version > 3) return null
     p = vp + vl
-    if (p >= end || u8(d, p) != 0x04) return null // community OCTET STRING
+    if (p >= end) return null
+    if (version == 3) {
+      // SNMPv3 (RFC 3412): msgGlobalData SEQUENCE { msgID INTEGER, … };
+      // the security parameters and (possibly encrypted) PDU that follow
+      // stay opaque without USM keys
+      if (u8(d, p) != 0x30) return null
+      val (_, gp) = berLen(d, p + 1, end)
+      if (gp >= end || u8(d, gp) != 0x02) return null
+      val (il, ip) = berLen(d, gp + 1, end)
+      if (il < 1 || il > 4 || ip + il > end) return null
+      var msgId = 0L
+      var k = 0
+      while (k < il) { msgId = (msgId << 8) | u8(d, ip + k); k += 1 }
+      protos += "snmp"
+      v("snmp.version") = 3L
+      v("snmp.msgid") = msgId
+      return s"SNMPv3 msgId=$msgId"
+    }
+    if (u8(d, p) != 0x04) return null // community OCTET STRING
     val (cl, cp) = berLen(d, p + 1, end)
     if (cl < 0 || cp + cl > end) return null
     val community = new String(d, cp, cl, "ISO-8859-1")
@@ -5167,12 +5192,26 @@ object Dissect {
     * for the single-group v1/v2 forms — the group address. The v3 report
     * (0x22) carries group records, not one address, so only type-level
     * fields are emitted for it. */
-  private def dissectIgmp(d: Array[Byte], off: Int, end: Int, v: FieldVec): String = {
+  private val dvmrpCodeNames = Map(
+    1 -> "Probe", 2 -> "Route Report", 3 -> "Ask Neighbors",
+    4 -> "Neighbors", 5 -> "Ask Neighbors 2", 6 -> "Neighbors 2",
+    7 -> "Prune", 8 -> "Graft", 9 -> "Graft-Ack")
+
+  private def dissectIgmp(d: Array[Byte], off: Int, end: Int, v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
     if (end < off + 8) return "IGMP"
     val tpe = u8(d, off)
     v("igmp.type") = tpe.toLong
     v("igmp.max_resp") = u8(d, off + 1).toLong
     v("igmp.checksum") = u16(d, off + 2).toLong
+    if (tpe == 0x13) {
+      // DVMRP (RFC 1075 as deployed) rides IGMP type 0x13; the second
+      // octet is the DVMRP message code
+      val code = u8(d, off + 1)
+      protos += "dvmrp"
+      v("dvmrp.code") = code.toLong
+      return dvmrpCodeNames.getOrElse(code, s"DVMRP code $code")
+    }
     if (tpe == 0x22) {
       // IGMPv3 (RFC 3376 §4.2): reserved(2), number of group records(2),
       // then records — type(1), aux len(1), n sources(2), group address(4)
@@ -5705,7 +5744,16 @@ object Dissect {
 
   private val stunTypeNames: Map[Int, String] = Map(
     0x0001 -> "Binding Request", 0x0101 -> "Binding Success Response",
-    0x0111 -> "Binding Error Response", 0x0011 -> "Binding Indication")
+    0x0111 -> "Binding Error Response", 0x0011 -> "Binding Indication",
+    // TURN methods (RFC 8656) share the STUN header and cookie
+    0x0003 -> "Allocate Request", 0x0103 -> "Allocate Success Response",
+    0x0113 -> "Allocate Error Response",
+    0x0004 -> "Refresh Request", 0x0104 -> "Refresh Success Response",
+    0x0016 -> "Send Indication", 0x0017 -> "Data Indication",
+    0x0008 -> "CreatePermission Request",
+    0x0108 -> "CreatePermission Success Response",
+    0x0009 -> "ChannelBind Request",
+    0x0109 -> "ChannelBind Success Response")
 
   /** STUN (RFC 5389, UDP 3478): gated on the magic cookie; type, message
     * length, and the 96-bit transaction id. */
@@ -7449,6 +7497,59 @@ object Dissect {
     val cmd = megacoCommands.find(c => text.contains(c + " = "))
     cmd.foreach(c => v("megaco.command") = c)
     tm.map(m => s"Transaction ${m.group(1)}").getOrElse("Megaco")
+  }
+
+  /** L2TPv3 over IP (RFC 3931 §4.1, IP protocol 115): a 32-bit session
+    * id; zero marks a control message. */
+  private def dissectL2tpv3(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 4) return null
+    val sid = u32(d, off)
+    protos += "l2tp"
+    if (sid == 0) {
+      v("l2tp.type") = 1L
+      "L2TPv3 control message"
+    } else {
+      v("l2tp.type") = 0L
+      v("l2tp.session") = sid
+      s"L2TPv3 data, session $sid"
+    }
+  }
+
+  private val mqttsnMsgNames = Map(
+    0x00 -> "ADVERTISE", 0x01 -> "SEARCHGW", 0x02 -> "GWINFO",
+    0x04 -> "CONNECT", 0x05 -> "CONNACK",
+    0x06 -> "WILLTOPICREQ", 0x07 -> "WILLTOPIC",
+    0x08 -> "WILLMSGREQ", 0x09 -> "WILLMSG",
+    0x0a -> "REGISTER", 0x0b -> "REGACK",
+    0x0c -> "PUBLISH", 0x0d -> "PUBACK",
+    0x0e -> "PUBCOMP", 0x0f -> "PUBREC", 0x10 -> "PUBREL",
+    0x12 -> "SUBSCRIBE", 0x13 -> "SUBACK",
+    0x14 -> "UNSUBSCRIBE", 0x15 -> "UNSUBACK",
+    0x16 -> "PINGREQ", 0x17 -> "PINGRESP", 0x18 -> "DISCONNECT")
+
+  /** MQTT-SN v1.2 (the public OASIS spec, UDP): 1- or 3-octet length
+    * that must equal the datagram payload, then the message type. */
+  private def dissectMqttsn(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 2) return null
+    var mlen = u8(d, off)
+    var hdr = 1
+    if (mlen == 1) {
+      if (len < 4) return null
+      mlen = u16(d, off + 1); hdr = 3
+    }
+    if (mlen != len) return null
+    val typ = u8(d, off + hdr)
+    val name = mqttsnMsgNames.getOrElse(typ, return null)
+    protos += "mqttsn"
+    v("mqttsn.len") = mlen.toLong
+    v("mqttsn.msg.type") = typ.toLong
+    name
   }
 
   /** RIPng (RFC 2080, UDP 521): command, version 1, then 20-byte RTEs. */

@@ -1441,6 +1441,27 @@ igmp3 = struct.pack(">BBHHH", 0x22, 0, 0, 0, 1) + \
     struct.pack(">BBH", 4, 0, 0) + bytes([239, 1, 2, 3])
 extra.append((t3, 23400, ip_frame(2, A, [224, 0, 0, 22], igmp3, ident=260)))
 
+# 236-240: tier 35 — TURN allocate over STUN, SNMPv3 header, L2TPv3 data
+# over IP, DVMRP probe (IGMP type 0x13), MQTT-SN connect
+turn = struct.pack(">HHI", 0x0003, 8, 0x2112A442) + bytes(12) + \
+    struct.pack(">HHI", 0x0019, 4, 17 << 24)  # REQUESTED-TRANSPORT udp
+extra.append((t3, 23500, ip_frame(17, A, B, udp(50104, 3478, turn), ident=261)))
+
+# SNMPv3: SEQUENCE { INTEGER 3, SEQUENCE { INTEGER msgID=777, ... } ... }
+snmp3_global = b"\x02\x02\x03\x09" + b"\x02\x02\x05\xdc" + b"\x04\x01\x07" + b"\x02\x01\x03"
+snmp3 = b"\x30" + bytes([2 + 1 + 2 + len(snmp3_global)]) + b"\x02\x01\x03" + \
+    b"\x30" + bytes([len(snmp3_global)]) + snmp3_global
+extra.append((t3, 23600, ip_frame(17, A, B, udp(50105, 161, snmp3), ident=262)))
+
+extra.append((t3, 23700, ip_frame(115, A, B, struct.pack(">I", 0xABCD) + bytes(12),
+                                  ident=263)))
+
+dvmrp = struct.pack(">BBH", 0x13, 1, 0) + bytes(8)
+extra.append((t3, 23800, ip_frame(2, A, [224, 0, 0, 4], dvmrp, ident=264)))
+
+mqttsn = bytes([12, 0x04, 0x04, 0x01, 0x00, 0x3C]) + b"node01"
+extra.append((t3, 23900, ip_frame(17, A, B, udp(50106, 2442, mqttsn), ident=265)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
