@@ -21,13 +21,17 @@ object SimilarityQueries {
 
   private val dim = 64
 
-  private def sparkDot(a: String, b: String): String =
-    (1 to dim).map(i =>
+  private def sparkDotK(a: String, b: String, k: Int): String =
+    (1 to k).map(i =>
       s"CAST(element_at($a, $i) AS DOUBLE) * CAST(element_at($b, $i) AS DOUBLE)")
       .mkString(" + ")
 
-  private def duckDot(a: String, b: String): String =
-    (1 to dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+  private def duckDotK(a: String, b: String, k: Int): String =
+    (1 to k).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+
+  private def sparkDot(a: String, b: String): String = sparkDotK(a, b, dim)
+
+  private def duckDot(a: String, b: String): String = duckDotK(a, b, dim)
 
   /** The LSH bucket expression unrolled for DuckDB with the SAME plane-sign
     * literals the Spark plan embeds (Vectors.planeSigns) and the same
@@ -146,6 +150,61 @@ object SimilarityQueries {
       FROM b JOIN probes p ON b.bucket = p.probe
       WHERE b.vec_id <> 0
       ORDER BY cosine DESC, b.vec_id
+      LIMIT 10"""))
+
+  private val mrlPrefix = 16
+  private val mrlRerank = 50
+
+  /** Matryoshka prefix-dimension search (Kusupati et al. 2022, MRL):
+    * score the corpus on only the FIRST 16 of 64 dimensions (MRL-trained
+    * embeddings concentrate signal in the prefix), keep the top-50, and
+    * rerank those exactly with all 64 — the modern two-tier serving
+    * pattern that reads ¼ of the vector bytes on the scan. Both tiers are
+    * total-ordered (cosine DESC, vec_id) so the candidate set and the
+    * final top-10 are deterministic; the oracle replays both tiers with
+    * the same left-fold dots. At 100 TB the prefix tier is the
+    * column-pruned scan — store the prefix as its own column and the
+    * full vector is only fetched for the 50 rerank rows. */
+  val simAnnMatryoshka = GraftQuery(
+    "sim_ann_matryoshka",
+    (s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql(s"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        coarse AS (
+          SELECT e.vec_id, e.label, e.embedding, q.qe,
+                 (${sparkDotK("e.embedding", "q.qe", mrlPrefix)})
+                   / (SQRT(${sparkDotK("e.embedding", "e.embedding", mrlPrefix)})
+                      * SQRT(${sparkDotK("q.qe", "q.qe", mrlPrefix)})) AS coarse_cos
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> 0
+          ORDER BY coarse_cos DESC, e.vec_id
+          LIMIT $mrlRerank)
+        SELECT vec_id, label,
+               (${sparkDotK("embedding", "qe", dim)})
+                 / (SQRT(${sparkDotK("embedding", "embedding", dim)})
+                    * SQRT(${sparkDotK("qe", "qe", dim)})) AS cosine
+        FROM coarse
+        ORDER BY cosine DESC, vec_id
+        LIMIT 10""")
+    },
+    Some(s"""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      coarse AS (
+        SELECT e.vec_id, e.label, e.embedding, q.qe,
+               (${duckDotK("e.embedding", "q.qe", mrlPrefix)})
+                 / (SQRT(${duckDotK("e.embedding", "e.embedding", mrlPrefix)})
+                    * SQRT(${duckDotK("q.qe", "q.qe", mrlPrefix)})) AS coarse_cos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+        ORDER BY coarse_cos DESC, e.vec_id
+        LIMIT $mrlRerank)
+      SELECT vec_id, label,
+             (${duckDotK("embedding", "qe", dim)})
+               / (SQRT(${duckDotK("embedding", "embedding", dim)})
+                  * SQRT(${duckDotK("qe", "qe", dim)})) AS cosine
+      FROM coarse
+      ORDER BY cosine DESC, vec_id
       LIMIT 10"""))
 
   /** Hyperplane count for the near-dup LSH table, scaled so AVERAGE bucket
@@ -1203,5 +1262,5 @@ object SimilarityQueries {
       simAnnInt8Persisted, simQuantizeInt8, simIvfCellStats, simRecallReport,
       ddEmbeddingNeardup, ddSemanticDedup, simMmrRerank, simHardNegatives,
       simKnnGraph, simClusterBalance, simAnnFiltered, simAnnBitq,
-      simBitextMargin, simAnnMultiprobe, ddSemdedupIvf)
+      simBitextMargin, simAnnMultiprobe, ddSemdedupIvf, simAnnMatryoshka)
 }

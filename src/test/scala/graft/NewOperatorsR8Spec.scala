@@ -202,6 +202,22 @@ class NewOperatorsR8Spec extends SparkSpec {
     }
   }
 
+  test("sim_ann_matryoshka: sorted exact-cosine top-10 from the prefix-tier candidates") {
+    val rows = SimilarityQueries.simAnnMatryoshka.fn(spark, sfDir).collect()
+    assert(rows.length === 10)
+    val cos = rows.map(_.getAs[Double]("cosine"))
+    assert(cos.forall(c => c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12))
+    assert(cos.sameElements(cos.sortBy(-_)))
+    // the rerank tier is EXACT full-dimension cosine: every returned pair
+    // must agree with an independent brute-force recompute
+    val brute = SimilarityQueries.simAnnBrute.fn(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      brute.get(id).foreach(b => assert(b === r.getAs[Double]("cosine")))
+    }
+  }
+
   test("dd_semdedup_ivf: verdict per vector; survivors are the lowest id of each group") {
     val rows = SimilarityQueries.ddSemdedupIvf.fn(spark, sfDir).collect()
     val nVecs = graft.api.Tables.load(spark, sfDir, "embeddings").count()
