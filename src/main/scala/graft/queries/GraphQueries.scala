@@ -353,7 +353,9 @@ object GraphQueries {
 
   /** Engine-shared ANSI text for `gr_lpa` (no dialect divergence: counts,
     * joins and ROW_NUMBER only). */
-  private lazy val lpaSql: String = {
+  /** The LPA label CTE chain (p, e, r0..rN) shared by the gr_lpa oracle
+    * and the gr_modularity oracle. */
+  private lazy val lpaCtes: String = {
     val rounds = (1 to lpaRounds).map { i =>
       s"""r$i AS (
         SELECT node, lbl FROM (
@@ -370,13 +372,36 @@ object GraphQueries {
       e AS (SELECT supp AS src, cust AS dst FROM p
             UNION SELECT cust, supp FROM p),
       r0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
-      $rounds
+      $rounds"""
+  }
+
+  private lazy val lpaSql: String = s"""$lpaCtes
       SELECT lbl AS community, COUNT(*) AS members,
              MIN(node) AS min_node, MAX(node) AS max_node
       FROM r$lpaRounds
       GROUP BY lbl
       ORDER BY members DESC, community
       LIMIT 20"""
+
+  /** The checkpointed LPA label rounds — (node, lbl) after `lpaRounds`
+    * synchronous updates; shared by gr_lpa and gr_modularity. */
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = edges(s, dir)
+    var lab = e.select($"src".as("node")).distinct()
+      .withColumn("lbl", $"node")
+      .localCheckpoint()
+    val top1 = Window.partitionBy($"src").orderBy($"cnt".desc, $"lbl")
+    for (_ <- 1 to lpaRounds) {
+      lab = e.join(lab.select($"node".as("dst"), $"lbl"), Seq("dst"))
+        .groupBy($"src", $"lbl").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(top1))
+        .filter($"rn" === 1)
+        .select($"src".as("node"), $"lbl")
+        .localCheckpoint()
+    }
+    lab
   }
 
   val grLpa = GraftQuery(
@@ -388,28 +413,63 @@ object GraphQueries {
       // at 100 TB. The update is value-identical to the SQL rounds:
       // top-1 neighbor label by (count DESC, label ASC).
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val e = edges(s, dir).cache()
-      var lab = e.select($"src".as("node")).distinct()
-        .withColumn("lbl", $"node")
-        .localCheckpoint()
-      val top1 = Window.partitionBy($"src").orderBy($"cnt".desc, $"lbl")
-      for (_ <- 1 to lpaRounds) {
-        lab = e.join(lab.select($"node".as("dst"), $"lbl"), Seq("dst"))
-          .groupBy($"src", $"lbl").agg(count(lit(1)).as("cnt"))
-          .withColumn("rn", row_number().over(top1))
-          .filter($"rn" === 1)
-          .select($"src".as("node"), $"lbl")
-          .localCheckpoint()
-      }
-      val out = lab.groupBy($"lbl".as("community"))
+      lpaLabels(s, dir).groupBy($"lbl".as("community"))
         .agg(count(lit(1)).as("members"),
           min($"node").as("min_node"), max($"node").as("max_node"))
         .orderBy($"members".desc, $"community").limit(20)
-      e.unpersist()
-      out
     },
     Some(lpaSql))
+
+  /** Newman modularity Q of the LPA partition — the quality score a
+    * community-detection run is judged by:
+    *   Q = intra/(2m) − Σ_c (deg_c/(2m))²
+    * computed from INTEGER totals only (directed edge count m2 = 2m,
+    * intra-community directed edge count, Σ per-community degree-sum
+    * squares), with three final IEEE ops on the exact integers — so the
+    * hash is partition-order-free. 100 TB shape: two label-keyed joins of
+    * the bucketed edge table + community-sized aggregates; the three
+    * one-row totals cross-join at the end. */
+  val grModularity = GraftQuery(
+    "gr_modularity",
+    (s, dir) => {
+      import s.implicits._
+      val e = edges(s, dir)
+      val lab = lpaLabels(s, dir)
+      val labSrc = lab.select($"node".as("src"), $"lbl".as("la"))
+      val labDst = lab.select($"node".as("dst"), $"lbl".as("lb"))
+      val withLa = e.join(labSrc, "src")
+      val mRow = e.agg(count(lit(1)).as("m2"))
+      val intraRow = withLa.join(labDst, "dst").filter($"la" === $"lb")
+        .agg(count(lit(1)).as("intra_total"))
+      val degRow = withLa.groupBy($"la").agg(count(lit(1)).as("ds"))
+        .agg(count(lit(1)).as("n_communities"),
+          sum($"ds" * $"ds").as("sum_deg_sq"))
+      degRow.crossJoin(intraRow).crossJoin(mRow)
+        .select($"n_communities", $"m2", $"intra_total", $"sum_deg_sq",
+          ($"intra_total".cast("double") / $"m2".cast("double")
+            - $"sum_deg_sq".cast("double")
+              / ($"m2".cast("double") * $"m2".cast("double")))
+            .as("modularity"))
+    },
+    Some(s"""$lpaCtes,
+      lab AS (SELECT node, lbl FROM r$lpaRounds),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM e),
+      withla AS (SELECT e.src, e.dst, la.lbl AS la
+                 FROM e JOIN lab la ON la.node = e.src),
+      intra AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS intra_total
+        FROM withla w JOIN lab lb ON lb.node = w.dst
+        WHERE w.la = lb.lbl),
+      degr AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+               CAST(SUM(ds * ds) AS BIGINT) AS sum_deg_sq
+        FROM (SELECT la, CAST(COUNT(*) AS BIGINT) AS ds
+              FROM withla GROUP BY la))
+      SELECT d.n_communities, m.m2, i.intra_total, d.sum_deg_sq,
+             CAST(i.intra_total AS DOUBLE) / CAST(m.m2 AS DOUBLE)
+               - CAST(d.sum_deg_sq AS DOUBLE)
+                 / (CAST(m.m2 AS DOUBLE) * CAST(m.m2 AS DOUBLE)) AS modularity
+      FROM degr d, intra i, m"""))
 
   private val kcoreK = 35
   private val kcoreRounds = 4
@@ -606,5 +666,5 @@ object GraphQueries {
 
   val all: Seq[GraftQuery] =
     Seq(grPagerank, grTriangles, grDegreeDist, grReach, grLinkPredict, grLpa,
-      grKcore, grPpr, grHits)
+      grKcore, grPpr, grHits, grModularity)
 }

@@ -202,6 +202,17 @@ class NewOperatorsR8Spec extends SparkSpec {
     }
   }
 
+  test("gr_modularity: Q within bounds; integer totals consistent") {
+    val r = GraphQueries.grModularity.fn(spark, sfDir).collect()(0)
+    val q = r.getAs[Double]("modularity")
+    // Newman modularity is bounded in [-1/2, 1) for any partition
+    assert(q > -0.5 - 1e-12 && q < 1.0)
+    val m2 = r.getAs[Long]("m2")
+    assert(r.getAs[Long]("intra_total") <= m2)
+    assert(r.getAs[Long]("sum_deg_sq") <= m2 * m2)
+    assert(r.getAs[Long]("n_communities") >= 1L)
+  }
+
   test("sim_ann_matryoshka: sorted exact-cosine top-10 from the prefix-tier candidates") {
     val rows = SimilarityQueries.simAnnMatryoshka.fn(spark, sfDir).collect()
     assert(rows.length === 10)
