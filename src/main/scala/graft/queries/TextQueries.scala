@@ -2357,6 +2357,97 @@ object TextQueries {
       FROM fill f, obs o"""))
 
   // ---------------------------------------------------------------------
+  // BPE merge training
+  // ---------------------------------------------------------------------
+
+  private val bpeRounds = 6
+
+  /** DISTRIBUTED BPE training (Sennrich et al. 2016) — the actual
+    * merge-learning loop, not just pre-tokenization: words are spelled as
+    * space-separated symbols (chars + `</w>`), and each round (a) counts
+    * adjacent symbol pairs weighted by word frequency, (b) takes the
+    * most frequent pair (ties lexicographic), (c) merges it corpus-wide.
+    * Output: the first 6 learned merges (round, left, right, pair_freq) —
+    * the vocabulary a tokenizer trainer would emit.
+    *
+    * Engine-exactness: pair counts are integer sums; the per-round merge
+    * application is string `replace` on the padded spelling — the same
+    * non-overlapping left-to-right semantics in Spark and DuckDB — and
+    * the winning pair reaches the replace as a broadcast 1-row cross
+    * join (Spark) / scalar subquery (DuckDB), so NO fitted state crosses
+    * the driver. 100 TB shape: the word-frequency table is the only
+    * corpus-sized input; each round is one pair-keyed aggregate over the
+    * (distinct-word-sized) spelling table + a TakeOrdered(1). */
+  val txBpeTrain = GraftQuery(
+    "tx_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      var w = docs(s, dir)
+        .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+        .select(concat(
+          array_join(expr("regexp_extract_all(word, '.', 0)"), " "),
+          lit(" </w>")).as("sp"), $"freq")
+      var merges: DataFrame = null
+      for (r <- 1 to bpeRounds) {
+        val pairs = w
+          .select($"freq", split($"sp", " ").as("t"))
+          .select($"freq", explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))"))
+            .as("p"))
+          .groupBy($"p.l".as("left"), $"p.r".as("right"))
+          .agg(sum($"freq").as("pair_freq"))
+        // 1-row materialization: the winning merge is consumed twice
+        // (the output union AND the corpus-wide replace) — checkpointing
+        // it keeps each round at ONE pair aggregate
+        val top = pairs.orderBy($"pair_freq".desc, $"left", $"right").limit(1)
+          .select(lit(r.toLong).as("round"), $"left", $"right", $"pair_freq")
+          .localCheckpoint()
+        merges = if (merges == null) top else merges.union(top)
+        w = w.crossJoin(broadcast(
+            top.select($"left".as("ml"), $"right".as("mr"))))
+          .select(expr(
+            "trim(replace(concat(' ', sp, ' '), concat(' ', ml, ' ', mr, ' '), concat(' ', ml, mr, ' ')))")
+            .as("sp"), $"freq")
+          .localCheckpoint()
+      }
+      merges.orderBy($"round")
+    },
+    Some {
+      val rounds = (1 to bpeRounds).map { i =>
+        s"""m$i AS MATERIALIZED (
+        SELECT $i AS round, l AS left_sym, r AS right_sym,
+               CAST(SUM(freq) AS BIGINT) AS pair_freq
+        FROM (
+          SELECT freq, t[i] AS l, t[i + 1] AS r
+          FROM (SELECT freq, STRING_SPLIT(sp, ' ') AS t FROM w${i - 1}),
+               UNNEST(RANGE(1, LEN(t))) AS u(i))
+        GROUP BY l, r
+        ORDER BY pair_freq DESC, l, r LIMIT 1),
+      w$i AS MATERIALIZED (
+        SELECT TRIM(REPLACE(' ' || sp || ' ',
+                 ' ' || (SELECT left_sym FROM m$i) || ' ' || (SELECT right_sym FROM m$i) || ' ',
+                 ' ' || (SELECT left_sym FROM m$i) || (SELECT right_sym FROM m$i) || ' ')) AS sp,
+               freq
+        FROM w${i - 1})"""
+      }.mkString(",\n      ")
+      val unions = (1 to bpeRounds)
+        .map(i =>
+          s"""SELECT round, left_sym AS "left", right_sym AS "right", pair_freq FROM m$i""")
+        .mkString("\n      UNION ALL ")
+      s"""
+      WITH w0 AS MATERIALIZED (
+        SELECT ARRAY_TO_STRING(regexp_extract_all(word, '.'), ' ') || ' </w>' AS sp,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+              FROM documents)
+        GROUP BY 1),
+      $rounds
+      $unions
+      ORDER BY round"""
+    })
+
+  // ---------------------------------------------------------------------
   // Count-Min Sketch heavy hitters
   // ---------------------------------------------------------------------
 
@@ -2627,7 +2718,7 @@ object TextQueries {
 
   val all: Seq[GraftQuery] = Seq(
     txUrlDedup, txHtmlExtract, txCurationFunnel, ddBloomStats, ddSubstringDup,
-    txNgramNovelty, ddContainment, txCmsTopk,
+    txNgramNovelty, ddContainment, txCmsTopk, txBpeTrain,
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
     txTrainSplit, txMixtureWeights, txCorpusReport, txPack,

@@ -202,6 +202,20 @@ class NewOperatorsR8Spec extends SparkSpec {
     }
   }
 
+  test("tx_bpe_train: merge frequencies are non-increasing across rounds") {
+    val rows = TextQueries.txBpeTrain.fn(spark, sfDir).collect()
+    assert(rows.length === 6)
+    assert(rows.map(_.getAs[Long]("round")).toSeq === (1L to 6L))
+    val freqs = rows.sortBy(_.getAs[Long]("round")).map(_.getAs[Long]("pair_freq"))
+    // a merge can only remove occurrences of existing pairs, and any pair
+    // the new symbol creates is bounded by the merged pair's count — the
+    // classic BPE monotonicity
+    freqs.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
+    rows.foreach { r =>
+      assert(r.getAs[String]("left").nonEmpty && r.getAs[String]("right").nonEmpty)
+    }
+  }
+
   test("gr_modularity: Q within bounds; integer totals consistent") {
     val r = GraphQueries.grModularity.fn(spark, sfDir).collect()(0)
     val q = r.getAs[Double]("modularity")
