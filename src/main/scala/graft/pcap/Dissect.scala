@@ -968,7 +968,22 @@ object Dissect {
         if (d.length >= l3off + 6)
           v("pn_rt.cycle_counter") = u16(d, d.length - 4).toLong
         if (fid >= 0x8000 && fid <= 0xbfff) "PROFINET IO Cyclic Service Data Unit"
-        else if (fid >= 0xfefc && fid <= 0xfeff) "PROFINET DCP"
+        else if (fid >= 0xfefc && fid <= 0xfeff) {
+          // PN-DCP (discovery/configuration): service id/type, xid, then
+          // the first option/suboption of the block list
+          if (d.length >= l3off + 12) {
+            protos += "pn_dcp"
+            val svc = u8(d, l3off + 2)
+            val styp = u8(d, l3off + 3)
+            val xid = u32(d, l3off + 4)
+            v("pn_dcp.service_id") = svc.toLong
+            if (d.length >= l3off + 13) v("pn_dcp.option") = u8(d, l3off + 12).toLong
+            val svcName = Map(3 -> "Get", 4 -> "Set", 5 -> "Ident", 6 -> "Hello")
+              .getOrElse(svc, s"Service $svc")
+            val typName = if (styp == 0) "Req" else "Ok"
+            f"DCP $svcName $typName, Xid:0x$xid%x"
+          } else "PROFINET DCP"
+        }
         else if (fid == 0xfe01) "PROFINET Alarm Low"
         else f"PROFINET FrameID 0x$fid%04x"
       case 0x88ab if d.length >= l3off + 3 =>
@@ -2867,6 +2882,21 @@ object Dissect {
       val msInfo = dissectMqttsn(d, off + 8, math.min(payLen, d.length - off - 8),
         v, protos)
       if (msInfo != null) return msInfo
+    }
+    if (sp == 9600 || dp == 9600) {
+      val fnInfo = dissectFins(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (fnInfo != null) return fnInfo
+    }
+    if (sp == 3671 || dp == 3671) {
+      val kxInfo = dissectKnxnetip(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (kxInfo != null) return kxInfo
+    }
+    if (sp == 5678 && dp == 5678) {
+      val mnInfo = dissectMndp(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (mnInfo != null) return mnInfo
     }
     if (sp == 698 || dp == 698) {
       val olInfo = dissectOlsr(d, off + 8, math.min(payLen, d.length - off - 8),
@@ -7550,6 +7580,88 @@ object Dissect {
     v("mqttsn.len") = mlen.toLong
     v("mqttsn.msg.type") = typ.toLong
     name
+  }
+
+  private val finsCmdNames = Map(
+    0x0101 -> "Memory Area Read", 0x0102 -> "Memory Area Write",
+    0x0103 -> "Memory Area Fill", 0x0501 -> "Controller Data Read",
+    0x0601 -> "Controller Status Read", 0x0701 -> "Clock Read",
+    0x0702 -> "Clock Write")
+
+  /** OMRON FINS (UDP 9600): 10-byte routing header (ICF gateway bit
+    * set) + the 2-byte MRC/SRC command code — the PLC protocol of the
+    * industrial tier. */
+  private def dissectFins(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 12) return null
+    val icf = u8(d, off)
+    if ((icf & 0x80) == 0) return null
+    val cmd = (u8(d, off + 10) << 8) | u8(d, off + 11)
+    val name = finsCmdNames.getOrElse(cmd, return null)
+    protos += "fins"
+    v("fins.icf") = icf.toLong
+    v("fins.sid") = u8(d, off + 9).toLong
+    if ((icf & 0x40) == 0) s"Command: $name" else s"Response: $name"
+  }
+
+  private val knxServiceNames = Map(
+    0x0201 -> "SEARCH_REQUEST", 0x0202 -> "SEARCH_RESPONSE",
+    0x0203 -> "DESCRIPTION_REQUEST", 0x0204 -> "DESCRIPTION_RESPONSE",
+    0x0205 -> "CONNECT_REQUEST", 0x0206 -> "CONNECT_RESPONSE",
+    0x0207 -> "CONNECTIONSTATE_REQUEST", 0x0208 -> "CONNECTIONSTATE_RESPONSE",
+    0x0209 -> "DISCONNECT_REQUEST", 0x020a -> "DISCONNECT_RESPONSE",
+    0x0420 -> "TUNNELING_REQUEST", 0x0421 -> "TUNNELING_ACK",
+    0x0530 -> "ROUTING_INDICATION")
+
+  /** KNXnet/IP (ISO 22510, UDP 3671): 6-byte header — length 0x06,
+    * version 0x10, service type, total length — the building-automation
+    * backbone protocol. */
+  private def dissectKnxnetip(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 6) return null
+    if (u8(d, off) != 0x06 || u8(d, off + 1) != 0x10) return null
+    val svc = u16(d, off + 2)
+    val name = knxServiceNames.getOrElse(svc, return null)
+    val tlen = u16(d, off + 4)
+    if (tlen != len) return null
+    protos += "knxnetip"
+    v("knxnetip.service") = svc.toLong
+    v("knxnetip.total_length") = tlen.toLong
+    name
+  }
+
+  /** MikroTik Neighbor Discovery (UDP 5678 → 5678): 4-byte header then
+    * (type, length, value) TLVs; type 5 carries the identity string. */
+  private def dissectMndp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8) return null
+    var p = off + 4
+    val lim = off + len
+    var identity: String = null
+    var n = 0
+    while (p + 4 <= lim && n < 32) {
+      val t = u16(d, p)
+      val l = u16(d, p + 2)
+      if (p + 4 + l > lim) return null
+      if (t == 5 && l > 0 && l <= 64) {
+        val s = new String(d, p + 4, l, "ISO-8859-1")
+        if (!s.forall(c => c >= 0x20 && c <= 0x7e)) return null
+        identity = s
+      }
+      p += 4 + l
+      n += 1
+    }
+    if (n == 0 || p != lim) return null
+    protos += "mndp"
+    v("mndp.seqno") = u16(d, off + 2).toLong
+    if (identity != null) v("mndp.identity") = identity
+    if (identity != null) s"Neighbor: $identity" else s"MNDP, $n TLVs"
   }
 
   /** RIPng (RFC 2080, UDP 521): command, version 1, then 20-byte RTEs. */

@@ -1462,6 +1462,23 @@ extra.append((t3, 23800, ip_frame(2, A, [224, 0, 0, 4], dvmrp, ident=264)))
 mqttsn = bytes([12, 0x04, 0x04, 0x01, 0x00, 0x3C]) + b"node01"
 extra.append((t3, 23900, ip_frame(17, A, B, udp(50106, 2442, mqttsn), ident=265)))
 
+# 241-244: tier 36 — PN-DCP identify request, OMRON FINS memory read,
+# KNXnet/IP search request, MikroTik MNDP neighbor announcement
+dcp = struct.pack(">HBBIHH", 0xFEFE, 5, 0, 0x1000001, 0, 4) + bytes([0xFF, 0xFF, 0, 0])
+extra.append((t3, 24000, eth(MAC_B, MAC_A, 0x8892, dcp + bytes(4))))
+
+fins = bytes([0x80, 0, 2, 0, 1, 0, 0, 2, 0, 0x19, 0x01, 0x01]) + bytes(6)
+extra.append((t3, 24100, ip_frame(17, A, B, udp(50107, 9600, fins), ident=266)))
+
+knx = struct.pack(">BBHH", 0x06, 0x10, 0x0201, 14) + bytes([0x08, 0x01]) + \
+    bytes([10, 0, 0, 1]) + struct.pack(">H", 3671)
+extra.append((t3, 24200, ip_frame(17, A, B, udp(50108, 3671, knx), ident=267)))
+
+mndp = struct.pack(">HH", 0, 9) + \
+    struct.pack(">HH", 1, 6) + MAC_A + \
+    struct.pack(">HH", 5, 8) + b"router-7"
+extra.append((t3, 24300, ip_frame(17, A, B, udp(5678, 5678, mndp), ident=268)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
