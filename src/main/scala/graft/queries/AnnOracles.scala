@@ -448,12 +448,14 @@ object AnnOracles {
     ivfPqSql(cents, cb, topK, nProbe, rerank, maxQ,
       emb = "rot", pre = rotCte(dim) + ",\n      ")
 
-  /** Oracle for `dd_semdedup_ivf`: literal-centroid cell assignment, then
-    * exact within-cell cosine pairs at the dedup threshold, then a
-    * per-vector keep/remove verdict (lowest id in a dup group survives).
-    * Cosine is the same left-fold dot both engines already replay; the
-    * verdict join is integer/boolean only. */
-  def semDedupSql(cents: Array[Array[Double]], tau: Double): String = {
+  /** Oracle for `dd_semdedup_ivf`: literal-centroid cell assignment plus
+    * the corpus-scaled LSH bucket (`bucketSql`, over `e.embedding`), then
+    * exact cosine pairs within (cell, bucket) at the dedup threshold,
+    * then a per-vector keep/remove verdict (lowest id in a dup group
+    * survives). Cosine is the same left-fold dot both engines already
+    * replay; the verdict join is integer/boolean only. */
+  def semDedupSql(cents: Array[Array[Double]], tau: Double,
+      bucketSql: String): String = {
     val dim = cents(0).length
     val cos = s"(${dot("a.embedding", "b.embedding", dim)})" +
       s" / (SQRT(${dot("a.embedding", "a.embedding", dim)})" +
@@ -470,12 +472,14 @@ object AnnOracles {
           SELECT vec_id, cell,
                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS crn
           FROM cellscore) WHERE crn = 1),
-      ce AS (SELECT cells.vec_id, cells.cell, e.embedding
+      ce AS (SELECT cells.vec_id, cells.cell, e.embedding,
+                    $bucketSql AS bucket
              FROM cells JOIN embeddings e ON e.vec_id = cells.vec_id),
       dup AS (
         SELECT b.vec_id, MIN(a.vec_id) AS dup_of,
                CAST(COUNT(*) AS BIGINT) AS n_dups
-        FROM ce a JOIN ce b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        FROM ce a JOIN ce b ON a.cell = b.cell AND a.bucket = b.bucket
+                           AND a.vec_id < b.vec_id
         WHERE ($cos) >= $tau
         GROUP BY b.vec_id)
       SELECT c.vec_id, c.cell, d.dup_of IS NOT NULL AS is_dup, d.dup_of,

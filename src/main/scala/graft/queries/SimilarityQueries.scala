@@ -710,18 +710,25 @@ object SimilarityQueries {
     * many dup neighbors it had. This mapping is what a corpus-rewrite job
     * joins on — redirect references from removed items to their
     * representative — exactly the role `dd_dedup_keep` plays for exact
-    * dedup. Candidates come from the same shared IVF-cell bound
-    * (O(n²/k) per cell; k grows with the corpus like the LSH bit
-    * scaling), at the near-dup threshold τ = 0.95. */
+    * dedup. Candidates must share the IVF cell AND the corpus-scaled
+    * [[neardupBits]] LSH bucket: the fixed-k cell alone densifies
+    * quadratically as the corpus grows (the dd_embedding_neardup r7
+    * lesson — 21 s at sf1 before this subdivision, 2-3 s after), while
+    * the bucket count multiplies with the data, so the pair space stays
+    * linear. τ = 0.95; recall tradeoff is the standard single-table LSH
+    * one, recovered in production with multiple tables. */
   val ddSemdedupIvf = GraftQuery(
     "dd_semdedup_ivf",
     (s, dir) => {
       import s.implicits._
       val index = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
-      val ce = index.assigned.select($"vec_id", $"cell", $"embedding")
+      val bits = neardupBits(Tables.load(s, dir, "embeddings").count())
+      val ce = index.assigned.select($"vec_id", $"cell", $"embedding",
+        Vectors.lshBucket($"embedding", bits).as("bucket"))
       val a = ce.as("a"); val b = ce.as("b")
       val dup = a.join(b,
-          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+          col("a.cell") === col("b.cell") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
         .filter(Vectors.cosine(col("a.embedding"), col("b.embedding")) >= 0.95)
         .groupBy(col("b.vec_id").as("vec_id"))
         .agg(min(col("a.vec_id")).as("dup_of"), count(lit(1)).as("n_dups"))
@@ -732,7 +739,9 @@ object SimilarityQueries {
         .orderBy($"vec_id")
     },
     oracleGen = Some((s, dir) => AnnOracles.semDedupSql(
-      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids, 0.95)))
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids, 0.95,
+      duckBucket("e.embedding",
+        neardupBits(Tables.load(s, dir, "embeddings").count())))))
 
   /** Index-quality recall report — the metric a serving team watches
     * before trusting an ANN index: recall@k of the IVF probe search vs
