@@ -2898,6 +2898,36 @@ object Dissect {
         v, protos)
       if (mnInfo != null) return mnInfo
     }
+    // VXLAN-GPE (UDP 4790): VXLAN header with the P bit — next-protocol
+    // discriminates the inner layer instead of assuming Ethernet
+    if ((sp == 4790 || dp == 4790) && payLen >= 8 && off + 16 <= d.length &&
+      (u8(d, off + 8) & 0x08) != 0) {
+      val flags = u8(d, off + 8)
+      protos += "vxlan"
+      v("vxlan.vni") =
+        ((u8(d, off + 12) << 16) | (u8(d, off + 13) << 8) | u8(d, off + 14)).toLong
+      val nextProto = if ((flags & 0x04) != 0) u8(d, off + 11) else 3
+      val wasNested = v.nested
+      v.nested = true
+      val inner =
+        try nextProto match {
+          case 1 => dissectIpv4(d, off + 16, v, protos, tracker, wanted)
+          case 2 => dissectIpv6(d, off + 16, v, protos, tracker, wanted)
+          case 3 => dissectEthFrom(d, off + 16, v, protos, tracker, wanted)
+          case _ => null
+        } finally v.nested = wasNested
+      return if (inner != null) inner else "VXLAN-GPE"
+    }
+    // MPLS-over-UDP (RFC 7510, UDP 6635): the label stack + payload ride
+    // directly in the datagram
+    if ((sp == 6635 || dp == 6635) && payLen >= 8 && off + 12 <= d.length) {
+      val wasNested = v.nested
+      v.nested = true
+      val inner =
+        try dissectMpls(d, off + 8, v, protos, tracker, wanted)
+        finally v.nested = wasNested
+      if (inner != null) return inner
+    }
     if (sp == 698 || dp == 698) {
       val olInfo = dissectOlsr(d, off + 8, math.min(payLen, d.length - off - 8),
         v, protos)

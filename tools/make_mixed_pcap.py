@@ -1479,6 +1479,19 @@ mndp = struct.pack(">HH", 0, 9) + \
     struct.pack(">HH", 5, 8) + b"router-7"
 extra.append((t3, 24300, ip_frame(17, A, B, udp(5678, 5678, mndp), ident=268)))
 
+# 245-246: tier 37 — VXLAN-GPE carrying an inner IPv4 ICMP ping, and
+# MPLS-over-UDP (RFC 7510) carrying a 2-deep label stack + inner IPv4
+_g_icmp = struct.pack(">BBHHH", 8, 0, 0, 0x55, 3)
+_g_ih, _g_ip = ipv4(1, [10, 0, 7, 1], [10, 0, 7, 2], _g_icmp)
+gpe = bytes([0x0C, 0, 0, 1]) + bytes([0, 0, 0x2A, 0]) + _g_ih + _g_ip
+extra.append((t3, 24400, ip_frame(17, A, B, udp(50109, 4790, gpe), ident=269)))
+
+_m_icmp = struct.pack(">BBHHH", 8, 0, 0, 0x56, 4)
+_m_ih, _m_ip = ipv4(1, [10, 0, 8, 1], [10, 0, 8, 2], _m_icmp)
+mplsu = struct.pack(">I", (77 << 12) | (0 << 9) | (0 << 8) | 64) + \
+    struct.pack(">I", (88 << 12) | (0 << 9) | (1 << 8) | 64) + _m_ih + _m_ip
+extra.append((t3, 24500, ip_frame(17, A, B, udp(50110, 6635, mplsu), ident=270)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
