@@ -20,6 +20,11 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** ExactSubstr window length (tokens) — declared up top because both
+    * dd_substring_dup and dd_dedup_report interpolate it into oracle SQL
+    * at object-initialization time. */
+  private val SubstrK = 5
+
   /** (doc_id, shingle) word n-grams of a docs frame that already carries a
     * `tokens` array column — THE shingle definition shared by the dedup /
     * repetition / contamination operators (each DuckDB oracle mirrors it
@@ -1236,6 +1241,25 @@ object TextQueries {
       ORDER BY cluster, doc_id"""
     })
 
+  /** Cluster labels computed ONCE per (session, dir) and persisted as a
+    * catalog table — the production shape (label once, consume from the
+    * table in every downstream job); shared by dd_dedup_keep and
+    * dd_dedup_report. */
+  private def clusterTable(s: SparkSession, dir: String): DataFrame = {
+    val name = ("graft_ddclusters_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      .toLowerCase
+    graft.functions.AnnIndexes.cached(s, s"ddclusters:$dir") {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(wh, name)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      ddDedupClusters.fn(s, dir).write.saveAsTable(name)
+      name
+    }
+    s.table(name)
+  }
+
   /** The dedup CAPSTONE composition: connected-component clusters →
     * keep-one-per-cluster (the min-doc_id representative IS the cluster
     * label, so survivors fall out of the labels for free) → per-language
@@ -1246,23 +1270,7 @@ object TextQueries {
     "dd_dedup_keep",
     (s, dir) => {
       import s.implicits._
-      // cluster labels are computed ONCE per (session, dir) and persisted
-      // as a catalog table — the production shape (label once, consume
-      // from the table in every downstream job), and it keeps this query
-      // from re-running the iterative CC fixpoint
-      val name = ("graft_ddclusters_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-        .toLowerCase
-      graft.functions.AnnIndexes.cached(s, s"ddclusters:$dir") {
-        s.sql(s"DROP TABLE IF EXISTS $name")
-        val wh = s.conf.get("spark.sql.warehouse.dir")
-        val p = new org.apache.hadoop.fs.Path(wh, name)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-        ddDedupClusters.fn(s, dir).write.saveAsTable(name)
-        name
-      }
-      val clusters = s.table(name)
-      val dropped = clusters.filter($"doc_id" =!= $"cluster")
+      val dropped = clusterTable(s, dir).filter($"doc_id" =!= $"cluster")
         .select($"doc_id", lit(true).as("is_dup"))
       docs(s, dir)
         .join(broadcast(dropped), Seq("doc_id"), "left")
@@ -2357,6 +2365,102 @@ object TextQueries {
       FROM fill f, obs o"""))
 
   // ---------------------------------------------------------------------
+  // Dedup impact report
+  // ---------------------------------------------------------------------
+
+  /** The DEDUP impact report — the dedup analogue of tx_corpus_report:
+    * one row quantifying, over the full corpus, what each dedup family
+    * would remove — exact-duplicate documents (md5, lowest id kept),
+    * near-duplicate documents (non-representative members of the MinHash
+    * CC clusters, read from the persisted label table), and
+    * exact-substring duplicated TOKENS (the ExactSubstr interval-union
+    * sum) — with the document/token fractions a curation team tracks
+    * release over release. Counts are independent per family (a doc can
+    * be both an exact and a near dup; the stages overlap by design and
+    * the fractions are reported against the same raw denominators).
+    * 100 TB shape: three key-partitioned aggregates over existing
+    * artifacts + three one-row cross joins. */
+  val ddDedupReport = GraftQuery(
+    "dd_dedup_report",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val totals = d.agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " ")).cast(LongType)).as("n_tokens"))
+      val h = d.select($"doc_id", md5($"text").as("h"))
+      val exactRow = h.as("a").join(h.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("b.doc_id")).distinct()
+        .agg(count(lit(1)).as("exact_dup_docs"))
+      val nearRow = clusterTable(s, dir).filter($"doc_id" =!= $"cluster")
+        .agg(count(lit(1)).as("near_dup_docs"))
+      val substrRow = ddSubstringDup.fn(s, dir)
+        .agg(sum($"dup_tokens").as("substring_dup_tokens"))
+      totals.crossJoin(exactRow).crossJoin(nearRow).crossJoin(substrRow)
+        .select($"n_docs", $"n_tokens", $"exact_dup_docs", $"near_dup_docs",
+          $"substring_dup_tokens",
+          ($"exact_dup_docs".cast(DoubleType) / $"n_docs".cast(DoubleType))
+            .as("exact_frac"),
+          ($"near_dup_docs".cast(DoubleType) / $"n_docs".cast(DoubleType))
+            .as("near_frac"),
+          ($"substring_dup_tokens".cast(DoubleType) / $"n_tokens".cast(DoubleType))
+            .as("substring_token_frac"))
+    },
+    Some {
+      val pairSql = ddMinhashLshPairs.oracle.get.trim.stripSuffix("ORDER BY doc_a, doc_b")
+      s"""
+      WITH RECURSIVE base AS ($pairSql),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM base
+        UNION ALL
+        SELECT doc_b, doc_a FROM base),
+      reach(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node),
+      clusters AS (SELECT node AS doc_id, MIN(label) AS cluster
+                   FROM reach GROUP BY node),
+      t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens FROM documents),
+      totals AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEN(tokens)) AS BIGINT) AS n_tokens FROM t),
+      hh AS (SELECT doc_id, MD5(text) AS h FROM documents),
+      ex AS (
+        SELECT CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS exact_dup_docs
+        FROM hh a JOIN hh b ON a.h = b.h AND a.doc_id < b.doc_id),
+      nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS near_dup_docs
+             FROM clusters WHERE doc_id <> cluster),
+      win AS (
+        SELECT doc_id, i, ARRAY_TO_STRING(tokens[i:i+${SubstrK - 1}], ' ') AS g
+        FROM t, UNNEST(RANGE(1, LEN(tokens) - ${SubstrK - 2})) AS u(i)
+        WHERE LEN(tokens) >= $SubstrK),
+      dup AS (SELECT g FROM win GROUP BY g HAVING COUNT(*) > 1),
+      dpos AS (SELECT doc_id, i FROM win JOIN dup USING (g)),
+      isl AS (
+        SELECT doc_id, i,
+               CASE WHEN lag(i) OVER w IS NULL OR i > lag(i) OVER w + $SubstrK
+                    THEN 1 ELSE 0 END AS brk
+        FROM dpos WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+      isl2 AS (
+        SELECT doc_id, i, SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+          ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl),
+      cov AS (
+        SELECT doc_id, island, MAX(i) - MIN(i) + $SubstrK AS cov
+        FROM isl2 GROUP BY doc_id, island),
+      ss AS (SELECT CAST(SUM(cov) AS BIGINT) AS substring_dup_tokens FROM cov)
+      SELECT totals.n_docs, totals.n_tokens, ex.exact_dup_docs,
+             nd.near_dup_docs, ss.substring_dup_tokens,
+             CAST(ex.exact_dup_docs AS DOUBLE) / CAST(totals.n_docs AS DOUBLE)
+               AS exact_frac,
+             CAST(nd.near_dup_docs AS DOUBLE) / CAST(totals.n_docs AS DOUBLE)
+               AS near_frac,
+             CAST(ss.substring_dup_tokens AS DOUBLE)
+               / CAST(totals.n_tokens AS DOUBLE) AS substring_token_frac
+      FROM totals, ex, nd, ss"""
+    })
+
+  // ---------------------------------------------------------------------
   // BPE merge training
   // ---------------------------------------------------------------------
 
@@ -2637,7 +2741,6 @@ object TextQueries {
   // Training Data Makes Language Models Better" — the ExactSubstr pass)
   // ---------------------------------------------------------------------
 
-  private val SubstrK = 5
 
   /** Per-document duplicated-span accounting: a k-token window is
     * "duplicated" if the identical window occurs anywhere else in the
@@ -2718,7 +2821,7 @@ object TextQueries {
 
   val all: Seq[GraftQuery] = Seq(
     txUrlDedup, txHtmlExtract, txCurationFunnel, ddBloomStats, ddSubstringDup,
-    txNgramNovelty, ddContainment, txCmsTopk, txBpeTrain,
+    txNgramNovelty, ddContainment, txCmsTopk, txBpeTrain, ddDedupReport,
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
     txTrainSplit, txMixtureWeights, txCorpusReport, txPack,

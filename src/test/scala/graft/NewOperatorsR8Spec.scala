@@ -202,6 +202,21 @@ class NewOperatorsR8Spec extends SparkSpec {
     }
   }
 
+  test("dd_dedup_report: fractions bounded; per-family counts bounded by totals") {
+    val r = TextQueries.ddDedupReport.fn(spark, sfDir).collect()(0)
+    val nDocs = r.getAs[Long]("n_docs")
+    val nToks = r.getAs[Long]("n_tokens")
+    assert(r.getAs[Long]("exact_dup_docs") <= nDocs)
+    assert(r.getAs[Long]("near_dup_docs") <= nDocs)
+    assert(r.getAs[Long]("substring_dup_tokens") <= nToks)
+    // exact dups are near dups too (identical text shares every shingle)
+    assert(r.getAs[Long]("exact_dup_docs") <= r.getAs[Long]("near_dup_docs"))
+    for (c <- Seq("exact_frac", "near_frac", "substring_token_frac")) {
+      val f = r.getAs[Double](c)
+      assert(f >= 0.0 && f <= 1.0, s"$c = $f")
+    }
+  }
+
   test("tx_bpe_train: merge frequencies are non-increasing across rounds") {
     val rows = TextQueries.txBpeTrain.fn(spark, sfDir).collect()
     assert(rows.length === 6)
