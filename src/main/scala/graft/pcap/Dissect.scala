@@ -2834,8 +2834,12 @@ object Dissect {
       }
     }
     if (sp >= 7400 && sp < 7900 || dp >= 7400 && dp < 7900) {
+      // domain id comes from whichever port is RTPS-side: on a
+      // server->client reply the dst port is an ephemeral one and would
+      // yield a bogus domain (ADVICE r8)
+      val rtpsPort = if (dp >= 7400 && dp < 7900) dp else sp
       val rtpsInfo = dissectRtps(d, off + 8, math.min(payLen, d.length - off - 8),
-        dp, v, protos)
+        rtpsPort, v, protos)
       if (rtpsInfo != null) return rtpsInfo
     }
     if (sp == 30001 || dp == 30001) {
@@ -6921,7 +6925,7 @@ object Dissect {
     * domain id is recovered from the well-known port mapping
     * PB=7400 + DG=250·domainId (§9.6.1.1). */
   private def dissectRtps(
-      d: Array[Byte], off: Int, len: Int, dstPort: Int,
+      d: Array[Byte], off: Int, len: Int, rtpsPort: Int,
       v: FieldVec,
       protos: mutable.ArrayBuffer[String]): String = {
     if (len < 20) return null
@@ -6931,7 +6935,9 @@ object Dissect {
     if (vMaj != 2) return null
     protos += "rtps"
     v("rtps.magic") = "RTPS"
-    if (dstPort >= 7400) v("rtps.domain_id") = ((dstPort - 7400) / 250).toLong
+    // only a port inside the §9.6.1.1 discovery range encodes a domain
+    if (rtpsPort >= 7400 && rtpsPort < 7900)
+      v("rtps.domain_id") = ((rtpsPort - 7400) / 250).toLong
     v("rtps.guid_prefix") = hexBytes(d, off + 8, 12)
     s"RTPS $vMaj.$vMin"
   }

@@ -215,11 +215,14 @@ object AnnOracles {
   }
 
   /** Oracle for `dd_semantic_dedup`: literal centroids → deterministic
-    * cell assignment (embedding kept in the cells CTE) → within-cell
-    * lower-id near-dup probe at cosine ≥ τ → per-vector kept flag. The
-    * threshold comparison sees the same replayed IEEE cosine on both
-    * engines, so the keep/remove decisions match bit-for-bit. */
-  def semanticDedupSql(cents: Array[Array[Double]], tau: Double): String = {
+    * cell assignment (embedding kept in the cells CTE) → within-(cell,
+    * corpus-scaled LSH bucket) lower-id near-dup probe at cosine ≥ τ →
+    * per-vector kept flag. `bucketSql` replays the identical plane-sign
+    * literals the Spark plan embeds, and the threshold comparison sees the
+    * same replayed IEEE cosine on both engines, so the keep/remove
+    * decisions match bit-for-bit. */
+  def semanticDedupSql(cents: Array[Array[Double]], tau: Double,
+      bucketSql: String): String = {
     val dim = cents(0).length
     s"""
       WITH cents(cell, centroid, cn2, cnorm) AS (VALUES
@@ -229,13 +232,14 @@ object AnnOracles {
                c.cn2 - 2.0 * (${dot("e.embedding", "c.centroid", dim)}) AS score
         FROM embeddings e CROSS JOIN cents c),
       cells AS (
-        SELECT vec_id, embedding, cell FROM (
+        SELECT vec_id, embedding, cell, $bucketSql AS bucket FROM (
           SELECT vec_id, embedding, cell,
                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS crn
           FROM cellscore) WHERE crn = 1),
       dups AS (
         SELECT DISTINCT y.vec_id
-        FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        FROM cells x JOIN cells y
+          ON x.cell = y.cell AND x.bucket = y.bucket AND x.vec_id < y.vec_id
         WHERE (${dot("x.embedding", "y.embedding", dim)})
                 / (SQRT(${dot("x.embedding", "x.embedding", dim)})
                    * SQRT(${dot("y.embedding", "y.embedding", dim)}))

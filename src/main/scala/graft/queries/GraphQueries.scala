@@ -386,10 +386,9 @@ object GraphQueries {
 
   /** The checkpointed LPA label rounds — (node, lbl) after `lpaRounds`
     * synchronous updates. */
-  private def lpaLabelsFrame(s: SparkSession, dir: String): DataFrame = {
+  private def lpaLabelsFrame(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val e = edges(s, dir)
     var lab = e.select($"src".as("node")).distinct()
       .withColumn("lbl", $"node")
       .localCheckpoint()
@@ -412,13 +411,19 @@ object GraphQueries {
   private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
     val name = ("graft_lpa_labels_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
       .toLowerCase
+    // Resolve the graph artifact BEFORE entering the guard: edges() runs
+    // cached("graph:…"), and ConcurrentHashMap.compute must not nest —
+    // same-bin collisions throw/livelock (ivfPersisted hoists its inner
+    // fit the same way; prepare() pre-populating does NOT help, the inner
+    // compute still executes inside the outer one).
+    val e = edges(s, dir)
     graft.functions.AnnIndexes.cached(s, s"lpalabels:$dir") {
       s.sql(s"DROP TABLE IF EXISTS $name")
       val wh = s.conf.get("spark.sql.warehouse.dir")
       val p = new org.apache.hadoop.fs.Path(wh, name)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
-      lpaLabelsFrame(s, dir)
+      lpaLabelsFrame(s, e)
         .write.mode("overwrite")
         .bucketBy(16, "node").sortBy("node")
         .saveAsTable(name)

@@ -916,6 +916,24 @@ object RelationalQueries {
       GROUP BY l_returnflag
       ORDER BY l_returnflag""")
 
+  /** q39's exact percentiles re-grouped by a HIGH-cardinality key
+    * (`l_suppkey` — the q38→q38b move): exact PERCENTILE_CONT still
+    * gathers every group's full value list, but with suppliers-many
+    * groups the per-group sort fans out across all reducers instead of
+    * q39's inherent 3-reducer gather — the load-balanced shape in which
+    * the exact path stays usable at scale (the sketch twin q39b remains
+    * the answer when even one group's values don't fit a reducer). */
+  val q39cPercentilesBySupp = sharedSql(
+    "q39c_percentiles_supp",
+    """
+      SELECT l_suppkey,
+             COUNT(*) AS n,
+             PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+             PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95
+      FROM lineitem
+      GROUP BY l_suppkey
+      ORDER BY l_suppkey""")
+
   /** The at-scale percentile path: `approx_percentile` (a mergeable
     * quantile sketch — map-side partials combine, no per-group full sort,
     * the shape that survives 100 TB where q39's exact sort-within-group
@@ -2030,6 +2048,7 @@ object RelationalQueries {
     q30Pivot, q31Explode, q32TimeBucket, q33Json, q34ApproxDistinct,
     q35SaltedAgg, q36TopkAggregator, q37GroupingSets, q38WindowRangeFrame,
     q38bWindowRangeBySupp, q39Percentiles, q39bApproxPercentiles,
+    q39cPercentilesBySupp,
     q40WindowDistribution, q41MultiDistinct, q42AsofJoin, q43PartitionedRw,
     q44BucketedJoin, q45Unpivot, q46RecursiveSpine, q47LateralTopn,
     q48HigherOrder, q49ListAgg, q50Funnel, q51Variant, q52Scd2,

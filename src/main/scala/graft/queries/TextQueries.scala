@@ -1246,15 +1246,24 @@ object TextQueries {
     * table in every downstream job); shared by dd_dedup_keep and
     * dd_dedup_report. */
   private def clusterTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val name = ("graft_ddclusters_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
       .toLowerCase
+    // Resolve the MinHash signature artifact BEFORE entering the guard:
+    // constructing the pair plan runs cached("minhashsig:…"), and
+    // ConcurrentHashMap.compute must not nest — same-bin collisions
+    // throw/livelock (ivfPersisted and ccBaseTables hoist their inner
+    // fits the same way).
+    val pairs = ddMinhashLshPairs.fn(s, dir).select($"doc_a", $"doc_b")
     graft.functions.AnnIndexes.cached(s, s"ddclusters:$dir") {
       s.sql(s"DROP TABLE IF EXISTS $name")
       val wh = s.conf.get("spark.sql.warehouse.dir")
       val p = new org.apache.hadoop.fs.Path(wh, name)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
-      ddDedupClusters.fn(s, dir).write.saveAsTable(name)
+      ccFixpoint(pairs)
+        .select($"doc_id", $"label".as("cluster"))
+        .write.saveAsTable(name)
       name
     }
     s.table(name)
@@ -2314,7 +2323,12 @@ object TextQueries {
         .select($"n_words", $"set_bits", $"fill",
           (($"fill" * $"fill") * $"fill").as("predicted_fp_rate"),
           $"n_probed", $"n_fp",
-          ($"n_fp".cast(DoubleType) / $"n_nondup".cast(DoubleType))
+          // nullif-guarded: on a corpus shape where every arriving doc is
+          // an exact dup, n_nondup = 0 and Spark (non-ANSI) yields NULL
+          // while DuckDB's IEEE divide yields inf — both sides agree on
+          // NULL instead (ADVICE r8)
+          ($"n_fp".cast(DoubleType) /
+            nullif($"n_nondup".cast(DoubleType), lit(0.0d)))
             .as("observed_fp_rate"))
     },
     Some("""
@@ -2360,7 +2374,7 @@ object TextQueries {
                * (CAST(f.set_bits AS DOUBLE) / 4032.0))
                * (CAST(f.set_bits AS DOUBLE) / 4032.0) AS predicted_fp_rate,
              o.n_probed, o.n_fp,
-             CAST(o.n_fp AS DOUBLE) / CAST(o.n_nondup AS DOUBLE)
+             CAST(o.n_fp AS DOUBLE) / NULLIF(CAST(o.n_nondup AS DOUBLE), 0.0)
                AS observed_fp_rate
       FROM fill f, obs o"""))
 

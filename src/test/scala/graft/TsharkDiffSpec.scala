@@ -49,11 +49,12 @@ class TsharkDiffSpec extends SparkSpec {
     * byte-exactly (the README golden core). */
   private val coreInfoLayers = Set("arp", "icmp", "dns", "http", "tls", "fix", "tcp", "udp")
 
-  /** Tier-16..29 dissectors (VERDICT r7 #8): their `_ws.col.info`
-    * renderings are ASSERTED byte-exact too on a tshark host — any
-    * mismatch is a red test naming the frame, not a report line. The
-    * long-tail layers outside this set stay report-only
-    * (target/tshark_diff_info.txt is the permanent worklist). */
+  /** Tier-16..37 dissectors (VERDICT r7 #8, extended to the r8 tiers per
+    * VERDICT r8 #3): their `_ws.col.info` renderings are ASSERTED
+    * byte-exact too on a tshark host — any mismatch is a red test naming
+    * the frame, not a report line. The long-tail layers outside this set
+    * stay report-only (target/tshark_diff_info.txt is the permanent
+    * worklist). */
   private val lateTierInfoLayers = Set(
     // t16: sll/sdp/tpkt/cotp/quic    t17: SCADA
     "quic", "sdp", "s7comm", "dnp3", "iec60870_asdu", "cip", "opcua",
@@ -65,7 +66,19 @@ class TsharkDiffSpec extends SparkSpec {
     // t26-27
     "openflow_v4", "bacapp", "pn_rt", "eap", "vnc", "stomp", "9p", "mgcp",
     // t28-29
-    "someip", "doip", "gtpv2", "pfcp", "nats", "dicom", "iso8583")
+    "someip", "doip", "gtpv2", "pfcp", "nats", "dicom", "iso8583",
+    // t30-37 (VERDICT r8 #3 — the r8 tiers join the asserted set so a
+    // tshark host diffs their info strings red, not report-only)
+    "rtps", "zmtp", "soupbintcp", "moldudp64", "zabbix", "srt",
+    "finger", "gopher", "ident",
+    "git", "couchbase", "tns", "icp", "ymsg", "distcc", "spice", "x11",
+    "teredo", "etherip", "aoe", "msrp", "openwire", "zebra", "hpfeeds",
+    "hdfs",
+    "tacplus", "cflow", "resp", "ripng", "pim", "msdp", "olsr", "babel",
+    "rsvp", "wccp", "srvloc", "megaco", "nhrp",
+    "stun", "snmp", "l2tp", "dvmrp", "mqttsn",
+    "pn_dcp", "fins", "knxnetip", "mndp",
+    "vxlan", "mpls")
 
   private def assertedLayer(l: String): Boolean =
     coreInfoLayers.contains(l) || lateTierInfoLayers.contains(l)
@@ -113,7 +126,7 @@ class TsharkDiffSpec extends SparkSpec {
     report(diffs.toSeq, "info")
     info(s"${diffs.size} info diffs reported to target/tshark_diff_info.txt")
     assert(coreMismatches.isEmpty,
-      s"asserted-layer (core + tier-16..29) info strings must be byte-exact:\n${coreMismatches.mkString("\n")}")
+      s"asserted-layer (core + tier-16..37) info strings must be byte-exact:\n${coreMismatches.mkString("\n")}")
   }
 
   test("field-value diff vs real tshark: curated set exact, rest reported") {
