@@ -39,6 +39,7 @@ object SparkEntry {
     TextQueries.ccBaseTables(spark, sfDir)
     GraphQueries.prepare(spark, sfDir)
     graft.functions.AnnIndexes.ivfPersisted(spark, sfDir, k = 16)
+    graft.functions.AnnIndexes.servingIvf(spark, sfDir)
     graft.functions.AnnIndexes.ivfPqPersisted(spark, sfDir, m = 8, k = 16)
     graft.functions.AnnIndexes.int8Persisted(spark, sfDir)
     ()

@@ -17,11 +17,21 @@ object TimeQ {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // stage-metrics attribution (VERDICT r8 #5): shuffle bytes + spill are
+    // load-stable evidence; wall-clock under co-tenancy is not
+    val metrics = new StageMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     for (name <- names; q <- SparkEntry.registry.find(_.name == name); i <- 1 to 2) {
       spark.catalog.clearCache()
+      spark.sparkContext.setJobGroup(s"$name#$i", name, interruptOnCancel = false)
       val t0 = System.nanoTime()
       q.fn(spark, dir).write.format("noop").mode("overwrite").save()
-      println(f"TIME $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val dt = (System.nanoTime() - t0) / 1e9
+      val m = metrics.byQuery.get(s"$name#$i")
+      val mm = m.map(a => f" shufW=${a.shuffleWrite / 1e6}%.1fMB" +
+        f" shufR=${a.shuffleRead / 1e6}%.1fMB spill=${a.spill / 1e6}%.1fMB" +
+        f" taskTime=${a.taskTimeMs / 1e3}%.1fs").getOrElse("")
+      println(f"TIME $name run$i: $dt%.2f s$mm")
     }
     spark.stop()
   }

@@ -69,6 +69,32 @@ object AnnIndexes {
     Ivf.fromCentroids(cents, embeddings(spark, dir))
   }
 
+  /** Corpus-scaled cell count for the SERVING index (VERDICT r8 #6): a
+    * FIXED k means cell occupancy — and with it every query's candidate
+    * scan — grows linearly with the corpus (at sf1, k=16 meant 1,000
+    * arriving queries probed 12.5 M candidate rows). Cells double until
+    * average occupancy is ≤ 512, so per-query probe cost stays bounded;
+    * starts at 16 so the sf0.01/sf0.1 fits — and every generated oracle —
+    * are unchanged (the neardupBits convention). Capped at 4096: past
+    * that the per-query centroid ranking starts to dominate and the
+    * production answer is a two-level quantizer (IMI), not more flat
+    * cells. */
+  def servingK(n: Long): Int = {
+    var k = 16
+    while (n / k > 512 && k < 4096) k *= 2
+    k
+  }
+
+  /** The serving-path index: the PERSISTED fit at [[servingK]] cells
+    * (identical to the k=16 persisted artifact at oracle scale). Persisted
+    * matters here beyond the fit: [[ivf]]'s in-memory form re-derives the
+    * cell column — an argmin over k unrolled centroid dots PER CORPUS
+    * ROW — in every consuming plan, which at servingK(sf1)=128 cells cost
+    * more than the probe itself; the catalog table stores the assignment
+    * once, cell-bucketed, and serving plans just read it. */
+  def servingIvf(spark: SparkSession, dir: String): Ivf.Index =
+    ivfPersisted(spark, dir, k = servingK(embeddings(spark, dir).count()))
+
   /** The PERSISTED-index path: fit once, write the index as catalog
     * tables ([[Ivf.persist]] — tiny centroid table + cell-bucketed
     * corpus), then answer from [[Ivf.loadIndex]] with NO refit. This is

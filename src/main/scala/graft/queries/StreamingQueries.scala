@@ -427,14 +427,18 @@ object StreamingQueries {
     (s, dir) => {
       import s.implicits._
       val emb = graft.functions.AnnIndexes.embeddings(s, dir)
-      val index = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
+      // servingK cells (VERDICT r8 #6): the serving index scales its cell
+      // count with the corpus so each query's candidate scan stays
+      // bounded — k stays 16 at oracle scale, so the generated oracle's
+      // centroid literals (and the hash) are unchanged
+      val index = graft.functions.AnnIndexes.servingIvf(s, dir)
       val queries = emb.filter($"vec_id" % 50 === 7)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"))
       graft.functions.Ivf.searchBatch(index, queries, topK = 3, nProbe = 4)
         .filter($"query_id" =!= $"vec_id")
     },
     oracleGen = Some((s, dir) => AnnOracles.ivfServeSql(
-      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids,
+      graft.functions.AnnIndexes.servingIvf(s, dir).centroids,
       topK = 3, nProbe = 4)))
 
   /** Streaming Bloom dedup pre-filter — the ingest-time twin of

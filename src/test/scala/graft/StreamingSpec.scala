@@ -521,7 +521,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val emb = graft.functions.AnnIndexes.embeddings(spark, sfDir)
-    val index = graft.functions.AnnIndexes.ivf(spark, sfDir, k = 16)
+    val index = graft.functions.AnnIndexes.servingIvf(spark, sfDir)
     val queries = emb.filter($"vec_id" % 50 === 7)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
       .as[(Long, Array[Float])].collect().toSeq
