@@ -81,6 +81,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-blocking-key member cap for the edit-pair generators (VERDICT
+    // r8 #7) — set for stress sweeps on replica-heavy synthetic corpora
+    // (e.g. SPARK_GRAFT_GROUP_CAP=16 at sf1); unset = exact, oracle shape
+    sys.env.get("SPARK_GRAFT_GROUP_CAP")
+      .foreach(v => spark.conf.set("graft.dedup.group_cap", v))
 
     // JVM/codegen warmup on the smallest SF so the measured numbers are
     // about the plans, not first-query classloading.

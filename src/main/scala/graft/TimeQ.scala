@@ -17,6 +17,8 @@ object TimeQ {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_GROUP_CAP")
+      .foreach(v => spark.conf.set("graft.dedup.group_cap", v))
     // stage-metrics attribution (VERDICT r8 #5): shuffle bytes + spill are
     // load-stable evidence; wall-clock under co-tenancy is not
     val metrics = new StageMetricsListener
