@@ -1757,8 +1757,17 @@ object TextQueries {
     else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(col): _*).orderBy(col(idCol))
+      // explicit-width round-robin repartition: the capped frame is tiny
+      // in BYTES, so AQE coalesces the post-window exchange to ONE
+      // partition and converts the candidate join to broadcast — leaving
+      // the CPU-heavy levenshtein probe on a single thread (observed:
+      // 19.5 s of task time serialized at sf1). Round-robin with a
+      // user-specified width is never coalesced, a broadcast probe side
+      // needs no particular distribution, and the shuffle moves ~2 MB.
+      val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
       df.withColumn("__gcap", dense_rank().over(w))
         .filter(col("__gcap") <= cap).drop("__gcap")
+        .repartition(n)
     }
 
   val ddEditPairs = GraftQuery(
