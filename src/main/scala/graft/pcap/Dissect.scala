@@ -1276,6 +1276,12 @@ object Dissect {
     protos += "nhrp"
     v("nhrp.hdr.afn") = u16(d, off).toLong
     v("nhrp.hdr.pro.type") = u16(d, off + 2).toLong
+    // RFC 2332 §5.1 fixed header: hopcnt at +9, pktsz at +10, op
+    // version at +16, packet type at +17
+    v("nhrp.hdr.hopcnt") = u8(d, off + 9).toLong
+    v("nhrp.hdr.pktsz") = u16(d, off + 10).toLong
+    v("nhrp.hdr.version") = 1L
+    v("nhrp.hdr.op.type") = op.toLong
     s"NHRP $name"
   }
 
@@ -2761,6 +2767,7 @@ object Dissect {
     if ((sp == 4789 || dp == 4789) && payLen >= 8 && off + 16 <= d.length &&
       (u8(d, off + 8) & 0x08) != 0) {
       protos += "vxlan"
+      v("vxlan.flags") = u8(d, off + 8).toLong
       v("vxlan.vni") =
         ((u8(d, off + 12) << 16) | (u8(d, off + 13) << 8) | u8(d, off + 14)).toLong
       val wasNested = v.nested
@@ -2908,9 +2915,11 @@ object Dissect {
       (u8(d, off + 8) & 0x08) != 0) {
       val flags = u8(d, off + 8)
       protos += "vxlan"
+      v("vxlan.flags") = flags.toLong
       v("vxlan.vni") =
         ((u8(d, off + 12) << 16) | (u8(d, off + 13) << 8) | u8(d, off + 14)).toLong
       val nextProto = if ((flags & 0x04) != 0) u8(d, off + 11) else 3
+      if ((flags & 0x04) != 0) v("vxlan.next_proto") = u8(d, off + 11).toLong
       val wasNested = v.nested
       v.nested = true
       val inner =
@@ -6935,10 +6944,16 @@ object Dissect {
     if (vMaj != 2) return null
     protos += "rtps"
     v("rtps.magic") = "RTPS"
+    v("rtps.version.major") = vMaj.toLong
+    v("rtps.version.minor") = vMin.toLong
+    v("rtps.vendorId") = u16(d, off + 6).toLong
     // only a port inside the §9.6.1.1 discovery range encodes a domain
     if (rtpsPort >= 7400 && rtpsPort < 7900)
       v("rtps.domain_id") = ((rtpsPort - 7400) / 250).toLong
     v("rtps.guid_prefix") = hexBytes(d, off + 8, 12)
+    // first submessage header (id, flags, u16 length) follows the 20-byte
+    // RTPS header — DDS spec §9.4.5.1
+    if (len >= 24) v("rtps.sm.id") = u8(d, off + 20).toLong
     s"RTPS $vMaj.$vMin"
   }
 
@@ -6965,6 +6980,7 @@ object Dissect {
         mech = new String(d, off + 12, e - (off + 12),
           java.nio.charset.StandardCharsets.US_ASCII)
       }
+      if (mech.nonEmpty) v("zmtp.mechanism") = mech
       return if (mech.nonEmpty) s"Greeting v$maj, mechanism $mech"
       else s"Greeting v$maj"
     }
@@ -6989,8 +7005,10 @@ object Dissect {
       if (nameLen > 0 && hdr + 1 + nameLen <= len) {
         val name = new String(d, off + hdr + 1, nameLen,
           java.nio.charset.StandardCharsets.US_ASCII)
-        if (name.forall(c => c >= 'A' && c <= 'Z'))
+        if (name.forall(c => c >= 'A' && c <= 'Z')) {
+          v("zmtp.command.name") = name
           return s"Command $name"
+        }
       }
       s"Command frame, len $fLen"
     } else s"${if ((b0 & 1) != 0) "Message frame (more)" else "Message frame"}, len $fLen"
@@ -7017,6 +7035,22 @@ object Dissect {
     protos += "soupbintcp"
     v("soupbintcp.packet_length") = plen.toLong
     v("soupbintcp.packet_type") = typ.toString
+    // SoupBinTCP 3.00b payload layouts: Login Accepted = session(10) +
+    // sequence(20); Login Request = username(6) + password(10) +
+    // session(10) + sequence(20). All space-padded ASCII.
+    def padded(at: Int, n: Int): String =
+      if (off + at + n <= off + 2 + plen + 1 && off + at + n <= off + len)
+        new String(d, off + at, n, java.nio.charset.StandardCharsets.US_ASCII).trim
+      else null
+    if (typ == 'A') {
+      val sess = padded(3, 10)
+      if (sess != null && sess.nonEmpty) v("soupbintcp.session") = sess
+    } else if (typ == 'L') {
+      val user = padded(3, 6)
+      if (user != null && user.nonEmpty) v("soupbintcp.username") = user
+      val sess = padded(19, 10)
+      if (sess != null && sess.nonEmpty) v("soupbintcp.session") = sess
+    }
     name
   }
 
@@ -7043,6 +7077,9 @@ object Dissect {
       java.nio.charset.StandardCharsets.US_ASCII).trim
     v("moldudp64.sequence") = seq
     v("moldudp64.count") = count.toLong
+    // first message block: u16 length prefix (MoldUDP64 1.00 §data)
+    if (count >= 1 && count != 0xffff && len >= 22)
+      v("moldudp64.msgblk.size") = u16(d, off + 20).toLong
     if (count == 0xffff) "End of Session"
     else if (count == 0) s"Heartbeat, seq $seq"
     else s"$count message(s), seq $seq"
@@ -7065,6 +7102,15 @@ object Dissect {
     protos += "zabbix"
     v("zabbix.flags") = flags.toLong
     v("zabbix.len") = dlen
+    // uncompressed body is the JSON request — surface its head (64 chars)
+    if ((flags & 2) == 0 && len > 13) {
+      val n = math.min(math.min(dlen, (len - 13).toLong), 64L).toInt
+      if (n > 0) {
+        val body = new String(d, off + 13, n, "ISO-8859-1")
+        if (body.forall(c => c >= 0x20 && c <= 0x7e))
+          v("zabbix.data") = body
+      }
+    }
     s"Zabbix protocol, len $dlen${if ((flags & 2) != 0) " (compressed)" else ""}"
   }
 
@@ -7087,12 +7133,16 @@ object Dissect {
       protos += "srt"
       v("srt.iscontrol") = true
       v("srt.type") = typ.toLong
+      v("srt.timestamp") = u32(d, off + 8)
+      v("srt.id") = u32(d, off + 12)
       s"Control: $name"
     } else {
       protos += "srt"
       v("srt.iscontrol") = false
       val seq = u32(d, off) & 0x7fffffffL
       v("srt.seqno") = seq
+      v("srt.timestamp") = u32(d, off + 8)
+      v("srt.id") = u32(d, off + 12)
       s"Data, seq $seq"
     }
   }
@@ -7208,6 +7258,17 @@ object Dissect {
     v("icp.opcode") = op.toLong
     v("icp.version") = ver.toLong
     v("icp.length") = u16(d, off + 2).toLong
+    v("icp.nr") = u32(d, off + 4)
+    // query payload (op 1): u32 requester host then the NUL-terminated URL
+    if (op == 1 && len > 20) {
+      var e = off + 20
+      val lim = off + len
+      while (e < lim && d(e) != 0) e += 1
+      if (e > off + 20) {
+        val url = new String(d, off + 20, e - (off + 20), "ISO-8859-1")
+        if (url.forall(c => c >= 0x20 && c <= 0x7e)) v("icp.url") = url
+      }
+    }
     name
   }
 
@@ -7226,6 +7287,7 @@ object Dissect {
     v("ymsg.version") = ver.toLong
     v("ymsg.service") = service.toLong
     v("ymsg.status") = u32(d, off + 12)
+    v("ymsg.session_id") = u32(d, off + 16)
     s"YMSG v$ver service $service"
   }
 
@@ -7274,10 +7336,12 @@ object Dissect {
     if (d(off) != 'R' || d(off + 1) != 'E' || d(off + 2) != 'D' || d(off + 3) != 'Q')
       return null
     protos += "spice"
-    val major = ((d(off + 4) & 0xffL)) | ((d(off + 5) & 0xffL) << 8) |
-      ((d(off + 6) & 0xffL) << 16) | ((d(off + 7) & 0xffL) << 24)
+    def le32(o: Int): Long = ((d(o) & 0xffL)) | ((d(o + 1) & 0xffL) << 8) |
+      ((d(o + 2) & 0xffL) << 16) | ((d(o + 3) & 0xffL) << 24)
+    val major = le32(off + 4)
     v("spice.magic") = "REDQ"
     v("spice.major_version") = major
+    v("spice.minor_version") = le32(off + 8)
     s"Link header, protocol $major"
   }
 
@@ -7373,6 +7437,9 @@ object Dissect {
     if ((verFlags >> 4) != 1) return null
     protos += "aoe"
     v("aoe.version") = (verFlags >> 4).toLong
+    v("aoe.error") = u8(d, off + 1).toLong
+    v("aoe.major") = u16(d, off + 2).toLong
+    v("aoe.minor") = u8(d, off + 4).toLong
     val cmd = u8(d, off + 5)
     v("aoe.cmd") = cmd.toLong
     v("aoe.tag") = u32(d, off + 6)
@@ -7499,7 +7566,9 @@ object Dissect {
     val name = rsvpMsgNames.getOrElse(msg, return null)
     protos += "rsvp"
     v("rsvp.msg") = msg.toLong
+    v("rsvp.ver") = 1L
     v("rsvp.sending_ttl") = u8(d, off + 4).toLong
+    v("rsvp.length") = u16(d, off + 6).toLong
     s"$name Message"
   }
 
@@ -7541,6 +7610,11 @@ object Dissect {
     protos += "srvloc"
     v("srvloc.version") = 2L
     v("srvloc.function") = fn.toLong
+    // RFC 2608 §8 header: u24 length at +2, u16 XID at +10
+    v("srvloc.pktlen") =
+      ((u8(d, off + 2).toLong << 16) | (u8(d, off + 3).toLong << 8) |
+        u8(d, off + 4).toLong)
+    if (len >= 12) v("srvloc.xid") = u16(d, off + 10).toLong
     name
   }
 
@@ -7558,6 +7632,7 @@ object Dissect {
     val text = new String(d, off, math.min(len, 512), "ISO-8859-1")
     if (!text.startsWith("MEGACO/1") && !text.startsWith("!/1")) return null
     protos += "megaco"
+    v("megaco.version") = 1L
     val tm = "Transaction\\s*=\\s*(\\d+)".r.findFirstMatchIn(text)
     tm.foreach(m => v("megaco.transid") = m.group(1))
     val cmd = megacoCommands.find(c => text.contains(c + " = "))
@@ -7615,6 +7690,18 @@ object Dissect {
     protos += "mqttsn"
     v("mqttsn.len") = mlen.toLong
     v("mqttsn.msg.type") = typ.toLong
+    // CONNECT (OASIS MQTT-SN 1.2 §5.4.4): flags, protocol id, duration,
+    // then the client identifier fills the rest of the message
+    if (typ == 0x04 && len >= hdr + 5) {
+      v("mqttsn.flags") = u8(d, off + hdr + 1).toLong
+      v("mqttsn.duration") = u16(d, off + hdr + 3).toLong
+      val cidLen = len - (hdr + 5)
+      if (cidLen > 0 && cidLen <= 23) {
+        val cid = new String(d, off + hdr + 5, cidLen,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        if (cid.forall(c => c >= 0x20 && c <= 0x7e)) v("mqttsn.clientid") = cid
+      }
+    }
     name
   }
 
@@ -7638,6 +7725,12 @@ object Dissect {
     val name = finsCmdNames.getOrElse(cmd, return null)
     protos += "fins"
     v("fins.icf") = icf.toLong
+    // FINS 10-byte routing header: ICF RSV GCT DNA DA1 DA2 SNA SA1 SA2 SID
+    v("fins.gct") = u8(d, off + 2).toLong
+    v("fins.dna") = u8(d, off + 3).toLong
+    v("fins.da1") = u8(d, off + 4).toLong
+    v("fins.sna") = u8(d, off + 6).toLong
+    v("fins.sa1") = u8(d, off + 7).toLong
     v("fins.sid") = u8(d, off + 9).toLong
     if ((icf & 0x40) == 0) s"Command: $name" else s"Response: $name"
   }
@@ -7665,6 +7758,8 @@ object Dissect {
     val tlen = u16(d, off + 4)
     if (tlen != len) return null
     protos += "knxnetip"
+    v("knxnetip.header_length") = 0x06L
+    v("knxnetip.protocol_version") = 0x10L
     v("knxnetip.service") = svc.toLong
     v("knxnetip.total_length") = tlen.toLong
     name
@@ -7680,6 +7775,7 @@ object Dissect {
     var p = off + 4
     val lim = off + len
     var identity: String = null
+    var mac: String = null
     var n = 0
     while (p + 4 <= lim && n < 32) {
       val t = u16(d, p)
@@ -7690,6 +7786,7 @@ object Dissect {
         if (!s.forall(c => c >= 0x20 && c <= 0x7e)) return null
         identity = s
       }
+      if (t == 1 && l == 6) mac = macStr(d, p + 4)
       p += 4 + l
       n += 1
     }
@@ -7697,6 +7794,7 @@ object Dissect {
     protos += "mndp"
     v("mndp.seqno") = u16(d, off + 2).toLong
     if (identity != null) v("mndp.identity") = identity
+    if (mac != null) v("mndp.mac_address") = mac
     if (identity != null) s"Neighbor: $identity" else s"MNDP, $n TLVs"
   }
 
@@ -7712,6 +7810,12 @@ object Dissect {
     protos += "ripng"
     v("ripng.command") = cmd.toLong
     v("ripng.version") = 1L
+    // first 20-byte RTE (RFC 2080 §2.1): prefix(16) tag(2) plen(1) metric(1)
+    if (len >= 24) {
+      v("ripng.rte.route_tag") = u16(d, off + 20).toLong
+      v("ripng.rte.prefix_len") = u8(d, off + 22).toLong
+      v("ripng.rte.metric") = u8(d, off + 23).toLong
+    }
     if (cmd == 1) "Request" else "Response"
   }
 
@@ -7732,6 +7836,19 @@ object Dissect {
     v("pim.version") = (vt >> 4).toLong
     v("pim.type") = (vt & 0xf).toLong
     v("pim.cksum") = u16(d, off + 2).toLong
+    // Hello options (RFC 7761 §4.9.2): (type, len, value) — type 1 holdtime
+    if ((vt & 0xf) == 0) {
+      var p = off + 4
+      var n = 0
+      while (p + 4 <= end && n < 16) {
+        val ot = u16(d, p); val ol = u16(d, p + 2)
+        if (ot == 1 && ol == 2 && p + 6 <= end) {
+          v("pim.holdtime") = u16(d, p + 4).toLong
+          p = end
+        } else p += 4 + ol
+        n += 1
+      }
+    }
     name
   }
 
@@ -7766,7 +7883,16 @@ object Dissect {
     protos += "olsr"
     v("olsr.packet_len") = plen.toLong
     v("olsr.packet_seq") = u16(d, off + 2).toLong
-    if (len >= 8) v("olsr.message_type") = u8(d, off + 4).toLong
+    if (len >= 8) {
+      v("olsr.message_type") = u8(d, off + 4).toLong
+      v("olsr.message_size") = u16(d, off + 6).toLong
+    }
+    // full message header (RFC 3626 §3.3): type vtime size orig ttl hops seq
+    if (len >= 16) {
+      v("olsr.origin_addr") = ipv4Str(d, off + 8)
+      v("olsr.ttl") = u8(d, off + 12).toLong
+      v("olsr.hop_count") = u8(d, off + 13).toLong
+    }
     s"OLSR ($plen bytes)"
   }
 

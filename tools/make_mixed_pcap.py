@@ -1405,13 +1405,16 @@ extra.append((t3, 22300, ip_frame(6, A, B, tcp(50099, 6379, 1, resp), ident=249)
 ripng = struct.pack(">BBH", 2, 1, 0) + bytes(16) + struct.pack(">HBB", 0, 0, 1)
 extra.append((t3, 22400, ip_frame(17, A, B, udp(521, 521, ripng), ident=250)))
 
-pim = struct.pack(">BBH", 0x20, 0, 0xBEEF) + bytes(8)
+# hello with a genuine holdtime option (type 1, len 2, 105 s) + 2 pad
+pim = struct.pack(">BBH", 0x20, 0, 0xBEEF) + struct.pack(">HHH", 1, 2, 105) + bytes(2)
 extra.append((t3, 22500, ip_frame(103, A, B, pim, ident=251)))
 
 msdp = struct.pack(">BH", 4, 3)
 extra.append((t3, 22600, ip_frame(6, A, B, tcp(50100, 639, 1, msdp), ident=252)))
 
-olsr = struct.pack(">HH", 8, 42) + struct.pack(">BBH", 1, 0, 0)
+# full RFC 3626 message header: HELLO from 10.0.0.1, ttl 1, 0 hops, seq 7
+olsr = struct.pack(">HH", 16, 42) + struct.pack(">BBH", 1, 0, 12) + \
+    bytes([10, 0, 0, 1]) + struct.pack(">BBH", 1, 0, 7)
 extra.append((t3, 22700, ip_frame(17, A, B, udp(698, 698, olsr), ident=253)))
 
 babel = struct.pack(">BBH", 42, 2, 8) + bytes(8)
