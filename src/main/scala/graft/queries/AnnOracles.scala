@@ -157,6 +157,34 @@ object AnnOracles {
       ORDER BY cell"""
   }
 
+  /** Oracle for `sim_kmeans_update`: literal-centroid cell assignment,
+    * then the integer-exact per-cell M-step sufficient statistics — count
+    * plus FLOOR(x·10⁶) scaled-long coordinate sums for the first `nDims`
+    * dimensions (float→double is exact, ·10⁶ and FLOOR are the same IEEE
+    * ops in both engines, long addition is order-independent). */
+  def kmeansUpdateSql(cents: Array[Array[Double]], nDims: Int): String = {
+    val dim = cents(0).length
+    val sums = (1 to nDims).map(k =>
+      s"SUM(CAST(FLOOR(CAST(embedding[$k] AS DOUBLE) * 1000000) AS BIGINT)) AS sum_d$k")
+      .mkString(",\n             ")
+    s"""
+      WITH cents(cell, centroid, cn2, cnorm) AS (VALUES
+  ${centsValues(cents)}),
+      cellscore AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               c.cn2 - 2.0 * (${dot("e.embedding", "c.centroid", dim)}) AS score
+        FROM embeddings e CROSS JOIN cents c),
+      cells AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT vec_id, embedding, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS crn
+          FROM cellscore) WHERE crn = 1)
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+             $sums
+      FROM cells GROUP BY cell
+      ORDER BY cell"""
+  }
+
   /** Oracle for `sim_cluster_balance`: literal-centroid cell assignment,
     * then a salted-md5 ranking within each cell capped at `cap` — no
     * floats beyond the assignment argmin both engines already replay

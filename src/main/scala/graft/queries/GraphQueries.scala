@@ -692,7 +692,82 @@ object GraphQueries {
       ORDER BY role, score DESC, node"""
     })
 
+  /** Single-source shortest paths, weighted — 3 rounds of distributed
+    * Bellman-Ford from the nation-3 supplier seed set over the bipartite
+    * order graph, edge weight = lineitem count between the supplier and
+    * the customer (an integer "strength" — more shared line items = a
+    * cheaper hop, inverted here as plain additive cost). One BSP round is
+    * relax (dist ⋈ edges on src) + min-combine per node — the identical
+    * shuffle shape as PageRank, with node-sized state and a
+    * localCheckpoint per round to keep lineage flat. Distances are
+    * integer-exact (BIGINT count sums), so the result is independent of
+    * partitioning and engine. The weighted edge build is one aggregate
+    * over lineitem⋈orders; at 100 TB it would be a persisted bucketed
+    * artifact like the unweighted `pairs` table. Oracle: the three
+    * Bellman-Ford rounds replayed as materialized CTEs (the BPE-training
+    * unroll convention — each round is node-sized, never a path
+    * enumeration). */
+  val grSssp = GraftQuery(
+    "gr_sssp",
+    (s, dir) => {
+      import s.implicits._
+      val w = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy(($"l_suppkey" + 1000000L).as("supp"), $"o_custkey".as("cust"))
+        .agg(count(lit(1)).as("wt"))
+      // pre-partitioned on the relax key and cached: every round's join
+      // requirement is satisfied by the cached layout, so only the
+      // node-sized dist table moves per round (at sf1 the uncached form
+      // re-ran the 6M-row weighted-edge build four times — 374 MB of
+      // shuffle for a 3-round kernel)
+      val e = w.select($"supp".as("src"), $"cust".as("dst"), $"wt")
+        .unionByName(w.select($"cust".as("src"), $"supp".as("dst"), $"wt"))
+        .repartition(col("src")).cache()
+      var dist = t(s, dir, "supplier").filter($"s_nationkey" === 3)
+        .select(($"s_suppkey" + 1000000L).as("node"))
+        .withColumn("d", lit(0L))
+      for (_ <- 1 to 3) {
+        val relaxed = dist.join(e, $"node" === $"src")
+          .select($"dst".as("node"), ($"d" + $"wt").as("d"))
+        dist = dist.unionByName(relaxed)
+          .groupBy($"node").agg(min($"d").as("d"))
+          .localCheckpoint()
+      }
+      dist.filter($"node" > 1000000L)
+        .select($"node", $"d".as("dist"))
+        .orderBy($"node")
+    },
+    Some("""
+      WITH w AS (
+        SELECT 1000000 + l_suppkey AS supp, o_custkey AS cust,
+               COUNT(*) AS wt
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      e AS (SELECT supp AS src, cust AS dst, wt FROM w
+            UNION ALL SELECT cust, supp, wt FROM w),
+      d0(node, d) AS (
+        SELECT 1000000 + s_suppkey, CAST(0 AS BIGINT)
+        FROM supplier WHERE s_nationkey = 3),
+      r1 AS (SELECT node, MIN(d) AS d FROM (
+               SELECT node, d FROM d0
+               UNION ALL
+               SELECT e.dst, d0.d + e.wt FROM d0 JOIN e ON e.src = d0.node)
+             GROUP BY node),
+      r2 AS (SELECT node, MIN(d) AS d FROM (
+               SELECT node, d FROM r1
+               UNION ALL
+               SELECT e.dst, r1.d + e.wt FROM r1 JOIN e ON e.src = r1.node)
+             GROUP BY node),
+      r3 AS (SELECT node, MIN(d) AS d FROM (
+               SELECT node, d FROM r2
+               UNION ALL
+               SELECT e.dst, r2.d + e.wt FROM r2 JOIN e ON e.src = r2.node)
+             GROUP BY node)
+      SELECT node, CAST(d AS BIGINT) AS dist FROM r3
+      WHERE node > 1000000 ORDER BY node"""))
+
   val all: Seq[GraftQuery] =
     Seq(grPagerank, grTriangles, grDegreeDist, grReach, grLinkPredict, grLpa,
-      grKcore, grPpr, grHits, grModularity)
+      grKcore, grPpr, grHits, grModularity, grSssp)
 }

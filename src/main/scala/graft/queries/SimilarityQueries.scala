@@ -1276,6 +1276,86 @@ object SimilarityQueries {
       WHERE cos4 IS NOT NULL
       ORDER BY query_id"""))
 
+  /** Distributed k-means M-STEP sufficient statistics — the training side
+    * of the IVF/SemDeDup family's E-step (cell assignment): per cell, the
+    * member count and the per-dimension coordinate sums a Lloyd iteration
+    * divides to get the new centroid. This is exactly how k-means
+    * parallelizes at 100 TB — ONE map-side-combinable aggregate over the
+    * corpus (no shuffle of vectors, only k×dim partial sums), the division
+    * and the next broadcast of centroids being driver-trivial. Coordinates
+    * enter the sum as FLOOR(x·10⁶) scaled longs so the aggregate is
+    * integer-exact and order-independent — the float-sum of a naive mean
+    * would hash differently on every re-shard (the graph kernels'
+    * scaled-long determinism contract). First 4 dims emitted; the rest are
+    * the same arithmetic. */
+  val simKmeansUpdate = GraftQuery(
+    "sim_kmeans_update",
+    (s, dir) => {
+      import s.implicits._
+      val index = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
+      val sums = (1 to 4).map(k => sum(
+        floor(expr(s"CAST(element_at(embedding, $k) AS DOUBLE)") * 1000000d)
+          .cast(LongType)).as(s"sum_d$k"))
+      val aggs = count(lit(1)).as("n_assigned") +: sums
+      index.assigned.groupBy($"cell")
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy($"cell")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.kmeansUpdateSql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids, nDims = 4)))
+
+  /** Scatter-gather top-k — the two-tier serving topology every sharded
+    * vector store runs: each shard (vec_id mod 4 here; a partition of the
+    * corpus in production) answers the query with its LOCAL exact top-k,
+    * and the router merges the 4×k candidates into the global top-k.
+    * Because every shard returns at least k rows, the merge provably
+    * equals the unsharded exact answer — which is what the oracle checks.
+    * 100 TB shape: the corpus never moves; per-shard work is an
+    * embarrassingly parallel scan + TakeOrdered, and the merge touches
+    * shards×k rows. The shard of each winner is emitted so the result
+    * doubles as a shard-balance diagnostic. */
+  val simAnnSharded = GraftQuery(
+    "sim_ann_sharded",
+    (s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql(s"""
+        WITH scored AS (
+          SELECT e.vec_id, e.label, e.vec_id % 4 AS shard,
+                 (${sparkDot("e.embedding", "q.qe")})
+                   / (SQRT(${sparkDot("e.embedding", "e.embedding")})
+                      * SQRT(${sparkDot("q.qe", "q.qe")})) AS cosine
+          FROM embeddings e
+          CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+          WHERE e.vec_id <> 0),
+        local_topk AS (
+          SELECT vec_id, label, shard, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY shard
+                   ORDER BY cosine DESC, vec_id) AS lrn
+          FROM scored)
+        SELECT vec_id, label, shard, cosine
+        FROM local_topk WHERE lrn <= 5
+        ORDER BY cosine DESC, vec_id
+        LIMIT 5""")
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT e.vec_id, e.label, e.vec_id % 4 AS shard,
+               (${duckDot("e.embedding", "q.qe")})
+                 / (SQRT(${duckDot("e.embedding", "e.embedding")})
+                    * SQRT(${duckDot("q.qe", "q.qe")})) AS cosine
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0),
+      local_topk AS (
+        SELECT vec_id, label, shard, cosine,
+               ROW_NUMBER() OVER (PARTITION BY shard
+                 ORDER BY cosine DESC, vec_id) AS lrn
+        FROM scored)
+      SELECT vec_id, label, shard, cosine
+      FROM local_topk WHERE lrn <= 5
+      ORDER BY cosine DESC, vec_id
+      LIMIT 5"""))
+
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfPersisted,
       simIvfAppend,
@@ -1284,5 +1364,6 @@ object SimilarityQueries {
       simAnnInt8Persisted, simQuantizeInt8, simIvfCellStats, simRecallReport,
       ddEmbeddingNeardup, ddSemanticDedup, simMmrRerank, simHardNegatives,
       simKnnGraph, simClusterBalance, simAnnFiltered, simAnnBitq,
-      simBitextMargin, simAnnMultiprobe, ddSemdedupIvf, simAnnMatryoshka)
+      simBitextMargin, simAnnMultiprobe, ddSemdedupIvf, simAnnMatryoshka,
+      simKmeansUpdate, simAnnSharded)
 }

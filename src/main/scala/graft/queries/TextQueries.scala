@@ -2874,7 +2874,101 @@ object TextQueries {
       FROM t LEFT JOIN dd USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** C4-style heuristic document filter (Raffel et al. 2020, §2.2): the
+    * published rule set re-expressed over this corpus — terminal
+    * punctuation, minimum word count, curly-brace (code) rejection, and
+    * the lorem-ipsum placeholder check. Every rule is emitted as its own
+    * flag so downstream curation can audit WHICH rule fired (the verdict
+    * alone is not actionable at corpus scale); `keep` gates on the three
+    * rules that discriminate on this corpus (the synthetic generator never
+    * emits sentence punctuation, so the terminal-punct flag is reported
+    * but not gating — the calibration note a real pipeline would make
+    * per-source). 100 TB shape: a single narrow projection, no shuffle at
+    * all until the output sort. */
+  val txC4Filter = GraftQuery(
+    "tx_c4_filter",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id",
+          size(split($"text", " ")).cast(LongType).as("n_words"),
+          ($"text".rlike("[.!?]$")).as("r_terminal_punct"),
+          (size(split($"text", " ")) >= 30).as("r_min_words"),
+          (!$"text".contains("{")).as("r_no_brace"),
+          (!lower($"text").contains("lorem ipsum")).as("r_no_lorem"))
+        .withColumn("keep", $"r_min_words" && $"r_no_brace" && $"r_no_lorem")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+             REGEXP_MATCHES(text, '[.!?]$') AS r_terminal_punct,
+             LEN(STRING_SPLIT(text, ' ')) >= 30 AS r_min_words,
+             NOT CONTAINS(text, '{') AS r_no_brace,
+             NOT CONTAINS(LOWER(text), 'lorem ipsum') AS r_no_lorem,
+             (LEN(STRING_SPLIT(text, ' ')) >= 30
+               AND NOT CONTAINS(text, '{')
+               AND NOT CONTAINS(LOWER(text), 'lorem ipsum')) AS keep
+      FROM documents ORDER BY doc_id"""))
+
+  /** Quality-signal ENSEMBLE — the rank-average combiner curation
+    * pipelines use when no single heuristic is trusted: three cheap
+    * signals (word count, type-token ratio, mean word length), each
+    * converted to its corpus PERCENT_RANK (scale-free, outlier-immune —
+    * the reason production ensembles rank before averaging), then
+    * averaged and bucketed into deciles. Exactness: percent_rank is
+    * integer-derived ((rank−1)/(n−1), one correctly-rounded division),
+    * the TTR and mean-word-length signals are single divisions of exact
+    * integers, and the 3-term average is a fixed-order IEEE expression —
+    * bit-identical across engines with no fitted state. 100 TB shape:
+    * three window passes over scalar columns (each a sort-based exchange
+    * on a 1-double key), then a width-1 projection. */
+  val txQualityEnsemble = GraftQuery(
+    "tx_quality_ensemble",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val f = docs(s, dir).select($"doc_id",
+        size(split($"text", " ")).cast(LongType).as("n_words"),
+        (size(array_distinct(split($"text", " "))).cast(DoubleType) /
+          size(split($"text", " ")).cast(DoubleType)).as("ttr"),
+        ((length($"text") - size(split($"text", " ")) + 1).cast(DoubleType) /
+          size(split($"text", " ")).cast(DoubleType)).as("mean_wlen"))
+      val scored = f
+        .withColumn("pr_words",
+          percent_rank().over(Window.orderBy($"n_words", $"doc_id")))
+        .withColumn("pr_ttr",
+          percent_rank().over(Window.orderBy($"ttr", $"doc_id")))
+        .withColumn("pr_wlen",
+          percent_rank().over(Window.orderBy($"mean_wlen", $"doc_id")))
+        .withColumn("score", ($"pr_words" + $"pr_ttr" + $"pr_wlen") / 3.0d)
+      scored
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy($"score", $"doc_id")).cast(LongType))
+        .select($"doc_id", $"n_words", $"score", $"decile")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+               CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                 / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS ttr,
+               CAST(LENGTH(text) - LEN(STRING_SPLIT(text, ' ')) + 1 AS DOUBLE)
+                 / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS mean_wlen
+        FROM documents),
+      scored AS (
+        SELECT doc_id, n_words,
+               (PERCENT_RANK() OVER (ORDER BY n_words, doc_id)
+                + PERCENT_RANK() OVER (ORDER BY ttr, doc_id)
+                + PERCENT_RANK() OVER (ORDER BY mean_wlen, doc_id)) / 3.0 AS score
+        FROM f)
+      SELECT doc_id, n_words, score,
+             CAST(NTILE(10) OVER (ORDER BY score, doc_id) AS BIGINT) AS decile
+      FROM scored ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(
+    txC4Filter, txQualityEnsemble,
     txUrlDedup, txHtmlExtract, txCurationFunnel, ddBloomStats, ddSubstringDup,
     txNgramNovelty, ddContainment, txCmsTopk, txBpeTrain, ddDedupReport,
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,

@@ -322,4 +322,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "probing must remain a bucket equi-join")
   }
+
+  test("r9 additions: kmeans M-step is one aggregate; sharded/sssp stay distributed") {
+    // sim_kmeans_update: the corpus must reach the cell aggregate through
+    // map-side partial aggregation — exactly one exchange (on cell), no
+    // join, no window over the full corpus
+    val km = plan("sim_kmeans_update")
+    assert(!km.contains("CartesianProduct") && !km.contains("SortMergeJoin"),
+      "M-step must be a pure aggregate over the assigned corpus")
+    assert(km.contains("HashAggregate") || km.contains("ObjectHashAggregate"),
+      "M-step sufficient statistics must partial-aggregate map-side")
+    // sim_ann_sharded: per-shard top-k must not become one global sort of
+    // the scored corpus before the shard window
+    val sh = plan("sim_ann_sharded")
+    assert(sh.contains("WindowGroupLimit") || sh.contains("TakeOrdered"),
+      "shard-local top-k must rank within shards (group-limit), not sort-all")
+    assert(!sh.contains("CartesianProduct"),
+      "the single-row query side must broadcast")
+    // gr_sssp: relaxation rounds are node-key equi-joins like gr_reach
+    val ss = plan("gr_sssp")
+    assert(!ss.contains("CartesianProduct") && !ss.contains("BroadcastNestedLoopJoin"),
+      "Bellman-Ford relax must stay a src-key equi-join")
+  }
+
+  test("tx_c4_filter is shuffle-free until the output sort") {
+    val p = plan("tx_c4_filter")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "C4 rules are a narrow projection — no join belongs in this plan")
+  }
 }
