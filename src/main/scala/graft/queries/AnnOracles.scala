@@ -162,7 +162,8 @@ object AnnOracles {
     * plus FLOOR(x·10⁶) scaled-long coordinate sums for the first `nDims`
     * dimensions (float→double is exact, ·10⁶ and FLOOR are the same IEEE
     * ops in both engines, long addition is order-independent). */
-  def kmeansUpdateSql(cents: Array[Array[Double]], nDims: Int): String = {
+  def kmeansUpdateSql(cents: Array[Array[Double]], nDims: Int,
+      where: String = "TRUE"): String = {
     val dim = cents(0).length
     val sums = (1 to nDims).map(k =>
       s"SUM(CAST(FLOOR(CAST(embedding[$k] AS DOUBLE) * 1000000) AS BIGINT)) AS sum_d$k")
@@ -173,7 +174,8 @@ object AnnOracles {
       cellscore AS (
         SELECT e.vec_id, e.embedding, c.cell,
                c.cn2 - 2.0 * (${dot("e.embedding", "c.centroid", dim)}) AS score
-        FROM embeddings e CROSS JOIN cents c),
+        FROM embeddings e CROSS JOIN cents c
+        WHERE ($where)),
       cells AS (
         SELECT vec_id, embedding, cell FROM (
           SELECT vec_id, embedding, cell,

@@ -484,7 +484,43 @@ object MultimodalQueries {
       FROM h GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** Image-curation resolution gate — the min-resolution / aspect-ratio
+    * filter every vision-training pipeline runs before captioning or
+    * embedding (e.g. LAION's w,h ≥ 256 rule): per image (decoded width ×
+    * height from the REAL container headers), the megapixel-bucket, the
+    * keep verdict at 64k pixels, and an extreme-aspect-ratio flag
+    * (>4:1 either way — banners/strips that crop badly). Integer
+    * arithmetic only. 100 TB shape: a mapPartitions header decode (bytes
+    * never shuffle) + a narrow projection; the verdict joins downstream
+    * curation like dd_dedup_keep does for text. */
+  val mmResolutionFilter = GraftQuery(
+    "mm_resolution_filter",
+    (s, dir) => {
+      import s.implicits._
+      val media = Media.synthesize(Tables.load(s, dir, "documents"))
+      Media.extractMeta(s, media).toDF()
+        .filter($"media_type" === "image")
+        .select($"doc_id", $"width", $"height",
+          ($"width" * $"height").as("n_pixels"),
+          expr("(width * height) div 65536").as("px_bucket"),
+          ($"width" * $"height" >= 65536L).as("keep_res"),
+          ($"width" > $"height" * 4 || $"height" > $"width" * 4)
+            .as("extreme_aspect"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH $paramsCte
+      SELECT doc_id, width, height,
+             width * height AS n_pixels,
+             CAST(width * height AS BIGINT) // 65536 AS px_bucket,
+             width * height >= 65536 AS keep_res,
+             (width > height * 4 OR height > width * 4) AS extreme_aspect
+      FROM meta
+      WHERE media_type = 'image'
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(mmMediaMeta, mmTypeStats, mmFrameSample, mmCodecStats, mmOrientationStats,
-      mmPhash, mmIntegrity, mmAudioStats, mmThumbnail, mmPhashNeardup, mmSceneCut)
+      mmPhash, mmIntegrity, mmAudioStats, mmThumbnail, mmPhashNeardup, mmSceneCut,
+      mmResolutionFilter)
 }

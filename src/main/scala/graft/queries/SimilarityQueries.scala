@@ -1288,17 +1288,27 @@ object SimilarityQueries {
     * would hash differently on every re-shard (the graph kernels'
     * scaled-long determinism contract). First 4 dims emitted; the rest are
     * the same arithmetic. */
+  /** Shared M-step statistics frame: codegen'd argmin cell assignment +
+    * the integer-exact scaled-long coordinate sums. A pure (streaming-
+    * safe) aggregate — [[graft.queries.StreamingQueries.stKmeansUpdate]]
+    * runs the identical plan under complete-mode. */
+  private[graft] def kmeansStats(df: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val sums = (1 to 4).map(k => sum(
+      floor(expr(s"CAST(element_at(embedding, $k) AS DOUBLE)") * 1000000d)
+        .cast(LongType)).as(s"sum_d$k"))
+    val aggs = count(lit(1)).as("n_assigned") +: sums
+    df.withColumn("cell", graft.functions.Ivf.cellCol(cents, col("embedding")))
+      .groupBy(col("cell"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   val simKmeansUpdate = GraftQuery(
     "sim_kmeans_update",
     (s, dir) => {
       import s.implicits._
       val index = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
-      val sums = (1 to 4).map(k => sum(
-        floor(expr(s"CAST(element_at(embedding, $k) AS DOUBLE)") * 1000000d)
-          .cast(LongType)).as(s"sum_d$k"))
-      val aggs = count(lit(1)).as("n_assigned") +: sums
-      index.assigned.groupBy($"cell")
-        .agg(aggs.head, aggs.tail: _*)
+      kmeansStats(graft.functions.AnnIndexes.embeddings(s, dir), index.centroids)
         .orderBy($"cell")
     },
     oracleGen = Some((s, dir) => AnnOracles.kmeansUpdateSql(

@@ -575,9 +575,35 @@ object StreamingQueries {
       FROM salted GROUP BY 1, 2
       ORDER BY j, bucket"""))
 
+  /** Streaming k-means M-step accumulation — the ONLINE half of
+    * [[graft.queries.SimilarityQueries.simKmeansUpdate]]: vectors
+    * arriving between index refits (the `vec_id % 10 = 7` arriving-slice
+    * convention of dd_incremental/st_bloom_dedup) are assigned to the
+    * FROZEN persisted centroids and their count + scaled-long coordinate
+    * sums accumulate under complete-mode — exactly the minibatch k-means
+    * statistics (Sculley 2010) a serving tier folds into the next refit.
+    * The aggregate is a pure groupBy (no watermark/state operator needed;
+    * state is bounded at k cells × 5 longs BY CONSTRUCTION), so the
+    * streaming result provably equals this batch twin — pinned in
+    * StreamingSpec. */
+  val stKmeansUpdate = GraftQuery(
+    "st_kmeans_update",
+    (s, dir) => {
+      import s.implicits._
+      val index = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
+      SimilarityQueries.kmeansStats(
+        graft.functions.AnnIndexes.embeddings(s, dir)
+          .filter($"vec_id" % 10 === 7),
+        index.centroids)
+        .orderBy($"cell")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.kmeansUpdateSql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids, nDims = 4,
+      where = "e.vec_id % 10 = 7")))
+
   val all: Seq[GraftQuery] =
     Seq(stSessionize, stWindowedCounts, stDistinctUsers, stSlidingRates,
       stDedup, stIntervalJoin, stAttributionOuter, stSessionWindow, stEnrich,
       stRateLimit, stTopk, stUpsert, stPattern, stAnnServe, stBloomDedup,
-      stCurationGate, stCmsSketch)
+      stCurationGate, stCmsSketch, stKmeansUpdate)
 }

@@ -642,4 +642,30 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("cmscells").orderBy("j", "bucket").collect()
     assert(batch.map(_.toSeq).toSeq === streamed.map(_.toSeq).toSeq)
   }
+
+  test("streaming k-means M-step: complete-mode stats equal batch; state = k cells") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val index = graft.functions.AnnIndexes.ivf(spark, sfDir, k = 16)
+    val arriving = graft.functions.AnnIndexes.embeddings(spark, sfDir)
+      .filter($"vec_id" % 10 === 7)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val batch = graft.queries.SimilarityQueries
+      .kmeansStats(arriving.toSeq.toDF("vec_id", "embedding"), index.centroids)
+      .orderBy("cell").collect()
+    assert(batch.length <= 16) // state bounded at k cells by construction
+
+    val stream = MemoryStream[(Long, Seq[Float])]
+    // several micro-batches so the complete-mode accumulation is exercised
+    arriving.grouped(math.max(1, arriving.length / 4))
+      .foreach(g => stream.addData(g.toSeq))
+    val q = graft.queries.SimilarityQueries
+      .kmeansStats(stream.toDF().toDF("vec_id", "embedding"), index.centroids)
+      .writeStream.format("memory").queryName("kmstats")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("kmstats").orderBy("cell").collect()
+    assert(batch.map(_.toSeq).toSeq === streamed.map(_.toSeq).toSeq)
+  }
 }
