@@ -2037,7 +2037,26 @@ object RelationalQueries {
       GROUP BY user_id, island
       ORDER BY user_id, island"""))
 
+  /** Latest-row-per-key dedup — the single most common warehouse idiom
+    * (CDC snapshot compaction, "current state" views, QUALIFY in
+    * BigQuery/Snowflake dialects, DISTINCT ON in Postgres): each
+    * customer's most recent order by (o_orderdate, o_orderkey) DESC.
+    * Spark 4 plans the rn=1 filter as WindowGroupLimit — a per-partition
+    * running top-1 that never materializes the full ranking, the shape
+    * that survives 100 TB (checked in PlanShapeSpec). */
+  val q67LatestPerKey = sharedSql(
+    "q67_latest_per_key",
+    """
+      SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        SELECT o_custkey AS c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) t
+      WHERE rn = 1
+      ORDER BY c_custkey""")
+
   val all: Seq[GraftQuery] = Seq(
+    q67LatestPerKey,
     q01AggSum, q02FilterProject, q03CountDistinct, q04MinMax,
     q05JoinTopk, q06MultiJoin, q07SemiJoin, q08AntiJoin, q09OuterJoinAgg,
     q10FullOuter, q11ThetaJoin,

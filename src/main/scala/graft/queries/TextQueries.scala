@@ -2967,8 +2967,109 @@ object TextQueries {
              CAST(NTILE(10) OVER (ORDER BY score, doc_id) AS BIGINT) AS decile
       FROM scored ORDER BY doc_id"""))
 
+  /** Tokenizer FERTILITY by language — tokens produced per whitespace
+    * word, THE metric a tokenizer evaluation reports per language before
+    * a model commits to a vocab (high fertility = the language pays more
+    * sequence length per word; Rust/SentencePiece reports the same
+    * number). Uses the shared BPE-ish regex segmentation of
+    * [[txBpeTokens]]; per-language sums are exact integers, fertility is
+    * one correctly-rounded division. 100 TB: one narrow aggregate, the
+    * per-doc regex work is embarrassingly parallel. */
+  val txFertility = GraftQuery(
+    "tx_fertility",
+    (s, dir) => {
+      import s.implicits._
+      val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+      docs(s, dir).select($"lang",
+          size(regexp_extract_all($"text", lit(pat), lit(0))).cast(LongType)
+            .as("bpe"),
+          size(split($"text", " ")).cast(LongType).as("words"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"bpe").as("n_bpe_tokens"),
+          sum($"words").as("n_words"),
+          (sum($"bpe").cast(DoubleType) / sum($"words").cast(DoubleType))
+            .as("fertility"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH f AS (
+        SELECT lang,
+               CAST(LEN(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS BIGINT) AS bpe,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS words
+        FROM documents)
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+             CAST(SUM(words) AS BIGINT) AS n_words,
+             CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(words) AS DOUBLE) AS fertility
+      FROM f GROUP BY lang ORDER BY lang"""))
+
+  /** Near-dup THRESHOLD CALIBRATION sweep — the report a curation team
+    * reads before fixing the Jaccard cutoff: for each candidate
+    * threshold, how many pairs fire and how many documents would be
+    * removed (higher-id side of each pair, the keep-lowest convention).
+    * One pass over the df-capped shingle-join pairs (the
+    * [[ddNgramJaccard]] candidate shape — linear, never all-pairs), the
+    * thresholds exploding from a 5-row literal array; comparisons
+    * against literals are deterministic, so the whole sweep is
+    * oracle-exact. */
+  val ddThresholdSweep = GraftQuery(
+    "dd_threshold_sweep",
+    (s, dir) => {
+      import s.implicits._
+      val sh = shingleTable(s, dir)
+      val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val pairs = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(cnt.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(cnt.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn("jaccard",
+          $"shared".cast(DoubleType) / ($"na" + $"nb" - $"shared").cast(DoubleType))
+      pairs
+        .select($"doc_a", $"doc_b", $"jaccard",
+          explode(array(Seq(0.1, 0.3, 0.5, 0.7, 0.9).map(lit): _*)).as("threshold"))
+        .filter($"jaccard" >= $"threshold")
+        .groupBy($"threshold")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"doc_b").as("n_docs_removed"))
+        .orderBy($"threshold")
+    },
+    Some(s"""
+      WITH allsh AS (
+        SELECT DISTINCT doc_id, ARRAY_TO_STRING(tokens[i:i+4], ' ') AS shingle
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens FROM documents),
+             UNNEST(RANGE(1, LEN(tokens) - 3)) AS t(i)
+        WHERE LEN(tokens) >= 5),
+      sh AS (
+        SELECT doc_id, shingle FROM allsh
+        WHERE shingle IN (SELECT shingle FROM allsh
+                          GROUP BY shingle HAVING COUNT(*) <= $maxShingleDf)),
+      cnt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      j AS (
+        SELECT doc_a, doc_b,
+               CAST(shared AS DOUBLE)
+                 / CAST(ca.n_shingles + cb.n_shingles - shared AS DOUBLE) AS jaccard
+        FROM pairs
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b)
+      SELECT threshold, COUNT(*) AS n_pairs,
+             COUNT(DISTINCT doc_b) AS n_docs_removed
+      FROM j, UNNEST(CAST([0.1, 0.3, 0.5, 0.7, 0.9] AS DOUBLE[])) AS t(threshold)
+      WHERE jaccard >= threshold
+      GROUP BY threshold
+      ORDER BY threshold"""))
+
   val all: Seq[GraftQuery] = Seq(
-    txC4Filter, txQualityEnsemble,
+    txC4Filter, txQualityEnsemble, txFertility, ddThresholdSweep,
     txUrlDedup, txHtmlExtract, txCurationFunnel, ddBloomStats, ddSubstringDup,
     txNgramNovelty, ddContainment, txCmsTopk, txBpeTrain, ddDedupReport,
     txTokenCount, txQuality, txLangId, txFingerprint, txRepetition, txScrub,

@@ -345,6 +345,18 @@ class PlanShapeSpec extends SparkSpec {
       "Bellman-Ford relax must stay a src-key equi-join")
   }
 
+  test("q67 latest-per-key plans as WindowGroupLimit, not a full ranking") {
+    val p = plan("q67_latest_per_key")
+    assert(p.contains("WindowGroupLimit"),
+      "rn=1 dedup must run as a per-partition running top-1")
+  }
+
+  test("dd_threshold_sweep reuses the df-capped shingle postings artifact") {
+    val p = plan("dd_threshold_sweep")
+    assert(!p.contains("CartesianProduct"),
+      "the sweep must ride the shingle equi-join candidates")
+  }
+
   test("tx_c4_filter is shuffle-free until the output sort") {
     val p = plan("tx_c4_filter")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
