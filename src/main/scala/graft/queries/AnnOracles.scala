@@ -187,6 +187,41 @@ object AnnOracles {
       ORDER BY cell"""
   }
 
+  /** Oracle for `sim_cluster_purity`: literal-centroid cell assignment,
+    * per-(cell, label) counts, window top-1 majority pick (count DESC,
+    * label ASC — the deterministic tie-break), and the exact purity
+    * division. */
+  def clusterPuritySql(cents: Array[Array[Double]]): String = {
+    val dim = cents(0).length
+    s"""
+      WITH cents(cell, centroid, cn2, cnorm) AS (VALUES
+  ${centsValues(cents)}),
+      cellscore AS (
+        SELECT e.vec_id, e.label, c.cell,
+               c.cn2 - 2.0 * (${dot("e.embedding", "c.centroid", dim)}) AS score
+        FROM embeddings e CROSS JOIN cents c),
+      cells AS (
+        SELECT vec_id, label, cell FROM (
+          SELECT vec_id, label, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS crn
+          FROM cellscore) WHERE crn = 1),
+      bylabel AS (
+        SELECT cell, label, COUNT(*) AS n_label
+        FROM cells GROUP BY cell, label),
+      ranked AS (
+        SELECT cell, label, n_label,
+               ROW_NUMBER() OVER (PARTITION BY cell
+                 ORDER BY n_label DESC, label) AS rn,
+               SUM(n_label) OVER (PARTITION BY cell) AS n_cell
+        FROM bylabel)
+      SELECT cell, CAST(n_cell AS BIGINT) AS n_vectors,
+             CAST(label AS BIGINT) AS majority_label,
+             CAST(n_label AS BIGINT) AS n_majority,
+             CAST(n_label AS DOUBLE) / CAST(n_cell AS DOUBLE) AS purity
+      FROM ranked WHERE rn = 1
+      ORDER BY cell"""
+  }
+
   /** Oracle for `sim_cluster_balance`: literal-centroid cell assignment,
     * then a salted-md5 ranking within each cell capped at `cap` — no
     * floats beyond the assignment argmin both engines already replay

@@ -1303,6 +1303,36 @@ object SimilarityQueries {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Cluster PURITY against the labeled ground truth — the standard
+    * external-validation metric for a clustering fit (purity = fraction
+    * of each cell's members carrying the cell's majority label): per
+    * cell, member count, the majority label (lowest label wins count
+    * ties — deterministic), its count, and the purity ratio. This is the
+    * fit-QA report a team reads before trusting k-means cells for
+    * SemDeDup or IVF routing. Integer counts + one exact division; the
+    * majority pick is a window top-1 (WindowGroupLimit at scale). */
+  val simClusterPurity = GraftQuery(
+    "sim_cluster_purity",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val index = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
+      val byLabel = index.assigned.groupBy($"cell", $"label")
+        .agg(count(lit(1)).as("n_label"))
+      val w = Window.partitionBy($"cell").orderBy($"n_label".desc, $"label")
+      byLabel
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_cell", sum($"n_label").over(Window.partitionBy($"cell")))
+        .filter($"rn" === 1)
+        .select($"cell", $"n_cell".as("n_vectors"),
+          $"label".cast(LongType).as("majority_label"),
+          $"n_label".as("n_majority"),
+          ($"n_label".cast(DoubleType) / $"n_cell".cast(DoubleType)).as("purity"))
+        .orderBy($"cell")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.clusterPuritySql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids)))
+
   val simKmeansUpdate = GraftQuery(
     "sim_kmeans_update",
     (s, dir) => {
@@ -1375,5 +1405,5 @@ object SimilarityQueries {
       ddEmbeddingNeardup, ddSemanticDedup, simMmrRerank, simHardNegatives,
       simKnnGraph, simClusterBalance, simAnnFiltered, simAnnBitq,
       simBitextMargin, simAnnMultiprobe, ddSemdedupIvf, simAnnMatryoshka,
-      simKmeansUpdate, simAnnSharded)
+      simKmeansUpdate, simAnnSharded, simClusterPurity)
 }
