@@ -187,6 +187,60 @@ object AnnOracles {
       ORDER BY cell"""
   }
 
+  /** Oracle for `sim_kmeans_iterate` — the FULL Lloyd iteration replayed:
+    * literal-centroid assignment (E-step), integer-mean new centroids
+    * (M-step: scaled-long sums with truncating division — operands kept
+    * non-negative by the +4 coordinate shift so DuckDB's `//` and Spark's
+    * `div` agree), and the integer-exact re-assignment (E-step 2) whose
+    * squared distances are shift-invariant BIGINT sums. `CAST(SUM AS
+    * BIGINT)` guards every aggregate the way gr_pagerank's oracle does
+    * (DuckDB SUM(BIGINT) is HUGEINT). */
+  def kmeansIterateSql(cents: Array[Array[Double]]): String = {
+    val dim = cents(0).length
+    val sds = (1 to dim).map(d =>
+      s"CAST(FLOOR((CAST(embedding[$d] AS DOUBLE) + 4.0) * 1000000) AS BIGINT) AS sd$d")
+      .mkString(",\n               ")
+    val means = (1 to dim).map(d =>
+      s"CAST(SUM(sd$d) AS BIGINT) // COUNT(*) AS c$d").mkString(",\n               ")
+    val d2 = (1 to dim).map(d =>
+      s"(s.sd$d - n.c$d) * (s.sd$d - n.c$d)").mkString(" + ")
+    s"""
+      WITH cents(cell, centroid, cn2, cnorm) AS (VALUES
+  ${centsValues(cents)}),
+      cellscore AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               c.cn2 - 2.0 * (${dot("e.embedding", "c.centroid", dim)}) AS score
+        FROM embeddings e CROSS JOIN cents c),
+      a0 AS (
+        SELECT vec_id, embedding, cell AS cell0 FROM (
+          SELECT vec_id, embedding, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS crn
+          FROM cellscore) WHERE crn = 1),
+      sv AS (
+        SELECT vec_id, cell0,
+               $sds
+        FROM a0),
+      newc AS (
+        SELECT cell0 AS cell,
+               $means
+        FROM sv GROUP BY cell0),
+      re AS (
+        SELECT s.vec_id, s.cell0, n.cell,
+               CAST($d2 AS BIGINT) AS d2
+        FROM sv s CROSS JOIN newc n),
+      best AS (
+        SELECT vec_id, cell0, cell, d2 FROM (
+          SELECT vec_id, cell0, cell, d2,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          FROM re) WHERE rn = 1)
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+             CAST(SUM(CASE WHEN cell <> cell0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved,
+             CAST(SUM(d2) AS BIGINT) AS inertia
+      FROM best GROUP BY cell
+      ORDER BY cell"""
+  }
+
   /** Oracle for `sim_cluster_purity`: literal-centroid cell assignment,
     * per-(cell, label) counts, window top-1 majority pick (count DESC,
     * label ASC — the deterministic tie-break), and the exact purity

@@ -767,7 +767,62 @@ object GraphQueries {
       SELECT node, CAST(d AS BIGINT) AS dist FROM r3
       WHERE node > 1000000 ORDER BY node"""))
 
+  /** Weakly connected components, run to TRUE convergence — the global
+    * partition structure query every graph pipeline starts with (and the
+    * graph-family twin of `dd_dedup_clusters`, which labels the doc-band
+    * graph the same way). The graph here is the "repeat business"
+    * projection: part ↔ supplier edges kept only when the pair recurs in
+    * ≥ 3 line items, which fragments the otherwise-dense bipartite graph
+    * into real components (sf0.01: 14 components, one 604-node giant;
+    * sf0.1: 84 near-pairs — the threshold is part of the query semantics,
+    * like gr_triangles' support). Labels propagate by the hash-to-min
+    * BSP kernel ([[TextQueries.ccFixpoint]]): each round joins the edge
+    * list with the node-sized label table and min-combines, with a
+    * localCheckpoint per round — at 100 TB the edge list is the only big
+    * dataset and it never re-shuffles within a round pair. Output is the
+    * component census (per component: size and the part/supplier split),
+    * all integers. Oracle: the same transitive-min closure as a recursive
+    * CTE. */
+  val grWcc = GraftQuery(
+    "gr_wcc",
+    (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "lineitem")
+        .groupBy($"l_partkey".as("p"), ($"l_suppkey" + 1000000L).as("su"))
+        .agg(count(lit(1)).as("n"))
+        .filter($"n" >= 3L)
+        .select($"p", $"su")
+      TextQueries.ccFixpoint(e)
+        .groupBy($"label".as("component"))
+        .agg(
+          sum(when($"doc_id" < 1000000L, 1L).otherwise(0L)).as("n_parts"),
+          sum(when($"doc_id" >= 1000000L, 1L).otherwise(0L)).as("n_suppliers"),
+          count(lit(1)).as("n_nodes"))
+        .orderBy($"n_nodes".desc, $"component")
+    },
+    Some("""
+      WITH RECURSIVE base AS (
+        SELECT l_partkey AS p, 1000000 + l_suppkey AS su
+        FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      edges AS (
+        SELECT p AS src, su AS dst FROM base
+        UNION ALL
+        SELECT su, p FROM base),
+      reach(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node),
+      labels AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+      SELECT label AS component,
+             CAST(SUM(CASE WHEN node < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_parts,
+             CAST(SUM(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_suppliers,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM labels GROUP BY label
+      ORDER BY n_nodes DESC, component"""))
+
   val all: Seq[GraftQuery] =
     Seq(grPagerank, grTriangles, grDegreeDist, grReach, grLinkPredict, grLpa,
-      grKcore, grPpr, grHits, grModularity, grSssp)
+      grKcore, grPpr, grHits, grModularity, grSssp, grWcc)
 }

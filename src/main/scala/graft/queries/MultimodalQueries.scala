@@ -519,8 +519,69 @@ object MultimodalQueries {
       WHERE media_type = 'image'
       ORDER BY doc_id"""))
 
+  /** Exposure/contrast gate over REAL decoded pixels — the LAION-style
+    * "too dark / blown out" image filter: each image's pixels (recovered
+    * by the full PNG decode — zlib inflate + all five row un-filters,
+    * [[Media.decodeGray]]) are histogrammed into 16 luma bands, the
+    * dominant band picked (tie → lowest band, mirroring the oracle's
+    * `ORDER BY n DESC, band`), and the corpus-level distribution of
+    * dominant bands reported. A pipeline reads this to set its exposure
+    * keep-range before committing to a full filter pass. The oracle
+    * replays the generator's pixel formula `(seed + 31x + 7y) mod 256`
+    * arithmetically over the w×h grid — a hash match proves the
+    * pixel-level decode, not just the header walk. 100 TB shape: one
+    * mapPartitions decode pass (constant memory), one 16-row aggregate. */
+  val mmLumaBands = GraftQuery(
+    "mm_luma_bands",
+    (s, dir) => {
+      import s.implicits._
+      val media = Media.synthesizePixels(Tables.load(s, dir, "documents"))
+      media.as[(Long, Array[Byte])].mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          Option(Media.decodeGray(payload)).map { img =>
+            val hist = new Array[Long](16)
+            img.px.foreach(p => hist(p / 16) += 1)
+            var best = 0
+            var i = 1
+            while (i < 16) { if (hist(i) > hist(best)) best = i; i += 1 }
+            (id, best.toLong, img.w.toLong * img.h)
+          }
+        }
+      }.toDF("doc_id", "dominant_band", "n_px")
+        .groupBy($"dominant_band")
+        .agg(count(lit(1)).as("n_images"), sum($"n_px").as("total_px"))
+        .orderBy($"dominant_band")
+    },
+    Some("""
+      WITH imgs AS (
+        SELECT doc_id,
+               8 + (ASCII(SUBSTR(MD5(text), 1, 1)) * 256
+                    + ASCII(SUBSTR(MD5(text), 2, 1))) % 25 AS w,
+               8 + (ASCII(SUBSTR(MD5(text), 3, 1)) * 256
+                    + ASCII(SUBSTR(MD5(text), 4, 1))) % 25 AS h,
+               (ASCII(SUBSTR(MD5(text), 5, 1)) * 256
+                    + ASCII(SUBSTR(MD5(text), 6, 1))) % 256 AS seed
+        FROM documents),
+      px AS (
+        SELECT doc_id, ((seed + 31 * x.i + 7 * y.i) % 256) // 16 AS band
+        FROM imgs, UNNEST(RANGE(0, w)) AS x(i), UNNEST(RANGE(0, h)) AS y(i)),
+      bc AS (SELECT doc_id, band, COUNT(*) AS n FROM px GROUP BY 1, 2),
+      dom AS (
+        SELECT doc_id, band FROM (
+          SELECT doc_id, band, n,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY n DESC, band) AS rn
+          FROM bc) WHERE rn = 1),
+      npx AS (SELECT doc_id, CAST(w AS BIGINT) * h AS n_px FROM imgs)
+      SELECT CAST(dom.band AS BIGINT) AS dominant_band,
+             COUNT(*) AS n_images,
+             CAST(SUM(npx.n_px) AS BIGINT) AS total_px
+      FROM dom JOIN npx ON dom.doc_id = npx.doc_id
+      GROUP BY dom.band
+      ORDER BY dominant_band"""))
+
   val all: Seq[GraftQuery] =
     Seq(mmMediaMeta, mmTypeStats, mmFrameSample, mmCodecStats, mmOrientationStats,
       mmPhash, mmIntegrity, mmAudioStats, mmThumbnail, mmPhashNeardup, mmSceneCut,
-      mmResolutionFilter)
+      mmResolutionFilter, mmLumaBands)
 }

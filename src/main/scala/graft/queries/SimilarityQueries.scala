@@ -1344,6 +1344,57 @@ object SimilarityQueries {
     oracleGen = Some((s, dir) => AnnOracles.kmeansUpdateSql(
       graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids, nDims = 4)))
 
+  /** A FULL distributed Lloyd iteration — E-step (codegen'd argmin cell
+    * assignment against the fitted centroids), M-step (new centroids as
+    * truncating integer means of FLOOR((x+4)·10⁶) scaled longs — the +4
+    * shift keeps every `div` operand non-negative, where Spark's `div`
+    * and DuckDB's `//` agree), and the second E-step re-assigning every
+    * vector to its nearest NEW centroid with integer-exact squared
+    * distances (shift-invariant, so the shift never leaks into the
+    * result). Output is the convergence report a training loop reads:
+    * per new cell, membership, how many vectors moved, and the integer
+    * inertia. 100 TB shape: two corpus scans (one per E-step — the
+    * irreducible cost of a Lloyd round), one k-row map-side-combinable
+    * aggregate between them, and a k-row broadcast for the re-assignment;
+    * no vector ever shuffles. Complements [[simKmeansUpdate]] (the
+    * M-step sufficient statistics alone) by closing the loop the way
+    * a real training driver iterates it. */
+  val simKmeansIterate = GraftQuery(
+    "sim_kmeans_iterate",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val index = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
+      val dim = index.centroids(0).length
+      val sds = (1 to dim).map(d =>
+        floor((expr(s"CAST(element_at(embedding, $d) AS DOUBLE)") + lit(4.0))
+          * lit(1000000.0)).cast(LongType).as(s"sd$d"))
+      val sv = graft.functions.AnnIndexes.embeddings(s, dir)
+        .withColumn("cell0",
+          graft.functions.Ivf.cellCol(index.centroids, $"embedding"))
+        .select(($"vec_id" +: $"cell0" +: sds): _*)
+      val aggs = count(lit(1)).as("n") +:
+        (1 to dim).map(d => sum(col(s"sd$d")).as(s"s$d"))
+      val newc = sv.groupBy($"cell0".as("cell"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(($"cell" +:
+          (1 to dim).map(d => expr(s"s$d div n").as(s"c$d"))): _*)
+      val d2 = (1 to dim).map(d =>
+          (col(s"sd$d") - col(s"c$d")) * (col(s"sd$d") - col(s"c$d")))
+        .reduce(_ + _).as("d2")
+      val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cell")
+      sv.crossJoin(broadcast(newc))
+        .select($"vec_id", $"cell0", $"cell", d2)
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_assigned"),
+          sum(when($"cell" =!= $"cell0", 1L).otherwise(0L)).as("n_moved"),
+          sum($"d2").as("inertia"))
+        .orderBy($"cell")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.kmeansIterateSql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids)))
+
   /** Scatter-gather top-k — the two-tier serving topology every sharded
     * vector store runs: each shard (vec_id mod 4 here; a partition of the
     * corpus in production) answers the query with its LOCAL exact top-k,
@@ -1405,5 +1456,5 @@ object SimilarityQueries {
       ddEmbeddingNeardup, ddSemanticDedup, simMmrRerank, simHardNegatives,
       simKnnGraph, simClusterBalance, simAnnFiltered, simAnnBitq,
       simBitextMargin, simAnnMultiprobe, ddSemdedupIvf, simAnnMatryoshka,
-      simKmeansUpdate, simAnnSharded, simClusterPurity)
+      simKmeansUpdate, simAnnSharded, simClusterPurity, simKmeansIterate)
 }

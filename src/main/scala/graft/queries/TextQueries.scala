@@ -1191,7 +1191,7 @@ object TextQueries {
     * incremental variant. localCheckpoint (eager) both materializes each
     * iterate and truncates its lineage — without it the plan (and
     * Catalyst analysis time) grows linearly with the iteration count. */
-  private def ccFixpoint(pairs: DataFrame): DataFrame = {
+  private[queries] def ccFixpoint(pairs: DataFrame): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
     val edges = pairs.toDF("doc_a", "doc_b")
@@ -3068,7 +3068,124 @@ object TextQueries {
       GROUP BY threshold
       ORDER BY threshold"""))
 
+  /** Vocabulary-growth curve (Heaps' law check) — the corpus diagnostic
+    * that tells a data team whether a crawl is still contributing new
+    * vocabulary or has gone stale/duplicative: cumulative distinct-word
+    * count against cumulative token count at ten corpus checkpoints.
+    * Each word is attributed to the FIRST bucket it appears in (min over
+    * a monotone bucket id — one word-keyed aggregate), so the whole
+    * query is two linear aggregates plus a 10-row window; nothing
+    * pairwise, no global sort of the corpus. The bucket id derives from
+    * a broadcast MAX(doc_id) scalar (doc_id·10 div (max+1)), NOT an
+    * NTILE over a global ORDER BY — the ntile formulation is a one-
+    * reducer gather at 100 TB. Integer-only output. */
+  val txHeapsLaw = GraftQuery(
+    "tx_heaps_law",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val mx = docs(s, dir).agg(max($"doc_id").as("m"))
+      val t = docs(s, dir).crossJoin(broadcast(mx))
+        .select($"doc_id", expr("doc_id * 10 div (m + 1)").as("bucket"),
+          expr("filter(split(text, ' '), x -> x != '')").as("w"))
+      val tok = t.groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(size($"w").cast(LongType)).as("n_tokens"))
+      val nw = t.select($"bucket", explode($"w").as("word"))
+        .groupBy($"word").agg(min($"bucket").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("new_words"))
+      val win = Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tok.join(nw, Seq("bucket"), "left")
+        .select($"bucket", $"n_docs",
+          sum($"n_tokens").over(win).as("cum_tokens"),
+          sum(coalesce($"new_words", lit(0L))).over(win).as("cum_vocab"))
+        .orderBy($"bucket")
+    },
+    Some("""
+      WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+      t AS (
+        SELECT doc_id, doc_id * 10 // (m + 1) AS bucket,
+               LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS w
+        FROM documents, mx),
+      tok AS (
+        SELECT bucket, COUNT(*) AS n_docs,
+               SUM(CAST(LEN(w) AS BIGINT)) AS n_tokens
+        FROM t GROUP BY bucket),
+      fo AS (
+        SELECT word, MIN(bucket) AS bucket
+        FROM (SELECT bucket, UNNEST(w) AS word FROM t)
+        GROUP BY word),
+      nw AS (SELECT bucket, COUNT(*) AS new_words FROM fo GROUP BY bucket)
+      SELECT tok.bucket, CAST(tok.n_docs AS BIGINT) AS n_docs,
+             CAST(SUM(tok.n_tokens) OVER (ORDER BY tok.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens,
+             CAST(SUM(COALESCE(nw.new_words, 0)) OVER (ORDER BY tok.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_vocab
+      FROM tok LEFT JOIN nw ON tok.bucket = nw.bucket
+      ORDER BY tok.bucket"""))
+
+  /** Collocation mining by LIFT — the association-strength complement of
+    * [[txCorpusNgrams]] (which ranks raw frequency): adjacent word pairs
+    * ranked by n(a,b)·N / (n(a)·n(b)), the PMI exponent, so pairs that
+    * co-occur far above chance surface even when rare in absolute terms.
+    * Exactness: all counts are integers; lift is ONE division of two
+    * BIGINT products (a single IEEE op — deterministic on both engines);
+    * min-support 5 and total ordering (lift DESC, pair) pin the top-20.
+    * 100 TB shape: bigram and unigram counts are map-side-combinable
+    * aggregates; the marginals attach by two vocab-keyed equi-joins
+    * (never a broadcast of an unbounded vocabulary); top-20 is a
+    * TakeOrdered. */
+  val txCooccurLift = GraftQuery(
+    "tx_cooccur_lift",
+    (s, dir) => {
+      import s.implicits._
+      val t = docs(s, dir)
+        .select(expr("filter(split(text, ' '), x -> x != '')").as("w"))
+      val ug = t.select(explode($"w").as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("n"))
+      val totals = ug.agg(sum($"n").as("total"))
+      val bg = t.filter(size($"w") >= 2)
+        .select(explode(expr(
+          "transform(sequence(2, size(w)), i -> struct(element_at(w, i - 1) AS p, element_at(w, i) AS c))"))
+          .as("pc"))
+        .select($"pc.p".as("word_a"), $"pc.c".as("word_b"))
+        .groupBy($"word_a", $"word_b").agg(count(lit(1)).as("n_ab"))
+        .filter($"n_ab" >= 5L)
+      bg.join(ug.select($"word".as("word_a"), $"n".as("n_a")), Seq("word_a"))
+        .join(ug.select($"word".as("word_b"), $"n".as("n_b")), Seq("word_b"))
+        .crossJoin(broadcast(totals))
+        .select($"word_a", $"word_b", $"n_ab", $"n_a", $"n_b",
+          (($"n_ab" * $"total").cast(DoubleType) /
+            ($"n_a" * $"n_b").cast(DoubleType)).as("lift"))
+        .orderBy($"lift".desc, $"word_a", $"word_b")
+        .limit(20)
+    },
+    Some("""
+      WITH t AS (
+        SELECT LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS w
+        FROM documents),
+      ug AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT UNNEST(w) AS word FROM t) GROUP BY word),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM ug),
+      bg AS (
+        SELECT w[i] AS word_a, w[i + 1] AS word_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM t, UNNEST(RANGE(1, LEN(w))) AS u(i)
+        WHERE LEN(w) >= 2
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      SELECT bg.word_a, bg.word_b, bg.n_ab, a.n AS n_a, b.n AS n_b,
+             CAST(bg.n_ab * tot.total AS DOUBLE)
+               / CAST(a.n * b.n AS DOUBLE) AS lift
+      FROM bg JOIN ug a ON bg.word_a = a.word
+              JOIN ug b ON bg.word_b = b.word, tot
+      ORDER BY lift DESC, word_a, word_b
+      LIMIT 20"""))
+
   val all: Seq[GraftQuery] = Seq(
+    txHeapsLaw, txCooccurLift,
     txC4Filter, txQualityEnsemble, txFertility, ddThresholdSweep,
     txUrlDedup, txHtmlExtract, txCurationFunnel, ddBloomStats, ddSubstringDup,
     txNgramNovelty, ddContainment, txCmsTopk, txBpeTrain, ddDedupReport,

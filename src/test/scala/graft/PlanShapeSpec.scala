@@ -345,6 +345,22 @@ class PlanShapeSpec extends SparkSpec {
       "Bellman-Ford relax must stay a src-key equi-join")
   }
 
+  test("gr_wcc label propagation stays a node-key equi-join") {
+    val p = plan("gr_wcc")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "hash-to-min rounds must join edges to labels on the node key")
+  }
+
+  test("sim_kmeans_iterate broadcasts the k-row centroid table; aggregates partial") {
+    val p = plan("sim_kmeans_iterate")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
+      "the M-step centroid table (k rows) must broadcast for re-assignment")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "M-step sums must partial-aggregate map-side")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-sized shuffle join anywhere in a Lloyd round")
+  }
+
   test("q67 latest-per-key plans as WindowGroupLimit, not a full ranking") {
     val p = plan("q67_latest_per_key")
     assert(p.contains("WindowGroupLimit"),
