@@ -2333,6 +2333,14 @@ object Dissect {
         appInfo = dissectHdfs(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 639 || dp == 639))
         appInfo = dissectMsdp(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 119 || dp == 119))
+        appInfo = dissectNntp(appBuf, appOff, appLen, fromServer = sp == 119, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 548 || dp == 548))
+        appInfo = dissectDsi(appBuf, appOff, appLen, fromServer = sp == 548, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 1790 || dp == 1790))
+        appInfo = dissectBmp(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 10809 || dp == 10809))
+        appInfo = dissectNbd(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -2945,6 +2953,34 @@ object Dissect {
       val olInfo = dissectOlsr(d, off + 8, math.min(payLen, d.length - off - 8),
         v, protos)
       if (olInfo != null) return olInfo
+    }
+    if (sp == 646 || dp == 646) {
+      val ldInfo = dissectLdp(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (ldInfo != null) return ldInfo
+    }
+    if (sp == 5246 || dp == 5246) {
+      val cwInfo = dissectCapwap(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (cwInfo != null) return cwInfo
+    }
+    // LISP data encapsulation (RFC 6830, UDP 4341): 8-byte header, then
+    // the inner IP packet — version nibble discriminates v4/v6
+    if ((sp == 4341 || dp == 4341) && payLen >= 9 && off + 17 <= d.length) {
+      val flags = u8(d, off + 8)
+      protos += "lisp-data"
+      v("lisp-data.flags") = flags.toLong
+      if ((flags & 0x80) != 0) v("lisp-data.nonce") = u24(d, off + 9).toLong
+      v("lisp-data.lsb") = u32(d, off + 12)
+      val wasNested = v.nested
+      v.nested = true
+      val inner =
+        try u8(d, off + 16) >> 4 match {
+          case 4 => dissectIpv4(d, off + 16, v, protos, tracker, wanted)
+          case 6 => dissectIpv6(d, off + 16, v, protos, tracker, wanted)
+          case _ => null
+        } finally v.nested = wasNested
+      return if (inner != null) inner else "LISP Data"
     }
     if (sp == 6696 || dp == 6696) {
       val bbInfo = dissectBabel(d, off + 8, math.min(payLen, d.length - off - 8),
@@ -8501,6 +8537,10 @@ object Dissect {
       if (oui == 0x00000c && pid == 0x2000)
         return dissectCdp(d, off + 8, end, v, protos)
     }
+    if (dsap == 0xfe && ssap == 0xfe && ctrl == 0x03) {
+      val r = dissectIsis(d, off + 3, end, v, protos)
+      if (r != null) return r
+    }
     f"LLC dsap=0x$dsap%02x ssap=0x$ssap%02x"
   }
 
@@ -9549,6 +9589,222 @@ object Dissect {
         s"$base $typeName $prio$tgt$alpn"
       case _                => base
     }
+  }
+
+  // ---- tier 38: routing / tunnel control planes + classic app layers ----
+
+  /** IS-IS (ISO 10589) over LLC DSAP/SSAP 0xFE: the 8-byte common header
+    * gated on the 0x83 protocol discriminator, then the LAN Hello body
+    * (PDU types 15/16) — circuit type, source system-id, holding timer,
+    * priority. Wireshark registers the hello as its own protocol layer
+    * (`isis.hello`), mirrored here. */
+  private def dissectIsis(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 8 || u8(d, off) != 0x83) return null
+    val hlen = u8(d, off + 1)
+    val pduType = u8(d, off + 4) & 0x1f
+    protos += "isis"
+    v("isis.irpd") = 0x83L
+    v("isis.len") = hlen.toLong
+    v("isis.version") = u8(d, off + 2).toLong
+    v("isis.sysid_length") = u8(d, off + 3).toLong
+    v("isis.type") = pduType.toLong
+    v("isis.max_area_adr") = u8(d, off + 7).toLong
+    if ((pduType == 15 || pduType == 16) && hlen >= 27 && end - off >= 20) {
+      protos += "isis.hello"
+      val hexId = (0 until 6).map(i => hex2(u8(d, off + 9 + i))).mkString
+      val sysId = s"${hexId.substring(0, 4)}.${hexId.substring(4, 8)}." +
+        hexId.substring(8, 12)
+      v("isis.hello.circuit_type") = (u8(d, off + 8) & 0x03).toLong
+      v("isis.hello.source_id") = sysId
+      v("isis.hello.holding_timer") = u16(d, off + 15).toLong
+      v("isis.hello.priority") = (u8(d, off + 19) & 0x7f).toLong
+      val lvl = if (pduType == 15) "L1" else "L2"
+      s"$lvl HELLO, System-ID: $sysId"
+    } else s"IS-IS PDU type $pduType"
+  }
+
+  /** LDP (RFC 5036) discovery hello over UDP 646: version-1 PDU header
+    * (LSR id + label space), first message type/id. */
+  private def dissectLdp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 18 || u16(d, off) != 1) return null
+    val pduLen = u16(d, off + 2)
+    if (pduLen + 4 > len) return null
+    protos += "ldp"
+    v("ldp.hdr.version") = 1L
+    v("ldp.hdr.pdu_len") = pduLen.toLong
+    v("ldp.hdr.ldpid.lsr") = ipv4Str(d, off + 4)
+    val msgType = u16(d, off + 10) & 0x7fff
+    v("ldp.msg.type") = msgType.toLong
+    v("ldp.msg.id") = u32(d, off + 14)
+    msgType match {
+      case 0x001 => "Notification Message"
+      case 0x100 => "Hello Message"
+      case 0x200 => "Initialization Message"
+      case 0x201 => "KeepAlive Message"
+      case 0x300 => "Address Message"
+      case 0x400 => "Label Mapping Message"
+      case t => f"Message Type 0x$t%03x"
+    }
+  }
+
+  /** CAPWAP control (RFC 5415, UDP 5246): preamble version/type 0, the
+    * HLEN/RID/WBID header word, then the control-message header (message
+    * type, sequence number). */
+  private def dissectCapwap(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 16 || u8(d, off) != 0) return null
+    val hlen = (u8(d, off + 1) >> 3) * 4
+    if (hlen < 8 || hlen + 8 > len) return null
+    protos += "capwap"
+    v("capwap.preamble.version") = 0L
+    v("capwap.preamble.type") = 0L
+    v("capwap.header.length") = hlen.toLong
+    v("capwap.header.wbid") = ((u8(d, off + 2) >> 1) & 0x1f).toLong
+    val msgType = u32(d, off + hlen)
+    v("capwap.control.message_type") = msgType
+    v("capwap.control.sequence_number") = u8(d, off + hlen + 4).toLong
+    val name = msgType match {
+      case 1 => "Discovery Request"
+      case 2 => "Discovery Response"
+      case 3 => "Join Request"
+      case 4 => "Join Response"
+      case 5 => "Configuration Status Request"
+      case 6 => "Configuration Status Response"
+      case 12 => "Echo Request"
+      case 13 => "Echo Response"
+      case t => s"Message Type $t"
+    }
+    s"CAPWAP-Control - $name"
+  }
+
+  /** NNTP (RFC 3977, TCP 119): CRLF-terminated printable command /
+    * 3-digit response line — the finger/gopher first-line convention. */
+  private def dissectNntp(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 5) return null
+    var i = off
+    val lim = off + math.min(len, 256)
+    while (i < lim && d(i) != '\r') {
+      val c = d(i) & 0xff
+      if (c < 0x20 || c > 0x7e) return null
+      i += 1
+    }
+    if (i + 1 >= off + len || d(i) != '\r' || d(i + 1) != '\n') return null
+    val line = new String(d, off, i - off, "ISO-8859-1")
+    protos += "nntp"
+    if (fromServer && line.length >= 3 && line.take(3).forall(_.isDigit)) {
+      v("nntp.response") = line
+      s"Response: $line"
+    } else {
+      v("nntp.request") = line
+      s"Request: $line"
+    }
+  }
+
+  /** AppleShare DSI session header (TCP 548) + the AFP command byte when
+    * the DSI command is Command(2): the flags/command/request-id/
+    * error-or-offset/length layout of the published DSI spec. */
+  private def dissectDsi(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 16) return null
+    val flags = u8(d, off)
+    val cmd = u8(d, off + 1)
+    if (flags > 1 || cmd < 1 || cmd > 8) return null
+    val totalLen = u32(d, off + 8)
+    if (totalLen != (len - 16).toLong) return null
+    protos += "dsi"
+    v("dsi.flags") = flags.toLong
+    v("dsi.command") = cmd.toLong
+    v("dsi.requestid") = u16(d, off + 2).toLong
+    v("dsi.code") = u32(d, off + 4)
+    v("dsi.length") = totalLen
+    val dsiName = cmd match {
+      case 1 => "CloseSession"
+      case 2 => "Command"
+      case 3 => "GetStatus"
+      case 4 => "OpenSession"
+      case 5 => "Tickle"
+      case 6 => "Write"
+      case 7 => "WriteContinue"
+      case 8 => "Attention"
+    }
+    if (cmd == 2 && flags == 0 && len >= 17) {
+      val afpCmd = u8(d, off + 16)
+      protos += "afp"
+      v("afp.command") = afpCmd.toLong
+      val afpName = afpCmd match {
+        case 15 => "FPGetSrvrInfo"
+        case 16 => "FPGetSrvrParms"
+        case 18 => "FPLogin"
+        case 20 => "FPLogout"
+        case 24 => "FPOpenVol"
+        case c => s"AFP command $c"
+      }
+      s"$afpName ${if (fromServer) "reply" else "request"}"
+    } else s"DSI $dsiName ${if (flags == 0) "request" else "reply"}"
+  }
+
+  /** BMP (RFC 7854, TCP): version-3 common header — length and message
+    * type. */
+  private def dissectBmp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 6 || u8(d, off) != 3) return null
+    val mlen = u32(d, off + 1)
+    if (mlen < 6L || mlen > len.toLong) return null
+    val t = u8(d, off + 5)
+    if (t > 6) return null
+    protos += "bmp"
+    v("bmp.version") = 3L
+    v("bmp.length") = mlen
+    v("bmp.type") = t.toLong
+    t match {
+      case 0 => "Route Monitoring"
+      case 1 => "Statistics Report"
+      case 2 => "Peer Down Notification"
+      case 3 => "Peer Up Notification"
+      case 4 => "Initiation Message"
+      case 5 => "Termination Message"
+      case 6 => "Route Mirroring"
+    }
+  }
+
+  /** NBD (TCP 10809) request header: the 0x25609513 magic, command type,
+    * 64-bit handle, offset, length. */
+  private def dissectNbd(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 28 || u32(d, off) != 0x25609513L) return null
+    val t = u16(d, off + 6)
+    protos += "nbd"
+    v("nbd.magic") = 0x25609513L
+    v("nbd.type") = t.toLong
+    v("nbd.handle") = (u32(d, off + 8) << 32) | u32(d, off + 12)
+    v("nbd.from") = (u32(d, off + 16) << 32) | u32(d, off + 20)
+    v("nbd.len") = u32(d, off + 24)
+    val name = t match {
+      case 0 => "Read"
+      case 1 => "Write"
+      case 2 => "Disconnect"
+      case 3 => "Flush"
+      case 4 => "Trim"
+      case x => s"Command $x"
+    }
+    s"$name Request"
   }
 
   /** DNS name at `at` with RFC 1035 compression-pointer support;

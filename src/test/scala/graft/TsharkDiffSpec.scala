@@ -49,8 +49,8 @@ class TsharkDiffSpec extends SparkSpec {
     * byte-exactly (the README golden core). */
   private val coreInfoLayers = Set("arp", "icmp", "dns", "http", "tls", "fix", "tcp", "udp")
 
-  /** Tier-16..37 dissectors (VERDICT r7 #8, extended to the r8 tiers per
-    * VERDICT r8 #3): their `_ws.col.info` renderings are ASSERTED
+  /** Tier-16..38 dissectors (VERDICT r7 #8, extended to the r8 tiers per
+    * VERDICT r8 #3 and to tier 38 in r9): their `_ws.col.info` renderings are ASSERTED
     * byte-exact too on a tshark host — any mismatch is a red test naming
     * the frame, not a report line. The long-tail layers outside this set
     * stay report-only (target/tshark_diff_info.txt is the permanent
@@ -78,7 +78,10 @@ class TsharkDiffSpec extends SparkSpec {
     "rsvp", "wccp", "srvloc", "megaco", "nhrp",
     "stun", "snmp", "l2tp", "dvmrp", "mqttsn",
     "pn_dcp", "fins", "knxnetip", "mndp",
-    "vxlan", "mpls")
+    "vxlan", "mpls",
+    // t38 — routing/tunnel control planes + classic app layers
+    "isis", "isis.hello", "ldp", "capwap", "lisp-data", "nntp", "dsi",
+    "afp", "bmp", "nbd")
 
   private def assertedLayer(l: String): Boolean =
     coreInfoLayers.contains(l) || lateTierInfoLayers.contains(l)

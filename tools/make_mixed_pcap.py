@@ -1495,6 +1495,53 @@ mplsu = struct.pack(">I", (77 << 12) | (0 << 9) | (0 << 8) | 64) + \
     struct.pack(">I", (88 << 12) | (0 << 9) | (1 << 8) | 64) + _m_ih + _m_ip
 extra.append((t3, 24500, ip_frame(17, A, B, udp(50110, 6635, mplsu), ident=270)))
 
+# 247-256: tier 38 — IS-IS L1 Hello over LLC 0xFE, LDP hello, CAPWAP
+# discovery, LISP-data tunnel w/ inner IPv4 ICMP, NNTP request+response,
+# AFP FPLogin over DSI, BMP initiation, NBD read request
+isis_hdr = bytes([0x83, 27, 1, 0, 15, 1, 0, 0])
+isis_hello = bytes([0x01]) + bytes.fromhex("000000001001") + \
+    struct.pack(">H", 30) + struct.pack(">H", 35) + bytes([0x40]) + \
+    bytes.fromhex("00000000100102")
+llc_isis = bytes([0xFE, 0xFE, 0x03]) + isis_hdr + isis_hello
+extra.append((t3, 24600, eth(bytes.fromhex("0180c2000014"), MAC_A,
+              len(llc_isis), llc_isis)))
+
+ldp_msg = struct.pack(">HH", 0x0100, 12) + struct.pack(">I", 0x99) + \
+    struct.pack(">HHHH", 0x0400, 4, 15, 0)
+ldp = struct.pack(">HH", 1, 6 + len(ldp_msg)) + bytes([10, 0, 0, 1]) + \
+    struct.pack(">H", 0) + ldp_msg
+extra.append((t3, 24700, ip_frame(17, A, B, udp(646, 646, ldp), ident=271)))
+
+capwap = bytes([0x00, 0x10, 0x02, 0x00]) + struct.pack(">HH", 0, 0) + \
+    struct.pack(">I", 1) + bytes([5]) + struct.pack(">H", 3) + bytes([0])
+extra.append((t3, 24800, ip_frame(17, A, B, udp(50111, 5246, capwap), ident=272)))
+
+_l_icmp = struct.pack(">BBHHH", 8, 0, 0, 0x57, 5)
+_l_ih, _l_ip = ipv4(1, [10, 0, 9, 1], [10, 0, 9, 2], _l_icmp)
+lisp = bytes([0x80, 0x00, 0x00, 0xAB]) + struct.pack(">I", 0xFFFFFFFF) + \
+    _l_ih + _l_ip
+extra.append((t3, 24900, ip_frame(17, A, B, udp(50112, 4341, lisp), ident=273)))
+
+extra.append((t3, 25000, ip_frame(6, A, B,
+              tcp(50113, 119, 1, b"GROUP comp.lang.scala\r\n"), ident=274)))
+extra.append((t3, 25100, ip_frame(6, B, A,
+              tcp(119, 50113, 1, b"211 1234 3000234 3002322 comp.lang.scala\r\n",
+                  ack=24), ident=275)))
+
+afp_body = bytes([18]) + b"\x06AFP3.4"
+dsi = bytes([0, 2]) + struct.pack(">H", 7) + struct.pack(">I", 0) + \
+    struct.pack(">I", len(afp_body)) + struct.pack(">I", 0) + afp_body
+extra.append((t3, 25200, ip_frame(6, A, B, tcp(50114, 548, 1, dsi), ident=276)))
+
+bmp_body = struct.pack(">HH", 1, 7) + b"graft-1"
+bmp = bytes([3]) + struct.pack(">I", 6 + len(bmp_body)) + bytes([4]) + bmp_body
+extra.append((t3, 25300, ip_frame(6, A, B, tcp(50115, 1790, 1, bmp), ident=277)))
+
+nbd = struct.pack(">IHH", 0x25609513, 0, 0) + \
+    struct.pack(">Q", 0xDEADBEEF00000001) + struct.pack(">Q", 4096) + \
+    struct.pack(">I", 512)
+extra.append((t3, 25400, ip_frame(6, A, B, tcp(50116, 10809, 1, nbd), ident=278)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
