@@ -594,6 +594,86 @@ object TextQueries {
     * exact Jaccard over the df-capped shingle sets, mirrored verbatim in
     * the oracle. Ratios are exact integer→double divisions,
     * bit-identical across engines. */
+  /** Near-neighbor SERVING over the persisted MinHash signature artifact —
+    * the "find docs like this one" lookup a curation UI or a targeted-
+    * dedup job runs, as opposed to the all-pairs sweep of
+    * [[ddMinhashLshPairs]]: a small query set (doc_id % 4 = 0) probes
+    * the band buckets for candidates, estimated Jaccard = the fraction
+    * of agreeing signature components (integer count / constant — one
+    * deterministic division), top-3 per query by (matches DESC, doc).
+    * 100 TB shape: the query side is tiny and broadcasts through every
+    * join; candidates come from the same band equi-join the pair sweep
+    * uses (never a scan of the corpus per query); signatures attach by
+    * doc-keyed joins against the bucketed artifact. */
+  val ddMinhashTopk = GraftQuery(
+    "dd_minhash_topk",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val sig = minhashSigTable(s, dir)
+      val bands = (0 until nHashes by 2).map { h =>
+        sig.select($"doc_id", lit(h / 2).as("band"),
+          concat(col(s"mh$h"), col(s"mh${h + 1}")).as("bucket"))
+      }.reduce(_ union _)
+      val qb = bands.filter($"doc_id" % 4 === 0)
+      val cand = broadcast(qb).as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("query_doc"), col("b.doc_id").as("neighbor"))
+        .distinct()
+      val matches = (0 until nHashes).map(h =>
+        when(col(s"qs.mh$h") === col(s"ns.mh$h"), 1L).otherwise(0L))
+        .reduce(_ + _).as("n_matching")
+      val w = Window.partitionBy($"query_doc")
+        .orderBy($"n_matching".desc, $"neighbor")
+      cand
+        .join(sig.as("qs"), cand("query_doc") === col("qs.doc_id"))
+        .join(sig.as("ns"), cand("neighbor") === col("ns.doc_id"))
+        .select($"query_doc", $"neighbor", matches)
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 3).drop("rn")
+        .withColumn("est_jaccard",
+          $"n_matching".cast(DoubleType) / lit(nHashes.toDouble))
+        .orderBy($"query_doc", $"n_matching".desc, $"neighbor")
+    },
+    Some {
+      val aggs = (0 until nHashes)
+        .map(h => s"MIN(MD5('$h|' || shingle)) AS mh$h").mkString(", ")
+      val bandSelects = (0 until nHashes by 2).map { h =>
+        s"SELECT doc_id, ${h / 2} AS band, mh$h || mh${h + 1} AS bucket FROM sig"
+      }.mkString("\n        UNION ALL\n        ")
+      val matchSum = (0 until nHashes)
+        .map(h => s"CASE WHEN qs.mh$h = ns.mh$h THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, ARRAY_TO_STRING(tokens[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens FROM documents),
+             UNNEST(RANGE(1, LEN(tokens) - 1)) AS t(i)
+        WHERE LEN(tokens) >= 3),
+      sig AS (SELECT doc_id, $aggs FROM sh GROUP BY doc_id),
+      bands AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS query_doc, b.doc_id AS neighbor
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id
+        WHERE a.doc_id % 4 = 0),
+      scored AS (
+        SELECT cand.query_doc, cand.neighbor,
+               CAST($matchSum AS BIGINT) AS n_matching
+        FROM cand JOIN sig qs ON cand.query_doc = qs.doc_id
+                  JOIN sig ns ON cand.neighbor = ns.doc_id),
+      ranked AS (
+        SELECT query_doc, neighbor, n_matching,
+               ROW_NUMBER() OVER (PARTITION BY query_doc
+                 ORDER BY n_matching DESC, neighbor) AS rn
+        FROM scored)
+      SELECT query_doc, neighbor, n_matching,
+             CAST(n_matching AS DOUBLE) / 8.0 AS est_jaccard
+      FROM ranked WHERE rn <= 3
+      ORDER BY query_doc, n_matching DESC, neighbor"""
+    })
+
   val ddLshEval = GraftQuery(
     "dd_lsh_eval",
     (s, dir) => {
@@ -3196,5 +3276,6 @@ object TextQueries {
     ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddSubdocDedup, ddSimjoinAuto,
     txBpeTokens, txPackDocs, ddEditPairs, ddPassJoin, txDomainCap,
     txChunkOverlap, ddIncremental, ddLshStats, txWeightedSample, ddLshEval,
-    txCorpusNgrams, ddCcIncremental, ddCdcChunks, ddBloomFilter)
+    txCorpusNgrams, ddCcIncremental, ddCdcChunks, ddBloomFilter,
+    ddMinhashTopk)
 }

@@ -49,6 +49,24 @@ class NewOperatorsR9Spec extends SparkSpec {
     }
   }
 
+  test("dd_minhash_topk: per-query cap, agreement ratio, query-set predicate") {
+    val rows = TextQueries.ddMinhashTopk.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("query_doc") % 4 === 0L)
+      assert(r.getAs[Long]("query_doc") !== r.getAs[Long]("neighbor"))
+      val nm = r.getAs[Long]("n_matching")
+      assert(nm >= 0L && nm <= 8L)
+      assert(r.getAs[Double]("est_jaccard") === nm.toDouble / 8.0)
+    }
+    // top-3 cap per query; no duplicate neighbor within a query
+    rows.groupBy(_.getAs[Long]("query_doc")).foreach { case (_, g) =>
+      assert(g.length <= 3)
+      val ns = g.map(_.getAs[Long]("neighbor"))
+      assert(ns.distinct.length === ns.length)
+    }
+  }
+
   test("tx_heaps_law: cumulative curves monotone; vocab bounded by tokens") {
     import spark.implicits._
     val rows = TextQueries.txHeapsLaw.fn(spark, sfDir).collect()

@@ -32,7 +32,7 @@ class PlanShapeSpec extends SparkSpec {
   test("dedup candidate generation is a key equi-join, never a cross join") {
     for (q <- Seq("dd_minhash_lsh_pairs", "dd_simhash_pairs",
       "dd_ngram_jaccard", "dd_embedding_neardup", "dd_edit_pairs",
-      "dd_semantic_dedup", "dd_passjoin")) {
+      "dd_semantic_dedup", "dd_passjoin", "dd_minhash_topk")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q: candidate pairing must stay a bucket equi-join")
