@@ -960,6 +960,16 @@ object Dissect {
         dissectMpls(d, l3off, v, protos, tracker, wanted)
       case 0x888e =>
         dissectEapol(d, l3off, v, protos)
+      case 0x88a4 =>
+        dissectEcat(d, l3off, v, protos)
+      case 0x88ca =>
+        dissectTipc(d, l3off, v, protos)
+      case 0x88ba =>
+        dissectSv(d, l3off, v, protos)
+      case 0x88e5 =>
+        dissectMacsec(d, l3off, v, protos)
+      case 0x8906 =>
+        dissectFcoe(d, l3off, v, protos)
       case 0x8892 if d.length >= l3off + 2 =>
         // PROFINET Real-Time: FrameID, payload, trailing APDU status
         protos += "pn_rt"
@@ -2341,6 +2351,8 @@ object Dissect {
         appInfo = dissectBmp(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 10809 || dp == 10809))
         appInfo = dissectNbd(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 9090 || dp == 9090))
+        appInfo = dissectThrift(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -2958,6 +2970,16 @@ object Dissect {
       val ldInfo = dissectLdp(d, off + 8, math.min(payLen, d.length - off - 8),
         v, protos)
       if (ldInfo != null) return ldInfo
+    }
+    if (sp == 5094 || dp == 5094) {
+      val hiInfo = dissectHartIp(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (hiInfo != null) return hiInfo
+    }
+    if (sp == 623 || dp == 623) {
+      val rmInfo = dissectRmcp(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (rmInfo != null) return rmInfo
     }
     if (sp == 5246 || dp == 5246) {
       val cwInfo = dissectCapwap(d, off + 8, math.min(payLen, d.length - off - 8),
@@ -9589,6 +9611,267 @@ object Dissect {
         s"$base $typeName $prio$tgt$alpn"
       case _                => base
     }
+  }
+
+  // ---- tier 39: fieldbus / L2-security / storage ethertypes + app ports
+  // (all ten protocols were glossary-only before this tier — the tranche
+  // goal is making their vendored fields POPULATE natively) ----
+
+  /** EtherCAT (ETG.1000, ethertype 0x88A4, little-endian): the frame
+    * header (length/type, layer `ecatf` as Wireshark splits it) and the
+    * first datagram's cmd/idx/adp/ado plus its trailing working counter. */
+  private def dissectEcat(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 14) return null
+    val fh = u8(d, off) | (u8(d, off + 1) << 8)
+    if ((fh >> 12) != 1) return null // type 1 = EtherCAT command datagrams
+    protos += "ecatf"
+    v("ecatf.length") = (fh & 0x7ff).toLong
+    v("ecatf.type") = (fh >> 12).toLong
+    protos += "ecat"
+    val p = off + 2
+    val cmd = u8(d, p)
+    val adp = u8(d, p + 2) | (u8(d, p + 3) << 8)
+    val ado = u8(d, p + 4) | (u8(d, p + 5) << 8)
+    val dlen = (u8(d, p + 6) | (u8(d, p + 7) << 8)) & 0x7ff
+    v("ecat.cmd") = cmd.toLong
+    v("ecat.idx") = u8(d, p + 1).toLong
+    v("ecat.adp") = adp.toLong
+    v("ecat.ado") = ado.toLong
+    var wkc = -1
+    if (p + 10 + dlen + 2 <= d.length) {
+      wkc = u8(d, p + 10 + dlen) | (u8(d, p + 11 + dlen) << 8)
+      v("ecat.cnt") = wkc.toLong
+    }
+    val name = cmd match {
+      case 0 => "NOP"; case 1 => "APRD"; case 2 => "APWR"; case 3 => "APRW"
+      case 4 => "FPRD"; case 5 => "FPWR"; case 6 => "FPRW"; case 7 => "BRD"
+      case 8 => "BWR"; case 9 => "BRW"; case 10 => "LRD"; case 11 => "LWR"
+      case 12 => "LRW"; case 13 => "ARMW"; case c => s"Cmd $c"
+    }
+    f"'$name': Len: $dlen, Adp 0x$adp%x, Ado 0x$ado%x" +
+      (if (wkc >= 0) s", Wc $wkc" else "")
+  }
+
+  /** TIPC v2 (ethertype 0x88CA): the first header word — version, user,
+    * header size, message size. */
+  private def dissectTipc(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 4) return null
+    val w0 = u32(d, off)
+    val ver = ((w0 >> 29) & 0x7).toInt
+    if (ver != 2) return null
+    protos += "tipc"
+    val usr = ((w0 >> 25) & 0xf).toInt
+    v("tipc.ver") = ver.toLong
+    v("tipc.usr") = usr.toLong
+    v("tipc.hdr_size") = (((w0 >> 21) & 0xf) * 4).toLong
+    v("tipc.msg_size") = w0 & 0x1ffff
+    val name = usr match {
+      case 0 | 1 | 2 | 3 => "Payload"
+      case 5 => "Broadcast Protocol"
+      case 6 => "Message Bundler"
+      case 7 => "Link Protocol"
+      case 8 => "Connection Manager"
+      case 9 => "Route Distributor"
+      case 10 => "Changeover Protocol"
+      case 11 => "Name Distributor"
+      case 12 => "Message Fragmenter"
+      case 13 => "Link Configuration"
+      case u => s"User $u"
+    }
+    s"TIPC $name"
+  }
+
+  /** IEC 61850-9-2 Sampled Values (ethertype 0x88BA): APPID/length header
+    * then a short-form BER walk of savPdu → noASDU → first ASDU's svID /
+    * smpCnt / smpSynch. */
+  private def dissectSv(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 10 || u8(d, off + 8) != 0x60) return null
+    protos += "sv"
+    val appid = u16(d, off)
+    v("sv.appid") = appid.toLong
+    // savPdu(0x60) > noASDU(0x80) > seqOfASDU(0xA2) > ASDU(0x30) >
+    // svID(0x80) smpCnt(0x82) confRev(0x83) smpSynch(0x85); all short-form
+    var p = off + 10
+    var noAsdu = -1L
+    var svId: String = null
+    var smpCnt = -1L
+    var smpSynch = -1L
+    while (p + 2 <= d.length) {
+      val tag = u8(d, p)
+      val tl = u8(d, p + 1)
+      if (p + 2 + tl > d.length) return f"Sampled Values, APPID: 0x$appid%04x"
+      tag match {
+        case 0x80 if noAsdu < 0 && tl == 1 =>
+          noAsdu = u8(d, p + 2).toLong
+          v("sv.noasdu") = noAsdu
+          p += 2 + tl
+        case 0xA2 | 0x30 => p += 2 // descend into constructed tags
+        case 0x80 if svId == null =>
+          svId = new String(d, p + 2, tl, "ISO-8859-1")
+          v("sv.svID") = svId
+          p += 2 + tl
+        case 0x82 if tl == 2 =>
+          smpCnt = u16(d, p + 2).toLong
+          v("sv.smpCnt") = smpCnt
+          p += 2 + tl
+        case 0x85 if tl == 1 =>
+          smpSynch = u8(d, p + 2).toLong
+          v("sv.smpSynch") = smpSynch
+          p += 2 + tl
+        case _ => p += 2 + tl
+      }
+    }
+    if (svId != null) s"SV svID: $svId, smpCnt: $smpCnt"
+    else f"Sampled Values, APPID: 0x$appid%04x"
+  }
+
+  /** MACsec / 802.1AE SecTAG (ethertype 0x88E5): TCI/AN, short length,
+    * packet number, and the SCI when the SC bit is set. The payload is
+    * ciphertext by design — no inner walk. */
+  private def dissectMacsec(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 6) return null
+    val tci = u8(d, off)
+    if ((tci & 0x80) != 0) return null // V bit must be 0
+    protos += "macsec"
+    v("macsec.an") = (tci & 0x03).toLong
+    v("macsec.sl") = (u8(d, off + 1) & 0x3f).toLong
+    v("macsec.packet_number") = u32(d, off + 2)
+    if ((tci & 0x20) != 0 && d.length >= off + 14) { // SC bit → 8-byte SCI
+      val sci = (u32(d, off + 6) << 32) | u32(d, off + 10)
+      v("macsec.sci") = sci
+    }
+    "MACsec frame"
+  }
+
+  /** FCoE (T11 FC-BB-5, ethertype 0x8906): version + SOF, then the
+    * encapsulated Fibre Channel frame header; ELS command names surface
+    * (FLOGI/PLOGI/...) when the FC type is Extended Link Services. */
+  private def dissectFcoe(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 14 + 24) return null
+    protos += "fcoe"
+    v("fcoe.ver") = (u8(d, off) >> 4).toLong
+    v("fcoe.sof") = u8(d, off + 13).toLong
+    val fc = off + 14
+    protos += "fc"
+    val rctl = u8(d, fc)
+    def addr(o: Int) = s"${hex2(u8(d, o))}.${hex2(u8(d, o + 1))}.${hex2(u8(d, o + 2))}"
+    v("fc.r_ctl") = rctl.toLong
+    v("fc.d_id") = addr(fc + 1)
+    v("fc.s_id") = addr(fc + 5)
+    val ftype = u8(d, fc + 8)
+    v("fc.type") = ftype.toLong
+    v("fc.ox_id") = u16(d, fc + 16).toLong
+    if (ftype == 0x01 && d.length > fc + 24) { // Extended Link Services
+      u8(d, fc + 24) match {
+        case 0x03 => "PLOGI"
+        case 0x04 => "FLOGI"
+        case 0x05 => "LOGO"
+        case 0x20 => "PRLI"
+        case 0x62 => "FDISC"
+        case c => f"ELS 0x$c%02x"
+      }
+    } else f"FC type 0x$ftype%02x"
+  }
+
+  /** Apache Thrift strict framed binary protocol (TCP 9090): frame
+    * length, 0x8001 version word, message type, method name, sequence
+    * id. */
+  private def dissectThrift(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 16 || u16(d, off + 4) != 0x8001 || u8(d, off + 6) != 0) return null
+    val flen = u32(d, off)
+    if (flen < 12L || flen > (len - 4).toLong) return null
+    val mtype = u8(d, off + 7)
+    if (mtype < 1 || mtype > 4) return null
+    val nameLen = u32(d, off + 8).toInt
+    if (nameLen <= 0 || nameLen > 256 || off + 12 + nameLen + 4 > off + len) return null
+    val name = new String(d, off + 12, nameLen, "ISO-8859-1")
+    if (!name.forall(c => c >= 0x20 && c <= 0x7e)) return null
+    protos += "thrift"
+    v("thrift.type") = mtype.toLong
+    v("thrift.method") = name
+    v("thrift.seq_id") = u32(d, off + 12 + nameLen)
+    val tn = mtype match {
+      case 1 => "CALL"; case 2 => "REPLY"; case 3 => "EXCEPTION"; case _ => "ONEWAY"
+    }
+    s"$tn $name"
+  }
+
+  /** HART-IP (HCF_SPEC-085, UDP/TCP 5094): the 8-byte session header —
+    * version, message type, message id, status, sequence number. */
+  private def dissectHartIp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8 || u8(d, off) != 1) return null
+    val mtype = u8(d, off + 1)
+    val mid = u8(d, off + 2)
+    if (mtype > 3 || mid > 3) return null
+    protos += "hart_ip"
+    v("hart_ip.version") = 1L
+    v("hart_ip.message_type") = mtype.toLong
+    v("hart_ip.message_id") = mid.toLong
+    v("hart_ip.status") = u8(d, off + 3).toLong
+    v("hart_ip.sequence_number") = u16(d, off + 4).toLong
+    val idName = mid match {
+      case 0 => "Session Initiate"; case 1 => "Session Close"
+      case 2 => "Keep Alive"; case _ => "Token-Passing PDU"
+    }
+    val tName = mtype match {
+      case 0 => "Request"; case 1 => "Response"; case 2 => "Publish"
+      case _ => "NAK"
+    }
+    s"$idName $tName"
+  }
+
+  /** RMCP (ASF RMCP / IPMI-over-LAN, UDP 623): the 4-byte RMCP header,
+    * then — for class IPMI — the v1.5 session header and the IPMI
+    * message's netFn/cmd (populating the vendored ipmi fields). */
+  private def dissectRmcp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4 || u8(d, off) != 0x06 || u8(d, off + 1) != 0) return null
+    val cls = u8(d, off + 3)
+    protos += "rmcp"
+    v("rmcp.version") = 6L
+    v("rmcp.sequence") = u8(d, off + 2).toLong
+    v("rmcp.class") = cls.toLong
+    if ((cls & 0x7f) == 0x07 && len >= 4 + 10 + 6) {
+      // IPMI v1.5 session: authType(1) seq(4) sessId(4) msgLen(1), then
+      // rsAddr(1) netFn/rsLUN(1) csum(1) rqAddr(1) rqSeq(1) cmd(1)
+      val s0 = off + 4
+      val m0 = s0 + 10
+      protos += "ipmi"
+      val netfn = u8(d, m0 + 1) >> 2
+      val cmd = u8(d, m0 + 5)
+      v("ipmi.netfn") = netfn.toLong
+      v("ipmi.cmd") = cmd.toLong
+      val cmdName =
+        if (netfn == 6 && cmd == 1) "Get Device ID"
+        else if (netfn == 6 && cmd == 0x38) "Get Channel Auth Capabilities"
+        else f"NetFn 0x$netfn%x Cmd 0x$cmd%02x"
+      val dir = if ((netfn & 1) == 0) "Req" else "Rsp"
+      s"$dir, $cmdName"
+    } else if (cls == 0x06) "RMCP: ASF"
+    else f"RMCP: Class 0x$cls%02x"
   }
 
   // ---- tier 38: routing / tunnel control planes + classic app layers ----

@@ -81,7 +81,10 @@ class TsharkDiffSpec extends SparkSpec {
     "vxlan", "mpls",
     // t38 — routing/tunnel control planes + classic app layers
     "isis", "isis.hello", "ldp", "capwap", "lisp-data", "nntp", "dsi",
-    "afp", "bmp", "nbd")
+    "afp", "bmp", "nbd",
+    // t39 — fieldbus/L2-security/storage ethertypes + app ports
+    "ecatf", "ecat", "tipc", "sv", "macsec", "fcoe", "fc", "thrift",
+    "hart_ip", "rmcp", "ipmi")
 
   private def assertedLayer(l: String): Boolean =
     coreInfoLayers.contains(l) || lateTierInfoLayers.contains(l)

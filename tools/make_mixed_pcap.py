@@ -1542,6 +1542,54 @@ nbd = struct.pack(">IHH", 0x25609513, 0, 0) + \
     struct.pack(">I", 512)
 extra.append((t3, 25400, ip_frame(6, A, B, tcp(50116, 10809, 1, nbd), ident=278)))
 
+# 256-263: tier 39 — fieldbus / L2-security / storage ethertypes + app
+# ports: EtherCAT LRW, TIPC name distributor, IEC61850 SV, MACsec,
+# FCoE FLOGI, Thrift CALL, HART-IP session init, RMCP/IPMI Get Device ID
+ecat_dgram = bytes([12, 1]) + struct.pack("<HH", 0x0000, 0x1000) + \
+    struct.pack("<H", 4) + struct.pack("<H", 0) + b"\xDE\xAD\xBE\xEF" + \
+    struct.pack("<H", 1)
+ecat = struct.pack("<H", len(ecat_dgram) | (1 << 12)) + ecat_dgram
+extra.append((t3, 25500, eth(MAC_B, MAC_A, 0x88A4, ecat)))
+
+tipc_w0 = (2 << 29) | (11 << 25) | (10 << 21) | 40
+extra.append((t3, 25600, eth(MAC_B, MAC_A, 0x88CA,
+              struct.pack(">I", tipc_w0) + bytes(36))))
+
+sv_asdu = bytes([0x80, 6]) + b"MU0001" + struct.pack(">BBH", 0x82, 2, 1111) + \
+    bytes([0x83, 4, 0, 0, 0, 1]) + bytes([0x85, 1, 2])
+sv_pdu = bytes([0x60, 3 + 2 + 2 + len(sv_asdu),
+                0x80, 1, 1,
+                0xA2, 2 + len(sv_asdu),
+                0x30, len(sv_asdu)]) + sv_asdu
+sv = struct.pack(">HHI", 0x4000, 8 + len(sv_pdu), 0) + sv_pdu
+extra.append((t3, 25700, eth(MAC_B, MAC_A, 0x88BA, sv)))
+
+macsec = bytes([0x2E, 16]) + struct.pack(">I", 0x42) + \
+    bytes.fromhex("0200000000010001") + bytes(range(16))
+extra.append((t3, 25800, eth(MAC_B, MAC_A, 0x88E5, macsec)))
+
+# r_ctl d_id(3) cs_ctl s_id(3) type f_ctl(3) seq_id df_ctl seq_cnt ox rx param
+fc_hdr = bytes([0x22]) + bytes([0xFF, 0xFF, 0xFE]) + bytes([0]) + \
+    bytes([0x00, 0x00, 0x00]) + bytes([0x01]) + bytes([0x29, 0, 0]) + \
+    bytes([0, 0]) + struct.pack(">H", 0) + struct.pack(">HH", 0x1234, 0xFFFF) + \
+    struct.pack(">I", 0)
+fcoe = bytes([0x00]) + bytes(12) + bytes([0x2E]) + fc_hdr + \
+    bytes([0x04, 0, 0, 0]) + bytes([0x41, 0, 0, 0])
+extra.append((t3, 25900, eth(MAC_B, MAC_A, 0x8906, fcoe)))
+
+thrift = struct.pack(">I", 16) + bytes([0x80, 0x01, 0x00, 0x01]) + \
+    struct.pack(">I", 4) + b"echo" + struct.pack(">I", 7)
+extra.append((t3, 26000, ip_frame(6, A, B, tcp(50117, 9090, 1, thrift), ident=279)))
+
+hart = bytes([1, 0, 0, 0]) + struct.pack(">HH", 1, 13) + \
+    bytes([1]) + struct.pack(">I", 60000)
+extra.append((t3, 26100, ip_frame(17, A, B, udp(50118, 5094, hart), ident=280)))
+
+ipmi_msg = bytes([0x20, 0x18, 0xC8, 0x81, 0x04, 0x01, 0x7A])
+rmcp = bytes([0x06, 0x00, 0xFF, 0x07]) + bytes([0]) + bytes(4) + bytes(4) + \
+    bytes([len(ipmi_msg)]) + ipmi_msg
+extra.append((t3, 26200, ip_frame(17, A, B, udp(50119, 623, rmcp), ident=281)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
