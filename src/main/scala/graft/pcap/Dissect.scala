@@ -970,6 +970,12 @@ object Dissect {
         dissectMacsec(d, l3off, v, protos)
       case 0x8906 =>
         dissectFcoe(d, l3off, v, protos)
+      case 0x80f3 =>
+        dissectAarp(d, l3off, v, protos)
+      case 0x809b =>
+        dissectDdp(d, l3off, v, protos)
+      case 0x8137 =>
+        dissectIpx(d, l3off, v, protos)
       case 0x8892 if d.length >= l3off + 2 =>
         // PROFINET Real-Time: FrameID, payload, trailing APDU status
         protos += "pn_rt"
@@ -2353,6 +2359,10 @@ object Dissect {
         appInfo = dissectNbd(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 9090 || dp == 9090))
         appInfo = dissectThrift(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 6881 || dp == 6881))
+        appInfo = dissectBittorrent(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 43 || dp == 43))
+        appInfo = dissectWhois(appBuf, appOff, appLen, fromServer = sp == 43, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -2980,6 +2990,21 @@ object Dissect {
       val rmInfo = dissectRmcp(d, off + 8, math.min(payLen, d.length - off - 8),
         v, protos)
       if (rmInfo != null) return rmInfo
+    }
+    if (sp == 17754 || dp == 17754) {
+      val zpInfo = dissectZep(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (zpInfo != null) return zpInfo
+    }
+    if (sp == 25826 || dp == 25826) {
+      val cdInfo = dissectCollectd(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (cdInfo != null) return cdInfo
+    }
+    if (sp == 4729 || dp == 4729) {
+      val gtInfo = dissectGsmtap(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (gtInfo != null) return gtInfo
     }
     if (sp == 5246 || dp == 5246) {
       val cwInfo = dissectCapwap(d, off + 8, math.min(payLen, d.length - off - 8),
@@ -8558,6 +8583,23 @@ object Dissect {
       v("llc.type") = pid.toLong
       if (oui == 0x00000c && pid == 0x2000)
         return dissectCdp(d, off + 8, end, v, protos)
+      // tier 40: the other Cisco SNAP control protocols
+      if (oui == 0x00000c && pid == 0x0111) {
+        val r = dissectUdld(d, off + 8, end, v, protos)
+        if (r != null) return r
+      }
+      if (oui == 0x00000c && pid == 0x2004) {
+        val r = dissectDtp(d, off + 8, end, v, protos)
+        if (r != null) return r
+      }
+      if (oui == 0x00000c && pid == 0x2003) {
+        val r = dissectVtp(d, off + 8, end, v, protos)
+        if (r != null) return r
+      }
+      if (oui == 0x00000c && pid == 0x0104) {
+        val r = dissectPagp(d, off + 8, end, v, protos)
+        if (r != null) return r
+      }
     }
     if (dsap == 0xfe && ssap == 0xfe && ctrl == 0x03) {
       val r = dissectIsis(d, off + 3, end, v, protos)
@@ -9611,6 +9653,268 @@ object Dissect {
         s"$base $typeName $prio$tgt$alpn"
       case _                => base
     }
+  }
+
+  // ---- tier 40: Cisco SNAP control family, AppleTalk/IPX classics, and
+  // monitoring/P2P app ports — twelve more glossary-only stubs made to
+  // populate natively ----
+
+  /** UDLD (Cisco, SNAP PID 0x0111): version/opcode byte, then the TLV
+    * list — Device ID (type 1) surfaces. */
+  private def dissectUdld(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 4) return null
+    val vo = u8(d, off)
+    protos += "udld"
+    v("udld.version") = ((vo >> 5) & 0x7).toLong
+    val op = vo & 0x1f
+    v("udld.opcode") = op.toLong
+    var p = off + 4
+    while (p + 4 <= end) {
+      val t = u16(d, p); val l = u16(d, p + 2)
+      if (l < 4 || p + l > end) return "UDLD"
+      if (t == 1 && l > 4)
+        v("udld.device_id") = new String(d, p + 4, l - 4, "ISO-8859-1")
+      p += l
+    }
+    val name = op match {
+      case 1 => "Probe"; case 2 => "Echo"; case 3 => "Flush"; case o => s"Opcode $o"
+    }
+    s"UDLD $name"
+  }
+
+  /** DTP (Cisco trunk negotiation, SNAP PID 0x2004): version + TLVs —
+    * the VTP domain (type 1) surfaces. */
+  private def dissectDtp(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 5) return null
+    protos += "dtp"
+    v("dtp.version") = u8(d, off).toLong
+    var p = off + 1
+    while (p + 4 <= end) {
+      val t = u16(d, p); val l = u16(d, p + 2)
+      if (l < 4 || p + l > end) return "Dynamic Trunk Protocol"
+      if (t == 1 && l > 4)
+        v("dtp.domain") = new String(d, p + 4, l - 4, "ISO-8859-1")
+          .takeWhile(_ != ' ')
+      p += l
+    }
+    "Dynamic Trunk Protocol"
+  }
+
+  /** VTP (Cisco VLAN trunking, SNAP PID 0x2003): version, message code,
+    * management domain. */
+  private def dissectVtp(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 4) return null
+    val code = u8(d, off + 1)
+    if (code < 1 || code > 4) return null
+    protos += "vtp"
+    v("vtp.version") = u8(d, off).toLong
+    v("vtp.code") = code.toLong
+    val mdLen = u8(d, off + 3)
+    if (mdLen > 0 && mdLen <= 32 && off + 4 + mdLen <= end)
+      v("vtp.md") = new String(d, off + 4, mdLen, "ISO-8859-1")
+    code match {
+      case 1 => "Summary Advertisement"
+      case 2 => "Subset Advertisement"
+      case 3 => "Advertisement Request"
+      case _ => "Join/Prune Message"
+    }
+  }
+
+  /** PAgP (Cisco port aggregation, SNAP PID 0x0104): version + flags. */
+  private def dissectPagp(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 2) return null
+    protos += "pagp"
+    v("pagp.version") = u8(d, off).toLong
+    v("pagp.flags") = u8(d, off + 1).toLong
+    "PAgP Information"
+  }
+
+  /** AppleTalk ARP (ethertype 0x80F3): the ARP layout with AppleTalk
+    * protocol addresses. */
+  private def dissectAarp(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 8) return null
+    protos += "aarp"
+    v("aarp.hard.type") = u16(d, off).toLong
+    v("aarp.proto.type") = u16(d, off + 2).toLong
+    val fn = u16(d, off + 6)
+    v("aarp.function") = fn.toLong
+    fn match {
+      case 1 => "AppleTalk ARP request"
+      case 2 => "AppleTalk ARP reply"
+      case 3 => "AppleTalk ARP probe"
+      case f => s"AppleTalk ARP function $f"
+    }
+  }
+
+  /** AppleTalk DDP long header (ethertype 0x809B): nets, nodes, sockets,
+    * DDP type. */
+  private def dissectDdp(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 13) return null
+    protos += "ddp"
+    v("ddp.dst.net") = u16(d, off + 4).toLong
+    v("ddp.src.net") = u16(d, off + 6).toLong
+    val t = u8(d, off + 12)
+    v("ddp.type") = t.toLong
+    val name = t match {
+      case 1 => "RTMP"; case 2 => "NBP"; case 3 => "ATP"; case 4 => "AEP"
+      case 5 => "RTMP Request"; case 6 => "ZIP"; case 7 => "ADSP"
+      case x => s"DDP type $x"
+    }
+    s"AppleTalk $name"
+  }
+
+  /** Novell IPX (ethertype 0x8137): checksum, length, packet type. */
+  private def dissectIpx(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 30 || u16(d, off) != 0xffff) return null
+    protos += "ipx"
+    v("ipx.checksum") = 0xffffL
+    v("ipx.len") = u16(d, off + 2).toLong
+    val t = u8(d, off + 5)
+    v("ipx.packet_type") = t.toLong
+    val name = t match {
+      case 0 => "Unknown"; case 1 => "RIP"; case 4 => "SAP"; case 5 => "SPX"
+      case 17 => "NCP"; case x => s"Type $x"
+    }
+    s"IPX $name"
+  }
+
+  /** BitTorrent peer wire protocol (TCP 6881): the 0x13-prefixed
+    * handshake (info hash surfaces) and the first length-prefixed
+    * message after it. */
+  private def dissectBittorrent(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 68 || u8(d, off) != 0x13) return null
+    if (new String(d, off + 1, 19, "ISO-8859-1") != "BitTorrent protocol")
+      return null
+    protos += "bittorrent"
+    val hash = (0 until 20).map(i => hex2(u8(d, off + 28 + i))).mkString
+    v("bittorrent.info_hash") = hash
+    var info = "Handshake"
+    if (len >= 68 + 5) {
+      val mlen = u32(d, off + 68)
+      val mtype = u8(d, off + 72)
+      if (mlen >= 1L && mlen <= 64L) {
+        v("bittorrent.msg.length") = mlen
+        v("bittorrent.msg.type") = mtype.toLong
+        val mname = mtype match {
+          case 0 => "Choke"; case 1 => "Unchoke"; case 2 => "Interested"
+          case 3 => "Not Interested"; case 4 => "Have"; case 5 => "Bitfield"
+          case 6 => "Request"; case 7 => "Piece"; case t => s"Msg $t"
+        }
+        info = s"Handshake, $mname"
+      }
+    }
+    info
+  }
+
+  /** ZigBee Encapsulation Protocol (UDP 17754): "EX" magic, version,
+    * type, 802.15.4 channel. */
+  private def dissectZep(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 5 || d(off) != 'E' || d(off + 1) != 'X') return null
+    protos += "zep"
+    v("zep.version") = u8(d, off + 2).toLong
+    val t = u8(d, off + 3)
+    v("zep.type") = t.toLong
+    val ch = u8(d, off + 4)
+    v("zep.channel_id") = ch.toLong
+    val name = t match { case 1 => "Data"; case 2 => "ACK"; case x => s"Type $x" }
+    s"ZEP $name, Channel $ch"
+  }
+
+  /** collectd network protocol (UDP 25826): typed parts — host string
+    * (0x0000) and the first gauge value (part 0x0006, little-endian
+    * double per the published format). */
+  private def dissectCollectd(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4 || u16(d, off) != 0x0000) return null
+    val lim = off + len
+    var p = off
+    var host: String = null
+    var nVals = 0
+    protos += "collectd"
+    while (p + 4 <= lim) {
+      val t = u16(d, p); val l = u16(d, p + 2)
+      if (l < 4 || p + l > lim) return if (host != null) s"Host=$host" else "collectd"
+      if (t == 0x0000 && l > 5)
+        host = new String(d, p + 4, l - 5, "ISO-8859-1") // null-terminated
+      if (t == 0x0006 && l >= 4 + 2 + 1 + 8) {
+        v("collectd.type") = 0x0006L
+        val n = u16(d, p + 4)
+        nVals += n
+        if (n >= 1 && u8(d, p + 6) == 1) { // gauge: LE double
+          var bits = 0L
+          var i = 0
+          while (i < 8) { bits |= (u8(d, p + 6 + n + i).toLong << (8 * i)); i += 1 }
+          v("collectd.val.value") = java.lang.Double.longBitsToDouble(bits)
+        }
+      }
+      p += l
+    }
+    if (host != null) v("collectd.host") = host
+    s"Host=${if (host != null) host else "?"}, $nVals value${if (nVals == 1) "" else "s"}"
+  }
+
+  /** GSMTAP (UDP 4729): version, payload type, ARFCN (low 14 bits). */
+  private def dissectGsmtap(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 16 || u8(d, off) != 2) return null
+    protos += "gsmtap"
+    v("gsmtap.version") = 2L
+    v("gsmtap.type") = u8(d, off + 2).toLong
+    val arfcn = u16(d, off + 4) & 0x3fff
+    v("gsmtap.arfcn") = arfcn.toLong
+    s"GSMTAP ARFCN $arfcn"
+  }
+
+  /** whois (RFC 3912, TCP 43): one query line to the server, free-text
+    * answer back. */
+  private def dissectWhois(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 3) return null
+    var i = off
+    val lim = off + math.min(len, 512)
+    while (i < lim && d(i) != '\r' && d(i) != '\n') {
+      val c = d(i) & 0xff
+      if (c < 0x20 || c > 0x7e) return null
+      i += 1
+    }
+    if (i == off || i >= off + len) return null
+    val line = new String(d, off, i - off, "ISO-8859-1")
+    protos += "whois"
+    if (fromServer) { v("whois.answer") = line; s"Answer: $line" }
+    else { v("whois.query") = line; s"Query: $line" }
   }
 
   // ---- tier 39: fieldbus / L2-security / storage ethertypes + app ports

@@ -84,7 +84,10 @@ class TsharkDiffSpec extends SparkSpec {
     "afp", "bmp", "nbd",
     // t39 — fieldbus/L2-security/storage ethertypes + app ports
     "ecatf", "ecat", "tipc", "sv", "macsec", "fcoe", "fc", "thrift",
-    "hart_ip", "rmcp", "ipmi")
+    "hart_ip", "rmcp", "ipmi",
+    // t40 — Cisco SNAP family, AppleTalk/IPX classics, monitoring/P2P
+    "udld", "dtp", "vtp", "pagp", "aarp", "ddp", "ipx", "bittorrent",
+    "zep", "collectd", "gsmtap", "whois")
 
   private def assertedLayer(l: String): Boolean =
     coreInfoLayers.contains(l) || lateTierInfoLayers.contains(l)

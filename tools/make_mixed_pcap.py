@@ -1590,6 +1590,65 @@ rmcp = bytes([0x06, 0x00, 0xFF, 0x07]) + bytes([0]) + bytes(4) + bytes(4) + \
     bytes([len(ipmi_msg)]) + ipmi_msg
 extra.append((t3, 26200, ip_frame(17, A, B, udp(50119, 623, rmcp), ident=281)))
 
+# 264-275: tier 40 — Cisco SNAP control family (UDLD/DTP/VTP/PAgP),
+# AppleTalk AARP/DDP, Novell IPX, BitTorrent handshake, ZEP, collectd,
+# GSMTAP, whois
+CCC = bytes.fromhex("01000ccccccc")
+
+
+def snap_cisco(pid, pdu):
+    p = bytes([0xAA, 0xAA, 0x03]) + bytes.fromhex("00000c") + \
+        struct.pack(">H", pid) + pdu
+    return eth(CCC, MAC_A, len(p), p)
+
+
+udld = bytes([0x21, 0x00]) + struct.pack(">H", 0) + \
+    struct.pack(">HH", 1, 4 + 8) + b"switch-9"
+extra.append((t3, 26300, snap_cisco(0x0111, udld)))
+
+dtp = bytes([1]) + struct.pack(">HH", 1, 4 + 7) + b"campus7"
+extra.append((t3, 26400, snap_cisco(0x2004, dtp)))
+
+vtp = bytes([2, 1, 0, 7]) + b"campus7" + bytes(25) + bytes(8)
+extra.append((t3, 26500, snap_cisco(0x2003, vtp)))
+
+extra.append((t3, 26600, snap_cisco(0x0104, bytes([1, 1]) + bytes(16))))
+
+aarp = struct.pack(">HHBBH", 1, 0x809B, 6, 4, 1) + MAC_A + \
+    bytes([0, 0, 5, 3]) + bytes(6) + bytes([0, 0, 5, 9])
+extra.append((t3, 26700, eth(MAC_B, MAC_A, 0x80F3, aarp)))
+
+ddp = struct.pack(">HH", 0x0020, 0) + struct.pack(">HH", 5, 3) + \
+    bytes([9, 3, 2, 2, 2]) + b"nbp-lookup"
+extra.append((t3, 26800, eth(MAC_B, MAC_A, 0x809B, ddp)))
+
+ipx = struct.pack(">HHBB", 0xFFFF, 30, 0, 4) + \
+    struct.pack(">I", 1) + MAC_B + struct.pack(">H", 0x0452) + \
+    struct.pack(">I", 2) + MAC_A + struct.pack(">H", 0x4003)
+extra.append((t3, 26900, eth(MAC_B, MAC_A, 0x8137, ipx)))
+
+bt = bytes([0x13]) + b"BitTorrent protocol" + bytes(8) + \
+    bytes(range(0xA0, 0xB4)) + b"-GR0001-" + bytes(12) + \
+    struct.pack(">I", 1) + bytes([2])
+extra.append((t3, 27000, ip_frame(6, A, B, tcp(50120, 6881, 1, bt), ident=282)))
+
+zep = b"EX" + bytes([2, 1, 15]) + struct.pack(">H", 1) + bytes([0, 200]) + \
+    bytes(8) + struct.pack(">I", 9) + bytes(10) + bytes([40])
+extra.append((t3, 27100, ip_frame(17, A, B, udp(50121, 17754, zep), ident=283)))
+
+cd_host = struct.pack(">HH", 0x0000, 4 + 6) + b"web01\x00"
+cd_vals = struct.pack(">HH", 0x0006, 4 + 2 + 1 + 8) + \
+    struct.pack(">H", 1) + bytes([1]) + struct.pack("<d", 42.5)
+extra.append((t3, 27200, ip_frame(17, A, B,
+              udp(50122, 25826, cd_host + cd_vals), ident=284)))
+
+gsmtap = bytes([2, 4, 1, 0]) + struct.pack(">H", 42) + bytes([200, 10]) + \
+    struct.pack(">I", 7) + bytes([0, 0, 0, 0])
+extra.append((t3, 27300, ip_frame(17, A, B, udp(50123, 4729, gsmtap), ident=285)))
+
+extra.append((t3, 27400, ip_frame(6, A, B,
+              tcp(50124, 43, 1, b"example.com\r\n"), ident=286)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
