@@ -1390,6 +1390,7 @@ object Dissect {
       case 112 => dissectVrrp(d, next, ipEnd, v, protos)
       case 132 => dissectSctp(d, next, ipEnd, v, protos)
       case 33  => dissectDccp(d, next, ipEnd, v, protos)
+      case 113 => dissectPgm(d, next, ipEnd, v, protos)
       case _   => null
     }
   }
@@ -2363,6 +2364,26 @@ object Dissect {
         appInfo = dissectBittorrent(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 43 || dp == 43))
         appInfo = dissectWhois(appBuf, appOff, appLen, fromServer = sp == 43, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 13 || dp == 13))
+        appInfo = dissectDaytime(appBuf, appOff, appLen, fromServer = sp == 13, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 515 || dp == 515))
+        appInfo = dissectLpd(appBuf, appOff, appLen, fromServer = sp == 515, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 512 || dp == 512))
+        appInfo = dissectRexec(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 513 || dp == 513))
+        appInfo = dissectRlogin(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 514 || dp == 514))
+        appInfo = dissectRsh(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 1998 || dp == 1998))
+        appInfo = dissectXot(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 4189 || dp == 4189))
+        appInfo = dissectPcep(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 3288 || dp == 3288))
+        appInfo = dissectCops(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 705 || dp == 705))
+        appInfo = dissectAgentx(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 2002 || dp == 2002))
+        appInfo = dissectRpcap(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -2547,6 +2568,10 @@ object Dissect {
     if (sp == 3478 || dp == 3478) {
       val stunInfo = dissectStun(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
       if (stunInfo != null) return stunInfo
+      // same port, no RFC 5389 magic cookie → classic STUN (RFC 3489)
+      val csInfo = dissectClassicStun(d, off + 8,
+        math.min(payLen, d.length - off - 8), v, protos)
+      if (csInfo != null) return csInfo
     }
     if (sp == 319 || dp == 319 || sp == 320 || dp == 320) {
       val ptpInfo = dissectPtp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
@@ -2957,6 +2982,7 @@ object Dissect {
           case 1 => dissectIpv4(d, off + 16, v, protos, tracker, wanted)
           case 2 => dissectIpv6(d, off + 16, v, protos, tracker, wanted)
           case 3 => dissectEthFrom(d, off + 16, v, protos, tracker, wanted)
+          case 4 => dissectNsh(d, off + 16, v, protos, tracker, wanted)
           case _ => null
         } finally v.nested = wasNested
       return if (inner != null) inner else "VXLAN-GPE"
@@ -3005,6 +3031,36 @@ object Dissect {
       val gtInfo = dissectGsmtap(d, off + 8, math.min(payLen, d.length - off - 8),
         v, protos)
       if (gtInfo != null) return gtInfo
+    }
+    if (sp == 37 || dp == 37) {
+      val tmInfo = dissectTime(d, off + 8, math.min(payLen, d.length - off - 8),
+        fromServer = sp == 37, v, protos)
+      if (tmInfo != null) return tmInfo
+    }
+    if (sp == 19 || dp == 19) {
+      val cgInfo = dissectChargen(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (cgInfo != null) return cgInfo
+    }
+    if (sp == 7 || dp == 7) {
+      val ecInfo = dissectEcho(d, off + 8, math.min(payLen, d.length - off - 8),
+        fromServer = sp == 7, v, protos)
+      if (ecInfo != null) return ecInfo
+    }
+    if (sp == 5351 || dp == 5351) {
+      val pcInfo = dissectPcp(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (pcInfo != null) return pcInfo
+    }
+    if (sp == 496 || dp == 496) {
+      val arInfo = dissectAutoRp(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (arInfo != null) return arInfo
+    }
+    if (sp == 1234 || dp == 1234) {
+      val tsInfo = dissectMp2t(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (tsInfo != null) return tsInfo
     }
     if (sp == 5246 || dp == 5246) {
       val cwInfo = dissectCapwap(d, off + 8, math.min(payLen, d.length - off - 8),
@@ -9653,6 +9709,395 @@ object Dissect {
         s"$base $typeName $prio$tgt$alpn"
       case _                => base
     }
+  }
+
+  // ---- tier 41: RFC-86x inetd classics, r-commands, X.25-over-TCP,
+  // policy/AgentX/PCE control planes, NSH service chaining, PGM, and
+  // transport-stream/monitoring stubs — twenty more vendored field sets
+  // made to populate natively ----
+
+  /** RFC 868 Time (UDP 37): the server reply's 4-byte seconds since
+    * 1900. */
+  private def dissectTime(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (!fromServer || len != 4) return null
+    protos += "time"
+    val t = u32(d, off)
+    v("time.time") = t
+    s"TIME Response, $t seconds since 1900"
+  }
+
+  /** RFC 867 Daytime (TCP 13): free-text timestamp line from the
+    * server. */
+  private def dissectDaytime(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (!fromServer || len < 8) return null
+    val line = asciiLine(d, off, len)
+    if (line == null) return null
+    protos += "daytime"
+    v("daytime.string") = line
+    s"DAYTIME Response: $line"
+  }
+
+  /** RFC 864 Chargen (UDP 19): printable filler payload. */
+  private def dissectChargen(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8) return null
+    val line = asciiLine(d, off, len)
+    if (line == null || line.length < 8) return null
+    protos += "chargen"
+    v("chargen.data") = line
+    "Chargen"
+  }
+
+  /** RFC 862 Echo (UDP 7): direction-flagged opaque payload. */
+  private def dissectEcho(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 1) return null
+    protos += "echo"
+    val n = math.min(len, 16)
+    v("echo.data") = (0 until n).map(i => hex2(u8(d, off + i))).mkString
+    v("echo.request") = !fromServer
+    v("echo.response") = fromServer
+    if (fromServer) "ECHO Response" else "ECHO Request"
+  }
+
+  /** LPD (RFC 1179, TCP 515): the one-byte control command + queue name
+    * on the request path; single ACK octet back. */
+  private def dissectLpd(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (fromServer && len == 1 && u8(d, off) <= 1) {
+      protos += "lpd"
+      v("lpd.response") = true
+      return if (u8(d, off) == 0) "LPD ACK" else "LPD NAK"
+    }
+    if (fromServer || len < 3) return null
+    val cmd = u8(d, off)
+    if (cmd < 1 || cmd > 5 || d(off + len - 1) != '\n') return null
+    protos += "lpd"
+    v("lpd.command") = cmd.toLong
+    v("lpd.response") = false
+    cmd match {
+      case 1 => "LPD print waiting jobs"
+      case 2 => "LPD receive job"
+      case 3 => "LPD queue state (short)"
+      case 4 => "LPD queue state (long)"
+      case _ => "LPD remove jobs"
+    }
+  }
+
+  /** rexec (TCP 512): NUL-separated stderr-port, user, password,
+    * command. */
+  private def dissectRexec(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    val parts = nulParts(d, off, len, 4)
+    if (parts == null || parts.length < 4) return null
+    protos += "rexec"
+    v("rexec.username") = parts(1)
+    v("rexec.command") = parts(3)
+    s"Exec: ${parts(3)}"
+  }
+
+  /** rlogin (TCP 513): the connection-open block — empty terminator,
+    * client user, server user, terminal/speed. */
+  private def dissectRlogin(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 6 || d(off) != 0) return null
+    val parts = nulParts(d, off + 1, len - 1, 3)
+    if (parts == null || parts.length < 3) return null
+    protos += "rlogin"
+    v("rlogin.user_info") = s"${parts(0)}/${parts(1)}"
+    s"Rlogin: ${parts(0)} -> ${parts(1)}"
+  }
+
+  /** rsh (TCP 514): NUL-separated stderr-port, client user, server
+    * user, command. */
+  private def dissectRsh(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    val parts = nulParts(d, off, len, 4)
+    if (parts == null || parts.length < 4) return null
+    protos += "rsh"
+    v("rsh.client_username") = parts(1)
+    v("rsh.command") = parts(3)
+    s"Shell: ${parts(3)}"
+  }
+
+  /** XOT (RFC 1613, TCP 1998): version-0 header, then the X.25 packet —
+    * logical channel and packet type surface. */
+  private def dissectXot(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 7 || u16(d, off) != 0) return null
+    val xlen = u16(d, off + 2)
+    if (xlen < 3 || xlen > len - 4) return null
+    protos += "xot"
+    v("xot.version") = 0L
+    v("xot.length") = xlen.toLong
+    protos += "x25"
+    val lcn = u16(d, off + 4) & 0x0fff
+    val t = u8(d, off + 6)
+    v("x25.lcn") = lcn.toLong
+    v("x25.type") = t.toLong
+    t match {
+      case 0x0b => s"Call Req. VC:$lcn"
+      case 0x0f => s"Call Conf. VC:$lcn"
+      case 0x13 => s"Clear Req. VC:$lcn"
+      case x if (x & 0x01) == 0 => s"Data VC:$lcn"
+      case x => f"X.25 type 0x$x%02x VC:$lcn"
+    }
+  }
+
+  /** PCP (RFC 6887, UDP 5351, version 2 — NAT-PMP's successor on the
+    * same port): opcode + the response result code. */
+  private def dissectPcp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8 || u8(d, off) != 2) return null
+    val r = u8(d, off + 1)
+    protos += "pcp"
+    v("pcp.version") = 2L
+    v("pcp.opcode") = (r & 0x7f).toLong
+    val isResp = (r & 0x80) != 0
+    if (isResp) v("pcp.result_code") = u8(d, off + 3).toLong
+    val opName = (r & 0x7f) match {
+      case 0 => "ANNOUNCE"; case 1 => "MAP"; case 2 => "PEER"
+      case o => s"Opcode $o"
+    }
+    s"$opName ${if (isResp) "Response" else "Request"}"
+  }
+
+  /** PCEP (RFC 5440, TCP 4189): common header — version, message type. */
+  private def dissectPcep(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4 || (u8(d, off) >> 5) != 1) return null
+    val t = u8(d, off + 1)
+    if (t < 1 || t > 10) return null
+    if (u16(d, off + 2) > len) return null
+    protos += "pcep"
+    v("pcep.version") = 1L
+    v("pcep.msg") = t.toLong
+    t match {
+      case 1 => "Open"; case 2 => "Keepalive"; case 3 => "Path Computation Request"
+      case 4 => "Path Computation Reply"; case 5 => "Notification"
+      case 6 => "Error"; case 7 => "Close"; case x => s"Message $x"
+    }
+  }
+
+  /** COPS (RFC 2748, TCP 3288): version/flags, op code, client type,
+    * message length. */
+  private def dissectCops(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8 || (u8(d, off) >> 4) != 1) return null
+    val op = u8(d, off + 1)
+    if (op < 1 || op > 10) return null
+    if (u32(d, off + 4) > len.toLong) return null
+    protos += "cops"
+    v("cops.op_code") = op.toLong
+    v("cops.client_type") = u16(d, off + 2).toLong
+    v("cops.msg_len") = u32(d, off + 4)
+    op match {
+      case 1 => "Request (REQ)"; case 2 => "Decision (DEC)"
+      case 3 => "Report State (RPT)"; case 6 => "Client-Open (OPN)"
+      case 7 => "Client-Accept (CAT)"; case o => s"Op Code $o"
+    }
+  }
+
+  /** SNMP AgentX (RFC 2741, TCP 705): version-1 PDU header. */
+  private def dissectAgentx(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 20 || u8(d, off) != 1) return null
+    val t = u8(d, off + 1)
+    if (t < 1 || t > 18) return null
+    protos += "agentx"
+    v("agentx.version") = 1L
+    v("agentx.type") = t.toLong
+    v("agentx.flags") = u8(d, off + 2).toLong
+    val name = t match {
+      case 1 => "Open"; case 2 => "Close"; case 3 => "Register"
+      case 4 => "Unregister"; case 5 => "Get"; case 6 => "GetNext"
+      case 7 => "GetBulk"; case 12 => "Notify"; case 14 => "Response"
+      case x => s"Type $x"
+    }
+    s"$name-PDU"
+  }
+
+  /** rpcap (the libpcap remote protocol, TCP 2002): version-0 header. */
+  private def dissectRpcap(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8 || u8(d, off) != 0) return null
+    val t = u8(d, off + 1)
+    if (t < 1 || t > 18) return null
+    if (u32(d, off + 4) > (len - 8).toLong) return null
+    protos += "rpcap"
+    v("rpcap.version") = 0L
+    v("rpcap.type") = t.toLong
+    t match {
+      case 1 => "Error"; case 2 => "Find all interfaces request"
+      case 3 => "Open request"; case 4 => "Start capture request"
+      case x => s"Message type $x"
+    }
+  }
+
+  /** NSH (RFC 8300, via VXLAN-GPE next-protocol 4): base + service-path
+    * headers, then the inner packet by NSH next-protocol. */
+  private def dissectNsh(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker,
+      wanted: Wanted): String = {
+    if (d.length < off + 8) return null
+    protos += "nsh"
+    val hlen = (u8(d, off + 1) & 0x3f) * 4
+    val nextProto = u8(d, off + 3)
+    val sp = u32(d, off + 4)
+    v("nsh.spi") = sp >> 8
+    v("nsh.si") = (sp & 0xff)
+    if (hlen < 8 || off + hlen >= d.length) return "NSH"
+    val wasNested = v.nested
+    v.nested = true
+    val inner =
+      try nextProto match {
+        case 1 => dissectIpv4(d, off + hlen, v, protos, tracker, wanted)
+        case 2 => dissectIpv6(d, off + hlen, v, protos, tracker, wanted)
+        case 3 => dissectEthFrom(d, off + hlen, v, protos, tracker, wanted)
+        case _ => null
+      } finally v.nested = wasNested
+    if (inner != null) inner else "NSH"
+  }
+
+  /** PGM (RFC 3208, IP protocol 113): common header — packet type and
+    * TSDU length. */
+  private def dissectPgm(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 16) return null
+    val t = u8(d, off + 4)
+    protos += "pgm"
+    v("pgm.type") = t.toLong
+    v("pgm.tsdu_length") = u16(d, off + 14).toLong
+    val name = t match {
+      case 0x00 => "SPM"; case 0x04 => "ODATA"; case 0x05 => "RDATA"
+      case 0x08 => "NAK"; case 0x09 => "NNAK"; case 0x0a => "NCF"
+      case x => f"Type 0x$x%02x"
+    }
+    s"PGM $name"
+  }
+
+  /** Cisco Auto-RP (UDP 496): version/type byte. */
+  private def dissectAutoRp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8) return null
+    val vt = u8(d, off)
+    if ((vt >> 4) != 1) return null
+    protos += "auto_rp"
+    v("auto_rp.version") = 1L
+    v("auto_rp.type") = (vt & 0x0f).toLong
+    (vt & 0x0f) match {
+      case 1 => "RP announcement"
+      case 2 => "RP mapping"
+      case t => s"Auto-RP type $t"
+    }
+  }
+
+  /** Classic STUN (RFC 3489) — same port as RFC 5389 STUN but no magic
+    * cookie; binding message types. */
+  private def dissectClassicStun(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 20 || (u8(d, off) & 0xc0) != 0) return null
+    val tpe = u16(d, off)
+    if (tpe < 1 || tpe > 0x0112) return null
+    val mlen = u16(d, off + 2)
+    if (mlen + 20 != len) return null
+    protos += "classicstun"
+    v("classicstun.type") = tpe.toLong
+    v("classicstun.length") = mlen.toLong
+    tpe match {
+      case 0x0001 => "Message: Binding Request"
+      case 0x0101 => "Message: Binding Response"
+      case 0x0111 => "Message: Binding Error Response"
+      case t => f"Message: 0x$t%04x"
+    }
+  }
+
+  /** MPEG-2 Transport Stream (UDP 1234): 188-byte packets gated on the
+    * 0x47 sync byte; PID, PUSI, continuity counter of the first packet. */
+  private def dissectMp2t(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 188 || len % 188 != 0 || u8(d, off) != 0x47) return null
+    if (len >= 376 && u8(d, off + 188) != 0x47) return null
+    protos += "mp2t"
+    val w = u16(d, off + 1)
+    val pid = w & 0x1fff
+    v("mp2t.pid") = pid.toLong
+    v("mp2t.pusi") = (w & 0x4000) != 0
+    v("mp2t.cc") = (u8(d, off + 3) & 0x0f).toLong
+    f"MPEG-TS, ${len / 188} packets, PID 0x$pid%04x"
+  }
+
+  /** First printable ASCII line (CR/LF-terminated or whole payload). */
+  private def asciiLine(d: Array[Byte], off: Int, len: Int): String = {
+    var i = off
+    val lim = off + math.min(len, 256)
+    while (i < lim && d(i) != '\r' && d(i) != '\n') {
+      val c = d(i) & 0xff
+      if (c < 0x20 || c > 0x7e) return null
+      i += 1
+    }
+    if (i == off) null else new String(d, off, i - off, "ISO-8859-1")
+  }
+
+  /** Up to `max` NUL-separated printable fields covering the payload
+    * (the r-command connection-open convention); null when malformed. */
+  private def nulParts(d: Array[Byte], off: Int, len: Int, max: Int): Array[String] = {
+    val out = new Array[String](max)
+    var n = 0
+    var start = off
+    var i = off
+    val lim = off + len
+    while (i < lim && n < max) {
+      val c = d(i) & 0xff
+      if (c == 0) {
+        out(n) = new String(d, start, i - start, "ISO-8859-1")
+        n += 1
+        start = i + 1
+      } else if (c < 0x20 || c > 0x7e) return null
+      i += 1
+    }
+    if (n < max) null else out
   }
 
   // ---- tier 40: Cisco SNAP control family, AppleTalk/IPX classics, and

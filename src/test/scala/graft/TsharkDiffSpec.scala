@@ -87,7 +87,11 @@ class TsharkDiffSpec extends SparkSpec {
     "hart_ip", "rmcp", "ipmi",
     // t40 — Cisco SNAP family, AppleTalk/IPX classics, monitoring/P2P
     "udld", "dtp", "vtp", "pagp", "aarp", "ddp", "ipx", "bittorrent",
-    "zep", "collectd", "gsmtap", "whois")
+    "zep", "collectd", "gsmtap", "whois",
+    // t41 — inetd classics, r-commands, XOT/X.25, control planes, NSH, PGM
+    "time", "daytime", "chargen", "echo", "lpd", "rexec", "rlogin", "rsh",
+    "xot", "x25", "pcp", "pcep", "cops", "agentx", "rpcap", "nsh", "pgm",
+    "auto_rp", "classicstun", "mp2t")
 
   private def assertedLayer(l: String): Boolean =
     coreInfoLayers.contains(l) || lateTierInfoLayers.contains(l)

@@ -1649,6 +1649,59 @@ extra.append((t3, 27300, ip_frame(17, A, B, udp(50123, 4729, gsmtap), ident=285)
 extra.append((t3, 27400, ip_frame(6, A, B,
               tcp(50124, 43, 1, b"example.com\r\n"), ident=286)))
 
+# 276-294: tier 41 — inetd classics (time/daytime/chargen/echo),
+# r-commands, LPD, XOT/X.25, PCP, PCEP, COPS, AgentX, rpcap,
+# NSH-over-VXLAN-GPE, PGM, Auto-RP, classic STUN, MPEG-TS
+extra.append((t3, 27500, ip_frame(17, B, A,
+              udp(37, 50125, struct.pack(">I", 3900000000)), ident=287)))
+extra.append((t3, 27600, ip_frame(6, B, A,
+              tcp(13, 50126, 1, b"Fri Aug 15 12:00:00 2025\r\n"), ident=288)))
+extra.append((t3, 27700, ip_frame(17, B, A,
+              udp(19, 50127, b"!\"#$%&'()*+,-./0123456789:;<=>?@ABCDEF"),
+              ident=289)))
+extra.append((t3, 27800, ip_frame(17, A, B, udp(50128, 7, b"ping-echo"),
+              ident=290)))
+extra.append((t3, 27900, ip_frame(6, A, B,
+              tcp(50129, 515, 1, bytes([2]) + b"rawq\n"), ident=291)))
+extra.append((t3, 28000, ip_frame(6, A, B,
+              tcp(50130, 512, 1, b"512\x00alice\x00secret\x00ls -l /tmp\x00"),
+              ident=292)))
+extra.append((t3, 28100, ip_frame(6, A, B,
+              tcp(50131, 513, 1, b"\x00alice\x00root\x00xterm/38400\x00"),
+              ident=293)))
+extra.append((t3, 28200, ip_frame(6, A, B,
+              tcp(50132, 514, 1, b"1020\x00alice\x00bob\x00uname -a\x00"),
+              ident=294)))
+xot = struct.pack(">HH", 0, 3) + bytes([0x10, 0x01, 0x0B])
+extra.append((t3, 28300, ip_frame(6, A, B, tcp(50133, 1998, 1, xot), ident=295)))
+pcp = bytes([2, 1, 0, 0]) + struct.pack(">I", 3600) + bytes(16)
+extra.append((t3, 28400, ip_frame(17, A, B, udp(50134, 5351, pcp), ident=296)))
+pcep = bytes([0x20, 1]) + struct.pack(">H", 4)
+extra.append((t3, 28500, ip_frame(6, A, B, tcp(50135, 4189, 1, pcep), ident=297)))
+cops = bytes([0x10, 6]) + struct.pack(">H", 1) + struct.pack(">I", 8)
+extra.append((t3, 28600, ip_frame(6, A, B, tcp(50136, 3288, 1, cops), ident=298)))
+agentx = bytes([1, 1, 0, 0]) + struct.pack(">III", 0, 1, 1) + \
+    struct.pack(">I", 0)
+extra.append((t3, 28700, ip_frame(6, A, B, tcp(50137, 705, 1, agentx), ident=299)))
+rpcap = bytes([0, 2]) + struct.pack(">H", 0) + struct.pack(">I", 0)
+extra.append((t3, 28800, ip_frame(6, A, B, tcp(50138, 2002, 1, rpcap), ident=300)))
+_n_icmp = struct.pack(">BBHHH", 8, 0, 0, 0x58, 6)
+_n_ih, _n_ip = ipv4(1, [10, 0, 10, 1], [10, 0, 10, 2], _n_icmp)
+nsh = bytes([0x00, 0x02, 0x01, 0x01]) + bytes([0x00, 0x00, 0x2A, 0xFF]) + \
+    _n_ih + _n_ip
+gpe_nsh = bytes([0x0C, 0, 0, 4]) + bytes([0, 0, 0x2B, 0]) + nsh
+extra.append((t3, 28900, ip_frame(17, A, B, udp(50139, 4790, gpe_nsh), ident=301)))
+pgm = struct.pack(">HHBBH", 0, 0, 0x04, 0, 0) + bytes(6) + \
+    struct.pack(">H", 4) + b"data"
+extra.append((t3, 29000, ip_frame(113, A, B, pgm, ident=302)))
+auto_rp = bytes([0x12, 1]) + struct.pack(">H", 180) + bytes(4) + bytes(8)
+extra.append((t3, 29100, ip_frame(17, A, B, udp(50140, 496, auto_rp), ident=303)))
+cstun = struct.pack(">HH", 0x0001, 8) + bytes(16) + \
+    struct.pack(">HH", 0x0003, 4) + bytes(4)
+extra.append((t3, 29200, ip_frame(17, A, B, udp(50141, 3478, cstun), ident=304)))
+ts_pkt = bytes([0x47, 0x41, 0x00, 0x15]) + bytes(184)
+extra.append((t3, 29300, ip_frame(17, A, B, udp(50142, 1234, ts_pkt), ident=305)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
