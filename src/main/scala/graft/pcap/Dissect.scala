@@ -976,6 +976,16 @@ object Dissect {
         dissectDdp(d, l3off, v, protos)
       case 0x8137 =>
         dissectIpx(d, l3off, v, protos)
+      case 0x22f0 =>
+        dissectIeee1722(d, l3off, v, protos)
+      case 0x88d9 =>
+        dissectLltd(d, l3off, v, protos)
+      case 0xaefe =>
+        dissectEcpri(d, l3off, v, protos)
+      case 0x8902 =>
+        dissectCfm(d, l3off, v, protos)
+      case 0x4305 =>
+        dissectBatadv(d, l3off, v, protos)
       case 0x8892 if d.length >= l3off + 2 =>
         // PROFINET Real-Time: FrameID, payload, trailing APDU status
         protos += "pn_rt"
@@ -2384,6 +2394,14 @@ object Dissect {
         appInfo = dissectAgentx(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 2002 || dp == 2002))
         appInfo = dissectRpcap(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 1935 || dp == 1935))
+        appInfo = dissectRtmpt(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 2809 || dp == 2809))
+        appInfo = dissectGiop(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 6346 || dp == 6346))
+        appInfo = dissectGnutella(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 4662 || dp == 4662))
+        appInfo = dissectEdonkey(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -3061,6 +3079,41 @@ object Dissect {
       val tsInfo = dissectMp2t(d, off + 8, math.min(payLen, d.length - off - 8),
         v, protos)
       if (tsInfo != null) return tsInfo
+    }
+    if (sp == 111 || dp == 111) {
+      val pmInfo = dissectPortmap(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (pmInfo != null) return pmInfo
+    }
+    if (sp == 4569 || dp == 4569) {
+      val ixInfo = dissectIax2(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (ixInfo != null) return ixInfo
+    }
+    if (sp == 177 || dp == 177) {
+      val xdInfo = dissectXdmcp(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (xdInfo != null) return xdInfo
+    }
+    if (sp == 6454 || dp == 6454) {
+      val anInfo = dissectArtnet(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (anInfo != null) return anInfo
+    }
+    if (sp == 3000 || dp == 3000) {
+      val dsInfo = dissectDis(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (dsInfo != null) return dsInfo
+    }
+    if (sp == 7000 || dp == 7000) {
+      val rxInfo = dissectRx(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (rxInfo != null) return rxInfo
+    }
+    if (sp == 19132 || dp == 19132) {
+      val rkInfo = dissectRaknet(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (rkInfo != null) return rkInfo
     }
     if (sp == 5246 || dp == 5246) {
       val cwInfo = dissectCapwap(d, off + 8, math.min(payLen, d.length - off - 8),
@@ -9711,6 +9764,353 @@ object Dissect {
     }
   }
 
+  // ---- tier 42: ONC-RPC portmap, streaming/ORB/P2P app layers, realtime
+  // L2 ethertypes (AVTP/LLTD/eCPRI/CFM/batman-adv), and simulation/
+  // telephony UDP ports — sixteen more vendored stubs populate natively --
+
+  /** Portmap/rpcbind V2 GETPORT call (ONC RPC, UDP 111): the RPC call
+    * header gated on program 100000, then the GETPORT argument block. */
+  private def dissectPortmap(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 56 || u32(d, off + 4) != 0L || u32(d, off + 8) != 2L) return null
+    if (u32(d, off + 12) != 100000L) return null
+    val proc = u32(d, off + 20)
+    protos += "portmap"
+    v("portmap.procedure_v2") = proc
+    // cred flavor/len + verf flavor/len = 16 zero bytes, then args
+    val args = off + 40
+    val prog = u32(d, args)
+    v("portmap.prog") = prog
+    v("portmap.port") = u32(d, args + 12)
+    val procName = proc match {
+      case 3L => "GETPORT"; case 4L => "DUMP"; case 1L => "SET"
+      case 2L => "UNSET"; case p => s"Proc $p"
+    }
+    val progName = prog match {
+      case 100003L => "NFS"; case 100005L => "MOUNT"; case 100021L => "NLM"
+      case p => s"Program $p"
+    }
+    s"V2 $procName Call $progName($prog)"
+  }
+
+  /** RTMP chunk basic+message header (TCP 1935, fmt-0): chunk stream id,
+    * body size, AMF type. */
+  private def dissectRtmpt(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 12) return null
+    val b0 = u8(d, off)
+    if ((b0 >> 6) != 0) return null // fmt 0 only
+    val csid = b0 & 0x3f
+    if (csid < 3) return null
+    val bodySize = u24(d, off + 4)
+    val typeId = u8(d, off + 7)
+    if (bodySize != len - 12) return null
+    protos += "rtmpt"
+    v("rtmpt.header.csid") = csid.toLong
+    v("rtmpt.header.bodysize") = bodySize.toLong
+    typeId match {
+      case 0x14 => "RTMP Command (AMF0)"
+      case 0x12 => "RTMP Data (AMF0)"
+      case 0x08 => "RTMP Audio Data"
+      case 0x09 => "RTMP Video Data"
+      case t => f"RTMP type 0x$t%02x"
+    }
+  }
+
+  /** CORBA GIOP (TCP 2809): "GIOP" magic, version, flags, message type. */
+  private def dissectGiop(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 12 || d(off) != 'G' || d(off + 1) != 'I' ||
+      d(off + 2) != 'O' || d(off + 3) != 'P') return null
+    val t = u8(d, off + 7)
+    if (t > 7) return null
+    protos += "giop"
+    v("giop.flags") = u8(d, off + 6).toLong
+    v("giop.type") = t.toLong
+    val le = (u8(d, off + 6) & 1) != 0
+    v("giop.len") =
+      if (le) (u8(d, off + 8) | (u8(d, off + 9) << 8) | (u8(d, off + 10) << 16) |
+        (u8(d, off + 11) << 24)).toLong & 0xffffffffL
+      else u32(d, off + 8)
+    t match {
+      case 0 => "GIOP Request"; case 1 => "GIOP Reply"
+      case 2 => "GIOP CancelRequest"; case 3 => "GIOP LocateRequest"
+      case 4 => "GIOP LocateReply"; case 5 => "GIOP CloseConnection"
+      case _ => "GIOP Fragment"
+    }
+  }
+
+  /** IAX2 full frame (RFC 5456, UDP 4569): source/destination call
+    * numbers, timestamp, frame type + subclass. */
+  private def dissectIax2(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 12 || (u16(d, off) & 0x8000) == 0) return null
+    val ftype = u8(d, off + 10)
+    if (ftype < 1 || ftype > 10) return null
+    protos += "iax2"
+    v("iax2.src_call") = (u16(d, off) & 0x7fff).toLong
+    v("iax2.dst_call") = (u16(d, off + 2) & 0x7fff).toLong
+    v("iax2.timestamp") = u32(d, off + 4)
+    val sub = u8(d, off + 11)
+    if (ftype == 6) {
+      val name = sub match {
+        case 1 => "NEW"; case 2 => "PING"; case 3 => "PONG"; case 4 => "ACK"
+        case 6 => "ACCEPT"; case 7 => "REJECT"; case 8 => "HANGUP"
+        case s => s"IAX subclass $s"
+      }
+      s"IAX, $name"
+    } else s"IAX2 frame type $ftype"
+  }
+
+  /** XDMCP (UDP 177): version-1 header; the Manage opcode carries the
+    * session id. */
+  private def dissectXdmcp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 6 || u16(d, off) != 1) return null
+    val op = u16(d, off + 2)
+    if (op < 1 || op > 14) return null
+    if (u16(d, off + 4) != len - 6) return null
+    protos += "xdmcp"
+    v("xdmcp.opcode") = op.toLong
+    if (op == 12 && len >= 10) v("xdmcp.session_id") = u32(d, off + 6)
+    op match {
+      case 1 => "BroadcastQuery"; case 2 => "Query"; case 3 => "IndirectQuery"
+      case 5 => "Willing"; case 7 => "Request"; case 8 => "Accept"
+      case 12 => "Manage"; case o => s"Opcode $o"
+    }
+  }
+
+  /** Art-Net (UDP 6454): the "Art-Net\0" cookie, little-endian opcode,
+    * big-endian protocol version. */
+  private def dissectArtnet(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 12) return null
+    if (new String(d, off, 7, "ISO-8859-1") != "Art-Net" || d(off + 7) != 0)
+      return null
+    protos += "artnet"
+    val op = u8(d, off + 8) | (u8(d, off + 9) << 8)
+    v("artnet.opcode") = op.toLong
+    v("artnet.proto_ver") = u16(d, off + 10).toLong
+    op match {
+      case 0x2000 => "ArtPoll"; case 0x2100 => "ArtPollReply"
+      case 0x5000 => "ArtDMX"; case o => f"ArtNet op 0x$o%04x"
+    }
+  }
+
+  /** DIS (IEEE 1278.1, UDP 3000): PDU header — protocol version,
+    * exercise, PDU type. */
+  private def dissectDis(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 12) return null
+    val ver = u8(d, off)
+    if (ver < 1 || ver > 7) return null
+    val t = u8(d, off + 2)
+    if (t < 1 || t > 72) return null
+    protos += "dis"
+    v("dis.proto_ver") = ver.toLong
+    v("dis.exer_id") = u8(d, off + 1).toLong
+    v("dis.pdu_type") = t.toLong
+    val name = t match {
+      case 1 => "Entity State"; case 2 => "Fire"; case 3 => "Detonation"
+      case x => s"PDU type $x"
+    }
+    s"$name PDU"
+  }
+
+  /** AFS RX protocol (UDP 7000): epoch, connection id, packet type. */
+  private def dissectRx(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 28) return null
+    val t = u8(d, off + 20)
+    if (t < 1 || t > 13) return null
+    protos += "rx"
+    v("rx.epoch") = u32(d, off)
+    v("rx.cid") = u32(d, off + 4)
+    v("rx.type") = t.toLong
+    val name = t match {
+      case 1 => "DATA"; case 2 => "ACK"; case 3 => "BUSY"; case 4 => "ABORT"
+      case 5 => "ACKALL"; case 6 => "CHALLENGE"; case 7 => "RESPONSE"
+      case x => s"Type $x"
+    }
+    s"RX $name"
+  }
+
+  /** Gnutella binary descriptor (TCP 6346): 16-byte GUID, type, TTL,
+    * hops, little-endian payload length. */
+  private def dissectGnutella(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 23) return null
+    val t = u8(d, off + 16)
+    if (t != 0x00 && t != 0x01 && t != 0x40 && t != 0x80 && t != 0x81)
+      return null
+    val plen = u8(d, off + 19) | (u8(d, off + 20) << 8) |
+      (u8(d, off + 21) << 16) | (u8(d, off + 22) << 24)
+    if (plen != len - 23) return null
+    protos += "gnutella"
+    v("gnutella.header.ttl") = u8(d, off + 17).toLong
+    v("gnutella.header.hops") = u8(d, off + 18).toLong
+    t match {
+      case 0x00 => "Gnutella Ping"
+      case 0x01 => "Gnutella Pong"
+      case 0x40 => "Gnutella Push"
+      case 0x80 => "Gnutella Query"
+      case _ => "Gnutella QueryHit"
+    }
+  }
+
+  /** eDonkey (TCP 4662): 0xE3 marker, little-endian size, message
+    * opcode. */
+  private def dissectEdonkey(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 6 || u8(d, off) != 0xE3) return null
+    val size = (u8(d, off + 1) | (u8(d, off + 2) << 8) |
+      (u8(d, off + 3) << 16) | (u8(d, off + 4) << 24)).toLong
+    if (size != (len - 5).toLong) return null
+    val op = u8(d, off + 5)
+    protos += "edonkey"
+    v("edonkey.protocol") = 0xE3L
+    v("edonkey.message.type") = op.toLong
+    op match {
+      case 0x01 => "eDonkey Hello"
+      case 0x4c => "eDonkey Hello Answer"
+      case 0x16 => "eDonkey Search"
+      case o => f"eDonkey op 0x$o%02x"
+    }
+  }
+
+  /** IEEE 1722 AVTP (ethertype 0x22F0): the subtype byte. */
+  private def dissectIeee1722(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 12) return null
+    protos += "ieee1722"
+    val st = u8(d, off)
+    v("ieee1722.subtype") = st.toLong
+    val name = st match {
+      case 0x00 => "61883/IIDC"; case 0x02 => "AAF"; case 0x03 => "CVF"
+      case 0x04 => "CRF"; case 0x22 => "NTSCF"; case s => f"Subtype 0x$s%02x"
+    }
+    s"AVTP $name"
+  }
+
+  /** LLTD (ethertype 0x88D9): version, service type, function. */
+  private def dissectLltd(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 4 || u8(d, off) != 1) return null
+    protos += "lltd"
+    v("lltd.version") = 1L
+    val fn = u8(d, off + 3)
+    v("lltd.function") = fn.toLong
+    fn match {
+      case 0 => "LLTD Discover"; case 1 => "LLTD Hello"
+      case 8 => "LLTD QueryLargeTlv"; case f => s"LLTD function $f"
+    }
+  }
+
+  /** eCPRI (ethertype 0xAEFE): revision, message type, payload size. */
+  private def dissectEcpri(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 4) return null
+    val rev = u8(d, off) >> 4
+    if (rev < 1 || rev > 2) return null
+    protos += "ecpri"
+    v("ecpri.revision") = rev.toLong
+    val t = u8(d, off + 1)
+    v("ecpri.type") = t.toLong
+    v("ecpri.size") = u16(d, off + 2).toLong
+    val name = t match {
+      case 0 => "IQ Data"; case 1 => "Bit Sequence"; case 2 => "Real-Time Control Data"
+      case 5 => "One-Way Delay Measurement"; case x => s"Type $x"
+    }
+    s"eCPRI $name"
+  }
+
+  /** 802.1ag CFM (ethertype 0x8902): MD level + opcode. */
+  private def dissectCfm(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 4) return null
+    val op = u8(d, off + 1)
+    protos += "cfm"
+    v("cfm.opcode") = op.toLong
+    op match {
+      case 1 => "CFM CCM"; case 3 => "CFM LBM"; case 2 => "CFM LBR"
+      case 5 => "CFM LTM"; case 4 => "CFM LTR"; case o => s"CFM opcode $o"
+    }
+  }
+
+  /** B.A.T.M.A.N. Advanced (ethertype 0x4305): packet type + the IV OGM
+    * version/TTL. */
+  private def dissectBatadv(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 4) return null
+    val t = u8(d, off)
+    protos += "batadv"
+    v("batadv.packet_type") = t.toLong
+    v("batadv.iv_ogm.version") = u8(d, off + 1).toLong
+    if (t == 0x00) {
+      v("batadv.iv_ogm.ttl") = u8(d, off + 2).toLong
+      "B.A.T.M.A.N. IV OGM"
+    } else f"B.A.T.M.A.N. type 0x$t%02x"
+  }
+
+  /** RakNet offline message (UDP 19132): message id gated on the 16-byte
+    * offline-message magic. */
+  private def dissectRaknet(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 25) return null
+    val id = u8(d, off)
+    // offline magic at its id-specific offset (ping: after id + 8-byte time)
+    val magicOff = if (id == 0x01 || id == 0x02) off + 9 else off + 1
+    if (magicOff + 16 > off + len) return null
+    val magic = Array(0x00, 0xff, 0xff, 0x00, 0xfe, 0xfe, 0xfe, 0xfe,
+      0xfd, 0xfd, 0xfd, 0xfd, 0x12, 0x34, 0x56, 0x78)
+    var i = 0
+    while (i < 16) {
+      if (u8(d, magicOff + i) != magic(i)) return null
+      i += 1
+    }
+    protos += "raknet"
+    v("raknet.message.id") = id.toLong
+    id match {
+      case 0x01 | 0x02 => "Unconnected Ping"
+      case 0x1c => "Unconnected Pong"
+      case 0x05 => "Open Connection Request 1"
+      case 0x06 => "Open Connection Reply 1"
+      case x => f"RakNet 0x$x%02x"
+    }
+  }
+
   // ---- tier 41: RFC-86x inetd classics, r-commands, X.25-over-TCP,
   // policy/AgentX/PCE control planes, NSH service chaining, PGM, and
   // transport-stream/monitoring stubs — twenty more vendored field sets
@@ -10145,7 +10545,7 @@ object Dissect {
       if (l < 4 || p + l > end) return "Dynamic Trunk Protocol"
       if (t == 1 && l > 4)
         v("dtp.domain") = new String(d, p + 4, l - 4, "ISO-8859-1")
-          .takeWhile(_ != ' ')
+          .takeWhile(_ != 0.toChar)
       p += l
     }
     "Dynamic Trunk Protocol"

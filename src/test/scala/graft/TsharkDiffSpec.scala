@@ -91,7 +91,11 @@ class TsharkDiffSpec extends SparkSpec {
     // t41 — inetd classics, r-commands, XOT/X.25, control planes, NSH, PGM
     "time", "daytime", "chargen", "echo", "lpd", "rexec", "rlogin", "rsh",
     "xot", "x25", "pcp", "pcep", "cops", "agentx", "rpcap", "nsh", "pgm",
-    "auto_rp", "classicstun", "mp2t")
+    "auto_rp", "classicstun", "mp2t",
+    // t42 — portmap, RTMP/GIOP/P2P, realtime L2, simulation/telephony
+    "portmap", "rtmpt", "giop", "iax2", "xdmcp", "artnet", "dis", "rx",
+    "gnutella", "edonkey", "ieee1722", "lltd", "ecpri", "cfm", "batadv",
+    "raknet")
 
   private def assertedLayer(l: String): Boolean =
     coreInfoLayers.contains(l) || lateTierInfoLayers.contains(l)

@@ -1702,6 +1702,58 @@ extra.append((t3, 29200, ip_frame(17, A, B, udp(50141, 3478, cstun), ident=304))
 ts_pkt = bytes([0x47, 0x41, 0x00, 0x15]) + bytes(184)
 extra.append((t3, 29300, ip_frame(17, A, B, udp(50142, 1234, ts_pkt), ident=305)))
 
+# 295-310: tier 42 — ONC-RPC portmap, RTMP/GIOP/P2P app layers, realtime
+# L2 ethertypes (AVTP/LLTD/eCPRI/CFM/batman-adv), DIS/RX/IAX2/XDMCP/
+# Art-Net/RakNet UDP ports
+pmap = struct.pack(">IIII", 0x77, 0, 2, 100000) + struct.pack(">II", 2, 3) + \
+    bytes(16) + struct.pack(">IIII", 100003, 3, 6, 0)
+extra.append((t3, 29400, ip_frame(17, A, B, udp(50143, 111, pmap), ident=306)))
+
+rtmp = bytes([0x04, 0, 0, 0]) + bytes([0, 0, 13]) + bytes([0x14]) + \
+    bytes(4) + bytes(13)
+extra.append((t3, 29500, ip_frame(6, A, B, tcp(50144, 1935, 1, rtmp), ident=307)))
+
+giop = b"GIOP" + bytes([1, 2, 1, 0]) + struct.pack("<I", 8) + bytes(8)
+extra.append((t3, 29600, ip_frame(6, A, B, tcp(50145, 2809, 1, giop), ident=308)))
+
+iax2 = struct.pack(">HHI", 0x8001, 0, 100) + bytes([0, 0, 6, 1])
+extra.append((t3, 29700, ip_frame(17, A, B, udp(50146, 4569, iax2), ident=309)))
+
+xdmcp = struct.pack(">HHH", 1, 12, 4) + struct.pack(">I", 0xAB12)
+extra.append((t3, 29800, ip_frame(17, A, B, udp(50147, 177, xdmcp), ident=310)))
+
+artnet = b"Art-Net\x00" + struct.pack("<H", 0x5000) + struct.pack(">H", 14) + \
+    bytes([1, 0]) + struct.pack("<H", 0) + struct.pack(">H", 4) + bytes(4)
+extra.append((t3, 29900, ip_frame(17, A, B, udp(50148, 6454, artnet), ident=311)))
+
+dis = bytes([7, 1, 1, 1]) + struct.pack(">I", 0) + struct.pack(">HH", 144, 0) + \
+    bytes(132)
+extra.append((t3, 30000, ip_frame(17, A, B, udp(50149, 3000, dis), ident=312)))
+
+rx = struct.pack(">III", 0x5F000000, 0x11, 1) + struct.pack(">II", 1, 1) + \
+    bytes([1, 0, 0, 0]) + struct.pack(">HH", 0, 52)
+extra.append((t3, 30100, ip_frame(17, A, B, udp(50150, 7000, rx), ident=313)))
+
+gnut = bytes(range(16)) + bytes([0x00, 7, 0]) + struct.pack("<I", 0)
+extra.append((t3, 30200, ip_frame(6, A, B, tcp(50151, 6346, 1, gnut), ident=314)))
+
+edonkey = bytes([0xE3]) + struct.pack("<I", 1) + bytes([0x01])
+extra.append((t3, 30300, ip_frame(6, A, B, tcp(50152, 4662, 1, edonkey), ident=315)))
+
+extra.append((t3, 30400, eth(MAC_B, MAC_A, 0x22F0, bytes([0x02]) + bytes(15))))
+extra.append((t3, 30500, eth(MAC_B, MAC_A, 0x88D9,
+              bytes([1, 1, 0, 0]) + MAC_B + MAC_A + bytes(4))))
+extra.append((t3, 30600, eth(MAC_B, MAC_A, 0xAEFE,
+              bytes([0x10, 0]) + struct.pack(">H", 8) + bytes(8))))
+extra.append((t3, 30700, eth(MAC_B, MAC_A, 0x8902,
+              bytes([0xA0, 1, 0x04, 70]) + bytes(70))))
+extra.append((t3, 30800, eth(MAC_B, MAC_A, 0x4305,
+              bytes([0x00, 15, 50, 0]) + bytes(20))))
+
+raknet = bytes([0x01]) + struct.pack(">Q", 123456) + \
+    bytes.fromhex("00ffff00fefefefefdfdfdfd12345678") + struct.pack(">Q", 7)
+extra.append((t3, 30900, ip_frame(17, A, B, udp(50153, 19132, raknet), ident=316)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
