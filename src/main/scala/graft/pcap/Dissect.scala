@@ -1401,6 +1401,7 @@ object Dissect {
       case 132 => dissectSctp(d, next, ipEnd, v, protos)
       case 33  => dissectDccp(d, next, ipEnd, v, protos)
       case 113 => dissectPgm(d, next, ipEnd, v, protos)
+      case 139 => dissectHip(d, next, ipEnd, v, protos)
       case _   => null
     }
   }
@@ -2402,6 +2403,20 @@ object Dissect {
         appInfo = dissectGnutella(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 4662 || dp == 4662))
         appInfo = dissectEdonkey(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 1344 || dp == 1344))
+        appInfo = dissectIcap(appBuf, appOff, appLen, fromServer = sp == 1344, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 524 || dp == 524))
+        appInfo = dissectNcp(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 24800 || dp == 24800))
+        appInfo = dissectSynergy(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 3205 || dp == 3205))
+        appInfo = dissectIsns(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 4420 || dp == 4420))
+        appInfo = dissectNvmeTcp(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 2065 || dp == 2065))
+        appInfo = dissectDlsw(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 10000 || dp == 10000))
+        appInfo = dissectNdmp(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -3114,6 +3129,26 @@ object Dissect {
       val rkInfo = dissectRaknet(d, off + 8, math.min(payLen, d.length - off - 8),
         v, protos)
       if (rkInfo != null) return rkInfo
+    }
+    if (sp == 3222 || dp == 3222) {
+      val glInfo = dissectGlbp(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (glInfo != null) return glInfo
+    }
+    if (sp == 464 || dp == 464) {
+      val kpInfo = dissectKpasswd(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (kpInfo != null) return kpInfo
+    }
+    if (sp == 631 || dp == 631) {
+      val cuInfo = dissectCups(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (cuInfo != null) return cuInfo
+    }
+    if (sp == 9000 || dp == 9000) {
+      val udInfo = dissectUdt(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (udInfo != null) return udInfo
     }
     if (sp == 5246 || dp == 5246) {
       val cwInfo = dissectCapwap(d, off + 8, math.min(payLen, d.length - off - 8),
@@ -6230,6 +6265,10 @@ object Dissect {
     // info column follows the innermost dissected layer, tunnel-style
     if (dataOff > 0 && (sp == 3868 || dp == 3868)) {
       val inner = dissectDiameter(d, dataOff, dataEnd, v, protos)
+      if (inner != null) return inner
+    }
+    if (dataOff > 0 && (sp == 2905 || dp == 2905)) {
+      val inner = dissectM3ua(d, dataOff, dataEnd, v, protos)
       if (inner != null) return inner
     }
     if (names.isEmpty) s"$sp → $dp"
@@ -9764,6 +9803,336 @@ object Dissect {
     }
   }
 
+  // ---- tier 43: the ZigBee stack under ZEP, the SS7 stack over SCTP,
+  // and twelve more app-layer stubs (ICAP, NCP, GLBP, Synergy, UDT,
+  // kpasswd, CUPS browsing, iSNS, NVMe/TCP, DLSw, HIP, NDMP) ----
+
+  /** IEEE 802.15.4 data frame (carried by ZEP type-1 packets): FCF,
+    * 16-bit addressing with PAN-id compression, then the ZigBee NWK and
+    * APS layers — the full sensor-network stack walk. */
+  private def dissectWpan(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 9) return null
+    val fcf = u8(d, off) | (u8(d, off + 1) << 8) // little-endian
+    val ftype = fcf & 0x7
+    if (ftype != 1) return null // data frames only here
+    protos += "wpan"
+    v("wpan.frame_type") = ftype.toLong
+    val dst = u8(d, off + 5) | (u8(d, off + 6) << 8)
+    val src = u8(d, off + 7) | (u8(d, off + 8) << 8)
+    v("wpan.dst16") = dst.toLong
+    v("wpan.src16") = src.toLong
+    val nwk = off + 9
+    if (end - nwk >= 8) {
+      val nfcf = u8(d, nwk) | (u8(d, nwk + 1) << 8)
+      protos += "zbee_nwk"
+      v("zbee_nwk.frame_type") = (nfcf & 0x3).toLong
+      v("zbee_nwk.dst") = (u8(d, nwk + 2) | (u8(d, nwk + 3) << 8)).toLong
+      v("zbee_nwk.src") = (u8(d, nwk + 4) | (u8(d, nwk + 5) << 8)).toLong
+      val aps = nwk + 8
+      if ((nfcf & 0x3) == 0 && end - aps >= 8) {
+        protos += "zbee_aps"
+        v("zbee_aps.type") = (u8(d, aps) & 0x3).toLong
+        v("zbee_aps.counter") = u8(d, aps + 7).toLong
+        val cluster = u8(d, aps + 2) | (u8(d, aps + 3) << 8)
+        return f"ZigBee APS Data, Dst Endpt: ${u8(d, aps + 1)}, Cluster: 0x$cluster%04x"
+      }
+      f"ZigBee NWK Data, Dst: 0x$dst%04x, Src: 0x$src%04x"
+    } else f"802.15.4 Data, Dst: 0x$dst%04x, Src: 0x$src%04x"
+  }
+
+  /** M3UA payload-data message (RFC 4666, SCTP port 2905): version/
+    * class/type header, then the protocol-data parameter's MTP3 routing
+    * label and — for service indicator 5 — the ISUP message. */
+  private def dissectM3ua(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 8 || u8(d, off) != 1) return null
+    val cls = u8(d, off + 2)
+    val t = u8(d, off + 3)
+    protos += "m3ua"
+    v("m3ua.message_class") = cls.toLong
+    v("m3ua.message_type") = t.toLong
+    if (cls != 1 || t != 1) return s"M3UA class $cls type $t"
+    // parameters: tag(2) len(2); protocol data = 0x0210
+    var p = off + 8
+    while (p + 4 <= end) {
+      val tag = u16(d, p)
+      val plen = u16(d, p + 2)
+      if (plen < 4 || p + plen > end) return "M3UA DATA"
+      if (tag == 0x0210 && plen >= 4 + 12) {
+        protos += "mtp3"
+        v("mtp3.opc") = u32(d, p + 4)
+        v("mtp3.dpc") = u32(d, p + 8)
+        val si = u8(d, p + 12)
+        v("mtp3.service_indicator") = si.toLong
+        val isup = p + 16
+        if (si == 5 && isup + 3 <= end) {
+          protos += "isup"
+          val cic = u8(d, isup) | (u8(d, isup + 1) << 8)
+          v("isup.cic") = cic.toLong
+          val mt = u8(d, isup + 2)
+          v("isup.message_type") = mt.toLong
+          val name = mt match {
+            case 1 => "IAM"; case 6 => "ACM"; case 9 => "ANM"
+            case 12 => "REL"; case 16 => "RLC"; case m => s"ISUP $m"
+          }
+          return s"$name (CIC $cic)"
+        }
+        return "M3UA DATA"
+      }
+      p += (plen + 3) & ~3
+    }
+    "M3UA DATA"
+  }
+
+  /** ICAP (RFC 3507, TCP 1344): first-line method / status parse. */
+  private def dissectIcap(
+      d: Array[Byte], off: Int, len: Int, fromServer: Boolean,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    val line = asciiLine(d, off, len)
+    if (line == null || !line.contains("ICAP/1.0")) return null
+    protos += "icap"
+    v("icap.response") = fromServer
+    if (!fromServer) {
+      val meth = line.takeWhile(_ != ' ')
+      if (meth != "REQMOD" && meth != "RESPMOD" && meth != "OPTIONS") return null
+      v("icap.reqtype") = meth
+      line.stripSuffix(" ICAP/1.0")
+    } else line
+  }
+
+  /** NetWare Core Protocol request header (TCP 524): the 0xNNNN type
+    * signature, sequence, function. */
+  private def dissectNcp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 7) return null
+    val t = u16(d, off)
+    if (t != 0x1111 && t != 0x2222 && t != 0x3333 && t != 0x5555 &&
+      t != 0x7777 && t != 0x9999) return null
+    protos += "ncp"
+    v("ncp.type") = t.toLong
+    v("ncp.seq") = u8(d, off + 2).toLong
+    if (t == 0x2222) v("ncp.func") = u8(d, off + 6).toLong
+    t match {
+      case 0x1111 => "Create a service connection"
+      case 0x2222 => s"Service request, function ${u8(d, off + 6)}"
+      case 0x3333 => "Service reply"
+      case 0x5555 => "Destroy service connection"
+      case _ => f"NCP type 0x$t%04x"
+    }
+  }
+
+  /** GLBP (Cisco, UDP 3222): version, group, first TLV type. */
+  private def dissectGlbp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 12 || u8(d, off) != 1) return null
+    protos += "glbp"
+    v("glbp.group") = u16(d, off + 2).toLong
+    val t = u8(d, off + 12)
+    v("glbp.type") = t.toLong
+    t match {
+      case 1 => "GLBP Hello"
+      case 2 => "GLBP Request/Response"
+      case 3 => "GLBP Auth"
+      case x => s"GLBP TLV $x"
+    }
+  }
+
+  /** Synergy (TCP 24800): length-prefixed packets whose code is the
+    * leading ASCII tag ("Synergy" for the version handshake). */
+  private def dissectSynergy(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8) return null
+    val plen = u32(d, off)
+    if (plen < 4L || plen != (len - 4).toLong) return null
+    var n = 0
+    while (n < math.min(plen, 7L).toInt &&
+      { val c = u8(d, off + 4 + n); c >= 0x20 && c <= 0x7e }) n += 1
+    if (n < 4) return null
+    val code = new String(d, off + 4, n, "ISO-8859-1")
+    protos += "synergy"
+    v("synergy.packet_type") = code
+    if (code == "Synergy" && plen >= 11) {
+      val maj = u16(d, off + 11)
+      val min = u16(d, off + 13)
+      s"Synergy Handshake $maj.$min"
+    } else s"Synergy $code"
+  }
+
+  /** UDT (UDP): control packets flag bit 15; handshake surfaces the
+    * type, data packets the sequence number. */
+  private def dissectUdt(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 16) return null
+    val w0 = u32(d, off)
+    protos += "udt"
+    if ((w0 & 0x80000000L) != 0) {
+      val t = ((w0 >> 16) & 0x7fff).toInt
+      v("udt.type") = t.toLong
+      t match {
+        case 0 => "UDT Handshake"
+        case 1 => "UDT Keep-alive"
+        case 2 => "UDT ACK"
+        case 3 => "UDT NAK"
+        case 5 => "UDT Shutdown"
+        case x => s"UDT control $x"
+      }
+    } else {
+      v("udt.seqno") = w0
+      s"UDT DATA seqno $w0"
+    }
+  }
+
+  /** Kerberos kpasswd (RFC 3244, UDP 464): message length, protocol
+    * version. */
+  private def dissectKpasswd(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 6 || u16(d, off) != len) return null
+    val ver = u16(d, off + 2)
+    if (ver != 1 && ver != 0xff80) return null
+    protos += "kpasswd"
+    v("kpasswd.message_len") = len.toLong
+    v("kpasswd.version") = ver.toLong
+    if (ver == 1) "KPASSWD Request v1" else "KPASSWD Set-Password Request"
+  }
+
+  /** CUPS browsing (UDP 631): "ptype state uri" text datagram. */
+  private def dissectCups(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    val line = asciiLine(d, off, len)
+    if (line == null) return null
+    val parts = line.split(" ", 3)
+    if (parts.length < 3 || !parts(2).startsWith("ipp://")) return null
+    try {
+      protos += "cups"
+      v("cups.ptype") = java.lang.Long.parseLong(parts(0), 16)
+      v("cups.state") = java.lang.Long.parseLong(parts(1))
+      s"CUPS Browse: ${parts(2).takeWhile(_ != ' ')}"
+    } catch { case _: NumberFormatException => protos.remove(protos.length - 1); null }
+  }
+
+  /** iSNS (RFC 4171, TCP 3205): version, function id, flags. */
+  private def dissectIsns(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 12 || u16(d, off) != 1) return null
+    val fn = u16(d, off + 2)
+    protos += "isns"
+    v("isns.functionid") = fn.toLong
+    v("isns.flags") = u16(d, off + 6).toLong
+    fn match {
+      case 0x0001 => "DevAttrReg"
+      case 0x0002 => "DevAttrQry"
+      case 0x0003 => "DevGetNext"
+      case 0x8001 => "DevAttrRegRsp"
+      case f => f"iSNS function 0x$f%04x"
+    }
+  }
+
+  /** NVMe/TCP (TCP 4420): PDU common header — type, header length, PDU
+    * length (little-endian). */
+  private def dissectNvmeTcp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8) return null
+    val t = u8(d, off)
+    if (t > 9) return null
+    val hlen = u8(d, off + 2)
+    val plen = (u8(d, off + 4) | (u8(d, off + 5) << 8) |
+      (u8(d, off + 6) << 16) | (u8(d, off + 7) << 24)).toLong & 0xffffffffL
+    if (plen != len.toLong || hlen > len) return null
+    protos += "nvme-tcp"
+    v("nvme-tcp.type") = t.toLong
+    v("nvme-tcp.hlen") = hlen.toLong
+    v("nvme-tcp.plen") = plen
+    t match {
+      case 0 => "ICReq"; case 1 => "ICResp"; case 4 => "CapsuleCommand"
+      case 5 => "CapsuleResponse"; case x => s"NVMe/TCP PDU $x"
+    }
+  }
+
+  /** DLSw (RFC 1795, TCP 2065): version 1 header + message type. */
+  private def dissectDlsw(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 16 || u8(d, off) != 0x31 || u8(d, off + 1) != 72) return null
+    protos += "dlsw"
+    v("dlsw.version") = 0x31L
+    val t = u8(d, off + 14)
+    v("dlsw.type") = t.toLong
+    t match {
+      case 0x01 => "CANUREACH"
+      case 0x02 => "ICANREACH"
+      case 0x03 => "REACH_ACK"
+      case 0x04 => "DGRMFRAME"
+      case 0x1f => "CAP_EXCHANGE"
+      case x => f"DLSw 0x$x%02x"
+    }
+  }
+
+  /** HIP (RFC 7401, IP protocol 139): packet type, version, controls. */
+  private def dissectHip(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 8 || u8(d, off) != 59) return null // next header: none
+    val t = u8(d, off + 2) & 0x7f
+    if (t < 1 || t > 20) return null
+    protos += "hip"
+    v("hip.packet_type") = t.toLong
+    v("hip.version") = (u8(d, off + 3) >> 4).toLong
+    v("hip.controls") = u16(d, off + 6).toLong
+    val name = t match {
+      case 1 => "I1"; case 2 => "R1"; case 3 => "I2"; case 4 => "R2"
+      case 16 => "UPDATE"; case 17 => "NOTIFY"; case 18 => "CLOSE"
+      case x => s"type $x"
+    }
+    s"HIP $name"
+  }
+
+  /** NDMP (TCP 10000, after the hpfeeds gate declines): XDR record mark,
+    * then the message header — CONNECT_OPEN carries the version. */
+  private def dissectNdmp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 28 || (u8(d, off) & 0x80) == 0) return null
+    val rlen = u32(d, off) & 0x7fffffffL
+    if (rlen != (len - 4).toLong) return null
+    val msg = u32(d, off + 16)
+    protos += "ndmp"
+    v("ndmp.msg") = msg
+    if (msg == 0x900L && len >= 32) v("ndmp.version") = u32(d, off + 28)
+    val name = msg match {
+      case 0x900L => "CONNECT_OPEN"
+      case 0x902L => "CONNECT_CLOSE"
+      case 0x100L => "CONFIG_GET_HOST_INFO"
+      case m => f"NDMP 0x$m%x"
+    }
+    val isReply = u32(d, off + 12) != 0L
+    s"$name ${if (isReply) "Reply" else "Request"}"
+  }
+
   // ---- tier 42: ONC-RPC portmap, streaming/ORB/P2P app layers, realtime
   // L2 ethertypes (AVTP/LLTD/eCPRI/CFM/batman-adv), and simulation/
   // telephony UDP ports — sixteen more vendored stubs populate natively --
@@ -10688,6 +11057,12 @@ object Dissect {
     v("zep.type") = t.toLong
     val ch = u8(d, off + 4)
     v("zep.channel_id") = ch.toLong
+    // v2 data packets carry a full 802.15.4 frame after the 32-byte
+    // header — walk the ZigBee stack (wpan → zbee_nwk → zbee_aps)
+    if (t == 1 && len > 32) {
+      val inner = dissectWpan(d, off + 32, off + len, v, protos)
+      if (inner != null) return inner
+    }
     val name = t match { case 1 => "Data"; case 2 => "ACK"; case x => s"Type $x" }
     s"ZEP $name, Channel $ch"
   }

@@ -95,7 +95,11 @@ class TsharkDiffSpec extends SparkSpec {
     // t42 — portmap, RTMP/GIOP/P2P, realtime L2, simulation/telephony
     "portmap", "rtmpt", "giop", "iax2", "xdmcp", "artnet", "dis", "rx",
     "gnutella", "edonkey", "ieee1722", "lltd", "ecpri", "cfm", "batadv",
-    "raknet")
+    "raknet",
+    // t43 — ZigBee stack, SS7 over SCTP, app-layer stubs
+    "wpan", "zbee_nwk", "zbee_aps", "m3ua", "mtp3", "isup", "icap", "ncp",
+    "glbp", "synergy", "udt", "kpasswd", "cups", "isns", "nvme-tcp",
+    "dlsw", "hip", "ndmp")
 
   private def assertedLayer(l: String): Boolean =
     coreInfoLayers.contains(l) || lateTierInfoLayers.contains(l)

@@ -1754,6 +1754,70 @@ raknet = bytes([0x01]) + struct.pack(">Q", 123456) + \
     bytes.fromhex("00ffff00fefefefefdfdfdfd12345678") + struct.pack(">Q", 7)
 extra.append((t3, 30900, ip_frame(17, A, B, udp(50153, 19132, raknet), ident=316)))
 
+# 311-324: tier 43 — the ZigBee stack under ZEP, the SS7 stack over SCTP,
+# and twelve more app-layer stubs
+wpan = bytes([0x41, 0x88, 9]) + bytes([0x62, 0x1A]) + bytes([0, 0]) + \
+    bytes([0x21, 0x3F])
+znwk = bytes([0x48, 0x00]) + bytes([0, 0]) + bytes([0x21, 0x3F]) + \
+    bytes([0x1E, 0x07])
+zaps = bytes([0x00, 0x01]) + bytes([0x06, 0x00]) + bytes([0x04, 0x01]) + \
+    bytes([0x01, 0x2A])
+zep2 = b"EX" + bytes([2, 1, 15]) + struct.pack(">H", 2) + bytes([0, 200]) + \
+    bytes(8) + struct.pack(">I", 10) + bytes(10) + \
+    bytes([len(wpan + znwk + zaps)]) + wpan + znwk + zaps
+extra.append((t3, 31000, ip_frame(17, A, B, udp(50154, 17754, zep2), ident=317)))
+
+isup = struct.pack("<H", 30) + bytes([1])
+m3ua_param = struct.pack(">HH", 0x0210, 4 + 12 + len(isup)) + \
+    struct.pack(">II", 1001, 2002) + bytes([5, 1, 0, 0]) + isup
+m3ua = bytes([1, 0, 1, 1]) + struct.pack(">I", 8 + len(m3ua_param)) + m3ua_param
+chunk_len = 16 + len(m3ua)
+sctp_chunk = bytes([0, 3]) + struct.pack(">H", chunk_len) + \
+    struct.pack(">IHHI", 1, 0, 0, 3) + m3ua
+pad = (4 - chunk_len % 4) % 4
+sctp = struct.pack(">HHII", 2905, 2905, 0x42, 0) + sctp_chunk + bytes(pad)
+extra.append((t3, 31100, ip_frame(132, A, B, sctp, ident=318)))
+
+icap = b"REQMOD icap://icap.example.com/mod ICAP/1.0\r\n" + \
+    b"Host: icap.example.com\r\n\r\n"
+extra.append((t3, 31200, ip_frame(6, A, B, tcp(50155, 1344, 1, icap), ident=319)))
+
+ncp = struct.pack(">H", 0x2222) + bytes([5, 1, 1, 0, 22])
+extra.append((t3, 31300, ip_frame(6, A, B, tcp(50156, 524, 1, ncp), ident=320)))
+
+glbp = bytes([1, 0]) + struct.pack(">H", 10) + bytes(2) + MAC_A + \
+    bytes([1, 28]) + bytes(26)
+extra.append((t3, 31400, ip_frame(17, A, B, udp(50157, 3222, glbp), ident=321)))
+
+synergy = struct.pack(">I", 11) + b"Synergy" + struct.pack(">HH", 1, 6)
+extra.append((t3, 31500, ip_frame(6, A, B, tcp(50158, 24800, 1, synergy), ident=322)))
+
+udt = struct.pack(">I", 0x80000000) + struct.pack(">III", 0, 0, 0x42)
+extra.append((t3, 31600, ip_frame(17, A, B, udp(50159, 9000, udt), ident=323)))
+
+kpw = struct.pack(">HHH", 16, 1, 0) + bytes(10)
+extra.append((t3, 31700, ip_frame(17, A, B, udp(50160, 464, kpw), ident=324)))
+
+cups = b"6 3 ipp://print.example.com/printers/laser\n"
+extra.append((t3, 31800, ip_frame(17, A, B, udp(50161, 631, cups), ident=325)))
+
+isns = struct.pack(">HHHHHH", 1, 1, 0, 0x8400, 7, 0)
+extra.append((t3, 31900, ip_frame(6, A, B, tcp(50162, 3205, 1, isns), ident=326)))
+
+nvme = bytes([0, 0, 128, 0]) + struct.pack("<I", 128) + bytes(120)
+extra.append((t3, 32000, ip_frame(6, A, B, tcp(50163, 4420, 1, nvme), ident=327)))
+
+dlsw = bytes([0x31, 72]) + struct.pack(">H", 0) + bytes(10) + bytes([0x01]) + \
+    bytes(57)
+extra.append((t3, 32100, ip_frame(6, A, B, tcp(50164, 2065, 1, dlsw), ident=328)))
+
+hip = bytes([59, 4, 1, 0x21]) + struct.pack(">HH", 0, 0) + bytes(32)
+extra.append((t3, 32200, ip_frame(139, A, B, hip, ident=329)))
+
+ndmp = struct.pack(">I", 0x80000000 | 28) + \
+    struct.pack(">IIIIII", 1, 0, 0, 0x900, 0, 0) + struct.pack(">I", 4)
+extra.append((t3, 32300, ip_frame(6, A, B, tcp(50165, 10000, 1, ndmp), ident=330)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
