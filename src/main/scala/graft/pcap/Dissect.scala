@@ -950,6 +950,8 @@ object Dissect {
         dissectAoe(d, l3off, v, protos)
       case 0x8863 =>
         dissectPppoed(d, l3off, v, protos)
+      case 0x8864 =>
+        dissectPppoeSession(d, l3off, v, protos)
       case 0x0842 =>
         dissectWol(d, l3off, d.length, v, protos)
       case 0x8809 =>
@@ -2417,6 +2419,14 @@ object Dissect {
         appInfo = dissectDlsw(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 10000 || dp == 10000))
         appInfo = dissectNdmp(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 1720 || dp == 1720))
+        appInfo = dissectQ931(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 5190 || dp == 5190))
+        appInfo = dissectAim(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 446 || dp == 446))
+        appInfo = dissectDrda(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 5000 || dp == 5000))
+        appInfo = dissectHsms(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -3149,6 +3159,41 @@ object Dissect {
       val udInfo = dissectUdt(d, off + 8, math.min(payLen, d.length - off - 8),
         v, protos)
       if (udInfo != null) return udInfo
+    }
+    if (sp == 635 || dp == 635) {
+      val mtInfo = dissectMount(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (mtInfo != null) return mtInfo
+    }
+    if (sp == 834 || dp == 834) {
+      val ypInfo = dissectYpserv(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (ypInfo != null) return ypInfo
+    }
+    if (sp == 654 || dp == 654) {
+      val aoInfo = dissectAodv(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (aoInfo != null) return aoInfo
+    }
+    if (sp == 854 || dp == 854) {
+      val dlInfo = dissectDlep(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (dlInfo != null) return dlInfo
+    }
+    if (sp == 5007 || dp == 5007) {
+      val mlInfo = dissectMelsec(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (mlInfo != null) return mlInfo
+    }
+    if (sp == 20202 || dp == 20202) {
+      val gvInfo = dissectGvsp(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (gvInfo != null) return gvInfo
+    }
+    if (sp == 9200 || dp == 9200) {
+      val wsInfo = dissectWsp(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (wsInfo != null) return wsInfo
     }
     if (sp == 5246 || dp == 5246) {
       val cwInfo = dissectCapwap(d, off + 8, math.min(payLen, d.length - off - 8),
@@ -6653,7 +6698,9 @@ object Dissect {
     }
     if (i >= end || y == null) return null
     protos += "bt-dht"
-    if (q != null) v("bt-dht.bencoded.string") = q
+    // the KRPC body IS a bencoded dictionary — surface the content layer
+    protos += "bencode"
+    if (q != null) { v("bt-dht.bencoded.string") = q; v("bencode.str") = q }
     y match {
       case "q" => s"DHT Query ${if (q != null) q else "?"}"
       case "r" => "DHT Response"
@@ -7993,6 +8040,18 @@ object Dissect {
     v("knxnetip.protocol_version") = 0x10L
     v("knxnetip.service") = svc.toLong
     v("knxnetip.total_length") = tlen.toLong
+    // TUNNELING_REQUEST carries a cEMI frame after the 4-byte connection
+    // header — the KNX message code surfaces as its own layer
+    if (svc == 0x0420 && len >= 11) {
+      protos += "cemi"
+      val mc = u8(d, off + 10)
+      v("cemi.msgcode") = mc.toLong
+      val mcName = mc match {
+        case 0x11 => "L_Data.req"; case 0x29 => "L_Data.ind"
+        case 0x2e => "L_Data.con"; case m => f"cEMI 0x$m%02x"
+      }
+      return s"$name, $mcName"
+    }
     name
   }
 
@@ -9800,6 +9859,296 @@ object Dissect {
         val alpn = v.get("dns.svcb.svcparam.alpn").fold("")(a => s" alpn=$a")
         s"$base $typeName $prio$tgt$alpn"
       case _                => base
+    }
+  }
+
+  // ---- tier 44: the PPPoE-session/PPP/auth chain, Q.931 call signaling
+  // over TPKT, the ONC-RPC mount/ypserv siblings, and eight more app
+  // stubs (AODV, DLEP, AIM, DRDA, HSMS, MELSEC, GVSP, WSP) ----
+
+  /** PPPoE session stage (ethertype 0x8864): the v1/t1 header, then the
+    * PPP protocol field and — for 0xC223/0xC023 — the CHAP or PAP
+    * authentication layer. */
+  private def dissectPppoeSession(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 8 || u8(d, off) != 0x11 || u8(d, off + 1) != 0)
+      return null
+    protos += "pppoes"
+    v("pppoe.version") = 1L
+    v("pppoe.type") = 1L
+    v("pppoe.code") = 0L
+    v("pppoe.session_id") = u16(d, off + 2).toLong
+    v("pppoe.payload_length") = u16(d, off + 4).toLong
+    protos += "ppp"
+    val proto = u16(d, off + 6)
+    v("ppp.protocol") = proto.toLong
+    val p = off + 8
+    proto match {
+      case 0xc223 if d.length >= p + 4 =>
+        protos += "chap"
+        val code = u8(d, p)
+        v("chap.code") = code.toLong
+        v("chap.identifier") = u8(d, p + 1).toLong
+        code match {
+          case 1 => "CHAP Challenge"; case 2 => "CHAP Response"
+          case 3 => "CHAP Success"; case 4 => "CHAP Failure"
+          case c => s"CHAP code $c"
+        }
+      case 0xc023 if d.length >= p + 4 =>
+        protos += "pap"
+        val code = u8(d, p)
+        v("pap.code") = code.toLong
+        // Authenticate-Request: peer-id length + peer-id after the 4-byte
+        // code/id/length header
+        if (code == 1 && d.length > p + 4) {
+          val idLen = u8(d, p + 4)
+          if (d.length >= p + 5 + idLen)
+            v("pap.peer_id") = new String(d, p + 5, idLen, "ISO-8859-1")
+        }
+        code match {
+          case 1 => "PAP Authenticate-Request"
+          case 2 => "PAP Authenticate-Ack"
+          case 3 => "PAP Authenticate-Nak"
+          case c => s"PAP code $c"
+        }
+      case 0x0021 => "PPP IPv4"
+      case x => f"PPP protocol 0x$x%04x"
+    }
+  }
+
+  /** Q.931 call signaling over TPKT (TCP 1720 — the H.225 carrier):
+    * protocol discriminator 0x08, call reference, message type. */
+  private def dissectQ931(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 9 || u8(d, off) != 3 || u8(d, off + 1) != 0) return null
+    if (u16(d, off + 2) != len) return null
+    val q = off + 4
+    if (u8(d, q) != 0x08) return null
+    val crl = u8(d, q + 1)
+    if (crl > 4 || q + 2 + crl + 1 > off + len) return null
+    protos += "tpkt"
+    v("tpkt.version") = 3L
+    v("tpkt.length") = len.toLong
+    protos += "q931"
+    v("q931.protocol_discriminator") = 0x08L
+    v("q931.call_ref_len") = crl.toLong
+    v("q931.call_ref") =
+      (0 until crl).map(i => hex2(u8(d, q + 2 + i))).mkString
+    val mt = u8(d, q + 2 + crl)
+    v("q931.message_type") = mt.toLong
+    mt match {
+      case 0x05 => "SETUP"; case 0x02 => "CALL PROCEEDING"
+      case 0x07 => "CONNECT"; case 0x45 => "DISCONNECT"
+      case 0x5a => "RELEASE COMPLETE"; case 0x01 => "ALERTING"
+      case m => f"Q.931 0x$m%02x"
+    }
+  }
+
+  /** mountd MNT call (ONC RPC, program 100005): the export-path string
+    * argument. In production the port comes from the portmapper; the
+    * fixture uses the conventional 635. */
+  private def dissectMount(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 48 || u32(d, off + 4) != 0L || u32(d, off + 8) != 2L) return null
+    if (u32(d, off + 12) != 100005L) return null
+    val proc = u32(d, off + 20)
+    protos += "mount"
+    val args = off + 40
+    val plen = u32(d, args).toInt
+    if (plen > 0 && plen <= 255 && args + 4 + plen <= off + len) {
+      val path = new String(d, args + 4, plen, "ISO-8859-1")
+      v("mount.path") = path
+      if (proc == 1L) return s"MNT Call $path"
+      if (proc == 3L) return s"UMNT Call $path"
+    }
+    s"MOUNT proc $proc Call"
+  }
+
+  /** ypserv MATCH call (ONC RPC, program 100004): domain and map name
+    * arguments. */
+  private def dissectYpserv(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 48 || u32(d, off + 4) != 0L || u32(d, off + 8) != 2L) return null
+    if (u32(d, off + 12) != 100004L) return null
+    val proc = u32(d, off + 20)
+    protos += "ypserv"
+    var p = off + 40
+    def xdrStr(): String = {
+      if (p + 4 > off + len) return null
+      val n = u32(d, p).toInt
+      if (n < 0 || n > 255 || p + 4 + n > off + len) return null
+      val s = new String(d, p + 4, n, "ISO-8859-1")
+      p += 4 + ((n + 3) & ~3)
+      s
+    }
+    val domain = xdrStr()
+    if (domain != null) {
+      v("ypserv.domain") = domain
+      val map = xdrStr()
+      if (map != null) {
+        v("ypserv.map") = map
+        if (proc == 3L) return s"YPPROC_MATCH $map"
+      }
+    }
+    s"YPSERV proc $proc Call"
+  }
+
+  /** AODV (RFC 3561, UDP 654): message type + hop count. */
+  private def dissectAodv(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8) return null
+    val t = u8(d, off)
+    if (t < 1 || t > 4) return null
+    protos += "aodv"
+    v("aodv.type") = t.toLong
+    if (t == 1 || t == 2) v("aodv.hopcount") = u8(d, off + 3).toLong
+    t match {
+      case 1 => "Route Request"; case 2 => "Route Reply"
+      case 3 => "Route Error"; case _ => "Route Reply Ack"
+    }
+  }
+
+  /** DLEP (RFC 8175, UDP 854): the "DLEP" discovery magic + signal
+    * type. */
+  private def dissectDlep(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8 || d(off) != 'D' || d(off + 1) != 'L' || d(off + 2) != 'E' ||
+      d(off + 3) != 'P') return null
+    protos += "dlep"
+    val t = u16(d, off + 4)
+    v("dlep.signal.type") = t.toLong
+    t match {
+      case 1 => "Peer Discovery Signal"
+      case 2 => "Peer Offer Signal"
+      case x => s"DLEP signal $x"
+    }
+  }
+
+  /** AIM/OSCAR FLAP (TCP 5190): channel, sequence, and the SNAC family
+    * on channel 2. */
+  private def dissectAim(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 6 || u8(d, off) != 0x2A) return null
+    val ch = u8(d, off + 1)
+    if (ch < 1 || ch > 5) return null
+    if (u16(d, off + 4) != len - 6) return null
+    protos += "aim"
+    v("aim.channel") = ch.toLong
+    v("aim.seqno") = u16(d, off + 2).toLong
+    if (ch == 2 && len >= 10) {
+      val fam = u16(d, off + 6)
+      v("aim.fnac.family") = fam.toLong
+      f"FLAP SNAC, family 0x$fam%04x"
+    } else s"FLAP channel $ch"
+  }
+
+  /** DRDA DDM (TCP 446): length, 0xD0 magic, code point. */
+  private def dissectDrda(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 10 || u8(d, off + 2) != 0xD0) return null
+    if (u16(d, off) != len) return null
+    protos += "drda"
+    v("drda.ddm.length") = len.toLong
+    val cp = u16(d, off + 8)
+    v("drda.ddm.codepoint") = cp.toLong
+    cp match {
+      case 0x1041 => "EXCSAT"; case 0x106D => "ACCSEC"; case 0x106E => "SECCHK"
+      case 0x2001 => "ACCRDB"; case c => f"DDM 0x$c%04x"
+    }
+  }
+
+  /** SEMI HSMS (TCP 5000): length-prefixed header — session id,
+    * presentation/session types. */
+  private def dissectHsms(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 14 || u32(d, off) != (len - 4).toLong) return null
+    val ptype = u8(d, off + 8)
+    val stype = u8(d, off + 9)
+    if (ptype != 0 || stype > 10) return null
+    protos += "hsms"
+    v("hsms.sessionid") = u16(d, off + 4).toLong
+    v("hsms.ptype") = 0L
+    v("hsms.stype") = stype.toLong
+    stype match {
+      case 0 => "Data Message"; case 1 => "Select.req"; case 2 => "Select.rsp"
+      case 5 => "Linktest.req"; case 6 => "Linktest.rsp"
+      case 9 => "Separate.req"; case s => s"HSMS stype $s"
+    }
+  }
+
+  /** Mitsubishi MELSEC 3E frame (UDP 5007): 0x5000 subheader,
+    * little-endian command. */
+  private def dissectMelsec(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 15 || u8(d, off) != 0x50 || u8(d, off + 1) != 0) return null
+    protos += "melsec"
+    v("melsec.subheader") = 0x5000L
+    val cmd = u8(d, off + 11) | (u8(d, off + 12) << 8)
+    v("melsec.command") = cmd.toLong
+    cmd match {
+      case 0x0401 => "Batch Read (0x0401)"
+      case 0x1401 => "Batch Write (0x1401)"
+      case c => f"MELSEC command 0x$c%04x"
+    }
+  }
+
+  /** GVSP leader packet (GigE Vision streaming, UDP 20202): status,
+    * block id, payload type. */
+  private def dissectGvsp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 12 || u8(d, off + 4) != 0x01) return null // leader format
+    protos += "gvsp"
+    v("gvsp.status") = u16(d, off).toLong
+    val bid = u16(d, off + 2)
+    v("gvsp.blockid16") = bid.toLong
+    v("gvsp.payloadtype") = u16(d, off + 10).toLong
+    s"Leader, block $bid"
+  }
+
+  /** Connectionless WSP (WAP, UDP 9200): TID, PDU type, Get URI. */
+  private def dissectWsp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4) return null
+    val t = u8(d, off + 1)
+    if (t != 0x01 && t != 0x40 && t != 0x60 && t != 0x04) return null
+    protos += "wsp"
+    v("wsp.pdu_type") = t.toLong
+    t match {
+      case 0x40 =>
+        val ulen = u8(d, off + 2)
+        if (off + 3 + ulen <= off + len && ulen > 0) {
+          val uri = new String(d, off + 3, ulen, "ISO-8859-1")
+          s"WSP Get $uri"
+        } else "WSP Get"
+      case 0x01 => "WSP Connect"
+      case 0x60 => "WSP Post"
+      case _ =>
+        v("wsp.status") = u8(d, off + 2).toLong
+        "WSP Reply"
     }
   }
 

@@ -1268,9 +1268,11 @@ class PcapFormatSpec extends AnyFunSuite {
     val krpc = "d1:ad2:id20:abcdefghij0123456789e1:q4:ping1:t2:aa1:y1:qe"
       .getBytes("ISO-8859-1")
     val d2 = dissectOne(ethIpUdp(50020, 6881, krpc))
-    assert(d2.protocols === "eth:ethertype:ip:udp:bt-dht")
+    // tier 44: the KRPC body surfaces its bencode content layer too
+    assert(d2.protocols === "eth:ethertype:ip:udp:bt-dht:bencode")
     assert(d2.info === "DHT Query ping")
     assert(d2.values("bt-dht.bencoded.string") === "ping")
+    assert(d2.values("bencode.str") === "ping")
     // a response (no q key)
     val resp = "d1:rd2:id20:abcdefghij0123456789e1:t2:aa1:y1:re"
       .getBytes("ISO-8859-1")

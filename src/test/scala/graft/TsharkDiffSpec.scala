@@ -99,7 +99,11 @@ class TsharkDiffSpec extends SparkSpec {
     // t43 — ZigBee stack, SS7 over SCTP, app-layer stubs
     "wpan", "zbee_nwk", "zbee_aps", "m3ua", "mtp3", "isup", "icap", "ncp",
     "glbp", "synergy", "udt", "kpasswd", "cups", "isns", "nvme-tcp",
-    "dlsw", "hip", "ndmp")
+    "dlsw", "hip", "ndmp",
+    // t44 — PPPoE session auth, Q.931, RPC siblings, app stubs
+    "pppoes", "ppp", "chap", "pap", "q931", "mount", "ypserv", "aodv",
+    "dlep", "aim", "drda", "hsms", "melsec", "gvsp", "wsp", "cemi",
+    "bencode")
 
   private def assertedLayer(l: String): Boolean =
     coreInfoLayers.contains(l) || lateTierInfoLayers.contains(l)

@@ -1818,6 +1818,70 @@ ndmp = struct.pack(">I", 0x80000000 | 28) + \
     struct.pack(">IIIIII", 1, 0, 0, 0x900, 0, 0) + struct.pack(">I", 4)
 extra.append((t3, 32300, ip_frame(6, A, B, tcp(50165, 10000, 1, ndmp), ident=330)))
 
+# 325-338: tier 44 — PPPoE-session/PPP/CHAP+PAP, Q.931-over-TPKT, the
+# ONC-RPC mount/ypserv siblings, AODV, DLEP, AIM, DRDA, HSMS, MELSEC,
+# GVSP, WSP, and a KNX tunneling request carrying cEMI
+chap = bytes([1, 5]) + struct.pack(">H", 14) + bytes([8]) + bytes(8) + b"S"
+pppoe_chap = bytes([0x11, 0x00]) + struct.pack(">HH", 7, 2 + len(chap)) + \
+    struct.pack(">H", 0xC223) + chap
+extra.append((t3, 32400, eth(MAC_B, MAC_A, 0x8864, pppoe_chap)))
+
+pap = bytes([1, 2]) + struct.pack(">H", 11) + bytes([5]) + b"alice" + bytes([0])
+pppoe_pap = bytes([0x11, 0x00]) + struct.pack(">HH", 8, 2 + len(pap)) + \
+    struct.pack(">H", 0xC023) + pap
+extra.append((t3, 32500, eth(MAC_B, MAC_A, 0x8864, pppoe_pap)))
+
+q931 = bytes([0x08, 0x02, 0x00, 0x42, 0x05]) + bytes([0x04, 0x03, 0x80, 0x90, 0xA3])
+tpkt_q931 = struct.pack(">BBH", 3, 0, 4 + len(q931)) + q931
+extra.append((t3, 32600, ip_frame(6, A, B, tcp(50166, 1720, 1, tpkt_q931), ident=331)))
+
+mnt = struct.pack(">IIII", 0x78, 0, 2, 100005) + struct.pack(">II", 3, 1) + \
+    bytes(16) + struct.pack(">I", 12) + b"/export/data"
+extra.append((t3, 32700, ip_frame(17, A, B, udp(50167, 635, mnt), ident=332)))
+
+def xdr_str(s):
+    pad = (4 - len(s) % 4) % 4
+    return struct.pack(">I", len(s)) + s + bytes(pad)
+
+yp = struct.pack(">IIII", 0x79, 0, 2, 100004) + struct.pack(">II", 2, 3) + \
+    bytes(16) + xdr_str(b"lab.example") + xdr_str(b"passwd.byname") + \
+    xdr_str(b"alice")
+extra.append((t3, 32800, ip_frame(17, A, B, udp(50168, 834, yp), ident=333)))
+
+aodv = bytes([1, 0, 0, 2]) + struct.pack(">IIIII", 9, 0x0A000002, 0, 0x0A000001, 1)
+extra.append((t3, 32900, ip_frame(17, A, B, udp(50169, 654, aodv), ident=334)))
+
+extra.append((t3, 33000, ip_frame(17, A, B,
+              udp(50170, 854, b"DLEP" + struct.pack(">HH", 1, 0)), ident=335)))
+
+aim = bytes([0x2A, 2]) + struct.pack(">HH", 1, 10) + \
+    struct.pack(">HHHI", 2, 4, 0, 0x42)
+extra.append((t3, 33100, ip_frame(6, A, B, tcp(50171, 5190, 1, aim), ident=336)))
+
+drda = struct.pack(">H", 14) + bytes([0xD0, 0x41]) + struct.pack(">HHH", 1, 8, 0x1041) + bytes(4)
+extra.append((t3, 33200, ip_frame(6, A, B, tcp(50172, 446, 1, drda), ident=337)))
+
+hsms = struct.pack(">I", 10) + struct.pack(">H", 0xFFFF) + \
+    bytes([0, 0, 0, 1]) + struct.pack(">I", 3)
+extra.append((t3, 33300, ip_frame(6, A, B, tcp(50173, 5000, 1, hsms), ident=338)))
+
+melsec = bytes([0x50, 0x00, 0x00, 0xFF, 0xFF, 0x03, 0x00]) + \
+    struct.pack("<HH", 12, 16) + struct.pack("<HH", 0x0401, 0) + bytes(4)
+extra.append((t3, 33400, ip_frame(17, A, B, udp(50174, 5007, melsec), ident=339)))
+
+gvsp = struct.pack(">HH", 0, 7) + bytes([1, 0, 0, 0]) + \
+    struct.pack(">HH", 0, 1) + bytes(4)
+extra.append((t3, 33500, ip_frame(17, A, B, udp(50175, 20202, gvsp), ident=340)))
+
+wsp_uri = b"http://wap.example/idx"
+wsp = bytes([0x01, 0x40, len(wsp_uri)]) + wsp_uri
+extra.append((t3, 33600, ip_frame(17, A, B, udp(50176, 9200, wsp), ident=341)))
+
+cemi = bytes([0x11, 0x00, 0xBC, 0xE0, 0x11, 0x0A, 0x00, 0x08, 0x01, 0x00, 0x81])
+knx_tun = bytes([0x06, 0x10, 0x04, 0x20]) + \
+    struct.pack(">H", 6 + 4 + len(cemi)) + bytes([4, 0x15, 0, 0]) + cemi
+extra.append((t3, 33700, ip_frame(17, A, B, udp(50177, 3671, knx_tun), ident=342)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
