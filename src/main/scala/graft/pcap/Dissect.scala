@@ -2427,6 +2427,8 @@ object Dissect {
         appInfo = dissectDrda(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 5000 || dp == 5000))
         appInfo = dissectHsms(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 647 || dp == 647))
+        appInfo = dissectDhcpfo(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -3195,6 +3197,26 @@ object Dissect {
         v, protos)
       if (wsInfo != null) return wsInfo
     }
+    if (sp == 443 || dp == 443) {
+      val gqInfo = dissectGquic(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (gqInfo != null) return gqInfo
+    }
+    if (sp == 8600 || dp == 8600) {
+      val axInfo = dissectAsterix(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (axInfo != null) return axInfo
+    }
+    if (sp == 8004 || dp == 8004) {
+      val cgInfo = dissectCigi(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (cgInfo != null) return cgInfo
+    }
+    if (sp == 6004 || dp == 6004) {
+      val t3Info = dissectT38(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (t3Info != null) return t3Info
+    }
     if (sp == 5246 || dp == 5246) {
       val cwInfo = dissectCapwap(d, off + 8, math.min(payLen, d.length - off - 8),
         v, protos)
@@ -3697,6 +3719,7 @@ object Dissect {
       "Server Hello"
     } else if (hsType == 11) {
       val subject = parseCertificateCns(d, pstart + 5, math.min(pstart + plen, d.length), v)
+      parseCertificateX509(d, pstart + 5, math.min(pstart + plen, d.length), v, protos)
       subject.map(cn => s"Certificate (CN=$cn)").getOrElse("Certificate")
     } else tlsHandshakeNames.getOrElse(hsType, s"Handshake type=$hsType")
   }
@@ -3735,6 +3758,96 @@ object Dissect {
     v("tls.handshake.certificate_issuer_cn") = cns.head
     v("tls.handshake.certificate_subject_cn") = cns.last
     Some(cns.last)
+  }
+
+  /** X.509 structure scan over the first certificate of a TLS Certificate
+    * message — the same pragmatic-scan contract as [[parseCertificateCns]]:
+    * the [0] EXPLICIT version + trailing serial INTEGER, the 9-byte
+    * AlgorithmIdentifier OID (decoded generically), and the
+    * subjectAltName / basicConstraints / subjectKeyIdentifier extensions
+    * by their 2.5.29.x OIDs. Registers the x509af / x509ce layers the way
+    * tshark's delegated x509 dissectors appear in frame.protocols. */
+  private def parseCertificateX509(
+      d: Array[Byte], hs: Int, end: Int, v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): Unit = {
+    var sawAf = false
+    var sawCe = false
+    def markAf(): Unit = if (!sawAf) { sawAf = true; protos += "x509af" }
+    def markCe(): Unit = if (!sawCe) { sawCe = true; protos += "x509ce" }
+    var p = hs + 10 // handshake(4) + certs len(3) + first cert len(3)
+    while (p + 6 < end) {
+      // version [0] EXPLICIT { INTEGER v } + serialNumber INTEGER
+      if ((d(p) & 0xff) == 0xA0 && d(p + 1) == 0x03 && d(p + 2) == 0x02 &&
+        d(p + 3) == 0x01 && !sawAf) {
+        markAf()
+        v("x509af.version") = (d(p + 4) & 0xff).toLong
+        if (p + 6 < end && d(p + 5) == 0x02) {
+          val sl = d(p + 6) & 0xff
+          if (sl > 0 && sl < 0x20 && p + 7 + sl <= end)
+            v("x509af.serialNumber") =
+              (0 until sl).map(i => hex2(d(p + 7 + i) & 0xff)).mkString
+        }
+      }
+      // AlgorithmIdentifier: SEQUENCE { OID(9 bytes) ... }
+      if (d(p) == 0x30 && d(p + 1) == 0x0D && d(p + 2) == 0x06 &&
+        d(p + 3) == 0x09 && p + 13 <= end) {
+        markAf()
+        val oid = new StringBuilder
+        val b0 = d(p + 4) & 0xff
+        oid.append(b0 / 40).append('.').append(b0 % 40)
+        var acc = 0L
+        var i = p + 5
+        while (i < p + 13) {
+          val b = d(i) & 0xff
+          acc = (acc << 7) | (b & 0x7f)
+          if ((b & 0x80) == 0) { oid.append('.').append(acc); acc = 0L }
+          i += 1
+        }
+        v("x509af.algorithm.id") = oid.toString
+      }
+      // extensions by OID 2.5.29.x = 06 03 55 1D xx
+      if (d(p) == 0x06 && d(p + 1) == 0x03 && (d(p + 2) & 0xff) == 0x55 &&
+        (d(p + 3) & 0xff) == 0x1D) {
+        (d(p + 4) & 0xff) match {
+          case 0x11 => // subjectAltName: ... 04 l 30 l2 82 l3 dNSName
+            var q = p + 5
+            val lim = math.min(end, p + 16)
+            while (q + 2 < lim) {
+              if ((d(q) & 0xff) == 0x82) {
+                val nl = d(q + 1) & 0xff
+                if (nl > 0 && nl < 0x80 && q + 2 + nl <= end) {
+                  markCe()
+                  v("x509ce.dNSName") = new String(d, q + 2, nl, "ISO-8859-1")
+                  q = lim
+                } else q += 1
+              } else q += 1
+            }
+          case 0x13 => // basicConstraints: cA BOOLEAN present?
+            markCe()
+            var ca = false
+            var q = p + 5
+            val lim = math.min(end, p + 14)
+            while (q + 2 < lim) {
+              if (d(q) == 0x01 && d(q + 1) == 0x01 && (d(q + 2) & 0xff) == 0xff)
+                ca = true
+              q += 1
+            }
+            v("x509ce.cA") = ca
+          case 0x0e => // subjectKeyIdentifier: 04 l 04 l2 keyid
+            if (p + 7 < end && d(p + 5) == 0x04 && d(p + 7) == 0x04 &&
+              p + 9 + (d(p + 8) & 0xff) <= end) {
+              val kl = d(p + 8) & 0xff
+              if (kl > 0 && kl <= 20) {
+                markCe()
+                v("x509ce.keyIdentifier") =
+                  (0 until kl).map(i => hex2(d(p + 9 + i) & 0xff)).mkString
+              }
+            }
+          case _ =>
+        }
+      }
+      p += 1
+    }
   }
 
   /** Does the header block [0, hEnd) declare chunked transfer coding? */
@@ -6316,6 +6429,21 @@ object Dissect {
       val inner = dissectM3ua(d, dataOff, dataEnd, v, protos)
       if (inner != null) return inner
     }
+    // the RAN application protocols on their 3GPP-registered ports
+    if (dataOff > 0) {
+      val ranName =
+        if (sp == 36412 || dp == 36412) "s1ap"
+        else if (sp == 38412 || dp == 38412) "ngap"
+        else if (sp == 36422 || dp == 36422) "x2ap"
+        else if (sp == 38472 || dp == 38472) "f1ap"
+        else if (sp == 38462 || dp == 38462) "e1ap"
+        else if (sp == 38422 || dp == 38422) "xnap"
+        else null
+      if (ranName != null) {
+        val inner = dissectRanAp(ranName, d, dataOff, dataEnd, v, protos)
+        if (inner != null) return inner
+      }
+    }
     if (names.isEmpty) s"$sp → $dp"
     else s"$sp → $dp ${names.mkString(", ")}"
   }
@@ -8812,6 +8940,14 @@ object Dissect {
       val r = dissectIsis(d, off + 3, end, v, protos)
       if (r != null) return r
     }
+    if (dsap == 0x04 && ssap == 0x04) {
+      val r = dissectSna(d, off + 3, end, v, protos)
+      if (r != null) return r
+    }
+    if (dsap == 0xf0 && ssap == 0xf0 && ctrl == 0x03) {
+      val r = dissectNetbios(d, off + 3, end, v, protos)
+      if (r != null) return r
+    }
     f"LLC dsap=0x$dsap%02x ssap=0x$ssap%02x"
   }
 
@@ -9860,6 +9996,179 @@ object Dissect {
         s"$base $typeName $prio$tgt$alpn"
       case _                => base
     }
+  }
+
+  // ---- tier 45: the RAN ASN.1 control-plane family over SCTP (with the
+  // NAS payloads inside S1AP/NGAP), X.509 certificate layers, SNA and
+  // NetBIOS LLC classics, and SCTE-35 / GQUIC / ASTERIX / CIGI / DHCPFO /
+  // T.38 stubs ----
+
+  /** Shared aligned-PER header for the xxAP RAN protocols: PDU choice,
+    * procedureCode, criticality, short-form value length — then the
+    * protocol-IE walk (count, then id(2)/criticality(1)/length(1)/value)
+    * so the NAS-PDU IE surfaces the NAS layer inside S1AP (id 26, EPS
+    * NAS) and NGAP (id 38, 5GS NAS). */
+  private def dissectRanAp(
+      name: String, d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 4 || u8(d, off) > 2) return null
+    val pc = u8(d, off + 1)
+    protos += name
+    v(s"$name.procedureCode") = pc.toLong
+    // value: criticality(1) + length(1, short form) + SEQUENCE preamble(1)
+    // + IE count(2) + IEs
+    val vlen = u8(d, off + 3)
+    if (off + 4 + vlen > end || vlen < 3) return s"$name procedureCode $pc"
+    var p = off + 7
+    var n = u16(d, off + 5)
+    while (n > 0 && p + 4 <= end) {
+      val ieId = u16(d, p)
+      val ieLen = u8(d, p + 3)
+      val ieVal = p + 4
+      if (ieVal + ieLen > end) return s"$name procedureCode $pc"
+      val nasIe = (name == "s1ap" && ieId == 26) || (name == "ngap" && ieId == 38)
+      if (nasIe && ieLen >= 3) {
+        // OCTET STRING: length byte then the NAS message
+        val nas = ieVal + 1
+        val nlen = u8(d, ieVal)
+        if (nas + nlen <= end && nlen >= 2) {
+          if (name == "s1ap" && (u8(d, nas) & 0x0f) == 7) {
+            protos += "nas_eps"
+            v("nas_eps.nas_msg_emm_type") = u8(d, nas + 1).toLong
+          } else if (name == "ngap" && u8(d, nas) == 0x7e) {
+            protos += "nas_5gs"
+            v("nas_5gs.epd") = 0x7eL
+            v("nas_5gs.security_header_type") = (u8(d, nas + 1) & 0x0f).toLong
+          }
+        }
+      }
+      p = ieVal + ieLen
+      n -= 1
+    }
+    s"$name procedureCode $pc"
+  }
+
+  /** SNA FID2 transmission header over LLC DSAP/SSAP 0x04. */
+  private def dissectSna(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 6) return null
+    val fid = (u8(d, off) >> 4) & 0xf
+    if (fid != 2 && fid != 4) return null
+    protos += "sna"
+    v("sna.th.fid") = fid.toLong
+    if (fid == 2) v("sna.th.daf") = hex2(u8(d, off + 2))
+    s"SNA FID$fid"
+  }
+
+  /** NetBIOS Frames protocol over LLC DSAP/SSAP 0xF0: length, the
+    * 0xEFFF delimiter, command. */
+  private def dissectNetbios(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 5) return null
+    if (u8(d, off + 2) != 0xEF || u8(d, off + 3) != 0xFF) return null
+    protos += "netbios"
+    val cmd = u8(d, off + 4)
+    v("netbios.command") = cmd.toLong
+    cmd match {
+      case 0x0A => "Name Query"
+      case 0x0E => "Name Recognized"
+      case 0x08 => "Datagram"
+      case 0x19 => "Session Initialize"
+      case c => f"NetBIOS command 0x$c%02x"
+    }
+  }
+
+  /** Legacy Google QUIC (UDP 443, version bit set in the public flags):
+    * the Q0xx version string and the short packet number. */
+  private def dissectGquic(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 14) return null
+    val flags = u8(d, off)
+    if ((flags & 0x01) == 0 || (flags & 0x08) == 0) return null
+    if (d(off + 9) != 'Q' || d(off + 10) < '0' || d(off + 10) > '9') return null
+    protos += "gquic"
+    val ver = new String(d, off + 9, 4, "ISO-8859-1")
+    v("gquic.version") = ver
+    v("gquic.packet_number") = u8(d, off + 13).toLong
+    s"GQUIC $ver"
+  }
+
+  /** ASTERIX radar exchange (UDP 8600): category + data-block length. */
+  private def dissectAsterix(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4 || u16(d, off + 1) != len) return null
+    protos += "asterix"
+    val cat = u8(d, off)
+    v("asterix.category") = cat.toLong
+    v("asterix.length") = len.toLong
+    f"ASTERIX Cat $cat%03d"
+  }
+
+  /** CIGI v3 (UDP 8004): packet id, size, version. */
+  private def dissectCigi(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8 || u8(d, off + 1) > len) return null
+    val ver = u8(d, off + 2)
+    if (ver < 2 || ver > 4) return null
+    protos += "cigi"
+    val id = u8(d, off)
+    v("cigi.packet_id") = id.toLong
+    v("cigi.version") = ver.toLong
+    id match {
+      case 1 => "CIGI IG Control"
+      case 101 => "CIGI Start of Frame"
+      case x => s"CIGI packet $x"
+    }
+  }
+
+  /** DHCP failover (RFC draft, TCP 647): message length + type. */
+  private def dissectDhcpfo(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 12 || u16(d, off) != len) return null
+    val t = u8(d, off + 2)
+    if (t < 1 || t > 10) return null
+    protos += "dhcpfo"
+    v("dhcpfo.length") = len.toLong
+    v("dhcpfo.type") = t.toLong
+    t match {
+      case 1 => "POOLREQ"; case 2 => "POOLRESP"; case 3 => "BNDUPD"
+      case 4 => "BNDACK"; case 7 => "CONNECT"; case x => s"DHCPFO type $x"
+    }
+  }
+
+  /** T.38 fax over UDPTL (fixture port 6004): sequence number and the
+    * primary IFP's T.30 indicator. */
+  private def dissectT38(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 5) return null
+    val ifpLen = u8(d, off + 2)
+    if (ifpLen < 1 || off + 3 + ifpLen > off + len) return null
+    val ifp0 = u8(d, off + 3)
+    if ((ifp0 & 0x80) != 0) return null // indicator form only
+    protos += "t38"
+    v("t38.seq_number") = u16(d, off).toLong
+    val ind = (ifp0 >> 3) & 0x0f
+    v("t38.t30_indicator") = ind.toLong
+    val name = ind match {
+      case 0 => "no-signal"; case 1 => "cng"; case 2 => "ced"
+      case 3 => "v21-preamble"; case x => s"indicator $x"
+    }
+    s"UDPTL seq ${u16(d, off)}, $name"
   }
 
   // ---- tier 44: the PPPoE-session/PPP/auth chain, Q.931 call signaling
@@ -11183,6 +11492,23 @@ object Dissect {
     v("mp2t.pid") = pid.toLong
     v("mp2t.pusi") = (w & 0x4000) != 0
     v("mp2t.cc") = (u8(d, off + 3) & 0x0f).toLong
+    // SCTE-35 splice-info section (table id 0xFC) behind the PUSI pointer
+    if ((w & 0x4000) != 0 && (u8(d, off + 3) >> 4) == 1) {
+      val sec = off + 5 + u8(d, off + 4)
+      if (sec + 14 <= off + len && u8(d, sec) == 0xFC) {
+        protos += "scte35"
+        v("scte35.protocol_version") = u8(d, sec + 3).toLong
+        val cmdType = u8(d, sec + 13)
+        v("scte35.splice_command_type") = cmdType.toLong
+        val name = cmdType match {
+          case 0x05 => "Splice Insert"
+          case 0x06 => "Time Signal"
+          case 0x00 => "Splice Null"
+          case c => f"Command 0x$c%02x"
+        }
+        return s"SCTE-35 $name"
+      }
+    }
     f"MPEG-TS, ${len / 188} packets, PID 0x$pid%04x"
   }
 

@@ -103,7 +103,11 @@ class TsharkDiffSpec extends SparkSpec {
     // t44 — PPPoE session auth, Q.931, RPC siblings, app stubs
     "pppoes", "ppp", "chap", "pap", "q931", "mount", "ypserv", "aodv",
     "dlep", "aim", "drda", "hsms", "melsec", "gvsp", "wsp", "cemi",
-    "bencode")
+    "bencode",
+    // t45 — X.509 from TLS, RAN family with NAS, LLC classics, stubs
+    "x509af", "x509ce", "s1ap", "ngap", "x2ap", "f1ap", "e1ap", "xnap",
+    "nas_eps", "nas_5gs", "sna", "netbios", "gquic", "asterix", "cigi",
+    "dhcpfo", "t38", "scte35")
 
   private def assertedLayer(l: String): Boolean =
     coreInfoLayers.contains(l) || lateTierInfoLayers.contains(l)

@@ -1882,6 +1882,88 @@ knx_tun = bytes([0x06, 0x10, 0x04, 0x20]) + \
     struct.pack(">H", 6 + 4 + len(cemi)) + bytes([4, 0x15, 0, 0]) + cemi
 extra.append((t3, 33700, ip_frame(17, A, B, udp(50177, 3671, knx_tun), ident=342)))
 
+# 339-352: tier 45 — X.509 layers out of a TLS Certificate, the RAN
+# ASN.1 family over SCTP (with NAS inside S1AP/NGAP), SNA + NetBIOS LLC
+# classics, GQUIC, ASTERIX, CIGI, DHCPFO, T.38/UDPTL, SCTE-35 in MPEG-TS
+
+
+def x509_cn(name):
+    return bytes([6, 3, 0x55, 4, 3, 0x0C, len(name)]) + name
+
+
+cert_body = bytes([0xA0, 3, 2, 1, 2]) + bytes([0x02, 4]) + \
+    bytes.fromhex("0099AB12") + \
+    bytes([0x30, 0x0D, 0x06, 0x09]) + bytes.fromhex("2A864886F70D01010B") + \
+    bytes([5, 0]) + bytes(4) + x509_cn(b"GraftCA") + bytes(4) + \
+    x509_cn(b"www.example.com") + \
+    bytes([6, 3, 0x55, 0x1D, 0x11, 4, 8, 0x30, 6, 0x82, 4]) + b"a.io" + \
+    bytes([6, 3, 0x55, 0x1D, 0x13, 4, 5, 0x30, 3, 1, 1, 0xFF]) + \
+    bytes([6, 3, 0x55, 0x1D, 0x0E, 4, 6, 4, 4]) + bytes.fromhex("AABBCCDD")
+certs_total = 3 + len(cert_body)
+hs_len = 3 + certs_total
+tls_cert = bytes([22, 3, 3]) + struct.pack(">H", 4 + hs_len) + \
+    bytes([11]) + struct.pack(">I", hs_len)[1:] + \
+    struct.pack(">I", certs_total)[1:] + \
+    struct.pack(">I", len(cert_body))[1:] + cert_body
+extra.append((t3, 33800, ip_frame(6, B, A, tcp(443, 49153, 1, tls_cert), ident=343)))
+
+
+def sctp_data(sport, dport, ppid, payload):
+    chunk_len = 16 + len(payload)
+    chunk = bytes([0, 3]) + struct.pack(">H", chunk_len) + \
+        struct.pack(">IHHI", 1, 0, 0, ppid) + payload
+    pad = (4 - chunk_len % 4) % 4
+    return struct.pack(">HHII", sport, dport, 0x42, 0) + chunk + bytes(pad)
+
+
+def ranap_pdu(pc, ie_id, ie_val):
+    ies = struct.pack(">H", ie_id) + bytes([0, len(ie_val)]) + ie_val
+    val = bytes([0]) + struct.pack(">H", 1) + ies
+    return bytes([0, pc, 0x40, len(val)]) + val
+
+
+s1ap = ranap_pdu(12, 26, bytes([3, 0x07, 0x41, 0x71]))
+extra.append((t3, 33900, ip_frame(132, A, B, sctp_data(36412, 36412, 18, s1ap),
+              ident=344)))
+ngap = ranap_pdu(15, 38, bytes([3, 0x7E, 0x00, 0x41]))
+extra.append((t3, 34000, ip_frame(132, A, B, sctp_data(38412, 38412, 60, ngap),
+              ident=345)))
+extra.append((t3, 34100, ip_frame(132, A, B,
+              sctp_data(36422, 36422, 27, ranap_pdu(6, 0x15, bytes(2))), ident=346)))
+extra.append((t3, 34200, ip_frame(132, A, B,
+              sctp_data(38472, 38472, 62, ranap_pdu(1, 0x15, bytes(2))), ident=347)))
+extra.append((t3, 34300, ip_frame(132, A, B,
+              sctp_data(38462, 38462, 64, ranap_pdu(3, 0x15, bytes(2))), ident=348)))
+extra.append((t3, 34400, ip_frame(132, A, B,
+              sctp_data(38422, 38422, 61, ranap_pdu(0, 0x15, bytes(2))), ident=349)))
+
+llc_sna = bytes([0x04, 0x04, 0x03]) + bytes([0x2C, 0, 0x05, 0x01, 0, 1]) + bytes(6)
+extra.append((t3, 34500, eth(MAC_B, MAC_A, len(llc_sna), llc_sna)))
+
+llc_nb = bytes([0xF0, 0xF0, 0x03]) + bytes([0x2C, 0, 0xEF, 0xFF, 0x0A]) + bytes(39)
+extra.append((t3, 34600, eth(MAC_B, MAC_A, len(llc_nb), llc_nb)))
+
+gquic = bytes([0x09]) + bytes(8) + b"Q043" + bytes([1]) + bytes(8)
+extra.append((t3, 34700, ip_frame(17, A, B, udp(50178, 443, gquic), ident=350)))
+
+asterix = bytes([48]) + struct.pack(">H", 12) + bytes(9)
+extra.append((t3, 34800, ip_frame(17, A, B, udp(50179, 8600, asterix), ident=351)))
+
+cigi = bytes([1, 16, 3, 0]) + bytes(12)
+extra.append((t3, 34900, ip_frame(17, A, B, udp(50180, 8004, cigi), ident=352)))
+
+dhcpfo = struct.pack(">H", 12) + bytes([1, 12]) + struct.pack(">II", 0, 7)
+extra.append((t3, 35000, ip_frame(6, A, B, tcp(50181, 647, 1, dhcpfo), ident=353)))
+
+t38 = struct.pack(">H", 1) + bytes([1, 0x08]) + bytes([0])
+extra.append((t3, 35100, ip_frame(17, A, B, udp(50182, 6004, t38), ident=354)))
+
+scte = bytes([0xFC, 0x30, 0x19, 0x00]) + bytes(5) + bytes([0]) + \
+    bytes([0xFF, 0xF0, 0x05]) + bytes([0x05])
+ts2 = bytes([0x47, 0x41, 0xE0, 0x11, 0x00]) + scte
+ts2 = ts2 + bytes(188 - len(ts2))
+extra.append((t3, 35200, ip_frame(17, A, B, udp(50183, 1234, ts2), ident=355)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
