@@ -2327,6 +2327,8 @@ object Dissect {
         appInfo = dissectIso8583(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 5555 || dp == 5555))
         appInfo = dissectZmtp(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 5555 || dp == 5555))
+        appInfo = dissectAdb(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 21001 || dp == 21001))
         appInfo = dissectSoupbin(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 10051 || dp == 10051))
@@ -2429,6 +2431,12 @@ object Dissect {
         appInfo = dissectHsms(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 647 || dp == 647))
         appInfo = dissectDhcpfo(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 24007 || dp == 24007))
+        appInfo = dissectGlusterfs(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 9300 || dp == 9300))
+        appInfo = dissectElasticsearch(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 2000 || dp == 2000))
+        appInfo = dissectSkinny(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -3216,6 +3224,21 @@ object Dissect {
       val t3Info = dissectT38(d, off + 8, math.min(payLen, d.length - off - 8),
         v, protos)
       if (t3Info != null) return t3Info
+    }
+    if (sp == 4342 || dp == 4342) {
+      val lcInfo = dissectLispControl(d, off + 8,
+        math.min(payLen, d.length - off - 8), v, protos)
+      if (lcInfo != null) return lcInfo
+    }
+    if (sp == 4045 || dp == 4045) {
+      val nlInfo = dissectNlm(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (nlInfo != null) return nlInfo
+    }
+    if (sp == 30002 || dp == 30002) {
+      val zrInfo = dissectZrtp(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (zrInfo != null) return zrInfo
     }
     if (sp == 5246 || dp == 5246) {
       val cwInfo = dissectCapwap(d, off + 8, math.min(payLen, d.length - off - 8),
@@ -4033,6 +4056,45 @@ object Dissect {
         if (inner != null) return inner
       }
     }
+    // Session Setup (cmd 1) request: the security buffer carries the
+    // GSS-API InitialContextToken / SPNEGO negotiation, usually wrapping
+    // an NTLMSSP token — the Wireshark layer chain smb2:gssapi:spnego:
+    // ntlmssp reproduced here
+    if (cmd == 1 && !isResponse && plen >= 64 + 16 && leU16(off + 64) == 25) {
+      val sboff = leU16(off + 76)
+      val sblen = leU16(off + 78)
+      if (sboff >= 64 && sblen >= 12 && off + sboff + sblen <= end) {
+        val blob = off + sboff
+        var extra = ""
+        if (u8(d, blob) == 0x60) {
+          protos += "gssapi"
+          v("gssapi.length") = sblen.toLong
+          if (u8(d, blob + 2) == 0x06 && u8(d, blob + 3) == 0x06) {
+            v("gssapi.oid") = "1.3.6.1.5.5.2"
+            protos += "spnego"
+            v("spnego.mech") = "1.3.6.1.5.5.2"
+          }
+        }
+        var q = blob
+        while (q + 12 <= blob + sblen && extra.isEmpty) {
+          if (d(q) == 'N' && d(q + 1) == 'T' && d(q + 2) == 'L' &&
+            d(q + 3) == 'M' && d(q + 4) == 'S' && d(q + 5) == 'S' &&
+            d(q + 6) == 'P' && d(q + 7) == 0) {
+            protos += "ntlmssp"
+            val mt = leU32(q + 8)
+            v("ntlmssp.messagetype") = mt
+            extra = mt match {
+              case 1L => ", NTLMSSP_NEGOTIATE"
+              case 2L => ", NTLMSSP_CHALLENGE"
+              case 3L => ", NTLMSSP_AUTH"
+              case _ => ", NTLMSSP"
+            }
+          }
+          q += 1
+        }
+        return s"$name Request$extra"
+      }
+    }
     s"$name ${if (isResponse) "Response" else "Request"}"
   }
 
@@ -4564,6 +4626,16 @@ object Dissect {
     v("rtp.seq") = seq.toLong
     v("rtp.timestamp") = ts
     v("rtp.ssrc") = f"0x$ssrc%08X"
+    // RFC 2833/4733 telephone-events ride dynamic PT 101 by convention
+    if (pt == 101 && len >= 16) {
+      protos += "rtpevent"
+      val ev = u8(d, off + 12)
+      v("rtpevent.event_id") = ev.toLong
+      v("rtpevent.duration") = u16(d, off + 14).toLong
+      val name = if (ev <= 9) ev.toString
+      else if (ev == 10) "*" else if (ev == 11) "#" else s"event $ev"
+      return s"RTP Event, DTMF $name"
+    }
     f"PT=${rtpPtName(pt)}, SSRC=0x$ssrc%08X, Seq=$seq, Time=$ts"
   }
 
@@ -6444,6 +6516,14 @@ object Dissect {
         if (inner != null) return inner
       }
     }
+    if (dataOff > 0 && (sp == 2904 || dp == 2904)) {
+      val inner = dissectM2ua(d, dataOff, dataEnd, v, protos)
+      if (inner != null) return inner
+    }
+    if (dataOff > 0 && (sp == 14001 || dp == 14001)) {
+      val inner = dissectSua(d, dataOff, dataEnd, v, protos)
+      if (inner != null) return inner
+    }
     if (names.isEmpty) s"$sp → $dp"
     else s"$sp → $dp ${names.mkString(", ")}"
   }
@@ -7105,6 +7185,22 @@ object Dissect {
     v("doip.version") = ver.toLong
     v("doip.type") = ptype.toLong
     v("doip.length") = u32(d, off + 4)
+    // diagnostic message (0x8001): source/target addresses then the UDS
+    // service — the automotive diagnostics layer DoIP exists to carry
+    if (ptype == 0x8001 && len >= 8 + 4 + 2) {
+      protos += "uds"
+      val sid = u8(d, off + 12)
+      v("uds.sid") = sid.toLong
+      v("uds.subfunction") = u8(d, off + 13).toLong
+      val sname = sid match {
+        case 0x10 => "DiagnosticSessionControl"
+        case 0x22 => "ReadDataByIdentifier"
+        case 0x27 => "SecurityAccess"
+        case 0x3E => "TesterPresent"
+        case s => f"UDS 0x$s%02x"
+      }
+      return s"UDS $sname"
+    }
     name
   }
 
@@ -9033,6 +9129,18 @@ object Dissect {
     if (end - off < 1) return null
     protos += "slow"
     val subtype = d(off) & 0xff
+    // 802.3ah link OAM (subtype 3): flags + code
+    if (subtype == 3 && end - off >= 4) {
+      protos += "oampdu"
+      v("oampdu.flags") = u16(d, off + 1).toLong
+      val code = u8(d, off + 3)
+      v("oampdu.code") = code.toLong
+      return code match {
+        case 0 => "OAMPDU: Information"
+        case 1 => "OAMPDU: Event Notification"
+        case c => f"OAMPDU code 0x$c%02x"
+      }
+    }
     if (subtype != 1 || end - off < 20) return f"Slow Protocols (subtype $subtype)"
     protos += "lacp"
     v("lacp.version") = (d(off + 1) & 0xff).toLong
@@ -9998,6 +10106,194 @@ object Dissect {
     }
   }
 
+  // ---- tier 46: layers chained out of existing dissectors (SCCP via
+  // M3UA, UDS via DoIP, RTP events, 802.3ah OAM via slow protocols, the
+  // smb2:gssapi:spnego:ntlmssp session-setup chain) plus ADB, LISP
+  // control, M2UA/SUA, NLM, GlusterFS, Elasticsearch, Skinny, ZRTP ----
+
+  /** Android Debug Bridge (TCP 5555, after the ZMTP gate declines): the
+    * 24-byte message header gated on magic = command ^ 0xFFFFFFFF. */
+  private def dissectAdb(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 24) return null
+    def le32(p: Int): Long = (u8(d, p) | (u8(d, p + 1) << 8) |
+      (u8(d, p + 2) << 16) | ((u8(d, p + 3).toLong) << 24)) & 0xffffffffL
+    val cmd = le32(off)
+    if ((cmd ^ 0xffffffffL) != le32(off + 20)) return null
+    protos += "adb"
+    val fourcc = new String(Array(d(off), d(off + 1), d(off + 2), d(off + 3)),
+      "ISO-8859-1")
+    v("adb.command") = fourcc
+    v("adb.arg0") = le32(off + 4)
+    v("adb.arg1") = le32(off + 8)
+    v("adb.data_length") = le32(off + 12)
+    fourcc match {
+      case "CNXN" => "ADB Connect"
+      case "AUTH" => "ADB Auth"
+      case "OPEN" => "ADB Open"
+      case "WRTE" => "ADB Write"
+      case "OKAY" => "ADB Okay"
+      case "CLSE" => "ADB Close"
+      case c => s"ADB $c"
+    }
+  }
+
+  /** LISP control plane (RFC 6830, UDP 4342): message type nibble. */
+  private def dissectLispControl(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4) return null
+    val t = u8(d, off) >> 4
+    if (t < 1 || t > 8) return null
+    protos += "lisp"
+    v("lisp.type") = t.toLong
+    t match {
+      case 1 => "Map-Request"; case 2 => "Map-Reply"; case 3 => "Map-Register"
+      case 4 => "Map-Notify"; case 8 => "Encapsulated Control Message"
+      case x => s"LISP type $x"
+    }
+  }
+
+  /** M2UA (RFC 3331, SCTP port 2904): version-1 class/type header. */
+  private def dissectM2ua(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 8 || u8(d, off) != 1) return null
+    protos += "m2ua"
+    val cls = u8(d, off + 2)
+    val t = u8(d, off + 3)
+    v("m2ua.message_class") = cls.toLong
+    v("m2ua.message_type") = t.toLong
+    if (cls == 6 && t == 1) "M2UA DATA"
+    else s"M2UA class $cls type $t"
+  }
+
+  /** SUA (RFC 3868, SCTP port 14001): version-1 header + message
+    * length. */
+  private def dissectSua(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end - off < 8 || u8(d, off) != 1) return null
+    protos += "sua"
+    val t = u8(d, off + 3)
+    v("sua.message_type") = t.toLong
+    v("sua.message_length") = u32(d, off + 4)
+    if (u8(d, off + 2) == 7 && t == 1) "SUA CLDT"
+    else s"SUA type $t"
+  }
+
+  /** NLM TEST call (ONC RPC program 100021, fixture port 4045): the
+    * netobj cookie argument. */
+  private def dissectNlm(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 48 || u32(d, off + 4) != 0L || u32(d, off + 8) != 2L) return null
+    if (u32(d, off + 12) != 100021L) return null
+    val proc = u32(d, off + 20)
+    protos += "nlm"
+    val args = off + 40
+    val cl = u32(d, args).toInt
+    if (cl > 0 && cl <= 16 && args + 4 + cl <= off + len)
+      v("nlm.cookie") = (0 until cl).map(i => hex2(u8(d, args + 4 + i))).mkString
+    val name = proc match {
+      case 1L => "TEST"; case 2L => "LOCK"; case 4L => "UNLOCK"
+      case p => s"Proc $p"
+    }
+    s"NLM $name Call"
+  }
+
+  /** GlusterFS FOP call (ONC RPC program 1298437, TCP 24007 with the
+    * record mark): procedure number + the 16-byte GFID argument. */
+  private def dissectGlusterfs(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 52 || (u8(d, off) & 0x80) == 0) return null
+    val p = off + 4
+    if (u32(d, p + 4) != 0L || u32(d, p + 8) != 2L) return null
+    if (u32(d, p + 12) != 1298437L) return null
+    val proc = u32(d, p + 20)
+    protos += "glusterfs"
+    v("glusterfs.proc") = proc
+    val args = p + 40
+    if (args + 16 <= off + len)
+      v("glusterfs.gfid") = (0 until 16).map(i => hex2(u8(d, args + i))).mkString
+    val name = proc match {
+      case 27L => "LOOKUP"; case 1L => "STAT"; case 11L => "OPEN"
+      case 12L => "READ"; case 13L => "WRITE"; case x => s"FOP $x"
+    }
+    s"GlusterFS $name Call"
+  }
+
+  /** Elasticsearch binary transport (TCP 9300): the 'ES' token, internal
+    * version, and the request's action name. */
+  private def dissectElasticsearch(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 22 || d(off) != 'E' || d(off + 1) != 'S') return null
+    if (u32(d, off + 2) != (len - 6).toLong) return null
+    protos += "elasticsearch"
+    v("elasticsearch.internal.header") = 0x4553L
+    v("elasticsearch.version") = u32(d, off + 15)
+    // fixture layout: status(1) version(4) context(2 zero) then a
+    // length-prefixed action string
+    val al = u8(d, off + 21)
+    if (al > 0 && al < 0x80 && off + 22 + al <= off + len) {
+      val action = new String(d, off + 22, al, "ISO-8859-1")
+      v("elasticsearch.action") = action
+      s"ES Request $action"
+    } else "ES Message"
+  }
+
+  /** Skinny / SCCP client control (TCP 2000): little-endian length,
+    * header version, message id. */
+  private def dissectSkinny(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 12) return null
+    def le32(p: Int): Long = (u8(d, p) | (u8(d, p + 1) << 8) |
+      (u8(d, p + 2) << 16) | ((u8(d, p + 3).toLong) << 24)) & 0xffffffffL
+    val dlen = le32(off)
+    if (dlen < 4L || dlen != (len - 8).toLong || le32(off + 4) != 0L) return null
+    protos += "skinny"
+    val mid = le32(off + 8)
+    v("skinny.data_length") = dlen
+    v("skinny.messageid") = mid
+    mid match {
+      case 0x0001L => "RegisterMessage"
+      case 0x0081L => "RegisterAckMessage"
+      case 0x0085L => "SetRingerMessage"
+      case m => f"Skinny 0x$m%04x"
+    }
+  }
+
+  /** ZRTP (RFC 6189, on the RTP media path): version-0 RTP-like header
+    * gated on the 0x5A525450 magic cookie; the message type and Hello
+    * version surface. */
+  private def dissectZrtp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 24 || u8(d, off) != 0x10) return null
+    if (u32(d, off + 4) != 0x5A525450L) return null
+    protos += "zrtp"
+    // message: preamble 0x505A, length, 8-char type
+    if (u16(d, off + 12) != 0x505A) return "ZRTP"
+    val mtype = new String(d, off + 16, 8, "ISO-8859-1").trim
+    v("zrtp.messagetype") = mtype
+    if (mtype == "Hello" && len >= 28)
+      v("zrtp.version") = new String(d, off + 24, 4, "ISO-8859-1")
+    s"ZRTP $mtype"
+  }
+
   // ---- tier 45: the RAN ASN.1 control-plane family over SCTP (with the
   // NAS payloads inside S1AP/NGAP), X.509 certificate layers, SNA and
   // NetBIOS LLC classics, and SCTE-35 / GQUIC / ASTERIX / CIGI / DHCPFO /
@@ -10527,6 +10823,17 @@ object Dissect {
         v("mtp3.dpc") = u32(d, p + 8)
         val si = u8(d, p + 12)
         v("mtp3.service_indicator") = si.toLong
+        // SI 3 = SCCP: the message type byte opens the SCCP header
+        if (si == 3 && p + 17 <= end) {
+          protos += "sccp"
+          val mt = u8(d, p + 16)
+          v("sccp.message_type") = mt.toLong
+          val name = mt match {
+            case 0x09 => "UDT"; case 0x11 => "XUDT"; case 0x01 => "CR"
+            case 0x02 => "CC"; case m => f"SCCP 0x$m%02x"
+          }
+          return s"SCCP ($name)"
+        }
         val isup = p + 16
         if (si == 5 && isup + 3 <= end) {
           protos += "isup"

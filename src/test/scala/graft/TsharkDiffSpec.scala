@@ -107,7 +107,11 @@ class TsharkDiffSpec extends SparkSpec {
     // t45 — X.509 from TLS, RAN family with NAS, LLC classics, stubs
     "x509af", "x509ce", "s1ap", "ngap", "x2ap", "f1ap", "e1ap", "xnap",
     "nas_eps", "nas_5gs", "sna", "netbios", "gquic", "asterix", "cigi",
-    "dhcpfo", "t38", "scte35")
+    "dhcpfo", "t38", "scte35",
+    // t46 — chained layers + app stubs
+    "sccp", "uds", "rtpevent", "oampdu", "gssapi", "spnego", "ntlmssp",
+    "adb", "lisp", "m2ua", "sua", "nlm", "glusterfs", "elasticsearch",
+    "skinny", "zrtp")
 
   private def assertedLayer(l: String): Boolean =
     coreInfoLayers.contains(l) || lateTierInfoLayers.contains(l)

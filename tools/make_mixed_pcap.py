@@ -1964,6 +1964,79 @@ ts2 = bytes([0x47, 0x41, 0xE0, 0x11, 0x00]) + scte
 ts2 = ts2 + bytes(188 - len(ts2))
 extra.append((t3, 35200, ip_frame(17, A, B, udp(50183, 1234, ts2), ident=355)))
 
+# 354-367: tier 46 — layers chained out of existing dissectors (SCCP via
+# M3UA, UDS via DoIP, RTP telephone-events, 802.3ah OAM, the SMB2
+# session-setup gssapi/spnego/ntlmssp chain) plus ADB, LISP control,
+# M2UA, SUA, NLM, GlusterFS, Elasticsearch, Skinny, ZRTP
+sccp_body = bytes([0x09]) + bytes([0x00, 0x03, 0x05, 0x07])
+m3ua_sccp_param = struct.pack(">HH", 0x0210, 4 + 12 + len(sccp_body)) + \
+    struct.pack(">II", 1001, 2002) + bytes([3, 1, 0, 0]) + sccp_body
+m3ua_sccp = bytes([1, 0, 1, 1]) + \
+    struct.pack(">I", 8 + len(m3ua_sccp_param)) + m3ua_sccp_param
+extra.append((t3, 35300, ip_frame(132, A, B,
+              sctp_data(2905, 2905, 3, m3ua_sccp), ident=356)))
+
+uds = bytes([0x0E, 0x10]) + bytes([0x0E, 0x02]) + bytes([0x10, 0x03])
+doip_uds = bytes([2, 0xFD]) + struct.pack(">H", 0x8001) + \
+    struct.pack(">I", len(uds)) + uds
+extra.append((t3, 35400, ip_frame(6, A, B, tcp(50184, 13400, 1, doip_uds),
+              ident=357)))
+
+rtpev = bytes([0x80, 101]) + struct.pack(">HI", 77, 160) + \
+    struct.pack(">I", 0x1234) + bytes([5, 0x0A]) + struct.pack(">H", 800)
+extra.append((t3, 35500, ip_frame(17, A, B, udp(49171, 49170, rtpev), ident=358)))
+
+oam = bytes([3]) + struct.pack(">H", 0x0050) + bytes([0]) + bytes(42)
+extra.append((t3, 35600, eth(bytes.fromhex("0180c2000002"), MAC_A, 0x8809, oam)))
+
+ntlm = b"NTLMSSP\x00" + struct.pack("<I", 1) + bytes(20)
+spnego_blob = bytes([0x60, len(ntlm) + 10, 0x06, 0x06]) + \
+    bytes.fromhex("2B0601050502") + bytes([0xA0, len(ntlm)]) + ntlm
+smb2_ss = smb2_hdr(1, 0, 9) + \
+    struct.pack("<HBBI", 25, 0, 0, 0) + struct.pack("<I", 0) + \
+    struct.pack("<HH", 64 + 24, len(spnego_blob)) + struct.pack("<Q", 0) + \
+    spnego_blob
+smb2_ss = struct.pack(">I", len(smb2_ss)) + smb2_ss
+extra.append((t3, 35700, ip_frame(6, A, B, tcp(53901, 445, 1, smb2_ss), ident=359)))
+
+adb = b"CNXN" + struct.pack("<III", 0x01000000, 256 * 1024, 0) + \
+    struct.pack("<I", 0) + bytes([0xBC, 0xB1, 0xA7, 0xB1])
+extra.append((t3, 35800, ip_frame(6, A, B, tcp(50185, 5555, 1, adb), ident=360)))
+
+extra.append((t3, 35900, ip_frame(17, A, B,
+              udp(50186, 4342, bytes([0x10, 0, 0, 1]) + bytes(12)), ident=361)))
+
+m2ua = bytes([1, 0, 6, 1]) + struct.pack(">I", 8)
+extra.append((t3, 36000, ip_frame(132, A, B, sctp_data(2904, 2904, 2, m2ua),
+              ident=362)))
+
+sua = bytes([1, 0, 7, 1]) + struct.pack(">I", 8)
+extra.append((t3, 36100, ip_frame(132, A, B, sctp_data(14001, 14001, 4, sua),
+              ident=363)))
+
+nlm = struct.pack(">IIII", 0x7A, 0, 2, 100021) + struct.pack(">II", 4, 1) + \
+    bytes(16) + struct.pack(">I", 4) + bytes.fromhex("CAFEBABE")
+extra.append((t3, 36200, ip_frame(17, A, B, udp(50187, 4045, nlm), ident=364)))
+
+gfs_rpc = struct.pack(">IIII", 0x7B, 0, 2, 1298437) + \
+    struct.pack(">II", 330, 27) + bytes(16) + bytes(range(16))
+gfs = struct.pack(">I", 0x80000000 | len(gfs_rpc)) + gfs_rpc
+extra.append((t3, 36300, ip_frame(6, A, B, tcp(50188, 24007, 1, gfs), ident=365)))
+
+es_action = b"indices:data/read/get"
+es = b"ES" + struct.pack(">I", 15 + 1 + len(es_action)) + \
+    struct.pack(">Q", 11) + bytes([0]) + struct.pack(">I", 6080099) + \
+    bytes(2) + bytes([len(es_action)]) + es_action
+extra.append((t3, 36400, ip_frame(6, A, B, tcp(50189, 9300, 1, es), ident=366)))
+
+skinny = struct.pack("<III", 4, 0, 0x0001)
+extra.append((t3, 36500, ip_frame(6, A, B, tcp(50190, 2000, 1, skinny), ident=367)))
+
+zrtp = bytes([0x10, 0x00]) + struct.pack(">H", 1) + b"ZRTP" + \
+    struct.pack(">I", 0xDEAD) + struct.pack(">HH", 0x505A, 29) + \
+    b"Hello   " + b"1.10" + bytes(8)
+extra.append((t3, 36600, ip_frame(17, A, B, udp(50191, 30002, zrtp), ident=368)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
