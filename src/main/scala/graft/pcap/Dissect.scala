@@ -2437,6 +2437,16 @@ object Dissect {
         appInfo = dissectElasticsearch(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 2000 || dp == 2000))
         appInfo = dissectSkinny(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 6789 || dp == 6789))
+        appInfo = dissectCeph(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 3240 || dp == 3240))
+        appInfo = dissectUsbip(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 5701 || dp == 5701))
+        appInfo = dissectHazelcast(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 21064 || dp == 21064))
+        appInfo = dissectDlm3(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 7272 || dp == 7272))
+        appInfo = dissectDbus(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -2813,6 +2823,12 @@ object Dissect {
       val info = dissectBtDht(d, off + 8,
         math.min(off + 8 + payLen, d.length), v, protos)
       if (info != null) return info
+    }
+    // the same swarm port carries uTP when the payload isn't bencoded
+    if (sp == 6881 || dp == 6881) {
+      val utpInfo = dissectBtUtp(d, off + 8,
+        math.min(payLen, d.length - off - 8), v, protos)
+      if (utpInfo != null) return utpInfo
     }
     // OpenVPN (UDP 1194): opcode(5 bits) + key id(3); control packets
     // carry a 64-bit session id
@@ -3239,6 +3255,11 @@ object Dissect {
       val zrInfo = dissectZrtp(d, off + 8, math.min(payLen, d.length - off - 8),
         v, protos)
       if (zrInfo != null) return zrInfo
+    }
+    if (sp == 9201 || dp == 9201) {
+      val wtInfo = dissectWtp(d, off + 8, math.min(payLen, d.length - off - 8),
+        v, protos)
+      if (wtInfo != null) return wtInfo
     }
     if (sp == 5246 || dp == 5246) {
       val cwInfo = dissectCapwap(d, off + 8, math.min(payLen, d.length - off - 8),
@@ -4626,6 +4647,19 @@ object Dissect {
     v("rtp.seq") = seq.toLong
     v("rtp.timestamp") = ts
     v("rtp.ssrc") = f"0x$ssrc%08X"
+    // dynamic PT 96 carries H.264 by near-universal SDP convention —
+    // the NAL header (and SPS profile) surface
+    if (pt == 96 && len >= 14) {
+      protos += "h264"
+      val nal = u8(d, off + 12) & 0x1f
+      v("h264.nal_unit_type") = nal.toLong
+      if (nal == 7) v("h264.profile_idc") = u8(d, off + 13).toLong
+      val name = nal match {
+        case 1 => "non-IDR slice"; case 5 => "IDR slice"; case 7 => "SPS"
+        case 8 => "PPS"; case n => s"NAL $n"
+      }
+      return s"H.264 $name"
+    }
     // RFC 2833/4733 telephone-events ride dynamic PT 101 by convention
     if (pt == 101 && len >= 16) {
       protos += "rtpevent"
@@ -9204,6 +9238,20 @@ object Dissect {
     v("coap.mid") = mid.toLong
     val codeName = coapMethodNames.getOrElse(code,
       if (code == 0) "Empty" else s"${code >> 5}.${"%02d".format(code & 0x1f)}")
+    // payload past the 0xFF marker: surface CBOR (RFC 8949) when the
+    // initial byte parses — the CoAP/CBOR pairing is the CoRE convention
+    var p = off + 4 + tkl
+    val lim = off + len
+    while (p < lim && u8(d, p) != 0xff) p += 1
+    if (p + 1 < lim && u8(d, p) == 0xff) {
+      val ib = u8(d, p + 1)
+      val major = ib >> 5
+      protos += "cbor"
+      v("cbor.type") = major.toLong
+      if (major == 0 && (ib & 0x1f) < 24)
+        v("cbor.type.uint") = (ib & 0x1f).toLong
+      return s"${coapTypeNames(tpe)} $codeName MID=$mid, CBOR"
+    }
     s"${coapTypeNames(tpe)} $codeName MID=$mid"
   }
 
@@ -10106,6 +10154,152 @@ object Dissect {
     }
   }
 
+  // ---- tier 47: the IoT/media chains (6LoWPAN under ZEP, ZCL above
+  // APS, CBOR in CoAP payloads, H.264 on RTP PT 96) plus Ceph messenger,
+  // uTP, WTP, USB/IP, Hazelcast, DLM3, and D-Bus stubs ----
+
+  /** Ceph messenger v1 (TCP 6789): MSG tag 0x07 + the 53-byte message
+    * header — the type surfaces. */
+  private def dissectCeph(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 1 + 53 || u8(d, off) != 0x07) return null
+    protos += "ceph"
+    val t = u8(d, off + 17) | (u8(d, off + 18) << 8) // LE type after seq+tid
+    v("ceph.type") = t.toLong
+    val name = t match {
+      case 0x0010 => "mon_command"; case 0x0004 => "mon_map"
+      case 0x002a => "osd_op"; case x => f"type 0x$x%04x"
+    }
+    s"Ceph MSG $name"
+  }
+
+  /** uTorrent Transport Protocol (UDP 6881, after the bencode gate
+    * declines): version-1 type/ver byte + connection id. */
+  private def dissectBtUtp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 20) return null
+    val b0 = u8(d, off)
+    if ((b0 & 0x0f) != 1 || (b0 >> 4) > 4) return null
+    protos += "bt-utp"
+    val t = b0 >> 4
+    v("bt-utp.type") = t.toLong
+    v("bt-utp.connection_id") = u16(d, off + 2).toLong
+    val name = t match {
+      case 0 => "ST_DATA"; case 1 => "ST_FIN"; case 2 => "ST_STATE"
+      case 3 => "ST_RESET"; case _ => "ST_SYN"
+    }
+    s"uTP $name"
+  }
+
+  /** WTP (WAP-224, UDP 9201): PDU type + transaction id. */
+  private def dissectWtp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4) return null
+    val pt = (u8(d, off) >> 3) & 0xf
+    if (pt < 1 || pt > 7) return null
+    protos += "wtp"
+    v("wtp.pdu_type") = pt.toLong
+    v("wtp.tid") = u16(d, off + 1).toLong
+    pt match {
+      case 1 => "WTP Invoke"; case 2 => "WTP Result"; case 3 => "WTP Ack"
+      case 4 => "WTP Abort"; case x => s"WTP PDU $x"
+    }
+  }
+
+  /** USB/IP (TCP 3240): the OP_REQ/OP_REP header — version 0x0111 +
+    * command code. */
+  private def dissectUsbip(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8 || u16(d, off) != 0x0111) return null
+    val cmd = u16(d, off + 2)
+    protos += "usbip"
+    v("usbip.command") = cmd.toLong
+    cmd match {
+      case 0x8005 => "OP_REQ_DEVLIST"
+      case 0x0005 => "OP_REP_DEVLIST"
+      case 0x8003 => "OP_REQ_IMPORT"
+      case c => f"USB/IP 0x$c%04x"
+    }
+  }
+
+  /** Hazelcast client message (TCP 5701): little-endian frame length,
+    * begin+end header flags, operation id. */
+  private def dissectHazelcast(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 11) return null
+    def le32(p: Int): Long = (u8(d, p) | (u8(d, p + 1) << 8) |
+      (u8(d, p + 2) << 16) | ((u8(d, p + 3).toLong) << 24)) & 0xffffffffL
+    if (le32(off) != len.toLong) return null
+    val hdr = u8(d, off + 4)
+    if ((hdr & 0xc0) != 0xc0) return null // begin+end fragment flags
+    protos += "hazelcast"
+    v("hazelcast.headers") = hdr.toLong
+    val op = u8(d, off + 5) | (u8(d, off + 6) << 8)
+    v("hazelcast.operation") = op.toLong
+    op match {
+      case 0x0002 => "Hazelcast Authentication"
+      case 0x0100 => "Hazelcast Map Put"
+      case o => f"Hazelcast op 0x$o%04x"
+    }
+  }
+
+  /** DLM3 (Linux distributed lock manager, TCP 21064): little-endian
+    * version header + command. */
+  private def dissectDlm3(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 16) return null
+    val ver = (u8(d, off) | (u8(d, off + 1) << 8) | (u8(d, off + 2) << 16) |
+      ((u8(d, off + 3).toLong) << 24)) & 0xffffffffL
+    if (ver != 0x00030001L) return null
+    protos += "dlm3"
+    v("dlm3.h.version") = ver
+    val cmd = u8(d, off + 14)
+    v("dlm3.h.cmd") = cmd.toLong
+    cmd match {
+      case 1 => "DLM3 Message"
+      case 2 => "DLM3 RCOM"
+      case c => s"DLM3 cmd $c"
+    }
+  }
+
+  /** D-Bus wire format (fixture TCP 7272 — real deployments negotiate
+    * the transport): endianness tag, message type, flags, version 1,
+    * serial. */
+  private def dissectDbus(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 16) return null
+    val e = u8(d, off)
+    if (e != 'l' && e != 'B') return null
+    val t = u8(d, off + 1)
+    if (t < 1 || t > 4 || u8(d, off + 3) != 1) return null
+    protos += "dbus"
+    v("dbus.type") = t.toLong
+    v("dbus.flags") = u8(d, off + 2).toLong
+    val serial =
+      if (e == 'l') (u8(d, off + 8) | (u8(d, off + 9) << 8) |
+        (u8(d, off + 10) << 16) | ((u8(d, off + 11).toLong) << 24)) & 0xffffffffL
+      else u32(d, off + 8)
+    v("dbus.serial") = serial
+    t match {
+      case 1 => "Method Call"; case 2 => "Method Return"
+      case 3 => "Error"; case _ => "Signal"
+    }
+  }
+
   // ---- tier 46: layers chained out of existing dissectors (SCCP via
   // M3UA, UDS via DoIP, RTP events, 802.3ah OAM via slow protocols, the
   // smb2:gssapi:spnego:ntlmssp session-setup chain) plus ADB, LISP
@@ -10779,6 +10973,20 @@ object Dissect {
     v("wpan.dst16") = dst.toLong
     v("wpan.src16") = src.toLong
     val nwk = off + 9
+    // 6LoWPAN IPHC (RFC 6282): dispatch pattern 011xxxxx — the Thread/
+    // IoT sibling of the ZigBee NWK stack
+    if (end - nwk >= 3 && (u8(d, nwk) & 0xe0) == 0x60) {
+      protos += "6lowpan"
+      v("6lowpan.pattern") = ((u8(d, nwk) >> 5) & 0x7).toLong
+      // NHC UDP (11110xxx) with inline 16-bit ports
+      if (end - nwk >= 7 && (u8(d, nwk + 2) & 0xf8) == 0xf0 &&
+        (u8(d, nwk + 2) & 0x03) == 0) {
+        val sport = u8(d, nwk + 3) << 8 | u8(d, nwk + 4)
+        v("6lowpan.udp.src") = sport.toLong
+        return s"6LoWPAN IPHC, UDP src $sport"
+      }
+      return "6LoWPAN IPHC"
+    }
     if (end - nwk >= 8) {
       val nfcf = u8(d, nwk) | (u8(d, nwk + 1) << 8)
       protos += "zbee_nwk"
@@ -10791,6 +10999,22 @@ object Dissect {
         v("zbee_aps.type") = (u8(d, aps) & 0x3).toLong
         v("zbee_aps.counter") = u8(d, aps + 7).toLong
         val cluster = u8(d, aps + 2) | (u8(d, aps + 3) << 8)
+        // a ZCL frame rides profile-wide APS data: fcf, tsn, command id
+        if (end - aps >= 8 + 3) {
+          protos += "zbee_zcl"
+          val tsn = u8(d, aps + 9)
+          val cmd = u8(d, aps + 10)
+          v("zbee_zcl.cmd.tsn") = tsn.toLong
+          v("zbee_zcl.cmd.id") = cmd.toLong
+          val name = cmd match {
+            case 0x00 => "Read Attributes"
+            case 0x01 => "Read Attributes Response"
+            case 0x06 => "Configure Reporting"
+            case 0x0a => "Report Attributes"
+            case c => f"ZCL 0x$c%02x"
+          }
+          return s"ZCL: $name, Seq: $tsn"
+        }
         return f"ZigBee APS Data, Dst Endpt: ${u8(d, aps + 1)}, Cluster: 0x$cluster%04x"
       }
       f"ZigBee NWK Data, Dst: 0x$dst%04x, Src: 0x$src%04x"

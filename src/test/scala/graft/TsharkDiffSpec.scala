@@ -111,7 +111,10 @@ class TsharkDiffSpec extends SparkSpec {
     // t46 — chained layers + app stubs
     "sccp", "uds", "rtpevent", "oampdu", "gssapi", "spnego", "ntlmssp",
     "adb", "lisp", "m2ua", "sua", "nlm", "glusterfs", "elasticsearch",
-    "skinny", "zrtp")
+    "skinny", "zrtp",
+    // t47 — IoT/media chains + transport stubs
+    "6lowpan", "zbee_zcl", "cbor", "h264", "ceph", "bt-utp", "wtp",
+    "usbip", "hazelcast", "dlm3", "dbus")
 
   private def assertedLayer(l: String): Boolean =
     coreInfoLayers.contains(l) || lateTierInfoLayers.contains(l)

@@ -2037,6 +2037,58 @@ zrtp = bytes([0x10, 0x00]) + struct.pack(">H", 1) + b"ZRTP" + \
     b"Hello   " + b"1.10" + bytes(8)
 extra.append((t3, 36600, ip_frame(17, A, B, udp(50191, 30002, zrtp), ident=368)))
 
+# 368-378: tier 47 — IoT/media chains (6LoWPAN under ZEP, ZCL above APS,
+# CBOR in CoAP, H.264 on RTP PT 96) + Ceph/uTP/WTP/USBIP/Hazelcast/
+# DLM3/D-Bus stubs
+wpan2 = bytes([0x41, 0x88, 10]) + bytes([0x62, 0x1A]) + bytes([0, 0]) + \
+    bytes([0x22, 0x3F])
+sixlo = bytes([0x78, 0x00, 0xF0]) + struct.pack(">HH", 5683, 5684) + bytes(6)
+zep3 = b"EX" + bytes([2, 1, 15]) + struct.pack(">H", 3) + bytes([0, 200]) + \
+    bytes(8) + struct.pack(">I", 11) + bytes(10) + \
+    bytes([len(wpan2 + sixlo)]) + wpan2 + sixlo
+extra.append((t3, 36700, ip_frame(17, A, B, udp(50192, 17754, zep3), ident=369)))
+
+zcl = bytes([0x00, 0x2B, 0x00]) + struct.pack("<H", 0x0000)
+zep4 = b"EX" + bytes([2, 1, 15]) + struct.pack(">H", 4) + bytes([0, 200]) + \
+    bytes(8) + struct.pack(">I", 12) + bytes(10) + \
+    bytes([len(wpan + znwk + zaps + zcl)]) + wpan + znwk + zaps + zcl
+extra.append((t3, 36800, ip_frame(17, A, B, udp(50193, 17754, zep4), ident=370)))
+
+coap_cbor = bytes([0x40, 0x02]) + struct.pack(">H", 77) + bytes([0xFF, 0x05])
+extra.append((t3, 36900, ip_frame(17, A, B, udp(50194, 5683, coap_cbor),
+              ident=371)))
+
+h264 = bytes([0x80, 0x60]) + struct.pack(">HI", 88, 3000) + \
+    struct.pack(">I", 0x5555) + bytes([0x67, 0x42]) + bytes(6)
+extra.append((t3, 37000, ip_frame(17, A, B, udp(49171, 49170, h264), ident=372)))
+
+ceph = bytes([0x07]) + bytes(8) + bytes(8) + struct.pack("<H", 0x002A) + \
+    bytes(35)
+extra.append((t3, 37100, ip_frame(6, A, B, tcp(50195, 6789, 1, ceph), ident=373)))
+
+utp = bytes([0x41, 0]) + struct.pack(">H", 0x1234) + bytes(12) + \
+    struct.pack(">HH", 1, 0)
+extra.append((t3, 37200, ip_frame(17, A, B, udp(50196, 6881, utp), ident=374)))
+
+extra.append((t3, 37300, ip_frame(17, A, B,
+              udp(50197, 9201, bytes([0x0A]) + struct.pack(">H", 7) + bytes(2)),
+              ident=375)))
+
+usbip = struct.pack(">HH", 0x0111, 0x8005) + struct.pack(">I", 0)
+extra.append((t3, 37400, ip_frame(6, A, B, tcp(50198, 3240, 1, usbip), ident=376)))
+
+hz = struct.pack("<I", 19) + bytes([0xC0]) + struct.pack("<H", 2) + \
+    bytes(8) + bytes(4)
+extra.append((t3, 37500, ip_frame(6, A, B, tcp(50199, 5701, 1, hz), ident=377)))
+
+dlm3 = struct.pack("<I", 0x00030001) + bytes(8) + struct.pack("<H", 16) + \
+    bytes([1, 0])
+extra.append((t3, 37600, ip_frame(6, A, B, tcp(50200, 21064, 1, dlm3), ident=378)))
+
+dbus = bytes([0x6C, 1, 0, 1]) + struct.pack("<II", 0, 2) + \
+    struct.pack("<I", 0) + bytes(4)
+extra.append((t3, 37700, ip_frame(6, A, B, tcp(50201, 7272, 1, dbus), ident=379)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
