@@ -3261,6 +3261,20 @@ object Dissect {
         v, protos)
       if (wtInfo != null) return wtInfo
     }
+    // WTLS rides the secure WAP port (9202): record content type
+    if ((sp == 9202 || dp == 9202) && payLen >= 3 && off + 9 <= d.length) {
+      val rt = u8(d, off + 8) & 0x0f
+      if (rt >= 1 && rt <= 4) {
+        protos += "wtls"
+        v("wtls.record.type") = rt.toLong
+        return rt match {
+          case 1 => "WTLS Change Cipher Spec"
+          case 2 => "WTLS Alert"
+          case 3 => "WTLS Handshake"
+          case _ => "WTLS Application Data"
+        }
+      }
+    }
     if (sp == 5246 || dp == 5246) {
       val cwInfo = dissectCapwap(d, off + 8, math.min(payLen, d.length - off - 8),
         v, protos)
@@ -3709,6 +3723,18 @@ object Dissect {
     header("connection").foreach(h => v("http.connection") = h)
     header("cache-control").foreach(h => v("http.cache_control") = h)
     header("content-length").flatMap(_.toLongOption).foreach(c => v("http.content_length") = c)
+    // an application/json entity surfaces the JSON content layer — the
+    // first key (and its string value when present), tshark-style
+    if (hend >= 0 && hend < pstart + plen)
+      header("content-type").filter(_.startsWith("application/json")).foreach { _ =>
+        val body = new String(d, hend,
+          math.min(plen - (hend - pstart), 2048), "ISO-8859-1")
+        """"([^"]+)"\s*:\s*(?:"([^"]*)")?""".r.findFirstMatchIn(body).foreach { m =>
+          protos += "json"
+          v("json.key") = m.group(1)
+          if (m.group(2) != null) v("json.value.string") = m.group(2)
+        }
+      }
     line
   }
 
@@ -5414,6 +5440,34 @@ object Dissect {
     v("smpp.command_id") = cmd
     v("smpp.command_status") = u32(d, off + 8)
     v("smpp.sequence_number") = u32(d, off + 12)
+    // submit_sm (4): walk the C-string body to the short message — a
+    // default-alphabet (data_coding 0) text surfaces the gsm_sms layer
+    if (cmd == 4L && len > 16) {
+      var p = off + 16
+      val lim = off + math.min(len, clen.toInt)
+      def cstr(): Boolean = { // advance past a NUL-terminated string
+        while (p < lim && d(p) != 0) p += 1
+        if (p < lim) { p += 1; true } else false
+      }
+      var ok = cstr() // service_type
+      if (ok) { p += 2; ok = p < lim && cstr() } // src ton/npi + addr
+      if (ok) { p += 2; ok = p < lim && cstr() } // dst ton/npi + addr
+      if (ok) { p += 3; ok = cstr() } // esm/protocol/priority + schedule
+      if (ok) ok = cstr() // validity
+      if (ok && p + 5 <= lim) {
+        val dcs = u8(d, p + 2)
+        val smLen = u8(d, p + 4)
+        val sm = p + 5
+        if (dcs == 0 && smLen > 0 && sm + smLen <= lim) {
+          val text = new String(d, sm, smLen, "ISO-8859-1")
+          if (text.forall(c => c >= 0x20 && c < 0x7f)) {
+            protos += "gsm_sms"
+            v("gsm_sms.sms_text") = text
+            return s"SMPP Submit_sm: \"$text\""
+          }
+        }
+      }
+    }
     name
   }
 
@@ -9069,6 +9123,18 @@ object Dissect {
     if (dsap == 0xfe && ssap == 0xfe && ctrl == 0x03) {
       val r = dissectIsis(d, off + 3, end, v, protos)
       if (r != null) return r
+      // NLPID 0x81 on the OSI SAP = CLNP (ISO 8473)
+      if (end - off >= 8 && u8(d, off + 3) == 0x81) {
+        protos += "clnp"
+        v("clnp.len") = u8(d, off + 4).toLong
+        val t = u8(d, off + 7) & 0x1f
+        v("clnp.type") = t.toLong
+        return t match {
+          case 0x1c => "CLNP DT"
+          case 0x01 => "CLNP ER"
+          case x => f"CLNP type 0x$x%02x"
+        }
+      }
     }
     if (dsap == 0x04 && ssap == 0x04) {
       val r = dissectSna(d, off + 3, end, v, protos)
@@ -9814,6 +9880,23 @@ object Dissect {
             v("grpc.compressed_flag") = cflag == 1
             v("grpc.message_length") = mlen
             label = s"DATA[$sid] (GRPC message, length=$mlen)"
+            // an uncompressed message opening with tag 0x0A (field 1,
+            // length-delimited) surfaces the protobuf content layer —
+            // without a schema the field NUMBER stands in for the name,
+            // as Wireshark renders schema-less protobuf
+            val msg = pStart + 5
+            if (cflag == 0 && mlen >= 2L && msg + 2 <= pEnd &&
+              u8(d, msg) == 0x0A) {
+              val sl = u8(d, msg + 1)
+              if (sl > 0 && sl < 0x80 && msg + 2 + sl <= pEnd) {
+                val sv = new String(d, msg + 2, sl, "UTF-8")
+                if (sv.forall(c => c >= 0x20 && c < 0x7f)) {
+                  protos += "protobuf"
+                  v("protobuf.field.name") = "1"
+                  v("protobuf.field.value.string") = sv
+                }
+              }
+            }
           }
         }
         parts += label

@@ -114,7 +114,9 @@ class TsharkDiffSpec extends SparkSpec {
     "skinny", "zrtp",
     // t47 — IoT/media chains + transport stubs
     "6lowpan", "zbee_zcl", "cbor", "h264", "ceph", "bt-utp", "wtp",
-    "usbip", "hazelcast", "dlm3", "dbus")
+    "usbip", "hazelcast", "dlm3", "dbus",
+    // t48 — content layers
+    "protobuf", "json", "gsm_sms", "clnp", "wtls")
 
   private def assertedLayer(l: String): Boolean =
     coreInfoLayers.contains(l) || lateTierInfoLayers.contains(l)

@@ -2089,6 +2089,34 @@ dbus = bytes([0x6C, 1, 0, 1]) + struct.pack("<II", 0, 2) + \
     struct.pack("<I", 0) + bytes(4)
 extra.append((t3, 37700, ip_frame(6, A, B, tcp(50201, 7272, 1, dbus), ident=379)))
 
+# 379-383: tier 48 — content layers: protobuf inside a gRPC message,
+# JSON HTTP entities, GSM-SMS text out of SMPP submit_sm, CLNP on the
+# OSI SAP, and WTLS on the secure WAP port
+pb_msg = bytes([0]) + struct.pack(">I", 7) + bytes([0x0A, 5]) + b"graft"
+c4 = h2f(0, 0, 1, pb_msg)
+extra.append((t3, 37800, ip_frame(6, A, B,
+              tcp(54300, 50051, 1 + len(c1) + len(c2) + len(grpc_req) + 9, c4),
+              ident=380)))
+
+json_body = b'{"status": "ok", "n": 42}'
+json_rsp = b"HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n" + \
+    b"Content-Length: " + str(len(json_body)).encode() + b"\r\n\r\n" + json_body
+extra.append((t3, 37900, ip_frame(6, B, A, tcp(80, 50202, 1, json_rsp), ident=381)))
+
+sm_text = b"Hello World!"
+smpp_body = b"\x00" + bytes([1, 1]) + b"12345\x00" + bytes([1, 1]) + \
+    b"67890\x00" + bytes([0, 0, 0]) + b"\x00" + b"\x00" + \
+    bytes([1, 0, 0, 0]) + bytes([len(sm_text)]) + sm_text
+smpp = struct.pack(">IIII", 16 + len(smpp_body), 4, 0, 9) + smpp_body
+extra.append((t3, 38000, ip_frame(6, A, B, tcp(50203, 2775, 1, smpp), ident=382)))
+
+clnp = bytes([0x81, 27, 1, 99, 0x1C]) + struct.pack(">HH", 27, 0) + bytes(18)
+llc_clnp = bytes([0xFE, 0xFE, 0x03]) + clnp
+extra.append((t3, 38100, eth(MAC_B, MAC_A, len(llc_clnp), llc_clnp)))
+
+wtls = bytes([0x03]) + struct.pack(">H", 20) + bytes(20)
+extra.append((t3, 38200, ip_frame(17, A, B, udp(50204, 9202, wtls), ident=383)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
