@@ -2447,6 +2447,8 @@ object Dissect {
         appInfo = dissectDlm3(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 7272 || dp == 7272))
         appInfo = dissectDbus(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 650 || dp == 650))
+        appInfo = dissectObex(appBuf, appOff, appLen, v, protos)
       // DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix, then the
       // standard message. Under desegment, partial messages carry across
       // delivered runs (kind 3 — zone transfers span many segments) and
@@ -3723,18 +3725,50 @@ object Dissect {
     header("connection").foreach(h => v("http.connection") = h)
     header("cache-control").foreach(h => v("http.cache_control") = h)
     header("content-length").flatMap(_.toLongOption).foreach(c => v("http.content_length") = c)
-    // an application/json entity surfaces the JSON content layer — the
-    // first key (and its string value when present), tshark-style
-    if (hend >= 0 && hend < pstart + plen)
-      header("content-type").filter(_.startsWith("application/json")).foreach { _ =>
-        val body = new String(d, hend,
-          math.min(plen - (hend - pstart), 2048), "ISO-8859-1")
-        """"([^"]+)"\s*:\s*(?:"([^"]*)")?""".r.findFirstMatchIn(body).foreach { m =>
-          protos += "json"
-          v("json.key") = m.group(1)
-          if (m.group(2) != null) v("json.value.string") = m.group(2)
+    // media-typed entities surface their CONTENT layers, tshark-style:
+    // JSON (first key/value), OCSP (DER responseStatus), CMS/PKCS#7
+    // (content-type OID), DAAP (first dmap tag)
+    if (hend >= 0 && hend < pstart + plen) {
+      val blen = plen - (hend - pstart)
+      header("content-type").foreach { ct =>
+        if (ct.startsWith("application/json")) {
+          val body = new String(d, hend, math.min(blen, 2048), "ISO-8859-1")
+          """"([^"]+)"\s*:\s*(?:"([^"]*)")?""".r.findFirstMatchIn(body).foreach { m =>
+            protos += "json"
+            v("json.key") = m.group(1)
+            if (m.group(2) != null) v("json.value.string") = m.group(2)
+          }
+        } else if (ct.startsWith("application/ocsp-response") && blen >= 5 &&
+          u8(d, hend) == 0x30 && u8(d, hend + 2) == 0x0A && u8(d, hend + 3) == 1) {
+          // OCSPResponse ::= SEQUENCE { responseStatus ENUMERATED ... }
+          protos += "ocsp"
+          v("ocsp.responseStatus") = u8(d, hend + 4).toLong
+        } else if (ct.startsWith("application/pkcs7") && blen >= 13 &&
+          u8(d, hend) == 0x30 && u8(d, hend + 2) == 0x06 && u8(d, hend + 3) == 9) {
+          // ContentInfo ::= SEQUENCE { contentType OID ... }
+          protos += "cms"
+          val oid = new StringBuilder
+          val b0 = u8(d, hend + 4)
+          oid.append(b0 / 40).append('.').append(b0 % 40)
+          var acc = 0L
+          var i = hend + 5
+          while (i < hend + 13) {
+            val b = u8(d, i)
+            acc = (acc << 7) | (b & 0x7f)
+            if ((b & 0x80) == 0) { oid.append('.').append(acc); acc = 0L }
+            i += 1
+          }
+          v("cms.contentType") = oid.toString
+        } else if (ct.startsWith("application/x-dmap-tagged") && blen >= 8) {
+          val tag = new String(d, hend, 4, "ISO-8859-1")
+          if (tag.forall(c => c >= 'a' && c <= 'z')) {
+            protos += "daap"
+            v("daap.name") = tag
+            v("daap.size") = u32(d, hend + 4)
+          }
         }
       }
+    }
     line
   }
 
@@ -10234,6 +10268,27 @@ object Dissect {
         val alpn = v.get("dns.svcb.svcparam.alpn").fold("")(a => s" alpn=$a")
         s"$base $typeName $prio$tgt$alpn"
       case _                => base
+    }
+  }
+
+  /** OBEX (IrDA/Bluetooth object exchange, fixture TCP 650): opcode +
+    * packet length; CONNECT carries version/flags/MTU. */
+  private def dissectObex(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 3 || u16(d, off + 1) != len) return null
+    val op = u8(d, off)
+    protos += "obex"
+    v("obex.opcode") = op.toLong
+    v("obex.pkt_len") = len.toLong
+    op match {
+      case 0x80 => "OBEX Connect"
+      case 0x81 => "OBEX Disconnect"
+      case 0x02 | 0x82 => "OBEX Put"
+      case 0x03 | 0x83 => "OBEX Get"
+      case 0xA0 => "OBEX Success"
+      case o => f"OBEX 0x$o%02x"
     }
   }
 

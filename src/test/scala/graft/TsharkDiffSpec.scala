@@ -116,7 +116,9 @@ class TsharkDiffSpec extends SparkSpec {
     "6lowpan", "zbee_zcl", "cbor", "h264", "ceph", "bt-utp", "wtp",
     "usbip", "hazelcast", "dlm3", "dbus",
     // t48 — content layers
-    "protobuf", "json", "gsm_sms", "clnp", "wtls")
+    "protobuf", "json", "gsm_sms", "clnp", "wtls",
+    // t49 — media-typed entities + OBEX
+    "ocsp", "cms", "daap", "obex")
 
   private def assertedLayer(l: String): Boolean =
     coreInfoLayers.contains(l) || lateTierInfoLayers.contains(l)

@@ -2117,6 +2117,26 @@ extra.append((t3, 38100, eth(MAC_B, MAC_A, len(llc_clnp), llc_clnp)))
 wtls = bytes([0x03]) + struct.pack(">H", 20) + bytes(20)
 extra.append((t3, 38200, ip_frame(17, A, B, udp(50204, 9202, wtls), ident=383)))
 
+# 384-387: tier 49 — OCSP / CMS / DAAP media-typed HTTP entities + OBEX
+ocsp_body = bytes([0x30, 3, 0x0A, 1, 0])
+ocsp_rsp = b"HTTP/1.1 200 OK\r\nContent-Type: application/ocsp-response\r\n" + \
+    b"Content-Length: " + str(len(ocsp_body)).encode() + b"\r\n\r\n" + ocsp_body
+extra.append((t3, 38300, ip_frame(6, B, A, tcp(80, 50205, 1, ocsp_rsp), ident=384)))
+
+cms_body = bytes([0x30, 11, 0x06, 9]) + bytes.fromhex("2A864886F70D010702")
+cms_rsp = b"HTTP/1.1 200 OK\r\nContent-Type: application/pkcs7-mime\r\n" + \
+    b"Content-Length: " + str(len(cms_body)).encode() + b"\r\n\r\n" + cms_body
+extra.append((t3, 38400, ip_frame(6, B, A, tcp(80, 50206, 1, cms_rsp), ident=385)))
+
+daap_body = b"mlog" + struct.pack(">I", 4) + bytes(4)
+daap_rsp = b"HTTP/1.1 200 OK\r\nContent-Type: application/x-dmap-tagged\r\n" + \
+    b"Content-Length: " + str(len(daap_body)).encode() + b"\r\n\r\n" + daap_body
+extra.append((t3, 38500, ip_frame(6, B, A, tcp(80, 50207, 1, daap_rsp), ident=386)))
+
+obex = bytes([0x80]) + struct.pack(">H", 7) + bytes([0x10, 0]) + \
+    struct.pack(">H", 0x2000)
+extra.append((t3, 38600, ip_frame(6, A, B, tcp(50208, 650, 1, obex), ident=387)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
