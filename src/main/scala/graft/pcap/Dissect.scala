@@ -2809,6 +2809,30 @@ object Dissect {
         protos += "nbdgm"
         v("nbdgm.type") = mt.toLong
         v("nbdgm.dgram_id") = u16(d, off + 10).toLong
+        // the Windows browser protocol rides a mailslot write to
+        // \MAILSLOT\BROWSE — pragmatic scan for the mailslot name; the
+        // command byte opens the data that follows the terminating NUL
+        if (mt == 0x11) {
+          val lim = math.min(off + 8 + payLen, d.length)
+          val pat = "\\MAILSLOT\\BROWSE".getBytes("ISO-8859-1")
+          var q = off + 18
+          while (q + pat.length + 1 < lim) {
+            if (d(q) == pat(0) && (1 until pat.length).forall(i => d(q + i) == pat(i))) {
+              val cmd = u8(d, q + pat.length + 1)
+              protos += "browser"
+              v("browser.command") = cmd.toLong
+              return cmd match {
+                case 0x01 => "Host Announcement"
+                case 0x02 => "Request Announcement"
+                case 0x08 => "Browser Election Request"
+                case 0x0c => "Domain/Workgroup Announcement"
+                case 0x0f => "Local Master Announcement"
+                case c => f"Browser 0x$c%02x"
+              }
+            }
+            q += 1
+          }
+        }
         return mt match {
           case 0x10 => "Direct_unique datagram"
           case 0x11 => "Direct_group datagram"
@@ -11188,8 +11212,24 @@ object Dissect {
         // SI 3 = SCCP: the message type byte opens the SCCP header
         if (si == 3 && p + 17 <= end) {
           protos += "sccp"
-          val mt = u8(d, p + 16)
+          val sccp = p + 16
+          val mt = u8(d, sccp)
           v("sccp.message_type") = mt.toLong
+          // UDT: the third pointer locates the data part — a TCAP Begin
+          // (0x62) surfaces the transaction layer with its origin TID
+          if (mt == 0x09 && sccp + 5 <= end) {
+            val dptr = sccp + 4 + u8(d, sccp + 4)
+            val tc = dptr + 1
+            if (tc + 8 <= end && u8(d, tc) == 0x62 && u8(d, tc + 2) == 0x48) {
+              val tl = u8(d, tc + 3)
+              if (tl > 0 && tl <= 4 && tc + 4 + tl <= end) {
+                protos += "tcap"
+                v("tcap.tid") =
+                  (0 until tl).map(i => hex2(u8(d, tc + 4 + i))).mkString
+                return "TCAP Begin"
+              }
+            }
+          }
           val name = mt match {
             case 0x09 => "UDT"; case 0x11 => "XUDT"; case 0x01 => "CR"
             case 0x02 => "CC"; case m => f"SCCP 0x$m%02x"

@@ -118,7 +118,9 @@ class TsharkDiffSpec extends SparkSpec {
     // t48 — content layers
     "protobuf", "json", "gsm_sms", "clnp", "wtls",
     // t49 — media-typed entities + OBEX
-    "ocsp", "cms", "daap", "obex")
+    "ocsp", "cms", "daap", "obex",
+    // t50 — TCAP above SCCP; Windows browser above NBDGM
+    "tcap", "browser")
 
   private def assertedLayer(l: String): Boolean =
     coreInfoLayers.contains(l) || lateTierInfoLayers.contains(l)

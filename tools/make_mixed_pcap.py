@@ -2137,6 +2137,26 @@ obex = bytes([0x80]) + struct.pack(">H", 7) + bytes([0x10, 0]) + \
     struct.pack(">H", 0x2000)
 extra.append((t3, 38600, ip_frame(6, A, B, tcp(50208, 650, 1, obex), ident=387)))
 
+# 388-389: tier 50 — TCAP inside an SCCP UDT over M3UA, and the Windows
+# browser protocol inside a \MAILSLOT\BROWSE group datagram
+tcap = bytes([0x62, 8, 0x48, 4]) + bytes.fromhex("01020304") + bytes([0x6B, 0])
+udt = bytes([0x09, 0x80, 3, 5, 7]) + bytes([2, 0x42, 0x08]) + \
+    bytes([2, 0x43, 0x09]) + bytes([len(tcap)]) + tcap
+m3ua_tcap_param = struct.pack(">HH", 0x0210, 4 + 12 + len(udt)) + \
+    struct.pack(">II", 1001, 2002) + bytes([3, 1, 0, 0]) + udt
+m3ua_tcap = bytes([1, 0, 1, 1]) + \
+    struct.pack(">I", 8 + len(m3ua_tcap_param)) + m3ua_tcap_param
+extra.append((t3, 38700, ip_frame(132, A, B,
+              sctp_data(2905, 2905, 3, m3ua_tcap), ident=388)))
+
+browse = b"\x01\x00" + bytes([8]) + struct.pack("<I", 0) + b"WORKGROUP" + bytes(7)
+mailslot = b"\\MAILSLOT\\BROWSE\x00" + browse
+nbdgm_hdr = bytes([0x11, 0x02]) + struct.pack(">H", 0x77) + bytes(A) + \
+    struct.pack(">HHH", 8 + len(mailslot) + 68, 0, 0)
+nb_names = bytes([0x20]) + b"A" * 32 + b"\x00" + bytes([0x20]) + b"B" * 32 + b"\x00"
+extra.append((t3, 38800, ip_frame(17, A, B,
+              udp(138, 138, nbdgm_hdr + nb_names + mailslot), ident=389)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
