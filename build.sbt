@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must pass through UNPREFIXED: the default LoggedOutput
+// strategy routes it through sbt's logger, which prefixes every line with
+// "[info] " and breaks the driver's parse of the last line as bench JSON
+// (VERDICT r9 What's-wrong #3 — showSuccess alone was not enough).
+run / outputStrategy := Some(StdoutOutput)
 // The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
 // as the bench JSON; sbt's "[success] Total time …" epilogue otherwise
 // trails it and breaks the parse (VERDICT r8 What's-wrong #2).

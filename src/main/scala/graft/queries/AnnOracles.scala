@@ -166,7 +166,7 @@ object AnnOracles {
       where: String = "TRUE"): String = {
     val dim = cents(0).length
     val sums = (1 to nDims).map(k =>
-      s"SUM(CAST(FLOOR(CAST(embedding[$k] AS DOUBLE) * 1000000) AS BIGINT)) AS sum_d$k")
+      s"CAST(SUM(CAST(FLOOR(CAST(embedding[$k] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_d$k")
       .mkString(",\n             ")
     s"""
       WITH cents(cell, centroid, cn2, cnorm) AS (VALUES

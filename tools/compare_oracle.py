@@ -37,6 +37,31 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: rows duck={duck.num_rows} mine={mine.num_rows}")
         fails += 1
         continue
+    # Type-aware gate (VERDICT r9 #2): the driver's hash is type-sensitive,
+    # so int64 vs decimal128(38,0) (DuckDB widening SUM(BIGINT) to HUGEINT)
+    # must fail HERE, before the driver sees it. to_pylist() erases that
+    # distinction, so compare the arrow schema types explicitly first.
+    # Equivalence classes mirroring the driver's observed hash behavior:
+    # integer WIDTHS are interchangeable (q12's int64-vs-int32 is green on
+    # the driver board) but int-vs-decimal128 is NOT (the kmeans HUGEINT
+    # red rows), and neither is int-vs-float or anything-vs-string.
+    ints = {"int8", "int16", "int32", "int64", "uint8", "uint16", "uint32", "uint64"}
+    def tclass(t):
+        s = str(t)
+        if s in ints: return "int"
+        if s in ("string", "large_string"): return "string"
+        return s
+    tbad = []
+    for c in dcols:
+        dt = duck.schema.field(c).type
+        mt = mine.schema.field(c).type
+        if tclass(dt) != tclass(mt):
+            tbad.append((c, dt, mt))
+    if tbad:
+        c, dt, mt = tbad[0]
+        print(f"FAIL {name}: TYPE col={c} duck={dt} mine={mt} (+{len(tbad)-1} more)")
+        fails += 1
+        continue
     bad = []
     for c in dcols:
         dv = duck.column(c).to_pylist()
