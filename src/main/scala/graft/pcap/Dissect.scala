@@ -509,6 +509,14 @@ object Dissect {
     // outstanding ONC-RPC call xids -> (version, procedure), so NFS
     // replies name their procedure (bounded at 1024, oldest evicted)
     private[Dissect] val rpcCalls = mutable.LinkedHashMap.empty[Long, (Long, Long, Long)]
+    // Bluetooth L2CAP connection-oriented channels: signaling Connection
+    // Request/Response pairs register dynamic CID -> PSM so later data
+    // frames dissect their service (SDP, RFCOMM). Both bounded like
+    // rtpPorts — a capture cannot grow either past 256 entries.
+    private[Dissect] val btPendingL2cap = mutable.HashMap.empty[Int, Int] // req id -> PSM
+    private[Dissect] val btCidPsm = mutable.HashMap.empty[Int, Int]      // CID -> PSM
+    private[Dissect] def btRegisterCid(cid: Int, psm: Int): Unit =
+      if (btCidPsm.size < 256) btCidPsm(cid) = psm
 
     private[Dissect] def tcpConv(k: ConvKey): TcpConv =
       tcpConvs.getOrElseUpdate(k, { val c = new TcpConv(nextTcpStream); nextTcpStream += 1; c })
@@ -892,6 +900,27 @@ object Dissect {
               if (s != null) info = s
             }
           }
+        case 187 => // Bluetooth HCI H4, no pseudo-header: direction is
+          // inferred from the packet type (commands only travel
+          // host->controller, events only controller->host)
+          val s = dissectHciH4(d, 0, -1, v, protos, tracker)
+          if (s != null) info = s
+        case 201 => // Bluetooth HCI H4 with 4-byte BE direction word
+          if (d.length >= 5) {
+            val dir = (u32(d, 0) & 1L).toInt // 0 sent, 1 rcvd
+            v("hci_h4.direction") = dir.toLong
+            val s = dissectHciH4(d, 4, dir, v, protos, tracker)
+            if (s != null) info = s
+          }
+        case 251 => // Bluetooth LE link layer (over-the-air, AA-first)
+          val s = dissectBtle(d, 0, v, protos, tracker)
+          if (s != null) info = s
+        case 227 => // SocketCAN (Linux CAN pseudo-header)
+          val s = dissectCan(d, 0, v, protos)
+          if (s != null) info = s
+        case 210 => // FlexRay frame/symbol with measurement byte
+          val s = dissectFlexray(d, 0, v, protos)
+          if (s != null) info = s
         case _ =>
           info = s"Linktype $linktype"
       }
@@ -968,6 +997,8 @@ object Dissect {
         dissectTipc(d, l3off, v, protos)
       case 0x88ba =>
         dissectSv(d, l3off, v, protos)
+      case 0x88b8 =>
+        dissectGoose(d, l3off, v, protos)
       case 0x88e5 =>
         dissectMacsec(d, l3off, v, protos)
       case 0x8906 =>
@@ -5771,6 +5802,9 @@ object Dissect {
           val code = svc & 0x7f
           protos += "cip"
           v("cip.service") = code.toLong
+          // responses carry service|0x80, reserved, general status, addl size
+          if ((svc & 0x80) != 0 && ilen >= 3)
+            v("cip.genstat") = u8(d, ip + 6).toLong
           info += ": " + cipServiceNames.getOrElse(code, f"Service 0x$code%02x") +
             (if ((svc & 0x80) == 0) " (Request)" else " (Response)")
           items = 1 // stop after the data item
@@ -12996,6 +13030,467 @@ object Dissect {
       case x => s"Command $x"
     }
     s"$name Request"
+  }
+
+  // --- Bluetooth host stack (tier 51) ------------------------------------
+  // Wire formats from the public Bluetooth Core Specification: H4 UART
+  // transport (Vol 4 Part A), HCI command/event/ACL packets (Vol 4 Part E
+  // §5.4), L2CAP (Vol 3 Part A), ATT (Vol 3 Part F §3.4), SDP (Vol 3
+  // Part B §4), RFCOMM (the ETSI TS 07.10 subset). Matches the reference's
+  // dynamic-schema promise for the bt* glossary protocols
+  // (reference src/wireduck_extension.cpp:53-78).
+
+  private def btDirPrefix(dir: Int): String =
+    if (dir == 0) "Sent " else if (dir == 1) "Rcvd " else ""
+
+  private val hciCmdNames: Map[Int, String] = Map(
+    0x0401 -> "Inquiry", 0x0405 -> "Create Connection",
+    0x0406 -> "Disconnect", 0x0409 -> "Accept Connection Request",
+    0x0C03 -> "Reset", 0x0C13 -> "Change Local Name",
+    0x0C14 -> "Read Local Name", 0x1001 -> "Read Local Version Information",
+    0x1003 -> "Read Local Supported Features", 0x1009 -> "Read BD ADDR",
+    0x2006 -> "LE Set Advertising Parameters", 0x200A -> "LE Set Advertising Enable",
+    0x200B -> "LE Set Scan Parameters", 0x200C -> "LE Set Scan Enable")
+
+  private val hciEvtNames: Map[Int, String] = Map(
+    0x03 -> "Connect Complete", 0x05 -> "Disconnect Complete",
+    0x0E -> "Command Complete", 0x0F -> "Command Status",
+    0x13 -> "Number of Completed Packets", 0x3E -> "LE Meta")
+
+  private val btPsmNames: Map[Int, String] = Map(
+    0x0001 -> "SDP", 0x0003 -> "RFCOMM", 0x0005 -> "TCS-BIN",
+    0x000F -> "BNEP", 0x0011 -> "HID Control", 0x0013 -> "HID Interrupt",
+    0x0017 -> "AVCTP", 0x0019 -> "AVDTP", 0x001F -> "ATT")
+
+  private val gattUuidNames: Map[Int, String] = Map(
+    0x1800 -> "Generic Access Profile", 0x1801 -> "Generic Attribute Profile",
+    0x2800 -> "GATT Primary Service Declaration",
+    0x2801 -> "GATT Secondary Service Declaration",
+    0x2803 -> "GATT Characteristic Declaration")
+
+  /** HCI H4 packet at `off` (after any transport pseudo-header). `dir` is
+    * 0 sent / 1 rcvd / -1 unknown; for linktype 187 (no direction word)
+    * commands can only travel host→controller and events the reverse, so
+    * the direction is inferred from the H4 type the way tshark does. */
+  private def dissectHciH4(
+      d: Array[Byte], off: Int, dir: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker): String = {
+    if (d.length < off + 1) return null
+    protos += "hci_h4"
+    val h4t = u8(d, off)
+    v("hci_h4.type") = h4t.toLong
+    def le16(o: Int): Int = u8(d, o) | (u8(d, o + 1) << 8)
+    h4t match {
+      case 1 => // HCI Command
+        if (d.length < off + 4) return "HCI Command (truncated)"
+        protos += "bthci_cmd"
+        val opcode = le16(off + 1)
+        v("bthci_cmd.opcode") = opcode.toLong
+        v("bthci_cmd.opcode.ogf") = (opcode >> 10).toLong
+        v("bthci_cmd.opcode.ocf") = (opcode & 0x3ff).toLong
+        v("bthci_cmd.param_length") = u8(d, off + 3).toLong
+        btDirPrefix(if (dir < 0) 0 else dir) +
+          hciCmdNames.getOrElse(opcode, f"Unknown (0x$opcode%04x)")
+      case 4 => // HCI Event
+        if (d.length < off + 3) return "HCI Event (truncated)"
+        protos += "bthci_evt"
+        val code = u8(d, off + 1)
+        v("bthci_evt.code") = code.toLong
+        v("bthci_evt.param_length") = u8(d, off + 2).toLong
+        var name = hciEvtNames.getOrElse(code, f"Unknown (0x$code%02x)")
+        if (code == 0x0e && d.length >= off + 6) { // Command Complete
+          v("bthci_evt.num_command_packets") = u8(d, off + 3).toLong
+          val op = le16(off + 4)
+          v("bthci_evt.opcode") = op.toLong
+          if (d.length >= off + 7) v("bthci_evt.status") = u8(d, off + 6).toLong
+          name += s" (${hciCmdNames.getOrElse(op, f"Unknown (0x$op%04x)")})"
+        }
+        btDirPrefix(if (dir < 0) 1 else dir) + name
+      case 2 => // ACL data
+        if (d.length < off + 5) return "HCI ACL (truncated)"
+        protos += "bthci_acl"
+        val hf = le16(off + 1)
+        v("bthci_acl.chandle") = (hf & 0xfff).toLong
+        v("bthci_acl.pb_flag") = ((hf >> 12) & 3).toLong
+        v("bthci_acl.bc_flag") = ((hf >> 14) & 3).toLong
+        v("bthci_acl.length") = le16(off + 3).toLong
+        val s = dissectBtL2cap(d, off + 5, dir, v, protos, tracker)
+        if (s != null) s else btDirPrefix(dir) + "ACL Data"
+      case 3 => "SCO Data"
+      case other => f"Unknown H4 packet type 0x$other%02x"
+    }
+  }
+
+  /** L2CAP basic frame: LE length + channel. CID 0x0001 is the signaling
+    * channel — Connection Request/Response pairs register dynamic
+    * CID→PSM in the tracker so later data frames dissect their service
+    * (SDP, RFCOMM), the same conversation-state pattern the TCP/SDP/RTP
+    * paths use. CID 0x0004 is the fixed ATT channel. */
+  private def dissectBtL2cap(
+      d: Array[Byte], off: Int, dir: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker): String = {
+    if (d.length < off + 4) return null
+    protos += "btl2cap"
+    def le16(o: Int): Int = u8(d, o) | (u8(d, o + 1) << 8)
+    val len = le16(off)
+    val cid = le16(off + 2)
+    v("btl2cap.length") = len.toLong
+    v("btl2cap.cid") = cid.toLong
+    val p = off + 4
+    cid match {
+      case 1 => // signaling
+        if (d.length < p + 4) return "L2CAP Signaling (truncated)"
+        val code = u8(d, p)
+        val id = u8(d, p + 1)
+        v("btl2cap.cmd_code") = code.toLong
+        code match {
+          case 2 if d.length >= p + 8 => // Connection Request
+            val psm = le16(p + 4)
+            val scid = le16(p + 6)
+            v("btl2cap.psm") = psm.toLong
+            v("btl2cap.scid") = scid.toLong
+            if (tracker.btPendingL2cap.size < 256) tracker.btPendingL2cap(id) = psm
+            btDirPrefix(dir) + f"Connection Request (${
+              btPsmNames.getOrElse(psm, f"0x$psm%04x")}, SCID: 0x$scid%04x)"
+          case 3 if d.length >= p + 10 => // Connection Response
+            val dcid = le16(p + 4)
+            val scid = le16(p + 6)
+            val result = le16(p + 8)
+            v("btl2cap.dcid") = dcid.toLong
+            v("btl2cap.scid") = scid.toLong
+            tracker.btPendingL2cap.remove(id).foreach { psm =>
+              tracker.btRegisterCid(dcid, psm)
+              tracker.btRegisterCid(scid, psm)
+            }
+            val res = if (result == 0) "Success" else f"Result 0x$result%04x"
+            btDirPrefix(dir) +
+              f"Connection Response - $res (SCID: 0x$scid%04x, DCID: 0x$dcid%04x)"
+          case other =>
+            btDirPrefix(dir) + f"Command 0x$other%02x"
+        }
+      case 4 => // fixed ATT channel
+        val s = dissectBtAtt(d, p, dir, v, protos)
+        if (s != null) s else "L2CAP"
+      case c if c >= 0x40 =>
+        tracker.btCidPsm.get(c) match {
+          case Some(1) =>
+            val s = dissectBtSdp(d, p, dir, v, protos); if (s != null) s else "L2CAP"
+          case Some(3) =>
+            val s = dissectBtRfcomm(d, p, dir, v, protos); if (s != null) s else "L2CAP"
+          case _ => btDirPrefix(dir) + "Connection oriented channel"
+        }
+      case _ => "L2CAP"
+    }
+  }
+
+  /** ATT PDU: the GATT discovery/read subset with handle and UUID16
+    * fields; other opcodes keep their opcode field and a generic info. */
+  private def dissectBtAtt(
+      d: Array[Byte], off: Int, dir: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 1) return null
+    protos += "btatt"
+    def le16(o: Int): Int = u8(d, o) | (u8(d, o + 1) << 8)
+    val opcode = u8(d, off)
+    v("btatt.opcode") = opcode.toLong
+    opcode match {
+      case 0x10 if d.length >= off + 7 => // Read By Group Type Request
+        val start = le16(off + 1); val end = le16(off + 3); val uuid = le16(off + 5)
+        v("btatt.starting_handle") = start.toLong
+        v("btatt.ending_handle") = end.toLong
+        v("btatt.uuid16") = uuid.toLong
+        btDirPrefix(dir) + f"Read By Group Type Request, ${
+          gattUuidNames.getOrElse(uuid, f"UUID 0x$uuid%04x")}, Handles: 0x$start%04x..0x$end%04x"
+      case 0x11 if d.length >= off + 2 => // Read By Group Type Response
+        val elen = u8(d, off + 1)
+        if (elen >= 6 && d.length >= off + 8) { // first entry: handle range + uuid16
+          v("btatt.starting_handle") = le16(off + 2).toLong
+          v("btatt.ending_handle") = le16(off + 4).toLong
+          v("btatt.uuid16") = le16(off + 6).toLong
+        }
+        btDirPrefix(dir) + s"Read By Group Type Response, Attribute List Length: $elen"
+      case 0x08 if d.length >= off + 7 => // Read By Type Request
+        v("btatt.starting_handle") = le16(off + 1).toLong
+        v("btatt.ending_handle") = le16(off + 3).toLong
+        v("btatt.uuid16") = le16(off + 5).toLong
+        btDirPrefix(dir) + "Read By Type Request"
+      case 0x0a if d.length >= off + 3 => // Read Request
+        val h = le16(off + 1)
+        v("btatt.handle") = h.toLong
+        btDirPrefix(dir) + f"Read Request, Handle: 0x$h%04x"
+      case 0x0b => btDirPrefix(dir) + "Read Response"
+      case 0x12 if d.length >= off + 3 => // Write Request
+        val h = le16(off + 1)
+        v("btatt.handle") = h.toLong
+        btDirPrefix(dir) + f"Write Request, Handle: 0x$h%04x"
+      case 0x13 => btDirPrefix(dir) + "Write Response"
+      case 0x1b if d.length >= off + 3 => // Handle Value Notification
+        val h = le16(off + 1)
+        v("btatt.handle") = h.toLong
+        btDirPrefix(dir) + f"Handle Value Notification, Handle: 0x$h%04x"
+      case other => btDirPrefix(dir) + f"Opcode 0x$other%02x"
+    }
+  }
+
+  private val btSdpPduNames: Map[Int, String] = Map(
+    0x01 -> "Error Response",
+    0x02 -> "Service Search Request", 0x03 -> "Service Search Response",
+    0x04 -> "Service Attribute Request", 0x05 -> "Service Attribute Response",
+    0x06 -> "Service Search Attribute Request",
+    0x07 -> "Service Search Attribute Response")
+
+  /** SDP PDU header: id, BIG-endian transaction id and parameter length
+    * (SDP is the one big-endian layer in the Bluetooth host stack). */
+  private def dissectBtSdp(
+      d: Array[Byte], off: Int, dir: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 5) return null
+    protos += "btsdp"
+    val pdu = u8(d, off)
+    v("btsdp.pdu") = pdu.toLong
+    v("btsdp.tid") = u16(d, off + 1).toLong
+    v("btsdp.len") = u16(d, off + 3).toLong
+    btDirPrefix(dir) + btSdpPduNames.getOrElse(pdu, f"PDU 0x$pdu%02x")
+  }
+
+  private val btRfcommTypeNames: Map[Int, String] = Map(
+    0x2f -> "SABM", 0x63 -> "UA", 0x0f -> "DM", 0x43 -> "DISC", 0xef -> "UIH")
+
+  /** RFCOMM (TS 07.10 basic option): address (EA|C/R|DLCI), control with
+    * the poll/final bit masked out of the frame type, EA-coded length.
+    * The user channel is the DLCI's upper 5 bits. */
+  private def dissectBtRfcomm(
+      d: Array[Byte], off: Int, dir: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 3) return null
+    protos += "btrfcomm"
+    val addr = u8(d, off)
+    val dlci = addr >> 2
+    val ctrl = u8(d, off + 1)
+    val ftype = ctrl & 0xef // poll/final bit masked
+    val lenField = u8(d, off + 2)
+    val plen = if ((lenField & 1) == 1) lenField >> 1
+      else (lenField >> 1) | (u8(d, off + 3) << 7)
+    v("btrfcomm.dlci") = dlci.toLong
+    v("btrfcomm.channel") = (dlci >> 1).toLong
+    v("btrfcomm.cr") = ((addr >> 1) & 1).toLong
+    v("btrfcomm.frame_type") = ftype.toLong
+    v("btrfcomm.len") = plen.toLong
+    btDirPrefix(dir) +
+      btRfcommTypeNames.getOrElse(ftype, f"Frame 0x$ftype%02x") +
+      s" Channel=${dlci >> 1}"
+  }
+
+  private val btleAdvPduNames: Map[Int, String] = Map(
+    0 -> "ADV_IND", 1 -> "ADV_DIRECT_IND", 2 -> "ADV_NONCONN_IND",
+    3 -> "SCAN_REQ", 4 -> "SCAN_RSP", 5 -> "CONNECT_IND", 6 -> "ADV_SCAN_IND")
+
+  /** Bluetooth LE link layer, linktype 251: over-the-air packet starting
+    * at the access address (4 bytes LE), then the 2-byte PDU header and
+    * payload; the trailing 3-byte CRC is excluded by the header length.
+    * The fixed advertising access address 0x8E89BED6 selects the
+    * advertising-channel PDU format; anything else is a data-channel PDU
+    * whose LLID 1/2 payloads carry L2CAP (→ ATT on CID 4). A Mesh
+    * Message AD structure (type 0x2A) inside advertising data yields the
+    * btmesh network-PDU envelope (IVI/NID — the rest is encrypted). */
+  private def dissectBtle(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker): String = {
+    if (d.length < off + 6) return null
+    protos += "btle"
+    def le32(o: Int): Long = (u8(d, o) | (u8(d, o + 1) << 8) | (u8(d, o + 2) << 16) |
+      ((u8(d, o + 3) & 0xffL) << 24)) & 0xffffffffL
+    val aa = le32(off)
+    v("btle.access_address") = aa
+    val h0 = u8(d, off + 4)
+    val plen = u8(d, off + 5)
+    v("btle.length") = plen.toLong
+    val p = off + 6
+    def revMac(o: Int): String =
+      f"${u8(d, o + 5)}%02x:${u8(d, o + 4)}%02x:${u8(d, o + 3)}%02x:${
+        u8(d, o + 2)}%02x:${u8(d, o + 1)}%02x:${u8(d, o)}%02x"
+    if (aa == 0x8e89bed6L) { // advertising channel
+      val ptype = h0 & 0xf
+      v("btle.advertising_header.pdu_type") = ptype.toLong
+      val name = btleAdvPduNames.getOrElse(ptype, f"Advertising PDU 0x$ptype%1x")
+      if (ptype == 3 && d.length >= p + 12) { // SCAN_REQ: ScanA + AdvA
+        v("btle.advertising_address") = revMac(p + 6)
+      } else if (d.length >= p + 6) {
+        v("btle.advertising_address") = revMac(p)
+        // AD structures follow AdvA for the advertising/scan-response PDUs
+        if (ptype == 0 || ptype == 2 || ptype == 4 || ptype == 6) {
+          var i = p + 6
+          val end = math.min(p + plen, d.length)
+          while (i + 2 <= end) {
+            val alen = u8(d, i)
+            if (alen == 0 || i + 1 + alen > end) i = end
+            else {
+              if (u8(d, i + 1) == 0x2a && alen >= 2) { // Mesh Message
+                protos += "btmesh"
+                val b0 = u8(d, i + 2)
+                v("btmesh.ivi") = ((b0 >> 7) & 1).toLong
+                v("btmesh.nid") = (b0 & 0x7f).toLong
+              }
+              i += 1 + alen
+            }
+          }
+          if (protos.last == "btmesh") return s"$name (Mesh Message)"
+        }
+      }
+      name
+    } else { // data channel
+      val llid = h0 & 3
+      v("btle.data_header.llid") = llid.toLong
+      if ((llid == 1 || llid == 2) && plen >= 4 && d.length >= p + 4) {
+        val s = dissectBtL2cap(d, p, -1, v, protos, tracker)
+        if (s != null) return s
+      }
+      llid match {
+        case 3 => "Control PDU"
+        case 1 => "L2CAP Fragment"
+        case _ => if (plen == 0) "Empty PDU" else "Data PDU"
+      }
+    }
+  }
+
+  // --- tier 52: the automotive buses -------------------------------------
+
+  /** SocketCAN (linktype 227): big-endian CAN ID word with EFF/RTR/ERR in
+    * the top three bits, then DLC + 3 pad bytes + data. 29-bit extended
+    * IDs carry SAE J1939 (priority / PGN / addresses straight out of the
+    * ID — the j1939-over-CAN heuristic tshark also applies); 11-bit IDs
+    * whose function code and DLC match a CANopen predefined-connection
+    * pattern layer canopen on top (tshark needs decode-as for this — the
+    * canopen layer therefore stays OUT of the tshark-diff asserted set). */
+  private def dissectCan(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 8) return null
+    protos += "can"
+    val idWord = u32(d, off)
+    val eff = (idWord & 0x80000000L) != 0
+    val rtr = (idWord & 0x40000000L) != 0
+    val id = if (eff) idWord & 0x1fffffffL else idWord & 0x7ffL
+    val dlc = u8(d, off + 4)
+    v("can.id") = id
+    v("can.len") = dlc.toLong
+    val base = if (rtr) f"RTR: 0x$id%08x" else f"${if (eff) "XTD" else "STD"}: 0x$id%08x"
+    if (eff && !rtr) { // SAE J1939: the 29-bit ID IS the protocol header
+      protos += "j1939"
+      val pri = ((id >> 26) & 7).toInt
+      val pf = ((id >> 16) & 0xff).toInt
+      // PDU1 (PF<240): PS is a destination address, PGN masks it out;
+      // PDU2: PS is a group extension and part of the PGN
+      val pgn = if (pf < 240) (id >> 8) & 0x3ff00L else (id >> 8) & 0x3ffffL
+      v("j1939.priority") = pri.toLong
+      v("j1939.pgn") = pgn
+      v("j1939.src_addr") = id & 0xffL
+      if (pf < 240) v("j1939.dst_addr") = (id >> 8) & 0xffL
+      return s"PGN: $pgn"
+    }
+    if (!eff && !rtr) {
+      val fc = (id >> 7).toInt
+      // predefined connection set, gated on the DLC each service uses
+      val isCanopen = fc match {
+        case 0x0 => dlc == 2 // NMT
+        case 0x1 => dlc == 0 || dlc == 8 // SYNC / EMCY
+        case 0xb | 0xc => dlc == 8 // SDO tx/rx
+        case 0xe => dlc == 1 // heartbeat
+        case _ => false
+      }
+      if (isCanopen) {
+        protos += "canopen"
+        v("canopen.function_code") = fc.toLong
+        v("canopen.cob_id") = id
+        val what = fc match {
+          case 0x0 => "NMT"
+          case 0x1 => if (dlc == 0) "SYNC" else "EMCY"
+          case 0xb => "SDO tx"
+          case 0xc => "SDO rx"
+          case 0xe => "Heartbeat"
+          case _ => f"FC 0x$fc%x"
+        }
+        return s"$what, COB-ID: 0x" + f"$id%03x"
+      }
+    }
+    base
+  }
+
+  /** FlexRay (linktype 210): one measurement byte (bit 0 channel A/B,
+    * bits 2-1 type: 1 frame / 2 symbol) then the 5-byte FlexRay frame
+    * header — indicator bits + 11-bit frame ID, 7-bit payload length in
+    * 16-bit words, 11-bit header CRC, 6-bit cycle count (FlexRay
+    * Communications System Protocol Specification §4.2; the pcap
+    * encapsulation follows the Wireshark wiki's FlexRay format). */
+  private def dissectFlexray(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 1) return null
+    protos += "flexray"
+    val mb = u8(d, off)
+    val channel = if ((mb & 1) == 0) "A" else "B"
+    v("flexray.ch") = (mb & 1).toLong
+    ((mb >> 1) & 3) match {
+      case 2 => // symbol
+        "Symbol"
+      case _ =>
+        if (d.length < off + 6) return "FlexRay (truncated)"
+        val fid = ((u8(d, off + 1) & 0x07) << 8) | u8(d, off + 2)
+        val cc = u8(d, off + 5) & 0x3f
+        v("flexray.fid") = fid.toLong
+        v("flexray.cc") = cc.toLong
+        s"ID: $fid, CC: $cc, CH: $channel"
+    }
+  }
+
+  /** IEC 61850 GOOSE (ethertype 0x88B8): APPID / length / two reserved
+    * words, then the BER-coded IECGoosePdu (tag 0x61) whose context-tagged
+    * members carry the publisher state — gocbRef [0], timeAllowedtoLive
+    * [1], stNum [5], sqNum [6]. Same short-form TLV walk as the sibling
+    * Sampled Values dissector (ethertype 0x88BA). */
+  private def dissectGoose(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 10 || u8(d, off + 8) != 0x61) return null
+    protos += "goose"
+    v("goose.appid") = u16(d, off).toLong
+    var p = off + 10
+    var gocb: String = null
+    var stNum = -1L
+    var sqNum = -1L
+    def berUint(at: Int, tl: Int): Long = {
+      var x = 0L; var i = at
+      while (i < at + tl) { x = (x << 8) | u8(d, i); i += 1 }
+      x
+    }
+    while (p + 2 <= d.length) {
+      val tag = u8(d, p)
+      val tl = u8(d, p + 1)
+      if (p + 2 + tl > d.length) return "GOOSE"
+      tag match {
+        case 0x80 if gocb == null =>
+          gocb = new String(d, p + 2, tl, "ISO-8859-1")
+          v("goose.gocbRef") = gocb
+        case 0x81 => v("goose.timeAllowedtoLive") = berUint(p + 2, tl)
+        case 0x85 => stNum = berUint(p + 2, tl); v("goose.stNum") = stNum
+        case 0x86 => sqNum = berUint(p + 2, tl); v("goose.sqNum") = sqNum
+        case _ =>
+      }
+      p += 2 + tl
+    }
+    if (gocb != null) s"GOOSE: $gocb, stNum: $stNum, sqNum: $sqNum" else "GOOSE"
   }
 
   /** DNS name at `at` with RFC 1035 compression-pointer support;

@@ -244,8 +244,23 @@ object PcapQueries {
         sum(when(col("`ip.flags.df`"), 1L).otherwise(0L)).as("n_df"))
       .orderBy(col("dscp"), col("ecn"), col("transport")))
 
+  /** Bluetooth host-stack census over the HCI H4 capture (linktype 201,
+    * tier 51): per-ATT-opcode frame counts with a sent/rcvd split from
+    * the H4 direction pseudo-header — proves the new linktype decode
+    * end-to-end through the DSv2 source, pcap_wlan_ssids-style. */
+  val pcapBtAtt = GraftQuery(
+    "pcap_bt_att",
+    (s, _) => Wireduck.readPcap(s, fixture("bt.pcap"),
+      protocols = Seq("hci_h4", "btl2cap", "btatt"))
+      .filter(col("`btatt.opcode`").isNotNull)
+      .groupBy(col("`btatt.opcode`").as("opcode"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("`hci_h4.direction`") === 0, 1L).otherwise(0L)).as("n_sent"))
+      .orderBy(col("opcode")))
+
   val all: Seq[GraftQuery] =
     Seq(pcapScan, pcapFlagship, pcapFiltered, pcapGlossary, pcapSessionStats,
       pcapHttpTls, pcapRtpStats, pcapTcpHealth, pcapDnsLatency,
-      pcapProtocolMix, pcapConversations, pcapWlanSsids, pcapQosCensus)
+      pcapProtocolMix, pcapConversations, pcapWlanSsids, pcapQosCensus,
+      pcapBtAtt)
 }

@@ -144,6 +144,7 @@ class TsharkBackendSpec extends SparkSpec {
     assert(n.schema.fieldNames.toSeq === Seq(
       "frame.time_epoch", "frame.number", "frame.len", "frame.protocols",
       "goose.gocbRef", "goose.stNum", "goose.sqNum", "goose.timeAllowedtoLive",
+      "goose.appid",
       "_ws.col.info"))
     assert(n.schema("goose.gocbRef").dataType ===
       org.apache.spark.sql.types.StringType)
@@ -190,7 +191,7 @@ class TsharkBackendSpec extends SparkSpec {
     // this way: tier 28 added 4 fields, the 8-column golden kept passing
     // compile but failed at runtime a round later).
     val pinned = Map(
-      "udp" -> 27, "smb" -> 12, "someip" -> 7, "goose" -> 4,
+      "udp" -> 27, "smb" -> 12, "someip" -> 7, "goose" -> 5,
       "bitcoin" -> 3, "ipmi" -> 3)
     val counts = graft.pcap.Glossary.fields
       .groupBy(_.protocol_filter_name).map { case (p, fs) => p -> fs.size }

@@ -34,7 +34,16 @@ class TsharkDiffSpec extends SparkSpec {
     // extends the diff surface over the tier-16..29 dissectors
     // (VERDICT r7 #8 — late-tier info strings were report-only before)
     "sweep" -> getClass.getResource("/sweep_extra.pcap").getPath,
-    "wlan" -> getClass.getResource("/wlan.pcap").getPath)
+    "wlan" -> getClass.getResource("/wlan.pcap").getPath,
+    // the tier-51 Bluetooth fixtures (linktypes 201 / 187 / 251)
+    "bt" -> getClass.getResource("/bt.pcap").getPath,
+    "bth4" -> getClass.getResource("/bth4.pcap").getPath,
+    "btle" -> getClass.getResource("/btle.pcap").getPath,
+    // the tier-52 automotive fixtures stay REPORT-ONLY on a tshark host:
+    // CANopen needs decode-as there, the j1939/goose heuristic and ASN.1
+    // renderings are preference-dependent — the worklist still diffs them
+    "can" -> getClass.getResource("/can.pcap").getPath,
+    "flexray" -> getClass.getResource("/flexray.pcap").getPath)
 
   private def runTshark(args: Seq[String]): Option[Seq[String]] =
     try {
@@ -120,7 +129,12 @@ class TsharkDiffSpec extends SparkSpec {
     // t49 — media-typed entities + OBEX
     "ocsp", "cms", "daap", "obex",
     // t50 — TCAP above SCCP; Windows browser above NBDGM
-    "tcap", "browser")
+    "tcap", "browser",
+    // t51 — the Bluetooth host stack (btmesh stays report-only: the
+    // network PDU past IVI/NID is encrypted, so tshark's rendering of an
+    // undecryptable mesh beacon is preference-dependent)
+    "bthci_cmd", "bthci_evt", "btl2cap", "btsdp", "btrfcomm", "btatt",
+    "btle")
 
   private def assertedLayer(l: String): Boolean =
     coreInfoLayers.contains(l) || lateTierInfoLayers.contains(l)

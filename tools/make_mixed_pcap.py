@@ -2157,6 +2157,31 @@ nb_names = bytes([0x20]) + b"A" * 32 + b"\x00" + bytes([0x20]) + b"B" * 32 + b"\
 extra.append((t3, 38800, ip_frame(17, A, B,
               udp(138, 138, nbdgm_hdr + nb_names + mailslot), ident=389)))
 
+# 390-391: tier 52 — IEC 61850 GOOSE straight on Ethernet (ethertype
+# 0x88B8: APPID/length header then the BER-coded IECGoosePdu — gocbRef,
+# timeAllowedtoLive, stNum, sqNum as context-tagged TLVs), and a CIP
+# Get Attributes All RESPONSE in an ENIP SendRRData (service |0x80,
+# general status 0) so cip.genstat has a native writer.
+
+
+gocb = b"GEDevice/LLN0$GO$gcb01"
+goose_pdu_body = (bytes([0x80, len(gocb)]) + gocb +
+                  bytes([0x81, 2]) + struct.pack(">H", 2000) +
+                  bytes([0x85, 1, 1]) +
+                  bytes([0x86, 1, 3]))
+goose_pdu = bytes([0x61, len(goose_pdu_body)]) + goose_pdu_body
+goose_pkt = struct.pack(">HHHH", 0x4000, 8 + len(goose_pdu), 0, 0) + goose_pdu
+extra.append((t3, 38900, eth(MAC_B, MAC_A, 0x88B8, goose_pkt)))
+
+cip_rsp = bytes([0x81, 0x00, 0x00, 0x00])  # service|0x80, rsvd, genstat, addl
+enip_rsp_data = (b"\x00" * 4 + struct.pack("<H", 10) + struct.pack("<H", 2) +
+                 struct.pack("<HH", 0x0000, 0) +
+                 struct.pack("<HH", 0x00B2, len(cip_rsp)) + cip_rsp)
+enip_rsp = (struct.pack("<HHII", 0x006F, len(enip_rsp_data), 0xDEADBEEF, 0) +
+            b"\x00" * 8 + struct.pack("<I", 0) + enip_rsp_data)
+extra.append((t3, 39000, ip_frame(6, B, A, tcp(44818, 49324, 1, enip_rsp),
+              ident=391)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
@@ -2182,3 +2207,158 @@ qos_data = struct.pack("<H", 0x0188) + struct.pack(">H", 0) + \
     snap + _ih2 + _ip2
 wlan_pkts.append((t3, 500, qos_data))
 write_pcap("src/test/resources/wlan.pcap", wlan_pkts, linktype=105)
+
+# ---------------------------------------------------------------------------
+# Tier 51 — the Bluetooth host stack. Three fixtures:
+#   bt.pcap   (linktype 201, BLUETOOTH_HCI_H4_WITH_PHDR): a 4-byte
+#             big-endian direction word (0 sent / 1 rcvd) precedes each H4
+#             packet. Walks HCI cmd/evt, then ACL→L2CAP signaling (dynamic
+#             CID establishment for SDP PSM 0x0001 and RFCOMM PSM 0x0003),
+#             SDP service search, RFCOMM SABM/UA/UIH, and ATT on CID 4.
+#   bth4.pcap (linktype 187, BLUETOOTH_HCI_H4): no phdr — direction is
+#             inferred from the H4 packet type (cmd can only be host→ctrl).
+#   btle.pcap (linktype 251, BLUETOOTH_LE_LL): over-the-air LE link-layer
+#             packets (access address + header + payload + 3-byte CRC):
+#             ADV_IND, SCAN_REQ, an ADV_NONCONN_IND carrying a Mesh
+#             Message AD (→ btmesh), and a data-channel PDU → L2CAP → ATT.
+t5 = 1700003000
+
+
+def h4(direction, pkt):
+    return struct.pack(">I", direction) + pkt
+
+
+def hci_acl(handle, payload, pb=2):
+    # handle (12 bits) | PB flag (2) | BC flag (2), little-endian on the wire
+    return bytes([0x02]) + struct.pack("<HH", handle | (pb << 12), len(payload)) + payload
+
+
+def l2cap(cid, payload):
+    return struct.pack("<HH", len(payload), cid) + payload
+
+
+bt = []
+# 1-2: Reset command, Command Complete event
+bt.append((t5, 0, h4(0, bytes([0x01]) + struct.pack("<H", 0x0C03) + bytes([0]))))
+bt.append((t5, 100, h4(1, bytes([0x04, 0x0E, 4, 1]) + struct.pack("<H", 0x0C03) + bytes([0]))))
+# 3-4: L2CAP signaling — Connection Request/Response for SDP (PSM 0x0001)
+conn_req_sdp = bytes([0x02, 0x01]) + struct.pack("<H", 4) + struct.pack("<HH", 0x0001, 0x0040)
+bt.append((t5, 200, h4(0, hci_acl(1, l2cap(1, conn_req_sdp)))))
+conn_rsp_sdp = bytes([0x03, 0x01]) + struct.pack("<H", 8) + struct.pack("<HHHH", 0x0041, 0x0040, 0, 0)
+bt.append((t5, 300, h4(1, hci_acl(1, l2cap(1, conn_rsp_sdp)))))
+# 5-6: SDP Service Search Request/Response on the established CID pair
+#   pattern: DES(0x35) of one UUID16 (0x1200 PnP Information), max 10 records
+sdp_req = bytes([0x02]) + struct.pack(">HH", 0x0001, 8) + \
+    bytes([0x35, 0x03, 0x19, 0x12, 0x00]) + struct.pack(">H", 10) + bytes([0])
+bt.append((t5, 400, h4(0, hci_acl(1, l2cap(0x0041, sdp_req)))))
+sdp_rsp = bytes([0x03]) + struct.pack(">HH", 0x0001, 9) + \
+    struct.pack(">HH", 1, 1) + struct.pack(">I", 0x00010000) + bytes([0])
+bt.append((t5, 500, h4(1, hci_acl(1, l2cap(0x0040, sdp_rsp)))))
+# 7-8: Connection Request/Response for RFCOMM (PSM 0x0003)
+conn_req_rf = bytes([0x02, 0x02]) + struct.pack("<H", 4) + struct.pack("<HH", 0x0003, 0x0042)
+bt.append((t5, 600, h4(0, hci_acl(1, l2cap(1, conn_req_rf)))))
+conn_rsp_rf = bytes([0x03, 0x02]) + struct.pack("<H", 8) + struct.pack("<HHHH", 0x0043, 0x0042, 0, 0)
+bt.append((t5, 700, h4(1, hci_acl(1, l2cap(1, conn_rsp_rf)))))
+# 9-11: RFCOMM — SABM on DLCI 0, UA, then UIH data on DLCI 2 (channel 1)
+rf_sabm = bytes([0x03, 0x3F, 0x01, 0x1C])           # addr EA|CR dlci0, SABM+P, len 0, FCS
+bt.append((t5, 800, h4(0, hci_acl(1, l2cap(0x0043, rf_sabm)))))
+rf_ua = bytes([0x03, 0x73, 0x01, 0xD7])             # UA+F
+bt.append((t5, 900, h4(1, hci_acl(1, l2cap(0x0042, rf_ua)))))
+rf_uih = bytes([0x0B, 0xEF, 0x09, 0x41, 0x54, 0x0D, 0x0A, 0x9A])  # dlci 2, UIH, len 4, "AT\r\n", FCS
+bt.append((t5, 1000, h4(0, hci_acl(1, l2cap(0x0043, rf_uih)))))
+# 12-15: ATT on the fixed channel CID 4 — Read By Group Type (discover
+# primary services), then Read Request/Response on a handle
+att_rbgt_req = bytes([0x10]) + struct.pack("<HHH", 0x0001, 0xFFFF, 0x2800)
+bt.append((t5 + 1, 0, h4(0, hci_acl(1, l2cap(4, att_rbgt_req)))))
+att_rbgt_rsp = bytes([0x11, 6]) + struct.pack("<HHH", 0x0001, 0x0005, 0x1800)
+bt.append((t5 + 1, 100, h4(1, hci_acl(1, l2cap(4, att_rbgt_rsp)))))
+att_read_req = bytes([0x0A]) + struct.pack("<H", 0x0003)
+bt.append((t5 + 1, 200, h4(0, hci_acl(1, l2cap(4, att_read_req)))))
+att_read_rsp = bytes([0x0B]) + b"graft"
+bt.append((t5 + 1, 300, h4(1, hci_acl(1, l2cap(4, att_read_rsp)))))
+write_pcap("src/test/resources/bt.pcap", bt, linktype=201)
+
+# bth4.pcap — same first exchange without the direction pseudo-header
+bth4 = [
+    (t5, 0, bytes([0x01]) + struct.pack("<H", 0x0C03) + bytes([0])),
+    (t5, 100, bytes([0x04, 0x0E, 4, 1]) + struct.pack("<H", 0x0C03) + bytes([0])),
+]
+write_pcap("src/test/resources/bth4.pcap", bth4, linktype=187)
+
+# btle.pcap — LE link layer: AA(4, LE) + header(2) + payload + CRC(3).
+ADV_AA = struct.pack("<I", 0x8E89BED6)
+adv_a = bytes([0x01, 0x00, 0x00, 0x00, 0x00, 0xC0])   # AdvA on-air (LSB first)
+scan_a = bytes([0x02, 0x00, 0x00, 0x00, 0x00, 0xC0])
+crc = b"\x5A\x5A\x5A"
+ble = []
+# ADV_IND: flags AD + complete local name "graftble"
+ad = bytes([2, 0x01, 0x06]) + bytes([9, 0x09]) + b"graftble"
+pdu = adv_a + ad
+ble.append((t5 + 2, 0, ADV_AA + bytes([0x00, len(pdu)]) + pdu + crc))
+# SCAN_REQ (type 3): ScanA + AdvA
+pdu = scan_a + adv_a
+ble.append((t5 + 2, 100, ADV_AA + bytes([0x03, len(pdu)]) + pdu + crc))
+# ADV_NONCONN_IND (type 2) carrying a Mesh Message AD (type 0x2A):
+# network PDU first byte = IVI(1)|NID(7) = 0x68, then obfuscated bytes
+mesh_net = bytes([0x68]) + b"\x11\x22\x33\x44\x55\x66\x77\x88\x99\xAA\xBB\xCC\xDD"
+ad = bytes([1 + len(mesh_net), 0x2A]) + mesh_net
+pdu = adv_a + ad
+ble.append((t5 + 2, 200, ADV_AA + bytes([0x02, len(pdu)]) + pdu + crc))
+# data-channel PDU (non-advertising access address): LLID=2 start/complete,
+# L2CAP on CID 4 → ATT Read Request handle 0x0003
+data_aa = struct.pack("<I", 0xAF9A8B23)
+att = bytes([0x0A]) + struct.pack("<H", 0x0003)
+payload = l2cap(4, att)
+ble.append((t5 + 2, 300, data_aa + bytes([0x02, len(payload)]) + payload + crc))
+write_pcap("src/test/resources/btle.pcap", ble, linktype=251)
+
+# ---------------------------------------------------------------------------
+# Tier 52 — the automotive buses.
+#   can.pcap     (linktype 227, SocketCAN): 4-byte big-endian CAN ID with
+#                EFF/RTR/ERR in the top bits, then len + 3 pad bytes, then
+#                data. One raw frame, three CANopen frames (SDO download,
+#                NMT start, heartbeat), two J1939 frames (PDU2 broadcast
+#                and a PDU1 Request) on 29-bit extended IDs.
+#   flexray.pcap (linktype 210): measurement byte (bit0 channel, bits2-1
+#                type: 1 frame / 2 symbol), then the 5-byte FlexRay frame
+#                header (indicators, 11-bit frame ID, 7-bit payload length
+#                in words, header CRC, 6-bit cycle count) and payload.
+t6 = 1700004000
+
+
+def socketcan(can_id, data, eff=False):
+    cid = can_id | (0x80000000 if eff else 0)
+    return struct.pack(">I", cid) + bytes([len(data), 0, 0, 0]) + data
+
+
+can_pkts = [
+    (t6, 0, socketcan(0x123, bytes.fromhex("DEADBEEF01020304"))),
+    # CANopen SDO download request to node 1: index 0x1017 (heartbeat time)
+    (t6, 100, socketcan(0x601, bytes.fromhex("2F17100005000000"))),
+    # CANopen NMT start-remote-node, all nodes
+    (t6, 200, socketcan(0x000, bytes.fromhex("0100"))),
+    # CANopen heartbeat node 1: operational
+    (t6, 300, socketcan(0x701, bytes.fromhex("05"))),
+    # J1939 PDU2: PRI 6, PGN 65265 (CCVS), SA 0x00
+    (t6, 400, socketcan(0x18FEF100, bytes.fromhex("FFFF7D0C00FFFFFF"), eff=True)),
+    # J1939 PDU1: PRI 3, PGN 59904 (Request), DA 0x00, SA 0xF9 asking for
+    # PGN 60928 (address claimed)
+    (t6, 500, socketcan(0x0CEA00F9, bytes.fromhex("00EE00"), eff=True)),
+]
+write_pcap("src/test/resources/can.pcap", can_pkts, linktype=227)
+
+
+def flexray_frame(channel, fid, plen_words, cc, payload, sync=False):
+    mb = 0x02 | (1 if channel == "B" else 0)
+    b0 = (0x10 if sync else 0) | ((fid >> 8) & 0x07)
+    hdr = bytes([b0, fid & 0xFF, (plen_words << 1) | 0, 0x2A, cc & 0x3F])
+    return bytes([mb]) + hdr + payload
+
+
+fr_pkts = [
+    (t6 + 1, 0, flexray_frame("A", 13, 2, 5, bytes.fromhex("11223344"), sync=True)),
+    (t6 + 1, 100, flexray_frame("B", 700, 1, 42, bytes.fromhex("CAFE"))),
+    # a channel-A symbol (type 2 in the measurement byte, one symbol byte)
+    (t6 + 1, 200, bytes([0x04, 0x01])),
+]
+write_pcap("src/test/resources/flexray.pcap", fr_pkts, linktype=210)
