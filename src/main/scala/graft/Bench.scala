@@ -234,11 +234,36 @@ object Bench {
     val failedNames = benched.map(_.name)
       .filter(n => m.getOrElse(n, -1.0) < 0)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    def assemble(dec: Int, names: Seq[String], fams: String): String =
+    // Co-tenancy reconciliation (VERDICT r9 #7): the sequential WALL times
+    // above move with driver-side co-tenant load (r9's q41 read 7.82 s on
+    // the driver vs 2.16 s isolated — same plan), but summed executor TASK
+    // time does not. Echo a compact taskTime view in the same artifact so
+    // a reader can tell queue noise from a real plan regression without
+    // hunting for the isolated record: total, the 10 largest q* by
+    // taskTime, and per-family [n, sum_sec] rollups.
+    def taskSec(n: String): Double =
+      metrics.byQuery.get(n).fold(-1.0)(_.taskTimeMs / 1e3)
+    val isolatedRef: String = {
+      val total = benched.map(q => taskSec(q.name)).filter(_ >= 0).sum
+      val top = benched.map(_.name).filter(_.startsWith("q"))
+        .sortBy(n => -taskSec(n)).take(10)
+        .map(n => "\"" + n + "\":" + fmt(taskSec(n), 1)).mkString("{", ",", "}")
+      val fams = benched.map(_.name).filterNot(_.startsWith("q"))
+        .groupBy(_.takeWhile(_ != '_')).toSeq.sortBy(_._1)
+        .map { case (f, ns) =>
+          val ts = ns.map(taskSec).filter(_ >= 0)
+          "\"" + f + "\":[" + ns.size + "," + fmt(if (ts.isEmpty) -1.0 else ts.sum, 1) + "]"
+        }.mkString("{", ",", "}")
+      s"""{"basis":"executor task_time, co-tenancy-robust",""" +
+        s""""total":${fmt(total, 1)},"q_top":$top,"families":$fams}"""
+    }
+    def assemble(dec: Int, names: Seq[String], fams: String,
+        withRef: Boolean = true): String =
       s"""{"metric":"total","value":${fmt(wall, 3)},"unit":"sec",""" +
         s""""seq_total":${fmt(seqTimes.values.filter(_ > 0).sum, 3)},""" +
         s""""n_queries":${benched.size},"failed":$failedNames,""" +
         s""""queries":${qFamily(dec, names)},"families":$fams,""" +
+        (if (withRef) s""""isolated_ref":$isolatedRef,""" else "") +
         s""""full":"BENCH_local.json","sf":"$sfDir"}"""
     // size-aware degradation so a future query tranche can't re-overflow
     // the window: 2 decimals → 1 decimal → slowest-40-q*-only → totals-only
@@ -246,7 +271,9 @@ object Bench {
       assemble(2, qNames, famRollup),
       assemble(1, qNames, famRollup),
       assemble(1, qNames.sortBy(n => -m.getOrElse(n, -1.0)).take(40), famRollup),
-      assemble(1, Seq.empty, famRollup))
+      assemble(1, qNames.sortBy(n => -m.getOrElse(n, -1.0)).take(40), famRollup,
+        withRef = false),
+      assemble(1, Seq.empty, famRollup, withRef = false))
     println(candidates.find(_.length <= 1940).getOrElse(
       s"""{"metric":"total","value":${fmt(wall, 3)},"unit":"sec","full":"BENCH_local.json","sf":"$sfDir"}"""))
   }

@@ -1447,6 +1447,148 @@ object SimilarityQueries {
       ORDER BY cosine DESC, vec_id
       LIMIT 5"""))
 
+  /** Shared candidate-stage SQL for [[simMmrSharded]]: four query vectors
+    * (vec_id < 4) against the rest of the corpus, scored ONCE per
+    * (query, vector) pair, then the sharded serving topology — per-shard
+    * local top-10 (WindowGroupLimit per (query, shard)) merged to the
+    * per-query global top-10. Identical text on both engines except the
+    * dot dialect, so every cosine is the same IEEE op sequence. */
+  private def mmrShardedCands(dot: (String, String) => String): String = s"""
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe,
+               SQRT(${dot("embedding", "embedding")}) AS qn
+        FROM embeddings WHERE vec_id < 4),
+      scored AS (
+        SELECT q.qid, e.vec_id AS cid, e.embedding AS emb,
+               SQRT(${dot("e.embedding", "e.embedding")}) AS nrm,
+               (${dot("e.embedding", "q.qe")})
+                 / (SQRT(${dot("e.embedding", "e.embedding")}) * q.qn) AS qcos,
+               e.vec_id % 4 AS shard
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 4),
+      local AS (
+        SELECT qid, cid, emb, nrm, qcos,
+               ROW_NUMBER() OVER (PARTITION BY qid, shard
+                 ORDER BY qcos DESC, cid) AS lrn
+        FROM scored),
+      merged AS (
+        SELECT qid, cid, emb, nrm, qcos,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY qcos DESC, cid) AS grn
+        FROM local WHERE lrn <= 10)
+      SELECT qid, cid, emb, nrm, qcos FROM merged WHERE grn <= 10"""
+
+  /** Oracle for [[simMmrSharded]]: the shared sharded-candidate stage,
+    * then [[mmrSql]]'s hand-unrolled 5-step greedy chain replayed PER
+    * QUERY (CTE names suffixed by query id) and unioned. Same
+    * bit-exactness argument as the single-query oracle: unrolled
+    * left-associative dots, identical 0.7·x − 0.3·y scoring, GREATEST
+    * running max, (score, cid) tie-breaks. */
+  private def mmrShardedSql(dot: (String, String) => String): String = {
+    def cos(ae: String, an: String, be: String, bn: String) =
+      s"(${dot(ae, be)}) / ($an * $bn)"
+    def sel(q: Int, n: Int, from: String, scored: Boolean) = {
+      val ord = if (scored) "0.7 * qcos - 0.3 * ms DESC, cid" else "qcos DESC, cid"
+      val cols = if (scored) "cid, emb, nrm, qcos, ms" else "cid, emb, nrm, qcos"
+      s"s${q}_$n AS (SELECT $cols FROM $from ORDER BY $ord LIMIT 1)"
+    }
+    def rescore(q: Int, n: Int, from: String, first: Boolean) = {
+      val ms =
+        if (first) cos("c.emb", "c.nrm", "s.emb", "s.nrm")
+        else s"GREATEST(c.ms, ${cos("c.emb", "c.nrm", "s.emb", "s.nrm")})"
+      s"r${q}_$n AS (SELECT c.cid, c.emb, c.nrm, c.qcos, $ms AS ms FROM " +
+        s"$from c CROSS JOIN s${q}_$n s WHERE c.cid <> s.cid)"
+    }
+    val perQuery = (0 until 4).map { q =>
+      s"""c$q AS (SELECT cid, emb, nrm, qcos FROM cands WHERE qid = $q),
+      ${sel(q, 1, s"c$q", scored = false)},
+      ${rescore(q, 1, s"c$q", first = true)},
+      ${sel(q, 2, s"r${q}_1", scored = true)},
+      ${rescore(q, 2, s"r${q}_1", first = false)},
+      ${sel(q, 3, s"r${q}_2", scored = true)},
+      ${rescore(q, 3, s"r${q}_2", first = false)},
+      ${sel(q, 4, s"r${q}_3", scored = true)},
+      ${rescore(q, 4, s"r${q}_3", first = false)},
+      ${sel(q, 5, s"r${q}_4", scored = true)}"""
+    }.mkString(",\n      ")
+    val unions = (0 until 4).map { q =>
+      (1 to 5).map(n =>
+        s"SELECT CAST($q AS BIGINT) AS query_id, CAST($n AS BIGINT) AS mmr_rank, " +
+          s"cid AS vec_id, qcos FROM s${q}_$n").mkString("\n      UNION ALL ")
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH cands AS (${mmrShardedCands(dot)}),
+      $perQuery
+      SELECT * FROM (
+      $unions)
+      ORDER BY query_id, mmr_rank"""
+  }
+
+  /** Batch MMR over the sharded serving path (VERDICT r9 #8): compose
+    * [[simAnnSharded]]'s scatter-gather candidate topology with
+    * [[simMmrRerank]]'s diversity rerank, for FOUR queries in ONE plan.
+    * The corpus is scanned once (broadcast 4-row query arm), each
+    * (query, shard) pair keeps its local top-10 via WindowGroupLimit,
+    * the router merges to a per-query global top-10, and the 5-step
+    * greedy MMR then folds over each query's ten candidates inside a
+    * typed group — per-query unrolled rerank, no global sort, no driver
+    * loop. 100 TB shape: label-once/serve-many — candidate generation is
+    * the embarrassingly parallel sharded scan; the rerank touches
+    * queries×10 rows regardless of corpus size. The fold replicates the
+    * oracle's IEEE op sequence exactly (index-order dot accumulation,
+    * −∞-seeded running max), so the result is bit-exact. */
+  val simMmrSharded = GraftQuery(
+    "sim_mmr_sharded",
+    (s, dir) => {
+      import s.implicits._
+      Tables.registerViews(s, dir)
+      val cands = s.sql(mmrShardedCands(sparkDot))
+        .as[(Long, Long, Array[Float], Double, Double)]
+      cands
+        .groupByKey(_._1)
+        .flatMapSortedGroups(col("qcos").desc, col("cid")) { (qid, it) =>
+          val arr = it.toArray // ≤ 10 per query, bounded by the merge
+          def cos(i: Int, j: Int): Double = {
+            val a = arr(i)._3; val b = arr(j)._3
+            var s = 0.0
+            var k = 0
+            while (k < a.length) { s += a(k).toDouble * b(k).toDouble; k += 1 }
+            s / (arr(i)._4 * arr(j)._4)
+          }
+          val n = arr.length
+          val picked = new Array[Boolean](n)
+          val ms = Array.fill(n)(Double.NegativeInfinity)
+          val out = new Array[(Long, Long, Long, Double)](math.min(5, n))
+          var last = 0 // step 1: arr arrives sorted by (qcos desc, cid)
+          picked(0) = true
+          out(0) = (qid, 1L, arr(0)._2, arr(0)._5)
+          var step = 1
+          while (step < out.length) {
+            var best = -1
+            var bestScore = 0.0
+            var i = 0
+            while (i < n) {
+              if (!picked(i)) {
+                ms(i) = math.max(ms(i), cos(i, last))
+                val score = 0.7 * arr(i)._5 - 0.3 * ms(i)
+                if (best < 0 || score > bestScore ||
+                    (score == bestScore && arr(i)._2 < arr(best)._2)) {
+                  best = i; bestScore = score
+                }
+              }
+              i += 1
+            }
+            picked(best) = true
+            last = best
+            out(step) = (qid, step + 1L, arr(best)._2, arr(best)._5)
+            step += 1
+          }
+          out.iterator
+        }
+        .toDF("query_id", "mmr_rank", "vec_id", "qcos")
+        .orderBy($"query_id", $"mmr_rank")
+    },
+    Some(mmrShardedSql(duckDot)))
+
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfPersisted,
       simIvfAppend,
@@ -1456,5 +1598,6 @@ object SimilarityQueries {
       ddEmbeddingNeardup, ddSemanticDedup, simMmrRerank, simHardNegatives,
       simKnnGraph, simClusterBalance, simAnnFiltered, simAnnBitq,
       simBitextMargin, simAnnMultiprobe, ddSemdedupIvf, simAnnMatryoshka,
-      simKmeansUpdate, simAnnSharded, simClusterPurity, simKmeansIterate)
+      simKmeansUpdate, simAnnSharded, simClusterPurity, simKmeansIterate,
+      simMmrSharded)
 }

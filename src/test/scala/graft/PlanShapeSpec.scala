@@ -345,6 +345,22 @@ class PlanShapeSpec extends SparkSpec {
       "Bellman-Ford relax must stay a src-key equi-join")
   }
 
+  test("r10: sim_mmr_sharded ranks within (query, shard) groups; no global sort, no cartesian") {
+    // batch MMR over the sharded serving path: the scored corpus must
+    // reach the per-shard top-k through a group-limit (WindowGroupLimit /
+    // TakeOrdered), the 4-row query arm must broadcast, and the greedy
+    // rerank must fold inside per-query groups — not loop on the driver
+    // (the plan has ONE MapGroups over queries×10 rows)
+    val p = plan("sim_mmr_sharded")
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrdered"),
+      "shard-local candidate top-k must rank within (query, shard) groups")
+    assert(!p.contains("CartesianProduct"),
+      "the 4-row query arm must broadcast, not cross-join")
+    assert(p.contains("MapGroups") || p.contains("FlatMapSortedGroups") ||
+      p.contains("FlatMapGroups"),
+      "the greedy rerank must run as a typed per-query group fold")
+  }
+
   test("gr_wcc label propagation stays a node-key equi-join") {
     val p = plan("gr_wcc")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
