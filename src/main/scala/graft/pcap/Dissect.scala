@@ -921,6 +921,79 @@ object Dissect {
         case 210 => // FlexRay frame/symbol with measurement byte
           val s = dissectFlexray(d, 0, v, protos)
           if (s != null) info = s
+        case 10 => // FDDI: FC + dst + src, then LLC
+          if (d.length >= 13) {
+            protos += "fddi"
+            v("fddi.fc") = u8(d, 0).toLong
+            v("fddi.dst") = macStr(d, 1)
+            v("fddi.src") = macStr(d, 7)
+            val s = dissectLlcWithIp(d, 13, d.length, v, protos, tracker, wanted)
+            if (s != null) info = s
+          }
+        case 6 => // IEEE 802.5 Token Ring: AC + FC + dst + src (+RIF), LLC
+          if (d.length >= 14) {
+            protos += "tr"
+            v("tr.fc") = u8(d, 1).toLong
+            v("tr.dst") = macStr(d, 2)
+            v("tr.src") = macStr(d, 8)
+            // source-routing present when the src MAC's top bit is set:
+            // the RIF's length lives in the low 5 bits of its first byte
+            var p = 14
+            if ((u8(d, 8) & 0x80) != 0 && d.length >= 16) p += u8(d, 14) & 0x1f
+            val s = dissectLlcWithIp(d, p, d.length, v, protos, tracker, wanted)
+            if (s != null) info = s
+          }
+        case 7 => // classic BSD ARCNET: source, destination, protocol id
+          if (d.length >= 3) {
+            protos += "arcnet"
+            v("arcnet.src") = u8(d, 0).toLong
+            v("arcnet.dst") = u8(d, 1).toLong
+            v("arcnet.protID") = u8(d, 2).toLong
+            info = f"ARCNET, Src: 0x${u8(d, 0)}%02x, Dst: 0x${u8(d, 1)}%02x"
+          }
+        case 3 => // AX.25 (amateur packet radio)
+          val s = dissectAx25(d, 0, v, protos, tracker, wanted)
+          if (s != null) info = s
+        case 107 => // Frame Relay: Q.922 address, UI control, NLPID
+          val s = dissectFrameRelay(d, 0, v, protos, tracker, wanted)
+          if (s != null) info = s
+        case 104 => // Cisco HDLC
+          if (d.length >= 4) {
+            protos += "chdlc"
+            v("chdlc.address") = u8(d, 0).toLong
+            val proto = u16(d, 2)
+            v("chdlc.protocol") = proto.toLong
+            val s = proto match {
+              case 0x0800 => dissectIpv4(d, 4, v, protos, tracker, wanted)
+              case 0x86dd => dissectIpv6(d, 4, v, protos, tracker, wanted)
+              case _ => null
+            }
+            info = if (s != null) s else f"Cisco HDLC, protocol 0x$proto%04x"
+          }
+        case 203 => // LAPD (Q.921): 2-byte address, control, then Q.931
+          val s = dissectLapd(d, 0, v, protos)
+          if (s != null) info = s
+        case 207 => // LAPB with 1-byte direction pseudo-header, then X.25
+          if (d.length >= 3) {
+            protos += "lapb"
+            v("lapb.address") = u8(d, 1).toLong
+            v("lapb.control") = u8(d, 2).toLong
+            val s =
+              if ((u8(d, 2) & 1) == 0) dissectX25Packet(d, 3, v, protos) // I frame
+              else null
+            info = if (s != null) s else "LAPB"
+          }
+        case 123 => // SunATM: flags + VPI + VCI(BE), then the AAL5 LLC payload
+          if (d.length >= 4) {
+            protos += "atm"
+            v("atm.vpi") = u8(d, 1).toLong
+            v("atm.vci") = u16(d, 2).toLong
+            // an LLC/SNAP-led payload is AAL5 LLC-multiplexed traffic
+            if (d.length >= 7 && u8(d, 4) == 0xaa && u8(d, 5) == 0xaa)
+              v("atm.aal") = 5L
+            val s = dissectLlcWithIp(d, 4, d.length, v, protos, tracker, wanted)
+            if (s != null) info = s
+          }
         case _ =>
           info = s"Linktype $linktype"
       }
@@ -13491,6 +13564,168 @@ object Dissect {
       p += 2 + tl
     }
     if (gocb != null) s"GOOSE: $gocb, stNum: $stNum, sqNum: $sqNum" else "GOOSE"
+  }
+
+  // --- tier 53: the legacy link layers -----------------------------------
+
+  /** LLC header at `off` with transport chaining: a SNAP-encapsulated
+    * IP/ARP payload dispatches into the network-layer dissectors with the
+    * conversation tracker (the generic [[dissectLlc]] handles the L2
+    * control protocols but has no transport chaining); everything else
+    * falls back to [[dissectLlc]]. Shared by the FDDI / Token Ring /
+    * SunATM link layers. */
+  private def dissectLlcWithIp(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker,
+      wanted: Wanted): String = {
+    if (end - off >= 8 && u8(d, off) == 0xaa && u8(d, off + 1) == 0xaa &&
+      u8(d, off + 2) == 0x03) {
+      protos += "llc"
+      v("llc.dsap") = 0xaaL
+      v("llc.ssap") = 0xaaL
+      v("llc.control") = 0x03L
+      val etype = u16(d, off + 6)
+      v("llc.type") = etype.toLong
+      val s = etype match {
+        case 0x0800 => dissectIpv4(d, off + 8, v, protos, tracker, wanted)
+        case 0x86dd => dissectIpv6(d, off + 8, v, protos, tracker, wanted)
+        case 0x0806 =>
+          protos += "arp"
+          dissectArp(d, off + 8, v)
+        case _ => null
+      }
+      if (s != null) return s
+      return f"SNAP, type 0x$etype%04x"
+    }
+    dissectLlc(d, off, end, v, protos)
+  }
+
+  /** AX.25 (amateur packet radio, linktype 3): 7-byte address fields —
+    * six left-shifted ASCII callsign characters plus an SSID byte whose
+    * low bit ends the (unrepeated) address chain — then control and, for
+    * UI frames, the PID selecting the layer-3 protocol (0xCC = IP,
+    * 0xF0 = none, the APRS text convention). */
+  private def dissectAx25(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker,
+      wanted: Wanted): String = {
+    if (d.length < off + 16) return null
+    protos += "ax25"
+    def call(o: Int): String = {
+      val base = (0 until 6).map(i => ((u8(d, o + i) >> 1) & 0x7f).toChar)
+        .mkString.trim
+      val ssid = (u8(d, o + 6) >> 1) & 0xf
+      if (ssid == 0) base else s"$base-$ssid"
+    }
+    val dst = call(off)
+    val src = call(off + 7)
+    v("ax25.dst") = dst
+    v("ax25.src") = src
+    // address chain ends at the byte with the extension bit set; repeater
+    // addresses (rare in fixtures, legal on air) just extend the chain
+    var p = off + 14
+    var guard = 0
+    while ((u8(d, p - 1) & 1) == 0 && p + 7 <= d.length && guard < 8) {
+      p += 7; guard += 1
+    }
+    if (p >= d.length) return s"$src > $dst"
+    val ctl = u8(d, p)
+    v("ax25.ctl") = ctl.toLong
+    if ((ctl & 0xef) == 0x03 && p + 1 < d.length) { // UI frame: PID follows
+      val pid = u8(d, p + 1)
+      if (pid == 0xcc) {
+        val s = dissectIpv4(d, p + 2, v, protos, tracker, wanted)
+        if (s != null) return s
+      }
+      return s"$src > $dst: UI"
+    }
+    s"$src > $dst"
+  }
+
+  /** Frame Relay (linktype 107): the Q.922 two-byte address — DLCI split
+    * 6+4 bits around the C/R and EA flags — then UI control and the
+    * RFC 2427 NLPID (0xCC = IP without SNAP). */
+  private def dissectFrameRelay(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String],
+      tracker: Tracker,
+      wanted: Wanted): String = {
+    if (d.length < off + 4) return null
+    protos += "fr"
+    val dlci = ((u8(d, off) >> 2) << 4) | (u8(d, off + 1) >> 4)
+    v("fr.dlci") = dlci.toLong
+    val nlpid = u8(d, off + 3)
+    val s = nlpid match {
+      case 0xcc => dissectIpv4(d, off + 4, v, protos, tracker, wanted)
+      case 0x8e => dissectIpv6(d, off + 4, v, protos, tracker, wanted)
+      case _ => null
+    }
+    if (s != null) s else s"Frame Relay DLCI $dlci"
+  }
+
+  /** LAPD (Q.921, linktype 203): SAPI/C-R/EA0 + TEI/EA1 address, control,
+    * then Q.931 call control when the protocol discriminator matches —
+    * the same message-type decode the TPKT-framed path uses, minus the
+    * TPKT shim. */
+  private def dissectLapd(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 3) return null
+    protos += "lapd"
+    v("lapd.sapi") = (u8(d, off) >> 2).toLong
+    v("lapd.tei") = (u8(d, off + 1) >> 1).toLong
+    val ctl = u8(d, off + 2)
+    // UI and other unnumbered frames use a 1-byte control field; I-frames
+    // (even low bit) carry 2 bytes of sequence numbers
+    val clen = if ((ctl & 1) == 0) 2 else 1
+    v("lapd.control") = ctl.toLong
+    val q = off + 2 + clen
+    if (d.length >= q + 4 && u8(d, q) == 0x08) {
+      protos += "q931"
+      v("q931.protocol_discriminator") = 0x08L
+      val crl = u8(d, q + 1)
+      v("q931.call_ref_len") = crl.toLong
+      if (crl <= 4 && q + 2 + crl < d.length) {
+        v("q931.call_ref") =
+          (0 until crl).map(i => hex2(u8(d, q + 2 + i))).mkString
+        val mt = u8(d, q + 2 + crl)
+        v("q931.message_type") = mt.toLong
+        return mt match {
+          case 0x05 => "SETUP"; case 0x02 => "CALL PROCEEDING"
+          case 0x07 => "CONNECT"; case 0x45 => "DISCONNECT"
+          case 0x5a => "RELEASE COMPLETE"; case 0x01 => "ALERTING"
+          case m => f"Q.931 0x$m%02x"
+        }
+      }
+    }
+    s"LAPD SAPI ${u8(d, off) >> 2} TEI ${u8(d, off + 1) >> 1}"
+  }
+
+  /** X.25 packet layer at `off` (reached from LAPB I-frames): GFI+LCN,
+    * packet type — the same fields the XOT path fills. */
+  private def dissectX25Packet(
+      d: Array[Byte], off: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (d.length < off + 3) return null
+    protos += "x25"
+    val lcn = u16(d, off) & 0x0fff
+    val t = u8(d, off + 2)
+    v("x25.lcn") = lcn.toLong
+    v("x25.type") = t.toLong
+    t match {
+      case 0x0b => s"Call Req. VC:$lcn"
+      case 0x0f => s"Call Conf. VC:$lcn"
+      case 0x13 => s"Clear Req. VC:$lcn"
+      case x if (x & 0x01) == 0 => s"Data VC:$lcn"
+      case x => f"X.25 type 0x$x%02x VC:$lcn"
+    }
   }
 
   /** DNS name at `at` with RFC 1035 compression-pointer support;

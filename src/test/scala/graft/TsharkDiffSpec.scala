@@ -43,7 +43,18 @@ class TsharkDiffSpec extends SparkSpec {
     // CANopen needs decode-as there, the j1939/goose heuristic and ASN.1
     // renderings are preference-dependent — the worklist still diffs them
     "can" -> getClass.getResource("/can.pcap").getPath,
-    "flexray" -> getClass.getResource("/flexray.pcap").getPath)
+    "flexray" -> getClass.getResource("/flexray.pcap").getPath,
+    // the tier-53 legacy link layers — report-only too (MAC bit-order and
+    // pseudo-header conventions vary by capture source on these linktypes)
+    "fddi" -> getClass.getResource("/legacy_fddi.pcap").getPath,
+    "tr" -> getClass.getResource("/legacy_tr.pcap").getPath,
+    "arcnet" -> getClass.getResource("/legacy_arcnet.pcap").getPath,
+    "ax25" -> getClass.getResource("/legacy_ax25.pcap").getPath,
+    "frelay" -> getClass.getResource("/legacy_fr.pcap").getPath,
+    "chdlc" -> getClass.getResource("/legacy_chdlc.pcap").getPath,
+    "lapd" -> getClass.getResource("/legacy_lapd.pcap").getPath,
+    "lapb" -> getClass.getResource("/legacy_lapb.pcap").getPath,
+    "atm" -> getClass.getResource("/legacy_atm.pcap").getPath)
 
   private def runTshark(args: Seq[String]): Option[Seq[String]] =
     try {

@@ -2362,3 +2362,70 @@ fr_pkts = [
     (t6 + 1, 200, bytes([0x04, 0x01])),
 ]
 write_pcap("src/test/resources/flexray.pcap", fr_pkts, linktype=210)
+
+# ---------------------------------------------------------------------------
+# Tier 53 — the legacy link layers, one tiny fixture per linktype (a pcap
+# carries exactly one linktype). Each chains into an existing upper layer
+# (LLC/SNAP -> IPv4 ICMP, Q.931, X.25) so the walk proves the dispatch,
+# not just the header decode.
+t7 = 1700005000
+_icmp9 = struct.pack(">BBHHH", 8, 0, 0, 0x51, 1)
+_h9, _p9 = ipv4(1, [10, 0, 9, 1], [10, 0, 9, 2], _icmp9)
+snap_ip = bytes([0xAA, 0xAA, 0x03, 0, 0, 0, 0x08, 0x00]) + _h9 + _p9
+
+# FDDI (10): FC 0x50 (async LLC frame), dst, src, then LLC/SNAP/IPv4
+fddi = bytes([0x50]) + bytes.fromhex("020000000009") + \
+    bytes.fromhex("020000000008") + snap_ip
+write_pcap("src/test/resources/legacy_fddi.pcap", [(t7, 0, fddi)], linktype=10)
+
+# Token Ring (6): AC 0x10, FC 0x40 (LLC), dst, src (no RIF), LLC/SNAP/IPv4
+tr = bytes([0x10, 0x40]) + bytes.fromhex("02000000000b") + \
+    bytes.fromhex("02000000000a") + snap_ip
+write_pcap("src/test/resources/legacy_tr.pcap", [(t7, 0, tr)], linktype=6)
+
+# ARCNET (7): classic BSD header — source, destination, protocol id
+# (0xD4 = RFC 1201 IP); the payload stays opaque at this linktype
+arc = bytes([0x01, 0x02, 0xD4]) + b"\x45\x00\x00\x1c"
+write_pcap("src/test/resources/legacy_arcnet.pcap", [(t7, 0, arc)], linktype=7)
+
+
+def ax25_addr(call, ssid, last=False):
+    b = bytes((ord(c) << 1) for c in call.ljust(6))
+    return b + bytes([0x60 | (ssid << 1) | (1 if last else 0)])
+
+
+# AX.25 (3): UI frame with APRS-ish text, then a PID 0xCC frame carrying IP
+ax1 = ax25_addr("APRS", 0) + ax25_addr("N0CALL", 7, last=True) + \
+    bytes([0x03, 0xF0]) + b">Hello from graft"
+ax2 = ax25_addr("N0CALL", 1) + ax25_addr("N0CALL", 7, last=True) + \
+    bytes([0x03, 0xCC]) + _h9 + _p9
+write_pcap("src/test/resources/legacy_ax25.pcap",
+           [(t7, 0, ax1), (t7, 100, ax2)], linktype=3)
+
+# Frame Relay (107): Q.922 2-byte address (DLCI 100, EA on the second
+# byte), UI control, NLPID 0xCC (IP)
+fr = bytes([(100 >> 4) << 2, ((100 & 0xF) << 4) | 0x01, 0x03, 0xCC]) + _h9 + _p9
+write_pcap("src/test/resources/legacy_fr.pcap", [(t7, 0, fr)], linktype=107)
+
+# Cisco HDLC (104): address 0x0F (unicast), control 0, ethertype 0x0800
+chdlc = bytes([0x0F, 0x00, 0x08, 0x00]) + _h9 + _p9
+write_pcap("src/test/resources/legacy_chdlc.pcap", [(t7, 0, chdlc)], linktype=104)
+
+# LAPD (203): SAPI 0 / TEI 5, UI control, then Q.931 SETUP and CONNECT
+q931_setup = bytes([0x08, 0x01, 0x42, 0x05])
+q931_conn = bytes([0x08, 0x01, 0xC2, 0x07])
+lapd1 = bytes([0x00, (5 << 1) | 1, 0x03]) + q931_setup
+lapd2 = bytes([0x02, (5 << 1) | 1, 0x03]) + q931_conn
+write_pcap("src/test/resources/legacy_lapd.pcap",
+           [(t7, 0, lapd1), (t7, 100, lapd2)], linktype=203)
+
+# LAPB with direction (207): 1-byte direction, address, I-frame control,
+# then the X.25 packet layer (Call Request / Call Confirm on LCN 1)
+lapb1 = bytes([0x00, 0x01, 0x00]) + bytes([0x10, 0x01, 0x0B])
+lapb2 = bytes([0x01, 0x03, 0x20]) + bytes([0x10, 0x01, 0x0F])
+write_pcap("src/test/resources/legacy_lapb.pcap",
+           [(t7, 0, lapb1), (t7, 100, lapb2)], linktype=207)
+
+# SunATM (123): flags, VPI, VCI (BE), then LLC/SNAP/IPv4 (AAL5 traffic)
+atm = bytes([0x00, 1]) + struct.pack(">H", 100) + snap_ip
+write_pcap("src/test/resources/legacy_atm.pcap", [(t7, 0, atm)], linktype=123)
