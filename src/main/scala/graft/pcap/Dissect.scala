@@ -845,6 +845,13 @@ object Dissect {
         case 1 => // Ethernet
           val s = dissectEthFrom(d, 0, v, protos, tracker, wanted)
           if (s != null) info = s
+          // PRP-1 redundancy control trailer (IEC 62439-3 §4.2.7): the
+          // frame ENDS with seq(2) | lan-id(4b)+size(12b) | suffix 0x88FB
+          if (d.length >= 20 && u16(d, d.length - 2) == 0x88fb) {
+            protos += "prp"
+            v("prp.sequence_nr") = u16(d, d.length - 6).toLong
+            v("prp.lan_id") = (u8(d, d.length - 4) >> 4).toLong
+          }
         case 101 => // raw IP
           if (d.length >= 1 && (d(0) >> 4) == 4) {
             val s = dissectIpv4(d, 0, v, protos, tracker, wanted); if (s != null) info = s
@@ -983,16 +990,110 @@ object Dissect {
               else null
             info = if (s != null) s else "LAPB"
           }
+        case 140 => // MTP2 (SS7 level 2): BSN/BIB + FSN/FIB + LI, then MTP3
+          if (d.length >= 3) {
+            protos += "mtp2"
+            v("mtp2.bsn") = (u8(d, 0) & 0x7f).toLong
+            v("mtp2.fsn") = (u8(d, 1) & 0x7f).toLong
+            v("mtp2.li") = (u8(d, 2) & 0x3f).toLong
+            // an MSU (LI > 2) carries MTP3: SIO, then the packed 14+14+4
+            // routing label (ITU), then the user part
+            if ((u8(d, 2) & 0x3f) > 2 && d.length >= 8) {
+              protos += "mtp3"
+              val si = u8(d, 3) & 0x0f
+              v("mtp3.service_indicator") = si.toLong
+              val label = (u8(d, 4).toLong) | (u8(d, 5).toLong << 8) |
+                (u8(d, 6).toLong << 16) | (u8(d, 7).toLong << 24)
+              v("mtp3.dpc") = label & 0x3fffL
+              v("mtp3.opc") = (label >> 14) & 0x3fffL
+              if (si == 3 && d.length >= 9) {
+                protos += "sccp"
+                val mt = u8(d, 8)
+                v("sccp.message_type") = mt.toLong
+                info = mt match {
+                  case 0x09 => "SCCP (UDT)"; case 0x11 => "SCCP (XUDT)"
+                  case m => f"SCCP 0x$m%02x"
+                }
+              } else info = s"MTP3 SI $si"
+            } else info = "MTP2 FISU/LSSU"
+          }
+        case 253 => // Linux netlink monitor: raw nlmsghdr (all LE)
+          if (d.length >= 16) {
+            protos += "netlink"
+            v("netlink.hdr_type") = (u8(d, 4) | (u8(d, 5) << 8)).toLong
+            v("netlink.hdr_flags") = (u8(d, 6) | (u8(d, 7) << 8)).toLong
+            v("netlink.seq") = ((u8(d, 8).toLong) | (u8(d, 9).toLong << 8) |
+              (u8(d, 10).toLong << 16) | (u8(d, 11).toLong << 24))
+            info = s"Netlink type ${u8(d, 4) | (u8(d, 5) << 8)}"
+          }
+        case 271 => // Linux vsockmon: af_vsockmon_hdr (all LE)
+          if (d.length >= 28) {
+            protos += "vsock"
+            def le64(o: Int): Long = (0 until 8)
+              .map(i => (u8(d, o + i).toLong) << (8 * i)).reduce(_ | _)
+            v("vsock.src_cid") = le64(0)
+            v("vsock.dst_cid") = le64(8)
+            val op = u8(d, 24) | (u8(d, 25) << 8)
+            v("vsock.op") = op.toLong
+            info = op match {
+              case 1 => "CONNECT"; case 2 => "Payload"; case 3 => "DISCONNECT"
+              case o => s"vsock op $o"
+            }
+          }
+        case 189 => // Linux usbmon: urb id, event, xfer type, endpoint, ...
+          if (d.length >= 16) {
+            protos += "usb"
+            val xfer = u8(d, 9)
+            val ep = u8(d, 10)
+            v("usb.transfer_type") = xfer.toLong
+            v("usb.endpoint_address") = ep.toLong
+            val kind = xfer match {
+              case 0 => "ISO"; case 1 => "INTR"; case 2 => "BULK"; case 3 => "CTRL"
+              case x => s"xfer $x"
+            }
+            val dir = if ((ep & 0x80) != 0) "in" else "out"
+            info = f"URB $kind $dir, ep 0x$ep%02x"
+          }
+        case 247 => // InfiniBand: LRH, then (LNH=2) the BTH whose first
+          // byte is the transport opcode
+          if (d.length >= 20) {
+            protos += "infiniband"
+            val lnh = u8(d, 1) & 0x3
+            if (lnh == 2) {
+              val op = u8(d, 8)
+              v("infiniband.opcode") = op.toLong
+              info = op match {
+                case 0x04 => "RC Send Only"
+                case 0x0a => "RC RDMA Write Only"
+                case 0x0c => "RC RDMA Read Request"
+                case o => f"IB opcode 0x$o%02x"
+              }
+            } else info = "InfiniBand"
+          }
         case 123 => // SunATM: flags + VPI + VCI(BE), then the AAL5 LLC payload
           if (d.length >= 4) {
             protos += "atm"
             v("atm.vpi") = u8(d, 1).toLong
-            v("atm.vci") = u16(d, 2).toLong
-            // an LLC/SNAP-led payload is AAL5 LLC-multiplexed traffic
-            if (d.length >= 7 && u8(d, 4) == 0xaa && u8(d, 5) == 0xaa)
-              v("atm.aal") = 5L
-            val s = dissectLlcWithIp(d, 4, d.length, v, protos, tracker, wanted)
-            if (s != null) info = s
+            val vci = u16(d, 2)
+            v("atm.vci") = vci.toLong
+            if (vci == 5 && d.length >= 8) {
+              // the signaling channel (VPI 0 / VCI 5) carries SSCOP: the
+              // PDU type sits in the low nibble of the TRAILER's first
+              // byte (ITU-T Q.2110 §7.2 — SSCOP fields are end-aligned)
+              protos += "sscop"
+              val t = u8(d, d.length - 4) & 0x0f
+              v("sscop.type") = t.toLong
+              info = t match {
+                case 1 => "BGN"; case 2 => "BGAK"; case 8 => "SD"
+                case 6 => "END"; case x => f"SSCOP PDU 0x$x%x"
+              }
+            } else {
+              // an LLC/SNAP-led payload is AAL5 LLC-multiplexed traffic
+              if (d.length >= 7 && u8(d, 4) == 0xaa && u8(d, 5) == 0xaa)
+                v("atm.aal") = 5L
+              val s = dissectLlcWithIp(d, 4, d.length, v, protos, tracker, wanted)
+              if (s != null) info = s
+            }
           }
         case _ =>
           info = s"Linktype $linktype"
@@ -1508,8 +1609,29 @@ object Dissect {
       case 33  => dissectDccp(d, next, ipEnd, v, protos)
       case 113 => dissectPgm(d, next, ipEnd, v, protos)
       case 139 => dissectHip(d, next, ipEnd, v, protos)
+      case 136 => dissectUdplite(d, next, ipEnd, v, protos)
       case _   => null
     }
+  }
+
+  /** UDP-Lite (RFC 3828, IP protocol 136): UDP's port pair but the
+    * length word is a CHECKSUM COVERAGE — 0 covers everything, 1..7 is
+    * illegal (the 8 header bytes must always be covered). */
+  private def dissectUdplite(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end < off + 8) return null
+    protos += "udplite"
+    val sp = u16(d, off)
+    val dp = u16(d, off + 2)
+    val cov = u16(d, off + 4)
+    v("udplite.srcport") = sp.toLong
+    v("udplite.dstport") = dp.toLong
+    v("udplite.checksum_coverage") = cov.toLong
+    if ((cov >= 1 && cov <= 7) || cov > end - off)
+      v("udplite.checksum_coverage.bad") = "Bad checksum coverage length value"
+    s"UDP-Lite $sp → $dp Coverage=$cov"
   }
 
   /** VRRP v2 (RFC 3768, IP protocol 112): advertisement header + the
@@ -2410,6 +2532,8 @@ object Dissect {
         appInfo = dissectEpmd(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 3260 || dp == 3260))
         appInfo = dissectIscsi(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 854 || dp == 854))
+        appInfo = dissectDlepMessage(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 5084 || dp == 5084))
         appInfo = dissectLlrp(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 6653 || dp == 6653))
@@ -2683,6 +2807,13 @@ object Dissect {
     // holds, NULL otherwise — tshark's -T fields rendering for expert items
     if (ckStored == 0) v("udp.checksum.zero") = "Illegal checksum value (0)"
     if (len < 8) v("udp.length.bad") = "Bad length value"
+    // tier 55: the remaining udp analysis trio. A zero length field is
+    // the TSO/USO capture artifact (the kernel fills it post-capture);
+    // the classic traceroute probe port band flags path-discovery traffic
+    if (len == 0) v("udp.length.bad_zero") =
+      "Length of 0 possible due to segmentation offload"
+    if (dp >= 33434 && dp <= 33633) v("udp.possible_traceroute") =
+      "Possible traceroute"
     // verify the checksum over the IPv4 pseudo-header when the datagram is
     // fully captured (v6 strings are not reparsed; those stay unverified)
     if (ckStored != 0 && len >= 8 && off + len <= d.length &&
@@ -2696,6 +2827,13 @@ object Dissect {
         add16((dp4(0).toInt << 8) | dp4(1).toInt)
         add16((dp4(2).toInt << 8) | dp4(3).toInt)
         add16(17); add16(len)
+        // checksum-offload detection: a transmitting stack leaves the
+        // UNCOMPLEMENTED pseudo-header sum in the field for the NIC to
+        // finish; seeing exactly that value means a partial checksum
+        var ps = sum
+        while ((ps >> 16) != 0) ps = (ps & 0xffff) + (ps >> 16)
+        if (ckStored == ps.toInt)
+          v("udp.checksum.partial") = "Partial (pseudo header checksum)"
         var i = off
         val udpEnd = off + len
         while (i + 1 < udpEnd) {
@@ -2777,6 +2915,19 @@ object Dissect {
     if (sp == 5683 || dp == 5683) {
       val coapInfo = dissectCoap(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
       if (coapInfo != null) return coapInfo
+    }
+    if (sp == 2269 || dp == 2269) {
+      val mkInfo = dissectMikey(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (mkInfo != null) return mkInfo
+    }
+    // MAC-LTE framed over UDP (Wireshark's packet-mac-lte.h UDP framing):
+    // the payload leads with the "mac-lte" magic on any port
+    if (payLen >= 10 && off + 8 + 7 <= d.length &&
+      d(off + 8) == 'm' && d(off + 9) == 'a' && d(off + 10) == 'c' &&
+      d(off + 11) == '-' && d(off + 12) == 'l' && d(off + 13) == 't' &&
+      d(off + 14) == 'e') {
+      val mlInfo = dissectMacLte(d, off + 15, math.min(off + 8 + payLen, d.length), v, protos)
+      if (mlInfo != null) return mlInfo
     }
     if (sp == 123 || dp == 123) {
       val ntpInfo = dissectNtp(d, off + 8, math.min(off + 8 + payLen, d.length), v, protos)
@@ -4210,6 +4361,26 @@ object Dissect {
     v("smb.uid") = leU16(off + 28).toLong
     v("smb.mid") = leU16(off + 30).toLong
     val isReply = (flags & 0x80) != 0
+    // tier 55: the share path (Tree Connect AndX request, MS-CIFS
+    // §2.2.4.55: wct=4, then pwlen-prefixed password, then the ASCII
+    // path) and the created file name (NT Create AndX request §2.2.4.64:
+    // wct=24 with NameLength at word 3, name after the byte count)
+    val bodyOff = off + 32
+    if (!isReply && cmd == 0x75 && plen >= 42 && u8(d, bodyOff) == 4) {
+      val pwlen = (d(bodyOff + 7) & 0xff) | ((d(bodyOff + 8) & 0xff) << 8)
+      val path0 = bodyOff + 11 + pwlen
+      if (path0 < off + plen) {
+        var e = path0
+        while (e < off + plen && d(e) != 0) e += 1
+        if (e > path0) v("smb.path") = new String(d, path0, e - path0, "ISO-8859-1")
+      }
+    }
+    if (!isReply && cmd == 0xa2 && plen >= 88 && u8(d, bodyOff) == 24) {
+      val nameLen = (d(bodyOff + 6) & 0xff) | ((d(bodyOff + 7) & 0xff) << 8)
+      val name0 = bodyOff + 1 + 48 + 2 // wct + 24 words + byte count
+      if (nameLen > 0 && name0 + nameLen <= off + plen)
+        v("smb.file") = new String(d, name0, nameLen, "ISO-8859-1")
+    }
     val name = smb1CmdNames.getOrElse(cmd, f"Cmd 0x$cmd%02x")
     s"$name ${if (isReply) "Response" else "Request"}"
   }
@@ -4239,6 +4410,15 @@ object Dissect {
       v("smb2.tid") = leU32(off + 36)
       if (plen >= 48)
         v("smb2.sesid") = leU32(off + 40) | (leU32(off + 44) << 32)
+    }
+    // tier 55: the CREATE request's UTF-16LE file name (MS-SMB2 §2.2.13:
+    // StructureSize 57, NameOffset/NameLength at body offsets 44/46)
+    if (cmd == 5 && !isResponse && plen >= 64 + 56 && leU16(off + 64) == 57) {
+      val nameOff = leU16(off + 64 + 44)
+      val nameLen = leU16(off + 64 + 46)
+      if (nameLen > 0 && nameOff + nameLen <= plen)
+        v("smb2.filename") =
+          new String(d, off + nameOff, nameLen, java.nio.charset.StandardCharsets.UTF_16LE)
     }
     val name = smb2CmdNames.getOrElse(cmd, s"Cmd$cmd")
     // DCERPC over the SMB named-pipe transport (MS-SMB2 §2.2.20/2.2.21 +
@@ -5053,6 +5233,50 @@ object Dissect {
     v("snmp.version") = version.toLong
     v("snmp.community") = community
     v("snmp.pdu_type") = pduType.toLong
+    // tier 55: inside the PDU — request-id, error-status, and the first
+    // varbind's OID rendered dotted (snmp.name), the fields a poller's
+    // triage query reads
+    val (_, pduStart) = berLen(d, p + 1, end)
+    var q = pduStart
+    def readInt(): Long = {
+      if (q >= end || u8(d, q) != 0x02) return Long.MinValue
+      val (il, ip2) = berLen(d, q + 1, end)
+      if (il < 1 || il > 8 || ip2 + il > end) return Long.MinValue
+      var x = 0L
+      var k = 0
+      while (k < il) { x = (x << 8) | u8(d, ip2 + k); k += 1 }
+      q = ip2 + il
+      x
+    }
+    readInt() // request-id (kept out of the schema; triage reads status)
+    val errStatus = readInt()
+    if (errStatus != Long.MinValue) {
+      v("snmp.error_status") = errStatus
+      readInt() // error-index
+      if (q < end && u8(d, q) == 0x30) { // varbind list
+        val (_, vbl) = berLen(d, q + 1, end)
+        if (vbl < end && u8(d, vbl) == 0x30) { // first varbind
+          val (_, vb0) = berLen(d, vbl + 1, end)
+          if (vb0 < end && u8(d, vb0) == 0x06) { // OBJECT IDENTIFIER
+            val (ol, o0) = berLen(d, vb0 + 1, end)
+            if (ol >= 1 && o0 + ol <= end) {
+              val sb = new StringBuilder
+              val b0 = u8(d, o0)
+              sb.append(b0 / 40).append('.').append(b0 % 40)
+              var k = 1
+              var acc = 0L
+              while (k < ol) {
+                val b = u8(d, o0 + k)
+                acc = (acc << 7) | (b & 0x7f)
+                if ((b & 0x80) == 0) { sb.append('.').append(acc); acc = 0L }
+                k += 1
+              }
+              v("snmp.name") = sb.toString
+            }
+          }
+        }
+      }
+    }
     name
   }
 
@@ -5625,6 +5849,8 @@ object Dissect {
           if (text.forall(c => c >= 0x20 && c < 0x7f)) {
             protos += "gsm_sms"
             v("gsm_sms.sms_text") = text
+            // a submit_sm carries an SMS-SUBMIT TPDU: message type 1
+            v("gsm_sms.tp-mti") = 1L
             return s"SMPP Submit_sm: \"$text\""
           }
         }
@@ -5913,6 +6139,8 @@ object Dissect {
     protos += "opcua"
     v("opcua.transport.type") = t
     v("opcua.transport.size") = sz
+    if ((t == "HEL" || t == "ACK") && len >= 12)
+      v("opcua.transport.ver") = le32(off + 8)
     if (t == "HEL" && len >= 32) {
       val ulen = le32(off + 28)
       if (ulen > 0 && ulen < 4096 && 32 + ulen <= len) {
@@ -7064,6 +7292,12 @@ object Dissect {
     v("iscsi.datasegmentlength") = u24(d, off + 5).toLong
     v("iscsi.initiatortasktag") = u32(d, off + 16)
     v("iscsi.cmdsn") = u32(d, off + 24)
+    // a SCSI Command BHS carries the 8-byte LUN at bytes 8-15 and opens
+    // the SCSI task layer (first-level addressing in the top 16 bits)
+    if (op == 0x01) {
+      protos += "scsi"
+      v("scsi.lun") = u16(d, off + 8).toLong
+    }
     iscsiOpcodeNames(op)
   }
 
@@ -7148,12 +7382,43 @@ object Dissect {
     var i = off + 1
     var y: String = null
     var q: String = null
+    var nodeId: String = null
+    var firstInt = Long.MinValue
+    // nested walk for the argument/response dict: the 20-byte "id" value
+    // hex-rendered is the querying node's DHT id
+    def findId(at: Int): Unit = {
+      if (at >= end || d(at) != 'd') return
+      var j = at + 1
+      while (j < end && d(j) != 'e') {
+        val k = str(j)
+        val av = skipValue(j, 1)
+        if (k == null || av < 0 || av >= end) return
+        if (k == "id" && nodeId == null) {
+          val idv = str(av)
+          if (idv != null && idv.length == 20)
+            nodeId = idv.map(c => f"${c.toInt & 0xff}%02x").mkString
+        }
+        if (d(av) == 'i' && firstInt == Long.MinValue) {
+          var e2 = av + 1
+          var x = 0L
+          var neg = false
+          if (e2 < end && d(e2) == '-') { neg = true; e2 += 1 }
+          while (e2 < end && d(e2) >= '0' && d(e2) <= '9') {
+            x = x * 10 + (d(e2) - '0'); e2 += 1
+          }
+          if (e2 < end && d(e2) == 'e') firstInt = if (neg) -x else x
+        }
+        j = skipValue(av, 1)
+        if (j < 0) return
+      }
+    }
     while (i < end && d(i) != 'e') {
       val key = str(i)
       val afterKey = skipValue(i, 0)
       if (key == null || afterKey < 0 || afterKey >= end) return null
       if (key == "y") y = str(afterKey)
       if (key == "q") q = str(afterKey)
+      if (key == "a" || key == "r") findId(afterKey)
       i = skipValue(afterKey, 0)
       if (i < 0) return null
     }
@@ -7162,6 +7427,8 @@ object Dissect {
     // the KRPC body IS a bencoded dictionary — surface the content layer
     protos += "bencode"
     if (q != null) { v("bt-dht.bencoded.string") = q; v("bencode.str") = q }
+    if (nodeId != null) v("bt-dht.id") = nodeId
+    if (firstInt != Long.MinValue) v("bencode.int") = firstInt
     y match {
       case "q" => s"DHT Query ${if (q != null) q else "?"}"
       case "r" => "DHT Response"
@@ -8241,6 +8508,9 @@ object Dissect {
     } else if (typ >= 2 && typ <= 120) {
       protos += "openwire"
       v("openwire.command") = typ.toLong
+      // loose marshalling puts the four-byte command id right after the
+      // data-structure type byte
+      if (len >= 9) v("openwire.command_id") = u32(d, off + 5)
       s"Command type $typ"
     } else null
   }
@@ -8286,10 +8556,19 @@ object Dissect {
       v: FieldVec,
       protos: mutable.ArrayBuffer[String]): String = {
     if (len < 5) return null
-    if (d(off) != 'h' || d(off + 1) != 'r' || d(off + 2) != 'p' || d(off + 3) != 'c')
-      return null
-    protos += "hdfs"
-    s"Hadoop IPC handshake, version ${u8(d, off + 4)}"
+    if (d(off) == 'h' && d(off + 1) == 'r' && d(off + 2) == 'p' && d(off + 3) == 'c') {
+      protos += "hdfs"
+      return s"Hadoop IPC handshake, version ${u8(d, off + 4)}"
+    }
+    // post-handshake IPC: a big-endian length-prefixed protobuf envelope
+    // (same port; the length must cover the rest of the segment exactly)
+    val mlen = u32(d, off)
+    if (mlen >= 2 && mlen == (len - 4).toLong && len >= 6) {
+      protos += "hdfs"
+      v("hdfs.len") = mlen
+      return s"Hadoop IPC message, $mlen bytes"
+    }
+    null
   }
 
   // ------------------------------------------------------------------
@@ -10487,7 +10766,20 @@ object Dissect {
       d: Array[Byte], off: Int, len: Int,
       v: FieldVec,
       protos: mutable.ArrayBuffer[String]): String = {
-    if (len < 8 || u16(d, off) != 0x0111) return null
+    if (len < 8) return null
+    if (u16(d, off) != 0x0111) {
+      // post-handshake URB traffic: 48-byte big-endian header, command
+      // 1-4 (CMD_SUBMIT/RET_SUBMIT/CMD_UNLINK/RET_UNLINK), then seqnum
+      val cmd32 = u32(d, off)
+      if (len < 20 || cmd32 < 1 || cmd32 > 4) return null
+      protos += "usbip"
+      v("usbip.command") = cmd32
+      v("usbip.seqnum") = u32(d, off + 4)
+      return cmd32 match {
+        case 1 => "CMD_SUBMIT"; case 2 => "RET_SUBMIT"
+        case 3 => "CMD_UNLINK"; case _ => "RET_UNLINK"
+      }
+    }
     val cmd = u16(d, off + 2)
     protos += "usbip"
     v("usbip.command") = cmd.toLong
@@ -11101,6 +11393,27 @@ object Dissect {
       case 1 => "Peer Discovery Signal"
       case 2 => "Peer Offer Signal"
       case x => s"DLEP signal $x"
+    }
+  }
+
+  /** DLEP session MESSAGES (RFC 8175 §11.3+, TCP 854): type + length
+    * header, no magic — the session runs over the TCP side of the same
+    * port the UDP discovery signals use. */
+  private def dissectDlepMessage(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4) return null
+    val mt = u16(d, off)
+    val ml = u16(d, off + 2)
+    if (mt < 1 || mt > 33 || 4 + ml > len) return null
+    protos += "dlep"
+    v("dlep.message.type") = mt.toLong
+    mt match {
+      case 1 => "Session Initialization Message"
+      case 2 => "Session Initialization Response Message"
+      case 7 => "Destination Up Message"
+      case m => s"DLEP message $m"
     }
   }
 
@@ -12879,6 +13192,9 @@ object Dissect {
       val cmd = u8(d, m0 + 5)
       v("ipmi.netfn") = netfn.toLong
       v("ipmi.cmd") = cmd.toLong
+      // responses (odd NetFn) lead their data with the completion code
+      if ((netfn & 1) == 1 && m0 + 6 < off + len)
+        v("ipmi.ccode") = u8(d, m0 + 6).toLong
       val cmdName =
         if (netfn == 6 && cmd == 1) "Get Device ID"
         else if (netfn == 6 && cmd == 0x38) "Get Channel Auth Capabilities"
@@ -13566,6 +13882,62 @@ object Dissect {
     if (gocb != null) s"GOOSE: $gocb, stNum: $stNum, sqNum: $sqNum" else "GOOSE"
   }
 
+  // --- tier 55: deepening pass helpers -----------------------------------
+
+  /** MIKEY (RFC 3830, UDP/TCP 2269): common header — version 1, data
+    * type (0 = pre-shared initiator, 1 = PSK verification, 2/3 =
+    * public-key, 4/5 = Diffie-Hellman). */
+  private def dissectMikey(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 10 || u8(d, off) != 1) return null
+    val dt = u8(d, off + 1)
+    if (dt > 10) return null
+    protos += "mikey"
+    v("mikey.version") = 1L
+    v("mikey.type") = dt.toLong
+    dt match {
+      case 0 => "Initiator's pre-shared key message"
+      case 1 => "Verification message of a pre-shared key message"
+      case 4 => "Initiator's DH exchange message"
+      case t => s"MIKEY type $t"
+    }
+  }
+
+  /** MAC-LTE framed (the public packet-mac-lte.h UDP framing, after the
+    * "mac-lte" magic): radioType, direction, rntiType, then optional
+    * tag-value pairs — 0x02 RNTI(2), 0x03 UEID(2), 0x04 frame/subframe
+    * (sfn<<4|sf, 2 bytes) — until the payload tag 0x01. */
+  private def dissectMacLte(
+      d: Array[Byte], off: Int, end: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (end < off + 4) return null
+    protos += "mac-lte"
+    var p = off + 3 // radioType, direction, rntiType
+    var rnti = -1L
+    var sfn = -1L
+    var done = false
+    while (!done && p < end) {
+      u8(d, p) match {
+        case 0x02 if p + 3 <= end =>
+          rnti = u16(d, p + 1).toLong
+          v("mac-lte.rnti") = rnti
+          p += 3
+        case 0x03 if p + 3 <= end => p += 3 // ueid
+        case 0x04 if p + 3 <= end =>
+          sfn = (u16(d, p + 1) >> 4).toLong
+          v("mac-lte.sfn") = sfn
+          p += 3
+        case 0x01 => done = true // MAC PDU payload starts
+        case _ => done = true
+      }
+    }
+    if (rnti >= 0) s"MAC-LTE RNTI=$rnti" + (if (sfn >= 0) s" SFN=$sfn" else "")
+    else "MAC-LTE"
+  }
+
   // --- tier 53: the legacy link layers -----------------------------------
 
   /** LLC header at `off` with transport chaining: a SNAP-encapsulated
@@ -13686,21 +14058,43 @@ object Dissect {
     val clen = if ((ctl & 1) == 0) 2 else 1
     v("lapd.control") = ctl.toLong
     val q = off + 2 + clen
-    if (d.length >= q + 4 && u8(d, q) == 0x08) {
+    // Q.931 only when the call-reference length is plausible — an RSL
+    // dedicated-channel discriminator is ALSO 0x08 but its second byte is
+    // a message type well above any call-ref length
+    if (d.length >= q + 4 && u8(d, q) == 0x08 && u8(d, q + 1) <= 4 &&
+      q + 2 + u8(d, q + 1) < d.length) {
       protos += "q931"
       v("q931.protocol_discriminator") = 0x08L
       val crl = u8(d, q + 1)
       v("q931.call_ref_len") = crl.toLong
-      if (crl <= 4 && q + 2 + crl < d.length) {
-        v("q931.call_ref") =
-          (0 until crl).map(i => hex2(u8(d, q + 2 + i))).mkString
-        val mt = u8(d, q + 2 + crl)
-        v("q931.message_type") = mt.toLong
+      v("q931.call_ref") =
+        (0 until crl).map(i => hex2(u8(d, q + 2 + i))).mkString
+      val mt = u8(d, q + 2 + crl)
+      v("q931.message_type") = mt.toLong
+      return mt match {
+        case 0x05 => "SETUP"; case 0x02 => "CALL PROCEEDING"
+        case 0x07 => "CONNECT"; case 0x45 => "DISCONNECT"
+        case 0x5a => "RELEASE COMPLETE"; case 0x01 => "ALERTING"
+        case m => f"Q.931 0x$m%02x"
+      }
+    }
+    // Abis RSL rides SAPI 0 like Q.931 but its message discriminator is
+    // not 0x08-with-plausible-call-ref: dedicated/common/TRX management
+    // discriminators (3GPP TS 48.58 §9.1, transparency bit masked)
+    if ((u8(d, off) >> 2) == 0 && d.length >= q + 2) {
+      val disc = u8(d, q) & 0xfe
+      if (disc == 0x04 || disc == 0x06 || disc == 0x08 || disc == 0x10) {
+        val mt = u8(d, q + 1)
+        protos += "rsl"
+        v("rsl.msg_type") = mt.toLong
+        // channel number IE (tag 0x01) leads most dedicated-channel msgs
+        if (d.length >= q + 4 && u8(d, q + 2) == 0x01)
+          v("rsl.chan_nr") = u8(d, q + 3).toLong
         return mt match {
-          case 0x05 => "SETUP"; case 0x02 => "CALL PROCEEDING"
-          case 0x07 => "CONNECT"; case 0x45 => "DISCONNECT"
-          case 0x5a => "RELEASE COMPLETE"; case 0x01 => "ALERTING"
-          case m => f"Q.931 0x$m%02x"
+          case 0x21 => "Channel Activation"
+          case 0x22 => "Channel Activation Ack"
+          case 0x26 => "RF Channel Release"
+          case m => f"RSL message 0x$m%02x"
         }
       }
     }

@@ -54,7 +54,14 @@ class TsharkDiffSpec extends SparkSpec {
     "chdlc" -> getClass.getResource("/legacy_chdlc.pcap").getPath,
     "lapd" -> getClass.getResource("/legacy_lapd.pcap").getPath,
     "lapb" -> getClass.getResource("/legacy_lapb.pcap").getPath,
-    "atm" -> getClass.getResource("/legacy_atm.pcap").getPath)
+    "atm" -> getClass.getResource("/legacy_atm.pcap").getPath,
+    // tier-54 kernel/transport capture linktypes (report-only: the
+    // pseudo-header conventions vary by capture tool on these)
+    "mtp2" -> getClass.getResource("/legacy_mtp2.pcap").getPath,
+    "netlink" -> getClass.getResource("/legacy_netlink.pcap").getPath,
+    "vsock" -> getClass.getResource("/legacy_vsock.pcap").getPath,
+    "usbmon" -> getClass.getResource("/legacy_usb.pcap").getPath,
+    "infiniband" -> getClass.getResource("/legacy_ib.pcap").getPath)
 
   private def runTshark(args: Seq[String]): Option[Seq[String]] =
     try {

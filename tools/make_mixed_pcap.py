@@ -2182,6 +2182,114 @@ enip_rsp = (struct.pack("<HHII", 0x006F, len(enip_rsp_data), 0xDEADBEEF, 0) +
 extra.append((t3, 39000, ip_frame(6, B, A, tcp(44818, 49324, 1, enip_rsp),
               ident=391)))
 
+
+# 392-407: tier 55 — the deepening pass. Frames exercising field writes
+# ADDED to existing dissectors (udp analysis trio, snmp v1 PDU internals,
+# ipmi completion code, usbip URBs, smb/smb2 names, openwire command id,
+# dlep TCP messages, hdfs IPC length, iscsi SCSI command LUN, bt-dht node
+# id + bencode int) plus three small new layers (mikey, mac-lte framed,
+# udplite) and the PRP trailer.
+t55 = t3 + 40000
+
+
+def pseudo_sum(src, dst, ulen):
+    s = (src[0] << 8 | src[1]) + (src[2] << 8 | src[3]) + \
+        (dst[0] << 8 | dst[1]) + (dst[2] << 8 | dst[3]) + 17 + ulen
+    while s >> 16:
+        s = (s & 0xFFFF) + (s >> 16)
+    return s
+
+
+# 392: traceroute probe (classic UDP port band)
+extra.append((t55, 0, ip_frame(17, A, B, udp(50300, 33434, b"probe"), ident=392)))
+# 393: zero length field (segmentation-offload artifact)
+extra.append((t55, 100, ip_frame(17, A, B,
+              struct.pack(">HHHH", 50301, 9, 0, 0) + b"offload", ident=393)))
+# 394: partial checksum — the stored value is the UNCOMPLEMENTED
+# pseudo-header sum a TX-offloading stack leaves for the NIC
+_pl = b"partial"
+_ulen = 8 + len(_pl)
+extra.append((t55, 200, ip_frame(17, A, B,
+              struct.pack(">HHHH", 50302, 9, _ulen, pseudo_sum(A, B, _ulen)) + _pl,
+              ident=394)))
+# 395: SNMPv1 get-response, sysDescr.0 = "graft" (error-status 0)
+_oid = bytes([0x06, 8, 0x2B, 6, 1, 2, 1, 1, 1, 0])
+_vb = bytes([0x30, len(_oid) + 7]) + _oid + bytes([0x04, 5]) + b"graft"
+_vbl = bytes([0x30, len(_vb)]) + _vb
+_pdu_body = bytes([0x02, 1, 1]) + bytes([0x02, 1, 0]) + bytes([0x02, 1, 0]) + _vbl
+_pdu = bytes([0xA2, len(_pdu_body)]) + _pdu_body
+_snmp = bytes([0x30, len(_pdu) + 11, 0x02, 1, 0, 0x04, 6]) + b"public" + _pdu
+extra.append((t55, 300, ip_frame(17, B, A, udp(161, 50303, _snmp), ident=395)))
+# 396: IPMI response (NetFn 7 = App response) with completion code 0
+_ipmi = bytes([0x06, 0x00, 0xFF, 0x07]) + bytes([0x00]) + bytes(8) + bytes([8]) + \
+    bytes([0x81, 7 << 2, 0x00, 0x20, 0x00, 0x01, 0x00, 0x00])
+extra.append((t55, 400, ip_frame(17, B, A, udp(623, 50304, _ipmi), ident=396)))
+# 397: USB/IP URB — CMD_SUBMIT seqnum 42
+_urb = struct.pack(">IIIII", 1, 42, 0x00010005, 0, 0x81) + bytes(28)
+extra.append((t55, 500, ip_frame(6, A, B, tcp(50305, 3240, 1, _urb), ident=397)))
+# 398: SMB1 Tree Connect AndX request for \\FILESRV\DATA
+_tc_body = bytes([4]) + bytes([0xFF, 0, 0, 0]) + struct.pack("<H", 0) + \
+    struct.pack("<H", 1) + struct.pack("<H", 0) + b"\x00" + \
+    b"\\\\FILESRV\\DATA\x00" + b"A:\x00"
+_tc = smb1_hdr(0x75, 0, 0x00, 0x0001, 0, 0x1234, 100, 3) + _tc_body
+_tc = struct.pack(">I", len(_tc)) + _tc
+extra.append((t55, 600, ip_frame(6, A, B, tcp(49900, 445, 40, _tc), ident=398)))
+# 399: SMB1 NT Create AndX REQUEST naming report.xlsx
+_fname = b"report.xlsx"
+_nc_body = bytes([24]) + bytes([0xFF, 0, 0, 0]) + bytes([0]) + \
+    struct.pack("<H", len(_fname)) + bytes(41) + \
+    struct.pack("<H", len(_fname) + 1) + _fname + b"\x00"
+_nc = smb1_hdr(0xA2, 0, 0x00, 0x0001, 5, 0x1234, 100, 4) + _nc_body
+_nc = struct.pack(">I", len(_nc)) + _nc
+extra.append((t55, 700, ip_frame(6, A, B, tcp(49900, 445, 140, _nc), ident=399)))
+# 400: SMB2 CREATE request naming logs/app.log (UTF-16LE)
+_name16 = "logs/app.log".encode("utf-16-le")
+_cr_body = struct.pack("<HBB", 57, 0, 0) + bytes(4) + bytes(8) + bytes(8) + \
+    struct.pack("<III", 0x89, 0x80, 3) + struct.pack("<II", 1, 0x40) + \
+    struct.pack("<HH", 64 + 56, len(_name16)) + struct.pack("<II", 0, 0) + _name16
+_cr = b"\xfeSMB" + struct.pack("<HHI", 64, 1, 0) + struct.pack("<HH", 5, 0) + \
+    struct.pack("<II", 0, 0) + struct.pack("<Q", 7) + \
+    struct.pack("<II", 0, 9) + struct.pack("<Q", 0x11) + bytes(16) + _cr_body
+_cr = struct.pack(">I", len(_cr)) + _cr
+extra.append((t55, 800, ip_frame(6, A, B, tcp(49901, 445, 1, _cr), ident=400)))
+# 401: OpenWire command (loose marshalling): type 6, command id 77
+_ow_body = bytes([6]) + struct.pack(">I", 77) + bytes(4)
+_ow = struct.pack(">I", len(_ow_body)) + _ow_body
+extra.append((t55, 900, ip_frame(6, A, B, tcp(50306, 61616, 1, _ow), ident=401)))
+# 402: DLEP Session Initialization message on the TCP side of 854
+extra.append((t55, 1000, ip_frame(6, A, B,
+              tcp(50307, 854, 1, struct.pack(">HH", 1, 0)), ident=402)))
+# 403: Hadoop IPC length-prefixed message after the handshake
+_hm = struct.pack(">I", 10) + bytes(10)
+extra.append((t55, 1100, ip_frame(6, A, B, tcp(50308, 8020, 1, _hm), ident=403)))
+# 404: MIKEY pre-shared key init on UDP 2269
+_mikey = bytes([1, 0, 4]) + bytes([0x01, 0x02, 0x03, 0x04]) + bytes([0, 9, 1])
+extra.append((t55, 1200, ip_frame(17, A, B, udp(50309, 2269, _mikey), ident=404)))
+# 405: MAC-LTE framed over UDP (packet-mac-lte.h magic + tags)
+_ml = b"mac-lte" + bytes([1, 0, 3]) + bytes([0x02]) + struct.pack(">H", 61) + \
+    bytes([0x04]) + struct.pack(">H", (100 << 4) | 5) + bytes([0x01]) + b"\x20\x1f"
+extra.append((t55, 1300, ip_frame(17, A, B, udp(50310, 9999, _ml), ident=405)))
+# 406: UDP-Lite with an ILLEGAL checksum coverage of 4 (must be 0 or >= 8)
+_ul = struct.pack(">HHHH", 50311, 5004, 4, 0) + b"lite"
+extra.append((t55, 1400, ip_frame(136, A, B, _ul, ident=406)))
+# 407: PRP-1 redundancy trailer behind a plain ICMP ping
+_picmp = struct.pack(">BBHHH", 8, 0, 0, 0x52, 1)
+_ph, _pp = ipv4(1, A, B, _picmp, ident=407)
+_prp_size = len(_ph) + len(_pp) + 6
+_prp = eth(MAC_B, MAC_A, 0x0800, _ph + _pp) + \
+    struct.pack(">HHH", 7, (0xA << 12) | (_prp_size & 0xFFF), 0x88FB)
+extra.append((t55, 1500, _prp))
+# 408: iSCSI SCSI Command — LUN 1 (first-level), read CDB stub
+_bhs = bytes([0x01, 0x81]) + bytes(3) + bytes([0, 0, 0]) + \
+    struct.pack(">HHI", 1, 0, 0) + struct.pack(">I", 0x99) + \
+    struct.pack(">I", 512) + struct.pack(">I", 3) + struct.pack(">I", 0) + \
+    bytes(16)
+extra.append((t55, 1600, ip_frame(6, A, B, tcp(50010, 3260, 49, _bhs), ident=408)))
+# 409: DHT announce_peer query with the node id + an integer value
+_dht = b"d1:ad2:id20:ABCDEFGHIJKLMNOPQRST12:implied_porti1ee1:q13:announce_peer" + \
+    b"1:t2:aa1:y1:qe"
+extra.append((t55, 1700, ip_frame(17, A, B, udp(50312, 6881, _dht), ident=409)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
@@ -2416,8 +2524,11 @@ q931_setup = bytes([0x08, 0x01, 0x42, 0x05])
 q931_conn = bytes([0x08, 0x01, 0xC2, 0x07])
 lapd1 = bytes([0x00, (5 << 1) | 1, 0x03]) + q931_setup
 lapd2 = bytes([0x02, (5 << 1) | 1, 0x03]) + q931_conn
+# tier 55: Abis RSL on SAPI 0 — Channel Activation with the channel
+# number IE (discriminator 0x08 but a message type no call-ref allows)
+rsl = bytes([0x00, (1 << 1) | 1, 0x03]) + bytes([0x08, 0x21, 0x01, 0x08])
 write_pcap("src/test/resources/legacy_lapd.pcap",
-           [(t7, 0, lapd1), (t7, 100, lapd2)], linktype=203)
+           [(t7, 0, lapd1), (t7, 100, lapd2), (t7, 200, rsl)], linktype=203)
 
 # LAPB with direction (207): 1-byte direction, address, I-frame control,
 # then the X.25 packet layer (Call Request / Call Confirm on LCN 1)
@@ -2428,4 +2539,44 @@ write_pcap("src/test/resources/legacy_lapb.pcap",
 
 # SunATM (123): flags, VPI, VCI (BE), then LLC/SNAP/IPv4 (AAL5 traffic)
 atm = bytes([0x00, 1]) + struct.pack(">H", 100) + snap_ip
-write_pcap("src/test/resources/legacy_atm.pcap", [(t7, 0, atm)], linktype=123)
+# tier 55: the signaling VC (VPI 0 / VCI 5) carries SSCOP — a BGN PDU
+# whose type nibble sits in the end-aligned trailer (ITU-T Q.2110)
+sscop = bytes([0x00, 0]) + struct.pack(">H", 5) + bytes(4) + \
+    bytes([0x01, 0x00, 0x00, 0x00])  # trailer word: PDU type nibble 1 = BGN
+write_pcap("src/test/resources/legacy_atm.pcap",
+           [(t7, 0, atm), (t7, 100, sscop)], linktype=123)
+
+# ---------------------------------------------------------------------------
+# Tier 54 — kernel/transport capture linktypes.
+t8 = 1700006000
+
+# MTP2 (140): BSN/BIB, FSN/FIB, LI, then the MTP3 MSU the sweep's M3UA
+# frames already exercise (SIO 0x83 = SCCP national): routing label + SCCP
+mtp3_msu = bytes([0x83]) + bytes([0x34, 0x12, 0x78, 0x56]) + bytes([0x09, 0x00, 0x03])
+mtp2 = bytes([0x2A, 0x15, len(mtp3_msu) & 0x3F]) + mtp3_msu
+write_pcap("src/test/resources/legacy_mtp2.pcap", [(t8, 0, mtp2)], linktype=140)
+
+# Netlink (253): raw nlmsghdr (LE): len, type (RTM_NEWLINK 16), flags
+# (NLM_F_REQUEST 1), seq, pid — then an opaque ifinfomsg payload
+nl_payload = bytes(16)
+nlmsg = struct.pack("<IHHII", 16 + len(nl_payload), 16, 1, 7, 1234) + nl_payload
+write_pcap("src/test/resources/legacy_netlink.pcap", [(t8, 0, nlmsg)], linktype=253)
+
+# vsock (271): af_vsockmon_hdr (LE): src_cid, dst_cid, src_port, dst_port,
+# op (2 = RW), transport (1 = VIRTIO), len, then payload
+vs = struct.pack("<QQIIHHHH", 3, 2, 1024, 2049, 2, 1, 5, 0) + b"hello"
+write_pcap("src/test/resources/legacy_vsock.pcap", [(t8, 0, vs)], linktype=271)
+
+# Linux usbmon (189): 48-byte header (LE): urb id, event type 'S', xfer
+# type 2 (bulk), endpoint 0x81 (IN 1), device 5, bus 1, ...
+usbmon = struct.pack("<QBBBBHBB", 0xDEADBEEF, ord('S'), 2, 0x81, 5, 1, 0, 0) + \
+    struct.pack("<QII", t8, 0, 0) + struct.pack("<IIQ", 4, 0, 0) + b"\x12\x01\x00\x02"
+write_pcap("src/test/resources/legacy_usb.pcap", [(t8, 0, usbmon)], linktype=189)
+
+# InfiniBand (247): LRH (8) with LNH=2 (BTH follows), then BTH (12) whose
+# first byte is the opcode (0x04 = RC Send Only)
+lrh = bytes([0x00, 0x02]) + struct.pack(">HHH", 7, 10, 9)
+bth = bytes([0x04, 0x00]) + struct.pack(">H", 0xFFFF) + struct.pack(">I", 0x1234) + \
+    struct.pack(">I", 42)
+write_pcap("src/test/resources/legacy_ib.pcap", [(t8, 0, lrh + bth + b"\x00" * 8)],
+           linktype=247)
