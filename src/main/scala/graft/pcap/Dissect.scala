@@ -1054,6 +1054,26 @@ object Dissect {
             val dir = if ((ep & 0x80) != 0) "in" else "out"
             info = f"URB $kind $dir, ep 0x$ep%02x"
           }
+        case 270 => // LoRaTap: 15-byte v0 header (version, padding,
+          // big-endian length, radio metadata), then the LoRaWAN
+          // PHYPayload whose MHDR top 3 bits are the message type
+          if (d.length >= 16 && u8(d, 0) == 0) {
+            protos += "loratap"
+            val hlen = u16(d, 2)
+            if (hlen >= 15 && hlen < d.length) {
+              protos += "lorawan"
+              v("lorawan.mhdr.mtype") = (u8(d, hlen) >> 5).toLong
+              info = (u8(d, hlen) >> 5) match {
+                case 0 => "Join-Request"
+                case 1 => "Join-Accept"
+                case 2 => "Unconfirmed Data Up"
+                case 3 => "Unconfirmed Data Down"
+                case 4 => "Confirmed Data Up"
+                case 5 => "Confirmed Data Down"
+                case m => s"LoRaWAN MType $m"
+              }
+            }
+          }
         case 247 => // InfiniBand: LRH, then (LNH=2) the BTH whose first
           // byte is the transport opcode
           if (d.length >= 20) {
@@ -2920,6 +2940,16 @@ object Dissect {
       val mkInfo = dissectMikey(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
       if (mkInfo != null) return mkInfo
     }
+    if (sp == 5070 || dp == 5070) {
+      val bfInfo = dissectBfcp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (bfInfo != null) return bfInfo
+    }
+    // Gb over IP (3GPP TS 48.016): the NS layer on UDP 23000 whose
+    // NS-UNITDATA PDUs carry BSSGP
+    if (sp == 23000 || dp == 23000) {
+      val nsInfo = dissectNsBssgp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (nsInfo != null) return nsInfo
+    }
     // MAC-LTE framed over UDP (Wireshark's packet-mac-lte.h UDP framing):
     // the payload leads with the "mac-lte" magic on any port
     if (payLen >= 10 && off + 8 + 7 <= d.length &&
@@ -3120,9 +3150,16 @@ object Dissect {
       if (name != null) {
         protos += "openvpn"
         v("openvpn.type") = b.toLong
-        if (op != 6 && op != 9 && off + 17 <= d.length)
+        if (op != 6 && op != 9 && off + 17 <= d.length) {
           v("openvpn.sessionid") =
             (u32(d, off + 9) << 32) | u32(d, off + 13)
+          // control channel with an empty ack-id array: the message
+          // packet-id follows directly (with tls-auth the HMAC would sit
+          // between — undetectable without keys, so only the 0-array
+          // layout is claimed)
+          if (off + 22 <= d.length && u8(d, off + 17) == 0)
+            v("openvpn.mpid") = u32(d, off + 18)
+        }
         return name
       }
     }
@@ -3568,7 +3605,10 @@ object Dissect {
       protos += "lisp-data"
       v("lisp-data.flags") = flags.toLong
       if ((flags & 0x80) != 0) v("lisp-data.nonce") = u24(d, off + 9).toLong
-      v("lisp-data.lsb") = u32(d, off + 12)
+      // I-bit: the second word's top 24 bits carry the instance id and
+      // only the low byte remains a (reduced) locator-status-bitmap
+      if ((flags & 0x08) != 0) v("lisp-data.iid") = u24(d, off + 12).toLong
+      else v("lisp-data.lsb") = u32(d, off + 12)
       val wasNested = v.nested
       v.nested = true
       val inner =
@@ -4038,6 +4078,11 @@ object Dissect {
             i += 1
           }
           v("cms.contentType") = oid.toString
+          // explicit [0] content -> SignedData SEQUENCE -> version INTEGER
+          if (hend + 19 <= hend + blen && i + 6 <= hend + blen &&
+            u8(d, i) == 0xa0 && u8(d, i + 2) == 0x30 &&
+            u8(d, i + 4) == 0x02 && u8(d, i + 5) == 0x01)
+            v("cms.version") = u8(d, i + 6).toLong
         } else if (ct.startsWith("application/x-dmap-tagged") && blen >= 8) {
           val tag = new String(d, hend, 4, "ISO-8859-1")
           if (tag.forall(c => c >= 'a' && c <= 'z')) {
@@ -4443,6 +4488,28 @@ object Dissect {
       if (payOff >= 0) {
         val inner = dissectDcerpc(d, payOff, payLen, v, protos)
         if (inner != null) return inner
+      }
+    }
+    // Session Setup (cmd 1) RESPONSE: the security buffer is a raw SPNEGO
+    // NegTokenResp [1] whose negState ENUMERATED is the negotiation result
+    if (cmd == 1 && isResponse && plen >= 64 + 8 && leU16(off + 64) == 9) {
+      val sboff = leU16(off + 68)
+      val sblen = leU16(off + 70)
+      if (sboff >= 64 && sblen >= 7 && off + sboff + sblen <= end) {
+        val blob = off + sboff
+        if (u8(d, blob) == 0xa1 && u8(d, blob + 2) == 0x30 &&
+          u8(d, blob + 4) == 0xa0 && u8(d, blob + 5) == 0x03 &&
+          u8(d, blob + 6) == 0x0a) {
+          protos += "gssapi"
+          protos += "spnego"
+          val res = u8(d, blob + 8)
+          v("spnego.negResult") = res.toLong
+          val resName = res match {
+            case 0 => "accept-completed"; case 1 => "accept-incomplete"
+            case _ => "reject"
+          }
+          return s"Session Setup Response, $resName"
+        }
       }
     }
     // Session Setup (cmd 1) request: the security buffer carries the
@@ -5369,11 +5436,23 @@ object Dissect {
           val fhLen = u32(d, q)
           if (fhLen <= 64) {
             v("nfs.fh.length") = fhLen
+            // the CRC-32 over the opaque handle bytes — the same stable
+            // per-file identifier Wireshark renders as nfs.fh.hash
+            if (fhLen > 0 && q + 4 + fhLen <= end) {
+              val crc = new java.util.zip.CRC32
+              crc.update(d, q + 4, fhLen.toInt)
+              v("nfs.fh.hash") = crc.getValue
+            }
             val nq = q + 4 + ((fhLen + 3) & ~3L).toInt
             if (nq + 4 <= end) {
               val nameLen = u32(d, nq)
-              if (nameLen > 0 && nameLen <= 255 && nq + 4 + nameLen <= end)
-                v("nfs.name") = new String(d, nq + 4, nameLen.toInt, "UTF-8")
+              if (nameLen > 0 && nameLen <= 255 && nq + 4 + nameLen <= end) {
+                val nm = new String(d, nq + 4, nameLen.toInt, "UTF-8")
+                v("nfs.name") = nm
+                // name snooping from the diropargs: the root-relative
+                // path this capture can prove (dir handle + leaf)
+                v("nfs.full_name") = "/" + nm
+              }
             }
           }
         }
@@ -8758,6 +8837,11 @@ object Dissect {
     val cmd = (u8(d, off + 10) << 8) | u8(d, off + 11)
     val name = finsCmdNames.getOrElse(cmd, return null)
     protos += "fins"
+    // Wireshark's dissector for the same frames registers as "omron" —
+    // surface both filter-name families like the mbtcp/modbus pair
+    protos += "omron"
+    v("omron.icf") = icf.toLong
+    v("omron.command") = cmd.toLong
     v("fins.icf") = icf.toLong
     // FINS 10-byte routing header: ICF RSV GCT DNA DA1 DA2 SNA SA1 SA2 SID
     v("fins.gct") = u8(d, off + 2).toLong
@@ -9673,6 +9757,7 @@ object Dissect {
     if (end - off < 1) return null
     protos += "slow"
     val subtype = d(off) & 0xff
+    v("slow.subtype") = subtype.toLong
     // 802.3ah link OAM (subtype 3): flags + code
     if (subtype == 3 && end - off >= 4) {
       protos += "oampdu"
@@ -9748,12 +9833,62 @@ object Dissect {
     v("coap.mid") = mid.toLong
     val codeName = coapMethodNames.getOrElse(code,
       if (code == 0) "Empty" else s"${code >> 5}.${"%02d".format(code & 0x1f)}")
-    // payload past the 0xFF marker: surface CBOR (RFC 8949) when the
-    // initial byte parses — the CoAP/CBOR pairing is the CoRE convention
+    // proper option walk (RFC 7252 §3.1) tracking Content-Format (#12);
+    // any malformed delta/length aborts the walk and the 0xFF scan below
+    // still finds the payload
     var p = off + 4 + tkl
     val lim = off + len
+    var optNum = 0
+    var contentFormat = -1
+    var walking = true
+    var wp = p
+    while (walking && wp < lim && u8(d, wp) != 0xff) {
+      val ob = u8(d, wp)
+      var delta = ob >> 4
+      var olen = ob & 0x0f
+      var h = wp + 1
+      if (delta == 13) { if (h < lim) { delta = 13 + u8(d, h); h += 1 } else walking = false }
+      else if (delta == 14) { if (h + 1 < lim) { delta = 269 + u16(d, h); h += 2 } else walking = false }
+      else if (delta == 15) walking = false
+      if (walking) {
+        if (olen == 13) { if (h < lim) { olen = 13 + u8(d, h); h += 1 } else walking = false }
+        else if (olen == 14) { if (h + 1 < lim) { olen = 269 + u16(d, h); h += 2 } else walking = false }
+        else if (olen == 15) walking = false
+      }
+      if (walking && h + olen <= lim) {
+        optNum += delta
+        if (optNum == 12) { // Content-Format
+          contentFormat = 0
+          var k = 0
+          while (k < olen) { contentFormat = (contentFormat << 8) | u8(d, h + k); k += 1 }
+        }
+        wp = h + olen
+      } else walking = false
+    }
     while (p < lim && u8(d, p) != 0xff) p += 1
     if (p + 1 < lim && u8(d, p) == 0xff) {
+      // OMA LwM2M TLV content (formats 11542/11543): type byte — bits
+      // 7-6 kind, bit 5 selects a 16-bit identifier, bits 4-3 length
+      // width or bits 2-0 an inline length
+      if (contentFormat == 11542 || contentFormat == 11543) {
+        val tb = u8(d, p + 1)
+        val wideId = (tb & 0x20) != 0
+        if (p + (if (wideId) 3 else 2) < lim) {
+          protos += "lwm2mtlv"
+          val ident =
+            if (wideId) u16(d, p + 2) else u8(d, p + 2)
+          v("lwm2mtlv.identifier") = ident.toLong
+          val lenBits = (tb >> 3) & 0x3
+          val vOff = p + 2 + (if (wideId) 2 else 1)
+          val vLen: Long =
+            if (lenBits == 0) (tb & 0x7).toLong
+            else if (lenBits == 1 && vOff < lim) u8(d, vOff).toLong
+            else if (lenBits == 2 && vOff + 1 < lim) u16(d, vOff).toLong
+            else -1L
+          if (vLen >= 0) v("lwm2mtlv.length") = vLen
+          return s"${coapTypeNames(tpe)} $codeName MID=$mid, LwM2M TLV"
+        }
+      }
       val ib = u8(d, p + 1)
       val major = ib >> 5
       protos += "cbor"
@@ -13936,6 +14071,54 @@ object Dissect {
     }
     if (rnti >= 0) s"MAC-LTE RNTI=$rnti" + (if (sfn >= 0) s" SFN=$sfn" else "")
     else "MAC-LTE"
+  }
+
+  /** BFCP (RFC 8855, the SDP-negotiated floor-control channel; fixture
+    * uses 5070): COMMON-HEADER — version (3 bits; 1 = reliable/TCP, 2 =
+    * unreliable/UDP), primitive, payload length in 4-octet units. */
+  private def dissectBfcp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 12) return null
+    val ver = u8(d, off) >> 5
+    if (ver != 1 && ver != 2) return null
+    val prim = u8(d, off + 1)
+    if (prim < 1 || prim > 22) return null
+    val plen = u16(d, off + 2)
+    if (12 + plen * 4 > len) return null
+    protos += "bfcp"
+    v("bfcp.ver") = ver.toLong
+    v("bfcp.primitive") = prim.toLong
+    v("bfcp.payload_length") = plen.toLong
+    prim match {
+      case 1 => "FloorRequest"
+      case 2 => "FloorRelease"
+      case 13 => "Hello"
+      case p => s"BFCP primitive $p"
+    }
+  }
+
+  /** NS (3GPP TS 48.016) on the Gb-over-IP port: an NS-UNITDATA PDU
+    * (type 0) opens BSSGP — UL/DL-UNITDATA lead with the TLLI. */
+  private def dissectNsBssgp(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4 || u8(d, off) != 0x00) return null
+    protos += "ns"
+    val b = off + 4 // NS-UNITDATA: type, spare/C-R, BVCI(2)
+    if (len >= 4 + 5) {
+      val pdu = u8(d, b)
+      if (pdu == 0x00 || pdu == 0x01) { // DL-/UL-UNITDATA
+        protos += "bssgp"
+        v("bssgp.pdu_type") = pdu.toLong
+        v("bssgp.tlli") = u32(d, b + 1)
+        return (if (pdu == 0) "DL-UNITDATA" else "UL-UNITDATA") +
+          f" TLLI 0x${u32(d, b + 1)}%08x"
+      }
+    }
+    "NS-UNITDATA"
   }
 
   // --- tier 53: the legacy link layers -----------------------------------

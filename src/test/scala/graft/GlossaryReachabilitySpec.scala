@@ -32,6 +32,19 @@ class GlossaryReachabilitySpec extends AnyFunSuite {
     Set("ranap", "s1ap", "ngap", "x2ap", "xnap", "f1ap", "e1ap")
       .map(_ + ".procedureCode")
 
+  /** Fields no pcap-byte dissector can EVER populate — they are not
+    * "missing writers" but categorically out of reach offline, tracked
+    * separately so the todo number stays honest:
+    *   - udp.proc.* — host-side process attribution tshark fills from a
+    *     Sysdig/system-event source, never from packet bytes;
+    *   - quic.frame_type / http3.* — live behind QUIC's mandatory AEAD;
+    *     without connection secrets the frame layer is ciphertext. */
+  private val wireUnderivable: Set[String] = Set(
+    "udp.proc.srcuid", "udp.proc.srcpid", "udp.proc.srcuname",
+    "udp.proc.srccmd", "udp.proc.dstuid", "udp.proc.dstpid",
+    "udp.proc.dstuname", "udp.proc.dstcmd",
+    "quic.frame_type", "http3.frame_type", "http3.frame_length")
+
   private def sourceBlob: String = {
     val dirs = Seq("src/main/scala/graft/pcap", "src/main/scala/graft/sources/pcap")
     dirs.flatMap { d =>
@@ -43,7 +56,8 @@ class GlossaryReachabilitySpec extends AnyFunSuite {
   test("never-written glossary fields: exact count pinned and recorded in COVERAGE.md") {
     val blob = sourceBlob
     val fields = graft.pcap.Glossary.fields.map(_.filter_name)
-    val stubs = fields.filterNot(f => blob.contains(f) || interpolatedWriters(f))
+    val stubs = fields.filterNot(f =>
+      blob.contains(f) || interpolatedWriters(f) || wireUnderivable(f))
 
     // the interpolation allowlist must stay honest: every allowlisted name
     // must (a) be a real glossary field and (b) actually lack a literal
@@ -52,13 +66,20 @@ class GlossaryReachabilitySpec extends AnyFunSuite {
       assert(fields.contains(f), s"allowlisted interpolated field $f not in glossary")
       assert(!blob.contains(f), s"allowlisted $f now has a literal writer — unlist it")
     }
+    for (f <- wireUnderivable) {
+      assert(fields.contains(f), s"wire-underivable field $f not in glossary")
+      assert(!blob.contains(f), s"$f gained a writer — drop it from wireUnderivable")
+    }
 
     val text = new String(Files.readAllBytes(Paths.get("COVERAGE.md")), "UTF-8")
-    val marker = "<!-- stubs: never_written_fields=(\\d+) -->".r
+    val marker =
+      "<!-- stubs: never_written_fields=(\\d+) wire_underivable=(\\d+) -->".r
     val m = marker.findFirstMatchIn(text).getOrElse(
       fail("COVERAGE.md is missing the never_written_fields marker"))
     assert(m.group(1).toInt === stubs.size,
       s"COVERAGE.md stub marker drifted from the actual count ${stubs.size}; " +
         s"sample of current stubs: ${stubs.take(15).mkString(", ")}")
+    assert(m.group(2).toInt === wireUnderivable.size,
+      s"wire_underivable marker drifted (actual ${wireUnderivable.size})")
   }
 }

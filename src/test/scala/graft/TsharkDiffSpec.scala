@@ -61,7 +61,8 @@ class TsharkDiffSpec extends SparkSpec {
     "netlink" -> getClass.getResource("/legacy_netlink.pcap").getPath,
     "vsock" -> getClass.getResource("/legacy_vsock.pcap").getPath,
     "usbmon" -> getClass.getResource("/legacy_usb.pcap").getPath,
-    "infiniband" -> getClass.getResource("/legacy_ib.pcap").getPath)
+    "infiniband" -> getClass.getResource("/legacy_ib.pcap").getPath,
+    "lorawan" -> getClass.getResource("/lorawan.pcap").getPath)
 
   private def runTshark(args: Seq[String]): Option[Seq[String]] =
     try {

@@ -2123,7 +2123,8 @@ ocsp_rsp = b"HTTP/1.1 200 OK\r\nContent-Type: application/ocsp-response\r\n" + \
     b"Content-Length: " + str(len(ocsp_body)).encode() + b"\r\n\r\n" + ocsp_body
 extra.append((t3, 38300, ip_frame(6, B, A, tcp(80, 50205, 1, ocsp_rsp), ident=384)))
 
-cms_body = bytes([0x30, 11, 0x06, 9]) + bytes.fromhex("2A864886F70D010702")
+cms_body = bytes([0x30, 18, 0x06, 9]) + bytes.fromhex("2A864886F70D010702") + \
+    bytes([0xA0, 5, 0x30, 3, 0x02, 0x01, 0x01])  # content [0] { version 1 }
 cms_rsp = b"HTTP/1.1 200 OK\r\nContent-Type: application/pkcs7-mime\r\n" + \
     b"Content-Length: " + str(len(cms_body)).encode() + b"\r\n\r\n" + cms_body
 extra.append((t3, 38400, ip_frame(6, B, A, tcp(80, 50206, 1, cms_rsp), ident=385)))
@@ -2289,6 +2290,32 @@ extra.append((t55, 1600, ip_frame(6, A, B, tcp(50010, 3260, 49, _bhs), ident=408
 _dht = b"d1:ad2:id20:ABCDEFGHIJKLMNOPQRST12:implied_porti1ee1:q13:announce_peer" + \
     b"1:t2:aa1:y1:qe"
 extra.append((t55, 1700, ip_frame(17, A, B, udp(50312, 6881, _dht), ident=409)))
+
+
+# 410-414: tier 56 — BFCP floor control, Gb-over-IP NS/BSSGP, an LwM2M
+# TLV entity inside CoAP, an SMB2 Session Setup RESPONSE whose SPNEGO
+# NegTokenResp carries the negotiation result, and a LISP data frame
+# with the instance-id bit set.
+bfcp = bytes([2 << 5, 1]) + struct.pack(">H", 0) + struct.pack(">IHH", 4, 1, 2)
+extra.append((t55, 1800, ip_frame(17, A, B, udp(50313, 5070, bfcp), ident=410)))
+ns_bssgp = bytes([0x00, 0x00, 0x00, 0x0A]) + bytes([0x01]) + \
+    struct.pack(">I", 0xC0000001) + bytes([0x00, 0x00, 0x00])
+extra.append((t55, 1900, ip_frame(17, A, B, udp(50314, 23000, ns_bssgp), ident=411)))
+# CoAP 2.05 Content with Content-Format 11542 (LwM2M TLV): one resource
+# TLV, 8-bit length, identifier 5, 3-byte value
+coap_lwm2m = bytes([0x60, 0x45]) + struct.pack(">H", 77) + \
+    bytes([0xC2, 0x2D, 0x16]) + bytes([0xFF]) + bytes([0xC8, 0x05, 0x03]) + b"abc"
+extra.append((t55, 2000, ip_frame(17, B, A, udp(5683, 50315, coap_lwm2m), ident=412)))
+spnego_resp = bytes([0xA1, 0x07, 0x30, 0x05, 0xA0, 0x03, 0x0A, 0x01, 0x01])
+smb2_ssr = smb2_hdr(1, 1, 9) + struct.pack("<HH", 9, 0) + \
+    struct.pack("<HH", 64 + 8, len(spnego_resp)) + spnego_resp
+smb2_ssr = struct.pack(">I", len(smb2_ssr)) + smb2_ssr
+extra.append((t55, 2100, ip_frame(6, B, A, tcp(445, 53901, 1, smb2_ssr), ident=413)))
+_icmp56 = struct.pack(">BBHHH", 8, 0, 0, 0x53, 1)
+_h56, _p56 = ipv4(1, [10, 0, 3, 1], [10, 0, 3, 2], _icmp56, ident=414)
+lisp_iid = bytes([0x88, 0x00, 0x00, 0xCD]) + bytes([0x00, 0x00, 0x2A, 0x01]) + \
+    _h56 + _p56  # flags N|I: nonce 0xCD, instance id 0x00002A
+extra.append((t55, 2200, ip_frame(17, A, B, udp(50316, 4341, lisp_iid), ident=415)))
 
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
@@ -2580,3 +2607,11 @@ bth = bytes([0x04, 0x00]) + struct.pack(">H", 0xFFFF) + struct.pack(">I", 0x1234
     struct.pack(">I", 42)
 write_pcap("src/test/resources/legacy_ib.pcap", [(t8, 0, lrh + bth + b"\x00" * 8)],
            linktype=247)
+
+
+# Tier 56 — LoRaTap (linktype 270): v0 15-byte header then the LoRaWAN
+# PHYPayload (MHDR 0x00 = Join-Request)
+loratap = bytes([0, 0]) + struct.pack(">H", 15) + bytes(11) + \
+    bytes([0x00]) + bytes(18)
+write_pcap("src/test/resources/lorawan.pcap", [(1700007000, 0, loratap)],
+           linktype=270)
