@@ -4090,6 +4090,15 @@ object Dissect {
             v("daap.name") = tag
             v("daap.size") = u32(d, hend + 4)
           }
+        } else if (ct.startsWith("application/ipp") && blen >= 8) {
+          // IPP (RFC 8010) rides HTTP: version-number, operation-id (or
+          // status-code in responses), big-endian request-id
+          val vmaj = u8(d, hend)
+          if (vmaj == 1 || vmaj == 2) {
+            protos += "ipp"
+            v("ipp.operation_id") = u16(d, hend + 2).toLong
+            v("ipp.request_id") = u32(d, hend + 4)
+          }
         }
       }
     }
@@ -8433,9 +8442,21 @@ object Dissect {
       d: Array[Byte], off: Int, len: Int,
       v: FieldVec,
       protos: mutable.ArrayBuffer[String]): String = {
-    if (len < 16) return null
-    if (d(off) != 'R' || d(off + 1) != 'E' || d(off + 2) != 'D' || d(off + 3) != 'Q')
+    if (len < 6) return null
+    if (d(off) != 'R' || d(off + 1) != 'E' || d(off + 2) != 'D' || d(off + 3) != 'Q') {
+      // post-handshake mini data header (type LE16, size LE32) — claimed
+      // only when the size covers the rest of the segment exactly
+      val mt = (d(off) & 0xff) | ((d(off + 1) & 0xff) << 8)
+      val msz = ((d(off + 2) & 0xffL)) | ((d(off + 3) & 0xffL) << 8) |
+        ((d(off + 4) & 0xffL) << 16) | ((d(off + 5) & 0xffL) << 24)
+      if (mt >= 1 && mt <= 1000 && msz == (len - 6).toLong) {
+        protos += "spice"
+        v("spice.message_type") = mt.toLong
+        return s"Spice message type $mt"
+      }
       return null
+    }
+    if (len < 16) return null
     protos += "spice"
     def le32(o: Int): Long = ((d(o) & 0xffL)) | ((d(o + 1) & 0xffL) << 8) |
       ((d(o + 2) & 0xffL) << 16) | ((d(o + 3) & 0xffL) << 24)
@@ -8452,9 +8473,21 @@ object Dissect {
       d: Array[Byte], off: Int, len: Int,
       v: FieldVec,
       protos: mutable.ArrayBuffer[String]): String = {
-    if (len < 12) return null
+    if (len < 4) return null
     val bo = u8(d, off)
-    if (bo != 'B' && bo != 'l') return null
+    if (bo != 'B' && bo != 'l') {
+      // a core request: opcode, data byte, LSB-first length in 4-byte
+      // units — claimed only when the length covers the segment exactly
+      val op = u8(d, off)
+      val rlen = u8(d, off + 2) | (u8(d, off + 3) << 8)
+      if (op >= 1 && op <= 127 && rlen * 4 == len) {
+        protos += "x11"
+        v("x11.opcode") = op.toLong
+        return s"Request, opcode $op"
+      }
+      return null
+    }
+    if (len < 12) return null
     val major = if (bo == 'B') u16(d, off + 2) else u8(d, off + 2) | (u8(d, off + 3) << 8)
     if (major != 11) return null
     protos += "x11"
@@ -8645,6 +8678,23 @@ object Dissect {
     if (mlen >= 2 && mlen == (len - 4).toLong && len >= 6) {
       protos += "hdfs"
       v("hdfs.len") = mlen
+      // a varint-length-prefixed RpcResponseHeaderProto: field 1 (0x08)
+      // callId varint, field 2 (0x10) status enum — 0 is SUCCESS
+      var q = off + 4
+      val hl = u8(d, q)
+      if (hl >= 4 && (hl & 0x80) == 0 && q + 1 + hl <= off + len) {
+        q += 1
+        if (u8(d, q) == 0x08) {
+          q += 1
+          while (q < off + len && (u8(d, q) & 0x80) != 0) q += 1
+          q += 1
+          if (q + 1 < off + len && u8(d, q) == 0x10) {
+            val ok = u8(d, q + 1) == 0
+            v("hdfs.success") = if (ok) 1L else 0L
+            return s"Hadoop IPC response, ${if (ok) "SUCCESS" else "ERROR"}"
+          }
+        }
+      }
       return s"Hadoop IPC message, $mlen bytes"
     }
     null
@@ -10018,6 +10068,23 @@ object Dissect {
       val cmd = u8(d, off + 1)
       telnetCmdNames.get(cmd).foreach { nm =>
         v("telnet.cmd") = s"$nm option ${u8(d, off + 2)}"
+      }
+    }
+    // TN3270 (tier 57): in binary mode a 3270 data stream leads with its
+    // command code and the record ends with IAC EOR (0xFF 0xEF)
+    if (len >= 4 && u8(d, off) != 255 &&
+      u8(d, off + len - 2) == 0xff && u8(d, off + len - 1) == 0xef) {
+      val cc = u8(d, off)
+      val known = Set(0x01, 0x05, 0x0d, 0x0f, 0x11, 0x6f, 0xf1, 0xf5, 0x7e, 0xf3)
+      if (known.contains(cc)) {
+        protos += "tn3270"
+        v("tn3270.command_code") = cc.toLong
+        return (cc match {
+          case 0xf5 | 0x05 => "Erase/Write"
+          case 0xf1 | 0x01 => "Write"
+          case 0x6f | 0x0f => "Erase All Unprotected"
+          case c => f"3270 command 0x$c%02x"
+        })
       }
     }
     "Telnet Data ..."

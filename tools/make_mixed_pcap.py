@@ -2317,6 +2317,24 @@ lisp_iid = bytes([0x88, 0x00, 0x00, 0xCD]) + bytes([0x00, 0x00, 0x2A, 0x01]) + \
     _h56 + _p56  # flags N|I: nonce 0xCD, instance id 0x00002A
 extra.append((t55, 2200, ip_frame(17, A, B, udp(50316, 4341, lisp_iid), ident=415)))
 
+
+# 415-419: tier 57 — IPP inside HTTP, an X11 core request, a Spice mini
+# data message, a TN3270 record in telnet binary mode, and a Hadoop IPC
+# response whose protobuf header carries the SUCCESS status.
+ipp_body = bytes([0x02, 0x00]) + struct.pack(">H", 0x0002) + struct.pack(">I", 7)
+ipp_req = b"POST /printers/lp HTTP/1.1\r\nHost: print.example\r\n" + \
+    b"Content-Type: application/ipp\r\n" + \
+    b"Content-Length: " + str(len(ipp_body)).encode() + b"\r\n\r\n" + ipp_body
+extra.append((t55, 2300, ip_frame(6, A, B, tcp(50317, 631, 1, ipp_req), ident=415)))
+x11_req = bytes([98, 0]) + struct.pack("<H", 2) + b"\x00" * 4
+extra.append((t55, 2400, ip_frame(6, A, B, tcp(50318, 6000, 200, x11_req), ident=416)))
+spice_msg = struct.pack("<HI", 101, 4) + b"\x01\x02\x03\x04"
+extra.append((t55, 2500, ip_frame(6, B, A, tcp(5900, 50319, 1, spice_msg), ident=417)))
+tn3270_rec = bytes([0xF5, 0xC3]) + b"\xc8\x85\x93\x93\x96" + bytes([0xFF, 0xEF])
+extra.append((t55, 2600, ip_frame(6, B, A, tcp(23, 50320, 1, tn3270_rec), ident=418)))
+hdfs_rsp = struct.pack(">I", 5) + bytes([4, 0x08, 0x01, 0x10, 0x00])
+extra.append((t55, 2700, ip_frame(6, B, A, tcp(8020, 50308, 1, hdfs_rsp), ident=419)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
