@@ -423,6 +423,81 @@ object MultimodalQueries {
       ORDER BY doc_a, doc_b"""
     })
 
+  /** pHash top-k SERVING (tier: multimodal×ANN crossover): for the three
+    * lowest-id query images, the five nearest neighbors by Hamming
+    * distance over the full pHash table — "find visually similar images"
+    * as one plan. The 64-bit hex hash splits into two 32-bit halves so
+    * the distance runs through TWO calls of the codegen
+    * [[graft.functions.HammingDistance]] expression (no UDF, stays in
+    * whole-stage codegen); the 3-row query arm broadcasts, and each
+    * query's ranking is a WindowGroupLimit, not a global sort. 100 TB
+    * shape: identical to the brute-force ANN arm — one corpus scan per
+    * query batch, integer math, queries×k rows out; the banded-join
+    * variant (mm_phash_neardup) is the scale path when the query set is
+    * the corpus itself. Oracle: the generation-byte pHash replay feeding
+    * BIT_COUNT(XOR(...)) halves — integer-exact end to end. */
+  val mmPhashTopk = GraftQuery(
+    "mm_phash_topk",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "hamming_distance",
+        exprs => graft.functions.HammingDistance(exprs.head, exprs(1)),
+        "built-in")
+      val hv = mmPhash.fn(s, dir)
+        .select($"doc_id",
+          expr("CAST(conv(substring(phash, 1, 8), 16, 10) AS BIGINT)").as("h1"),
+          expr("CAST(conv(substring(phash, 9, 8), 16, 10) AS BIGINT)").as("h2"))
+        .cache()
+      val q = hv.orderBy($"doc_id").limit(3)
+        .select($"doc_id".as("query_id"), $"h1".as("q1"), $"h2".as("q2"))
+      val w = Window.partitionBy($"query_id").orderBy($"dist", $"cand_id")
+      hv.join(broadcast(q), $"doc_id" =!= $"query_id")
+        .select($"query_id", $"doc_id".as("cand_id"),
+          expr("hamming_distance(q1, h1) + hamming_distance(q2, h2)").as("dist"))
+        .withColumn("mm_rank", row_number().over(w).cast("long"))
+        .filter($"mm_rank" <= 5)
+        .select($"query_id", $"mm_rank", $"cand_id", $"dist")
+        .orderBy($"query_id", $"mm_rank")
+    },
+    Some {
+      val byteList = (0 until 8).map(phashByteSql).mkString(", ")
+      s"""
+      WITH img AS (
+        SELECT doc_id, text, CAST((doc_id // 3) % 5 AS INTEGER) AS slot
+        FROM documents
+        WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 IN (0, 1, 2)
+          AND OCTET_LENGTH(ENCODE(text)) >= 64),
+      codes AS (
+        SELECT doc_id, slot,
+               list_transform(range(1, 65),
+                              i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS c
+        FROM img),
+      m AS (SELECT doc_id, slot, c, list_sum(c) // 64 AS mean FROM codes),
+      ph AS (SELECT doc_id, [$byteList] AS pb FROM m),
+      hv AS (SELECT doc_id,
+               ((CAST(pb[1] AS BIGINT) * 256 + pb[2]) * 256 + pb[3]) * 256 + pb[4] AS h1,
+               ((CAST(pb[5] AS BIGINT) * 256 + pb[6]) * 256 + pb[7]) * 256 + pb[8] AS h2
+             FROM ph),
+      q AS (SELECT doc_id AS query_id, h1 AS q1, h2 AS q2
+            FROM hv ORDER BY doc_id LIMIT 3),
+      scored AS (
+        SELECT q.query_id, c.doc_id AS cand_id,
+               CAST(BIT_COUNT(XOR(q.q1, c.h1)) + BIT_COUNT(XOR(q.q2, c.h2))
+                 AS BIGINT) AS dist
+        FROM hv c CROSS JOIN q WHERE c.doc_id <> q.query_id),
+      r AS (
+        SELECT query_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY dist, cand_id) AS BIGINT) AS mm_rank,
+               cand_id, dist
+        FROM scored)
+      SELECT query_id, mm_rank, cand_id, dist FROM r
+      WHERE mm_rank <= 5
+      ORDER BY query_id, mm_rank"""
+    })
+
   /** Shot-boundary (scene-cut) statistics per video: consecutive sampled
     * frames are compared by the Hamming distance of their 60-bit frame
     * signatures (md5-derived, the same signature a perceptual hash would
@@ -583,5 +658,5 @@ object MultimodalQueries {
   val all: Seq[GraftQuery] =
     Seq(mmMediaMeta, mmTypeStats, mmFrameSample, mmCodecStats, mmOrientationStats,
       mmPhash, mmIntegrity, mmAudioStats, mmThumbnail, mmPhashNeardup, mmSceneCut,
-      mmResolutionFilter, mmLumaBands)
+      mmResolutionFilter, mmLumaBands, mmPhashTopk)
 }

@@ -47,4 +47,23 @@ class NewOperatorsR10Spec extends SparkSpec {
         assert(r.getAs[Double]("qcos") <= r1.getAs[Double]("qcos") + 1e-12))
     }
   }
+
+  test("mm_phash_topk: 3 queries x 5 picks, distances non-decreasing per query") {
+    val rows = graft.queries.MultimodalQueries.mmPhashTopk.fn(spark, sfDir).collect()
+    assert(rows.length === 15)
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size === 3)
+    byQ.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("mm_rank"))
+      assert(sorted.map(_.getAs[Long]("mm_rank")).sameElements(1L to 5L))
+      // ranking invariant: distance never decreases with rank
+      val dists = sorted.map(_.getAs[Long]("dist"))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b },
+        s"query $qid distances not monotone: ${dists.mkString(",")}")
+      // a query never returns itself
+      assert(rs.forall(_.getAs[Long]("cand_id") != qid))
+      // Hamming distance over two 32-bit halves is bounded by 64
+      assert(dists.forall(d => d >= 0L && d <= 64L))
+    }
+  }
 }

@@ -361,6 +361,19 @@ class PlanShapeSpec extends SparkSpec {
       "the greedy rerank must run as a typed per-query group fold")
   }
 
+  test("r10: mm_phash_topk scores via the codegen hamming expression, group-limited") {
+    // the pHash serving arm must keep BOTH half-distances inside the
+    // codegen hamming_distance expression (no UDF), broadcast the 3-row
+    // query side, and rank per query via a group limit
+    val p = plan("mm_phash_topk")
+    assert(p.contains("hamming_distance"),
+      "distance must run through the codegen HammingDistance expression")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the 3-row query arm must broadcast")
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrdered"),
+      "per-query ranking must group-limit, not globally sort the scored corpus")
+  }
+
   test("gr_wcc label propagation stays a node-key equi-join") {
     val p = plan("gr_wcc")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
