@@ -2554,6 +2554,8 @@ object Dissect {
         appInfo = dissectIscsi(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 854 || dp == 854))
         appInfo = dissectDlepMessage(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 1721 || dp == 1721))
+        appInfo = dissectH245(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 5084 || dp == 5084))
         appInfo = dissectLlrp(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 6653 || dp == 6653))
@@ -2943,6 +2945,14 @@ object Dissect {
     if (sp == 5070 || dp == 5070) {
       val bfInfo = dissectBfcp(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
       if (bfInfo != null) return bfInfo
+    }
+    if (sp == 1719 || dp == 1719) {
+      val rasInfo = dissectH225Ras(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (rasInfo != null) return rasInfo
+    }
+    if (sp == 2945 || dp == 2945) {
+      val h248Info = dissectH248Bin(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (h248Info != null) return h248Info
     }
     // Gb over IP (3GPP TS 48.016): the NS layer on UDP 23000 whose
     // NS-UNITDATA PDUs carry BSSGP
@@ -14138,6 +14148,102 @@ object Dissect {
     }
     if (rnti >= 0) s"MAC-LTE RNTI=$rnti" + (if (sfn >= 0) s" SFN=$sfn" else "")
     else "MAC-LTE"
+  }
+
+  private val h225RasNames: Map[Int, String] = Map(
+    0 -> "gatekeeperRequest", 1 -> "gatekeeperConfirm", 2 -> "gatekeeperReject",
+    3 -> "registrationRequest", 4 -> "registrationConfirm",
+    5 -> "registrationReject", 9 -> "admissionRequest",
+    10 -> "admissionConfirm", 11 -> "admissionReject",
+    15 -> "disengageRequest", 18 -> "infoRequestResponse")
+
+  /** H.225.0 RAS (UDP 1719, X.691 ALIGNED PER). The bit math claimed
+    * here, from the X.691 rules applied to the H.225v1 root types:
+    * RasMessage is an extensible 25-alternative CHOICE → extension bit +
+    * 5 index bits. GatekeeperRequest's root has 4 OPTIONAL members and
+    * GatekeeperConfirm's has 2, so after their sequence preambles (ext
+    * bit + option bitmap) the cursor sits at 11 resp. 9 bits — and the
+    * next field, requestSeqNum (INTEGER 1..65535, a 2-octet ALIGNED
+    * constrained integer, value−1 on the wire), starts at byte 2 for
+    * BOTH. Other choices (different preamble widths) only claim the
+    * message name. Extension-bit messages are not claimed at all. */
+  private def dissectH225Ras(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 4) return null
+    val b0 = u8(d, off)
+    if ((b0 & 0x80) != 0) return null // extended choice: not claimed
+    val choice = (b0 >> 2) & 0x1f
+    if (!h225RasNames.contains(choice)) return null
+    protos += "h225"
+    v("h225.rasMessage") = choice.toLong
+    if (choice <= 1) {
+      val seq = u16(d, off + 2) + 1
+      v("h225.requestSeqNum") = seq.toLong
+    }
+    s"RAS: ${h225RasNames(choice)}"
+  }
+
+  /** H.245 (TPKT-framed; the port is signaled in the H.225 Setup — the
+    * fixture pins 1721): an openLogicalChannel request in ALIGNED PER.
+    * MultimediaSystemControlMessage CHOICE(4 alternatives, ext bit + 2
+    * index bits) → request; RequestMessage CHOICE (ext + 4 bits) →
+    * openLogicalChannel(3); the OLC root has 2 OPTIONAL members (ext +
+    * 2 option bits) — exactly 8 + 3 bits, so forwardLogicalChannelNumber
+    * (INTEGER 1..65535, 2-octet aligned, value−1) sits at bytes 2-3.
+    * Only the no-extension all-options-absent shape (byte0 0x03, byte1
+    * 0x00) is claimed. */
+  private def dissectH245(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 8 || u8(d, off) != 3 || u8(d, off + 1) != 0) return null
+    if (u16(d, off + 2) != len) return null
+    val p = off + 4
+    protos += "tpkt"
+    v("tpkt.version") = 3L
+    v("tpkt.length") = len.toLong
+    if (u8(d, p) == 0x03 && u8(d, p + 1) == 0x00 && p + 4 <= off + len) {
+      protos += "h245"
+      val flcn = u16(d, p + 2) + 1
+      v("h245.forwardLogicalChannelNumber") = flcn.toLong
+      return s"openLogicalChannel ($flcn)"
+    }
+    null
+  }
+
+  /** H.248/MEGACO BINARY encoding (H.248.1 Annex A BER, UDP 2945 — the
+    * text encoding on 2944 is the existing megaco dissector):
+    * MegacoMessage ⊃ Message { version INTEGER, mId, body }; the first
+    * transactionRequest's transactionId INTEGER follows its [2] tag. */
+  private def dissectH248Bin(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 9 || u8(d, off) != 0x30 || u8(d, off + 2) != 0x30) return null
+    if (u8(d, off + 4) != 0x02 || u8(d, off + 5) != 0x01) return null
+    protos += "h248"
+    val ver = u8(d, off + 6)
+    v("h248.version") = ver.toLong
+    var q = off + 7
+    val end = off + len
+    var transid = -1L
+    while (transid < 0 && q + 4 <= end) {
+      if (u8(d, q) == 0xa2 && u8(d, q + 2) == 0x02) {
+        val il = u8(d, q + 3)
+        if (il >= 1 && il <= 4 && q + 4 + il <= end) {
+          var x = 0L
+          var k = 0
+          while (k < il) { x = (x << 8) | u8(d, q + 4 + k); k += 1 }
+          transid = x
+          v("h248.transid") = x
+        }
+      }
+      q += 1
+    }
+    if (transid >= 0) s"TransactionRequest id=$transid (v$ver)"
+    else s"H.248 binary (v$ver)"
   }
 
   /** BFCP (RFC 8855, the SDP-negotiated floor-control channel; fixture

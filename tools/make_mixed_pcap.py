@@ -2335,6 +2335,26 @@ extra.append((t55, 2600, ip_frame(6, B, A, tcp(23, 50320, 1, tn3270_rec), ident=
 hdfs_rsp = struct.pack(">I", 5) + bytes([4, 0x08, 0x01, 0x10, 0x00])
 extra.append((t55, 2700, ip_frame(6, B, A, tcp(8020, 50308, 1, hdfs_rsp), ident=419)))
 
+
+# 420-423: tier 58 — the telephony ASN.1 block. H.225 RAS GRQ/GCF in
+# aligned PER (choice index + sequence preamble leave requestSeqNum
+# octet-aligned at bytes 2-3, value-1), an H.245 openLogicalChannel over
+# TPKT (fixture port 1721 — the port is Setup-signaled in real calls),
+# and an H.248 binary TransactionRequest (Annex A BER) on UDP 2945.
+h225_oid = bytes([6, 0x00, 0x08, 0x91, 0x4A, 0x00, 0x02])
+grq = bytes([0x00, 0x00]) + struct.pack(">H", 6) + h225_oid + bytes(6)
+extra.append((t55, 2800, ip_frame(17, A, B, udp(50321, 1719, grq), ident=420)))
+gcf = bytes([0x04, 0x00]) + struct.pack(">H", 6) + h225_oid + bytes(4)
+extra.append((t55, 2900, ip_frame(17, B, A, udp(1719, 50321, gcf), ident=421)))
+olc = bytes([0x03, 0x00]) + struct.pack(">H", 258) + bytes(6)  # flcn 259
+h245_pkt = b"\x03\x00" + struct.pack(">H", 4 + len(olc)) + olc
+extra.append((t55, 3000, ip_frame(6, A, B, tcp(50322, 1721, 1, h245_pkt), ident=422)))
+h248 = bytes([0x30, 0x1A, 0x30, 0x18, 0x02, 0x01, 0x03]) + \
+    bytes([0xA0, 0x06, 0x04, 0x04, 10, 0, 0, 1]) + \
+    bytes([0xA1, 0x0B, 0xA2, 0x09, 0x02, 0x02, 0x03, 0xE9]) + \
+    bytes([0x30, 0x03, 0xA0, 0x01, 0x00])
+extra.append((t55, 3100, ip_frame(17, A, B, udp(50323, 2945, h248), ident=423)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
