@@ -1663,6 +1663,18 @@ object Dissect {
     if (end < off + 8) return null
     val ver = u8(d, off) >>> 4
     val tpe = u8(d, off) & 0x0f
+    // CARP shares IP protocol 112 and the version-2/type-1 advertisement
+    // shape with VRRPv2; the sharp discriminator is its FIXED layout —
+    // authlen is always 7 (HMAC-SHA1 in 32-bit words) where VRRP carries
+    // the address count, and the whole packet is exactly 4 header words
+    // + 8-byte counter + 20-byte HMAC = 36 bytes with no address list
+    if (ver == 2 && tpe == 1 && end - off == 36 && u8(d, off + 3) == 7) {
+      protos += "carp"
+      v("carp.version") = 2L
+      v("carp.type") = 1L
+      v("carp.vhid") = u8(d, off + 1).toLong
+      return s"CARP advertisement, VHID ${u8(d, off + 1)}"
+    }
     protos += "vrrp"
     v("vrrp.version") = ver.toLong
     v("vrrp.type") = tpe.toLong
@@ -2953,6 +2965,22 @@ object Dissect {
     if (sp == 2945 || dp == 2945) {
       val h248Info = dissectH248Bin(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
       if (h248Info != null) return h248Info
+    }
+    // MLE (Thread Mesh Link Establishment, UDP 19788): only the
+    // UNSECURED shape is claimable from bytes — security suite 255
+    // means no security header, and the command byte follows directly
+    if ((sp == 19788 || dp == 19788) && payLen >= 2 && off + 10 <= d.length &&
+      u8(d, off + 8) == 255) {
+      val cmd = u8(d, off + 9)
+      if (cmd <= 16) {
+        protos += "mle"
+        v("mle.cmd") = cmd.toLong
+        return cmd match {
+          case 0 => "Link Request"; case 1 => "Link Accept"
+          case 4 => "Advertisement"; case 10 => "Child ID Request"
+          case c => s"MLE command $c"
+        }
+      }
     }
     // Gb over IP (3GPP TS 48.016): the NS layer on UDP 23000 whose
     // NS-UNITDATA PDUs carry BSSGP
@@ -14209,6 +14237,15 @@ object Dissect {
       val flcn = u16(d, p + 2) + 1
       v("h245.forwardLogicalChannelNumber") = flcn.toLong
       return s"openLogicalChannel ($flcn)"
+    }
+    // terminalCapabilitySet (request index 2): the TCS root's 3 OPTIONAL
+    // members leave the 1-octet sequenceNumber (INTEGER 0..255) aligned
+    // at byte 2 — same X.691 discipline, no-extension shape only
+    if (u8(d, p) == 0x02 && u8(d, p + 1) == 0x00 && p + 3 <= off + len) {
+      protos += "h245"
+      val seq = u8(d, p + 2)
+      v("h245.sequenceNumber") = seq.toLong
+      return s"terminalCapabilitySet (seq $seq)"
     }
     null
   }

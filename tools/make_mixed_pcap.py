@@ -2355,6 +2355,18 @@ h248 = bytes([0x30, 0x1A, 0x30, 0x18, 0x02, 0x01, 0x03]) + \
     bytes([0x30, 0x03, 0xA0, 0x01, 0x00])
 extra.append((t55, 3100, ip_frame(17, A, B, udp(50323, 2945, h248), ident=423)))
 
+
+# 424-426: tier 59 — a CARP advertisement (IP proto 112, the fixed
+# 36-byte authlen=7 layout that discriminates it from VRRPv2), an H.245
+# terminalCapabilitySet, and an unsecured Thread MLE advertisement.
+carp = bytes([0x21, 5, 0, 7, 0, 1, 0, 0]) + bytes(8) + bytes(20)
+extra.append((t55, 3200, ip_frame(112, A, B, carp, ident=424)))
+tcs = bytes([0x02, 0x00, 0x09]) + bytes(5)
+h245_tcs = b"\x03\x00" + struct.pack(">H", 4 + len(tcs)) + tcs
+extra.append((t55, 3300, ip_frame(6, A, B, tcp(50322, 1721, 100, h245_tcs), ident=425)))
+mle = bytes([255, 4]) + bytes([0x00, 0x01, 0x02])
+extra.append((t55, 3400, ip_frame(17, A, B, udp(19788, 19788, mle), ident=426)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
