@@ -498,6 +498,65 @@ object MultimodalQueries {
       ORDER BY query_id, mm_rank"""
     })
 
+  /** (doc_id, h1, h2): the 64-bit pHash split into two 32-bit BIGINT
+    * halves — the columnar form every Hamming-distance serving pass
+    * scores against (two codegen hamming_distance calls per pair). */
+  def phashHalves(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    mmPhash.fn(s, dir)
+      .select($"doc_id",
+        expr("CAST(conv(substring(phash, 1, 8), 16, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substring(phash, 9, 8), 16, 10) AS BIGINT)").as("h2"))
+  }
+
+  /** Stream-static pHash probe: arriving (query_id, q1, q2) rows score
+    * the STATIC corpus halves and keep each query's topK by Hamming
+    * distance — per-batch stateless, so the identical plan serves under
+    * Structured Streaming foreachBatch (StreamingSpec pins streaming ==
+    * batch across a batch split). */
+  def phashProbe(s: org.apache.spark.sql.SparkSession,
+      corpus: org.apache.spark.sql.DataFrame,
+      arriving: org.apache.spark.sql.DataFrame,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hamming_distance",
+      exprs => graft.functions.HammingDistance(exprs.head, exprs(1)),
+      "built-in")
+    val w = Window.partitionBy($"query_id").orderBy($"dist", $"cand_id")
+    corpus.join(broadcast(arriving), $"doc_id" =!= $"query_id")
+      .select($"query_id", $"doc_id".as("cand_id"),
+        expr("hamming_distance(q1, h1) + hamming_distance(q2, h2)").as("dist"))
+      .withColumn("mm_rank", row_number().over(w).cast("long"))
+      .filter($"mm_rank" <= topK)
+      .select($"query_id", $"mm_rank", $"cand_id", $"dist")
+      .orderBy($"query_id", $"mm_rank")
+  }
+
+  /** The shared oracle CTE chain producing hv(doc_id, h1, h2) from the
+    * generation bytes — the DuckDB twin of [[phashHalves]]. */
+  private[queries] def phashHvCteSql: String = {
+    val byteList = (0 until 8).map(phashByteSql).mkString(", ")
+    s"""img AS (
+        SELECT doc_id, text, CAST((doc_id // 3) % 5 AS INTEGER) AS slot
+        FROM documents
+        WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 IN (0, 1, 2)
+          AND OCTET_LENGTH(ENCODE(text)) >= 64),
+      codes AS (
+        SELECT doc_id, slot,
+               list_transform(range(1, 65),
+                              i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS c
+        FROM img),
+      m AS (SELECT doc_id, slot, c, list_sum(c) // 64 AS mean FROM codes),
+      ph AS (SELECT doc_id, [$byteList] AS pb FROM m),
+      hv AS (SELECT doc_id,
+               ((CAST(pb[1] AS BIGINT) * 256 + pb[2]) * 256 + pb[3]) * 256 + pb[4] AS h1,
+               ((CAST(pb[5] AS BIGINT) * 256 + pb[6]) * 256 + pb[7]) * 256 + pb[8] AS h2
+             FROM ph)"""
+  }
+
   /** Shot-boundary (scene-cut) statistics per video: consecutive sampled
     * frames are compared by the Hamming distance of their 60-bit frame
     * signatures (md5-derived, the same signature a perceptual hash would

@@ -601,9 +601,48 @@ object StreamingQueries {
       graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids, nDims = 4,
       where = "e.vec_id % 10 = 7")))
 
+  /** Online pHash serving — the streaming twin of mm_phash_topk: every
+    * tenth image arrives as a QUERY (doc_id % 10 = 7) and probes the
+    * STATIC corpus pHash table for its 3 nearest neighbors by Hamming
+    * distance. The probe ([[MultimodalQueries.phashProbe]]) is stateless
+    * per batch — broadcast arriving rows, two codegen hamming_distance
+    * calls per pair, per-query group-limit — so the identical plan runs
+    * under foreachBatch; StreamingSpec pins streaming == batch across a
+    * two-batch split. 100 TB shape: label-once/serve-many over the
+    * persisted pHash artifact, arriving side always micro-batch-sized. */
+  val stPhashServe = GraftQuery(
+    "st_phash_serve",
+    (s, dir) => {
+      import s.implicits._
+      val hv = MultimodalQueries.phashHalves(s, dir)
+      val corpus = hv.filter($"doc_id" % 10 =!= 0)
+      val arriving = hv.filter($"doc_id" % 10 === 0)
+        .select($"doc_id".as("query_id"), $"h1".as("q1"), $"h2".as("q2"))
+      MultimodalQueries.phashProbe(s, corpus, arriving, topK = 3)
+    },
+    Some(s"""
+      WITH ${MultimodalQueries.phashHvCteSql},
+      corpus AS (SELECT * FROM hv WHERE doc_id % 10 <> 0),
+      arr AS (SELECT doc_id AS query_id, h1 AS q1, h2 AS q2
+              FROM hv WHERE doc_id % 10 = 0),
+      scored AS (
+        SELECT a.query_id, c.doc_id AS cand_id,
+               CAST(BIT_COUNT(XOR(a.q1, c.h1)) + BIT_COUNT(XOR(a.q2, c.h2))
+                 AS BIGINT) AS dist
+        FROM corpus c CROSS JOIN arr a WHERE c.doc_id <> a.query_id),
+      r AS (
+        SELECT query_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY dist, cand_id) AS BIGINT) AS mm_rank,
+               cand_id, dist
+        FROM scored)
+      SELECT query_id, mm_rank, cand_id, dist FROM r
+      WHERE mm_rank <= 3
+      ORDER BY query_id, mm_rank"""))
+
   val all: Seq[GraftQuery] =
     Seq(stSessionize, stWindowedCounts, stDistinctUsers, stSlidingRates,
       stDedup, stIntervalJoin, stAttributionOuter, stSessionWindow, stEnrich,
       stRateLimit, stTopk, stUpsert, stPattern, stAnnServe, stBloomDedup,
-      stCurationGate, stCmsSketch, stKmeansUpdate)
+      stCurationGate, stCmsSketch, stKmeansUpdate, stPhashServe)
 }

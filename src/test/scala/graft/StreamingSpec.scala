@@ -668,4 +668,38 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("kmstats").orderBy("cell").collect()
     assert(batch.map(_.toSeq).toSeq === streamed.map(_.toSeq).toSeq)
   }
+
+  test("online pHash serving: foreachBatch streaming result equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hv = graft.queries.MultimodalQueries.phashHalves(spark, sfDir)
+    val corpus = hv.filter(col("doc_id") % 10 =!= 0).cache()
+    val queries = hv.filter(col("doc_id") % 10 === 0)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(queries.nonEmpty)
+    val batch = graft.queries.StreamingQueries.stPhashServe.fn(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    // per-query ranking windows are illegal inside an append stream —
+    // online similarity serving is the per-micro-batch probe under
+    // foreachBatch, the arriving queries split across TWO batches; the
+    // results must equal the one-shot batch serve (the corpus is static)
+    val stream = MemoryStream[(Long, Long, Long)]
+    val acc = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = stream.toDF().toDF("query_id", "q1", "q2")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val res = graft.queries.MultimodalQueries
+          .phashProbe(spark, corpus, b, topK = 3).collect()
+        acc.synchronized { acc ++= res.map(_.toSeq) }
+        ()
+      }.start()
+    try {
+      val (first, second) = queries.splitAt(queries.size / 2)
+      stream.addData(first: _*)
+      q.processAllAvailable()
+      stream.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: Seq[Any]) = (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])
+    assert(acc.sortBy(key) === batch.sortBy(key))
+  }
 }
