@@ -2451,6 +2451,8 @@ object Dissect {
         appInfo = dissectModbus(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 102 || dp == 102))
         appInfo = dissectS7(appBuf, appOff, appLen, v, protos)
+      if (appInfo == null && !h2Claimed && (sp == 102 || dp == 102))
+        appInfo = dissectMms(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 20000 || dp == 20000))
         appInfo = dissectDnp3(appBuf, appOff, appLen, v, protos)
       if (appInfo == null && !h2Claimed && (sp == 2404 || dp == 2404))
@@ -2965,6 +2967,13 @@ object Dissect {
     if (sp == 2945 || dp == 2945) {
       val h248Info = dissectH248Bin(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
       if (h248Info != null) return h248Info
+    }
+    // PROFINET IO context manager (UDP 34964): IODConnect rides
+    // connectionless DCE/RPC v4 (C706 CL header, 80 bytes), then the
+    // NDR args envelope and the big-endian PNIO block list
+    if (sp == 34964 || dp == 34964) {
+      val pnInfo = dissectPnioCm(d, off + 8, math.min(payLen, d.length - off - 8), v, protos)
+      if (pnInfo != null) return pnInfo
     }
     // MLE (Thread Mesh Link Establishment, UDP 19788): only the
     // UNSECURED shape is claimable from bytes — security suite 255
@@ -14176,6 +14185,100 @@ object Dissect {
     }
     if (rnti >= 0) s"MAC-LTE RNTI=$rnti" + (if (sfn >= 0) s" SFN=$sfn" else "")
     else "MAC-LTE"
+  }
+
+  /** PROFINET IO over connectionless DCE/RPC (the PNIO-CM endpoint, UDP
+    * 34964): the C706 §12.5 CL packet header is 80 bytes (version 4,
+    * ptype, flags, drep, three UUIDs, boot/if/seq, opnum...); the body is
+    * the NDR args envelope (20 bytes: ArgsMaximum, ArgsLength, array
+    * maximum/offset/actual counts) followed by PNIO's BIG-endian block
+    * list — ARBlockReq (0x0101) carries the ARUUID at block offset 8,
+    * IOCRBlockReq (0x0102) carries the API of its first related-API
+    * entry at block offset 46 (IEC 61158-6-10 §5.2.5). */
+  private def dissectPnioCm(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 80 || u8(d, off) != 4) return null
+    val ptype = u8(d, off + 1)
+    if (ptype > 2) return null // request/ping/response
+    protos += "dcerpc"
+    v("dcerpc.ver") = 4L
+    v("dcerpc.pkt_type") = ptype.toLong
+    // CL opnum is little-endian under the usual 0x10 drep
+    val le = (u8(d, off + 4) & 0x10) != 0
+    val opnum = if (le) u8(d, off + 68) | (u8(d, off + 69) << 8) else u16(d, off + 68)
+    v("dcerpc.opnum") = opnum.toLong
+    protos += "pn_io"
+    var p = off + 80 + 20 // CL header + NDR args envelope
+    var ar: String = null
+    var api = -1L
+    while (p + 6 <= off + len) {
+      val bt = u16(d, p)
+      val blen = u16(d, p + 2) + 4 // BlockLength counts from the version field
+      if (bt == 0x0101 && p + 24 <= off + len && ar == null) {
+        ar = (0 until 16).map(i => hex2(u8(d, p + 8 + i))).mkString
+          .replaceAll("(.{8})(.{4})(.{4})(.{4})(.{12})", "$1-$2-$3-$4-$5")
+        v("pn_io.ar_uuid") = ar
+      }
+      if (bt == 0x0102 && p + 50 <= off + len && api < 0) {
+        api = u32(d, p + 46)
+        v("pn_io.api") = api
+      }
+      if (blen <= 4) p = off + len else p += blen
+    }
+    if (ar != null) s"Connect request, ARUUID $ar" else "PNIO-CM"
+  }
+
+  /** MMS (ISO 9506) on the full OSI stack over TPKT/COTP (TCP 102,
+    * behind the S7 check): the established-session shape — GIVE TOKENS +
+    * DATA TRANSFER SPDUs (01 00 01 00), the ISO 8823 fully-encoded-data
+    * shell (APPLICATION 1 → PDV-list → presentation-context INTEGER →
+    * single-ASN1-type [0]), then the MMS confirmed-RequestPDU whose
+    * first INTEGER is the invokeID. Only this canonical in-session
+    * layout is claimed; association setup (CR/CC with ACSE) stays the
+    * tshark dissector's territory. */
+  private def dissectMms(
+      d: Array[Byte], off: Int, len: Int,
+      v: FieldVec,
+      protos: mutable.ArrayBuffer[String]): String = {
+    if (len < 24 || u8(d, off) != 3 || u8(d, off + 1) != 0) return null
+    if (u16(d, off + 2) != len) return null
+    // COTP DT
+    if (u8(d, off + 4) != 2 || u8(d, off + 5) != 0xf0) return null
+    val p = off + 7
+    // session: GIVE TOKENS (type 1, len 0) + DATA TRANSFER (type 1, len 0)
+    if (u8(d, p) != 0x01 || u8(d, p + 1) != 0x00 ||
+      u8(d, p + 2) != 0x01 || u8(d, p + 3) != 0x00) return null
+    var q = p + 4
+    if (u8(d, q) != 0x61) return null // fully-encoded-data
+    protos += "tpkt"
+    v("tpkt.version") = 3L
+    v("tpkt.length") = len.toLong
+    protos += "cotp"
+    v("cotp.li") = 2L
+    v("cotp.type") = 0x0fL
+    protos += "ses"
+    protos += "pres"
+    q += 2
+    if (q + 2 <= off + len && u8(d, q) == 0x30) q += 2 // PDV-list
+    if (q + 3 <= off + len && u8(d, q) == 0x02) q += 2 + u8(d, q + 1) // pres ctx id
+    if (q + 2 > off + len || u8(d, q) != 0xa0) return "OSI session data"
+    q += 2 // single-ASN1-type [0]
+    if (q + 4 <= off + len && u8(d, q) == 0xa0 && u8(d, q + 2) == 0x02) {
+      // confirmed-RequestPDU { invokeID INTEGER, service... }
+      protos += "mms"
+      val il = u8(d, q + 3)
+      if (il >= 1 && il <= 4 && q + 4 + il <= off + len) {
+        var x = 0L
+        var k = 0
+        while (k < il) { x = (x << 8) | u8(d, q + 4 + k); k += 1 }
+        v("mms.invokeID") = x
+        return s"Confirmed-Request (invokeID $x)"
+      }
+      return "Confirmed-Request"
+    }
+    "OSI presentation data"
   }
 
   private val h225RasNames: Map[Int, String] = Map(

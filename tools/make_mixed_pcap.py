@@ -2367,6 +2367,39 @@ extra.append((t55, 3300, ip_frame(6, A, B, tcp(50322, 1721, 100, h245_tcs), iden
 mle = bytes([255, 4]) + bytes([0x00, 0x01, 0x02])
 extra.append((t55, 3400, ip_frame(17, A, B, udp(19788, 19788, mle), ident=426)))
 
+
+# 427-428: tier 60 — PROFINET IODConnect over connectionless DCE/RPC v4
+# (UDP 34964: 80-byte C706 CL header + NDR args + big-endian PNIO blocks
+# ARBlockReq/IOCRBlockReq), and an MMS confirmed-Request on the full OSI
+# stack (TPKT/COTP/session 01 00 01 00/ISO 8823 shell/BER MMS PDU).
+_aruuid = bytes.fromhex("11223344556677889900aabbccddeeff")
+_cl_hdr = bytes([4, 0, 0x20, 0, 0x10, 0, 0, 0]) + bytes(16) + bytes(16) + \
+    bytes(16) + struct.pack("<III", 0x1000, 1, 0) + struct.pack("<HHHHH", 0, 0, 0, 0, 0) + \
+    bytes([0, 0])
+assert len(_cl_hdr) == 80, len(_cl_hdr)
+# BlockHeader(type, length-from-version-field, version) + body
+_ar_body = struct.pack(">H", 1) + _aruuid + struct.pack(">H", 0xCAFE)
+_ar_block = struct.pack(">HHH", 0x0101, 2 + len(_ar_body), 0x0100) + _ar_body
+_iocr_body = struct.pack(">HHH", 1, 1, 0x8892) + struct.pack(">I", 0x11) + \
+    struct.pack(">HHHHHH", 40, 0x8000, 32, 1, 0, 0) + struct.pack(">I", 0) + \
+    struct.pack(">HHH", 10, 3, 0xC000) + bytes(6) + struct.pack(">H", 1) + \
+    struct.pack(">I", 0)
+_iocr_block = struct.pack(">HHH", 0x0102, 2 + len(_iocr_body), 0x0100) + _iocr_body
+_ndr = struct.pack("<IIIII", 1024, len(_ar_block) + len(_iocr_block), 1024, 0,
+                   len(_ar_block) + len(_iocr_block))
+pnio = _cl_hdr + _ndr + _ar_block + _iocr_block
+extra.append((t55, 3500, ip_frame(17, A, B, udp(50324, 34964, pnio), ident=427)))
+
+_mms_pdu = bytes([0xA0, 0x07, 0x02, 0x01, 0x2A, 0xA4, 0x02, 0x80, 0x00])
+_pres = bytes([0xA0, len(_mms_pdu)]) + _mms_pdu
+_pctx = bytes([0x02, 0x01, 0x03]) + _pres
+_pdvl = bytes([0x30, len(_pctx)]) + _pctx
+_fed = bytes([0x61, len(_pdvl)]) + _pdvl
+_ses = bytes([0x01, 0x00, 0x01, 0x00]) + _fed
+_cotp = bytes([0x02, 0xF0, 0x80]) + _ses
+mms_pkt = b"\x03\x00" + struct.pack(">H", 4 + len(_cotp)) + _cotp
+extra.append((t55, 3600, ip_frame(6, A, B, tcp(50325, 102, 1, mms_pkt), ident=428)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
