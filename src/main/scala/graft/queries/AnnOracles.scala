@@ -340,6 +340,44 @@ object AnnOracles {
     * literals the Spark plan embeds, and the threshold comparison sees the
     * same replayed IEEE cosine on both engines, so the keep/remove
     * decisions match bit-for-bit. */
+  /** Oracle for `st_semdedup_gate` — the SERVING twin of
+    * [[semanticDedupSql]]: arriving vectors (vec_id % 10 = 7) are gated
+    * against the STATIC corpus (everything else). A candidate must share
+    * the literal-centroid cell AND the plane-sign LSH bucket; the
+    * admission verdict counts corpus neighbors at cosine ≥ τ. */
+  def semdedupGateSql(cents: Array[Array[Double]], tau: Double,
+      bucketSql: String): String = {
+    val dim = cents(0).length
+    s"""
+      WITH cents(cell, centroid, cn2, cnorm) AS (VALUES
+  ${centsValues(cents)}),
+      cellscore AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               c.cn2 - 2.0 * (${dot("e.embedding", "c.centroid", dim)}) AS score
+        FROM embeddings e CROSS JOIN cents c),
+      cells AS (
+        SELECT vec_id, embedding, cell, $bucketSql AS bucket FROM (
+          SELECT vec_id, embedding, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS crn
+          FROM cellscore) WHERE crn = 1),
+      corpus AS (SELECT * FROM cells WHERE vec_id % 10 <> 7),
+      arr AS (SELECT * FROM cells WHERE vec_id % 10 = 7),
+      hits AS (
+        SELECT a.vec_id, COUNT(*) AS n
+        FROM arr a JOIN corpus x
+          ON x.cell = a.cell AND x.bucket = a.bucket
+        WHERE (${dot("x.embedding", "a.embedding", dim)})
+                / (SQRT(${dot("x.embedding", "x.embedding", dim)})
+                   * SQRT(${dot("a.embedding", "a.embedding", dim)}))
+              >= CAST(${fmt(tau)} AS DOUBLE)
+        GROUP BY a.vec_id)
+      SELECT a.vec_id, a.cell,
+             CAST(COALESCE(h.n, 0) AS BIGINT) AS n_dups,
+             (h.vec_id IS NULL) AS admitted
+      FROM arr a LEFT JOIN hits h ON a.vec_id = h.vec_id
+      ORDER BY a.vec_id"""
+  }
+
   def semanticDedupSql(cents: Array[Array[Double]], tau: Double,
       bucketSql: String): String = {
     val dim = cents(0).length

@@ -37,7 +37,7 @@ object SimilarityQueries {
     * literals the Spark plan embeds (Vectors.planeSigns) and the same
     * left-associative projection sum — buckets and cosines come out
     * bit-identical, making the scale-path queries fully oracle-checkable. */
-  private def duckBucket(embCol: String, nPlanes: Int): String = {
+  private[queries] def duckBucket(embCol: String, nPlanes: Int): String = {
     val planes = (0 until nPlanes).map { j =>
       val signs = graft.functions.Vectors.planeSigns(j, dim)
       val proj = (1 to dim)
@@ -219,7 +219,7 @@ object SimilarityQueries {
     * at production scale recall is recovered with multiple tables (bands),
     * exactly like the MinHash path — one table keeps this query's oracle
     * check single-valued. */
-  private def neardupBits(n: Long): Int = {
+  private[queries] def neardupBits(n: Long): Int = {
     var bits = 6
     while ((n >> bits) > 64 && bits < 16) bits += 1
     bits

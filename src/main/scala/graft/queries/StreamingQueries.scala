@@ -644,9 +644,54 @@ object StreamingQueries {
       WHERE mm_rank <= 3
       ORDER BY query_id, mm_rank"""))
 
+  /** The SEMANTIC ingest gate — the serving twin of dd_semantic_dedup
+    * and the third admission stage after st_curation_gate's quality
+    * check and st_bloom_dedup's exact-membership probe: an arriving
+    * vector is admitted only when NO static-corpus neighbor in its IVF
+    * cell + corpus-scaled LSH bucket sits at cosine ≥ τ (SemDeDup's
+    * rule applied at ingest time instead of batch). Stateless per batch:
+    * the arriving side assigns its cell from broadcast literal
+    * centroids, the candidate join is the (cell, bucket) equi-join, the
+    * verdict a left-join count. Batch twin below; same shape runs under
+    * foreachBatch. 100 TB: the corpus-side (cell, bucket) table is a
+    * persisted bucketed artifact; per-arriving work is its bucket's
+    * occupancy — linear by the same argument the r9 verdict audited for
+    * dd_semantic_dedup. */
+  val stSemdedupGate = GraftQuery(
+    "st_semdedup_gate",
+    (s, dir) => {
+      import s.implicits._
+      val bits = SimilarityQueries.neardupBits(
+        Tables.load(s, dir, "embeddings").count())
+      val cells = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
+        .assigned.select($"vec_id", $"embedding", $"cell",
+          graft.functions.Vectors.lshBucket($"embedding", bits).as("bucket"))
+      val corpus = cells.filter($"vec_id" % 10 =!= 7)
+      val arriving = cells.filter($"vec_id" % 10 === 7)
+      val hits = arriving.as("a")
+        .join(corpus.as("x"),
+          col("x.cell") === col("a.cell") && col("x.bucket") === col("a.bucket"))
+        .filter(graft.functions.Vectors.cosine(
+          col("x.embedding"), col("a.embedding")) >= 0.4)
+        .groupBy(col("a.vec_id").as("vec_id"))
+        .agg(count(lit(1)).as("n_dups"))
+      arriving.select($"vec_id", $"cell")
+        .join(broadcast(hits), Seq("vec_id"), "left_outer")
+        .select($"vec_id", $"cell",
+          coalesce($"n_dups", lit(0L)).as("n_dups"),
+          $"n_dups".isNull.as("admitted"))
+        .orderBy($"vec_id")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.semdedupGateSql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids, tau = 0.4,
+      SimilarityQueries.duckBucket("embedding",
+        SimilarityQueries.neardupBits(
+          Tables.load(s, dir, "embeddings").count())))))
+
   val all: Seq[GraftQuery] =
     Seq(stSessionize, stWindowedCounts, stDistinctUsers, stSlidingRates,
       stDedup, stIntervalJoin, stAttributionOuter, stSessionWindow, stEnrich,
       stRateLimit, stTopk, stUpsert, stPattern, stAnnServe, stBloomDedup,
-      stCurationGate, stCmsSketch, stKmeansUpdate, stPhashServe)
+      stCurationGate, stCmsSketch, stKmeansUpdate, stPhashServe,
+      stSemdedupGate)
 }

@@ -374,6 +374,17 @@ class PlanShapeSpec extends SparkSpec {
       "per-query ranking must group-limit, not globally sort the scored corpus")
   }
 
+  test("r10: st_semdedup_gate candidates stay a (cell, bucket) equi-join") {
+    // the semantic ingest gate must keep dd_semantic_dedup's candidate
+    // shape: bucket equi-join (never cartesian), the small hit table
+    // broadcast back onto the arriving side
+    val p = plan("st_semdedup_gate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the candidate join must key on (cell, bucket)")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-arriving verdict join must broadcast the hit counts")
+  }
+
   test("gr_wcc label propagation stays a node-key equi-join") {
     val p = plan("gr_wcc")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
