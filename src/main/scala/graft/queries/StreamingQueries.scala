@@ -688,10 +688,51 @@ object StreamingQueries {
         SimilarityQueries.neardupBits(
           Tables.load(s, dir, "embeddings").count())))))
 
+  /** The FULL ingest-admission pipeline in ONE declarative plan — what a
+    * 100 TB pipeline decides per arriving document before any heavy
+    * batch pass, composing all three gates over the shared id space
+    * (doc_id ≙ vec_id): token-count quality (documents.text), exact
+    * membership (the broadcast Bloom probe), and semantic near-dup (the
+    * IVF-cell + LSH-bucket cosine gate against the static corpus).
+    * Everything stays stateless per batch: two broadcast model joins
+    * (Bloom word map, hit counts), one (cell, bucket) equi-join, no
+    * stateful operator — so the identical plan serves under foreachBatch.
+    * Catalyst fuses the three verdicts; the oracle replays all three
+    * chains in one statement. */
+  val stIngestAdmission = GraftQuery(
+    "st_ingest_admission",
+    (s, dir) => {
+      import s.implicits._
+      val quality = {
+        val hashed = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text", md5($"text").as("h"))
+        val bloom = graft.functions.BloomDedup.fit(
+          hashed.filter($"doc_id" % 10 =!= 7).select($"doc_id", $"h"))
+        val verdicts = graft.functions.BloomDedup.probe(
+          hashed.filter($"doc_id" % 10 === 7).select($"doc_id", $"h"),
+          graft.functions.BloomDedup.fitMapRow(bloom))
+        hashed.filter($"doc_id" % 10 === 7)
+          .withColumn("n_tokens", size(split($"text", "\\s+")).cast("long"))
+          .join(verdicts, Seq("doc_id"))
+          .select($"doc_id", $"n_tokens", $"bloom_hit")
+      }
+      val semantic = stSemdedupGate.fn(s, dir)
+        .select($"vec_id".as("doc_id"), $"n_dups")
+      quality.join(semantic, Seq("doc_id"))
+        .select($"doc_id", $"n_tokens", $"bloom_hit", $"n_dups",
+          ($"n_tokens" >= 20L && !$"bloom_hit" && $"n_dups" === 0L).as("admitted"))
+        .orderBy($"doc_id")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.ingestAdmissionSql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids, tau = 0.4,
+      SimilarityQueries.duckBucket("embedding",
+        SimilarityQueries.neardupBits(
+          Tables.load(s, dir, "embeddings").count())))))
+
   val all: Seq[GraftQuery] =
     Seq(stSessionize, stWindowedCounts, stDistinctUsers, stSlidingRates,
       stDedup, stIntervalJoin, stAttributionOuter, stSessionWindow, stEnrich,
       stRateLimit, stTopk, stUpsert, stPattern, stAnnServe, stBloomDedup,
       stCurationGate, stCmsSketch, stKmeansUpdate, stPhashServe,
-      stSemdedupGate)
+      stSemdedupGate, stIngestAdmission)
 }
