@@ -219,7 +219,7 @@ object SimilarityQueries {
     * at production scale recall is recovered with multiple tables (bands),
     * exactly like the MinHash path — one table keeps this query's oracle
     * check single-valued. */
-  private[queries] def neardupBits(n: Long): Int = {
+  private[graft] def neardupBits(n: Long): Int = {
     var bits = 6
     while ((n >> bits) > 64 && bits < 16) bits += 1
     bits

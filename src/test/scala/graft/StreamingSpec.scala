@@ -702,4 +702,72 @@ class StreamingSpec extends SparkSpec {
     def key(r: Seq[Any]) = (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])
     assert(acc.sortBy(key) === batch.sortBy(key))
   }
+
+  test("ingest admission: foreachBatch streaming verdicts equal the batch gate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static artifacts fitted ONCE (the production posture): Bloom word
+    // map, IVF centroids, corpus (cell, bucket) table
+    val hashed = graft.api.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+    val bloomMap = graft.functions.BloomDedup.fitMapRow(
+      graft.functions.BloomDedup.fit(
+        hashed.filter(col("doc_id") % 10 =!= 7).select(col("doc_id"), col("h"))))
+    val index = graft.functions.AnnIndexes.ivf(spark, sfDir, k = 16)
+    val bits = graft.queries.SimilarityQueries.neardupBits(
+      graft.api.Tables.load(spark, sfDir, "embeddings").count())
+    val corpusCells = index.assigned
+      .filter(col("vec_id") % 10 =!= 7)
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        graft.functions.Vectors.lshBucket(col("embedding"), bits).as("bucket"))
+      .cache()
+    val batch = graft.queries.StreamingQueries.stIngestAdmission.fn(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    // the arriving lane carries (doc_id, text, embedding) — split into
+    // two micro-batches; each batch re-runs the SAME stateless gate
+    // against the static artifacts
+    val arriving = hashed.filter(col("doc_id") % 10 === 7)
+      .join(graft.api.Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      .as[(Long, String, String, Array[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, String, String, Array[Float])]
+    val acc = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = stream.toDF().toDF("doc_id", "text", "h", "embedding")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val quality = b
+          .withColumn("n_tokens", size(split(col("text"), "\\s+")).cast("long"))
+        val probed = graft.functions.BloomDedup.probe(
+          b.select(col("doc_id"), col("h")), bloomMap)
+        val cells = b.select(col("doc_id"),
+          graft.functions.Ivf.cellCol(index.centroids, col("embedding")).as("cell"),
+          graft.functions.Vectors.lshBucket(col("embedding"), bits).as("bucket"),
+          col("embedding"))
+        val hits = cells.as("a")
+          .join(corpusCells.as("x"),
+            col("x.cell") === col("a.cell") && col("x.bucket") === col("a.bucket"))
+          .filter(graft.functions.Vectors.cosine(
+            col("x.embedding"), col("a.embedding")) >= 0.4)
+          .groupBy(col("a.doc_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_dups"))
+        val res = quality.select(col("doc_id"), col("n_tokens"))
+          .join(probed, Seq("doc_id"))
+          .join(hits, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_tokens"), col("bloom_hit"),
+            coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+            (col("n_tokens") >= 20L && !col("bloom_hit") &&
+              coalesce(col("n_dups"), lit(0L)) === 0L).as("admitted"))
+          .collect()
+        acc.synchronized { acc ++= res.map(_.toSeq) }
+        ()
+      }.start()
+    try {
+      val (first, second) = arriving.splitAt(arriving.size / 2)
+      stream.addData(first: _*)
+      q.processAllAvailable()
+      stream.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: Seq[Any]) = r.head.asInstanceOf[Long]
+    assert(acc.sortBy(key) === batch.sortBy(key))
+  }
 }
