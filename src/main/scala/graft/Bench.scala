@@ -246,6 +246,7 @@ object Bench {
     val isolatedRef: String = {
       val total = benched.map(q => taskSec(q.name)).filter(_ >= 0).sum
       val top = benched.map(_.name).filter(_.startsWith("q"))
+        .filter(taskSec(_) >= 0) // drop missing-metrics sentinels
         .sortBy(n => -taskSec(n)).take(10)
         .map(n => "\"" + n + "\":" + fmt(taskSec(n), 1)).mkString("{", ",", "}")
       val fams = benched.map(_.name).filterNot(_.startsWith("q"))

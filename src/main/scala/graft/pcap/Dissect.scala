@@ -846,8 +846,13 @@ object Dissect {
           val s = dissectEthFrom(d, 0, v, protos, tracker, wanted)
           if (s != null) info = s
           // PRP-1 redundancy control trailer (IEC 62439-3 §4.2.7): the
-          // frame ENDS with seq(2) | lan-id(4b)+size(12b) | suffix 0x88FB
-          if (d.length >= 20 && u16(d, d.length - 2) == 0x88fb) {
+          // frame ENDS with seq(2) | lan-id(4b)+size(12b) | suffix 0x88FB.
+          // The suffix alone false-positives ~1/65536 on arbitrary
+          // payloads, so (like Wireshark's dissector) also require the
+          // trailer's 12-bit LSDU size to equal the PRP-covered length
+          // (everything after the 14-byte Ethernet II header).
+          if (d.length >= 20 && u16(d, d.length - 2) == 0x88fb &&
+              (u16(d, d.length - 4) & 0xfff) == ((d.length - 14) & 0xfff)) {
             protos += "prp"
             v("prp.sequence_nr") = u16(d, d.length - 6).toLong
             v("prp.lan_id") = (u8(d, d.length - 4) >> 4).toLong
@@ -13914,8 +13919,11 @@ object Dissect {
     val ctrl = u8(d, off + 1)
     val ftype = ctrl & 0xef // poll/final bit masked
     val lenField = u8(d, off + 2)
+    // two-byte EA-coded length needs a 4th octet — treat a frame that
+    // ends right after the length byte as truncated (length low bits only)
     val plen = if ((lenField & 1) == 1) lenField >> 1
-      else (lenField >> 1) | (u8(d, off + 3) << 7)
+      else if (d.length > off + 3) (lenField >> 1) | (u8(d, off + 3) << 7)
+      else lenField >> 1
     v("btrfcomm.dlci") = dlci.toLong
     v("btrfcomm.channel") = (dlci >> 1).toLong
     v("btrfcomm.cr") = ((addr >> 1) & 1).toLong

@@ -602,7 +602,7 @@ object StreamingQueries {
       where = "e.vec_id % 10 = 7")))
 
   /** Online pHash serving — the streaming twin of mm_phash_topk: every
-    * tenth image arrives as a QUERY (doc_id % 10 = 7) and probes the
+    * tenth image arrives as a QUERY (doc_id % 10 = 0) and probes the
     * STATIC corpus pHash table for its 3 nearest neighbors by Hamming
     * distance. The probe ([[MultimodalQueries.phashProbe]]) is stateless
     * per batch — broadcast arriving rows, two codegen hamming_distance
@@ -718,9 +718,14 @@ object StreamingQueries {
       }
       val semantic = stSemdedupGate.fn(s, dir)
         .select($"vec_id".as("doc_id"), $"n_dups")
-      quality.join(semantic, Seq("doc_id"))
-        .select($"doc_id", $"n_tokens", $"bloom_hit", $"n_dups",
-          ($"n_tokens" >= 20L && !$"bloom_hit" && $"n_dups" === 0L).as("admitted"))
+      // left_outer (not inner) so an arriving doc with no embedding row
+      // keeps its quality/Bloom verdict with n_dups = 0, matching the
+      // oracle's LEFT JOIN of semantic hits onto the arriving documents
+      quality.join(semantic, Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"n_tokens", $"bloom_hit",
+          coalesce($"n_dups", lit(0L)).as("n_dups"))
+        .withColumn("admitted",
+          $"n_tokens" >= 20L && !$"bloom_hit" && $"n_dups" === 0L)
         .orderBy($"doc_id")
     },
     oracleGen = Some((s, dir) => AnnOracles.ingestAdmissionSql(

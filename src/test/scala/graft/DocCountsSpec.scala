@@ -27,5 +27,17 @@ class DocCountsSpec extends AnyFunSuite {
     assert(m.group(3).toInt === fields, s"glossary fields (actual $fields)")
     assert(m.group(4).toInt === fieldProtocols,
       s"protocols with dissected fields (actual $fieldProtocols)")
+
+    // The VERDICT-r10 stale-header item: the human-readable headline
+    // ("Round N: X registered queries; Y DuckDB-oracle-checked; Z ...")
+    // drifted while only the marker was machine-checked. Pin it too.
+    val header =
+      "Round \\d+: (\\d+) registered queries; (\\d+) DuckDB-oracle-checked; (\\d+)".r
+    val h = header.findFirstMatchIn(text).getOrElse(
+      fail("COVERAGE.md is missing the headline counts sentence"))
+    assert(h.group(1).toInt === queries, s"header registered queries (actual $queries)")
+    assert(h.group(2).toInt === oracle, s"header oracle-checked (actual $oracle)")
+    assert(h.group(3).toInt === (queries - oracle),
+      s"header no-oracle count (actual ${queries - oracle})")
   }
 }
