@@ -250,6 +250,69 @@ object EventPipeline extends Serializable {
         }
   }
 
+  /** Gap sessionization where IDLE sessions also close — the
+    * `flatMapGroupsWithState` + `EventTimeTimeout` variant (VERDICT r10
+    * #5). [[sessionize]] (NoTimeout) can only close a session when the
+    * same user's NEXT event crosses the gap, so each user's final session
+    * stays in state forever; here `state.setTimeoutTimestamp` arms an
+    * inactivity deadline at last-event + gap, and once the event-time
+    * watermark passes it the group fires with `state.hasTimedOut`, the
+    * session emits, and its state clears — no further input needed.
+    *
+    * Because the timeout guarantees every session EVENTUALLY closes, the
+    * batch twin emits every session INCLUDING each user's final one (the
+    * one semantic difference from [[sessionize]], and what makes the
+    * DuckDB oracle a plain gaps-and-islands with no last-island
+    * exclusion). Same O(1) integer-exact [[SessionFold]] on both paths;
+    * per-key streaming state is one [[SessionBuf]]. */
+  def sessionizeTimeout(
+      spark: SparkSession,
+      events: Dataset[Event],
+      gapMinutes: Int,
+      watermark: String = "10 minutes"): Dataset[UserSession] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+
+    if (events.isStreaming)
+      events
+        .withWatermark("ts", watermark)
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (uid: Long, it: Iterator[Event], state: GroupState[SessionBuf]) =>
+            if (state.hasTimedOut) {
+              // watermark passed the idle deadline: close and clear
+              val s = state.get
+              state.remove()
+              Iterator.single(close(uid, s))
+            } else {
+              val sorted = it.toArray.sortBy(e => (toMicros(e.ts), e.event_id))
+              val fold = new SessionFold(uid, sorted.iterator, gapUs, state.getOption)
+              val closed = fold.toVector
+              fold.openSession match {
+                case Some(s) =>
+                  state.update(s)
+                  // deadline must not trail the current watermark (Spark
+                  // rejects that); an already-passed deadline closes on
+                  // the next trigger instead
+                  state.setTimeoutTimestamp(math.max(
+                    s.lastUs / 1000L + gapUs / 1000L,
+                    state.getCurrentWatermarkMs + 1L))
+                case None => state.remove()
+              }
+              closed.iterator
+            }
+        }
+    else
+      events
+        .groupByKey(_.user_id)
+        .flatMapSortedGroups(col("ts"), col("event_id")) { (uid, it) =>
+          val fold = new SessionFold(uid, it, gapUs, None)
+          // ++ evaluates its operand lazily, after the fold is exhausted,
+          // so openSession is the genuine final buffer
+          fold ++ fold.openSession.map(close(uid, _)).iterator
+        }
+  }
+
   /** Admission decision of [[rateLimit]]; credit is microseconds of
     * remaining allowance after the event. */
   final case class Admission(

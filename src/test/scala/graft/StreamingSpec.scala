@@ -252,6 +252,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("flatMapGroupsWithState timeout sessionize: idle session closes; streaming equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventPipeline.sessionizeTimeout(spark, stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessfmgws").outputMode("append").start()
+    try {
+      // batch 1: user 7 opens a session (two events 10 min apart), user 8
+      // a one-event session; nothing can close yet
+      val b1 = Seq(ev(1, 0, 7, "click", 1.25), ev(2, 10, 7, "click", 2.0),
+        ev(3, 5, 8, "view", 0.5))
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      assert(spark.table("sessfmgws").count() === 0)
+
+      // batch 2: user 7's gap-crossing event closes session 1 the
+      // NoTimeout way and opens session 2 — AND advances the watermark
+      // to minute 110, so the follow-up no-data batch fires user 8's
+      // minute-35 inactivity timer: the first timeout-closed session,
+      // with no further input from user 8
+      val b2 = Seq(ev(4, 120, 7, "purchase", 3.0))
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+      assert(spark.table("sessfmgws").count() === 2)
+
+      // batch 3+4: a sentinel user far in the future pushes the
+      // watermark (10 min delay) past user 7's minute-150 deadline, so
+      // the still-open session 2 fires on TIMEOUT with no further input
+      // from user 7 — the state-timeout boundary the NoTimeout variant
+      // can never cross.
+      val sentinel = Seq(ev(5, 1000, 99, "view", 0.0))
+      stream.addData(sentinel: _*)
+      q.processAllAvailable() // watermark computed from batch 3...
+      stream.addData(ev(6, 1001, 99, "view", 0.0)) // ...applies in batch 4
+      q.processAllAvailable()
+
+      val streamed = spark.table("sessfmgws").as[EventPipeline.UserSession]
+        .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+      // batch twin over the SAME non-sentinel events emits all sessions
+      val batch = EventPipeline.sessionizeTimeout(
+          spark, (b1 ++ b2).toDS(), gapMinutes = 30)
+        .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+      assert(batch.length === 3) // 7: two sessions; 8: one
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.map(_.user_id).toSet === Set(7L, 8L)) // sentinel still open in state
+    } finally q.stop()
+  }
+
   test("streaming windowed top-k: timer emits ranked types equal to batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
