@@ -1023,6 +1023,73 @@ object Media {
     }
   }
 
+  /** Banded audio fingerprint of one WAV payload — see
+    * [[audioFingerprints]]. `b0..b3` are the 16-bit band keys; `fp` is
+    * their 8-byte hex concatenation. */
+  final case class AudioFp(
+      doc_id: Long, fp: String, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** RIFF chunk walk to the `data` chunk: (first sample offset, end
+    * offset clamped to the payload) — the same walk [[audioFeatures]]
+    * and [[decode]] do. */
+  private def wavDataSpan(payload: Array[Byte]): Option[(Int, Int)] = {
+    val n = payload.length
+    var p = 12
+    while (p >= 0 && p + 8 <= n) {
+      val cid = fourcc(payload, p)
+      val clen = u32le(payload, p + 4)
+      if (cid == "data")
+        return Some((p + 8, math.min(n.toLong, p + 8 + clen).toInt))
+      else if (clen > n) p = -1 // lying chunk length: stop the walk
+      else p += 8 + clen.toInt + (clen.toInt & 1)
+    }
+    None
+  }
+
+  /** Banded ENERGY fingerprint over the real WAV PCM — the audio leg of
+    * the near-dup ladder (the image leg is pHash): the sample stream
+    * splits into 4 equal TIME bands, and each band contributes its
+    * energy (the sum of squared midline deviations over the actual
+    * 8-bit samples) reduced to a 16-bit key; the fingerprint is the 4
+    * keys' 8-byte hex concatenation. Two payloads whose fingerprints
+    * differ in ≤ 3 BITS leave at least one 16-bit band intact
+    * (pigeonhole), so the band equi-join in mm_audio_fingerprint is
+    * EXACT — the mm_phash_neardup argument applied to audio. Payloads
+    * shorter than 4 samples (or non-WAV) yield no row. One
+    * mapPartitions pass, integer arithmetic only — bit-identical to the
+    * oracle's generation-formula replay. */
+  def audioFingerprints(spark: SparkSession, media: DataFrame): Dataset[AudioFp] = {
+    import spark.implicits._
+    media.as[(Long, String, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, _, payload) =>
+        if (codecOf(payload) != "wav") None
+        else wavDataSpan(payload).flatMap { case (dataOff, end) =>
+          val cnt = end - dataOff
+          if (cnt < 4) None
+          else {
+            val bands = new Array[Long](4)
+            var k = 0
+            while (k < 4) {
+              val from = dataOff + (cnt.toLong * k / 4).toInt
+              val to = dataOff + (cnt.toLong * (k + 1) / 4).toInt
+              var sumSq = 0L
+              var i = from
+              while (i < to) {
+                val dev = (payload(i) & 0xff) - 128
+                sumSq += dev.toLong * dev
+                i += 1
+              }
+              bands(k) = sumSq % 65536L
+              k += 1
+            }
+            Some(AudioFp(id, bands.map(b => f"$b%04x").mkString,
+              bands(0), bands(1), bands(2), bands(3)))
+          }
+        }
+      }
+    }
+  }
+
   final case class FrameSample(doc_id: Long, frame_idx: Long, ts_ms: Long, frame_md5: String)
 
   /** Frame sampling over video rows: the 1→N shape of a real

@@ -317,6 +317,78 @@ object MultimodalQueries {
       FROM s GROUP BY doc_id, gdur
       ORDER BY doc_id"""))
 
+  /** Audio NEAR-duplicate pairs over the banded energy fingerprint —
+    * the audio leg of the multimodal dedup ladder (VERDICT r10 #7),
+    * mirroring mm_phash_neardup's exact-band argument: each WAV's PCM
+    * stream splits into 4 equal time bands whose energies (sum of
+    * squared midline deviations over the REAL sample bytes) reduce to
+    * 16-bit keys ([[Media.audioFingerprints]]); fingerprints within
+    * Hamming distance ≤ 3 are near-dup pairs, found by the 4×16-bit
+    * pigeonhole band equi-join (≤ 3 flipped bits leave ≥ 1 band intact,
+    * so the candidate join is EXACT, never all-pairs). The oracle
+    * replays the generation waveform (64 + (dur·11 + i·37) mod 97) over
+    * each band's exact sample range, so a hash match proves the RIFF
+    * chunk walk, the band partition, the energy fold, the banding, and
+    * the distance end-to-end. 100 TB shape: fingerprint once
+    * (mapPartitions, no shuffle), band equi-join on 16-bit keys,
+    * distance only on candidates — label-once artifacts, linear scan. */
+  val mmAudioFingerprint = GraftQuery(
+    "mm_audio_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      val media = Media.synthesize(Tables.load(s, dir, "documents"))
+      val fps = Media.audioFingerprints(s, media).toDF().cache()
+      val banded = fps.select($"doc_id", $"b0", $"b1", $"b2", $"b3",
+        posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("blk", "key")))
+      val a = banded.select($"blk", $"key", $"doc_id".as("doc_a"),
+        $"b0".as("a0"), $"b1".as("a1"), $"b2".as("a2"), $"b3".as("a3"))
+      val b = banded.select($"blk", $"key", $"doc_id".as("doc_b"),
+        $"b0".as("c0"), $"b1".as("c1"), $"b2".as("c2"), $"b3".as("c3"))
+      val dist = (0 until 4).map(k => s"bit_count(a$k ^ c$k)").mkString(" + ")
+      a.join(b, Seq("blk", "key"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b", $"a0", $"a1", $"a2", $"a3",
+          $"c0", $"c1", $"c2", $"c3").distinct()
+        .withColumn("dist", expr(s"CAST($dist AS BIGINT)"))
+        .filter($"dist" <= 3L)
+        .select($"doc_a", $"doc_b", $"dist")
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some {
+      val dist = (0 until 4).map(k =>
+        s"BIT_COUNT(XOR(a.b$k, b.b$k))").mkString(" + ")
+      val bandJoin = (0 until 4).map(k => s"a.b$k = b.b$k").mkString(" OR ")
+      s"""
+      WITH aud AS (
+        SELECT doc_id,
+               ASCII(SUBSTR(MD5(text), 5, 1)) * 256 + ASCII(SUBSTR(MD5(text), 6, 1)) AS d
+        FROM documents
+        WHERE doc_id % 3 = 1 AND (doc_id // 3) % 4 = 0),
+      f AS (SELECT doc_id, d FROM aud WHERE d >= 4),
+      band AS (
+        SELECT f.doc_id, t.k,
+               CAST(SUM( ((64 + (f.d * 11 + g.i * 37) % 97) - 128)
+                       * ((64 + (f.d * 11 + g.i * 37) % 97) - 128) )
+                    % 65536 AS BIGINT) AS b
+        FROM f, UNNEST(RANGE(0, 4)) t(k),
+             LATERAL (SELECT UNNEST(GENERATE_SERIES(
+               t.k * f.d // 4, (t.k + 1) * f.d // 4 - 1)) AS i) g
+        GROUP BY 1, 2),
+      fp AS (
+        SELECT doc_id,
+               MAX(CASE WHEN k = 0 THEN b END) AS b0,
+               MAX(CASE WHEN k = 1 THEN b END) AS b1,
+               MAX(CASE WHEN k = 2 THEN b END) AS b2,
+               MAX(CASE WHEN k = 3 THEN b END) AS b3
+        FROM band GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST($dist AS BIGINT) AS dist
+      FROM fp a JOIN fp b
+        ON a.doc_id < b.doc_id AND ($bandJoin)
+      WHERE $dist <= 3
+      ORDER BY doc_a, doc_b"""
+    })
+
   /** PIXEL-level decode: every document becomes a fully decodable
     * grayscale PNG (deflate-compressed scanlines, all five PNG row
     * filters in rotation — [[Media.pngPixelBytes]]); Spark INFLATES the
@@ -717,5 +789,5 @@ object MultimodalQueries {
   val all: Seq[GraftQuery] =
     Seq(mmMediaMeta, mmTypeStats, mmFrameSample, mmCodecStats, mmOrientationStats,
       mmPhash, mmIntegrity, mmAudioStats, mmThumbnail, mmPhashNeardup, mmSceneCut,
-      mmResolutionFilter, mmLumaBands, mmPhashTopk)
+      mmResolutionFilter, mmLumaBands, mmPhashTopk, mmAudioFingerprint)
 }
