@@ -39,6 +39,51 @@ class NewOperatorsR11Spec extends SparkSpec {
     assert(fp.map(_.doc_id).toSeq === Seq(3L))
   }
 
+  test("pcap ingest admission: streaming capture directory equals the batch gate") {
+    import graft.queries.PcapQueries
+    import org.apache.spark.sql.functions._
+    val fixPcap = PcapQueries.fixturePath
+    val dir = java.nio.file.Files.createTempDirectory("pcapadm")
+    val ck = java.nio.file.Files.createTempDirectory("pcapadmck").toString
+    java.nio.file.Files.copy(java.nio.file.Paths.get(fixPcap), dir.resolve("cap-001.pcap"))
+
+    // static artifact fitted ONCE (the production posture): the Bloom
+    // word map over the corpus lane of the known capture
+    val bloomMap = graft.functions.BloomDedup.fitMapRow(
+      graft.functions.BloomDedup.fit(
+        PcapQueries.packetDocs(spark, fixPcap)
+          .filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"), md5(col("text")).as("h")))).cache()
+
+    val acc = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = spark.readStream.format("pcap").load(dir.toString)
+      .select(col("`frame.number`").as("doc_id"), col("`_ws.col.info`").as("text"))
+      .filter(col("doc_id") % 10 === 7)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val res = PcapQueries.packetAdmission(b, bloomMap, minTokens = 5L).collect()
+        acc.synchronized { acc ++= res.map(_.toSeq) }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(acc.length === 48) // lane-7 frames of the 485-frame capture
+      // a rotated second capture file lands -> next micro-batch runs the
+      // SAME gate over its arriving frames
+      java.nio.file.Files.copy(java.nio.file.Paths.get(fixPcap), dir.resolve("cap-002.pcap"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch twin: the registered query's gate over one capture, doubled
+    // (both stream files are copies, and the Bloom bit_or is idempotent
+    // under duplicate corpus rows)
+    val batch = graft.queries.PcapQueries.pcapIngestAdmission
+      .fn(spark, sfDir).collect().map(_.toSeq).toSeq
+    def key(r: Seq[Any]) = r.head.asInstanceOf[Long]
+    assert(acc.sortBy(key).toSeq === (batch ++ batch).sortBy(key))
+  }
+
   test("mm_audio_fingerprint: pigeonhole band join has no false negatives vs all-pairs") {
     import spark.implicits._
     // ground truth: brute-force all-pairs Hamming <= 3 over the fingerprints
