@@ -11528,6 +11528,27 @@ object Dissect {
           case c => s"PAP code $c"
         }
       case 0x0021 => "PPP IPv4"
+      case 0x0003 | 0x0005 if d.length >= p + 2 =>
+        // RFC 3241 assigns PPP protocol 0x0003 (small-CID) / 0x0005
+        // (large-CID) to RObust Header Compression. Claim the RFC 3095
+        // context-initialization shapes — IR (1111110D, §5.2.3) and
+        // IR-DYN (11111000) — whose profile octet directly follows the
+        // packet-type octet; an optional Add-CID octet (1110xxxx,
+        // §5.2.2) may prefix them. Other ROHC packet types carry no
+        // profile and are claimed as the bare layer.
+        protos += "rohc"
+        var q = p
+        if ((u8(d, q) & 0xf0) == 0xe0 && d.length > q + 2) q += 1
+        val t = u8(d, q)
+        if ((t & 0xfe) == 0xfc && d.length > q + 1) {
+          val prof = u8(d, q + 1)
+          v("rohc.profile") = prof.toLong
+          s"ROHC IR (profile $prof)"
+        } else if (t == 0xf8 && d.length > q + 1) {
+          val prof = u8(d, q + 1)
+          v("rohc.profile") = prof.toLong
+          s"ROHC IR-DYN (profile $prof)"
+        } else "ROHC"
       case x => f"PPP protocol 0x$x%04x"
     }
   }
@@ -14320,6 +14341,24 @@ object Dissect {
     if (choice <= 1) {
       val seq = u16(d, off + 2) + 1
       v("h225.requestSeqNum") = seq.toLong
+    }
+    // DisengageRequest (choice 15): its root has exactly ONE OPTIONAL
+    // member (nonStandardData), so the claimable no-extension
+    // all-options-absent shape fixes byte0 at 0x3C (ext 0, index 01111,
+    // seq-ext 0, option 0 — 8 preamble bits exactly). requestSeqNum
+    // (INTEGER 1..65535, 2-octet ALIGNED, value−1) then sits at bytes
+    // 1-2; a 1-character endpointIdentifier (BMPString SIZE(1..128):
+    // 7-bit length determinant 0 + 1 pad bit, i.e. byte3 == 0x00, then
+    // the octet-aligned BMP char at 4-5) leaves conferenceID — the GUID,
+    // OCTET STRING SIZE(16), octet-aligned with no length determinant —
+    // at bytes 6..21, callReferenceValue at 22-23. Only that shape is
+    // claimed (the same X.691 discipline as the GRQ/GCF walk above).
+    if (choice == 15 && b0 == 0x3c && len >= 24 && u8(d, off + 3) == 0) {
+      v("h225.requestSeqNum") = (u16(d, off + 1) + 1).toLong
+      val guid = (0 until 16).map(i => hex2(u8(d, off + 6 + i))).mkString
+        .replaceAll("(.{8})(.{4})(.{4})(.{4})(.{12})", "$1-$2-$3-$4-$5")
+      v("h225.guid") = guid
+      return s"RAS: disengageRequest ($guid)"
     }
     s"RAS: ${h225RasNames(choice)}"
   }

@@ -2400,6 +2400,21 @@ _cotp = bytes([0x02, 0xF0, 0x80]) + _ses
 mms_pkt = b"\x03\x00" + struct.pack(">H", 4 + len(_cotp)) + _cotp
 extra.append((t55, 3600, ip_frame(6, A, B, tcp(50325, 102, 1, mms_pkt), ident=428)))
 
+# 429-430: round 11 — the last two closable glossary stubs. ROHC over
+# PPPoE-session (RFC 3241 PPP protocol 0x0003): an RFC 3095 IR packet
+# (type 0xFD = IR with dynamic chain) whose profile octet (0x01 =
+# RTP/UDP/IP) follows the type; and an H.225 RAS DisengageRequest in
+# ALIGNED PER whose fixed all-options-absent shape places the
+# conferenceID GUID at bytes 6..21 (see Dissect.dissectH225Ras).
+rohc_ir = bytes([0xFD, 0x01, 0xAA]) + bytes(6)
+pppoe_rohc = bytes([0x11, 0x00]) + struct.pack(">HH", 9, 2 + len(rohc_ir)) + \
+    struct.pack(">H", 0x0003) + rohc_ir
+extra.append((t55, 3700, eth(MAC_B, MAC_A, 0x8864, pppoe_rohc)))
+
+drq = bytes([0x3C]) + struct.pack(">H", 6) + bytes([0x00]) + b"\x00E" + \
+    bytes(range(16)) + struct.pack(">H", 0x42) + bytes([0x20])
+extra.append((t55, 3800, ip_frame(17, A, B, udp(50326, 1719, drq), ident=430)))
+
 write_pcap("src/test/resources/sweep_extra.pcap", extra)
 
 
