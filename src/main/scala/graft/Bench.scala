@@ -199,8 +199,12 @@ object Bench {
     val stamp = java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMdd'T'HHmmss").withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now())
+    // VERDICT r10 #2: the isolated round-record run must survive as a
+    // COMMITTED artifact (BENCH_local.json is gitignored and overwritten
+    // by the driver's co-tenant run). SPARK_GRAFT_BENCH_FILE names the
+    // extra full-record copy, e.g. BENCH_isolated_r11.json at round close.
     for (path <- Seq("target/bench.json", "BENCH_local.json",
-        s"target/bench_$stamp.json")) try {
+        s"target/bench_$stamp.json") ++ sys.env.get("SPARK_GRAFT_BENCH_FILE")) try {
       val out = java.nio.file.Paths.get(path)
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, line + "\n")
