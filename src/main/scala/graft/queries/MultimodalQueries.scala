@@ -582,6 +582,84 @@ object MultimodalQueries {
         expr("CAST(conv(substring(phash, 9, 8), 16, 10) AS BIGINT)").as("h2"))
   }
 
+  /** The audio fingerprint as two 32-bit halves (h1 = bands 0-1, h2 =
+    * bands 2-3) — the serving-side twin of [[Media.audioFingerprints]],
+    * packed so Hamming distance runs through two calls of the codegen
+    * hamming_distance expression exactly like the pHash lane. */
+  def afpHalves(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val media = Media.synthesize(graft.api.Tables.load(s, dir, "documents"))
+    Media.audioFingerprints(s, media).toDF()
+      .select($"doc_id",
+        ($"b0" * 65536L + $"b1").as("h1"),
+        ($"b2" * 65536L + $"b3").as("h2"))
+  }
+
+  /** The shared oracle CTE chain producing hv(doc_id, h1, h2) from the
+    * audio generation formula — the DuckDB twin of [[afpHalves]]. */
+  private[queries] def afpHvCteSql: String = """
+      aud AS (
+        SELECT doc_id,
+               ASCII(SUBSTR(MD5(text), 5, 1)) * 256 + ASCII(SUBSTR(MD5(text), 6, 1)) AS d
+        FROM documents
+        WHERE doc_id % 3 = 1 AND (doc_id // 3) % 4 = 0),
+      f AS (SELECT doc_id, d FROM aud WHERE d >= 4),
+      band AS (
+        SELECT f.doc_id, t.k,
+               CAST(SUM( ((64 + (f.d * 11 + g.i * 37) % 97) - 128)
+                       * ((64 + (f.d * 11 + g.i * 37) % 97) - 128) )
+                    % 65536 AS BIGINT) AS b
+        FROM f, UNNEST(RANGE(0, 4)) t(k),
+             LATERAL (SELECT UNNEST(GENERATE_SERIES(
+               t.k * f.d // 4, (t.k + 1) * f.d // 4 - 1)) AS i) g
+        GROUP BY 1, 2),
+      fpb AS (
+        SELECT doc_id,
+               MAX(CASE WHEN k = 0 THEN b END) AS b0,
+               MAX(CASE WHEN k = 1 THEN b END) AS b1,
+               MAX(CASE WHEN k = 2 THEN b END) AS b2,
+               MAX(CASE WHEN k = 3 THEN b END) AS b3
+        FROM band GROUP BY doc_id),
+      hv AS (SELECT doc_id, b0 * 65536 + b1 AS h1, b2 * 65536 + b3 AS h2
+             FROM fpb)"""
+
+  /** Audio fingerprint top-k SERVING — the audio twin of mm_phash_topk,
+    * completing the audio ladder (fingerprint → near-dup pairs → top-k
+    * serving → streaming twin): for the three lowest-id audio documents,
+    * the five nearest corpus fingerprints by Hamming distance over the
+    * packed 32-bit halves, scored by two codegen hamming_distance calls,
+    * broadcast query arm, per-query WindowGroupLimit. 100 TB shape:
+    * label-once/serve-many over the persisted fingerprint artifact, one
+    * corpus scan per query batch, queries×k rows out. */
+  val mmAfpTopk = GraftQuery(
+    "mm_afp_topk",
+    (s, dir) => {
+      import s.implicits._
+      val hv = afpHalves(s, dir).cache()
+      val q = hv.orderBy($"doc_id").limit(3)
+        .select($"doc_id".as("query_id"), $"h1".as("q1"), $"h2".as("q2"))
+      phashProbe(s, hv, q, topK = 5)
+    },
+    Some(s"""
+      WITH $afpHvCteSql,
+      q AS (SELECT doc_id AS query_id, h1 AS q1, h2 AS q2
+            FROM hv ORDER BY doc_id LIMIT 3),
+      scored AS (
+        SELECT q.query_id, c.doc_id AS cand_id,
+               CAST(BIT_COUNT(XOR(q.q1, c.h1)) + BIT_COUNT(XOR(q.q2, c.h2))
+                 AS BIGINT) AS dist
+        FROM hv c CROSS JOIN q WHERE c.doc_id <> q.query_id),
+      r AS (
+        SELECT query_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY dist, cand_id) AS BIGINT) AS mm_rank,
+               cand_id, dist
+        FROM scored)
+      SELECT query_id, mm_rank, cand_id, dist FROM r
+      WHERE mm_rank <= 5
+      ORDER BY query_id, mm_rank"""))
+
   /** Stream-static pHash probe: arriving (query_id, q1, q2) rows score
     * the STATIC corpus halves and keep each query's topK by Hamming
     * distance — per-batch stateless, so the identical plan serves under
@@ -789,5 +867,6 @@ object MultimodalQueries {
   val all: Seq[GraftQuery] =
     Seq(mmMediaMeta, mmTypeStats, mmFrameSample, mmCodecStats, mmOrientationStats,
       mmPhash, mmIntegrity, mmAudioStats, mmThumbnail, mmPhashNeardup, mmSceneCut,
-      mmResolutionFilter, mmLumaBands, mmPhashTopk, mmAudioFingerprint)
+      mmResolutionFilter, mmLumaBands, mmPhashTopk, mmAudioFingerprint,
+      mmAfpTopk)
 }

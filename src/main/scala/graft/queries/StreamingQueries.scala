@@ -682,6 +682,47 @@ object StreamingQueries {
       WHERE mm_rank <= 3
       ORDER BY query_id, mm_rank"""))
 
+  /** Online AUDIO fingerprint serving — the streaming twin of
+    * mm_afp_topk and the audio mirror of st_phash_serve: every audio
+    * document whose doc_id ends in 1 arrives as a QUERY and probes the
+    * STATIC corpus fingerprint table for its 3 nearest neighbors by
+    * Hamming distance over the packed 32-bit halves. Stateless per batch
+    * (broadcast arriving rows, two codegen hamming_distance calls,
+    * per-query group-limit), so the identical plan runs under
+    * foreachBatch; StreamingSpec pins streaming == batch across a
+    * two-batch split. 100 TB: label-once/serve-many over the persisted
+    * fingerprint artifact. */
+  val stAfpServe = GraftQuery(
+    "st_afp_serve",
+    (s, dir) => {
+      import s.implicits._
+      // persisted-artifact stand-in, same caveat as st_phash_serve
+      val hv = MultimodalQueries.afpHalves(s, dir).cache()
+      val corpus = hv.filter($"doc_id" % 10 =!= 1)
+      val arriving = hv.filter($"doc_id" % 10 === 1)
+        .select($"doc_id".as("query_id"), $"h1".as("q1"), $"h2".as("q2"))
+      MultimodalQueries.phashProbe(s, corpus, arriving, topK = 3)
+    },
+    Some(s"""
+      WITH ${MultimodalQueries.afpHvCteSql},
+      corpus AS (SELECT * FROM hv WHERE doc_id % 10 <> 1),
+      arr AS (SELECT doc_id AS query_id, h1 AS q1, h2 AS q2
+              FROM hv WHERE doc_id % 10 = 1),
+      scored AS (
+        SELECT a.query_id, c.doc_id AS cand_id,
+               CAST(BIT_COUNT(XOR(a.q1, c.h1)) + BIT_COUNT(XOR(a.q2, c.h2))
+                 AS BIGINT) AS dist
+        FROM corpus c CROSS JOIN arr a WHERE c.doc_id <> a.query_id),
+      r AS (
+        SELECT query_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY dist, cand_id) AS BIGINT) AS mm_rank,
+               cand_id, dist
+        FROM scored)
+      SELECT query_id, mm_rank, cand_id, dist FROM r
+      WHERE mm_rank <= 3
+      ORDER BY query_id, mm_rank"""))
+
   /** The SEMANTIC ingest gate — the serving twin of dd_semantic_dedup
     * and the third admission stage after st_curation_gate's quality
     * check and st_bloom_dedup's exact-membership probe: an arriving
@@ -777,5 +818,5 @@ object StreamingQueries {
       stDedup, stIntervalJoin, stAttributionOuter, stSessionWindow, stEnrich,
       stRateLimit, stTopk, stUpsert, stPattern, stAnnServe, stBloomDedup,
       stCurationGate, stCmsSketch, stKmeansUpdate, stPhashServe,
-      stSemdedupGate, stIngestAdmission)
+      stAfpServe, stSemdedupGate, stIngestAdmission)
 }
