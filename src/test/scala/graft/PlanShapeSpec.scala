@@ -170,6 +170,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans <= 2, s"expected the corpus+query scans only, saw $scans parquet scans")
   }
 
+  test("audio fingerprint family: banded equi-join for pairs, broadcast probe + group-limit for serving") {
+    // near-dup pairs: the candidate join must be the (blk, key) hash
+    // equi-join over exploded bands, never a cartesian over fingerprints
+    val pairs = plan("mm_audio_fingerprint")
+    assert(!pairs.contains("CartesianProduct"), pairs)
+    assert(pairs.contains("Generate posexplode"), pairs)
+    // serving lanes: broadcast query arm, codegen hamming_distance,
+    // per-query WindowGroupLimit instead of a global sort
+    for (q <- Seq("mm_afp_topk", "st_afp_serve")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("hamming_distance"), p)
+      assert(p.contains("WindowGroupLimit"), p)
+    }
+  }
+
+  test("pcap ingest admission: broadcast Bloom word map, no shuffle on the arriving probe") {
+    val p = plan("pcap_ingest_admission")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("st_session_state batch twin sorts inside groups via Spark's spillable sort") {
+    val p = plan("st_session_state")
+    assert(p.contains("Sort"), p)
+    assert(p.contains("MapGroups"), p)
+  }
+
   test("q53 exact-moment stats stay one partial/final hash aggregate") {
     val p = plan("q53_stats_exact")
     assert(p.contains("HashAggregate"),
