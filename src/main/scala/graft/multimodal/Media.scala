@@ -1090,6 +1090,48 @@ object Media {
     }
   }
 
+  /** Banded video signature — see [[videoSignatures]]. `b0..b3` are the
+    * 16-bit band keys; `h1`/`h2` the packed 32-bit halves for codegen
+    * Hamming scoring. */
+  final case class VideoFp(
+      doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long, h1: Long, h2: Long)
+
+  /** Banded signature over the real video ESSENCE (AVI movi / MP4 mdat
+    * contents via [[essenceOf]]) — the video leg of the near-dup ladder,
+    * the same 4-band/16-bit design as the audio fingerprint: the essence
+    * byte stream splits into 4 equal bands whose byte sums reduce to
+    * 16-bit keys. On real decoders the band values would come from
+    * per-frame perceptual hashes (the [[sampleFrames]] caveat); the band
+    * partition, packing, pigeonhole argument and serving plumbing are
+    * identical either way, and the synthetic essence keeps the operator
+    * oracle-checkable byte-for-byte. Essences shorter than 4 bytes (or
+    * non-video rows) yield no row. */
+  def videoSignatures(spark: SparkSession, media: DataFrame): Dataset[VideoFp] = {
+    import spark.implicits._
+    media.filter(col("media_type") === "video")
+      .as[(Long, String, Array[Byte])].mapPartitions { it =>
+        it.flatMap { case (id, _, payload) =>
+          val e = essenceOf(payload)
+          if (e.length < 4) None
+          else {
+            val bands = new Array[Long](4)
+            var k = 0
+            while (k < 4) {
+              val from = (e.length.toLong * k / 4).toInt
+              val to = (e.length.toLong * (k + 1) / 4).toInt
+              var sum = 0L
+              var i = from
+              while (i < to) { sum += (e(i) & 0xff); i += 1 }
+              bands(k) = sum % 65536L
+              k += 1
+            }
+            Some(VideoFp(id, bands(0), bands(1), bands(2), bands(3),
+              bands(0) * 65536L + bands(1), bands(2) * 65536L + bands(3)))
+          }
+        }
+      }
+  }
+
   final case class FrameSample(doc_id: Long, frame_idx: Long, ts_ms: Long, frame_md5: String)
 
   /** Frame sampling over video rows: the 1→N shape of a real

@@ -660,6 +660,114 @@ object MultimodalQueries {
       WHERE mm_rank <= 5
       ORDER BY query_id, mm_rank"""))
 
+  /** The shared oracle CTE chain producing hv(doc_id, h1, h2) from the
+    * video essence (= the document bytes carried in the AVI movi / MP4
+    * mdat box) — the DuckDB twin of [[Media.videoSignatures]]. The text
+    * is ASCII in the generated corpus, so ascii(substr(..)) IS the
+    * essence byte. */
+  private[queries] def vsigHvCteSql: String = """
+      vid AS (
+        SELECT doc_id, text, LENGTH(text) AS n
+        FROM documents
+        WHERE doc_id % 3 = 2 AND LENGTH(text) >= 4),
+      byteb AS (
+        SELECT v.doc_id, t.k,
+               CAST(SUM(ASCII(SUBSTR(v.text, CAST(g.i AS INTEGER), 1)))
+                    % 65536 AS BIGINT) AS b
+        FROM vid v, UNNEST(RANGE(0, 4)) t(k),
+             LATERAL (SELECT UNNEST(GENERATE_SERIES(
+               t.k * v.n // 4 + 1, (t.k + 1) * v.n // 4)) AS i) g
+        GROUP BY 1, 2),
+      fpb AS (
+        SELECT doc_id,
+               MAX(CASE WHEN k = 0 THEN b END) AS b0,
+               MAX(CASE WHEN k = 1 THEN b END) AS b1,
+               MAX(CASE WHEN k = 2 THEN b END) AS b2,
+               MAX(CASE WHEN k = 3 THEN b END) AS b3
+        FROM byteb GROUP BY doc_id),
+      hv AS (SELECT doc_id, b0 * 65536 + b1 AS h1, b2 * 65536 + b3 AS h2
+             FROM fpb)"""
+
+  /** Video NEAR-duplicate pairs over the banded essence signature — the
+    * video leg of the multimodal dedup ladder, completing the modality
+    * matrix (image pHash, audio energy fingerprint, video essence
+    * signature — all with the same EXACT 4×16-bit pigeonhole band join:
+    * Hamming ≤ 3 leaves ≥ 1 band intact, so the candidate join is never
+    * all-pairs). Oracle replays the essence bytes from the generation
+    * contract (AVI movi / MP4 mdat carry the document bytes). 100 TB
+    * shape: signature once (mapPartitions, no shuffle), band equi-join
+    * on 16-bit keys, distance only on candidates. */
+  val mmVideoNeardup = GraftQuery(
+    "mm_video_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val media = Media.synthesize(Tables.load(s, dir, "documents"))
+      val fps = Media.videoSignatures(s, media).toDF().cache()
+      val banded = fps.select($"doc_id", $"b0", $"b1", $"b2", $"b3",
+        posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("blk", "key")))
+      val a = banded.select($"blk", $"key", $"doc_id".as("doc_a"),
+        $"b0".as("a0"), $"b1".as("a1"), $"b2".as("a2"), $"b3".as("a3"))
+      val b = banded.select($"blk", $"key", $"doc_id".as("doc_b"),
+        $"b0".as("c0"), $"b1".as("c1"), $"b2".as("c2"), $"b3".as("c3"))
+      val dist = (0 until 4).map(k => s"bit_count(a$k ^ c$k)").mkString(" + ")
+      a.join(b, Seq("blk", "key"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b", $"a0", $"a1", $"a2", $"a3",
+          $"c0", $"c1", $"c2", $"c3").distinct()
+        .withColumn("dist", expr(s"CAST($dist AS BIGINT)"))
+        .filter($"dist" <= 3L)
+        .select($"doc_a", $"doc_b", $"dist")
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some {
+      val dist = (0 until 4).map(k =>
+        s"BIT_COUNT(XOR(a.b$k, b.b$k))").mkString(" + ")
+      val bandJoin = (0 until 4).map(k => s"a.b$k = b.b$k").mkString(" OR ")
+      s"""
+      WITH $vsigHvCteSql
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST($dist AS BIGINT) AS dist
+      FROM fpb a JOIN fpb b
+        ON a.doc_id < b.doc_id AND ($bandJoin)
+      WHERE $dist <= 3
+      ORDER BY doc_a, doc_b"""
+    })
+
+  /** Video signature top-k SERVING — the video twin of mm_phash_topk /
+    * mm_afp_topk: for the three lowest-id videos, the five nearest
+    * corpus signatures by Hamming distance over the packed halves; two
+    * codegen hamming_distance calls, broadcast query arm, per-query
+    * WindowGroupLimit. */
+  val mmVsigTopk = GraftQuery(
+    "mm_vsig_topk",
+    (s, dir) => {
+      import s.implicits._
+      val media = Media.synthesize(Tables.load(s, dir, "documents"))
+      val hv = Media.videoSignatures(s, media).toDF()
+        .select($"doc_id", $"h1", $"h2").cache()
+      val q = hv.orderBy($"doc_id").limit(3)
+        .select($"doc_id".as("query_id"), $"h1".as("q1"), $"h2".as("q2"))
+      phashProbe(s, hv, q, topK = 5)
+    },
+    Some(s"""
+      WITH $vsigHvCteSql,
+      q AS (SELECT doc_id AS query_id, h1 AS q1, h2 AS q2
+            FROM hv ORDER BY doc_id LIMIT 3),
+      scored AS (
+        SELECT q.query_id, c.doc_id AS cand_id,
+               CAST(BIT_COUNT(XOR(q.q1, c.h1)) + BIT_COUNT(XOR(q.q2, c.h2))
+                 AS BIGINT) AS dist
+        FROM hv c CROSS JOIN q WHERE c.doc_id <> q.query_id),
+      r AS (
+        SELECT query_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY dist, cand_id) AS BIGINT) AS mm_rank,
+               cand_id, dist
+        FROM scored)
+      SELECT query_id, mm_rank, cand_id, dist FROM r
+      WHERE mm_rank <= 5
+      ORDER BY query_id, mm_rank"""))
+
   /** Stream-static pHash probe: arriving (query_id, q1, q2) rows score
     * the STATIC corpus halves and keep each query's topK by Hamming
     * distance — per-batch stateless, so the identical plan serves under
@@ -868,5 +976,5 @@ object MultimodalQueries {
     Seq(mmMediaMeta, mmTypeStats, mmFrameSample, mmCodecStats, mmOrientationStats,
       mmPhash, mmIntegrity, mmAudioStats, mmThumbnail, mmPhashNeardup, mmSceneCut,
       mmResolutionFilter, mmLumaBands, mmPhashTopk, mmAudioFingerprint,
-      mmAfpTopk)
+      mmAfpTopk, mmVideoNeardup, mmVsigTopk)
 }

@@ -39,6 +39,41 @@ class NewOperatorsR11Spec extends SparkSpec {
     assert(fp.map(_.doc_id).toSeq === Seq(3L))
   }
 
+  test("video signature: bands are essence byte sums; a 2-bit-near pair survives the band join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two AVI essences differing in ONE byte: band sums 1625 vs 1626 in
+    // band 3 (xor = 0x3, 2 bits) — a genuine near-dup the pigeonhole
+    // band join must find; a third, far essence must not pair
+    val e1 = "A" * 100
+    val e2 = "A" * 99 + "B"
+    val e3 = "z" * 100
+    val media = Seq(
+      (1L, e1), (2L, e2), (3L, e3)
+    ).map { case (id, t) =>
+      Media.MediaRecord(id, "video", Media.aviBytes(4, 4, 10, t.getBytes("UTF-8")))
+    }.toDF("doc_id", "media_type", "payload")
+    val fps = Media.videoSignatures(spark, media).collect().sortBy(_.doc_id)
+    assert(fps.map(_.doc_id).toSeq === Seq(1L, 2L, 3L))
+    assert(fps(0).b0 === 25L * 65 % 65536)
+    assert(fps(1).b3 === (24L * 65 + 66) % 65536)
+    // replicate mm_video_neardup's banded join on this tiny set
+    val fpDf = fps.toSeq.toDF()
+    val banded = fpDf.select($"doc_id", $"b0", $"b1", $"b2", $"b3",
+      posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("blk", "key")))
+    val a = banded.select($"blk", $"key", $"doc_id".as("doc_a"),
+      $"b0".as("a0"), $"b1".as("a1"), $"b2".as("a2"), $"b3".as("a3"))
+    val b = banded.select($"blk", $"key", $"doc_id".as("doc_b"),
+      $"b0".as("c0"), $"b1".as("c1"), $"b2".as("c2"), $"b3".as("c3"))
+    val pairs = a.join(b, Seq("blk", "key")).filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        expr("CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)").as("dist"))
+      .distinct().filter($"dist" <= 3L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L, 2L)))
+  }
+
   test("pcap ingest admission: streaming capture directory equals the batch gate") {
     import graft.queries.PcapQueries
     import org.apache.spark.sql.functions._

@@ -173,12 +173,14 @@ class PlanShapeSpec extends SparkSpec {
   test("audio fingerprint family: banded equi-join for pairs, broadcast probe + group-limit for serving") {
     // near-dup pairs: the candidate join must be the (blk, key) hash
     // equi-join over exploded bands, never a cartesian over fingerprints
-    val pairs = plan("mm_audio_fingerprint")
-    assert(!pairs.contains("CartesianProduct"), pairs)
-    assert(pairs.contains("Generate posexplode"), pairs)
+    for (pq <- Seq("mm_audio_fingerprint", "mm_video_neardup")) {
+      val pairs = plan(pq)
+      assert(!pairs.contains("CartesianProduct"), pairs)
+      assert(pairs.contains("Generate posexplode"), pairs)
+    }
     // serving lanes: broadcast query arm, codegen hamming_distance,
     // per-query WindowGroupLimit instead of a global sort
-    for (q <- Seq("mm_afp_topk", "st_afp_serve")) {
+    for (q <- Seq("mm_afp_topk", "st_afp_serve", "mm_vsig_topk")) {
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
       assert(!p.contains("CartesianProduct"), p)
