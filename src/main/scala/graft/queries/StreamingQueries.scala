@@ -723,6 +723,45 @@ object StreamingQueries {
       WHERE mm_rank <= 3
       ORDER BY query_id, mm_rank"""))
 
+  /** Online VIDEO signature serving — completes the streaming serving
+    * matrix (image st_phash_serve, audio st_afp_serve, video here):
+    * every video whose doc_id ends in 2 arrives as a QUERY and probes
+    * the STATIC corpus signature table for its 3 nearest neighbors by
+    * Hamming distance over the packed halves. Stateless per batch, same
+    * foreachBatch == batch argument as its siblings. */
+  val stVsigServe = GraftQuery(
+    "st_vsig_serve",
+    (s, dir) => {
+      import s.implicits._
+      val media = graft.multimodal.Media.synthesize(
+        Tables.load(s, dir, "documents"))
+      val hv = graft.multimodal.Media.videoSignatures(s, media).toDF()
+        .select($"doc_id", $"h1", $"h2").cache()
+      val corpus = hv.filter($"doc_id" % 10 =!= 2)
+      val arriving = hv.filter($"doc_id" % 10 === 2)
+        .select($"doc_id".as("query_id"), $"h1".as("q1"), $"h2".as("q2"))
+      MultimodalQueries.phashProbe(s, corpus, arriving, topK = 3)
+    },
+    Some(s"""
+      WITH ${MultimodalQueries.vsigHvCteSql},
+      corpus AS (SELECT * FROM hv WHERE doc_id % 10 <> 2),
+      arr AS (SELECT doc_id AS query_id, h1 AS q1, h2 AS q2
+              FROM hv WHERE doc_id % 10 = 2),
+      scored AS (
+        SELECT a.query_id, c.doc_id AS cand_id,
+               CAST(BIT_COUNT(XOR(a.q1, c.h1)) + BIT_COUNT(XOR(a.q2, c.h2))
+                 AS BIGINT) AS dist
+        FROM corpus c CROSS JOIN arr a WHERE c.doc_id <> a.query_id),
+      r AS (
+        SELECT query_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY dist, cand_id) AS BIGINT) AS mm_rank,
+               cand_id, dist
+        FROM scored)
+      SELECT query_id, mm_rank, cand_id, dist FROM r
+      WHERE mm_rank <= 3
+      ORDER BY query_id, mm_rank"""))
+
   /** The SEMANTIC ingest gate — the serving twin of dd_semantic_dedup
     * and the third admission stage after st_curation_gate's quality
     * check and st_bloom_dedup's exact-membership probe: an arriving
@@ -818,5 +857,5 @@ object StreamingQueries {
       stDedup, stIntervalJoin, stAttributionOuter, stSessionWindow, stEnrich,
       stRateLimit, stTopk, stUpsert, stPattern, stAnnServe, stBloomDedup,
       stCurationGate, stCmsSketch, stKmeansUpdate, stPhashServe,
-      stAfpServe, stSemdedupGate, stIngestAdmission)
+      stAfpServe, stVsigServe, stSemdedupGate, stIngestAdmission)
 }

@@ -180,7 +180,7 @@ class PlanShapeSpec extends SparkSpec {
     }
     // serving lanes: broadcast query arm, codegen hamming_distance,
     // per-query WindowGroupLimit instead of a global sort
-    for (q <- Seq("mm_afp_topk", "st_afp_serve", "mm_vsig_topk")) {
+    for (q <- Seq("mm_afp_topk", "st_afp_serve", "mm_vsig_topk", "st_vsig_serve")) {
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
       assert(!p.contains("CartesianProduct"), p)

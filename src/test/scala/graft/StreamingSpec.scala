@@ -781,6 +781,39 @@ class StreamingSpec extends SparkSpec {
     assert(acc.sortBy(key) === batch.sortBy(key))
   }
 
+  test("online video signature serving: foreachBatch streaming result equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val media = graft.multimodal.Media.synthesize(
+      graft.api.Tables.load(spark, sfDir, "documents"))
+    val hv = graft.multimodal.Media.videoSignatures(spark, media).toDF()
+      .select(col("doc_id"), col("h1"), col("h2"))
+    val corpus = hv.filter(col("doc_id") % 10 =!= 2).cache()
+    val queries = hv.filter(col("doc_id") % 10 === 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(queries.nonEmpty)
+    val batch = graft.queries.StreamingQueries.stVsigServe.fn(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stream = MemoryStream[(Long, Long, Long)]
+    val acc = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = stream.toDF().toDF("query_id", "q1", "q2")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val res = graft.queries.MultimodalQueries
+          .phashProbe(spark, corpus, b, topK = 3).collect()
+        acc.synchronized { acc ++= res.map(_.toSeq) }
+        ()
+      }.start()
+    try {
+      val (first, second) = queries.splitAt(math.max(1, queries.size / 2))
+      stream.addData(first: _*)
+      q.processAllAvailable()
+      stream.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: Seq[Any]) = (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])
+    assert(acc.sortBy(key) === batch.sortBy(key))
+  }
+
   test("ingest admission: foreachBatch streaming verdicts equal the batch gate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
