@@ -13,37 +13,38 @@ import graft.api.Wireduck
   * For every fixture capture it dumps one TSV to
   * `src/test/resources/tshark_golden/<name>.tsv` shaped exactly like
   * `tshark -r <cap> -T fields -E separator=/t -e frame.number
-  * -e frame.protocols -e _ws.col.info -e <curated fields...>`:
-  * header line `#fields:<tab-joined names>`, then one row per frame,
-  * booleans as 1/0, absent values empty — the rendering TsharkDiffSpec's
-  * normalizers produce on both engines.
+  * -e frame.protocols -e _ws.col.info -e <every natively populated
+  * field>`: header line `#fields:<tab-joined names>`, then one row per
+  * frame, booleans as 1/0, absent values empty, control characters
+  * escaped as \t/\n/\r — the rendering TsharkDiffSpec's normalizers
+  * produce on both engines. The field list is per-fixture: every
+  * glossary field the native dissection populates at least once on that
+  * capture (time renderings excluded — locale/precision differ by
+  * design), so the offline diff covers the ENTIRE native field surface,
+  * not a curated subset.
   *
-  * Provenance contract (stated in the snapshot header and enforced by
-  * TsharkDiffSpec): the snapshot is generated FROM THE NATIVE SCAN on a
-  * tshark-less host, so offline it is a byte-exact regression pin, not an
-  * independent oracle. The independence comes from the spec's tshark
-  * lane: on any tshark host the suite ALSO diffs live tshark output
-  * against this same snapshot, so one green run anywhere certifies the
-  * vendored bytes against the independent engine — after which the
-  * offline diff inherits that certification until a dissector change
-  * regenerates the file (the diff turning red is the signal to re-run on
-  * a tshark host). This mirrors the reference's own golden methodology
-  * (reference test/sql/wireduck.test runs only where tshark exists) while
-  * keeping the offline gate strict instead of skipped.
+  * Provenance contract (stated here and enforced by TsharkDiffSpec): the
+  * snapshot is generated FROM THE NATIVE SCAN on a tshark-less host, so
+  * offline it is a byte-exact regression pin, not an independent oracle.
+  * The independence comes from the spec's tshark lane: on any tshark
+  * host the suite ALSO diffs live tshark output against this same
+  * snapshot, so one green run anywhere certifies the vendored bytes
+  * against the independent engine — after which the offline diff
+  * inherits that certification until a dissector change regenerates the
+  * file (the diff turning red is the signal to re-run on a tshark
+  * host). This mirrors the reference's own golden methodology
+  * (reference test/sql/wireduck.test runs only where tshark exists)
+  * while keeping the offline gate strict instead of skipped.
   */
 object MakeTsharkGolden {
 
-  /** Same curated unambiguous set TsharkDiffSpec asserts on. */
+  /** Same curated unambiguous set TsharkDiffSpec asserts on against LIVE
+    * tshark (the full populated set is asserted offline). */
   val exactFields = Seq(
     "frame.len", "ip.src", "ip.dst", "ip.ttl", "ip.proto",
     "tcp.srcport", "tcp.dstport", "udp.srcport", "udp.dstport",
     "dns.qry.name", "dns.a", "http.request.method", "http.request.uri",
     "http.response.code", "tls.handshake.type")
-
-  /** Protocol projection used for the snapshot scan — requesting these
-    * makes the curated fields project even on fixtures where some never
-    * occur (absent → empty). */
-  val requestedProtocols = Seq("ip", "tcp", "udp", "dns", "http", "tls")
 
   val fixtureNames = Seq(
     "mixed", "fix", "sweep_extra", "wlan", "bt", "bth4", "btle", "can",
@@ -52,16 +53,31 @@ object MakeTsharkGolden {
     "legacy_mtp2", "legacy_netlink", "legacy_vsock", "legacy_usb",
     "legacy_ib", "lorawan")
 
+  /** Fixed lead columns; the populated field tail is per-fixture. */
+  val leadCols = Seq("frame.number", "frame.protocols", "_ws.col.info")
+
   def render(v: Any): String = v match {
     case null => ""
     case b: Boolean => if (b) "1" else "0"
-    case other =>
-      val s = String.valueOf(other)
-      // a tab/newline inside a value would break the TSV frame — no
-      // current info string contains one; fail loudly if that changes
-      require(!s.exists(c => c == '\t' || c == '\n' || c == '\r'),
-        s"unrepresentable control char in value: $s")
-      s
+    case other => String.valueOf(other)
+      .replace("\\", "\\\\").replace("\t", "\\t")
+      .replace("\n", "\\n").replace("\r", "\\r")
+  }
+
+  /** The per-fixture snapshot column list: lead columns + every glossary
+    * field the native scan populates on this capture, excluding the
+    * locale-dependent time renderings. Deterministic: dissection is. */
+  def snapshotCols(spark: SparkSession, path: String): Seq[String] = {
+    val allProtos = graft.pcap.Glossary.protocols.map(_.filter_name)
+    val byName = graft.pcap.Glossary.fields.map(f => f.filter_name -> f).toMap
+    val df = Wireduck.readPcap(spark, path, protocols = allProtos)
+    val candidates = df.columns.filter { c =>
+      !leadCols.contains(c) && !c.startsWith("frame.time") &&
+        byName.get(c).forall(f => !f.field_type.contains("TIME"))
+    }
+    val counts = df.select(candidates.map(c =>
+      count(col(s"`$c`")).as(c)).toIndexedSeq: _*).collect()(0)
+    leadCols ++ candidates.filter(c => counts.getAs[Long](c) > 0).sorted
   }
 
   def main(args: Array[String]): Unit = {
@@ -72,15 +88,14 @@ object MakeTsharkGolden {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val allProtos = graft.pcap.Glossary.protocols.map(_.filter_name)
     val outDir = Paths.get("src/test/resources/tshark_golden")
     Files.createDirectories(outDir)
-    val cols = Seq("frame.number", "frame.protocols", "_ws.col.info") ++ exactFields
     for (name <- fixtureNames) {
       val path = s"src/test/resources/$name.pcap"
-      // request ip/tcp/udp/dns/http/tls so the curated fields project even
-      // on fixtures where some protocols never occur (absent -> empty)
-      val df = Wireduck.readPcap(spark, path, protocols = requestedProtocols)
-      val rows = df.select(cols.map(c => col(s"`$c`")): _*)
+      val cols = snapshotCols(spark, path)
+      val rows = Wireduck.readPcap(spark, path, protocols = allProtos)
+        .select(cols.map(c => col(s"`$c`")): _*)
         .orderBy(col("`frame.number`")).collect()
       val sb = new StringBuilder
       sb.append("#fields:").append(cols.mkString("\t")).append('\n')
@@ -89,7 +104,7 @@ object MakeTsharkGolden {
         sb.append('\n')
       }
       Files.writeString(outDir.resolve(s"$name.tsv"), sb.toString)
-      println(s"wrote $name.tsv: ${rows.length} frames")
+      println(s"wrote $name.tsv: ${rows.length} frames x ${cols.length} fields")
     }
     spark.stop()
   }

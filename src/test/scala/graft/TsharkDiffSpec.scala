@@ -187,49 +187,49 @@ class TsharkDiffSpec extends SparkSpec {
   // snapshot, so one green run anywhere certifies the vendored bytes;
   // dissector changes regenerate the snapshot and re-arm that check.
 
-  import graft.tools.MakeTsharkGolden.{exactFields => goldenFields, requestedProtocols}
+  import graft.tools.MakeTsharkGolden
 
-  private val goldenCols =
-    Seq("frame.number", "frame.protocols", "_ws.col.info") ++ goldenFields
-
-  /** frame.number -> column -> rendered value, from the vendored TSV. */
-  private def loadGolden(path: String): Map[Long, Map[String, String]] = {
+  /** (column list, frame.number -> column -> rendered value) from the
+    * vendored TSV. The column list is per-fixture: the lead columns plus
+    * EVERY natively populated field on that capture. */
+  private def loadGolden(path: String): (Seq[String], Map[Long, Map[String, String]]) = {
     val name = Paths.get(path).getFileName.toString.stripSuffix(".pcap")
     val url = getClass.getResource(s"/tshark_golden/$name.tsv")
     assert(url != null, s"missing vendored snapshot tshark_golden/$name.tsv " +
       "— run graft.tools.MakeTsharkGolden")
     val lines = scala.io.Source.fromURL(url, "UTF-8").getLines().toList
     val header = lines.head.stripPrefix("#fields:").split("\t", -1).toSeq
-    assert(header === goldenCols, s"snapshot $name.tsv header drifted")
-    lines.tail.map { l =>
+    assert(header.take(3) === MakeTsharkGolden.leadCols,
+      s"snapshot $name.tsv lead columns drifted")
+    (header, lines.tail.map { l =>
       val parts = l.split("\t", -1)
       parts(0).toLong -> header.zip(parts).toMap
-    }.toMap
+    }.toMap)
   }
 
-  /** Native scan rendered the way the snapshot is (booleans 1/0, null ""). */
-  private def nativeRendered(path: String): Map[Long, Map[String, String]] =
-    Wireduck.readPcap(spark, path, protocols = requestedProtocols)
-      .select(goldenCols.map(c => col(s"`$c`")): _*)
+  /** Native scan rendered the way the snapshot is (booleans 1/0, null "",
+    * control chars escaped — MakeTsharkGolden.render). */
+  private def nativeRendered(path: String, cols: Seq[String])
+      : Map[Long, Map[String, String]] = {
+    val allProtos = Glossary.protocols.map(_.filter_name)
+    Wireduck.readPcap(spark, path, protocols = allProtos)
+      .select(cols.map(c => col(s"`$c`")): _*)
       .collect()
       .map { r =>
-        val vals = goldenCols.zipWithIndex.map { case (c, i) =>
-          c -> (r.get(i) match {
-            case null => ""
-            case b: Boolean => if (b) "1" else "0"
-            case other => String.valueOf(other)
-          })
+        val vals = cols.zipWithIndex.map { case (c, i) =>
+          c -> MakeTsharkGolden.render(r.get(i))
         }.toMap
         vals("frame.number").toLong -> vals
       }.toMap
+  }
 
   test("_ws.col.info diff vs real tshark: core byte-exact, tail reported") {
     if (!Glossary.checkTsharkInstalled()) {
       // OFFLINE LANE: native scan vs vendored snapshot — protocols chain
       // and info string byte-exact over EVERY frame of EVERY fixture
       for ((fname, path) <- fixtures) {
-        val golden = loadGolden(path)
-        val ours = nativeRendered(path)
+        val (cols, golden) = loadGolden(path)
+        val ours = nativeRendered(path, cols)
         assert(ours.keySet === golden.keySet, s"$fname: frame set drifted")
         for (fn <- ours.keys.toSeq.sorted; c <- Seq("frame.protocols", "_ws.col.info"))
           assert(ours(fn)(c) === golden(fn)(c), s"$fname #$fn $c drifted from snapshot")
@@ -250,7 +250,7 @@ class TsharkDiffSpec extends SparkSpec {
           .getOrElse(fail(s"tshark failed reading $path"))
           .map(_.split("\t", -1)).collect { case Array(n, info) => n.toLong -> info }
           .toMap
-        val golden = loadGolden(path)
+        val golden = loadGolden(path)._2
         for (fn <- ours.keys.toSeq.sorted) {
           val (protos, oinfo) = ours(fn)
           val layer = protos.split(':').last
@@ -282,15 +282,19 @@ class TsharkDiffSpec extends SparkSpec {
 
   test("field-value diff vs real tshark: curated set exact, rest reported") {
     if (!Glossary.checkTsharkInstalled()) {
-      // OFFLINE LANE: the curated unambiguous fields vs the vendored
-      // snapshot — value-exact over every frame of every fixture
+      // OFFLINE LANE: EVERY natively populated field vs the vendored
+      // snapshot — value-exact over every frame of every fixture (the
+      // full native field surface, not a curated subset)
+      var nFields = 0
       for ((fname, path) <- fixtures) {
-        val golden = loadGolden(path)
-        val ours = nativeRendered(path)
-        for (fn <- ours.keys.toSeq.sorted; f <- goldenFields)
+        val (cols, golden) = loadGolden(path)
+        val fieldCols = cols.drop(3) // past the lead columns
+        nFields += fieldCols.size
+        val ours = nativeRendered(path, cols)
+        for (fn <- ours.keys.toSeq.sorted; f <- fieldCols)
           assert(ours(fn)(f) === golden(fn)(f), s"$fname #$fn $f drifted from snapshot")
       }
-      info(s"offline: curated field values diffed against vendored snapshots")
+      info(s"offline: $nFields populated field columns diffed against vendored snapshots")
     } else liveFieldDiff()
   }
 
