@@ -596,6 +596,110 @@ object MultimodalQueries {
         ($"b2" * 65536L + $"b3").as("h2"))
   }
 
+  /** The IMAGE ingest-admission gate — the multimodal mirror of
+    * st_ingest_admission, in ONE declarative plan: an arriving image
+    * (doc_id ending in 0, the st_phash_serve lane) is admitted only when
+    * it passes the resolution-quality gate (width×height ≥ 16384, the
+    * mm_resolution_filter rule) AND has NO corpus pHash within Hamming
+    * distance ≤ 3 (the EXACT 4×16-bit pigeonhole candidate join — never
+    * all-pairs). Both verdicts fuse in one plan: real container decode
+    * for the dimensions, per-byte bit_count distance on candidates, a
+    * broadcast left-join for the duplicate counts. Stateless per batch,
+    * so the identical plan serves under foreachBatch. The oracle replays
+    * dimensions AND pHash from the generation bytes. 100 TB shape:
+    * per-arrival work = its band buckets' occupancy; the corpus blocks
+    * table is a persisted bucketed artifact. */
+  /** The image-admission transform over an ARRIVING (doc_id, phash)
+    * frame against the static corpus blocks + dims artifacts —
+    * input-agnostic (no stateful operator), so the identical transform
+    * runs per micro-batch under foreachBatch (StreamingSpec). */
+  def imageAdmission(s: org.apache.spark.sql.SparkSession,
+      dims: org.apache.spark.sql.DataFrame,
+      corpusBlocks: org.apache.spark.sql.DataFrame,
+      arriving: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val arrBlocks = arriving.select($"doc_id", $"phash",
+      posexplode(array((0 until 4).map(k =>
+        substring($"phash", 1 + 4 * k, 4)): _*)).as(Seq("blk", "key")))
+      .select($"blk", $"key", $"doc_id", $"phash".as("ph_a"))
+    val dist = (0 until 8).map(k =>
+      s"bit_count(CAST(conv(substring(ph_a, ${2 * k + 1}, 2), 16, 10) AS INT) ^ " +
+        s"CAST(conv(substring(ph_b, ${2 * k + 1}, 2), 16, 10) AS INT))")
+      .mkString(" + ")
+    val hits = arrBlocks.join(corpusBlocks, Seq("blk", "key"))
+      .select($"doc_id", $"doc_b", $"ph_a", $"ph_b").distinct()
+      .withColumn("dist", expr(s"CAST($dist AS BIGINT)"))
+      .filter($"dist" <= 3L)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_dups"))
+    arriving.select($"doc_id")
+      .join(dims, Seq("doc_id"))
+      .join(broadcast(hits), Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"width", $"height",
+        coalesce($"n_dups", lit(0L)).as("n_dups"))
+      .withColumn("admitted",
+        $"width" * $"height" >= 16384L && $"n_dups" === 0L)
+      .orderBy($"doc_id")
+  }
+
+  val stImageAdmission = GraftQuery(
+    "st_image_admission",
+    (s, dir) => {
+      import s.implicits._
+      val media = Media.synthesize(Tables.load(s, dir, "documents"))
+      val dims = Media.extractMeta(s, media).toDF()
+        .filter($"media_type" === "image")
+        .select($"doc_id", $"width", $"height")
+      val ph = mmPhash.fn(s, dir).select($"doc_id", $"phash").cache()
+      val corpusBlocks = ph.filter($"doc_id" % 10 =!= 0)
+        .select($"doc_id", $"phash",
+          posexplode(array((0 until 4).map(k =>
+            substring($"phash", 1 + 4 * k, 4)): _*)).as(Seq("blk", "key")))
+        .select($"blk", $"key", $"doc_id".as("doc_b"), $"phash".as("ph_b"))
+      // the admission set is the pHash-able arriving lane (decodable
+      // container slots), joined to its real decoded dimensions
+      imageAdmission(s, dims, corpusBlocks, ph.filter($"doc_id" % 10 === 0))
+    },
+    Some {
+      val byteList = (0 until 8).map(phashByteSql).mkString(", ")
+      val blockKeys = (0 until 4).map(k =>
+        s"pb[${2 * k + 1}] * 256 + pb[${2 * k + 2}] AS k$k").mkString(", ")
+      val bandJoin = (0 until 4).map(k => s"a.k$k = b.k$k").mkString(" OR ")
+      val dist = (1 to 8).map(i =>
+        s"BIT_COUNT(XOR(a.pb[$i], b.pb[$i]))").mkString(" + ")
+      s"""
+      WITH $paramsCte,
+      img AS (
+        SELECT doc_id, text, CAST((doc_id // 3) % 5 AS INTEGER) AS slot
+        FROM documents
+        WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 IN (0, 1, 2)
+          AND OCTET_LENGTH(ENCODE(text)) >= 64),
+      codes AS (
+        SELECT doc_id, slot,
+               list_transform(range(1, 65),
+                              i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS c
+        FROM img),
+      m AS (SELECT doc_id, slot, c, list_sum(c) // 64 AS mean FROM codes),
+      phh AS (SELECT doc_id, [$byteList] AS pb FROM m),
+      keyed AS (SELECT doc_id, pb, $blockKeys FROM phh),
+      corpus AS (SELECT * FROM keyed WHERE doc_id % 10 <> 0),
+      arr AS (SELECT * FROM keyed WHERE doc_id % 10 = 0),
+      cand AS (
+        SELECT DISTINCT a.doc_id, b.doc_id AS doc_b,
+               CAST($dist AS BIGINT) AS dist
+        FROM arr a JOIN corpus b ON ($bandJoin)),
+      hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+        FROM cand WHERE dist <= 3 GROUP BY doc_id)
+      SELECT a.doc_id, mt.width, mt.height,
+             COALESCE(h.n_dups, 0) AS n_dups,
+             (mt.width * mt.height >= 16384
+              AND COALESCE(h.n_dups, 0) = 0) AS admitted
+      FROM arr a
+      JOIN meta mt USING (doc_id)
+      LEFT JOIN hits h USING (doc_id)
+      ORDER BY doc_id"""
+    })
+
   /** The shared oracle CTE chain producing hv(doc_id, h1, h2) from the
     * audio generation formula — the DuckDB twin of [[afpHalves]]. */
   private[queries] def afpHvCteSql: String = """
@@ -976,5 +1080,5 @@ object MultimodalQueries {
     Seq(mmMediaMeta, mmTypeStats, mmFrameSample, mmCodecStats, mmOrientationStats,
       mmPhash, mmIntegrity, mmAudioStats, mmThumbnail, mmPhashNeardup, mmSceneCut,
       mmResolutionFilter, mmLumaBands, mmPhashTopk, mmAudioFingerprint,
-      mmAfpTopk, mmVideoNeardup, mmVsigTopk)
+      mmAfpTopk, mmVideoNeardup, mmVsigTopk, stImageAdmission)
 }

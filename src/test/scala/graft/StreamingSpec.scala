@@ -814,6 +814,48 @@ class StreamingSpec extends SparkSpec {
     assert(acc.sortBy(key) === batch.sortBy(key))
   }
 
+  test("image admission: foreachBatch streaming verdicts equal the batch gate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static artifacts fitted ONCE: decoded dimensions + corpus blocks
+    val media = graft.multimodal.Media.synthesize(
+      graft.api.Tables.load(spark, sfDir, "documents"))
+    val dims = graft.multimodal.Media.extractMeta(spark, media).toDF()
+      .filter(col("media_type") === "image")
+      .select(col("doc_id"), col("width"), col("height")).cache()
+    val ph = graft.queries.MultimodalQueries.mmPhash.fn(spark, sfDir)
+      .select(col("doc_id"), col("phash")).cache()
+    val corpusBlocks = ph.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("phash"),
+        posexplode(array((0 until 4).map(k =>
+          substring(col("phash"), 1 + 4 * k, 4)): _*)).as(Seq("blk", "key")))
+      .select(col("blk"), col("key"), col("doc_id").as("doc_b"),
+        col("phash").as("ph_b")).cache()
+    val queries = ph.filter(col("doc_id") % 10 === 0)
+      .as[(Long, String)].collect().toSeq
+    assert(queries.nonEmpty)
+    val batch = graft.queries.MultimodalQueries.stImageAdmission
+      .fn(spark, sfDir).collect().map(_.toSeq).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = stream.toDF().toDF("doc_id", "phash")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val res = graft.queries.MultimodalQueries
+          .imageAdmission(spark, dims, corpusBlocks, b).collect()
+        acc.synchronized { acc ++= res.map(_.toSeq) }
+        ()
+      }.start()
+    try {
+      val (first, second) = queries.splitAt(math.max(1, queries.size / 2))
+      stream.addData(first: _*)
+      q.processAllAvailable()
+      stream.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: Seq[Any]) = r.head.asInstanceOf[Long]
+    assert(acc.sortBy(key) === batch.sortBy(key))
+  }
+
   test("ingest admission: foreachBatch streaming verdicts equal the batch gate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
