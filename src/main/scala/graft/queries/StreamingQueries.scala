@@ -656,7 +656,8 @@ object StreamingQueries {
       // without it the image-essence walk runs once per plan arm (the
       // sf1 sweep measured 27 s uncached vs ~3 s cached; in production
       // the halves are a persisted artifact, this is its stand-in)
-      val hv = MultimodalQueries.phashHalves(s, dir).cache()
+      val hv = MultimodalQueries.phashHalves(s, dir)
+        .repartition(s.sparkContext.defaultParallelism).cache()
       val corpus = hv.filter($"doc_id" % 10 =!= 0)
       val arriving = hv.filter($"doc_id" % 10 === 0)
         .select($"doc_id".as("query_id"), $"h1".as("q1"), $"h2".as("q2"))
@@ -697,7 +698,8 @@ object StreamingQueries {
     (s, dir) => {
       import s.implicits._
       // persisted-artifact stand-in, same caveat as st_phash_serve
-      val hv = MultimodalQueries.afpHalves(s, dir).cache()
+      val hv = MultimodalQueries.afpHalves(s, dir)
+        .repartition(s.sparkContext.defaultParallelism).cache()
       val corpus = hv.filter($"doc_id" % 10 =!= 1)
       val arriving = hv.filter($"doc_id" % 10 === 1)
         .select($"doc_id".as("query_id"), $"h1".as("q1"), $"h2".as("q2"))
@@ -735,8 +737,14 @@ object StreamingQueries {
       import s.implicits._
       val media = graft.multimodal.Media.synthesize(
         Tables.load(s, dir, "documents"))
+      // repartition before caching: the signature table inherits the
+      // documents scan's few input splits, and the brute probe's
+      // parallelism is the STREAMED (corpus) side's partition count —
+      // without this the arriving×corpus scoring runs near-serially
+      // (sf1 measured 35 s -> 3 s)
       val hv = graft.multimodal.Media.videoSignatures(s, media).toDF()
-        .select($"doc_id", $"h1", $"h2").cache()
+        .select($"doc_id", $"h1", $"h2")
+        .repartition(s.sparkContext.defaultParallelism).cache()
       val corpus = hv.filter($"doc_id" % 10 =!= 2)
       val arriving = hv.filter($"doc_id" % 10 === 2)
         .select($"doc_id".as("query_id"), $"h1".as("q1"), $"h2".as("q2"))
