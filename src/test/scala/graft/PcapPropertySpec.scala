@@ -134,7 +134,8 @@ class PcapPropertySpec extends AnyFunSuite {
       6081, 3956, 5351, 138, 6881, 1194, 319, // geneve/gvcp/nat-pmp/nbdgm/dht/openvpn/ptp
       47808, 2427, 2727, 30490, 2123, 8805, 13400, 37008, // bacnet/mgcp/someip/gtpv2/pfcp/doip/tzsp
       3544, 521, 698, 6696, 2048, 427, 2944, // teredo/ripng/olsr/babel/wccp/slp/megaco
-      9995, 4739, 7400, 30001, 9300, 3130) // cflow-v9/ipfix/rtps/moldudp64/srt/icp
+      9995, 4739, 7400, 30001, 9300, 3130, // cflow-v9/ipfix/rtps/moldudp64/srt/icp
+      1719, 1718, 23000) // h225 ras (incl. the r11 DRQ walk) / gb-over-ip ns
     val payloadGen = for {
       n <- Gen.chooseNum(0, 300)
       bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))
