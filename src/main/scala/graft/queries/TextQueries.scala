@@ -1393,6 +1393,64 @@ object TextQueries {
       ORDER BY d.lang"""
     })
 
+  /** QUALITY-AWARE keep-one: production pipelines don't keep the min-id
+    * member of a duplicate cluster (dd_dedup_keep's label trick), they
+    * keep the BEST one — here the longest document (ties → lowest
+    * doc_id), the common "keep the most complete copy" rule. One window
+    * over the tiny cluster table joined to per-doc quality; emits each
+    * multi-member cluster's kept representative with member/char
+    * accounting. 100 TB shape: the cluster table is duplicates-only
+    * (corpus-small) and pre-computed once; the join against the corpus
+    * is on doc_id; window partitions are per-cluster (tiny). */
+  val ddDedupKeepBest = GraftQuery(
+    "dd_dedup_keep_best",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val cl = clusterTable(s, dir)
+      val withQ = cl.join(docs(s, dir).select($"doc_id", $"n_chars"), Seq("doc_id"))
+      val byCluster = Window.partitionBy($"cluster")
+      val rank = Window.partitionBy($"cluster").orderBy($"n_chars".desc, $"doc_id")
+      withQ
+        .withColumn("rk", row_number().over(rank))
+        .withColumn("n_members", count(lit(1)).over(byCluster))
+        .withColumn("sum_chars", sum($"n_chars").over(byCluster))
+        .filter($"rk" === 1 && $"n_members" >= 2)
+        .select($"cluster", $"doc_id".as("kept_doc"),
+          $"n_members", $"n_chars".as("kept_chars"), $"sum_chars")
+        .orderBy($"cluster")
+    },
+    Some {
+      val pairSql = ddMinhashLshPairs.oracle.get.trim.stripSuffix("ORDER BY doc_a, doc_b")
+      s"""
+      WITH RECURSIVE base AS ($pairSql),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM base
+        UNION ALL
+        SELECT doc_b, doc_a FROM base),
+      reach(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node),
+      clusters AS (SELECT node AS doc_id, MIN(label) AS cluster FROM reach GROUP BY node),
+      q AS (
+        SELECT c.doc_id, c.cluster, d.n_chars
+        FROM clusters c JOIN documents d USING (doc_id)),
+      r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY n_chars DESC, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY cluster) AS n_members,
+               SUM(n_chars) OVER (PARTITION BY cluster) AS sum_chars
+        FROM q)
+      SELECT cluster, doc_id AS kept_doc,
+             CAST(n_members AS BIGINT) AS n_members,
+             n_chars AS kept_chars,
+             CAST(sum_chars AS BIGINT) AS sum_chars
+      FROM r WHERE rk = 1 AND n_members >= 2
+      ORDER BY cluster"""
+    })
+
   /** SUB-document dedup: exact duplicate detection at PASSAGE granularity
     * (consecutive 20-token windows, md5-keyed), catching boilerplate and
     * partial copies that whole-document hashing misses. 100 TB shape: the
@@ -3273,7 +3331,7 @@ object TextQueries {
     txContamination, txGopherFilter, txTfidfTerms, txStratifiedSample,
     txTrainSplit, txMixtureWeights, txCorpusReport, txPack,
     ddExact, ddNgramJaccard, ddMinhashSig, ddMinhashLshPairs, ddSimhash,
-    ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddSubdocDedup, ddSimjoinAuto,
+    ddSimhashPairs, ddDedupClusters, ddDedupKeep, ddDedupKeepBest, ddSubdocDedup, ddSimjoinAuto,
     txBpeTokens, txPackDocs, ddEditPairs, ddPassJoin, txDomainCap,
     txChunkOverlap, ddIncremental, ddLshStats, txWeightedSample, ddLshEval,
     txCorpusNgrams, ddCcIncremental, ddCdcChunks, ddBloomFilter,
