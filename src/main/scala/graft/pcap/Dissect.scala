@@ -849,10 +849,14 @@ object Dissect {
           // frame ENDS with seq(2) | lan-id(4b)+size(12b) | suffix 0x88FB.
           // The suffix alone false-positives ~1/65536 on arbitrary
           // payloads, so (like Wireshark's dissector) also require the
-          // trailer's 12-bit LSDU size to equal the PRP-covered length
-          // (everything after the 14-byte Ethernet II header).
-          if (d.length >= 20 && u16(d, d.length - 2) == 0x88fb &&
-              (u16(d, d.length - 4) & 0xfff) == ((d.length - 14) & 0xfff)) {
+          // trailer's 12-bit LSDU size to equal the PRP-covered length:
+          // everything after the Ethernet II header — 14 bytes untagged,
+          // 18 with an 802.1Q tag (ADVICE r11: tagged PRP frames were
+          // silently rejected by the untagged-only size check).
+          if (d.length >= 20 && u16(d, d.length - 2) == 0x88fb && {
+              val hdr = if (d.length >= 18 && u16(d, 12) == 0x8100) 18 else 14
+              (u16(d, d.length - 4) & 0xfff) == ((d.length - hdr) & 0xfff)
+            }) {
             protos += "prp"
             v("prp.sequence_nr") = u16(d, d.length - 6).toLong
             v("prp.lan_id") = (u8(d, d.length - 4) >> 4).toLong

@@ -84,10 +84,14 @@ object AnnOracles {
   }
 
   /** Oracle for `sim_ann_ivf`: single query vector (vec_id = 0), the
-    * post-top-k self-exclusion and column trim the query applies. */
-  def ivfSingleSql(cents: Array[Array[Double]], topK: Int, nProbe: Int): String =
+    * post-top-k self-exclusion and column trim the query applies.
+    * `corpusWhere` serves the delete/tombstone variant (`sim_ivf_delete`):
+    * the full-corpus replay minus the deleted ids. */
+  def ivfSingleSql(cents: Array[Array[Double]], topK: Int, nProbe: Int,
+      corpusWhere: String = "TRUE"): String =
     ivfCore(cents, nProbe,
-      "CAST(vec_id AS BIGINT) AS query_id, embedding AS qe", "vec_id = 0") + s"""
+      "CAST(vec_id AS BIGINT) AS query_id, embedding AS qe", "vec_id = 0",
+      corpusWhere) + s"""
       SELECT vec_id, label, cosine FROM ranked
       WHERE rnk <= $topK AND vec_id <> 0
       ORDER BY rnk"""

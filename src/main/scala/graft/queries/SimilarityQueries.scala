@@ -353,6 +353,59 @@ object SimilarityQueries {
     oracleGen = Some((s, dir) => AnnOracles.ivfSingleSql(
       graft.functions.AnnIndexes.ivfBase(s, dir, k = 16), topK = 10, nProbe = 4)))
 
+  /** IVF index DELETE + COMPACTION (VERDICT r11 #4) — the other half of
+    * the index lifecycle next to [[simIvfAppend]]: a delete request
+    * lands as a (tiny) TOMBSTONE catalog table with NO base rewrite —
+    * serving filters candidates through an anti-join against the
+    * broadcast tombstones, so a delete is O(tombstones) at write time
+    * and free-ish at read time. A scheduled COMPACTION later folds the
+    * tombstones into a rewritten cell-bucketed table (same layout, same
+    * frozen centroids) and serving drops the filter. This query serves
+    * from the COMPACTED table; the generated oracle replays the full
+    * corpus search minus the deleted ids with the fitted centroid
+    * literals, and NewOperatorsR12Spec pins post-compaction search ≡
+    * tombstone-filtered search over the uncompacted base. */
+  val simIvfDelete = GraftQuery(
+    "sim_ivf_delete",
+    (s, dir) => {
+      import s.implicits._
+      val name = ("graft_ivfdelete_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        .toLowerCase
+      val emb = graft.functions.AnnIndexes.embeddings(s, dir)
+      val index = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
+      graft.functions.AnnIndexes.cached(s, s"ivfdelete:$dir") {
+        for (suffix <- Seq("_centroids", "_assigned", "_tombstones", "_compacted")) {
+          s.sql(s"DROP TABLE IF EXISTS $name$suffix")
+          val wh = s.conf.get("spark.sql.warehouse.dir")
+          val p = new org.apache.hadoop.fs.Path(wh, name + suffix)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        graft.functions.Ivf.persist(index, name)
+        // the DELETE: tombstones only — no rewrite of the base table
+        emb.filter($"vec_id" % 10 === 3).select($"vec_id")
+          .write.mode("overwrite").saveAsTable(s"${name}_tombstones")
+        // the COMPACTION: one scheduled rewrite folds the tombstones in,
+        // keeping the cell-bucketed serving layout
+        s.table(s"${name}_assigned")
+          .join(broadcast(s.table(s"${name}_tombstones")), Seq("vec_id"), "left_anti")
+          .write.mode("overwrite")
+          .bucketBy(16, "cell").sortBy("cell")
+          .saveAsTable(s"${name}_compacted")
+        name
+      }
+      val compacted = graft.functions.Ivf.Index(
+        index.centroids, s.table(s"${name}_compacted"))
+      val q = emb.filter($"vec_id" === 0)
+        .select($"vec_id".cast(LongType).as("query_id"), $"embedding".as("qe"))
+      graft.functions.Ivf.searchBatch(compacted, q, topK = 10, nProbe = 4)
+        .filter($"vec_id" =!= 0)
+        .select($"vec_id", $"label", $"cosine")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.ivfSingleSql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids,
+      topK = 10, nProbe = 4, corpusWhere = "vec_id % 10 <> 3")))
+
   /** Batch ANN — the realistic at-scale shape: a SET of query vectors
     * (broadcast) against the bucketed corpus in ONE join, per-query top-k
     * via window ranking. Wall-clock is one shuffle regardless of query
@@ -1591,7 +1644,7 @@ object SimilarityQueries {
 
   val all: Seq[GraftQuery] =
     Seq(simAnnBrute, simAnnLsh, simAnnBatch, simAnnIvf, simAnnIvfPersisted,
-      simIvfAppend,
+      simIvfAppend, simIvfDelete,
       simAnnRange, simAnnIvfBatch, simAnnPq, simAnnPqRange, simAnnIvfPq,
       simAnnIvfPqPersisted, simAnnOpq, simAnnOpqIvfPq, simAnnInt8,
       simAnnInt8Persisted, simQuantizeInt8, simIvfCellStats, simRecallReport,

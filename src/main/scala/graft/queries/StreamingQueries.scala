@@ -88,6 +88,45 @@ object StreamingQueries {
       FROM g GROUP BY user_id, sess
       ORDER BY user_id, session_start"""))
 
+  /** The SAME timeout-closing sessionization through Spark 4's
+    * `transformWithState` API (StatefulProcessor + event-time TIMERS on
+    * the RocksDB state store) — the modern state API the 100 TB posture
+    * standardizes on (VERDICT r11 #2). Identical semantics to
+    * st_session_state, so the identical gaps-and-islands oracle; the
+    * batch twin is the same exact fold, and StreamingSpec pins the
+    * transformWithState streaming path == batch across a timer-closed
+    * boundary. */
+  val stSessionTws = GraftQuery(
+    "st_session_tws",
+    (s, dir) => {
+      import s.implicits._
+      val events = Tables.load(s, dir, "events").as[EventPipeline.Event]
+      EventPipeline.sessionizeTws(s, events, gapMinutes = 30)
+        .toDF()
+        .orderBy("user_id", "session_start")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      l AS (
+        SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM e),
+      f AS (
+        SELECT *, CASE WHEN prev IS NULL
+                         OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                       THEN 1 ELSE 0 END AS is_start
+        FROM l),
+      g AS (
+        SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+        FROM f)
+      SELECT user_id,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+      FROM g GROUP BY user_id, sess
+      ORDER BY user_id, session_start"""))
+
   /** Tumbling event-time window aggregate (the same transform the
     * streaming spec drives through MemoryStream with a watermark; batch
     * twin oracle-checked — hour buckets + decimal-exact sums). */
@@ -861,7 +900,7 @@ object StreamingQueries {
           Tables.load(s, dir, "embeddings").count())))))
 
   val all: Seq[GraftQuery] =
-    Seq(stSessionize, stSessionState, stWindowedCounts, stDistinctUsers, stSlidingRates,
+    Seq(stSessionize, stSessionState, stSessionTws, stWindowedCounts, stDistinctUsers, stSlidingRates,
       stDedup, stIntervalJoin, stAttributionOuter, stSessionWindow, stEnrich,
       stRateLimit, stTopk, stUpsert, stPattern, stAnnServe, stBloomDedup,
       stCurationGate, stCmsSketch, stKmeansUpdate, stPhashServe,

@@ -26,13 +26,15 @@ import graft.api.Wireduck
   * Provenance contract (stated here and enforced by TsharkDiffSpec): the
   * snapshot is generated FROM THE NATIVE SCAN on a tshark-less host, so
   * offline it is a byte-exact regression pin, not an independent oracle.
-  * The independence comes from the spec's tshark lane: on any tshark
+  * The independence comes from the spec's tshark lanes: on any tshark
   * host the suite ALSO diffs live tshark output against this same
-  * snapshot, so one green run anywhere certifies the vendored bytes
-  * against the independent engine — after which the offline diff
-  * inherits that certification until a dissector change regenerates the
-  * file (the diff turning red is the signal to re-run on a tshark
-  * host). This mirrors the reference's own golden methodology
+  * snapshot — `_ws.col.info` on asserted layers plus the curated
+  * exactFields values. One green run on a tshark host certifies THOSE
+  * slices of the vendored bytes against the independent engine (the
+  * remaining field columns stay a native-scan regression pin) — after
+  * which the offline diff inherits that certification until a dissector
+  * change regenerates the file (the diff turning red is the signal to
+  * re-run on a tshark host). This mirrors the reference's own golden methodology
   * (reference test/sql/wireduck.test runs only where tshark exists)
   * while keeping the offline gate strict instead of skipped.
   */

@@ -39,5 +39,16 @@ class DocCountsSpec extends AnyFunSuite {
     assert(h.group(2).toInt === oracle, s"header oracle-checked (actual $oracle)")
     assert(h.group(3).toInt === (queries - oracle),
       s"header no-oracle count (actual ${queries - oracle})")
+
+    // VERDICT-r11 "what's wrong" #1: the TITLE's round number drifted
+    // (said round 10 while the headline said Round 11) because only the
+    // headline was pinned. Pin title round == headline round.
+    val titleRound = "\\(round (\\d+)\\)".r.findFirstMatchIn(text.linesIterator.next())
+      .getOrElse(fail("COVERAGE.md title is missing its '(round N)' suffix"))
+      .group(1).toInt
+    val headlineRound = "Round (\\d+):".r.findFirstMatchIn(text)
+      .getOrElse(fail("COVERAGE.md is missing the 'Round N:' headline")).group(1).toInt
+    assert(titleRound === headlineRound,
+      s"COVERAGE.md title round ($titleRound) drifted from headline round ($headlineRound)")
   }
 }

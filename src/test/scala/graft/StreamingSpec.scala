@@ -226,23 +226,42 @@ class StreamingSpec extends SparkSpec {
     val q = EventPipeline.sessionizeTws(spark, stream.toDS(), gapMinutes = 30)
       .writeStream.format("memory").queryName("sesstws").outputMode("append").start()
     try {
-      // two events 10 min apart open one session; nothing closes yet
-      stream.addData(ev(1, 0, 7, "click", 1.0), ev(2, 10, 7, "click", 2.0))
+      // batch 1: user 7 opens a session (two events 10 min apart), user 8
+      // a one-event session; nothing closes yet
+      val b1 = Seq(ev(1, 0, 7, "click", 1.0), ev(2, 10, 7, "click", 2.0),
+        ev(3, 5, 8, "view", 0.5))
+      stream.addData(b1: _*)
       q.processAllAvailable()
       assert(spark.table("sesstws").count() === 0)
 
-      // ANOTHER USER's event advances the watermark past user 7's
-      // gap deadline (minute 40): the flatMapGroupsWithState variant
-      // could never close user 7 here — the timer does
-      stream.addData(ev(3, 120, 9, "view", 0.5))
+      // batch 2: user 7's gap-crossing event closes session 1 on input
+      // and advances the watermark past user 8's minute-35 deadline, so
+      // user 8's session fires on TIMER with no further input from user 8
+      // — the boundary the NoTimeout variant can never cross
+      val b2 = Seq(ev(4, 120, 7, "purchase", 3.0))
+      stream.addData(b2: _*)
       q.processAllAvailable()
-      stream.addData(ev(4, 125, 9, "view", 0.5)) // one more batch: watermark applies
+
+      // batch 3+4: a far-future sentinel pushes the watermark past user
+      // 7's minute-150 deadline too — every non-sentinel session closes
+      stream.addData(ev(5, 1000, 99, "view", 0.0))
+      q.processAllAvailable() // watermark computed from batch 3...
+      stream.addData(ev(6, 1001, 99, "view", 0.0)) // ...applies in batch 4
       q.processAllAvailable()
-      val closed = spark.table("sesstws").as[EventPipeline.UserSession].collect()
-      assert(closed.length === 1)
-      assert(closed(0).user_id === 7L)
-      assert(closed(0).n_events === 2L)
-      assert(closed(0).total_value === 3.0)
+
+      val streamed = spark.table("sesstws").as[EventPipeline.UserSession]
+        .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+      // streaming == batch ACROSS the timer boundary (VERDICT r11 #2):
+      // the batch twin over the same non-sentinel events emits all
+      // sessions — exactly what the timers released
+      val batch = EventPipeline.sessionizeTws(
+          spark, (b1 ++ b2).toDS(), gapMinutes = 30)
+        .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+      assert(batch.length === 3) // 7: two sessions; 8: one
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.map(_.user_id).toSet === Set(7L, 8L)) // sentinel still open in state
+      val u8 = streamed.find(_.user_id == 8L).get
+      assert(u8.n_events === 1L && u8.total_value === 0.5)
     } finally {
       q.stop()
       prevProvider match {

@@ -16,9 +16,12 @@ import graft.pcap.Glossary
   *     skipping — the native scan diffs byte-exactly against the vendored
   *     tshark_golden TSV snapshots (graft.tools.MakeTsharkGolden;
   *     regenerate after any dissector change). The snapshots are
-  *     native-scan dumps in tshark `-T fields` shape, certified against
-  *     live tshark whenever the suite runs on a tshark host (the live
-  *     lane asserts golden == tshark on asserted layers).
+  *     native-scan dumps in tshark `-T fields` shape. Tshark-CERTIFIED
+  *     whenever the suite runs on a tshark host, for exactly two slices:
+  *     `_ws.col.info` on asserted layers (info lane) and the curated
+  *     `exactFields` values (field lane); every OTHER golden column is a
+  *     byte-exact regression pin of the native scan, not independently
+  *     certified.
   *   - tshark host: the README-golden core protocols (arp/icmp/dns/http/
   *     tls/fix/tcp/udp) must render `_ws.col.info` byte-exactly and a
   *     curated unambiguous field set must agree value-for-value; every
@@ -182,10 +185,13 @@ class TsharkDiffSpec extends SparkSpec {
   // per fixture (graft.tools.MakeTsharkGolden). Provenance: generated
   // from the native scan, so OFFLINE the diff is a byte-exact regression
   // pin over every frame of every fixture — strict instead of skipped.
-  // The independent-engine certification happens in the tshark lane
+  // The independent-engine certification happens in the tshark lanes
   // below: a tshark host diffs live tshark output against the SAME
-  // snapshot, so one green run anywhere certifies the vendored bytes;
-  // dissector changes regenerate the snapshot and re-arm that check.
+  // snapshot — info strings on asserted layers (info lane) plus the
+  // curated exactFields values (field lane). One green run on a tshark
+  // host certifies THOSE slices of the vendored bytes; the remaining
+  // golden columns stay a native-scan regression pin. Dissector changes
+  // regenerate the snapshot and re-arm the certification.
 
   import graft.tools.MakeTsharkGolden
 
@@ -317,7 +323,14 @@ class TsharkDiffSpec extends SparkSpec {
     }
     val diffs = scala.collection.mutable.ArrayBuffer.empty[String]
     val exactMismatches = scala.collection.mutable.ArrayBuffer.empty[String]
+    val goldenMismatches = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((fname, path) <- fixtures) {
+      // snapshot CERTIFICATION, field edition (ADVICE r11): the vendored
+      // golden's curated field columns are diffed against live tshark
+      // here, mirroring the info-string certification in the info lane —
+      // without this, field values in the goldens were only ever pinned
+      // against the native scan that generated them
+      val golden = loadGolden(path)._2
       val df = Wireduck.readPcap(spark, path, protocols = allProtos)
       // only diff fields our dissectors populated on this fixture, and
       // skip time renderings (locale/precision differ by design)
@@ -354,6 +367,17 @@ class TsharkDiffSpec extends SparkSpec {
                       if (exactFields.contains(field)) exactMismatches += line
                       diffs += line
                     }
+                    // the vendored golden must ALSO agree with live
+                    // tshark on the curated fields (golden values are
+                    // MakeTsharkGolden.render strings — same shape as
+                    // normalizeOurs output for the curated set)
+                    if (exactFields.contains(field))
+                      golden.get(fn).flatMap(_.get(field)).filter(_.nonEmpty)
+                        .foreach { gv =>
+                          if (gv != t)
+                            goldenMismatches +=
+                              s"$fname #$fn $field golden=$gv tshark=$t"
+                        }
                   }
                 }
               }
@@ -365,5 +389,8 @@ class TsharkDiffSpec extends SparkSpec {
     info(s"${diffs.size} field diffs reported to target/tshark_diff_fields.txt")
     assert(exactMismatches.isEmpty,
       s"curated unambiguous fields must agree:\n${exactMismatches.mkString("\n")}")
+    assert(goldenMismatches.isEmpty,
+      "vendored snapshot field values disagree with live tshark — " +
+        s"regenerate MakeTsharkGolden:\n${goldenMismatches.mkString("\n")}")
   }
 }
