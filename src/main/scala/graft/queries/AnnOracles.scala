@@ -448,6 +448,97 @@ object AnnOracles {
       ORDER BY t.doc_id"""
   }
 
+  /** Oracle for `mm_admission_funnel` — the WHOLE multimodal curation
+    * funnel in one statement (VERDICT r11 #3): the text tier
+    * (token-count quality + the salted-md5 Bloom membership chain), the
+    * semantic tier (IVF-cell + LSH-bucket cosine gate over literal
+    * centroids), and the MEDIA tier (per-modality 4×16-bit banded
+    * near-dup counts over the caller-provided `fps(doc_id, modality,
+    * b0..b3)` CTE chain — image pHash, audio energy fingerprint, video
+    * essence signature), all joined on the shared id space over the
+    * arriving lane (% 10 = 7). */
+  def admissionFunnelSql(cents: Array[Array[Double]], tau: Double,
+      bucketSql: String, mediaFpsCtes: String): String = {
+    val dim = cents(0).length
+    val bandJoin = (0 until 4).map(k => s"a.b$k = b.b$k").mkString(" OR ")
+    val mdist = (0 until 4).map(k =>
+      s"BIT_COUNT(XOR(a.b$k, b.b$k))").mkString(" + ")
+    s"""
+      WITH cents(cell, centroid, cn2, cnorm) AS (VALUES
+  ${centsValues(cents)}),
+      cellscore AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               c.cn2 - 2.0 * (${dot("e.embedding", "c.centroid", dim)}) AS score
+        FROM embeddings e CROSS JOIN cents c),
+      cells AS (
+        SELECT vec_id, embedding, cell, $bucketSql AS bucket FROM (
+          SELECT vec_id, embedding, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS crn
+          FROM cellscore) WHERE crn = 1),
+      vcorpus AS (SELECT * FROM cells WHERE vec_id % 10 <> 7),
+      varr AS (SELECT * FROM cells WHERE vec_id % 10 = 7),
+      semhits AS (
+        SELECT a.vec_id, COUNT(*) AS n
+        FROM varr a JOIN vcorpus x
+          ON x.cell = a.cell AND x.bucket = a.bucket
+        WHERE (${dot("x.embedding", "a.embedding", dim)})
+                / (SQRT(${dot("x.embedding", "x.embedding", dim)})
+                   * SQRT(${dot("a.embedding", "a.embedding", dim)}))
+              >= CAST(${fmt(tau)} AS DOUBLE)
+        GROUP BY a.vec_id),
+      d AS (SELECT doc_id, text, MD5(text) AS h FROM documents),
+      corpus AS (SELECT * FROM d WHERE doc_id % 10 <> 7),
+      arriving AS (SELECT * FROM d WHERE doc_id % 10 = 7),
+      js AS (SELECT UNNEST(['0', '1', '2']) AS j),
+      cpos AS (
+        SELECT CAST(('0x' || SUBSTR(MD5(j || '|' || h), 1, 12)) AS BIGINT) % 4032 AS pos
+        FROM corpus, js),
+      bloom AS (
+        SELECT pos // 63 AS word,
+               BIT_OR(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+        FROM cpos GROUP BY 1),
+      apos AS (
+        SELECT doc_id,
+               CAST(('0x' || SUBSTR(MD5(j || '|' || h), 1, 12)) AS BIGINT) % 4032 AS pos
+        FROM arriving, js),
+      probe AS (
+        SELECT a.doc_id,
+               COALESCE((b.bits >> CAST(a.pos % 63 AS INT)) & 1 = 1, FALSE) AS hit
+        FROM apos a LEFT JOIN bloom b ON b.word = a.pos // 63),
+      agg AS (
+        SELECT doc_id, CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+        FROM probe GROUP BY doc_id),
+      toks AS (
+        SELECT doc_id, CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS BIGINT) AS n_tokens
+        FROM arriving),
+      $mediaFpsCtes,
+      mediahits AS (
+        SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_media_dups
+        FROM fps a JOIN fps b
+          ON a.modality = b.modality
+         AND a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+         AND ($bandJoin)
+        WHERE $mdist <= 3
+        GROUP BY a.doc_id),
+      fpd AS (SELECT DISTINCT doc_id FROM fps WHERE doc_id % 10 = 7)
+      SELECT t.doc_id,
+             (['image', 'audio', 'video'])[CAST(t.doc_id % 3 + 1 AS INTEGER)]
+               AS modality,
+             t.n_tokens, ag.n_set = 3 AS bloom_hit,
+             CAST(COALESCE(sh.n, 0) AS BIGINT) AS n_sem_dups,
+             (fpd.doc_id IS NOT NULL) AS fingerprinted,
+             CAST(COALESCE(mh.n_media_dups, 0) AS BIGINT) AS n_media_dups,
+             (t.n_tokens >= 20 AND NOT (ag.n_set = 3)
+              AND COALESCE(sh.n, 0) = 0
+              AND COALESCE(mh.n_media_dups, 0) = 0) AS admitted
+      FROM toks t
+      JOIN agg ag ON ag.doc_id = t.doc_id
+      LEFT JOIN semhits sh ON sh.vec_id = t.doc_id
+      LEFT JOIN mediahits mh ON mh.doc_id = t.doc_id
+      LEFT JOIN fpd ON fpd.doc_id = t.doc_id
+      ORDER BY t.doc_id"""
+  }
+
   def semanticDedupSql(cents: Array[Array[Double]], tau: Double,
       bucketSql: String): String = {
     val dim = cents(0).length

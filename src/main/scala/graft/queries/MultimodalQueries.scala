@@ -1076,9 +1076,190 @@ object MultimodalQueries {
       GROUP BY dom.band
       ORDER BY dominant_band"""))
 
+  /** The unified per-modality fingerprint frame `(doc_id, modality,
+    * b0..b3)` — image pHash split into 4×16-bit bands, audio energy
+    * fingerprint bands, video essence signature bands. One row per
+    * fingerprintable media item; the common currency of the
+    * cross-modality funnel below. */
+  def mediaFingerprints(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val media = Media.synthesize(Tables.load(s, dir, "documents"))
+    val img = mmPhash.fn(s, dir).select(
+      $"doc_id" +: lit("image").as("modality") +:
+        (0 until 4).map(k => expr(
+          s"CAST(conv(substring(phash, ${1 + 4 * k}, 4), 16, 10) AS BIGINT)")
+          .as(s"b$k")): _*)
+    val aud = Media.audioFingerprints(s, media).toDF()
+      .select($"doc_id", lit("audio").as("modality"), $"b0", $"b1", $"b2", $"b3")
+    val vid = Media.videoSignatures(s, media).toDF()
+      .select($"doc_id", lit("video").as("modality"), $"b0", $"b1", $"b2", $"b3")
+    img.unionByName(aud).unionByName(vid)
+  }
+
+  /** The DuckDB twin of [[mediaFingerprints]]: CTE chain ending in
+    * `fps(doc_id, modality, b0..b3)` — the pHash bytes, the audio band
+    * energies, and the video essence byte sums, each replayed from the
+    * generation contract. */
+  private[queries] def mediaFpsCteSql: String = {
+    val byteList = (0 until 8).map(phashByteSql).mkString(", ")
+    s"""img AS (
+        SELECT doc_id, text, CAST((doc_id // 3) % 5 AS INTEGER) AS slot
+        FROM documents
+        WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 IN (0, 1, 2)
+          AND OCTET_LENGTH(ENCODE(text)) >= 64),
+      codes AS (
+        SELECT doc_id, slot,
+               list_transform(range(1, 65),
+                              i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS c
+        FROM img),
+      m AS (SELECT doc_id, slot, c, list_sum(c) // 64 AS mean FROM codes),
+      phh AS (SELECT doc_id, [$byteList] AS pb FROM m),
+      imgfp AS (
+        SELECT doc_id, 'image' AS modality,
+               ${(0 until 4).map(k =>
+                 s"CAST(pb[${2 * k + 1}] * 256 + pb[${2 * k + 2}] AS BIGINT) AS b$k")
+                 .mkString(",\n               ")}
+        FROM phh),
+      aud AS (
+        SELECT doc_id,
+               ASCII(SUBSTR(MD5(text), 5, 1)) * 256 + ASCII(SUBSTR(MD5(text), 6, 1)) AS gd
+        FROM documents
+        WHERE doc_id % 3 = 1 AND (doc_id // 3) % 4 = 0),
+      audf AS (SELECT doc_id, gd FROM aud WHERE gd >= 4),
+      audband AS (
+        SELECT f.doc_id, t.k,
+               CAST(SUM( ((64 + (f.gd * 11 + g.i * 37) % 97) - 128)
+                       * ((64 + (f.gd * 11 + g.i * 37) % 97) - 128) )
+                    % 65536 AS BIGINT) AS b
+        FROM audf f, UNNEST(RANGE(0, 4)) t(k),
+             LATERAL (SELECT UNNEST(GENERATE_SERIES(
+               t.k * f.gd // 4, (t.k + 1) * f.gd // 4 - 1)) AS i) g
+        GROUP BY 1, 2),
+      audfp AS (
+        SELECT doc_id, 'audio' AS modality,
+               MAX(CASE WHEN k = 0 THEN b END) AS b0,
+               MAX(CASE WHEN k = 1 THEN b END) AS b1,
+               MAX(CASE WHEN k = 2 THEN b END) AS b2,
+               MAX(CASE WHEN k = 3 THEN b END) AS b3
+        FROM audband GROUP BY doc_id),
+      vid AS (
+        SELECT doc_id, text, LENGTH(text) AS n
+        FROM documents
+        WHERE doc_id % 3 = 2 AND LENGTH(text) >= 4),
+      vidband AS (
+        SELECT v.doc_id, t.k,
+               CAST(SUM(ASCII(SUBSTR(v.text, CAST(g.i AS INTEGER), 1)))
+                    % 65536 AS BIGINT) AS b
+        FROM vid v, UNNEST(RANGE(0, 4)) t(k),
+             LATERAL (SELECT UNNEST(GENERATE_SERIES(
+               t.k * v.n // 4 + 1, (t.k + 1) * v.n // 4)) AS i) g
+        GROUP BY 1, 2),
+      vidfp AS (
+        SELECT doc_id, 'video' AS modality,
+               MAX(CASE WHEN k = 0 THEN b END) AS b0,
+               MAX(CASE WHEN k = 1 THEN b END) AS b1,
+               MAX(CASE WHEN k = 2 THEN b END) AS b2,
+               MAX(CASE WHEN k = 3 THEN b END) AS b3
+        FROM vidband GROUP BY doc_id),
+      fps AS (
+        SELECT * FROM imgfp
+        UNION ALL SELECT * FROM audfp
+        UNION ALL SELECT * FROM vidfp)"""
+  }
+
+  /** The CROSS-MODALITY admission capstone (VERDICT r11 #3) — the whole
+    * multimodal curation funnel as ONE oracle-checked report: for every
+    * ARRIVING item (doc_id % 10 = 7), its modality, the text-tier
+    * verdicts (token-count quality + exact Bloom membership), the
+    * semantic near-dup count (IVF-cell + LSH-bucket cosine gate), the
+    * per-modality MEDIA near-dup count (image pHash / audio energy
+    * fingerprint / video essence signature, all through the same EXACT
+    * 4×16-bit pigeonhole band join — never all-pairs), and the final
+    * admit decision. Catalyst fuses every gate arm into one plan: two
+    * broadcast model joins (Bloom word map, hit counts), one (cell,
+    * bucket) equi-join, one (modality, band, key) equi-join. Stateless
+    * per batch, so the identical transform serves under foreachBatch
+    * (StreamingSpec pins streaming == batch). 100 TB shape: per-arrival
+    * work = band/bucket occupancy; every corpus-side artifact is a
+    * fit-once broadcast or persisted bucketed table. */
+  val mmAdmissionFunnel = GraftQuery(
+    "mm_admission_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      // text tier: token quality + Bloom membership over the shared lane
+      val hashed = docs.select($"doc_id", $"text", md5($"text").as("h"))
+      val bloomMap = graft.functions.BloomDedup.fitMapRow(
+        graft.functions.BloomDedup.fit(
+          hashed.filter($"doc_id" % 10 =!= 7).select($"doc_id", $"h")))
+      val textGate = hashed.filter($"doc_id" % 10 === 7)
+        .withColumn("n_tokens", size(split($"text", "\\s+")).cast("long"))
+        .join(graft.functions.BloomDedup.probe(
+          hashed.filter($"doc_id" % 10 === 7).select($"doc_id", $"h"), bloomMap),
+          Seq("doc_id"))
+        .select($"doc_id", $"n_tokens", $"bloom_hit")
+      // semantic tier: IVF cell + corpus-scaled LSH bucket cosine gate
+      val bits = SimilarityQueries.neardupBits(
+        Tables.load(s, dir, "embeddings").count())
+      val cells = graft.functions.AnnIndexes.ivf(s, dir, k = 16)
+        .assigned.select($"vec_id", $"embedding", $"cell",
+          graft.functions.Vectors.lshBucket($"embedding", bits).as("bucket"))
+      val semHits = cells.filter($"vec_id" % 10 === 7).as("a")
+        .join(cells.filter($"vec_id" % 10 =!= 7).as("x"),
+          org.apache.spark.sql.functions.col("x.cell") === org.apache.spark.sql.functions.col("a.cell") &&
+            org.apache.spark.sql.functions.col("x.bucket") === org.apache.spark.sql.functions.col("a.bucket"))
+        .filter(graft.functions.Vectors.cosine(
+          org.apache.spark.sql.functions.col("x.embedding"),
+          org.apache.spark.sql.functions.col("a.embedding")) >= 0.4)
+        .groupBy(org.apache.spark.sql.functions.col("a.vec_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_sem_dups"))
+      // media tier: per-modality banded near-dup counts
+      val fps = mediaFingerprints(s, dir).cache()
+      val banded = fps.select($"modality", $"doc_id", $"b0", $"b1", $"b2", $"b3",
+        posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("blk", "key")))
+      val arrB = banded.filter($"doc_id" % 10 === 7)
+        .select($"modality", $"blk", $"key", $"doc_id",
+          $"b0".as("a0"), $"b1".as("a1"), $"b2".as("a2"), $"b3".as("a3"))
+      val corB = banded.filter($"doc_id" % 10 =!= 7)
+        .select($"modality", $"blk", $"key", $"doc_id".as("doc_b"),
+          $"b0".as("c0"), $"b1".as("c1"), $"b2".as("c2"), $"b3".as("c3"))
+      val mdist = (0 until 4).map(k => s"bit_count(a$k ^ c$k)").mkString(" + ")
+      val mediaHits = arrB.join(corB, Seq("modality", "blk", "key"))
+        .select($"doc_id", $"doc_b", $"a0", $"a1", $"a2", $"a3",
+          $"c0", $"c1", $"c2", $"c3").distinct()
+        .withColumn("dist", expr(s"CAST($mdist AS BIGINT)"))
+        .filter($"dist" <= 3L)
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_media_dups"))
+      val fingerprinted = fps.filter($"doc_id" % 10 === 7)
+        .select($"doc_id").distinct().withColumn("fp", lit(true))
+      // the funnel report: every gate verdict + the final decision
+      textGate
+        .withColumn("modality", expr(
+          "CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+            "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"))
+        .join(broadcast(semHits), Seq("doc_id"), "left_outer")
+        .join(broadcast(mediaHits), Seq("doc_id"), "left_outer")
+        .join(broadcast(fingerprinted), Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"modality", $"n_tokens", $"bloom_hit",
+          coalesce($"n_sem_dups", lit(0L)).as("n_sem_dups"),
+          coalesce($"fp", lit(false)).as("fingerprinted"),
+          coalesce($"n_media_dups", lit(0L)).as("n_media_dups"))
+        .withColumn("admitted",
+          $"n_tokens" >= 20L && !$"bloom_hit" &&
+            $"n_sem_dups" === 0L && $"n_media_dups" === 0L)
+        .orderBy($"doc_id")
+    },
+    oracleGen = Some((s, dir) => AnnOracles.admissionFunnelSql(
+      graft.functions.AnnIndexes.ivf(s, dir, k = 16).centroids, tau = 0.4,
+      SimilarityQueries.duckBucket("embedding",
+        SimilarityQueries.neardupBits(
+          Tables.load(s, dir, "embeddings").count())),
+      mediaFpsCteSql)))
+
   val all: Seq[GraftQuery] =
     Seq(mmMediaMeta, mmTypeStats, mmFrameSample, mmCodecStats, mmOrientationStats,
       mmPhash, mmIntegrity, mmAudioStats, mmThumbnail, mmPhashNeardup, mmSceneCut,
       mmResolutionFilter, mmLumaBands, mmPhashTopk, mmAudioFingerprint,
-      mmAfpTopk, mmVideoNeardup, mmVsigTopk, stImageAdmission)
+      mmAfpTopk, mmVideoNeardup, mmVsigTopk, stImageAdmission, mmAdmissionFunnel)
 }
