@@ -10,12 +10,17 @@ object TimeQ {
     val dir = args.sliding(2).collectFirst { case Array("-sf", d) => d }
       .getOrElse("/root/testdata/sf0.1")
     val names = args.filter(a => a != "-sf" && a != dir)
-    val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    val b = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // ad-hoc conf experiments: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.split("=", 2))
+      .foreach { case Array(k, v) => b.config(k, v); case _ => () }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("SPARK_GRAFT_GROUP_CAP")
       .foreach(v => spark.conf.set("graft.dedup.group_cap", v))

@@ -539,6 +539,28 @@ object TextQueries {
       ORDER BY doc_id"""
     })
 
+  /** The UNORDERED banded candidate-pair plan shared by every LSH
+    * consumer (dd_minhash_lsh_pairs adds the output ORDER BY; dd_lsh_eval
+    * / the cluster fixpoints consume the pairs as a set). Factored out in
+    * the r12 optimization round so set-shaped consumers carry no dead
+    * global sort in their lineage. */
+  private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the persisted signature artifact: no fit in this query's lineage,
+    // and the 8 band branches scan the bucketed table, not a recompute
+    val sig = minhashSigTable(s, dir)
+    val bands = (0 until nHashes by 2).map { h =>
+      sig.select($"doc_id", lit(h / 2).as("band"),
+        concat(col(s"mh$h"), col(s"mh${h + 1}")).as("bucket"))
+    }.reduce(_ union _)
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b,
+      col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** LSH banding: 4 bands × 2 rows; docs sharing any band become candidate
     * pairs. The band bucket-join is what keeps near-dup detection
     * near-linear at scale (vs the quadratic all-pairs join). */
@@ -546,20 +568,7 @@ object TextQueries {
     "dd_minhash_lsh_pairs",
     (s, dir) => {
       import s.implicits._
-      // the persisted signature artifact: no fit in this query's lineage,
-      // and the 8 band branches scan the bucketed table, not a recompute
-      val sig = minhashSigTable(s, dir)
-      val bands = (0 until nHashes by 2).map { h =>
-        sig.select($"doc_id", lit(h / 2).as("band"),
-          concat(col(s"mh$h"), col(s"mh${h + 1}")).as("bucket"))
-      }.reduce(_ union _)
-      val a = bands.as("a"); val b = bands.as("b")
-      a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .orderBy($"doc_a", $"doc_b")
+      lshCandidatePairs(s, dir).orderBy($"doc_a", $"doc_b")
     },
     Some {
       val aggs = (0 until nHashes)
@@ -678,7 +687,7 @@ object TextQueries {
     "dd_lsh_eval",
     (s, dir) => {
       import s.implicits._
-      val cand = ddMinhashLshPairs.fn(s, dir)
+      val cand = lshCandidatePairs(s, dir)
       val all = shingleRows(docs(s, dir).withColumn("tokens", split($"text", " ")), 3)
       val rare = all.groupBy($"shingle").agg(count(lit(1)).as("df"))
         .filter($"df" <= maxShingleDf)
@@ -695,11 +704,20 @@ object TextQueries {
         .filter($"shared".cast(DoubleType) /
           ($"na" + $"nb" - $"shared").cast(DoubleType) >= 0.5)
         .select($"doc_a", $"doc_b")
-      val hits = cand.join(truth, Seq("doc_a", "doc_b"))
-      val nc = cand.agg(count(lit(1)).as("n_candidates"))
-      val nt = truth.agg(count(lit(1)).as("n_truth"))
-      val nh = hits.agg(count(lit(1)).as("n_hits"))
-      nc.crossJoin(nt).crossJoin(nh)
+      // r12 optimization: ONE full-outer join on the (unique) pair key
+      // replaces the three separately-evaluated count arms — the old
+      // nc/nt/nh crossJoin evaluated the banded candidate plan twice and
+      // the truth self-join twice (the r11 plan's four `bands` unions /
+      // duplicated 1.25M-row pair reduce). Both inputs are unique on
+      // (doc_a, doc_b) — cand ends in distinct(), truth in a group-by —
+      // so SUM(flag) over the outer join is exactly the old COUNT of each
+      // side and the inner-match count; the IEEE divisions are unchanged.
+      cand.withColumn("c", lit(1L))
+        .join(truth.withColumn("t", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          coalesce(sum($"c"), lit(0L)).as("n_candidates"),
+          coalesce(sum($"t"), lit(0L)).as("n_truth"),
+          coalesce(sum($"c" * $"t"), lit(0L)).as("n_hits"))
         .select($"n_candidates", $"n_truth", $"n_hits",
           ($"n_hits".cast(DoubleType) / $"n_candidates".cast(DoubleType))
             .as("precision"),
@@ -1274,9 +1292,15 @@ object TextQueries {
   private[queries] def ccFixpoint(pairs: DataFrame): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
+    // r12 optimization: symmetrize via ONE evaluation of the pair plan
+    // (explode of both orientations) — the old self-union evaluated the
+    // upstream candidate join twice per materialization.
     val edges = pairs.toDF("doc_a", "doc_b")
-      .union(pairs.toDF("doc_a", "doc_b").select($"doc_b", $"doc_a"))
-      .toDF("src", "dst").cache()
+      .select(explode(array(
+        struct($"doc_a".as("src"), $"doc_b".as("dst")),
+        struct($"doc_b".as("src"), $"doc_a".as("dst")))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"))
+      .cache()
     var labels = edges.select($"src".as("doc_id")).distinct()
       .withColumn("label", $"doc_id")
       .localCheckpoint()
@@ -1299,7 +1323,7 @@ object TextQueries {
     "dd_dedup_clusters",
     (s, dir) => {
       import s.implicits._
-      ccFixpoint(ddMinhashLshPairs.fn(s, dir).select($"doc_a", $"doc_b"))
+      ccFixpoint(lshCandidatePairs(s, dir))
         .select($"doc_id", $"label".as("cluster"))
         .orderBy($"cluster", $"doc_id")
     },
@@ -1334,7 +1358,7 @@ object TextQueries {
     // ConcurrentHashMap.compute must not nest — same-bin collisions
     // throw/livelock (ivfPersisted and ccBaseTables hoist their inner
     // fits the same way).
-    val pairs = ddMinhashLshPairs.fn(s, dir).select($"doc_a", $"doc_b")
+    val pairs = lshCandidatePairs(s, dir)
     graft.functions.AnnIndexes.cached(s, s"ddclusters:$dir") {
       s.sql(s"DROP TABLE IF EXISTS $name")
       val wh = s.conf.get("spark.sql.warehouse.dir")
