@@ -38,6 +38,7 @@ object SparkEntry {
     TextQueries.shingleTable(spark, sfDir).count()
     TextQueries.ccBaseTables(spark, sfDir)
     GraphQueries.prepare(spark, sfDir)
+    MultimodalQueries.prepare(spark, sfDir)
     graft.functions.AnnIndexes.ivfPersisted(spark, sfDir, k = 16)
     graft.functions.AnnIndexes.servingIvf(spark, sfDir)
     graft.functions.AnnIndexes.ivfPqPersisted(spark, sfDir, m = 8, k = 16)

@@ -104,6 +104,11 @@ object GraphQueries {
     ()
   }
 
+  /** Bucket count of the persisted graph artifacts (graphTables). Round
+    * joins repartition their node-sized side to THIS count so the edge
+    * side is always co-partitioned and never re-exchanged. */
+  private val graphBuckets = 16
+
   private val prIters = 5
 
   /** PageRank (Brin & Page 1998) over the symmetrized order graph,
@@ -131,9 +136,14 @@ object GraphQueries {
         // depth stays O(1) per round instead of O(iterations) — at real
         // scale this is a checkpoint to reliable storage / a persisted
         // rank table, exactly like the ANN artifacts. Values unchanged.
+        // repartition rp to the edge table's bucket count so the round's
+        // join is co-partitioned: only the node-sized side moves, the
+        // cached bucketed edges are NEVER re-exchanged (without this the
+        // 32-partition rank side forced a full edge re-shuffle per round)
         val rp = r.join(deg, r("node") === deg("src"))
           .select($"node", expr("rank div deg").as("c"))
-        r = e.join(rp, e("src") === rp("node"))
+          .repartition(graphBuckets, $"node")
+        r = e.join(rp.hint("shuffle_hash"), e("src") === rp("node"))
           .groupBy($"dst".as("node"))
           .agg(expr("150000000000 + (85 * sum(c)) div 100").as("rank"))
           .localCheckpoint()
@@ -594,7 +604,8 @@ object GraphQueries {
       for (_ <- 1 to pprIters) {
         val rp = r.join(deg, r("node") === deg("src"))
           .select($"node", expr("85 * (rank div deg) div 100").as("x"))
-        val contrib = e.join(rp, e("src") === rp("node"))
+          .repartition(graphBuckets, $"node")
+        val contrib = e.join(rp.hint("shuffle_hash"), e("src") === rp("node"))
           .select($"dst".as("node"), $"x")
         val tele = seedDf.select($"node", lit(teleport).as("x"))
         r = contrib.union(tele)

@@ -774,14 +774,12 @@ object StreamingQueries {
     "st_vsig_serve",
     (s, dir) => {
       import s.implicits._
-      val media = graft.multimodal.Media.synthesize(
-        Tables.load(s, dir, "documents"))
       // repartition before caching: the signature table inherits the
-      // documents scan's few input splits, and the brute probe's
-      // parallelism is the STREAMED (corpus) side's partition count —
-      // without this the arriving×corpus scoring runs near-serially
-      // (sf1 measured 35 s -> 3 s)
-      val hv = graft.multimodal.Media.videoSignatures(s, media).toDF()
+      // scan's few input splits, and the brute probe's parallelism is
+      // the STREAMED (corpus) side's partition count — without this the
+      // arriving×corpus scoring runs near-serially (sf1: 35 s -> 3 s).
+      // r12: the signatures come from the PERSISTED vsig artifact.
+      val hv = MultimodalQueries.vsigTable(s, dir)
         .select($"doc_id", $"h1", $"h2")
         .repartition(s.sparkContext.defaultParallelism).cache()
       val corpus = hv.filter($"doc_id" % 10 =!= 2)
