@@ -390,17 +390,35 @@ object TextQueries {
     s.table(name)
   }
 
+  /** (doc_a, doc_b, shared): per unordered doc pair, the number of
+    * shared shingles — computed by per-shingle COMBINATION GENERATION
+    * over the df-capped posting lists instead of a posting self-join
+    * (r12 optimization): one exchange of the postings replaces the
+    * self-join's two exchanges plus their sort-merge sorts. The pair
+    * multiset is identical — doc_ids are unique within a shingle's
+    * posting list, every unordered combo is emitted exactly once as
+    * (min, max), and the df cap bounds per-list work at df² exactly as
+    * it bounded the join fan-out. */
+  private def sharedShingleCounts(sh: DataFrame): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    sh.groupBy($"shingle").agg(collect_list($"doc_id").as("ds"))
+      .filter(size($"ds") >= 2)
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), y -> " +
+          "struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))")).as("p"))
+      .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+  }
+
   val ddNgramJaccard = GraftQuery(
     "dd_ngram_jaccard",
     (s, dir) => {
       import s.implicits._
       val sh = shingleTable(s, dir)
       val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-      val a = sh.as("a"); val b = sh.as("b")
-      val pairs = a.join(b,
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
+      val pairs = sharedShingleCounts(sh)
       pairs
         .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
         .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
@@ -539,6 +557,17 @@ object TextQueries {
       ORDER BY doc_id"""
     })
 
+  /** (doc_id, band, bucket) band tuples of a signature frame in ONE scan
+    * via posexplode (r12 optimization: the previous four-branch union
+    * scanned the signature table once per band). Row set identical:
+    * posexplode's pos IS the band index h/2. */
+  private def sigBands(sig: DataFrame): DataFrame = {
+    val s = sig.sparkSession
+    import s.implicits._
+    sig.select($"doc_id", posexplode(array((0 until nHashes by 2).map(h =>
+      concat(col(s"mh$h"), col(s"mh${h + 1}"))): _*)).as(Seq("band", "bucket")))
+  }
+
   /** The UNORDERED banded candidate-pair plan shared by every LSH
     * consumer (dd_minhash_lsh_pairs adds the output ORDER BY; dd_lsh_eval
     * / the cluster fixpoints consume the pairs as a set). Factored out in
@@ -549,10 +578,7 @@ object TextQueries {
     // the persisted signature artifact: no fit in this query's lineage,
     // and the 8 band branches scan the bucketed table, not a recompute
     val sig = minhashSigTable(s, dir)
-    val bands = (0 until nHashes by 2).map { h =>
-      sig.select($"doc_id", lit(h / 2).as("band"),
-        concat(col(s"mh$h"), col(s"mh${h + 1}")).as("bucket"))
-    }.reduce(_ union _)
+    val bands = sigBands(sig)
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b,
       col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -620,10 +646,7 @@ object TextQueries {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val sig = minhashSigTable(s, dir)
-      val bands = (0 until nHashes by 2).map { h =>
-        sig.select($"doc_id", lit(h / 2).as("band"),
-          concat(col(s"mh$h"), col(s"mh${h + 1}")).as("bucket"))
-      }.reduce(_ union _)
+      val bands = sigBands(sig)
       val qb = bands.filter($"doc_id" % 4 === 0)
       val cand = broadcast(qb).as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -687,18 +710,22 @@ object TextQueries {
     "dd_lsh_eval",
     (s, dir) => {
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
       val cand = lshCandidatePairs(s, dir)
       val all = shingleRows(docs(s, dir).withColumn("tokens", split($"text", " ")), 3)
-      val rare = all.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      // r12 optimization: df-cap via a shingle-partitioned window COUNT
+      // instead of a groupBy + semi-join — the old shape evaluated the
+      // shingle explode+distinct twice (once under `rare`, once as the
+      // semi-join probe); the window computes df on the single pass and
+      // leaves sh partitioned by shingle for the pair generation. Rows
+      // identical: same distinct (doc_id, shingle) set, same df <= cap.
+      val sh = all
+        .withColumn("df", count(lit(1)).over(Window.partitionBy($"shingle")))
         .filter($"df" <= maxShingleDf)
-        .select($"shingle")
-      val sh = all.join(rare, Seq("shingle"), "left_semi").cache()
+        .select($"doc_id", $"shingle")
+        .cache()
       val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.as("a"); val b = sh.as("b")
-      val truth = a.join(b,
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
+      val truth = sharedShingleCounts(sh)
         .join(cnt.toDF("doc_a", "na"), "doc_a")
         .join(cnt.toDF("doc_b", "nb"), "doc_b")
         .filter($"shared".cast(DoubleType) /
@@ -782,11 +809,8 @@ object TextQueries {
     (s, dir) => {
       import s.implicits._
       val sig = minhashSigTable(s, dir)
-      val corpusBands = (0 until nHashes by 2).map { h =>
-        sig.filter($"doc_id" % 10 =!= 7)
-          .select($"doc_id".as("corpus_id"), lit(h / 2).as("band"),
-            concat(col(s"mh$h"), col(s"mh${h + 1}")).as("bucket"))
-      }.reduce(_ union _)
+      val corpusBands = sigBands(sig.filter($"doc_id" % 10 =!= 7))
+        .withColumnRenamed("doc_id", "corpus_id")
       val newDocs = docs(s, dir).filter($"doc_id" % 10 === 7)
         .select($"doc_id", $"text").as[(Long, String)]
       val newBands = newDocs.flatMap { case (id, text) =>
@@ -869,10 +893,7 @@ object TextQueries {
         if (fs.exists(p)) fs.delete(p, true)
       }
       val sig = sigTable.filter($"doc_id" % 10 =!= 7)
-      val bands = (0 until nHashes by 2).map { h =>
-        sig.select($"doc_id", lit(h / 2).as("band"),
-          concat(col(s"mh$h"), col(s"mh${h + 1}")).as("bucket"))
-      }.reduce(_ union _)
+      val bands = sigBands(sig)
       // the BAND INDEX persists next to the labels: later batches probe
       // the table — zero corpus signature recompute in the serving path
       bands.write.saveAsTable(bandName)
@@ -953,10 +974,7 @@ object TextQueries {
     (s, dir) => {
       import s.implicits._
       val sig = minhashSigTable(s, dir)
-      val bands = (0 until nHashes by 2).map { h =>
-        sig.select($"doc_id", lit(h / 2).as("band"),
-          concat(col(s"mh$h"), col(s"mh${h + 1}")).as("bucket"))
-      }.reduce(_ union _)
+      val bands = sigBands(sig)
       bands.groupBy($"band", $"bucket").agg(count(lit(1)).as("occ"))
         .groupBy($"band")
         .agg(
@@ -2870,12 +2888,7 @@ object TextQueries {
       import s.implicits._
       val sh = shingleTable(s, dir)
       val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-      val a = sh.as("a"); val b = sh.as("b")
-      val pairs = a.join(b,
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-      pairs
+      sharedShingleCounts(sh)
         .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
         .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
         .withColumn("containment_a", $"shared".cast(DoubleType) / $"na".cast(DoubleType))
@@ -3181,11 +3194,7 @@ object TextQueries {
       import s.implicits._
       val sh = shingleTable(s, dir)
       val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-      val a = sh.as("a"); val b = sh.as("b")
-      val pairs = a.join(b,
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
+      val pairs = sharedShingleCounts(sh)
         .join(cnt.withColumnRenamed("doc_id", "doc_a")
           .withColumnRenamed("n_shingles", "na"), "doc_a")
         .join(cnt.withColumnRenamed("doc_id", "doc_b")
