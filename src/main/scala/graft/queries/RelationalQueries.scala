@@ -777,11 +777,20 @@ object RelationalQueries {
     "q34_approx_distinct",
     (s, dir) => {
       import s.implicits._
+      // r12 optimization: dedup (flag, orderkey) FIRST, then sketch/count
+      // the deduped keys — values identical (an HLL sketch is duplicate-
+      // insensitive: registers are maxes, so feeding each distinct key
+      // once yields the same estimate, and COUNT(*) over the deduped rows
+      // IS the exact distinct count) while the plan loses the mixed
+      // distinct/non-distinct Expand and gains map-side partial
+      // aggregation on both levels.
       t(s, dir, "lineitem")
+        .filter($"l_orderkey".isNotNull) // countDistinct ignored NULLs; keep that exact
+        .groupBy($"l_returnflag", $"l_orderkey").agg(count(lit(1)).as("dummy"))
         .groupBy($"l_returnflag")
         .agg(
           approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
-          countDistinct($"l_orderkey").as("exact_orders"))
+          count(lit(1)).as("exact_orders"))
         .orderBy($"l_returnflag")
     })
 
