@@ -36,6 +36,8 @@ object SparkEntry {
   def prepareArtifacts(spark: SparkSession, sfDir: String): Unit = {
     TextQueries.minhashSigTable(spark, sfDir).count()
     TextQueries.shingleTable(spark, sfDir).count()
+    TextQueries.shingleTableN(spark, sfDir, 3).count()
+    TextQueries.simhashTable(spark, sfDir).count()
     TextQueries.ccBaseTables(spark, sfDir)
     GraphQueries.prepare(spark, sfDir)
     MultimodalQueries.prepare(spark, sfDir)
