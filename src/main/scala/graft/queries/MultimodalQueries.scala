@@ -589,7 +589,12 @@ object MultimodalQueries {
       val p = new org.apache.hadoop.fs.Path(wh, name)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
-      frame.write.mode("overwrite").saveAsTable(name)
+      // parallel file layout at write time: the decode runs over the
+      // documents scan's single input split, so an un-repartitioned save
+      // would leave every downstream probe single-split (guide §6 —
+      // output sizing determines reader parallelism)
+      frame.repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").saveAsTable(name)
       name
     }
     s.table(name)

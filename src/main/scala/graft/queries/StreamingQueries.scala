@@ -695,8 +695,9 @@ object StreamingQueries {
       // without it the image-essence walk runs once per plan arm (the
       // sf1 sweep measured 27 s uncached vs ~3 s cached; in production
       // the halves are a persisted artifact, this is its stand-in)
-      val hv = MultimodalQueries.phashHalves(s, dir)
-        .repartition(s.sparkContext.defaultParallelism).cache()
+      // the artifact is written with parallel file layout, so the probe
+      // inherits its split count — no per-query repartition needed
+      val hv = MultimodalQueries.phashHalves(s, dir).cache()
       val corpus = hv.filter($"doc_id" % 10 =!= 0)
       val arriving = hv.filter($"doc_id" % 10 === 0)
         .select($"doc_id".as("query_id"), $"h1".as("q1"), $"h2".as("q2"))
@@ -736,9 +737,8 @@ object StreamingQueries {
     "st_afp_serve",
     (s, dir) => {
       import s.implicits._
-      // persisted-artifact stand-in, same caveat as st_phash_serve
-      val hv = MultimodalQueries.afpHalves(s, dir)
-        .repartition(s.sparkContext.defaultParallelism).cache()
+      // persisted artifact, parallel file layout (st_phash_serve note)
+      val hv = MultimodalQueries.afpHalves(s, dir).cache()
       val corpus = hv.filter($"doc_id" % 10 =!= 1)
       val arriving = hv.filter($"doc_id" % 10 === 1)
         .select($"doc_id".as("query_id"), $"h1".as("q1"), $"h2".as("q2"))
@@ -774,14 +774,12 @@ object StreamingQueries {
     "st_vsig_serve",
     (s, dir) => {
       import s.implicits._
-      // repartition before caching: the signature table inherits the
-      // scan's few input splits, and the brute probe's parallelism is
-      // the STREAMED (corpus) side's partition count — without this the
-      // arriving×corpus scoring runs near-serially (sf1: 35 s -> 3 s).
-      // r12: the signatures come from the PERSISTED vsig artifact.
+      // the brute probe's parallelism is the STREAMED (corpus) side's
+      // partition count (sf1 r11: 35 s near-serial -> 3 s parallel); the
+      // persisted vsig artifact is WRITTEN with parallel file layout, so
+      // the probe inherits it without a per-query repartition exchange.
       val hv = MultimodalQueries.vsigTable(s, dir)
-        .select($"doc_id", $"h1", $"h2")
-        .repartition(s.sparkContext.defaultParallelism).cache()
+        .select($"doc_id", $"h1", $"h2").cache()
       val corpus = hv.filter($"doc_id" % 10 =!= 2)
       val arriving = hv.filter($"doc_id" % 10 === 2)
         .select($"doc_id".as("query_id"), $"h1".as("q1"), $"h2".as("q2"))
