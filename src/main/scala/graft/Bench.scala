@@ -96,10 +96,20 @@ object Bench {
     // as an explicit batch step — in production these are one-off index
     // jobs, and serving queries read catalog tables; building them here
     // keeps per-query numbers attributable to the operator (VERDICT r7 #4).
+    // VERDICT r12 #2: the prep step's cost must be a VISIBLE number — the
+    // artifact list grew to 11 entries and "work moved out of the timed
+    // region" must stay auditable round-over-round. The listener is
+    // attached before prep so its stages aggregate under "artifact_prep".
+    val metrics = new StageMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    spark.sparkContext.setJobGroup("artifact_prep", "artifact_prep",
+      interruptOnCancel = false)
+    val prep0 = System.nanoTime()
     try SparkEntry.prepareArtifacts(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] artifact prep failed: ${e.getMessage}")
-    }
+    } finally spark.sparkContext.clearJobGroup()
+    val prepWall = (System.nanoTime() - prep0) / 1e9
 
     val benched = SparkEntry.registry.filter(q => only(q.name))
     val times = TrieMap.empty[String, Double]
@@ -131,7 +141,6 @@ object Bench {
     // regression is invisible in them). Cache cleared per query so one
     // query's internal .cache() can't subsidize the next run's subtree.
     val seqTimes = TrieMap.empty[String, Double]
-    val metrics = new StageMetricsListener
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SEQ", "1") != "0") {
       // a throwaway job first: after the concurrent pass the first
       // sequential query otherwise absorbs GC/compilation settling (the
@@ -139,7 +148,6 @@ object Bench {
       try benched.headOption.foreach(
         _.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
       catch { case _: Throwable => () }
-      spark.sparkContext.addSparkListener(metrics)
       benched.foreach { q =>
         spark.catalog.clearCache()
         spark.sparkContext.setJobGroup(q.name, q.name, interruptOnCancel = false)
@@ -187,8 +195,17 @@ object Bench {
         s""""spill_bytes":${a.fold(0L)(_.spill)},""" +
         s""""task_time_ms":${a.fold(0L)(_.taskTimeMs)}}"""
     }.mkString("{", ",", "}")
+    // VERDICT r12 #2: artifact-prep cost as a first-class number — wall
+    // plus the load-stable executor task-time/shuffle aggregates, so work
+    // moved into prepareArtifacts is auditable, never invisible.
+    val prepAgg = metrics.byQuery.get("artifact_prep")
+    val prepJson =
+      s"""{"wall_sec":${String.format("%.3f", Double.box(prepWall))},""" +
+        s""""task_sec":${prepAgg.fold(0.0)(_.taskTimeMs / 1e3)},""" +
+        s""""shuffle_bytes":${prepAgg.fold(0L)(_.shuffleWrite)}}"""
     val line = s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,""" +
       s""""queries_concurrent":${json(times)},"seq_total":${seqTimes.values.filter(_ > 0).sum},""" +
+      s""""artifact_prep":$prepJson,""" +
       s""""queries_metrics":$qMetrics,"sf":"$sfDir"}"""
     // The driver truncates long stdout tails (it destroyed the per-query
     // seconds FIVE rounds running — VERDICT r4 #8, r6 #2, r7 #3; measured
@@ -262,23 +279,42 @@ object Bench {
       s"""{"basis":"executor task_time, co-tenancy-robust",""" +
         s""""total":${fmt(total, 1)},"q_top":$top,"families":$fams}"""
     }
+    // compact ref for the size-degraded stdout candidates: the one
+    // co-tenancy-robust number plus per-family task totals
+    val isolatedRefCompact: String = {
+      val total = benched.map(q => taskSec(q.name)).filter(_ >= 0).sum
+      val fams = benched.map(_.name).filterNot(_.startsWith("q"))
+        .groupBy(_.takeWhile(_ != '_')).toSeq.sortBy(_._1)
+        .map { case (f, ns) =>
+          val ts = ns.map(taskSec).filter(_ >= 0)
+          "\"" + f + "\":" + fmt(if (ts.isEmpty) -1.0 else ts.sum, 1)
+        }.mkString("{", ",", "}")
+      s"""{"total":${fmt(total, 1)},"families":$fams}"""
+    }
     def assemble(dec: Int, names: Seq[String], fams: String,
-        withRef: Boolean = true): String =
+        ref: String, withFams: Boolean = true): String =
       s"""{"metric":"total","value":${fmt(wall, 3)},"unit":"sec",""" +
         s""""seq_total":${fmt(seqTimes.values.filter(_ > 0).sum, 3)},""" +
+        s""""prep":[${fmt(prepWall, 1)},${fmt(prepAgg.fold(0.0)(_.taskTimeMs / 1e3), 1)}],""" +
         s""""n_queries":${benched.size},"failed":$failedNames,""" +
-        s""""queries":${qFamily(dec, names)},"families":$fams,""" +
-        (if (withRef) s""""isolated_ref":$isolatedRef,""" else "") +
+        s""""queries":${qFamily(dec, names)},""" +
+        (if (withFams) s""""families":$fams,""" else "") +
+        (if (ref.nonEmpty) s""""isolated_ref":$ref,""" else "") +
         s""""full":"BENCH_local.json","sf":"$sfDir"}"""
-    // size-aware degradation so a future query tranche can't re-overflow
-    // the window: 2 decimals → 1 decimal → slowest-40-q*-only → totals-only
+    // Size-aware degradation that keeps the per-query KEY SET round-stable
+    // (VERDICT r12 What's-wrong #1: the old slowest-40 fallback made the
+    // driver's PERF diff report phantom dropped/new rows every time the
+    // ranking shifted). Every candidate carries ALL q* names — only
+    // precision and the auxiliary blocks (full ref → compact ref → none →
+    // no families) degrade; the full-precision record is always in the
+    // file copies.
     val candidates = Iterator(
-      assemble(2, qNames, famRollup),
-      assemble(1, qNames, famRollup),
-      assemble(1, qNames.sortBy(n => -m.getOrElse(n, -1.0)).take(40), famRollup),
-      assemble(1, qNames.sortBy(n => -m.getOrElse(n, -1.0)).take(40), famRollup,
-        withRef = false),
-      assemble(1, Seq.empty, famRollup, withRef = false))
+      assemble(2, qNames, famRollup, isolatedRef),
+      assemble(1, qNames, famRollup, isolatedRef),
+      assemble(1, qNames, famRollup, isolatedRefCompact),
+      assemble(1, qNames, famRollup, ""),
+      assemble(1, qNames, famRollup, "", withFams = false),
+      assemble(1, Seq.empty, famRollup, ""))
     println(candidates.find(_.length <= 1940).getOrElse(
       s"""{"metric":"total","value":${fmt(wall, 3)},"unit":"sec","full":"BENCH_local.json","sf":"$sfDir"}"""))
   }

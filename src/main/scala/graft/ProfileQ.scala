@@ -17,7 +17,14 @@ object ProfileQ {
   def main(args: Array[String]): Unit = {
     val dir = args.sliding(2).collectFirst { case Array("-sf", d) => d }
       .getOrElse("/root/testdata/sf0.1")
-    val names = args.filter(a => a != "-sf" && a != dir)
+    // positional parse (ADVICE r12): drop the flag and its value by INDEX —
+    // the old value-based filter silently dropped a query whose name
+    // happened to equal the dir string
+    val names = args.indices
+      .filter(i => args(i) != "-sf" && !(i > 0 && args(i - 1) == "-sf"))
+      .map(args(_))
+    names.filterNot(n => SparkEntry.registry.exists(_.name == n))
+      .foreach(n => System.err.println(s"[profile] unknown query: $n"))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -71,7 +78,16 @@ object ProfileQ {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(1500) // let the listener bus drain
+      // drain the listener bus by polling for a stable snapshot (ADVICE
+      // r12: a fixed sleep silently undercounts stages on a loaded host)
+      var prev = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 15000) {
+        Thread.sleep(250); waited += 250
+        val cur = stages.synchronized(stages.size)
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
       val rows = stages.synchronized(stages.sortBy(-_.runMs).toVector)
       println(f"PROFILE $name wall=$wall%.2f s stages=${rows.size} " +
         f"taskTime=${rows.map(_.runMs).sum / 1e3}%.1f s gc=${rows.map(_.gcMs).sum / 1e3}%.1f s")

@@ -19,7 +19,13 @@ object TimeQ {
     // ad-hoc conf experiments: SPARK_GRAFT_CONF="k=v;k=v"
     sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(';')).map(_.split("=", 2))
-      .foreach { case Array(k, v) => b.config(k, v); case _ => () }
+      .foreach {
+        case Array(k, v) => b.config(k, v)
+        // warn loudly (ADVICE r12): a malformed entry would otherwise make
+        // an experiment silently measure the DEFAULT config
+        case other => System.err.println(
+          s"[timeq] ignoring malformed SPARK_GRAFT_CONF entry: '${other.mkString("=")}'")
+      }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("SPARK_GRAFT_GROUP_CAP")

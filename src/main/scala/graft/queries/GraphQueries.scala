@@ -180,23 +180,36 @@ object GraphQueries {
     * is the standard "forward" algorithm whose join fan-out the
     * orientation bounds by the smaller-degree endpoint. Output: edge and
     * triangle counts plus the global closure ratio (exact divisions). */
+  /** (s1, s2, shared): supplier pairs scored by shared-customer count —
+    * the co-purchase projection gr_triangles and gr_link_predict share.
+    * r13 optimization (the sharedShingleCounts r12 pattern): per-customer
+    * COMBINATION GENERATION over the CUST-bucketed pair artifact replaces
+    * the p⋈p self-join — the groupBy(cust) is bucket-co-located (zero
+    * exchange), each sorted supplier list emits every oriented pair
+    * (x < y via sort_array, suppliers unique per customer in the DISTINCT
+    * projection) exactly once, and the (s1, s2) partial aggregate sees
+    * HALF the rows the join emitted (orientation is built in, ~8.5M vs
+    * 17M) with no broadcast build or 17M hash probes. Pair multiset
+    * identical; both consumers' oracles keep the self-join SQL. */
+  private def coPurchaseCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pairsByCust(s, dir)
+      .select(($"supp" - 1000000L).as("supp"), $"cust")
+      .groupBy($"cust").agg(sort_array(collect_list($"supp")).as("ss"))
+      .filter(size($"ss") >= 2)
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> " +
+          "transform(slice(ss, i + 2, size(ss)), y -> " +
+          "struct(x AS s1, y AS s2))))")).as("p"))
+      .select($"p.s1".as("s1"), $"p.s2".as("s2"))
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("shared"))
+  }
+
   val grTriangles = GraftQuery(
     "gr_triangles",
     (s, dir) => {
       import s.implicits._
-      // NOTE (r12 measured): keep the SUPP-bucketed copy here even though
-      // the join key is cust — the probe side auto-broadcasts (the pair
-      // table is under the broadcast threshold), so no cust exchange
-      // exists to save, while supp-bucketing clusters s1 = a.supp inside
-      // each task and lets the (s1,s2) partial aggregate reduce 17M joined
-      // rows to ~250k before the exchange (the cust-bucketed variant
-      // measured 78 MB shuffle vs 5.3 MB here).
-      val p = pairs(s, dir)
-        .select(($"supp" - 1000000L).as("supp"), $"cust")
-      val co = p.as("a").join(p.as("b"),
-        col("a.cust") === col("b.cust") && col("a.supp") < col("b.supp"))
-        .groupBy(col("a.supp").as("s1"), col("b.supp").as("s2"))
-        .agg(count(lit(1)).as("shared"))
+      val co = coPurchaseCounts(s, dir)
         .filter($"shared" >= 190L)
         .select($"s1", $"s2")
         .cache()
@@ -282,10 +295,16 @@ object GraphQueries {
         .withColumn("d", lit(0L))
       var frontier = dist
       for (k <- 1 to 3) {
+        // r13: checkpoint each round's frontier (node-sized), matching the
+        // other BSP kernels — without it `next` is re-evaluated BOTH as the
+        // next frontier and inside the growing dist union, so round i's
+        // frontier join re-ran O(rounds−i) times (19.6 s task for a 3-hop
+        // BFS on a 0.9M-edge graph; values unchanged, plan now linear).
         val next = frontier.join(edgeList, $"node" === $"src")
           .select($"dst".as("node")).distinct()
           .join(dist.select($"node"), Seq("node"), "left_anti")
           .withColumn("d", lit(k.toLong))
+          .localCheckpoint()
         dist = dist.unionByName(next)
         frontier = next
       }
@@ -328,15 +347,13 @@ object GraphQueries {
     "gr_link_predict",
     (s, dir) => {
       import s.implicits._
-      // supp-bucketed copy kept deliberately — see gr_triangles' note:
-      // broadcast join + s1-locality for the partial aggregate beat a
-      // cust-co-located join here (5.4 MB vs 78 MB measured shuffle)
+      // r13: pair scoring shared with gr_triangles via coPurchaseCounts
+      // (combination generation over the cust-bucketed artifact); degrees
+      // still read the supp-bucketed copy co-located with their group key
       val p = pairs(s, dir).select(($"supp" - 1000000L).as("supp"), $"cust")
       val deg = p.groupBy($"supp").agg(count(lit(1)).as("deg"))
-      val sh = p.as("a").join(p.as("b"),
-          col("a.cust") === col("b.cust") && col("a.supp") < col("b.supp"))
-        .groupBy(col("a.supp").as("s1"), col("b.supp").as("s2"))
-        .agg(count(lit(1)).as("cn"))
+      val sh = coPurchaseCounts(s, dir)
+        .withColumnRenamed("shared", "cn")
         .orderBy($"cn".desc, $"s1", $"s2").limit(100)
       sh.join(broadcast(deg.select($"supp".as("s1"), $"deg".as("d1"))), Seq("s1"))
         .join(broadcast(deg.select($"supp".as("s2"), $"deg".as("d2"))), Seq("s2"))
@@ -490,14 +507,21 @@ object GraphQueries {
       val lab = lpaLabels(s, dir)
       val labSrc = lab.select($"node".as("src"), $"lbl".as("la"))
       val labDst = lab.select($"node".as("dst"), $"lbl".as("lb"))
-      val withLa = e.join(labSrc, "src")
-      val mRow = e.agg(count(lit(1)).as("m2"))
-      val intraRow = withLa.join(labDst, "dst").filter($"la" === $"lb")
-        .agg(count(lit(1)).as("intra_total"))
-      val degRow = withLa.groupBy($"la").agg(count(lit(1)).as("ds"))
+      // r13 optimization: ONE edge pass instead of three. The label table
+      // covers every node (r0 = all srcs of the symmetrized edge list), so
+      // both label joins are 1:1 and the three totals all derive from one
+      // per-community aggregate over e⋈labSrc⋈labDst:
+      //   ds (directed degree sum) = COUNT per la, intra_c = Σ[la=lb],
+      //   then m2 = Σ ds, intra_total = Σ intra_c, sum_deg_sq = Σ ds².
+      // Same exact integers as the old mRow/intraRow/degRow trio.
+      e.join(labSrc, "src").join(labDst, "dst")
+        .groupBy($"la")
+        .agg(count(lit(1)).as("ds"),
+          sum(when($"la" === $"lb", 1L).otherwise(0L)).as("intra_c"))
         .agg(count(lit(1)).as("n_communities"),
+          sum($"ds").as("m2"),
+          sum($"intra_c").as("intra_total"),
           sum($"ds" * $"ds").as("sum_deg_sq"))
-      degRow.crossJoin(intraRow).crossJoin(mRow)
         .select($"n_communities", $"m2", $"intra_total", $"sum_deg_sq",
           ($"intra_total".cast("double") / $"m2".cast("double")
             - $"sum_deg_sq".cast("double")
@@ -545,16 +569,25 @@ object GraphQueries {
     "gr_kcore",
     (s, dir) => {
       import s.implicits._
-      var e = edges(s, dir)
+      // r13 optimization: the keep sets are NESTED (a node peeled in round
+      // i has zero surviving edges in round i, so it can never re-qualify),
+      // hence e_i = e0 ∩ (keep_i × keep_i). Each round therefore filters
+      // the ORIGINAL bucketed edge table with the latest node-sized keep
+      // set (two broadcast semi-joins) instead of materializing an
+      // edge-sized localCheckpoint per round — checkpoint I/O is now
+      // node-sized only, and the per-round aggregate reads the bucketed
+      // scan co-partitioned on src. Identical recurrence, identical rows.
+      val e0 = edges(s, dir)
+      def peeled(keep: DataFrame): DataFrame =
+        e0.join(keep.select($"node".as("src")), Seq("src"), "left_semi")
+          .join(keep.select($"node".as("dst")), Seq("dst"), "left_semi")
+      var e = e0
       for (_ <- 1 to kcoreRounds) {
         val keep = e.groupBy($"src").agg(count(lit(1)).as("deg"))
           .filter($"deg" >= kcoreK.toLong)
           .select($"src".as("node"))
           .localCheckpoint()
-        e = e.join(keep.select($"node".as("src")), Seq("src"))
-          .join(keep.select($"node".as("dst")), Seq("dst"))
-          .select($"src", $"dst")
-          .localCheckpoint()
+        e = peeled(keep)
       }
       e.groupBy($"src").agg(count(lit(1)).as("deg"))
         .select($"src".as("node"), $"deg")
@@ -671,20 +704,27 @@ object GraphQueries {
       import s.implicits._
       val pSupp = pairs(s, dir)          // bucketed by supp
       val pCust = pairsByCust(s, dir)    // bucketed by cust
+      // r13 optimization (VERDICT r12 next #1): checkpoint the RAW sums of
+      // each half-step, then read max from the node-sized checkpoint. The
+      // old shape normalized via crossJoin(broadcast(ar.agg(max))) over
+      // the UN-materialized aggregate, so every half-step ran its
+      // edge⋈score join + aggregate TWICE (once to build the broadcast
+      // max, once for the values) — 6 redundant edge passes per run.
+      // Values bit-identical: same integer max, same `raw*10⁶ div max`.
+      def halfStep(p: DataFrame, joinKey: String, outKey: String,
+          score: DataFrame): DataFrame = {
+        val raw = p.join(score, p(joinKey) === score("node"))
+          .groupBy(col(outKey).as("node")).agg(sum($"score").as("raw"))
+          .localCheckpoint()
+        val mx = raw.agg(max($"raw")).head.getLong(0)
+        raw.select($"node", expr(s"raw * 1000000 div $mx").as("score"))
+      }
       var h = pSupp.select($"supp".as("node")).distinct()
         .select($"node", lit(1000000L).as("score"))
       var a: DataFrame = null
       for (_ <- 1 to hitsIters) {
-        val ar = pSupp.join(h, pSupp("supp") === h("node"))
-          .groupBy($"cust".as("node")).agg(sum($"score").as("raw"))
-        a = ar.crossJoin(broadcast(ar.agg(max($"raw").as("mx"))))
-          .select($"node", expr("raw * 1000000 div mx").as("score"))
-          .localCheckpoint()
-        val hr = pCust.join(a, pCust("cust") === a("node"))
-          .groupBy($"supp".as("node")).agg(sum($"score").as("raw"))
-        h = hr.crossJoin(broadcast(hr.agg(max($"raw").as("mx"))))
-          .select($"node", expr("raw * 1000000 div mx").as("score"))
-          .localCheckpoint()
+        a = halfStep(pSupp, "supp", "cust", h)
+        h = halfStep(pCust, "cust", "supp", a)
       }
       val topA = a.orderBy($"score".desc, $"node").limit(10)
         .select(lit("auth").as("role"), $"node", $"score")
@@ -762,7 +802,14 @@ object GraphQueries {
         .select(($"s_suppkey" + 1000000L).as("node"))
         .withColumn("d", lit(0L))
       for (_ <- 1 to 3) {
-        val relaxed = dist.join(e, $"node" === $"src")
+        // r13 (pagerank's r12 pattern): the checkpointed dist iterate has
+        // no stats, so the planner sort-merge-joined it — re-sorting the
+        // 1.17M-row cached edge table EVERY round (13 s in one round's
+        // stage). Repartition the node-sized dist to e's hash layout and
+        // shuffle_hash-join: e is never re-exchanged or sorted, only the
+        // node-sized side moves. Same rows, same min-combine.
+        val rp = dist.repartition(col("node"))
+        val relaxed = e.join(rp.hint("shuffle_hash"), $"node" === $"src")
           .select($"dst".as("node"), ($"d" + $"wt").as("d"))
         dist = dist.unionByName(relaxed)
           .groupBy($"node").agg(min($"d").as("d"))

